@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Sentiment
+
+/** The reference's end-to-end purpose as one batch operator
+  * (SURVEY.md §3.1): language filter (F1, `streamer.py:48` languages=[lan])
+  * + case-insensitive track match (F2, `streamer.py:48` track=[hashtag])
+  * + sentiment enrichment (E1, `ProcessStreamData.py:21`) + the
+  * sentiment-per-label analytics the reference's README promises but never
+  * computes (SURVEY.md §2.5).
+  *
+  * Plan shape: parquet scan (lang filter + text/lang column pruning pushed
+  * to the scan) → narrow codegen'd map → single hash aggregation on a
+  * 4-value key. The only shuffle carries ≤4 rows per partition after
+  * partial agg — this shape is flat-scalable to 100 TB.
+  */
+object TextPipeline {
+
+  /** Rows of `documents` matching (lang, track) with sentiment attached. */
+  def scored(spark: SparkSession, dir: String, lang: String, track: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang") === lit(lang) &&
+        lower(col("text")).contains(track.toLowerCase))
+      .withColumn("s", Sentiment.score(col("text")))
+
+  /** Flagship: sentiment distribution for a (language, track term) pair. */
+  def sentimentByLabel(spark: SparkSession, dir: String,
+                       lang: String = "en", track: String = "spark"): DataFrame =
+    scored(spark, dir, lang, track)
+      .groupBy(col("s.label").as("sentiment"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("s.positive")), 6).as("avg_positive"),
+        round(avg(col("s.negative")), 6).as("avg_negative"),
+        round(avg(col("s.neutral")), 6).as("avg_neutral"),
+        round(avg(col("s.mixed")), 6).as("avg_mixed"))
+      .orderBy(col("sentiment"))
+
+  /** DuckDB twin of [[sentimentByLabel]]; lexicon inlined from the single
+    * Scala source of truth. */
+  def sentimentByLabelSql(lang: String = "en", track: String = "spark"): String = {
+    val pos = Sentiment.posSqlList
+    val neg = Sentiment.negSqlList
+    s"""WITH hits AS (
+       |  SELECT
+       |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($pos)))::DOUBLE AS p,
+       |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($neg)))::DOUBLE AS n
+       |  FROM documents
+       |  WHERE lang = '$lang' AND contains(lower(text), '$track')
+       |), scored AS (
+       |  SELECT
+       |    CASE WHEN p > n THEN 'POSITIVE' WHEN n > p THEN 'NEGATIVE'
+       |         WHEN p > 0 THEN 'MIXED' ELSE 'NEUTRAL' END AS sentiment,
+       |    (p - LEAST(p, n)) / (p + n + 1.0) AS positive,
+       |    (n - LEAST(p, n)) / (p + n + 1.0) AS negative,
+       |    (1.0 + LEAST(p, n)) / (p + n + 1.0) AS neutral,
+       |    LEAST(p, n) / (p + n + 1.0) AS mixed
+       |  FROM hits
+       |)
+       |SELECT sentiment, count(*) AS n_docs,
+       |       round(avg(positive), 6) AS avg_positive,
+       |       round(avg(negative), 6) AS avg_negative,
+       |       round(avg(neutral), 6) AS avg_neutral,
+       |       round(avg(mixed), 6) AS avg_mixed
+       |FROM scored GROUP BY sentiment ORDER BY sentiment""".stripMargin
+  }
+}
