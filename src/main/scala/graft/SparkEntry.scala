@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextPipeline}
+import graft.operators.{Relational, TextPipeline, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,34 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_sentiment_track" -> ((s, d) => TextPipeline.sentimentByLabel(s, d)),
     "q02_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
-    "q03_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d))
+    "q03_revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
+    "q04_top_orders" -> ((s, d) => Relational.topOrders(s, d)),
+    "q05_semi_active_customers" -> ((s, d) => Relational.activeCustomersByNation(s, d)),
+    "q06_anti_idle_customers" -> ((s, d) => Relational.idleCustomersBySegment(s, d)),
+    "q07_rollup_lineitem" -> ((s, d) => Relational.lineitemRollup(s, d)),
+    "q08_cube_orders" -> ((s, d) => Relational.ordersCube(s, d)),
+    "q09_distinct_counts" -> ((s, d) => Relational.distinctPartsSupps(s, d)),
+    "q10_setops_customers" -> ((s, d) => Relational.setOpsCustomers(s, d)),
+    "q11_semi_priority" -> ((s, d) => Relational.priorityWithLateItems(s, d)),
+    "q12_window_rank" -> ((s, d) => Windows.topOrderPerCustomer(s, d)),
+    "q13_window_lag" -> ((s, d) => Windows.interEventGaps(s, d)),
+    "q14_window_running" -> ((s, d) => Windows.runningOrderTotals(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
     "q01_sentiment_track" -> TextPipeline.sentimentByLabelSql(),
     "q02_pricing_summary" -> Relational.pricingSummarySql,
-    "q03_revenue_by_nation" -> Relational.revenueByNationSql
+    "q03_revenue_by_nation" -> Relational.revenueByNationSql,
+    "q04_top_orders" -> Relational.topOrdersSql(),
+    "q05_semi_active_customers" -> Relational.activeCustomersByNationSql,
+    "q06_anti_idle_customers" -> Relational.idleCustomersBySegmentSql,
+    "q07_rollup_lineitem" -> Relational.lineitemRollupSql,
+    "q08_cube_orders" -> Relational.ordersCubeSql,
+    "q09_distinct_counts" -> Relational.distinctPartsSuppsSql,
+    "q10_setops_customers" -> Relational.setOpsCustomersSql,
+    "q11_semi_priority" -> Relational.priorityWithLateItemsSql,
+    "q12_window_rank" -> Windows.topOrderPerCustomerSql,
+    "q13_window_lag" -> Windows.interEventGapsSql,
+    "q14_window_running" -> Windows.runningOrderTotalsSql
   )
 }

@@ -77,4 +77,166 @@ object Relational {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
+
+  /** §2.8 top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition heap then k-row merge on the driver; no total sort at
+    * any scale. Deterministic tie-break on o_orderkey. */
+  def topOrders(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(k)
+
+  def topOrdersSql(k: Int = 10): String =
+    s"""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+       |FROM orders ORDER BY total DESC, o_orderkey LIMIT $k""".stripMargin
+
+  /** J2 left-semi: customers that placed at least one order, counted per
+    * nation. The semi join shuffles on the key but only ships the key
+    * column of orders; nation is broadcast. */
+  def activeCustomersByNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val n = broadcast(Tables.nation(spark, dir))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(n, col("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  def activeCustomersByNationSql: String =
+    """SELECT n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** J2 left-anti: customers with no order above $400k, per market segment
+    * (plain no-orders is empty in this data — every customer ordered). */
+  def idleCustomersBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def idleCustomersBySegmentSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  round(avg(c_acctbal), 4) AS avg_acctbal
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** A3 rollup: subtotal hierarchy over (returnflag, linestatus). Grouped-out
+    * levels surface as '(all)' instead of NULL so parity sorting never
+    * compares NULLs. */
+  def lineitemRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  def lineitemRollupSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |  coalesce(l_linestatus, '(all)') AS linestatus,
+      |  count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** A3 cube over orders (status × priority). */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("n_orders"), col("sum_total"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  def ordersCubeSql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+      |  coalesce(o_orderpriority, '(all)') AS orderpriority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  /** A2 exact distinct counts per group (expand + two-phase hash agg). */
+  def distinctPartsSupps(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
+  def distinctPartsSuppsSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** §2.8 set ops: (AUTOMOBILE ∪ negative-balance) ∩ has-orders \
+    * high-balance, on customer keys. */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val neg  = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val withOrders = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    auto.union(neg).distinct()
+      .intersect(withOrders)
+      .except(rich)
+      .orderBy(col("c_custkey"))
+  }
+
+  def setOpsCustomersSql: String =
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      |) INTERSECT SELECT o_custkey FROM orders
+      |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H Q4 shape: late-lineitem orders per priority via left-semi. */
+  def priorityWithLateItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp"))
+      .select(col("l_orderkey"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def priorityWithLateItemsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |  AND o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    WHERE l_shipdate >= TIMESTAMP '1997-06-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }
