@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextPipeline, Windows}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TextPipeline, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,18 @@ object SparkEntry {
     "q11_semi_priority" -> ((s, d) => Relational.priorityWithLateItems(s, d)),
     "q12_window_rank" -> ((s, d) => Windows.topOrderPerCustomer(s, d)),
     "q13_window_lag" -> ((s, d) => Windows.interEventGaps(s, d)),
-    "q14_window_running" -> ((s, d) => Windows.runningOrderTotals(s, d))
+    "q14_window_running" -> ((s, d) => Windows.runningOrderTotals(s, d)),
+    "q15_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "q16_lang_id" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
+    "q17_quality_score" -> ((s, d) => TextAnalysis.qualityByLang(s, d)),
+    "q18_fingerprints" -> ((s, d) => TextAnalysis.fingerprintSummary(s, d)),
+    "q19_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+    "q20_minhash_neardup" -> ((s, d) => Dedup.minhashNearDup(s, d)),
+    "q21_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q22_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardNearDup(s, d)),
+    "q23_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q24_ann_lsh" -> ((s, d) => Similarity.annTopK(s, d)),
+    "q25_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -50,6 +61,17 @@ object SparkEntry {
     "q11_semi_priority" -> Relational.priorityWithLateItemsSql,
     "q12_window_rank" -> Windows.topOrderPerCustomerSql,
     "q13_window_lag" -> Windows.interEventGapsSql,
-    "q14_window_running" -> Windows.runningOrderTotalsSql
+    "q14_window_running" -> Windows.runningOrderTotalsSql,
+    "q15_token_stats" -> TextAnalysis.tokenStatsSql,
+    "q16_lang_id" -> TextAnalysis.langIdConfusionSql,
+    "q17_quality_score" -> TextAnalysis.qualityByLangSql,
+    "q18_fingerprints" -> TextAnalysis.fingerprintSummarySql,
+    "q19_exact_dedup" -> Dedup.exactDedupSql,
+    "q20_minhash_neardup" -> Dedup.minhashNearDupSql(),
+    "q21_simhash_neardup" -> Dedup.simhashNearDupSql(),
+    "q22_ngram_jaccard" -> Dedup.ngramJaccardNearDupSql(),
+    "q23_cosine_topk" -> Similarity.cosineTopKSql(),
+    "q24_ann_lsh" -> Similarity.annTopKSql(),
+    "q25_embedding_neardup" -> Similarity.embeddingNearDupSql()
   )
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+import graft.functions.TextHash._
+
+/** Deduplication family (SURVEY.md §2.12 X1-X2; north-star "dedup" ops)
+  * over the `documents` table.
+  *
+  * Four operators, from exact to approximate:
+  *  - exact (sha-256 group-pick),
+  *  - MinHash + banded LSH (estimated Jaccard),
+  *  - exact n-gram Jaccard verification over LSH candidates,
+  *  - SimHash + banded Hamming search.
+  *
+  * Scale posture (the reason these shapes were chosen):
+  *  - No all-pairs comparison anywhere: candidate pairs always come from an
+  *    equi-join on a band key, so the only shuffles are hash-partitioned on
+  *    (band, signature) — the standard way a 1000-executor cluster does
+  *    near-dup at 100 TB. Brute-force O(n²) variants are deliberately absent.
+  *  - Signatures are computed in ONE pass per row (see TextHash scaladoc on
+  *    HOF CodegenFallback + ProjectCollapse), and banding `explode`s AFTER
+  *    the signature column exists, with the Generate node acting as the
+  *    reuse barrier so the signature is never recomputed per band.
+  *  - Banded SimHash (4 bands × 12 bits) provably recalls every pair with
+  *    Hamming ≤ 3 (pigeonhole), so the banded plan equals brute force on
+  *    its declared output — cheaper AND exact.
+  *
+  * Reference tie-in: the reference never dedups (its S3 sink happily stores
+  * duplicate tweets, `ProcessStreamData.py:25-30`); these operators are the
+  * LLM-data-pipeline extension the driver mandates.
+  */
+object Dedup {
+
+  private val bandsN = 4 // LSH bands
+  private val rowsN = 4 // minhash rows per band
+  private val kMinhash = bandsN * rowsN
+
+  /** X1 exact dedup: per-language group-pick on sha2(text). At 100 TB the
+    * shuffle key is the 32-byte digest, not the document body. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("copies")).as("n_docs"),
+        sum(col("copies") - 1).as("n_dup_copies"))
+      .orderBy(col("lang"))
+
+  def exactDedupSql: String =
+    """SELECT lang, count(*) AS n_unique, sum(copies)::BIGINT AS n_docs,
+      |  sum(copies - 1)::BIGINT AS n_dup_copies
+      |FROM (SELECT lang, sha256(text) AS h, count(*) AS copies
+      |      FROM documents GROUP BY lang, sha256(text))
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** (doc_id, sh, mh) minhash signatures, persisted: every consumer
+    * self-joins this table, and without a materialization point Spark
+    * would recompute the md5 folds once per join side (2-4×). A dedup
+    * pipeline at 100 TB does exactly this — signatures (~1% of corpus
+    * bytes) are computed once and reused across the banding passes. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        minhashSignature(col("sh"), kMinhash).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Banded rows: (doc_id, band, sig[, carry…]). The explode sits ABOVE the
+    * projection that computes `mh`, so the minhash fold runs once per doc,
+    * not once per band (Generate blocks ProjectCollapse). */
+  private def banded(sig: DataFrame, carry: Seq[String]): DataFrame =
+    sig.select((Seq(col("doc_id"), col("mh")) ++ carry.map(col) :+
+        explode(sequence(lit(0), lit(bandsN - 1))).as("band")): _*)
+      .select((Seq(col("doc_id"), col("band"),
+        array_join(slice(col("mh"), col("band") * rowsN + 1, lit(rowsN)), "_")
+          .as("sig"), col("mh")) ++ carry.map(col)): _*)
+
+  /** X2 MinHash near-dup: banded-LSH candidates, similarity estimated as
+    * the fraction of agreeing signature slots (k=16 → est is i/16,
+    * exactly representable in binary, so cross-engine float-safe). */
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val b = banded(signatures(spark, dir), Seq.empty)
+    val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("mh").as("amh"))
+    val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("mh").as("bmh"))
+    val est = aggregate(
+      zip_with(col("amh"), col("bmh"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v) / lit(kMinhash.toDouble)
+    l.join(r, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashNearDupSql(threshold: Double = 0.5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig, mh
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    round(list_sum([CASE WHEN x.mh[i+1] = y.mh[i+1] THEN 1 ELSE 0 END
+       |                    for i in range(0, $kMinhash)]) / $kMinhash.0, 4) AS est_jaccard
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, est_jaccard FROM cand
+       |WHERE est_jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** X2 exact n-gram Jaccard, verified over the SAME banded-LSH candidate
+    * set (candidate generation is the scalable half; this adds the exact
+    * verify half — the full textbook MinHash-LSH pipeline). */
+  def ngramJaccardNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sig = signatures(spark, dir)
+    val b = banded(sig, Seq.empty)
+    val cand = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(b.select(col("band"), col("sig"), col("doc_id").as("doc_b")), Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val withSets = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("asets")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("bsets")), Seq("doc_b"))
+    val inter = size(array_intersect(col("asets"), col("bsets"))).cast("double")
+    val uni = (size(col("asets")) + size(col("bsets"))).cast("double") - inter
+    withSets
+      .select(col("doc_a"), col("doc_b"), round(inter / uni, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def ngramJaccardNearDupSql(threshold: Double = 0.5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    ((len(a.sh) + len(b.sh))::DOUBLE - len(list_intersect(a.sh, b.sh))::DOUBLE), 6)
+       |    AS jaccard
+       |FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+       |          JOIN sh b ON cand.doc_b = b.doc_id
+       |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |    ((len(a.sh) + len(b.sh))::DOUBLE - len(list_intersect(a.sh, b.sh))::DOUBLE), 6)
+       |    >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** X2 SimHash near-dup: 48-bit fingerprints, 4 bands × 12 bits; banding
+    * is exhaustive for Hamming ≤ 3, so this banded plan returns exactly
+    * the brute-force answer without the O(n²) pass. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sim = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextHash.simhash("text").as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = sim
+      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("doc_id"), col("s"), col("band"),
+        expr("shiftright(s, cast(band * 12 as int)) % 4096").as("key"))
+    val l = b.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("s").as("sa"))
+    val r = b.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("s").as("sb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhashNearDupSql(maxHamming: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), hh AS (
+       |  SELECT doc_id, ${tokenHashesSql("t")} AS hh FROM toks
+       |), sim AS (
+       |  SELECT doc_id, (${simhashSqlExpr("hh")})::BIGINT AS s FROM hh
+       |), bands AS (
+       |  SELECT doc_id, s, b, (s >> (b * 12)) % 4096 AS key
+       |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
+       |)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.s, y.s))::BIGINT AS hamming
+       |FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+       |  AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.s, y.s)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

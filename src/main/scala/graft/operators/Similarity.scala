@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over `embeddings.embedding: array<float>[64]`
+  * (SURVEY.md §2.12 X3; north-star "similarity search").
+  *
+  * Three operators:
+  *  - brute-force cosine top-k for a fixed query set (the correctness
+  *    baseline: broadcast the k query vectors, one narrow pass over the
+  *    corpus, TakeOrdered per query — linear at any scale);
+  *  - sign-LSH (random-hyperplane) bucketed ANN top-k (the 100 TB path:
+  *    candidates come from an equi-join on a 4-bit bucket, ~1/16th of the
+  *    corpus per query instead of all of it);
+  *  - LSH-blocked embedding near-dup pairs (cosine ≥ τ within buckets —
+  *    the standard recall/cost trade, no O(n²) pass).
+  *
+  * Cross-engine float discipline: dot products and norms are folded
+  * SEQUENTIALLY over the 64 dims in both engines (Spark `aggregate`,
+  * DuckDB `list_reduce`), elements cast float→double before multiply, so
+  * the doubles are bit-identical and bucket-sign decisions can't diverge.
+  * Cosines are round(6)ed BEFORE ranking/thresholding, with vec_id
+  * tie-breaks, so ordering is engine-independent.
+  *
+  * Hyperplanes: 4 planes × 64 dims of ±1 weights from scala.util.Random
+  * (seed 42), generated once here and inlined as literals into BOTH the
+  * Catalyst expression tree and the oracle SQL — one source of truth,
+  * nothing random at query time.
+  */
+object Similarity {
+
+  val Planes = 4
+  val Dim = 64
+  val QueryIds: Seq[Long] = Seq(0L, 1L, 2L)
+
+  /** planes × dims of ±1.0, deterministic (seed 42). */
+  val Hyperplanes: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(Planes)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sequential-fold dot product of two array<float> columns in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sequential-fold squared norm. */
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Sign-LSH bucket id in [0, 2^Planes): bit p = (v · hyperplane_p) > 0.
+    * ±1 weights make the dot an exact-order sum of ±v_i. */
+  private def bucket(v: Column): Column =
+    Hyperplanes.zipWithIndex.map { case (w, p) =>
+      val wlits = array(w.map(lit): _*)
+      val d = aggregate(
+        zip_with(v, wlits, (x, wt) => x.cast("double") * wt),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** X3 brute-force cosine top-k: the query rows are broadcast (k rows),
+    * the corpus is scanned once — no shuffle of the corpus at all. */
+  def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- DuckDB SQL twins -------------------------------------------------
+
+  private def qidList: String = QueryIds.mkString(", ")
+
+  /** DuckDB sequential-fold dot of two DOUBLE-list exprs. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_concat([0.0], [($a)[i+1]::DOUBLE * ($b)[i+1]::DOUBLE " +
+      s"for i in range(0, $Dim)]), (x, y) -> x + y)"
+
+  private def norm2Sql(a: String): String =
+    s"list_reduce(list_concat([0.0], [($a)[i+1]::DOUBLE * ($a)[i+1]::DOUBLE " +
+      s"for i in range(0, $Dim)]), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)})))"
+
+  private def bucketSql(v: String): String =
+    Hyperplanes.zipWithIndex.map { case (w, p) =>
+      val wl = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_concat([0.0], [($v)[i+1]::DOUBLE * ($wl)[i+1] " +
+        s"for i in range(0, $Dim)]), (x, y) -> x + y) > 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def cosineTopKSql(k: Int = 10): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id IN ($qidList)
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(${cosineSql("q.qv", "e.embedding")}, 6) AS cosine
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** X3 ANN: same top-k but candidates restricted to the query's LSH
+    * bucket — the plan that survives 100 TB (equi-join on bucket, then
+    * per-bucket ranking; each query scans ~corpus/2^Planes). */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+    val q = e.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bkt"))
+    val scored = e.join(broadcast(q), Seq("bkt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("embedding")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annTopKSql(k: Int = 5): String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, bkt FROM b
+       |  WHERE vec_id IN ($qidList)
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(${cosineSql("q.qv", "e.embedding")}, 6) AS cosine
+       |  FROM b e JOIN q ON e.bkt = q.bkt
+       |  WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** X2/X3 embedding near-dup: cosine ≥ τ pairs within LSH buckets. */
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = e.select(col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val r = e.select(col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    l.join(r, Seq("bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def embeddingNearDupSql(threshold: Double = 0.35): String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
+       |  FROM embeddings
+       |)
+       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |  round(${cosineSql("x.embedding", "y.embedding")}, 6) AS cosine
+       |FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+       |WHERE round(${cosineSql("x.embedding", "y.embedding")}, 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

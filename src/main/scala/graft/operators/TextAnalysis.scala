@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Text analysis (SURVEY.md §2.12 X4; north-star "text analysis") over
+  * `documents`: language-ID, quality scoring, token counting, document
+  * fingerprinting.
+  *
+  * All four are narrow per-row expression maps followed by one small hash
+  * aggregation — shuffle payload is a handful of rows per language, the
+  * flat-scalable shape. No UDFs: everything is a Catalyst expression tree
+  * (and therefore DuckDB-expressible for the oracle).
+  *
+  * Cross-engine float discipline: per-row doubles are exact-integer ratios
+  * or power-of-two divisions where possible; aggregated doubles are
+  * round()ed at 4 decimals because Spark's partial-agg addition order
+  * differs from DuckDB's sequential fold.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword/marker lexicons for the n-gram-free language-ID
+    * heuristic. Overlapping markers (la, de, le …) are deliberate — real
+    * language ID deals with shared function words; ties resolve by the
+    * fixed priority order of [[langIdPredict]]. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zhe"))
+
+  /** English stopwords used by the quality score (subset present in the
+    * driver vocabulary so the ratio is non-degenerate). */
+  val Stopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "is")
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  private def hitCount(t: Column, lex: Seq[String]): Column =
+    size(filter(t, x => x.isin(lex: _*)))
+
+  /** Predicted language: argmax of marker hits with first-listed-wins
+    * tie-break (chained CASE, identical semantics in both engines). */
+  def langIdPredict(text: Column): Column = {
+    val scores = Markers.map { case (l, lex) => l -> hitCount(toks(text), lex) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((l, s), i), els) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        when(rest.map(s >= _).reduce(_ && _), lit(l)).otherwise(els)
+    }
+  }
+
+  /** X4 language-ID confusion matrix: actual × predicted × count. */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langIdPredict(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  def langIdConfusionSql: String = {
+    val scoreExprs = Markers.map { case (l, lex) =>
+      val in = lex.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($in))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = Markers.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""WITH scored AS (
+       |  SELECT lang, $caseExpr AS predicted
+       |  FROM (SELECT lang, string_split(lower(text), ' ') AS t,
+       |    $scoreExprs
+       |  FROM documents)
+       |)
+       |SELECT lang, predicted, count(*) AS n_docs
+       |FROM scored GROUP BY lang, predicted
+       |ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** Per-doc quality score in [0,1]: length prior + type-token ratio +
+    * (1 - stopword ratio) + average token length prior, equally weighted.
+    * All per-row math is plain IEEE ops written in identical order in the
+    * SQL twin. */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val ntok = size(t).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / ntok
+    val stopRatio = hitCount(t, Stopwords).cast("double") / ntok
+    val avgLen = (length(text).cast("double") - (ntok - 1)) / ntok
+    lit(0.25) * least(ntok / 50.0, lit(1.0)) +
+      lit(0.25) * ttr +
+      lit(0.25) * (lit(1.0) - stopRatio) +
+      lit(0.25) * least(avgLen / 6.0, lit(1.0))
+  }
+
+  /** X4 quality scoring, aggregated per language. */
+  def qualityByLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), qualityScore(col("text")).as("q"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        round(min(col("q")), 6).as("min_quality"),
+        round(max(col("q")), 6).as("max_quality"))
+      .orderBy(col("lang"))
+
+  def qualityByLangSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT lang,
+       |    0.25 * least(ntok / 50.0, 1.0) +
+       |    0.25 * (uniq / ntok) +
+       |    0.25 * (1.0 - (stops / ntok)) +
+       |    0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0) AS q
+       |  FROM (
+       |    SELECT lang,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT lang, text, string_split(lower(text), ' ') AS t
+       |          FROM documents))
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  round(avg(q), 4) AS avg_quality,
+       |  round(min(q), 6) AS min_quality,
+       |  round(max(q), 6) AS max_quality
+       |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** X4 token counting: whitespace tokens vs BPE-ish regex word pieces
+    * (`[a-z]+` runs — digits/punctuation split off), per language. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks(col("text"))).cast("long").as("ws"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("sum_ws_tokens"),
+        sum(col("re")).as("sum_re_tokens"),
+        round(avg(col("ws")), 4).as("avg_ws_tokens"),
+        max(col("ws")).as("max_ws_tokens"))
+      .orderBy(col("lang"))
+
+  def tokenStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(ws)::BIGINT AS sum_ws_tokens,
+      |  sum(re)::BIGINT AS sum_re_tokens,
+      |  round(avg(ws), 4) AS avg_ws_tokens,
+      |  max(ws) AS max_ws_tokens
+      |FROM (SELECT lang,
+      |    len(string_split(lower(text), ' '))::BIGINT AS ws,
+      |    len(regexp_extract_all(text, '[a-z]+'))::BIGINT AS re
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** X4 document fingerprinting: order-sensitive rolling polynomial hash
+    * (md5-per-token folded mod 1e9+7) + raw md5, summarized per language.
+    * Distinct-fingerprint counts expose dup structure without shipping
+    * text bodies — at 100 TB the shuffle carries 8-byte prints. */
+  def fingerprintSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        TextHash.rollingFingerprint(col("text")).as("fp"),
+        md5(col("text").cast("binary")).as("m"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        countDistinct(col("m")).as("n_distinct_md5"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy(col("lang"))
+
+  def fingerprintSummarySql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  count(DISTINCT fp) AS n_distinct_fp,
+       |  count(DISTINCT m) AS n_distinct_md5,
+       |  min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM (SELECT lang,
+       |    ${TextHash.rollingFingerprintSql("string_split(lower(text), ' ')")} AS fp,
+       |    md5(text) AS m
+       |  FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+}

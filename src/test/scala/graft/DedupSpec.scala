@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.operators.Dedup
+
+/** Unit coverage for the dedup family (SURVEY.md §2.12 X1-X2). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct word 3-grams; short docs yield empty array") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextHash.shingles(col("text")).as("sh"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(rows(1).getSeq[String](0).isEmpty)
+  }
+
+  test("minhash signature: identical texts agree, disjoint texts differ") {
+    val df = Seq("x y z w v u t s r q", "x y z w v u t s r q", "aa bb cc dd ee ff gg hh ii jj")
+      .toDF("text")
+      .select(TextHash.minhashSignature(TextHash.shingles(col("text"))).as("mh"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1), "same text must give same signature")
+    assert(sigs(0) != sigs(2), "disjoint shingle sets should differ")
+    assert(sigs.forall(_.forall(v => v >= 0 && v < TextHash.P)))
+  }
+
+  test("simhash: identical texts collide; one-token change stays close") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy cat again and again"
+    val far = "zz yy xx ww vv uu tt ss rr qq pp oo"
+    val df = Seq(base, base, near, far).toDF("text")
+      .select(TextHash.simhash("text").as("s"))
+    val s = df.collect().map(_.getLong(0))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(s(0) == s(1))
+    assert(ham(s(0), s(2)) < ham(s(0), s(3)),
+      s"near doc (${ham(s(0), s(2))}) should be closer than far (${ham(s(0), s(3))})")
+  }
+
+  test("exact dedup counts: n_docs = n_unique + n_dup_copies") {
+    Dedup.exactDedup(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_unique") + r.getAs[Long]("n_dup_copies"))
+    }
+  }
+
+  test("minhash near-dup finds the planted near-duplicates (est_jaccard ~1)") {
+    val pairs = Dedup.minhashNearDup(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Double]("est_jaccard") >= 0.5))
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("simhash near-dup pairs are within declared hamming bound") {
+    val pairs = Dedup.simhashNearDup(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 3))
+  }
+
+  test("ngram jaccard verified pairs all meet threshold, subset of candidates") {
+    val exact = Dedup.ngramJaccardNearDup(spark, sf0001).collect()
+    assert(exact.nonEmpty)
+    assert(exact.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+}
