@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TextPipeline, Windows}
+import graft.operators.{Dedup, JsonOps, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,7 +44,16 @@ object SparkEntry {
     "q22_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardNearDup(s, d)),
     "q23_cosine_topk" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q24_ann_lsh" -> ((s, d) => Similarity.annTopK(s, d)),
-    "q25_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d))
+    "q25_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDup(s, d)),
+    "q26_tumbling_window" -> ((s, d) => TimeWindows.tumblingHourly(s, d)),
+    "q27_sliding_window" -> ((s, d) => TimeWindows.slidingHourHalf(s, d)),
+    "q28_session_window" -> ((s, d) => TimeWindows.userSessions(s, d)),
+    "q29_hourly_profile" -> ((s, d) => TimeWindows.hourlyProfile(s, d)),
+    "q30_json_extract" -> ((s, d) => JsonOps.propsExtract(s, d)),
+    "q31_base64_codec" -> ((s, d) => JsonOps.base64Roundtrip(s, d)),
+    "q32_range_join" -> ((s, d) => Relational.viewToPurchase(s, d)),
+    "q33_grouping_sets" -> ((s, d) => Relational.docGroupingSets(s, d)),
+    "q34_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,6 +81,16 @@ object SparkEntry {
     "q22_ngram_jaccard" -> Dedup.ngramJaccardNearDupSql(),
     "q23_cosine_topk" -> Similarity.cosineTopKSql(),
     "q24_ann_lsh" -> Similarity.annTopKSql(),
-    "q25_embedding_neardup" -> Similarity.embeddingNearDupSql()
+    "q25_embedding_neardup" -> Similarity.embeddingNearDupSql(),
+    "q26_tumbling_window" -> TimeWindows.tumblingHourlySql,
+    "q27_sliding_window" -> TimeWindows.slidingHourHalfSql,
+    "q28_session_window" -> TimeWindows.userSessionsSql,
+    "q29_hourly_profile" -> TimeWindows.hourlyProfileSql,
+    "q30_json_extract" -> JsonOps.propsExtractSql,
+    "q31_base64_codec" -> JsonOps.base64RoundtripSql,
+    "q32_range_join" -> Relational.viewToPurchaseSql,
+    "q33_grouping_sets" -> Relational.docGroupingSetsSql
+    // q34_approx_distinct: intentionally no oracle — HLL sketch values are
+    // engine-specific; driver records the rows-only check (contract allows).
   )
 }

@@ -239,4 +239,75 @@ object Relational {
       |    SELECT l_orderkey FROM lineitem
       |    WHERE l_shipdate >= TIMESTAMP '1997-06-01')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** J4 range join: view→purchase conversions within 30 minutes, per user,
+    * rolled up per day. The equi key (user_id) bounds the pair space —
+    * Spark plans a sort-merge join on user_id with the range predicate as
+    * a post-join filter, which is the scalable shape (a pure theta join
+    * would be a nested-loop over everything). Timestamps compare at whole
+    * seconds (ns-vs-µs parity, FIXTURES.md §B). */
+  def viewToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("epoch").as("view_epoch"), col("ts").as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("epoch").as("buy_epoch"))
+    v.join(p, Seq("user_id"))
+      .filter(col("buy_epoch") > col("view_epoch") &&
+        col("buy_epoch") <= col("view_epoch") + 1800)
+      .select(to_date(col("view_ts")).as("day"),
+        (col("buy_epoch") - col("view_epoch")).as("gap_sec"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(avg(col("gap_sec")), 4).as("avg_gap_sec"))
+      .orderBy(col("day"))
+  }
+
+  def viewToPurchaseSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS epoch, ts
+      |  FROM events
+      |)
+      |SELECT v.ts::DATE AS day, count(*) AS n_conversions,
+      |  round(avg(p.epoch - v.epoch), 4) AS avg_gap_sec
+      |FROM e v JOIN e p ON v.user_id = p.user_id
+      |  AND p.epoch > v.epoch AND p.epoch <= v.epoch + 1800
+      |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** A3 GROUPING SETS via SQL on a registered view — exercises the SQL
+    * entry path (`spark.sql`) alongside the DataFrame API. */
+  def docGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """SELECT coalesce(lang, '(all)') AS lang,
+        |  coalesce(source, '(all)') AS source,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM graft_documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY lang, source""".stripMargin)
+  }
+
+  def docGroupingSetsSql: String =
+    """SELECT coalesce(lang, '(all)') AS lang,
+      |  coalesce(source, '(all)') AS source,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang, source), (lang), ())
+      |ORDER BY lang, source""".stripMargin
+
+  /** A2 approximate distinct (HLL++): per-type approximate unique users vs
+    * exact. No oracle SQL — HLL sketches are engine-specific, so the
+    * driver records the weaker rows-only check for this one (documented
+    * exemption; the EXACT variant is oracle-checked in q09). */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
 }
