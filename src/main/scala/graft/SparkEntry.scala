@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, JsonOps, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
+import graft.operators.{Dedup, JsonOps, Multimodal, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,7 +53,8 @@ object SparkEntry {
     "q31_base64_codec" -> ((s, d) => JsonOps.base64Roundtrip(s, d)),
     "q32_range_join" -> ((s, d) => Relational.viewToPurchase(s, d)),
     "q33_grouping_sets" -> ((s, d) => Relational.docGroupingSets(s, d)),
-    "q34_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d))
+    "q34_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
+    "q35_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -89,8 +90,9 @@ object SparkEntry {
     "q30_json_extract" -> JsonOps.propsExtractSql,
     "q31_base64_codec" -> JsonOps.base64RoundtripSql,
     "q32_range_join" -> Relational.viewToPurchaseSql,
-    "q33_grouping_sets" -> Relational.docGroupingSetsSql
+    "q33_grouping_sets" -> Relational.docGroupingSetsSql,
     // q34_approx_distinct: intentionally no oracle — HLL sketch values are
     // engine-specific; driver records the rows-only check (contract allows).
+    "q35_media_summary" -> Multimodal.mediaSummarySql
   )
 }

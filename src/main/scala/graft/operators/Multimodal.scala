@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed media row: opaque `binary` payload + typed metadata columns —
+  * the multimodal column model (SURVEY.md §2.12 X5). */
+case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte],
+                       width: Int, height: Int)
+
+/** Decoded/feature-extracted row: fixed-width feature vector + provenance. */
+case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+                         histogram: Array[Double])
+
+/** ==== STUB ====
+  * Media decoding (JPEG→pixels, PCM→frames, H.264→keyframes) requires
+  * codec libraries this container does not ship. The decode step is
+  * stubbed as the IDENTITY on the payload bytes; everything around it —
+  * schema, typed Dataset plumbing, per-partition init-once batching,
+  * feature shape — is real and tested. Swap [[StubDecoder.decode]] for a
+  * real codec to productionize.
+  */
+object StubDecoder {
+  /** Executor-side singleton: "load the model/codec once per JVM", the
+    * twin of the reference's module-level Comprehend client
+    * (`ProcessStreamData.py:8-9`). */
+  @transient lazy val instance: StubDecoder = new StubDecoder
+}
+
+final class StubDecoder extends Serializable {
+  /** STUB decode: identity — real impl would decode the codec stream. */
+  def decode(content: Array[Byte]): Array[Byte] = content
+
+  /** Deterministic 8-bucket byte-value histogram, L1-normalized — a real
+    * feature computation over the (stub-)decoded payload. */
+  def features(r: MediaRecord): MediaFeatures = {
+    val decoded = decode(r.content)
+    val buckets = new Array[Double](8)
+    decoded.foreach { b => buckets((b & 0xff) >> 5) += 1.0 }
+    val n = math.max(decoded.length, 1).toDouble
+    MediaFeatures(r.doc_id, r.media_type, decoded.length.toLong,
+      buckets.map(_ / n))
+  }
+}
+
+/** Multimodal columns (SURVEY.md §2.12 X5): media as `binary` payload +
+  * typed metadata, with decode/feature-extract as a typed per-partition
+  * batch map — the Scala/Dataset equivalent of the mapInPandas batch
+  * shape (iterator-of-rows per partition, codec initialized once per
+  * partition, never per record).
+  *
+  * Scale posture: payloads stay opaque bytes end-to-end (no driver
+  * collect, no base64 inflation); metadata predicates (`media_type`,
+  * dimensions) are plain columns so Catalyst prunes/pushes them without
+  * touching payload bytes — at 100 TB the scan skips the binary column
+  * entirely for metadata-only queries (Parquet column projection).
+  */
+object Multimodal {
+
+  /** Synthesize the media table from `documents` (the driver testdata has
+    * no binary column, so payload = UTF-8 bytes of the text; deterministic
+    * metadata derived from n_chars). Schema/partitioning match what a real
+    * ingest would produce. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("content"),
+      (lit(16) + col("n_chars") % 640).cast("int").as("width"),
+      (lit(16) + (col("n_chars") * 7) % 480).cast("int").as("height"))
+
+  def mediaDataset(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord]
+  }
+
+  /** Feature extraction over the typed Dataset: per-partition batch map
+    * with init-once decoder — the multimodal hot path. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = StubDecoder.instance // once per partition/JVM, not per row
+      it.map(dec.features)
+    }
+  }
+
+  /** X5 query: metadata + payload-size profile per media type. Catalyst
+    * reads only (doc_id, n_chars, text) here; a metadata-only variant
+    * would skip `text` entirely. */
+  def mediaSummary(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(octet_length(col("content"))).cast("long").as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_width"),
+        round(avg(col("height")), 4).as("avg_height"))
+      .orderBy(col("media_type"))
+
+  def mediaSummarySql: String =
+    """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |            WHEN doc_id % 3 = 1 THEN 'audio'
+      |            ELSE 'video' END AS media_type,
+      |  count(*) AS n_items,
+      |  sum(octet_length(text::BLOB))::BIGINT AS total_bytes,
+      |  round(avg(16 + n_chars % 640), 4) AS avg_width,
+      |  round(avg(16 + (n_chars * 7) % 480), 4) AS avg_height
+      |FROM documents
+      |GROUP BY 1 ORDER BY media_type""".stripMargin
+}

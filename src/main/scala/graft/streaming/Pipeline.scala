@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions.Sentiment
+
+/** The reference's continuous query, Spark-native (SURVEY.md §3.1):
+  *
+  * {{{
+  * readStream(json tweets) → from_json/schema → filter(lang, track)
+  *   → project(text, lang, event time) → score sentiment
+  *   → [windowed agg] → writeStream(parquet, checkpoint, 60 s trigger)
+  * }}}
+  *
+  * Reference mapping (file:line cites):
+  *  - source + server-side filter: `streamer.py:41-48` (S1, F1, F2) —
+  *    here a schema'd file/memory stream + `filter` columns;
+  *  - per-record parse/project: `streamer.py:26-28` (P1, P2);
+  *  - micro-batching: Firehose 60 s / 3 MB buffer
+  *    (`stream_processor.py:295-324`, T1) — here
+  *    `Trigger.ProcessingTime(60 s)` + `maxFilesPerTrigger`;
+  *  - sentiment enrich: `ProcessStreamData.py:21` (E1) — the SAME
+  *    deterministic scorer as batch (one code path, stream/batch parity);
+  *  - delivery: Firehose→S3 at-least-once (`ProcessStreamData.py:25-30`,
+  *    T5) — here exactly-once parquet sink + checkpoint, strictly
+  *    stronger (no ack envelope needed, P6 dropped by design);
+  *  - the reference discards `created_at` (processing-time only, T2/T3);
+  *    we keep it as event time and add a watermark — the EXT upgrade.
+  *
+  * Every transform is a pure `DataFrame => DataFrame` usable in BOTH
+  * batch and streaming plans — Structured Streaming's core guarantee
+  * (PAPERS.md, SIGMOD 2018) is that the same declarative plan gives the
+  * same answer; StreamingSpec asserts exactly that.
+  *
+  * Scale: the pipeline is shuffle-free until the windowed agg (narrow
+  * filter/project/score fused by codegen); the agg shuffles one partial
+  * row per (window × label) per partition. State is bounded by the
+  * watermark; no per-record RPC anywhere (the reference's T6 flaw).
+  */
+object Pipeline {
+
+  /** Tweet schema (FIXTURES.md A1) — the fields the reference touches
+    * (`text`, `lang` via filter, `created_at` discarded, entities.hashtags
+    * the basis of track matching). */
+  val tweetSchema: StructType = StructType(Seq(
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("created_at", TimestampType),
+    StructField("entities", StructType(Seq(
+      StructField("hashtags", ArrayType(StructType(Seq(
+        StructField("text", StringType))))))))))
+
+  /** S1: replayable tweet stream from newline-JSON files. A real
+    * deployment swaps in kafka/kinesis; the contract is just "streaming
+    * DataFrame with tweetSchema". maxFilesPerTrigger is the size-cap twin
+    * of Firehose's 3 MB buffer. */
+  def readTweetStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(tweetSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** F1+F2: language equality + case-insensitive track match — Twitter
+    * `track` semantics (`streamer.py:48`): match in the text OR in the
+    * hashtag entities (# optional). */
+  def trackFilter(lang: String, track: String): Column = {
+    val t = track.toLowerCase.stripPrefix("#")
+    col("lang") === lit(lang) && (
+      lower(col("text")).contains(t) ||
+        exists(col("entities.hashtags"),
+          h => lower(h.getField("text")) === lit(t)))
+  }
+
+  /** The per-record data path (P1/P2/E1): filter → project → score.
+    * Works on any DataFrame with tweetSchema columns, batch or stream. */
+  def scoreTweets(tweets: DataFrame, lang: String, track: String): DataFrame =
+    tweets
+      .filter(trackFilter(lang, track))
+      .select(col("text"), col("lang"), col("created_at"),
+        Sentiment.score(col("text")).as("sentiment"))
+
+  /** T2+T3 (EXT): event-time tumbling sentiment counts under a watermark —
+    * the analytics the reference's README promises. Append-safe. */
+  def sentimentCounts(scored: DataFrame,
+                      windowLen: String = "60 seconds",
+                      watermark: String = "10 minutes"): DataFrame =
+    scored
+      .withWatermark("created_at", watermark)
+      .groupBy(window(col("created_at"), windowLen).as("w"),
+        col("sentiment.label").as("label"))
+      .agg(count(lit(1)).as("n_tweets"))
+      .select(col("w.start").as("window_start"), col("label"), col("n_tweets"))
+
+  /** T4 (EXT): streaming exact dedup by id under a watermark — state
+    * bounded to the watermark horizon. */
+  def dedupByKey(df: DataFrame, eventTimeCol: String, keyCols: Seq[String],
+                 watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keyCols :+ eventTimeCol)
+
+  /** J5: stream-static enrichment join (the scalable twin of the
+    * reference's per-record Comprehend RPC — dimension data joins the
+    * stream via broadcast, no network call per record). */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** K1+T1+T5: parquet sink with checkpoint, 60 s processing-time trigger
+    * (`stream_processor.py:295-297`) — exactly-once end-to-end. */
+  def writeParquet(df: DataFrame, path: String, checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** S3: `foreachBatch` intake — the Firehose-Lambda batch shape
+    * (`ProcessStreamData.py:12-16`) for sinks Spark lacks natively.
+    * The batch function receives (micro-batch DF, batchId) exactly like
+    * `lambda_handler(event, context)` received a record batch. */
+  def writeForeachBatch(df: DataFrame, checkpoint: String,
+                        trigger: Trigger)(
+      f: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch(f)
+      .start()
+}

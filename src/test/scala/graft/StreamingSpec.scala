@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Pipeline
+
+case class TweetFixture(text: String, lang: String, created_at: Timestamp,
+                        entities: EntitiesFixture)
+case class EntitiesFixture(hashtags: Seq[HashtagFixture])
+case class HashtagFixture(text: String)
+
+case class EventFixture(event_id: Long, ts: Timestamp, user_id: Long,
+                        event_type: String, value: Double)
+
+/** Streaming semantics (SURVEY.md §2.9 T1-T5, §5.4): stream/batch parity
+  * on the SAME declarative transforms, watermarked dedup, stream-static
+  * join, and exactly-once file-sink restart. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val tweets = Seq(
+    TweetFixture("spark is fast and good", "en", ts("2024-01-01 10:00:05"),
+      EntitiesFixture(Seq(HashtagFixture("spark")))),
+    TweetFixture("slow broken build", "en", ts("2024-01-01 10:00:30"),
+      EntitiesFixture(Seq(HashtagFixture("Spark")))),      // hashtag-only match
+    TweetFixture("spark es bueno", "es", ts("2024-01-01 10:01:10"),
+      EntitiesFixture(Seq.empty)),                          // wrong lang
+    TweetFixture("nothing to see", "en", ts("2024-01-01 10:01:20"),
+      EntitiesFixture(Seq.empty)),                          // no track match
+    TweetFixture("I love spark big win", "en", ts("2024-01-01 10:01:45"),
+      EntitiesFixture(Seq.empty)))
+
+  test("stream/batch parity: identical sentiment window counts (T2)") {
+    val mem = MemoryStream[TweetFixture]
+    mem.addData(tweets: _*)
+    val streamed = Pipeline.sentimentCounts(
+      Pipeline.scoreTweets(mem.toDF(), "en", "#spark"))
+    val q = streamed.writeStream.format("memory").queryName("sent_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val fromStream = spark.table("sent_stream")
+      .orderBy("window_start", "label").collect().toSeq
+    val fromBatch = Pipeline.sentimentCounts(
+        Pipeline.scoreTweets(tweets.toDF(), "en", "#spark"))
+      .orderBy("window_start", "label").collect().toSeq
+    assert(fromStream == fromBatch)
+    assert(fromStream.nonEmpty)
+    // track semantics: hashtag-entity-only tweet matched; es/no-match dropped
+    assert(fromStream.map(_.getAs[Long]("n_tweets")).sum == 3)
+  }
+
+  test("watermarked streaming dedup drops re-delivered records (T4)") {
+    val mem = MemoryStream[EventFixture]
+    val e = EventFixture(1L, ts("2024-01-01 00:00:01"), 7L, "click", 1.0)
+    mem.addData(e, e.copy(event_id = 2L), e) // exact re-delivery of id 1
+    val q = Pipeline.dedupByKey(mem.toDF(), "ts", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_stream").count() == 2)
+  }
+
+  test("stream-static broadcast join enriches without per-record RPC (J5)") {
+    val mem = MemoryStream[EventFixture]
+    mem.addData(
+      EventFixture(1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0),
+      EventFixture(2L, ts("2024-01-01 00:00:02"), 2L, "view", 2.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Pipeline.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("enrich_stream").orderBy("event_id").collect()
+    assert(out.map(_.getAs[String]("tier")).toSeq == Seq("gold", "silver"))
+  }
+
+  test("parquet sink + checkpoint is exactly-once across restart (T1/T5/K1)") {
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val chk = Files.createTempDirectory("graft_stream_chk").toString
+    tweets.toDF().write.mode("overwrite").json(src)
+
+    def runOnce(): Unit = {
+      val scored = Pipeline.scoreTweets(
+        Pipeline.readTweetStream(spark, src), "en", "spark")
+      val q = Pipeline.writeParquet(scored, out, chk, Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    runOnce() // restart on same checkpoint: no reprocessing, no duplicates
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == 3 && n2 == n1, s"expected exactly-once (got $n1 then $n2)")
+  }
+
+  test("foreachBatch delivers the Firehose-shaped (batchDF, batchId) (S3)") {
+    val mem = MemoryStream[EventFixture]
+    mem.addData(EventFixture(1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0))
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1)
+    val q = Pipeline.writeForeachBatch(mem.toDF(),
+      Files.createTempDirectory("graft_fb_chk").toString,
+      Trigger.AvailableNow()) { (batch, id) =>
+      seen.set(batch.count() * 1000 + id)
+    }
+    q.awaitTermination()
+    assert(seen.get() == 1000, "one batch (id 0) with one record")
+  }
+}
