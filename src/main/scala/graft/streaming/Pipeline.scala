@@ -53,6 +53,29 @@ object Pipeline {
       StructField("hashtags", ArrayType(StructType(Seq(
         StructField("text", StringType))))))))))
 
+  /** tweetSchema + the PERMISSIVE-mode corrupt-record side channel. */
+  val parseSchema: StructType =
+    tweetSchema.add(StructField("_corrupt_record", StringType))
+
+  /** F3/P1: parse raw JSON lines with a declared schema; malformed input
+    * lands in `_corrupt_record` instead of failing the stream — the
+    * observable version of the reference's silent on_error drop
+    * (`streamer.py:32-33`). Works on batch and streaming frames. */
+  def parseTweets(raw: DataFrame, rawCol: String = "value"): DataFrame =
+    raw.select(from_json(col(rawCol), parseSchema,
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")).as("t"))
+      .select(col("t.*"))
+
+  /** Well-formed rows only (the reference's continue-on-error path). */
+  def validTweets(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
+  /** Malformed raw payloads, for a dead-letter sink / metrics. */
+  def corruptRecords(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+
   /** S1: replayable tweet stream from newline-JSON files. A real
     * deployment swaps in kafka/kinesis; the contract is just "streaming
     * DataFrame with tweetSchema". maxFilesPerTrigger is the size-cap twin

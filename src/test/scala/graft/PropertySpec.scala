@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextHash
+import graft.streaming.Pipeline
+
+/** Property-based invariants (SURVEY.md §5.3) over generated inputs,
+  * evaluated through the real Spark expression paths. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: exact dedup is idempotent (dedup∘dedup = dedup)") {
+    val vocab = Gen.oneOf("x", "y", "z", "w")
+    val textGen = Gen.listOfN(6, vocab).map(_.mkString(" "))
+    val texts = samples(textGen, 120)
+    val df = texts.toDF("text")
+    val once = df.dropDuplicates("text")
+    val twice = once.dropDuplicates("text")
+    assert(once.count() == twice.count())
+    assert(once.collect().map(_.getString(0)).sorted.toSeq ==
+      twice.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("property: base64 encode∘decode is identity on arbitrary unicode") {
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("日本語"),
+      Gen.const("emoji🚀"), Gen.const("tab\tnewline\n"))).map(_.mkString(" "))
+    val texts = samples(gen, 100).filter(_.nonEmpty)
+    val df = texts.toDF("text").select(col("text"),
+      decode(unbase64(base64(col("text").cast("binary"))), "UTF-8").as("back"))
+    assert(df.filter(col("text") =!= col("back")).count() == 0)
+  }
+
+  test("property: minhash signature values always in [0, P)") {
+    val vocab = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val textGen = Gen.listOfN(10, vocab).map(_.mkString(" "))
+    val df = samples(textGen, 80).toDF("text")
+      .select(TextHash.minhashSignature(TextHash.shingles(col("text"))).as("mh"))
+    df.collect().foreach { r =>
+      val sig = r.getSeq[Long](0)
+      assert(sig.length == 16)
+      assert(sig.forall(v => v >= 0 && v <= TextHash.P))
+    }
+  }
+
+  test("property: union count additivity (|A|+|B| = |A∪B| with dups kept)") {
+    val g = Gen.chooseNum(0L, 50L)
+    val a = samples(g, 60).toDF("v")
+    val b = samples(g, 40).toDF("v")
+    assert(a.union(b).count() == a.count() + b.count())
+  }
+
+  test("property: corrupt-record channel partitions any input totally") {
+    val valid = samples(Gen.alphaNumStr, 40)
+      .map(t => s"""{"text":"$t","lang":"en"}""")
+    val garbage = Seq("{not json", "[]", "", "42", """{"text": unquoted}""")
+    val parsed = Pipeline.parseTweets((valid ++ garbage).toDF("value"))
+    val ok = Pipeline.validTweets(parsed).count()
+    val bad = Pipeline.corruptRecords(parsed).count()
+    assert(ok + bad == valid.size + garbage.size,
+      s"every record must be exactly one of valid/corrupt ($ok + $bad)")
+    assert(ok >= valid.size - 1 && bad >= garbage.size - 1)
+  }
+}
