@@ -54,7 +54,9 @@ object SparkEntry {
     "q32_range_join" -> ((s, d) => Relational.viewToPurchase(s, d)),
     "q33_grouping_sets" -> ((s, d) => Relational.docGroupingSets(s, d)),
     "q34_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
-    "q35_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d))
+    "q35_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
+    "q36_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q37_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -93,6 +95,8 @@ object SparkEntry {
     "q33_grouping_sets" -> Relational.docGroupingSetsSql,
     // q34_approx_distinct: intentionally no oracle — HLL sketch values are
     // engine-specific; driver records the rows-only check (contract allows).
-    "q35_media_summary" -> Multimodal.mediaSummarySql
+    "q35_media_summary" -> Multimodal.mediaSummarySql,
+    "q36_label_centroids" -> Similarity.labelCentroidsSql,
+    "q37_ivf_topk" -> Similarity.ivfTopKSql()
   )
 }

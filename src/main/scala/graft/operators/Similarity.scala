@@ -184,6 +184,101 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** A4: per-label centroids via the typed [[graft.functions.VectorMean]]
+    * Aggregator (udaf), exploded to (label, dim, value) rows so the oracle
+    * compares scalars, not array-render formats. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        mean(col("embedding").cast("array<double>")).as("c"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        posexplode(col("c")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n_vecs"),
+        round(col("v"), 4).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  def labelCentroidsSql: String =
+    s"""SELECT label::BIGINT AS label, i::BIGINT AS dim,
+       |  count(*) AS n_vecs,
+       |  round(avg(embedding[i+1]::DOUBLE), 4) AS centroid
+       |FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
+       |GROUP BY label, i
+       |ORDER BY label, dim""".stripMargin
+
+  /** X3 IVF top-k: label centroids (rounded → engine-deterministic) act as
+    * the coarse quantizer; every vector is assigned to its nearest
+    * centroid (argmax cosine, label tie-break); a query probes only its
+    * own centroid's inverted list (nprobe=1). The 100 TB shape: the
+    * centroid table is tiny and broadcast, assignment is one narrow pass,
+    * and the probe join is an equi-join on the centroid id. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cents = e.groupBy(col("label"))
+      .agg(mean(col("v")).as("craw"))
+      .select(col("label").as("clabel"),
+        transform(col("craw"), x => round(x, 4)).as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("clabel"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("clabel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = assign.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("clabel").as("qc"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    assign.join(broadcast(q), col("clabel") === col("qc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def ivfTopKSql(k: Int = 5): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), c1 AS (
+       |  SELECT label AS clabel, i, round(avg(v[i+1]), 4) AS cv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
+       |  GROUP BY label, i
+       |), c AS (
+       |  SELECT clabel, list(cv ORDER BY i) AS cv FROM c1 GROUP BY clabel
+       |), assign AS (
+       |  SELECT vec_id, v, clabel,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(${cosineSql("v", "cv")}, 6) DESC, clabel) AS rn
+       |  FROM e CROSS JOIN c
+       |), a AS (
+       |  SELECT vec_id, v, clabel FROM assign WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, clabel AS qc FROM a
+       |  WHERE vec_id IN ($qidList)
+       |), scored AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    round(${cosineSql("q.qv", "a.v")}, 6) AS cosine
+       |  FROM a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   def embeddingNearDupSql(threshold: Double = 0.35): String =
     s"""WITH b AS (
        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
