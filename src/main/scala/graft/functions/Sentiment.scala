@@ -54,11 +54,16 @@ object Sentiment {
     * case-insensitive, `streamer.py:48`). */
   def tokenize(text: Column): Column = split(lower(text), " ")
 
-  private def hits(toks: Column, lexicon: Seq[String]): Column =
-    size(filter(toks, t => t.isin(lexicon: _*)))
+  /** HOF formulation — kept as the reference semantics the native
+    * expression must match (TokenHitCountSpec asserts equivalence). */
+  def hitsHof(text: Column, lexicon: Seq[String]): Column =
+    size(filter(tokenize(text), t => t.isin(lexicon: _*)))
 
-  def positiveHits(text: Column): Column = hits(tokenize(text), Positive)
-  def negativeHits(text: Column): Column = hits(tokenize(text), Negative)
+  /** Hit counting via the native codegen expression ([[TokenHitCount]]) —
+    * same semantics, whole-stage-codegen-friendly (no per-row ArrayData,
+    * no interpreted lambda). */
+  def positiveHits(text: Column): Column = TokenHitCount.tokenHits(text, Positive)
+  def negativeHits(text: Column): Column = TokenHitCount.tokenHits(text, Negative)
 
   /** Sentiment label column from the two hit counts. */
   def label(p: Column, n: Column): Column =

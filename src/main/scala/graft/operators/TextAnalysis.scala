@@ -39,13 +39,16 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  private def hitCount(t: Column, lex: Seq[String]): Column =
-    size(filter(t, x => x.isin(lex: _*)))
+  /** Lexicon hit counting over the raw text via the native codegen
+    * expression — semantics identical to size(filter(toks(text), isin));
+    * see TokenHitCount. */
+  private def hitCount(text: Column, lex: Seq[String]): Column =
+    graft.functions.TokenHitCount.tokenHits(text, lex)
 
   /** Predicted language: argmax of marker hits with first-listed-wins
     * tie-break (chained CASE, identical semantics in both engines). */
   def langIdPredict(text: Column): Column = {
-    val scores = Markers.map { case (l, lex) => l -> hitCount(toks(text), lex) }
+    val scores = Markers.map { case (l, lex) => l -> hitCount(text, lex) }
     scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((l, s), i), els) =>
         val rest = scores.drop(i + 1).map(_._2)
@@ -90,7 +93,7 @@ object TextAnalysis {
     val t = toks(text)
     val ntok = size(t).cast("double")
     val ttr = size(array_distinct(t)).cast("double") / ntok
-    val stopRatio = hitCount(t, Stopwords).cast("double") / ntok
+    val stopRatio = hitCount(text, Stopwords).cast("double") / ntok
     val avgLen = (length(text).cast("double") - (ntok - 1)) / ntok
     lit(0.25) * least(ntok / 50.0, lit(1.0)) +
       lit(0.25) * ttr +

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Column↔Expression conversion —
+  * the two calls a Spark-native expression library needs. This is the
+  * standard extension-library pattern (Spark 4 moved the conversions to
+  * `classic.ExpressionUtils`, package-private); everything else in graft
+  * stays outside the org.apache.spark namespace. */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
