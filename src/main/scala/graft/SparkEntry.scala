@@ -56,7 +56,10 @@ object SparkEntry {
     "q34_approx_distinct" -> ((s, d) => Relational.approxDistinctUsers(s, d)),
     "q35_media_summary" -> ((s, d) => Multimodal.mediaSummary(s, d)),
     "q36_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
-    "q37_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d))
+    "q37_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q38_props_map" -> ((s, d) => JsonOps.propsMapStats(s, d)),
+    "q39_outer_coverage" -> ((s, d) => Relational.customerOrderCoverage(s, d)),
+    "q40_full_outer" -> ((s, d) => Relational.nationSupplierCoverage(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -97,6 +100,9 @@ object SparkEntry {
     // engine-specific; driver records the rows-only check (contract allows).
     "q35_media_summary" -> Multimodal.mediaSummarySql,
     "q36_label_centroids" -> Similarity.labelCentroidsSql,
-    "q37_ivf_topk" -> Similarity.ivfTopKSql()
+    "q37_ivf_topk" -> Similarity.ivfTopKSql(),
+    "q38_props_map" -> JsonOps.propsMapStatsSql,
+    "q39_outer_coverage" -> Relational.customerOrderCoverageSql,
+    "q40_full_outer" -> Relational.nationSupplierCoverageSql
   )
 }

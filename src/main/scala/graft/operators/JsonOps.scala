@@ -58,6 +58,29 @@ object JsonOps {
       .orderBy(col("lang"))
   }
 
+  /** E7/E4: props parsed as a MAP column, exploded to (key, value) rows —
+    * map_keys/explode coverage plus grouped stats per (event_type, key). */
+  def propsMapStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        explode(from_json(col("props"), lit("map<string,bigint>")))
+          .as(Seq("key", "value")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"), col("key"))
+
+  def propsMapStatsSql: String =
+    """SELECT event_type, key, count(*) AS n,
+      |  sum(v)::BIGINT AS sum_value, round(avg(v), 4) AS avg_value
+      |FROM (
+      |  SELECT event_type, unnest(json_keys(props)) AS key,
+      |    json_extract_string(props, '$.' || unnest(json_keys(props)))::BIGINT AS v
+      |  FROM events)
+      |GROUP BY event_type, key
+      |ORDER BY event_type, key""".stripMargin
+
   def base64RoundtripSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  sum(CASE WHEN from_base64(base64(text::BLOB))::VARCHAR = text

@@ -298,6 +298,51 @@ object Relational {
       |GROUP BY GROUPING SETS ((lang, source), (lang), ())
       |ORDER BY lang, source""".stripMargin
 
+  /** J1 left-outer: per segment, customers vs their high-value orders —
+    * the filtered right side leaves genuinely unmatched customers, so the
+    * null path is exercised (count(col) skips nulls in both engines). */
+  def customerOrderCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        countDistinct(col("o_custkey")).as("n_with_big_orders"),
+        count(col("o_orderkey")).as("n_big_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def customerOrderCoverageSql: String =
+    """SELECT c_mktsegment,
+      |  count(DISTINCT c_custkey) AS n_customers,
+      |  count(DISTINCT o_custkey) AS n_with_big_orders,
+      |  count(o_orderkey) AS n_big_orders
+      |FROM customer LEFT OUTER JOIN
+      |  (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** J1 full-outer: nations × supplier presence — unmatched rows can come
+    * from either side (nations with no supplier; suppliers with a nation
+    * key outside the nation table would also surface). */
+  def nationSupplierCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    n.join(s, n("n_nationkey") === s("s_nationkey"), "full_outer")
+      .groupBy(coalesce(col("n_name"), lit("(unknown)")).as("nation"))
+      .agg(count(col("s_suppkey")).as("n_suppliers"),
+        round(coalesce(sum(col("s_acctbal")), lit(0.0)), 2).as("sum_acctbal"))
+      .orderBy(col("nation"))
+  }
+
+  def nationSupplierCoverageSql: String =
+    """SELECT coalesce(n_name, '(unknown)') AS nation,
+      |  count(s_suppkey) AS n_suppliers,
+      |  round(coalesce(sum(s_acctbal), 0.0), 2) AS sum_acctbal
+      |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   /** A2 approximate distinct (HLL++): per-type approximate unique users vs
     * exact. No oracle SQL — HLL sketches are engine-specific, so the
     * driver records the weaker rows-only check for this one (documented
