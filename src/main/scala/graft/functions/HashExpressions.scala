@@ -1,0 +1,270 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen kernels for the dedup/similarity hot paths.
+  *
+  * Each expression is the bit-exact twin of a higher-order-function
+  * formulation in [[TextHash]]/[[graft.operators.Similarity]] (kept there
+  * as the reference semantics; HashKernelsSpec asserts equivalence row by
+  * row, and the unchanged DuckDB oracles re-prove it per round). The HOFs
+  * are CodegenFallback — per-row ArrayData allocation and interpreted
+  * lambdas; these kernels do one pass over the UTF-8 bytes / double
+  * arrays inside whole-stage codegen.
+  *
+  * Determinism contract: identical md5-hex-nibble arithmetic
+  * (x1 = hex chars 1-15, x2 = chars 17-31, family (x1%P + i·x2%P)%P),
+  * identical shingle strings (adjacent split tokens joined by ' ' equal
+  * the source substring, including empty tokens), identical sequential
+  * float fold order for dot products.
+  */
+object HashKernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** (x1, x2): values of md5-hex nibbles [0,15) and [16,31) — exactly
+    * conv(substr(hex,1,15),16,10) and conv(substr(hex,17,15),16,10). */
+  def md5Halves(bytes: Array[Byte], off: Int, len: Int): (Long, Long) = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var x1 = 0L
+    var i = 0
+    while (i < 15) {
+      val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
+      x1 = (x1 << 4) | nib
+      i += 1
+    }
+    var x2 = 0L
+    i = 16
+    while (i < 31) {
+      val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
+      x2 = (x2 << 4) | nib
+      i += 1
+    }
+    (x1, x2)
+  }
+
+  /** Token boundaries of `bytes` split on single 0x20 bytes — identical to
+    * split(s, " ") including empty tokens. Returns flat [start0, end0,
+    * start1, end1, …]. */
+  private def tokenBounds(bytes: Array[Byte]): Array[Int] = {
+    val out = new java.util.ArrayList[Integer](32)
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      if (i == n || bytes(i) == ' '.toByte) {
+        out.add(start); out.add(i)
+        start = i + 1
+      }
+      i += 1
+    }
+    val arr = new Array[Int](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  /** MinHash signature: k running minima of the (x1 + i·x2) mod P family
+    * over DISTINCT word n-gram shingles. Empty result set → all-P
+    * signature (the HOF aggregate's init), matching
+    * TextHash.minhashSignature(shingles(text)). */
+  def minhash(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, TextHash.P)
+    if (nTok >= n) {
+      // adjacent tokens are separated by exactly one space, so the n-gram
+      // joined with ' ' IS the source substring [start(i), end(i+n-1))
+      val seen = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i <= nTok - n) {
+        val from = bounds(2 * i)
+        val until = bounds(2 * (i + n - 1) + 1)
+        if (seen.add(UTF8String.fromBytes(bytes, from, until - from))) {
+          val (x1, x2) = md5Halves(bytes, from, until - from)
+          val a = x1 % TextHash.P
+          val b = x2 % TextHash.P
+          var j = 0
+          while (j < k) {
+            val h = (a + j * b) % TextHash.P
+            if (h < sig(j)) sig(j) = h
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 48-bit SimHash over ALL split tokens (empties included — the HOF
+    * hashes every token of split(lower(s), " ")). */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val sums = new Array[Int](bits)
+    var t = 0
+    while (t < bounds.length) {
+      val (x1, _) = md5Halves(bytes, bounds(t), bounds(t + 1) - bounds(t))
+      var j = 0
+      while (j < bits) {
+        sums(j) += (((x1 >> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      t += 2
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  /** Distinct word n-gram shingles as zero-copy byte-slice UTF8Strings. */
+  def shingleSet(s: UTF8String, n: Int): java.util.HashSet[UTF8String] = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val out = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i <= nTok - n) {
+      val from = bounds(2 * i)
+      val until = bounds(2 * (i + n - 1) + 1)
+      out.add(UTF8String.fromBytes(bytes, from, until - from))
+      i += 1
+    }
+    out
+  }
+
+  /** Exact n-gram Jaccard between two texts — twin of
+    * size(array_intersect(shA, shB)) / (size(shA)+size(shB)-inter) with
+    * the same double arithmetic (both-empty → NaN, like 0.0/0.0). */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = shingleSet(a, n)
+    val sb = shingleSet(b, n)
+    val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var inter = 0
+    val it = small.iterator()
+    while (it.hasNext) if (large.contains(it.next())) inter += 1
+    val i = inter.toDouble
+    i / ((sa.size + sb.size).toDouble - i)
+  }
+
+  /** Sequential-fold dot product — same order as aggregate(zip_with(...)). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+}
+
+/** Native MinHash signature expression (twin of
+  * TextHash.minhashSignature(TextHash.shingles(text))). */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"minhash_sig needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhash(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhash($c, $n, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native SimHash expression (twin of TextHash.simhash). */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash needs string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Native sequential dot product over two array<double> columns (twin of
+  * aggregate(zip_with(a, b, _*_), 0.0, _+_)). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def ok(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<double>, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native exact n-gram Jaccard over two raw text columns (twin of the
+  * array_intersect formulation over shingle arrays — avoids materializing
+  * and shuffling the shingle arrays entirely). */
+case class NGramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_jaccard needs strings, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.ngramJaccard($a, $b, $n)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NGramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object HashExpressions {
+  def minhashSig(text: Column, n: Int = 3, k: Int = 16): Column =
+    bridge.column(MinHashSig(bridge.expression(text), n, k))
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    bridge.column(NGramJaccard(bridge.expression(a), bridge.expression(b), n))
+  def simhash(text: Column, bits: Int = 48): Column =
+    bridge.column(SimHash(bridge.expression(text), bits))
+  def dotProduct(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+}

@@ -59,16 +59,15 @@ object Dedup {
       |      FROM documents GROUP BY lang, sha256(text))
       |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** (doc_id, sh, mh) minhash signatures, persisted: every consumer
+  /** (doc_id, mh) minhash signatures, persisted: every consumer
     * self-joins this table, and without a materialization point Spark
-    * would recompute the md5 folds once per join side (2-4×). A dedup
+    * would recompute the md5 kernels once per join side (2-4×). A dedup
     * pipeline at 100 TB does exactly this — signatures (~1% of corpus
     * bytes) are computed once and reused across the banding passes. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        minhashSignature(col("sh"), kMinhash).as("mh"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.minhashSig(col("text"), 3, kMinhash).as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Banded rows: (doc_id, band, sig[, carry…]). The explode sits ABOVE the
@@ -124,19 +123,18 @@ object Dedup {
     * set (candidate generation is the scalable half; this adds the exact
     * verify half — the full textbook MinHash-LSH pipeline). */
   def ngramJaccardNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sig = signatures(spark, dir)
-    val b = banded(sig, Seq.empty)
+    val b = banded(signatures(spark, dir), Seq.empty)
     val cand = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
       .join(b.select(col("band"), col("sig"), col("doc_id").as("doc_b")), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val withSets = cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("asets")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("bsets")), Seq("doc_b"))
-    val inter = size(array_intersect(col("asets"), col("bsets"))).cast("double")
-    val uni = (size(col("asets")) + size(col("bsets"))).cast("double") - inter
-    withSets
-      .select(col("doc_a"), col("doc_b"), round(inter / uni, 6).as("jaccard"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.HashExpressions.ngramJaccard(col("ta"), col("tb")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -172,7 +170,7 @@ object Dedup {
     * the brute-force answer without the O(n²) pass. */
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sim = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextHash.simhash("text").as("s"))
+      .select(col("doc_id"), graft.functions.HashExpressions.simhash(col("text")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = sim
       .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))

@@ -43,28 +43,21 @@ object Similarity {
     Seq.fill(Planes)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
-  /** Sequential-fold dot product of two array<float> columns in double. */
+  /** Sequential-fold dot product in double — the native codegen kernel
+    * ([[graft.functions.DotProduct]]); identical fold order to the HOF
+    * aggregate(zip_with(...)) formulation (HashKernelsSpec). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Sequential-fold squared norm. */
-  private def norm2(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.HashExpressions.dotProduct(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Sign-LSH bucket id in [0, 2^Planes): bit p = (v · hyperplane_p) > 0.
     * ±1 weights make the dot an exact-order sum of ±v_i. */
   private def bucket(v: Column): Column =
     Hyperplanes.zipWithIndex.map { case (w, p) =>
-      val wlits = array(w.map(lit): _*)
-      val d = aggregate(
-        zip_with(v, wlits, (x, wt) => x.cast("double") * wt),
-        lit(0.0), (acc, x) => acc + x)
+      val d = dot(v, array(w.map(lit): _*))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

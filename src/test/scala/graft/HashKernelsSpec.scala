@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashExpressions, TextHash}
+
+/** Native hash kernels must be bit-equivalent to the HOF reference
+  * formulations in TextHash / the zip_with dot product. */
+class HashKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gen: Gen[String] = {
+    val piece = Gen.oneOf("aa", "bb", "cc", "dd", "ümlaut", "好好", "", " ")
+    Gen.listOf(piece).map(_.mkString(" "))
+  }
+  private def texts(n: Int): Seq[String] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("", " ", "a", "a b", "a b c", "a  b c d", "x y z x y z x y z")
+
+  test("native minhash == HOF minhash(shingles) on generated texts") {
+    val df = texts(200).toDF("text").select(
+      HashExpressions.minhashSig(col("text")).as("native"),
+      TextHash.minhashSignature(TextHash.shingles(col("text"))).as("hof"))
+    val bad = df.collect().filterNot(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(bad.isEmpty, s"${bad.length} signature mismatches")
+  }
+
+  test("native simhash == HOF simhash on generated texts") {
+    val df = texts(200).toDF("text").select(
+      HashExpressions.simhash(col("text")).as("native"),
+      TextHash.simhash("text").as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native dot == HOF zip_with/aggregate fold, bit-exact") {
+    val vecs = (0 until 50).map { i =>
+      (Seq.tabulate(8)(j => math.sin(i * 8 + j)), Seq.tabulate(8)(j => math.cos(i * 8 + j)))
+    }
+    val df = vecs.toDF("a", "b").select(
+      HashExpressions.dotProduct(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+    // bitwise equality, not tolerance — fold order must be identical
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("native ngram jaccard == array_intersect formulation on text pairs") {
+    val ts = texts(80)
+    val pairs = ts.zip(ts.reverse)
+    val df = pairs.toDF("a", "b").select(
+      HashExpressions.ngramJaccard(col("a"), col("b")).as("native"),
+      {
+        val sa = TextHash.shingles(col("a"))
+        val sb = TextHash.shingles(col("b"))
+        val inter = size(array_intersect(sa, sb)).cast("double")
+        (inter / ((size(sa) + size(sb)).cast("double") - inter)).as("hof")
+      })
+    // NaN == NaN must count as equal (both-empty shingle sets)
+    val bad = df.collect().filterNot { r =>
+      val (x, y) = (r.getDouble(0), r.getDouble(1))
+      x == y || (x.isNaN && y.isNaN)
+    }
+    assert(bad.isEmpty, s"${bad.length} jaccard mismatches")
+  }
+
+  test("kernels ride whole-stage codegen on a real scan") {
+    val plan = Tables.documents(spark, sf0001)
+      .select(HashExpressions.minhashSig(col("text")).as("mh"),
+        HashExpressions.simhash(col("text")).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen:\n$plan")
+  }
+}
