@@ -1,0 +1,41 @@
+package graft
+
+/** SQL-surface registration of the native expressions (public
+  * SparkSessionExtensions hook + runtime registrar). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate the native kernels") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT token_hit_count('Fast slow FAST', 'fast', 'slow') AS hits,
+        |  simhash('a b c') AS sh,
+        |  size(minhash_sig('a b c d e')) AS mlen,
+        |  round(ngram_jaccard('a b c d', 'a b c d'), 4) AS jself,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp""".stripMargin)
+      .head
+    assert(r.getAs[Int]("hits") == 3)
+    assert(r.getAs[Long]("sh") == graft.functions.HashKernels.simhash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c"), 48))
+    assert(r.getAs[Int]("mlen") == 16)
+    assert(r.getAs[Double]("jself") == 1.0)
+    assert(r.getAs[Double]("dp") == 11.0)
+  }
+
+  test("extensions class wires the same descriptions (injectFunction contract)") {
+    // the class is instantiable and exposes the five functions
+    val names = GraftExtensions.descriptions.map(_._1.funcName).toSet
+    assert(names == Set("token_hit_count", "minhash_sig", "simhash",
+      "ngram_jaccard", "dot_product"))
+    new GraftExtensions() // must construct cleanly for spark.sql.extensions
+  }
+
+  test("non-literal lexicon argument fails analysis cleanly") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT token_hit_count('a', text) FROM VALUES ('x') t(text)")
+        .collect()
+    }
+    assert(e.getMessage.contains("string literal") ||
+      e.getMessage.toLowerCase.contains("failure"), e.getMessage)
+  }
+}
