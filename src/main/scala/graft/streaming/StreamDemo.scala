@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** Runnable end-to-end twin of `python app.py <lang> <hashtag>`
+  * (SURVEY.md §3.1): synthesizes a replayable tweet-JSON source from the
+  * `documents` table, runs the continuous query
+  * readStream → filter(lang, track) → sentiment → windowed counts →
+  * parquet sink (checkpointed), then prints the landed results.
+  *
+  * `sbt "runMain graft.streaming.StreamDemo en spark [sfDir]"`.
+  *
+  * Uses Trigger.AvailableNow so the demo drains the source and exits (a
+  * production run would use the 60 s ProcessingTime trigger, T1). */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: StreamDemo <lang> <track> [sfDir]")
+      sys.exit(2)
+    }
+    val Array(lang, track) = args.take(2)
+    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_demo")
+    val (src, out, chk) = (s"$base/src", s"$base/out", s"$base/chk")
+
+    // Synthesize the tweet stream: one JSON line per document, event time
+    // staggered 5 s apart from a fixed origin (deterministic). The span
+    // must comfortably exceed the watermark below, or append mode never
+    // finalizes a window.
+    Tables.documents(spark, sfDir)
+      .select(to_json(struct(
+        col("text"),
+        col("lang"),
+        timestamp_seconds(lit(1704103200L) + col("doc_id") * 5).as("created_at"),
+        struct(array(struct(lit(track).as("text"))).as("hashtags"))
+          .as("entities"))).as("value"))
+      .write.mode("overwrite").text(src)
+
+    val scored = Pipeline.scoreTweets(
+      Pipeline.readTweetStream(spark, src), lang, track)
+    val counts = Pipeline.sentimentCounts(scored,
+      windowLen = "5 minutes", watermark = "30 seconds")
+    val q = Pipeline.writeParquet(counts, out, chk, Trigger.AvailableNow())
+    q.awaitTermination()
+
+    println(s"=== windowed sentiment counts ($lang, '$track') ===")
+    spark.read.parquet(out)
+      .orderBy("window_start", "label")
+      .show(50, truncate = false)
+    spark.stop()
+  }
+}

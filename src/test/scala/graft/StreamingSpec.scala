@@ -102,6 +102,72 @@ class StreamingSpec extends SparkSpec {
     assert(n1 == 3 && n2 == n1, s"expected exactly-once (got $n1 then $n2)")
   }
 
+  test("streaming session windows match the batch sessionizer (T2/T4)") {
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      EventFixture(1, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      EventFixture(2, ts("2024-01-01 00:05:00"), 1L, "click", 1.0), // same session
+      EventFixture(3, ts("2024-01-01 00:30:00"), 1L, "click", 1.0), // new session
+      EventFixture(4, ts("2024-01-01 00:02:00"), 2L, "view", 1.0))
+    // sentinel far in the future advances the watermark so append mode
+    // finalizes every real session
+    val sentinel = EventFixture(99, ts("2024-01-02 00:00:00"), 9L, "x", 0.0)
+    val mem = MemoryStream[EventFixture]
+    mem.addData(events: _*)
+    val sessions = mem.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(sentinel)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_stream")
+      .filter(col("user_id") =!= 9L)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq
+    assert(streamed == Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L),
+      (1L, ts("2024-01-01 00:30:00"), 1L),
+      (2L, ts("2024-01-01 00:02:00"), 1L)))
+  }
+
+  test("stateful dedup state survives checkpoint restart (T4/T5)") {
+    val src = Files.createTempDirectory("graft_dd_src").toString
+    val out = Files.createTempDirectory("graft_dd_out").toString
+    val chk = Files.createTempDirectory("graft_dd_chk").toString
+    val e1 = EventFixture(1, ts("2024-01-01 00:00:01"), 1L, "click", 1.0)
+    val e2 = EventFixture(2, ts("2024-01-01 00:00:02"), 2L, "view", 1.0)
+    val e3 = EventFixture(3, ts("2024-01-01 00:00:03"), 3L, "buy", 1.0)
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(e1).toDF().schema)
+        .json(src)
+      val q = Pipeline.dedupByKey(stream, "ts", Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq(e1, e2).toDF().write.mode("append").json(src)
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // restart with a re-delivered e1 plus a genuinely new e3: recovered
+    // state must drop the dup and keep the new record
+    Seq(e1, e3).toDF().write.mode("append").json(src)
+    run()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3, "exactly e1, e2, e3 once each")
+    assert(rows.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("foreachBatch delivers the Firehose-shaped (batchDF, batchId) (S3)") {
     val mem = MemoryStream[EventFixture]
     mem.addData(EventFixture(1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0))
