@@ -143,6 +143,13 @@ object Pipeline {
       .trigger(trigger)
       .start()
 
+  /** K2: console sink — the reference's print-everything debug path
+    * (`streamer.py:27-29`); debugging only, never a data path. */
+  def writeConsole(df: DataFrame,
+                   trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    df.writeStream.format("console").outputMode("append")
+      .trigger(trigger).start()
+
   /** S3: `foreachBatch` intake — the Firehose-Lambda batch shape
     * (`ProcessStreamData.py:12-16`) for sinks Spark lacks natively.
     * The batch function receives (micro-batch DF, batchId) exactly like
