@@ -22,13 +22,7 @@ object App {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return
     }
-    val spark = SparkSession.builder()
-      .master(s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]")
-      .config("spark.sql.shuffle.partitions",
-        math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
     try args.toList match {
       case "--query" :: name :: rest =>

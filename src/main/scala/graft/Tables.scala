@@ -31,6 +31,9 @@ object Tables {
     * DuckDB keeps full ns, so oracle queries compare at whole-second or
     * µs granularity (FIXTURES.md §B). */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Sessions.local sets this at build time; this runtime set is
+    // defense-in-depth for user-supplied sessions (it mutates session
+    // conf — direct spark.read.parquet of events needs the flag too)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -172,15 +172,24 @@ object HashKernels {
     i / ((sa.size + sb.size).toDouble - i)
   }
 
-  /** Sequential-fold dot product — same order as aggregate(zip_with(...)). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Sequential-fold dot product — same order as aggregate(zip_with(...)).
+    * Returns null (boxed) exactly when the HOF would: length mismatch
+    * (zip_with pads with null) or a null element — so the "bit-exact
+    * twin" contract holds on malformed input too. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
     var acc = 0.0
-    var i = 0
+    i = 0
     while (i < n) { acc += x(i) * y(i); i += 1 }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -229,11 +238,21 @@ case class DotProduct(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"dot_product needs array<double>, got ${left.dataType} / ${right.dataType}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    HashKernels.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftDot")
+      s"""
+      java.lang.Double $tmp = graft.functions.HashKernels.dotOrNull($a, $b);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.doubleValue();
+      }"""
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }

@@ -51,8 +51,9 @@ object Sentiment {
   def negSqlList: String = Negative.map(w => s"'$w'").mkString(", ")
 
   /** Whitespace tokenizer; lowercases first (track-match semantics F2 are
-    * case-insensitive, `streamer.py:48`). */
-  def tokenize(text: Column): Column = split(lower(text), " ")
+    * case-insensitive, `streamer.py:48`). Delegates to the single
+    * tokenization contract in [[TextHash.tokens]]. */
+  def tokenize(text: Column): Column = TextHash.tokens(text)
 
   /** HOF formulation — kept as the reference semantics the native
     * expression must match (TokenHitCountSpec asserts equivalence). */

@@ -105,10 +105,12 @@ object TextHash {
     s"list_distinct([array_to_string(($toks)[i:i+${n - 1}], ' ') " +
       s"for i in range(1, len($toks) - ${n - 2})])"
 
-  /** DuckDB: k-function MinHash signature over shingle-list expr `sh`. */
+  /** DuckDB: k-function MinHash signature over shingle-list expr `sh`.
+    * coalesce matches the Spark fold's init: an empty shingle set (doc
+    * shorter than n tokens) yields an all-P signature, not NULLs. */
   def minhashSignatureSql(sh: String, k: Int = 16): String =
-    s"[list_min(list_transform($sh, g -> " +
-      s"((${h1Sql("g")} % $P) + i * (${h2Sql("g")} % $P)) % $P)) " +
+    s"[coalesce(list_min(list_transform($sh, g -> " +
+      s"((${h1Sql("g")} % $P) + i * (${h2Sql("g")} % $P)) % $P)), $P) " +
       s"for i in range(0, $k)]"
 
   /** DuckDB: 48-bit SimHash over a bound token-hash-list column `hh`

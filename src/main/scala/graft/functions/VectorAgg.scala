@@ -21,19 +21,25 @@ object VectorMean extends Aggregator[Seq[Double], VecBuffer, Seq[Double]] {
   override def zero: VecBuffer = VecBuffer(Array.empty, 0L)
 
   override def reduce(b: VecBuffer, v: Seq[Double]): VecBuffer = {
-    if (v == null) return b
+    // null/empty vectors are skipped entirely (not counted), so an empty
+    // buffer always has n == 0 and merge() can't drop counts
+    if (v == null || v.isEmpty) return b
     val s = if (b.sums.length == 0) new Array[Double](v.length) else b.sums
+    require(v.length == s.length,
+      s"VectorMean: ragged input (${v.length} vs ${s.length} dims)")
     var i = 0
-    while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
+    while (i < v.length) { s(i) += v(i); i += 1 }
     VecBuffer(s, b.n + 1)
   }
 
   override def merge(a: VecBuffer, b: VecBuffer): VecBuffer = {
-    if (a.sums.length == 0) return b
+    if (a.sums.length == 0) return b // invariant: empty sums ⇒ n == 0
     if (b.sums.length == 0) return a
+    require(a.sums.length == b.sums.length,
+      s"VectorMean: ragged partials (${a.sums.length} vs ${b.sums.length})")
     val s = a.sums.clone()
     var i = 0
-    while (i < s.length && i < b.sums.length) { s(i) += b.sums(i); i += 1 }
+    while (i < s.length) { s(i) += b.sums(i); i += 1 }
     VecBuffer(s, a.n + b.n)
   }
 

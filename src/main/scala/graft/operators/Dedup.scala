@@ -63,7 +63,11 @@ object Dedup {
     * self-joins this table, and without a materialization point Spark
     * would recompute the md5 kernels once per join side (2-4×). A dedup
     * pipeline at 100 TB does exactly this — signatures (~1% of corpus
-    * bytes) are computed once and reused across the banding passes. */
+    * bytes) are computed once and reused across the banding passes.
+    * Deliberately left to LRU eviction rather than eager unpersist: the
+    * cache entry is tiny, the returned plan is lazy (unpersisting before
+    * execution would defeat it), and repeated calls re-use one entry
+    * (CacheManager dedups by logical plan). */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -53,6 +53,19 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine from precomputed norms: sqrt(dot(v,v)) evaluated once per
+    * VECTOR (as a projection below the join) instead of once per PAIR —
+    * identical doubles (same ops, same order), far fewer kernel calls in
+    * the pair-heavy queries. */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** (original columns…, v: array<double>, nrm: ||v||). */
+  private def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("v", v).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
   /** Sign-LSH bucket id in [0, 2^Planes): bit p = (v · hyperplane_p) > 0.
     * ±1 weights make the dot an exact-order sum of ±v_i. */
   private def bucket(v: Column): Column =
@@ -64,13 +77,14 @@ object Similarity {
   /** X3 brute-force cosine top-k: the query rows are broadcast (k rows),
     * the corpus is scanned once — no shuffle of the corpus at all. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("v"), col("nrm"))
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("embedding")), 6).as("cosine"))
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -125,14 +139,15 @@ object Similarity {
     * bucket — the plan that survives 100 TB (equi-join on bucket, then
     * per-bucket ranking; each query scans ~corpus/2^Planes). */
   def annTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+    val e = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("v"), col("nrm"), bucket(col("v")).as("bkt"))
     val q = e.filter(col("vec_id").isin(QueryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bkt"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bkt"))
     val scored = e.join(broadcast(q), Seq("bkt"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("embedding")), 6).as("cosine"))
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -164,15 +179,17 @@ object Similarity {
 
   /** X2/X3 embedding near-dup: cosine ≥ τ pairs within LSH buckets. */
   def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bkt"))
+    val e = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("v"), col("nrm"), bucket(col("v")).as("bkt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = e.select(col("bkt"), col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val r = e.select(col("bkt"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val l = e.select(col("bkt"), col("vec_id").as("vec_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val r = e.select(col("bkt"), col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
     l.join(r, Seq("bkt"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+        round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -209,30 +226,31 @@ object Similarity {
     * and the probe join is an equi-join on the centroid id. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val mean = udaf(graft.functions.VectorMean)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+    val e = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
     val cents = e.groupBy(col("label"))
       .agg(mean(col("v")).as("craw"))
       .select(col("label").as("clabel"),
         transform(col("craw"), x => round(x, 4)).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("clabel"))
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("ccos",
+        round(cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("clabel"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("clabel"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assign.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("clabel").as("qc"))
+        col("nrm").as("qnrm"), col("clabel").as("qc"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     assign.join(broadcast(q), col("clabel") === col("qc"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))

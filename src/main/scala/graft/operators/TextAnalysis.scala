@@ -37,7 +37,10 @@ object TextAnalysis {
     * driver vocabulary so the ratio is non-degenerate). */
   val Stopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "is")
 
-  private def toks(c: Column): Column = split(lower(c), " ")
+  /** Single tokenization contract — see [[TextHash.tokens]] (the byte
+    * kernels in TokenHitCount/HashKernels mirror it and are spec'd
+    * equivalent). */
+  private def toks(c: Column): Column = TextHash.tokens(c)
 
   /** Lexicon hit counting over the raw text via the native codegen
     * expression — semantics identical to size(filter(toks(text), isin));

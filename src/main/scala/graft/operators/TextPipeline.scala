@@ -45,12 +45,16 @@ object TextPipeline {
   def sentimentByLabelSql(lang: String = "en", track: String = "spark"): String = {
     val pos = Sentiment.posSqlList
     val neg = Sentiment.negSqlList
+    // mirror the Spark side's case-insensitive track match and keep the
+    // literal SQL-safe (parity bug otherwise for non-lowercase/quoted terms)
+    val trackLit = track.toLowerCase.replace("'", "''")
+    val langLit = lang.replace("'", "''")
     s"""WITH hits AS (
        |  SELECT
        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($pos)))::DOUBLE AS p,
        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($neg)))::DOUBLE AS n
        |  FROM documents
-       |  WHERE lang = '$lang' AND contains(lower(text), '$track')
+       |  WHERE lang = '$langLit' AND contains(lower(text), '$trackLit')
        |), scored AS (
        |  SELECT
        |    CASE WHEN p > n THEN 'POSITIVE' WHEN n > p THEN 'NEGATIVE'

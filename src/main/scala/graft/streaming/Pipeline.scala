@@ -118,12 +118,15 @@ object Pipeline {
       .agg(count(lit(1)).as("n_tweets"))
       .select(col("w.start").as("window_start"), col("label"), col("n_tweets"))
 
-  /** T4 (EXT): streaming exact dedup by id under a watermark — state
-    * bounded to the watermark horizon. */
+  /** T4 (EXT): streaming exact dedup by KEY under a watermark — state
+    * bounded to the watermark horizon. Uses
+    * `dropDuplicatesWithinWatermark` so a re-delivered record with the
+    * same key but a re-stamped event time is still dropped (plain
+    * `dropDuplicates(key :+ ts)` would silently keep it). */
   def dedupByKey(df: DataFrame, eventTimeCol: String, keyCols: Seq[String],
                  watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(eventTimeCol, watermark)
-      .dropDuplicates(keyCols :+ eventTimeCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** J5: stream-static enrichment join (the scalable twin of the
     * reference's per-record Comprehend RPC — dimension data joins the

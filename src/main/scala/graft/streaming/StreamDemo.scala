@@ -24,12 +24,7 @@ object StreamDemo {
     }
     val Array(lang, track) = args.take(2)
     val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master(s"local[${math.min(Runtime.getRuntime.availableProcessors, 32)}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
     val base = java.nio.file.Files.createTempDirectory("graft_demo")
