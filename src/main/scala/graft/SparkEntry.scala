@@ -59,7 +59,9 @@ object SparkEntry {
     "q37_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q38_props_map" -> ((s, d) => JsonOps.propsMapStats(s, d)),
     "q39_outer_coverage" -> ((s, d) => Relational.customerOrderCoverage(s, d)),
-    "q40_full_outer" -> ((s, d) => Relational.nationSupplierCoverage(s, d))
+    "q40_full_outer" -> ((s, d) => Relational.nationSupplierCoverage(s, d)),
+    "q41_pivot" -> ((s, d) => Relational.docsPivotByLang(s, d)),
+    "q42_value_stats" -> ((s, d) => Relational.eventValueStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -103,6 +105,8 @@ object SparkEntry {
     "q37_ivf_topk" -> Similarity.ivfTopKSql(),
     "q38_props_map" -> JsonOps.propsMapStatsSql,
     "q39_outer_coverage" -> Relational.customerOrderCoverageSql,
-    "q40_full_outer" -> Relational.nationSupplierCoverageSql
+    "q40_full_outer" -> Relational.nationSupplierCoverageSql,
+    "q41_pivot" -> Relational.docsPivotByLangSql,
+    "q42_value_stats" -> Relational.eventValueStatsSql
   )
 }

@@ -343,6 +343,53 @@ object Relational {
       |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  /** A1 pivot: doc counts per source × language — Spark's `pivot()`
+    * relational operator; the oracle twin is the equivalent conditional
+    * aggregation (identical column names by construction). */
+  def docsPivotByLang(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .count()
+      .na.fill(0L, langs)
+      .orderBy(col("source"))
+  }
+
+  def docsPivotByLangSql: String =
+    """SELECT source,
+      |  count(*) FILTER (lang = 'de') AS de,
+      |  count(*) FILTER (lang = 'en') AS en,
+      |  count(*) FILTER (lang = 'es') AS es,
+      |  count(*) FILTER (lang = 'fr') AS fr,
+      |  count(*) FILTER (lang = 'zh') AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** A1 statistical aggregates: exact interpolated percentiles, sample
+    * stddev/variance, correlation — per event type. Floats rounded at 4
+    * (aggregation order differs between engines). */
+  def eventValueStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        unix_timestamp(col("ts")).cast("double").as("epoch"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("variance"),
+        round(corr(col("value"), col("epoch")), 4).as("corr_value_time"))
+      .orderBy(col("event_type"))
+
+  def eventValueStatsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.9), 4) AS p90,
+      |  round(stddev_samp(value), 4) AS sd,
+      |  round(var_samp(value), 4) AS variance,
+      |  round(corr(value, floor(epoch(ts))), 4) AS corr_value_time
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** A2 approximate distinct (HLL++): per-type approximate unique users vs
     * exact. No oracle SQL — HLL sketches are engine-specific, so the
     * driver records the weaker rows-only check for this one (documented
