@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, JsonOps, Multimodal, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
+import graft.operators.{Curation, Dedup, JsonOps, Multimodal, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,7 +61,10 @@ object SparkEntry {
     "q39_outer_coverage" -> ((s, d) => Relational.customerOrderCoverage(s, d)),
     "q40_full_outer" -> ((s, d) => Relational.nationSupplierCoverage(s, d)),
     "q41_pivot" -> ((s, d) => Relational.docsPivotByLang(s, d)),
-    "q42_value_stats" -> ((s, d) => Relational.eventValueStats(s, d))
+    "q42_value_stats" -> ((s, d) => Relational.eventValueStats(s, d)),
+    "q43_train_split" -> ((s, d) => Curation.trainSplit(s, d)),
+    "q44_normalize" -> ((s, d) => Curation.normalizeSummary(s, d)),
+    "q45_contamination" -> ((s, d) => Curation.contamination(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,6 +110,9 @@ object SparkEntry {
     "q39_outer_coverage" -> Relational.customerOrderCoverageSql,
     "q40_full_outer" -> Relational.nationSupplierCoverageSql,
     "q41_pivot" -> Relational.docsPivotByLangSql,
-    "q42_value_stats" -> Relational.eventValueStatsSql
+    "q42_value_stats" -> Relational.eventValueStatsSql,
+    "q43_train_split" -> Curation.trainSplitSql,
+    "q44_normalize" -> Curation.normalizeSummarySql,
+    "q45_contamination" -> Curation.contaminationSql()
   )
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Training-data curation operators (north-star LLM-pipeline surface,
+  * beyond SURVEY §2.12): deterministic split assignment, text
+  * normalization, and benchmark-contamination detection — the three ops
+  * every pretraining corpus pipeline runs after dedup.
+  *
+  * Scale posture: split assignment and normalization are narrow per-row
+  * maps; contamination joins on 60-bit shingle HASHES (not shingle
+  * strings), with the benchmark side distinct'd and broadcast — at 100 TB
+  * the corpus never shuffles, only its hashed shingles stream through a
+  * broadcast semi-join.
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment: md5-hash-mod on the
+    * document text (NOT rand() — re-runs and engines agree, and the split
+    * follows content, so exact dups land in the same split). 80/10/10. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.h1(col("text")) % 100
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  def trainSplitSql: String = {
+    val h = s"(${TextHash.h1Sql("text")} % 100)"
+    s"""SELECT lang,
+       |  CASE WHEN $h < 80 THEN 'train'
+       |       WHEN $h < 90 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  }
+
+  /** Text normalization: lowercase → strip non-[a-z ] → collapse runs of
+    * spaces → trim; summarized per language (bytes saved, distinct-after
+    * counts expose normalization-induced duplicates). */
+  def normalizeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("raw_len"),
+        length(norm).cast("long").as("norm_len"), norm.as("norm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_len")).as("sum_raw_chars"),
+        sum(col("norm_len")).as("sum_norm_chars"),
+        countDistinct(col("norm")).as("n_distinct_normalized"))
+      .orderBy(col("lang"))
+  }
+
+  def normalizeSummarySql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(length(text))::BIGINT AS sum_raw_chars,
+      |  sum(length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z ]', '', 'g'), ' +', ' ', 'g'))))::BIGINT AS sum_norm_chars,
+      |  count(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z ]', '', 'g'), ' +', ' ', 'g'))) AS n_distinct_normalized
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Benchmark-contamination check: corpus docs (doc_id ≥ benchSize)
+    * sharing any word 5-gram with the "benchmark set" (doc_id <
+    * benchSize) are flagged. The join key is the 60-bit shingle hash;
+    * the benchmark hash set is distinct'd and broadcast. */
+  def contamination(spark: SparkSession, dir: String,
+                    benchSize: Int = 10, n: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), col("lang"),
+        explode(TextHash.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("h"))
+    val bench = sh.filter(col("doc_id") < benchSize).select(col("h")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= benchSize)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(1L))
+    docs.filter(col("doc_id") >= benchSize)
+      .select(col("doc_id"), col("lang"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        sum(coalesce(col("is_cont"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("lang"))
+  }
+
+  def contaminationSql(benchSize: Int = 10, n: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang, ${TextHash.h1Sql("g")} AS h
+       |  FROM (SELECT doc_id, lang,
+       |    unnest(${TextHash.shinglesSql("t", n)}) AS g FROM toks)
+       |), bench AS (
+       |  SELECT DISTINCT h FROM sh WHERE doc_id < $benchSize
+       |), cont AS (
+       |  SELECT DISTINCT doc_id FROM sh
+       |  WHERE doc_id >= $benchSize AND h IN (SELECT h FROM bench)
+       |)
+       |SELECT lang, count(*) AS n_corpus_docs,
+       |  sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+       |FROM documents WHERE doc_id >= $benchSize
+       |GROUP BY lang ORDER BY lang""".stripMargin
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Training-data curation: deterministic splits, normalization,
+  * contamination detection. */
+class CurationSpec extends SparkSpec {
+
+  test("train split is deterministic, total, and roughly 80/10/10") {
+    val s = Curation.trainSplit(spark, sf0001)
+    val total = s.agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf0001).count())
+    val bySplit = s.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // deterministic: second evaluation identical
+    val again = Curation.trainSplit(spark, sf0001)
+    assert(s.exceptAll(again).isEmpty)
+  }
+
+  test("normalization never grows text and keeps doc counts") {
+    Curation.normalizeSummary(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("sum_norm_chars") <= r.getAs[Long]("sum_raw_chars"))
+      assert(r.getAs[Long]("n_distinct_normalized") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("contamination flags a subset of the corpus, non-empty on fixtures") {
+    val c = Curation.contamination(spark, sf0001).collect()
+    val flagged = c.map(_.getAs[Long]("n_contaminated")).sum
+    val corpus = c.map(_.getAs[Long]("n_corpus_docs")).sum
+    assert(corpus == Tables.documents(spark, sf0001).count() - 10)
+    assert(flagged > 0 && flagged < corpus,
+      s"expected some but not all contaminated ($flagged/$corpus)")
+  }
+
+  test("exact duplicates land in the same split (content-hash property)") {
+    import spark.implicits._
+    val dupes = Seq("alpha beta gamma", "alpha beta gamma", "delta eps zeta")
+      .toDF("text").withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+    val h = graft.functions.TextHash.h1(col("text")) % 100
+    val splits = dupes.select(
+      when(h < 80, "train").when(h < 90, "val").otherwise("test").as("s"))
+      .collect().map(_.getString(0))
+    assert(splits(0) == splits(1), "identical content must share a split")
+  }
+}
