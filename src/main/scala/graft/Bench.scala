@@ -7,15 +7,21 @@ object Bench {
       .getOrElse(Sessions.defaultCpus)
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // Full materialization of every result column via the noop sink —
+    // .count() would let ColumnPruning strip unreferenced aggregate
+    // expressions and under-measure the real query cost.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     // Warm up codegen/JIT/classloading on the tiny SF so the timings below
     // measure the engine, not first-query JVM warmup (~17 s cold).
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { run(fn, warmDir) } catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn, sfDir) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -141,6 +141,33 @@ object HashKernels {
     out
   }
 
+  /** Distinct word n-gram shingle HASHES (60-bit md5 halves, first-
+    * occurrence order) — twin of transform(shingles(text,n), g -> h1(g)).
+    * Insertion-ordered so the result is element-equal to the HOF form,
+    * not just set-equal. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    while (i <= nTok - n) {
+      val from = bounds(2 * i)
+      val until = bounds(2 * (i + n - 1) + 1)
+      if (seen.add(UTF8String.fromBytes(bytes, from, until - from))) {
+        val (x1, _) = md5Halves(bytes, from, until - from)
+        out.add(x1)
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Distinct word n-gram shingles as zero-copy byte-slice UTF8Strings. */
   def shingleSet(s: UTF8String, n: Int): java.util.HashSet[UTF8String] = {
     val lower = s.toLowerCase
@@ -207,6 +234,22 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhash($c, $n, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native distinct-shingle-hash expression (twin of
+  * transform(TextHash.shingles(text, n), g => TextHash.h1(g))). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingle_hashes needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 
@@ -282,6 +325,8 @@ object HashExpressions {
     bridge.column(MinHashSig(bridge.expression(text), n, k))
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     bridge.column(NGramJaccard(bridge.expression(a), bridge.expression(b), n))
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    bridge.column(ShingleHashes(bridge.expression(text), n))
   def simhash(text: Column, bits: Int = 48): Column =
     bridge.column(SimHash(bridge.expression(text), bits))
   def dotProduct(a: Column, b: Column): Column =

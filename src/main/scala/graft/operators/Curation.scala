@@ -78,8 +78,7 @@ object Curation {
                     benchSize: Int = 10, n: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"), col("lang"),
-        explode(TextHash.shingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("h"))
+      explode(graft.functions.HashExpressions.shingleHashes(col("text"), n)).as("h"))
     val bench = sh.filter(col("doc_id") < benchSize).select(col("h")).distinct()
     val contaminated = sh.filter(col("doc_id") >= benchSize)
       .join(broadcast(bench), Seq("h"), "left_semi")

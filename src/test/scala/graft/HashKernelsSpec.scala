@@ -65,6 +65,14 @@ class HashKernelsSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.length} jaccard mismatches")
   }
 
+  test("native shingle hashes == HOF transform(shingles, h1), in order") {
+    val df = texts(150).toDF("text").select(
+      HashExpressions.shingleHashes(col("text")).as("native"),
+      transform(TextHash.shingles(col("text")), g => TextHash.h1(g)).as("hof"))
+    val bad = df.collect().filterNot(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(bad.isEmpty, s"${bad.length} shingle-hash mismatches")
+  }
+
   test("kernels ride whole-stage codegen on a real scan") {
     val plan = Tables.documents(spark, sf0001)
       .select(HashExpressions.minhashSig(col("text")).as("mh"),
