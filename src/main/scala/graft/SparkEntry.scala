@@ -64,7 +64,8 @@ object SparkEntry {
     "q42_value_stats" -> ((s, d) => Relational.eventValueStats(s, d)),
     "q43_train_split" -> ((s, d) => Curation.trainSplit(s, d)),
     "q44_normalize" -> ((s, d) => Curation.normalizeSummary(s, d)),
-    "q45_contamination" -> ((s, d) => Curation.contamination(s, d))
+    "q45_contamination" -> ((s, d) => Curation.contamination(s, d)),
+    "q46_revenue_preagg" -> ((s, d) => Relational.revenueByNationPreAgg(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -113,6 +114,7 @@ object SparkEntry {
     "q42_value_stats" -> Relational.eventValueStatsSql,
     "q43_train_split" -> Curation.trainSplitSql,
     "q44_normalize" -> Curation.normalizeSummarySql,
-    "q45_contamination" -> Curation.contaminationSql()
+    "q45_contamination" -> Curation.contaminationSql(),
+    "q46_revenue_preagg" -> Relational.revenueByNationPreAggSql
   )
 }
