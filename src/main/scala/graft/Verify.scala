@@ -10,7 +10,7 @@ object Verify {
       sys.exit(2)
     }
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption)
       .getOrElse(Sessions.defaultCpus)
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
