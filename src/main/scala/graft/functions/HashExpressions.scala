@@ -60,7 +60,11 @@ object HashKernels {
 
   /** Token boundaries of `bytes` split on single 0x20 bytes — identical to
     * split(s, " ") including empty tokens. Returns flat [start0, end0,
-    * start1, end1, …]. */
+    * start1, end1, …]. NB TokenHitCount.count keeps its own fused
+    * single-pass variant of this loop (no bounds array in its hot path);
+    * both are pinned to the same split(lower(s), " ") contract by their
+    * equivalence specs (HashKernelsSpec / TokenHitCountSpec), which is
+    * what guards against the two copies drifting. */
   private def tokenBounds(bytes: Array[Byte]): Array[Int] = {
     val out = new java.util.ArrayList[Integer](32)
     var start = 0
@@ -187,16 +191,20 @@ object HashKernels {
 
   /** Exact n-gram Jaccard between two texts — twin of
     * size(array_intersect(shA, shB)) / (size(shA)+size(shB)-inter) with
-    * the same double arithmetic (both-empty → NaN, like 0.0/0.0). */
-  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): Double = {
+    * the same double arithmetic. Both-empty → NULL, matching Spark's
+    * Divide(0,0) and DuckDB's 0.0/0.0 (both NULL, both dropped by a
+    * threshold filter — a NaN here would instead COMPARE TRUE under
+    * Spark's nan-safe ordering and emit bogus pairs). */
+  def ngramJaccard(a: UTF8String, b: UTF8String, n: Int): java.lang.Double = {
     val sa = shingleSet(a, n)
     val sb = shingleSet(b, n)
+    if (sa.isEmpty && sb.isEmpty) return null
     val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
     var inter = 0
     val it = small.iterator()
     while (it.hasNext) if (large.contains(it.next())) inter += 1
     val i = inter.toDouble
-    i / ((sa.size + sb.size).toDouble - i)
+    java.lang.Double.valueOf(i / ((sa.size + sb.size).toDouble - i))
   }
 
   /** Sequential-fold dot product — same order as aggregate(zip_with(...)).
@@ -224,6 +232,7 @@ object HashKernels {
   * TextHash.minhashSignature(TextHash.shingles(text))). */
 case class MinHashSig(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
+  require(n > 0 && k > 0, s"minhash_sig needs n > 0 and k > 0 (got n=$n, k=$k)")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"minhash_sig needs string, got ${child.dataType}")
@@ -240,6 +249,7 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
 /** Native distinct-shingle-hash expression (twin of
   * transform(TextHash.shingles(text, n), g => TextHash.h1(g))). */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"shingle_hashes needs n > 0 (got $n)")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"shingle_hashes needs string, got ${child.dataType}")
@@ -255,6 +265,7 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 
 /** Native SimHash expression (twin of TextHash.simhash). */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits <= 63, s"simhash needs 0 < bits <= 63 (got $bits)")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"simhash needs string, got ${child.dataType}")
@@ -305,17 +316,28 @@ case class DotProduct(left: Expression, right: Expression)
   * and shuffling the shingle arrays entirely). */
 case class NGramJaccard(left: Expression, right: Expression, n: Int)
     extends BinaryExpression {
+  require(n > 0, s"ngram_jaccard needs n > 0 (got $n)")
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"ngram_jaccard needs strings, got ${left.dataType} / ${right.dataType}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "ngram_jaccard"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashKernels.ngramJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.ngramJaccard($a, $b, $n)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("graftJac")
+      s"""
+      java.lang.Double $tmp = graft.functions.HashKernels.ngramJaccard($a, $b, $n);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.doubleValue();
+      }"""
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NGramJaccard =
     copy(left = newLeft, right = newRight)
 }

@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, Transformer}
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
@@ -15,7 +15,8 @@ import graft.functions.Sentiment
   * (`Tokenizer`, `HashingTF`, …) in a standard `Pipeline` and inherits
   * MLlib's persistence/parameter plumbing. The scoring math is exactly
   * [[graft.functions.Sentiment.score]] — one code path, no drift. */
-class SentimentStage(override val uid: String) extends Transformer {
+class SentimentStage(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("sentiment"))
 
@@ -45,7 +46,7 @@ class SentimentStage(override val uid: String) extends Transformer {
   override def copy(extra: ParamMap): SentimentStage = defaultCopy(extra)
 }
 
-object SentimentStage {
+object SentimentStage extends DefaultParamsReadable[SentimentStage] {
   /** Ready-made single-stage pipeline: fit is a no-op (deterministic
     * lexicon — nothing to learn), included for API parity with trained
     * scorers a user might swap in. */

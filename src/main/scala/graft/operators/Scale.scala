@@ -23,6 +23,8 @@ object Scale {
     * broadcast outright. */
   def saltedJoin(fact: DataFrame, right: DataFrame, factKey: String,
                  rightKey: String, salt: Int): DataFrame = {
+    require(salt > 0, s"salt must be positive (got $salt) — pmod(x, 0) is " +
+      "NULL and a descending sequence() would silently empty the join")
     val factSalted = fact.withColumn("_salt",
       pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     val rightSalted = right.withColumn("_salt",

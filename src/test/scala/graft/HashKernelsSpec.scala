@@ -57,12 +57,18 @@ class HashKernelsSpec extends SparkSpec {
         val inter = size(array_intersect(sa, sb)).cast("double")
         (inter / ((size(sa) + size(sb)).cast("double") - inter)).as("hof")
       })
-    // NaN == NaN must count as equal (both-empty shingle sets)
+    // both-empty shingle sets: HOF Divide(0,0) is NULL and the kernel
+    // returns NULL too (a NaN would wrongly pass >= filters under
+    // Spark's nan-safe ordering)
     val bad = df.collect().filterNot { r =>
-      val (x, y) = (r.getDouble(0), r.getDouble(1))
-      x == y || (x.isNaN && y.isNaN)
+      (r.isNullAt(0) && r.isNullAt(1)) ||
+        (!r.isNullAt(0) && !r.isNullAt(1) && r.getDouble(0) == r.getDouble(1))
     }
     assert(bad.isEmpty, s"${bad.length} jaccard mismatches")
+    // the degenerate case must actually be exercised and be NULL
+    val degenerate = Seq(("hi", "yo")).toDF("a", "b")
+      .select(HashExpressions.ngramJaccard(col("a"), col("b")).as("j"))
+    assert(degenerate.head.isNullAt(0), "sub-n-token pair must yield NULL")
   }
 
   test("native shingle hashes == HOF transform(shingles, h1), in order") {

@@ -27,6 +27,16 @@ class MlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("pipeline model with SentimentStage saves and loads (MLWritable)") {
+    import org.apache.spark.ml.PipelineModel
+    val df = Seq("I love fast spark").toDF("text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml").toString + "/m"
+    SentimentStage.fit(df).write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    assert(loaded.transform(df).select("sentiment.label").head.getString(0)
+      == "POSITIVE")
+  }
+
   test("composes in a multi-stage Pipeline with a feature stage") {
     import org.apache.spark.ml.Pipeline
     import org.apache.spark.ml.feature.Tokenizer
