@@ -134,6 +134,26 @@ object Pipeline {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** J4 streaming twin: stream-stream inner join with event-time bounds —
+    * left events join right events of the same key within
+    * (0, maxGapSec] AFTER the left event. Both sides carry watermarks so
+    * Spark can bound the join state (the batch twin is
+    * Relational.viewToPurchase). Column contract: both frames have
+    * (key, ts, …); right's columns are suffixed `_r`. */
+  def streamStreamWithin(left: DataFrame, right: DataFrame, key: String,
+                         tsCol: String, maxGapSec: Int,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, c + "_r")
+    }
+    val r = r0.withWatermark(tsCol + "_r", watermark)
+    l.join(r,
+      col(key) === col(key + "_r") &&
+        col(tsCol + "_r") > col(tsCol) &&
+        col(tsCol + "_r") <= col(tsCol) + expr(s"INTERVAL $maxGapSec SECONDS"))
+  }
+
   /** K1+T1+T5: parquet sink with checkpoint, 60 s processing-time trigger
     * (`stream_processor.py:295-297`) — exactly-once end-to-end. */
   def writeParquet(df: DataFrame, path: String, checkpoint: String,

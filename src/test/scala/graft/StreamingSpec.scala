@@ -168,6 +168,29 @@ class StreamingSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream time-bounded join matches the batch range join (J4)") {
+    val views = Seq(
+      EventFixture(1, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      EventFixture(2, ts("2024-01-01 00:10:00"), 2L, "view", 1.0))
+    val buys = Seq(
+      EventFixture(11, ts("2024-01-01 00:03:00"), 1L, "purchase", 9.0), // within 5 min
+      EventFixture(12, ts("2024-01-01 00:30:00"), 2L, "purchase", 9.0)) // too late
+    val vMem = MemoryStream[EventFixture]
+    val bMem = MemoryStream[EventFixture]
+    vMem.addData(views: _*)
+    bMem.addData(buys: _*)
+    val joined = Pipeline.streamStreamWithin(
+      vMem.toDF(), bMem.toDF(), "user_id", "ts", maxGapSec = 300)
+    val q = joined.select(col("event_id"), col("event_id_r"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val pairs = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 11L)),
+      s"only the within-5-min conversion must join, got $pairs")
+  }
+
   test("foreachBatch delivers the Firehose-shaped (batchDF, batchId) (S3)") {
     val mem = MemoryStream[EventFixture]
     mem.addData(EventFixture(1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0))
