@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Formats
+
+/** Source/sink formats: every supported format round-trips a query result
+  * and re-joins with the engine (SURVEY.md §2.1 S4 generalized). */
+class FormatsSpec extends SparkSpec {
+
+  test("orc/json/csv/parquet round-trip the pricing summary losslessly") {
+    val result = operators.Relational.pricingSummary(spark, sf0001)
+    val schema = result.schema
+    Formats.Supported.foreach { fmt =>
+      val dir = Files.createTempDirectory(s"graft_fmt_$fmt").toString + "/t"
+      Formats.write(result, dir, fmt)
+      val back = Formats.read(spark, dir, fmt, Some(schema))
+        .orderBy("l_returnflag", "l_linestatus")
+      // file formats surface everything nullable — compare name/type only
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq, s"$fmt schema drift")
+      val a = result.collect().map(_.toSeq).toSeq
+      val b = back.collect().map(_.toSeq).toSeq
+      assert(a == b, s"$fmt round-trip mismatch")
+    }
+  }
+
+  test("orc scan gets predicate pushdown + column pruning like parquet") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/li"
+    Formats.write(Tables.lineitem(spark, sf0001), dir, "orc")
+    val plan = Formats.read(spark, dir, "orc")
+      .filter(col("l_returnflag") === "A")
+      .select("l_returnflag", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,A)]"),
+      s"expected pushed filters in ORC scan:\n$plan")
+    // pruned to exactly the two touched columns (scan orders them itself)
+    assert(plan.contains("l_quantity:double") && plan.contains("l_returnflag:string")
+      && !plan.contains("l_shipdate"),
+      s"expected pruned read schema:\n$plan")
+  }
+
+  test("unsupported format fails fast with the supported list") {
+    val e = intercept[IllegalArgumentException] {
+      Formats.write(Tables.region(spark, sf0001), "/tmp/x", "xml")
+    }
+    assert(e.getMessage.contains("parquet, orc, json, csv"))
+  }
+}
