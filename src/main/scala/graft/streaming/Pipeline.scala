@@ -7,6 +7,11 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Sentiment
 
+/** Typed rows for the custom-state operator (T4). */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+case class UserState(n: Long)
+case class UserCount(user_id: Long, n_events: Long)
+
 /** The reference's continuous query, Spark-native (SURVEY.md §3.1):
   *
   * {{{
@@ -165,6 +170,28 @@ object Pipeline {
       .outputMode("append")
       .trigger(trigger)
       .start()
+
+  /** T4 (EXT): custom keyed state via the typed
+    * `KeyValueGroupedDataset.mapGroupsWithState` API — a per-user running
+    * event count that accumulates ACROSS micro-batches (what no stateless
+    * transform or windowed agg expresses: unbounded per-key lifetime
+    * state). The reference is stateless by construction
+    * (`ProcessStreamData.py:12-33`); this is the engine's custom-state
+    * extension point for anything session_window/dropDuplicates can't
+    * express. Use update output mode. */
+  def runningUserCounts(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserCount](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val prev = state.getOption.map(_.n).getOrElse(0L)
+          val n = prev + it.size
+          state.update(UserState(n))
+          UserCount(uid, n)
+      }
+  }
 
   /** K2: console sink — the reference's print-everything debug path
     * (`streamer.py:27-29`); debugging only, never a data path. */

@@ -191,6 +191,28 @@ class StreamingSpec extends SparkSpec {
       s"only the within-5-min conversion must join, got $pairs")
   }
 
+  test("mapGroupsWithState accumulates per-key counts across batches (T4)") {
+    import graft.streaming.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val counts = Pipeline.runningUserCounts(mem.toDS())
+    val q = counts.toDF().writeStream.format("memory")
+      .queryName("state_counts").outputMode("update").start()
+    try {
+      mem.addData(UserEvent(1L, ts("2024-01-01 00:00:01")),
+        UserEvent(1L, ts("2024-01-01 00:00:02")),
+        UserEvent(2L, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1L, ts("2024-01-01 00:01:00"))) // second batch
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: latest row per (batch, key); user 1 must reach 3 via
+    // state carried across batches, user 2 stays at 1
+    val latest = spark.table("state_counts")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(1L -> 3L, 2L -> 1L), s"got $latest")
+  }
+
   test("foreachBatch delivers the Firehose-shaped (batchDF, batchId) (S3)") {
     val mem = MemoryStream[EventFixture]
     mem.addData(EventFixture(1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0))
