@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate for top-k ranking: ordered by cosine DESC with
+  * vec_id ASC tie-break — the exact total order the window-rank
+  * formulation (`row_number() OVER (ORDER BY cosine DESC, vec_id)`) uses,
+  * so the two plans are row-identical.
+  */
+case class ScoredHit(cosine: Double, vec_id: Long)
+
+/** Bounded-heap top-k typed aggregate (SURVEY.md §2.12 X3 scale path).
+  *
+  * Replaces `row_number() OVER (PARTITION BY query_id ORDER BY …)` for the
+  * similarity top-k queries. The window form shuffles EVERY scored
+  * candidate into one partition per query_id and sorts a corpus-sized list
+  * in a single task — a straggler/OOM at 100 TB. This Aggregator is an
+  * ImperativeAggregate with partial aggregation: each map task folds its
+  * candidates into a k-element sorted buffer (`reduce`), the shuffle moves
+  * only ~numPartitions × k rows per query, and `merge` is a k+k merge.
+  * No task ever holds more than k rows per group; no full sort exists in
+  * the plan.
+  *
+  * `finish` emits the buffer in rank order, so `posexplode` downstream
+  * yields rank = pos + 1 identical to the window formulation (strict total
+  * order: cosine is pre-rounded and vec_id is unique).
+  */
+class TopKHits(k: Int) extends Aggregator[ScoredHit, Seq[ScoredHit], Seq[ScoredHit]] {
+  require(k > 0, s"TopKHits: k must be positive, got $k")
+
+  private def beats(a: ScoredHit, b: ScoredHit): Boolean =
+    a.cosine > b.cosine || (a.cosine == b.cosine && a.vec_id < b.vec_id)
+
+  override def zero: Seq[ScoredHit] = Vector.empty
+
+  /** Insert one hit into a sorted (best-first) buffer, capped at k.
+    * O(k) per row with k ~ 10 — cheaper than heap bookkeeping at this k. */
+  override def reduce(buf: Seq[ScoredHit], h: ScoredHit): Seq[ScoredHit] = {
+    if (buf.length == k && !beats(h, buf.last)) return buf
+    val (front, back) = buf.span(beats(_, h))
+    (front :+ h) ++ back take k
+  }
+
+  override def merge(a: Seq[ScoredHit], b: Seq[ScoredHit]): Seq[ScoredHit] = {
+    // k+k merge of two already-sorted buffers
+    val out = Vector.newBuilder[ScoredHit]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(r: Seq[ScoredHit]): Seq[ScoredHit] = r
+
+  override def bufferEncoder: Encoder[Seq[ScoredHit]] =
+    ExpressionEncoder[Seq[ScoredHit]]()
+  override def outputEncoder: Encoder[Seq[ScoredHit]] =
+    ExpressionEncoder[Seq[ScoredHit]]()
+}

@@ -64,15 +64,15 @@ object Dedup {
     * would recompute the md5 kernels once per join side (2-4×). A dedup
     * pipeline at 100 TB does exactly this — signatures (~1% of corpus
     * bytes) are computed once and reused across the banding passes.
-    * Deliberately left to LRU eviction rather than eager unpersist: the
-    * cache entry is tiny, the returned plan is lazy (unpersisting before
-    * execution would defeat it), and repeated calls re-use one entry
-    * (CacheManager dedups by logical plan). */
+    * Lifecycle is explicit via [[graft.PlanCache]]: one persist per
+    * (session, dir), repeated calls get the same reference (no re-cache
+    * warnings), and PlanCache.clear releases it. */
   private def signatures(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        graft.functions.HashExpressions.minhashSig(col("text"), 3, kMinhash).as("mh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.PlanCache.cached(spark, s"dedup.minhashSig:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.HashExpressions.minhashSig(col("text"), 3, kMinhash).as("mh"))
+    }
 
   /** Banded rows: (doc_id, band, sig[, carry…]). The explode sits ABOVE the
     * projection that computes `mh`, so the minhash fold runs once per doc,
@@ -169,17 +169,23 @@ object Dedup {
        |    >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** X2 SimHash near-dup: 48-bit fingerprints, 4 bands × 12 bits; banding
-    * is exhaustive for Hamming ≤ 3, so this banded plan returns exactly
-    * the brute-force answer without the O(n²) pass. */
+  /** X2 SimHash near-dup: 60-bit fingerprints, 4 bands × 15 bits; banding
+    * is exhaustive for Hamming ≤ 3 (pigeonhole: 3 flipped bits leave ≥1
+    * clean band), so this banded plan returns exactly the brute-force
+    * answer without the O(n²) pass. 60 bits is the kernel's ceiling (the
+    * fingerprint draws from a 60-bit md5 half); vs the round-1 48-bit / 4
+    * bands × 12 bits this is 8× more buckets per band (32768), cutting
+    * the within-bucket quadratic pair count 8× at fixed corpus size. */
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sim = Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.HashExpressions.simhash(col("text")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sim = graft.PlanCache.cached(spark, s"dedup.simhash:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.HashExpressions.simhash(col("text"), bits = 60).as("s"))
+    }
     val b = sim
       .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("s"), col("band"),
-        expr("shiftright(s, cast(band * 12 as int)) % 4096").as("key"))
+        expr("shiftright(s, cast(band * 15 as int)) % 32768").as("key"))
     val l = b.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("s").as("sa"))
     val r = b.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("s").as("sb"))
     l.join(r, Seq("band", "key"))
@@ -197,9 +203,9 @@ object Dedup {
        |), hh AS (
        |  SELECT doc_id, ${tokenHashesSql("t")} AS hh FROM toks
        |), sim AS (
-       |  SELECT doc_id, (${simhashSqlExpr("hh")})::BIGINT AS s FROM hh
+       |  SELECT doc_id, (${simhashSqlExpr("hh", bits = 60)})::BIGINT AS s FROM hh
        |), bands AS (
-       |  SELECT doc_id, s, b, (s >> (b * 12)) % 4096 AS key
+       |  SELECT doc_id, s, b, (s >> (b * 15)) % 32768 AS key
        |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS b)
        |)
        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -37,10 +37,25 @@ object Similarity {
   val Dim = 64
   val QueryIds: Seq[Long] = Seq(0L, 1L, 2L)
 
-  /** planes × dims of ±1.0, deterministic (seed 42). */
+  /** Banded sign-LSH geometry for near-dup pairing: 8 bands × 16 planes.
+    * Each band key has 2^16 buckets, so same-bucket candidate pairs are
+    * ~n²/65536 per band (vs n²/16 with one 4-bit bucket — the round-1
+    * scale-killer); OR-ing the 8 bands buys back recall the standard way. */
+  val Bands = 8
+  val BandPlanes = 16
+
+  /** Bucket-size guard: buckets denser than this are skipped outright — a
+    * degenerate bucket (hub region, all-zero vectors) would otherwise
+    * reintroduce the quadratic pair blow-up banding exists to avoid. */
+  val MaxBucket = 64
+
+  /** (Bands × BandPlanes) planes × dims of ±1.0, deterministic (seed 42).
+    * One RNG stream: the first `Planes` rows are bit-identical to the
+    * round-1 4-plane set, so the coarse ANN probe bucket ([[bucket]]) and
+    * its oracle are unchanged. */
   val Hyperplanes: Seq[Seq[Double]] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(Planes)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+    Seq.fill(Bands * BandPlanes)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
   }
 
   /** Sequential-fold dot product in double — the native codegen kernel
@@ -66,16 +81,53 @@ object Similarity {
     df.withColumn("v", v).withColumn("nrm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** Sign-LSH bucket id in [0, 2^Planes): bit p = (v · hyperplane_p) > 0.
-    * ±1 weights make the dot an exact-order sum of ±v_i. */
+  /** Coarse sign-LSH bucket id in [0, 2^Planes) from the FIRST `Planes`
+    * hyperplanes: bit p = (v · hyperplane_p) > 0. ±1 weights make the dot
+    * an exact-order sum of ±v_i. This is the ANN probe's resolution knob
+    * (few, recall-heavy buckets); near-dup pairing uses [[bandKeys]]. */
   private def bucket(v: Column): Column =
-    Hyperplanes.zipWithIndex.map { case (w, p) =>
+    Hyperplanes.take(Planes).zipWithIndex.map { case (w, p) =>
       val d = dot(v, array(w.map(lit): _*))
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** The `Bands` 16-bit band keys of `v` as one array column: element b =
+    * Σ_{i<BandPlanes} sign(v · plane_{b·BandPlanes+i}) << i. Built as one
+    * array so the 128 dot kernels evaluate once per row; band fan-out
+    * happens AFTER via posexplode (the Generate blocks ProjectCollapse). */
+  private def bandKeys(v: Column): Column =
+    array((0 until Bands).map { b =>
+      (0 until BandPlanes).map { i =>
+        val w = Hyperplanes(b * BandPlanes + i)
+        when(dot(v, array(w.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Two-phase top-k per query_id via the bounded-heap
+    * [[graft.functions.TopKHits]] Aggregator (the 100 TB ranking shape):
+    * partial aggregation folds each task's candidates into a k-row buffer
+    * map-side, the shuffle carries ~numPartitions × k rows per query, and
+    * the final merge is a k+k merge — no corpus-sized single-task sort,
+    * which is what `row_number() OVER (PARTITION BY query_id)` with a
+    * handful of query ids degenerates to. Row-identical to the window
+    * formulation (same strict total order: cosine DESC, vec_id ASC), so
+    * the DuckDB oracle keeps the window form.
+    *
+    * Input must have columns (query_id, vec_id, cosine) with cosine
+    * already rounded. */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKHits(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("h.vec_id").as("vec_id"), col("h.cosine").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** X3 brute-force cosine top-k: the query rows are broadcast (k rows),
-    * the corpus is scanned once — no shuffle of the corpus at all. */
+    * the corpus is scanned once — no shuffle of the corpus at all; the
+    * ranking is the bounded-heap two-phase aggregate ([[topKRank]]). */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val e = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -85,12 +137,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRank(scored, k)
   }
 
   // ---- DuckDB SQL twins -------------------------------------------------
@@ -109,8 +156,10 @@ object Similarity {
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${norm2Sql(a)}) * sqrt(${norm2Sql(b)})))"
 
+  /** DuckDB twin of [[bucket]] — the FIRST `Planes` hyperplanes only
+    * (the coarse ANN probe key, not the 128-plane band set). */
   private def bucketSql(v: String): String =
-    Hyperplanes.zipWithIndex.map { case (w, p) =>
+    Hyperplanes.take(Planes).zipWithIndex.map { case (w, p) =>
       val wl = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
       s"(CASE WHEN list_reduce(list_concat([0.0], [($v)[i+1]::DOUBLE * ($wl)[i+1] " +
         s"for i in range(0, $Dim)]), (x, y) -> x + y) > 0 " +
@@ -148,12 +197,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRank(scored, k)
   }
 
   def annTopKSql(k: Int = 5): String =
@@ -177,20 +221,36 @@ object Similarity {
        |SELECT query_id, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** X2/X3 embedding near-dup: cosine ≥ τ pairs within LSH buckets. */
-  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir), "embedding")
-      .select(col("vec_id"), col("v"), col("nrm"), bucket(col("v")).as("bkt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = e.select(col("bkt"), col("vec_id").as("vec_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val r = e.select(col("bkt"), col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    l.join(r, Seq("bkt"))
+  /** X2/X3 embedding near-dup, banded sign-LSH: candidate pairs are
+    * vectors sharing ANY of the `Bands` 16-bit band keys (bucket-size
+    * guard applied), verified by exact cosine ≥ τ. The round-1 version
+    * hashed into ONE 4-bit bucket — candidate pairs ~n²/16, quadratic at
+    * scale; here each band contributes ~n²/65536 with the guard capping
+    * degenerate buckets, and a pair colliding in several bands is
+    * de-duplicated after the (cheap) verify. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.2,
+                       maxBucket: Int = MaxBucket): DataFrame = {
+    val e = graft.PlanCache.cached(spark, s"sim.bandkeys:$dir") {
+      withNorm(Tables.embeddings(spark, dir), "embedding")
+        .select(col("vec_id"), col("v"), col("nrm"), bandKeys(col("v")).as("keys"))
+    }
+    val b = e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    // bucket-size guard: only buckets with 2..maxBucket members pair up
+    val wBucket = Window.partitionBy(col("band"), col("key"))
+    val g = b.withColumn("cnt", count(lit(1)).over(wBucket))
+      .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
+    val l = g.select(col("band"), col("key"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = g.select(col("band"), col("key"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -235,26 +295,22 @@ object Similarity {
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("clabel"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        round(cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("clabel"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = graft.PlanCache.cached(spark, s"sim.ivfAssign:$dir") {
+      e.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          round(cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")), 6))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("clabel"))
+    }
     val q = assign.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("clabel").as("qc"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assign.join(broadcast(q), col("clabel") === col("qc"))
+    val scored = assign.join(broadcast(q), col("clabel") === col("qc"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRank(scored, k)
   }
 
   def ivfTopKSql(k: Int = 5): String =
@@ -290,14 +346,34 @@ object Similarity {
        |SELECT query_id, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  def embeddingNearDupSql(threshold: Double = 0.35): String =
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bkt
+  /** DuckDB band key of band `b` (mirror of [[bandKeys]] element b). */
+  private def bandKeySql(v: String, b: Int): String =
+    (0 until BandPlanes).map { i =>
+      val w = Hyperplanes(b * BandPlanes + i)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_reduce(list_concat([0.0], [($v)[i+1]::DOUBLE * ($w)[i+1] " +
+        s"for i in range(0, $Dim)]), (x, y) -> x + y) > 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def embeddingNearDupSql(threshold: Double = 0.2,
+                          maxBucket: Int = MaxBucket): String = {
+    val keyList = (0 until Bands).map(bandKeySql("embedding", _)).mkString("[", ",\n", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $keyList AS keys
        |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, embedding, band, keys[band + 1] AS key
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $Bands)) AS band)
+       |), g AS (
+       |  SELECT * FROM b
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) BETWEEN 2 AND $maxBucket
        |)
-       |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |  round(${cosineSql("x.embedding", "y.embedding")}, 6) AS cosine
-       |FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+       |FROM g x JOIN g y ON x.band = y.band AND x.key = y.key
+       |  AND x.vec_id < y.vec_id
        |WHERE round(${cosineSql("x.embedding", "y.embedding")}, 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

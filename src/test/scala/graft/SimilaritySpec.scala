@@ -8,7 +8,7 @@ import graft.operators.Similarity
 class SimilaritySpec extends SparkSpec {
 
   test("hyperplanes are deterministic ±1 and fixed across calls") {
-    assert(Similarity.Hyperplanes.size == Similarity.Planes)
+    assert(Similarity.Hyperplanes.size == Similarity.Bands * Similarity.BandPlanes)
     assert(Similarity.Hyperplanes.forall(_.size == Similarity.Dim))
     assert(Similarity.Hyperplanes.flatten.forall(w => w == 1.0 || w == -1.0))
     assert(Similarity.Hyperplanes == Similarity.Hyperplanes)
@@ -41,10 +41,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bounded-heap top-k is row-identical to the window-rank formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // reference: the single-task window formulation the aggregator replaced
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id").isin(Similarity.QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.HashExpressions.dotProduct(a, b)
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val ref = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val got = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .collect().toSeq
+    assert(got == ref)
+  }
+
+  test("top-k plan has no corpus-wide single-partition sort (partial agg shape)") {
+    val plan = Similarity.cosineTopK(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // ranking runs as a partial+final aggregate, not a window over an
+    // exchange that funnels every candidate into one partition per query
+    assert(plan.contains("Aggregate"), s"expected aggregate-based ranking:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window rank in plan:\n$plan")
+  }
+
+  test("TopKHits reduce/merge keep a sorted k-bounded buffer") {
+    val agg = new graft.functions.TopKHits(3)
+    import graft.functions.ScoredHit
+    val hits = Seq(
+      ScoredHit(0.5, 7L), ScoredHit(0.9, 3L), ScoredHit(0.9, 1L),
+      ScoredHit(0.1, 9L), ScoredHit(0.7, 2L), ScoredHit(0.9, 5L))
+    val folded = hits.foldLeft(agg.zero)(agg.reduce)
+    assert(folded == Seq(ScoredHit(0.9, 1L), ScoredHit(0.9, 3L), ScoredHit(0.9, 5L)))
+    // merge of disjoint partials == fold of the union
+    val (l, r) = hits.splitAt(3)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == folded)
+    // merge with empty is identity
+    assert(agg.merge(folded, agg.zero) == folded)
+    assert(agg.merge(agg.zero, folded) == folded)
+  }
+
   test("embedding near-dup: symmetric-free pairs above threshold") {
     val nd = Similarity.embeddingNearDup(spark, sf0001).collect()
     assert(nd.nonEmpty)
-    assert(nd.forall(_.getAs[Double]("cosine") >= 0.35))
+    assert(nd.forall(_.getAs[Double]("cosine") >= 0.2))
     assert(nd.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }
 }
