@@ -7,10 +7,17 @@ import org.apache.spark.sql.types._
 
 import graft.functions.Sentiment
 
-/** Typed rows for the custom-state operator (T4). */
+/** Typed rows for the custom-state operators (T4). */
 case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 case class UserState(n: Long)
 case class UserCount(user_id: Long, n_events: Long)
+
+/** One open session's state (epoch millis) for [[Pipeline.sessionize]]. */
+case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+/** One closed session, matching the batch session_window (q28) row shape. */
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                      n_events: Long)
 
 /** The reference's continuous query, Spark-native (SURVEY.md §3.1):
   *
@@ -81,16 +88,56 @@ object Pipeline {
     parsed.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
 
-  /** S1: replayable tweet stream from newline-JSON files. A real
-    * deployment swaps in kafka/kinesis; the contract is just "streaming
-    * DataFrame with tweetSchema". maxFilesPerTrigger is the size-cap twin
-    * of Firehose's 3 MB buffer. */
+  /** S1 seam: transport descriptor for the tweet stream. The pipeline
+    * never hardcodes a source — it consumes "a streaming DataFrame with
+    * tweetSchema", and this spec says where that comes from:
+    *
+    *  - `SourceSpec("json", path = Some(dir))` — newline-JSON file replay
+    *    (the sandbox demo; maxFilesPerTrigger caps batch size, the twin of
+    *    Firehose's 3 MB buffer, `stream_processor.py:295-324`);
+    *  - `SourceSpec("socket", options = host/port)` — line transport;
+    *  - `SourceSpec("rate", …)` — synthetic load (adapt rows to payloads);
+    *  - production swap-ins (connector jars, not shipped here):
+    *    `SourceSpec("kafka", options = Map("kafka.bootstrap.servers" -> …,
+    *    "subscribe" -> topic), payloadCol = "value")` or the Kinesis
+    *    connector's format with `payloadCol = "data"` — both deliver raw
+    *    bytes in a column, which [[tweetsFromPayload]] parses exactly like
+    *    socket lines. Nothing else in the pipeline changes.
+    */
+  case class SourceSpec(format: String,
+                        path: Option[String] = None,
+                        options: Map[String, String] = Map.empty,
+                        payloadCol: String = "value")
+
+  /** Open the raw transport: format/options/path injected, no schema
+    * assumptions (file formats get tweetSchema; push transports produce
+    * their own wire schema and go through [[tweetsFromPayload]]). */
+  def openStream(spark: SparkSession, spec: SourceSpec): DataFrame = {
+    val r = spark.readStream.format(spec.format).options(spec.options)
+    val withSchema =
+      if (Seq("json", "csv", "parquet").contains(spec.format)) r.schema(tweetSchema) else r
+    spec.path.fold(withSchema.load())(withSchema.load)
+  }
+
+  /** Adapt a line/byte-payload transport frame (socket/kafka/kinesis/rate)
+    * to the tweet contract: cast the payload column to string, JSON-parse
+    * with the corrupt-record side channel, keep well-formed rows. */
+  def tweetsFromPayload(raw: DataFrame, payloadCol: String = "value"): DataFrame =
+    validTweets(parseTweets(raw.select(col(payloadCol).cast("string").as("value"))))
+
+  /** S1: the tweet stream for any transport. File formats carry
+    * tweetSchema natively; everything else is payload-parsed. */
+  def readTweets(spark: SparkSession, spec: SourceSpec): DataFrame = {
+    val raw = openStream(spark, spec)
+    if (Seq("json", "csv", "parquet").contains(spec.format)) raw
+    else tweetsFromPayload(raw, spec.payloadCol)
+  }
+
+  /** S1 (file replay, kept for callers of the round-1 signature). */
   def readTweetStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 10): DataFrame =
-    spark.readStream
-      .schema(tweetSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(dir)
+    readTweets(spark, SourceSpec("json", path = Some(dir),
+      options = Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString)))
 
   /** F1+F2: language equality + case-insensitive track match — Twitter
     * `track` semantics (`streamer.py:48`): match in the text OR in the
@@ -132,6 +179,28 @@ object Pipeline {
                  watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** X2 streaming twin (EXT): MinHash near-dup dedup within the watermark
+    * horizon — the streaming counterpart of the batch MinHash-LSH dedup
+    * (Dedup.minhashNearDup / q20). The dedup key is the full k-slot
+    * MinHash signature (computed by the same native kernel as batch, one
+    * code path), so a document is dropped iff a signature-identical
+    * document (estimated Jaccard 1.0 — near-dup at full-signature
+    * resolution) arrived within the watermark. State is one row per
+    * distinct signature per horizon — bounded, like dedupByKey.
+    *
+    * Banded variant (drop on ANY band match, LSH recall semantics) is a
+    * one-line swap of the key column for a band slice; full-signature is
+    * the default because a drop is irreversible in a stream — precision
+    * over recall. */
+  def dedupNearMinhash(df: DataFrame, textCol: String, eventTimeCol: String,
+                       watermark: String = "10 minutes",
+                       k: Int = 16): DataFrame =
+    df.withColumn("_mh_sig",
+        array_join(graft.functions.HashExpressions.minhashSig(col(textCol), 3, k), "_"))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_mh_sig"))
+      .drop("_mh_sig")
 
   /** J5: stream-static enrichment join (the scalable twin of the
     * reference's per-record Comprehend RPC — dimension data joins the
@@ -178,18 +247,89 @@ object Pipeline {
     * state). The reference is stateless by construction
     * (`ProcessStreamData.py:12-33`); this is the engine's custom-state
     * extension point for anything session_window/dropDuplicates can't
-    * express. Use update output mode. */
-  def runningUserCounts(events: org.apache.spark.sql.Dataset[UserEvent])
+    * express. Use update output mode.
+    *
+    * `stateTtl`: by default state lives for the query's lifetime (every
+    * user_id ever seen stays in the store — fine for bounded key spaces,
+    * unbounded growth otherwise). Pass a duration ("1 hour") to expire a
+    * key's count after that much processing-time inactivity: the key is
+    * evicted (its count re-starts at 0 if it reappears), keeping the store
+    * bounded for long-running deployments. */
+  def runningUserCounts(events: org.apache.spark.sql.Dataset[UserEvent],
+                        stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[UserCount] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val conf = stateTtl.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserState, UserCount](
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserState, UserCount](conf) {
         case (uid, it, state) =>
-          val prev = state.getOption.map(_.n).getOrElse(0L)
-          val n = prev + it.size
-          state.update(UserState(n))
-          UserCount(uid, n)
+          if (state.hasTimedOut) {
+            // inactivity TTL hit: emit the final count and evict the key
+            val last = state.getOption.map(_.n).getOrElse(0L)
+            state.remove()
+            UserCount(uid, last)
+          } else {
+            val prev = state.getOption.map(_.n).getOrElse(0L)
+            val n = prev + it.size
+            state.update(UserState(n))
+            stateTtl.foreach(state.setTimeoutDuration)
+            UserCount(uid, n)
+          }
+      }
+  }
+
+  /** T4 (EXT): sessionization via the typed
+    * `flatMapGroupsWithState` API with EventTimeTimeout — the custom-state
+    * twin of the built-in `session_window` (q28), for when per-session
+    * logic outgrows an aggregate (emit 0..n rows per key per batch, carry
+    * arbitrary state). Semantics match the batch operator exactly: events
+    * merge into the open session while `ts − last ≤ gap` (an event landing
+    * EXACTLY at the session end merges, as session_window does); a later
+    * event closes it and opens a new one; the watermark passing
+    * `last + gap` closes it by timeout. Emits one
+    * (user_id, session_start, n_events) row per CLOSED session — identical
+    * rows to the batch session_window aggregate once the watermark passes.
+    *
+    * Scale: state is one open session per active key (two longs + count),
+    * bounded by the timeout; the shuffle is the same single user_id hash
+    * partition as the built-in. Append output mode. */
+  def sessionize(events: org.apache.spark.sql.Dataset[UserEvent],
+                 gapSec: Long = 600L,
+                 watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state) =>
+          def emit(s: OpenSession): SessionOut =
+            SessionOut(uid, new java.sql.Timestamp(s.startMs), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).toList
+            state.remove()
+            out.iterator
+          } else {
+            val ts = it.map(_.ts.getTime).toArray.sorted
+            var open = state.getOption.orNull
+            val closed = List.newBuilder[SessionOut]
+            ts.foreach { t =>
+              if (open == null) open = OpenSession(t, t, 1L)
+              else if (t - open.lastMs <= gapSec * 1000L)
+                open = OpenSession(open.startMs, math.max(open.lastMs, t), open.n + 1L)
+              else { closed += emit(open); open = OpenSession(t, t, 1L) }
+            }
+            if (open != null) {
+              state.update(open)
+              // close when the watermark passes the inactivity horizon
+              state.setTimeoutTimestamp(open.lastMs + gapSec * 1000L + 1L)
+            }
+            closed.result().iterator
+          }
       }
   }
 

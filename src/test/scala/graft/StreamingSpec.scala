@@ -17,6 +17,8 @@ case class HashtagFixture(text: String)
 case class EventFixture(event_id: Long, ts: Timestamp, user_id: Long,
                         event_type: String, value: Double)
 
+case class DocFixture(doc_id: Long, text: String, ts: Timestamp)
+
 /** Streaming semantics (SURVEY.md §2.9 T1-T5, §5.4): stream/batch parity
   * on the SAME declarative transforms, watermarked dedup, stream-static
   * join, and exactly-once file-sink restart. */
@@ -211,6 +213,118 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id").agg(max("n_events").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(latest == Map(1L -> 3L, 2L -> 1L), s"got $latest")
+  }
+
+  test("source seam: schema'd file and payload transports give identical results (S1)") {
+    val src = Files.createTempDirectory("graft_seam_src").toString
+    tweets.toDF().write.mode("overwrite").json(src)
+
+    def runThrough(spec: Pipeline.SourceSpec, name: String): Seq[String] = {
+      val scored = Pipeline.scoreTweets(Pipeline.readTweets(spark, spec), "en", "#spark")
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).orderBy("created_at")
+        .collect().map(_.getAs[String]("text")).toSeq
+    }
+    // transport 1: schema'd json file source (tweetSchema applied at scan)
+    val viaFile = runThrough(Pipeline.SourceSpec("json", path = Some(src)), "seam_file")
+    // transport 2: line-payload transport (same files read as raw text —
+    // the socket/kafka/kinesis shape: value column → parse → validTweets)
+    val viaPayload = runThrough(Pipeline.SourceSpec("text", path = Some(src)), "seam_payload")
+    assert(viaFile.nonEmpty && viaFile == viaPayload)
+  }
+
+  test("streaming MinHash dedup drops signature-identical docs like batch (X2)") {
+    val docs = Seq(
+      DocFixture(1L, "the quick brown fox jumps over the lazy dog today", ts("2024-01-01 00:00:01")),
+      DocFixture(2L, "the quick brown fox jumps over the lazy dog today", ts("2024-01-01 00:00:02")),
+      DocFixture(3L, "completely different text about spark structured streaming", ts("2024-01-01 00:00:03")))
+    val mem = MemoryStream[DocFixture]
+    mem.addData(docs: _*)
+    val q = Pipeline.dedupNearMinhash(mem.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("mh_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("mh_dedup").collect().map(_.getAs[String]("text")).toSet
+    // batch twin: one representative per distinct full MinHash signature
+    val batchKept = docs.toDF()
+      .withColumn("sig", array_join(
+        graft.functions.HashExpressions.minhashSig(col("text"), 3, 16), "_"))
+      .dropDuplicates("sig")
+      .collect().map(_.getAs[String]("text")).toSet
+    assert(spark.table("mh_dedup").count() == 2)
+    assert(kept == batchKept, "stream keeps exactly the batch representatives")
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch session_window (T4)") {
+    import graft.streaming.UserEvent
+    val batch1 = Seq(
+      UserEvent(1L, ts("2024-01-01 00:00:00")),
+      UserEvent(1L, ts("2024-01-01 00:05:00")),
+      UserEvent(2L, ts("2024-01-01 00:02:00")),
+      UserEvent(3L, ts("2024-01-01 00:00:00")))
+    val batch2 = Seq(
+      UserEvent(1L, ts("2024-01-01 00:08:00")), // merges across micro-batches
+      UserEvent(1L, ts("2024-01-01 00:30:00")), // closes session 1, opens new
+      UserEvent(3L, ts("2024-01-01 00:10:00"))) // gap == 10 min exactly: merges
+    val mem = MemoryStream[UserEvent]
+    val q = Pipeline.sessionize(mem.toDS(), gapSec = 600L, watermark = "10 seconds")
+      .toDF().writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // two sentinel batches: first advances the watermark, second lets the
+      // EventTimeTimeout fire and flush the still-open sessions
+      mem.addData(UserEvent(9L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(UserEvent(9L, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("fmgws_sessions")
+      .filter(col("user_id") =!= 9L)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"))).toSeq
+    val fromBatch = (batch1 ++ batch2).toDF()
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"))).toSeq
+    assert(streamed == fromBatch, s"stream=$streamed batch=$fromBatch")
+    assert(streamed.contains((3L, ts("2024-01-01 00:00:00"), 2L)),
+      "event landing exactly at session end must merge (session_window parity)")
+  }
+
+  test("runningUserCounts with a state TTL still accumulates across batches (T4)") {
+    import graft.streaming.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val counts = Pipeline.runningUserCounts(mem.toDS(), stateTtl = Some("1 hour"))
+    val q = counts.toDF().writeStream.format("memory")
+      .queryName("ttl_counts").outputMode("update").start()
+    // ProcessingTimeTimeout keeps scheduling no-data batches to evaluate
+    // timeouts, so processAllAvailable never quiesces — poll the sink.
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, "timed out waiting for streaming output")
+    }
+    try {
+      mem.addData(UserEvent(1L, ts("2024-01-01 00:00:01")))
+      await(spark.table("ttl_counts").count() >= 1)
+      mem.addData(UserEvent(1L, ts("2024-01-01 00:00:02")))
+      await(spark.table("ttl_counts")
+        .agg(max("n_events")).collect()(0).getLong(0) == 2L)
+    } finally q.stop()
+    val latest = spark.table("ttl_counts")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == Map(1L -> 2L), s"got $latest")
   }
 
   test("foreachBatch delivers the Firehose-shaped (batchDF, batchId) (S3)") {
