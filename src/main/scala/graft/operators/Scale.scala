@@ -25,6 +25,10 @@ object Scale {
                  rightKey: String, salt: Int): DataFrame = {
     require(salt > 0, s"salt must be positive (got $salt) — pmod(x, 0) is " +
       "NULL and a descending sequence() would silently empty the join")
+    require(!fact.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin: inputs must not already carry a '_salt' column — " +
+        "withColumn would replace it and the final drop would remove both, " +
+        "breaking row-identity with the plain join")
     val factSalted = fact.withColumn("_salt",
       pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
     val rightSalted = right.withColumn("_salt",

@@ -38,7 +38,9 @@ object Formats {
            schema: Option[StructType] = None): DataFrame = {
     require_(fmt)
     val r0 = spark.read.format(fmt)
-    val r1 = schema.fold(if (fmt == "csv" || fmt == "json")
+    // inferSchema is a csv-only option (json always infers); setting it on
+    // other readers would be a silent no-op
+    val r1 = schema.fold(if (fmt == "csv")
       r0.option("inferSchema", "true") else r0)(r0.schema)
     (if (fmt == "csv") r1.option("header", "true") else r1).load(path)
   }

@@ -55,6 +55,28 @@ class PropertySpec extends SparkSpec {
     assert(a.union(b).count() == a.count() + b.count())
   }
 
+  test("property: HLL approx distinct stays inside its rsd bound (q34 exemption honesty)") {
+    // q34 is the one rows-only oracle exemption (HLL sketches are
+    // engine-specific); this bounds the error so the exemption stays
+    // honest: |approx − exact| / exact ≤ 4·rsd on real data at two SFs.
+    // approx_count_distinct's default rsd is 0.05; 4σ makes the test
+    // deterministic-in-practice (HLL++ bias correction keeps observed
+    // error well under 1σ at these cardinalities).
+    val rsd = 0.05
+    Seq(sf0001, sf001).foreach { dir =>
+      val rows = graft.operators.Relational.approxDistinctUsers(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val approx = r.getAs[Long]("approx_users").toDouble
+        val exact = r.getAs[Long]("exact_users").toDouble
+        assert(exact > 0)
+        val relErr = math.abs(approx - exact) / exact
+        assert(relErr <= 4 * rsd,
+          s"$dir/${r.getAs[String]("event_type")}: approx=$approx exact=$exact relErr=$relErr")
+      }
+    }
+  }
+
   test("property: corrupt-record channel partitions any input totally") {
     val valid = samples(Gen.alphaNumStr, 40)
       .map(t => s"""{"text":"$t","lang":"en"}""")

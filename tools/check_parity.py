@@ -45,9 +45,24 @@ for name, sql in sorted(oracle.items()):
         print(f"ROWS     {name}: duck={len(duck)} spark={len(spark)}")
         fails += 1
         continue
-    # canonical string form per cell, like a hash compare
-    ds = duck.astype(str).values.tolist()
-    ss = spark.astype(str).values.tolist()
+    # canonical string form per cell, like a hash compare; nulls collapse
+    # to one sentinel (None vs NaN differ between the two frames) and
+    # floats get one fixed formatting so 0.1 prints identically regardless
+    # of which engine produced the frame
+    import pandas as pd
+    def canon(df):
+        rows = []
+        for c in df.columns:
+            col = df[c]
+            if pd.api.types.is_float_dtype(col):
+                rows.append([("<NULL>" if pd.isna(v) else format(v, ".9g"))
+                             for v in col])
+            else:
+                rows.append([("<NULL>" if (v is None or (isinstance(v, float) and pd.isna(v)))
+                              else str(v)) for v in col])
+        return [list(t) for t in zip(*rows)] if rows else []
+    ds = canon(duck)
+    ss = canon(spark)
     if ds != ss:
         bad = next(i for i, (a, b) in enumerate(zip(ds, ss)) if a != b)
         print(f"HASH     {name}: first diff row {bad}:\n  duck : {ds[bad]}\n  spark: {ss[bad]}")
