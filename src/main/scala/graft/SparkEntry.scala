@@ -65,7 +65,10 @@ object SparkEntry {
     "q43_train_split" -> ((s, d) => Curation.trainSplit(s, d)),
     "q44_normalize" -> ((s, d) => Curation.normalizeSummary(s, d)),
     "q45_contamination" -> ((s, d) => Curation.contamination(s, d)),
-    "q46_revenue_preagg" -> ((s, d) => Relational.revenueByNationPreAgg(s, d))
+    "q46_revenue_preagg" -> ((s, d) => Relational.revenueByNationPreAgg(s, d)),
+    // synthetic corpus has no '#'; track semantics make it optional (F2),
+    // so every token is a candidate tag — same plan as the '#\w+' default
+    "q47_hashtag_sentiment" -> ((s, d) => TextPipeline.hashtagSentiment(s, d, tagPattern = "\\w+"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -115,6 +118,7 @@ object SparkEntry {
     "q43_train_split" -> Curation.trainSplitSql,
     "q44_normalize" -> Curation.normalizeSummarySql,
     "q45_contamination" -> Curation.contaminationSql(),
-    "q46_revenue_preagg" -> Relational.revenueByNationPreAggSql
+    "q46_revenue_preagg" -> Relational.revenueByNationPreAggSql,
+    "q47_hashtag_sentiment" -> TextPipeline.hashtagSentimentSql(tagPattern = "\\w+")
   )
 }

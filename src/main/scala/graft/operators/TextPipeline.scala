@@ -40,6 +40,73 @@ object TextPipeline {
         round(avg(col("s.mixed")), 6).as("avg_mixed"))
       .orderBy(col("sentiment"))
 
+  /** EXT: per-hashtag sentiment analytics — the reference's headline
+    * promise (README.md:2-4 "hashtag sentiment analysis"; `streamer.py:48`
+    * track=[hashtag]) as a grouped table rather than one tracked term:
+    * explode each document's distinct tags, count mentions, profile
+    * sentiment, keep the global top-k by mention count.
+    *
+    * `tagPattern` defaults to `#\w+` (real tweet data); the synthetic
+    * corpus carries no '#', and Twitter track semantics make the '#'
+    * optional (F2), so callers on `documents` pass `\w+` — every token is
+    * a candidate tag. Same plan either way.
+    *
+    * Plan shape at 100 TB: scan → narrow sentiment map (scored once per
+    * doc, BEFORE the explode) → explode distinct tags (~tokens× rows, all
+    * narrow) → hash agg on tag (partial agg collapses each partition to
+    * its distinct-tag count, the shuffle carries tags not mentions) →
+    * global top-k via TakeOrderedAndProject (per-partition top-k, k-row
+    * merge — no full sort). Deterministic under ties: (n_docs DESC,
+    * hashtag ASC) is a total order. */
+  def hashtagSentiment(spark: SparkSession, dir: String,
+                       tagPattern: String = "#\\w+", k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("s", Sentiment.score(col("text")))
+      .select(col("s"), explode(array_distinct(
+        regexp_extract_all(lower(col("text")), lit(tagPattern), lit(0))))
+        .as("hashtag"))
+      .groupBy("hashtag")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s.label") === "POSITIVE", 1L).otherwise(0L)).as("n_positive"),
+        sum(when(col("s.label") === "NEGATIVE", 1L).otherwise(0L)).as("n_negative"),
+        round(avg(col("s.positive")), 6).as("avg_positive"),
+        round(avg(col("s.negative")), 6).as("avg_negative"))
+      .orderBy(col("n_docs").desc, col("hashtag"))
+      .limit(k)
+
+  /** DuckDB twin of [[hashtagSentiment]]. sum() cast ::BIGINT (HUGEINT
+    * otherwise); tie-broken ORDER BY before LIMIT on both sides. */
+  def hashtagSentimentSql(tagPattern: String = "#\\w+", k: Int = 20): String = {
+    val pos = Sentiment.posSqlList
+    val neg = Sentiment.negSqlList
+    val pat = tagPattern.replace("'", "''")
+    s"""WITH hits AS (
+       |  SELECT lower(text) AS lt,
+       |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($pos)))::DOUBLE AS p,
+       |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($neg)))::DOUBLE AS n
+       |  FROM documents
+       |), lab AS (
+       |  SELECT lt,
+       |    CASE WHEN p > n THEN 'POSITIVE' WHEN n > p THEN 'NEGATIVE'
+       |         WHEN p > 0 THEN 'MIXED' ELSE 'NEUTRAL' END AS label,
+       |    (p - LEAST(p, n)) / (p + n + 1.0) AS positive,
+       |    (n - LEAST(p, n)) / (p + n + 1.0) AS negative
+       |  FROM hits
+       |), tags AS (
+       |  SELECT unnest(list_distinct(regexp_extract_all(lt, '$pat'))) AS hashtag,
+       |         label, positive, negative
+       |  FROM lab
+       |)
+       |SELECT hashtag, count(*)::BIGINT AS n_docs,
+       |       sum(CASE WHEN label = 'POSITIVE' THEN 1 ELSE 0 END)::BIGINT AS n_positive,
+       |       sum(CASE WHEN label = 'NEGATIVE' THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+       |       round(avg(positive), 6) AS avg_positive,
+       |       round(avg(negative), 6) AS avg_negative
+       |FROM tags GROUP BY hashtag
+       |ORDER BY n_docs DESC, hashtag LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of [[sentimentByLabel]]; lexicon inlined from the single
     * Scala source of truth. */
   def sentimentByLabelSql(lang: String = "en", track: String = "spark"): String = {

@@ -57,4 +57,25 @@ class SentimentSpec extends SparkSpec {
       assert(math.abs(comps.sum - 1.0) < 1e-12, s"sum != 1 in $r")
     }
   }
+
+  test("hashtag analytics: distinct tags per doc, counts consistent, top-k ordered (EXT)") {
+    import graft.operators.TextPipeline
+    val rows = TextPipeline.hashtagSentiment(spark, sf0001, tagPattern = "\\w+", k = 20)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // deterministic top-k total order: n_docs DESC, hashtag ASC
+    val keys = rows.map(r => (-r.getAs[Long]("n_docs"), r.getAs[String]("hashtag"))).toSeq
+    assert(keys == keys.sorted, "output not in (n_docs DESC, hashtag ASC) order")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_positive") + r.getAs[Long]("n_negative") <= n)
+      assert(n >= 1)
+    }
+    // per-doc distinctness: a tag repeated within one doc counts once —
+    // no hashtag can exceed the corpus document count
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.forall(_.getAs[Long]("n_docs") <= nDocs))
+    // '#'-shaped default pattern finds nothing in the synthetic corpus
+    assert(TextPipeline.hashtagSentiment(spark, sf0001).count() == 0)
+  }
 }
