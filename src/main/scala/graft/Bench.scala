@@ -43,6 +43,7 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+    PlanCache.clear(spark)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -237,10 +237,21 @@ object Similarity {
     }
     val b = e.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(col("keys")).as(Seq("band", "key")))
-    // bucket-size guard: only buckets with 2..maxBucket members pair up
-    val wBucket = Window.partitionBy(col("band"), col("key"))
-    val g = b.withColumn("cnt", count(lit(1)).over(wBucket))
-      .filter(col("cnt") >= 2 && col("cnt") <= maxBucket)
+    // Bucket-size guard, split by cost: the lower bound (≥2) is free —
+    // a singleton bucket contributes no pair to a self-join — and the
+    // upper bound only concerns the rare degenerate buckets (hub regions,
+    // zero vectors), so it runs as a heavy-hitter anti-join: partial-agg
+    // count (no row buffering, one tiny row per bucket crosses the
+    // shuffle), keep keys with cnt > maxBucket (few by construction —
+    // random hyperplanes spread mass over 2^16 buckets/band), anti-join.
+    // AQE broadcasts the tiny side, so the banded corpus is NOT shuffled
+    // for the guard — unlike a count-over-window formulation, which
+    // exchanges AND sorts all bands×n rows once per join side.
+    val over = b.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBucket)
+      .select(col("band"), col("key"))
+    val g = b.join(over, Seq("band", "key"), "left_anti")
     val l = g.select(col("band"), col("key"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val r = g.select(col("band"), col("key"), col("vec_id").as("vec_b"),
