@@ -68,7 +68,8 @@ object SparkEntry {
     "q46_revenue_preagg" -> ((s, d) => Relational.revenueByNationPreAgg(s, d)),
     // synthetic corpus has no '#'; track semantics make it optional (F2),
     // so every token is a candidate tag — same plan as the '#\w+' default
-    "q47_hashtag_sentiment" -> ((s, d) => TextPipeline.hashtagSentiment(s, d, tagPattern = "\\w+"))
+    "q47_hashtag_sentiment" -> ((s, d) => TextPipeline.hashtagSentiment(s, d, tagPattern = "\\w+")),
+    "q48_ivf_multiprobe" -> ((s, d) => Similarity.ivfMultiProbeTopK(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -119,6 +120,7 @@ object SparkEntry {
     "q44_normalize" -> Curation.normalizeSummarySql,
     "q45_contamination" -> Curation.contaminationSql(),
     "q46_revenue_preagg" -> Relational.revenueByNationPreAggSql,
-    "q47_hashtag_sentiment" -> TextPipeline.hashtagSentimentSql(tagPattern = "\\w+")
+    "q47_hashtag_sentiment" -> TextPipeline.hashtagSentimentSql(tagPattern = "\\w+"),
+    "q48_ivf_multiprobe" -> Similarity.ivfMultiProbeTopKSql()
   )
 }

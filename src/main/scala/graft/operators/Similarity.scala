@@ -289,13 +289,15 @@ object Similarity {
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin
 
-  /** X3 IVF top-k: label centroids (rounded → engine-deterministic) act as
-    * the coarse quantizer; every vector is assigned to its nearest
-    * centroid (argmax cosine, label tie-break); a query probes only its
-    * own centroid's inverted list (nprobe=1). The 100 TB shape: the
-    * centroid table is tiny and broadcast, assignment is one narrow pass,
-    * and the probe join is an equi-join on the centroid id. */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** Shared IVF coarse-quantizer stage: label centroids (rounded →
+    * engine-deterministic) + every vector assigned to its nearest
+    * centroid (argmax cosine, label tie-break). The assignment is cached
+    * per (session, dir) — ivfTopK and ivfMultiProbeTopK reuse one copy,
+    * as a production index would materialize its inverted lists once.
+    * The argmax window partitions by vec_id (maximal cardinality: one
+    * row per vector × centroid, grouped per vector) — no skew, no
+    * corpus-wide partition. */
+  private def ivfParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val mean = udaf(graft.functions.VectorMean)
     val e = withNorm(Tables.embeddings(spark, dir), "embedding")
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
@@ -314,10 +316,48 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("clabel"))
     }
+    (cents, assign)
+  }
+
+  /** X3 IVF top-k: a query probes only its own centroid's inverted list
+    * (nprobe=1). The 100 TB shape: the centroid table is tiny and
+    * broadcast, assignment is one narrow pass, and the probe join is an
+    * equi-join on the centroid id. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (_, assign) = ivfParts(spark, dir)
     val q = assign.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("clabel").as("qc"))
     val scored = assign.join(broadcast(q), col("clabel") === col("qc"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
+    topKRank(scored, k)
+  }
+
+  /** X3 IVF multi-probe top-k: each query probes its `nprobe` nearest
+    * centroids' inverted lists, the standard recall knob (nprobe=1 ⊂
+    * nprobe=2 ⊂ … ⊂ exhaustive at nprobe=|centroids|, when it equals
+    * brute force — property-tested). Candidate lists are disjoint (a
+    * vector lives in exactly one inverted list), so no dedup is needed.
+    * Probe selection ranks |queries|×|centroids| rows — both sides tiny
+    * by construction (a window there is fine; the CORPUS-side ranking
+    * stays the bounded-heap aggregate). */
+  def ivfMultiProbeTopK(spark: SparkSession, dir: String,
+                        k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val (cents, assign) = ivfParts(spark, dir)
+    val q = assign.filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("clabel"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pcos",
+        round(cosinePre(col("qv"), col("cv"), col("qnrm"), col("cnrm")), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("clabel"))
+    val scored = assign.join(broadcast(probes), Seq("clabel"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
@@ -348,6 +388,46 @@ object Similarity {
        |  SELECT q.query_id, a.vec_id,
        |    round(${cosineSql("q.qv", "a.v")}, 6) AS cosine
        |  FROM a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  def ivfMultiProbeTopKSql(k: Int = 5, nprobe: Int = 2): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |), c1 AS (
+       |  SELECT label AS clabel, i, round(avg(v[i+1]), 4) AS cv
+       |  FROM e CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
+       |  GROUP BY label, i
+       |), c AS (
+       |  SELECT clabel, list(cv ORDER BY i) AS cv FROM c1 GROUP BY clabel
+       |), assign AS (
+       |  SELECT vec_id, v, clabel,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(${cosineSql("v", "cv")}, 6) DESC, clabel) AS rn
+       |  FROM e CROSS JOIN c
+       |), a AS (
+       |  SELECT vec_id, v, clabel FROM assign WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM a
+       |  WHERE vec_id IN ($qidList)
+       |), probes AS (
+       |  SELECT query_id, qv, clabel FROM (
+       |    SELECT q.query_id, q.qv, c.clabel,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(${cosineSql("q.qv", "c.cv")}, 6) DESC, c.clabel) AS pr
+       |    FROM q CROSS JOIN c)
+       |  WHERE pr <= $nprobe
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    round(${cosineSql("p.qv", "a.v")}, 6) AS cosine
+       |  FROM a JOIN probes p ON a.clabel = p.clabel AND a.vec_id <> p.query_id
        |), ranked AS (
        |  SELECT query_id, vec_id, cosine,
        |    row_number() OVER (PARTITION BY query_id

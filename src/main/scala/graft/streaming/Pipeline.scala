@@ -170,6 +170,36 @@ object Pipeline {
       .agg(count(lit(1)).as("n_tweets"))
       .select(col("w.start").as("window_start"), col("label"), col("n_tweets"))
 
+  /** T2+E1 (EXT): the reference's headline capability in streaming form —
+    * per-hashtag windowed sentiment counts. A tweet's tags are its hashtag
+    * entities plus '#'-prefixed tokens in its text, lowercased, '#'
+    * stripped, per-tweet-deduplicated (the same normalization track-match
+    * F2 applies). Sentiment is scored once per tweet BEFORE the tag
+    * explode. Works on batch and streaming frames; append-safe under the
+    * watermark. Scale shape matches batch q47: narrow score + explode,
+    * partial agg collapses mentions to (window, tag) map-side. */
+  def hashtagSentimentCounts(tweets: DataFrame,
+                             windowLen: String = "60 seconds",
+                             watermark: String = "10 minutes"): DataFrame = {
+    val noTags = typedlit(Seq.empty[String])
+    val textTags =
+      regexp_extract_all(lower(col("text")), lit("#(\\w+)"), lit(1))
+    val entityTags = coalesce(
+      transform(col("entities.hashtags"), h => lower(h.getField("text"))),
+      noTags)
+    tweets
+      .withColumn("s", Sentiment.score(col("text")))
+      .select(col("created_at"), col("s"),
+        explode(array_distinct(concat(textTags, entityTags))).as("hashtag"))
+      .withWatermark("created_at", watermark)
+      .groupBy(window(col("created_at"), windowLen).as("w"), col("hashtag"))
+      .agg(count(lit(1)).as("n_tweets"),
+        sum(when(col("s.label") === "POSITIVE", 1L).otherwise(0L)).as("n_positive"),
+        sum(when(col("s.label") === "NEGATIVE", 1L).otherwise(0L)).as("n_negative"))
+      .select(col("w.start").as("window_start"), col("hashtag"),
+        col("n_tweets"), col("n_positive"), col("n_negative"))
+  }
+
   /** T4 (EXT): streaming exact dedup by KEY under a watermark — state
     * bounded to the watermark horizon. Uses
     * `dropDuplicatesWithinWatermark` so a re-delivered record with the

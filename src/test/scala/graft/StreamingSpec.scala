@@ -60,6 +60,38 @@ class StreamingSpec extends SparkSpec {
     assert(fromStream.map(_.getAs[Long]("n_tweets")).sum == 3)
   }
 
+  test("stream/batch parity: per-hashtag windowed sentiment counts (T2+E1)") {
+    // tags come from entities AND '#' tokens in text; '#rocks' only in
+    // text, 'spark' entity on two tweets (one also saying "spark" plain —
+    // per-tweet distinctness must not double count)
+    val tagged = Seq(
+      TweetFixture("spark is fast and good #rocks", "en", ts("2024-01-01 10:00:05"),
+        EntitiesFixture(Seq(HashtagFixture("spark")))),
+      TweetFixture("slow broken build", "en", ts("2024-01-01 10:00:30"),
+        EntitiesFixture(Seq(HashtagFixture("Spark")))),
+      TweetFixture("#rocks #ROCKS good", "en", ts("2024-01-01 10:01:45"),
+        EntitiesFixture(Seq.empty)))
+    val mem = MemoryStream[TweetFixture]
+    mem.addData(tagged: _*)
+    val q = Pipeline.hashtagSentimentCounts(mem.toDF())
+      .writeStream.format("memory").queryName("ht_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val fromStream = spark.table("ht_stream")
+      .orderBy("window_start", "hashtag").collect().toSeq
+    val fromBatch = Pipeline.hashtagSentimentCounts(tagged.toDF())
+      .orderBy("window_start", "hashtag").collect().toSeq
+    assert(fromStream == fromBatch)
+    val byTag = fromStream.groupBy(_.getAs[String]("hashtag"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tweets")).sum).toMap
+    // 'spark': entity on tweets 1+2 (not double-counted with the plain
+    // text word); 'rocks': text tag on tweets 1+3 (case-folded, distinct)
+    assert(byTag == Map("spark" -> 2L, "rocks" -> 2L), s"got $byTag")
+    val pos = fromStream.filter(_.getAs[String]("hashtag") == "rocks")
+      .map(_.getAs[Long]("n_positive")).sum
+    assert(pos == 2L) // both 'rocks' tweets are positive
+  }
+
   test("watermarked streaming dedup drops re-delivered records (T4)") {
     val mem = MemoryStream[EventFixture]
     val e = EventFixture(1L, ts("2024-01-01 00:00:01"), 7L, "click", 1.0)
