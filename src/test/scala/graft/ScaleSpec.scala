@@ -8,6 +8,8 @@ import graft.operators.Scale
   * (shuffle-free at read time). */
 class ScaleSpec extends SparkSpec {
 
+  import spark.implicits._
+
   test("salted join returns exactly the rows of the plain join") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
@@ -25,6 +27,39 @@ class ScaleSpec extends SparkSpec {
         pmod(xxhash64(li.columns.map(col).toIndexedSeq: _*), lit(8L)))
       .select("_salt").distinct().count()
     assert(salts == 8, s"expected all 8 salt values used, got $salts")
+  }
+
+  test("partitioned fact ⋈ filtered dim triggers dynamic partition pruning") {
+    // the 100 TB star-join scan-reducer: the fact side is laid out with
+    // writePartitioned, the dim side carries the selective filter, and
+    // Spark prunes fact partitions at RUNTIME from the dim's join keys
+    // (a literal lang filter would be static pruning; DPP covers the
+    // case where the pruning values are only known after the dim scan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/docs"
+    graft.sources.Formats.writePartitioned(
+      Tables.documents(spark, sf0001), dir, "parquet", Seq("lang"))
+    val fact = graft.sources.Formats.read(spark, dir, "parquet")
+    // the dim must be a real (file-backed) table: a literal Seq becomes a
+    // LocalRelation whose filter Catalyst folds away eagerly, leaving no
+    // selective predicate for the PartitionPruning rule to key on
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("en", "English", true), ("de", "German", false),
+      ("fr", "French", false), ("es", "Spanish", false), ("ja", "Japanese", false))
+      .toDF("lang", "lang_name", "keep")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // the dim predicate must be one Spark's isLikelySelective recognizes
+    // (EqualTo/In/Like…) — a bare boolean column is not considered
+    // selective and would veto the pruning rule
+    val joined = fact.join(dim.filter(col("lang_name") === "English"), Seq("lang"))
+      .groupBy("lang").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected runtime partition pruning on the fact scan:\n$plan")
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").count()
+    val got = joined.collect()
+    assert(got.length == 1 && got.head.getAs[Long]("count") == expected)
   }
 
   test("bucketed tables join without an Exchange (co-located layout)") {
