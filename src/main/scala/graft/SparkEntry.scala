@@ -69,7 +69,8 @@ object SparkEntry {
     // synthetic corpus has no '#'; track semantics make it optional (F2),
     // so every token is a candidate tag — same plan as the '#\w+' default
     "q47_hashtag_sentiment" -> ((s, d) => TextPipeline.hashtagSentiment(s, d, tagPattern = "\\w+")),
-    "q48_ivf_multiprobe" -> ((s, d) => Similarity.ivfMultiProbeTopK(s, d))
+    "q48_ivf_multiprobe" -> ((s, d) => Similarity.ivfMultiProbeTopK(s, d)),
+    "q49_repetition" -> ((s, d) => TextAnalysis.repetitionSummary(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,6 +122,7 @@ object SparkEntry {
     "q45_contamination" -> Curation.contaminationSql(),
     "q46_revenue_preagg" -> Relational.revenueByNationPreAggSql,
     "q47_hashtag_sentiment" -> TextPipeline.hashtagSentimentSql(tagPattern = "\\w+"),
-    "q48_ivf_multiprobe" -> Similarity.ivfMultiProbeTopKSql()
+    "q48_ivf_multiprobe" -> Similarity.ivfMultiProbeTopKSql(),
+    "q49_repetition" -> TextAnalysis.repetitionSummarySql()
   )
 }

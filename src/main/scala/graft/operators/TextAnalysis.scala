@@ -166,6 +166,90 @@ object TextAnalysis {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** X4+ repetition scoring (Gopher-style quality rules): per document,
+    * the fraction of tokens claimed by the most frequent token and the
+    * fraction of adjacent pairs claimed by the most frequent bigram —
+    * the two cheapest detectors of degenerate/boilerplate text. A doc is
+    * flagged when either exceeds its threshold (defaults are the
+    * published Gopher cut lines: 0.30 top-token, 0.18 top-2-gram).
+    *
+    * Distributed shape: the per-doc mode is computed by explode →
+    * count(doc_id, gram) → max per doc_id — two shuffles, both keyed on
+    * the high-cardinality doc_id (never on the gram alone, so a globally
+    * hot token cannot skew a reducer). Per-row fractions are exact
+    * integer ratios — bit-identical across engines. */
+  def repetitionSummary(spark: SparkSession, dir: String,
+                        topTokMax: Double = 0.30,
+                        topBigramMax: Double = 0.18): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+      .withColumn("ntok", size(col("t")).cast("long"))
+    val tokTop = base
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+    val bigTop = base
+      .select(col("doc_id"),
+        explode(filter(
+          zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
+            (a, b) => concat(a, lit(" "), b)),
+          x => x.isNotNull)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_big"))
+    base.select(col("doc_id"), col("lang"), col("ntok"))
+      .join(tokTop, Seq("doc_id"))
+      .join(bigTop, Seq("doc_id"), "left")
+      .withColumn("top_tok_frac", col("max_tok") / col("ntok"))
+      .withColumn("top_big_frac",
+        coalesce(col("max_big"), lit(0L)) / greatest(col("ntok") - 1, lit(1L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("top_tok_frac")), 4).as("avg_top_tok_frac"),
+        round(max(col("top_tok_frac")), 6).as("max_top_tok_frac"),
+        round(avg(col("top_big_frac")), 4).as("avg_top_big_frac"),
+        sum(when(col("top_tok_frac") > topTokMax ||
+          col("top_big_frac") > topBigramMax, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("lang"))
+  }
+
+  def repetitionSummarySql(topTokMax: Double = 0.30,
+                           topBigramMax: Double = 0.18): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t,
+       |    len(string_split(lower(text), ' '))::BIGINT AS ntok
+       |  FROM documents
+       |), tokc AS (
+       |  SELECT doc_id, max(c)::BIGINT AS max_tok
+       |  FROM (SELECT doc_id, w, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(t) AS w FROM base)
+       |        GROUP BY doc_id, w)
+       |  GROUP BY doc_id
+       |), bigc AS (
+       |  SELECT doc_id, max(c)::BIGINT AS max_big
+       |  FROM (SELECT doc_id, bg, count(*) AS c
+       |        FROM (SELECT doc_id,
+       |                unnest(list_transform(range(1, len(t)),
+       |                  i -> t[i] || ' ' || t[i+1])) AS bg
+       |              FROM base)
+       |        GROUP BY doc_id, bg)
+       |  GROUP BY doc_id
+       |), perdoc AS (
+       |  SELECT b.lang,
+       |    tokc.max_tok / b.ntok AS top_tok_frac,
+       |    coalesce(bigc.max_big, 0) / greatest(b.ntok - 1, 1) AS top_big_frac
+       |  FROM base b
+       |  JOIN tokc USING (doc_id)
+       |  LEFT JOIN bigc USING (doc_id)
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  round(avg(top_tok_frac), 4) AS avg_top_tok_frac,
+       |  round(max(top_tok_frac), 6) AS max_top_tok_frac,
+       |  round(avg(top_big_frac), 4) AS avg_top_big_frac,
+       |  sum(CASE WHEN top_tok_frac > $topTokMax
+       |        OR top_big_frac > $topBigramMax THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_flagged
+       |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** X4 document fingerprinting: order-sensitive rolling polynomial hash
     * (md5-per-token folded mod 1e9+7) + raw md5, summarized per language.
     * Distinct-fingerprint counts expose dup structure without shipping

@@ -38,6 +38,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && f < TextHash.FpP))
   }
 
+  test("repetition scorer: hand-computed fractions and Gopher flags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (1L, "spam spam spam spam", "en", "t", 19L),           // all one token
+      (2L, "alpha beta gamma delta", "en", "t", 22L),        // short → bigram-flagged
+      (3L, "one two three four five six seven eight", "en", "t", 39L), // clean
+      (4L, "solo", "de", "t", 4L))                           // 1 token, no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = operators.TextAnalysis.repetitionSummary(spark, dir)
+      .collect().map(r => r.getAs[String]("lang") -> r).toMap
+    val de = rows("de")
+    // single-token doc: top_tok = 1/1 (flagged), bigram side is the
+    // left-join-null path → 0/greatest(0,1) = 0
+    assert(de.getAs[Long]("n_docs") == 1 && de.getAs[Long]("n_flagged") == 1)
+    assert(de.getAs[Double]("avg_top_big_frac") == 0.0)
+    assert(de.getAs[Double]("max_top_tok_frac") == 1.0)
+    val en = rows("en")
+    // top_tok: (4/4 + 1/4 + 1/8)/3 = 0.4583; top_big: (3/3 + 1/3 + 1/7)/3
+    // = 31/63 = 0.4921; flagged: doc1 (both), doc2 (1/3 > 0.18)
+    assert(en.getAs[Long]("n_docs") == 3 && en.getAs[Long]("n_flagged") == 2)
+    assert(en.getAs[Double]("avg_top_tok_frac") == 0.4583, en)
+    assert(en.getAs[Double]("avg_top_big_frac") == 0.4921, en)
+  }
+
+  test("repetition fractions are valid ratios over the real corpus") {
+    val s = operators.TextAnalysis.repetitionSummary(spark, sf0001).collect()
+    val total = s.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf0001).count())
+    s.foreach { r =>
+      val avgTok = r.getAs[Double]("avg_top_tok_frac")
+      assert(avgTok > 0.0 && avgTok <= 1.0, r)
+      assert(r.getAs[Double]("max_top_tok_frac") <= 1.0, r)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"), r)
+    }
+  }
+
   test("token stats: regex tokens >= whitespace tokens on alpha text") {
     TextAnalysis.tokenStats(spark, sf0001).collect().foreach { r =>
       assert(r.getAs[Long]("sum_re_tokens") >= r.getAs[Long]("sum_ws_tokens"))
