@@ -70,7 +70,10 @@ object SparkEntry {
     // so every token is a candidate tag — same plan as the '#\w+' default
     "q47_hashtag_sentiment" -> ((s, d) => TextPipeline.hashtagSentiment(s, d, tagPattern = "\\w+")),
     "q48_ivf_multiprobe" -> ((s, d) => Similarity.ivfMultiProbeTopK(s, d)),
-    "q49_repetition" -> ((s, d) => TextAnalysis.repetitionSummary(s, d))
+    "q49_repetition" -> ((s, d) => TextAnalysis.repetitionSummary(s, d)),
+    // exact result identical to q45 — the bloom stage is a bandwidth
+    // optimization, so the q45 oracle applies verbatim
+    "q50_contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -123,6 +126,7 @@ object SparkEntry {
     "q46_revenue_preagg" -> Relational.revenueByNationPreAggSql,
     "q47_hashtag_sentiment" -> TextPipeline.hashtagSentimentSql(tagPattern = "\\w+"),
     "q48_ivf_multiprobe" -> Similarity.ivfMultiProbeTopKSql(),
-    "q49_repetition" -> TextAnalysis.repetitionSummarySql()
+    "q49_repetition" -> TextAnalysis.repetitionSummarySql(),
+    "q50_contamination_bloom" -> Curation.contaminationSql()
   )
 }

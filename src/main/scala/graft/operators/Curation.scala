@@ -93,6 +93,44 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Bloom-prefiltered contamination: the scale path for when the
+    * benchmark shingle set outgrows the broadcast budget. A Bloom filter
+    * over the bench hashes (1.44·n·log2(1/fpp) bits — size bounded by
+    * construction, independent of the corpus) prunes the corpus-side
+    * shingles first; only the survivors (true hits + ~fpp false
+    * positives) reach the exact semi-join, which the planner can then
+    * shuffle cheaply or broadcast. The final answer is EXACT — the bloom
+    * is a bandwidth optimization, invisible in the result — so this
+    * shares q45's oracle.
+    *
+    * The `might_contain` probe is a scalar UDF over the closure-captured
+    * sketch: Spark exposes no public Column API for bloom probes, and the
+    * per-row cost is two hash multiplies against in-memory bits. */
+  def contaminationBloom(spark: SparkSession, dir: String,
+                         benchSize: Int = 10, n: Int = 5,
+                         fpp: Double = 0.03): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), col("lang"),
+      explode(graft.functions.HashExpressions.shingleHashes(col("text"), n)).as("h"))
+    val bench = sh.filter(col("doc_id") < benchSize).select(col("h")).distinct()
+    val bloom = bench.stat.bloomFilter("h",
+      math.max(bench.count(), 1L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val contaminated = sh.filter(col("doc_id") >= benchSize)
+      .filter(mightContain(col("h")))        // bounded-size prefilter
+      .join(bench, Seq("h"), "left_semi")    // exact verify on survivors
+      .select(col("doc_id")).distinct()
+      .withColumn("is_cont", lit(1L))
+    docs.filter(col("doc_id") >= benchSize)
+      .select(col("doc_id"), col("lang"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        sum(coalesce(col("is_cont"), lit(0L))).as("n_contaminated"))
+      .orderBy(col("lang"))
+  }
+
   def contaminationSql(benchSize: Int = 10, n: Int = 5): String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t

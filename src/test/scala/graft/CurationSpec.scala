@@ -36,6 +36,17 @@ class CurationSpec extends SparkSpec {
       s"expected some but not all contaminated ($flagged/$corpus)")
   }
 
+  test("bloom-prefiltered contamination equals the exact broadcast variant") {
+    val exact = Curation.contamination(spark, sf0001)
+    val bloom = Curation.contaminationBloom(spark, sf0001)
+    assert(exact.collect().toSeq == bloom.collect().toSeq,
+      "the bloom stage must be invisible in the result")
+    // a tighter fpp must not change the answer either (only the
+    // candidate volume reaching the verify join)
+    val tight = Curation.contaminationBloom(spark, sf0001, fpp = 0.001)
+    assert(exact.collect().toSeq == tight.collect().toSeq)
+  }
+
   test("exact duplicates land in the same split (content-hash property)") {
     import spark.implicits._
     val dupes = Seq("alpha beta gamma", "alpha beta gamma", "delta eps zeta")
