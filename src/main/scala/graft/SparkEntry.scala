@@ -73,7 +73,8 @@ object SparkEntry {
     "q49_repetition" -> ((s, d) => TextAnalysis.repetitionSummary(s, d)),
     // exact result identical to q45 — the bloom stage is a bandwidth
     // optimization, so the q45 oracle applies verbatim
-    "q50_contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d))
+    "q50_contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d)),
+    "q51_asof_join" -> ((s, d) => Relational.asofViewPurchase(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,6 +128,7 @@ object SparkEntry {
     "q47_hashtag_sentiment" -> TextPipeline.hashtagSentimentSql(tagPattern = "\\w+"),
     "q48_ivf_multiprobe" -> Similarity.ivfMultiProbeTopKSql(),
     "q49_repetition" -> TextAnalysis.repetitionSummarySql(),
-    "q50_contamination_bloom" -> Curation.contaminationSql()
+    "q50_contamination_bloom" -> Curation.contaminationSql(),
+    "q51_asof_join" -> Relational.asofViewPurchaseSql
   )
 }

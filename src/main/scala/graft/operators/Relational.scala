@@ -317,6 +317,68 @@ object Relational {
       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** J4+ as-of join: every view event paired with the LATEST purchase by
+    * the same user at-or-before it (null when none) — the
+    * nearest-preceding-match operator Spark lacks natively.
+    *
+    * Composed Spark-first instead of a range join: both sides are tagged
+    * and unioned, then one running `last(ignoreNulls)` over
+    * (user_id | epoch, side) picks each view's preceding purchase. ONE
+    * shuffle on user_id + an in-partition sort — per-key state is a
+    * single running value, versus the range join's candidate pairs. At
+    * 100 TB this is the shape as-of engines use (sort both sides once,
+    * merge); a time-bounded range join would re-scan every purchase
+    * within the window per view.
+    *
+    * Cross-engine discipline: the as-of key is whole-second epoch
+    * (ns-vs-µs parity, FIXTURES.md §B); purchases collapse to
+    * max(value) per (user, second) first so ties inside one second are
+    * deterministic; `side` orders purchases before views within a second
+    * → the join is INCLUSIVE (v.epoch >= p.epoch), matching DuckDB's
+    * native ASOF JOIN semantics the oracle runs. */
+  def asofViewPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch"), col("value"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("epoch"))
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("epoch"))
+      .agg(max(col("value")).as("p_value"))
+    val tagged = p
+      .select(col("user_id"), col("epoch"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("p_value"))
+      .unionByName(v.select(col("user_id"), col("epoch"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("double").as("p_value")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("epoch"), col("side"))
+      .rowsBetween(Long.MinValue, 0)
+    tagged
+      .withColumn("asof_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("epoch").as("view_epoch"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  def asofViewPurchaseSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    floor(epoch(ts))::BIGINT AS epoch, value
+      |  FROM events
+      |), v AS (
+      |  SELECT event_id, user_id, epoch FROM e WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT user_id, epoch, max(value) AS p_value
+      |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)
+      |SELECT v.event_id, v.user_id, v.epoch AS view_epoch,
+      |  p.p_value AS asof_value
+      |FROM v ASOF LEFT JOIN p
+      |  ON v.user_id = p.user_id AND v.epoch >= p.epoch
+      |ORDER BY v.event_id""".stripMargin
+
   /** A3 GROUPING SETS via SQL on a registered view — exercises the SQL
     * entry path (`spark.sql`) alongside the DataFrame API. */
   def docGroupingSets(spark: SparkSession, dir: String): DataFrame = {
