@@ -74,7 +74,10 @@ object SparkEntry {
     // exact result identical to q45 — the bloom stage is a bandwidth
     // optimization, so the q45 oracle applies verbatim
     "q50_contamination_bloom" -> ((s, d) => Curation.contaminationBloom(s, d)),
-    "q51_asof_join" -> ((s, d) => Relational.asofViewPurchase(s, d))
+    "q51_asof_join" -> ((s, d) => Relational.asofViewPurchase(s, d)),
+    "q52_kfold_split" -> ((s, d) => Curation.kfoldSplit(s, d)),
+    "q53_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "q54_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -129,6 +132,9 @@ object SparkEntry {
     "q48_ivf_multiprobe" -> Similarity.ivfMultiProbeTopKSql(),
     "q49_repetition" -> TextAnalysis.repetitionSummarySql(),
     "q50_contamination_bloom" -> Curation.contaminationSql(),
-    "q51_asof_join" -> Relational.asofViewPurchaseSql
+    "q51_asof_join" -> Relational.asofViewPurchaseSql,
+    "q52_kfold_split" -> Curation.kfoldSplitSql(),
+    "q53_tfidf_topterms" -> TextAnalysis.tfidfTopTermsSql(),
+    "q54_incremental_dedup" -> Dedup.incrementalDedupSql()
   )
 }

@@ -27,6 +27,52 @@ case class ScoredHit(cosine: Double, vec_id: Long)
   * yields rank = pos + 1 identical to the window formulation (strict total
   * order: cosine is pre-rounded and vec_id is unique).
   */
+/** One term-frequency candidate: ordered by count DESC, term ASC — the
+  * total order `row_number() OVER (ORDER BY cnt DESC, term)` uses. Terms
+  * are lowercase ASCII, so Scala's UTF-16 compare and DuckDB's binary
+  * collation agree. */
+case class TermHit(cnt: Long, term: String)
+
+/** Bounded-heap top-k for (count, term) groups — same two-phase scale
+  * shape as [[TopKHits]] (see that scaladoc): per-partition k-element
+  * buffers, shuffle ~partitions×k rows, k+k merges. Used where the group
+  * count (e.g. per-language vocabulary) is unbounded in the corpus size,
+  * which makes the window-rank formulation a single-task sort. */
+class TopKTerms(k: Int) extends Aggregator[TermHit, Seq[TermHit], Seq[TermHit]] {
+  require(k > 0, s"TopKTerms: k must be positive, got $k")
+
+  private def beats(a: TermHit, b: TermHit): Boolean =
+    a.cnt > b.cnt || (a.cnt == b.cnt && a.term < b.term)
+
+  override def zero: Seq[TermHit] = Vector.empty
+
+  override def reduce(buf: Seq[TermHit], h: TermHit): Seq[TermHit] = {
+    if (buf.length == k && !beats(h, buf.last)) return buf
+    val (front, back) = buf.span(beats(_, h))
+    (front :+ h) ++ back take k
+  }
+
+  override def merge(a: Seq[TermHit], b: Seq[TermHit]): Seq[TermHit] = {
+    val out = Vector.newBuilder[TermHit]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(r: Seq[TermHit]): Seq[TermHit] = r
+
+  override def bufferEncoder: Encoder[Seq[TermHit]] =
+    ExpressionEncoder[Seq[TermHit]]()
+  override def outputEncoder: Encoder[Seq[TermHit]] =
+    ExpressionEncoder[Seq[TermHit]]()
+}
+
 class TopKHits(k: Int) extends Aggregator[ScoredHit, Seq[ScoredHit], Seq[ScoredHit]] {
   require(k > 0, s"TopKHits: k must be positive, got $k")
 

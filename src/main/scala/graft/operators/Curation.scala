@@ -43,6 +43,27 @@ object Curation {
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
   }
 
+  /** Stratified k-fold assignment for cross-validation: content-hash mod
+    * k (same determinism/dup-cohesion argument as [[trainSplit]] — exact
+    * duplicates always share a fold, so no fold ever trains on another
+    * fold's eval text), summarized per (lang, fold) so stratification is
+    * auditable. */
+  def kfoldSplit(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val fold = TextHash.h1(col("text")) % k
+    Tables.documents(spark, dir)
+      .select(col("lang"), fold.as("fold"), col("n_chars"))
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("fold"))
+  }
+
+  def kfoldSplitSql(k: Int = 5): String =
+    s"""SELECT lang, (${TextHash.h1Sql("text")} % $k) AS fold,
+       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+       |FROM documents
+       |GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin
+
   /** Text normalization: lowercase → strip non-[a-z ] → collapse runs of
     * spaces → trim; summarized per language (bytes saved, distinct-after
     * counts expose normalization-induced duplicates). */

@@ -197,6 +197,58 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** X1/X2+ incremental dedup: the snapshot-ingestion shape — a NEW batch
+    * (doc_id ≥ histSize) dedups against the HISTORICAL corpus's
+    * signature index (doc_id < histSize) instead of against itself. The
+    * key is the full k-slot MinHash signature (one string — same key the
+    * streaming twin [[graft.streaming.Pipeline.dedupNearMinhash]] uses,
+    * same native kernel), so a new doc is dropped iff a
+    * signature-identical (est. Jaccard 1.0) historical doc exists.
+    *
+    * Scale posture: at 100 TB the historical side is a materialized
+    * signature table (~tens of bytes/doc), re-read per batch, never
+    * recomputed; the anti-join shuffles on the signature string, and only
+    * the new batch's text is ever scanned. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       histSize: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("sig", array_join(
+        graft.functions.HashExpressions.minhashSig(col("text"), 3, kMinhash), "_"))
+    val hist = docs.filter(col("doc_id") < histSize)
+      .select(col("sig")).distinct()
+    val newDocs = docs.filter(col("doc_id") >= histSize)
+    val kept = newDocs.join(hist, Seq("sig"), "left_anti")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    newDocs.groupBy(col("lang")).agg(count(lit(1)).as("n_new"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_new"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_new") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("lang"))
+  }
+
+  def incrementalDedupSql(histSize: Int = 200): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang, ${shinglesSql("t")} AS sh FROM toks
+       |), sigs AS (
+       |  SELECT doc_id, lang,
+       |    array_to_string(${minhashSignatureSql("sh", kMinhash)}, '_') AS sig
+       |  FROM sh
+       |), hist AS (
+       |  SELECT DISTINCT sig FROM sigs WHERE doc_id < $histSize
+       |), newd AS (
+       |  SELECT lang, sig FROM sigs WHERE doc_id >= $histSize
+       |)
+       |SELECT lang, count(*) AS n_new,
+       |  sum(CASE WHEN sig IN (SELECT sig FROM hist)
+       |      THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN sig IN (SELECT sig FROM hist)
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+       |FROM newd GROUP BY lang ORDER BY lang""".stripMargin
+
   def simhashNearDupSql(maxHamming: Int = 3): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents

@@ -250,6 +250,61 @@ object TextAnalysis {
        |    AS n_flagged
        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** X4+ TF-IDF top terms per language. Ranking is by the exact integer
+    * (term_count DESC, term ASC) order via the bounded-heap [[graft.functions.TopKTerms]]
+    * aggregate — per-language vocabulary grows with the corpus, so a
+    * window-rank here would sort a vocabulary-sized list in one task
+    * (the exact shape round 1 flagged on the similarity queries). The
+    * reported tfidf uses a smoothed ln-free inverse document frequency
+    * ((N+1)/(df+1), single-rounded IEEE division) so both engines compute
+    * it bit-identically — ln() is libm-dependent and could flip a rounded
+    * 4th decimal. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nTotal = docs.select(count(lit(1)).as("n_total"))
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(toks(col("text"))).as("w"))
+    val tf = tok.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("term_count"))
+    val dfreq = tok.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val topk = udaf(new graft.functions.TopKTerms(k))
+    val ranked = tf.groupBy(col("lang"))
+      .agg(topk(col("term_count"), col("w")).as("hits"))
+      .select(col("lang"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("term"), col("h.cnt").as("term_count"))
+    ranked.join(dfreq, ranked("term") === dfreq("w"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("lang"), col("rank"), col("term"), col("term_count"),
+        col("df"),
+        round(col("term_count") *
+          ((col("n_total") + 1).cast("double") / (col("df") + 1)), 4).as("tfidf"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def tfidfTopTermsSql(k: Int = 10): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents
+       |), tf AS (
+       |  SELECT lang, w, count(*)::BIGINT AS term_count FROM tok GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT w, count(*)::BIGINT AS df
+       |  FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY 1
+       |), n AS (SELECT count(*)::BIGINT AS n_total FROM documents),
+       |ranked AS (
+       |  SELECT lang, w, term_count,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY term_count DESC, w) AS rank
+       |  FROM tf
+       |)
+       |SELECT r.lang, r.rank, r.w AS term, r.term_count, d.df,
+       |  round(r.term_count * ((n.n_total + 1.0) / (d.df + 1)), 4) AS tfidf
+       |FROM ranked r JOIN dfreq d ON r.w = d.w CROSS JOIN n
+       |WHERE r.rank <= $k
+       |ORDER BY r.lang, r.rank""".stripMargin
+
   /** X4 document fingerprinting: order-sensitive rolling polynomial hash
     * (md5-per-token folded mod 1e9+7) + raw md5, summarized per language.
     * Distinct-fingerprint counts expose dup structure without shipping

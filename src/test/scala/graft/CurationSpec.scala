@@ -47,6 +47,15 @@ class CurationSpec extends SparkSpec {
     assert(exact.collect().toSeq == tight.collect().toSeq)
   }
 
+  test("k-fold split is total and every fold is in [0, k)") {
+    val s = Curation.kfoldSplit(spark, sf0001, k = 5)
+    val total = s.agg(sum("n_docs")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf0001).count())
+    val folds = s.select("fold").distinct().collect().map(_.getLong(0))
+    assert(folds.forall(f => f >= 0 && f < 5))
+    assert(folds.length > 1, "hash-mod must spread docs over multiple folds")
+  }
+
   test("exact duplicates land in the same split (content-hash property)") {
     import spark.implicits._
     val dupes = Seq("alpha beta gamma", "alpha beta gamma", "delta eps zeta")

@@ -9,6 +9,25 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incremental dedup: counts are consistent and drops match cross-boundary signature hits") {
+    val out = operators.Dedup.incrementalDedup(spark, sf0001).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_new"), r)
+    }
+    val totalNew = out.map(_.getAs[Long]("n_new")).sum
+    assert(totalNew == Tables.documents(spark, sf0001)
+      .filter(col("doc_id") >= 200).count())
+    // independent cross-check: dropped == new docs whose full signature
+    // appears in the historical batch (semi-join formulation)
+    val sigs = Tables.documents(spark, sf0001).withColumn("sig",
+      array_join(graft.functions.HashExpressions.minhashSig(col("text"), 3, 16), "_"))
+    val hist = sigs.filter(col("doc_id") < 200).select("sig").distinct()
+    val expectDropped = sigs.filter(col("doc_id") >= 200)
+      .join(hist, Seq("sig"), "left_semi").count()
+    assert(out.map(_.getAs[Long]("n_dropped")).sum == expectDropped)
+  }
+
   test("shingles: distinct word 3-grams; short docs yield empty array") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextHash.shingles(col("text")).as("sh"))

