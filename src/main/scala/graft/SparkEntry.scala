@@ -77,7 +77,9 @@ object SparkEntry {
     "q51_asof_join" -> ((s, d) => Relational.asofViewPurchase(s, d)),
     "q52_kfold_split" -> ((s, d) => Curation.kfoldSplit(s, d)),
     "q53_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
-    "q54_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d))
+    "q54_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "q55_order_distribution" -> ((s, d) => Windows.orderDistribution(s, d)),
+    "q56_editdist_neardup" -> ((s, d) => Dedup.editDistanceNearDup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -135,6 +137,8 @@ object SparkEntry {
     "q51_asof_join" -> Relational.asofViewPurchaseSql,
     "q52_kfold_split" -> Curation.kfoldSplitSql(),
     "q53_tfidf_topterms" -> TextAnalysis.tfidfTopTermsSql(),
-    "q54_incremental_dedup" -> Dedup.incrementalDedupSql()
+    "q54_incremental_dedup" -> Dedup.incrementalDedupSql(),
+    "q55_order_distribution" -> Windows.orderDistributionSql,
+    "q56_editdist_neardup" -> Dedup.editDistanceNearDupSql()
   )
 }

@@ -197,6 +197,54 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** X2+ edit-distance verify over LSH candidates: the third verify
+    * metric (alongside est-Jaccard q20 and exact n-gram Jaccard q22) —
+    * Levenshtein distance, the right verifier when near-dups differ by
+    * small in-place edits rather than block moves. O(len²) per pair, so
+    * it ONLY runs on the banded-LSH candidate set, never all pairs; the
+    * candidate ids join text back from the doc table (at scale: SMJ on
+    * doc_id — text never rides through the banding shuffles). */
+  def editDistanceNearDup(spark: SparkSession, dir: String,
+                          maxDist: Int = 20): DataFrame = {
+    val b = banded(signatures(spark, dir), Seq.empty)
+    val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    val cand = l.join(r, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def editDistanceNearDupSql(maxDist: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |  levenshtein(a.text, b.text)::BIGINT AS edit_dist
+       |FROM cand c
+       |JOIN documents a ON a.doc_id = c.doc_a
+       |JOIN documents b ON b.doc_id = c.doc_b
+       |WHERE levenshtein(a.text, b.text) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** X1/X2+ incremental dedup: the snapshot-ingestion shape — a NEW batch
     * (doc_id ≥ histSize) dedups against the HISTORICAL corpus's
     * signature index (doc_id < histSize) instead of against itself. The

@@ -69,6 +69,34 @@ object Windows {
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** W1+ distribution functions: ntile / percent_rank / cume_dist over
+    * each customer's orders by price. The partition key is the
+    * high-cardinality o_custkey (a low-cardinality key like priority
+    * would sort corpus-sized partitions in single tasks at scale). With
+    * the unique (price, orderkey) tie-break every rank is distinct, so
+    * percent_rank = (i−1)/(n−1) and cume_dist = i/n are exact integer
+    * ratios — bit-identical across engines (n=1 partitions define
+    * percent_rank = 0 in both). */
+  def orderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def orderDistributionSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** W3 frame aggregation: per-customer running order total in date order.
     * Deterministic fold order via the (o_orderdate, o_orderkey) sort, so
     * the double running sum is bit-identical across engines. */

@@ -9,6 +9,22 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("edit-distance verify: pairs are a candidate subset with dist <= bound") {
+    val ed = operators.Dedup.editDistanceNearDup(spark, sf0001, maxDist = 20)
+      .collect()
+    assert(ed.nonEmpty, "planted near-dups should survive the edit bound")
+    ed.foreach(r => assert(r.getAs[Long]("edit_dist") <= 20L))
+    // subset of the LSH candidate universe: every verified pair must also
+    // be a minhash candidate at threshold 0 (no new pairs invented)
+    val cands = operators.Dedup.minhashNearDup(spark, sf0001, threshold = 0.0)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ed.foreach { r =>
+      val p = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(cands.contains(p), s"$p not in candidate set")
+    }
+  }
+
   test("incremental dedup: counts are consistent and drops match cross-boundary signature hits") {
     val out = operators.Dedup.incrementalDedup(spark, sf0001).collect()
     out.foreach { r =>
