@@ -12,6 +12,14 @@ case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 case class UserState(n: Long)
 case class UserCount(user_id: Long, n_events: Long)
 
+/** Typed rows for [[Pipeline.asofEnrich]] (streaming twin of the batch
+  * as-of join, q51). Epochs are whole seconds, like the batch operator. */
+case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
+                     epoch: Long, value: Double)
+case class AsofLatest(epoch: Long, value: Double)
+case class AsofOut(event_id: Long, user_id: Long, view_epoch: Long,
+                   asof_value: Option[Double])
+
 /** One open session's state (epoch millis) for [[Pipeline.sessionize]]. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
@@ -360,6 +368,58 @@ object Pipeline {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** J4+/T4 (EXT): streaming as-of enrichment — each view is emitted with
+    * the latest purchase value by the same user at-or-before it, the
+    * streaming twin of the batch as-of join (q51). State per user is ONE
+    * (epoch, value) pair: purchases fold into it (same-second purchases
+    * keep the max, like the batch pre-aggregate; an out-of-order purchase
+    * older than the state is ignored), views read it. Events inside a
+    * micro-batch are processed in (epoch, purchase-first) order, so the
+    * inclusive same-second semantics match the batch operator; across
+    * batches, parity holds for in-timestamp-order delivery (the
+    * state-vs-view epoch guard turns a late view into a null rather than
+    * a wrong forward-looking match).
+    *
+    * `stateTtl` mirrors [[runningUserCounts]]: opt-in processing-time
+    * eviction bounds state for long-running deployments. */
+  def asofEnrich(events: org.apache.spark.sql.Dataset[AsofEvent],
+                 stateTtl: Option[String] = None)
+      : org.apache.spark.sql.Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val timeout = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofLatest, AsofOut](
+        OutputMode.Append(), timeout) {
+        case (_, _, state) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
+        case (uid, it, state) =>
+          val evs = it.toArray.sortBy(e =>
+            (e.epoch, if (e.event_type == "purchase") 0 else 1))
+          var cur = state.getOption.orNull
+          val out = List.newBuilder[AsofOut]
+          evs.foreach { e =>
+            if (e.event_type == "purchase") {
+              cur =
+                if (cur == null || e.epoch > cur.epoch) AsofLatest(e.epoch, e.value)
+                else if (e.epoch == cur.epoch)
+                  AsofLatest(e.epoch, math.max(cur.value, e.value))
+                else cur
+            } else if (e.event_type == "view") {
+              out += AsofOut(e.event_id, uid, e.epoch,
+                if (cur != null && cur.epoch <= e.epoch) Some(cur.value) else None)
+            }
+          }
+          if (cur != null) {
+            state.update(cur)
+            stateTtl.foreach(state.setTimeoutDuration)
+          }
+          out.result().iterator
       }
   }
 

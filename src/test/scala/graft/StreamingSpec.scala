@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.Pipeline
+import graft.streaming.{AsofEvent, Pipeline}
 
 case class TweetFixture(text: String, lang: String, created_at: Timestamp,
                         entities: EntitiesFixture)
@@ -90,6 +90,38 @@ class StreamingSpec extends SparkSpec {
     val pos = fromStream.filter(_.getAs[String]("hashtag") == "rocks")
       .map(_.getAs[Long]("n_positive")).sum
     assert(pos == 2L) // both 'rocks' tweets are positive
+  }
+
+  test("streaming as-of enrichment matches the batch as-of join across batches (J4+/T4)") {
+    // same fixture as AsofJoinSpec: purchases at 100 (5.0 max of dup pair)
+    // and 200 (7.0); views at 50/100/150/250; user 2 has no purchases.
+    // batch 1 carries everything up to epoch 200, batch 2 the rest — so
+    // view 250's match (7.0) MUST come from cross-batch state
+    val mem = MemoryStream[AsofEvent]
+    val q = Pipeline.asofEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        AsofEvent(10L, 1L, "purchase", 100L, 5.0),
+        AsofEvent(11L, 1L, "purchase", 100L, 3.0),
+        AsofEvent(20L, 1L, "view", 50L, 0.0),
+        AsofEvent(21L, 1L, "view", 100L, 0.0),
+        AsofEvent(22L, 1L, "view", 150L, 0.0),
+        AsofEvent(12L, 1L, "purchase", 200L, 7.0))
+      q.processAllAvailable()
+      mem.addData(
+        AsofEvent(23L, 1L, "view", 250L, 0.0),
+        AsofEvent(30L, 2L, "view", 300L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_stream").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue))
+      .toMap
+    // identical to the batch operator's hand-computed answer (AsofJoinSpec)
+    assert(got == Map(20L -> None, 21L -> Some(5.0), 22L -> Some(5.0),
+      23L -> Some(7.0), 30L -> None), s"got $got")
   }
 
   test("watermarked streaming dedup drops re-delivered records (T4)") {
