@@ -77,6 +77,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: approx_percentile honors its rank-error bound (quantile sketch family)") {
+    // completes the sketch coverage (HLL: q34 + bound above; bloom: q50;
+    // quantile: here). The GK-style sketch guarantees the returned value's
+    // RANK is within ε·n of q·n, ε = 1/accuracy — checked against the
+    // exact sorted order.
+    val acc = 100
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    val vals = Tables.events(spark, sf001).select("value")
+      .collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    val approx = Tables.events(spark, sf001)
+      .agg(percentile_approx(col("value"), typedlit(qs), lit(acc)).as("p"))
+      .head.getSeq[Double](0)
+    assert(approx.length == qs.length && n > 100)
+    qs.zip(approx).foreach { case (q, a) =>
+      val rank = vals.count(_ <= a)
+      val tol = n.toDouble / acc + 1
+      assert(math.abs(rank - q * n) <= tol,
+        s"q=$q: value $a has rank $rank, expected ${q * n} ± $tol of $n")
+    }
+  }
+
   test("property: corrupt-record channel partitions any input totally") {
     val valid = samples(Gen.alphaNumStr, 40)
       .map(t => s"""{"text":"$t","lang":"en"}""")
