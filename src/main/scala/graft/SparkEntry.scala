@@ -79,7 +79,8 @@ object SparkEntry {
     "q53_tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "q54_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q55_order_distribution" -> ((s, d) => Windows.orderDistribution(s, d)),
-    "q56_editdist_neardup" -> ((s, d) => Dedup.editDistanceNearDup(s, d))
+    "q56_editdist_neardup" -> ((s, d) => Dedup.editDistanceNearDup(s, d)),
+    "q57_mix_resample" -> ((s, d) => Curation.mixResample(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,6 +140,7 @@ object SparkEntry {
     "q53_tfidf_topterms" -> TextAnalysis.tfidfTopTermsSql(),
     "q54_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q55_order_distribution" -> Windows.orderDistributionSql,
-    "q56_editdist_neardup" -> Dedup.editDistanceNearDupSql()
+    "q56_editdist_neardup" -> Dedup.editDistanceNearDupSql(),
+    "q57_mix_resample" -> Curation.mixResampleSql()
   )
 }

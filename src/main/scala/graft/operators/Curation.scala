@@ -64,6 +64,60 @@ object Curation {
        |FROM documents
        |GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin
 
+  /** Default per-language resampling rates (percent): downsample the
+    * over-represented languages, upsample an under-represented one —
+    * the shape of a training-data language-mix rebalance. */
+  val MixRates: Map[String, Int] = Map("en" -> 50, "de" -> 150)
+
+  /** Deterministic mix resampler: every doc gets an integer copy count
+    * `rate÷100 + (salted-hash < rate mod 100 ? 1 : 0)` — rate 50 keeps a
+    * deterministic half, rate 150 keeps every doc and duplicates a
+    * deterministic half. The hash is SALTED (text‖"|mix") so sampling is
+    * independent of the split assignment ([[trainSplit]] hashes the bare
+    * text — reusing it would correlate the sample with the split folds).
+    * Summarized per language; the materializing twin is an
+    * `explode(sequence(1, copies))` away and shares the counts. */
+  def mixResample(spark: SparkSession, dir: String,
+                  rates: Map[String, Int] = MixRates,
+                  defaultRate: Int = 100): DataFrame = {
+    val h = TextHash.h1(concat(col("text"), lit("|mix"))) % 100
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (els, (l, r)) => when(col("lang") === l, lit(r)).otherwise(els)
+    }
+    val copies = (rate - pmod(rate, lit(100))) / 100 +
+      when(h < pmod(rate, lit(100)), 1).otherwise(0)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), copies.cast("long").as("copies"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("copies")).as("n_after"),
+        sum(col("n_chars") * col("copies")).as("chars_after"))
+      .orderBy(col("lang"))
+  }
+
+  def mixResampleSql(rates: Map[String, Int] = MixRates,
+                     defaultRate: Int = 100): String = {
+    val rateCase = rates.toSeq.sortBy(_._1).reverse
+      .foldLeft(defaultRate.toString) { case (els, (l, r)) =>
+        s"CASE WHEN lang = '$l' THEN $r ELSE $els END"
+      }
+    s"""WITH d AS (
+       |  SELECT lang, n_chars,
+       |    (${TextHash.h1Sql("(text || '|mix')")} % 100) AS h,
+       |    ($rateCase) AS rate
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, n_chars,
+       |    ((rate - (rate % 100)) / 100
+       |      + CASE WHEN h < rate % 100 THEN 1 ELSE 0 END)::BIGINT AS copies
+       |  FROM d
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  sum(copies)::BIGINT AS n_after,
+       |  sum(n_chars * copies)::BIGINT AS chars_after
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Text normalization: lowercase → strip non-[a-z ] → collapse runs of
     * spaces → trim; summarized per language (bytes saved, distinct-after
     * counts expose normalization-induced duplicates). */

@@ -47,6 +47,24 @@ class CurationSpec extends SparkSpec {
     assert(exact.collect().toSeq == tight.collect().toSeq)
   }
 
+  test("mix resampler: downsampled langs shrink, upsampled grow, default passes through") {
+    val m = Curation.mixResample(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = m("en") // rate 50: deterministic half
+    assert(en.getAs[Long]("n_after") < en.getAs[Long]("n_docs"))
+    assert(en.getAs[Long]("n_after") > 0)
+    val de = m("de") // rate 150: everyone kept, ~half duplicated
+    assert(de.getAs[Long]("n_after") > de.getAs[Long]("n_docs"))
+    assert(de.getAs[Long]("n_after") < 2 * de.getAs[Long]("n_docs"))
+    // default rate 100: copy count exactly 1
+    (m.keySet -- Set("en", "de")).foreach { l =>
+      assert(m(l).getAs[Long]("n_after") == m(l).getAs[Long]("n_docs"), l)
+    }
+    // deterministic: re-evaluation is identical
+    val again = Curation.mixResample(spark, sf0001)
+    assert(Curation.mixResample(spark, sf0001).exceptAll(again).isEmpty)
+  }
+
   test("k-fold split is total and every fold is in [0, k)") {
     val s = Curation.kfoldSplit(spark, sf0001, k = 5)
     val total = s.agg(sum("n_docs")).head.getLong(0)
