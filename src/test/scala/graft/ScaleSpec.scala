@@ -62,6 +62,46 @@ class ScaleSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getAs[Long]("count") == expected)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the runtime complement of static salting: one celebrity key holds
+    // most of the rows; with the skew thresholds scaled down to test-data
+    // size, AQE must mark the sort-merge join skew-handled. The data is
+    // written to parquet first — AQE sizes shuffle blocks from actual
+    // map output, and a LocalRelation would be collapsed before the join
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val hot = spark.range(0, 40000).select(
+      lit(0L).as("k"), col("id").as("payload"),
+      concat(lit("x"), col("id")).as("pad"))
+    val rest = spark.range(0, 4000).select(
+      (col("id") % 200 + 1).as("k"), col("id").as("payload"),
+      concat(lit("y"), col("id")).as("pad"))
+    hot.unionAll(rest).write.parquet(s"$dir/fact")
+    spark.range(0, 201).select(col("id").as("k"),
+      concat(lit("dim"), col("id")).as("name"))
+      .write.parquet(s"$dir/dim")
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), Seq("k"))
+      // execute THIS dataset's plan (count() would spawn a fresh
+      // QueryExecution and leave this one un-finalized)
+      assert(joined.collect().length == 44000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n${finalPlan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables join without an Exchange (co-located layout)") {
     // warehouse dir is static config — tables land in ./spark-warehouse
     // (gitignored) and are dropped below
