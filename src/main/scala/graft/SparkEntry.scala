@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, JsonOps, Multimodal, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
+import graft.operators.{Curation, Dedup, EventAnalytics, JsonOps, Multimodal, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,7 +80,9 @@ object SparkEntry {
     "q54_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "q55_order_distribution" -> ((s, d) => Windows.orderDistribution(s, d)),
     "q56_editdist_neardup" -> ((s, d) => Dedup.editDistanceNearDup(s, d)),
-    "q57_mix_resample" -> ((s, d) => Curation.mixResample(s, d))
+    "q57_mix_resample" -> ((s, d) => Curation.mixResample(s, d)),
+    "q58_funnel" -> ((s, d) => EventAnalytics.funnel(s, d)),
+    "q59_retention" -> ((s, d) => EventAnalytics.retention(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -141,6 +143,8 @@ object SparkEntry {
     "q54_incremental_dedup" -> Dedup.incrementalDedupSql(),
     "q55_order_distribution" -> Windows.orderDistributionSql,
     "q56_editdist_neardup" -> Dedup.editDistanceNearDupSql(),
-    "q57_mix_resample" -> Curation.mixResampleSql()
+    "q57_mix_resample" -> Curation.mixResampleSql(),
+    "q58_funnel" -> EventAnalytics.funnelSql,
+    "q59_retention" -> EventAnalytics.retentionSql
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-analytics staples over the `events` stream: conversion funnel
+  * and retention cohorts — the two queries every product-analytics
+  * engine ships, here as one-pass conditional aggregations.
+  *
+  * Scale posture: both collapse the event log per user in a single
+  * shuffle on the high-cardinality user_id (conditional `min`s — no
+  * joins, no window over a low-cardinality key); the second aggregation
+  * runs on one row per user (funnel) or one row per (user, day)
+  * (retention), corpus-independent of the raw event volume.
+  *
+  * Timestamps compare at whole seconds / calendar days (ns-vs-µs parity,
+  * FIXTURES.md §B).
+  */
+object EventAnalytics {
+
+  /** Conversion funnel signup → view → purchase with LOOSE ordering
+    * semantics: a user reaches a step if the FIRST occurrence of every
+    * step so far is in non-decreasing time order (first-touch funnel;
+    * inclusive ties, matching the as-of join's same-second treatment).
+    * One row per step with the surviving user count. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, unix_timestamp(col("ts"))))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(firstOf("signup").as("s"), firstOf("view").as("v"),
+        firstOf("purchase").as("p"))
+    val steps = perUser.agg(
+      sum(when(col("s").isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s") <= col("v"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s") <= col("v") && col("v") <= col("p"), 1L)
+        .otherwise(0L)).as("n3"))
+    steps.select(explode(array(
+        struct(lit(1L).as("step"), lit("signup").as("step_name"), col("n1").as("n_users")),
+        struct(lit(2L).as("step"), lit("signup>view").as("step_name"), col("n2").as("n_users")),
+        struct(lit(3L).as("step"), lit("signup>view>purchase").as("step_name"), col("n3").as("n_users"))))
+        .as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.n_users"))
+      .orderBy(col("step"))
+  }
+
+  def funnelSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup'
+      |        THEN floor(epoch(ts))::BIGINT END) AS s,
+      |    min(CASE WHEN event_type = 'view'
+      |        THEN floor(epoch(ts))::BIGINT END) AS v,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN floor(epoch(ts))::BIGINT END) AS p
+      |  FROM events GROUP BY user_id
+      |), agg AS (
+      |  SELECT
+      |    sum(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN s <= v THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |    sum(CASE WHEN s <= v AND v <= p THEN 1 ELSE 0 END)::BIGINT AS n3
+      |  FROM per_user
+      |)
+      |SELECT step, step_name, n_users FROM (
+      |  SELECT 1::BIGINT AS step, 'signup' AS step_name, n1 AS n_users FROM agg
+      |  UNION ALL
+      |  SELECT 2, 'signup>view', n2 FROM agg
+      |  UNION ALL
+      |  SELECT 3, 'signup>view>purchase', n3 FROM agg
+      |) ORDER BY step""".stripMargin
+
+  /** Retention cohorts: users grouped by the calendar day of their first
+    * event; for each (cohort_day, activity_day) the count of cohort
+    * members active that day. Day 0 of every cohort equals the cohort
+    * size by construction. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.distinct()
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), col("day").as("activity_day"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("activity_day"))
+  }
+
+  def retentionSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id
+      |)
+      |SELECT c.cohort_day, e.day AS activity_day, count(*) AS n_users
+      |FROM e JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_day, activity_day""".stripMargin
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** Funnel + retention semantics (first-touch ordering, cohort algebra). */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nanos(sec: Long): Long = sec * 1000000000L
+  private val day = 86400L
+
+  test("funnel: first-touch ordering, inclusive ties, monotone step counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    Seq(
+      // user 1: full ordered funnel
+      (1L, nanos(10), 1L, "signup", 0.0, "{}"),
+      (2L, nanos(20), 1L, "view", 0.0, "{}"),
+      (3L, nanos(30), 1L, "purchase", 0.0, "{}"),
+      // user 2: view BEFORE signup → stops at step 1 (first-touch order)
+      (4L, nanos(15), 2L, "view", 0.0, "{}"),
+      (5L, nanos(25), 2L, "signup", 0.0, "{}"),
+      (6L, nanos(35), 2L, "purchase", 0.0, "{}"),
+      // user 3: signup+view same second (inclusive tie), no purchase
+      (7L, nanos(40), 3L, "signup", 0.0, "{}"),
+      (8L, nanos(40), 3L, "view", 0.0, "{}"),
+      // user 4: never signs up → reaches nothing
+      (9L, nanos(50), 4L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val steps = EventAnalytics.funnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(steps == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"got $steps")
+  }
+
+  test("retention: day-0 count equals cohort size; counts never exceed it") {
+    val r = EventAnalytics.retention(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val byCohort = r.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.foreach { case (c, rows) =>
+      val day0 = rows.find(_.getAs[java.sql.Date]("activity_day") == c)
+      assert(day0.isDefined, s"cohort $c missing its day-0 row")
+      val size = day0.get.getAs[Long]("n_users")
+      rows.foreach(x => assert(x.getAs[Long]("n_users") <= size, x))
+      // no activity before the cohort day (min-day definition)
+      rows.foreach(x => assert(
+        !x.getAs[java.sql.Date]("activity_day").before(c), x))
+    }
+    // every user appears in exactly one cohort: day-0 totals = user count
+    val totalDay0 = byCohort.map { case (c, rows) =>
+      rows.find(_.getAs[java.sql.Date]("activity_day") == c).get.getAs[Long]("n_users")
+    }.sum
+    assert(totalDay0 == Tables.events(spark, sf0001)
+      .select("user_id").distinct().count())
+  }
+}
