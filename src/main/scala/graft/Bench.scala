@@ -30,11 +30,38 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    // Streaming throughput: the reference's per-record pipeline (score
+    // sentiment on each doc) run as a Structured Streaming micro-batch,
+    // docs replicated 20× in-stream for a stable number. The reference
+    // architecture caps at ~10² records/s/thread (synchronous per-record
+    // HTTP, stream_processor.py:127-134); this records ours for the
+    // matches-or-beats comparison. -1 on failure.
+    val streamRps: Double = try {
+      import org.apache.spark.sql.functions._
+      val path = s"$sfDir/documents.parquet"
+      val docs = spark.read.parquet(path)
+      val rows = docs.count() * 20
+      // the test table is a single parquet FILE; the streaming file
+      // source requires a directory, so stage a symlink to it
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("docs.parquet"),
+        java.nio.file.Paths.get(path).toAbsolutePath)
+      val stream = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+        .withColumn("_rep", explode(sequence(lit(1), lit(20))))
+        .withColumn("s", graft.functions.Sentiment.score(col("text")))
+      val t0 = System.nanoTime()
+      val q = stream.writeStream.format("noop").start()
+      q.processAllAvailable()
+      q.stop()
+      rows / ((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable => errors += s"stream_bench: ${e.getClass.getSimpleName}"; -1.0 }
+    // built AFTER the stream stage so its failures surface too
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_docs_per_sec":$streamRps,"errors":$errJson,"sf":"$sfDir"}"""
     // Stdout inside sbt gets an [info] prefix that defeats line-oriented
     // JSON parsers, so the metric also lands in a file the driver can read.
     println(json)
