@@ -277,14 +277,17 @@ object Similarity {
       .select(col("label").cast("long").as("label"), col("n_vecs"),
         posexplode(col("c")).as(Seq("dim", "v")))
       .select(col("label"), col("dim").cast("long").as("dim"), col("n_vecs"),
-        round(col("v"), 4).as("centroid"))
+        // + 0.0 normalizes IEEE negative zero: a near-zero mean whose
+        // SIGN depends on addition order rounds to -0.0 in one engine
+        // and +0.0 in the other (seen at sf0.001)
+        (round(col("v"), 4) + lit(0.0)).as("centroid"))
       .orderBy(col("label"), col("dim"))
   }
 
   def labelCentroidsSql: String =
     s"""SELECT label::BIGINT AS label, i::BIGINT AS dim,
        |  count(*) AS n_vecs,
-       |  round(avg(embedding[i+1]::DOUBLE), 4) AS centroid
+       |  round(avg(embedding[i+1]::DOUBLE), 4) + 0.0 AS centroid
        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin

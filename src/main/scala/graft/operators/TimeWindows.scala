@@ -103,19 +103,36 @@ object TimeWindows {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  /** E5 date/time scalars: hour-of-day profile per event type. */
+  /** E5 date/time scalars: hour-of-day profile per event type.
+    *
+    * The 4-decimal average is computed ENTIRELY in integer arithmetic:
+    * `value` is a 2-decimal quantity, so per-row cents are exact longs,
+    * the sum is order-independent, and half-up rounding to 1e-4 units is
+    * the integer identity floor((200·cents + n) / (2n)) (values are
+    * non-negative; engines differ on negative integer division). The
+    * final /10000.0 of a small integer is exact. Both `avg(double)`
+    * (±1 ulp by addition order) and `round(double, 4)` (Spark rounds the
+    * exact binary expansion, DuckDB a float multiply) proved
+    * non-portable at exact .00005 boundaries — seen at sf0.001. */
   def hourlyProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(hour(col("ts")).cast("long").as("hour_of_day"), col("event_type"),
-        col("value"))
+        round(col("value") * 100).cast("long").as("cents"))
       .groupBy(col("hour_of_day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(col("hour_of_day"), col("event_type"), col("n_events"),
+        (expr("(200 * cents + n_events) div (2 * n_events)").cast("double")
+          / 10000.0).as("avg_value"))
       .orderBy(col("hour_of_day"), col("event_type"))
 
   def hourlyProfileSql: String =
-    """SELECT hour(ts)::BIGINT AS hour_of_day, event_type,
-      |  count(*) AS n_events, round(avg(value), 4) AS avg_value
-      |FROM events
-      |GROUP BY 1, 2 ORDER BY hour_of_day, event_type""".stripMargin
+    """WITH c AS (
+      |  SELECT hour(ts)::BIGINT AS hour_of_day, event_type,
+      |    round(value * 100)::BIGINT AS cents
+      |  FROM events
+      |)
+      |SELECT hour_of_day, event_type, count(*) AS n_events,
+      |  (((200 * sum(cents)::BIGINT + count(*)) // (2 * count(*)))::DOUBLE
+      |    / 10000.0) AS avg_value
+      |FROM c GROUP BY 1, 2 ORDER BY hour_of_day, event_type""".stripMargin
 }
