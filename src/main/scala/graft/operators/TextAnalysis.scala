@@ -181,24 +181,26 @@ object TextAnalysis {
   def repetitionSummary(spark: SparkSession, dir: String,
                         topTokMax: Double = 0.30,
                         topBigramMax: Double = 0.18): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
-      .withColumn("ntok", size(col("t")).cast("long"))
-    val tokTop = base
-      .select(col("doc_id"), explode(col("t")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
-    val bigTop = base
-      .select(col("doc_id"),
-        explode(filter(
-          zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
-            (a, b) => concat(a, lit(" "), b)),
-          x => x.isNotNull)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max_big"))
-    base.select(col("doc_id"), col("lang"), col("ntok"))
-      .join(tokTop, Seq("doc_id"))
-      .join(bigTop, Seq("doc_id"), "left")
+    // ONE pass over the text: tokens and bigrams are tag-prefixed
+    // ("t:"/"b:") into a single explode, so one (doc_id, gram) count
+    // feeds both per-doc modes AND the token count (sum of t: counts) —
+    // the naive form scanned the corpus three times. The lang spine is a
+    // second scan, but column-pruned to (doc_id, lang): it never reads
+    // the text bytes.
+    val t = toks(col("text"))
+    val tagged = concat(
+      transform(t, x => concat(lit("t:"), x)),
+      filter(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => concat(lit("b:"), a, lit(" "), b)), x => x.isNotNull))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tagged).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("g").startsWith("t:"), col("c"))).as("ntok"),
+        max(when(col("g").startsWith("t:"), col("c"))).as("max_tok"),
+        max(when(col("g").startsWith("b:"), col("c"))).as("max_big"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"))
       .withColumn("top_tok_frac", col("max_tok") / col("ntok"))
       .withColumn("top_big_frac",
         coalesce(col("max_big"), lit(0L)) / greatest(col("ntok") - 1, lit(1L)))
