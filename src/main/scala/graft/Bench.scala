@@ -60,8 +60,12 @@ object Bench {
     // built AFTER the stream stage so its failures surface too
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
+    // n_queries/sec_per_query: the query count grows round over round,
+    // so the raw total is not comparable across rounds — the per-query
+    // average is.
+    val nq = results.count(_._2 >= 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_docs_per_sec":$streamRps,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"sf":"$sfDir"}"""
     // Stdout inside sbt gets an [info] prefix that defeats line-oriented
     // JSON parsers, so the metric also lands in a file the driver can read.
     println(json)
