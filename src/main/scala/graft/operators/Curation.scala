@@ -145,6 +145,45 @@ object Curation {
       |FROM documents
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** PII/boilerplate scrub patterns (C4-style): conservative regexes for
+    * URLs, e-mail addresses, and long digit runs (phone/ID shapes). Java
+    * and RE2 dialect-compatible (no lookbehind). */
+  val ScrubPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://\\S+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "digits" -> "\\d{7,}")
+
+  /** Scrub a text column: every pattern match is replaced with its
+    * `[TAG]` sentinel. Pure per-row `regexp_replace` chain — narrow,
+    * codegen'd, no UDF; at 100 TB this is a map stage fused into
+    * whatever scan feeds it.
+    *
+    * There is no qNN oracle query for this operator because the driver's
+    * synthetic corpus is lowercase-alpha only (zero matches — a
+    * degenerate oracle row proves nothing); semantics are pinned by the
+    * fixture spec instead. */
+  def scrub(text: org.apache.spark.sql.Column,
+            patterns: Seq[(String, String)] = ScrubPatterns): org.apache.spark.sql.Column =
+    patterns.foldLeft(text) { case (c, (tag, re)) =>
+      regexp_replace(c, re, s"[${tag.toUpperCase}]")
+    }
+
+  /** Per-language scrub audit: docs touched per pattern + chars removed. */
+  def scrubSummary(df: DataFrame,
+                   patterns: Seq[(String, String)] = ScrubPatterns): DataFrame = {
+    val flags = patterns.map { case (tag, re) =>
+      sum(when(regexp_like(col("text"), lit(re)), 1L).otherwise(0L))
+        .as(s"n_docs_with_$tag")
+    }
+    val delta = sum(length(col("text")) - length(scrub(col("text"), patterns)))
+      .as("chars_delta")
+    val aggs = flags :+ delta
+    df.select(col("lang"), col("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .orderBy(col("lang"))
+  }
+
   /** Benchmark-contamination check: corpus docs (doc_id ≥ benchSize)
     * sharing any word 5-gram with the "benchmark set" (doc_id <
     * benchSize) are flagged. The join key is the 60-bit shingle hash;

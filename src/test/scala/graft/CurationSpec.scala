@@ -47,6 +47,31 @@ class CurationSpec extends SparkSpec {
     assert(exact.collect().toSeq == tight.collect().toSeq)
   }
 
+  test("scrub replaces URLs/emails/digit-runs with sentinels, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      ("visit https://example.com/x?q=1 now", "en"),
+      ("mail Bob.Smith+x@sub.example.org today", "en"),
+      ("call 12345678901 soon", "en"),
+      ("clean text stays clean", "en"),
+      ("short 123456 digits survive", "de"))
+      .toDF("text", "lang")
+    val scrubbed = rows.select(Curation.scrub(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(scrubbed(0) == "visit [URL] now")
+    assert(scrubbed(1) == "mail [EMAIL] today")
+    assert(scrubbed(2) == "call [DIGITS] soon")
+    assert(scrubbed(3) == "clean text stays clean")
+    assert(scrubbed(4) == "short 123456 digits survive", "7+ digit floor")
+    val audit = Curation.scrubSummary(rows).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(audit("en").getAs[Long]("n_docs_with_url") == 1L)
+    assert(audit("en").getAs[Long]("n_docs_with_email") == 1L)
+    assert(audit("en").getAs[Long]("n_docs_with_digits") == 1L)
+    assert(audit("en").getAs[Long]("chars_delta") > 0L)
+    assert(audit("de").getAs[Long]("chars_delta") == 0L)
+  }
+
   test("mix resampler: downsampled langs shrink, upsampled grow, default passes through") {
     val m = Curation.mixResample(spark, sf0001).collect()
       .map(r => r.getAs[String]("lang") -> r).toMap
