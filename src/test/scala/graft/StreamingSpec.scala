@@ -202,6 +202,38 @@ class StreamingSpec extends SparkSpec {
       (2L, ts("2024-01-01 00:02:00"), 1L)))
   }
 
+  test("as-of enrichment state survives checkpoint restart (J4+/T5)") {
+    val src = Files.createTempDirectory("graft_asof_src").toString
+    val out = Files.createTempDirectory("graft_asof_out").toString
+    val chk = Files.createTempDirectory("graft_asof_chk").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(AsofEvent(0L, 0L, "view", 0L, 0.0)).toDF().schema)
+        .json(src).as[AsofEvent]
+      val q = Pipeline.asofEnrich(stream)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: purchase lands in state, one view matched
+    Seq(AsofEvent(1L, 7L, "purchase", 100L, 5.0),
+      AsofEvent(2L, 7L, "view", 150L, 0.0)).toDF()
+      .write.mode("append").json(src)
+    run()
+    // run 2 (fresh query, recovered checkpoint): the view can only match
+    // 5.0 if the purchase state survived the restart
+    Seq(AsofEvent(3L, 7L, "view", 200L, 0.0)).toDF()
+      .write.mode("append").json(src)
+    run()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("asof_value")).map(_.doubleValue))
+      .toMap
+    assert(rows == Map(2L -> Some(5.0), 3L -> Some(5.0)), s"got $rows")
+  }
+
   test("stateful dedup state survives checkpoint restart (T4/T5)") {
     val src = Files.createTempDirectory("graft_dd_src").toString
     val out = Files.createTempDirectory("graft_dd_out").toString
