@@ -14,6 +14,16 @@ case class MediaRecord(doc_id: Long, media_type: String, content: Array[Byte],
 case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
                          histogram: Array[Double])
 
+/** Resized media: new payload + target dims, original dims kept for
+  * provenance. */
+case class ResizedMedia(doc_id: Long, media_type: String, content: Array[Byte],
+                        width: Int, height: Int,
+                        orig_width: Int, orig_height: Int)
+
+/** One sampled frame of a media payload. */
+case class MediaFrame(doc_id: Long, frame_idx: Int, n_bytes: Int,
+                      frame: Array[Byte])
+
 /** ==== STUB ====
   * Media decoding (JPEG→pixels, PCM→frames, H.264→keyframes) requires
   * codec libraries this container does not ship. The decode step is
@@ -85,6 +95,50 @@ object Multimodal {
     media.mapPartitions { it =>
       val dec = StubDecoder.instance // once per partition/JVM, not per row
       it.map(dec.features)
+    }
+  }
+
+  /** X5 resize: aspect-preserving fit into a (maxW, maxH) box. The
+    * TARGET-DIMENSION math is real (integer floor scale, 1-pixel floor —
+    * what any thumbnailer computes); the pixel rescale itself sits
+    * behind the stub decode, so the payload passes through unchanged.
+    * Never upscales (scale capped at 1). */
+  def resize(media: Dataset[MediaRecord],
+             maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    require(maxW > 0 && maxH > 0, "resize: target box must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = StubDecoder.instance
+      it.map { r =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+        val w = math.max(1, (r.width * scale).toInt)
+        val h = math.max(1, (r.height * scale).toInt)
+        ResizedMedia(r.doc_id, r.media_type, dec.decode(r.content),
+          w, h, r.width, r.height)
+      }
+    }
+  }
+
+  /** X5 frame sampling: the (stub-)decoded payload is treated as
+    * consecutive fixed-size frames; every `everyN`-th frame is kept
+    * (video keyframe-sampling shape). The chunk/stride slicing is real;
+    * a real codec would replace the fixed-size chunking with container
+    * frame boundaries. A short final chunk is kept (real decoders emit
+    * partial trailing fragments too). */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int,
+                  everyN: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && everyN > 0, "frameSample: positive params")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = StubDecoder.instance
+      it.flatMap { r =>
+        val bytes = dec.decode(r.content)
+        bytes.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, i) if i % everyN == 0 =>
+            MediaFrame(r.doc_id, i, chunk.length, chunk)
+        }
+      }
     }
   }
 

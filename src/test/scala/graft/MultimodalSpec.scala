@@ -14,6 +14,45 @@ class MultimodalSpec extends SparkSpec {
     assert(types.toSet == Set("image", "audio", "video"))
   }
 
+  test("resize: aspect-preserving fit inside the box, never upscales") {
+    val resized = Multimodal.resize(
+      Multimodal.mediaDataset(spark, sf0001), maxW = 64, maxH = 64).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.width <= 64 && r.height <= 64 && r.width >= 1 && r.height >= 1, r)
+      assert(r.width <= r.orig_width && r.height <= r.orig_height, "no upscale")
+      // exact contract: one shared scale factor, integer floor, 1-px floor
+      val scale = math.min(1.0,
+        math.min(64.0 / r.orig_width, 64.0 / r.orig_height))
+      assert(r.width == math.max(1, (r.orig_width * scale).toInt), r)
+      assert(r.height == math.max(1, (r.orig_height * scale).toInt), r)
+      // a payload that already fits is untouched dimension-wise
+      if (r.orig_width <= 64 && r.orig_height <= 64)
+        assert(r.width == r.orig_width && r.height == r.orig_height)
+    }
+  }
+
+  test("frame sampling: fixed-size chunks, every-Nth stride, trailing fragment kept") {
+    import spark.implicits._
+    val one = Seq(MediaRecord(1L, "video", Array.range(0, 25).map(_.toByte), 10, 10))
+      .toDS()
+    val frames = Multimodal.frameSample(one, frameBytes = 10, everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    // chunks: [0..9], [10..19], [20..24]; stride 2 keeps idx 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames(0).frame.toSeq == (0 until 10).map(_.toByte))
+    assert(frames(1).frame.toSeq == (20 until 25).map(_.toByte) && frames(1).n_bytes == 5)
+    // corpus-wide: every doc yields ceil(ceil(bytes/10)/2) frames
+    val all = Multimodal.frameSample(
+      Multimodal.mediaDataset(spark, sf0001), frameBytes = 10, everyN = 2)
+    val perDoc = all.groupByKey(_.doc_id).count().collect().toMap
+    Multimodal.mediaDataset(spark, sf0001).collect().foreach { m =>
+      val nChunks = (m.content.length + 9) / 10
+      val expect = (nChunks + 1) / 2
+      assert(perDoc(m.doc_id) == expect.toLong, s"doc ${m.doc_id}")
+    }
+  }
+
   test("feature extraction: 1:1, deterministic, L1-normalized histograms") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaDataset(spark, sf0001))
       .collect()
