@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{DotProduct, MinHashSig, NGramJaccard, SimHash, TokenHitCount}
+import graft.functions.{DotProduct, MinHashSig, NGramJaccard, SimHash, TaggedGrams, TokenHitCount}
 
 /** SQL surface for the native expressions via the public
   * `SparkSessionExtensions` hook:
@@ -77,6 +77,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException("dot_product(a, b)")
+      }),
+    (FunctionIdentifier("tagged_grams"),
+      info("tagged_grams", "tagged_grams(text) - t:-tokens + b:-bigrams for repetition scoring"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => TaggedGrams(t)
+        case _ => throw new IllegalArgumentException("tagged_grams(text)")
       }))
 
   /** Register on an already-built session (tests, notebooks). */

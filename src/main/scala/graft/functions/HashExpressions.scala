@@ -226,6 +226,58 @@ object HashKernels {
     while (i < n) { acc += x(i) * y(i); i += 1 }
     java.lang.Double.valueOf(acc)
   }
+
+  /** Tagged grams for repetition scoring: "t:"+token for every token of
+    * split(lower(s), " ") (empties included), then "b:"+tok_i+' '+tok_i+1
+    * for every adjacent pair — tokens first, bigrams second, matching the
+    * HOF concat order. One pass over the UTF-8 bytes; the bigram body is
+    * the literal source substring between the two token bounds. */
+  def taggedGrams(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val out = new Array[AnyRef](nTok + math.max(0, nTok - 1))
+    var i = 0
+    while (i < nTok) {
+      val from = bounds(2 * i)
+      val len = bounds(2 * i + 1) - from
+      val buf = new Array[Byte](2 + len)
+      buf(0) = 't'; buf(1) = ':'
+      System.arraycopy(bytes, from, buf, 2, len)
+      out(i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    i = 0
+    while (i < nTok - 1) {
+      val from = bounds(2 * i)
+      val len = bounds(2 * (i + 1) + 1) - from
+      val buf = new Array[Byte](2 + len)
+      buf(0) = 'b'; buf(1) = ':'
+      System.arraycopy(bytes, from, buf, 2, len)
+      out(nTok + i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native tagged-gram expression (twin of the HOF formulation in
+  * TextAnalysis.repetitionSummary: concat of "t:"-prefixed tokens and
+  * "b:"-prefixed adjacent bigrams of split(lower(s), " "), empties
+  * included). One byte pass; adjacent tokens are separated by exactly
+  * one space, so each bigram joined with ' ' IS the source substring. */
+case class TaggedGrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"tagged_grams needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tagged_grams"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.taggedGrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.taggedGrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): TaggedGrams =
+    copy(child = newChild)
 }
 
 /** Native MinHash signature expression (twin of
@@ -353,4 +405,6 @@ object HashExpressions {
     bridge.column(SimHash(bridge.expression(text), bits))
   def dotProduct(a: Column, b: Column): Column =
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+  def taggedGrams(text: Column): Column =
+    bridge.column(TaggedGrams(bridge.expression(text)))
 }

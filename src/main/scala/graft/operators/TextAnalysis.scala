@@ -184,16 +184,14 @@ object TextAnalysis {
     // ONE pass over the text: tokens and bigrams are tag-prefixed
     // ("t:"/"b:") into a single explode, so one (doc_id, gram) count
     // feeds both per-doc modes AND the token count (sum of t: counts) —
-    // the naive form scanned the corpus three times. The lang spine is a
-    // second scan, but column-pruned to (doc_id, lang): it never reads
-    // the text bytes.
-    val t = toks(col("text"))
-    val tagged = concat(
-      transform(t, x => concat(lit("t:"), x)),
-      filter(zip_with(t, slice(t, lit(2), size(t)),
-        (a, b) => concat(lit("b:"), a, lit(" "), b)), x => x.isNotNull))
+    // the naive form scanned the corpus three times. The gram build is
+    // the native codegen kernel (the HOF concat/zip_with/filter chain is
+    // CodegenFallback; [[taggedGramsHof]] keeps it as the spec'd
+    // reference semantics). The lang spine is a second scan, but
+    // column-pruned to (doc_id, lang): it never reads the text bytes.
     val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tagged).as("g"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashExpressions.taggedGrams(col("text"))).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("g").startsWith("t:"), col("c"))).as("ntok"),
@@ -212,6 +210,17 @@ object TextAnalysis {
         sum(when(col("top_tok_frac") > topTokMax ||
           col("top_big_frac") > topBigramMax, 1L).otherwise(0L)).as("n_flagged"))
       .orderBy(col("lang"))
+  }
+
+  /** Reference HOF formulation of the tagged-gram array — the semantics
+    * the native TaggedGrams kernel is spec'd bit-equivalent to
+    * (HashKernelsSpec). */
+  def taggedGramsHof(text: Column): Column = {
+    val t = toks(text)
+    concat(
+      transform(t, x => concat(lit("t:"), x)),
+      filter(zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => concat(lit("b:"), a, lit(" "), b)), x => x.isNotNull))
   }
 
   def repetitionSummarySql(topTokMax: Double = 0.30,

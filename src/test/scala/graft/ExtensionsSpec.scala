@@ -22,10 +22,10 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("extensions class wires the same descriptions (injectFunction contract)") {
-    // the class is instantiable and exposes the five functions
+    // the class is instantiable and exposes the six functions
     val names = GraftExtensions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("token_hit_count", "minhash_sig", "simhash",
-      "ngram_jaccard", "dot_product"))
+      "ngram_jaccard", "dot_product", "tagged_grams"))
     new GraftExtensions() // must construct cleanly for spark.sql.extensions
   }
 

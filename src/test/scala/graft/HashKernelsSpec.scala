@@ -34,6 +34,15 @@ class HashKernelsSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native tagged grams == HOF concat/zip_with formulation on generated texts") {
+    val df = texts(200).toDF("text").select(
+      HashExpressions.taggedGrams(col("text")).as("native"),
+      graft.operators.TextAnalysis.taggedGramsHof(col("text")).as("hof"))
+    val bad = df.collect().filterNot(r =>
+      r.getSeq[String](0) == r.getSeq[String](1))
+    assert(bad.isEmpty, s"${bad.length} tagged-gram mismatches")
+  }
+
   test("native dot == HOF zip_with/aggregate fold, bit-exact") {
     val vecs = (0 until 50).map { i =>
       (Seq.tabulate(8)(j => math.sin(i * 8 + j)), Seq.tabulate(8)(j => math.cos(i * 8 + j)))
