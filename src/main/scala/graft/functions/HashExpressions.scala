@@ -227,6 +227,45 @@ object HashKernels {
     java.lang.Double.valueOf(acc)
   }
 
+  /** Deterministic ±1 hyperplane matrix, cached per (count, dim) — the
+    * SAME generation formula as Similarity.Hyperplanes (seed 42, one RNG
+    * stream, row-major); the bit-equivalence spec + unchanged oracles
+    * guard the two copies against drift. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def planesFor(count: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((count, dim), { case (c, d) =>
+      val rng = new scala.util.Random(42)
+      Array.fill(c)(Array.fill(d)(if (rng.nextBoolean()) 1.0 else -1.0))
+    })
+
+  /** All `bands` sign-LSH band keys of `v` in one fused pass: key b has
+    * bit i set iff v · plane_{b·bandPlanes+i} > 0, with the dot folded in
+    * the same sequential order as [[dotOrNull]]/the DotProduct kernel —
+    * bit-identical keys to the 128-expression HOF tree it replaces,
+    * without 128 per-row kernel calls and ArrayData round-trips. */
+  def signBandKeys(v: ArrayData, bands: Int, bandPlanes: Int): ArrayData = {
+    val x = v.toDoubleArray()
+    val planes = planesFor(bands * bandPlanes, x.length)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bandPlanes) {
+        val w = planes(b * bandPlanes + i)
+        var acc = 0.0
+        var j = 0
+        while (j < x.length) { acc += x(j) * w(j); j += 1 }
+        if (acc > 0) key |= (1L << i)
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** Tagged grams for repetition scoring: "t:"+token for every token of
     * split(lower(s), " ") (empties included), then "b:"+tok_i+' '+tok_i+1
     * for every adjacent pair — tokens first, bigrams second, matching the
@@ -259,6 +298,28 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** Native fused sign-LSH band-key expression (twin of the per-plane
+  * when(dot > 0, …) tree in Similarity.bandKeysHof). */
+case class SignBandKeys(child: Expression, bands: Int, bandPlanes: Int)
+    extends UnaryExpression {
+  require(bands > 0 && bandPlanes > 0 && bandPlanes < 64,
+    s"sign_band_keys needs 0 < bandPlanes < 64 and bands > 0 (got $bands, $bandPlanes)")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_band_keys needs array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_band_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.signBandKeys(input.asInstanceOf[ArrayData], bands, bandPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.signBandKeys($c, $bands, $bandPlanes)")
+  override protected def withNewChildInternal(newChild: Expression): SignBandKeys =
+    copy(child = newChild)
 }
 
 /** Native tagged-gram expression (twin of the HOF formulation in
@@ -407,4 +468,6 @@ object HashExpressions {
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
   def taggedGrams(text: Column): Column =
     bridge.column(TaggedGrams(bridge.expression(text)))
+  def signBandKeys(v: Column, bands: Int, bandPlanes: Int): Column =
+    bridge.column(SignBandKeys(bridge.expression(v), bands, bandPlanes))
 }

@@ -92,10 +92,19 @@ object Similarity {
     }.reduce(_ + _)
 
   /** The `Bands` 16-bit band keys of `v` as one array column: element b =
-    * Σ_{i<BandPlanes} sign(v · plane_{b·BandPlanes+i}) << i. Built as one
-    * array so the 128 dot kernels evaluate once per row; band fan-out
-    * happens AFTER via posexplode (the Generate blocks ProjectCollapse). */
+    * Σ_{i<BandPlanes} sign(v · plane_{b·BandPlanes+i}) << i, via the
+    * fused native kernel (ONE call per row instead of 128 dot kernels +
+    * ArrayData round-trips; [[bandKeysHof]] keeps the expression-tree
+    * formulation as the spec'd reference). Band fan-out happens AFTER
+    * via posexplode (the Generate blocks ProjectCollapse). */
   private def bandKeys(v: Column): Column =
+    graft.functions.HashExpressions.signBandKeys(
+      v.cast("array<double>"), Bands, BandPlanes)
+
+  /** Reference formulation of [[bandKeys]] — the per-plane when(dot > 0)
+    * tree the SignBandKeys kernel is spec'd bit-equivalent to
+    * (HashKernelsSpec). */
+  def bandKeysHof(v: Column): Column =
     array((0 until Bands).map { b =>
       (0 until BandPlanes).map { i =>
         val w = Hyperplanes(b * BandPlanes + i)

@@ -43,6 +43,20 @@ class HashKernelsSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.length} tagged-gram mismatches")
   }
 
+  test("native sign band keys == per-plane expression tree on real embeddings") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val df = e.select(
+      HashExpressions.signBandKeys(col("v"), 8, 16).as("native"),
+      graft.operators.Similarity.bandKeysHof(col("v")).as("hof"))
+    val bad = df.collect().filterNot(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(bad.isEmpty, s"${bad.length} band-key mismatches")
+    // sign boundary: the zero vector has every dot == 0 (NOT > 0) → all keys 0
+    val zero = Seq(Seq.fill(64)(0.0)).toDF("v").select(
+      HashExpressions.signBandKeys(col("v").cast("array<double>"), 8, 16).as("k"))
+    assert(zero.head.getSeq[Long](0) == Seq.fill(8)(0L))
+  }
+
   test("native dot == HOF zip_with/aggregate fold, bit-exact") {
     val vecs = (0 until 50).map { i =>
       (Seq.tabulate(8)(j => math.sin(i * 8 + j)), Seq.tabulate(8)(j => math.cos(i * 8 + j)))
