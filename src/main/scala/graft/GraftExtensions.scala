@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{DotProduct, MinHashSig, NGramJaccard, SimHash, TaggedGrams, TokenHitCount}
+import graft.functions.{DotProduct, MinHashSig, NGramJaccard, SignBandKeys, SimHash, TaggedGrams, TokenHitCount}
 
 /** SQL surface for the native expressions via the public
   * `SparkSessionExtensions` hook:
@@ -83,6 +83,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(t) => TaggedGrams(t)
         case _ => throw new IllegalArgumentException("tagged_grams(text)")
+      }),
+    (FunctionIdentifier("sign_band_keys"),
+      info("sign_band_keys", "sign_band_keys(v, bands, band_planes) - fused sign-LSH band keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, b, p) => SignBandKeys(v, intLit(b, "bands"), intLit(p, "band_planes"))
+        case _ => throw new IllegalArgumentException("sign_band_keys(v, bands, band_planes)")
       }))
 
   /** Register on an already-built session (tests, notebooks). */

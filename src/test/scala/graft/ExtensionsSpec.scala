@@ -22,10 +22,10 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("extensions class wires the same descriptions (injectFunction contract)") {
-    // the class is instantiable and exposes the six functions
+    // the class is instantiable and exposes every registered function
     val names = GraftExtensions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("token_hit_count", "minhash_sig", "simhash",
-      "ngram_jaccard", "dot_product", "tagged_grams"))
+      "ngram_jaccard", "dot_product", "tagged_grams", "sign_band_keys"))
     new GraftExtensions() // must construct cleanly for spark.sql.extensions
   }
 
