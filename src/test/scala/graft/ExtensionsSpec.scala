@@ -11,7 +11,9 @@ class ExtensionsSpec extends SparkSpec {
         |  simhash('a b c') AS sh,
         |  size(minhash_sig('a b c d e')) AS mlen,
         |  round(ngram_jaccard('a b c d', 'a b c d'), 4) AS jself,
-        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp""".stripMargin)
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  tagged_grams('a b') AS tg,
+        |  sign_band_keys(array(1.0d, -2.0d, 0.5d), 8, 16) AS sbk""".stripMargin)
       .head
     assert(r.getAs[Int]("hits") == 3)
     assert(r.getAs[Long]("sh") == graft.functions.HashKernels.simhash(
@@ -19,6 +21,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("mlen") == 16)
     assert(r.getAs[Double]("jself") == 1.0)
     assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[scala.collection.Seq[String]]("tg").toSeq ==
+      Seq("t:a", "t:b", "b:a b"))
+    val sbkKernel = graft.functions.HashKernels.signBandKeys(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1.0, -2.0, 0.5)), 8, 16)
+    assert(r.getAs[scala.collection.Seq[Long]]("sbk").toSeq ==
+      sbkKernel.toLongArray().toSeq)
   }
 
   test("extensions class wires the same descriptions (injectFunction contract)") {
