@@ -66,21 +66,27 @@ object HashKernels {
     * equivalence specs (HashKernelsSpec / TokenHitCountSpec), which is
     * what guards against the two copies drifting. */
   private def tokenBounds(bytes: Array[Byte]): Array[Int] = {
-    val out = new java.util.ArrayList[Integer](32)
-    var start = 0
-    var i = 0
+    // Two passes, zero boxing: split on single 0x20 bytes always yields
+    // (#spaces + 1) tokens (empties included), so the exact bound count
+    // is known up front — one right-sized int[] per row, no ArrayList
+    // of boxed Integers churning garbage in the per-row hot path.
     val n = bytes.length
+    var spaces = 0
+    var i = 0
+    while (i < n) { if (bytes(i) == ' '.toByte) spaces += 1; i += 1 }
+    val out = new Array[Int](2 * (spaces + 1))
+    var m = 0
+    var start = 0
+    i = 0
     while (i <= n) {
       if (i == n || bytes(i) == ' '.toByte) {
-        out.add(start); out.add(i)
+        out(m) = start; out(m + 1) = i
+        m += 2
         start = i + 1
       }
       i += 1
     }
-    val arr = new Array[Int](out.size)
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    arr
+    out
   }
 
   /** MinHash signature: k running minima of the (x1 + i·x2) mod P family
@@ -227,13 +233,13 @@ object HashKernels {
     java.lang.Double.valueOf(acc)
   }
 
-  /** Deterministic ±1 hyperplane matrix, cached per (count, dim) — the
-    * SAME generation formula as Similarity.Hyperplanes (seed 42, one RNG
-    * stream, row-major); the bit-equivalence spec + unchanged oracles
-    * guard the two copies against drift. */
+  /** Deterministic ±1 hyperplane matrix, cached per (count, dim): seed-42
+    * scala.util.Random, row-major. THE single source of truth —
+    * Similarity.Hyperplanes reads this (no second RNG stream to drift),
+    * and [[signBandKeys]] consumes it directly in the fused kernel. */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
-  private def planesFor(count: Int, dim: Int): Array[Array[Double]] =
+  def planesFor(count: Int, dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((count, dim), { case (c, d) =>
       val rng = new scala.util.Random(42)
       Array.fill(c)(Array.fill(d)(if (rng.nextBoolean()) 1.0 else -1.0))

@@ -50,13 +50,15 @@ object Similarity {
   val MaxBucket = 64
 
   /** (Bands × BandPlanes) planes × dims of ±1.0, deterministic (seed 42).
-    * One RNG stream: the first `Planes` rows are bit-identical to the
-    * round-1 4-plane set, so the coarse ANN probe bucket ([[bucket]]) and
-    * its oracle are unchanged. */
-  val Hyperplanes: Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(Bands * BandPlanes)(Seq.fill(Dim)(if (rng.nextBoolean()) 1.0 else -1.0))
-  }
+    * Read from [[graft.functions.HashKernels.planesFor]] — the ONE
+    * generator shared with the fused SignBandKeys kernel, so the Column
+    * tree, the kernel, and the inlined oracle literals cannot drift. The
+    * first `Planes` rows are bit-identical to the round-1 4-plane set, so
+    * the coarse ANN probe bucket ([[bucket]]) and its oracle are
+    * unchanged. */
+  val Hyperplanes: Seq[Seq[Double]] =
+    graft.functions.HashKernels.planesFor(Bands * BandPlanes, Dim)
+      .map(_.toSeq).toSeq
 
   /** Sequential-fold dot product in double — the native codegen kernel
     * ([[graft.functions.DotProduct]]); identical fold order to the HOF
@@ -301,32 +303,80 @@ object Similarity {
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin
 
-  /** Shared IVF coarse-quantizer stage: label centroids (rounded →
-    * engine-deterministic) + every vector assigned to its nearest
-    * centroid (argmax cosine, label tie-break). The assignment is cached
-    * per (session, dir) — ivfTopK and ivfMultiProbeTopK reuse one copy,
-    * as a production index would materialize its inverted lists once.
-    * The argmax window partitions by vec_id (maximal cardinality: one
-    * row per vector × centroid, grouped per vector) — no skew, no
-    * corpus-wide partition. */
+  /** Learned IVF coarse quantizer: k-means, not labels. A real index
+    * k-means-learns its centroids — labels won't exist on an unlabeled
+    * 100 TB corpus. Fully deterministic and oracle-expressible:
+    *  - seeds = the [[KmClusters]] vectors with the smallest Knuth
+    *    multiplicative hash of vec_id (tie-break vec_id) — "content-hash
+    *    init", no RNG, identical arithmetic in both engines;
+    *  - [[KmIters]] unrolled Lloyd iterations: assign every vector to its
+    *    argmax-cosine centroid (cosine round(6)ed before the argmax, cid
+    *    tie-break), recompute each centroid as the per-dim mean round(4)ed
+    *    (+0.0 normalizes IEEE -0.0 — the parity rule from labelCentroids);
+    *    a cluster that loses all members keeps its previous centroid
+    *    (coalesce — deterministic in both engines).
+    *
+    * Scale shape per iteration: the K-row centroid table is broadcast, the
+    * corpus is scanned once (argmax window partitions by vec_id — maximal
+    * cardinality, K rows per group, no skew), and the update is one
+    * partial+final VectorMean agg (shuffle = K × partitions buffers).
+    * Seed selection is a TakeOrdered (top-K by hash), never a full sort.
+    */
+  val KmClusters = 8
+  val KmIters = 3
+  /** 2^20-ish prime pre-modulus keeps vec_id·2654435761 inside signed-64
+    * at any corpus size — DuckDB ERRORS on BIGINT overflow while Spark
+    * wraps, so the arithmetic must never overflow in either engine. */
+  private val SeedMod = 1048573L
+  private val Knuth = 2654435761L
+  private def seedHash(id: Column): Column =
+    pmod((id % lit(SeedMod)) * lit(Knuth), lit(4294967296L))
+  private def seedHashSql(id: String): String =
+    s"((($id) % $SeedMod) * $Knuth) % 4294967296"
+  private val roundHalf = lit(0.0) // +0.0 after round: normalizes -0.0
+
+  /** One Lloyd assignment pass: (vec_id, v, nrm, cid) of the nearest
+    * centroid. */
+  private def assignStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        round(cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+  }
+
+  /** Shared IVF stage: learned centroids + every vector assigned to its
+    * nearest centroid. Both are cached per (session, dir) — ivfTopK and
+    * ivfMultiProbeTopK reuse one copy, as a production index would
+    * materialize its centroid table and inverted lists once. */
   private def ivfParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val mean = udaf(graft.functions.VectorMean)
     val e = withNorm(Tables.embeddings(spark, dir), "embedding")
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
-    val cents = e.groupBy(col("label"))
-      .agg(mean(col("v")).as("craw"))
-      .select(col("label").as("clabel"),
-        transform(col("craw"), x => round(x, 4)).as("cv"))
-      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("clabel"))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val cents = graft.PlanCache.cached(spark, s"sim.kmCents:$dir") {
+      val wSeed = Window.orderBy(col("h"), col("vec_id"))
+      var c = e.select(col("vec_id"), col("v"), seedHash(col("vec_id")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(KmClusters)
+        .withColumn("cid", row_number().over(wSeed) - 1)
+        .select(col("cid"), col("v").as("cv"))
+        .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      for (_ <- 1 to KmIters) {
+        val upd = assignStep(e, c).groupBy(col("cid"))
+          .agg(mean(col("v")).as("craw"))
+          .select(col("cid"),
+            transform(col("craw"), x => round(x, 4) + roundHalf).as("ucv"))
+        c = c.select(col("cid"), col("cv").as("pcv"))
+          .join(upd, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("ucv"), col("pcv")).as("cv"))
+          .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      }
+      c
+    }
     val assign = graft.PlanCache.cached(spark, s"sim.ivfAssign:$dir") {
-      e.crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          round(cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")), 6))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("clabel"))
+      assignStep(e, cents)
     }
     (cents, assign)
   }
@@ -339,8 +389,8 @@ object Similarity {
     val (_, assign) = ivfParts(spark, dir)
     val q = assign.filter(col("vec_id").isin(QueryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("clabel").as("qc"))
-    val scored = assign.join(broadcast(q), col("clabel") === col("qc"))
+        col("nrm").as("qnrm"), col("cid").as("qc"))
+    val scored = assign.join(broadcast(q), col("cid") === col("qc"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
@@ -362,44 +412,76 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("pcos").desc, col("clabel"))
+      .orderBy(col("pcos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("pcos",
         round(cosinePre(col("qv"), col("cv"), col("qnrm"), col("cnrm")), 6))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qnrm"), col("clabel"))
-    val scored = assign.join(broadcast(probes), Seq("clabel"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"))
+    val scored = assign.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosinePre(col("qv"), col("v"), col("qnrm"), col("nrm")), 6).as("cosine"))
     topKRank(scored, k)
   }
 
+  /** DuckDB twin of [[ivfParts]]: CTEs `e` (double-cast corpus), `c0` …
+    * `c$KmIters` (unrolled Lloyd), and `a` (final assignment against
+    * c$KmIters). Iteration i mirrors assignStep + the coalesce-previous
+    * centroid update exactly (same round points, same tie-breaks). */
+  private def kmeansCtes: String = {
+    val seed =
+      s"""e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings
+         |), c0 AS (
+         |  SELECT row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) - 1 AS cid,
+         |    v AS cv
+         |  FROM e
+         |  ORDER BY ${seedHashSql("vec_id")}, vec_id
+         |  LIMIT $KmClusters
+         |)""".stripMargin
+    val iters = (1 to KmIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN $prev c)
+         |  WHERE rn = 1
+         |), u$i AS (
+         |  SELECT cid, d, round(avg(v[d+1]), 4) + 0.0 AS cvd
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d)
+         |  GROUP BY cid, d
+         |), n$i AS (
+         |  SELECT cid, list(cvd ORDER BY d) AS cv FROM u$i GROUP BY cid
+         |), c$i AS (
+         |  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN n$i n ON p.cid = n.cid
+         |)""".stripMargin
+    }
+    val assign =
+      s"""a AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosineSql("e.v", "c.cv")}, 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c$KmIters c)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    (seed +: iters :+ assign).mkString(",\n")
+  }
+
   def ivfTopKSql(k: Int = 5): String =
-    s"""WITH e AS (
-       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings
-       |), c1 AS (
-       |  SELECT label AS clabel, i, round(avg(v[i+1]), 4) AS cv
-       |  FROM e CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
-       |  GROUP BY label, i
-       |), c AS (
-       |  SELECT clabel, list(cv ORDER BY i) AS cv FROM c1 GROUP BY clabel
-       |), assign AS (
-       |  SELECT vec_id, v, clabel,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY round(${cosineSql("v", "cv")}, 6) DESC, clabel) AS rn
-       |  FROM e CROSS JOIN c
-       |), a AS (
-       |  SELECT vec_id, v, clabel FROM assign WHERE rn = 1
-       |), q AS (
-       |  SELECT vec_id AS query_id, v AS qv, clabel AS qc FROM a
+    s"""WITH $kmeansCtes, q AS (
+       |  SELECT vec_id AS query_id, v AS qv, cid AS qc FROM a
        |  WHERE vec_id IN ($qidList)
        |), scored AS (
        |  SELECT q.query_id, a.vec_id,
        |    round(${cosineSql("q.qv", "a.v")}, 6) AS cosine
-       |  FROM a JOIN q ON a.clabel = q.qc AND a.vec_id <> q.query_id
+       |  FROM a JOIN q ON a.cid = q.qc AND a.vec_id <> q.query_id
        |), ranked AS (
        |  SELECT query_id, vec_id, cosine,
        |    row_number() OVER (PARTITION BY query_id
@@ -410,36 +492,20 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   def ivfMultiProbeTopKSql(k: Int = 5, nprobe: Int = 2): String =
-    s"""WITH e AS (
-       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings
-       |), c1 AS (
-       |  SELECT label AS clabel, i, round(avg(v[i+1]), 4) AS cv
-       |  FROM e CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
-       |  GROUP BY label, i
-       |), c AS (
-       |  SELECT clabel, list(cv ORDER BY i) AS cv FROM c1 GROUP BY clabel
-       |), assign AS (
-       |  SELECT vec_id, v, clabel,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY round(${cosineSql("v", "cv")}, 6) DESC, clabel) AS rn
-       |  FROM e CROSS JOIN c
-       |), a AS (
-       |  SELECT vec_id, v, clabel FROM assign WHERE rn = 1
-       |), q AS (
+    s"""WITH $kmeansCtes, q AS (
        |  SELECT vec_id AS query_id, v AS qv FROM a
        |  WHERE vec_id IN ($qidList)
        |), probes AS (
-       |  SELECT query_id, qv, clabel FROM (
-       |    SELECT q.query_id, q.qv, c.clabel,
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
        |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY round(${cosineSql("q.qv", "c.cv")}, 6) DESC, c.clabel) AS pr
-       |    FROM q CROSS JOIN c)
+       |        ORDER BY round(${cosineSql("q.qv", "c.cv")}, 6) DESC, c.cid) AS pr
+       |    FROM q CROSS JOIN c$KmIters c)
        |  WHERE pr <= $nprobe
        |), scored AS (
        |  SELECT p.query_id, a.vec_id,
        |    round(${cosineSql("p.qv", "a.v")}, 6) AS cosine
-       |  FROM a JOIN probes p ON a.clabel = p.clabel AND a.vec_id <> p.query_id
+       |  FROM a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
        |), ranked AS (
        |  SELECT query_id, vec_id, cosine,
        |    row_number() OVER (PARTITION BY query_id

@@ -100,12 +100,10 @@ class SimilaritySpec extends SparkSpec {
       .collect().toSeq
     assert(mp1 == single, "nprobe=1 must reduce to the single-probe plan")
     // probing every inverted list IS exhaustive search
-    val nLabels = Tables.embeddings(spark, sf0001)
-      .select("label").distinct().count().toInt
-    val all = Similarity.ivfMultiProbeTopK(spark, sf0001, k = 5, nprobe = nLabels)
-      .collect().toSeq
+    val all = Similarity.ivfMultiProbeTopK(spark, sf0001, k = 5,
+      nprobe = Similarity.KmClusters).collect().toSeq
     val brute = Similarity.cosineTopK(spark, sf0001, k = 5).collect().toSeq
-    assert(all == brute, s"nprobe=$nLabels must equal brute force")
+    assert(all == brute, s"nprobe=${Similarity.KmClusters} must equal brute force")
     // recall grows monotonically with nprobe: nprobe=2's hit set contains
     // every nprobe=1 hit that survives the deeper candidate pool's top-5
     val mp2 = Similarity.ivfMultiProbeTopK(spark, sf0001, k = 5, nprobe = 2)
