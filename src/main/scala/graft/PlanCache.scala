@@ -21,9 +21,15 @@ import org.apache.spark.storage.StorageLevel
 object PlanCache {
 
   private val entries =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def sid(spark: SparkSession): Int = System.identityHashCode(spark)
+  /** Session identity = `sessionUUID` — unique per SparkSession instance
+    * for the lifetime of the JVM (identityHashCode, the previous key,
+    * can collide between two live sessions). Concurrent sessions
+    * (service mode, `spark.newSession()` per request) therefore never
+    * share or clobber each other's entries; PlanCacheSpec pins this. */
+  private def sid(spark: SparkSession): String =
+    org.apache.spark.sql.graft.bridge.sessionUUID(spark)
 
   /** The persisted DataFrame for `key` in this session, building (and
     * persisting MEMORY_AND_DISK) it on first use. */

@@ -82,7 +82,13 @@ object SparkEntry {
     "q56_editdist_neardup" -> ((s, d) => Dedup.editDistanceNearDup(s, d)),
     "q57_mix_resample" -> ((s, d) => Curation.mixResample(s, d)),
     "q58_funnel" -> ((s, d) => EventAnalytics.funnel(s, d)),
-    "q59_retention" -> ((s, d) => EventAnalytics.retention(s, d))
+    "q59_retention" -> ((s, d) => EventAnalytics.retention(s, d)),
+    "q60_scrub_audit" -> ((s, d) => Curation.scrubAudit(s, d)),
+    "q61_resize_dims" -> ((s, d) => Multimodal.resizeSummary(s, d)),
+    "q62_frame_sample" -> ((s, d) => Multimodal.frameSummary(s, d)),
+    "q63_partitioned_daily" -> ((s, d) => graft.sources.Formats.dailyPrunedSummary(s, d)),
+    "q64_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "q65_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,6 +151,14 @@ object SparkEntry {
     "q56_editdist_neardup" -> Dedup.editDistanceNearDupSql(),
     "q57_mix_resample" -> Curation.mixResampleSql(),
     "q58_funnel" -> EventAnalytics.funnelSql,
-    "q59_retention" -> EventAnalytics.retentionSql
+    "q59_retention" -> EventAnalytics.retentionSql,
+    "q60_scrub_audit" -> Curation.scrubAuditSql(),
+    "q61_resize_dims" -> Multimodal.resizeSummarySql(),
+    "q62_frame_sample" -> Multimodal.frameSummarySql(),
+    // oracle reads the ORIGINAL events table: the partitioned layout
+    // rewrite must be invisible in query results
+    "q63_partitioned_daily" -> graft.sources.Formats.dailyPrunedSummarySql(),
+    "q64_dedup_clusters" -> Dedup.dedupClustersSql(),
+    "q65_quality_filter" -> TextAnalysis.qualityFilterSql
   )
 }

@@ -156,12 +156,9 @@ object Curation {
   /** Scrub a text column: every pattern match is replaced with its
     * `[TAG]` sentinel. Pure per-row `regexp_replace` chain — narrow,
     * codegen'd, no UDF; at 100 TB this is a map stage fused into
-    * whatever scan feeds it.
-    *
-    * There is no qNN oracle query for this operator because the driver's
-    * synthetic corpus is lowercase-alpha only (zero matches — a
-    * degenerate oracle row proves nothing); semantics are pinned by the
-    * fixture spec instead. */
+    * whatever scan feeds it. Oracle-gated by [[scrubAudit]] (q60), which
+    * injects scrub-able tokens in-query; raw-fixture semantics are pinned
+    * by CurationSpec. */
   def scrub(text: org.apache.spark.sql.Column,
             patterns: Seq[(String, String)] = ScrubPatterns): org.apache.spark.sql.Column =
     patterns.foldLeft(text) { case (c, (tag, re)) =>
@@ -182,6 +179,53 @@ object Curation {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), aggs: _*)
       .orderBy(col("lang"))
+  }
+
+  /** Oracle-gated scrub audit (q60): the driver's synthetic corpus is
+    * lowercase-alpha (zero scrub matches — a degenerate oracle row proves
+    * nothing), so scrub-able URL/email/digit-run tokens are injected
+    * IN-QUERY, derived deterministically from doc_id, and both engines
+    * scrub the identical augmented text. Same narrow regexp chain as
+    * [[scrubSummary]]; the injection is a constant-folding-friendly
+    * concat. */
+  def scrubAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val injected = concat(
+      col("text"),
+      when(pmod(d, lit(3)) === 0,
+        concat(lit(" see http://ex"), pmod(d, lit(7)).cast("string"),
+          lit(".com/p now"))).otherwise(lit("")),
+      when(pmod(d, lit(4)) === 1,
+        concat(lit(" mail u"), d.cast("string"), lit("@ex"),
+          pmod(d, lit(5)).cast("string"), lit(".net ok"))).otherwise(lit("")),
+      when(pmod(d, lit(5)) === 2,
+        concat(lit(" ref "), (lit(1000000L) + pmod(d * 37, lit(9000000)))
+          .cast("string"), lit(" end"))).otherwise(lit("")))
+    scrubSummary(Tables.documents(spark, dir)
+      .select(col("lang"), injected.as("text")))
+  }
+
+  def scrubAuditSql(patterns: Seq[(String, String)] = ScrubPatterns): String = {
+    // one source of truth: the SQL twin derives its regex chain from the
+    // same ScrubPatterns list the Column side folds over
+    val scrubbed = patterns.foldLeft("text") { case (e, (tag, re)) =>
+      s"regexp_replace($e, '$re', '[${tag.toUpperCase}]', 'g')"
+    }
+    val flagCols = patterns.map { case (tag, re) =>
+      s"  sum(CASE WHEN regexp_matches(text, '$re') THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_$tag,"
+    }.mkString("\n")
+    s"""WITH aug AS (
+       |  SELECT lang, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' see http://ex' || (doc_id % 7)::VARCHAR || '.com/p now' ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 1 THEN ' mail u' || doc_id::VARCHAR || '@ex' || (doc_id % 5)::VARCHAR || '.net ok' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 2 THEN ' ref ' || (1000000 + (doc_id * 37) % 9000000)::VARCHAR || ' end' ELSE '' END
+       |    AS text
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |$flagCols
+       |  sum(length(text) - length($scrubbed))::BIGINT AS chars_delta
+       |FROM aug GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** Benchmark-contamination check: corpus docs (doc_id ≥ benchSize)
@@ -217,22 +261,36 @@ object Curation {
     * is a bandwidth optimization, invisible in the result — so this
     * shares q45's oracle.
     *
-    * The `might_contain` probe is a scalar UDF over the closure-captured
-    * sketch: Spark exposes no public Column API for bloom probes, and the
-    * per-row cost is two hash multiplies against in-memory bits. */
+    * The bloom is built IN-PLAN: a Catalyst `BloomFilterAggregate` over
+    * the bench hashes, delivered to the corpus side through a scalar
+    * subquery feeding `BloomFilterMightContain` — the same machinery
+    * Spark's own runtime row-group filtering injects. Constructing this
+    * DataFrame therefore launches ZERO driver-side jobs (the old shape
+    * ran `count()` + `stat.bloomFilter` eagerly and computed the bench
+    * subquery three times); the bloom is sized statically from
+    * `benchSize × maxShinglesPerDoc`, a bound that depends only on
+    * construction parameters, never on corpus statistics. */
   def contaminationBloom(spark: SparkSession, dir: String,
                          benchSize: Int = 10, n: Int = 5,
-                         fpp: Double = 0.03): DataFrame = {
+                         fpp: Double = 0.03,
+                         maxShinglesPerDoc: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"), col("lang"),
       explode(graft.functions.HashExpressions.shingleHashes(col("text"), n)).as("h"))
     val bench = sh.filter(col("doc_id") < benchSize).select(col("h")).distinct()
-    val bloom = bench.stat.bloomFilter("h",
-      math.max(bench.count(), 1L), fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val estItems = math.max(benchSize.toLong * maxShinglesPerDoc, 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(estItems, fpp)
+    val bloomDf = bench.select(bridge.column(
+      new BloomFilterAggregate(bridge.expression(col("h")),
+        Literal(estItems), Literal(numBits)).toAggregateExpression()).as("bloom"))
+    val mightContain = bridge.column(new BloomFilterMightContain(
+      bridge.scalarSubquery(bloomDf), bridge.expression(col("h"))))
     val contaminated = sh.filter(col("doc_id") >= benchSize)
-      .filter(mightContain(col("h")))        // bounded-size prefilter
+      .filter(mightContain)                  // bounded-size prefilter
       .join(bench, Seq("h"), "left_semi")    // exact verify on survivors
       .select(col("doc_id")).distinct()
       .withColumn("is_cont", lit(1L))

@@ -142,6 +142,98 @@ object Multimodal {
     }
   }
 
+  /** Oracle-gated resize audit (q61): runs the REAL [[resize]] Dataset
+    * operator, then summarizes the produced dimensions per media type.
+    * The target-dimension math (IEEE-double scale, truncate-toward-zero,
+    * 1-pixel floor, never-upscale cap) is pure arithmetic both engines
+    * compute bit-identically; only the payload passes through the
+    * disclosed codec stub. */
+  def resizeSummary(spark: SparkSession, dir: String,
+                    maxW: Int = 128, maxH: Int = 96): DataFrame =
+    resize(mediaDataset(spark, dir), maxW, maxH)
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(when(col("width") < col("orig_width") ||
+          col("height") < col("orig_height"), 1L).otherwise(0L))
+          .as("n_downscaled"))
+      .orderBy(col("media_type"))
+
+  def resizeSummarySql(maxW: Int = 128, maxH: Int = 96): String =
+    s"""WITH m AS (
+       |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |    (16 + n_chars % 640)::INT AS w,
+       |    (16 + (n_chars * 7) % 480)::INT AS h
+       |  FROM documents
+       |), s AS (
+       |  SELECT media_type, w, h,
+       |    least(CAST(1 AS DOUBLE),
+       |          CAST($maxW AS DOUBLE) / w,
+       |          CAST($maxH AS DOUBLE) / h) AS scale
+       |  FROM m
+       |), r AS (
+       |  SELECT media_type, w, h,
+       |    greatest(1, trunc(w * scale)::INT) AS new_w,
+       |    greatest(1, trunc(h * scale)::INT) AS new_h
+       |  FROM s
+       |)
+       |SELECT media_type, count(*) AS n_items,
+       |  sum(new_w)::BIGINT AS sum_width,
+       |  sum(new_h)::BIGINT AS sum_height,
+       |  sum(CASE WHEN new_w < w OR new_h < h THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_downscaled
+       |FROM r GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  /** Oracle-gated frame-sampling audit (q62): runs the REAL
+    * [[frameSample]] operator (fixed-size chunking, keep every
+    * `everyN`-th, short trailing chunk kept), then summarizes frames per
+    * media type. The oracle reproduces the chunk/stride arithmetic in
+    * closed form — kept = ⌈⌈len/fb⌉/n⌉, with the short-tail deficit
+    * subtracted only when the last chunk's index lands on the stride. */
+  def frameSummary(spark: SparkSession, dir: String,
+                   frameBytes: Int = 64, everyN: Int = 3): DataFrame = {
+    val mt = when(pmod(col("doc_id"), lit(3)) === 0, "image")
+      .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+      .otherwise("video")
+    frameSample(mediaDataset(spark, dir), frameBytes, everyN)
+      .select(mt.as("media_type"), col("doc_id"), col("n_bytes"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_bytes").cast("long")).as("sum_frame_bytes"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("media_type"))
+  }
+
+  def frameSummarySql(frameBytes: Int = 64, everyN: Int = 3): String = {
+    val fb = frameBytes; val n = everyN
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio'
+       |         ELSE 'video' END AS media_type,
+       |    octet_length(text::BLOB) AS len
+       |  FROM documents
+       |), c AS (
+       |  SELECT media_type, doc_id, len,
+       |    (len + ${fb - 1}) // $fb AS nchunks
+       |  FROM d
+       |), k AS (
+       |  SELECT media_type, doc_id,
+       |    (nchunks + ${n - 1}) // $n AS kept,
+       |    CASE WHEN nchunks > 0 AND (nchunks - 1) % $n = 0
+       |         THEN $fb * nchunks - len ELSE 0 END AS short_deficit
+       |  FROM c
+       |)
+       |SELECT media_type,
+       |  sum(kept)::BIGINT AS n_frames,
+       |  sum(kept * $fb - short_deficit)::BIGINT AS sum_frame_bytes,
+       |  (count(*) FILTER (WHERE kept > 0))::BIGINT AS n_docs
+       |FROM k GROUP BY media_type ORDER BY media_type""".stripMargin
+  }
+
   /** X5 query: metadata + payload-size profile per media type. Catalyst
     * reads only (doc_id, n_chars, text) here; a metadata-only variant
     * would skip `text` entirely. */

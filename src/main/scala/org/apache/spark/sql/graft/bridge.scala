@@ -13,6 +13,22 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a one-row/one-column DataFrame as a scalar-subquery expression:
+    * the value is computed INSIDE the consuming query's DAG (as a subquery
+    * stage at execution time), so constructing the consumer launches no
+    * driver-side jobs. This is how Spark's own runtime row-group filtering
+    * delivers a bloom filter to a scan. */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed)
+
+  /** Stable unique id for a session instance (`sessionUUID` is
+    * private[sql]) — unlike identityHashCode, never collides between two
+    * live sessions. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Runtime function registration on an existing session (the
     * spark.sql.extensions config path needs the session to be built with
     * it; this covers already-built sessions). */

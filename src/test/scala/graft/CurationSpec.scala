@@ -47,6 +47,34 @@ class CurationSpec extends SparkSpec {
     assert(exact.collect().toSeq == tight.collect().toSeq)
   }
 
+  test("contaminationBloom construction adds zero Spark jobs over the exact variant (in-plan bloom)") {
+    val sc = spark.sparkContext
+    // Baseline: the exact variant's construction cost (parquet footer/
+    // schema-inference jobs from the table read — paid by EVERY query).
+    sc.setJobGroup("exact-construct", "baseline construction")
+    Curation.contamination(spark, sf0001) // construct only, never execute
+    sc.clearJobGroup()
+    sc.setJobGroup("bloom-construct", "must add no jobs over baseline")
+    Curation.contaminationBloom(spark, sf0001)
+    sc.clearJobGroup()
+    // The status store fills from an async listener bus, but events are
+    // ordered: once the probe job below is visible, any job fired during
+    // construction would be visible too.
+    sc.setJobGroup("bloom-probe", "flush marker")
+    spark.range(1).count()
+    sc.clearJobGroup()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (sc.statusTracker.getJobIdsForGroup("bloom-probe").isEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    assert(sc.statusTracker.getJobIdsForGroup("bloom-probe").nonEmpty,
+      "probe job never surfaced — cannot trust the lazy check")
+    val exactJobs = sc.statusTracker.getJobIdsForGroup("exact-construct").length
+    val bloomJobs = sc.statusTracker.getJobIdsForGroup("bloom-construct").length
+    assert(bloomJobs <= exactJobs,
+      s"bloom construction ran $bloomJobs jobs vs the exact variant's " +
+        s"$exactJobs — the old eager count()/stat.bloomFilter shape is back")
+  }
+
   test("scrub replaces URLs/emails/digit-runs with sentinels, leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(

@@ -65,6 +65,25 @@ class FormatsSpec extends SparkSpec {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("q63 daily-pruned summary reads only the filtered day partitions") {
+    val q = Formats.dailyPrunedSummary(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    // the day range must prune at the file index: PartitionFilters carries
+    // `day`, and no post-scan Filter re-checks it
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"),
+      s"expected day in PartitionFilters:\n$plan")
+    // layout rewrite is invisible: same rows as the unpartitioned scan
+    val direct = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")).between("2024-01-05", "2024-01-09"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+    assert(q.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("unsupported format fails fast with the supported list") {
     val e = intercept[IllegalArgumentException] {
       Formats.write(Tables.region(spark, sf0001), "/tmp/x", "xml")

@@ -331,6 +331,47 @@ class StreamingSpec extends SparkSpec {
     assert(viaFile.nonEmpty && viaFile == viaPayload)
   }
 
+  test("socket transport delivers a burst end-to-end, corrupt lines dropped (S1/F3/T6)") {
+    val server = new java.net.ServerSocket(0, 50,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val nGood = 3000
+    @volatile var nBadSent = 0
+    val feeder = new Thread(() => {
+      val sock = server.accept() // blocks until the socket source connects
+      val out = new java.io.PrintWriter(new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream,
+          java.nio.charset.StandardCharsets.UTF_8)))
+      (0 until nGood).foreach { i =>
+        out.println(s"""{"text":"spark burst item $i","lang":"en","created_at":"2024-01-01T10:00:05.000Z","entities":{"hashtags":[]}}""")
+        if (i % 100 == 0) { out.println("{\"truncated\":"); nBadSent += 1 }
+      }
+      out.flush()
+      // leave the connection open; q.stop() tears the source down
+    }, "socket-feeder")
+    feeder.setDaemon(true)
+    feeder.start()
+    val spec = Pipeline.SourceSpec("socket", options = Map(
+      "host" -> "127.0.0.1", "port" -> server.getLocalPort.toString))
+    val scored = Pipeline.scoreTweets(Pipeline.readTweets(spark, spec), "en", "spark")
+    val q = scored.writeStream.format("memory").queryName("socket_load")
+      .outputMode("append").start()
+    try {
+      // the socket delivers asynchronously: drain until every good line
+      // has landed (or a generous deadline trips)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table("socket_load").count() < nGood &&
+             System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+    } finally { q.stop(); server.close() }
+    val got = spark.table("socket_load")
+    assert(nBadSent > 0, "the burst must interleave malformed lines")
+    assert(got.count() == nGood,
+      s"every well-formed line exactly once (corrupt lines dropped, " +
+        s"stream alive): got ${got.count()} of $nGood")
+    assert(got.select("text").distinct().count() == nGood, "no duplicates")
+  }
+
   test("streaming MinHash dedup drops signature-identical docs like batch (X2)") {
     val docs = Seq(
       DocFixture(1L, "the quick brown fox jumps over the lazy dog today", ts("2024-01-01 00:00:01")),
