@@ -314,4 +314,105 @@ object Dedup {
        |  AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.s, y.s)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** X1+/X2+ duplicate-CLUSTER formation (q64): near-dup PAIRS are not
+    * yet a dedup decision — "keep one representative per duplicate
+    * group" needs the connected components of the pair graph (A~B, B~C
+    * ⇒ {A,B,C} is one group even though A,C never collided in a band).
+    * Components come from `rounds` unrolled min-label-propagation
+    * iterations over the banded-LSH candidate pairs: label starts as
+    * doc_id, each round takes the min over the neighborhood — after k
+    * rounds every component whose min-label eccentricity ≤ k has
+    * converged (LSH dup groups are near-cliques; DedupSpec asserts the
+    * fixpoint on fixtures by checking rounds and rounds+1 agree).
+    *
+    * Scale posture: the label table is (doc_id, label) — tens of bytes a
+    * row — and the edge list is only the near-dup pairs (≪ corpus), so
+    * each round is two cheap hash-partitioned shuffles on doc ids, never
+    * on text. The edge list is computed once ([[graft.PlanCache]]) and
+    * reused by all rounds. At 100 TB you'd run the same rounds as a persisted loop
+    * with a driver convergence check (or alternate large-star/small-star
+    * to bound rounds by log n); the unrolled form is the oracle-
+    * expressible twin with identical semantics. */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    // Symmetric candidate edges + self-loops, persisted: self-loops fold
+    // "min with my own label" into the neighborhood min, so each round is
+    // ONE join + ONE aggregate referencing the previous labels ONCE. (The
+    // textbook two-reference formulation — neighbor-min joined back onto
+    // labels — doubles the unrolled plan per round: O(2^rounds) recompute
+    // without a materialization barrier. This shape is linear.)
+    val edges = graft.PlanCache.cached(spark, s"dedup.edges:$threshold:$dir") {
+      val pairs = minhashNearDup(spark, dir, threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("a", "b")
+      // members-only self-loops: a doc with no edges can never change
+      // label, so propagation runs over |members| (≪ corpus) rows
+      sym.union(sym.select(col("a"), col("a")).distinct()).toDF("a", "b")
+    }
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("label")).as("label"))
+        .select(col("a").as("doc_id"), col("label"))
+    }
+    val clustered = labels
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    // docs in no pair are singleton clusters — one closed-form row (every
+    // member cluster has ≥ 2 docs, so sizes never collide with this row)
+    val singles = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(edges.select(col("a").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_single"))
+      .filter(col("n_single") > 0)
+      .select(lit(1L).as("cluster_size"), col("n_single").as("n_clusters"),
+        col("n_single").as("n_docs"))
+    clustered.unionByName(singles).orderBy(col("cluster_size"))
+  }
+
+  def dedupClustersSql(threshold: Double = 0.5, rounds: Int = 6): String = {
+    val iters = (1 to rounds).map { i =>
+      s""", l$i AS (
+         |  SELECT l.doc_id,
+         |    least(l.label, coalesce(min(n.label), l.label)) AS label
+         |  FROM l${i - 1} l
+         |  LEFT JOIN e ON e.a = l.doc_id
+         |  LEFT JOIN l${i - 1} n ON n.doc_id = e.b
+         |  GROUP BY l.doc_id, l.label
+         |)""".stripMargin
+    }.mkString
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig, mh
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |  WHERE round(list_sum([CASE WHEN x.mh[i+1] = y.mh[i+1] THEN 1 ELSE 0 END
+       |                        for i in range(0, $kMinhash)]) / $kMinhash.0, 4)
+       |    >= $threshold
+       |), e AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM pairs
+       |), l0 AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |)$iters
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  sum(cluster_size)::BIGINT AS n_docs
+       |FROM (SELECT label, count(*) AS cluster_size
+       |      FROM l$rounds GROUP BY label)
+       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+  }
 }

@@ -139,6 +139,65 @@ object TextAnalysis {
        |FROM q GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** X4+ quality-QUANTILE filter (q65): keep each language's upper half
+    * by quality score — "drop everything below the median quality" as a
+    * training-data curation gate. The cutoff is RANK-based (row_number
+    * over (rounded score, doc_id), keep rows with 2·rn > n): integer
+    * semantics both engines compute identically, where an interpolated
+    * percentile cutoff could drift by an ulp at the boundary. Scores are
+    * rounded BEFORE ranking (cross-engine float rule).
+    *
+    * Scale posture: the window partitions by lang, so one language's
+    * rank is one shuffle partition group — fine for per-lang curation
+    * sets; for a 100 TB single-language corpus the production shape is
+    * an approx-quantile sketch cutoff + exact refinement pass, with this
+    * exact-rank twin as its oracle at test scale. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("q"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        round(qualityScore(col("text")), 6).as("q"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rn") * 2 > col("n"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("q")).as("min_kept_quality"))
+      .orderBy(col("lang"))
+  }
+
+  def qualityFilterSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    len(t)::DOUBLE AS ntok,
+       |    len(list_distinct(t))::DOUBLE AS uniq,
+       |    len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |    length(text)::DOUBLE AS chars
+       |  FROM (SELECT lang, doc_id, n_chars, text,
+       |        string_split(lower(text), ' ') AS t FROM documents)
+       |), q AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    round(0.25 * least(ntok / 50.0, 1.0) +
+       |          0.25 * (uniq / ntok) +
+       |          0.25 * (1.0 - (stops / ntok)) +
+       |          0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6) AS q
+       |  FROM s
+       |), r AS (
+       |  SELECT lang, doc_id, n_chars, q,
+       |    row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM q
+       |)
+       |SELECT lang, max(n)::BIGINT AS n_docs, count(*) AS n_kept,
+       |  sum(n_chars)::BIGINT AS kept_chars, min(q) AS min_kept_quality
+       |FROM r WHERE rn * 2 > n GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** X4 token counting: whitespace tokens vs BPE-ish regex word pieces
     * (`[a-z]+` runs — digits/punctuation split off), per language. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

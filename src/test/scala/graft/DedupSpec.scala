@@ -9,6 +9,25 @@ import graft.operators.Dedup
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dedup clusters: label propagation reaches a fixpoint and partitions the corpus") {
+    val atK = Dedup.dedupClusters(spark, sf0001).collect().toSeq
+    // one more round changes nothing — the unrolled round count suffices
+    // on this graph (components' min-label eccentricity < rounds)
+    val atK1 = Dedup.dedupClusters(spark, sf0001, rounds = 7).collect().toSeq
+    assert(atK == atK1, "rounds+1 changed the clustering — not yet a fixpoint")
+    // clusters partition the corpus: sizes sum to the doc count
+    val totalDocs = Tables.documents(spark, sf0001).count()
+    assert(atK.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    // the planted near-dups produce at least one multi-doc cluster, and
+    // transitivity can only merge: clusters >= pairs-connected docs shape
+    assert(atK.exists(r => r.getAs[Long]("cluster_size") > 1))
+    // every doc in exactly one cluster: n_docs = size × n_clusters per row
+    atK.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("edit-distance verify: pairs are a candidate subset with dist <= bound") {
     val ed = operators.Dedup.editDistanceNearDup(spark, sf0001, maxDist = 20)
       .collect()

@@ -16,6 +16,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("quality filter keeps exactly the upper half per language") {
+    val rows = graft.operators.TextAnalysis.qualityFilter(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val kept = r.getAs[Long]("n_kept")
+      // rank cutoff 2·rn > n keeps ⌈n/2⌉ rows (median element included
+      // when n is odd)
+      assert(kept == n - n / 2, s"lang ${r.getString(0)}: kept $kept of $n")
+      assert(r.getAs[Double]("min_kept_quality") >= 0.0 &&
+        r.getAs[Double]("min_kept_quality") <= 1.0)
+    }
+    // the filter is selective, not a pass-through
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val keptTotal = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(keptTotal < total)
+  }
+
   test("language-ID is deterministic and total (every doc gets a prediction)") {
     val conf = TextAnalysis.langIdConfusion(spark, sf0001)
     val total = conf.agg(sum("n_docs")).head.getLong(0)
