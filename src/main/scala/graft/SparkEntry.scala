@@ -88,7 +88,9 @@ object SparkEntry {
     "q62_frame_sample" -> ((s, d) => Multimodal.frameSummary(s, d)),
     "q63_partitioned_daily" -> ((s, d) => graft.sources.Formats.dailyPrunedSummary(s, d)),
     "q64_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
-    "q65_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d))
+    "q65_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
+    "q66_quantization_audit" -> ((s, d) => Similarity.quantizationAudit(s, d)),
+    "q67_bigram_fluency" -> ((s, d) => TextAnalysis.bigramFluency(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -159,6 +161,8 @@ object SparkEntry {
     // rewrite must be invisible in query results
     "q63_partitioned_daily" -> graft.sources.Formats.dailyPrunedSummarySql(),
     "q64_dedup_clusters" -> Dedup.dedupClustersSql(),
-    "q65_quality_filter" -> TextAnalysis.qualityFilterSql
+    "q65_quality_filter" -> TextAnalysis.qualityFilterSql,
+    "q66_quantization_audit" -> Similarity.quantizationAuditSql,
+    "q67_bigram_fluency" -> TextAnalysis.bigramFluencySql
   )
 }

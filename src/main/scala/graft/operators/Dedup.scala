@@ -84,10 +84,12 @@ object Dedup {
         array_join(slice(col("mh"), col("band") * rowsN + 1, lit(rowsN)), "_")
           .as("sig"), col("mh")) ++ carry.map(col)): _*)
 
-  /** X2 MinHash near-dup: banded-LSH candidates, similarity estimated as
-    * the fraction of agreeing signature slots (k=16 → est is i/16,
-    * exactly representable in binary, so cross-engine float-safe). */
-  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** Unsorted thresholded candidate pairs — shared by [[minhashNearDup]]
+    * (which presents them ordered) and [[dedupClusters]] (which persists
+    * them as the component-edge list; a global sort before that persist
+    * would be a wasted shuffle). */
+  private def minhashPairs(spark: SparkSession, dir: String,
+                           threshold: Double): DataFrame = {
     val b = banded(signatures(spark, dir), Seq.empty)
     val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("mh").as("amh"))
     val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("mh").as("bmh"))
@@ -99,8 +101,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** X2 MinHash near-dup: banded-LSH candidates, similarity estimated as
+    * the fraction of agreeing signature slots (k=16 → est is i/16,
+    * exactly representable in binary, so cross-engine float-safe). */
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    minhashPairs(spark, dir, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   def minhashNearDupSql(threshold: Double = 0.5): String =
     s"""WITH toks AS (
@@ -343,7 +351,7 @@ object Dedup {
     // labels — doubles the unrolled plan per round: O(2^rounds) recompute
     // without a materialization barrier. This shape is linear.)
     val edges = graft.PlanCache.cached(spark, s"dedup.edges:$threshold:$dir") {
-      val pairs = minhashNearDup(spark, dir, threshold)
+      val pairs = minhashPairs(spark, dir, threshold)
         .select(col("doc_a"), col("doc_b"))
       val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .toDF("a", "b")

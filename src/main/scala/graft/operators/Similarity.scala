@@ -279,6 +279,62 @@ object Similarity {
   /** A4: per-label centroids via the typed [[graft.functions.VectorMean]]
     * Aggregator (udaf), exploded to (label, dim, value) rows so the oracle
     * compares scalars, not array-render formats. */
+  /** X3+ int8 scalar-quantization audit (q66): the standard 4× vector
+    * storage shrink (absmax scaling to [-127,127]) with its
+    * reconstruction-error accounting — the op a 100 TB embedding store
+    * runs before deciding a quantization level. Per-vector SSE is a
+    * SEQUENTIAL fold (cross-engine bit-identical), then converted to
+    * exact integer micro-units before the per-label sum so no
+    * order-dependent double accumulation ever happens.
+    *
+    * Scale posture: one narrow map over the vectors + one partial-agg
+    * groupBy on label; nothing shuffles but (label, 3 longs) rows. */
+  def quantizationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = when(amax === 0.0, lit(1.0)).otherwise(amax / lit(127.0))
+    val qv = transform(v, x =>
+      least(greatest(round(x / scale), lit(-127.0)), lit(127.0)))
+    val err = zip_with(v, qv, (x, q) => (x - q * scale) * (x - q * scale))
+    val sse = aggregate(err, lit(0.0), (acc, e) => acc + e)
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        round(sse * lit(1000000.0)).cast("long").as("sse_micro"),
+        size(filter(qv, q => abs(q) === 127.0)).cast("long").as("n_sat"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sse_micro")).as("sum_sse_micro"),
+        sum(col("n_sat")).as("n_saturated"))
+      .orderBy(col("label"))
+  }
+
+  def quantizationAuditSql: String =
+    """WITH b AS (
+      |  SELECT label, embedding::DOUBLE[] AS v,
+      |    list_max([abs(x) for x in embedding::DOUBLE[]]) AS amax
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT label, v,
+      |    CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+      |  FROM b
+      |), q AS (
+      |  SELECT label, v, scale,
+      |    [least(greatest(round(x / scale), -127.0), 127.0) for x in v] AS qv
+      |  FROM s
+      |), e AS (
+      |  SELECT label,
+      |    round(list_reduce(list_prepend(0.0,
+      |      [(v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)
+      |       for i in range(1, len(v) + 1)]),
+      |      (acc, x) -> acc + x) * 1000000)::BIGINT AS sse_micro,
+      |    len(list_filter(qv, x -> abs(x) = 127.0))::BIGINT AS n_sat
+      |  FROM q
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |  sum(sse_micro)::BIGINT AS sum_sse_micro,
+      |  sum(n_sat)::BIGINT AS n_saturated
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val mean = udaf(graft.functions.VectorMean)
     Tables.embeddings(spark, dir)

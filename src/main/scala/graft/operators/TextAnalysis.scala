@@ -271,6 +271,63 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** X4+ corpus-frequency fluency score (q67): the count-based stand-in
+    * for an LM-perplexity quality filter (KenLM-style corpus filtering) —
+    * each document is scored by how common its word bigrams are in the
+    * whole corpus (rare-bigram text = likely noise/garble). All
+    * accumulation is INTEGER (occurrence counts), with one final
+    * long/long division per language — no order-dependent float sums.
+    *
+    * Scale posture: bigrams ride as 60-bit hashes (the string never
+    * shuffles); the global count table is vocabulary-sized with map-side
+    * partial aggregation; the occurrence⋈count join is keyed on the hash
+    * (a hot bigram key is AQE-skew-split). Bigrams are computed ONCE via
+    * the native TaggedGrams kernel and PlanCache-persisted across the
+    * count build and the per-doc join. */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    val bg = graft.PlanCache.cached(spark, s"textanalysis.bigrams:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.HashExpressions.taggedGrams(col("text"))).as("g"))
+        .filter(col("g").startsWith("b:"))
+        .select(col("doc_id"), col("lang"),
+          TextHash.h1(col("g").substr(lit(3), length(col("g")))).as("h"))
+    }
+    val counts = bg.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    bg.join(counts, Seq("h"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("hits"), count(lit(1)).as("nbg"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nbg")).as("total_bigrams"),
+        sum(col("hits")).as("total_hits"),
+        (sum(col("hits")) / sum(col("nbg"))).as("avg_bigram_freq"))
+      .orderBy(col("lang"))
+  }
+
+  def bigramFluencySql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, lang, ${TextHash.h1Sql("g")} AS h
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(t)),
+       |            i -> t[i] || ' ' || t[i+1])) AS g
+       |        FROM base)
+       |), gc AS (
+       |  SELECT h, count(*) AS c FROM bg GROUP BY h
+       |), pd AS (
+       |  SELECT b.doc_id, b.lang, sum(gc.c)::BIGINT AS hits,
+       |    count(*) AS nbg
+       |  FROM bg b JOIN gc USING (h) GROUP BY b.doc_id, b.lang
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  sum(nbg)::BIGINT AS total_bigrams,
+       |  sum(hits)::BIGINT AS total_hits,
+       |  sum(hits)::BIGINT / sum(nbg)::BIGINT AS avg_bigram_freq
+       |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Reference HOF formulation of the tagged-gram array — the semantics
     * the native TaggedGrams kernel is spec'd bit-equivalent to
     * (HashKernelsSpec). */

@@ -14,6 +14,20 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.Hyperplanes == Similarity.Hyperplanes)
   }
 
+  test("int8 quantization: absmax element saturates, error bounded by half-step") {
+    val rows = Similarity.quantizationAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nVecs = rows.map(_.getAs[Long]("n_vecs")).sum
+    // the max-|x| component always quantizes to exactly ±127
+    assert(rows.map(_.getAs[Long]("n_saturated")).sum >= nVecs)
+    // per-component error ≤ scale/2, scale ≤ amax/127 ≤ ~1/127 for unit-ish
+    // vectors → generous per-vector SSE sanity cap in micro-units
+    rows.foreach { r =>
+      val avgSse = r.getAs[Long]("sum_sse_micro").toDouble / r.getAs[Long]("n_vecs")
+      assert(avgSse >= 0.0 && avgSse < 1e6, s"label ${r.get(0)}: avg SSE $avgSse µ")
+    }
+  }
+
   test("brute-force top-k: cosine in [-1,1], ranks dense from 1, ordered desc") {
     val rows = Similarity.cosineTopK(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -16,6 +16,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("bigram fluency: every bigram counts itself, so the average frequency >= 1") {
+    val rows = graft.operators.TextAnalysis.bigramFluency(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_hits") >= r.getAs[Long]("total_bigrams"))
+      assert(r.getAs[Double]("avg_bigram_freq") >= 1.0)
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
+
   test("quality filter keeps exactly the upper half per language") {
     val rows = graft.operators.TextAnalysis.qualityFilter(spark, sf0001).collect()
     assert(rows.nonEmpty)
