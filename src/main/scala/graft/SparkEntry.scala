@@ -90,7 +90,11 @@ object SparkEntry {
     "q64_dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "q65_quality_filter" -> ((s, d) => TextAnalysis.qualityFilter(s, d)),
     "q66_quantization_audit" -> ((s, d) => Similarity.quantizationAudit(s, d)),
-    "q67_bigram_fluency" -> ((s, d) => TextAnalysis.bigramFluency(s, d))
+    "q67_bigram_fluency" -> ((s, d) => TextAnalysis.bigramFluency(s, d)),
+    // oracles for q68/q69 are the PLAIN joins: salting and bucketing are
+    // physical levers that must be invisible in query results
+    "q68_salted_join" -> ((s, d) => graft.operators.Scale.saltedJoinSummary(s, d)),
+    "q69_bucketed_join" -> ((s, d) => graft.operators.Scale.bucketedJoinSummary(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,6 +167,8 @@ object SparkEntry {
     "q64_dedup_clusters" -> Dedup.dedupClustersSql(),
     "q65_quality_filter" -> TextAnalysis.qualityFilterSql,
     "q66_quantization_audit" -> Similarity.quantizationAuditSql,
-    "q67_bigram_fluency" -> TextAnalysis.bigramFluencySql
+    "q67_bigram_fluency" -> TextAnalysis.bigramFluencySql,
+    "q68_salted_join" -> graft.operators.Scale.saltedJoinSummarySql,
+    "q69_bucketed_join" -> graft.operators.Scale.bucketedJoinSummarySql
   )
 }

@@ -53,4 +53,68 @@ object Scale {
       .saveAsTable(table)
     table
   }
+
+  /** Oracle-gated salted join (q68): the lineitem⋈supplier join run
+    * through [[saltedJoin]] (salt 4), aggregated per supplier nation. The
+    * oracle is the PLAIN join — salting must be row-identical, so the
+    * skew lever is proven invisible through the driver's hash gate, not
+    * just in ScaleSpec. l_quantity is integral, so the double sum is
+    * exact regardless of addition order. */
+  def saltedJoinSummary(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        salt: Int = 4): DataFrame = {
+    val fact = graft.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_quantity"))
+    val supp = graft.Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    saltedJoin(fact, supp, "l_suppkey", "s_suppkey", salt)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  def saltedJoinSummarySql: String =
+    """SELECT s_nationkey, count(*) AS n_items,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** Tables whose bucketed copies this JVM already wrote (same
+    * once-per-JVM materialization contract as the q63 partitioned
+    * layout and the IVF index). */
+  private val bucketedDirs = scala.collection.mutable.Set.empty[String]
+
+  /** Oracle-gated bucketed join (q69): lineitem and orders rewritten
+    * bucketed+sorted on the order key (8 buckets), then joined — the
+    * scan-time co-location that removes BOTH Exchanges from a repeated
+    * fact⋈fact join at 100 TB (ScaleSpec proves the no-Exchange plan).
+    * The oracle is the plain join over the original tables: a layout
+    * rewrite must be invisible in query results. */
+  def bucketedJoinSummary(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val lt = s"graft_lineitem_bkt_$suffix"
+    val ot = s"graft_orders_bkt_$suffix"
+    bucketedDirs.synchronized {
+      if (!bucketedDirs.contains(suffix)) {
+        writeBucketed(graft.Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity")), lt, "l_orderkey", 8)
+        writeBucketed(graft.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")), ot, "o_orderkey", 8)
+        bucketedDirs += suffix
+      }
+    }
+    spark.table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def bucketedJoinSummarySql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

@@ -12,6 +12,29 @@ case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 case class UserState(n: Long)
 case class UserCount(user_id: Long, n_events: Long)
 
+/** Spark-4 `StatefulProcessor` behind [[Pipeline.runningUserCountsTws]]:
+  * one named `ValueState[Long]` per user, TTL declared per state variable
+  * (`TTLConfig`) instead of the mapGroupsWithState timeout dance. */
+class UserCountProcessor(stateTtl: Option[java.time.Duration] = None)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserCount] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var countState: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val ttl = stateTtl.fold(TTLConfig.NONE)(TTLConfig.apply)
+    countState = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                               timerValues: TimerValues): Iterator[UserCount] = {
+    val prev = if (countState.exists()) countState.get() else 0L
+    val n = prev + rows.size
+    countState.update(n)
+    Iterator.single(UserCount(key, n))
+  }
+}
+
 /** Typed rows for [[Pipeline.asofEnrich]] (streaming twin of the batch
   * as-of join, q51). Epochs are whole seconds, like the batch operator. */
 case class AsofEvent(event_id: Long, user_id: Long, event_type: String,
@@ -316,6 +339,28 @@ object Pipeline {
             UserCount(uid, n)
           }
       }
+  }
+
+  /** T4 (EXT): the same per-user running count on Spark 4's
+    * `transformWithState` — the CURRENT arbitrary-state API
+    * (StatefulProcessor + typed state variables + per-state TTL), which
+    * supersedes mapGroupsWithState for new code: state is named and
+    * composable (multiple ValueState/ListState/MapState per processor),
+    * TTL is declarative per state variable instead of hand-rolled timeout
+    * dances, and the store is RocksDB-backed (required by the API;
+    * [[graft.Sessions]] leaves the default store for everything else, so
+    * callers opt in per query via
+    * `spark.sql.streaming.stateStore.providerClass`).
+    * StreamingSpec proves batch-by-batch parity with
+    * [[runningUserCounts]]. */
+  def runningUserCountsTws(events: org.apache.spark.sql.Dataset[UserEvent],
+                           stateTtl: Option[java.time.Duration] = None)
+      : org.apache.spark.sql.Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserCountProcessor(stateTtl),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** T4 (EXT): sessionization via the typed

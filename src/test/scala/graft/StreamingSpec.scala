@@ -311,6 +311,41 @@ class StreamingSpec extends SparkSpec {
     assert(latest == Map(1L -> 3L, 2L -> 1L), s"got $latest")
   }
 
+  test("transformWithState running counts match mapGroupsWithState batch-by-batch (T4)") {
+    import graft.streaming.UserEvent
+    // the transformWithState operator requires the RocksDB state store;
+    // scope the provider to this test and restore the session default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(build: org.apache.spark.sql.Dataset[UserEvent] =>
+                     org.apache.spark.sql.Dataset[graft.streaming.UserCount],
+              name: String): Map[Long, Long] = {
+        val mem = MemoryStream[UserEvent]
+        val q = build(mem.toDS()).toDF().writeStream.format("memory")
+          .queryName(name).outputMode("update").start()
+        try {
+          mem.addData(UserEvent(1L, ts("2024-01-01 00:00:01")),
+            UserEvent(1L, ts("2024-01-01 00:00:02")),
+            UserEvent(2L, ts("2024-01-01 00:00:03")))
+          q.processAllAvailable()
+          mem.addData(UserEvent(1L, ts("2024-01-01 00:01:00")),
+            UserEvent(3L, ts("2024-01-01 00:01:30"))) // second batch
+          q.processAllAvailable()
+        } finally q.stop()
+        spark.table(name).groupBy("user_id").agg(max("n_events").as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val legacy = run(ds => Pipeline.runningUserCounts(ds), "tws_legacy")
+      val tws = run(ds => Pipeline.runningUserCountsTws(ds), "tws_new")
+      assert(tws == legacy, s"tws=$tws legacy=$legacy")
+      assert(tws == Map(1L -> 3L, 2L -> 1L, 3L -> 1L),
+        "state must accumulate across batches in both APIs")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("source seam: schema'd file and payload transports give identical results (S1)") {
     val src = Files.createTempDirectory("graft_seam_src").toString
     tweets.toDF().write.mode("overwrite").json(src)
