@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{DotProduct, MinHashSig, NGramJaccard, SignBandKeys, SimHash, TaggedGrams, TokenHitCount}
+import graft.functions.{DotProduct, Int8Audit, MinHashSig, NGramJaccard, SignBandKeys, SimHash, TaggedGrams, TokenHitCount}
 
 /** SQL surface for the native expressions via the public
   * `SparkSessionExtensions` hook:
@@ -89,6 +89,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(v, b, p) => SignBandKeys(v, intLit(b, "bands"), intLit(p, "band_planes"))
         case _ => throw new IllegalArgumentException("sign_band_keys(v, bands, band_planes)")
+      }),
+    (FunctionIdentifier("int8_audit"),
+      info("int8_audit", "int8_audit(v) - absmax int8 quantization audit: [sse_micro, n_sat]"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => Int8Audit(v)
+        case _ => throw new IllegalArgumentException("int8_audit(v)")
       }))
 
   /** Register on an already-built session (tests, notebooks). */

@@ -272,6 +272,44 @@ object HashKernels {
     new GenericArrayData(keys)
   }
 
+  /** Spark's `round(x, 0)` for doubles, exactly: shortest-decimal
+    * BigDecimal (valueOf) + HALF_UP, NaN/Inf passed through — the kernel
+    * must reproduce the built-in bit-for-bit or the oracle twins drift. */
+  private def roundHalfUp(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Fused int8 scalar-quantization audit of one vector: absmax scale,
+    * per-element round-half-up + clamp to ±127, squared reconstruction
+    * error folded SEQUENTIALLY, result as exact integer micro-units plus
+    * the saturated-component count — `[sse_micro, n_sat]`. Bit-identical
+    * to the HOF chain (array_max/transform/zip_with/aggregate/filter with
+    * Spark `round`) it replaces, in one pass with no per-row ArrayData
+    * tree interpretation. */
+  def int8Audit(v: ArrayData): ArrayData = {
+    val x = v.toDoubleArray()
+    var amax = 0.0
+    var i = 0
+    while (i < x.length) {
+      val a = math.abs(x(i)); if (a > amax) amax = a; i += 1
+    }
+    val scale = if (amax == 0.0) 1.0 else amax / 127.0
+    var sse = 0.0
+    var nSat = 0L
+    i = 0
+    while (i < x.length) {
+      var q = roundHalfUp(x(i) / scale)
+      if (q < -127.0) q = -127.0
+      if (q > 127.0) q = 127.0
+      if (math.abs(q) == 127.0) nSat += 1
+      val e = x(i) - q * scale
+      sse += e * e
+      i += 1
+    }
+    new GenericArrayData(Array(roundHalfUp(sse * 1000000.0).toLong, nSat))
+  }
+
   /** Tagged grams for repetition scoring: "t:"+token for every token of
     * split(lower(s), " ") (empties included), then "b:"+tok_i+' '+tok_i+1
     * for every adjacent pair — tokens first, bigrams second, matching the
@@ -325,6 +363,24 @@ case class SignBandKeys(child: Expression, bands: Int, bandPlanes: Int)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.HashKernels.signBandKeys($c, $bands, $bandPlanes)")
   override protected def withNewChildInternal(newChild: Expression): SignBandKeys =
+    copy(child = newChild)
+}
+
+/** Native fused int8-quantization-audit expression (twin of the HOF
+  * chain in Similarity.quantizationAuditHof): `[sse_micro, n_sat]`. */
+case class Int8Audit(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"int8_audit needs array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "int8_audit"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.int8Audit(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.int8Audit($c)")
+  override protected def withNewChildInternal(newChild: Expression): Int8Audit =
     copy(child = newChild)
 }
 
@@ -476,4 +532,7 @@ object HashExpressions {
     bridge.column(TaggedGrams(bridge.expression(text)))
   def signBandKeys(v: Column, bands: Int, bandPlanes: Int): Column =
     bridge.column(SignBandKeys(bridge.expression(v), bands, bandPlanes))
+
+  def int8Audit(v: Column): Column =
+    bridge.column(Int8Audit(bridge.expression(v)))
 }

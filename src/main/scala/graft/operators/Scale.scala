@@ -97,6 +97,15 @@ object Scale {
     val ot = s"graft_orders_bkt_$suffix"
     bucketedDirs.synchronized {
       if (!bucketedDirs.contains(suffix)) {
+        Seq(lt, ot).foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          // a previous JVM may have left the managed location behind with
+          // no catalog entry — saveAsTable refuses to reuse such a dir
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), t)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
         writeBucketed(graft.Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_quantity")), lt, "l_orderkey", 8)
         writeBucketed(graft.Tables.orders(spark, dir)

@@ -290,22 +290,35 @@ object Similarity {
     * Scale posture: one narrow map over the vectors + one partial-agg
     * groupBy on label; nothing shuffles but (label, 3 longs) rows. */
   def quantizationAudit(spark: SparkSession, dir: String): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val amax = array_max(transform(v, x => abs(x)))
-    val scale = when(amax === 0.0, lit(1.0)).otherwise(amax / lit(127.0))
-    val qv = transform(v, x =>
-      least(greatest(round(x / scale), lit(-127.0)), lit(127.0)))
-    val err = zip_with(v, qv, (x, q) => (x - q * scale) * (x - q * scale))
-    val sse = aggregate(err, lit(0.0), (acc, e) => acc + e)
+    // fused native kernel: one pass per vector ([sse_micro, n_sat]);
+    // the HOF chain it is spec'd bit-equivalent to is quantizationAuditHof
+    val audit = graft.functions.HashExpressions.int8Audit(
+      col("embedding").cast("array<double>"))
     Tables.embeddings(spark, dir)
+      .select(col("label"), audit.as("a"))
       .select(col("label"),
-        round(sse * lit(1000000.0)).cast("long").as("sse_micro"),
-        size(filter(qv, q => abs(q) === 127.0)).cast("long").as("n_sat"))
+        element_at(col("a"), 1).as("sse_micro"),
+        element_at(col("a"), 2).as("n_sat"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(col("sse_micro")).as("sum_sse_micro"),
         sum(col("n_sat")).as("n_saturated"))
       .orderBy(col("label"))
+  }
+
+  /** Reference HOF formulation of the int8 audit — the semantics the
+    * native Int8Audit kernel is spec'd bit-equivalent to
+    * (HashKernelsSpec): `[round(sse·1e6)::long, n_saturated]`. */
+  def quantizationAuditHof(v: Column): Column = {
+    val vd = v.cast("array<double>")
+    val amax = array_max(transform(vd, x => abs(x)))
+    val scale = when(amax === 0.0, lit(1.0)).otherwise(amax / lit(127.0))
+    val qv = transform(vd, x =>
+      least(greatest(round(x / scale), lit(-127.0)), lit(127.0)))
+    val err = zip_with(vd, qv, (x, q) => (x - q * scale) * (x - q * scale))
+    val sse = aggregate(err, lit(0.0), (acc, e) => acc + e)
+    array(round(sse * lit(1000000.0)).cast("long"),
+      size(filter(qv, q => abs(q) === 127.0)).cast("long"))
   }
 
   def quantizationAuditSql: String =

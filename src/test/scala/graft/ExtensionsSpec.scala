@@ -13,7 +13,8 @@ class ExtensionsSpec extends SparkSpec {
         |  round(ngram_jaccard('a b c d', 'a b c d'), 4) AS jself,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  tagged_grams('a b') AS tg,
-        |  sign_band_keys(array(1.0d, -2.0d, 0.5d), 8, 16) AS sbk""".stripMargin)
+        |  sign_band_keys(array(1.0d, -2.0d, 0.5d), 8, 16) AS sbk,
+        |  int8_audit(array(1.0d, -1.0d, 0.5d)) AS i8""".stripMargin)
       .head
     assert(r.getAs[Int]("hits") == 3)
     assert(r.getAs[Long]("sh") == graft.functions.HashKernels.simhash(
@@ -28,13 +29,19 @@ class ExtensionsSpec extends SparkSpec {
         Array(1.0, -2.0, 0.5)), 8, 16)
     assert(r.getAs[scala.collection.Seq[Long]]("sbk").toSeq ==
       sbkKernel.toLongArray().toSeq)
+    val i8Kernel = graft.functions.HashKernels.int8Audit(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(1.0, -1.0, 0.5)))
+    assert(r.getAs[scala.collection.Seq[Long]]("i8").toSeq ==
+      i8Kernel.toLongArray().toSeq)
   }
 
   test("extensions class wires the same descriptions (injectFunction contract)") {
     // the class is instantiable and exposes every registered function
     val names = GraftExtensions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("token_hit_count", "minhash_sig", "simhash",
-      "ngram_jaccard", "dot_product", "tagged_grams", "sign_band_keys"))
+      "ngram_jaccard", "dot_product", "tagged_grams", "sign_band_keys",
+      "int8_audit"))
     new GraftExtensions() // must construct cleanly for spark.sql.extensions
   }
 

@@ -57,6 +57,23 @@ class HashKernelsSpec extends SparkSpec {
     assert(zero.head.getSeq[Long](0) == Seq.fill(8)(0L))
   }
 
+  test("native int8 audit == HOF round/clamp/fold chain on real embeddings") {
+    val df = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(
+        HashExpressions.int8Audit(col("v")).as("native"),
+        graft.operators.Similarity.quantizationAuditHof(col("v")).as("hof"))
+    val bad = df.collect().filterNot(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(bad.isEmpty, s"${bad.length} audit mismatches")
+    // edge cases: zero vector (scale guard), exact ±absmax saturation,
+    // negative half-way values (HALF_UP rounds away from zero)
+    val edges = Seq(Seq.fill(16)(0.0), Seq(1.0, -1.0, 0.5, -0.5),
+      Seq(127.0, -127.0, 63.5, -63.5)).toDF("v")
+      .select(HashExpressions.int8Audit(col("v").cast("array<double>")).as("native"),
+        graft.operators.Similarity.quantizationAuditHof(col("v")).as("hof"))
+    edges.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native dot == HOF zip_with/aggregate fold, bit-exact") {
     val vecs = (0 until 50).map { i =>
       (Seq.tabulate(8)(j => math.sin(i * 8 + j)), Seq.tabulate(8)(j => math.cos(i * 8 + j)))
@@ -108,5 +125,10 @@ class HashKernelsSpec extends SparkSpec {
         HashExpressions.simhash(col("text")).as("s"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"expected codegen:\n$plan")
+    val vplan = Tables.embeddings(spark, sf0001)
+      .select(HashExpressions.int8Audit(
+        col("embedding").cast("array<double>")).as("a"))
+      .queryExecution.executedPlan.toString
+    assert(vplan.contains("*(1) Project"), s"expected codegen:\n$vplan")
   }
 }
