@@ -344,6 +344,33 @@ object Dedup {
     * expressible twin with identical semantics. */
   def dedupClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val labels = dedupClusterAssignments(spark, dir, threshold, rounds)
+    val clustered = labels
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    // docs in no pair are singleton clusters — one closed-form row (every
+    // member cluster has ≥ 2 docs, so sizes never collide with this row)
+    val singles = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_single"))
+      .filter(col("n_single") > 0)
+      .select(lit(1L).as("cluster_size"), col("n_single").as("n_clusters"),
+        col("n_single").as("n_docs"))
+    clustered.unionByName(singles).orderBy(col("cluster_size"))
+  }
+
+  /** (doc_id, label) component assignments for every doc that appears in
+    * some near-dup pair — label is the component's minimum doc_id, i.e.
+    * THE deterministic representative a dedup pipeline keeps ("keep the
+    * doc where doc_id == label, drop the rest"). Docs in no pair are
+    * their own representative and are omitted (closed-form singletons —
+    * see [[dedupClusters]]). DedupSpec asserts every candidate pair's
+    * endpoints share a label (the defining component property). */
+  def dedupClusterAssignments(spark: SparkSession, dir: String,
+                              threshold: Double = 0.5,
+                              rounds: Int = 6): DataFrame = {
     // Symmetric candidate edges + self-loops, persisted: self-loops fold
     // "min with my own label" into the neighborhood min, so each round is
     // ONE join + ONE aggregate referencing the previous labels ONCE. (The
@@ -367,20 +394,7 @@ object Dedup {
         .groupBy(col("a")).agg(min(col("label")).as("label"))
         .select(col("a").as("doc_id"), col("label"))
     }
-    val clustered = labels
-      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"),
-        sum(col("cluster_size")).as("n_docs"))
-    // docs in no pair are singleton clusters — one closed-form row (every
-    // member cluster has ≥ 2 docs, so sizes never collide with this row)
-    val singles = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(edges.select(col("a").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("n_single"))
-      .filter(col("n_single") > 0)
-      .select(lit(1L).as("cluster_size"), col("n_single").as("n_clusters"),
-        col("n_single").as("n_docs"))
-    clustered.unionByName(singles).orderBy(col("cluster_size"))
+    labels
   }
 
   def dedupClustersSql(threshold: Double = 0.5, rounds: Int = 6): String = {

@@ -28,6 +28,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster assignments: every candidate pair's endpoints share a label") {
+    val labels = Dedup.dedupClusterAssignments(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashNearDup(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b),
+        s"pair ($a,$b) split across clusters ${labels(a)}/${labels(b)}")
+    }
+    // the representative is a member of its own cluster (label = min id)
+    labels.values.toSet.foreach { l: Long => assert(labels(l) == l) }
+    labels.foreach { case (d, l) => assert(l <= d) }
+  }
+
   test("edit-distance verify: pairs are a candidate subset with dist <= bound") {
     val ed = operators.Dedup.editDistanceNearDup(spark, sf0001, maxDist = 20)
       .collect()
