@@ -94,7 +94,8 @@ object SparkEntry {
     // oracles for q68/q69 are the PLAIN joins: salting and bucketing are
     // physical levers that must be invisible in query results
     "q68_salted_join" -> ((s, d) => graft.operators.Scale.saltedJoinSummary(s, d)),
-    "q69_bucketed_join" -> ((s, d) => graft.operators.Scale.bucketedJoinSummary(s, d))
+    "q69_bucketed_join" -> ((s, d) => graft.operators.Scale.bucketedJoinSummary(s, d)),
+    "q70_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -169,6 +170,7 @@ object SparkEntry {
     "q66_quantization_audit" -> Similarity.quantizationAuditSql,
     "q67_bigram_fluency" -> TextAnalysis.bigramFluencySql,
     "q68_salted_join" -> graft.operators.Scale.saltedJoinSummarySql,
-    "q69_bucketed_join" -> graft.operators.Scale.bucketedJoinSummarySql
+    "q69_bucketed_join" -> graft.operators.Scale.bucketedJoinSummarySql,
+    "q70_pq_adc" -> Similarity.pqAdcTopKSql()
   )
 }

@@ -584,6 +584,205 @@ object Similarity {
        |SELECT query_id, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Product quantization (X3+, q70): the vector is split into [[PqM]]
+    * subspaces of [[PqSub]] dims; each subspace learns its own [[PqK]]
+    * centroids (same deterministic content-hash-seeded Lloyd machinery as
+    * the IVF coarse quantizer, with squared-L2 assignment — the classic
+    * PQ metric) and every vector is encoded as M small codes. ADC search
+    * then scores a query against the ENCODED corpus: per query, an
+    * M×K distance table (tiny), approximate distance = the sum of M table
+    * lookups. Distances become exact integer micro-units before the sum
+    * so no order-dependent float accumulation crosses the aggregate.
+    *
+    * Scale posture — why PQ is the 100 TB vector-store shape: codes are
+    * M bytes/vector (vs 4·Dim for floats, 16× smaller at M=4/Dim=64);
+    * the corpus-side scan reads ONLY the code table, never raw vectors;
+    * the distance table (|queries|·M·K rows) is broadcast; the ADC sum
+    * is a partial-aggregated groupBy keyed on (query, vector); ranking
+    * is the bounded-heap top-k aggregate (no corpus-wide sort). Codes
+    * and codebooks are PlanCache-materialized once, like a real index. */
+  val PqM = 4
+  val PqSub = Dim / PqM
+  val PqK = 8
+  val PqIters = 2
+
+  /** Squared L2 from precomputed squared norms + one dot: identical
+    * doubles in both engines (same ops, same fold order). */
+  private def l2d(a: Column, b: Column, an2: Column, bn2: Column): Column =
+    an2 + bn2 - lit(2.0) * dot(a, b)
+
+  /** One PQ assignment pass: nearest centroid by round(6) squared-L2,
+    * cid tie-break (the L2 twin of [[assignStep]]). */
+  private def pqAssign(es: DataFrame, c: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    es.crossJoin(broadcast(c))
+      .withColumn("d", round(l2d(col("sv"), col("cv"), col("sn2"), col("cn2")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sv"), col("sn2"), col("cid"))
+  }
+
+  /** Learned per-subspace codebooks (m, cid, cv, cn2) and the encoded
+    * corpus (vec_id, m, code), each materialized once per (session, dir). */
+  private def pqParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val mean = udaf(graft.functions.VectorMean)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def subspace(m: Int): DataFrame =
+      e.select(col("vec_id"), slice(col("v"), m * PqSub + 1, PqSub).as("sv"))
+        .withColumn("sn2", dot(col("sv"), col("sv")))
+    val cents = graft.PlanCache.cached(spark, s"sim.pqCents:$dir") {
+      (0 until PqM).map { m =>
+        val es = subspace(m)
+        val wSeed = Window.orderBy(col("h"), col("vec_id"))
+        var c = es.select(col("vec_id"), col("sv"), seedHash(col("vec_id")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(PqK)
+          .withColumn("cid", row_number().over(wSeed) - 1)
+          .select(col("cid"), col("sv").as("cv"))
+          .withColumn("cn2", dot(col("cv"), col("cv")))
+        for (_ <- 1 to PqIters) {
+          val upd = pqAssign(es, c).groupBy(col("cid"))
+            .agg(mean(col("sv")).as("craw"))
+            .select(col("cid"),
+              transform(col("craw"), x => round(x, 4) + roundHalf).as("ucv"))
+          c = c.select(col("cid"), col("cv").as("pcv"))
+            .join(upd, Seq("cid"), "left")
+            .select(col("cid"), coalesce(col("ucv"), col("pcv")).as("cv"))
+            .withColumn("cn2", dot(col("cv"), col("cv")))
+        }
+        c.select(lit(m).as("m"), col("cid"), col("cv"), col("cn2"))
+      }.reduce(_ unionByName _)
+    }
+    val codes = graft.PlanCache.cached(spark, s"sim.pqCodes:$dir") {
+      (0 until PqM).map { m =>
+        val cm = cents.filter(col("m") === m)
+          .select(col("cid"), col("cv"), col("cn2"))
+        pqAssign(subspace(m), cm)
+          .select(col("vec_id"), lit(m).as("m"), col("cid").as("code"))
+      }.reduce(_ unionByName _)
+    }
+    (cents, codes)
+  }
+
+  /** X3 PQ-ADC top-k (q70): queries score the encoded corpus through the
+    * per-query distance table; rank ascending by exact-integer ADC
+    * micro-distance, vec_id tie-break (the bounded-heap aggregate ranks
+    * on the negated distance — strictly monotone, same total order). */
+  def pqAdcTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (cents, codes) = pqParts(spark, dir)
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(QueryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val qsub = slice(col("qv"), col("m") * PqSub + 1, lit(PqSub))
+    val dt = q.crossJoin(cents)
+      .select(col("query_id"), col("m"), col("cid"),
+        round((dot(qsub, qsub) + col("cn2") - lit(2.0) * dot(qsub, col("cv")))
+          * 1000000.0).cast("long").as("d_micro"))
+    val scored = codes
+      .join(broadcast(dt),
+        codes("m") === dt("m") && codes("code") === dt("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d_micro")).as("adc_micro"))
+    topKRank(scored.select(col("query_id"), col("vec_id"),
+        (-col("adc_micro")).cast("double").as("cosine")), k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (-col("cosine")).cast("long").as("adc_micro"))
+  }
+
+  private def subDotSql(a: String, b: String): String =
+    s"list_reduce(list_concat([0.0], [($a)[i+1]::DOUBLE * ($b)[i+1]::DOUBLE " +
+      s"for i in range(0, $PqSub)]), (x, y) -> x + y)"
+
+  private def subL2Sql(x: String, c: String): String =
+    s"(${subDotSql(x, x)} + ${subDotSql(c, c)} - 2.0 * ${subDotSql(x, c)})"
+
+  /** DuckDB twin of [[pqParts]]: per subspace m, CTEs `s{m}e` (slice),
+    * `s{m}c0` … `s{m}c$PqIters` (unrolled L2 Lloyd) and `s{m}codes`. */
+  private def pqCtes: String = {
+    val subs = (0 until PqM).map { m =>
+      val lo = m * PqSub + 1; val hi = (m + 1) * PqSub
+      val sm = s"s$m"
+      val seed =
+        s"""${sm}e AS (
+           |  SELECT vec_id, v[$lo:$hi] AS sv FROM e
+           |), ${sm}c0 AS (
+           |  SELECT row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) - 1 AS cid,
+           |    sv AS cv
+           |  FROM ${sm}e
+           |  ORDER BY ${seedHashSql("vec_id")}, vec_id
+           |  LIMIT $PqK
+           |)""".stripMargin
+      val iters = (1 to PqIters).map { i =>
+        s""", ${sm}a$i AS (
+           |  SELECT vec_id, sv, cid FROM (
+           |    SELECT e.vec_id, e.sv, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(${subL2Sql("e.sv", "c.cv")}, 6) ASC, c.cid) AS rn
+           |    FROM ${sm}e e CROSS JOIN ${sm}c${i - 1} c)
+           |  WHERE rn = 1
+           |), ${sm}u$i AS (
+           |  SELECT cid, d, round(avg(sv[d+1]), 4) + 0.0 AS cvd
+           |  FROM ${sm}a$i CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS d)
+           |  GROUP BY cid, d
+           |), ${sm}n$i AS (
+           |  SELECT cid, list(cvd ORDER BY d) AS cv FROM ${sm}u$i GROUP BY cid
+           |), ${sm}c$i AS (
+           |  SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+           |  FROM ${sm}c${i - 1} p LEFT JOIN ${sm}n$i n ON p.cid = n.cid
+           |)""".stripMargin
+      }.mkString
+      val codes =
+        s""", ${sm}codes AS (
+           |  SELECT vec_id, $m AS m, cid AS code FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(${subL2Sql("e.sv", "c.cv")}, 6) ASC, c.cid) AS rn
+           |    FROM ${sm}e e CROSS JOIN ${sm}c$PqIters c)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      seed + iters + codes
+    }
+    val all = subs.mkString(",\n")
+    val codesUnion = (0 until PqM).map(m => s"SELECT * FROM s${m}codes")
+      .mkString(" UNION ALL ")
+    val centsUnion = (0 until PqM)
+      .map(m => s"SELECT $m AS m, cid, cv FROM s${m}c$PqIters")
+      .mkString(" UNION ALL ")
+    s"""$all,
+       |codes AS ($codesUnion),
+       |cents AS ($centsUnion)""".stripMargin
+  }
+
+  def pqAdcTopKSql(k: Int = 5): String = {
+    val qsub = s"(q.v[c.m*$PqSub+1 : c.m*$PqSub+$PqSub])"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings
+       |),
+       |$pqCtes,
+       |q AS (
+       |  SELECT vec_id AS query_id, v FROM e WHERE vec_id IN ($qidList)
+       |), dt AS (
+       |  SELECT q.query_id, c.m, c.cid,
+       |    round(${subL2Sql(qsub, "c.cv")} * 1000000)::BIGINT AS d_micro
+       |  FROM q CROSS JOIN cents c
+       |), adc AS (
+       |  SELECT dt.query_id, k.vec_id, sum(dt.d_micro)::BIGINT AS adc_micro
+       |  FROM codes k JOIN dt ON k.m = dt.m AND k.code = dt.cid
+       |  WHERE k.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, k.vec_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, adc_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_micro ASC, vec_id) AS rank
+       |  FROM adc
+       |)
+       |SELECT query_id, rank, vec_id, adc_micro FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB band key of band `b` (mirror of [[bandKeys]] element b). */
   private def bandKeySql(v: String, b: Int): String =
     (0 until BandPlanes).map { i =>

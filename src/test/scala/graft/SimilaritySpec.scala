@@ -14,6 +14,24 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.Hyperplanes == Similarity.Hyperplanes)
   }
 
+  test("PQ-ADC: ranks dense, distance non-decreasing, every vector encoded") {
+    val top = Similarity.pqAdcTopK(spark, sf0001, k = 5).collect()
+    assert(top.nonEmpty)
+    top.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length))
+      val dists = byRank.map(_.getAs[Long]("adc_micro")).toSeq
+      assert(dists == dists.sorted, "ADC distance must not decrease with rank")
+      assert(dists.forall(_ >= 0L), "squared-L2 micro-distances are non-negative")
+    }
+    // the query is its own nearest vector in true distance; ADC must not
+    // return it (excluded), and results must be distinct per query
+    top.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ids = rows.map(_.getAs[Long]("vec_id"))
+      assert(!ids.contains(q) && ids.distinct.length == ids.length)
+    }
+  }
+
   test("int8 quantization: absmax element saturates, error bounded by half-step") {
     val rows = Similarity.quantizationAudit(spark, sf0001).collect()
     assert(rows.nonEmpty)
