@@ -338,27 +338,34 @@ object Dedup {
     * row — and the edge list is only the near-dup pairs (≪ corpus), so
     * each round is two cheap hash-partitioned shuffles on doc ids, never
     * on text. The edge list is computed once ([[graft.PlanCache]]) and
-    * reused by all rounds. At 100 TB you'd run the same rounds as a persisted loop
-    * with a driver convergence check (or alternate large-star/small-star
-    * to bound rounds by log n); the unrolled form is the oracle-
-    * expressible twin with identical semantics. */
+    * reused by all rounds, and EVERY round is itself a PlanCache
+    * materialization point — the persisted-loop shape GraphX's Pregel
+    * uses per superstep. Without the per-round barrier the unrolled plan
+    * nests `rounds` copies of the edge subtree: Catalyst + the
+    * CacheManager's canonicalized cache-lookup walk that whole tree on
+    * every execution, which measured 64 s (vs ~1 s) for q64 inside a
+    * fully-loaded 70-query session. At 100 TB you'd add a driver
+    * convergence check (or alternate large-star/small-star to bound
+    * rounds by log n); the fixed-round form is the oracle-expressible
+    * twin with identical semantics.
+    *
+    * Docs in no candidate pair join the label set as their own
+    * representative BEFORE the size histogram, so a size-1 member
+    * cluster (possible only if propagation hasn't converged) aggregates
+    * identically to the oracle's GROUP BY cluster_size instead of
+    * surfacing as a second cluster_size=1 row. */
   def dedupClusters(spark: SparkSession, dir: String,
                     threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
     val labels = dedupClusterAssignments(spark, dir, threshold, rounds)
-    val clustered = labels
+    val singles = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    labels.unionByName(singles)
       .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"))
-    // docs in no pair are singleton clusters — one closed-form row (every
-    // member cluster has ≥ 2 docs, so sizes never collide with this row)
-    val singles = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .agg(count(lit(1)).as("n_single"))
-      .filter(col("n_single") > 0)
-      .select(lit(1L).as("cluster_size"), col("n_single").as("n_clusters"),
-        col("n_single").as("n_docs"))
-    clustered.unionByName(singles).orderBy(col("cluster_size"))
+      .orderBy(col("cluster_size"))
   }
 
   /** (doc_id, label) component assignments for every doc that appears in
@@ -386,15 +393,31 @@ object Dedup {
       // label, so propagation runs over |members| (≪ corpus) rows
       sym.union(sym.select(col("a"), col("a")).distinct()).toDF("a", "b")
     }
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to rounds) {
-      labels = edges
-        .join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("label")).as("label"))
-        .select(col("a").as("doc_id"), col("label"))
+    // memoized per (session, params): repeated calls (Bench's two passes,
+    // dedupClusters' union + anti-join double reference) reuse ONE chain
+    graft.PlanCache.cached(spark,
+      s"dedup.labels:$threshold:$rounds:$dir") {
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to rounds) {
+        // per-round lineage TRUNCATION (localCheckpoint, lazy): each
+        // round's logical plan is a one-join tree over a LogicalRDD, not
+        // an `rounds`-deep nesting of every earlier round. Without this,
+        // Catalyst and the CacheManager's canonicalized cache-lookup
+        // re-walk the whole unrolled tree per execution — measured 64 s
+        // (vs ~1 s) for q64 inside a fully-loaded 70-query session. This
+        // is the persisted-loop shape GraphX's Pregel uses per superstep;
+        // on a fault-tolerant cluster run you'd persist/checkpoint
+        // reliably instead of locally, and add a driver convergence
+        // check (or large-star/small-star to bound rounds by log n).
+        labels = edges
+          .join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("label")).as("label"))
+          .select(col("a").as("doc_id"), col("label"))
+          .localCheckpoint(eager = false)
+      }
+      labels
     }
-    labels
   }
 
   def dedupClustersSql(threshold: Double = 0.5, rounds: Int = 6): String = {
