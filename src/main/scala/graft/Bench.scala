@@ -40,8 +40,17 @@ object Bench {
       val t2 = if (t1 >= 0) once() else -1.0
       name -> (t1, t2)
     }
+    // min when both passes survive; when exactly one fails (transient
+    // OOM/stall on the other), keep the surviving pass's time instead of
+    // discarding a valid measurement — such queries are flagged in
+    // "partial_pass_queries" so the artifact shows the degraded basis.
     def robust(t: (Double, Double)): Double =
-      if (t._1 < 0 || t._2 < 0) -1.0 else math.min(t._1, t._2)
+      if (t._1 < 0 && t._2 < 0) -1.0
+      else if (t._1 < 0 || t._2 < 0) math.max(t._1, t._2)
+      else math.min(t._1, t._2)
+    val partial = results.collect {
+      case (k, (a, b)) if (a < 0) != (b < 0) => k
+    }
     val qs = results.map { case (k, t) => s"\"" + k + "\":" + robust(t) }
       .mkString("{", ",", "}")
     val qsRaw = results.map { case (k, t) => s"\"" + k + "\":" + t._1 }
@@ -73,15 +82,17 @@ object Bench {
       q.stop()
       rows / ((System.nanoTime() - t0) / 1e9)
     } catch { case e: Throwable => errors += s"stream_bench: ${e.getClass.getSimpleName}"; -1.0 }
-    // built AFTER the stream stage so its failures surface too
-    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
+    // built AFTER the stream stage so its failures surface too; distinct
+    // so a repeat failure of one query can't double-count in the list
+    val errJson = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
+    val partialJson = partial.map(p => "\"" + p + "\"").mkString("[", ",", "]")
     // n_queries/sec_per_query: the query count grows round over round,
     // so the raw total is not comparable across rounds — the per-query
     // average is.
     val nq = results.values.count(robust(_) >= 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw_first_run":$qsRaw,"n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw_first_run":$qsRaw,"n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"partial_pass_queries":$partialJson,"sf":"$sfDir"}"""
     // Stdout inside sbt gets an [info] prefix that defeats line-oriented
     // JSON parsers, so the metric also lands in a file the driver can read.
     println(json)

@@ -288,26 +288,49 @@ object HashKernels {
     * Spark `round`) it replaces, in one pass with no per-row ArrayData
     * tree interpretation. */
   def int8Audit(v: ArrayData): ArrayData = {
-    val x = v.toDoubleArray()
+    val n = v.numElements()
+    // Null elements follow the HOF twin (quantizationAuditHof) exactly:
+    // array_max SKIPS nulls, one null term poisons the additive SSE fold
+    // (acc + NULL = NULL), and filter() skips null quantized elements —
+    // so sse_micro is NULL iff any element is null, n_sat counts only
+    // non-null elements, and the absmax scale comes from the non-null
+    // ones. Previously toDoubleArray() silently coerced nulls to 0.0,
+    // breaking the declared bit-equivalence on null-bearing arrays.
+    var anyNull = false
+    var nonNull = 0
     var amax = 0.0
     var i = 0
-    while (i < x.length) {
-      val a = math.abs(x(i)); if (a > amax) amax = a; i += 1
-    }
-    val scale = if (amax == 0.0) 1.0 else amax / 127.0
-    var sse = 0.0
-    var nSat = 0L
-    i = 0
-    while (i < x.length) {
-      var q = roundHalfUp(x(i) / scale)
-      if (q < -127.0) q = -127.0
-      if (q > 127.0) q = 127.0
-      if (math.abs(q) == 127.0) nSat += 1
-      val e = x(i) - q * scale
-      sse += e * e
+    while (i < n) {
+      if (v.isNullAt(i)) anyNull = true
+      else {
+        nonNull += 1
+        val a = math.abs(v.getDouble(i)); if (a > amax) amax = a
+      }
       i += 1
     }
-    new GenericArrayData(Array(roundHalfUp(sse * 1000000.0).toLong, nSat))
+    var nSat = 0L
+    var sse = 0.0
+    if (nonNull > 0) {
+      // all-null arrays leave array_max NULL → scale NULL → every
+      // quantized element NULL → filter() keeps nothing (nSat = 0)
+      val scale = if (amax == 0.0) 1.0 else amax / 127.0
+      i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val x = v.getDouble(i)
+          var q = roundHalfUp(x / scale)
+          if (q < -127.0) q = -127.0
+          if (q > 127.0) q = 127.0
+          if (math.abs(q) == 127.0) nSat += 1
+          val e = x - q * scale
+          sse += e * e
+        }
+        i += 1
+      }
+    }
+    val sseMicro: Any =
+      if (anyNull && n > 0) null else java.lang.Long.valueOf(roundHalfUp(sse * 1000000.0).toLong)
+    new GenericArrayData(Array[Any](sseMicro, java.lang.Long.valueOf(nSat)))
   }
 
   /** Tagged grams for repetition scoring: "t:"+token for every token of
@@ -374,7 +397,9 @@ case class Int8Audit(child: Expression) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"int8_audit needs array<double>, got $other")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // sse_micro is NULL for null-bearing input arrays (matching the HOF
+  // twin's null propagation), so the result element type is nullable
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "int8_audit"
   override protected def nullSafeEval(input: Any): Any =
     HashKernels.int8Audit(input.asInstanceOf[ArrayData])

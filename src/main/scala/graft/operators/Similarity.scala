@@ -313,8 +313,14 @@ object Similarity {
     val vd = v.cast("array<double>")
     val amax = array_max(transform(vd, x => abs(x)))
     val scale = when(amax === 0.0, lit(1.0)).otherwise(amax / lit(127.0))
-    val qv = transform(vd, x =>
-      least(greatest(round(x / scale), lit(-127.0)), lit(127.0)))
+    // null elements must stay null through the clamp: Spark's
+    // least/greatest SKIP nulls (greatest(null, -127) = -127), which
+    // would silently turn a null component into a saturated -127 — the
+    // explicit isNull guard keeps the null-propagation contract the
+    // native Int8Audit kernel is spec'd bit-equivalent to (null poisons
+    // sse, never counts as saturated)
+    val qv = transform(vd, x => when(x.isNull, lit(null))
+      .otherwise(least(greatest(round(x / scale), lit(-127.0)), lit(127.0))))
     val err = zip_with(vd, qv, (x, q) => (x - q * scale) * (x - q * scale))
     val sse = aggregate(err, lit(0.0), (acc, e) => acc + e)
     array(round(sse * lit(1000000.0)).cast("long"),

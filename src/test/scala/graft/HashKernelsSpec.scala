@@ -72,6 +72,20 @@ class HashKernelsSpec extends SparkSpec {
       .select(HashExpressions.int8Audit(col("v").cast("array<double>")).as("native"),
         graft.operators.Similarity.quantizationAuditHof(col("v")).as("hof"))
     edges.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // null elements: sse_micro goes NULL (the additive fold poisons),
+    // n_sat counts only non-null elements, scale from non-null absmax —
+    // the bit-equivalence contract holds on null-BEARING arrays too
+    val nulls = Seq(
+      Seq[java.lang.Double](1.0, null, -2.0, 2.0),  // mixed: null sse, sat from non-null
+      Seq[java.lang.Double](null, null),            // all-null: null sse, 0 sat
+      Seq[java.lang.Double]()                       // empty: [0, 0] both sides
+    ).toDF("v")
+      .select(HashExpressions.int8Audit(col("v").cast("array<double>")).as("native"),
+        graft.operators.Similarity.quantizationAuditHof(col("v")).as("hof"))
+    nulls.collect().foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"null-bearing mismatch: native=${r.getSeq[Any](0)} hof=${r.getSeq[Any](1)}")
+    }
   }
 
   test("native dot == HOF zip_with/aggregate fold, bit-exact") {
