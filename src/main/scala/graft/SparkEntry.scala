@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Curation, Dedup, EventAnalytics, JsonOps, Multimodal, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
+import graft.operators.{Curation, Dedup, EventAnalytics, JsonOps, Multimodal, Packing, Relational, Similarity, TextAnalysis, TextPipeline, TimeWindows, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,7 +95,11 @@ object SparkEntry {
     // physical levers that must be invisible in query results
     "q68_salted_join" -> ((s, d) => graft.operators.Scale.saltedJoinSummary(s, d)),
     "q69_bucketed_join" -> ((s, d) => graft.operators.Scale.bucketedJoinSummary(s, d)),
-    "q70_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d))
+    "q70_pq_adc" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "q71_seq_packing" -> ((s, d) => Packing.packingSummary(s, d)),
+    "q72_snapshot_upsert" -> ((s, d) => Curation.snapshotUpsertSummary(s, d)),
+    "q73_dup_ngrams" -> ((s, d) => TextAnalysis.duplicatedNgrams(s, d)),
+    "q74_contamination_overlap" -> ((s, d) => Curation.contaminationOverlap(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -171,6 +175,10 @@ object SparkEntry {
     "q67_bigram_fluency" -> TextAnalysis.bigramFluencySql,
     "q68_salted_join" -> graft.operators.Scale.saltedJoinSummarySql,
     "q69_bucketed_join" -> graft.operators.Scale.bucketedJoinSummarySql,
-    "q70_pq_adc" -> Similarity.pqAdcTopKSql()
+    "q70_pq_adc" -> Similarity.pqAdcTopKSql(),
+    "q71_seq_packing" -> Packing.packingSummarySql(),
+    "q72_snapshot_upsert" -> Curation.snapshotUpsertSummarySql(),
+    "q73_dup_ngrams" -> TextAnalysis.duplicatedNgramsSql(),
+    "q74_contamination_overlap" -> Curation.contaminationOverlapSql()
   )
 }

@@ -322,4 +322,123 @@ object Curation {
        |      THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
        |FROM documents WHERE doc_id >= $benchSize
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Contamination by OVERLAP FRACTION (q74): where q45 flags a doc on
+    * ANY shared shingle, the production decontamination rule is graded —
+    * a doc is dropped when ≥ `minPct`% of its distinct n-grams appear in
+    * the benchmark (the "dirty above a threshold" rule). The per-doc
+    * test is pure integer arithmetic (n_hit·100 ≥ n_sh·minPct — no
+    * float threshold to drift cross-engine), and the reported per-lang
+    * ratio is ONE division of two exact integer sums. Docs shorter than
+    * n tokens have no shingles and are out of scope (no overlap is
+    * defined for them).
+    *
+    * Scale posture: same as q45 — the benchmark side reduces to a
+    * distinct 60-bit hash set and broadcasts; the corpus's hashed
+    * shingles stream through the broadcast join and collapse back to
+    * per-doc counts keyed on doc_id. Nothing corpus-sized shuffles on a
+    * gram key. */
+  def contaminationOverlap(spark: SparkSession, dir: String,
+                           benchSize: Int = 10, n: Int = 5,
+                           minPct: Int = 50): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), col("lang"),
+        explode(TextHash.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("h"))
+    val bench = sh.filter(col("doc_id") < benchSize)
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    val perDoc = sh.filter(col("doc_id") >= benchSize)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit") * 100 >= col("n_sh") * minPct, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        round(sum(col("n_hit")).cast("double") / sum(col("n_sh")), 4)
+          .as("overlap_ratio"))
+      .orderBy(col("lang"))
+  }
+
+  def contaminationOverlapSql(benchSize: Int = 10, n: Int = 5,
+                              minPct: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang, ${TextHash.h1Sql("g")} AS h
+       |  FROM (SELECT doc_id, lang,
+       |    unnest(${TextHash.shinglesSql("t", n)}) AS g FROM toks)
+       |), bench AS (
+       |  SELECT DISTINCT h FROM sh WHERE doc_id < $benchSize
+       |), per_doc AS (
+       |  SELECT doc_id, lang, count(*) AS n_sh,
+       |    sum(CASE WHEN h IN (SELECT h FROM bench) THEN 1 ELSE 0 END) AS n_hit
+       |  FROM sh WHERE doc_id >= $benchSize GROUP BY doc_id, lang
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  sum(CASE WHEN n_hit * 100 >= n_sh * $minPct THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_flagged,
+       |  round(sum(n_hit) * 1.0 / sum(n_sh), 4) AS overlap_ratio
+       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Latest-version-wins upsert — the batch MERGE INTO shape a corpus
+    * refresh runs: union base + updates, keep one row per key (highest
+    * `version`, ties broken by highest `tiebreak` so re-runs are
+    * deterministic even when one refresh carries several updates for a
+    * key). Scale posture: ONE hash-partitioned shuffle on the key; the
+    * running row_number needs no partition buffering, and AQE splits a
+    * hot key's sort at runtime. (A real table format would do this as a
+    * compaction; this is the engine-level semantics underneath it.) */
+  def upsertLatest(base: DataFrame, updates: DataFrame,
+                   key: String, version: String, tiebreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      .orderBy(col(version).desc, col(tiebreak).desc)
+    base.unionByName(updates)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Oracle-gated upsert audit (q72): a historical snapshot (doc_id <
+    * histSize, version 0) refreshed with an update batch (doc_id >=
+    * histSize, version 1) that half overwrites existing keys and half
+    * inserts new ones (key = doc_id mod 2·histSize). Per language: rows
+    * in the merged snapshot, how many came from the update batch, and
+    * the merged char mass. */
+  def snapshotUpsertSummary(spark: SparkSession, dir: String,
+                            histSize: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") < histSize)
+      .select(col("doc_id").as("key"), col("lang"), col("n_chars"),
+        lit(0L).as("version"), col("doc_id").as("src_id"))
+    val updates = docs.filter(col("doc_id") >= histSize)
+      .select(pmod(col("doc_id"), lit(2L * histSize)).as("key"), col("lang"),
+        col("n_chars"), lit(1L).as("version"), col("doc_id").as("src_id"))
+    upsertLatest(base, updates, "key", "version", "src_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("version") === 1L, 1L).otherwise(0L)).as("n_from_updates"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  def snapshotUpsertSummarySql(histSize: Int = 200): String =
+    s"""WITH both_sides AS (
+       |  SELECT doc_id AS key, lang, n_chars, 0 AS version, doc_id AS src_id
+       |  FROM documents WHERE doc_id < $histSize
+       |  UNION ALL
+       |  SELECT doc_id % ${2 * histSize} AS key, lang, n_chars, 1 AS version,
+       |    doc_id AS src_id
+       |  FROM documents WHERE doc_id >= $histSize
+       |), merged AS (
+       |  SELECT *, row_number() OVER (PARTITION BY key
+       |    ORDER BY version DESC, src_id DESC) AS rn
+       |  FROM both_sides
+       |)
+       |SELECT lang, count(*) AS n_rows,
+       |  sum(CASE WHEN version = 1 THEN 1 ELSE 0 END)::BIGINT AS n_from_updates,
+       |  sum(n_chars)::BIGINT AS sum_chars
+       |FROM merged WHERE rn = 1
+       |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -459,4 +459,43 @@ object TextAnalysis {
        |    md5(text) AS m
        |  FROM documents)
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** X2+/X4+ over-duplicated n-gram detector (q73): the corpus-level
+    * n-gram document-frequency table, top-k — the signal an exact
+    * substring-dedup pass ranks spans by (a 5-gram carried by hundreds
+    * of documents is boilerplate to cut). Shingles are per-doc DISTINCT
+    * (TextHash.shingles), so the count is document frequency, immune to
+    * one degenerate doc repeating a gram thousands of times.
+    *
+    * Scale posture: explode → groupBy(gram) rides map-side partial
+    * aggregation (a hot gram combines within each partition before the
+    * shuffle), and the final ranking is the bounded-heap TopKTerms
+    * two-phase aggregate — shuffle ~partitions×k rows — because the
+    * gram vocabulary grows with the corpus and a window-rank over it
+    * would be a single-task sort (same reasoning as q53). */
+  def duplicatedNgrams(spark: SparkSession, dir: String,
+                       n: Int = 5, k: Int = 20): DataFrame = {
+    val topk = udaf(new graft.functions.TopKTerms(k))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextHash.shingles(col("text"), n)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .agg(topk(col("df"), col("g")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("ngram"), col("h.cnt").as("n_docs_containing"))
+      .orderBy(col("rank"))
+  }
+
+  def duplicatedNgramsSql(n: Int = 5, k: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(${TextHash.shinglesSql("t", n)}) AS g FROM toks
+       |), df AS (
+       |  SELECT g, count(*) AS df FROM sh GROUP BY g
+       |), r AS (
+       |  SELECT g, df, row_number() OVER (ORDER BY df DESC, g) AS rank FROM df
+       |)
+       |SELECT rank::BIGINT AS rank, g AS ngram, df::BIGINT AS n_docs_containing
+       |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
 }

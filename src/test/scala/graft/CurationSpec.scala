@@ -137,4 +137,57 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(splits(0) == splits(1), "identical content must share a split")
   }
+
+  test("upsertLatest: one row per key, highest version wins, ties break on tiebreak") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0L, 10L), (2L, "b", 0L, 11L), (3L, "c", 0L, 12L))
+      .toDF("key", "payload", "version", "src_id")
+    // key 1 updated twice (same version — src_id 21 must win), key 2
+    // untouched, key 9 inserted
+    val upd = Seq((1L, "a2", 1L, 20L), (1L, "a3", 1L, 21L), (9L, "z", 1L, 22L))
+      .toDF("key", "payload", "version", "src_id")
+    val out = Curation.upsertLatest(base, upd, "key", "version", "src_id")
+      .collect().map(r => r.getAs[Long]("key") ->
+        (r.getAs[String]("payload"), r.getAs[Long]("src_id"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 9L), "merge must be key-total")
+    assert(out(1L) == ("a3", 21L), "highest version, then highest tiebreak")
+    assert(out(2L) == ("b", 11L), "untouched key keeps the base row")
+    assert(out(9L) == ("z", 22L), "new key inserted")
+  }
+
+  test("snapshot upsert audit: merged key space is base + new-key half of updates") {
+    val hist = 200
+    val docs = Tables.documents(spark, sf0001)
+    val nBase = docs.filter(col("doc_id") < hist).count()
+    val newKeys = docs.filter(col("doc_id") >= hist)
+      .select(pmod(col("doc_id"), lit(2L * hist)).as("k"))
+      .filter(col("k") >= hist).select("k").distinct().count()
+    val s = Curation.snapshotUpsertSummary(spark, sf0001, hist)
+    val totalRows = s.agg(sum("n_rows")).head.getLong(0)
+    assert(totalRows == nBase + newKeys,
+      s"rows=$totalRows base=$nBase newKeys=$newKeys")
+    // update rows can never exceed total rows per language
+    s.collect().foreach { r =>
+      assert(r.getAs[Long]("n_from_updates") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("contamination overlap: fraction rule is stricter than any-hit q45 rule") {
+    val anyHit = Curation.contamination(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_contaminated")).toMap
+    val frac = Curation.contaminationOverlap(spark, sf0001)
+      .collect()
+    frac.foreach { r =>
+      val lang = r.getString(0)
+      val flagged = r.getAs[Long]("n_flagged")
+      // >=50% overlap implies >=1 shared shingle, so flagged ⊆ any-hit
+      assert(flagged <= anyHit.getOrElse(lang, 0L),
+        s"$lang: fraction rule flagged $flagged > any-hit ${anyHit.get(lang)}")
+      val ratio = r.getAs[Double]("overlap_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    // the planted bench docs overlap themselves' near-dups: some doc
+    // must clear the 50% bar somewhere, or the rule is vacuous here
+    assert(frac.map(_.getAs[Long]("n_flagged")).sum > 0)
+  }
 }

@@ -129,4 +129,27 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_re_tokens") >= r.getAs[Long]("sum_ws_tokens"))
     }
   }
+
+  test("duplicated n-grams: bounded-heap top-k equals the window-rank answer") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val viaAgg = TextAnalysis.duplicatedNgrams(spark, sf0001, n = 5, k = k)
+    // reference formulation: full df table + window rank (the shape the
+    // bounded heap replaces because the gram vocabulary is unbounded)
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.shingles(col("text"), 5)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val viaWindow = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("df").desc, col("g"))))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("g").as("ngram"),
+        col("df").as("n_docs_containing"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaAgg).isEmpty)
+    // the planted near-dups share 5-grams: the top gram must be shared
+    val top = viaAgg.orderBy(col("rank")).head
+    assert(top.getAs[Long]("n_docs_containing") >= 2,
+      "top duplicated gram should appear in multiple docs")
+  }
 }
