@@ -20,6 +20,14 @@ object Bench {
       try { run(fn, warmDir) } catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // 1-minute load average before/after: BENCH_r02 and _r03 both carried
+    // multi-second environment stalls that read as fake regressions — the
+    // recorded load lets a reader attribute an outlier to machine
+    // contention instead of the code (-1 where the JVM can't report it)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadAvg()
     // Two timed passes per query, report min: a single pass bakes any
     // transient machine stall into the artifact as a fake regression
     // (BENCH_r02 recorded 81.7 s for a 39.8 s run that way). Both the
@@ -92,7 +100,7 @@ object Bench {
     // average is.
     val nq = results.values.count(robust(_) >= 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw_first_run":$qsRaw,"n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"partial_pass_queries":$partialJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_raw_first_run":$qsRaw,"n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"partial_pass_queries":$partialJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir"}"""
     // Stdout inside sbt gets an [info] prefix that defeats line-oriented
     // JSON parsers, so the metric also lands in a file the driver can read.
     println(json)

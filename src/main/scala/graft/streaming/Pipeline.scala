@@ -46,6 +46,17 @@ case class AsofOut(event_id: Long, user_id: Long, view_epoch: Long,
 /** One open session's state (epoch millis) for [[Pipeline.sessionize]]. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
+/** Input row for [[Pipeline.packStream]] (token count precomputed by the
+  * caller with the batch tokenization, so stream and batch cut the same
+  * grams). */
+case class PackDoc(doc_id: Long, lang: String, n_tokens: Long)
+/** Running token count for one (lang, shard) packing stream. */
+case class PackState(cum: Long)
+/** One packed doc: same shape as the batch [[graft.operators.Packing
+  * .packContexts]] row. */
+case class PackOut(doc_id: Long, lang: String, shard: Long, n_tokens: Long,
+                   cum_tokens: Long, context_id: Long, end_context: Long)
+
 /** One closed session, matching the batch session_window (q28) row shape. */
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                       n_events: Long)
@@ -413,6 +424,39 @@ object Pipeline {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** T4/X6 (EXT): STREAMING sequence packing — the twin of the batch
+    * [[graft.operators.Packing.packContexts]] (q71) for a tokenizer feed
+    * that packs documents into fixed-size contexts AS THEY ARRIVE. State
+    * per (lang, shard) is ONE long (the running token count), so the
+    * store is bounded by the shard fan-out, never the corpus; each doc
+    * is assigned its context window the moment it streams through.
+    * Within a micro-batch the group packs in doc_id order; across
+    * batches, parity with the batch operator holds for in-doc_id-order
+    * delivery (the natural order of a snapshot replay — StreamingSpec
+    * proves batch-boundary-invariant equality, including state carrying
+    * a partially-filled context across batches). */
+  def packStream(docs: org.apache.spark.sql.Dataset[PackDoc],
+                 ctxLen: Int = 512, nShards: Int = 8)
+      : org.apache.spark.sql.Dataset[PackOut] = {
+    require(ctxLen > 0 && nShards > 0)
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.groupByKey(d => (d.lang, d.doc_id % nShards))
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((lang, shard), it, state) =>
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { d =>
+            val start = cum
+            cum += d.n_tokens
+            PackOut(d.doc_id, lang, shard, d.n_tokens, cum,
+              start / ctxLen, (cum - 1) / ctxLen)
+          }
+          state.update(PackState(cum))
+          out.iterator
       }
   }
 

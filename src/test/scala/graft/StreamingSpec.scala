@@ -124,6 +124,41 @@ class StreamingSpec extends SparkSpec {
       23L -> Some(7.0), 30L -> None), s"got $got")
   }
 
+  test("streaming sequence packing matches batch packContexts across batch splits (T4/X6)") {
+    import graft.operators.Packing
+    // batch answer over the real corpus (small ctx so contexts straddle)
+    val batch = Packing.packContexts(spark, sf0001, ctxLen = 64, nShards = 4)
+      .select("doc_id", "lang", "shard", "n_tokens", "cum_tokens",
+        "context_id", "end_context")
+    val expected = batch.collect().map(_.toSeq).toSet
+    // streaming twin: same docs fed in doc_id order, split into three
+    // micro-batches at arbitrary boundaries — a partially-filled context
+    // MUST carry across the batch boundary via state
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .orderBy("doc_id").as[graft.streaming.PackDoc].collect()
+    val mem = MemoryStream[graft.streaming.PackDoc]
+    val q = Pipeline.packStream(mem.toDS(), ctxLen = 64, nShards = 4)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      val (a, rest) = docs.splitAt(docs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      Seq(a, b, c).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("pack_stream")
+      .select("doc_id", "lang", "shard", "n_tokens", "cum_tokens",
+        "context_id", "end_context")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"stream/batch diverged: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
   test("watermarked streaming dedup drops re-delivered records (T4)") {
     val mem = MemoryStream[EventFixture]
     val e = EventFixture(1L, ts("2024-01-01 00:00:01"), 7L, "click", 1.0)
