@@ -46,7 +46,20 @@ object Bench {
       }
       val t1 = once()
       val t2 = if (t1 >= 0) once() else -1.0
-      name -> (t1, t2)
+      // adaptive third pass: min-of-2 absorbs a stall in ONE pass, but a
+      // loaded host can stall both (the r03 artifact recorded 64 s for a
+      // query whose steady state is 0.55 s). When the two passes disagree
+      // by >2x, one of them was noise — a third sample lets min() find
+      // the real cost. Bounded: at most one extra run per noisy query.
+      // Two passes already succeeded here, so a third-pass hiccup is
+      // noise by definition — it must not land in `errors`.
+      val t3 = if (t1 >= 0 && t2 >= 0 &&
+        math.max(t1, t2) > 2.0 * math.min(t1, t2)) {
+        val t0 = System.nanoTime()
+        try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      } else -1.0
+      name -> (t1, if (t3 >= 0) math.min(t2, t3) else t2)
     }
     // min when both passes survive; when exactly one fails (transient
     // OOM/stall on the other), keep the surviving pass's time instead of
