@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{DotProduct, Int8Audit, MinHashSig, NGramJaccard, SignBandKeys, SimHash, TaggedGrams, TokenHitCount}
+import graft.functions.{DotProduct, Int8Audit, MinHashSig, NGramJaccard, ShingleHashes, Shingles, SignBandKeys, SimHash, TaggedGrams, TokenHitCount}
 
 /** SQL surface for the native expressions via the public
   * `SparkSessionExtensions` hook:
@@ -95,6 +95,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => args match {
         case Seq(v) => Int8Audit(v)
         case _ => throw new IllegalArgumentException("int8_audit(v)")
+      }),
+    (FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text[, n]) - distinct word n-gram strings, first-occurrence order"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => Shingles(t, 3)
+        case Seq(t, n) => Shingles(t, intLit(n, "n"))
+        case _ => throw new IllegalArgumentException("shingles(text[, n])")
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text[, n]) - distinct word n-gram 60-bit hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => ShingleHashes(t, 3)
+        case Seq(t, n) => ShingleHashes(t, intLit(n, "n"))
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
       }))
 
   /** Register on an already-built session (tests, notebooks). */

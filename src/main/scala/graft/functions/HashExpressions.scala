@@ -178,6 +178,30 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Distinct word n-gram shingle STRINGS, first-occurrence order — twin
+    * of TextHash.shingles (split/slice/array_join HOF chain). The gram
+    * text is the literal source substring between the first and last
+    * token's bounds, which equals the join-with-single-space form because
+    * split cuts on exactly one space (empty tokens at double spaces are
+    * zero-width in both). One pass, no per-gram string building. */
+  def shingleStrings(s: UTF8String, n: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i <= nTok - n) {
+      val from = bounds(2 * i)
+      val until = bounds(2 * (i + n - 1) + 1)
+      val g = UTF8String.fromBytes(bytes, from, until - from)
+      if (seen.add(g)) out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct word n-gram shingles as zero-copy byte-slice UTF8Strings. */
   def shingleSet(s: UTF8String, n: Int): java.util.HashSet[UTF8String] = {
     val lower = s.toLowerCase
@@ -463,6 +487,24 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native distinct-shingle-string expression (twin of
+  * TextHash.shingles — the gram text itself, for consumers that output
+  * grams rather than hashes, e.g. the q73 duplicated-n-gram detector). */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"shingles needs n > 0 (got $n)")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"shingles needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleStrings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleStrings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
 /** Native SimHash expression (twin of TextHash.simhash). */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   require(bits > 0 && bits <= 63, s"simhash needs 0 < bits <= 63 (got $bits)")
@@ -549,6 +591,8 @@ object HashExpressions {
     bridge.column(NGramJaccard(bridge.expression(a), bridge.expression(b), n))
   def shingleHashes(text: Column, n: Int = 3): Column =
     bridge.column(ShingleHashes(bridge.expression(text), n))
+  def shingles(text: Column, n: Int = 3): Column =
+    bridge.column(Shingles(bridge.expression(text), n))
   def simhash(text: Column, bits: Int = 48): Column =
     bridge.column(SimHash(bridge.expression(text), bits))
   def dotProduct(a: Column, b: Column): Column =

@@ -342,9 +342,12 @@ object Curation {
                            benchSize: Int = 10, n: Int = 5,
                            minPct: Int = 50): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // native one-pass kernel (bit-equivalent to explode(shingles)+h1 —
+    // HashKernelsSpec): the HOF shingle chain is CodegenFallback and was
+    // ~2× the kernel's cost on this full-corpus pass (same move as q45)
     val sh = docs.select(col("doc_id"), col("lang"),
-        explode(TextHash.shingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("h"))
+      explode(graft.functions.HashExpressions.shingleHashes(col("text"), n))
+        .as("h"))
     val bench = sh.filter(col("doc_id") < benchSize)
       .select(col("h")).distinct().withColumn("hit", lit(1L))
     val perDoc = sh.filter(col("doc_id") >= benchSize)

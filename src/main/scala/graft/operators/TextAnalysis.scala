@@ -477,7 +477,11 @@ object TextAnalysis {
                        n: Int = 5, k: Int = 20): DataFrame = {
     val topk = udaf(new graft.functions.TopKTerms(k))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(TextHash.shingles(col("text"), n)).as("g"))
+      // native one-pass gram kernel (bit-equivalent to the HOF
+      // split/slice/array_join chain — HashKernelsSpec); the HOF form is
+      // CodegenFallback and ~2× the cost on this full-corpus pass
+      .select(col("doc_id"),
+        explode(graft.functions.HashExpressions.shingles(col("text"), n)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("df"))
       .agg(topk(col("df"), col("g")).as("hits"))
       .select(posexplode(col("hits")).as(Seq("pos", "h")))

@@ -14,7 +14,9 @@ class ExtensionsSpec extends SparkSpec {
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  tagged_grams('a b') AS tg,
         |  sign_band_keys(array(1.0d, -2.0d, 0.5d), 8, 16) AS sbk,
-        |  int8_audit(array(1.0d, -1.0d, 0.5d)) AS i8""".stripMargin)
+        |  int8_audit(array(1.0d, -1.0d, 0.5d)) AS i8,
+        |  shingles('a b c d', 3) AS shg,
+        |  size(shingle_hashes('a b c d', 3)) AS shn""".stripMargin)
       .head
     assert(r.getAs[Int]("hits") == 3)
     assert(r.getAs[Long]("sh") == graft.functions.HashKernels.simhash(
@@ -34,6 +36,9 @@ class ExtensionsSpec extends SparkSpec {
         Array(1.0, -1.0, 0.5)))
     assert(r.getAs[scala.collection.Seq[Long]]("i8").toSeq ==
       i8Kernel.toLongArray().toSeq)
+    assert(r.getAs[scala.collection.Seq[String]]("shg").toSeq ==
+      Seq("a b c", "b c d"))
+    assert(r.getAs[Int]("shn") == 2)
   }
 
   test("extensions class wires the same descriptions (injectFunction contract)") {
@@ -41,7 +46,7 @@ class ExtensionsSpec extends SparkSpec {
     val names = GraftExtensions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("token_hit_count", "minhash_sig", "simhash",
       "ngram_jaccard", "dot_product", "tagged_grams", "sign_band_keys",
-      "int8_audit"))
+      "int8_audit", "shingles", "shingle_hashes"))
     new GraftExtensions() // must construct cleanly for spark.sql.extensions
   }
 

@@ -133,6 +133,20 @@ class HashKernelsSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.length} shingle-hash mismatches")
   }
 
+  test("native shingle strings == HOF split/slice/array_join chain, in order") {
+    val df = texts(150).toDF("text").select(
+      HashExpressions.shingles(col("text")).as("native"),
+      TextHash.shingles(col("text")).as("hof"))
+    val bad = df.collect().filterNot(r => r.getSeq[String](0) == r.getSeq[String](1))
+    assert(bad.isEmpty, s"${bad.length} shingle-string mismatches")
+    // and on the real corpus, both gram orders and texts agree
+    val corpus = Tables.documents(spark, sf0001).select(
+      HashExpressions.shingles(col("text"), 5).as("native"),
+      TextHash.shingles(col("text"), 5).as("hof"))
+    val badC = corpus.collect().filterNot(r => r.getSeq[String](0) == r.getSeq[String](1))
+    assert(badC.isEmpty, s"${badC.length} corpus shingle-string mismatches")
+  }
+
   test("kernels ride whole-stage codegen on a real scan") {
     val plan = Tables.documents(spark, sf0001)
       .select(HashExpressions.minhashSig(col("text")).as("mh"),
