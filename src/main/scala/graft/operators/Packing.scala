@@ -38,11 +38,17 @@ object Packing {
     * a doc straddles iff they differ. Token count = whitespace tokens
     * (the same tokenization q15 reports on). */
   def packContexts(spark: SparkSession, dir: String,
-                   ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
+                   ctxLen: Int = 512, nShards: Int = 8): DataFrame =
+    packContextsOf(Tables.documents(spark, dir), ctxLen, nShards)
+
+  /** Same assignment over any (doc_id, lang, text) frame — the library
+    * entry point; the dir overload binds it to the test corpus. */
+  def packContextsOf(docs: DataFrame,
+                     ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
     require(ctxLen > 0 && nShards > 0)
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))

@@ -99,6 +99,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sequence packing matches an independent fold on random corpora") {
+    // random corpora: doc ids dense, random langs and token counts; the
+    // oracle is a hand-rolled Scala fold — same semantics, zero Spark
+    val langGen = Gen.oneOf("aa", "bb", "cc")
+    val lenGen = Gen.choose(1, 40)
+    val ctx = 16
+    val nShards = 3
+    val rows = samples(Gen.zip(langGen, lenGen), 300).zipWithIndex.map {
+      case ((lang, len), i) =>
+        (i.toLong, lang, Seq.fill(len)("tok").mkString(" "))
+    }
+    val got = graft.operators.Packing
+      .packContextsOf(rows.toDF("doc_id", "lang", "text"), ctx, nShards)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Long]("context_id"),
+          r.getAs[Long]("end_context"))).toMap
+    // independent fold, grouped by (lang, shard) in doc_id order
+    val expected = rows.groupBy(r => (r._2, r._1 % nShards)).flatMap {
+      case (_, docs) =>
+        var cum = 0L
+        docs.sortBy(_._1).map { case (id, _, text) =>
+          val n = text.split(" ", -1).length.toLong
+          val start = cum; cum += n
+          id -> (cum, start / ctx, (cum - 1) / ctx)
+        }
+    }
+    assert(got == expected)
+  }
+
   test("property: corrupt-record channel partitions any input totally") {
     val valid = samples(Gen.alphaNumStr, 40)
       .map(t => s"""{"text":"$t","lang":"en"}""")
