@@ -99,7 +99,8 @@ object SparkEntry {
     "q71_seq_packing" -> ((s, d) => Packing.packingSummary(s, d)),
     "q72_snapshot_upsert" -> ((s, d) => Curation.snapshotUpsertSummary(s, d)),
     "q73_dup_ngrams" -> ((s, d) => TextAnalysis.duplicatedNgrams(s, d)),
-    "q74_contamination_overlap" -> ((s, d) => Curation.contaminationOverlap(s, d))
+    "q74_contamination_overlap" -> ((s, d) => Curation.contaminationOverlap(s, d)),
+    "q75_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -179,6 +180,7 @@ object SparkEntry {
     "q71_seq_packing" -> Packing.packingSummarySql(),
     "q72_snapshot_upsert" -> Curation.snapshotUpsertSummarySql(),
     "q73_dup_ngrams" -> TextAnalysis.duplicatedNgramsSql(),
-    "q74_contamination_overlap" -> Curation.contaminationOverlapSql()
+    "q74_contamination_overlap" -> Curation.contaminationOverlapSql(),
+    "q75_stratified_sample" -> Curation.stratifiedSampleSql()
   )
 }

@@ -110,3 +110,49 @@ class TopKHits(k: Int) extends Aggregator[ScoredHit, Seq[ScoredHit], Seq[ScoredH
   override def outputEncoder: Encoder[Seq[ScoredHit]] =
     ExpressionEncoder[Seq[ScoredHit]]()
 }
+
+/** One sample candidate: ordered by (h ASC, doc_id ASC) — the total order
+  * `row_number() OVER (ORDER BY h, doc_id)` uses, all-integer so the
+  * cross-engine order is exact (no double precision loss on 60-bit
+  * hashes, which is why ScoredHit's double score cannot be reused). */
+case class DocKey(h: Long, doc_id: Long)
+
+/** Bounded-heap SMALLEST-k for (hash, doc_id) pairs — the deterministic
+  * per-stratum exact-k sampler's scale path (q75). Same two-phase shape
+  * as [[TopKHits]]: the window-rank form would sort each stratum in one
+  * task (a whole language of a 100 TB corpus); this shuffles only
+  * ~partitions × k rows per stratum. */
+class MinKDocs(k: Int) extends Aggregator[DocKey, Seq[DocKey], Seq[DocKey]] {
+  require(k > 0, s"MinKDocs: k must be positive, got $k")
+
+  private def beats(a: DocKey, b: DocKey): Boolean =
+    a.h < b.h || (a.h == b.h && a.doc_id < b.doc_id)
+
+  override def zero: Seq[DocKey] = Vector.empty
+
+  override def reduce(buf: Seq[DocKey], d: DocKey): Seq[DocKey] = {
+    if (buf.length == k && !beats(d, buf.last)) return buf
+    val (front, back) = buf.span(beats(_, d))
+    (front :+ d) ++ back take k
+  }
+
+  override def merge(a: Seq[DocKey], b: Seq[DocKey]): Seq[DocKey] = {
+    val out = Vector.newBuilder[DocKey]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+
+  override def finish(r: Seq[DocKey]): Seq[DocKey] = r
+
+  override def bufferEncoder: Encoder[Seq[DocKey]] =
+    ExpressionEncoder[Seq[DocKey]]()
+  override def outputEncoder: Encoder[Seq[DocKey]] =
+    ExpressionEncoder[Seq[DocKey]]()
+}

@@ -426,6 +426,51 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic per-stratum EXACT-k sample (q75): the eval-subset /
+    * pilot-corpus selection move — take exactly k docs per language,
+    * chosen by content-hash order (h1(text), doc_id tie-break), so the
+    * sample is reproducible across runs and engines and follows content,
+    * not storage order. rand()-based sampling gives neither.
+    *
+    * Scale posture: selection is the bounded-heap [[graft.functions
+    * .MinKDocs]] two-phase aggregate — each map task keeps its k smallest
+    * (hash, doc_id) pairs per language, the shuffle carries ~partitions×k
+    * rows, and no task ever sorts a stratum (a whole language of a 100 TB
+    * corpus would be one window partition in the rank formulation —
+    * CurationSpec proves heap == window-rank). The k winners then
+    * broadcast back onto the corpus to fetch payload columns. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       k: Int = 50): DataFrame = {
+    val minK = udaf(new graft.functions.MinKDocs(k))
+    val docs = Tables.documents(spark, dir)
+    val picked = docs
+      .select(col("lang"), TextHash.h1(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(minK(col("h"), col("doc_id")).as("picks"))
+      .select(col("lang"), explode(col("picks")).as("p"))
+      .select(col("lang"), col("p.doc_id").as("doc_id"))
+    broadcast(picked)
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+      .orderBy(col("lang"))
+  }
+
+  def stratifiedSampleSql(k: Int = 50): String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${TextHash.h1Sql("text")}, doc_id) AS rn
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_sampled,
+       |  sum(n_chars)::BIGINT AS sum_chars,
+       |  sum(doc_id)::BIGINT AS sum_doc_ids
+       |FROM r WHERE rn <= $k
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def snapshotUpsertSummarySql(histSize: Int = 200): String =
     s"""WITH both_sides AS (
        |  SELECT doc_id AS key, lang, n_chars, 0 AS version, doc_id AS src_id

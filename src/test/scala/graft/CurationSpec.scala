@@ -172,6 +172,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("stratified sample: bounded-heap exact-k equals the window-rank answer, deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val viaHeap = Curation.stratifiedSample(spark, sf0001, k)
+    // reference formulation: per-stratum window rank (the single-task-
+    // sort shape the heap replaces at scale)
+    val docs = Tables.documents(spark, sf0001)
+    val viaWindow = docs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(graft.functions.TextHash.h1(col("text")).asc, col("doc_id").asc)))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+    assert(viaHeap.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaHeap).isEmpty)
+    // exact-k: every stratum with >= k docs samples exactly k
+    val langSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaHeap.collect().foreach { r =>
+      val want = math.min(k.toLong, langSizes(r.getString(0)))
+      assert(r.getAs[Long]("n_sampled") == want)
+    }
+    // deterministic: re-evaluation picks the identical docs
+    assert(viaHeap.exceptAll(Curation.stratifiedSample(spark, sf0001, k)).isEmpty)
+  }
+
   test("contamination overlap: fraction rule is stricter than any-hit q45 rule") {
     val anyHit = Curation.contamination(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_contaminated")).toMap
