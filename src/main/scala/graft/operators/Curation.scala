@@ -396,6 +396,9 @@ object Curation {
     * compaction; this is the engine-level semantics underneath it.) */
   def upsertLatest(base: DataFrame, updates: DataFrame,
                    key: String, version: String, tiebreak: String): DataFrame = {
+    require(!base.columns.contains("_rn") && !updates.columns.contains("_rn"),
+      "upsertLatest: inputs must not already carry a '_rn' column — " +
+        "withColumn would replace it and the final drop would remove both")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
       .orderBy(col(version).desc, col(tiebreak).desc)
     base.unionByName(updates)

@@ -153,6 +153,12 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) == ("a3", 21L), "highest version, then highest tiebreak")
     assert(out(2L) == ("b", 11L), "untouched key keeps the base row")
     assert(out(9L) == ("z", 22L), "new key inserted")
+    // reserved working column must be rejected, not silently replaced
+    val withRn = base.withColumn("_rn", lit(1))
+    intercept[IllegalArgumentException] {
+      Curation.upsertLatest(withRn, upd.withColumn("_rn", lit(1)),
+        "key", "version", "src_id")
+    }
   }
 
   test("snapshot upsert audit: merged key space is base + new-key half of updates") {
