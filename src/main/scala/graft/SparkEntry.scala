@@ -100,7 +100,8 @@ object SparkEntry {
     "q72_snapshot_upsert" -> ((s, d) => Curation.snapshotUpsertSummary(s, d)),
     "q73_dup_ngrams" -> ((s, d) => TextAnalysis.duplicatedNgrams(s, d)),
     "q74_contamination_overlap" -> ((s, d) => Curation.contaminationOverlap(s, d)),
-    "q75_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d))
+    "q75_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
+    "q76_rolling_active" -> ((s, d) => EventAnalytics.rollingActiveUsers(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -181,6 +182,7 @@ object SparkEntry {
     "q72_snapshot_upsert" -> Curation.snapshotUpsertSummarySql(),
     "q73_dup_ngrams" -> TextAnalysis.duplicatedNgramsSql(),
     "q74_contamination_overlap" -> Curation.contaminationOverlapSql(),
-    "q75_stratified_sample" -> Curation.stratifiedSampleSql()
+    "q75_stratified_sample" -> Curation.stratifiedSampleSql(),
+    "q76_rolling_active" -> EventAnalytics.rollingActiveUsersSql()
   )
 }

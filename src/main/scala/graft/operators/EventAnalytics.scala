@@ -86,6 +86,43 @@ object EventAnalytics {
       .orderBy(col("cohort_day"), col("activity_day"))
   }
 
+  /** Rolling 7-day active users (q76): for every calendar day with
+    * activity, the count of DISTINCT users active in the trailing 7-day
+    * window — the WAU curve. Exact, not sketched: activity first
+    * collapses to distinct (user_id, day) pairs (the only corpus-sized
+    * shuffle, keyed on user_id), then each pair joins the small day
+    * dimension on the 7-day range — a |days|-bounded fan-out (≤ 7 rows
+    * per pair), and the final distinct-count shuffles (day, user_id)
+    * pairs. At 100 TB the same plan holds because `days` is calendar-
+    * bounded; the sketched alternative (per-day HLL merged over windows)
+    * trades exactness for one less shuffle and is what q34's HLL family
+    * would supply.
+    *
+    * Day arithmetic is integer (datediff), so the window membership test
+    * is exact cross-engine. */
+  def rollingActiveUsers(spark: SparkSession, dir: String,
+                         windowDays: Int = 7): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = pairs.select(col("day").as("t")).distinct()
+    pairs.join(days,
+        datediff(col("t"), col("day")).between(0, windowDays - 1))
+      .groupBy(col("t"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(col("t").as("day"), col("active_users"))
+      .orderBy(col("day"))
+  }
+
+  def rollingActiveUsersSql(windowDays: Int = 7): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+       |), days AS (
+       |  SELECT DISTINCT day AS t FROM pairs
+       |)
+       |SELECT t AS day, count(DISTINCT user_id) AS active_users
+       |FROM pairs JOIN days ON date_diff('day', day, t) BETWEEN 0 AND ${windowDays - 1}
+       |GROUP BY t ORDER BY day""".stripMargin
+
   def retentionSql: String =
     """WITH e AS (
       |  SELECT DISTINCT user_id, ts::DATE AS day FROM events

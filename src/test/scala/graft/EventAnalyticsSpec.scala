@@ -54,4 +54,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(totalDay0 == Tables.events(spark, sf0001)
       .select("user_id").distinct().count())
   }
+
+  test("rolling active users: window-1 equals DAU, window-7 dominates it, bounded by total") {
+    import org.apache.spark.sql.functions._
+    val dau = EventAnalytics.rollingActiveUsers(spark, sf0001, windowDays = 1)
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    // independent DAU: distinct users per day straight off the table
+    val direct = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    assert(dau == direct, "window=1 must be exactly daily distinct users")
+    val wau = EventAnalytics.rollingActiveUsers(spark, sf0001, windowDays = 7)
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    val totalUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(wau.keySet == dau.keySet, "same day axis")
+    wau.foreach { case (d, n) =>
+      assert(n >= dau(d), s"$d: 7-day window must dominate the single day")
+      assert(n <= totalUsers)
+    }
+    // a 7-day window can never exceed the sum of its member days' DAU
+    wau.foreach { case (d, n) =>
+      val member = dau.filter { case (d2, _) =>
+        val diff = (d.getTime - d2.getTime) / 86400000L
+        diff >= 0 && diff < 7
+      }.values.sum
+      assert(n <= member, s"$d: window count $n > member-day sum $member")
+    }
+  }
 }
