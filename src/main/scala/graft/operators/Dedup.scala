@@ -372,9 +372,10 @@ object Dedup {
     * some near-dup pair — label is the component's minimum doc_id, i.e.
     * THE deterministic representative a dedup pipeline keeps ("keep the
     * doc where doc_id == label, drop the rest"). Docs in no pair are
-    * their own representative and are omitted (closed-form singletons —
-    * see [[dedupClusters]]). DedupSpec asserts every candidate pair's
-    * endpoints share a label (the defining component property). */
+    * their own representative and are omitted here; [[dedupClusters]]
+    * unions them back in as size-1 clusters before its histogram.
+    * DedupSpec asserts every candidate pair's endpoints share a label
+    * (the defining component property). */
   def dedupClusterAssignments(spark: SparkSession, dir: String,
                               threshold: Double = 0.5,
                               rounds: Int = 6): DataFrame = {
