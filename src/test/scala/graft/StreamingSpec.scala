@@ -269,6 +269,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(2L -> Some(5.0), 3L -> Some(5.0)), s"got $rows")
   }
 
+  test("packing state survives checkpoint restart (T4/T5/X6)") {
+    import graft.streaming.PackDoc
+    val src = Files.createTempDirectory("graft_pack_src").toString
+    val out = Files.createTempDirectory("graft_pack_out").toString
+    val chk = Files.createTempDirectory("graft_pack_chk").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(PackDoc(0L, "en", 0L)).toDF().schema)
+        .json(src).as[PackDoc]
+      val q = Pipeline.packStream(stream, ctxLen = 10, nShards = 1)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: 7 tokens land in the shard's running count (context 0 open)
+    Seq(PackDoc(1L, "en", 7L)).toDF().write.mode("append").json(src)
+    run()
+    // run 2 (fresh query, recovered checkpoint): a 6-token doc can only
+    // start at offset 7 — straddling contexts 0 and 1 — if the running
+    // count survived the restart; a reset count would pack it at 0
+    Seq(PackDoc(2L, "en", 6L)).toDF().write.mode("append").json(src)
+    run()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Long]("context_id"),
+          r.getAs[Long]("end_context"))).toMap
+    assert(rows == Map(1L -> ((7L, 0L, 0L)), 2L -> ((13L, 0L, 1L))),
+      s"state lost across restart: $rows")
+  }
+
   test("stateful dedup state survives checkpoint restart (T4/T5)") {
     val src = Files.createTempDirectory("graft_dd_src").toString
     val out = Files.createTempDirectory("graft_dd_out").toString
