@@ -129,6 +129,26 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("property: upsertLatest equals a max-by-(version, tiebreak) fold on random tables") {
+    // random (key, version, src_id) rows with heavy key collisions
+    val rowGen = Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 3L))
+    val rows = samples(rowGen, 400).zipWithIndex.map {
+      case ((key, ver), i) => (key, ver, i.toLong, s"p$i")
+    }
+    val (baseRows, updRows) = rows.splitAt(rows.length / 2)
+    val base = baseRows.toDF("key", "version", "src_id", "payload")
+    val upd = updRows.toDF("key", "version", "src_id", "payload")
+    val got = graft.operators.Curation
+      .upsertLatest(base, upd, "key", "version", "src_id")
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("payload"))
+      .toMap
+    // independent oracle: plain Scala max by (version, src_id) per key
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.maxBy(r => (r._2, r._3))._4
+    }
+    assert(got == expected)
+  }
+
   test("property: corrupt-record channel partitions any input totally") {
     val valid = samples(Gen.alphaNumStr, 40)
       .map(t => s"""{"text":"$t","lang":"en"}""")
