@@ -46,6 +46,9 @@ case class AsofOut(event_id: Long, user_id: Long, view_epoch: Long,
 /** One open session's state (epoch millis) for [[Pipeline.sessionize]]. */
 case class OpenSession(startMs: Long, lastMs: Long, n: Long)
 
+/** One streaming similarity query for [[Pipeline.cosineTopKStream]]. */
+case class QueryVec(query_id: Long, qv: Seq[Double])
+
 /** Input row for [[Pipeline.packStream]] (token count precomputed by the
   * caller with the batch tokenization, so stream and batch cut the same
   * grams). */
@@ -425,6 +428,38 @@ object Pipeline {
             closed.result().iterator
           }
       }
+  }
+
+  /** X3/T4 (EXT): STREAMING similarity search — the online-serving twin
+    * of the batch brute cosine top-k (q23): QUERY vectors arrive as a
+    * stream and score against the static corpus (EDBT'19's streaming
+    * similarity-search shape, PAPERS.md). Per micro-batch: stream-static
+    * inner join (the static side's norms fold into the scan projection —
+    * at scale the corpus side is the broadcast/bucketed static relation,
+    * the stream never accumulates state beyond the running top-k
+    * aggregate), cosine via the native DotProduct kernel, ranking via the
+    * same bounded-heap TopKHits aggregate as batch. Emit in update or
+    * complete mode; each query's row set equals the batch operator's
+    * answer (StreamingSpec proves equality against q23's rows).
+    * Returns (query_id, hits: array<struct<cosine, vec_id>>) — explode
+    * downstream of the sink; a Generate above a streaming agg is not
+    * allowed inside the continuous plan. */
+  def cosineTopKStream(queries: DataFrame, corpus: DataFrame,
+                       k: Int = 10): DataFrame = {
+    import graft.functions.HashExpressions.dotProduct
+    val c = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val q = queries.select(col("query_id"),
+        col("qv").cast("array<double>").as("qv"))
+      .withColumn("qnrm", sqrt(dotProduct(col("qv"), col("qv"))))
+    val topk = udaf(new graft.functions.TopKHits(k))
+    q.join(c, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dotProduct(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+          .as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("hits"))
   }
 
   /** T4/X6 (EXT): STREAMING sequence packing — the twin of the batch

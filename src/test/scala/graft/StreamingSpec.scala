@@ -269,6 +269,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Map(2L -> Some(5.0), 3L -> Some(5.0)), s"got $rows")
   }
 
+  test("streaming similarity search matches batch cosine top-k per query (X3/T4)") {
+    import graft.streaming.QueryVec
+    import graft.operators.Similarity
+    // the same query vectors the batch operator uses, fed in two batches
+    val corpus = Tables.embeddings(spark, sf0001)
+    val qvecs = corpus
+      .filter(col("vec_id").isin(Similarity.QueryIds: _*))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .collect().map(r => QueryVec(r.getLong(0), r.getSeq[Double](1)))
+    val mem = MemoryStream[QueryVec]
+    val q = Pipeline.cosineTopKStream(mem.toDS().toDF(), corpus, k = 10)
+      .writeStream.format("memory").queryName("sim_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(qvecs.head)
+      q.processAllAvailable()
+      mem.addData(qvecs.tail.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sim_stream")
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("h.vec_id").as("vec_id"), col("h.cosine").as("cosine"))
+      .collect().map(_.toSeq).toSet
+    val expected = Similarity.cosineTopK(spark, sf0001, k = 10)
+      .select("query_id", "rank", "vec_id", "cosine")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"stream/batch diverged: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
   test("packing state survives checkpoint restart (T4/T5/X6)") {
     import graft.streaming.PackDoc
     val src = Files.createTempDirectory("graft_pack_src").toString
