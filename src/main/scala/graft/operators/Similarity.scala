@@ -447,6 +447,11 @@ object Similarity {
           .join(upd, Seq("cid"), "left")
           .select(col("cid"), coalesce(col("ucv"), col("pcv")).as("cv"))
           .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+          // `c` is referenced TWICE per iteration (assignStep + the
+          // coalesce-previous join), so the unrolled plan DOUBLES each
+          // round — lazy per-iteration lineage truncation keeps the
+          // first materialization linear (same fix as q64's propagation)
+          .localCheckpoint(eager = false)
       }
       c
     }
@@ -655,6 +660,10 @@ object Similarity {
             .join(upd, Seq("cid"), "left")
             .select(col("cid"), coalesce(col("ucv"), col("pcv")).as("cv"))
             .withColumn("cn2", dot(col("cv"), col("cv")))
+            // same double-reference-per-iteration shape as the IVF loop
+            // (×PqM subspaces here) — truncate or the union of 8 unrolled
+            // chains dominates q70's first materialization
+            .localCheckpoint(eager = false)
         }
         c.select(lit(m).as("m"), col("cid"), col("cv"), col("cn2"))
       }.reduce(_ unionByName _)
