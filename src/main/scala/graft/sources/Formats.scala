@@ -120,4 +120,15 @@ object Formats {
       r0.option("inferSchema", "true") else r0)(r0.schema)
     (if (fmt == "csv") r1.option("header", "true") else r1).load(path)
   }
+
+  /** Read a parquet directory whose files carry EVOLVED schemas (columns
+    * added over time) as their union — rows from older files surface the
+    * newer columns as NULL. This is the schema-evolution read a 100 TB
+    * append-only lake needs when the producer adds a field: without
+    * `mergeSchema` Spark samples ONE footer and silently drops the new
+    * column from old-file-first listings. Costs a footer read per file
+    * (why it is not the default) — pay it where schemas actually evolve,
+    * or pin the union schema explicitly via [[read]]'s schema arg. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

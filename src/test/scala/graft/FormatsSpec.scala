@@ -84,6 +84,25 @@ class FormatsSpec extends SparkSpec {
     assert(q.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("schema-evolution read unions evolved file schemas, null-filling old rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // producer v1: (doc_id, lang); later adds a quality column
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "en", 0.9)).toDF("doc_id", "lang", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = Formats.readMerged(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("doc_id", "lang", "quality"))
+    val rows = merged.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("quality")).map(_.doubleValue)).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(0.9)),
+      "old-file rows must surface the new column as NULL")
+    // and the merged frame keeps engine semantics: filters/aggs work
+    assert(merged.filter(col("quality").isNull).count() == 2)
+  }
+
   test("unsupported format fails fast with the supported list") {
     val e = intercept[IllegalArgumentException] {
       Formats.write(Tables.region(spark, sf0001), "/tmp/x", "xml")
