@@ -421,6 +421,24 @@ object Dedup {
     }
   }
 
+  /** The deduplicated corpus itself — one representative document per
+    * near-dup cluster (the doc whose doc_id equals its component label)
+    * plus every singleton, with original columns intact. This is the
+    * one-call "dedup my corpus" materializer built on
+    * [[dedupClusterAssignments]]; the histogram (q64) and the pair
+    * listings are its audit views. At 100 TB: one left join of the
+    * corpus against the (tiny) member-label table on doc_id, then a
+    * narrow filter — the corpus body never shuffles on anything but its
+    * own key. */
+  def dedupKept(spark: SparkSession, dir: String,
+                threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val labels = dedupClusterAssignments(spark, dir, threshold, rounds)
+    Tables.documents(spark, dir)
+      .join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .drop("label")
+  }
+
   def dedupClustersSql(threshold: Double = 0.5, rounds: Int = 6): String = {
     val iters = (1 to rounds).map { i =>
       s""", l$i AS (

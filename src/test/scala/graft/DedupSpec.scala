@@ -28,6 +28,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupKept keeps exactly one representative per cluster plus singletons") {
+    val kept = Dedup.dedupKept(spark, sf0001)
+    // total kept == total clusters from the q64 histogram
+    val nClusters = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_clusters")).sum
+    assert(kept.count() == nClusters)
+    // schema unchanged: the materializer returns original columns
+    assert(kept.columns.toSeq == Tables.documents(spark, sf0001).columns.toSeq)
+    // every kept member doc is its own label; no two kept docs share one
+    val labels = Dedup.dedupClusterAssignments(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    keptIds.foreach { id =>
+      labels.get(id).foreach(l => assert(l == id, s"kept $id has label $l"))
+    }
+    // dropped docs' labels are all kept (each cluster is represented)
+    labels.values.toSet.foreach { l: Long => assert(keptIds.contains(l)) }
+  }
+
   test("cluster assignments: every candidate pair's endpoints share a label") {
     val labels = Dedup.dedupClusterAssignments(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
