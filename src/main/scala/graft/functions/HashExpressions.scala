@@ -352,9 +352,11 @@ object HashKernels {
         i += 1
       }
     }
-    val sseMicro: Any =
-      if (anyNull && n > 0) null else java.lang.Long.valueOf(roundHalfUp(sse * 1000000.0).toLong)
-    new GenericArrayData(Array[Any](sseMicro, java.lang.Long.valueOf(nSat)))
+    // primitive fast path for the common null-free case (no boxing)
+    if (!anyNull)
+      new GenericArrayData(Array(roundHalfUp(sse * 1000000.0).toLong, nSat))
+    else
+      new GenericArrayData(Array[Any](null, java.lang.Long.valueOf(nSat)))
   }
 
   /** Tagged grams for repetition scoring: "t:"+token for every token of
