@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, Dedup, TextAnalysis}
+
+/** End-to-end composition: dedup → scrub → quality floor → split → pack
+  * as one plan. */
+class CurationPipelineSpec extends SparkSpec {
+
+  test("curate composes the stage operators without changing their semantics") {
+    val out = CurationPipeline.curate(spark, sf0001, minQuality = 0.3,
+      ctxLen = 64, nShards = 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // row identity: curated docs ⊆ dedup survivors, one row per doc
+    val keptIds = Dedup.dedupKept(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val outIds = rows.map(_.getAs[Long]("doc_id"))
+    assert(outIds.toSet.subsetOf(keptIds))
+    assert(outIds.length == outIds.toSet.size, "one row per doc")
+    // the quality floor held on the scrubbed text
+    rows.foreach { r =>
+      assert(r.getAs[String]("split") != null)
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+    }
+    val requal = out.select(
+      round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(requal.forall(_ >= 0.3))
+    // packing covered every curated doc: cum/context fields consistent
+    rows.foreach { r =>
+      assert(r.getAs[Long]("end_context") >= r.getAs[Long]("context_id"))
+    }
+  }
+
+  test("summary budgets tokens and contexts per (split, lang)") {
+    val s = CurationPipeline.summary(spark, sf0001, minQuality = 0.3,
+      ctxLen = 64, nShards = 4).collect()
+    assert(s.nonEmpty)
+    val total = s.map(_.getAs[Long]("n_docs")).sum
+    val curated = CurationPipeline.curate(spark, sf0001, minQuality = 0.3,
+      ctxLen = 64, nShards = 4).count()
+    assert(total == curated, "summary partitions the curated corpus")
+    s.foreach { r =>
+      assert(r.getAs[Long]("sum_tokens") >= r.getAs[Long]("n_docs"),
+        "every doc has at least one token")
+      assert(r.getAs[Long]("n_contexts_touched") >= 1L)
+    }
+  }
+}
