@@ -101,7 +101,10 @@ object SparkEntry {
     "q73_dup_ngrams" -> ((s, d) => TextAnalysis.duplicatedNgrams(s, d)),
     "q74_contamination_overlap" -> ((s, d) => Curation.contaminationOverlap(s, d)),
     "q75_stratified_sample" -> ((s, d) => Curation.stratifiedSample(s, d)),
-    "q76_rolling_active" -> ((s, d) => EventAnalytics.rollingActiveUsers(s, d))
+    "q76_rolling_active" -> ((s, d) => EventAnalytics.rollingActiveUsers(s, d)),
+    // the COMPOSED pipeline (dedup→scrub→quality→split→pack) as one
+    // oracle row: gates stage hand-offs, not just the stages
+    "q77_curation_pipeline" -> ((s, d) => graft.operators.CurationPipeline.summary(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -183,6 +186,7 @@ object SparkEntry {
     "q73_dup_ngrams" -> TextAnalysis.duplicatedNgramsSql(),
     "q74_contamination_overlap" -> Curation.contaminationOverlapSql(),
     "q75_stratified_sample" -> Curation.stratifiedSampleSql(),
-    "q76_rolling_active" -> EventAnalytics.rollingActiveUsersSql()
+    "q76_rolling_active" -> EventAnalytics.rollingActiveUsersSql(),
+    "q77_curation_pipeline" -> graft.operators.CurationPipeline.summarySql()
   )
 }

@@ -439,7 +439,12 @@ object Dedup {
       .drop("label")
   }
 
-  def dedupClustersSql(threshold: Double = 0.5, rounds: Int = 6): String = {
+  /** The shared label-propagation CTE chain (`toks … l$rounds`) — the
+    * WITH-body both [[dedupClustersSql]] and the composed-pipeline
+    * oracle ([[CurationPipeline.summarySql]]) build on. `l$rounds` holds
+    * (doc_id, label) for EVERY document (isolated docs keep their own
+    * id), so "kept" is `label = doc_id`. */
+  def labelPropagationCtes(threshold: Double = 0.5, rounds: Int = 6): String = {
     val iters = (1 to rounds).map { i =>
       s""", l$i AS (
          |  SELECT l.doc_id,
@@ -450,7 +455,7 @@ object Dedup {
          |  GROUP BY l.doc_id, l.label
          |)""".stripMargin
     }.mkString
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
        |), sh AS (
        |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
@@ -472,11 +477,14 @@ object Dedup {
        |  SELECT doc_b AS a, doc_a AS b FROM pairs
        |), l0 AS (
        |  SELECT doc_id, doc_id AS label FROM documents
-       |)$iters
+       |)$iters""".stripMargin
+  }
+
+  def dedupClustersSql(threshold: Double = 0.5, rounds: Int = 6): String =
+    s"""WITH ${labelPropagationCtes(threshold, rounds)}
        |SELECT cluster_size, count(*) AS n_clusters,
        |  sum(cluster_size)::BIGINT AS n_docs
        |FROM (SELECT label, count(*) AS cluster_size
        |      FROM l$rounds GROUP BY label)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
-  }
 }

@@ -42,16 +42,20 @@ object Packing {
     packContextsOf(Tables.documents(spark, dir), ctxLen, nShards)
 
   /** Same assignment over any (doc_id, lang, text) frame — the library
-    * entry point; the dir overload binds it to the test corpus. */
-  def packContextsOf(docs: DataFrame,
-                     ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
+    * entry point; the dir overload binds it to the test corpus. `carry`
+    * names extra input columns to keep on the output rows (computed
+    * once, riding the one packing shuffle — cheaper than re-deriving
+    * them downstream and joining back). */
+  def packContextsOf(docs: DataFrame, ctxLen: Int = 512, nShards: Int = 8,
+                     carry: Seq[String] = Nil): DataFrame = {
     require(ctxLen > 0 && nShards > 0)
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col("doc_id"), col("lang"),
+      .select(Seq(col("doc_id"), col("lang"),
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+        ++ carry.map(col): _*)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       // integer div (never float): both engines agree bit-for-bit
       .withColumn("context_id",
