@@ -202,6 +202,40 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Fused heuristic quality score — twin of the four-term HOF chain in
+    * TextAnalysis.qualityScoreHof, ONE pass over the tokens instead of
+    * four (split + array_distinct + lexicon filter + length): 0.25·each
+    * of length prior, type-token ratio, 1−stopword ratio, avg-token-
+    * length prior. The double arithmetic is written in the exact
+    * association order of the Column tree so results are bit-identical.
+    * Empty tokens (double spaces) count toward ntok and distinct exactly
+    * as split() produces them; they are never stopword members. */
+  def qualityScore(s: UTF8String, stop: java.util.HashSet[UTF8String]): Double = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val seen = new java.util.HashSet[UTF8String](math.max(nTok * 2, 8))
+    var stops = 0
+    var i = 0
+    while (i < nTok) {
+      val from = bounds(2 * i)
+      val len = bounds(2 * i + 1) - from
+      val tok = UTF8String.fromBytes(bytes, from, len)
+      seen.add(tok)
+      if (len > 0 && stop.contains(tok)) stops += 1
+      i += 1
+    }
+    val ntok = nTok.toDouble
+    val ttr = seen.size.toDouble / ntok
+    val stopRatio = stops.toDouble / ntok
+    val avgLen = (s.numChars().toDouble - (ntok - 1.0)) / ntok
+    0.25 * math.min(ntok / 50.0, 1.0) +
+      0.25 * ttr +
+      0.25 * (1.0 - stopRatio) +
+      0.25 * math.min(avgLen / 6.0, 1.0)
+  }
+
   /** Distinct word n-gram shingles as zero-copy byte-slice UTF8Strings. */
   def shingleSet(s: UTF8String, n: Int): java.util.HashSet[UTF8String] = {
     val lower = s.toLowerCase
@@ -507,6 +541,30 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native fused quality-score expression (twin of
+  * TextAnalysis.qualityScoreHof — one token pass instead of four HOF
+  * evaluations; bit-identical double arithmetic). */
+case class QualityScore(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"quality_score needs string, got ${child.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] =
+    TokenHitCount.buildSet(stopwords)
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.qualityScore(input.asInstanceOf[UTF8String], stopSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.qualityScore($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
 /** Native SimHash expression (twin of TextHash.simhash). */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
   require(bits > 0 && bits <= 63, s"simhash needs 0 < bits <= 63 (got $bits)")
@@ -595,6 +653,8 @@ object HashExpressions {
     bridge.column(ShingleHashes(bridge.expression(text), n))
   def shingles(text: Column, n: Int = 3): Column =
     bridge.column(Shingles(bridge.expression(text), n))
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    bridge.column(QualityScore(bridge.expression(text), stopwords))
   def simhash(text: Column, bits: Int = 48): Column =
     bridge.column(SimHash(bridge.expression(text), bits))
   def dotProduct(a: Column, b: Column): Column =

@@ -91,8 +91,16 @@ object TextAnalysis {
   /** Per-doc quality score in [0,1]: length prior + type-token ratio +
     * (1 - stopword ratio) + average token length prior, equally weighted.
     * All per-row math is plain IEEE ops written in identical order in the
-    * SQL twin. */
-  def qualityScore(text: Column): Column = {
+    * SQL twin. Evaluated by the fused native `QualityScore` kernel — ONE
+    * token pass instead of four HOF evaluations (split, array_distinct,
+    * lexicon filter, length); [[qualityScoreHof]] is the reference
+    * formulation the kernel is spec'd bit-equivalent to
+    * (HashKernelsSpec). */
+  def qualityScore(text: Column): Column =
+    graft.functions.HashExpressions.qualityScore(text, Stopwords)
+
+  /** Built-in-functions reference formulation of [[qualityScore]]. */
+  def qualityScoreHof(text: Column): Column = {
     val t = toks(text)
     val ntok = size(t).cast("double")
     val ttr = size(array_distinct(t)).cast("double") / ntok

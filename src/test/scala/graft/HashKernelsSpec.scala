@@ -147,6 +147,19 @@ class HashKernelsSpec extends SparkSpec {
     assert(badC.isEmpty, s"${badC.length} corpus shingle-string mismatches")
   }
 
+  test("native quality score == four-term HOF chain, bit-exact") {
+    val hof = graft.operators.TextAnalysis.qualityScoreHof(col("text"))
+    val native = graft.operators.TextAnalysis.qualityScore(col("text"))
+    val gen = texts(150).toDF("text")
+      .select(native.as("n"), hof.as("h")).collect()
+      .filterNot(r => r.getDouble(0) == r.getDouble(1))
+    assert(gen.isEmpty, s"${gen.length} generated-text mismatches")
+    val corpus = Tables.documents(spark, sf0001)
+      .select(native.as("n"), hof.as("h")).collect()
+      .filterNot(r => java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    assert(corpus.isEmpty, s"${corpus.length} corpus mismatches")
+  }
+
   test("kernels ride whole-stage codegen on a real scan") {
     val plan = Tables.documents(spark, sf0001)
       .select(HashExpressions.minhashSig(col("text")).as("mh"),
