@@ -16,7 +16,8 @@ class ExtensionsSpec extends SparkSpec {
         |  sign_band_keys(array(1.0d, -2.0d, 0.5d), 8, 16) AS sbk,
         |  int8_audit(array(1.0d, -1.0d, 0.5d)) AS i8,
         |  shingles('a b c d', 3) AS shg,
-        |  size(shingle_hashes('a b c d', 3)) AS shn""".stripMargin)
+        |  size(shingle_hashes('a b c d', 3)) AS shn,
+        |  quality_score('the cat sat') AS qs""".stripMargin)
       .head
     assert(r.getAs[Int]("hits") == 3)
     assert(r.getAs[Long]("sh") == graft.functions.HashKernels.simhash(
@@ -39,6 +40,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("shg").toSeq ==
       Seq("a b c", "b c d"))
     assert(r.getAs[Int]("shn") == 2)
+    val qsKernel = graft.functions.HashKernels.qualityScore(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the cat sat"),
+      graft.functions.TokenHitCount.buildSet(
+        graft.operators.TextAnalysis.Stopwords))
+    assert(r.getAs[Double]("qs") == qsKernel)
   }
 
   test("extensions class wires the same descriptions (injectFunction contract)") {
@@ -46,7 +52,7 @@ class ExtensionsSpec extends SparkSpec {
     val names = GraftExtensions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("token_hit_count", "minhash_sig", "simhash",
       "ngram_jaccard", "dot_product", "tagged_grams", "sign_band_keys",
-      "int8_audit", "shingles", "shingle_hashes"))
+      "int8_audit", "shingles", "shingle_hashes", "quality_score"))
     new GraftExtensions() // must construct cleanly for spark.sql.extensions
   }
 
