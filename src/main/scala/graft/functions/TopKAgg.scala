@@ -4,6 +4,37 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
+/** The shared bounded-heap buffer ops all three top-k Aggregators
+  * (TopKHits, TopKTerms, MinKDocs) delegate to — ONE implementation of
+  * the k-capped sorted-insert and the k+k merge, parameterized by each
+  * aggregator's `beats` total order. A fix to the heap applies to every
+  * aggregator at once instead of drifting across three copies. */
+private[functions] object BoundedHeap {
+
+  /** Insert one element into a sorted (best-first) buffer, capped at k.
+    * O(k) per row with k ~ 10-50 — cheaper than heap bookkeeping. */
+  def insert[T](buf: Seq[T], h: T, k: Int, beats: (T, T) => Boolean): Seq[T] = {
+    if (buf.length == k && !beats(h, buf.last)) return buf
+    val (front, back) = buf.span(beats(_, h))
+    (front :+ h) ++ back take k
+  }
+
+  /** k+k merge of two already-sorted buffers. */
+  def merge[T](a: Seq[T], b: Seq[T], k: Int,
+               beats: (T, T) => Boolean): Seq[T] = {
+    val out = Vector.newBuilder[T]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (n < k && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
+      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
+}
+
 /** One scored candidate for top-k ranking: ordered by cosine DESC with
   * vec_id ASC tie-break — the exact total order the window-rank
   * formulation (`row_number() OVER (ORDER BY cosine DESC, vec_id)`) uses,
@@ -46,24 +77,11 @@ class TopKTerms(k: Int) extends Aggregator[TermHit, Seq[TermHit], Seq[TermHit]] 
 
   override def zero: Seq[TermHit] = Vector.empty
 
-  override def reduce(buf: Seq[TermHit], h: TermHit): Seq[TermHit] = {
-    if (buf.length == k && !beats(h, buf.last)) return buf
-    val (front, back) = buf.span(beats(_, h))
-    (front :+ h) ++ back take k
-  }
+  override def reduce(buf: Seq[TermHit], h: TermHit): Seq[TermHit] =
+    BoundedHeap.insert(buf, h, k, beats)
 
-  override def merge(a: Seq[TermHit], b: Seq[TermHit]): Seq[TermHit] = {
-    val out = Vector.newBuilder[TermHit]
-    var i = 0
-    var j = 0
-    var n = 0
-    while (n < k && (i < a.length || j < b.length)) {
-      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
-      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-      n += 1
-    }
-    out.result()
-  }
+  override def merge(a: Seq[TermHit], b: Seq[TermHit]): Seq[TermHit] =
+    BoundedHeap.merge(a, b, k, beats)
 
   override def finish(r: Seq[TermHit]): Seq[TermHit] = r
 
@@ -81,27 +99,11 @@ class TopKHits(k: Int) extends Aggregator[ScoredHit, Seq[ScoredHit], Seq[ScoredH
 
   override def zero: Seq[ScoredHit] = Vector.empty
 
-  /** Insert one hit into a sorted (best-first) buffer, capped at k.
-    * O(k) per row with k ~ 10 — cheaper than heap bookkeeping at this k. */
-  override def reduce(buf: Seq[ScoredHit], h: ScoredHit): Seq[ScoredHit] = {
-    if (buf.length == k && !beats(h, buf.last)) return buf
-    val (front, back) = buf.span(beats(_, h))
-    (front :+ h) ++ back take k
-  }
+  override def reduce(buf: Seq[ScoredHit], h: ScoredHit): Seq[ScoredHit] =
+    BoundedHeap.insert(buf, h, k, beats)
 
-  override def merge(a: Seq[ScoredHit], b: Seq[ScoredHit]): Seq[ScoredHit] = {
-    // k+k merge of two already-sorted buffers
-    val out = Vector.newBuilder[ScoredHit]
-    var i = 0
-    var j = 0
-    var n = 0
-    while (n < k && (i < a.length || j < b.length)) {
-      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
-      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-      n += 1
-    }
-    out.result()
-  }
+  override def merge(a: Seq[ScoredHit], b: Seq[ScoredHit]): Seq[ScoredHit] =
+    BoundedHeap.merge(a, b, k, beats)
 
   override def finish(r: Seq[ScoredHit]): Seq[ScoredHit] = r
 
@@ -130,24 +132,11 @@ class MinKDocs(k: Int) extends Aggregator[DocKey, Seq[DocKey], Seq[DocKey]] {
 
   override def zero: Seq[DocKey] = Vector.empty
 
-  override def reduce(buf: Seq[DocKey], d: DocKey): Seq[DocKey] = {
-    if (buf.length == k && !beats(d, buf.last)) return buf
-    val (front, back) = buf.span(beats(_, d))
-    (front :+ d) ++ back take k
-  }
+  override def reduce(buf: Seq[DocKey], d: DocKey): Seq[DocKey] =
+    BoundedHeap.insert(buf, d, k, beats)
 
-  override def merge(a: Seq[DocKey], b: Seq[DocKey]): Seq[DocKey] = {
-    val out = Vector.newBuilder[DocKey]
-    var i = 0
-    var j = 0
-    var n = 0
-    while (n < k && (i < a.length || j < b.length)) {
-      val takeA = j >= b.length || (i < a.length && beats(a(i), b(j)))
-      if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
-      n += 1
-    }
-    out.result()
-  }
+  override def merge(a: Seq[DocKey], b: Seq[DocKey]): Seq[DocKey] =
+    BoundedHeap.merge(a, b, k, beats)
 
   override def finish(r: Seq[DocKey]): Seq[DocKey] = r
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -19,29 +19,40 @@ import graft.functions.TextHash
   */
 object Curation {
 
-  /** Deterministic train/val/test assignment: md5-hash-mod on the
-    * document text (NOT rand() — re-runs and engines agree, and the split
-    * follows content, so exact dups land in the same split). 80/10/10. */
+  /** THE 80/10/10 content-hash split rule — single source of truth for
+    * every operator that assigns splits (q43, the composed pipeline
+    * q77): md5-hash-mod on the text (NOT rand() — re-runs and engines
+    * agree, and the split follows content, so exact dups land in the
+    * same split). */
+  def splitAssign(text: Column): Column = {
+    val h = TextHash.h1(text) % 100
+    when(h < 80, "train").when(h < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitAssign]] over SQL expression `e`. */
+  def splitAssignSql(e: String): String =
+    s"""CASE WHEN ${TextHash.h1Sql(e)} % 100 < 80 THEN 'train'
+       |     WHEN ${TextHash.h1Sql(e)} % 100 < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** Deterministic train/val/test assignment ([[splitAssign]]),
+    * summarized per (lang, split). */
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val h = TextHash.h1(col("text")) % 100
     Tables.documents(spark, dir)
       .select(col("lang"), col("n_chars"),
-        when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        splitAssign(col("text")).as("split"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"), col("split"))
   }
 
-  def trainSplitSql: String = {
-    val h = s"(${TextHash.h1Sql("text")} % 100)"
+  def trainSplitSql: String =
     s"""SELECT lang,
-       |  CASE WHEN $h < 80 THEN 'train'
-       |       WHEN $h < 90 THEN 'val' ELSE 'test' END AS split,
+       |  ${splitAssignSql("text")} AS split,
        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
        |FROM documents
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
-  }
 
   /** Stratified k-fold assignment for cross-validation: content-hash mod
     * k (same determinism/dup-cohesion argument as [[trainSplit]] — exact

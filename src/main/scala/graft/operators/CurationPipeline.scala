@@ -3,9 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
-import graft.functions.TextHash
-
 /** The whole pretraining-data-prep pipeline as ONE composed plan — the
   * end-to-end shape every individual operator in this library exists to
   * serve:
@@ -17,11 +14,13 @@ import graft.functions.TextHash
   * Each stage is the library operator, not a reimplementation, so the
   * composition inherits their scale postures: dedup joins only the tiny
   * member-label table, scrub is a narrow map fused into whatever scan
-  * feeds it, the quality floor is a per-row predicate, split assignment
-  * is a content-hash map, and packing shuffles once on (lang, shard).
-  * End to end the corpus body crosses exactly TWO shuffles (the dedup
-  * doc_id join and the packing partition) — a 100 TB run is two passes,
-  * not six.
+  * feeds it, the quality floor is a per-row predicate (fused native
+  * kernel), split assignment is a content-hash map, and packing
+  * shuffles once on (split, lang, shard) — split is a PACKING BOUNDARY,
+  * so no context can ever interleave train and held-out text. End to
+  * end the corpus body crosses exactly TWO shuffles (the dedup doc_id
+  * join and the packing partition) — a 100 TB run is two passes, not
+  * six.
   *
   * The reference stores raw tweets with no preparation at all
   * (`ProcessStreamData.py:25-30`); this is the LLM-pipeline composition
@@ -29,49 +28,51 @@ import graft.functions.TextHash
   */
 object CurationPipeline {
 
-  /** Per-document curated output: the scrubbed text plus its split and
-    * context assignment. `minQuality` floors the heuristic score (docs
-    * below it are dropped rather than packed). */
   /** dedup survivors, scrubbed, quality-floored, split-assigned —
     * the shared prefix of [[curate]] and [[summary]]. */
   private def curatedSplit(spark: SparkSession, dir: String,
-                           minQuality: Double): DataFrame = {
-    val kept = Dedup.dedupKept(spark, dir)
+                           minQuality: Double): DataFrame =
+    Dedup.dedupKept(spark, dir)
       .select(col("doc_id"), col("lang"),
         Curation.scrub(col("text")).as("text"))
       .filter(round(TextAnalysis.qualityScore(col("text")), 6) >= minQuality)
-    val h = TextHash.h1(col("text")) % 100
-    kept.withColumn("split",
-      when(h < 80, "train").when(h < 90, "val").otherwise("test"))
-  }
+      .withColumn("split", Curation.splitAssign(col("text")))
 
+  /** Per-document curated output: the scrubbed text plus its split and
+    * context assignment. `minQuality` floors the heuristic score (docs
+    * below it are dropped rather than packed). Text and split ride the
+    * one packing shuffle as carried columns — the whole pipeline is a
+    * single linear chain, nothing recomputed, no join-back. */
   def curate(spark: SparkSession, dir: String,
              minQuality: Double = 0.3,
-             ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
-    val split = curatedSplit(spark, dir, minQuality)
-    // pack AFTER filtering/splitting so contexts hold only surviving docs
-    Packing.packContextsOf(split.select(col("doc_id"), col("lang"), col("text")),
-        ctxLen, nShards)
-      .join(split.select(col("doc_id"), col("text"), col("split")), Seq("doc_id"))
-  }
+             ctxLen: Int = 512, nShards: Int = 8): DataFrame =
+    // pack AFTER filtering/splitting so contexts hold only surviving
+    // docs, and WITHIN (split, lang): a fixed-size context must never
+    // mix train with val/test text (that would be self-inflicted
+    // benchmark contamination at training time)
+    Packing.packContextsOf(curatedSplit(spark, dir, minQuality),
+      ctxLen, nShards, carry = Seq("text"),
+      groupCols = Seq("split", "lang"))
 
   /** One-row-per-(split, lang) audit of [[curate]]: docs, tokens,
     * contexts — the numbers a training run budgets from. */
   def summary(spark: SparkSession, dir: String,
               minQuality: Double = 0.3,
-              ctxLen: Int = 512, nShards: Int = 8): DataFrame =
-    // `split` rides the packing shuffle as a carried column: one pass
-    // over the scrub+quality chain, no join back (unlike curate, which
-    // must re-attach the text payload for its per-doc output)
-    Packing.packContextsOf(
-        curatedSplit(spark, dir, minQuality)
-          .select(col("doc_id"), col("lang"), col("text"), col("split")),
-        ctxLen, nShards, carry = Seq("split"))
+              ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
+    val packed = Packing.packContextsOf(curatedSplit(spark, dir, minQuality),
+      ctxLen, nShards, groupCols = Seq("split", "lang"))
+    val base = packed.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    // a straddling doc touches its whole start..end context RANGE — the
+    // budget must count every context holding the group's tokens, not
+    // just the ones docs start in
+    val ctxs = packed.select(col("split"), col("lang"), col("shard"),
+        explode(sequence(col("context_id"), col("end_context"))).as("c"))
       .groupBy(col("split"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("sum_tokens"),
-        countDistinct(col("shard"), col("context_id")).as("n_contexts_touched"))
+      .agg(countDistinct(col("shard"), col("c")).as("n_contexts_touched"))
+    base.join(ctxs, Seq("split", "lang"))
       .orderBy(col("split"), col("lang"))
+  }
 
   /** DuckDB oracle of [[summary]] (q77): the ENTIRE composed pipeline —
     * LSH dedup label propagation, scrub chain, quality score, hash
@@ -84,18 +85,18 @@ object CurationPipeline {
     * the split hash seeing the scrubbed bytes, packing ordering) breaks
     * it. */
   def summarySql(minQuality: Double = 0.3,
-                 ctxLen: Int = 512, nShards: Int = 8): String = {
+                 ctxLen: Int = 512, nShards: Int = 8,
+                 rounds: Int = 6): String = {
     val scrubbed = Curation.ScrubPatterns.foldLeft("d.text") {
       case (e, (tag, re)) =>
         s"regexp_replace($e, '$re', '[${tag.toUpperCase}]', 'g')"
     }
     val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
-    val h = TextHash.h1Sql("text")
-    s"""WITH ${Dedup.labelPropagationCtes()},
+    s"""WITH ${Dedup.labelPropagationCtes(rounds = rounds)},
        |kept AS (
        |  SELECT d.doc_id, d.lang, $scrubbed AS text
-       |  FROM documents d JOIN l6 ON l6.doc_id = d.doc_id
-       |  WHERE l6.label = d.doc_id
+       |  FROM documents d JOIN l$rounds lr ON lr.doc_id = d.doc_id
+       |  WHERE lr.label = d.doc_id
        |), feat AS (
        |  SELECT doc_id, lang, text,
        |    len(t)::DOUBLE AS ntok,
@@ -115,20 +116,29 @@ object CurationPipeline {
        |    >= $minQuality
        |), spl AS (
        |  SELECT doc_id, lang, n_tokens, doc_id % $nShards AS shard,
-       |    CASE WHEN $h % 100 < 80 THEN 'train'
-       |         WHEN $h % 100 < 90 THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${Curation.splitAssignSql("text")} AS split
        |  FROM flt
        |), packed AS (
-       |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY split, lang, shard
        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
        |    AND CURRENT ROW) AS cum
        |  FROM spl
+       |), base AS (
+       |  SELECT split, lang, count(*) AS n_docs,
+       |    sum(n_tokens)::BIGINT AS sum_tokens
+       |  FROM packed GROUP BY split, lang
+       |), ctxs AS (
+       |  SELECT split, lang,
+       |    count(DISTINCT (shard, c))::BIGINT AS n_contexts_touched
+       |  FROM (SELECT split, lang, shard,
+       |        -- window sum() yields HUGEINT; range() needs BIGINT
+       |        unnest(range(((cum - n_tokens) // $ctxLen)::BIGINT,
+       |                     (((cum - 1) // $ctxLen) + 1)::BIGINT)) AS c
+       |        FROM packed)
+       |  GROUP BY split, lang
        |)
-       |SELECT split, lang, count(*) AS n_docs,
-       |  sum(n_tokens)::BIGINT AS sum_tokens,
-       |  count(DISTINCT (shard, (cum - n_tokens) // $ctxLen))::BIGINT
-       |    AS n_contexts_touched
-       |FROM packed GROUP BY split, lang ORDER BY split, lang""".stripMargin
+       |SELECT base.split, base.lang, n_docs, sum_tokens, n_contexts_touched
+       |FROM base JOIN ctxs ON base.split = ctxs.split AND base.lang = ctxs.lang
+       |ORDER BY base.split, base.lang""".stripMargin
   }
 }

@@ -45,17 +45,23 @@ object Packing {
     * entry point; the dir overload binds it to the test corpus. `carry`
     * names extra input columns to keep on the output rows (computed
     * once, riding the one packing shuffle — cheaper than re-deriving
-    * them downstream and joining back). */
+    * them downstream and joining back). `groupCols` are the stream
+    * boundaries documents must NEVER pack across (default: language);
+    * a curation run adds its split column so no context can interleave
+    * train and held-out text. */
   def packContextsOf(docs: DataFrame, ctxLen: Int = 512, nShards: Int = 8,
-                     carry: Seq[String] = Nil): DataFrame = {
-    require(ctxLen > 0 && nShards > 0)
-    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+                     carry: Seq[String] = Nil,
+                     groupCols: Seq[String] = Seq("lang")): DataFrame = {
+    require(ctxLen > 0 && nShards > 0 && groupCols.nonEmpty)
+    val w = Window
+      .partitionBy((groupCols.map(col) :+ col("shard")): _*)
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(Seq(col("doc_id"), col("lang"),
+      .select((Seq(col("doc_id")) ++ groupCols.map(col) ++ Seq(
         pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
-        ++ carry.map(col): _*)
+        ++ carry.map(col)): _*)
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       // integer div (never float): both engines agree bit-for-bit
       .withColumn("context_id",

@@ -34,6 +34,23 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("contexts never cross split boundaries (no self-inflicted contamination)") {
+    val rows = CurationPipeline.curate(spark, sf0001, minQuality = 0.3,
+      ctxLen = 64, nShards = 4).collect()
+    // split is a packing partition boundary: each (split, lang, shard)
+    // stream starts its own running count, so the min-doc_id row of each
+    // group must sit at the very start of context 0. Under packing that
+    // ignored split (the pre-fix shape), a group's first doc would
+    // inherit a mid-context offset from the previous split's tokens.
+    rows.groupBy(r => (r.getAs[String]("split"), r.getAs[String]("lang"),
+        r.getAs[Long]("shard")))
+      .foreach { case (g, rs) =>
+        val first = rs.minBy(_.getAs[Long]("doc_id"))
+        assert(first.getAs[Long]("cum_tokens") == first.getAs[Long]("n_tokens"),
+          s"$g: first doc starts mid-context — packing crossed a split boundary")
+      }
+  }
+
   test("summary budgets tokens and contexts per (split, lang)") {
     val s = CurationPipeline.summary(spark, sf0001, minQuality = 0.3,
       ctxLen = 64, nShards = 4).collect()
