@@ -29,11 +29,13 @@ object Curation {
     when(h < 80, "train").when(h < 90, "val").otherwise("test")
   }
 
-  /** DuckDB twin of [[splitAssign]] over SQL expression `e`. */
-  def splitAssignSql(e: String): String =
-    s"""CASE WHEN ${TextHash.h1Sql(e)} % 100 < 80 THEN 'train'
-       |     WHEN ${TextHash.h1Sql(e)} % 100 < 90 THEN 'val'
-       |     ELSE 'test' END""".stripMargin
+  /** DuckDB twin of [[splitAssign]]. `hmod` must be a PRE-BOUND column
+    * holding `h1(text) % 100` — bind the md5 once per row in an
+    * enclosing CTE (TextHash's documented oracle pattern) instead of
+    * baking the hash expression into the CASE twice. */
+  def splitAssignSql(hmod: String): String =
+    s"CASE WHEN $hmod < 80 THEN 'train' " +
+      s"WHEN $hmod < 90 THEN 'val' ELSE 'test' END"
 
   /** Deterministic train/val/test assignment ([[splitAssign]]),
     * summarized per (lang, split). */
@@ -49,9 +51,10 @@ object Curation {
 
   def trainSplitSql: String =
     s"""SELECT lang,
-       |  ${splitAssignSql("text")} AS split,
+       |  ${splitAssignSql("hmod")} AS split,
        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
-       |FROM documents
+       |FROM (SELECT lang, n_chars,
+       |      ${TextHash.h1Sql("text")} % 100 AS hmod FROM documents)
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
   /** Stratified k-fold assignment for cross-validation: content-hash mod

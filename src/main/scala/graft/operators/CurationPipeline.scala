@@ -31,8 +31,9 @@ object CurationPipeline {
   /** dedup survivors, scrubbed, quality-floored, split-assigned —
     * the shared prefix of [[curate]] and [[summary]]. */
   private def curatedSplit(spark: SparkSession, dir: String,
-                           minQuality: Double): DataFrame =
-    Dedup.dedupKept(spark, dir)
+                           minQuality: Double, threshold: Double,
+                           rounds: Int): DataFrame =
+    Dedup.dedupKept(spark, dir, threshold, rounds)
       .select(col("doc_id"), col("lang"),
         Curation.scrub(col("text")).as("text"))
       .filter(round(TextAnalysis.qualityScore(col("text")), 6) >= minQuality)
@@ -40,17 +41,20 @@ object CurationPipeline {
 
   /** Per-document curated output: the scrubbed text plus its split and
     * context assignment. `minQuality` floors the heuristic score (docs
-    * below it are dropped rather than packed). Text and split ride the
-    * one packing shuffle as carried columns — the whole pipeline is a
-    * single linear chain, nothing recomputed, no join-back. */
+    * below it are dropped rather than packed); `threshold`/`rounds` are
+    * the dedup knobs, threaded so the oracle twin can never diverge
+    * silently. Text and split ride the one packing shuffle as carried
+    * columns — the whole pipeline is a single linear chain, nothing
+    * recomputed, no join-back. */
   def curate(spark: SparkSession, dir: String,
              minQuality: Double = 0.3,
-             ctxLen: Int = 512, nShards: Int = 8): DataFrame =
+             ctxLen: Int = 512, nShards: Int = 8,
+             threshold: Double = 0.5, rounds: Int = 6): DataFrame =
     // pack AFTER filtering/splitting so contexts hold only surviving
     // docs, and WITHIN (split, lang): a fixed-size context must never
     // mix train with val/test text (that would be self-inflicted
     // benchmark contamination at training time)
-    Packing.packContextsOf(curatedSplit(spark, dir, minQuality),
+    Packing.packContextsOf(curatedSplit(spark, dir, minQuality, threshold, rounds),
       ctxLen, nShards, carry = Seq("text"),
       groupCols = Seq("split", "lang"))
 
@@ -58,21 +62,26 @@ object CurationPipeline {
     * contexts — the numbers a training run budgets from. */
   def summary(spark: SparkSession, dir: String,
               minQuality: Double = 0.3,
-              ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
-    val packed = Packing.packContextsOf(curatedSplit(spark, dir, minQuality),
-      ctxLen, nShards, groupCols = Seq("split", "lang"))
-    val base = packed.groupBy(col("split"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-    // a straddling doc touches its whole start..end context RANGE — the
-    // budget must count every context holding the group's tokens, not
-    // just the ones docs start in
-    val ctxs = packed.select(col("split"), col("lang"), col("shard"),
+              ctxLen: Int = 512, nShards: Int = 8,
+              threshold: Double = 0.5, rounds: Int = 6): DataFrame =
+    // ONE pass: the context-range explode (a straddling doc touches its
+    // whole start..end range — the budget counts every context holding
+    // the group's tokens) carries doc-level stats on the c == start row,
+    // so n_docs/sum_tokens aggregate alongside the distinct-context
+    // count without a second evaluation of the pipeline lineage
+    Packing.packContextsOf(
+        curatedSplit(spark, dir, minQuality, threshold, rounds),
+        ctxLen, nShards, groupCols = Seq("split", "lang"))
+      .select(col("split"), col("lang"), col("shard"), col("n_tokens"),
+        col("context_id"),
         explode(sequence(col("context_id"), col("end_context"))).as("c"))
       .groupBy(col("split"), col("lang"))
-      .agg(countDistinct(col("shard"), col("c")).as("n_contexts_touched"))
-    base.join(ctxs, Seq("split", "lang"))
+      .agg(sum(when(col("c") === col("context_id"), 1L).otherwise(0L))
+          .as("n_docs"),
+        sum(when(col("c") === col("context_id"), col("n_tokens"))
+          .otherwise(0L)).as("sum_tokens"),
+        countDistinct(col("shard"), col("c")).as("n_contexts_touched"))
       .orderBy(col("split"), col("lang"))
-  }
 
   /** DuckDB oracle of [[summary]] (q77): the ENTIRE composed pipeline —
     * LSH dedup label propagation, scrub chain, quality score, hash
@@ -116,29 +125,27 @@ object CurationPipeline {
        |    >= $minQuality
        |), spl AS (
        |  SELECT doc_id, lang, n_tokens, doc_id % $nShards AS shard,
-       |    ${Curation.splitAssignSql("text")} AS split
-       |  FROM flt
+       |    ${Curation.splitAssignSql("hmod")} AS split
+       |  FROM (SELECT *, ${graft.functions.TextHash.h1Sql("text")} % 100
+       |        AS hmod FROM flt)
        |), packed AS (
        |  SELECT *, sum(n_tokens) OVER (PARTITION BY split, lang, shard
        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
        |    AND CURRENT ROW) AS cum
        |  FROM spl
-       |), base AS (
-       |  SELECT split, lang, count(*) AS n_docs,
-       |    sum(n_tokens)::BIGINT AS sum_tokens
-       |  FROM packed GROUP BY split, lang
-       |), ctxs AS (
-       |  SELECT split, lang,
-       |    count(DISTINCT (shard, c))::BIGINT AS n_contexts_touched
-       |  FROM (SELECT split, lang, shard,
-       |        -- window sum() yields HUGEINT; range() needs BIGINT
-       |        unnest(range(((cum - n_tokens) // $ctxLen)::BIGINT,
-       |                     (((cum - 1) // $ctxLen) + 1)::BIGINT)) AS c
-       |        FROM packed)
-       |  GROUP BY split, lang
+       |), ex AS (
+       |  SELECT split, lang, shard, n_tokens,
+       |    ((cum - n_tokens) // $ctxLen)::BIGINT AS start_c,
+       |    -- window sum() yields HUGEINT; range() needs BIGINT
+       |    unnest(range(((cum - n_tokens) // $ctxLen)::BIGINT,
+       |                 (((cum - 1) // $ctxLen) + 1)::BIGINT)) AS c
+       |  FROM packed
        |)
-       |SELECT base.split, base.lang, n_docs, sum_tokens, n_contexts_touched
-       |FROM base JOIN ctxs ON base.split = ctxs.split AND base.lang = ctxs.lang
-       |ORDER BY base.split, base.lang""".stripMargin
+       |SELECT split, lang,
+       |  sum(CASE WHEN c = start_c THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       |  sum(CASE WHEN c = start_c THEN n_tokens ELSE 0 END)::BIGINT
+       |    AS sum_tokens,
+       |  count(DISTINCT (shard, c))::BIGINT AS n_contexts_touched
+       |FROM ex GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
 }
