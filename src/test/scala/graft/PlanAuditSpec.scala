@@ -31,29 +31,37 @@ class PlanAuditSpec extends SparkSpec {
       name -> fn(spark, sf0001).queryExecution.executedPlan.toString
     }
 
-  test("no query plan contains a CartesianProduct") {
-    plans.foreach { case (name, p) =>
-      assert(!p.contains("CartesianProduct"),
-        s"$name: CartesianProduct in plan — an all-pairs pass at scale")
+  // every query runs through the PUBLIC PlanAudit.redFlags API (the
+  // user-facing guardrail), so the spec also proves that API catches
+  // exactly what it documents
+  private lazy val audited: Seq[(String, Seq[String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> PlanAudit.redFlags(fn(spark, sf0001),
+        allowBnlj = allowedBnlj.contains(name))
+    }
+
+  test("no query plan raises a red flag (CartesianProduct / unaudited BNLJ / global window)") {
+    audited.foreach { case (name, flags) =>
+      assert(flags.isEmpty, s"$name: ${flags.mkString("; ")}")
     }
   }
 
-  test("BroadcastNestedLoopJoin only where a tiny side is proven") {
-    plans.foreach { case (name, p) =>
-      if (p.contains("BroadcastNestedLoopJoin"))
-        assert(allowedBnlj.contains(name),
-          s"$name: unaudited BroadcastNestedLoopJoin — broadcast side must " +
-            "be provably tiny and the query added to the audited set")
-    }
-  }
-
-  test("no Window runs over a single global partition") {
-    plans.foreach { case (name, p) =>
-      val windowed = p.linesIterator.exists(_.contains("Window"))
-      if (windowed)
-        assert(!p.contains("SinglePartition"),
-          s"$name: Window over SinglePartition — corpus-sized one-task sort")
-    }
+  test("the audit itself catches a planted cartesian and a global window") {
+    import spark.implicits._
+    val a = Seq(1, 2).toDF("x")
+    val b = Seq(3, 4).toDF("y")
+    val cross = a.crossJoin(b)
+    assert(PlanAudit.redFlags(cross, allowBnlj = true)
+      .exists(f => f.contains("Cartesian") || f.contains("NestedLoop")) ||
+      PlanAudit.redFlags(cross).nonEmpty,
+      "a 2x2 cross join must trip the audit")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(org.apache.spark.sql.functions.col("x"))
+    val globalWin = a.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(w))
+    assert(PlanAudit.redFlags(globalWin)
+      .exists(_.contains("SinglePartition")),
+      "an unpartitioned window must trip the audit")
   }
 
   test("every documents scan prunes to the columns the query needs") {
