@@ -149,6 +149,30 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("property: bounded-heap reduce/merge equal sort-take-k on random streams") {
+    // the heap algebra backs four aggregators (TopKHits/TopKTerms/
+    // MinKDocs); prove fold-order invariance and the merge identity
+    // directly against the sorted reference
+    import graft.functions.{TermHit, TopKTerms}
+    val k = 5
+    val agg = new TopKTerms(k)
+    val hitGen = Gen.zip(Gen.choose(0L, 20L), Gen.oneOf("a", "b", "c", "d", "e"))
+      .map { case (c, t) => TermHit(c, t) }
+    val ord = Ordering.by[TermHit, (Long, String)](h => (-h.cnt, h.term))
+    (0 until 30).foreach { i =>
+      val hits = samples(hitGen, 40 + i)
+      val expected = hits.sorted(ord).take(k)
+      // single fold
+      val folded = hits.foldLeft(agg.zero)(agg.reduce)
+      assert(folded == expected, s"fold $i: $folded vs $expected")
+      // arbitrary split + merge (the partial-aggregation path)
+      val (l, r) = hits.splitAt(i % math.max(hits.length, 1))
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == expected, s"merge $i: $merged vs $expected")
+    }
+  }
+
   test("property: corrupt-record channel partitions any input totally") {
     val valid = samples(Gen.alphaNumStr, 40)
       .map(t => s"""{"text":"$t","lang":"en"}""")
