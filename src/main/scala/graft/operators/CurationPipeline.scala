@@ -93,6 +93,22 @@ object CurationPipeline {
     * hand columns to each other (scrubbed text reaching the tokenizer,
     * the split hash seeing the scrubbed bytes, packing ordering) breaks
     * it. */
+  /** Materialize [[curate]]'s output as the layout a training run reads:
+    * parquet partitioned by `split` (so a trainer's scan of
+    * `split=train` never lists val/test files — the q63 partition-
+    * pruning lever applied to the pipeline's own deliverable), docs in
+    * deterministic (shard, context_id, doc_id) order within each split.
+    * Returns the path. */
+  def materialize(spark: SparkSession, dir: String, outPath: String,
+                  minQuality: Double = 0.3,
+                  ctxLen: Int = 512, nShards: Int = 8): String = {
+    curate(spark, dir, minQuality, ctxLen, nShards)
+      .repartition(col("split"))
+      .sortWithinPartitions(col("shard"), col("context_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("split").parquet(outPath)
+    outPath
+  }
+
   def summarySql(minQuality: Double = 0.3,
                  ctxLen: Int = 512, nShards: Int = 8,
                  rounds: Int = 6): String = {

@@ -51,6 +51,24 @@ class CurationPipelineSpec extends SparkSpec {
       }
   }
 
+  test("materialize writes a split-partitioned layout a trainer prunes on") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_curated").toString
+    CurationPipeline.materialize(spark, sf0001, out,
+      minQuality = 0.3, ctxLen = 64, nShards = 4)
+    val back = spark.read.parquet(out)
+    val direct = CurationPipeline.curate(spark, sf0001, minQuality = 0.3,
+      ctxLen = 64, nShards = 4)
+    assert(back.count() == direct.count(), "round-trip must be lossless")
+    // a train-only read PRUNES at the file index — no split row-filter
+    val trainScan = back.filter(col("split") === "train")
+    val plan = trainScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      s"train read must prune partitions, not filter rows:\n$plan")
+    assert(trainScan.count() ==
+      direct.filter(col("split") === "train").count())
+  }
+
   test("summary budgets tokens and contexts per (split, lang)") {
     val s = CurationPipeline.summary(spark, sf0001, minQuality = 0.3,
       ctxLen = 64, nShards = 4).collect()
