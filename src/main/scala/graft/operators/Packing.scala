@@ -72,10 +72,14 @@ object Packing {
 
   /** Packing audit (q71): per language — docs, tokens, number of
     * ctxLen-token contexts the shards cut, docs straddling a context
-    * boundary, and the fill ratio of the allocated contexts (< 1.0 only
-    * through per-shard tail remainders; straddling docs waste nothing).
-    * n_contexts sums each shard's ceil(tokens/ctxLen) — closed form, so
-    * the summary never re-reads the assignment rows. */
+    * boundary, and the fill ratio of the allocated contexts in exact
+    * integer BASIS POINTS (10000 = fully packed; < 10000 only through
+    * per-shard tail remainders; straddling docs waste nothing).
+    * Basis points instead of a rounded double: the whole row stays in
+    * integer arithmetic, so the cross-engine hash can never diverge on
+    * float formatting (FIXTURES.md §C). n_contexts sums each shard's
+    * ceil(tokens/ctxLen) — closed form, so the summary never re-reads
+    * the assignment rows. */
   def packingSummary(spark: SparkSession, dir: String,
                      ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
     val perShard = packContexts(spark, dir, ctxLen, nShards)
@@ -92,9 +96,8 @@ object Packing {
         sum(col("strad")).as("n_straddling"))
       .select(col("lang"), col("n_docs"), col("sum_tokens"),
         col("n_contexts"), col("n_straddling"),
-        round(col("sum_tokens") /
-          (col("n_contexts") * lit(ctxLen.toLong)).cast("double"), 4)
-          .as("fill_ratio"))
+        expr(s"(sum_tokens * 10000L) div (n_contexts * ${ctxLen.toLong})")
+          .as("fill_bp"))
       .orderBy(col("lang"))
   }
 
@@ -117,6 +120,6 @@ object Packing {
        |)
        |SELECT lang, sum(n_docs) AS n_docs, sum(toks)::BIGINT AS sum_tokens,
        |  sum(n_ctx)::BIGINT AS n_contexts, sum(strad)::BIGINT AS n_straddling,
-       |  round(sum(toks) / (sum(n_ctx) * $ctxLen.0), 4) AS fill_ratio
+       |  ((sum(toks) * 10000) // (sum(n_ctx) * $ctxLen))::BIGINT AS fill_bp
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 }

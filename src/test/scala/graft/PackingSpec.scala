@@ -48,8 +48,10 @@ class PackingSpec extends SparkSpec {
       // context of per-shard tail slack each
       assert(nCtx * ctx >= toks)
       assert((nCtx - 4) * ctx < toks, "more than one tail context per shard")
-      val fill = r.getAs[Double]("fill_ratio")
-      assert(fill > 0.0 && fill <= 1.0)
+      val fillBp = r.getAs[Long]("fill_bp")
+      assert(fillBp > 0L && fillBp <= 10000L)
+      // exact integer basis points of the same ratio
+      assert(fillBp == toks * 10000L / (nCtx * ctx))
       assert(r.getAs[Long]("n_straddling") <= r.getAs[Long]("n_docs"))
     }
     // totals match the corpus: every doc packed exactly once

@@ -34,7 +34,7 @@ for name, sql in sorted(oracle.items()):
         fails += 1
         continue
     spark = con.execute(
-        f"SELECT * FROM read_parquet('{files[0]}')").fetchdf()
+        f"SELECT * FROM read_parquet('{spark_glob}')").fetchdf()
     duck = duck.reindex(sorted(duck.columns), axis=1)
     spark = spark.reindex(sorted(spark.columns), axis=1)
     if list(duck.columns) != list(spark.columns):
@@ -47,15 +47,16 @@ for name, sql in sorted(oracle.items()):
         continue
     # canonical string form per cell, like a hash compare; nulls collapse
     # to one sentinel (None vs NaN differ between the two frames) and
-    # floats get one fixed formatting so 0.1 prints identically regardless
-    # of which engine produced the frame
+    # floats format at .17g — the shortest form that round-trips every
+    # IEEE double bit-exactly, so a 1-ulp cross-engine divergence FAILS
+    # here exactly as it fails the driver's hash
     import pandas as pd
     def canon(df):
         rows = []
         for c in df.columns:
             col = df[c]
             if pd.api.types.is_float_dtype(col):
-                rows.append([("<NULL>" if pd.isna(v) else format(v, ".9g"))
+                rows.append([("<NULL>" if pd.isna(v) else format(v, ".17g"))
                              for v in col])
             else:
                 rows.append([("<NULL>" if (v is None or (isinstance(v, float) and pd.isna(v)))
