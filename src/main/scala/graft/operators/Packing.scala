@@ -96,8 +96,13 @@ object Packing {
         sum(col("strad")).as("n_straddling"))
       .select(col("lang"), col("n_docs"), col("sum_tokens"),
         col("n_contexts"), col("n_straddling"),
-        expr(s"(sum_tokens * 10000L) div (n_contexts * ${ctxLen.toLong})")
-          .as("fill_bp"))
+        // DECIMAL(38,0) mirrors DuckDB's HUGEINT intermediate: sum_tokens
+        // * 10000 would overflow 64-bit past ~9.2e14 tokens per language,
+        // which a 100 TB corpus can reach. One row per lang — decimal
+        // cost is nil. IntegralDivide on decimals returns BIGINT.
+        expr(s"cast(sum_tokens as decimal(38,0)) * 10000 div " +
+          s"(cast(n_contexts as decimal(38,0)) * ${ctxLen.toLong})")
+          .cast("long").as("fill_bp"))
       .orderBy(col("lang"))
   }
 
@@ -118,7 +123,7 @@ object Packing {
        |    (sum(n_tokens) + ${ctxLen - 1}) // $ctxLen AS n_ctx
        |  FROM c GROUP BY lang, shard
        |)
-       |SELECT lang, sum(n_docs) AS n_docs, sum(toks)::BIGINT AS sum_tokens,
+       |SELECT lang, sum(n_docs)::BIGINT AS n_docs, sum(toks)::BIGINT AS sum_tokens,
        |  sum(n_ctx)::BIGINT AS n_contexts, sum(strad)::BIGINT AS n_straddling,
        |  ((sum(toks) * 10000) // (sum(n_ctx) * $ctxLen))::BIGINT AS fill_bp
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
