@@ -141,8 +141,9 @@ object SparkEntry {
     "q31_base64_codec" -> JsonOps.base64RoundtripSql,
     "q32_range_join" -> Relational.viewToPurchaseSql,
     "q33_grouping_sets" -> Relational.docGroupingSetsSql,
-    // q34_approx_distinct: intentionally no oracle — HLL sketch values are
-    // engine-specific; driver records the rows-only check (contract allows).
+    // q34 hashes exact counts + an each-engine-validates-its-own-sketch
+    // 0/1 bound; the raw HLL estimate is engine-specific and stays out.
+    "q34_approx_distinct" -> Relational.approxDistinctUsersSql,
     "q35_media_summary" -> Multimodal.mediaSummarySql,
     "q36_label_centroids" -> Similarity.labelCentroidsSql,
     "q37_ivf_topk" -> Similarity.ivfTopKSql(),

@@ -492,11 +492,25 @@ object Relational {
       |  round(corr(value, floor(epoch(ts))), 4) AS corr_value_time
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** A2 approximate distinct (HLL++): per-type approximate unique users vs
-    * exact. No oracle SQL — HLL sketches are engine-specific, so the
-    * driver records the weaker rows-only check for this one (documented
-    * exemption; the EXACT variant is oracle-checked in q09). */
+  /** A2 approximate distinct (HLL++): per-type exact unique users plus an
+    * integer assertion that this engine's OWN HLL sketch lands within 5%
+    * of exact. The raw sketch estimate is engine-specific (Spark HLL++ vs
+    * DuckDB HLL disagree by design), so it stays OUT of the hashed output;
+    * what IS hashed — and what both engines must agree on — is the exact
+    * counts and the 0/1 "sketch inside its error budget" verdict, which is
+    * deterministically 1 at any cardinality both sketches handle (default
+    * rsd 5% has overwhelming margin at these sizes; the rsd-bound property
+    * test in RelationalSpec covers the sketch value itself). */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctUsersFull(spark, dir)
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        when(abs(col("approx_users") - col("exact_users")) * 100 <=
+          col("exact_users") * 5, 1L).otherwise(0L).as("approx_within_5pct"))
+      .orderBy(col("event_type"))
+
+  /** The raw sketch estimate alongside exact — the spec surface (rsd-bound
+    * property tests read `approx_users`; the hashed q34 output doesn't). */
+  def approxDistinctUsersFull(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -504,4 +518,14 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
+
+  def approxDistinctUsersSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id)::BIGINT AS exact_users,
+      |  count(*) AS n_events,
+      |  (CASE WHEN abs(approx_count_distinct(user_id)
+      |                 - count(DISTINCT user_id)) * 100
+      |             <= count(DISTINCT user_id) * 5
+      |        THEN 1 ELSE 0 END)::BIGINT AS approx_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -55,16 +55,17 @@ class PropertySpec extends SparkSpec {
     assert(a.union(b).count() == a.count() + b.count())
   }
 
-  test("property: HLL approx distinct stays inside its rsd bound (q34 exemption honesty)") {
-    // q34 is the one rows-only oracle exemption (HLL sketches are
-    // engine-specific); this bounds the error so the exemption stays
-    // honest: |approx − exact| / exact ≤ 4·rsd on real data at two SFs.
+  test("property: HLL approx distinct stays inside its rsd bound (q34 sketch half)") {
+    // q34's hashed output carries exact counts + a 0/1 error-bound verdict
+    // (the raw HLL estimate is engine-specific, so it stays out of the
+    // oracle compare); this property test covers the sketch value itself:
+    // |approx − exact| / exact ≤ 4·rsd on real data at two SFs.
     // approx_count_distinct's default rsd is 0.05; 4σ makes the test
     // deterministic-in-practice (HLL++ bias correction keeps observed
     // error well under 1σ at these cardinalities).
     val rsd = 0.05
     Seq(sf0001, sf001).foreach { dir =>
-      val rows = graft.operators.Relational.approxDistinctUsers(spark, dir).collect()
+      val rows = graft.operators.Relational.approxDistinctUsersFull(spark, dir).collect()
       assert(rows.nonEmpty)
       rows.foreach { r =>
         val approx = r.getAs[Long]("approx_users").toDouble

@@ -57,7 +57,7 @@ class TimeWindowsSpec extends SparkSpec {
   }
 
   test("approx distinct users is within 10% of exact") {
-    Relational.approxDistinctUsers(spark, sf0001).collect().foreach { r =>
+    Relational.approxDistinctUsersFull(spark, sf0001).collect().foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact < 0.10,
