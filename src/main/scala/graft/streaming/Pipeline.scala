@@ -567,4 +567,40 @@ object Pipeline {
       .trigger(trigger)
       .foreachBatch(f)
       .start()
+
+  /** K1+F3 (dead-letter): twin of Firehose's `processing-failed/` prefix
+    * (`stream_processor.py:310-312`) — records that exhaust parsing land
+    * in a quarantine path instead of vanishing. One `foreachBatch` query
+    * routes each micro-batch both ways: well-formed rows append to the
+    * data path, malformed raw payloads go under
+    * `quarantinePath/ingest_batch=<batchId>` so an operator can replay a
+    * specific failed batch, exactly as the S3 prefix + delivery-stream-id
+    * layout allows.
+    *
+    * Exactly-once under replay: `foreachBatch` re-runs a batch after a
+    * crash with the SAME batchId, so both writes target a deterministic
+    * `ingest_batch=<id>` directory in overwrite mode — a replayed batch
+    * rewrites its own partition instead of duplicating rows. The input is
+    * the PARSED frame ([[parseTweets]] output, corrupt side channel
+    * intact); the batch is persisted once and split, so the transport is
+    * read once per micro-batch, not twice.
+    *
+    * Quarantine directories appear only for batches that actually had
+    * failures (the Firehose prefix also only receives objects on
+    * delivery failure) — an empty quarantine listing means a clean run. */
+  def writeWithDeadLetter(parsed: DataFrame, dataPath: String,
+                          quarantinePath: String, checkpoint: String,
+                          trigger: Trigger = Trigger.ProcessingTime("60 seconds"))
+      : StreamingQuery =
+    writeForeachBatch(parsed, checkpoint, trigger) { (batch, id) =>
+      val b = batch.persist()
+      try {
+        validTweets(b).write.mode("overwrite")
+          .parquet(s"$dataPath/ingest_batch=$id")
+        val bad = corruptRecords(b)
+        if (!bad.isEmpty)
+          bad.write.mode("overwrite")
+            .parquet(s"$quarantinePath/ingest_batch=$id")
+      } finally b.unpersist()
+    }
 }

@@ -617,4 +617,44 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(seen.get() == 1000, "one batch (id 0) with one record")
   }
+
+  test("dead-letter sink quarantines corrupt payloads, good rows unaffected (K1/F3)") {
+    // twin of Firehose processing-failed/: batch 0 mixes well-formed and
+    // malformed JSON lines, batch 1 is clean — bad raws must land under
+    // quarantine/ingest_batch=0 verbatim, good rows in the data path, and
+    // the clean batch must leave NO quarantine directory.
+    val mem = MemoryStream[String]
+    val good0 = """{"text":"spark is good","lang":"en","created_at":"2024-01-01T10:00:05Z","entities":{"hashtags":[]}}"""
+    val bad0a = """{not json at all"""
+    val bad0b = """<xml>wrong format</xml>"""
+    val good1 = """{"text":"second batch tweet","lang":"en","created_at":"2024-01-01T10:01:05Z","entities":{"hashtags":[]}}"""
+    val dataPath = Files.createTempDirectory("graft_dl_data").toString
+    val quarPath = Files.createTempDirectory("graft_dl_quar").toString
+    val chk = Files.createTempDirectory("graft_dl_chk").toString
+
+    val parsed = Pipeline.parseTweets(mem.toDF())
+    val q = Pipeline.writeWithDeadLetter(parsed, dataPath, quarPath, chk,
+      Trigger.ProcessingTime(0))
+    try {
+      mem.addData(good0, bad0a, bad0b)
+      q.processAllAvailable()
+      mem.addData(good1)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val data = spark.read.parquet(dataPath)
+    assert(data.count() == 2)
+    assert(data.select("text").as[String].collect().toSet ==
+      Set("spark is good", "second batch tweet"))
+    // both batches delivered good rows under their own ingest_batch dir
+    assert(data.select("ingest_batch").distinct().as[Int].collect().toSet
+      == Set(0, 1))
+
+    val quarantined = spark.read.parquet(quarPath)
+    assert(quarantined.select("raw").as[String].collect().toSet ==
+      Set(bad0a, bad0b), "corrupt payloads preserved verbatim")
+    assert(quarantined.select("ingest_batch").distinct().as[Int]
+      .collect().toSet == Set(0),
+      "clean batch 1 must not create a quarantine directory")
+  }
 }
