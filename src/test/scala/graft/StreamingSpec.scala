@@ -618,6 +618,52 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() == 1000, "one batch (id 0) with one record")
   }
 
+  test("supervisor reconnects a dropped query with backoff, no data loss (S1/T5)") {
+    import graft.streaming.Supervision
+    // simulated streamer.py non-200: the first delivery attempt dies
+    // mid-stream; the supervisor must back off, restart on the SAME
+    // checkpoint, and the replayed batch must land every row exactly once.
+    val src = Files.createTempDirectory("graft_sup_src").toString
+    val out = Files.createTempDirectory("graft_sup_out").toString
+    val chk = Files.createTempDirectory("graft_sup_chk").toString
+    tweets.toDF().write.mode("overwrite").json(src)
+
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val delays = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val handle = Supervision.supervise(
+      start = () => Pipeline.writeForeachBatch(
+        Pipeline.readTweetStream(spark, src), chk, Trigger.AvailableNow()) {
+        (batch, id) =>
+          if (failOnce.getAndSet(false))
+            throw new RuntimeException("transport dropped (simulated non-200)")
+          batch.write.mode("overwrite").parquet(s"$out/ingest_batch=$id")
+      },
+      policy = Supervision.Backoff(maxRestarts = 3, initialMs = 2, maxMs = 100),
+      sleep = ms => delays.add(ms))
+    assert(handle.await(timeoutMs = 120000), "supervision must terminate")
+
+    assert(handle.restarts == 1, s"one reconnect expected, got ${handle.restarts}")
+    assert(handle.lastError.isEmpty, "recovered run must end error-free")
+    assert(delays.size == 1 && delays.peek() == 2L, "first backoff = initialMs")
+    val delivered = spark.read.parquet(out)
+    assert(delivered.count() == tweets.size,
+      "checkpoint replay must deliver every row exactly once after reconnect")
+    assert(delivered.select("text").as[String].collect().toSet ==
+      tweets.map(_.text).toSet)
+
+    // exhausted retries surface the error instead of spinning forever
+    val alwaysChk = Files.createTempDirectory("graft_sup_chk2").toString
+    val h2 = Supervision.supervise(
+      start = () => Pipeline.writeForeachBatch(
+        Pipeline.readTweetStream(spark, src), alwaysChk, Trigger.AvailableNow()) {
+        (_, _) => throw new RuntimeException("hard down")
+      },
+      policy = Supervision.Backoff(maxRestarts = 2, initialMs = 1, maxMs = 4),
+      sleep = _ => ())
+    assert(h2.await(timeoutMs = 120000))
+    assert(h2.restarts == 2 && h2.lastError.isDefined)
+  }
+
   test("dead-letter sink quarantines corrupt payloads, good rows unaffected (K1/F3)") {
     // twin of Firehose processing-failed/: batch 0 mixes well-formed and
     // malformed JSON lines, batch 1 is clean — bad raws must land under
