@@ -131,15 +131,29 @@ object Dedup {
        |WHERE est_jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Distinct banded-LSH candidate id-pairs, persisted like [[signatures]]:
+    * every verifier (exact n-gram Jaccard q22, edit-distance q56 — and any
+    * user-supplied metric) re-reads the SAME candidate set, so the banding
+    * self-join + distinct runs once per (session, dir) instead of once per
+    * verifier. That is the production dedup shape too: candidate
+    * generation is one materialized pass over the signature table, then N
+    * cheap verify passes over a pair list that is orders of magnitude
+    * smaller than the corpus. */
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"dedup.candidatePairs:$dir") {
+      val b = banded(signatures(spark, dir), Seq.empty)
+      b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+        .join(b.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+          Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+
   /** X2 exact n-gram Jaccard, verified over the SAME banded-LSH candidate
     * set (candidate generation is the scalable half; this adds the exact
     * verify half — the full textbook MinHash-LSH pipeline). */
   def ngramJaccardNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val b = banded(signatures(spark, dir), Seq.empty)
-    val cand = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-      .join(b.select(col("band"), col("sig"), col("doc_id").as("doc_b")), Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = candidatePairs(spark, dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
@@ -209,17 +223,13 @@ object Dedup {
     * metric (alongside est-Jaccard q20 and exact n-gram Jaccard q22) —
     * Levenshtein distance, the right verifier when near-dups differ by
     * small in-place edits rather than block moves. O(len²) per pair, so
-    * it ONLY runs on the banded-LSH candidate set, never all pairs; the
-    * candidate ids join text back from the doc table (at scale: SMJ on
-    * doc_id — text never rides through the banding shuffles). */
+    * it ONLY runs on the banded-LSH candidate set ([[candidatePairs]],
+    * shared with q22), never all pairs; the candidate ids join text back
+    * from the doc table (at scale: SMJ on doc_id — text never rides
+    * through the banding shuffles). */
   def editDistanceNearDup(spark: SparkSession, dir: String,
                           maxDist: Int = 20): DataFrame = {
-    val b = banded(signatures(spark, dir), Seq.empty)
-    val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    val cand = l.join(r, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = candidatePairs(spark, dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
