@@ -234,9 +234,16 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      // |len(a)-len(b)| is an exact lower bound on edit distance: prune
+      // before paying the per-pair DP at all
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      // thresholded levenshtein runs the banded O(len·maxDist) algorithm
+      // and early-exits past the bound (returns -1), instead of the full
+      // O(len²) table — same kept pairs, same distances, since every pair
+      // beyond maxDist is filtered out either way
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
