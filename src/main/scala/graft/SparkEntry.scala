@@ -104,7 +104,8 @@ object SparkEntry {
     "q76_rolling_active" -> ((s, d) => EventAnalytics.rollingActiveUsers(s, d)),
     // the COMPOSED pipeline (dedup→scrub→quality→split→pack) as one
     // oracle row: gates stage hand-offs, not just the stages
-    "q77_curation_pipeline" -> ((s, d) => graft.operators.CurationPipeline.summary(s, d))
+    "q77_curation_pipeline" -> ((s, d) => graft.operators.CurationPipeline.summary(s, d)),
+    "q78_corpus_shuffle" -> ((s, d) => Curation.corpusShuffle(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -188,6 +189,7 @@ object SparkEntry {
     "q74_contamination_overlap" -> Curation.contaminationOverlapSql(),
     "q75_stratified_sample" -> Curation.stratifiedSampleSql(),
     "q76_rolling_active" -> EventAnalytics.rollingActiveUsersSql(),
-    "q77_curation_pipeline" -> graft.operators.CurationPipeline.summarySql()
+    "q77_curation_pipeline" -> graft.operators.CurationPipeline.summarySql(),
+    "q78_corpus_shuffle" -> Curation.corpusShuffleSql()
   )
 }

@@ -488,6 +488,68 @@ object Curation {
        |FROM r WHERE rn <= $k
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic corpus shuffle (q78): reproducible training-order
+    * randomization. Every doc gets a pseudorandom-but-deterministic
+    * 60-bit key = md5("shuf:<seed>:<doc_id>") — NOT rand(): re-runs,
+    * engines, and resumed jobs all agree on the exact order, which is
+    * what makes a training run reproducible and an interrupted epoch
+    * resumable from a position. shard = key mod nShards spreads docs
+    * uniformly; within a shard the key ascending IS the read order
+    * ([[corpusShuffleLayout]] materializes it; [[Packing.packContextsOf]]
+    * consumes an order like it). This query is the audit: per-shard doc/
+    * token mass (uniformity check), language diversity (a shuffle that
+    * clusters languages starves mixed batches), and the first/last doc
+    * ids in shard order (positional spot-check that the order itself —
+    * not just membership — is reproducible).
+    *
+    * Scale posture: one narrow map (hash key from doc_id, no text bytes)
+    * + one nShards-row aggregate; the layout twin is exactly one
+    * exchange. Nothing here reads text except the token count. */
+  def corpusShuffle(spark: SparkSession, dir: String,
+                    nShards: Int = 32, seed: Long = 42): DataFrame = {
+    val key = TextHash.h1(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+        key.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min_by(col("doc_id"), col("skey")).as("first_doc"),
+        max_by(col("doc_id"), col("skey")).as("last_doc"))
+      .orderBy(col("shard"))
+  }
+
+  def corpusShuffleSql(nShards: Int = 32, seed: Long = 42): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+       |    ${TextHash.h1Sql(s"'shuf:$seed:' || doc_id::VARCHAR")} AS skey
+       |  FROM documents
+       |)
+       |SELECT skey % $nShards AS shard, count(*) AS n_docs,
+       |  sum(n_tokens)::BIGINT AS sum_tokens,
+       |  count(DISTINCT lang)::BIGINT AS n_langs,
+       |  arg_min(doc_id, skey) AS first_doc,
+       |  arg_max(doc_id, skey) AS last_doc
+       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** The materializing twin of [[corpusShuffle]]: the corpus re-keyed
+    * into training order — ONE exchange on shard, rows inside each shard
+    * sorted by the shuffle key, so a partitioned writer emits files a
+    * trainer reads sequentially. The md5 key is collision-unique in
+    * practice (60 bits) so the order is total and stable. */
+  def corpusShuffleLayout(docs: DataFrame,
+                          nShards: Int = 32, seed: Long = 42): DataFrame = {
+    val key = TextHash.h1(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+    docs.withColumn("skey", key)
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"))
+  }
+
   def snapshotUpsertSummarySql(histSize: Int = 200): String =
     s"""WITH both_sides AS (
        |  SELECT doc_id AS key, lang, n_chars, 0 AS version, doc_id AS src_id

@@ -223,4 +223,32 @@ class CurationSpec extends SparkSpec {
     // must clear the 50% bar somewhere, or the rule is vacuous here
     assert(frac.map(_.getAs[Long]("n_flagged")).sum > 0)
   }
+
+  test("corpus shuffle: total, uniform-ish, and the layout order is reproducible") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val total = docs.count()
+    val audit = Curation.corpusShuffle(spark, sf0001).collect()
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == total, "shuffle is total")
+    // uniformity: 60-bit hash mod 32 — no shard should hold a gross
+    // multiple of its fair share (loose 3x bound, deterministic data)
+    val fair = total.toDouble / audit.length
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_docs") < 3 * fair,
+        s"shard ${r.getAs[Long]("shard")} holds ${r.getAs[Long]("n_docs")} of ~$fair")
+    }
+    // the layout twin is deterministic: two materializations agree on the
+    // exact (shard, position) of every doc — the property a resumable
+    // training run depends on
+    def order(): Seq[(Long, Long)] =
+      Curation.corpusShuffleLayout(docs).select(col("shard"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val o1 = order(); val o2 = order()
+    assert(o1 == o2, "training order must be bit-identical across runs")
+    // audit's first_doc really is the first row of its shard in the layout
+    val firstInLayout = o1.groupBy(_._1).map { case (s, rows) => s -> rows.head._2 }
+    audit.foreach { r =>
+      assert(firstInLayout(r.getAs[Long]("shard")) == r.getAs[Long]("first_doc"))
+    }
+  }
 }
