@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Per-query measurement record: epoch-millis + 1-min load average at
+    * the start of each pass, and every pass time. The artifact keeps all
+    * of it (local file only) so a contention window on the host is
+    * attributable post-hoc: r6 recorded five adjacent-in-iteration-order
+    * queries at 2-6x their steady state and the only evidence it was the
+    * host (load 3.42, untouched code) had to be reconstructed forensically. */
+  private final case class Meta(startMs: Long, loads: List[Double],
+                                passes: List[Double])
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption)
@@ -28,6 +38,39 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadBefore = loadAvg()
+    // Best known steady-state time per query from previous runs: the
+    // re-queue heuristic below compares against it, and this run's mins
+    // merge back in. Committed to the repo so the driver's per-round run
+    // inherits local history. min-over-runs is the right accumulator for
+    // a steady-state reference: contention only ever inflates times.
+    val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "/root/repo/BENCH_HISTORY.json")
+    val history: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(historyPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // flat {"name": seconds, ...} — no nesting, a regex scan is exact
+      "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    // A pass that starts while the 1-min load average exceeds this is
+    // suspect: r6's five inflated queries all ran inside one load window
+    // (load_avg 3.42 from the driver's own tooling). On an otherwise-idle
+    // box this bench itself contributes ~1 to the 1-min average, so 2.0
+    // means "something else is competing".
+    val loadMax = sys.env.get("SPARK_GRAFT_BENCH_LOAD_MAX")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    def onePass(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                recordErr: Boolean): (Double, Double, Long) = {
+      val ld = loadAvg(); val ms = System.currentTimeMillis()
+      val t0 = System.nanoTime()
+      try { run(fn, sfDir); ((System.nanoTime() - t0) / 1e9, ld, ms) }
+      catch { case e: Throwable =>
+        if (recordErr) errors += s"$name: ${e.getClass.getSimpleName}"
+        (-1.0, ld, ms)
+      }
+    }
     // Two timed passes per query, report min: a single pass bakes any
     // transient machine stall into the artifact as a fake regression
     // (BENCH_r02 recorded 81.7 s for a 39.8 s run that way). Both the
@@ -36,16 +79,13 @@ object Bench {
     // PlanCache (the IVF family) pay index materialization in pass 1
     // and reuse it in pass 2 — the min therefore measures steady-state
     // cost, which is the honest number for a persisted index.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // A failing query must surface, not silently record a near-zero
-        // time that deflates the total: it lands in "errors" with time -1.
-        try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; -1.0 }
-      }
-      val t1 = once()
-      val t2 = if (t1 >= 0) once() else -1.0
+    val meta = scala.collection.mutable.LinkedHashMap.empty[String, Meta]
+    val results0 = SparkEntry.queries.map { case (name, fn) =>
+      // A failing query must surface, not silently record a near-zero
+      // time that deflates the total: it lands in "errors" with time -1.
+      val (t1, l1, m1) = onePass(name, fn, recordErr = true)
+      val (t2, l2, m2) =
+        if (t1 >= 0) onePass(name, fn, recordErr = true) else (-1.0, -1.0, 0L)
       // adaptive third pass: min-of-2 absorbs a stall in ONE pass, but a
       // loaded host can stall both (the r03 artifact recorded 64 s for a
       // query whose steady state is 0.55 s). When the two passes disagree
@@ -53,12 +93,17 @@ object Bench {
       // the real cost. Bounded: at most one extra run per noisy query.
       // Two passes already succeeded here, so a third-pass hiccup is
       // noise by definition — it must not land in `errors`.
-      val t3 = if (t1 >= 0 && t2 >= 0 &&
-        math.max(t1, t2) > 2.0 * math.min(t1, t2)) {
-        val t0 = System.nanoTime()
-        try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      } else -1.0
+      val (t3, l3, _) = if (t1 >= 0 && t2 >= 0 &&
+        math.max(t1, t2) > 2.0 * math.min(t1, t2))
+        onePass(name, fn, recordErr = false)
+      else (-1.0, -1.0, 0L)
+      // loads only for passes that ran (pass 2 is skipped when pass 1
+      // failed; pass 3 is conditional) — note loadAvg() itself returns -1
+      // on JVMs that can't report it, which then never trips the
+      // all-passes-under-load re-queue test, the safe direction
+      val ranLoads = List((true, l1), (t1 >= 0, l2), (t3 >= 0 || l3 >= 0, l3))
+        .collect { case (ran, l) if ran => l }
+      meta(name) = Meta(m1, ranLoads, List(t1, t2, t3))
       name -> (t1, if (t3 >= 0) math.min(t2, t3) else t2)
     }
     // min when both passes survive; when exactly one fails (transient
@@ -69,6 +114,29 @@ object Bench {
       if (t._1 < 0 && t._2 < 0) -1.0
       else if (t._1 < 0 || t._2 < 0) math.max(t._1, t._2)
       else math.min(t._1, t._2)
+    // End-of-run re-queue: a multi-minute host-load window covers ALL
+    // passes of consecutive queries (r6: q68→q11→q12→q05→q30 inflated
+    // together), so min-of-passes can't defend against it — but by the
+    // END of the run the window has usually passed. Re-measure once, at
+    // the end, any query that (a) came out >3x its best known history
+    // with a non-trivial absolute gap, or (b) had every pass start under
+    // high load. The final robust time is the min across all passes.
+    val suspicious = results0.collect {
+      case (name, t) if robust(t) >= 0 &&
+        (history.get(name).exists(h =>
+           h > 0 && robust(t) > 3 * h && robust(t) - h > 0.2) ||
+         meta(name).loads.nonEmpty && meta(name).loads.forall(_ > loadMax)) =>
+        name
+    }.toList
+    val requeued = suspicious.map { name =>
+      val (t, _, _) = onePass(name, SparkEntry.queries(name), recordErr = false)
+      name -> t
+    }.toMap
+    val results = results0.map { case (name, (t1, tMin)) =>
+      val extra = requeued.getOrElse(name, -1.0)
+      name -> (t1, if (extra >= 0 && tMin >= 0) math.min(tMin, extra)
+                   else if (extra >= 0) extra else tMin)
+    }
     val partial = results.collect {
       case (k, (a, b)) if (a < 0) != (b < 0) => k
     }
@@ -108,12 +176,14 @@ object Bench {
     val errJson = errors.distinct.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString("[", ",", "]")
     val partialJson = partial.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+    val requeueJson = suspicious.map(n =>
+      "\"" + n + "\":" + requeued.getOrElse(n, -1.0)).mkString("{", ",", "}")
     // n_queries/sec_per_query: the query count grows round over round,
     // so the raw total is not comparable across rounds — the per-query
     // average is.
     val nq = results.values.count(robust(_) >= 0)
     val common =
-      s""""n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"partial_pass_queries":$partialJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir""""
+      s""""n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"partial_pass_queries":$partialJson,"requeued_queries":$requeueJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir""""
     // STDOUT carries ROBUST numbers ONLY: the driver snapshots a truncated
     // stdout tail into BENCH_rN.json, and when the robust and raw maps
     // interleaved there, a regex reader picked up RAW first-pass times
@@ -121,8 +191,15 @@ object Bench {
     // first-pass map is diagnostic, so it lives only in the local file.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$common}"""
+    // per-pass forensics (local file only): start epoch-ms + load at each
+    // pass start + every pass time, keyed by query
+    val metaJson = meta.map { case (k, m) =>
+      "\"" + k + "\":{\"start_ms\":" + m.startMs +
+        ",\"loads\":[" + m.loads.mkString(",") + "]" +
+        ",\"passes\":[" + m.passes.mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val jsonWithRaw =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$common,"queries_raw_first_run":$qsRaw}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$common,"queries_raw_first_run":$qsRaw,"queries_meta":$metaJson}"""
     // Stdout inside sbt gets an [info] prefix that defeats line-oriented
     // JSON parsers, so the metric also lands in a file the driver can read.
     println(json)
@@ -131,6 +208,23 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (jsonWithRaw + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
+    // merge this run's steady-state mins back into the history file
+    try {
+      val merged = (history.keySet ++ results.keySet).toList.sorted.flatMap { k =>
+        val cur = results.get(k).map(robust).filter(_ >= 0)
+        val old = history.get(k).filter(_ >= 0)
+        (cur, old) match {
+          case (Some(c), Some(o)) => Some(k -> math.min(c, o))
+          case (Some(c), None)    => Some(k -> c)
+          case (None, Some(o))    => Some(k -> o)
+          case _                  => None
+        }
+      }
+      val hist = merged.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(historyPath),
+        (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"bench: could not write $historyPath: $e") }
     PlanCache.clear(spark)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -508,6 +508,9 @@ object Curation {
   def corpusShuffle(spark: SparkSession, dir: String,
                     nShards: Int = 32, seed: Long = 42): DataFrame = {
     val key = TextHash.h1(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+    val shuffleOrderKey = concat(
+      lpad(col("skey").cast("string"), 20, "0"),
+      lpad(col("doc_id").cast("string"), 20, "0"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -517,8 +520,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),
         countDistinct(col("lang")).as("n_langs"),
-        min_by(col("doc_id"), col("skey")).as("first_doc"),
-        max_by(col("doc_id"), col("skey")).as("last_doc"))
+        // tiebreak on doc_id (60-bit keys collide past ~2^30 docs): the
+        // (skey, doc_id) order is packed into a zero-padded string because
+        // DuckDB's arg_min can't order by a struct — lexicographic equals
+        // numeric for fixed-width non-negative digits
+        min_by(col("doc_id"), shuffleOrderKey).as("first_doc"),
+        max_by(col("doc_id"), shuffleOrderKey).as("last_doc"))
       .orderBy(col("shard"))
   }
 
@@ -532,22 +539,24 @@ object Curation {
        |SELECT skey % $nShards AS shard, count(*) AS n_docs,
        |  sum(n_tokens)::BIGINT AS sum_tokens,
        |  count(DISTINCT lang)::BIGINT AS n_langs,
-       |  arg_min(doc_id, skey) AS first_doc,
-       |  arg_max(doc_id, skey) AS last_doc
+       |  arg_min(doc_id, lpad(skey::VARCHAR, 20, '0') || lpad(doc_id::VARCHAR, 20, '0')) AS first_doc,
+       |  arg_max(doc_id, lpad(skey::VARCHAR, 20, '0') || lpad(doc_id::VARCHAR, 20, '0')) AS last_doc
        |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 
   /** The materializing twin of [[corpusShuffle]]: the corpus re-keyed
     * into training order — ONE exchange on shard, rows inside each shard
     * sorted by the shuffle key, so a partitioned writer emits files a
-    * trainer reads sequentially. The md5 key is collision-unique in
-    * practice (60 bits) so the order is total and stable. */
+    * trainer reads sequentially. The 60-bit md5 key is near-unique but NOT
+    * collision-free at corpus scale (birthday bound: collisions expected
+    * past ~2^30 docs), so doc_id is the final tiebreaker — the order stays
+    * total and stable even when two docs share a key. */
   def corpusShuffleLayout(docs: DataFrame,
                           nShards: Int = 32, seed: Long = 42): DataFrame = {
     val key = TextHash.h1(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
     docs.withColumn("skey", key)
       .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("skey"))
+      .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
   }
 
   def snapshotUpsertSummarySql(histSize: Int = 200): String =

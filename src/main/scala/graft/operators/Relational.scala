@@ -493,19 +493,20 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** A2 approximate distinct (HLL++): per-type exact unique users plus an
-    * integer assertion that this engine's OWN HLL sketch lands within 5%
-    * of exact. The raw sketch estimate is engine-specific (Spark HLL++ vs
-    * DuckDB HLL disagree by design), so it stays OUT of the hashed output;
-    * what IS hashed — and what both engines must agree on — is the exact
-    * counts and the 0/1 "sketch inside its error budget" verdict, which is
-    * deterministically 1 at any cardinality both sketches handle (default
-    * rsd 5% has overwhelming margin at these sizes; the rsd-bound property
-    * test in RelationalSpec covers the sketch value itself). */
+    * integer assertion that this engine's OWN HLL sketch lands within 4·rsd
+    * (20% at the default rsd=5%) of exact. The raw sketch estimate is
+    * engine-specific (Spark HLL++ vs DuckDB HLL disagree by design), so it
+    * stays OUT of the hashed output; what IS hashed — and what both engines
+    * must agree on — is the exact counts and the 0/1 "sketch inside its
+    * error budget" verdict. 4·rsd is the same budget the property suite
+    * treats as "deterministic in practice" (PropertySpec), so any healthy
+    * sketch yields 1 on both engines at any SF; the sketch value itself is
+    * covered by the rsd-bound property test. */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     approxDistinctUsersFull(spark, dir)
       .select(col("event_type"), col("exact_users"), col("n_events"),
         when(abs(col("approx_users") - col("exact_users")) * 100 <=
-          col("exact_users") * 5, 1L).otherwise(0L).as("approx_within_5pct"))
+          col("exact_users") * 20, 1L).otherwise(0L).as("approx_within_bound"))
       .orderBy(col("event_type"))
 
   /** The raw sketch estimate alongside exact — the spec surface (rsd-bound
@@ -525,7 +526,7 @@ object Relational {
       |  count(*) AS n_events,
       |  (CASE WHEN abs(approx_count_distinct(user_id)
       |                 - count(DISTINCT user_id)) * 100
-      |             <= count(DISTINCT user_id) * 5
-      |        THEN 1 ELSE 0 END)::BIGINT AS approx_within_5pct
+      |             <= count(DISTINCT user_id) * 20
+      |        THEN 1 ELSE 0 END)::BIGINT AS approx_within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -43,7 +43,7 @@ object Supervision {
 
   /** Handle on a supervised query: observe restarts, stop it, await the
     * terminal state (clean completion, stop(), or retries exhausted). */
-  final class Handle private[Supervision] (policy: Backoff) {
+  final class Handle private[Supervision] () {
     private[Supervision] val current =
       new AtomicReference[StreamingQuery](null)
     private[Supervision] val restartCount = new AtomicInteger(0)
@@ -80,7 +80,7 @@ object Supervision {
   def supervise(start: () => StreamingQuery,
                 policy: Backoff = Backoff(),
                 sleep: Long => Unit = Thread.sleep): Handle = {
-    val h = new Handle(policy)
+    val h = new Handle()
     val t = new Thread(() => {
       var attempt = 0
       var running = true
@@ -101,8 +101,13 @@ object Supervision {
               running = false
             } else {
               sleep(policy.delayMs(attempt))
-              attempt += 1
-              h.restartCount.incrementAndGet()
+              // a stop() that landed during the backoff sleep means no
+              // restart happens — don't count one
+              if (h.stopRequested) running = false
+              else {
+                attempt += 1
+                h.restartCount.incrementAndGet()
+              }
             }
         }
       }

@@ -16,10 +16,9 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query key has an oracleSql key (hash-match gate coverage)") {
-    // q34: approx_count_distinct sketches are engine-specific — documented
-    // rows-only exemption (see SparkEntry.oracleSql comment).
-    val exempt = Set("q34_approx_distinct")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
+    // No exemptions: since round 6 even q34 has a portable hashed oracle
+    // (exact counts + each-engine-validates-its-own-sketch verdict).
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries missing oracle SQL: $missing")
   }
 }

@@ -50,11 +50,17 @@ if types_only:
     # decimals) is a latent typed-hash divergence even when values match
     PORTABLE = {"BIGINT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
                 "BOOLEAN", "INTEGER"}
+    def portable(t):
+        # arrays are portable iff their ELEMENT type is (a HUGEINT[] is
+        # just as much a latent typed-hash divergence as a bare HUGEINT)
+        while t.endswith("[]"):
+            t = t[:-2]
+        return t in PORTABLE
     bad = 0
     for name, sql in sorted(oracle.items()):
         try:
             off = {c: t for c, t in types_of(sql).items()
-                   if t not in PORTABLE and not t.endswith("[]")}
+                   if not portable(t)}
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             bad += 1
