@@ -84,24 +84,78 @@ object Dedup {
         array_join(slice(col("mh"), col("band") * rowsN + 1, lit(rowsN)), "_")
           .as("sig"), col("mh")) ++ carry.map(col)): _*)
 
+  /** Signature-identity groups: (gkey, doc_id, mh, rep, gsize) where
+    * gkey is the full joined signature string and rep = min doc_id among
+    * signature-identical docs. This is the degenerate-bucket guard the
+    * banding below builds on: a boilerplate doc duplicated d times lands
+    * ALL d copies in the same (band, sig) bucket in EVERY band, so a
+    * naive band self-join produces O(d²·bands) rows before distinct.
+    * Collapsing signature-identical docs to one representative BEFORE
+    * banding makes the self-join see each group once; the group's pairs
+    * are reconstructed AFTER the distinct from this (tiny) membership
+    * table — exact-dup-first, the standard mitigation, and lossless:
+    * signature-identical docs behave identically in every band, so no
+    * candidate is dropped (unlike a bucket-size cap à la
+    * [[Similarity.MaxBucket]], which trades recall for the same bound). */
+  private[graft] def sigGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"dedup.sigGroups:$dir") {
+      val sig = signatures(spark, dir)
+        .withColumn("gkey", array_join(col("mh"), "_"))
+      val reps = sig.groupBy(col("gkey"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gsize"))
+      sig.join(reps, Seq("gkey"))
+    }
+
+  /** All banded-LSH candidate pairs with their estimated Jaccard,
+    * persisted once per (session, dir): [[minhashNearDup]] thresholds it,
+    * [[candidatePairs]] strips the estimate for the verifiers, and
+    * [[dedupClusters]] reads it as the component-edge list. Built over
+    * signature-GROUP representatives (see [[sigGroups]]) and expanded
+    * back to member pairs post-distinct, so d identical docs cost d
+    * output rows per partner group plus d²/2 within-group rows ONCE —
+    * not O(d²·bands) join rows. Within-group pairs have est 1.0 by
+    * construction (identical signatures agree in all k slots); cross
+    * pairs inherit their reps' estimate, which is exactly the estimate
+    * their own (identical) signatures would produce. */
+  private def pairsWithEst(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"dedup.candidatePairs:$dir") {
+      val g = sigGroups(spark, dir)
+      val repsOnly = g.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("mh"))
+      val b = banded(repsOnly, Seq.empty)
+      val l = b.select(col("band"), col("sig"), col("doc_id").as("ra"), col("mh").as("amh"))
+      val r = b.select(col("band"), col("sig"), col("doc_id").as("rb"), col("mh").as("bmh"))
+      val est = aggregate(
+        zip_with(col("amh"), col("bmh"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) / lit(kMinhash.toDouble)
+      val repPairs = l.join(r, Seq("band", "sig"))
+        .filter(col("ra") < col("rb"))
+        .select(col("ra"), col("rb"), round(est, 4).as("est_jaccard"))
+        .distinct()
+      val members = g.select(col("rep"), col("doc_id"))
+      val cross = repPairs
+        .join(members.select(col("rep").as("ra"), col("doc_id").as("ida")), Seq("ra"))
+        .join(members.select(col("rep").as("rb"), col("doc_id").as("idb")), Seq("rb"))
+        // members of two different sig-groups interleave arbitrarily in
+        // doc_id even though ra < rb, so re-orient each expanded pair
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("est_jaccard"))
+      val grouped = g.filter(col("gsize") > 1).select(col("gkey"), col("doc_id"))
+      val within = grouped.select(col("gkey"), col("doc_id").as("doc_a"))
+        .join(grouped.select(col("gkey"), col("doc_id").as("doc_b")), Seq("gkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          lit(1.0).as("est_jaccard"))
+      cross.unionByName(within)
+    }
+
   /** Unsorted thresholded candidate pairs — shared by [[minhashNearDup]]
     * (which presents them ordered) and [[dedupClusters]] (which persists
     * them as the component-edge list; a global sort before that persist
     * would be a wasted shuffle). */
   private def minhashPairs(spark: SparkSession, dir: String,
-                           threshold: Double): DataFrame = {
-    val b = banded(signatures(spark, dir), Seq.empty)
-    val l = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("mh").as("amh"))
-    val r = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("mh").as("bmh"))
-    val est = aggregate(
-      zip_with(col("amh"), col("bmh"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v) / lit(kMinhash.toDouble)
-    l.join(r, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-      .distinct()
-  }
+                           threshold: Double): DataFrame =
+    pairsWithEst(spark, dir).filter(col("est_jaccard") >= threshold)
 
   /** X2 MinHash near-dup: banded-LSH candidates, similarity estimated as
     * the fraction of agreeing signature slots (k=16 → est is i/16,
@@ -140,14 +194,7 @@ object Dedup {
     * cheap verify passes over a pair list that is orders of magnitude
     * smaller than the corpus. */
   private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
-    graft.PlanCache.cached(spark, s"dedup.candidatePairs:$dir") {
-      val b = banded(signatures(spark, dir), Seq.empty)
-      b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-        .join(b.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
-          Seq("band", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-    }
+    pairsWithEst(spark, dir).select(col("doc_a"), col("doc_b"))
 
   /** X2 exact n-gram Jaccard, verified over the SAME banded-LSH candidate
     * set (candidate generation is the scalable half; this adds the exact
@@ -402,40 +449,119 @@ object Dedup {
     // textbook two-reference formulation — neighbor-min joined back onto
     // labels — doubles the unrolled plan per round: O(2^rounds) recompute
     // without a materialization barrier. This shape is linear.)
-    val edges = graft.PlanCache.cached(spark, s"dedup.edges:$threshold:$dir") {
-      val pairs = minhashPairs(spark, dir, threshold)
-        .select(col("doc_a"), col("doc_b"))
-      val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("a", "b")
-      // members-only self-loops: a doc with no edges can never change
-      // label, so propagation runs over |members| (≪ corpus) rows
-      sym.union(sym.select(col("a"), col("a")).distinct()).toDF("a", "b")
-    }
+    val edges = clusterEdges(spark, dir, threshold)
     // memoized per (session, params): repeated calls (Bench's two passes,
     // dedupClusters' union + anti-join double reference) reuse ONE chain
     graft.PlanCache.cached(spark,
       s"dedup.labels:$threshold:$rounds:$dir") {
-      var labels = edges.select(col("a").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("label"))
-      for (_ <- 1 to rounds) {
-        // per-round lineage TRUNCATION (localCheckpoint, lazy): each
-        // round's logical plan is a one-join tree over a LogicalRDD, not
-        // an `rounds`-deep nesting of every earlier round. Without this,
-        // Catalyst and the CacheManager's canonicalized cache-lookup
-        // re-walk the whole unrolled tree per execution — measured 64 s
-        // (vs ~1 s) for q64 inside a fully-loaded 70-query session. This
-        // is the persisted-loop shape GraphX's Pregel uses per superstep;
-        // on a fault-tolerant cluster run you'd persist/checkpoint
-        // reliably instead of locally, and add a driver convergence
-        // check (or large-star/small-star to bound rounds by log n).
-        labels = edges
-          .join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
-          .groupBy(col("a")).agg(min(col("label")).as("label"))
-          .select(col("a").as("doc_id"), col("label"))
-          .localCheckpoint(eager = false)
-      }
-      labels
+      runPropagation(edges, rounds)
     }
+  }
+
+  /** [[dedupClusterAssignments]] with `rounds = auto`: iterate until a
+    * driver-side changed-label count reaches 0 (one cheap aggregate per
+    * round over the member set, which is ≪ corpus), capped at
+    * `maxRounds`. Min-label propagation needs as many rounds as the
+    * component DIAMETER, so any fixed round count silently under-merges
+    * a longer chain — DedupSpec proves a diameter-8 chain fixture merges
+    * fully here while fixed-6 provably does not. The fixed-round form
+    * stays the oracle twin (a convergence loop is not expressible as one
+    * SQL query); the 64-round cap is a runaway backstop, not a tuning
+    * knob — a real corpus chain that deep means the threshold is too
+    * loose. (The log-n-round alternative is large-star/small-star
+    * pointer doubling; at diameters seen in LSH dedup graphs the plain
+    * loop converges in a handful of rounds and each round is one join.) */
+  def dedupClusterAssignmentsAuto(spark: SparkSession, dir: String,
+                                  threshold: Double = 0.5,
+                                  maxRounds: Int = 64): DataFrame = {
+    val edges = clusterEdges(spark, dir, threshold)
+    graft.PlanCache.cached(spark,
+      s"dedup.labelsAuto:$threshold:$maxRounds:$dir") {
+      runPropagationAuto(edges, maxRounds)._1
+    }
+  }
+
+  /** Min-label propagation over an arbitrary candidate-pair list
+    * (doc_a, doc_b) for `rounds` rounds — the loop [[dedupClusters]]
+    * runs, exposed so tests (and users with their own similarity
+    * metric) can drive it on any edge set. */
+  def propagateLabels(pairs: DataFrame, rounds: Int): DataFrame =
+    runPropagation(symEdges(pairs), rounds)
+
+  /** [[propagateLabels]] with convergence detection: returns the labels
+    * plus the number of rounds actually run (the converging round — the
+    * one that changed nothing — included). */
+  def propagateLabelsAuto(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) =
+    runPropagationAuto(symEdges(pairs), maxRounds)
+
+  /** The persisted component-edge list both propagation entry points
+    * share: thresholded candidate pairs symmetrized with members-only
+    * self-loops (a doc with no edges can never change label, so
+    * propagation runs over |members| ≪ corpus rows). */
+  private def clusterEdges(spark: SparkSession, dir: String,
+                           threshold: Double): DataFrame =
+    graft.PlanCache.cached(spark, s"dedup.edges:$threshold:$dir") {
+      symEdges(minhashPairs(spark, dir, threshold)
+        .select(col("doc_a"), col("doc_b")))
+    }
+
+  /** Symmetric edges + members-only self-loops from a pair list — the
+    * edge shape [[runPropagation]] consumes (see [[dedupClusterAssignments]]
+    * for why self-loops fold "min with my own label" into one join). */
+  private def symEdges(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col(pairs0.columns(0)).as("doc_a"),
+      col(pairs0.columns(1)).as("doc_b"))
+    val sym = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("a", "b")
+    sym.union(sym.select(col("a"), col("a")).distinct()).toDF("a", "b")
+  }
+
+  private def initialLabels(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+
+  private def propagationRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
+      .groupBy(col("a")).agg(min(col("label")).as("label"))
+      .select(col("a").as("doc_id"), col("label"))
+
+  private def runPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = initialLabels(edges)
+    for (_ <- 1 to rounds) {
+      // per-round lineage TRUNCATION (localCheckpoint, lazy): each
+      // round's logical plan is a one-join tree over a LogicalRDD, not
+      // an `rounds`-deep nesting of every earlier round. Without this,
+      // Catalyst and the CacheManager's canonicalized cache-lookup
+      // re-walk the whole unrolled tree per execution — measured 64 s
+      // (vs ~1 s) for q64 inside a fully-loaded 70-query session. This
+      // is the persisted-loop shape GraphX's Pregel uses per superstep;
+      // on a fault-tolerant cluster run you'd persist/checkpoint
+      // reliably instead of locally.
+      labels = propagationRound(edges, labels).localCheckpoint(eager = false)
+    }
+    labels
+  }
+
+  private def runPropagationAuto(edges: DataFrame,
+                                 maxRounds: Int): (DataFrame, Int) = {
+    // EAGER checkpoints here: each round's labels are read twice (the
+    // changed-count action and the next round's join), so materializing
+    // once is cheaper than recomputing, and the changed-count is then a
+    // join of two in-memory tables
+    var labels = initialLabels(edges).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = propagationRound(edges, labels).localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      round += 1
+      converged = changed == 0
+    }
+    (labels, round)
   }
 
   /** The deduplicated corpus itself — one representative document per

@@ -154,4 +154,68 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(exact.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
+
+  /** Fixture dir with a documents.parquet in the test-table schema. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_fix").toString
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("fixture").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("boilerplate guard: 100-copy doc collapses to one banding rep; pair output stays complete") {
+    val boiler = "spam spam lovely spam wonderful spam spam spam lovely spam again ok"
+    val other = "a completely different document about quantum chromodynamics lattices here"
+    val third = "yet another unrelated text on medieval trade routes across the alps now"
+    val rows = (0L until 100L).map(i => i -> boiler) ++
+      Seq(100L -> other, 101L -> other, 200L -> third)
+    val dir = docsDir(rows)
+    // the degenerate-bucket guard: the band self-join's input is ONE row
+    // per signature GROUP per band, so a d-copy boilerplate doc costs the
+    // join O(groups), not O(d²·bands) — reps here is 3 no matter whether
+    // d is 100 or 100 000
+    val g = Dedup.sigGroups(spark, dir)
+    assert(g.filter(col("doc_id") === col("rep")).count() == 3)
+    assert(g.filter(col("gsize") === 100).count() == 100)
+    // ...while the OUTPUT pair list keeps exact all-pairs semantics:
+    // C(100,2) within-boilerplate pairs at est 1.0, the planted 2-copy
+    // pair, and no cross-group pairs (disjoint vocabularies)
+    val pairs = Dedup.minhashNearDup(spark, dir).collect()
+    assert(pairs.length == 4950 + 1, s"got ${pairs.length} pairs")
+    assert(pairs.count(_.getAs[Double]("est_jaccard") == 1.0) == 4951)
+    val ids = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(ids.contains((100L, 101L)))
+    assert(ids.forall { case (a, b) => a < b && !(a < 100 ^ b < 100) })
+  }
+
+  test("auto label propagation fully merges a diameter-8 chain that fixed-6 under-merges") {
+    // chain 0-1-2-…-8: consecutive docs are near-dups, ends are not —
+    // min-label propagation needs DIAMETER rounds, so rounds=6 provably
+    // under-merges while rounds=auto converges and stops by itself
+    val chain = (0L until 8L).map(i => i -> (i + 1))
+      .toDF("doc_a", "doc_b")
+    val fixed6 = Dedup.propagateLabels(chain, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed6.values.toSet.size > 1,
+      "fixed-6 unexpectedly merged a diameter-8 chain — fixture too easy")
+    val (autoDf, roundsRun) = Dedup.propagateLabelsAuto(chain)
+    val auto = autoDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto.keySet == (0L to 8L).toSet)
+    assert(auto.values.forall(_ == 0L),
+      s"auto propagation left unmerged labels: $auto")
+    // converges in diameter + 1 rounds (the +1 detects the fixpoint)
+    assert(roundsRun >= 7 && roundsRun <= 10, s"roundsRun=$roundsRun")
+  }
+
+  test("auto cluster assignments agree with fixed-round on the test corpus") {
+    val fixed = Dedup.dedupClusterAssignments(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auto = Dedup.dedupClusterAssignmentsAuto(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the sf0.001 graph converges well inside 6 rounds (asserted by the
+    // fixpoint test above), so auto must land on the identical labeling
+    assert(auto == fixed)
+  }
 }
