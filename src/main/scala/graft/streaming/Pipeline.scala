@@ -154,6 +154,77 @@ object Pipeline {
                         options: Map[String, String] = Map.empty,
                         payloadCol: String = "value")
 
+  object SourceSpec {
+    /** The Kafka binding of the S1 transport seam — the production twin
+      * of the reference's push stream (`streamer.py:44-48`), expressed as
+      * the option map Spark's `format("kafka")` connector reads. The
+      * connector jar (`spark-sql-kafka-0-10`) is not shipped in this
+      * sandbox, so there is no broker integration test here; the
+      * translation itself is pure and unit-gated (StreamingSpec), and the
+      * manual recipe is one line:
+      *
+      * {{{
+      * spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 …
+      * readTweets(spark, SourceSpec.kafka("b1:9092,b2:9092", "tweets",
+      *   auth = SourceSpec.saslPlain("user", "pass")))
+      * }}}
+      *
+      * Kafka delivers the payload as `value: binary`;
+      * [[tweetsFromPayload]] casts + JSON-parses it with the same
+      * corrupt-record side channel every other transport gets — nothing
+      * downstream of the seam changes.
+      *
+      * @param startingOffsets "latest" (tail the live stream — the
+      *        reference's behavior), "earliest", or a per-partition JSON
+      *        offset map; checkpointed restarts IGNORE this and resume
+      *        from committed offsets, which is what makes the
+      *        [[Supervision]] restart path exactly-once end to end.
+      * @param auth consumer security settings, e.g. from [[saslPlain]] —
+      *        the config seam the reference's OAuth handshake
+      *        (`streamer.py:41-43`) maps onto. Keys may be given bare
+      *        (`security.protocol`) or prefixed (`kafka.security.protocol`);
+      *        bare keys get the `kafka.` prefix the connector requires
+      *        for consumer pass-through.
+      * @param maxOffsetsPerTrigger per-micro-batch record cap — the
+      *        backpressure knob (T6), same role maxFilesPerTrigger plays
+      *        for file replay. */
+    def kafka(brokers: String, topic: String,
+              startingOffsets: String = "latest",
+              auth: Map[String, String] = Map.empty,
+              maxOffsetsPerTrigger: Option[Long] = None,
+              extra: Map[String, String] = Map.empty): SourceSpec = {
+      require(brokers.nonEmpty, "kafka: brokers must be non-empty")
+      require(topic.nonEmpty, "kafka: topic must be non-empty")
+      val authPrefixed = auth.map { case (k, v) =>
+        (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v
+      }
+      SourceSpec("kafka", options = Map(
+        "kafka.bootstrap.servers" -> brokers,
+        "subscribe" -> topic,
+        "startingOffsets" -> startingOffsets) ++
+        maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
+        authPrefixed ++ extra,
+        payloadCol = "value")
+    }
+
+    /** SASL/PLAIN credentials as a [[kafka]] `auth` map (SCRAM variants:
+      * pass `mechanism = "SCRAM-SHA-512"` and the same module swap the
+      * Kafka docs prescribe). Plaintext protocol only for local brokers;
+      * production uses SASL_SSL. */
+    def saslPlain(username: String, password: String,
+                  protocol: String = "SASL_SSL",
+                  mechanism: String = "PLAIN"): Map[String, String] = {
+      val module =
+        if (mechanism.startsWith("SCRAM")) "org.apache.kafka.common.security.scram.ScramLoginModule"
+        else "org.apache.kafka.common.security.plain.PlainLoginModule"
+      Map(
+        "security.protocol" -> protocol,
+        "sasl.mechanism" -> mechanism,
+        "sasl.jaas.config" ->
+          s"""$module required username="$username" password="$password";""")
+    }
+  }
+
   /** Open the raw transport: format/options/path injected, no schema
     * assumptions (file formats get tweetSchema; push transports produce
     * their own wire schema and go through [[tweetsFromPayload]]). */

@@ -12,18 +12,26 @@ import graft.Tables
   * readStream → filter(lang, track) → sentiment → windowed counts →
   * parquet sink (checkpointed), then prints the landed results.
   *
-  * `sbt "runMain graft.streaming.StreamDemo en spark [sfDir]"`.
+  * `sbt "runMain graft.streaming.StreamDemo en spark [sfDir] [--supervised]"`.
+  *
+  * `--supervised` runs the query under [[Supervision.supervise]] with a
+  * [[Supervision.MetricsListener]] attached — the user-facing shape of
+  * the reconnect/backoff path (S1): a transport drop restarts the query
+  * on the same checkpoint, and the run ends by printing the listener's
+  * restart/failure/row metrics.
   *
   * Uses Trigger.AvailableNow so the demo drains the source and exits (a
   * production run would use the 60 s ProcessingTime trigger, T1). */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: StreamDemo <lang> <track> [sfDir]")
+    val supervised = args.contains("--supervised")
+    val pos = args.filterNot(_.startsWith("--"))
+    if (pos.length < 2) {
+      System.err.println("usage: StreamDemo <lang> <track> [sfDir] [--supervised]")
       sys.exit(2)
     }
-    val Array(lang, track) = args.take(2)
-    val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.001")
+    val Array(lang, track) = pos.take(2)
+    val sfDir = pos.lift(2).getOrElse("/root/testdata/sf0.001")
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -49,8 +57,21 @@ object StreamDemo {
       Pipeline.readTweetStream(spark, src), lang, track)
     val counts = Pipeline.sentimentCounts(scored,
       windowLen = "5 minutes", watermark = "30 seconds")
-    val q = Pipeline.writeParquet(counts, out, chk, Trigger.AvailableNow())
-    q.awaitTermination()
+    def startQuery() = Pipeline.writeParquet(counts, out, chk, Trigger.AvailableNow())
+    if (supervised) {
+      val metrics = new Supervision.MetricsListener()
+      spark.streams.addListener(metrics)
+      val handle = Supervision.supervise(() => startQuery())
+      handle.await(timeoutMs = 600000)
+      handle.lastError.foreach(e =>
+        System.err.println(s"supervision gave up: ${e.getMessage}"))
+      println(s"supervision: starts=${metrics.starts} " +
+        s"restarts=${metrics.restarts} failures=${metrics.failures} " +
+        s"input_rows=${metrics.inputRows} " +
+        s"last_error=${metrics.lastError.getOrElse("none")}")
+    } else {
+      startQuery().awaitTermination()
+    }
 
     // NB append mode only finalizes a window once the watermark passes its
     // end, so the trailing window(s) of the corpus are intentionally not

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import java.util.concurrent.CountDownLatch
-import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong, AtomicReference}
 
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 
 /** Reconnect/backoff supervision for streaming queries on failure-prone
   * transports (socket/kafka-style sources that drop mid-stream).
@@ -71,6 +71,59 @@ object Supervision {
     /** Block until supervision reaches a terminal state. */
     def await(timeoutMs: Long): Boolean =
       done.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
+  /** The OBSERVING counterpart of [[supervise]] (which owns the control
+    * loop — see the object scaladoc for why restart decisions don't live
+    * on the listener bus): a `StreamingQueryListener` that counts query
+    * starts/terminations, failures, and input rows, and keeps the last
+    * error message. Under supervision every restart is a fresh start
+    * event for the same logical query, so `restarts = starts - 1` is the
+    * restart metric an alerting system scrapes; `lastError` is what it
+    * pages with. Register via `spark.streams.addListener(...)`;
+    * `queryName` scopes the metrics to one named query (pass None in a
+    * single-query session, e.g. StreamDemo --supervised).
+    *
+    * Callbacks arrive asynchronously on Spark's listener bus — all state
+    * here is atomic, and a terminated event may land shortly after the
+    * supervisor's own await returns (callers sampling metrics right at
+    * shutdown should allow for that, as StreamingSpec does). */
+  final class MetricsListener(queryName: Option[String] = None)
+      extends StreamingQueryListener {
+    private val tracked =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    private val startCount = new AtomicInteger(0)
+    private val terminationCount = new AtomicInteger(0)
+    private val failureCount = new AtomicInteger(0)
+    private val rowCount = new AtomicLong(0L)
+    private val lastErr = new AtomicReference[String](null)
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      if (queryName.forall(_ == e.name)) {
+        tracked.add(e.runId)
+        startCount.incrementAndGet()
+      }
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      if (tracked.contains(e.progress.runId))
+        rowCount.addAndGet(e.progress.numInputRows)
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      if (tracked.contains(e.runId)) {
+        terminationCount.incrementAndGet()
+        e.exception.foreach { msg =>
+          failureCount.incrementAndGet()
+          lastErr.set(msg)
+        }
+      }
+
+    def starts: Int = startCount.get()
+    /** Restarts observed: every start after the first one. */
+    def restarts: Int = math.max(0, startCount.get() - 1)
+    def terminations: Int = terminationCount.get()
+    /** Terminations that carried an exception. */
+    def failures: Int = failureCount.get()
+    def lastError: Option[String] = Option(lastErr.get())
+    /** Total input rows across all (re)starts of the tracked query. */
+    def inputRows: Long = rowCount.get()
   }
 
   /** Start `start()` under supervision. `sleep` is injectable so tests
