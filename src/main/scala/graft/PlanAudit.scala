@@ -35,4 +35,43 @@ object PlanAudit {
       flags += "Window over SinglePartition: whole-dataset single-task sort"
     flags.result()
   }
+
+  /** Declared queries whose plans legitimately carry a
+    * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
+    * (query-point sets, centroid tables, single-row counts, a
+    * calendar-bounded dimension) — audited in PLANS.md, enforced by
+    * PlanAuditSpec, and consumed by [[PlanDump]] so the artifact and the
+    * test gate share one allow-list. */
+  val AllowedBnlj: Set[String] = Set(
+    "q23_cosine_topk", "q24_ann_lsh", "q25_embedding_neardup",
+    "q36_label_centroids", "q37_ivf_topk", "q48_ivf_multiprobe",
+    "q45_contamination", "q50_contamination_bloom", "q53_tfidf_topterms",
+    "q66_quantization_audit", "q70_pq_adc",
+    // q76 range-joins the calendar-bounded distinct-days dimension
+    "q76_rolling_active")
+
+  /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
+    * round-over-round "did a shuffle appear / did a broadcast degrade to
+    * a sort-merge" diff without re-deriving plans by hand. Counts are
+    * operator-line occurrences in the physical plan string; with AQE on,
+    * this is the initial plan (runtime re-plans only ever remove
+    * exchanges, so the counts are an upper bound). */
+  def shape(df: DataFrame): Seq[(String, Int)] = {
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toList
+    def n(pred: String => Boolean) = lines.count(pred)
+    Seq(
+      "shuffle_exchanges" -> n(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange") && !l.contains("ReusedExchange")),
+      "broadcast_exchanges" -> n(_.contains("BroadcastExchange")),
+      "broadcast_hash_joins" -> n(_.contains("BroadcastHashJoin")),
+      "sort_merge_joins" -> n(_.contains("SortMergeJoin")),
+      "shuffled_hash_joins" -> n(_.contains("ShuffledHashJoin")),
+      "bnl_joins" -> n(_.contains("BroadcastNestedLoopJoin")),
+      "cartesian_products" -> n(_.contains("CartesianProduct")),
+      "parquet_scans" -> n(_.contains("Scan parquet")),
+      "scans_with_pushed_filters" -> n(l =>
+        l.contains("PushedFilters: [") && !l.contains("PushedFilters: []")),
+      "window_ops" -> n(_.contains("Window [")),
+      "sorts" -> n(_.contains("Sort [")))
+  }
 }

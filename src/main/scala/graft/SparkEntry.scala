@@ -105,7 +105,13 @@ object SparkEntry {
     // the COMPOSED pipeline (dedup→scrub→quality→split→pack) as one
     // oracle row: gates stage hand-offs, not just the stages
     "q77_curation_pipeline" -> ((s, d) => graft.operators.CurationPipeline.summary(s, d)),
-    "q78_corpus_shuffle" -> ((s, d) => Curation.corpusShuffle(s, d))
+    "q78_corpus_shuffle" -> ((s, d) => Curation.corpusShuffle(s, d)),
+    // the reference's DEFAULT '#\w+' extraction path (q47 runs '\w+'
+    // because the synthetic corpus has no '#'): tags injected in-query
+    "q79_hashtag_literal" -> ((s, d) => TextPipeline.hashtagSentimentTagged(s, d)),
+    // chunking = the SPLIT complement of q71's packing: long docs →
+    // overlapping fixed-token windows; content gated by a chunk-text hash
+    "q80_doc_chunking" -> ((s, d) => Packing.chunkSummary(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -190,6 +196,8 @@ object SparkEntry {
     "q75_stratified_sample" -> Curation.stratifiedSampleSql(),
     "q76_rolling_active" -> EventAnalytics.rollingActiveUsersSql(),
     "q77_curation_pipeline" -> graft.operators.CurationPipeline.summarySql(),
-    "q78_corpus_shuffle" -> Curation.corpusShuffleSql()
+    "q78_corpus_shuffle" -> Curation.corpusShuffleSql(),
+    "q79_hashtag_literal" -> TextPipeline.hashtagSentimentTaggedSql(),
+    "q80_doc_chunking" -> Packing.chunkSummarySql()
   )
 }

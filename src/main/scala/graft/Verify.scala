@@ -27,6 +27,17 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracleJson(selected))
+    PlanCache.clear(spark)
+    spark.stop()
+  }
+
+  /** `oracle_sql.json` body for the selected queries — shared by the
+    * driver dump above and the standing oracle-type lint in sbt test
+    * (OracleTypeLintSpec), so the lint audits the exact artifact the
+    * driver's DuckDB compare consumes. */
+  def oracleJson(selected: String => Boolean = _ => true): String = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -39,10 +50,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    PlanCache.clear(spark)
-    spark.stop()
   }
 }

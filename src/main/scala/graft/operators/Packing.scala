@@ -106,6 +106,123 @@ object Packing {
       .orderBy(col("lang"))
   }
 
+  /** Document chunking — the complement of packing: where packing
+    * CONCATENATES short docs into fixed contexts, chunking SPLITS long
+    * docs into overlapping fixed-token windows (the standard prep for
+    * context-bounded training/embedding/retrieval corpora). Chunk `i` of
+    * a doc covers tokens `[i·stride, i·stride + chunkLen)` where
+    * `stride = chunkLen − overlap`; the last chunk is the remainder
+    * (always ≥ 1 token, always reaching the doc's final token).
+    *
+    * Scale posture: chunking is embarrassingly parallel — one narrow
+    * projection + a bounded explode (fan-out ≤ tokens/stride per doc),
+    * NO shuffle, no window, nothing driver-side. The token array is
+    * materialized once per doc and sliced per chunk.
+    *
+    * Reference tie-in: the reference stores raw tweets un-prepared
+    * (`ProcessStreamData.py:25-30`); chunking is part of the mandated
+    * LLM-data-pipeline extension (SURVEY.md §2.12). */
+  def chunkDocs(spark: SparkSession, dir: String,
+                chunkLen: Int = 32, overlap: Int = 8): DataFrame =
+    chunkDocsOf(Tables.documents(spark, dir), chunkLen, overlap)
+
+  /** Chunk rows for any (doc_id, lang, text) frame: (doc_id, lang,
+    * n_tokens, n_chunks, chunk_id, chunk_start, chunk_tokens,
+    * chunk_text). Tokenization = the q15/q71 whitespace tokens. */
+  def chunkDocsOf(docs: DataFrame, chunkLen: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkLen > 0 && overlap >= 0 && overlap < chunkLen,
+      s"need 0 <= overlap < chunkLen, got chunkLen=$chunkLen overlap=$overlap")
+    val stride = (chunkLen - overlap).toLong
+    docs
+      .select(col("doc_id"), col("lang"),
+        TextHash.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // integer ceil-div keeps both engines in exact 64-bit arithmetic
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= chunkLen, lit(1L))
+          .otherwise(expr(s"(n_tokens - $chunkLen + ${stride - 1}) div $stride")
+            + lit(1L)))
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"),
+        col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .withColumn("chunk_tokens",
+        least(lit(chunkLen.toLong), col("n_tokens") - col("chunk_start")))
+      .withColumn("chunk_text", array_join(slice(col("toks"),
+        (col("chunk_start") + 1).cast("int"),
+        col("chunk_tokens").cast("int")), " "))
+      .drop("toks")
+  }
+
+  /** Chunking audit (q80): per language — docs, chunks, docs that split
+    * into >1 chunk, total chunk tokens, the duplicated-token overhead the
+    * overlap costs (`sum_chunk_tokens − Σ n_tokens`), and a cross-engine
+    * content gate: Σ (60-bit md5 of `doc_id:chunk_id:chunk_text` mod P)
+    * mod 1e9+7 — any divergence in any chunk's TEXT (not just its
+    * bounds) flips the hash. The sum rides a decimal(38,0) accumulator
+    * (DuckDB sums BIGINT into HUGEINT; Spark must match past ~4e9 chunks
+    * where a signed-64 sum of 31-bit values overflows). */
+  def chunkSummary(spark: SparkSession, dir: String,
+                   chunkLen: Int = 32, overlap: Int = 8): DataFrame =
+    chunkDocs(spark, dir, chunkLen, overlap)
+      .withColumn("chash",
+        TextHash.h1(concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_id").cast("string"), lit(":"), col("chunk_text")))
+          % TextHash.P)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("chunk_id") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_id") === 0 && col("n_chunks") > 1, 1L)
+          .otherwise(0L)).as("n_multichunk_docs"),
+        sum(col("chunk_tokens")).as("sum_chunk_tokens"),
+        (sum(col("chunk_tokens")) -
+          sum(when(col("chunk_id") === 0, col("n_tokens")).otherwise(0L)))
+          .as("overlap_tokens"),
+        sum(col("chash").cast("decimal(38,0)")).as("hsum"))
+      .select(col("lang"), col("n_docs"), col("n_chunks"),
+        col("n_multichunk_docs"), col("sum_chunk_tokens"),
+        col("overlap_tokens"),
+        expr(s"cast(hsum % ${TextHash.FpP} as bigint)").as("content_hash"))
+      .orderBy(col("lang"))
+
+  def chunkSummarySql(chunkLen: Int = 32, overlap: Int = 8): String = {
+    val s = chunkLen - overlap
+    val c = chunkLen
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+       |  FROM documents
+       |), n AS (
+       |  SELECT doc_id, lang, toks, len(toks)::BIGINT AS n_tokens,
+       |    (CASE WHEN len(toks) <= $c THEN 1
+       |          ELSE (len(toks) - $c + ${s - 1}) // $s + 1 END)::BIGINT AS n_chunks
+       |  FROM d
+       |), ch AS (
+       |  SELECT doc_id, lang, n_tokens, n_chunks, toks,
+       |    unnest(range(0, n_chunks)) AS chunk_id
+       |  FROM n
+       |), cc AS (
+       |  SELECT doc_id, lang, n_tokens, n_chunks, chunk_id,
+       |    LEAST($c, n_tokens - chunk_id * $s) AS chunk_tokens,
+       |    array_to_string(toks[(chunk_id * $s + 1)::INT :
+       |      (chunk_id * $s + LEAST($c, n_tokens - chunk_id * $s))::INT], ' ')
+       |      AS chunk_text
+       |  FROM ch
+       |)
+       |SELECT lang,
+       |  sum(CASE WHEN chunk_id = 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN chunk_id = 0 AND n_chunks > 1 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_multichunk_docs,
+       |  sum(chunk_tokens)::BIGINT AS sum_chunk_tokens,
+       |  (sum(chunk_tokens)
+       |    - sum(CASE WHEN chunk_id = 0 THEN n_tokens ELSE 0 END))::BIGINT
+       |    AS overlap_tokens,
+       |  (sum(${TextHash.h1Sql("doc_id::VARCHAR || ':' || chunk_id::VARCHAR || ':' || chunk_text")}
+       |       % ${TextHash.P}) % ${TextHash.FpP})::BIGINT AS content_hash
+       |FROM cc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def packingSummarySql(ctxLen: Int = 512, nShards: Int = 8): String =
     s"""WITH d AS (
        |  SELECT doc_id, lang, doc_id % $nShards AS shard,

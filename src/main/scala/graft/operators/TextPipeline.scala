@@ -60,7 +60,13 @@ object TextPipeline {
     * hashtag ASC) is a total order. */
   def hashtagSentiment(spark: SparkSession, dir: String,
                        tagPattern: String = "#\\w+", k: Int = 20): DataFrame =
-    Tables.documents(spark, dir)
+    hashtagSentimentOf(Tables.documents(spark, dir), tagPattern, k)
+
+  /** [[hashtagSentiment]] over any frame with a `text` column — the
+    * injected-tag gate (q79) and user corpora enter here. */
+  def hashtagSentimentOf(docs: DataFrame,
+                         tagPattern: String = "#\\w+", k: Int = 20): DataFrame =
+    docs
       .withColumn("s", Sentiment.score(col("text")))
       .select(col("s"), explode(array_distinct(
         regexp_extract_all(lower(col("text")), lit(tagPattern), lit(0))))
@@ -75,9 +81,47 @@ object TextPipeline {
       .orderBy(col("n_docs").desc, col("hashtag"))
       .limit(k)
 
+  /** Oracle-gated literal-`#` gate (q79): the reference's DEFAULT tag
+    * semantics (`streamer.py:48` tracks `#hashtag` terms) need text that
+    * actually carries `#` — the synthetic corpus is lowercase-alpha, so
+    * q47 runs the `\w+` degenerate pattern and the `#\w+` extraction
+    * branch had no green row of its own. Tags are injected IN-QUERY,
+    * derived deterministically from doc_id (same device as q60's scrub
+    * injection, `Curation.scrubAudit`), and BOTH engines extract with the
+    * default `#\w+` pattern over the identical augmented text. Plan shape
+    * is [[hashtagSentiment]]'s unchanged — the injection is a narrow
+    * constant-folding-friendly concat before the sentiment map. */
+  def hashtagSentimentTagged(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val d = col("doc_id")
+    val injected = concat(
+      col("text"),
+      when(pmod(d, lit(2)) === 0,
+        concat(lit(" #tag"), pmod(d, lit(7)).cast("string"))).otherwise(lit("")),
+      when(pmod(d, lit(3)) === 0,
+        concat(lit(" #topic"), pmod(d, lit(5)).cast("string"))).otherwise(lit("")),
+      when(pmod(d, lit(5)) === 1, lit(" #spark")).otherwise(lit("")))
+    hashtagSentimentOf(
+      Tables.documents(spark, dir).select(injected.as("text")), "#\\w+", k)
+  }
+
+  /** DuckDB twin of [[hashtagSentimentTagged]]: same doc_id-derived tag
+    * injection in an `aug` CTE, then the verbatim `#\w+` oracle. */
+  def hashtagSentimentTaggedSql(k: Int = 20): String =
+    // NOTE: '||' concatenations stay at line ENDS — the enclosing oracle
+    // template applies .stripMargin to the whole interpolated SQL, and a
+    // line-leading '||' would lose its first '|' as a margin marker
+    hashtagSentimentSql("#\\w+", k, source =
+      """(SELECT text ||
+        | CASE WHEN doc_id % 2 = 0 THEN ' #tag' || (doc_id % 7)::VARCHAR ELSE '' END ||
+        | CASE WHEN doc_id % 3 = 0 THEN ' #topic' || (doc_id % 5)::VARCHAR ELSE '' END ||
+        | CASE WHEN doc_id % 5 = 1 THEN ' #spark' ELSE '' END AS text
+        | FROM documents)""".stripMargin)
+
   /** DuckDB twin of [[hashtagSentiment]]. sum() cast ::BIGINT (HUGEINT
-    * otherwise); tie-broken ORDER BY before LIMIT on both sides. */
-  def hashtagSentimentSql(tagPattern: String = "#\\w+", k: Int = 20): String = {
+    * otherwise); tie-broken ORDER BY before LIMIT on both sides.
+    * `source`: any FROM-able relation with a `text` column. */
+  def hashtagSentimentSql(tagPattern: String = "#\\w+", k: Int = 20,
+                          source: String = "documents"): String = {
     val pos = Sentiment.posSqlList
     val neg = Sentiment.negSqlList
     val pat = tagPattern.replace("'", "''")
@@ -85,7 +129,7 @@ object TextPipeline {
        |  SELECT lower(text) AS lt,
        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($pos)))::DOUBLE AS p,
        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ($neg)))::DOUBLE AS n
-       |  FROM documents
+       |  FROM $source
        |), lab AS (
        |  SELECT lt,
        |    CASE WHEN p > n THEN 'POSITIVE' WHEN n > p THEN 'NEGATIVE'

@@ -68,4 +68,83 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       "packing must never collapse to one partition")
   }
+
+  test("chunking: windows tile every doc — sizes, bounds, lossless reconstruction") {
+    val (c, o) = (32, 8)
+    val rows = Packing.chunkDocs(spark, sf0001, chunkLen = c, overlap = o)
+      .collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split(" ", -1).toSeq).toMap
+    assert(byDoc.keySet == docs.keySet, "every doc chunks at least once")
+    byDoc.foreach { case (id, ch) =>
+      val sorted = ch.sortBy(_.getAs[Long]("chunk_id"))
+      val n = sorted.head.getAs[Long]("n_tokens")
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until sorted.length.toLong).toSeq,
+        s"doc $id: chunk ids not contiguous")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val tks = r.getAs[Long]("chunk_tokens")
+        val txt = r.getAs[String]("chunk_text")
+        assert(r.getAs[Long]("chunk_start") == i.toLong * (c - o))
+        // every chunk except the last is exactly chunkLen tokens; the
+        // last is the remainder and still longer than the overlap (so
+        // reconstruction below is well-defined)
+        if (i < sorted.length - 1) assert(tks == c, s"doc $id chunk $i")
+        else {
+          assert(r.getAs[Long]("chunk_start") + tks == n,
+            s"doc $id: last chunk must reach the final token")
+          assert(tks > o, s"doc $id: last chunk must exceed the overlap")
+        }
+        assert(txt.split(" ", -1).length.toLong == tks,
+          s"doc $id chunk $i: text token count != chunk_tokens")
+      }
+      // lossless: chunk 0 ++ (later chunks minus their overlap prefix)
+      // re-spells the doc's token stream exactly
+      val rebuilt = sorted.head.getAs[String]("chunk_text").split(" ", -1).toSeq ++
+        sorted.tail.flatMap(_.getAs[String]("chunk_text")
+          .split(" ", -1).drop(o).toSeq)
+      assert(rebuilt == docs(id), s"doc $id: reconstruction diverged")
+      // multi-chunk iff the doc exceeds one window
+      assert((sorted.length > 1) == (n > c))
+    }
+  }
+
+  test("chunking is shuffle-free: narrow projection + bounded explode only") {
+    val plan = Packing.chunkDocs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "chunking must stay embarrassingly parallel — no shuffle")
+    assert(plan.contains("Generate"), "expected the explode fan-out")
+  }
+
+  test("chunk summary accounting ties back to chunk rows") {
+    val (c, o) = (32, 8)
+    val s = Packing.chunkSummary(spark, sf0001, chunkLen = c, overlap = o)
+      .collect()
+    val rows = Packing.chunkDocs(spark, sf0001, chunkLen = c, overlap = o)
+      .collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val mine = rows.filter(_.getAs[String]("lang") == lang)
+      assert(r.getAs[Long]("n_chunks") == mine.length.toLong)
+      assert(r.getAs[Long]("n_docs") ==
+        mine.map(_.getAs[Long]("doc_id")).distinct.length.toLong)
+      assert(r.getAs[Long]("sum_chunk_tokens") ==
+        mine.map(_.getAs[Long]("chunk_tokens")).sum)
+      // overlap overhead = duplicated tokens = (chunks - docs) * overlap
+      // until the accounting changes; derive it independently instead of
+      // trusting the operator's subtraction
+      val docTokens = mine.filter(_.getAs[Long]("chunk_id") == 0L)
+        .map(_.getAs[Long]("n_tokens")).sum
+      assert(r.getAs[Long]("overlap_tokens") ==
+        mine.map(_.getAs[Long]("chunk_tokens")).sum - docTokens)
+      assert(r.getAs[Long]("overlap_tokens") ==
+        (r.getAs[Long]("n_chunks") - r.getAs[Long]("n_docs")) * o)
+    }
+  }
 }

@@ -17,14 +17,8 @@ package graft
 class PlanAuditSpec extends SparkSpec {
 
   // queries whose plans legitimately carry a BroadcastNestedLoopJoin:
-  // every one broadcasts a provably tiny side (audited in PLANS.md)
-  private val allowedBnlj = Set(
-    "q23_cosine_topk", "q24_ann_lsh", "q25_embedding_neardup",
-    "q36_label_centroids", "q37_ivf_topk", "q48_ivf_multiprobe",
-    "q45_contamination", "q50_contamination_bloom", "q53_tfidf_topterms",
-    "q66_quantization_audit", "q70_pq_adc",
-    // q76 range-joins the calendar-bounded distinct-days dimension
-    "q76_rolling_active")
+  // the single source of truth lives in PlanAudit (shared with PlanDump)
+  private val allowedBnlj = PlanAudit.AllowedBnlj
 
   private lazy val plans: Seq[(String, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

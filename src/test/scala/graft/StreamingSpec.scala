@@ -19,6 +19,8 @@ case class EventFixture(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class DocFixture(doc_id: Long, text: String, ts: Timestamp)
 
+case class ChunkDocFixture(doc_id: Long, lang: String, text: String)
+
 /** Streaming semantics (SURVEY.md §2.9 T1-T5, §5.4): stream/batch parity
   * on the SAME declarative transforms, watermarked dedup, stream-static
   * join, and exactly-once file-sink restart. */
@@ -157,6 +159,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got == expected,
       s"stream/batch diverged: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
+  }
+
+  test("streaming chunking matches batch chunkDocs — stateless, any batch split (X6+)") {
+    import graft.operators.Packing
+    // chunking is per-doc stateless (narrow projection + bounded explode),
+    // so the SAME operator runs unchanged on a stream: no state store, no
+    // watermark, and batch boundaries cannot change any output row
+    val expected = Packing.chunkDocs(spark, sf0001, chunkLen = 32, overlap = 8)
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").as[ChunkDocFixture].collect()
+    val mem = MemoryStream[ChunkDocFixture]
+    val q = Packing.chunkDocsOf(mem.toDS().toDF(), chunkLen = 32, overlap = 8)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      Seq(a, b).foreach { part =>
+        mem.addData(part.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("chunk_stream").collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"stream/batch chunking diverged: ${got.diff(expected).take(3)} vs ${expected.diff(got).take(3)}")
   }
 
   test("watermarked streaming dedup drops re-delivered records (T4)") {
