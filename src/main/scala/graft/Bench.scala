@@ -165,11 +165,18 @@ object Bench {
       val stream = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
         .withColumn("_rep", explode(sequence(lit(1), lit(20))))
         .withColumn("s", graft.functions.Sentiment.score(col("text")))
-      val t0 = System.nanoTime()
-      val q = stream.writeStream.format("noop").start()
-      q.processAllAvailable()
-      q.stop()
-      rows / ((System.nanoTime() - t0) / 1e9)
+      // best of two passes, mirroring the query-side min-of-passes: a
+      // host-contention window only ever LOWERS throughput, so one stalled
+      // pass must not become the artifact (r7 saw 68k→10k across runs of
+      // unchanged code purely from load)
+      def onePassRps(): Double = {
+        val t0 = System.nanoTime()
+        val q = stream.writeStream.format("noop").start()
+        q.processAllAvailable()
+        q.stop()
+        rows / ((System.nanoTime() - t0) / 1e9)
+      }
+      math.max(onePassRps(), onePassRps())
     } catch { case e: Throwable => errors += s"stream_bench: ${e.getClass.getSimpleName}"; -1.0 }
     // built AFTER the stream stage so its failures surface too; distinct
     // so a repeat failure of one query can't double-count in the list

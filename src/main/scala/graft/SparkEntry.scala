@@ -111,7 +111,10 @@ object SparkEntry {
     "q79_hashtag_literal" -> ((s, d) => TextPipeline.hashtagSentimentTagged(s, d)),
     // chunking = the SPLIT complement of q71's packing: long docs →
     // overlapping fixed-token windows; content gated by a chunk-text hash
-    "q80_doc_chunking" -> ((s, d) => Packing.chunkSummary(s, d))
+    "q80_doc_chunking" -> ((s, d) => Packing.chunkSummary(s, d)),
+    // provenance-priority dedup: mirror/scrape copies injected in-query
+    // (corpus has no exact dups); keep rule = min (source priority, doc_id)
+    "q81_priority_dedup" -> ((s, d) => Dedup.priorityDedup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -198,6 +201,7 @@ object SparkEntry {
     "q77_curation_pipeline" -> graft.operators.CurationPipeline.summarySql(),
     "q78_corpus_shuffle" -> Curation.corpusShuffleSql(),
     "q79_hashtag_literal" -> TextPipeline.hashtagSentimentTaggedSql(),
-    "q80_doc_chunking" -> Packing.chunkSummarySql()
+    "q80_doc_chunking" -> Packing.chunkSummarySql(),
+    "q81_priority_dedup" -> Dedup.priorityDedupSql
   )
 }

@@ -59,6 +59,100 @@ object Dedup {
       |      FROM documents GROUP BY lang, sha256(text))
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- X1+: provenance-priority dedup (q81) -------------------------------
+  //
+  // The multi-dump ingestion pattern: the same document arrives from
+  // several sources (a curated dump, a mirror, a re-scrape) and dedup must
+  // keep the copy from the MOST TRUSTED source, not an arbitrary one.
+  // The corpus has no exact duplicates, so q81 injects them in-query (the
+  // q60/q79 device): a 'mirror' copy (priority ABOVE the originals — it
+  // must win its group) for doc_id % 7 = 0, and a 'scrape' copy (priority
+  // below — it must always lose) for doc_id % 5 = 0. doc_id % 35 = 0 rows
+  // get both, exercising a 3-way group.
+
+  /** Total order for the keep rule, portable across engines: zero-padded
+    * `priority:doc_id` VARCHAR compares identically in Spark and DuckDB
+    * (ASCII lexicographic), with doc_id as the deterministic tiebreaker
+    * within a priority tier. 12 digits covers ids to 1e12−1; widen both
+    * sides together for larger id spaces. */
+  private def keepKey(prio: Column, docId: Column): Column =
+    concat(lpad(prio.cast("string"), 2, "0"), lit(":"),
+      lpad(docId.cast("string"), 12, "0"))
+
+  private def keepKeySql(prio: String, docId: String): String =
+    s"lpad(($prio)::VARCHAR, 2, '0') || ':' || lpad(($docId)::VARCHAR, 12, '0')"
+
+  /** The injected multi-source corpus: originals ∪ mirror ∪ scrape copies
+    * with a `prio` column (0 = mirror wins, 5 = originals, 9 = scrape
+    * loses). Offsets keep injected doc_ids disjoint from the originals. */
+  private def multiSource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val mirror = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        lit("mirror").as("source"), col("text"))
+    val scrape = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+        lit("scrape").as("source"), col("text"))
+    docs.unionAll(mirror).unionAll(scrape)
+      .withColumn("prio",
+        when(col("source") === "mirror", 0)
+          .when(col("source") === "scrape", 9).otherwise(5))
+  }
+
+  /** Kept rows after priority dedup — the user-facing materializer: one
+    * row per distinct (lang, text), the copy with the smallest
+    * (priority, doc_id). At 100 TB the shape is [[exactDedup]]'s: the
+    * shuffle key is (lang, 32-byte digest); the winner election is a
+    * map-side-combinable min_by, so the document body crosses the wire
+    * once and no group is ever buffered. */
+  def priorityKept(spark: SparkSession, dir: String): DataFrame =
+    multiSource(spark, dir)
+      .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
+      .agg(
+        min_by(col("doc_id"), keepKey(col("prio"), col("doc_id"))).as("doc_id"),
+        min_by(col("source"), keepKey(col("prio"), col("doc_id"))).as("source"),
+        count(lit(1)).as("copies"))
+
+  /** Priority-dedup audit (q81): per (lang, winning source) — groups won,
+    * total copies in those groups, and copies discarded. Every mirror
+    * group must be won by 'mirror'; 'scrape' must win nothing. */
+  def priorityDedup(spark: SparkSession, dir: String): DataFrame =
+    priorityKept(spark, dir)
+      .groupBy(col("lang"), col("source").as("kept_source"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("copies")).as("n_copies"),
+        sum(col("copies") - 1).as("n_discarded"))
+      .orderBy(col("lang"), col("kept_source"))
+
+  def priorityDedupSql: String = {
+    val key = keepKeySql("prio", "doc_id")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, 'mirror', text FROM documents
+       |  WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, lang, 'scrape', text FROM documents
+       |  WHERE doc_id % 5 = 0
+       |), keyed AS (
+       |  SELECT *, CASE WHEN source = 'mirror' THEN 0
+       |                 WHEN source = 'scrape' THEN 9 ELSE 5 END AS prio
+       |  FROM all_docs
+       |), grp AS (
+       |  SELECT lang, sha256(text) AS h,
+       |    arg_min(source, $key) AS kept_source,
+       |    count(*) AS copies
+       |  FROM keyed GROUP BY lang, sha256(text)
+       |)
+       |SELECT lang, kept_source, count(*)::BIGINT AS n_groups,
+       |  sum(copies)::BIGINT AS n_copies,
+       |  sum(copies - 1)::BIGINT AS n_discarded
+       |FROM grp GROUP BY lang, kept_source
+       |ORDER BY lang, kept_source""".stripMargin
+  }
+
   /** (doc_id, mh) minhash signatures, persisted: every consumer
     * self-joins this table, and without a materialization point Spark
     * would recompute the md5 kernels once per join side (2-4×). A dedup

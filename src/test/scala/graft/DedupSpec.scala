@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
 import graft.operators.Dedup
+import graft.Tables
 
 /** Unit coverage for the dedup family (SURVEY.md §2.12 X1-X2). */
 class DedupSpec extends SparkSpec {
@@ -217,5 +218,34 @@ class DedupSpec extends SparkSpec {
     // the sf0.001 graph converges well inside 6 rounds (asserted by the
     // fixpoint test above), so auto must land on the identical labeling
     assert(auto == fixed)
+  }
+
+  test("priority dedup: trusted source wins its group, scrape never survives") {
+    import org.apache.spark.sql.functions._
+    val kept = Dedup.priorityKept(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    // exactly one keeper per distinct (lang, text): the injected copies
+    // never add groups, only members
+    assert(kept.length == docs.map(_._2).distinct.length)
+    val keptBySource = kept.groupBy(_.getAs[String]("source"))
+    // the mirror (priority 0) must win every group it appears in — one
+    // per doc_id % 7 == 0 original
+    assert(keptBySource.getOrElse("mirror", Array.empty).length ==
+      docs.count(_._1 % 7 == 0))
+    // the scrape (priority 9) always coexists with its original and must
+    // never be kept
+    assert(!keptBySource.contains("scrape"))
+    // group sizes account for every injected copy
+    val copies = kept.map(_.getAs[Long]("copies")).sum
+    assert(copies == docs.length + docs.count(_._1 % 7 == 0) +
+      docs.count(_._1 % 5 == 0))
+    // winners carry the WINNING copy's doc_id: mirror winners live in the
+    // injected id range
+    kept.filter(_.getAs[String]("source") == "mirror").foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id >= 1000000L && id < 2000000L && (id - 1000000L) % 7 == 0)
+    }
   }
 }
