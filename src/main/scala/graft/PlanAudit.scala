@@ -48,7 +48,10 @@ object PlanAudit {
     "q45_contamination", "q50_contamination_bloom", "q53_tfidf_topterms",
     "q66_quantization_audit", "q70_pq_adc",
     // q76 range-joins the calendar-bounded distinct-days dimension
-    "q76_rolling_active")
+    "q76_rolling_active",
+    // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
+    // row centroid table — same audited shape as q37/q48)
+    "q83_semantic_dedup")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -114,7 +114,12 @@ object SparkEntry {
     "q80_doc_chunking" -> ((s, d) => Packing.chunkSummary(s, d)),
     // provenance-priority dedup: mirror/scrape copies injected in-query
     // (corpus has no exact dups); keep rule = min (source priority, doc_id)
-    "q81_priority_dedup" -> ((s, d) => Dedup.priorityDedup(s, d))
+    "q81_priority_dedup" -> ((s, d) => Dedup.priorityDedup(s, d)),
+    // data selection under a token budget: per-lang greedy by quality,
+    // two-phase histogram plan (full corpus never sorts)
+    "q82_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
+    // SemDeDup: within-k-means-cluster cosine dedup over embeddings
+    "q83_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -202,6 +207,8 @@ object SparkEntry {
     "q78_corpus_shuffle" -> Curation.corpusShuffleSql(),
     "q79_hashtag_literal" -> TextPipeline.hashtagSentimentTaggedSql(),
     "q80_doc_chunking" -> Packing.chunkSummarySql(),
-    "q81_priority_dedup" -> Dedup.priorityDedupSql
+    "q81_priority_dedup" -> Dedup.priorityDedupSql,
+    "q82_token_budget" -> Curation.tokenBudgetSelectSql(),
+    "q83_semantic_dedup" -> Similarity.semanticDedupSql()
   )
 }

@@ -559,6 +559,117 @@ object Curation {
       .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
   }
 
+  // ---- X7+: quality-ranked token-budget selection (q82) ------------------
+  //
+  // "Select the best documents until the token budget is spent" — the
+  // data-selection step of a pretraining run: per language, walk docs in
+  // (quality desc, doc_id) order and keep each doc while the running
+  // token total stays within budget (tokens are positive, so the
+  // cumulative-sum filter IS take-while).
+
+  /** Per-lang token budget for q82: below every language's corpus total
+    * at every SF, so the selection boundary is always exercised. */
+  val BudgetTokens = 2500L
+
+  /** Quality buckets per unit score for the two-phase selection: bucket
+    * id floor(q·1000) is a monotone function of the 6-dp-rounded score,
+    * so (bucket desc, score desc, doc_id) equals the global greedy
+    * order. */
+  private val BucketScale = 1000.0
+
+  /** Token-budget selection audit (q82): per language — corpus size,
+    * selected size, selected token mass, and the worst quality score
+    * that made the cut.
+    *
+    * Scale posture: the oracle-defining formulation is ONE global
+    * cumulative-sum window per language — a single sort partition per
+    * lang, unusable on a 100 TB monolingual corpus. This implementation
+    * is the production two-phase shape with identical output: (1) a
+    * per-(lang, quality-bucket) token histogram (map-side-combinable
+    * agg, ~1000 rows/lang) whose tiny prefix-sum window runs on the
+    * driver-scale histogram, classifying every bucket all-in / all-out;
+    * (2) only the ONE straddling bucket per language is sorted. The
+    * full corpus never enters a sort — only its histogram does. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String,
+                        budget: Long = BudgetTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("qd"),
+        size(TextHash.tokens(col("text"))).cast("long").as("ntok"))
+      .withColumn("bkt", floor(col("qd") * lit(BucketScale)).cast("long"))
+    val bstats = base.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("ntok")).as("btok"))
+    val wPre = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bpre = bstats
+      .withColumn("pre", coalesce(sum(col("btok")).over(wPre), lit(0L)))
+    val tagged = base.join(broadcast(bpre), Seq("lang", "bkt"))
+    val allIn = tagged.filter(col("pre") + col("btok") <= budget)
+    // the straddling bucket: docs sorted only here, with the running sum
+    // seeded by the histogram prefix — same greedy order as the oracle
+    val wBoundary = Window.partitionBy(col("lang"), col("bkt"))
+      .orderBy(col("qd").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = tagged
+      .filter(col("pre") < budget && col("pre") + col("btok") > budget)
+      .withColumn("cum", col("pre") + sum(col("ntok")).over(wBoundary))
+      .filter(col("cum") <= budget)
+    val sel = allIn.select(col("lang"), col("qd"), col("ntok"))
+      .unionAll(boundary.select(col("lang"), col("qd"), col("ntok")))
+    val totals = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_total"))
+    sel.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("ntok")).as("tok_selected"),
+        min(col("qd")).as("min_sel_quality"))
+      .join(totals, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("tok_total"),
+        col("n_selected"), col("tok_selected"), col("min_sel_quality"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB twin of [[tokenBudgetSelect]] — the one-window greedy
+    * formulation that DEFINES the semantics the two-phase plan must
+    * reproduce exactly. */
+  def tokenBudgetSelectSql(budget: Long = BudgetTokens): String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT lang, doc_id,
+       |    len(t)::DOUBLE AS ntok_d,
+       |    len(list_distinct(t))::DOUBLE AS uniq,
+       |    len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |    length(text)::DOUBLE AS chars,
+       |    len(t)::BIGINT AS ntok
+       |  FROM (SELECT lang, doc_id, text,
+       |        string_split(lower(text), ' ') AS t FROM documents)
+       |), q AS (
+       |  SELECT lang, doc_id, ntok,
+       |    round(0.25 * least(ntok_d / 50.0, 1.0) +
+       |          0.25 * (uniq / ntok_d) +
+       |          0.25 * (1.0 - (stops / ntok_d)) +
+       |          0.25 * least(((chars - (ntok_d - 1)) / ntok_d) / 6.0, 1.0), 6) AS qd
+       |  FROM s
+       |), o AS (
+       |  SELECT lang, qd, ntok,
+       |    sum(ntok) OVER (PARTITION BY lang ORDER BY qd DESC, doc_id
+       |                    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM q
+       |), sel AS (SELECT * FROM o WHERE cum <= $budget),
+       |tot AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(ntok)::BIGINT AS tok_total
+       |  FROM q GROUP BY lang
+       |)
+       |SELECT t.lang, t.n_docs, t.tok_total,
+       |  count(*)::BIGINT AS n_selected,
+       |  sum(sel.ntok)::BIGINT AS tok_selected,
+       |  min(sel.qd) AS min_sel_quality
+       |FROM sel JOIN tot t ON sel.lang = t.lang
+       |GROUP BY t.lang, t.n_docs, t.tok_total
+       |ORDER BY t.lang""".stripMargin
+  }
+
   def snapshotUpsertSummarySql(histSize: Int = 200): String =
     s"""WITH both_sides AS (
        |  SELECT doc_id AS key, lang, n_chars, 0 AS version, doc_id AS src_id

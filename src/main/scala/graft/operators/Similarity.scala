@@ -595,6 +595,60 @@ object Similarity {
        |SELECT query_id, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ---- X3+: semantic dedup (q83) ------------------------------------------
+  //
+  // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+  // embeddings with k-means, then call a vector a SEMANTIC duplicate when
+  // it sits within cosine tau of another member of its own cluster
+  // (keep rule: min vec_id). Candidate pairs are confined to clusters, so
+  // the quadratic blowup of all-pairs never materializes.
+
+  /** Within-cluster cosine threshold for q83: ~3 sigma above the random-
+    * pair cosine of the synthetic 64-dim embeddings, so the dup set is
+    * non-empty but selective at every SF. */
+  val SemDedupTau = 0.35
+
+  /** Semantic-dedup audit (q83): per k-means cluster — member count,
+    * semantic dups (a smaller-id member within [[SemDedupTau]] cosine
+    * exists), and survivors.
+    *
+    * Scale posture: reuses the PlanCache'd IVF centroids + assignment
+    * (one k-means, shared with q37/q48 like a production index), so the
+    * only new work is a self-equi-join on cid. Per-cluster work is
+    * O(|c|^2) — at 100 TB the knob is the SemDeDup recipe itself: K grows
+    * with the corpus so |c| stays bounded (paper uses K ~ sqrt(N)), and
+    * [[MaxBucket]]-style degenerate-cluster capping applies unchanged. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    tau: Double = SemDedupTau): DataFrame = {
+    val (_, assign) = ivfParts(spark, dir)
+    val m = assign.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    val dups = m.as("x").join(m.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") > col("y.vec_id"))
+      .filter(round(cosinePre(col("x.v"), col("y.v"),
+        col("x.nrm"), col("y.nrm")), 6) >= tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    assign.join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      // cid is INT from row_number arithmetic; DuckDB's row_number yields
+      // BIGINT — align the audit key type with the oracle
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"))
+      .withColumn("n_kept", col("n_members") - col("n_dups"))
+      .orderBy(col("cid"))
+  }
+
+  def semanticDedupSql(tau: Double = SemDedupTau): String =
+    s"""WITH $kmeansCtes, d AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id > y.vec_id
+       |  WHERE round(${cosineSql("x.v", "y.v")}, 6) >= $tau
+       |)
+       |SELECT a.cid, count(*)::BIGINT AS n_members,
+       |  count(d.vec_id)::BIGINT AS n_dups,
+       |  (count(*) - count(d.vec_id))::BIGINT AS n_kept
+       |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
   /** Product quantization (X3+, q70): the vector is split into [[PqM]]
     * subspaces of [[PqSub]] dims; each subspace learns its own [[PqK]]
     * centroids (same deterministic content-hash-seeded Lloyd machinery as

@@ -251,4 +251,37 @@ class CurationSpec extends SparkSpec {
       assert(firstInLayout(r.getAs[Long]("shard")) == r.getAs[Long]("first_doc"))
     }
   }
+
+  test("token-budget selection equals an independent driver-side greedy") {
+    import graft.operators.TextAnalysis
+    import graft.functions.TextHash
+    val budget = Curation.BudgetTokens
+    // independent reimplementation: collect (lang, qd, ntok, doc_id),
+    // greedy take-while per lang in (quality desc, doc_id) order
+    val perDoc = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("qd"),
+        size(TextHash.tokens(col("text"))).cast("long").as("ntok"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("qd"),
+        r.getAs[Long]("ntok"), r.getAs[Long]("doc_id")))
+    val expected = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val ordered = rows.sortBy { case (_, qd, _, id) => (-qd, id) }
+      var cum = 0L
+      val sel = ordered.takeWhile { case (_, _, ntok, _) =>
+        cum += ntok; cum <= budget
+      }
+      lang -> ((sel.length.toLong, sel.map(_._3).sum, sel.map(_._2).min))
+    }
+    val got = Curation.tokenBudgetSelect(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, tok, minQ) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_selected") == n)
+      assert(r.getAs[Long]("tok_selected") == tok)
+      assert(r.getAs[Double]("min_sel_quality") == minQ)
+      // the budget binds: selected mass within budget, strictly below total
+      assert(tok <= budget && tok < r.getAs[Long]("tok_total"))
+    }
+  }
 }

@@ -149,4 +149,27 @@ class SimilaritySpec extends SparkSpec {
     assert(nd.forall(_.getAs[Double]("cosine") >= 0.2))
     assert(nd.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }
+
+  test("semantic dedup: partitioned audit, dups non-trivial, tau monotone") {
+    val audit = Similarity.semanticDedup(spark, sf0001).collect()
+    val corpus = Tables.embeddings(spark, sf0001).count()
+    // every vector is audited exactly once across clusters
+    assert(audit.map(_.getAs[Long]("n_members")).sum == corpus)
+    audit.foreach { r =>
+      val (m, d, k) = (r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_dups"), r.getAs[Long]("n_kept"))
+      assert(d + k == m && d >= 0)
+      // the min-id member of a cluster has no smaller-id neighbor, so a
+      // non-empty cluster always keeps at least one representative
+      assert(k >= 1)
+    }
+    val dupTotal = audit.map(_.getAs[Long]("n_dups")).sum
+    assert(dupTotal > 0, "fixture tau should flag some semantic dups")
+    // an unreachable threshold keeps everything...
+    val none = Similarity.semanticDedup(spark, sf0001, tau = 1.1).collect()
+    assert(none.map(_.getAs[Long]("n_dups")).sum == 0)
+    // ...and loosening tau can only grow the dup set
+    val loose = Similarity.semanticDedup(spark, sf0001, tau = 0.25).collect()
+    assert(loose.map(_.getAs[Long]("n_dups")).sum >= dupTotal)
+  }
 }
