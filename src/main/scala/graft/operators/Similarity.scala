@@ -608,22 +608,47 @@ object Similarity {
     * non-empty but selective at every SF. */
   val SemDedupTau = 0.35
 
+  /** Degenerate-cluster guard for [[semanticDedup]]: a cluster larger
+    * than this is deterministically sub-sharded (`vec_id % n_shards`)
+    * before the within-cluster self-join, bounding per-shard work to
+    * ~maxCluster² — the q25 [[MaxBucket]] device, but lossy-split instead
+    * of lossy-skip so dedup still runs inside a degenerate cluster (e.g.
+    * a mass of near-zero vectors collapsing into one k-means cell).
+    * Total join work is O(n·maxCluster) instead of O(n²) per cell. */
+  val SemMaxCluster = 256
+
   /** Semantic-dedup audit (q83): per k-means cluster — member count,
     * semantic dups (a smaller-id member within [[SemDedupTau]] cosine
-    * exists), and survivors.
+    * exists IN THE SAME SUB-SHARD), survivors, and the shard count
+    * (`n_shards`, 1 = cluster untouched by the guard).
     *
     * Scale posture: reuses the PlanCache'd IVF centroids + assignment
     * (one k-means, shared with q37/q48 like a production index), so the
-    * only new work is a self-equi-join on cid. Per-cluster work is
-    * O(|c|^2) — at 100 TB the knob is the SemDeDup recipe itself: K grows
-    * with the corpus so |c| stays bounded (paper uses K ~ sqrt(N)), and
-    * [[MaxBucket]]-style degenerate-cluster capping applies unchanged. */
+    * only new work is a self-equi-join on (cid, sub). Per-cluster work
+    * without a guard is O(|c|²); the [[SemMaxCluster]] sub-shard bound
+    * caps it at O(|c|·maxCluster) — a degenerate embedding distribution
+    * (one giant cell) can no longer go quadratic. Recall inside an
+    * oversized cell drops (cross-shard pairs are not compared), the same
+    * trade q25's bucket skip makes, but the split keeps per-shard
+    * dedup running and the audit column discloses exactly where. At
+    * 100 TB the primary knob is still the SemDeDup recipe (K ~ sqrt(N)
+    * keeps |c| bounded); the guard is the backstop for skew. */
   def semanticDedup(spark: SparkSession, dir: String,
-                    tau: Double = SemDedupTau): DataFrame = {
+                    tau: Double = SemDedupTau,
+                    maxCluster: Int = SemMaxCluster): DataFrame = {
     val (_, assign) = ivfParts(spark, dir)
-    val m = assign.select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+    // one tiny row per cluster; broadcast back onto the assignment
+    val shards = assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("cn"))
+      .select(col("cid"),
+        greatest(ceil(col("cn").cast("double") / lit(maxCluster)),
+          lit(1L)).cast("long").as("n_shards"))
+    val m = assign.join(broadcast(shards), Seq("cid"))
+      .withColumn("sub", col("vec_id") % col("n_shards"))
+      .select(col("cid"), col("sub"), col("vec_id"), col("v"), col("nrm"))
     val dups = m.as("x").join(m.as("y"),
-        col("x.cid") === col("y.cid") && col("x.vec_id") > col("y.vec_id"))
+        col("x.cid") === col("y.cid") && col("x.sub") === col("y.sub") &&
+          col("x.vec_id") > col("y.vec_id"))
       .filter(round(cosinePre(col("x.v"), col("y.v"),
         col("x.nrm"), col("y.nrm")), 6) >= tau)
       .select(col("x.vec_id").as("vec_id")).distinct()
@@ -634,20 +659,30 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         sum(coalesce(col("is_dup"), lit(0L))).as("n_dups"))
       .withColumn("n_kept", col("n_members") - col("n_dups"))
+      .join(broadcast(shards.select(col("cid").cast("long").as("cid"),
+        col("n_shards"))), Seq("cid"))
       .orderBy(col("cid"))
   }
 
-  def semanticDedupSql(tau: Double = SemDedupTau): String =
-    s"""WITH $kmeansCtes, d AS (
+  def semanticDedupSql(tau: Double = SemDedupTau,
+                       maxCluster: Int = SemMaxCluster): String =
+    s"""WITH $kmeansCtes, s AS (
+       |  SELECT cid, count(*)::BIGINT AS n_members,
+       |    greatest(ceil(count(*)::DOUBLE / $maxCluster), 1)::BIGINT AS n_shards
+       |  FROM a GROUP BY cid
+       |), m AS (
+       |  SELECT a.cid, a.vec_id % s.n_shards AS sub, a.vec_id, a.v
+       |  FROM a JOIN s ON a.cid = s.cid
+       |), d AS (
        |  SELECT DISTINCT x.vec_id
-       |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id > y.vec_id
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.sub = y.sub
+       |    AND x.vec_id > y.vec_id
        |  WHERE round(${cosineSql("x.v", "y.v")}, 6) >= $tau
        |)
-       |SELECT a.cid, count(*)::BIGINT AS n_members,
-       |  count(d.vec_id)::BIGINT AS n_dups,
-       |  (count(*) - count(d.vec_id))::BIGINT AS n_kept
-       |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
-       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+       |SELECT s.cid, s.n_members, count(d.vec_id)::BIGINT AS n_dups,
+       |  (s.n_members - count(d.vec_id))::BIGINT AS n_kept, s.n_shards
+       |FROM a JOIN s ON a.cid = s.cid LEFT JOIN d ON a.vec_id = d.vec_id
+       |GROUP BY s.cid, s.n_members, s.n_shards ORDER BY s.cid""".stripMargin
 
   /** Product quantization (X3+, q70): the vector is split into [[PqM]]
     * subspaces of [[PqSub]] dims; each subspace learns its own [[PqK]]

@@ -171,5 +171,38 @@ class SimilaritySpec extends SparkSpec {
     // ...and loosening tau can only grow the dup set
     val loose = Similarity.semanticDedup(spark, sf0001, tau = 0.25).collect()
     assert(loose.map(_.getAs[Long]("n_dups")).sum >= dupTotal)
+    // at test SF no cluster exceeds the default guard: semantics identical
+    // to the unguarded plan, n_shards all 1
+    assert(audit.forall(_.getAs[Long]("n_shards") == 1L))
+  }
+
+  test("semantic dedup guard: one giant degenerate cluster is sub-sharded, join bounded") {
+    // 64 identical unit-ish vectors: every centroid collapses to the same
+    // point, the cid tie-break funnels ALL vectors into cluster 0 — the
+    // exact degenerate distribution the guard exists for
+    val n = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    val vec = Array.tabulate(64)(i => (0.1f + 0.01f * (i % 7)))
+    import spark.implicits._
+    (0L until n.toLong).map(i => (i, vec, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val guarded = Similarity.semanticDedup(spark, dir, maxCluster = 8).collect()
+    // one cluster holds the whole corpus, split into ceil(64/8)=8 shards
+    assert(guarded.map(_.getAs[Long]("n_members")).sum == n.toLong)
+    val giant = guarded.filter(_.getAs[Long]("n_members") == n.toLong)
+    assert(giant.length == 1, "all-identical vectors must land in one cluster")
+    assert(giant.head.getAs[Long]("n_shards") == 8L)
+    // identical vectors: within each shard everything above tau, so the
+    // guarded plan keeps EXACTLY one representative per shard — direct
+    // evidence the self-join ran per-shard (8·C(8,2)=224 candidate pairs,
+    // not C(64,2)=2016) while the audit discloses the split
+    assert(giant.head.getAs[Long]("n_kept") == 8L)
+    assert(giant.head.getAs[Long]("n_dups") == (n - 8).toLong)
+    // the unguarded semantics on the same corpus keep a single rep
+    val unguarded = Similarity.semanticDedup(spark, dir, maxCluster = 1 << 20)
+      .collect().filter(_.getAs[Long]("n_members") == n.toLong)
+    assert(unguarded.head.getAs[Long]("n_kept") == 1L)
+    assert(unguarded.head.getAs[Long]("n_shards") == 1L)
   }
 }
