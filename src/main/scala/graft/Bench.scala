@@ -11,6 +11,15 @@ object Bench {
   private final case class Meta(startMs: Long, loads: List[Double],
                                 passes: List[Double])
 
+  /** Measurement-protocol version, recorded in every artifact and in
+    * BENCH_HISTORY so cross-round comparisons know what they compare:
+    *  1 = single stream pass, robust query time = min of 2 (+conditional
+    *      3rd) passes (rounds <= 6);
+    *  2 = stream throughput best-of-two passes + end-of-run re-queue of
+    *      load-suspect queries (round 7+). A v1 stream number is NOT
+    *      comparable to v2 (v2 gains warm page-cache/JIT on pass 2). */
+  private val Protocol = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.trim.toIntOption)
@@ -49,9 +58,11 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(historyPath)),
         java.nio.charset.StandardCharsets.UTF_8)
-      // flat {"name": seconds, ...} — no nesting, a regex scan is exact
+      // flat {"name": seconds, ...} — no nesting, a regex scan is exact;
+      // "_"-prefixed keys are metadata (e.g. _protocol), not query times
       "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .filter { case (k, _) => !k.startsWith("_") }
     } catch { case _: Throwable => Map.empty }
     // A pass that starts while the 1-min load average exceeds this is
     // suspect: r6's five inflated queries all ran inside one load window
@@ -190,14 +201,17 @@ object Bench {
     // average is.
     val nq = results.values.count(robust(_) >= 0)
     val common =
-      s""""n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"errors":$errJson,"partial_pass_queries":$partialJson,"requeued_queries":$requeueJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir""""
+      s""""n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"bench_protocol":$Protocol,"errors":$errJson,"partial_pass_queries":$partialJson,"requeued_queries":$requeueJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir""""
     // STDOUT carries ROBUST numbers ONLY: the driver snapshots a truncated
     // stdout tail into BENCH_rN.json, and when the robust and raw maps
     // interleaved there, a regex reader picked up RAW first-pass times
     // (r5's q38 read as 15.5 s when its robust time was 0.71 s). The raw
     // first-pass map is diagnostic, so it lives only in the local file.
+    // Summary scalars come BEFORE the 80+-entry per-query map: r7's
+    // driver artifact truncated mid-map and lost every total that
+    // trailed it — leading totals survive any tail cut.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$common}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$common,"queries":$qs}"""
     // per-pass forensics (local file only): start epoch-ms + load at each
     // pass start + every pass time, keyed by query
     val metaJson = meta.map { case (k, m) =>
@@ -206,7 +220,7 @@ object Bench {
         ",\"passes\":[" + m.passes.mkString(",") + "]}"
     }.mkString("{", ",", "}")
     val jsonWithRaw =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$common,"queries_raw_first_run":$qsRaw,"queries_meta":$metaJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$common,"queries":$qs,"queries_raw_first_run":$qsRaw,"queries_meta":$metaJson}"""
     // Stdout inside sbt gets an [info] prefix that defeats line-oriented
     // JSON parsers, so the metric also lands in a file the driver can read.
     println(json)
@@ -227,7 +241,11 @@ object Bench {
           case _                  => None
         }
       }
-      val hist = merged.map { case (k, v) => "\"" + k + "\":" + v }
+      // _protocol marks which measurement protocol produced these mins —
+      // v1-era times (pre-r7 single-pass stream) are not directly
+      // comparable; the "_" prefix keeps it out of the query-time scan
+      val hist = (s"\"_protocol\":$Protocol" +:
+        merged.map { case (k, v) => "\"" + k + "\":" + v })
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(historyPath),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

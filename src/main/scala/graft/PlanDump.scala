@@ -26,24 +26,33 @@ object PlanDump {
         allowBnlj = PlanAudit.AllowedBnlj.contains(name))
       // codegen span count needs a non-AQE plan (the unexecuted adaptive
       // plan hides codegen subtrees): re-instantiate the query with AQE
-      // off just for this diagnostic, then restore
+      // off just for this diagnostic, then restore whatever the session
+      // had before (not a hard-coded "true" — Sessions may change it)
+      val aqePrior = spark.conf.get("spark.sql.adaptive.enabled")
       val codegenSpans = try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         val cg = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
         "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(cg)
           .map(_.group(1).toInt).getOrElse(0)
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrior)
       val shape = (PlanAudit.shape(df) :+
         ("wholestage_codegen_spans" -> codegenSpans))
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-      val flagsJson = flags.map(f =>
-        "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-        .mkString("[", ",", "]")
+      // full JSON escaper (control chars included), same rules as the
+      // oracle artifact — a newline inside a red-flag string must not
+      // corrupt PLANS_r{N}.json
+      val flagsJson = flags.map(Verify.jsonString).mkString("[", ",", "]")
       s""""$name":{"red_flags":$flagsJson,"shape":$shape}"""
     }
+    // pin the artifact to the query set it snapshot: PLANS_r07 silently
+    // predated q81-q83 and nothing in the file said so — now a stale
+    // artifact is mechanically detectable against SparkEntry.queries
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val meta = s""""_meta":{"n_queries":${names.size},"queries":${
+      names.map(Verify.jsonString).mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(out),
-      entries.mkString("{\n", ",\n", "\n}\n"))
+      (meta +: entries).mkString("{\n", ",\n", "\n}\n"))
     println(s"wrote ${entries.size} plan snapshots to $out")
     PlanCache.clear(spark)
     spark.stop()

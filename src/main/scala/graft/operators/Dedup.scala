@@ -71,16 +71,15 @@ object Dedup {
   // get both, exercising a 3-way group.
 
   /** Total order for the keep rule, portable across engines: zero-padded
-    * `priority:doc_id` VARCHAR compares identically in Spark and DuckDB
-    * (ASCII lexicographic), with doc_id as the deterministic tiebreaker
-    * within a priority tier. 12 digits covers ids to 1e12−1; widen both
-    * sides together for larger id spaces. */
+    * native lexicographic `(priority, doc_id)` ordering on both sides —
+    * Spark as a struct key to `min_by` (structs are orderable, and the
+    * agg stays map-side combinable), DuckDB as `ORDER BY prio, doc_id`
+    * under a row_number window (its arg_min rejects tuple keys). No
+    * string encoding, so no digit-width bound on doc_id: an earlier
+    * zero-padded-VARCHAR key silently broke the total order at
+    * doc_id >= 1e12 because both engines' lpad TRUNCATES long inputs. */
   private def keepKey(prio: Column, docId: Column): Column =
-    concat(lpad(prio.cast("string"), 2, "0"), lit(":"),
-      lpad(docId.cast("string"), 12, "0"))
-
-  private def keepKeySql(prio: String, docId: String): String =
-    s"lpad(($prio)::VARCHAR, 2, '0') || ':' || lpad(($docId)::VARCHAR, 12, '0')"
+    struct(prio, docId)
 
   /** The injected multi-source corpus: originals ∪ mirror ∪ scrape copies
     * with a `prio` column (0 = mirror wins, 5 = originals, 9 = scrape
@@ -127,7 +126,6 @@ object Dedup {
       .orderBy(col("lang"), col("kept_source"))
 
   def priorityDedupSql: String = {
-    val key = keepKeySql("prio", "doc_id")
     s"""WITH all_docs AS (
        |  SELECT doc_id, lang, source, text FROM documents
        |  UNION ALL
@@ -141,10 +139,13 @@ object Dedup {
        |                 WHEN source = 'scrape' THEN 9 ELSE 5 END AS prio
        |  FROM all_docs
        |), grp AS (
-       |  SELECT lang, sha256(text) AS h,
-       |    arg_min(source, $key) AS kept_source,
-       |    count(*) AS copies
-       |  FROM keyed GROUP BY lang, sha256(text)
+       |  SELECT lang, h, source AS kept_source, copies FROM (
+       |    SELECT lang, sha256(text) AS h, source,
+       |      row_number() OVER (PARTITION BY lang, sha256(text)
+       |                         ORDER BY prio, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY lang, sha256(text)) AS copies
+       |    FROM keyed)
+       |  WHERE rn = 1
        |)
        |SELECT lang, kept_source, count(*)::BIGINT AS n_groups,
        |  sum(copies)::BIGINT AS n_copies,
