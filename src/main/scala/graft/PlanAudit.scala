@@ -51,7 +51,13 @@ object PlanAudit {
     "q76_rolling_active",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
-    "q83_semantic_dedup")
+    "q83_semantic_dedup",
+    // q84 crossJoins the broadcast SINGLE-ROW (n_total, sum_dl) corpus
+    // scalar onto the query-term tf rows — same audited shape as q53
+    "q84_bm25_topk",
+    // q86 crossJoins two broadcast SINGLE-ROW scalars (the feasibility
+    // cap C and the sampled total) onto source-cardinality-sized rows
+    "q86_mixture_resample")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

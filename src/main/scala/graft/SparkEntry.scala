@@ -119,7 +119,17 @@ object SparkEntry {
     // two-phase histogram plan (full corpus never sorts)
     "q82_token_budget" -> ((s, d) => Curation.tokenBudgetSelect(s, d)),
     // SemDeDup: within-k-means-cluster cosine dedup over embeddings
-    "q83_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d))
+    "q83_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // Okapi BM25 retrieval over a fixed query-term set; integer-scaled
+    // scores so the per-doc sum is order-free across engines
+    "q84_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    // tokenizer vocabulary election (bounded-heap top-V) + per-lang OOV
+    "q85_vocab_oov" -> ((s, d) => TextAnalysis.vocabOov(s, d)),
+    // domain-mixture resample to target source shares, md5-deterministic
+    "q86_mixture_resample" -> ((s, d) => Curation.mixtureResample(s, d)),
+    // doc-level boilerplate contamination: fraction of a doc's 5-grams
+    // shared with >=2 docs, per-lang rollup
+    "q87_boilerplate_share" -> ((s, d) => TextAnalysis.boilerplateShare(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -209,6 +219,10 @@ object SparkEntry {
     "q80_doc_chunking" -> Packing.chunkSummarySql(),
     "q81_priority_dedup" -> Dedup.priorityDedupSql,
     "q82_token_budget" -> Curation.tokenBudgetSelectSql(),
-    "q83_semantic_dedup" -> Similarity.semanticDedupSql()
+    "q83_semantic_dedup" -> Similarity.semanticDedupSql(),
+    "q84_bm25_topk" -> TextAnalysis.bm25TopKSql(),
+    "q85_vocab_oov" -> TextAnalysis.vocabOovSql(),
+    "q86_mixture_resample" -> Curation.mixtureResampleSql(),
+    "q87_boilerplate_share" -> TextAnalysis.boilerplateShareSql()
   )
 }

@@ -688,4 +688,85 @@ object Curation {
        |  sum(n_chars)::BIGINT AS sum_chars
        |FROM merged WHERE rn = 1
        |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- X15: domain-mixture resampling (q86) -------------------------------
+
+  /** Target mixture weight per source domain, keyed on the numeric source
+    * suffix in tiers (src0-4: 8%, src5-9: 6%, src10-14: 4%, src15-19: 2%;
+    * sums to 1 over the 20 driver sources). A DoReMi-style recipe would
+    * learn these; here they are a fixed literal so the resample is
+    * oracle-checkable. */
+  def mixtureWeight(source: Column): Column = {
+    val sn = substring(source, 4, 10).cast("int")
+    when(sn < 5, 0.08).when(sn < 10, 0.06).when(sn < 15, 0.04).otherwise(0.02)
+  }
+
+  private def mixtureWeightSql(source: String): String =
+    s"""(CASE WHEN substr($source, 4)::INT < 5 THEN 0.08
+       |      WHEN substr($source, 4)::INT < 10 THEN 0.06
+       |      WHEN substr($source, 4)::INT < 15 THEN 0.04
+       |      ELSE 0.02 END)::DOUBLE""".stripMargin
+
+  /** X15 domain-mixture resampling audit (q86): downsample each source so
+    * the surviving corpus matches the [[mixtureWeight]] target shares,
+    * keeping ALL of the binding (most under-represented relative to its
+    * weight) source — per-source acceptance rate min(1, C*w_s/n_s) with
+    * C = min_s(n_s/w_s), the largest feasible corpus with exact target
+    * proportions in expectation. Acceptance is the deterministic md5
+    * coin of q78 (h1("mix:seed:doc_id") / 2^60 < rate), so the sample is
+    * reproducible run-over-run and engine-independent.
+    *
+    * Scale posture: rates derive from a source-cardinality-sized count
+    * (tiny) broadcast back onto the corpus; the accept test is a narrow
+    * per-row map — the corpus is never shuffled, never sorted, and the
+    * only corpus-sized work is one scan. The exact-integer division for
+    * achieved_share happens once at the end on audit-sized rows. */
+  def mixtureResample(spark: SparkSession, dir: String,
+                      seed: Long = 42): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("tw", mixtureWeight(col("source")))
+    val cap = w.agg(min(col("n_docs") / col("tw")).as("cap"))
+    val rt = w.crossJoin(broadcast(cap))
+      .withColumn("rate", least(lit(1.0), col("cap") * col("tw") / col("n_docs")))
+    val u = TextHash.h1(concat(lit(s"mix:$seed:"), col("doc_id").cast("string"))) /
+      lit(1152921504606846976.0) // 2^60: h1 is uniform on [0, 2^60)
+    val acc = docs.join(broadcast(rt.select(col("source"), col("rate"))), Seq("source"))
+      .filter(u < col("rate"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    val tot = acc.agg(sum(col("n_sampled")).as("n_tot"))
+    rt.join(acc, Seq("source"), "left").crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        round(col("rate"), 6).as("rate"),
+        round(col("tw"), 6).as("target_share"),
+        round(coalesce(col("n_sampled"), lit(0L)) / col("n_tot").cast("double"), 6)
+          .as("achieved_share"))
+      .orderBy(col("source"))
+  }
+
+  def mixtureResampleSql(seed: Long = 42): String =
+    s"""WITH w AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    ${mixtureWeightSql("source")} AS tw
+       |  FROM documents GROUP BY source
+       |), c AS (
+       |  SELECT min(n_docs / tw) AS cap FROM w
+       |), rt AS (
+       |  SELECT w.source, w.n_docs, w.tw,
+       |    least(1.0, c.cap * w.tw / w.n_docs) AS rate
+       |  FROM w CROSS JOIN c
+       |), acc AS (
+       |  SELECT d.source, count(*)::BIGINT AS n_sampled
+       |  FROM documents d JOIN rt ON d.source = rt.source
+       |  WHERE ${TextHash.h1Sql(s"'mix:$seed:' || d.doc_id::VARCHAR")}
+       |    / 1152921504606846976.0 < rt.rate
+       |  GROUP BY d.source
+       |), tot AS (SELECT sum(n_sampled)::BIGINT AS n_tot FROM acc)
+       |SELECT rt.source, rt.n_docs,
+       |  coalesce(acc.n_sampled, 0)::BIGINT AS n_sampled,
+       |  round(rt.rate, 6) AS rate, round(rt.tw, 6) AS target_share,
+       |  round(coalesce(acc.n_sampled, 0) / tot.n_tot::DOUBLE, 6) AS achieved_share
+       |FROM rt LEFT JOIN acc ON rt.source = acc.source CROSS JOIN tot
+       |ORDER BY rt.source""".stripMargin
 }

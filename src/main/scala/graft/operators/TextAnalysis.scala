@@ -510,4 +510,209 @@ object TextAnalysis {
        |)
        |SELECT rank::BIGINT AS rank, g AS ngram, df::BIGINT AS n_docs_containing
        |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  // ---- X13: BM25 retrieval (q84) ------------------------------------------
+
+  /** Fixed query-term set for the BM25 audit — mid-frequency corpus terms
+    * so tf, df and doc-length normalization all vary. */
+  val Bm25Terms: Seq[String] = Seq("vector", "hash", "stream", "filter", "join")
+
+  /** X13 BM25 top-k retrieval (q84): classic Okapi BM25 (k1=1.2, b=0.75)
+    * of every document against [[Bm25Terms]], global top-k by score.
+    *
+    * Cross-engine float discipline: the idf is the ln-free Robertson
+    * ratio ((N-df+0.5)/(df+0.5)) so no libm call is involved; the
+    * per-(doc,term) score is one deterministic IEEE expression, scaled
+    * by 1e4 and rounded to an exact-integer LONG before the per-doc sum
+    * — integer addition is order-free, so Spark's partial-agg order vs
+    * DuckDB's sequential fold cannot flip a 4th decimal (the sum of
+    * raw doubles could).
+    *
+    * Scale posture: the token stream is filtered to the query terms
+    * BEFORE any shuffle (a 5-term isin on the explode output — at 100 TB
+    * this is the inverted-index probe, ~df rows survive per term); df is
+    * a 5-row broadcast; the doc-length join is a keyed equi-join; the
+    * final ranking is the bounded-heap [[graft.functions.TopKHits]]
+    * two-phase aggregate, not a corpus sort. */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+    val n = dl.agg(count(lit(1)).as("n_total"), sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // mirror the oracle's expression tree exactly (left-assoc, same
+    // literal structure) — every double op must be the same IEEE op
+    val si = ((col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+      ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) *
+          (col("dl") / (col("sum_dl").cast("double") / col("n_total"))))))) * lit(10000)
+    val scored = tf.join(broadcast(dfreq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), round(si, 0).cast("long").as("si"))
+      .groupBy(col("doc_id")).agg(sum(col("si")).as("si"))
+    val topk = udaf(new graft.functions.TopKHits(k))
+    scored.agg(topk(col("si").cast("double"), col("doc_id")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.vec_id").as("doc_id"),
+        round(col("h.cosine") / lit(10000.0), 4).as("score"))
+      .orderBy(col("rank"))
+  }
+
+  def bm25TopKSql(k: Int = 15): String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS dl
+       |  FROM documents
+       |), n AS (
+       |  SELECT count(*)::BIGINT AS n_total, sum(dl)::BIGINT AS sum_dl FROM dl
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok
+       |  WHERE w IN ($terms) GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |), s AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(((n.n_total - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+       |        (dl.dl / (n.sum_dl::DOUBLE / n.n_total))))) * 10000) AS BIGINT) AS si
+       |  FROM tf JOIN dfq USING(w) JOIN dl USING(doc_id) CROSS JOIN n
+       |), sc AS (
+       |  SELECT doc_id, sum(si)::BIGINT AS si FROM s GROUP BY 1
+       |), r AS (
+       |  SELECT doc_id, si, row_number() OVER (ORDER BY si DESC, doc_id) AS rank
+       |  FROM sc
+       |)
+       |SELECT rank::BIGINT AS rank, doc_id, round(si / 10000.0, 4) AS score
+       |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  // ---- X14: vocabulary build + OOV audit (q85) ----------------------------
+
+  /** Vocabulary cutoff for [[vocabOov]] — deliberately below the corpus's
+    * distinct-token count at every SF so the OOV set is non-empty. */
+  val VocabSize = 16
+
+  /** X14 tokenizer-vocabulary build + out-of-vocabulary audit (q85): the
+    * top-[[VocabSize]] tokens by corpus frequency (ties broken by token)
+    * form the vocab; per language — token occurrences, OOV occurrences,
+    * OOV rate, distinct tokens, distinct OOV tokens.
+    *
+    * Scale posture: the vocabulary election never sorts the token table —
+    * per-(lang, token) counts ride map-side combine, the global counts
+    * fold from the per-lang table (vocabulary-sized, not corpus-sized),
+    * and the top-V is the bounded-heap [[graft.functions.TopKTerms]]
+    * two-phase aggregate (shuffle ~partitions x V rows). The elected
+    * vocab (V rows) broadcasts back onto the per-lang counts, so the
+    * corpus is read exactly once and the only corpus-sized shuffle is
+    * the (lang, token) count. */
+  def vocabOov(spark: SparkSession, dir: String, v: Int = VocabSize): DataFrame = {
+    val lc = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val gc = lc.groupBy(col("w")).agg(sum(col("c")).as("c"))
+    val topv = udaf(new graft.functions.TopKTerms(v))
+    val vocab = gc.agg(topv(col("c"), col("w")).as("hits"))
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.term").as("w"), lit(1).as("in_vocab"))
+    lc.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L))).as("n_oov"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_distinct_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"),
+        col("n_distinct"), col("n_distinct_oov"))
+      .orderBy(col("lang"))
+  }
+
+  def vocabOovSql(v: Int = VocabSize): String =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+       |), lc AS (
+       |  SELECT lang, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2
+       |), gc AS (
+       |  SELECT w, sum(c)::BIGINT AS c FROM lc GROUP BY w
+       |), v AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM gc)
+       |  WHERE rn <= $v
+       |)
+       |SELECT lang, sum(c)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN w NOT IN (SELECT w FROM v) THEN c ELSE 0 END)::BIGINT AS n_oov,
+       |  round(sum(CASE WHEN w NOT IN (SELECT w FROM v) THEN c ELSE 0 END)
+       |    / sum(c)::DOUBLE, 6) AS oov_rate,
+       |  count(*)::BIGINT AS n_distinct,
+       |  sum(CASE WHEN w NOT IN (SELECT w FROM v) THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_distinct_oov
+       |FROM lc GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- X16: cross-document boilerplate share (q87) ------------------------
+
+  /** X16 per-document boilerplate contamination (q87): the doc-level
+    * rollup of q73's corpus-level signal — for each document, the
+    * fraction of its distinct 5-gram shingles that also appear in at
+    * least `minDf` documents (i.e. shared spans, the unit an exact
+    * substring-dedup pass would cut); per language — docs, total grams,
+    * shared grams, micro-averaged shared rate, and docs at least half
+    * boilerplate. Documents shorter than n tokens have no shingles and
+    * drop out (they cannot be boilerplate-contaminated).
+    *
+    * Scale posture: shingles are hashed to 60-bit ints ([[TextHash.h1]])
+    * before any shuffle, so both the gram-frequency aggregation and the
+    * join back to per-doc grams move 8-byte keys, never n-gram strings
+    * (h1 collisions merge two grams' doc-counts — the same accepted
+    * birthday-bound trade as q78's shuffle key, disclosed there). The
+    * micro rate divides two exact integer sums once, so engine-side
+    * addition order cannot move it. */
+  def boilerplateShare(spark: SparkSession, dir: String,
+                       n: Int = 5, minDf: Int = 2): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.HashExpressions.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("gk"))
+    val dfreq = sh.groupBy(col("gk")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("gk"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_shared"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("sum_grams"),
+        sum(col("n_shared")).as("sum_shared"),
+        sum(when(col("n_shared") * 2 >= col("n_grams"), 1L).otherwise(0L))
+          .as("n_heavy"))
+      .select(col("lang"), col("n_docs"), col("sum_grams"), col("sum_shared"),
+        round(col("sum_shared").cast("double") / col("sum_grams"), 6)
+          .as("shared_rate"),
+        col("n_heavy"))
+      .orderBy(col("lang"))
+  }
+
+  def boilerplateShareSql(n: Int = 5, minDf: Int = 2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang, ${TextHash.h1Sql("g")} AS gk
+       |  FROM (SELECT doc_id, lang, unnest(${TextHash.shinglesSql("t", n)}) AS g
+       |        FROM toks)
+       |), df AS (
+       |  SELECT gk, count(*) AS df FROM sh GROUP BY gk
+       |), pd AS (
+       |  SELECT sh.doc_id, sh.lang, count(*)::BIGINT AS n_grams,
+       |    sum(CASE WHEN df.df >= $minDf THEN 1 ELSE 0 END)::BIGINT AS n_shared
+       |  FROM sh JOIN df USING(gk) GROUP BY 1, 2
+       |)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(n_grams)::BIGINT AS sum_grams,
+       |  sum(n_shared)::BIGINT AS sum_shared,
+       |  round(sum(n_shared) / sum(n_grams)::DOUBLE, 6) AS shared_rate,
+       |  sum(CASE WHEN n_shared * 2 >= n_grams THEN 1 ELSE 0 END)::BIGINT AS n_heavy
+       |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -284,4 +284,36 @@ class CurationSpec extends SparkSpec {
       assert(tok <= budget && tok < r.getAs[Long]("tok_total"))
     }
   }
+
+  test("mixture resample: feasible-max rates, binding source kept whole, deterministic") {
+    import spark.implicits._
+    val audit = Curation.mixtureResample(spark, sf0001).collect()
+    assert(audit.length == 20)
+    audit.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+    // C = min(n_s/w_s) makes at least one source binding (rate exactly 1)
+    assert(audit.exists(_.getAs[Double]("rate") == 1.0))
+    // achieved shares partition the sample
+    assert(math.abs(audit.map(_.getAs[Double]("achieved_share")).sum - 1.0) < 1e-4)
+    // md5 coin: a re-evaluation is row-identical
+    val again = Curation.mixtureResample(spark, sf0001).collect()
+    assert(audit.map(_.toString).sameElements(again.map(_.toString)))
+    // skewed fixture: src19 (10 docs, weight .02) binds -> kept whole;
+    // src0 (90 docs, weight .08) downsamples at rate C*w/n = 500*.08/90
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val rows = (0L until 90L).map(i => (i, s"doc $i body", "en", "src0")) ++
+      (100L until 110L).map(i => (i, s"doc $i body", "en", "src19"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = Curation.mixtureResample(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(f("src19").getAs[Double]("rate") == 1.0)
+    assert(f("src19").getAs[Long]("n_sampled") == 10L)
+    assert(math.abs(f("src0").getAs[Double]("rate") - 500.0 * 0.08 / 90.0) < 1e-6)
+    assert(f("src0").getAs[Long]("n_sampled") < 90L)
+  }
 }

@@ -152,4 +152,77 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top.getAs[Long]("n_docs_containing") >= 2,
       "top duplicated gram should appear in multiple docs")
   }
+
+  /** Tiny documents-table fixture on disk, matching the driver schema. */
+  private def docsFixture(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_textspec").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25: ranking is total (score desc, doc_id asc) and tf-monotone at equal length") {
+    val rows = TextAnalysis.bm25TopK(spark, sf0001).collect()
+    assert(rows.length == 15)
+    val keys = rows.map(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted), "rank order must be (score desc, doc_id asc)")
+    assert(rows.forall(_.getAs[Double]("score") > 0.0))
+    // same doc length, more query-term hits => strictly higher score; a
+    // doc with no query terms never appears
+    val dir = docsFixture(Seq(
+      (1L, "vector vector vector pad1 pad2", "en", "src0"),
+      (2L, "vector pad1 pad2 pad3 pad4", "en", "src0"),
+      (3L, "pad1 pad2 pad3 pad4 pad5", "en", "src0")))
+    val f = TextAnalysis.bm25TopK(spark, dir, k = 10).collect()
+    assert(f.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L),
+      "tf-heavy doc first, term-free doc absent")
+    assert(f(0).getAs[Double]("score") > f(1).getAs[Double]("score"))
+  }
+
+  test("vocab election: OOV decomposes exactly and per-lang in-vocab distinct <= V") {
+    val rows = TextAnalysis.vocabOov(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens"); val nOov = r.getAs[Long]("n_oov")
+      assert(nOov >= 0 && nOov < nTok, "vocab terms are corpus-frequent: some tokens stay in-vocab")
+      assert(math.abs(r.getAs[Double]("oov_rate") - nOov.toDouble / nTok) < 1e-6)
+      assert(r.getAs[Long]("n_distinct") - r.getAs[Long]("n_distinct_oov") <=
+        TextAnalysis.VocabSize.toLong)
+    }
+    // skewed fixture, V=2: the two frequent tokens win, the rest are OOV
+    val dir = docsFixture(Seq(
+      (1L, "aa aa aa bb bb cc", "en", "src0"),
+      (2L, "aa bb dd", "en", "src0")))
+    val f = TextAnalysis.vocabOov(spark, dir, v = 2).collect()
+    assert(f.length == 1)
+    assert(f.head.getAs[Long]("n_tokens") == 9L)
+    // vocab = {aa: 4, bb: 3}; OOV = one cc + one dd
+    assert(f.head.getAs[Long]("n_oov") == 2L)
+    assert(f.head.getAs[Long]("n_distinct_oov") == 2L)
+  }
+
+  test("boilerplate share: identical docs are fully shared, unique docs fully unshared") {
+    val real = TextAnalysis.boilerplateShare(spark, sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("sum_shared") <= r.getAs[Long]("sum_grams"))
+      val rate = r.getAs[Double]("shared_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_heavy") <= r.getAs[Long]("n_docs"))
+    }
+    // two byte-identical docs + one disjoint doc: the twins' grams all
+    // have df=2 (fully shared), the loner's grams df=1 (unshared)
+    val dir = docsFixture(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6", "en", "src0"),
+      (2L, "w1 w2 w3 w4 w5 w6", "en", "src0"),
+      (3L, "x1 x2 x3 x4 x5 x6", "en", "src0")))
+    val f = TextAnalysis.boilerplateShare(spark, dir).collect()
+    assert(f.length == 1)
+    // 6 tokens -> 2 distinct 5-grams per doc; twins share both, loner none
+    assert(f.head.getAs[Long]("n_docs") == 3L)
+    assert(f.head.getAs[Long]("sum_grams") == 6L)
+    assert(f.head.getAs[Long]("sum_shared") == 4L)
+    assert(f.head.getAs[Long]("n_heavy") == 2L)
+  }
 }
