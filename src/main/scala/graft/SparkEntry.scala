@@ -129,7 +129,10 @@ object SparkEntry {
     "q86_mixture_resample" -> ((s, d) => Curation.mixtureResample(s, d)),
     // doc-level boilerplate contamination: fraction of a doc's 5-grams
     // shared with >=2 docs, per-lang rollup
-    "q87_boilerplate_share" -> ((s, d) => TextAnalysis.boilerplateShare(s, d))
+    "q87_boilerplate_share" -> ((s, d) => TextAnalysis.boilerplateShare(s, d)),
+    // context-length election: chunk-vs-pad cost frontier across
+    // candidate lengths, integer basis-point fill like q71
+    "q88_context_frontier" -> ((s, d) => Packing.contextFrontier(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -223,6 +226,7 @@ object SparkEntry {
     "q84_bm25_topk" -> TextAnalysis.bm25TopKSql(),
     "q85_vocab_oov" -> TextAnalysis.vocabOovSql(),
     "q86_mixture_resample" -> Curation.mixtureResampleSql(),
-    "q87_boilerplate_share" -> TextAnalysis.boilerplateShareSql()
+    "q87_boilerplate_share" -> TextAnalysis.boilerplateShareSql(),
+    "q88_context_frontier" -> Packing.contextFrontierSql()
   )
 }

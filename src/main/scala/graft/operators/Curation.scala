@@ -721,18 +721,32 @@ object Curation {
     * per-row map — the corpus is never shuffled, never sorted, and the
     * only corpus-sized work is one scan. The exact-integer division for
     * achieved_share happens once at the end on audit-sized rows. */
+  /** Per-source acceptance-rate table (source, n_docs, tw, rate) — the
+    * feasible-max rates described on [[mixtureResample]]. Exposed so the
+    * streaming gate ([[graft.streaming.Pipeline.mixtureGate]]) can apply
+    * a snapshot's rates to incoming documents. */
+  def mixtureRates(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("tw", mixtureWeight(col("source")))
+    val cap = w.agg(min(col("n_docs") / col("tw")).as("cap"))
+    w.crossJoin(broadcast(cap))
+      .withColumn("rate", least(lit(1.0), col("cap") * col("tw") / col("n_docs")))
+      .drop("cap")
+  }
+
+  /** The deterministic md5 acceptance coin: uniform double on [0,1),
+    * compared strictly below the source's rate. */
+  def mixtureCoin(docId: Column, seed: Long = 42): Column =
+    TextHash.h1(concat(lit(s"mix:$seed:"), docId.cast("string"))) /
+      lit(1152921504606846976.0) // 2^60: h1 is uniform on [0, 2^60)
+
   def mixtureResample(spark: SparkSession, dir: String,
                       seed: Long = 42): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val w = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("tw", mixtureWeight(col("source")))
-    val cap = w.agg(min(col("n_docs") / col("tw")).as("cap"))
-    val rt = w.crossJoin(broadcast(cap))
-      .withColumn("rate", least(lit(1.0), col("cap") * col("tw") / col("n_docs")))
-    val u = TextHash.h1(concat(lit(s"mix:$seed:"), col("doc_id").cast("string"))) /
-      lit(1152921504606846976.0) // 2^60: h1 is uniform on [0, 2^60)
+    val rt = mixtureRates(spark, dir)
     val acc = docs.join(broadcast(rt.select(col("source"), col("rate"))), Seq("source"))
-      .filter(u < col("rate"))
+      .filter(mixtureCoin(col("doc_id"), seed) < col("rate"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     val tot = acc.agg(sum(col("n_sampled")).as("n_tot"))
     rt.join(acc, Seq("source"), "left").crossJoin(broadcast(tot))

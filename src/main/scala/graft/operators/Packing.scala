@@ -244,4 +244,61 @@ object Packing {
        |  sum(n_ctx)::BIGINT AS n_contexts, sum(strad)::BIGINT AS n_straddling,
        |  ((sum(toks) * 10000) // (sum(n_ctx) * $ctxLen))::BIGINT AS fill_bp
        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- X17: context-length frontier (q88) ---------------------------------
+
+  /** Candidate context lengths for [[contextFrontier]], spanning the
+    * corpus's 10-100-token doc-length range so the frontier shows both
+    * chunk-heavy (32) and padding-heavy (256) regimes. */
+  val FrontierBuckets: Seq[Int] = Seq(32, 64, 128, 256)
+
+  /** X17 context-length election (q88): for each candidate context
+    * length B, the cost of cutting every document into ceil(len/B)
+    * B-token sequences (chunk-then-pad, no cross-doc packing) — docs,
+    * tokens, sequences, docs that must chunk, and the fill ratio in
+    * exact integer basis points. The frontier quantifies the
+    * chunking-vs-padding trade a training pipeline walks when fixing
+    * its context length; read alongside q71 (which packs MULTIPLE docs
+    * into one context and so models the concat regime).
+    *
+    * Scale posture: one narrow projection reduces each doc to an 8-byte
+    * token count BEFORE the |buckets|-way constant fan-out, so the
+    * explode multiplies longs, not text; the aggregate is map-side
+    * combinable down to |buckets| rows. Like q71 the fill ratio stays
+    * in integer arithmetic end-to-end (decimal(38,0) guards the 1e4
+    * scaling past 9.2e14 tokens), so no float ever crosses engines. */
+  def contextFrontier(spark: SparkSession, dir: String,
+                      buckets: Seq[Int] = FrontierBuckets): DataFrame = {
+    require(buckets.nonEmpty && buckets.forall(_ > 0))
+    Tables.documents(spark, dir)
+      .select(size(TextHash.tokens(col("text"))).cast("long").as("len"))
+      .select(col("len"),
+        explode(array(buckets.map(b => lit(b.toLong)): _*)).as("ctx_len"))
+      .withColumn("n_seq", expr("(len + ctx_len - 1) div ctx_len"))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("sum_tokens"),
+        sum(col("n_seq")).as("n_seqs"),
+        sum(when(col("len") > col("ctx_len"), 1L).otherwise(0L)).as("n_chunked"))
+      .select(col("ctx_len"), col("n_docs"), col("sum_tokens"), col("n_seqs"),
+        col("n_chunked"),
+        expr("cast(sum_tokens as decimal(38,0)) * 10000 div " +
+          "(cast(n_seqs as decimal(38,0)) * ctx_len)").cast("long").as("fill_bp"))
+      .orderBy(col("ctx_len"))
+  }
+
+  def contextFrontierSql(buckets: Seq[Int] = FrontierBuckets): String = {
+    val lst = buckets.map(b => s"$b::BIGINT").mkString("[", ", ", "]")
+    s"""WITH l AS (
+       |  SELECT len(string_split(lower(text), ' '))::BIGINT AS len FROM documents
+       |), e AS (
+       |  SELECT len, unnest($lst) AS ctx_len FROM l
+       |)
+       |SELECT ctx_len, count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS sum_tokens,
+       |  sum((len + ctx_len - 1) // ctx_len)::BIGINT AS n_seqs,
+       |  sum(CASE WHEN len > ctx_len THEN 1 ELSE 0 END)::BIGINT AS n_chunked,
+       |  ((sum(len) * 10000) //
+       |    (sum((len + ctx_len - 1) // ctx_len) * ctx_len))::BIGINT AS fill_bp
+       |FROM e GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
+  }
 }

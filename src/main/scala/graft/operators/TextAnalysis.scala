@@ -674,10 +674,17 @@ object TextAnalysis {
     * addition order cannot move it. */
   def boilerplateShare(spark: SparkSession, dir: String,
                        n: Int = 5, minDf: Int = 2): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(graft.functions.HashExpressions.shingles(col("text"), n)).as("g"))
-      .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("gk"))
+    // both the df aggregation and the join-back consume this table; a
+    // PlanCache materialization computes the scan+shingle+hash once per
+    // (session, dir, n) instead of once per consumer — same lifecycle
+    // device as Dedup.signatures (the 100 TB pipeline persists its gram
+    // table for exactly this reason)
+    val sh = graft.PlanCache.cached(spark, s"textanalysis.gramKeys:$dir:$n") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.HashExpressions.shingles(col("text"), n)).as("g"))
+        .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("gk"))
+    }
     val dfreq = sh.groupBy(col("gk")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("gk"))
       .groupBy(col("doc_id"), col("lang"))

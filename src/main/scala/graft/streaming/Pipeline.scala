@@ -354,6 +354,22 @@ object Pipeline {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** X15 streaming twin: admit incoming documents at the per-source
+    * acceptance rates of a batch snapshot
+    * ([[graft.operators.Curation.mixtureRates]]) — the intake gate that
+    * keeps a continuously-ingested corpus at its target domain mixture.
+    * Stateless (the md5 coin is a pure function of doc_id), so the gate
+    * adds no streaming state, survives restarts with no checkpoint
+    * beyond the source's, and admits exactly the rows the batch
+    * resample would — batch/stream parity is testable row-for-row.
+    * Documents from sources absent in the snapshot are DROPPED (inner
+    * join): an unknown domain must not bypass the mixture policy. */
+  def mixtureGate(stream: DataFrame, rates: DataFrame,
+                  seed: Long = 42): DataFrame =
+    stream.join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+      .filter(graft.operators.Curation.mixtureCoin(col("doc_id"), seed) < col("rate"))
+      .drop("rate")
+
   /** J4 streaming twin: stream-stream inner join with event-time bounds —
     * left events join right events of the same key within
     * (0, maxGapSec] AFTER the left event. Both sides carry watermarks so

@@ -147,4 +147,27 @@ class PackingSpec extends SparkSpec {
         (r.getAs[Long]("n_chunks") - r.getAs[Long]("n_docs")) * o)
     }
   }
+
+  test("context frontier matches a driver-side recomputation and is monotone") {
+    import org.apache.spark.sql.functions._
+    val lens = Tables.documents(spark, sf0001)
+      .select(size(graft.functions.TextHash.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0))
+    val rows = graft.operators.Packing.contextFrontier(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("ctx_len")).toSeq ==
+      graft.operators.Packing.FrontierBuckets.map(_.toLong))
+    rows.foreach { r =>
+      val b = r.getAs[Long]("ctx_len")
+      val nSeqs = lens.map(l => (l + b - 1) / b).sum
+      assert(r.getAs[Long]("n_docs") == lens.length.toLong)
+      assert(r.getAs[Long]("sum_tokens") == lens.sum)
+      assert(r.getAs[Long]("n_seqs") == nSeqs)
+      assert(r.getAs[Long]("n_chunked") == lens.count(_ > b).toLong)
+      assert(r.getAs[Long]("fill_bp") == lens.sum * 10000L / (nSeqs * b))
+      assert(r.getAs[Long]("fill_bp") <= 10000L)
+    }
+    // more sequences at smaller contexts: the frontier is monotone in B
+    val seqs = rows.map(_.getAs[Long]("n_seqs"))
+    assert(seqs.sameElements(seqs.sorted.reverse))
+  }
 }

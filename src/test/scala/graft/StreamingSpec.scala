@@ -813,4 +813,28 @@ class StreamingSpec extends SparkSpec {
         "resumed run must report the replayed rows")
     } finally spark.streams.removeListener(metrics)
   }
+
+  test("mixture gate admits exactly the batch resample's rows (X15 twin)") {
+    val docs = Tables.documents(spark, sf0001)
+    val rates = graft.operators.Curation.mixtureRates(spark, sf0001)
+    val expected = docs
+      .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+      .filter(graft.operators.Curation.mixtureCoin(col("doc_id")) < col("rate"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // stateless gate: a parquet-file stream through mixtureGate must admit
+    // the identical doc_id set (the md5 coin has no per-batch state)
+    val streamDir = Files.createTempDirectory("graft_mix_stream")
+    Files.createSymbolicLink(streamDir.resolve("docs.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val q = Pipeline.mixtureGate(stream, rates)
+      .writeStream.format("memory").queryName("mix_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("mix_gate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // the gate is selective in both directions at this SF
+    assert(got.nonEmpty && got.size < docs.count())
+  }
 }
