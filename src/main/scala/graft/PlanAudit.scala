@@ -57,7 +57,10 @@ object PlanAudit {
     "q84_bm25_topk",
     // q86 crossJoins two broadcast SINGLE-ROW scalars (the feasibility
     // cap C and the sampled total) onto source-cardinality-sized rows
-    "q86_mixture_resample")
+    "q86_mixture_resample",
+    // q89 crossJoins the broadcast label-cardinality centroid table —
+    // the audited IVF-assignment shape (q37/q48)
+    "q89_label_purity")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

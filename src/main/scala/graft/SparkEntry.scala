@@ -132,7 +132,10 @@ object SparkEntry {
     "q87_boilerplate_share" -> ((s, d) => TextAnalysis.boilerplateShare(s, d)),
     // context-length election: chunk-vs-pad cost frontier across
     // candidate lengths, integer basis-point fill like q71
-    "q88_context_frontier" -> ((s, d) => Packing.contextFrontier(s, d))
+    "q88_context_frontier" -> ((s, d) => Packing.contextFrontier(s, d)),
+    // label-noise audit: own-centroid vs best-other-centroid cosine
+    // margin per label, micro-unit-integer margins
+    "q89_label_purity" -> ((s, d) => Similarity.labelPurity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -227,6 +230,7 @@ object SparkEntry {
     "q85_vocab_oov" -> TextAnalysis.vocabOovSql(),
     "q86_mixture_resample" -> Curation.mixtureResampleSql(),
     "q87_boilerplate_share" -> TextAnalysis.boilerplateShareSql(),
-    "q88_context_frontier" -> Packing.contextFrontierSql()
+    "q88_context_frontier" -> Packing.contextFrontierSql(),
+    "q89_label_purity" -> Similarity.labelPuritySql
   )
 }

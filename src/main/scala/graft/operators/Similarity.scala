@@ -378,6 +378,86 @@ object Similarity {
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin
 
+  // ---- X18: label-purity audit (q89) --------------------------------------
+
+  /** X18 embedding label-purity audit (q89): for every vector, cosine to
+    * its OWN label centroid vs the best cosine to any OTHER label
+    * centroid; per label — vectors, misaligned vectors (another label's
+    * centroid fits better: the label-noise signal a training pipeline
+    * relabels or drops on), and the average own-minus-best-other margin.
+    * A clean labeling has near-zero misalignment and positive margins;
+    * the driver's synthetic labels are noisy, which is exactly what the
+    * audit exists to expose.
+    *
+    * Cross-engine float discipline: centroids round(4)+0.0 (the IEEE
+    * -0.0 rule from [[labelCentroids]]), per-pair cosines round(6)
+    * before ANY comparison, and the margin is scaled to exact-integer
+    * micro-units before the per-label sum, so engine addition order
+    * cannot move the reported average (the q84 device).
+    *
+    * Scale posture: the label-cardinality-sized centroid table (with
+    * precomputed norms) is broadcast; the corpus is scanned ONCE with a
+    * |labels|-way fan-out and immediately reduced per vector — the same
+    * audited shape as the IVF assignment (q37/q48), no corpus shuffle
+    * beyond the per-vector reduce, nothing quadratic in corpus size. */
+  def labelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    val cents = Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("clabel"))
+      .agg(mean(col("embedding").cast("array<double>")).as("c0"))
+      .select(col("clabel"),
+        transform(col("c0"), x => round(x, 4) + lit(0.0)).as("cv"))
+      .withColumn("cnrm", sqrt(graft.functions.HashExpressions.dotProduct(
+        col("cv"), col("cv"))))
+    val e = withNorm(Tables.embeddings(spark, dir), "embedding")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("v"), col("nrm"))
+    val perVec = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        round(cosinePre(col("v"), col("cv"), col("nrm"), col("cnrm")), 6).as("cos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("cos"))).as("own"),
+        max(when(col("clabel") =!= col("label"), col("cos"))).as("best_other"))
+    perVec
+      .select(col("label"),
+        round((col("own") - col("best_other")) * lit(1000000), 0).cast("long").as("m"),
+        when(col("best_other") > col("own"), 1L).otherwise(0L).as("mis"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("mis")).as("n_misaligned"),
+        sum(col("m")).as("sum_margin_micro"))
+      .select(col("label"), col("n_vecs"), col("n_misaligned"),
+        col("sum_margin_micro"),
+        round(col("sum_margin_micro") / col("n_vecs").cast("double") / lit(1000000.0), 6)
+          .as("avg_margin"))
+      .orderBy(col("label"))
+  }
+
+  def labelPuritySql: String =
+    s"""WITH cd AS (
+       |  SELECT label::BIGINT AS clabel, i::BIGINT AS dim,
+       |    round(avg(embedding[i+1]::DOUBLE), 4) + 0.0 AS cv
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
+       |  GROUP BY label, i
+       |), c AS (
+       |  SELECT clabel, list(cv ORDER BY dim) AS cv FROM cd GROUP BY clabel
+       |), s AS (
+       |  SELECT e.vec_id, e.label::BIGINT AS label, c.clabel,
+       |    round(${cosineSql("e.embedding", "c.cv")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN c
+       |), pv AS (
+       |  SELECT vec_id, label,
+       |    max(CASE WHEN clabel = label THEN cos END) AS own,
+       |    max(CASE WHEN clabel <> label THEN cos END) AS best_other
+       |  FROM s GROUP BY vec_id, label
+       |)
+       |SELECT label, count(*)::BIGINT AS n_vecs,
+       |  sum(CASE WHEN best_other > own THEN 1 ELSE 0 END)::BIGINT AS n_misaligned,
+       |  sum(CAST(round((own - best_other) * 1000000) AS BIGINT))::BIGINT
+       |    AS sum_margin_micro,
+       |  round(sum(CAST(round((own - best_other) * 1000000) AS BIGINT))
+       |    / count(*)::DOUBLE / 1000000.0, 6) AS avg_margin
+       |FROM pv GROUP BY label ORDER BY label""".stripMargin
+
   /** Learned IVF coarse quantizer: k-means, not labels. A real index
     * k-means-learns its centroids — labels won't exist on an unlabeled
     * 100 TB corpus. Fully deterministic and oracle-expressible:

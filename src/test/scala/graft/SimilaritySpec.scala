@@ -205,4 +205,36 @@ class SimilaritySpec extends SparkSpec {
     assert(unguarded.head.getAs[Long]("n_kept") == 1L)
     assert(unguarded.head.getAs[Long]("n_shards") == 1L)
   }
+
+  test("label purity: partitions the corpus, margins consistent with misalignment") {
+    val rows = Similarity.labelPurity(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.embeddings(spark, sf0001).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs"); val mis = r.getAs[Long]("n_misaligned")
+      assert(mis >= 0 && mis <= n)
+      val avg = r.getAs[Double]("avg_margin")
+      assert(math.abs(avg - r.getAs[Long]("sum_margin_micro").toDouble / n / 1e6) < 1e-6)
+      // a label where EVERY vector is misaligned must have negative
+      // average margin, and a fully-aligned label a non-negative one
+      if (mis == n) assert(avg < 0.0)
+      if (mis == 0L) assert(avg >= 0.0)
+    }
+    // perfectly separable fixture: two orthogonal label groups -> zero
+    // misalignment, strictly positive margins
+    val dir = java.nio.file.Files.createTempDirectory("graft_purity").toString
+    val a = Array.tabulate(64)(i => if (i < 32) 1.0f else 0.0f)
+    val b = Array.tabulate(64)(i => if (i < 32) 0.0f else 1.0f)
+    import spark.implicits._
+    ((0L until 8L).map(i => (i, a, 0)) ++ (8L until 16L).map(i => (i, b, 1)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val f = Similarity.labelPurity(spark, dir).collect()
+    assert(f.length == 2)
+    f.foreach { r =>
+      assert(r.getAs[Long]("n_misaligned") == 0L)
+      assert(r.getAs[Double]("avg_margin") > 0.9,
+        "orthogonal groups: own cosine 1, best other 0")
+    }
+  }
 }
