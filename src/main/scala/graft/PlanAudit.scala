@@ -60,7 +60,9 @@ object PlanAudit {
     "q86_mixture_resample",
     // q89 crossJoins the broadcast label-cardinality centroid table —
     // the audited IVF-assignment shape (q37/q48)
-    "q89_label_purity")
+    "q89_label_purity",
+    // q90 crossJoins the broadcast SINGLE-ROW corpus-total scalar
+    "q90_tokenizer_fairness")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

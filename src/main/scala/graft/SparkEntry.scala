@@ -135,7 +135,10 @@ object SparkEntry {
     "q88_context_frontier" -> ((s, d) => Packing.contextFrontier(s, d)),
     // label-noise audit: own-centroid vs best-other-centroid cosine
     // margin per label, micro-unit-integer margins
-    "q89_label_purity" -> ((s, d) => Similarity.labelPurity(s, d))
+    "q89_label_purity" -> ((s, d) => Similarity.labelPurity(s, d)),
+    // multilingual tokenizer fairness: chars/token by lang vs the corpus
+    // rate, exact integer cross-ratio in basis points
+    "q90_tokenizer_fairness" -> ((s, d) => TextAnalysis.tokenizerFairness(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -231,6 +234,7 @@ object SparkEntry {
     "q86_mixture_resample" -> Curation.mixtureResampleSql(),
     "q87_boilerplate_share" -> TextAnalysis.boilerplateShareSql(),
     "q88_context_frontier" -> Packing.contextFrontierSql(),
-    "q89_label_purity" -> Similarity.labelPuritySql
+    "q89_label_purity" -> Similarity.labelPuritySql,
+    "q90_tokenizer_fairness" -> TextAnalysis.tokenizerFairnessSql
   )
 }

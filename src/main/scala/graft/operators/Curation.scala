@@ -749,7 +749,7 @@ object Curation {
       .filter(mixtureCoin(col("doc_id"), seed) < col("rate"))
       .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
     val tot = acc.agg(sum(col("n_sampled")).as("n_tot"))
-    rt.join(acc, Seq("source"), "left").crossJoin(broadcast(tot))
+    rt.join(broadcast(acc), Seq("source"), "left").crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
         round(col("rate"), 6).as("rate"),

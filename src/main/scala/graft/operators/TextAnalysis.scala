@@ -654,6 +654,61 @@ object TextAnalysis {
        |    AS n_distinct_oov
        |FROM lc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- X19: tokenizer-compression fairness (q90) --------------------------
+
+  /** X19 tokenizer-compression fairness audit (q90): characters per
+    * token by language, and each language's rate relative to the corpus
+    * rate in exact integer basis points (10000 = corpus average;
+    * > 10000 = this language spends more characters per token — the
+    * multilingual-tokenizer-fairness signal: a language whose text
+    * fragments into more, shorter tokens pays more context budget for
+    * the same content).
+    *
+    * Cross-engine float discipline: the relative rate is the integer
+    * cross-ratio (chars_l * tokens_total * 10000) div (tokens_l *
+    * chars_total) — four exact integer sums, one integral divide, no
+    * float until the single display division for chars_per_token.
+    * decimal(38,0) guards the product past 64 bits (q71's device).
+    *
+    * Scale posture: one narrow projection (n_chars is a stored column;
+    * the token count is a per-row size()), one map-side-combinable agg
+    * to |langs| rows, and a broadcast single-row corpus total. */
+  def tokenizerFairness(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+    val tot = per.agg(sum(col("sum_chars")).as("tot_chars"),
+      sum(col("sum_tokens")).as("tot_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_tokens"),
+        round(col("sum_chars") / col("sum_tokens").cast("double"), 6)
+          .as("chars_per_token"),
+        expr("cast(sum_chars as decimal(38,0)) * tot_tokens * 10000 div " +
+          "(cast(sum_tokens as decimal(38,0)) * tot_chars)")
+          .cast("long").as("rel_rate_bp"))
+      .orderBy(col("lang"))
+  }
+
+  def tokenizerFairnessSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(n_chars)::BIGINT AS sum_chars,
+       |    sum(len(string_split(lower(text), ' ')))::BIGINT AS sum_tokens
+       |  FROM documents GROUP BY lang
+       |), tot AS (
+       |  SELECT sum(sum_chars)::BIGINT AS tot_chars,
+       |    sum(sum_tokens)::BIGINT AS tot_tokens FROM per
+       |)
+       |SELECT lang, n_docs, sum_chars, sum_tokens,
+       |  round(sum_chars / sum_tokens::DOUBLE, 6) AS chars_per_token,
+       |  ((sum_chars * tot_tokens * 10000) //
+       |    (sum_tokens * tot_chars))::BIGINT AS rel_rate_bp
+       |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
+
   // ---- X16: cross-document boilerplate share (q87) ------------------------
 
   /** X16 per-document boilerplate contamination (q87): the doc-level

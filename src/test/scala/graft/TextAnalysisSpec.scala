@@ -225,4 +225,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.head.getAs[Long]("sum_shared") == 4L)
     assert(f.head.getAs[Long]("n_heavy") == 2L)
   }
+
+  test("tokenizer fairness: rates consistent, token-weighted mean at corpus parity") {
+    val rows = TextAnalysis.tokenizerFairness(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cpt = r.getAs[Double]("chars_per_token")
+      assert(math.abs(cpt - r.getAs[Long]("sum_chars").toDouble /
+        r.getAs[Long]("sum_tokens")) < 1e-5)
+      assert(r.getAs[Long]("rel_rate_bp") > 0L)
+    }
+    // token-weighted mean of the relative rates recovers corpus parity
+    // (integral divide truncates each lang down by < 1 bp)
+    val toks = rows.map(_.getAs[Long]("sum_tokens"))
+    val wavg = rows.zip(toks).map { case (r, t) =>
+      r.getAs[Long]("rel_rate_bp").toDouble * t }.sum / toks.sum
+    assert(math.abs(wavg - 10000.0) < 2.0, s"weighted mean $wavg")
+    // exact cross-ratio fixture: 4.5 vs 1.5 chars/token -> 15000/5000 bp
+    val dir = docsFixture(Seq(
+      (1L, "aaaa bbbb", "x", "src0"),
+      (2L, "a b", "y", "src0")))
+    val f = TextAnalysis.tokenizerFairness(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("rel_rate_bp")).toMap
+    assert(f == Map("x" -> 15000L, "y" -> 5000L))
+  }
 }
