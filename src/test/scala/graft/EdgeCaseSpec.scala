@@ -60,4 +60,51 @@ class EdgeCaseSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("restamp_dedup").count() == 1)
   }
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25 on a corpus with zero query-term hits returns zero rows, no error") {
+    val dir = writeDocs(Seq((1L, "nothing matches here", "en", "src0")))
+    assert(graft.operators.TextAnalysis.bm25TopK(spark, dir).collect().isEmpty)
+  }
+
+  test("mixture gate drops rows from sources absent in the rate snapshot") {
+    // batch rates table only knows snapshot sources; a stream row from a
+    // NEW source must not bypass the mixture policy (inner join drops it)
+    val snap = writeDocs(Seq((1L, "a", "en", "src0"), (2L, "b", "en", "src1")))
+    val rates = graft.operators.Curation.mixtureRates(spark, snap)
+    val incoming = Seq((10L, "x", "en", "src0"), (11L, "y", "en", "srcNEW"))
+      .toDF("doc_id", "text", "lang", "source")
+    val admitted = Pipeline.mixtureGate(incoming, rates)
+      .select("source").collect().map(_.getString(0))
+    assert(!admitted.contains("srcNEW"))
+  }
+
+  test("context frontier: docs shorter than every bucket need exactly one sequence each") {
+    val dir = writeDocs(Seq((1L, "a b", "en", "src0"), (2L, "c", "en", "src0")))
+    val rows = graft.operators.Packing.contextFrontier(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_seqs") == 2L)
+      assert(r.getAs[Long]("n_chunked") == 0L)
+    }
+  }
+
+  test("label purity with a single label reports no misalignment and null-free margins") {
+    // best_other is NULL when only one label exists: the margin must not
+    // NPE or mis-count — maxes over an empty other-set stay null and the
+    // misaligned comparison is false
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_lp").toString
+    val v = Array.tabulate(64)(_.toFloat)
+    (0L until 4L).map(i => (i, v, 7)).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.operators.Similarity.labelPurity(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_misaligned") == 0L)
+  }
 }
