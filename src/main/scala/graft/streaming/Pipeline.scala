@@ -370,6 +370,27 @@ object Pipeline {
       .filter(graft.operators.Curation.mixtureCoin(col("doc_id"), seed) < col("rate"))
       .drop("rate")
 
+  /** The composed streaming curation intake — the round's batch curation
+    * recipe (q86 mixture → q19-style exact dedup → q17 quality gate) as
+    * ONE continuous job: [[mixtureGate]] admits at the snapshot's domain
+    * rates, `dropDuplicatesWithinWatermark` on the sha2 content digest
+    * drops exact re-ingests (state keyed on the 32-byte hash, never the
+    * body, bounded by the watermark), and the quality gate scores with
+    * the same native kernel as the batch q17/q65. Appends `quality`;
+    * otherwise passthrough. Everything before the dedup is stateless, so
+    * the job's only state is the in-watermark digest set. */
+  def curatedIntake(stream: DataFrame, rates: DataFrame, eventTimeCol: String,
+                    minQuality: Double = 0.2, seed: Long = 42,
+                    watermark: String = "10 minutes"): DataFrame =
+    mixtureGate(stream, rates, seed)
+      .withColumn("_h", sha2(col("text").cast("binary"), 256))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_h"))
+      .drop("_h")
+      .withColumn("quality",
+        graft.operators.TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+
   /** J4 streaming twin: stream-stream inner join with event-time bounds —
     * left events join right events of the same key within
     * (0, maxGapSec] AFTER the left event. Both sides carry watermarks so

@@ -21,6 +21,9 @@ case class DocFixture(doc_id: Long, text: String, ts: Timestamp)
 
 case class ChunkDocFixture(doc_id: Long, lang: String, text: String)
 
+case class CuratedDocFixture(doc_id: Long, text: String, lang: String,
+                             source: String, ts: Timestamp)
+
 /** Streaming semantics (SURVEY.md §2.9 T1-T5, §5.4): stream/batch parity
   * on the SAME declarative transforms, watermarked dedup, stream-static
   * join, and exactly-once file-sink restart. */
@@ -836,5 +839,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
     // the gate is selective in both directions at this SF
     assert(got.nonEmpty && got.size < docs.count())
+  }
+
+  test("curated intake: mixture gate + content dedup + quality gate compose in one job") {
+    // snapshot with two equal-weight, equal-count sources: every rate is
+    // exactly 1.0, so admission is decided purely by source membership
+    val snap = java.nio.file.Files.createTempDirectory("graft_curated").toString
+    (Seq((1L, "base doc one", "en", "src0"), (2L, "base doc two", "en", "src4")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/documents.parquet")
+    val rates = graft.operators.Curation.mixtureRates(spark, snap)
+    assert(rates.collect().forall(_.getAs[Double]("rate") == 1.0))
+    val good = "the distributed engine shuffles partitioned vectors efficiently today"
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val mem = MemoryStream[CuratedDocFixture]
+    val out = Pipeline.curatedIntake(mem.toDS().toDF(), rates, "ts")
+    val q = out.writeStream.format("memory").queryName("curated_intake")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        CuratedDocFixture(10L, good, "en", "src0", t0),
+        CuratedDocFixture(11L, good, "en", "src4", t0),      // exact dup text
+        CuratedDocFixture(12L, "a a a a a", "en", "src0", t0), // junk quality
+        CuratedDocFixture(13L, good + " again", "en", "srcNEW", t0)) // unknown source
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("curated_intake").collect()
+    // one survivor: the dup text collapses to its first arrival, junk is
+    // quality-gated, the unknown source never passes the mixture policy
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("doc_id") == 10L)
+    assert(rows.head.getAs[Double]("quality") >= 0.2)
   }
 }
