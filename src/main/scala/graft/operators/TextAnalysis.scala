@@ -612,15 +612,31 @@ object TextAnalysis {
     * vocab (V rows) broadcasts back onto the per-lang counts, so the
     * corpus is read exactly once and the only corpus-sized shuffle is
     * the (lang, token) count. */
+  /** The elected top-`v` vocabulary as a (w) table — from the per-lang
+    * count table when the caller already has it, else from scratch.
+    * Exposed for the streaming drift monitor
+    * ([[graft.streaming.Pipeline.oovMonitor]]), which broadcasts a
+    * vocabulary snapshot against a live token stream. */
+  def vocabulary(spark: SparkSession, dir: String,
+                 v: Int = VocabSize): DataFrame =
+    vocabularyOf(
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")), v)
+
+  private def vocabularyOf(lc: DataFrame, v: Int): DataFrame = {
+    val gc = lc.groupBy(col("w")).agg(sum(col("c")).as("c"))
+    val topv = udaf(new graft.functions.TopKTerms(v))
+    gc.agg(topv(col("c"), col("w")).as("hits"))
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.term").as("w"))
+  }
+
   def vocabOov(spark: SparkSession, dir: String, v: Int = VocabSize): DataFrame = {
     val lc = Tables.documents(spark, dir)
       .select(col("lang"), explode(toks(col("text"))).as("w"))
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
-    val gc = lc.groupBy(col("w")).agg(sum(col("c")).as("c"))
-    val topv = udaf(new graft.functions.TopKTerms(v))
-    val vocab = gc.agg(topv(col("c"), col("w")).as("hits"))
-      .select(explode(col("hits")).as("h"))
-      .select(col("h.term").as("w"), lit(1).as("in_vocab"))
+    val vocab = vocabularyOf(lc, v).withColumn("in_vocab", lit(1))
     lc.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("lang"))
       .agg(sum(col("c")).as("n_tokens"),

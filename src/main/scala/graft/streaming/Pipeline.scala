@@ -391,6 +391,28 @@ object Pipeline {
         graft.operators.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
 
+  /** X14 streaming twin: per-event-time-window out-of-vocabulary rate of
+    * the incoming token stream against a static vocabulary snapshot
+    * ([[graft.operators.TextAnalysis.vocabulary]]) — the drift monitor a
+    * production intake runs to notice the corpus diverging from the
+    * distribution its tokenizer was built on (rising OOV = retrain
+    * signal). The vocabulary broadcasts (V rows); the token explode is
+    * narrow; state is one (window) aggregate bounded by the watermark. */
+  def oovMonitor(stream: DataFrame, vocab: DataFrame, eventTimeCol: String,
+                 windowLen: String = "1 minute",
+                 watermark: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("w"))
+      .join(broadcast(vocab.select(col("w"), lit(1).as("in_vocab"))),
+        Seq("w"), "left")
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("window"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+
   /** J4 streaming twin: stream-stream inner join with event-time bounds —
     * left events join right events of the same key within
     * (0, maxGapSec] AFTER the left event. Both sides carry watermarks so

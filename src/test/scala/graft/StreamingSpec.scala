@@ -872,4 +872,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("doc_id") == 10L)
     assert(rows.head.getAs[Double]("quality") >= 0.2)
   }
+
+  test("OOV monitor: windowed drift rates against a static vocabulary snapshot") {
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta").toDF("w")
+    val mem = MemoryStream[CuratedDocFixture]
+    val q = Pipeline.oovMonitor(mem.toDS().toDF(), vocab, "ts")
+      .writeStream.format("memory").queryName("oov_mon")
+      .outputMode("complete").start()
+    try {
+      // window 1: all in-vocab; window 2: half the tokens have drifted
+      mem.addData(
+        CuratedDocFixture(1L, "alpha beta alpha beta", "en", "src0",
+          Timestamp.valueOf("2024-01-01 00:00:10")),
+        CuratedDocFixture(2L, "alpha nova beta nova", "en", "src0",
+          Timestamp.valueOf("2024-01-01 00:01:10")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rates = spark.table("oov_mon").collect()
+      .map(r => r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[Timestamp]("start").toString -> r.getAs[Double]("oov_rate")).toMap
+    assert(rates == Map(
+      "2024-01-01 00:00:00.0" -> 0.0,
+      "2024-01-01 00:01:00.0" -> 0.5),
+      s"got $rates")
+  }
 }
