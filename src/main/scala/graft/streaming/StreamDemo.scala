@@ -12,7 +12,8 @@ import graft.Tables
   * readStream → filter(lang, track) → sentiment → windowed counts →
   * parquet sink (checkpointed), then prints the landed results.
   *
-  * `sbt "runMain graft.streaming.StreamDemo en spark [sfDir] [--supervised]"`.
+  * `sbt "runMain graft.streaming.StreamDemo en spark [sfDir]
+  * [--supervised] [--curated]"`.
   *
   * `--supervised` runs the query under [[Supervision.supervise]] with a
   * [[Supervision.MetricsListener]] attached — the user-facing shape of
@@ -20,20 +21,59 @@ import graft.Tables
   * on the same checkpoint, and the run ends by printing the listener's
   * restart/failure/row metrics.
   *
+  * `--curated` instead streams the documents table through the composed
+  * curation intake ([[Pipeline.curatedIntake]]: mixture gate → content
+  * dedup → quality gate, rates snapshotted from the same corpus) and
+  * prints per-source admitted counts — the continuous form of the
+  * batch q86/q19/q17 recipe. `<lang>`/`<track>` are accepted but
+  * unused in this mode.
+  *
   * Uses Trigger.AvailableNow so the demo drains the source and exits (a
   * production run would use the 60 s ProcessingTime trigger, T1). */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val supervised = args.contains("--supervised")
+    val curated = args.contains("--curated")
     val pos = args.filterNot(_.startsWith("--"))
     if (pos.length < 2) {
-      System.err.println("usage: StreamDemo <lang> <track> [sfDir] [--supervised]")
+      System.err.println(
+        "usage: StreamDemo <lang> <track> [sfDir] [--supervised] [--curated]")
       sys.exit(2)
     }
     val Array(lang, track) = pos.take(2)
     val sfDir = pos.lift(2).getOrElse("/root/testdata/sf0.001")
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (curated) {
+      val docs = Tables.documents(spark, sfDir)
+      val rates = graft.operators.Curation.mixtureRates(spark, sfDir)
+      val curBase = java.nio.file.Files.createTempDirectory("graft_demo_cur")
+      val streamDir = curBase.resolve("src")
+      java.nio.file.Files.createDirectory(streamDir)
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("docs.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/documents.parquet").toAbsolutePath)
+      val stream = spark.readStream.schema(docs.schema)
+        .parquet(streamDir.toString)
+        .withColumn("ts",
+          timestamp_seconds(lit(1704103200L) + col("doc_id") * 5))
+      val q = Pipeline.curatedIntake(stream, rates, "ts")
+        .writeStream.format("parquet")
+        .option("path", s"$curBase/out")
+        .option("checkpointLocation", s"$curBase/chk")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      println("=== curated intake: admitted per source ===")
+      spark.read.parquet(s"$curBase/out")
+        .groupBy("source")
+        .agg(count(lit(1)).as("admitted"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy("source")
+        .show(30, truncate = false)
+      spark.stop()
+      return
+    }
 
     val base = java.nio.file.Files.createTempDirectory("graft_demo")
     val (src, out, chk) = (s"$base/src", s"$base/out", s"$base/chk")
