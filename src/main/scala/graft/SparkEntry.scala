@@ -138,7 +138,12 @@ object SparkEntry {
     "q89_label_purity" -> ((s, d) => Similarity.labelPurity(s, d)),
     // multilingual tokenizer fairness: chars/token by lang vs the corpus
     // rate, exact integer cross-ratio in basis points
-    "q90_tokenizer_fairness" -> ((s, d) => TextAnalysis.tokenizerFairness(s, d))
+    "q90_tokenizer_fairness" -> ((s, d) => TextAnalysis.tokenizerFairness(s, d)),
+    // contrastive positives: near-dup components -> star (anchor, member)
+    // pairs, audited per anchor lang
+    "q91_contrastive_pairs" -> ((s, d) => Dedup.contrastivePairs(s, d)),
+    // hard negatives: LSH-bucket collisions BELOW the dedup threshold
+    "q92_hard_negatives" -> ((s, d) => Dedup.hardNegatives(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,6 +240,8 @@ object SparkEntry {
     "q87_boilerplate_share" -> TextAnalysis.boilerplateShareSql(),
     "q88_context_frontier" -> Packing.contextFrontierSql(),
     "q89_label_purity" -> Similarity.labelPuritySql,
-    "q90_tokenizer_fairness" -> TextAnalysis.tokenizerFairnessSql
+    "q90_tokenizer_fairness" -> TextAnalysis.tokenizerFairnessSql,
+    "q91_contrastive_pairs" -> Dedup.contrastivePairsSql(),
+    "q92_hard_negatives" -> Dedup.hardNegativesSql()
   )
 }

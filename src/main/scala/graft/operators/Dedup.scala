@@ -725,4 +725,126 @@ object Dedup {
        |FROM (SELECT label, count(*) AS cluster_size
        |      FROM l$rounds GROUP BY label)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  // ---- X20: contrastive-pair extraction (q91) -----------------------------
+
+  /** X20 contrastive positive-pair extraction (q91): every near-dup
+    * component yields (anchor = component-min doc_id, positive = each
+    * other member) — the star-shaped positive pairs an embedding model
+    * trains on (near-dup text ≈ label-free positives). Audited per
+    * anchor language: anchors, pairs, and the largest per-anchor fan-out
+    * (a runaway template cluster shows up here before it skews a
+    * training epoch).
+    *
+    * Scale posture: pairs are component members minus one per component —
+    * LINEAR in corpus size (the star never materializes member×member);
+    * reuses the PlanCache'd label propagation (one chain shared with
+    * q64), and the only new shuffles are keyed on anchor_id/doc_id. */
+  def contrastivePairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val pa = dedupClusterAssignments(spark, dir, threshold, rounds)
+      .filter(col("doc_id") =!= col("label"))
+      .groupBy(col("label").as("anchor_id")).agg(count(lit(1)).as("ppa"))
+    pa.join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("anchor_id"), col("lang")), Seq("anchor_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(col("ppa")).as("n_pairs"),
+        max(col("ppa")).as("max_pairs_per_anchor"))
+      .orderBy(col("lang"))
+  }
+
+  def contrastivePairsSql(threshold: Double = 0.5, rounds: Int = 6): String =
+    s"""WITH ${labelPropagationCtes(threshold, rounds)}, pa AS (
+       |  SELECT label AS anchor_id, count(*)::BIGINT AS ppa
+       |  FROM l$rounds WHERE doc_id <> label GROUP BY label
+       |)
+       |SELECT d.lang, count(*)::BIGINT AS n_anchors,
+       |  sum(pa.ppa)::BIGINT AS n_pairs,
+       |  max(pa.ppa)::BIGINT AS max_pairs_per_anchor
+       |FROM pa JOIN documents d ON d.doc_id = pa.anchor_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---- X20+: hard-negative mining (q92) -----------------------------------
+
+  /** Sub-band width of the hard-negative MINING probe: 2 minhash rows
+    * per key (8 sub-bands over k=16) — deliberately recall-heavier than
+    * the dedup banding's 4-row precision keys, because mining wants
+    * pairs that barely collide. At the dedup resolution the
+    * below-threshold family is EMPTY at every test SF (colliding pairs
+    * are all genuine near-dups). */
+  val HnSubRows = 2
+
+  /** X20+ hard-negative mining (q92): pairs that collide in some 2-row
+    * sub-band yet estimate BELOW the dedup threshold — lexically close
+    * enough to share a mining bucket, textually distinct enough to
+    * train against (the hard negatives of a contrastive recipe; random
+    * negatives are too easy). Audited per doc_a language: pair count
+    * and the exact mean/max estimated Jaccard (each estimate is i/16 —
+    * binary-exact, so even the SUM is float-safe cross-engine).
+    *
+    * Scale posture: signatures come from the PlanCache'd table shared
+    * with q20/q54/q64 (one minhash pass per session); the sub-band
+    * explode is a bounded 8× fan-out of 8-byte-ish keys; the self-join
+    * is equi on (band, sig). Looser keys mean denser buckets, so at
+    * 100 TB the q25 [[MaxBucket]]-style degenerate-bucket guard (or the
+    * sig-group collapse above) is the knob to apply to THIS resolution;
+    * at bench SF bucket sizes stay trivial. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    below: Double = 0.5): DataFrame = {
+    val hnBands = kMinhash / HnSubRows
+    val b = signatures(spark, dir)
+      .select(col("doc_id"), col("mh"),
+        explode(sequence(lit(0), lit(hnBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        array_join(slice(col("mh"), col("band") * HnSubRows + 1,
+          lit(HnSubRows)), "_").as("sig"), col("mh"))
+    val est = aggregate(
+      zip_with(col("x.mh"), col("y.mh"),
+        (u, v) => when(u === v, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v) / lit(kMinhash.toDouble)
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(est, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") < below)
+    pairs.join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("doc_a"), col("lang")), Seq("doc_a"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("est_jaccard")) / count(lit(1)), 6).as("avg_est"),
+        max(col("est_jaccard")).as("max_est"))
+      .orderBy(col("lang"))
+  }
+
+  def hardNegativesSql(below: Double = 0.5): String = {
+    val hnBands = kMinhash / HnSubRows
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b,
+       |    array_to_string(mh[b*$HnSubRows+1 : b*$HnSubRows+$HnSubRows], '_') AS sig,
+       |    mh
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $hnBands)) AS b)
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    round(list_sum([CASE WHEN x.mh[i+1] = y.mh[i+1] THEN 1 ELSE 0 END
+       |                    for i in range(0, $kMinhash)]) / $kMinhash.0, 4)
+       |      AS est_jaccard
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |)
+       |SELECT d.lang, count(*)::BIGINT AS n_pairs,
+       |  round(sum(est_jaccard) / count(*), 6) AS avg_est,
+       |  max(est_jaccard) AS max_est
+       |FROM pairs JOIN documents d ON d.doc_id = pairs.doc_a
+       |WHERE est_jaccard < $below
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
 }

@@ -248,4 +248,31 @@ class DedupSpec extends SparkSpec {
       assert(id >= 1000000L && id < 2000000L && (id - 1000000L) % 7 == 0)
     }
   }
+
+  test("contrastive pairs: star pair count equals the cluster histogram's members-minus-anchors") {
+    val pairs = graft.operators.Dedup.contrastivePairs(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    val nPairs = pairs.map(_.getAs[Long]("n_pairs")).sum
+    // every multi-member component of size s contributes exactly s-1
+    // star pairs, so the totals must reconcile with the q64 histogram
+    val hist = graft.operators.Dedup.dedupClusters(spark, sf0001).collect()
+    val expected = hist.filter(_.getAs[Long]("cluster_size") > 1L)
+      .map(r => r.getAs[Long]("n_clusters") * (r.getAs[Long]("cluster_size") - 1)).sum
+    assert(nPairs == expected, s"star pairs $nPairs vs histogram $expected")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("n_anchors") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("max_pairs_per_anchor") >= 1L)
+    }
+  }
+
+  test("hard negatives: mined pairs all estimate strictly below the dedup threshold") {
+    val rows = graft.operators.Dedup.hardNegatives(spark, sf0001).collect()
+    assert(rows.nonEmpty, "the 2-row mining probe must surface sub-threshold pairs")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") > 0L)
+      assert(r.getAs[Double]("max_est") < 0.5)
+      assert(r.getAs[Double]("avg_est") <= r.getAs[Double]("max_est"))
+      assert(r.getAs[Double]("avg_est") >= 0.0)
+    }
+  }
 }
