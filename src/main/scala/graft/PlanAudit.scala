@@ -62,7 +62,10 @@ object PlanAudit {
     // the audited IVF-assignment shape (q37/q48)
     "q89_label_purity",
     // q90 crossJoins the broadcast SINGLE-ROW corpus-total scalar
-    "q90_tokenizer_fairness")
+    "q90_tokenizer_fairness",
+    // q93 composes q23 (3-row query-set cross) + q37/q48 (centroid-table
+    // cross) — every BNLJ side is one of those audited tiny tables
+    "q93_ann_recall")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

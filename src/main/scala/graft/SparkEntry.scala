@@ -143,7 +143,9 @@ object SparkEntry {
     // pairs, audited per anchor lang
     "q91_contrastive_pairs" -> ((s, d) => Dedup.contrastivePairs(s, d)),
     // hard negatives: LSH-bucket collisions BELOW the dedup threshold
-    "q92_hard_negatives" -> ((s, d) => Dedup.hardNegatives(s, d))
+    "q92_hard_negatives" -> ((s, d) => Dedup.hardNegatives(s, d)),
+    // index quality: recall@k of IVF (nprobe 1 and 2) vs exact top-k
+    "q93_ann_recall" -> ((s, d) => Similarity.annRecall(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,6 +244,7 @@ object SparkEntry {
     "q89_label_purity" -> Similarity.labelPuritySql,
     "q90_tokenizer_fairness" -> TextAnalysis.tokenizerFairnessSql,
     "q91_contrastive_pairs" -> Dedup.contrastivePairsSql(),
-    "q92_hard_negatives" -> Dedup.hardNegativesSql()
+    "q92_hard_negatives" -> Dedup.hardNegativesSql(),
+    "q93_ann_recall" -> Similarity.annRecallSql()
   )
 }

@@ -378,6 +378,54 @@ object Similarity {
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin
 
+  // ---- X21: ANN index-quality audit (q93) ---------------------------------
+
+  /** X21 ANN recall@k audit (q93): for every query, the fraction of the
+    * exact cosine top-k ([[cosineTopK]]) that the IVF index returns —
+    * at nprobe=1 ([[ivfTopK]]) and nprobe=`nprobe`
+    * ([[ivfMultiProbeTopK]]) — the index-quality measurement a
+    * production ANN deployment tracks before trading recall for probe
+    * cost. Multi-probe candidate lists are supersets of single-probe
+    * lists, so recall is non-decreasing in nprobe (spec-asserted).
+    *
+    * Scale posture: composes three already-audited plans (brute-force
+    * scan-once ranking + the shared PlanCache'd IVF assignment); the
+    * recall join is keyed on (query_id, vec_id) over 3·k·|queries| rows
+    * — audit-sized. At 100 TB the exact side is the expensive leg; a
+    * deployment runs it over a SAMPLED query set, which is exactly what
+    * the fixed [[QueryIds]] probe set models. */
+  def annRecall(spark: SparkSession, dir: String,
+                k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val exact = cosineTopK(spark, dir, k).select(col("query_id"), col("vec_id"))
+    def recallOf(approx: DataFrame, index: String): DataFrame =
+      exact.join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(lit(index).as("index_kind"), col("query_id"), col("k"),
+          col("n_hit"),
+          round(col("n_hit") / col("k").cast("double"), 6).as("recall"))
+    recallOf(ivfTopK(spark, dir, k), "ivf_nprobe1")
+      .unionByName(recallOf(ivfMultiProbeTopK(spark, dir, k, nprobe),
+        s"ivf_nprobe$nprobe"))
+      .orderBy(col("index_kind"), col("query_id"))
+  }
+
+  def annRecallSql(k: Int = 10, nprobe: Int = 2): String = {
+    def leg(approxSql: String, index: String): String =
+      s"""SELECT '$index' AS index_kind, e.query_id, count(*)::BIGINT AS k,
+         |  count(a.vec_id)::BIGINT AS n_hit,
+         |  round(count(a.vec_id) / count(*)::DOUBLE, 6) AS recall
+         |FROM (${cosineTopKSql(k)}) e LEFT JOIN ($approxSql) a
+         |  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+         |GROUP BY e.query_id""".stripMargin
+    s"""${leg(ivfTopKSql(k), "ivf_nprobe1")}
+       |UNION ALL
+       |${leg(ivfMultiProbeTopKSql(k, nprobe), s"ivf_nprobe$nprobe")}
+       |ORDER BY index_kind, query_id""".stripMargin
+  }
+
   // ---- X18: label-purity audit (q89) --------------------------------------
 
   /** X18 embedding label-purity audit (q89): for every vector, cosine to

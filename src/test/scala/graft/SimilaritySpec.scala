@@ -206,6 +206,28 @@ class SimilaritySpec extends SparkSpec {
     assert(unguarded.head.getAs[Long]("n_shards") == 1L)
   }
 
+  test("ann recall audit: valid ratios, non-decreasing in nprobe, exhaustive probe is exact") {
+    val rows = Similarity.annRecall(spark, sf0001).collect()
+    val byKind = rows.groupBy(_.getAs[String]("index_kind"))
+    assert(byKind.keySet == Set("ivf_nprobe1", "ivf_nprobe2"))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k"); val hit = r.getAs[Long]("n_hit")
+      assert(k == 10L && hit >= 0L && hit <= k)
+      assert(math.abs(r.getAs[Double]("recall") - hit.toDouble / k) < 1e-6)
+    }
+    // multi-probe candidate lists are supersets: recall never drops
+    val r1 = byKind("ivf_nprobe1").map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    byKind("ivf_nprobe2").foreach { r =>
+      assert(r.getAs[Double]("recall") >= r1(r.getAs[Long]("query_id")))
+    }
+    // probing every centroid IS brute force: recall must be exactly 1
+    val full = Similarity.annRecall(spark, sf0001,
+        nprobe = Similarity.KmClusters).collect()
+      .filter(_.getAs[String]("index_kind") != "ivf_nprobe1")
+    assert(full.nonEmpty && full.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
   test("label purity: partitions the corpus, margins consistent with misalignment") {
     val rows = Similarity.labelPurity(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
