@@ -145,7 +145,9 @@ object SparkEntry {
     // hard negatives: LSH-bucket collisions BELOW the dedup threshold
     "q92_hard_negatives" -> ((s, d) => Dedup.hardNegatives(s, d)),
     // index quality: recall@k of IVF (nprobe 1 and 2) vs exact top-k
-    "q93_ann_recall" -> ((s, d) => Similarity.annRecall(s, d))
+    "q93_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // leakage: near-dup components straddling the train/val/test cut
+    "q94_split_leakage" -> ((s, d) => Curation.splitLeakage(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,6 +247,7 @@ object SparkEntry {
     "q90_tokenizer_fairness" -> TextAnalysis.tokenizerFairnessSql,
     "q91_contrastive_pairs" -> Dedup.contrastivePairsSql(),
     "q92_hard_negatives" -> Dedup.hardNegativesSql(),
-    "q93_ann_recall" -> Similarity.annRecallSql()
+    "q93_ann_recall" -> Similarity.annRecallSql(),
+    "q94_split_leakage" -> Curation.splitLeakageSql()
   )
 }

@@ -57,6 +57,63 @@ object Curation {
        |      ${TextHash.h1Sql("text")} % 100 AS hmod FROM documents)
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** X22 split-leakage audit (q94): near-dup components that straddle a
+    * train/val/test boundary — the classic contamination pitfall
+    * [[splitAssign]] alone cannot prevent: EXACT duplicates share a
+    * split by construction (same text, same hash), but a NEAR-duplicate
+    * pair can hash apart, putting a test document's sibling in train.
+    * Per component-anchor language: multi-member components, leaky ones
+    * (spanning >1 split), documents inside leaky components, and the
+    * leak rate. A dedup-aware split assigns per COMPONENT (hash the
+    * anchor, not the member) — this audit is the evidence for that fix.
+    *
+    * Scale posture: reuses the PlanCache'd label propagation (shared
+    * with q64/q91); everything added is keyed joins on doc_id/label and
+    * a component-sized rollup — no new corpus-sized shuffle beyond the
+    * split projection. */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), splitAssign(col("text")).as("split"))
+    val comp = Dedup.dedupClusterAssignments(spark, dir, threshold, rounds)
+      .join(s, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("split")).as("n_splits"))
+    comp.join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("label"), col("lang")), Seq("label"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaky"),
+        sum(when(col("n_splits") > 1, col("n_members")).otherwise(lit(0L)))
+          .as("n_docs_leaky"))
+      .select(col("lang"), col("n_components"), col("n_leaky"),
+        col("n_docs_leaky"),
+        round(col("n_leaky").cast("double") / col("n_components"), 6)
+          .as("leak_rate"))
+      .orderBy(col("lang"))
+  }
+
+  def splitLeakageSql(threshold: Double = 0.5, rounds: Int = 6): String =
+    s"""WITH ${Dedup.labelPropagationCtes(threshold, rounds)}, s AS (
+       |  SELECT doc_id, ${splitAssignSql("hmod")} AS split
+       |  FROM (SELECT doc_id, ${TextHash.h1Sql("text")} % 100 AS hmod
+       |        FROM documents)
+       |), comp AS (
+       |  SELECT l.label, count(*)::BIGINT AS n_members,
+       |    count(DISTINCT s.split)::BIGINT AS n_splits
+       |  FROM l$rounds l JOIN s ON s.doc_id = l.doc_id
+       |  GROUP BY l.label HAVING count(*) > 1
+       |)
+       |SELECT d.lang, count(*)::BIGINT AS n_components,
+       |  sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaky,
+       |  sum(CASE WHEN n_splits > 1 THEN n_members ELSE 0 END)::BIGINT
+       |    AS n_docs_leaky,
+       |  round(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+       |    / count(*)::DOUBLE, 6) AS leak_rate
+       |FROM comp JOIN documents d ON d.doc_id = comp.label
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Stratified k-fold assignment for cross-validation: content-hash mod
     * k (same determinism/dup-cohesion argument as [[trainSplit]] — exact
     * duplicates always share a fold, so no fold ever trains on another

@@ -316,4 +316,32 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(f("src0").getAs[Double]("rate") - 500.0 * 0.08 / 90.0) < 1e-6)
     assert(f("src0").getAs[Long]("n_sampled") < 90L)
   }
+
+  test("split leakage: near-dup components can straddle splits, exact dups never do") {
+    import spark.implicits._
+    val rows = Curation.splitLeakage(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nc = r.getAs[Long]("n_components"); val nl = r.getAs[Long]("n_leaky")
+      assert(nl <= nc)
+      // a leaky component has at least one member on each side of a cut
+      assert(r.getAs[Long]("n_docs_leaky") >= 2 * nl)
+      assert(math.abs(r.getAs[Double]("leak_rate") - nl.toDouble / nc) < 1e-6)
+    }
+    // the hash split DOES leak near-dup siblings on the real corpus —
+    // the finding that motivates component-anchored split assignment
+    assert(rows.map(_.getAs[Long]("n_leaky")).sum > 0)
+    // exact duplicates share text, hash, and therefore split: a twin-only
+    // corpus has components but can never leak
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8"
+    Seq((1L, t, "en", "src0"), (2L, t, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = Curation.splitLeakage(spark, dir).collect()
+    assert(f.length == 1)
+    assert(f.head.getAs[Long]("n_components") == 1L)
+    assert(f.head.getAs[Long]("n_leaky") == 0L)
+  }
 }
