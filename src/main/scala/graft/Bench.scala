@@ -54,16 +54,37 @@ object Bench {
     // a steady-state reference: contention only ever inflates times.
     val historyPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "/root/repo/BENCH_HISTORY.json")
-    val history: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
+    val historyTxt: String = try {
+      new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(historyPath)),
         java.nio.charset.StandardCharsets.UTF_8)
-      // flat {"name": seconds, ...} — no nesting, a regex scan is exact;
-      // "_"-prefixed keys are metadata (e.g. _protocol), not query times
-      "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        .filter { case (k, _) => !k.startsWith("_") }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => "" }
+    // Which protocol produced the stored mins. Times measured under a
+    // different protocol are NOT comparable (v2 gains warm-cache stream
+    // passes + end-of-run re-queue), so min-merging them under the current
+    // label would fabricate protocol-2 minima out of protocol-1 runs —
+    // on mismatch the old entries are dropped, not merged.
+    val histProtocol: Int =
+      "\"_protocol\"\\s*:\\s*([0-9]+)".r.findFirstMatchIn(historyTxt)
+        .map(_.group(1).toInt).getOrElse(1)
+    val history: Map[String, Double] =
+      if (histProtocol != Protocol) Map.empty
+      else {
+        // flat {"name": seconds, ...} — no nesting, a regex scan is exact;
+        // "_"-prefixed keys are metadata (e.g. _protocol), not query times
+        "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(historyTxt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .filter { case (k, _) => !k.startsWith("_") }
+      }
+    // Round-over-round streaming-throughput series (docs/s, one entry per
+    // bench run under the current protocol) so throughput regressions are
+    // mechanically diffable like query times.
+    val oldStreamSeries: List[Double] =
+      if (histProtocol != Protocol) Nil
+      else "\"_stream_series\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(historyTxt).map(_.group(1)).toList
+        .flatMap(_.split(",").toList.map(_.trim).filter(_.nonEmpty)
+          .flatMap(_.toDoubleOption))
     // A pass that starts while the 1-min load average exceeds this is
     // suspect: r6's five inflated queries all ran inside one load window
     // (load_avg 3.42 from the driver's own tooling). On an otherwise-idle
@@ -207,9 +228,11 @@ object Bench {
     // interleaved there, a regex reader picked up RAW first-pass times
     // (r5's q38 read as 15.5 s when its robust time was 0.71 s). The raw
     // first-pass map is diagnostic, so it lives only in the local file.
-    // Summary scalars come BEFORE the 80+-entry per-query map: r7's
-    // driver artifact truncated mid-map and lost every total that
-    // trailed it — leading totals survive any tail cut.
+    // NOTE: the driver keeps a byte-TAIL (2000 B in r8) of stdout, so this
+    // full line's HEAD — the summary scalars — is exactly what a tail cut
+    // removes (BENCH_r06..r08 all shipped parsed:null that way). The
+    // compact summary line printed LAST (below, after all file writes)
+    // is what the tail window is guaranteed to carry.
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",$common,"queries":$qs}"""
     // per-pass forensics (local file only): start epoch-ms + load at each
@@ -242,14 +265,28 @@ object Bench {
         }
       }
       // _protocol marks which measurement protocol produced these mins —
-      // v1-era times (pre-r7 single-pass stream) are not directly
-      // comparable; the "_" prefix keeps it out of the query-time scan
-      val hist = (s"\"_protocol\":$Protocol" +:
+      // entries from a different protocol were already dropped at read
+      // time, so everything written here is measured under $Protocol; the
+      // "_" prefix keeps metadata out of the query-time scan
+      val streamSeries = if (streamRps >= 0) oldStreamSeries :+ streamRps
+                         else oldStreamSeries
+      val hist = (List(s"\"_protocol\":$Protocol",
+        s"\"_stream_docs_per_sec\":${if (streamSeries.nonEmpty) streamSeries.max else -1.0}",
+        s"\"_stream_series\":${streamSeries.mkString("[", ",", "]")}") ++
         merged.map { case (k, v) => "\"" + k + "\":" + v })
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(historyPath),
         (hist + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"bench: could not write $historyPath: $e") }
+    // LAST stdout line: a compact summary-only twin of the full line above
+    // (~400 B — fits any tail window with room for the sbt epilogue). The
+    // driver keeps the TAIL of stdout; three rounds of artifacts shipped
+    // parsed:null because the only totals ever printed sat at the head of
+    // a >4 KB line. Same "metric"/"value"/"unit" contract shape; the
+    // per-query map lives in the full line above and in BENCH_LOCAL.json.
+    val summaryLine =
+      s"""{"metric":"total","value":$total,"unit":"sec",$common,"queries_full_map_in":"BENCH_LOCAL.json"}"""
+    println(summaryLine)
     PlanCache.clear(spark)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

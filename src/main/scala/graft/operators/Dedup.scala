@@ -775,6 +775,22 @@ object Dedup {
     * are all genuine near-dups). */
   val HnSubRows = 2
 
+  /** Sub-band rows the q92 self-join actually sees: one row per
+    * signature-GROUP representative per sub-band (see [[sigGroups]]) —
+    * NOT one per document. Split out as a seam so the degenerate-bucket
+    * spec can assert the join-input cardinality is O(groups·bands)
+    * regardless of how many copies a boilerplate group holds. */
+  private[graft] def hnBandedReps(spark: SparkSession, dir: String): DataFrame = {
+    val hnBands = kMinhash / HnSubRows
+    sigGroups(spark, dir)
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("mh"),
+        explode(sequence(lit(0), lit(hnBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        array_join(slice(col("mh"), col("band") * HnSubRows + 1,
+          lit(HnSubRows)), "_").as("sig"), col("mh"))
+  }
+
   /** X20+ hard-negative mining (q92): pairs that collide in some 2-row
     * sub-band yet estimate BELOW the dedup threshold — lexically close
     * enough to share a mining bucket, textually distinct enough to
@@ -786,30 +802,44 @@ object Dedup {
     * Scale posture: signatures come from the PlanCache'd table shared
     * with q20/q54/q64 (one minhash pass per session); the sub-band
     * explode is a bounded 8× fan-out of 8-byte-ish keys; the self-join
-    * is equi on (band, sig). Looser keys mean denser buckets, so at
-    * 100 TB the q25 [[MaxBucket]]-style degenerate-bucket guard (or the
-    * sig-group collapse above) is the knob to apply to THIS resolution;
-    * at bench SF bucket sizes stay trivial. */
+    * is equi on (band, sig) over signature-group REPRESENTATIVES
+    * ([[hnBandedReps]]), then rep pairs expand to member pairs through
+    * the tiny membership table. The looser 2-row keys make dense
+    * buckets MORE likely than at the dedup resolution, which is exactly
+    * why the collapse matters here: a d-copy boilerplate group would
+    * otherwise collide in all 8 sub-bands and materialize 8·C(d,2) join
+    * rows that the `est < below` filter then throws away. The collapse
+    * is LOSSLESS at this resolution (unlike a [[Similarity.MaxBucket]]
+    * cap): signature-identical pairs estimate exactly 1.0, so for any
+    * below ≤ 1 they can never be hard negatives, and cross-group member
+    * pairs carry their reps' (identical) signatures, hence their reps'
+    * estimate. The rep-level `est < below` filter runs BEFORE member
+    * expansion, so near-dup-heavy buckets never fan out at all. */
   def hardNegatives(spark: SparkSession, dir: String,
                     below: Double = 0.5): DataFrame = {
-    val hnBands = kMinhash / HnSubRows
-    val b = signatures(spark, dir)
-      .select(col("doc_id"), col("mh"),
-        explode(sequence(lit(0), lit(hnBands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        array_join(slice(col("mh"), col("band") * HnSubRows + 1,
-          lit(HnSubRows)), "_").as("sig"), col("mh"))
+    require(below <= 1.0,
+      s"hardNegatives: below=$below — sig-identical pairs (est 1.0) are " +
+        "collapsed pre-join, which is only lossless for below <= 1.0")
+    val b = hnBandedReps(spark, dir)
     val est = aggregate(
       zip_with(col("x.mh"), col("y.mh"),
         (u, v) => when(u === v, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v) / lit(kMinhash.toDouble)
-    val pairs = b.as("x").join(b.as("y"),
+    val repPairs = b.as("x").join(b.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      .select(col("x.doc_id").as("ra"), col("y.doc_id").as("rb"),
         round(est, 4).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") < below)
+    val members = sigGroups(spark, dir).select(col("rep"), col("doc_id"))
+    val pairs = repPairs
+      .join(members.select(col("rep").as("ra"), col("doc_id").as("ida")), Seq("ra"))
+      .join(members.select(col("rep").as("rb"), col("doc_id").as("idb")), Seq("rb"))
+      // members of two different sig-groups interleave arbitrarily in
+      // doc_id even though ra < rb, so re-orient each expanded pair
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("est_jaccard"))
     pairs.join(Tables.documents(spark, dir)
         .select(col("doc_id").as("doc_a"), col("lang")), Seq("doc_a"))
       .groupBy(col("lang"))

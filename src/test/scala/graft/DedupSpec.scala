@@ -275,4 +275,59 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_est") >= 0.0)
     }
   }
+
+  test("hard-negative guard: d-copy group enters the sub-band join once; output matches the naive member-level mining") {
+    val boiler = "spam spam lovely spam wonderful spam spam spam lovely spam again ok"
+    val other = "a completely different document about quantum chromodynamics lattices here"
+    // partial-overlap docs: share a long prefix with boiler (so some 2-row
+    // sub-band collides) but diverge enough to estimate below 0.5 — the
+    // hard-negative shape the probe exists to mine
+    val mixed = (0 until 6).map(i =>
+      s"spam spam lovely spam wonderful spam topic$i diverges entirely here " +
+        s"with extra$i trailing material$i now")
+    val rows = (0L until 100L).map(i => i -> boiler) ++
+      Seq(100L -> other, 101L -> other) ++
+      mixed.zipWithIndex.map { case (t, i) => (300L + i) -> t }
+    val dir = docsDir(rows)
+    val g = Dedup.sigGroups(spark, dir)
+    val nReps = g.filter(col("doc_id") === col("rep")).count()
+    // 100-copy boiler collapses to one rep; other's 2 copies to one
+    assert(nReps == 2 + mixed.length,
+      s"reps=$nReps — fixture groups changed")
+    val bandsPerDoc = g.select(size(col("mh"))).first().getInt(0) / Dedup.HnSubRows
+    // the join INPUT is one row per rep per sub-band — independent of the
+    // boiler group's 100 members (the quadratic exposure this guards)
+    assert(Dedup.hnBandedReps(spark, dir).count() == nReps * bandsPerDoc)
+    // losslessness: the guarded output must equal the naive member-level
+    // formulation (every doc banded, no collapse) aggregated identically
+    val sig = g.select(col("doc_id"), col("mh"))
+    val b = sig.select(col("doc_id"), col("mh"),
+        explode(sequence(lit(0), lit(bandsPerDoc - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        array_join(slice(col("mh"), col("band") * Dedup.HnSubRows + 1,
+          lit(Dedup.HnSubRows)), "_").as("sig"), col("mh"))
+    val k = bandsPerDoc * Dedup.HnSubRows
+    val est = aggregate(
+      zip_with(col("x.mh"), col("y.mh"),
+        (u, v) => when(u === v, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v) / lit(k.toDouble)
+    val naive = b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(est, 4).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") < 0.5)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("est_jaccard")) / count(lit(1)), 6).as("avg_est"),
+        max(col("est_jaccard")).as("max_est"))
+      .first()
+    assert(naive.getAs[Long]("n_pairs") > 0L,
+      "fixture produced no sub-threshold collisions — overlap too weak to exercise the guard")
+    val guarded = Dedup.hardNegatives(spark, dir).collect()
+    assert(guarded.length == 1) // fixture is all-"en"
+    assert(guarded(0).getAs[Long]("n_pairs") == naive.getAs[Long]("n_pairs"))
+    assert(guarded(0).getAs[Double]("avg_est") == naive.getAs[Double]("avg_est"))
+    assert(guarded(0).getAs[Double]("max_est") == naive.getAs[Double]("max_est"))
+  }
 }
