@@ -80,6 +80,11 @@ object Curation {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"),
         countDistinct(col("split")).as("n_splits"))
+      // exact twin of the oracle's HAVING count(*) > 1: a no-op when label
+      // propagation has fully converged (assignments are members-only), but
+      // a chain whose min-label eccentricity exceeds `rounds` leaves size-1
+      // label groups that would otherwise inflate n_components Spark-side
+      .filter(col("n_members") > 1)
     comp.join(Tables.documents(spark, dir)
         .select(col("doc_id").as("label"), col("lang")), Seq("label"))
       .groupBy(col("lang"))

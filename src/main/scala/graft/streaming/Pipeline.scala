@@ -143,11 +143,11 @@ object Pipeline {
     *  - `SourceSpec("socket", options = host/port)` — line transport;
     *  - `SourceSpec("rate", …)` — synthetic load (adapt rows to payloads);
     *  - production swap-ins (connector jars, not shipped here):
-    *    `SourceSpec("kafka", options = Map("kafka.bootstrap.servers" -> …,
-    *    "subscribe" -> topic), payloadCol = "value")` or the Kinesis
-    *    connector's format with `payloadCol = "data"` — both deliver raw
-    *    bytes in a column, which [[tweetsFromPayload]] parses exactly like
-    *    socket lines. Nothing else in the pipeline changes.
+    *    [[SourceSpec.kafka]] (`payloadCol = "value"`) or
+    *    [[SourceSpec.kinesis]] (`payloadCol = "data"` — the reference's
+    *    actual transport) — both deliver raw bytes in a column, which
+    *    [[tweetsFromPayload]] parses exactly like socket lines. Nothing
+    *    else in the pipeline changes.
     */
   case class SourceSpec(format: String,
                         path: Option[String] = None,
@@ -205,6 +205,74 @@ object Pipeline {
         maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
         authPrefixed ++ extra,
         payloadCol = "value")
+    }
+
+    /** The Kinesis binding of the S1 transport seam — the reference's
+      * ACTUAL transport (`stream_processor.py:269-354`; the
+      * KinesisStreamAsSource branch at `:335-345` wires the Firehose
+      * delivery stream to the shard iterator this consumer reads). As
+      * with [[kafka]], the connector jar (the open-source
+      * spark-sql-kinesis connector, `format("kinesis")`) is not shipped
+      * in this sandbox, so the translation is pure and unit-gated
+      * (StreamingSpec); the manual recipe is one `--packages` line plus:
+      *
+      * {{{
+      * readTweets(spark, SourceSpec.kinesis("tweet-firehose", "us-east-1"))
+      * }}}
+      *
+      * Kinesis delivers the record payload as `data: binary` — the same
+      * base64-decoded bytes the reference's lambda re-encodes
+      * (`lambda_function.py`) — and [[tweetsFromPayload]] casts + parses
+      * it with the corrupt-record side channel; nothing downstream of the
+      * seam changes.
+      *
+      * @param streamName the Kinesis stream (Firehose delivery target)
+      * @param region AWS region; the connector derives the endpoint from
+      *        it unless `endpointUrl` overrides (e.g. a localstack URL —
+      *        how this binding is integration-tested without AWS)
+      * @param startingPosition "latest" (tail the live stream — the
+      *        reference's behavior), "trim_horizon" (oldest retained), or
+      *        "earliest" (alias); checkpointed restarts IGNORE this and
+      *        resume from committed shard sequence numbers, same
+      *        exactly-once contract as the kafka binding.
+      * @param credentials access keys passed through to the connector
+      *        (`awsAccessKeyId`/`awsSecretKey` or bare `accessKeyId`/
+      *        `secretKey` accepted); empty → the connector falls back to
+      *        the default AWS provider chain (instance profile / env),
+      *        which is the production posture — keys in option maps are a
+      *        localstack/test convenience.
+      * @param maxFetchRecordsPerShard per-shard per-fetch record cap —
+      *        the backpressure knob (T6), the role maxOffsetsPerTrigger
+      *        plays for kafka and maxFilesPerTrigger for file replay. */
+    def kinesis(streamName: String, region: String,
+                endpointUrl: Option[String] = None,
+                startingPosition: String = "latest",
+                credentials: Map[String, String] = Map.empty,
+                maxFetchRecordsPerShard: Option[Long] = None,
+                extra: Map[String, String] = Map.empty): SourceSpec = {
+      require(streamName.nonEmpty, "kinesis: streamName must be non-empty")
+      require(region.nonEmpty, "kinesis: region must be non-empty")
+      val pos = startingPosition.toLowerCase match {
+        case "latest"                    => "latest"
+        case "trim_horizon" | "earliest" => "trim_horizon"
+        case other => throw new IllegalArgumentException(
+          s"kinesis: startingPosition '$other' (want latest|trim_horizon|earliest)")
+      }
+      // connector expects awsAccessKeyId/awsSecretKey; accept bare names
+      val creds = credentials.map {
+        case ("accessKeyId", v) => "awsAccessKeyId" -> v
+        case ("secretKey", v)   => "awsSecretKey" -> v
+        case kv                 => kv
+      }
+      SourceSpec("kinesis", options = Map(
+        "streamName" -> streamName,
+        "region" -> region,
+        "startingPosition" -> pos) ++
+        endpointUrl.map("endpointUrl" -> _) ++
+        maxFetchRecordsPerShard.map(
+          "kinesis.executor.maxFetchRecordsPerShard" -> _.toString) ++
+        creds ++ extra,
+        payloadCol = "data")
     }
 
     /** SASL/PLAIN credentials as a [[kafka]] `auth` map (SCRAM variants:

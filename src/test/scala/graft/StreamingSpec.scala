@@ -775,6 +775,52 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](SourceSpec.kafka("b:9092", ""))
   }
 
+  test("kinesis SourceSpec builds the connector option map (S1, the reference's actual transport)") {
+    import graft.streaming.Pipeline.SourceSpec
+    val spec = SourceSpec.kinesis("tweet-firehose", "us-east-1",
+      startingPosition = "TRIM_HORIZON",
+      credentials = Map("accessKeyId" -> "AK", "secretKey" -> "SK"),
+      maxFetchRecordsPerShard = Some(25000L),
+      extra = Map("kinesis.executor.maxFetchTimeInMs" -> "2000"))
+    // payload arrives in `data: binary` (the connector's record column),
+    // not kafka's `value` — the only per-transport difference at the seam
+    assert(spec.format == "kinesis" && spec.payloadCol == "data" &&
+      spec.path.isEmpty)
+    assert(spec.options("streamName") == "tweet-firehose")
+    assert(spec.options("region") == "us-east-1")
+    assert(spec.options("startingPosition") == "trim_horizon")
+    assert(!spec.options.contains("endpointUrl"),
+      "endpoint derives from region unless explicitly overridden")
+    // T6 backpressure knob, the maxOffsetsPerTrigger twin
+    assert(spec.options("kinesis.executor.maxFetchRecordsPerShard") == "25000")
+    assert(spec.options("kinesis.executor.maxFetchTimeInMs") == "2000")
+    // bare credential names normalize to the connector's option names
+    assert(spec.options("awsAccessKeyId") == "AK")
+    assert(spec.options("awsSecretKey") == "SK")
+    // defaults: tail the live stream (the reference's shard-iterator
+    // behavior), provider-chain credentials (no key options at all)
+    val prod = SourceSpec.kinesis("s", "eu-west-1")
+    assert(prod.options("startingPosition") == "latest")
+    assert(!prod.options.keys.exists(_.toLowerCase.contains("key")))
+    // localstack-style endpoint override passes through verbatim
+    val local = SourceSpec.kinesis("s", "r",
+      endpointUrl = Some("http://localhost:4566"),
+      startingPosition = "earliest",
+      credentials = Map("awsAccessKeyId" -> "a", "awsSecretKey" -> "b"))
+    assert(local.options("endpointUrl") == "http://localhost:4566")
+    assert(local.options("startingPosition") == "trim_horizon")
+    assert(local.options("awsAccessKeyId") == "a")
+    // the data column routes through the same payload seam as socket/kafka
+    val parsed = Pipeline.tweetsFromPayload(
+      Seq("""{"text":"via kinesis","lang":"en","created_at":"2024-01-01T10:00:06Z","entities":{"hashtags":[]}}"""
+        .getBytes("UTF-8")).toDF("data"), payloadCol = "data")
+    assert(parsed.select("text").as[String].collect().toSeq == Seq("via kinesis"))
+    intercept[IllegalArgumentException](SourceSpec.kinesis("", "r"))
+    intercept[IllegalArgumentException](SourceSpec.kinesis("s", ""))
+    intercept[IllegalArgumentException](
+      SourceSpec.kinesis("s", "r", startingPosition = "yesterday"))
+  }
+
   test("metrics listener observes a supervised kill-and-resume (restart count + last error)") {
     import graft.streaming.Supervision
     val src = Files.createTempDirectory("graft_sml_src").toString
