@@ -25,18 +25,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate to µs —
-    * the same truncation Spark applies to ns inputs everywhere else.
-    * DuckDB keeps full ns, so oracle queries compare at whole-second or
-    * µs granularity (FIXTURES.md §B). */
+  /** Schema-on-read loader for `events` — the physical encoding of `ts`
+    * has changed across testdata generations (parquet TIMESTAMP(NANOS),
+    * then timestamp[us]), and the reference never declares a schema at all
+    * (`streamer.py:26` parses JSON untyped), so this loader adapts to
+    * whatever the footer says instead of pinning one encoding:
+    *  - LongType: the legacy TIMESTAMP(NANOS) path — Spark 4 rejects ns
+    *    timestamps (PARQUET_TYPE_ILLEGAL) so the nanosAsLong flag reads
+    *    raw int64 nanos; truncate to µs like Spark does for ns inputs.
+    *  - TIMESTAMP_NTZ (timestamp[us], no tz): cast to session-zoned
+    *    TimestampType under the pinned-UTC session, so downstream
+    *    windows/as-of joins see the same instant semantics either way.
+    *  - TimestampType: already what downstream expects — pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     // Sessions.local sets this at build time; this runtime set is
     // defense-in-depth for user-supplied sessions (it mutates session
     // conf — direct spark.read.parquet of events needs the flag too)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
