@@ -252,7 +252,9 @@ object Pipeline {
                 extra: Map[String, String] = Map.empty): SourceSpec = {
       require(streamName.nonEmpty, "kinesis: streamName must be non-empty")
       require(region.nonEmpty, "kinesis: region must be non-empty")
-      val pos = startingPosition.toLowerCase match {
+      // Locale.ROOT: the default-locale toLowerCase turns "LATEST" into
+      // "latest" with a dotless ı under tr-TR and rejects a valid input
+      val pos = startingPosition.toLowerCase(java.util.Locale.ROOT) match {
         case "latest"                    => "latest"
         case "trim_horizon" | "earliest" => "trim_horizon"
         case other => throw new IllegalArgumentException(
@@ -264,11 +266,20 @@ object Pipeline {
         case ("secretKey", v)   => "awsSecretKey" -> v
         case kv                 => kv
       }
+      // Pinned to the qubole spark-sql-kinesis option surface
+      // (format("kinesis"), streamName/endpointUrl/startingPosition/
+      // awsAccessKeyId/awsSecretKey option names). That connector derives
+      // the region FROM the endpoint URL, so a bare `region` argument must
+      // materialize as an endpointUrl to bind at all — derive the standard
+      // regional endpoint when the caller doesn't override (localstack
+      // etc. pass an explicit endpointUrl and win). `region` is still
+      // emitted for forward-compat with connectors that accept it.
+      val endpoint = endpointUrl.getOrElse(s"https://kinesis.$region.amazonaws.com")
       SourceSpec("kinesis", options = Map(
         "streamName" -> streamName,
         "region" -> region,
+        "endpointUrl" -> endpoint,
         "startingPosition" -> pos) ++
-        endpointUrl.map("endpointUrl" -> _) ++
         maxFetchRecordsPerShard.map(
           "kinesis.executor.maxFetchRecordsPerShard" -> _.toString) ++
         creds ++ extra,

@@ -789,8 +789,10 @@ class StreamingSpec extends SparkSpec {
     assert(spec.options("streamName") == "tweet-firehose")
     assert(spec.options("region") == "us-east-1")
     assert(spec.options("startingPosition") == "trim_horizon")
-    assert(!spec.options.contains("endpointUrl"),
-      "endpoint derives from region unless explicitly overridden")
+    // the pinned connector (qubole spark-sql-kinesis) derives region from
+    // the endpoint URL, so a bare region must materialize as the standard
+    // regional endpoint to bind at all
+    assert(spec.options("endpointUrl") == "https://kinesis.us-east-1.amazonaws.com")
     // T6 backpressure knob, the maxOffsetsPerTrigger twin
     assert(spec.options("kinesis.executor.maxFetchRecordsPerShard") == "25000")
     assert(spec.options("kinesis.executor.maxFetchTimeInMs") == "2000")
@@ -819,6 +821,14 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](SourceSpec.kinesis("s", ""))
     intercept[IllegalArgumentException](
       SourceSpec.kinesis("s", "r", startingPosition = "yesterday"))
+    // position normalization is locale-independent: under tr-TR the default
+    // locale's toLowerCase maps I to dotless ı and would reject valid input
+    val prevLocale = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      assert(SourceSpec.kinesis("s", "r", startingPosition = "TRIM_HORIZON")
+        .options("startingPosition") == "trim_horizon")
+    } finally java.util.Locale.setDefault(prevLocale)
   }
 
   test("metrics listener observes a supervised kill-and-resume (restart count + last error)") {
