@@ -761,9 +761,13 @@ object Similarity {
     * dedup running and the audit column discloses exactly where. At
     * 100 TB the primary knob is still the SemDeDup recipe (K ~ sqrt(N)
     * keeps |c| bounded); the guard is the backstop for skew. */
-  def semanticDedup(spark: SparkSession, dir: String,
-                    tau: Double = SemDedupTau,
-                    maxCluster: Int = SemMaxCluster): DataFrame = {
+  /** The sub-sharded membership the q83 self-join runs over: per-cluster
+    * shard counts (tiny, broadcast back) + each vector tagged with its
+    * deterministic sub-shard. Split out as a seam so the 100× scale
+    * harness can assert the candidate-pair cardinality this membership
+    * implies without running the join itself. */
+  private[graft] def semShardedMembers(spark: SparkSession, dir: String,
+                                       maxCluster: Int): (DataFrame, DataFrame) = {
     val (_, assign) = ivfParts(spark, dir)
     // one tiny row per cluster; broadcast back onto the assignment
     val shards = assign.groupBy(col("cid"))
@@ -774,6 +778,28 @@ object Similarity {
     val m = assign.join(broadcast(shards), Seq("cid"))
       .withColumn("sub", col("vec_id") % col("n_shards"))
       .select(col("cid"), col("sub"), col("vec_id"), col("v"), col("nrm"))
+    (shards, m)
+  }
+
+  /** Candidate-pair cardinality of the q83 within-(cluster, shard)
+    * self-join — Σ over cells of C(|cell|, 2), computed from the group
+    * histogram WITHOUT materializing a single pair row. The scale
+    * harness asserts this number is O(n·maxCluster) on a skew-heavy
+    * corpus (one degenerate k-means cell) where the unguarded
+    * formulation is O(n²). */
+  private[graft] def semDedupCandidatePairs(spark: SparkSession, dir: String,
+                                            maxCluster: Int = SemMaxCluster): Long =
+    semShardedMembers(spark, dir, maxCluster)._2
+      .groupBy(col("cid"), col("sub"))
+      .agg(count(lit(1)).as("cn"))
+      .agg(sum(expr("(cn * (cn - 1)) DIV 2")).as("pairs"))
+      .first().getAs[Long]("pairs")
+
+  def semanticDedup(spark: SparkSession, dir: String,
+                    tau: Double = SemDedupTau,
+                    maxCluster: Int = SemMaxCluster): DataFrame = {
+    val (_, assign) = ivfParts(spark, dir)
+    val (shards, m) = semShardedMembers(spark, dir, maxCluster)
     val dups = m.as("x").join(m.as("y"),
         col("x.cid") === col("y.cid") && col("x.sub") === col("y.sub") &&
           col("x.vec_id") > col("y.vec_id"))
