@@ -147,7 +147,10 @@ object SparkEntry {
     // index quality: recall@k of IVF (nprobe 1 and 2) vs exact top-k
     "q93_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     // leakage: near-dup components straddling the train/val/test cut
-    "q94_split_leakage" -> ((s, d) => Curation.splitLeakage(s, d))
+    "q94_split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
+    // DSIR-shaped importance selection: hashed-unigram target affinity
+    // in integer micro-units, top quota per language
+    "q95_importance_selection" -> ((s, d) => Curation.importanceSelection(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -248,6 +251,7 @@ object SparkEntry {
     "q91_contrastive_pairs" -> Dedup.contrastivePairsSql(),
     "q92_hard_negatives" -> Dedup.hardNegativesSql(),
     "q93_ann_recall" -> Similarity.annRecallSql(),
-    "q94_split_leakage" -> Curation.splitLeakageSql()
+    "q94_split_leakage" -> Curation.splitLeakageSql(),
+    "q95_importance_selection" -> Curation.importanceSelectionSql()
   )
 }

@@ -845,4 +845,124 @@ object Curation {
        |  round(coalesce(acc.n_sampled, 0) / tot.n_tot::DOUBLE, 6) AS achieved_share
        |FROM rt LEFT JOIN acc ON rt.source = acc.source CROSS JOIN tot
        |ORDER BY rt.source""".stripMargin
+
+  // ---- X23: importance-guided selection (q95) -----------------------------
+  //
+  // DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169): score
+  // every pool document by how much its hashed n-gram feature distribution
+  // resembles a TARGET domain, then keep the top slice per language. The
+  // published recipe uses log-likelihood ratios of hashed-ngram language
+  // models; floats don't survive a cross-engine hash gate, so the scorer
+  // here is the integer twin: per-bucket target affinity = the Laplace-
+  // smoothed share of target tokens in the bucket, in exact micro-units,
+  // and a doc's score is the token-count-weighted integer mean. Same
+  // monotone structure (docs whose tokens live in target-heavy buckets
+  // score high), exact in both engines (q88/q90's micro-unit device).
+
+  /** Hashed-feature bucket count for [[importanceSelection]] — small
+    * enough that the bucket-stats table always broadcasts, large enough
+    * that a unigram vocabulary spreads (the DSIR paper uses 10k buckets
+    * for hashed bigrams; 1k suffices for the synthetic corpus). */
+  val DsirBuckets = 1024
+  private val DsirScale = 1000000L
+
+  /** X23 importance-guided selection audit (q95): per language — pool
+    * size, selected size at a `quotaBp` basis-point quota, the admission
+    * threshold score, and the mean selected score (micro-units).
+    *
+    * Target domain = `targetSource` documents; pool = everything else.
+    * Deterministic end to end: md5 token buckets, integer affinity,
+    * ties broken by doc_id.
+    *
+    * Scale posture: tokens collapse to per-(doc, bucket) histogram rows
+    * with map-side combine BEFORE any join; bucket stats are
+    * [[DsirBuckets]] rows broadcast back; scoring is one combinable agg
+    * over histogram rows. Only DOC-level rows (lang, score, 16 bytes)
+    * enter the per-lang top-quota window — at 100 TB the same score
+    * histogram + prefix-sum device as [[tokenBudgetSelect]] replaces
+    * the window (classify micro-unit buckets all-in/all-out, sort only
+    * the straddling bucket); the window formulation is kept here
+    * because it is the oracle-defining semantics. */
+  def importanceSelection(spark: SparkSession, dir: String,
+                          targetSource: String = "src0",
+                          quotaBp: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the per-(doc, bucket) histogram feeds BOTH the bucket-stats agg and
+    // the scoring join; persisted once per (session, dir) so the token
+    // fan-out is paid a single time (the q20 signature-table device) —
+    // a production pipeline materializes its feature table the same way
+    val hist = graft.PlanCache.cached(spark, s"curation.dsirHist:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (TextHash.h1(col("tok")) % DsirBuckets).as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val stats = hist.groupBy(col("b"))
+      .agg(sum(when(col("source") === targetSource, col("cnt"))
+          .otherwise(lit(0L))).as("ct"),
+        sum(when(col("source") =!= targetSource, col("cnt"))
+          .otherwise(lit(0L))).as("cs"))
+      .select(col("b"),
+        expr(s"((ct + 1) * $DsirScale) DIV (ct + cs + 2)").as("aff"))
+    val scored = hist.filter(col("source") =!= targetSource)
+      .join(broadcast(stats), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr("sum(cnt * aff) DIV sum(cnt)").as("score"))
+    val pool = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_pool"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val sel = scored.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(pool), Seq("lang"))
+      .filter(col("rn") <=
+        greatest(expr(s"(n_pool * $quotaBp) DIV 10000"), lit(1L)))
+    sel.groupBy(col("lang"), col("n_pool"))
+      .agg(count(lit(1)).as("n_selected"),
+        min(col("score")).as("threshold_score"),
+        expr("sum(score) DIV count(1)").as("avg_sel_score"))
+      .select(col("lang"), col("n_pool"), col("n_selected"),
+        col("threshold_score"), col("avg_sel_score"))
+      .orderBy(col("lang"))
+  }
+
+  def importanceSelectionSql(targetSource: String = "src0",
+                             quotaBp: Long = 4000L): String =
+    s"""WITH tb AS (
+       |  SELECT doc_id, lang, source,
+       |    ${TextHash.h1Sql("tok")} % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, source,
+       |        unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)
+       |), hist AS (
+       |  SELECT doc_id, lang, source, b, count(*)::BIGINT AS cnt
+       |  FROM tb GROUP BY doc_id, lang, source, b
+       |), stats AS (
+       |  SELECT b,
+       |    (((sum(CASE WHEN source = '$targetSource' THEN cnt ELSE 0 END) + 1)
+       |      * $DsirScale)
+       |     // (sum(cnt) + 2))::BIGINT AS aff
+       |  FROM hist GROUP BY b
+       |), scored AS (
+       |  SELECT h.doc_id, h.lang,
+       |    (sum(h.cnt * s.aff) // sum(h.cnt))::BIGINT AS score
+       |  FROM hist h JOIN stats s USING (b)
+       |  WHERE h.source <> '$targetSource'
+       |  GROUP BY h.doc_id, h.lang
+       |), pool AS (
+       |  SELECT lang, count(*)::BIGINT AS n_pool FROM scored GROUP BY lang
+       |), ranked AS (
+       |  SELECT lang, doc_id, score, row_number() OVER (
+       |    PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored
+       |), sel AS (
+       |  SELECT r.lang, r.score, p.n_pool FROM ranked r
+       |  JOIN pool p USING (lang)
+       |  WHERE r.rn <= greatest((p.n_pool * $quotaBp) // 10000, 1)
+       |)
+       |SELECT lang, n_pool, count(*)::BIGINT AS n_selected,
+       |  min(score) AS threshold_score,
+       |  (sum(score) // count(*))::BIGINT AS avg_sel_score
+       |FROM sel GROUP BY lang, n_pool ORDER BY lang""".stripMargin
 }

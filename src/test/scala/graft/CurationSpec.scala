@@ -317,6 +317,46 @@ class CurationSpec extends SparkSpec {
     assert(f("src0").getAs[Long]("n_sampled") < 90L)
   }
 
+  test("importance selection: quota exact, pool excludes target, affinity ranks target-like docs first") {
+    import spark.implicits._
+    // fixture: target docs speak vocab A; pool doc 10 speaks A (target-like),
+    // pool docs 11/12 speak disjoint vocab B — the affinity scorer must
+    // rank 10 above 11/12, and a 50% quota must admit exactly 10 + one of B
+    val rows = Seq(
+      (0L, "alpha beta gamma delta alpha beta", "en", "tgt"),
+      (1L, "beta gamma alpha delta delta beta", "en", "tgt"),
+      (10L, "alpha beta gamma delta gamma alpha", "en", "poolA"),
+      (11L, "omega sigma kappa lambda omega sigma", "en", "poolB"),
+      (12L, "sigma kappa omega lambda kappa omega", "en", "poolB"),
+      (13L, "zeta eta theta iota zeta eta", "en", "poolB"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.importanceSelection(spark, dir,
+      targetSource = "tgt", quotaBp = 5000L).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // pool is the 4 non-target docs; 50% quota admits 2
+    assert(r.getAs[Long]("n_pool") == 4L)
+    assert(r.getAs[Long]("n_selected") == 2L)
+    // scores live in micro-units of [0, 1e6]
+    assert(r.getAs[Long]("threshold_score") >= 0L &&
+      r.getAs[Long]("avg_sel_score") <= 1000000L)
+    assert(r.getAs[Long]("threshold_score") <= r.getAs[Long]("avg_sel_score"))
+    // direction: the target-vocabulary pool doc must be the top pick —
+    // its buckets are target-heavy while vocab-B buckets carry no target
+    // tokens at all, so the threshold (2nd score) sits strictly below the
+    // average of (top, 2nd) only when doc 10 leads
+    assert(r.getAs[Long]("avg_sel_score") > r.getAs[Long]("threshold_score"),
+      "target-like pool doc did not outrank the disjoint-vocab docs")
+    // quota floor: a 1-doc pool still selects one doc
+    val tiny = Curation.importanceSelection(spark, dir,
+      targetSource = "tgt", quotaBp = 1L).collect()(0)
+    assert(tiny.getAs[Long]("n_selected") == 1L)
+  }
+
   test("split leakage: near-dup components can straddle splits, exact dups never do") {
     import spark.implicits._
     val rows = Curation.splitLeakage(spark, sf0001).collect()
