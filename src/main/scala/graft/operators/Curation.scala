@@ -864,7 +864,11 @@ object Curation {
     * that a unigram vocabulary spreads (the DSIR paper uses 10k buckets
     * for hashed bigrams; 1k suffices for the synthetic corpus). */
   val DsirBuckets = 1024
-  private val DsirScale = 1000000L
+  private[graft] val DsirScale = 1000000L
+  /** Affinity of a bucket NO training token ever hit — the Laplace prior
+    * (0+1)·scale / (0+0+2): what the streaming gate scores unseen-bucket
+    * tokens at. */
+  private[graft] val DsirPrior = DsirScale / 2
 
   /** X23 importance-guided selection audit (q95): per language — pool
     * size, selected size at a `quotaBp` basis-point quota, the admission
@@ -883,15 +887,13 @@ object Curation {
     * the window (classify micro-unit buckets all-in/all-out, sort only
     * the straddling bucket); the window formulation is kept here
     * because it is the oracle-defining semantics. */
-  def importanceSelection(spark: SparkSession, dir: String,
-                          targetSource: String = "src0",
-                          quotaBp: Long = 4000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the per-(doc, bucket) histogram feeds BOTH the bucket-stats agg and
-    // the scoring join; persisted once per (session, dir) so the token
-    // fan-out is paid a single time (the q20 signature-table device) —
-    // a production pipeline materializes its feature table the same way
-    val hist = graft.PlanCache.cached(spark, s"curation.dsirHist:$dir") {
+  /** The per-(doc, bucket) hashed-feature histogram [[importanceSelection]]
+    * scores from — feeds BOTH the bucket-stats agg and the scoring join;
+    * persisted once per (session, dir) so the token fan-out is paid a
+    * single time (the q20 signature-table device) — a production pipeline
+    * materializes its feature table the same way. */
+  private def dsirHist(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"curation.dsirHist:$dir") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("source"),
           explode(TextHash.tokens(col("text"))).as("tok"))
@@ -900,17 +902,38 @@ object Curation {
         .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
         .agg(count(lit(1)).as("cnt"))
     }
-    val stats = hist.groupBy(col("b"))
+
+  /** The bucket-affinity table (b, aff): Laplace-smoothed target share of
+    * each hashed-feature bucket in exact micro-units — the published
+    * snapshot artifact of the q95 recipe (≤ [[DsirBuckets]] rows; the
+    * streaming intake gate [[graft.streaming.Pipeline.importanceGate]]
+    * consumes it as a literal map). */
+  def importanceAffinity(spark: SparkSession, dir: String,
+                         targetSource: String = "src0"): DataFrame =
+    dsirHist(spark, dir).groupBy(col("b"))
       .agg(sum(when(col("source") === targetSource, col("cnt"))
           .otherwise(lit(0L))).as("ct"),
         sum(when(col("source") =!= targetSource, col("cnt"))
           .otherwise(lit(0L))).as("cs"))
       .select(col("b"),
         expr(s"((ct + 1) * $DsirScale) DIV (ct + cs + 2)").as("aff"))
-    val scored = hist.filter(col("source") =!= targetSource)
-      .join(broadcast(stats), Seq("b"))
+
+  /** Per-pool-document affinity scores (doc_id, lang, score): the
+    * token-count-weighted integer mean of bucket affinities — identical
+    * to a per-token mean, which is what the streaming gate recomputes
+    * per incoming row (batch/stream parity is exact, not approximate). */
+  private[graft] def importanceScores(spark: SparkSession, dir: String,
+                                      targetSource: String = "src0"): DataFrame =
+    dsirHist(spark, dir).filter(col("source") =!= targetSource)
+      .join(broadcast(importanceAffinity(spark, dir, targetSource)), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("sum(cnt * aff) DIV sum(cnt)").as("score"))
+
+  def importanceSelection(spark: SparkSession, dir: String,
+                          targetSource: String = "src0",
+                          quotaBp: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = importanceScores(spark, dir, targetSource)
     val pool = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_pool"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("doc_id"))

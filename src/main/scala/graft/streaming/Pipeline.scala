@@ -470,6 +470,46 @@ object Pipeline {
         graft.operators.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
 
+  /** X23 streaming twin: importance-intake gate — scores each incoming
+    * document with the SAME hashed-unigram target affinity as the batch
+    * q95 selection and admits rows at or above their language's elected
+    * admission threshold. A stream cannot rank, so the published contract
+    * is the THRESHOLD (the batch audit's `threshold_score`): admission is
+    * a pure per-row predicate, hence stateless — no streaming state, no
+    * checkpoint beyond the source's. Score-tied rows at the threshold are
+    * all admitted (the one divergence from batch top-`rn` ranking, and
+    * the correct intake posture: never drop a row the policy scored as
+    * good as an admitted one).
+    *
+    * The snapshot arrives as literal MAPS, not DataFrames: per-row
+    * scoring must be an expression (a join back to token grain would be a
+    * streaming aggregation, i.e. state), and the artifact is bounded —
+    * ≤ [[graft.operators.Curation.DsirBuckets]] affinity entries plus one
+    * threshold per language, kilobytes (the lexicon pattern). Buckets no
+    * training token ever hit score at the Laplace prior; documents of
+    * languages absent from the snapshot are DROPPED, mirroring
+    * [[mixtureGate]]'s unknown-domain rule. Appends `importance_score`
+    * (exact integer micro-units, the batch device). */
+  def importanceGate(stream: DataFrame, affinity: Map[Long, Long],
+                     thresholds: Map[String, Long]): DataFrame = {
+    require(affinity.nonEmpty, "importanceGate: empty affinity snapshot")
+    require(thresholds.nonEmpty, "importanceGate: empty threshold snapshot")
+    val aff = typedLit(affinity)
+    val th = typedLit(thresholds)
+    val toks = graft.functions.TextHash.tokens(col("text"))
+    val buckets = lit(graft.operators.Curation.DsirBuckets.toLong)
+    stream
+      .withColumn("_aff_sum", aggregate(
+        transform(toks, t => coalesce(
+          element_at(aff, graft.functions.TextHash.h1(t) % buckets),
+          lit(graft.operators.Curation.DsirPrior))),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("_ntok", size(toks).cast("long"))
+      .withColumn("importance_score", expr("_aff_sum DIV _ntok"))
+      .drop("_aff_sum", "_ntok")
+      .filter(col("importance_score") >= element_at(th, col("lang")))
+  }
+
   /** X14 streaming twin: per-event-time-window out-of-vocabulary rate of
     * the incoming token stream against a static vocabulary snapshot
     * ([[graft.operators.TextAnalysis.vocabulary]]) — the drift monitor a

@@ -121,6 +121,19 @@ class ScaleHarnessSpec extends SparkSpec {
     assert(j2 <= 100L * j1, s"join input grew superlinearly: $j1 -> $j2")
   }
 
+  test("q95: the affinity snapshot stays <= DsirBuckets rows at any corpus scale") {
+    // the q95 feature space is hashed into a FIXED bucket table — the
+    // artifact the streaming gate broadcasts is bounded regardless of
+    // corpus size (100x more content cannot grow it past DsirBuckets)
+    val small = corpusDir(30, 60)
+    val big = corpusDir(3000, 3000)
+    for (dir <- Seq(small, big)) {
+      val n = operators.Curation.importanceAffinity(spark, dir, targetSource = "gen").count()
+      assert(n <= operators.Curation.DsirBuckets,
+        s"affinity table has $n rows for $dir")
+    }
+  }
+
   test("q83: sub-shard guard keeps candidate pairs O(n*maxCluster) on a degenerate cell") {
     val n1 = 100
     val n100 = 10000

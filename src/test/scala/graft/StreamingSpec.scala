@@ -897,6 +897,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < docs.count())
   }
 
+  test("importance gate admits exactly the batch threshold set, superset of the quota picks (X23 twin)") {
+    val docs = Tables.documents(spark, sf0001)
+    // snapshot: the published q95 artifacts — bucket affinities + per-lang
+    // admission thresholds — collected HERE (tests may collect; the main
+    // code path never does: the gate takes the maps)
+    val affinity = graft.operators.Curation.importanceAffinity(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("aff")).toMap
+    val audit = graft.operators.Curation.importanceSelection(spark, sf0001).collect()
+    val thresholds = audit.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("threshold_score")).toMap
+    val scores = graft.operators.Curation.importanceScores(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("score")))
+    val expected = scores.collect {
+      case (id, lang, s) if thresholds.get(lang).exists(s >= _) => id
+    }.toSet
+    val streamDir = Files.createTempDirectory("graft_dsir_stream")
+    Files.createSymbolicLink(streamDir.resolve("docs.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+      // the gate scores whatever flows in; the batch pool excludes the
+      // target source, so exclude it from the replay too
+      .filter(col("source") =!= "src0")
+    val q = Pipeline.importanceGate(stream, affinity, thresholds)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dsir_gate")
+      .select("doc_id", "importance_score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected,
+      s"gate admitted ${got.keySet.size} docs, batch threshold set has ${expected.size}")
+    // per-row scores agree exactly with the batch histogram formulation
+    val batchScore = scores.map(s => s._1 -> s._3).toMap
+    got.foreach { case (id, s) => assert(batchScore(id) == s, s"doc $id: $s") }
+    // threshold admission covers every quota pick (ties can only widen it)
+    audit.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val admitted = scores.count(x => x._2 == lang && got.keySet.contains(x._1))
+      assert(admitted >= r.getAs[Long]("n_selected"), s"$lang under-admits")
+    }
+    // selective: not everything passes
+    assert(got.nonEmpty && got.size < scores.length)
+  }
+
   test("curated intake: mixture gate + content dedup + quality gate compose in one job") {
     // snapshot with two equal-weight, equal-count sources: every rate is
     // exactly 1.0, so admission is decided purely by source membership
