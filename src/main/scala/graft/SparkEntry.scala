@@ -150,7 +150,10 @@ object SparkEntry {
     "q94_split_leakage" -> ((s, d) => Curation.splitLeakage(s, d)),
     // DSIR-shaped importance selection: hashed-unigram target affinity
     // in integer micro-units, top quota per language
-    "q95_importance_selection" -> ((s, d) => Curation.importanceSelection(s, d))
+    "q95_importance_selection" -> ((s, d) => Curation.importanceSelection(s, d)),
+    // component-anchored split: near-dup siblings inherit the anchor's
+    // split — the fix the q94 leakage audit motivates
+    "q96_component_split" -> ((s, d) => Curation.componentSplit(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -252,6 +255,7 @@ object SparkEntry {
     "q92_hard_negatives" -> Dedup.hardNegativesSql(),
     "q93_ann_recall" -> Similarity.annRecallSql(),
     "q94_split_leakage" -> Curation.splitLeakageSql(),
-    "q95_importance_selection" -> Curation.importanceSelectionSql()
+    "q95_importance_selection" -> Curation.importanceSelectionSql(),
+    "q96_component_split" -> Curation.componentSplitSql()
   )
 }

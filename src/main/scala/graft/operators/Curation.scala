@@ -119,6 +119,61 @@ object Curation {
        |FROM comp JOIN documents d ON d.doc_id = comp.label
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** X24 component-anchored split (q96): the FIX the q94 leakage audit
+    * is evidence for — hash the near-dup component's ANCHOR text instead
+    * of each member's own, so every member of a component inherits one
+    * split and near-duplicates can never straddle a train/test boundary
+    * (exact dups already couldn't; q94 shows near-dups CAN under
+    * [[splitAssign]]). Audited per (lang, split): docs, components, and
+    * how many docs the fix RELOCATED relative to their own content-hash
+    * split — the migration cost of adopting component splits.
+    *
+    * Scale posture: reuses the PlanCache'd label propagation (shared
+    * with q64/q91/q94); the anchor-split table is doc-keyed and joins on
+    * the component label; everything added is keyed joins plus one
+    * (lang, split)-sized rollup — no new corpus-wide shuffle beyond what
+    * the components already paid. */
+  def componentSplit(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        splitAssign(col("text")).as("own_split"))
+    val anchors = Tables.documents(spark, dir)
+      .select(col("doc_id").as("label"), splitAssign(col("text")).as("split"))
+    // assignments cover edge-connected docs only — a doc with no near-dup
+    // candidate anchors ITSELF (its component is the singleton {doc}),
+    // the same totalization dedupClusters applies via its anti-join
+    docs.join(Dedup.dedupClusterAssignments(spark, dir, threshold, rounds),
+        Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .join(anchors, Seq("label"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_components"),
+        sum(when(col("own_split") =!= col("split"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  def componentSplitSql(threshold: Double = 0.5, rounds: Int = 6): String =
+    s"""WITH ${Dedup.labelPropagationCtes(threshold, rounds)}, s AS (
+       |  SELECT doc_id, lang, ${splitAssignSql("hmod")} AS own_split
+       |  FROM (SELECT doc_id, lang, ${TextHash.h1Sql("text")} % 100 AS hmod
+       |        FROM documents)
+       |), a AS (
+       |  SELECT doc_id AS label, ${splitAssignSql("hmod")} AS split
+       |  FROM (SELECT doc_id, ${TextHash.h1Sql("text")} % 100 AS hmod
+       |        FROM documents)
+       |)
+       |SELECT s.lang, a.split, count(*)::BIGINT AS n_docs,
+       |  count(DISTINCT l.label)::BIGINT AS n_components,
+       |  sum(CASE WHEN s.own_split <> a.split THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_moved
+       |FROM l$rounds l
+       |JOIN s ON s.doc_id = l.doc_id
+       |JOIN a ON a.label = l.label
+       |GROUP BY s.lang, a.split ORDER BY s.lang, a.split""".stripMargin
+
   /** Stratified k-fold assignment for cross-validation: content-hash mod
     * k (same determinism/dup-cohesion argument as [[trainSplit]] — exact
     * duplicates always share a fold, so no fold ever trains on another

@@ -357,6 +357,37 @@ class CurationSpec extends SparkSpec {
     assert(tiny.getAs[Long]("n_selected") == 1L)
   }
 
+  test("component split: corpus conserved, movers exist and only near-dup members move") {
+    import graft.operators.Dedup
+    val out = Curation.componentSplit(spark, sf0001).collect()
+    // a total split: every document lands in exactly one (lang, split) cell
+    assert(out.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0001).count())
+    // q94 proves this corpus HAS leaky components under the content-hash
+    // split, so the component-anchored fix must relocate someone
+    val moved = out.map(_.getAs[Long]("n_moved")).sum
+    assert(moved > 0, "no docs moved — fixture lost its leaky components")
+    // only members of multi-member components can move (a singleton
+    // anchors itself, so its inherited split IS its own split)
+    val multiMembers = Dedup.dedupClusterAssignments(spark, sf0001)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).agg(sum(col("n"))).first().getLong(0)
+    assert(moved <= multiMembers, s"$moved movers > $multiMembers component members")
+    // the point of the fix: re-running the q94 leakage audit against the
+    // inherited splits finds ZERO leaky components
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Curation.splitAssign(col("text")).as("own_split"))
+    val anchors = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("label"), Curation.splitAssign(col("text")).as("split"))
+    val leaky = docs
+      .join(Dedup.dedupClusterAssignments(spark, sf0001), Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .join(anchors, Seq("label"))
+      .groupBy(col("label")).agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky == 0L, s"component split still leaks: $leaky components")
+  }
+
   test("split leakage: near-dup components can straddle splits, exact dups never do") {
     import spark.implicits._
     val rows = Curation.splitLeakage(spark, sf0001).collect()
