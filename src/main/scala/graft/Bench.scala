@@ -89,8 +89,11 @@ object Bench {
     // round-over-round per-query-average series (one entry per bench run):
     // makes a board-wide slowdown mechanically diffable the same way the
     // stream series is (r10's ~10% environment drag had to be argued from
-    // per-query deltas by hand)
+    // per-query deltas by hand). _nq_series records the query count of
+    // each entry so an average over 96 queries is never read against one
+    // over 79.
     val oldSpqSeries: List[Double] = histSeries("_spq_series")
+    val oldNqSeries: List[Double] = histSeries("_nq_series")
     // A pass that starts while the 1-min load average exceeds this is
     // suspect: r6's five inflated queries all ran inside one load window
     // (load_avg 3.42 from the driver's own tooling). On an otherwise-idle
@@ -277,10 +280,12 @@ object Bench {
       val streamSeries = if (streamRps >= 0) oldStreamSeries :+ streamRps
                          else oldStreamSeries
       val spqSeries = if (nq > 0) oldSpqSeries :+ (total / nq) else oldSpqSeries
+      val nqSeries = if (nq > 0) oldNqSeries :+ nq.toDouble else oldNqSeries
       val hist = (List(s"\"_protocol\":$Protocol",
         s"\"_stream_docs_per_sec\":${if (streamSeries.nonEmpty) streamSeries.max else -1.0}",
         s"\"_stream_series\":${streamSeries.mkString("[", ",", "]")}",
-        s"\"_spq_series\":${spqSeries.mkString("[", ",", "]")}") ++
+        s"\"_spq_series\":${spqSeries.mkString("[", ",", "]")}",
+        s"\"_nq_series\":${nqSeries.mkString("[", ",", "]")}") ++
         merged.map { case (k, v) => "\"" + k + "\":" + v })
         .mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(historyPath),
