@@ -936,12 +936,12 @@ object Curation {
     * Scale posture: tokens collapse to per-(doc, bucket) histogram rows
     * with map-side combine BEFORE any join; bucket stats are
     * [[DsirBuckets]] rows broadcast back; scoring is one combinable agg
-    * over histogram rows. Only DOC-level rows (lang, score, 16 bytes)
-    * enter the per-lang top-quota window — at 100 TB the same score
-    * histogram + prefix-sum device as [[tokenBudgetSelect]] replaces
-    * the window (classify micro-unit buckets all-in/all-out, sort only
-    * the straddling bucket); the window formulation is kept here
-    * because it is the oracle-defining semantics. */
+    * over histogram rows. Selection is the [[tokenBudgetSelect]]
+    * two-phase device: the corpus reduces to a per-(lang, score)
+    * histogram (bounded by the integer micro-unit scale), the
+    * prefix-sum window runs over THAT, and the straddling score bucket
+    * contributes the remainder — output identical to the per-doc
+    * top-quota ranking (spec-asserted), but the corpus never sorts. */
   /** The per-(doc, bucket) hashed-feature histogram [[importanceSelection]]
     * scores from — feeds BOTH the bucket-stats agg and the scoring join;
     * persisted once per (session, dir) so the token fan-out is paid a
@@ -989,17 +989,32 @@ object Curation {
                           quotaBp: Long = 4000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = importanceScores(spark, dir, targetSource)
-    val pool = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_pool"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("score").desc, col("doc_id"))
-    val sel = scored.withColumn("rn", row_number().over(w).cast("long"))
+    // Two-phase election (the q82 device): the oracle-DEFINING semantics
+    // is a per-lang top-`quota` ranking with doc_id ties, but every
+    // audited number (count, threshold, score sum) is a function of the
+    // per-(lang, score) HISTOGRAM alone — tied docs are interchangeable
+    // to the audit. So the corpus never enters a sort: the histogram
+    // (≤ |distinct integer scores| rows per lang, bounded by the
+    // micro-unit scale) takes the prefix-sum window, and the threshold
+    // bucket contributes `quota - cum_above` of its count. Identical
+    // output to the ranking formulation at any SF (spec-asserted), with
+    // the 100 TB-safe plan shape.
+    val hist = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val pool = hist.groupBy(col("lang")).agg(sum(col("c")).as("n_pool"))
+    val wPre = Window.partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val take = hist
+      .withColumn("pre", coalesce(sum(col("c")).over(wPre), lit(0L)))
       .join(broadcast(pool), Seq("lang"))
-      .filter(col("rn") <=
+      .withColumn("quota",
         greatest(expr(s"(n_pool * $quotaBp) DIV 10000"), lit(1L)))
-    sel.groupBy(col("lang"), col("n_pool"))
-      .agg(count(lit(1)).as("n_selected"),
+      .filter(col("pre") < col("quota"))
+      .withColumn("take", least(col("c"), col("quota") - col("pre")))
+    take.groupBy(col("lang"), col("n_pool"))
+      .agg(sum(col("take")).as("n_selected"),
         min(col("score")).as("threshold_score"),
-        expr("sum(score) DIV count(1)").as("avg_sel_score"))
+        expr("sum(score * take) DIV sum(take)").as("avg_sel_score"))
       .select(col("lang"), col("n_pool"), col("n_selected"),
         col("threshold_score"), col("avg_sel_score"))
       .orderBy(col("lang"))

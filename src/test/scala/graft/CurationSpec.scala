@@ -357,6 +357,29 @@ class CurationSpec extends SparkSpec {
     assert(tiny.getAs[Long]("n_selected") == 1L)
   }
 
+  test("importance selection: two-phase histogram equals the per-doc ranking formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // independent reference: the oracle-defining top-quota ranking with
+    // doc_id ties, computed directly — the production two-phase histogram
+    // plan must reproduce it exactly (q82's equivalence pattern)
+    val scored = graft.operators.Curation.importanceScores(spark, sf0001)
+    val pool = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_pool"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    val ranked = scored.withColumn("rn", row_number().over(w).cast("long"))
+      .join(pool, Seq("lang"))
+      .filter(col("rn") <= greatest(expr("(n_pool * 4000) DIV 10000"), lit(1L)))
+      .groupBy(col("lang"), col("n_pool"))
+      .agg(count(lit(1)).as("n_selected"),
+        min(col("score")).as("threshold_score"),
+        expr("sum(score) DIV count(1)").as("avg_sel_score"))
+      .select("lang", "n_pool", "n_selected", "threshold_score", "avg_sel_score")
+      .orderBy("lang").collect().toSeq
+    val twoPhase = graft.operators.Curation.importanceSelection(spark, sf0001)
+      .collect().toSeq
+    assert(twoPhase == ranked,
+      s"two-phase audit diverges from ranking reference:\n$twoPhase\nvs\n$ranked")
+  }
+
   test("component split: corpus conserved, movers exist and only near-dup members move") {
     import graft.operators.Dedup
     val out = Curation.componentSplit(spark, sf0001).collect()
