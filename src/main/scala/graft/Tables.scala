@@ -33,9 +33,13 @@ object Tables {
     *  - LongType: the legacy TIMESTAMP(NANOS) path — Spark 4 rejects ns
     *    timestamps (PARQUET_TYPE_ILLEGAL) so the nanosAsLong flag reads
     *    raw int64 nanos; truncate to µs like Spark does for ns inputs.
-    *  - TIMESTAMP_NTZ (timestamp[us], no tz): cast to session-zoned
-    *    TimestampType under the pinned-UTC session, so downstream
-    *    windows/as-of joins see the same instant semantics either way.
+    *  - TIMESTAMP_NTZ (timestamp[us], no tz): the wall-clock values ARE
+    *    UTC instants, so re-zone the NTZ wall time from UTC into the
+    *    session zone BEFORE the TimestampType cast — a bare cast would
+    *    interpret the wall clock in the session zone and shift every
+    *    instant under a non-UTC user-supplied session (the two physical
+    *    encodings must read identically under ANY session zone, like the
+    *    zone-independent timestamp_micros branch).
     *  - TimestampType: already what downstream expects — pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     // Sessions.local sets this at build time; this runtime set is
@@ -47,7 +51,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        raw.withColumn("ts",
+          expr("convert_timezone('UTC', current_timezone(), ts)")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -925,23 +925,6 @@ object Curation {
     * tokens at. */
   private[graft] val DsirPrior = DsirScale / 2
 
-  /** X23 importance-guided selection audit (q95): per language — pool
-    * size, selected size at a `quotaBp` basis-point quota, the admission
-    * threshold score, and the mean selected score (micro-units).
-    *
-    * Target domain = `targetSource` documents; pool = everything else.
-    * Deterministic end to end: md5 token buckets, integer affinity,
-    * ties broken by doc_id.
-    *
-    * Scale posture: tokens collapse to per-(doc, bucket) histogram rows
-    * with map-side combine BEFORE any join; bucket stats are
-    * [[DsirBuckets]] rows broadcast back; scoring is one combinable agg
-    * over histogram rows. Selection is the [[tokenBudgetSelect]]
-    * two-phase device: the corpus reduces to a per-(lang, score)
-    * histogram (bounded by the integer micro-unit scale), the
-    * prefix-sum window runs over THAT, and the straddling score bucket
-    * contributes the remainder — output identical to the per-doc
-    * top-quota ranking (spec-asserted), but the corpus never sorts. */
   /** The per-(doc, bucket) hashed-feature histogram [[importanceSelection]]
     * scores from — feeds BOTH the bucket-stats agg and the scoring join;
     * persisted once per (session, dir) so the token fan-out is paid a
@@ -984,6 +967,23 @@ object Curation {
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("sum(cnt * aff) DIV sum(cnt)").as("score"))
 
+  /** X23 importance-guided selection audit (q95): per language — pool
+    * size, selected size at a `quotaBp` basis-point quota, the admission
+    * threshold score, and the mean selected score (micro-units).
+    *
+    * Target domain = `targetSource` documents; pool = everything else.
+    * Deterministic end to end: md5 token buckets, integer affinity,
+    * ties broken by doc_id.
+    *
+    * Scale posture: tokens collapse to per-(doc, bucket) histogram rows
+    * with map-side combine BEFORE any join; bucket stats are
+    * [[DsirBuckets]] rows broadcast back; scoring is one combinable agg
+    * over histogram rows. Selection is the [[tokenBudgetSelect]]
+    * two-phase device: the corpus reduces to a per-(lang, score)
+    * histogram (bounded by the integer micro-unit scale), the
+    * prefix-sum window runs over THAT, and the straddling score bucket
+    * contributes the remainder — output identical to the per-doc
+    * top-quota ranking (spec-asserted), but the corpus never sorts. */
   def importanceSelection(spark: SparkSession, dir: String,
                           targetSource: String = "src0",
                           quotaBp: Long = 4000L): DataFrame = {

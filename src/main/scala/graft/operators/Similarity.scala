@@ -745,22 +745,6 @@ object Similarity {
     * Total join work is O(n·maxCluster) instead of O(n²) per cell. */
   val SemMaxCluster = 256
 
-  /** Semantic-dedup audit (q83): per k-means cluster — member count,
-    * semantic dups (a smaller-id member within [[SemDedupTau]] cosine
-    * exists IN THE SAME SUB-SHARD), survivors, and the shard count
-    * (`n_shards`, 1 = cluster untouched by the guard).
-    *
-    * Scale posture: reuses the PlanCache'd IVF centroids + assignment
-    * (one k-means, shared with q37/q48 like a production index), so the
-    * only new work is a self-equi-join on (cid, sub). Per-cluster work
-    * without a guard is O(|c|²); the [[SemMaxCluster]] sub-shard bound
-    * caps it at O(|c|·maxCluster) — a degenerate embedding distribution
-    * (one giant cell) can no longer go quadratic. Recall inside an
-    * oversized cell drops (cross-shard pairs are not compared), the same
-    * trade q25's bucket skip makes, but the split keeps per-shard
-    * dedup running and the audit column discloses exactly where. At
-    * 100 TB the primary knob is still the SemDeDup recipe (K ~ sqrt(N)
-    * keeps |c| bounded); the guard is the backstop for skew. */
   /** The sub-sharded membership the q83 self-join runs over: per-cluster
     * shard counts (tiny, broadcast back) + each vector tagged with its
     * deterministic sub-shard. Split out as a seam so the 100× scale
@@ -795,6 +779,22 @@ object Similarity {
       .agg(sum(expr("(cn * (cn - 1)) DIV 2")).as("pairs"))
       .first().getAs[Long]("pairs")
 
+  /** Semantic-dedup audit (q83): per k-means cluster — member count,
+    * semantic dups (a smaller-id member within [[SemDedupTau]] cosine
+    * exists IN THE SAME SUB-SHARD), survivors, and the shard count
+    * (`n_shards`, 1 = cluster untouched by the guard).
+    *
+    * Scale posture: reuses the PlanCache'd IVF centroids + assignment
+    * (one k-means, shared with q37/q48 like a production index), so the
+    * only new work is a self-equi-join on (cid, sub). Per-cluster work
+    * without a guard is O(|c|²); the [[SemMaxCluster]] sub-shard bound
+    * caps it at O(|c|·maxCluster) — a degenerate embedding distribution
+    * (one giant cell) can no longer go quadratic. Recall inside an
+    * oversized cell drops (cross-shard pairs are not compared), the same
+    * trade q25's bucket skip makes, but the split keeps per-shard
+    * dedup running and the audit column discloses exactly where. At
+    * 100 TB the primary knob is still the SemDeDup recipe (K ~ sqrt(N)
+    * keeps |c| bounded); the guard is the backstop for skew. */
   def semanticDedup(spark: SparkSession, dir: String,
                     tau: Double = SemDedupTau,
                     maxCluster: Int = SemMaxCluster): DataFrame = {

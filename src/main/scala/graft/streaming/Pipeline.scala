@@ -274,7 +274,13 @@ object Pipeline {
       // regional endpoint when the caller doesn't override (localstack
       // etc. pass an explicit endpointUrl and win). `region` is still
       // emitted for forward-compat with connectors that accept it.
-      val endpoint = endpointUrl.getOrElse(s"https://kinesis.$region.amazonaws.com")
+      // Partition-aware suffix: the China partition lives under
+      // amazonaws.com.cn (GovCloud stays under amazonaws.com); isolated
+      // partitions (us-iso*) have no public derivable endpoint — callers
+      // there must pass endpointUrl explicitly.
+      val suffix =
+        if (region.startsWith("cn-")) "amazonaws.com.cn" else "amazonaws.com"
+      val endpoint = endpointUrl.getOrElse(s"https://kinesis.$region.$suffix")
       SourceSpec("kinesis", options = Map(
         "streamName" -> streamName,
         "region" -> region,

@@ -804,6 +804,9 @@ class StreamingSpec extends SparkSpec {
     val prod = SourceSpec.kinesis("s", "eu-west-1")
     assert(prod.options("startingPosition") == "latest")
     assert(!prod.options.keys.exists(_.toLowerCase.contains("key")))
+    // partition-aware endpoint: the China partition lives under .com.cn
+    assert(SourceSpec.kinesis("s", "cn-north-1").options("endpointUrl") ==
+      "https://kinesis.cn-north-1.amazonaws.com.cn")
     // localstack-style endpoint override passes through verbatim
     val local = SourceSpec.kinesis("s", "r",
       endpointUrl = Some("http://localhost:4566"),

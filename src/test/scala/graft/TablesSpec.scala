@@ -36,6 +36,18 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("events.ts reads the same instants under a non-UTC session zone") {
+    // the NTZ branch must be zone-independent like the nanos branch: a
+    // user-supplied session in another zone reads identical instants
+    val utc = Tables.events(spark, sf0001)
+      .selectExpr("unix_micros(min(ts))", "unix_micros(max(ts))").first()
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val shifted = Tables.events(ny, sf0001)
+      .selectExpr("unix_micros(min(ts))", "unix_micros(max(ts))").first()
+    assert(shifted == utc, s"session zone shifted events instants: $shifted vs $utc")
+  }
+
   test("legacy nanos-as-long events encoding still converts (the old driver layout)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_ns_events").toString
