@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only a byte-tail of stdout and JSON-parses the
+// last line. Two sbt behaviors used to corrupt that line: the logger
+// prefixes forked output with "[info] ", and "[success] Total time…"
+// prints after it. StdoutOutput pipes the forked JVM's stdout through
+// verbatim, and showSuccess drops the trailing success banner, so the
+// bench's scalar summary is the literal last line of process output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

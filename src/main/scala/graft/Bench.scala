@@ -300,6 +300,22 @@ object Bench {
     val summaryLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"n_errors":${errors.distinct.size},"bench_protocol":$Protocol}"""
     println(summaryLine)
+    // Builder-side per-run scalar ledger (append-only): round-over-round
+    // perf stays diffable even when a driver-side tail parse fails, and
+    // without touching the driver-owned PROGRESS.jsonl schema.
+    try {
+      val ledger = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALARS",
+        "/root/repo/BENCH_SCALARS.jsonl")
+      val line = s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir",""" +
+        s""""total_sec":$total,"n_queries":$nq,""" +
+        s""""sec_per_query":${if (nq > 0) total / nq else -1.0},""" +
+        s""""stream_docs_per_sec":$streamRps,""" +
+        s""""n_errors":${errors.distinct.size},"protocol":$Protocol}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(ledger),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable => System.err.println(s"bench: scalar ledger: $e") }
     PlanCache.clear(spark)
     spark.stop()
     // rc=1 only when the run as a whole is unusable (no query produced a
@@ -307,5 +323,12 @@ object Bench {
     // n_errors + the errors list — failing the process over them cost
     // r10 its whole artifact (rc=1 + tail-truncated stdout).
     if (nq == 0) sys.exit(1)
+    // Partial-failure strictness is OPT-IN: the default rc stays lenient
+    // (r10 lost its whole artifact to rc=1 + tail truncation; the driver
+    // reads n_errors from the summary line instead). A CI gate that wants
+    // hard failure on ANY query error sets SPARK_GRAFT_BENCH_STRICT=1 and
+    // keys on the distinct exit code 2.
+    if (errors.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true"))) sys.exit(2)
   }
 }

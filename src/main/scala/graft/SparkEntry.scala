@@ -153,7 +153,11 @@ object SparkEntry {
     "q95_importance_selection" -> ((s, d) => Curation.importanceSelection(s, d)),
     // component-anchored split: near-dup siblings inherit the anchor's
     // split — the fix the q94 leakage audit motivates
-    "q96_component_split" -> ((s, d) => Curation.componentSplit(s, d))
+    "q96_component_split" -> ((s, d) => Curation.componentSplit(s, d)),
+    // the MODERN composed pipeline (priority dedup → importance
+    // selection → component split → pack) as one oracle row — the
+    // round-7..11 stages' hand-offs gated like q77 gates the classic
+    "q97_modern_pipeline" -> ((s, d) => graft.operators.CurationPipeline.modernSummary(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -256,6 +260,7 @@ object SparkEntry {
     "q93_ann_recall" -> Similarity.annRecallSql(),
     "q94_split_leakage" -> Curation.splitLeakageSql(),
     "q95_importance_selection" -> Curation.importanceSelectionSql(),
-    "q96_component_split" -> Curation.componentSplitSql()
+    "q96_component_split" -> Curation.componentSplitSql(),
+    "q97_modern_pipeline" -> graft.operators.CurationPipeline.modernSummarySql()
   )
 }

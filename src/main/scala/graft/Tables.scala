@@ -42,11 +42,20 @@ object Tables {
     *    zone-independent timestamp_micros branch).
     *  - TimestampType: already what downstream expects — pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Sessions.local sets this at build time; this runtime set is
-    // defense-in-depth for user-supplied sessions (it mutates session
-    // conf — direct spark.read.parquet of events needs the flag too)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    // Sessions.local sets the legacy-ns flag at build time; for a
+    // user-supplied session the loader must NOT silently rewrite conf
+    // unless the footer actually requires it. The flag is consulted at
+    // schema inference AND again when the scan builds its per-file
+    // readers, so on the ns path it has to stay set for the life of the
+    // plan — but µs/TIMESTAMP-encoded generations take the probe's happy
+    // path and leave caller conf untouched.
+    val raw =
+      try table(s, d, "events")
+      catch {
+        case e: Throwable if isNanosRejection(e) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -57,6 +66,16 @@ object Tables {
       case _ => raw
     }
   }
+  /** True iff the failure is Spark 4 refusing a TIMESTAMP(NANOS) parquet
+    * column (ILLEGAL_PARQUET_TYPE) — the one case where setting
+    * `spark.sql.legacy.parquet.nanosAsLong` is the documented remedy. */
+  private def isNanosRejection(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("ILLEGAL_PARQUET_TYPE") || m.contains("Illegal Parquet type") ||
+    m.contains("nanosAsLong") ||
+    (e.getCause != null && e.getCause.ne(e) && isNanosRejection(e.getCause))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

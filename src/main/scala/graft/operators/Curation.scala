@@ -495,6 +495,18 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Scale-harness seam (ScaleHarnessSpec): the broadcast (bench-side)
+    * input of the q74 overlap join — the distinct benchmark gram-hash
+    * set. Bounded by the BENCHMARK's vocabulary, so corpus-side
+    * duplicate inflation cannot grow what gets broadcast. */
+  def contaminationBenchGrams(spark: SparkSession, dir: String,
+                              benchSize: Int = 10, n: Int = 5): Long =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < benchSize)
+      .select(explode(
+        graft.functions.HashExpressions.shingleHashes(col("text"), n)).as("h"))
+      .distinct().count()
+
   def contaminationOverlapSql(benchSize: Int = 10, n: Int = 5,
                               minPct: Int = 50): String =
     s"""WITH toks AS (
@@ -932,14 +944,22 @@ object Curation {
     * materializes its feature table the same way. */
   private def dsirHist(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached(spark, s"curation.dsirHist:$dir") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), col("source"),
-          explode(TextHash.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), col("lang"), col("source"),
-          (TextHash.h1(col("tok")) % DsirBuckets).as("b"))
-        .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
+      dsirHistOf(Tables.documents(spark, dir))
     }
+
+  /** The histogram over ANY (doc_id, lang, source, text) frame — the
+    * composed pipeline (q97) feeds its dedup survivors through this so
+    * the importance stage scores the HANDED-OFF corpus, not the raw
+    * table. Callers owning a reusable frame wrap it in their own
+    * PlanCache entry (as [[dsirHist]] does for the per-dir table). */
+  private[graft] def dsirHistOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(TextHash.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (TextHash.h1(col("tok")) % DsirBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** The bucket-affinity table (b, aff): Laplace-smoothed target share of
     * each hashed-feature bucket in exact micro-units — the published
@@ -948,7 +968,12 @@ object Curation {
     * consumes it as a literal map). */
   def importanceAffinity(spark: SparkSession, dir: String,
                          targetSource: String = "src0"): DataFrame =
-    dsirHist(spark, dir).groupBy(col("b"))
+    importanceAffinityOf(dsirHist(spark, dir), targetSource)
+
+  /** Affinity over any histogram frame (see [[dsirHistOf]]). */
+  private[graft] def importanceAffinityOf(hist: DataFrame,
+                                          targetSource: String): DataFrame =
+    hist.groupBy(col("b"))
       .agg(sum(when(col("source") === targetSource, col("cnt"))
           .otherwise(lit(0L))).as("ct"),
         sum(when(col("source") =!= targetSource, col("cnt"))
@@ -962,10 +987,53 @@ object Curation {
     * per incoming row (batch/stream parity is exact, not approximate). */
   private[graft] def importanceScores(spark: SparkSession, dir: String,
                                       targetSource: String = "src0"): DataFrame =
-    dsirHist(spark, dir).filter(col("source") =!= targetSource)
-      .join(broadcast(importanceAffinity(spark, dir, targetSource)), Seq("b"))
+    importanceScoresOf(dsirHist(spark, dir), targetSource)
+
+  /** Scores over any histogram frame (see [[dsirHistOf]]). */
+  private[graft] def importanceScoresOf(hist: DataFrame,
+                                        targetSource: String): DataFrame =
+    hist.filter(col("source") =!= targetSource)
+      .join(broadcast(importanceAffinityOf(hist, targetSource)), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(expr("sum(cnt * aff) DIV sum(cnt)").as("score"))
+
+  /** Per-DOCUMENT admitted set of the q95 election over `scored`
+    * (doc_id, lang, score): every doc strictly above the elected
+    * per-language threshold, plus the lowest-doc_id slice of the
+    * threshold TIE bucket that fills the quota — row-identical to the
+    * per-lang (score desc, doc_id) top-quota ranking at any SF, with
+    * the q95 scale posture intact: the election runs on the bounded
+    * per-(lang, score) histogram, and the only per-document sort is a
+    * row_number confined to each language's threshold tie bucket (the
+    * corpus as a whole never sorts). The composed pipeline (q97) chains
+    * this where the q95 audit only reports counts. */
+  private[graft] def importanceSelectedOf(scored: DataFrame,
+                                          quotaBp: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("c"))
+    val pool = hist.groupBy(col("lang")).agg(sum(col("c")).as("n_pool"))
+    val wPre = Window.partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = hist
+      .withColumn("pre", coalesce(sum(col("c")).over(wPre), lit(0L)))
+      .join(broadcast(pool), Seq("lang"))
+      .withColumn("quota",
+        greatest(expr(s"(n_pool * $quotaBp) DIV 10000"), lit(1L)))
+      .filter(col("pre") < col("quota"))
+      .withColumn("take", least(col("c"), col("quota") - col("pre")))
+      .groupBy(col("lang"))
+      .agg(min(col("score")).as("thr_score"),
+        min_by(col("take"), col("score")).as("thr_take"))
+    val withThr = scored.join(broadcast(thr), Seq("lang"))
+    val wTie = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    withThr.filter(col("score") > col("thr_score"))
+      .unionByName(
+        withThr.filter(col("score") === col("thr_score"))
+          .withColumn("_rn", row_number().over(wTie).cast("long"))
+          .filter(col("_rn") <= col("thr_take")).drop("_rn"))
+      .select(col("doc_id"), col("lang"), col("score"))
+  }
 
   /** X23 importance-guided selection audit (q95): per language — pool
     * size, selected size at a `quotaBp` basis-point quota, the admission

@@ -109,6 +109,177 @@ object CurationPipeline {
     outPath
   }
 
+  // ---- q97: the MODERN composed recipe ------------------------------------
+
+  /** Stage-1 hand-off of [[modernSummary]]: provenance-priority dedup
+    * over the corpus's real sources (priority = source-name order — a
+    * deployment substitutes its own ranking column; name order keeps
+    * the oracle twin byte-identical). One winner per (lang, text),
+    * carrying the winning text downstream. PlanCache'd: both the
+    * importance histogram and the packing text join-back consume it —
+    * a production pipeline materializes the dedup output the same way. */
+  private def modernKept(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"pipeline.modernKept:$dir") {
+      Dedup.priorityKeptOf(
+        graft.Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .withColumn("prio", col("source")))
+    }
+
+  /** Stage-2 input: the q95 hashed-feature histogram over the DEDUP
+    * SURVIVORS (the stage hand-off q95-standalone cannot gate) —
+    * PlanCache'd because the affinity agg and the scoring join both
+    * read it (the dir-level dsirHist device, applied to stage output). */
+  private def modernHist(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"pipeline.modernHist:$dir") {
+      Curation.dsirHistOf(
+        modernKept(spark, dir).select(col("doc_id"), col("lang"),
+          col("source"), col("text")))
+    }
+
+  /** The round-7..11 stages composed into ONE plan — the modern recipe
+    * q77's scrub/quality chain predates:
+    *
+    * {{{
+    * documents ─ priority dedup (q81) ─ importance selection (q95)
+    *           ─ component-anchored split (q96) ─ packContexts (q71)
+    * }}}
+    *
+    * Every stage is the library operator: [[Dedup.priorityKeptOf]]
+    * elects one copy per (lang, text) by provenance; the q95 election
+    * ([[Curation.importanceScoresOf]] over the SURVIVORS' histogram +
+    * [[Curation.importanceSelectedOf]]) keeps each language's
+    * target-affine quota; the q96 anchor table assigns every selected
+    * doc its near-dup COMPONENT's split (so selection can never split a
+    * near-dup pair across train/test); packing cuts fixed contexts
+    * within (split, lang). Scale posture inherited stage by stage: the
+    * corpus body crosses the digest-keyed dedup shuffle, the histogram
+    * fan-out, and the one packing shuffle — the affinity/threshold/
+    * anchor tables are broadcast-sized, the label propagation is the
+    * PlanCache'd chain shared with q64/q94/q96, and the only per-doc
+    * sort is the threshold tie bucket (see importanceSelectedOf). */
+  def modernCurate(spark: SparkSession, dir: String,
+                   targetSource: String = "src0", quotaBp: Long = 4000L,
+                   ctxLen: Int = 512, nShards: Int = 8,
+                   threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val kept = modernKept(spark, dir)
+    val selected = Curation.importanceSelectedOf(
+      Curation.importanceScoresOf(modernHist(spark, dir), targetSource), quotaBp)
+    val anchors = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("label"),
+        Curation.splitAssign(col("text")).as("split"))
+    val withSplit = selected
+      .join(Dedup.dedupClusterAssignments(spark, dir, threshold, rounds),
+        Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+      .join(anchors, Seq("label"))
+      .join(kept.select(col("doc_id"), col("text")), Seq("doc_id"))
+    Packing.packContextsOf(withSplit, ctxLen, nShards,
+      groupCols = Seq("split", "lang"))
+  }
+
+  /** One-row-per-(split, lang) audit of [[modernCurate]] (q97): docs,
+    * tokens, contexts — same shape as [[summary]], gating the full
+    * modern recipe's stage hand-offs in one oracle row. */
+  def modernSummary(spark: SparkSession, dir: String,
+                    targetSource: String = "src0", quotaBp: Long = 4000L,
+                    ctxLen: Int = 512, nShards: Int = 8,
+                    threshold: Double = 0.5, rounds: Int = 6): DataFrame =
+    modernCurate(spark, dir, targetSource, quotaBp, ctxLen, nShards,
+        threshold, rounds)
+      .select(col("split"), col("lang"), col("shard"), col("n_tokens"),
+        col("context_id"),
+        explode(sequence(col("context_id"), col("end_context"))).as("c"))
+      .groupBy(col("split"), col("lang"))
+      .agg(sum(when(col("c") === col("context_id"), 1L).otherwise(0L))
+          .as("n_docs"),
+        sum(when(col("c") === col("context_id"), col("n_tokens"))
+          .otherwise(0L)).as("sum_tokens"),
+        countDistinct(col("shard"), col("c")).as("n_contexts_touched"))
+      .orderBy(col("split"), col("lang"))
+
+  /** DuckDB oracle of [[modernSummary]] (q97): the whole modern
+    * composition — priority election, survivor-histogram importance
+    * selection, component-anchored split, sharded packing — one SQL
+    * statement from the same single-source fragments the component
+    * oracles use ([[Dedup.labelPropagationCtes]],
+    * [[graft.functions.TextHash.h1Sql]], [[Curation.splitAssignSql]]).
+    * A hash-match gates the COMPOSITION: any drift in a stage hand-off
+    * (which text the histogram sees, which docs reach the split, which
+    * split the packer partitions on) breaks it. */
+  def modernSummarySql(targetSource: String = "src0", quotaBp: Long = 4000L,
+                       ctxLen: Int = 512, nShards: Int = 8,
+                       threshold: Double = 0.5, rounds: Int = 6): String =
+    s"""WITH ${Dedup.labelPropagationCtes(threshold, rounds)},
+       |kept AS (
+       |  SELECT doc_id, lang, source, text FROM (
+       |    SELECT doc_id, lang, source, text,
+       |      row_number() OVER (PARTITION BY lang, sha256(text)
+       |                         ORDER BY source, doc_id) AS rn
+       |    FROM documents)
+       |  WHERE rn = 1
+       |), tb AS (
+       |  SELECT doc_id, lang, source,
+       |    ${graft.functions.TextHash.h1Sql("tok")} % ${Curation.DsirBuckets} AS b
+       |  FROM (SELECT doc_id, lang, source,
+       |        unnest(string_split(lower(text), ' ')) AS tok FROM kept)
+       |), hist AS (
+       |  SELECT doc_id, lang, source, b, count(*)::BIGINT AS cnt
+       |  FROM tb GROUP BY doc_id, lang, source, b
+       |), stats AS (
+       |  SELECT b,
+       |    (((sum(CASE WHEN source = '$targetSource' THEN cnt ELSE 0 END) + 1)
+       |      * ${Curation.DsirScale})
+       |     // (sum(cnt) + 2))::BIGINT AS aff
+       |  FROM hist GROUP BY b
+       |), scored AS (
+       |  SELECT h.doc_id, h.lang,
+       |    (sum(h.cnt * s.aff) // sum(h.cnt))::BIGINT AS score
+       |  FROM hist h JOIN stats s USING (b)
+       |  WHERE h.source <> '$targetSource'
+       |  GROUP BY h.doc_id, h.lang
+       |), pool AS (
+       |  SELECT lang, count(*)::BIGINT AS n_pool FROM scored GROUP BY lang
+       |), ranked AS (
+       |  SELECT lang, doc_id, row_number() OVER (
+       |    PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+       |  FROM scored
+       |), sel AS (
+       |  SELECT r.lang, r.doc_id FROM ranked r JOIN pool p USING (lang)
+       |  WHERE r.rn <= greatest((p.n_pool * $quotaBp) // 10000, 1)
+       |), comp AS (
+       |  -- l0 totalizes: every doc carries a label (self when isolated)
+       |  SELECT s.doc_id, s.lang, l.label
+       |  FROM sel s JOIN l$rounds l ON l.doc_id = s.doc_id
+       |), a AS (
+       |  SELECT doc_id AS label, ${Curation.splitAssignSql("hmod")} AS split
+       |  FROM (SELECT doc_id, ${graft.functions.TextHash.h1Sql("text")} % 100
+       |        AS hmod FROM documents)
+       |), spl AS (
+       |  SELECT c.doc_id, c.lang, a.split,
+       |    len(string_split(lower(k.text), ' '))::BIGINT AS n_tokens,
+       |    c.doc_id % $nShards AS shard
+       |  FROM comp c JOIN a USING (label) JOIN kept k ON k.doc_id = c.doc_id
+       |), packed AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY split, lang, shard
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW) AS cum
+       |  FROM spl
+       |), ex AS (
+       |  SELECT split, lang, shard, n_tokens,
+       |    ((cum - n_tokens) // $ctxLen)::BIGINT AS start_c,
+       |    -- window sum() yields HUGEINT; range() needs BIGINT
+       |    unnest(range(((cum - n_tokens) // $ctxLen)::BIGINT,
+       |                 (((cum - 1) // $ctxLen) + 1)::BIGINT)) AS c
+       |  FROM packed
+       |)
+       |SELECT split, lang,
+       |  sum(CASE WHEN c = start_c THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       |  sum(CASE WHEN c = start_c THEN n_tokens ELSE 0 END)::BIGINT
+       |    AS sum_tokens,
+       |  count(DISTINCT (shard, c))::BIGINT AS n_contexts_touched
+       |FROM ex GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
   def summarySql(minQuality: Double = 0.3,
                  ctxLen: Int = 512, nShards: Int = 8,
                  rounds: Int = 6): String = {

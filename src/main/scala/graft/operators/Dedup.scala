@@ -106,11 +106,24 @@ object Dedup {
     * map-side-combinable min_by, so the document body crosses the wire
     * once and no group is ever buffered. */
   def priorityKept(spark: SparkSession, dir: String): DataFrame =
-    multiSource(spark, dir)
+    priorityKeptOf(multiSource(spark, dir))
+
+  /** Winner election over ANY provenance-tagged frame (doc_id, lang,
+    * source, text, prio — prio any orderable type): one row per distinct
+    * (lang, text), the copy with the smallest (prio, doc_id), carrying
+    * the winning text and the group's copy count. The library entry
+    * point the composed pipeline (q97) chains; [[priorityKept]] binds it
+    * to the injected multi-source fixture. Same 100 TB shape as
+    * [[exactDedup]]: shuffle key (lang, 32-byte digest), winner election
+    * via map-side-combinable min_by — the body crosses the wire once,
+    * no group is buffered. */
+  def priorityKeptOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(col("lang"), sha2(col("text"), 256).as("h"))
       .agg(
         min_by(col("doc_id"), keepKey(col("prio"), col("doc_id"))).as("doc_id"),
         min_by(col("source"), keepKey(col("prio"), col("doc_id"))).as("source"),
+        min_by(col("text"), keepKey(col("prio"), col("doc_id"))).as("text"),
         count(lit(1)).as("copies"))
 
   /** Priority-dedup audit (q81): per (lang, winning source) — groups won,

@@ -743,19 +743,33 @@ object TextAnalysis {
     * birthday-bound trade as q78's shuffle key, disclosed there). The
     * micro rate divides two exact integer sums once, so engine-side
     * addition order cannot move it. */
-  def boilerplateShare(spark: SparkSession, dir: String,
-                       n: Int = 5, minDf: Int = 2): DataFrame = {
-    // both the df aggregation and the join-back consume this table; a
-    // PlanCache materialization computes the scan+shingle+hash once per
-    // (session, dir, n) instead of once per consumer — same lifecycle
-    // device as Dedup.signatures (the 100 TB pipeline persists its gram
-    // table for exactly this reason)
-    val sh = graft.PlanCache.cached(spark, s"textanalysis.gramKeys:$dir:$n") {
+  /** Shared 60-bit gram-key table (q87 + scale harness): one row per
+    * (doc, distinct n-gram). Both the df aggregation and the join-back
+    * consume it; a PlanCache materialization computes the
+    * scan+shingle+hash once per (session, dir, n) instead of once per
+    * consumer — same lifecycle device as Dedup.signatures (the 100 TB
+    * pipeline persists its gram table for exactly this reason). */
+  private[graft] def gramKeys(spark: SparkSession, dir: String, n: Int): DataFrame =
+    graft.PlanCache.cached(spark, s"textanalysis.gramKeys:$dir:$n") {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"),
           explode(graft.functions.HashExpressions.shingles(col("text"), n)).as("g"))
         .select(col("doc_id"), col("lang"), TextHash.h1(col("g")).as("gk"))
     }
+
+  /** Scale-harness seam (ScaleHarnessSpec): the two inputs of the
+    * q73/q87 gram join — corpus-side (doc, gram) rows and the distinct
+    * gram vocabulary (the df-agg/join key side) — measured on the exact
+    * cached fragment the operators consume, so the harness pins the
+    * operator's real shuffle shape, not a re-derivation. */
+  def gramJoinInputs(spark: SparkSession, dir: String, n: Int = 5): (Long, Long) = {
+    val sh = gramKeys(spark, dir, n)
+    (sh.count(), sh.select(col("gk")).distinct().count())
+  }
+
+  def boilerplateShare(spark: SparkSession, dir: String,
+                       n: Int = 5, minDf: Int = 2): DataFrame = {
+    val sh = gramKeys(spark, dir, n)
     val dfreq = sh.groupBy(col("gk")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("gk"))
       .groupBy(col("doc_id"), col("lang"))

@@ -455,19 +455,33 @@ object Pipeline {
       .filter(graft.operators.Curation.mixtureCoin(col("doc_id"), seed) < col("rate"))
       .drop("rate")
 
-  /** The composed streaming curation intake — the round's batch curation
-    * recipe (q86 mixture → q19-style exact dedup → q17 quality gate) as
-    * ONE continuous job: [[mixtureGate]] admits at the snapshot's domain
-    * rates, `dropDuplicatesWithinWatermark` on the sha2 content digest
-    * drops exact re-ingests (state keyed on the 32-byte hash, never the
-    * body, bounded by the watermark), and the quality gate scores with
-    * the same native kernel as the batch q17/q65. Appends `quality`;
-    * otherwise passthrough. Everything before the dedup is stateless, so
-    * the job's only state is the in-watermark digest set. */
+  /** The composed streaming curation intake — the full batch curation
+    * recipe (q95 importance → q86 mixture → q19-style exact dedup → q17
+    * quality gate) as ONE continuous job, the engine's twin of the
+    * reference's single continuous stream (`streamer.py:48` →
+    * `ProcessStreamData.py:12-33`): [[importanceGate]] (when a snapshot
+    * is supplied) admits at the batch-elected per-language thresholds,
+    * [[mixtureGate]] admits at the snapshot's domain rates,
+    * `dropDuplicatesWithinWatermark` on the sha2 content digest drops
+    * exact re-ingests (state keyed on the 32-byte hash, never the body,
+    * bounded by the watermark), and the quality gate scores with the
+    * same native kernel as the batch q17/q65. Appends `importance_score`
+    * (when gated) and `quality`; otherwise passthrough. Everything
+    * outside the dedup is stateless — broadcast literal maps and per-row
+    * predicates — so the job's only state is the in-watermark digest
+    * set. */
   def curatedIntake(stream: DataFrame, rates: DataFrame, eventTimeCol: String,
                     minQuality: Double = 0.2, seed: Long = 42,
-                    watermark: String = "10 minutes"): DataFrame =
-    mixtureGate(stream, rates, seed)
+                    watermark: String = "10 minutes",
+                    importanceAffinity: Map[Long, Long] = Map.empty,
+                    importanceThresholds: Map[String, Long] = Map.empty): DataFrame = {
+    require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
+      "curatedIntake: supply both importance snapshots or neither")
+    val pre =
+      if (importanceAffinity.nonEmpty)
+        importanceGate(stream, importanceAffinity, importanceThresholds)
+      else stream
+    mixtureGate(pre, rates, seed)
       .withColumn("_h", sha2(col("text").cast("binary"), 256))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("_h"))
@@ -475,6 +489,7 @@ object Pipeline {
       .withColumn("quality",
         graft.operators.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
+  }
 
   /** X23 streaming twin: importance-intake gate — scores each incoming
     * document with the SAME hashed-unigram target affinity as the batch

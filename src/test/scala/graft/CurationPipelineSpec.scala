@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CurationPipeline, Dedup, TextAnalysis}
+import graft.operators.{Curation, CurationPipeline, Dedup, TextAnalysis}
 
 /** End-to-end composition: dedup → scrub → quality floor → split → pack
   * as one plan. */
@@ -82,5 +82,46 @@ class CurationPipelineSpec extends SparkSpec {
         "every doc has at least one token")
       assert(r.getAs[Long]("n_contexts_touched") >= 1L)
     }
+  }
+
+  test("modern pipeline: per-doc election equals ranking, stages hand off, splits never leak") {
+    import org.apache.spark.sql.expressions.Window
+    // importanceSelectedOf (threshold + tie-bucket device) must be
+    // row-identical to the per-lang (score desc, doc_id) top-quota rank
+    val scored = Curation.importanceScores(spark, sf0001)
+    val byRank = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .join(scored.groupBy(col("lang")).agg(count(lit(1)).as("n_pool")), Seq("lang"))
+      .filter(col("rn") <= greatest(expr("(n_pool * 4000) DIV 10000"), lit(1L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byElection = Curation.importanceSelectedOf(scored)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byElection == byRank,
+      s"election diverges from ranking: ${byElection diff byRank} / ${byRank diff byElection}")
+    // composed output: every packed doc is a stage-1 winner (one per
+    // (lang, text)) that survived the stage-2 quota
+    val packed = CurationPipeline.modernCurate(spark, sf0001,
+      ctxLen = 64, nShards = 4).collect()
+    assert(packed.nonEmpty)
+    val ids = packed.map(_.getAs[Long]("doc_id"))
+    assert(ids.length == ids.toSet.size, "one row per selected doc")
+    packed.foreach { r =>
+      assert(Set("train", "val", "test")(r.getAs[String]("split")))
+      assert(r.getAs[Long]("end_context") >= r.getAs[Long]("context_id"))
+    }
+    // the q94 leakage audit re-run on the COMPOSED splits: every near-dup
+    // component the selection kept must sit entirely inside one split —
+    // the q96 anchor assignment makes leaks structurally impossible
+    val split = CurationPipeline.modernCurate(spark, sf0001,
+      ctxLen = 64, nShards = 4).select("doc_id", "split")
+    val leaky = Dedup.dedupClusterAssignments(spark, sf0001)
+      .join(split, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .count()
+    assert(leaky == 0L, s"$leaky components straddle a split in the composed output")
   }
 }

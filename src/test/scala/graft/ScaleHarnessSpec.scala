@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** 100× deterministic scale harness: seeded duplicate-heavy / skew-heavy
   * corpora inflated two orders of magnitude, with the candidate-pair /
@@ -132,6 +132,40 @@ class ScaleHarnessSpec extends SparkSpec {
       assert(n <= operators.Curation.DsirBuckets,
         s"affinity table has $n rows for $dir")
     }
+  }
+
+  test("q73/q74/q87: gram tables are linear in distinct grams and duplication-invariant") {
+    // corpusDir texts are 12 disjoint-vocabulary words -> exactly 8
+    // distinct 5-gram shingles per doc, no sharing across templates
+    val gramsPerDoc = 8L
+    val d1x = corpusDir(30, 60)
+    val d100x = corpusDir(30, 6000)
+    val (rows1, vocab1) = TextAnalysis.gramJoinInputs(spark, d1x)
+    val (rows100, vocab100) = TextAnalysis.gramJoinInputs(spark, d100x)
+    // the df-agg/join key side (q73's groupBy(g), q87's dfreq) is the
+    // gram VOCABULARY: 100x duplicate inflation leaves it unchanged
+    assert(vocab1 == 30 * gramsPerDoc, s"1x vocab $vocab1, want ${30 * gramsPerDoc}")
+    assert(vocab100 == vocab1, s"duplication grew the gram vocabulary: $vocab1 -> $vocab100")
+    // the corpus side streams through linearly in docs, never more
+    assert(rows1 == 60L * gramsPerDoc && rows100 == 6000L * gramsPerDoc,
+      s"corpus-side gram rows ($rows1, $rows100) must be docs x grams/doc")
+    // 100x more DISTINCT content grows the vocabulary 100x, not quadratically
+    // (tolerate a handful of 60-bit h1 collisions at the big scale)
+    val (_, vocabSmall) = TextAnalysis.gramJoinInputs(spark, corpusDir(30, 30))
+    val (_, vocabBig) = TextAnalysis.gramJoinInputs(spark, corpusDir(3000, 3000))
+    assert(vocabSmall == 30 * gramsPerDoc)
+    assert(vocabBig <= 100L * vocabSmall && vocabBig >= 100L * vocabSmall - 50,
+      s"distinct content must scale the vocabulary ~100x: $vocabSmall -> $vocabBig")
+    // q74's broadcast side is the BENCHMARK vocabulary (doc_id < 10 =
+    // template-0 copies): identical at both corpus scales
+    assert(Curation.contaminationBenchGrams(spark, d1x) == gramsPerDoc)
+    assert(Curation.contaminationBenchGrams(spark, d100x) == gramsPerDoc)
+    // and q73's ranking on the skewed 100x corpus reads the skew correctly:
+    // every top gram is a template-0 gram carried by > half the corpus
+    val top = TextAnalysis.duplicatedNgrams(spark, d100x, 5, 3).collect()
+    assert(top.length == 3)
+    assert(top.forall(_.getAs[Long]("n_docs_containing") > 3000),
+      s"top grams must carry template 0's >half-corpus df: ${top.mkString(", ")}")
   }
 
   test("q83: sub-shard guard keeps candidate pairs O(n*maxCluster) on a degenerate cell") {

@@ -977,6 +977,80 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("quality") >= 0.2)
   }
 
+  test("curated intake with importance snapshot admits row-identically to the batch recipe") {
+    // the full composed job: q95 importance gate -> q86 mixture gate ->
+    // watermarked digest dedup -> q17 quality gate, replayed over the live
+    // sf0001 corpus and compared against applying the same four batch
+    // stages to the same rows
+    val minQ = 0.2
+    val docs = Tables.documents(spark, sf0001).filter(col("source") =!= "src0")
+    val affinity = graft.operators.Curation.importanceAffinity(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("aff")).toMap
+    val thresholds = graft.operators.Curation.importanceSelection(spark, sf0001)
+      .collect().map(r =>
+        r.getAs[String]("lang") -> r.getAs[Long]("threshold_score")).toMap
+    val rates = graft.operators.Curation.mixtureRates(spark, sf0001)
+    // batch twin, stage by stage (importance -> mixture), per doc
+    val impPass = graft.operators.Curation.importanceScores(spark, sf0001)
+      .collect().collect {
+        case r if thresholds.get(r.getAs[String]("lang"))
+          .exists(r.getAs[Long]("score") >= _) => r.getAs[Long]("doc_id")
+      }.toSet
+    val mixPass = docs
+      .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+      .filter(graft.operators.Curation.mixtureCoin(col("doc_id")) < col("rate"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatePass = impPass intersect mixPass
+    // the dedup winner within a digest group is arrival-order dependent,
+    // but quality is a pure function of the text (= the digest), so the
+    // admitted DIGEST set is deterministic: digests with >= 1 gate-passing
+    // row whose text clears the quality bar
+    val expectedDigests = docs
+      .withColumn("_h", sha2(col("text").cast("binary"), 256))
+      .withColumn("q", graft.operators.TextAnalysis.qualityScore(col("text")))
+      .filter(col("q") >= minQ)
+      .collect()
+      .collect { case r if gatePass.contains(r.getAs[Long]("doc_id")) =>
+        r.getAs[String]("_h") }
+      .toSet
+    val streamDir = Files.createTempDirectory("graft_curated_full")
+    Files.createSymbolicLink(streamDir.resolve("docs.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream
+      .schema(Tables.documents(spark, sf0001).schema)
+      .parquet(streamDir.toString)
+      .filter(col("source") =!= "src0")
+      .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val q = Pipeline.curatedIntake(stream, rates, "ts", minQuality = minQ,
+        importanceAffinity = affinity, importanceThresholds = thresholds)
+      .writeStream.format("memory").queryName("curated_full")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("curated_full").collect()
+    // one row per admitted digest, and exactly the batch recipe's digests
+    val gotDigests = got.map(r => java.security.MessageDigest.getInstance("SHA-256")
+      .digest(r.getAs[String]("text").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString).toSet
+    assert(got.length == expectedDigests.size,
+      s"stream admitted ${got.length} rows, batch recipe admits ${expectedDigests.size} digests")
+    assert(gotDigests == expectedDigests)
+    // every admitted row individually passed both stateless gates
+    val gotIds = got.map(_.getAs[Long]("doc_id")).toSet
+    assert(gotIds.subsetOf(gatePass), s"admitted rows outside the gate set: ${gotIds diff gatePass}")
+    // and each stage is selective at this SF (the composition is not a no-op)
+    val all = docs.count()
+    assert(impPass.size < all && mixPass.size < all)
+    // dedup+quality can only narrow the gate set (equality when the
+    // gate-passing rows are digest-distinct and all clear the bar, as at
+    // this SF — the dup/junk drops are pinned by the fixture test above)
+    assert(expectedDigests.size <= gatePass.size)
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Double]("quality") >= minQ)
+      assert(r.schema.fieldNames.contains("importance_score"))
+    }
+  }
+
   test("OOV monitor: windowed drift rates against a static vocabulary snapshot") {
     import spark.implicits._
     val vocab = Seq("alpha", "beta").toDF("w")

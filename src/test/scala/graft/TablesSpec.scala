@@ -63,6 +63,26 @@ class TablesSpec extends SparkSpec {
     assert(a == b, s"legacy ns path drifts: $a vs $b")
   }
 
+  test("events loader leaves caller-session conf untouched for µs encodings") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_us_events").toString
+    // a µs TIMESTAMP events layout (what Spark itself writes)
+    Tables.events(spark, sf0001)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val fresh = spark.newSession()
+    fresh.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    // getOption reports the registered default ("false") once unset — that
+    // default, not "true", must survive the load
+    val before = fresh.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val ev = Tables.events(fresh, dir)
+    assert(logical(ev)("ts") == TimestampType)
+    assert(ev.selectExpr("count(*)").first().getLong(0) > 0)
+    val after = fresh.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    assert(after == before && !after.contains("true"),
+      s"loading µs-encoded events rewrote caller conf: nanosAsLong=$after")
+  }
+
   test("fact tables keep their logical schemas") {
     assertCols(Tables.lineitem(spark, sf0001),
       "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
