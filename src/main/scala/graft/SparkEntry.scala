@@ -157,7 +157,16 @@ object SparkEntry {
     // the MODERN composed pipeline (priority dedup → importance
     // selection → component split → pack) as one oracle row — the
     // round-7..11 stages' hand-offs gated like q77 gates the classic
-    "q97_modern_pipeline" -> ((s, d) => graft.operators.CurationPipeline.modernSummary(s, d))
+    "q97_modern_pipeline" -> ((s, d) => graft.operators.CurationPipeline.modernSummary(s, d)),
+    // length-bucketed batching: padding-waste audit for non-packed
+    // (one-doc-one-sequence) training batches, integer basis points
+    "q98_bucketed_batching" -> ((s, d) => Packing.batchingSummary(s, d)),
+    // per-lang quality-decile cutoffs via the two-phase histogram —
+    // the corpus never sorts, only the (lang, rounded-score) table does
+    "q99_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
+    // epoch/repetition schedule: mixture-share token allocations vs the
+    // 4-epoch data-constrained ceiling, exact micro-epoch integers
+    "q100_epoch_schedule" -> ((s, d) => Curation.epochSchedule(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -261,6 +270,9 @@ object SparkEntry {
     "q94_split_leakage" -> Curation.splitLeakageSql(),
     "q95_importance_selection" -> Curation.importanceSelectionSql(),
     "q96_component_split" -> Curation.componentSplitSql(),
-    "q97_modern_pipeline" -> graft.operators.CurationPipeline.modernSummarySql()
+    "q97_modern_pipeline" -> graft.operators.CurationPipeline.modernSummarySql(),
+    "q98_bucketed_batching" -> Packing.batchingSummarySql(),
+    "q99_quality_calibration" -> TextAnalysis.qualityCalibrationSql,
+    "q100_epoch_schedule" -> Curation.epochScheduleSql()
   )
 }

@@ -1126,4 +1126,92 @@ object Curation {
        |  min(score) AS threshold_score,
        |  (sum(score) // count(*))::BIGINT AS avg_sel_score
        |FROM sel GROUP BY lang, n_pool ORDER BY lang""".stripMargin
+
+  // ---- X27: epoch/repetition schedule (q100) ------------------------------
+
+  /** Token budget the default [[epochSchedule]] plans for — ~4× the
+    * sf0.01 corpus, so the schedule exercises both regimes (heavy-weight
+    * sources hit the epoch cap, light ones repeat fractionally). */
+  val ScheduleBudget = 100000L
+
+  /** Epoch ceiling in micro-epochs (4.0 epochs): past ~4 repetitions a
+    * source's marginal value collapses (Muennighoff et al. 2023,
+    * arXiv:2305.16264 — "data-constrained scaling"), so the scheduler
+    * reallocates the excess implicitly as a reported deficit. */
+  val MaxEpochsMicro = 4000000L
+
+  /** [[mixtureWeight]]'s tiers in exact integer basis points — the
+    * schedule's arithmetic never touches a float. */
+  def mixtureWeightBp(source: Column): Column = {
+    val sn = substring(source, 4, 10).cast("int")
+    when(sn < 5, 800L).when(sn < 10, 600L).when(sn < 15, 400L).otherwise(200L)
+  }
+
+  private def mixtureWeightBpSql(source: String): String =
+    s"""(CASE WHEN substr($source, 4)::INT < 5 THEN 800
+       |      WHEN substr($source, 4)::INT < 10 THEN 600
+       |      WHEN substr($source, 4)::INT < 15 THEN 400
+       |      ELSE 200 END)::BIGINT""".stripMargin
+
+  /** X27 epoch/repetition schedule (q100): given a total token budget
+    * and the q86 target mixture, how many EPOCHS of each source does a
+    * training run take? Each source's allocation is its mixture share of
+    * the budget (`budget·w_bp div 10000`); its repeat factor is
+    * `alloc/n_tokens` in exact micro-epochs, capped at
+    * [[MaxEpochsMicro]] (the data-constrained-scaling ceiling —
+    * repeating a small source 40× buys nothing); `effective_tokens` is
+    * what the cap actually lets the run consume and `deficit_tokens` the
+    * shortfall a planner must re-source (new data or re-weighting). The
+    * whole schedule is integer arithmetic — budget, shares, micro-epochs
+    * — so the cross-engine hash can never float-drift.
+    *
+    * Scale posture: ONE corpus scan reduces to a source-cardinality
+    * table (map-side-combinable count+sum), and every schedule column is
+    * per-row scalar math on those ~20 rows; decimal(38,0) intermediates
+    * guard the micro-epoch products past 9.2×10^12 tokens per source
+    * (a 100 TB corpus's big sources), mirroring DuckDB's HUGEINT. */
+  def epochSchedule(spark: SparkSession, dir: String,
+                    budget: Long = ScheduleBudget,
+                    maxEpochsMicro: Long = MaxEpochsMicro): DataFrame = {
+    require(budget > 0 && maxEpochsMicro > 0)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+      .withColumn("weight_bp", mixtureWeightBp(col("source")))
+      .withColumn("alloc_tokens",
+        expr(s"cast($budget as decimal(38,0)) * weight_bp div 10000"))
+      .withColumn("epochs_micro",
+        least(lit(maxEpochsMicro),
+          expr("cast(alloc_tokens as decimal(38,0)) * 1000000 div n_tokens")))
+      .withColumn("effective_tokens",
+        expr("cast(n_tokens as decimal(38,0)) * epochs_micro div 1000000"))
+      .withColumn("deficit_tokens", col("alloc_tokens") - col("effective_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight_bp"),
+        col("alloc_tokens"), col("epochs_micro"), col("effective_tokens"),
+        col("deficit_tokens"))
+      .orderBy(col("source"))
+  }
+
+  def epochScheduleSql(budget: Long = ScheduleBudget,
+                       maxEpochsMicro: Long = MaxEpochsMicro): String =
+    s"""WITH t AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT *, ${mixtureWeightBpSql("source")} AS weight_bp FROM t
+       |), a AS (
+       |  SELECT *, ($budget * weight_bp) // 10000 AS alloc_tokens FROM w
+       |), e AS (
+       |  SELECT *, least($maxEpochsMicro,
+       |    (alloc_tokens * 1000000) // n_tokens)::BIGINT AS epochs_micro
+       |  FROM a
+       |)
+       |SELECT source, n_docs, n_tokens, weight_bp, alloc_tokens, epochs_micro,
+       |  ((n_tokens * epochs_micro) // 1000000)::BIGINT AS effective_tokens,
+       |  (alloc_tokens - (n_tokens * epochs_micro) // 1000000)::BIGINT
+       |    AS deficit_tokens
+       |FROM e ORDER BY source""".stripMargin
 }

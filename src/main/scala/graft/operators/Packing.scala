@@ -301,4 +301,118 @@ object Packing {
        |    (sum((len + ctx_len - 1) // ctx_len) * ctx_len))::BIGINT AS fill_bp
        |FROM e GROUP BY ctx_len ORDER BY ctx_len""".stripMargin
   }
+
+  // ---- X25: length-bucketed batch packing (q98) ---------------------------
+
+  /** Length-bucket caps for [[batchingSummary]], chosen like
+    * [[FrontierBuckets]] to straddle the corpus's 10-100-token range. A
+    * doc lands in the smallest cap that holds it; docs beyond the top
+    * cap are truncated to it (counted in `n_truncated`). */
+  val BatchBuckets: Seq[Int] = Seq(16, 32, 64, 128)
+
+  /** Docs per training batch for [[batchingSummary]]. */
+  val DocsPerBatch: Int = 16
+
+  /** X25 length-bucketed batching audit (q98): the padding-efficiency
+    * device for NON-packed training (SFT/contrastive/reward batches,
+    * where each doc is one sequence and a batch pads every row to the
+    * batch max). Docs are bucketed by length (smallest cap that fits),
+    * sharded, and cut into deterministic `docsPerBatch`-doc batches in
+    * doc_id order within (bucket, shard); each batch pads to ITS OWN max
+    * row length. Per bucket: docs, batches, real tokens, padded (=
+    * Σ_batch rows·max_len) tokens, and the waste in exact integer basis
+    * points — the number a batching scheduler minimizes; compare
+    * `waste_bp` here with one unbucketed global batcher to see what the
+    * bucketing buys.
+    *
+    * Scale posture: same sharded shape as [[packContextsOf]] — the only
+    * shuffle is the hash partition on (bucket, shard) and the per-group
+    * row_number is a streaming window inside each partition (shard count
+    * is the parallelism knob, so no partition outgrows an executor at
+    * 100 TB). The doc body is reduced to an 8-byte length BEFORE the
+    * shuffle; the two-level rollup (batch → bucket) is map-side
+    * combinable. Integer arithmetic end-to-end (decimal(38,0) guards the
+    * basis-point scaling past 9.2e14 tokens — FIXTURES.md §C).
+    *
+    * Reference tie-in: the reference stores raw tweets with no
+    * training-side batching (`ProcessStreamData.py:25-30`); this is part
+    * of the mandated LLM-data-pipeline extension (SURVEY.md §2.12). */
+  def batchingSummary(spark: SparkSession, dir: String,
+                      buckets: Seq[Int] = BatchBuckets,
+                      docsPerBatch: Int = DocsPerBatch,
+                      nShards: Int = 8): DataFrame =
+    batchingSummaryOf(Tables.documents(spark, dir), buckets, docsPerBatch,
+      nShards)
+
+  /** [[batchingSummary]] over any (doc_id, text) frame. */
+  def batchingSummaryOf(docs: DataFrame, buckets: Seq[Int] = BatchBuckets,
+                        docsPerBatch: Int = DocsPerBatch,
+                        nShards: Int = 8): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted && buckets.forall(_ > 0)
+      && docsPerBatch > 0 && nShards > 0)
+    val maxCap = buckets.last.toLong
+    val bucketOf = buckets.init.foldRight(lit(maxCap)) { (b, rest) =>
+      when(col("len") <= b.toLong, lit(b.toLong)).otherwise(rest)
+    }
+    val w = Window.partitionBy(col("bucket_cap"), col("shard"))
+      .orderBy(col("doc_id"))
+    val perBatch = docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(TextHash.tokens(col("text"))).cast("long").as("len"))
+      .select(col("doc_id"), col("shard"), bucketOf.as("bucket_cap"),
+        least(col("len"), lit(maxCap)).as("tok"),
+        when(col("len") > maxCap, 1L).otherwise(0L).as("trunc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr(s"(rn - 1) div ${docsPerBatch.toLong}"))
+      .groupBy(col("bucket_cap"), col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("rows"), max(col("tok")).as("max_tok"),
+        sum(col("tok")).as("toks"), sum(col("trunc")).as("truncs"))
+    perBatch
+      .groupBy(col("bucket_cap"))
+      .agg(sum(col("rows")).as("n_docs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("toks")).as("sum_tokens"),
+        sum(col("rows") * col("max_tok")).as("padded_tokens"),
+        sum(col("truncs")).as("n_truncated"))
+      .select(col("bucket_cap"), col("n_docs"), col("n_batches"),
+        col("sum_tokens"), col("padded_tokens"), col("n_truncated"),
+        expr("cast(padded_tokens - sum_tokens as decimal(38,0)) * 10000 div " +
+          "cast(padded_tokens as decimal(38,0))").cast("long").as("waste_bp"))
+      .orderBy(col("bucket_cap"))
+  }
+
+  def batchingSummarySql(buckets: Seq[Int] = BatchBuckets,
+                         docsPerBatch: Int = DocsPerBatch,
+                         nShards: Int = 8): String = {
+    val maxCap = buckets.last
+    val bucketCase = buckets.init
+      .map(b => s"WHEN len <= $b THEN $b").mkString("CASE ", " ", s" ELSE $maxCap END")
+    s"""WITH l AS (
+       |  SELECT doc_id, doc_id % $nShards AS shard,
+       |    len(string_split(lower(text), ' '))::BIGINT AS len
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, shard, ($bucketCase)::BIGINT AS bucket_cap,
+       |    least(len, $maxCap) AS tok,
+       |    CASE WHEN len > $maxCap THEN 1 ELSE 0 END AS trunc
+       |  FROM l
+       |), r AS (
+       |  SELECT *, (row_number() OVER (PARTITION BY bucket_cap, shard
+       |    ORDER BY doc_id) - 1) // $docsPerBatch AS batch_id
+       |  FROM b
+       |), pb AS (
+       |  SELECT bucket_cap, shard, batch_id, count(*)::BIGINT AS rows,
+       |    max(tok) AS max_tok, sum(tok)::BIGINT AS toks,
+       |    sum(trunc)::BIGINT AS truncs
+       |  FROM r GROUP BY bucket_cap, shard, batch_id
+       |)
+       |SELECT bucket_cap, sum(rows)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_batches, sum(toks)::BIGINT AS sum_tokens,
+       |  sum(rows * max_tok)::BIGINT AS padded_tokens,
+       |  sum(truncs)::BIGINT AS n_truncated,
+       |  ((sum(rows * max_tok) - sum(toks)) * 10000
+       |    // sum(rows * max_tok))::BIGINT AS waste_bp
+       |FROM pb GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin
+  }
 }

@@ -807,4 +807,89 @@ object TextAnalysis {
        |  round(sum(n_shared) / sum(n_grams)::DOUBLE, 6) AS shared_rate,
        |  sum(CASE WHEN n_shared * 2 >= n_grams THEN 1 ELSE 0 END)::BIGINT AS n_heavy
        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- X26: quality-quantile calibration (q99) ----------------------------
+
+  /** X26 per-language quality-decile calibration (q99): the cutoff table
+    * a curation run thresholds against ("keep en above its 7th decile,
+    * de above its 4th"). For each language and decile d∈1..9, the cutoff
+    * is the EXACT discrete quantile — the smallest rounded score q such
+    * that at least ceil(d·n/10) docs score ≤ q (so q65's keep-upper-half
+    * gate is exactly "score > decile-5 cutoff"). Rank arithmetic stays
+    * in integers and scores are rounded to 6 BEFORE comparison, the
+    * cross-engine float rule (FIXTURES.md §C).
+    *
+    * Scale posture: the corpus collapses to a (lang, rounded-score)
+    * HISTOGRAM with map-side combine before anything orders — the
+    * cumulative window and the 9-way decile fan-out run over histogram
+    * rows (≤ 10^6 distinct rounded scores per language, in practice far
+    * fewer), never over documents. This is the two-phase-histogram
+    * device of q82/q95 applied to quantile estimation: the 100 TB
+    * corpus is one scan + one tiny-table window, where a naive
+    * percentile would sort the corpus per language.
+    *
+    * Reference tie-in: the reference has no quality machinery at all
+    * (`ProcessStreamData.py:25-30`); calibration is part of the mandated
+    * LLM-data-pipeline extension (SURVEY.md §2.12). */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val cumW = byLang.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), round(qualityScore(col("text")), 6).as("q"))
+      .groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byLang))
+      .select(col("lang"), col("q"), col("cum"), col("n"),
+        explode(array((1 to 9).map(d => lit(d.toLong)): _*)).as("decile"))
+      // ceil(d*n/10) in pure integers; cum >= need keeps every score at
+      // or above the cutoff — min(q) is then the exact discrete quantile
+      .filter(col("cum") >= expr("(decile * n + 9) div 10"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(min(col("q")).as("cutoff"), max(col("n")).as("n_docs"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  /** Harness seam (ScaleHarnessSpec): the row count of the (lang,
+    * rounded-score) histogram — the ONLY thing q99 ever orders. */
+  private[graft] def qualityHistRows(spark: SparkSession, dir: String): Long =
+    Tables.documents(spark, dir)
+      .select(col("lang"), round(qualityScore(col("text")), 6).as("q"))
+      .groupBy(col("lang"), col("q")).agg(count(lit(1))).count()
+
+  def qualityCalibrationSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    len(t)::DOUBLE AS ntok,
+       |    len(list_distinct(t))::DOUBLE AS uniq,
+       |    len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |    length(text)::DOUBLE AS chars
+       |  FROM (SELECT lang, text, string_split(lower(text), ' ') AS t
+       |        FROM documents)
+       |), q AS (
+       |  SELECT lang,
+       |    round(0.25 * least(ntok / 50.0, 1.0) +
+       |          0.25 * (uniq / ntok) +
+       |          0.25 * (1.0 - (stops / ntok)) +
+       |          0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6) AS q
+       |  FROM s
+       |), h AS (
+       |  SELECT lang, q, count(*)::BIGINT AS cnt FROM q GROUP BY lang, q
+       |), c AS (
+       |  SELECT lang, q, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM h
+       |), e AS (
+       |  SELECT lang, q, cum, n,
+       |    unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]::BIGINT[]) AS decile
+       |  FROM c
+       |)
+       |SELECT lang, decile, min(q) AS cutoff, max(n)::BIGINT AS n_docs
+       |FROM e WHERE cum >= (decile * n + 9) // 10
+       |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+  }
 }

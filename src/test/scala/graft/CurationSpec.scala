@@ -438,4 +438,34 @@ class CurationSpec extends SparkSpec {
     assert(f.head.getAs[Long]("n_components") == 1L)
     assert(f.head.getAs[Long]("n_leaky") == 0L)
   }
+
+  test("epoch schedule (q100): integer identities hold row by row") {
+    val budget = Curation.ScheduleBudget
+    val cap = Curation.MaxEpochsMicro
+    val rows = Curation.epochSchedule(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    var sawCapped = false; var sawFractional = false
+    rows.foreach { r =>
+      val toks = r.getAs[Long]("n_tokens")
+      val wbp = r.getAs[Long]("weight_bp")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val em = r.getAs[Long]("epochs_micro")
+      val eff = r.getAs[Long]("effective_tokens")
+      val defi = r.getAs[Long]("deficit_tokens")
+      assert(alloc == budget * wbp / 10000L)
+      assert(em == math.min(cap, alloc * 1000000L / toks))
+      assert(eff == toks * em / 1000000L)
+      assert(defi == alloc - eff && defi >= 0L)
+      if (em == cap) { sawCapped = true; assert(defi >= 0L) }
+      else {
+        sawFractional = true
+        // uncapped: the only shortfall is micro-epoch truncation dust
+        assert(defi <= toks / 1000000L + 1L)
+      }
+    }
+    // the default budget exercises BOTH regimes at oracle scale
+    assert(sawCapped && sawFractional)
+    // weights follow the q86 mixture tiers
+    assert(rows.map(_.getAs[Long]("weight_bp")).toSet == Set(800L, 600L, 400L, 200L))
+  }
 }

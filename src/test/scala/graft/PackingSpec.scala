@@ -170,4 +170,49 @@ class PackingSpec extends SparkSpec {
     val seqs = rows.map(_.getAs[Long]("n_seqs"))
     assert(seqs.sameElements(seqs.sorted.reverse))
   }
+
+  test("bucketed batching (q98) matches a driver-side batcher exactly") {
+    val buckets = Packing.BatchBuckets
+    val per = 16
+    val nShards = 8
+    val maxCap = buckets.last.toLong
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference batcher: bucket = smallest cap that fits, shard = doc_id
+    // mod nShards, batches of `per` docs in doc_id order, pad to batch max
+    case class Agg(docs: Long, batches: Long, sum: Long, padded: Long)
+    val expect = docs
+      .map { case (id, len) =>
+        val cap = buckets.find(len <= _).map(_.toLong).getOrElse(maxCap)
+        (cap, id % nShards, id, math.min(len, maxCap))
+      }
+      .groupBy { case (cap, shard, _, _) => (cap, shard) }
+      .toSeq.flatMap { case ((cap, _), rs) =>
+        rs.sortBy(_._3).map(_._4).grouped(per).map { batch =>
+          (cap, Agg(batch.length.toLong, 1L, batch.sum,
+            batch.length.toLong * batch.max))
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce((a, b) =>
+        Agg(a.docs + b.docs, a.batches + b.batches, a.sum + b.sum,
+          a.padded + b.padded))).toMap
+    val rows = Packing.batchingSummary(spark, sf0001,
+      docsPerBatch = per, nShards = nShards).collect()
+    assert(rows.map(_.getAs[Long]("bucket_cap")).toSet == expect.keySet)
+    rows.foreach { r =>
+      val e = expect(r.getAs[Long]("bucket_cap"))
+      assert(r.getAs[Long]("n_docs") == e.docs)
+      assert(r.getAs[Long]("n_batches") == e.batches)
+      assert(r.getAs[Long]("sum_tokens") == e.sum)
+      assert(r.getAs[Long]("padded_tokens") == e.padded)
+      assert(r.getAs[Long]("waste_bp") ==
+        (e.padded - e.sum) * 10000L / e.padded)
+      // padding can never exceed the bucket-cap worst case
+      assert(r.getAs[Long]("padded_tokens") >= e.sum)
+      assert(r.getAs[Long]("waste_bp") >= 0L && r.getAs[Long]("waste_bp") < 10000L)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+  }
 }

@@ -168,6 +168,23 @@ class ScaleHarnessSpec extends SparkSpec {
       s"top grams must carry template 0's >half-corpus df: ${top.mkString(", ")}")
   }
 
+  test("q99: only the score histogram orders — invariant under duplication, bounded output") {
+    // the windowed/ordered input of the calibration is the (lang,
+    // rounded-score) HISTOGRAM, never the corpus: inflating the corpus
+    // 100× by duplication adds counts to existing histogram rows, so the
+    // sorted table is IDENTICAL at both scales
+    val d1x = corpusDir(30, 60)
+    val d100x = corpusDir(30, 6000)
+    val (h1, h100) = (TextAnalysis.qualityHistRows(spark, d1x),
+      TextAnalysis.qualityHistRows(spark, d100x))
+    assert(h1 <= 30, s"more histogram rows than distinct texts: $h1")
+    assert(h100 == h1, s"duplication grew the sorted histogram: $h1 -> $h100")
+    // and the OUTPUT is bounded at 9 deciles per language at any scale
+    val c1 = TextAnalysis.qualityCalibration(spark, d1x).collect()
+    val c100 = TextAnalysis.qualityCalibration(spark, d100x).collect()
+    assert(c1.length == 9 && c100.length == 9)
+  }
+
   test("q83: sub-shard guard keeps candidate pairs O(n*maxCluster) on a degenerate cell") {
     val n1 = 100
     val n100 = 10000

@@ -249,4 +249,28 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("rel_rate_bp")).toMap
     assert(f == Map("x" -> 15000L, "y" -> 5000L))
   }
+
+  test("quality calibration (q99) = exact discrete deciles of the score list") {
+    // reference quantile: d-th decile cutoff is the ceil(d*n/10)-th
+    // smallest rounded score — recomputed driver-side from raw scores
+    val byLang = Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = TextAnalysis.qualityCalibration(spark, sf0001).collect()
+    assert(rows.length == byLang.size * 9)
+    rows.foreach { r =>
+      val scores = byLang(r.getAs[String]("lang"))
+      val d = r.getAs[Long]("decile")
+      val need = (d * scores.length + 9) / 10
+      assert(r.getAs[Long]("n_docs") == scores.length.toLong)
+      assert(r.getAs[Double]("cutoff") == scores(need.toInt - 1))
+    }
+    // cutoffs are monotone non-decreasing across deciles within a lang
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val cuts = rs.sortBy(_.getAs[Long]("decile")).map(_.getAs[Double]("cutoff"))
+      assert(cuts.zip(cuts.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
