@@ -166,7 +166,10 @@ object SparkEntry {
     "q99_quality_calibration" -> ((s, d) => TextAnalysis.qualityCalibration(s, d)),
     // epoch/repetition schedule: mixture-share token allocations vs the
     // 4-epoch data-constrained ceiling, exact micro-epoch integers
-    "q100_epoch_schedule" -> ((s, d) => Curation.epochSchedule(s, d))
+    "q100_epoch_schedule" -> ((s, d) => Curation.epochSchedule(s, d)),
+    // DPO-style preference pairs: best-vs-worst quality member per
+    // near-dup component, micro-unit margins + elected-id sums as gate
+    "q101_preference_pairs" -> ((s, d) => Dedup.preferencePairs(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -273,6 +276,7 @@ object SparkEntry {
     "q97_modern_pipeline" -> graft.operators.CurationPipeline.modernSummarySql(),
     "q98_bucketed_batching" -> Packing.batchingSummarySql(),
     "q99_quality_calibration" -> TextAnalysis.qualityCalibrationSql,
-    "q100_epoch_schedule" -> Curation.epochScheduleSql()
+    "q100_epoch_schedule" -> Curation.epochScheduleSql(),
+    "q101_preference_pairs" -> Dedup.preferencePairsSql()
   )
 }

@@ -778,6 +778,128 @@ object Dedup {
        |FROM pa JOIN documents d ON d.doc_id = pa.anchor_id
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---- X28: preference-pair construction (q101) ---------------------------
+
+  /** Per-component preference-pair election for [[preferencePairs]]:
+    * within each near-dup component of ≥ 2 members whose members
+    * actually DIFFER in quality, `chosen` is the highest-quality member
+    * (doc_id asc breaks score ties) and `rejected` the lowest (doc_id
+    * desc), with the quality gap in exact integer micro-units. Exposed
+    * so a DPO/RLHF prep pipeline can materialize the `(chosen_id,
+    * rejected_id)` rows directly. Components with zero quality spread
+    * (e.g. exact duplicates) yield NO pair — a preference label needs a
+    * signal. */
+  private[graft] def preferencePairElection(spark: SparkSession, dir: String,
+                                            threshold: Double = 0.5,
+                                            rounds: Int = 6): DataFrame = {
+    // scored member table referenced by all three election passes —
+    // PlanCache'd so the quality kernel runs once, not three times
+    val scored = graft.PlanCache.cached(spark,
+      s"dedup.prefScored:$threshold:$rounds:$dir") {
+      dedupClusterAssignments(spark, dir, threshold, rounds)
+        .join(Tables.documents(spark, dir).select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("q")),
+          Seq("doc_id"))
+    }
+    val ext = scored.groupBy(col("label"))
+      .agg(max(col("q")).as("qmax"), min(col("q")).as("qmin"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("qmax") > col("qmin"))
+    val chosen = scored.join(ext.select(col("label"), col("qmax")), Seq("label"))
+      .filter(col("q") === col("qmax"))
+      .groupBy(col("label")).agg(min(col("doc_id")).as("chosen_id"))
+    val rejected = scored.join(ext.select(col("label"), col("qmin")), Seq("label"))
+      .filter(col("q") === col("qmin"))
+      .groupBy(col("label")).agg(max(col("doc_id")).as("rejected_id"))
+    ext.join(chosen, Seq("label")).join(rejected, Seq("label"))
+      .select(col("label"), col("chosen_id"), col("rejected_id"),
+        round((col("qmax") - col("qmin")) * lit(1000000), 0).cast("long")
+          .as("margin_micro"))
+  }
+
+  /** X28 preference-pair audit (q101): DPO-style pair construction over
+    * near-dup components — two variants of the same underlying document
+    * (that is what a near-dup component IS) whose quality scores differ
+    * make a natural (chosen, rejected) preference pair: same content,
+    * one rendition measurably cleaner. Per component the election keeps
+    * the best-vs-worst member pair and its quality margin; the audit
+    * rolls pairs up per anchor language with exact integer margin sums
+    * and the elected id sums as a cross-engine election gate (any
+    * diverging chosen/rejected pick flips them).
+    *
+    * Scale posture: reuses the PlanCache'd q64/q91/q94 label-propagation
+    * chain (no new corpus-wide work); the scored member table joins
+    * quality by doc_id key; the three election passes are
+    * component-keyed aggregates with map-side combine — nothing is ever
+    * member×member, and the margin device is the q89 micro-unit integer
+    * so every sum is addition-order-free.
+    *
+    * Reference tie-in: the reference stores raw tweets unprepared
+    * (`ProcessStreamData.py:25-30`); preference-pair prep is part of the
+    * mandated LLM-data-pipeline extension (SURVEY.md §2.12). */
+  def preferencePairs(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5, rounds: Int = 6): DataFrame =
+    preferencePairElection(spark, dir, threshold, rounds)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("label"), col("lang")), Seq("label"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("margin_micro")).as("sum_margin_micro"),
+        max(col("margin_micro")).as("max_margin_micro"),
+        sum(col("chosen_id")).as("sum_chosen_id"),
+        sum(col("rejected_id")).as("sum_rejected_id"))
+      .select(col("lang"), col("n_pairs"), col("sum_margin_micro"),
+        col("max_margin_micro"), col("sum_chosen_id"), col("sum_rejected_id"),
+        round(col("sum_margin_micro") / col("n_pairs").cast("double")
+          / lit(1000000.0), 6).as("avg_margin"))
+      .orderBy(col("lang"))
+
+  def preferencePairsSql(threshold: Double = 0.5, rounds: Int = 6): String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${labelPropagationCtes(threshold, rounds)}, qd AS (
+       |  SELECT doc_id,
+       |    round(0.25 * least(ntok / 50.0, 1.0) +
+       |          0.25 * (uniq / ntok) +
+       |          0.25 * (1.0 - (stops / ntok)) +
+       |          0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6) AS q
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+       |          FROM documents))
+       |), m AS (
+       |  SELECT l.label, l.doc_id, qd.q
+       |  FROM l$rounds l JOIN qd USING (doc_id)
+       |), ext AS (
+       |  SELECT label, max(q) AS qmax, min(q) AS qmin, count(*) AS n
+       |  FROM m GROUP BY label
+       |), e2 AS (
+       |  SELECT label, qmax, qmin FROM ext WHERE n >= 2 AND qmax > qmin
+       |), ch AS (
+       |  SELECT m.label, min(m.doc_id) AS chosen_id
+       |  FROM m JOIN e2 USING (label) WHERE m.q = e2.qmax GROUP BY m.label
+       |), rj AS (
+       |  SELECT m.label, max(m.doc_id) AS rejected_id
+       |  FROM m JOIN e2 USING (label) WHERE m.q = e2.qmin GROUP BY m.label
+       |), p AS (
+       |  SELECT e2.label, ch.chosen_id, rj.rejected_id,
+       |    CAST(round((e2.qmax - e2.qmin) * 1000000) AS BIGINT) AS margin_micro
+       |  FROM e2 JOIN ch USING (label) JOIN rj USING (label)
+       |)
+       |SELECT d.lang, count(*)::BIGINT AS n_pairs,
+       |  sum(p.margin_micro)::BIGINT AS sum_margin_micro,
+       |  max(p.margin_micro)::BIGINT AS max_margin_micro,
+       |  sum(p.chosen_id)::BIGINT AS sum_chosen_id,
+       |  sum(p.rejected_id)::BIGINT AS sum_rejected_id,
+       |  round(sum(p.margin_micro) / count(*)::DOUBLE / 1000000.0, 6)
+       |    AS avg_margin
+       |FROM p JOIN documents d ON d.doc_id = p.label
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   // ---- X20+: hard-negative mining (q92) -----------------------------------
 
   /** Sub-band width of the hard-negative MINING probe: 2 minhash rows

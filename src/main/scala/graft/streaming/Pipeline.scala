@@ -474,18 +474,23 @@ object Pipeline {
                     minQuality: Double = 0.2, seed: Long = 42,
                     watermark: String = "10 minutes",
                     importanceAffinity: Map[Long, Long] = Map.empty,
-                    importanceThresholds: Map[String, Long] = Map.empty): DataFrame = {
+                    importanceThresholds: Map[String, Long] = Map.empty,
+                    qualityCutoffs: Map[String, Double] = Map.empty): DataFrame = {
     require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
       "curatedIntake: supply both importance snapshots or neither")
     val pre =
       if (importanceAffinity.nonEmpty)
         importanceGate(stream, importanceAffinity, importanceThresholds)
       else stream
-    mixtureGate(pre, rates, seed)
+    val deduped = mixtureGate(pre, rates, seed)
       .withColumn("_h", sha2(col("text").cast("binary"), 256))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("_h"))
       .drop("_h")
+    // quality floor: the per-language q99 calibration snapshot when
+    // supplied (the [[calibrationGate]] policy), else the scalar gate
+    if (qualityCutoffs.nonEmpty) calibrationGate(deduped, qualityCutoffs)
+    else deduped
       .withColumn("quality",
         graft.operators.TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
@@ -529,6 +534,28 @@ object Pipeline {
       .withColumn("importance_score", expr("_aff_sum DIV _ntok"))
       .drop("_aff_sum", "_ntok")
       .filter(col("importance_score") >= element_at(th, col("lang")))
+  }
+
+  /** X26 streaming twin: per-language quality-calibration gate — admit
+    * incoming documents at or above their language's batch-elected
+    * quality cutoff (a decile row of
+    * [[graft.operators.TextAnalysis.qualityCalibration]]) instead of one
+    * global floor: "keep en above its 7th decile, de above its 4th" as a
+    * continuous intake policy. Stateless — the snapshot is a ≤|langs|-
+    * entry literal map and the score is the same fused native kernel as
+    * batch q17/q65/q99, rounded to 6 BEFORE comparison exactly like the
+    * batch cutoff election, so batch/stream admission parity is
+    * row-exact and testable. Documents of languages absent from the
+    * snapshot are DROPPED (null comparison), mirroring [[mixtureGate]]'s
+    * unknown-domain rule. Appends the rounded `quality`. */
+  def calibrationGate(stream: DataFrame,
+                      cutoffs: Map[String, Double]): DataFrame = {
+    require(cutoffs.nonEmpty, "calibrationGate: empty cutoff snapshot")
+    val co = typedLit(cutoffs)
+    stream
+      .withColumn("quality",
+        round(graft.operators.TextAnalysis.qualityScore(col("text")), 6))
+      .filter(col("quality") >= element_at(co, col("lang")))
   }
 
   /** X14 streaming twin: per-event-time-window out-of-vocabulary rate of

@@ -330,4 +330,34 @@ class DedupSpec extends SparkSpec {
     assert(guarded(0).getAs[Double]("avg_est") == naive.getAs[Double]("avg_est"))
     assert(guarded(0).getAs[Double]("max_est") == naive.getAs[Double]("max_est"))
   }
+
+  test("preference pairs (q101): election matches a driver-side recomputation") {
+    val q = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = Dedup.dedupClusterAssignments(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("label")))
+    val expect = members.groupBy(_._2).toSeq.flatMap { case (label, rs) =>
+      val ids = rs.map(_._1)
+      val qs = ids.map(id => id -> q(id))
+      val (qmax, qmin) = (qs.map(_._2).max, qs.map(_._2).min)
+      if (ids.length >= 2 && qmax > qmin)
+        Some((label, qs.filter(_._2 == qmax).map(_._1).min,
+          qs.filter(_._2 == qmin).map(_._1).max,
+          math.round((qmax - qmin) * 1000000)))
+      else None
+    }.toSet
+    val got = Dedup.preferencePairElection(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("chosen_id"),
+        r.getAs[Long]("rejected_id"), r.getAs[Long]("margin_micro"))).toSet
+    assert(got == expect, s"election drift: got ${got.size}, want ${expect.size}")
+    assert(got.nonEmpty, "fixture corpus produced no preference pairs")
+    // a pair always has distinct ends and a strictly positive margin
+    got.foreach { case (_, c, r, m) => assert(c != r && m > 0L) }
+    // the audit's pair count reconciles with the election rows
+    val audited = Dedup.preferencePairs(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(audited == got.size.toLong)
+  }
 }

@@ -945,6 +945,42 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < scores.length)
   }
 
+  test("calibration gate admits exactly the batch decile-cutoff set; unknown langs drop (X26 twin)") {
+    val docs = Tables.documents(spark, sf0001)
+    // snapshot: the q99 calibration table's decile-5 row per language,
+    // with one language deliberately withheld to pin the unknown-lang rule
+    val cutoffs0 = graft.operators.TextAnalysis.qualityCalibration(spark, sf0001)
+      .collect().filter(_.getAs[Long]("decile") == 5L)
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cutoff")).toMap
+    assert(cutoffs0.size >= 2, "fixture needs >=2 languages")
+    val withheld = cutoffs0.keys.min
+    val cutoffs = cutoffs0 - withheld
+    val batch = docs.select(col("doc_id"), col("lang"),
+        round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = batch.collect {
+      case (id, lang, q) if cutoffs.get(lang).exists(q >= _) => id
+    }.toSet
+    val streamDir = Files.createTempDirectory("graft_cal_stream")
+    Files.createSymbolicLink(streamDir.resolve("docs.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val q = Pipeline.calibrationGate(stream, cutoffs)
+      .writeStream.format("memory").queryName("cal_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cal_gate").select("doc_id", "lang", "quality")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == expected,
+      s"gate admitted ${got.length} docs, batch cutoff set has ${expected.size}")
+    // the withheld language never passes; scores agree with batch exactly
+    assert(got.forall(_._2 != withheld))
+    val batchQ = batch.map(b => b._1 -> b._3).toMap
+    got.foreach { case (id, _, qq) => assert(batchQ(id) == qq, s"doc $id") }
+    // the decile-5 policy is selective but keeps roughly the upper half
+    assert(expected.nonEmpty && expected.size < batch.length)
+  }
+
   test("curated intake: mixture gate + content dedup + quality gate compose in one job") {
     // snapshot with two equal-weight, equal-count sources: every rate is
     // exactly 1.0, so admission is decided purely by source membership
