@@ -169,7 +169,10 @@ object SparkEntry {
     "q100_epoch_schedule" -> ((s, d) => Curation.epochSchedule(s, d)),
     // DPO-style preference pairs: best-vs-worst quality member per
     // near-dup component, micro-unit margins + elected-id sums as gate
-    "q101_preference_pairs" -> ((s, d) => Dedup.preferencePairs(s, d))
+    "q101_preference_pairs" -> ((s, d) => Dedup.preferencePairs(s, d)),
+    // curriculum phases: per-lang quality-quartile bands (docs/tokens/
+    // micro-score per phase) via the q99 histogram — corpus never sorts
+    "q102_curriculum_schedule" -> ((s, d) => Curation.curriculumSchedule(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -277,6 +280,7 @@ object SparkEntry {
     "q98_bucketed_batching" -> Packing.batchingSummarySql(),
     "q99_quality_calibration" -> TextAnalysis.qualityCalibrationSql,
     "q100_epoch_schedule" -> Curation.epochScheduleSql(),
-    "q101_preference_pairs" -> Dedup.preferencePairsSql()
+    "q101_preference_pairs" -> Dedup.preferencePairsSql(),
+    "q102_curriculum_schedule" -> Curation.curriculumScheduleSql()
   )
 }

@@ -1214,4 +1214,113 @@ object Curation {
        |  (alloc_tokens - (n_tokens * epochs_micro) // 1000000)::BIGINT
        |    AS deficit_tokens
        |FROM e ORDER BY source""".stripMargin
+
+  // ---- X29: curriculum phase schedule (q102) ------------------------------
+
+  /** Curriculum phases for [[curriculumSchedule]]: 4 quartile bands per
+    * language, trained easy→hard (phase 1 = hardest-to-read lowest-
+    * quality quartile last or first is the RECIPE's choice; the operator
+    * just makes the bands exact and auditable). */
+  val CurriculumPhases = 4
+
+  /** X29 curriculum phase schedule (q102): partition each language's
+    * corpus into [[CurriculumPhases]] quality-quantile bands — the
+    * per-phase doc/token budget a curriculum-learning run trains
+    * through in order. Phase boundaries are the exact discrete
+    * quantiles of the q99 device (smallest rounded score covering
+    * ceil(p·n/P) docs); a doc's phase is the first band whose cutoff
+    * holds its score, so ties land deterministically in the earlier
+    * band in BOTH engines. The audit reports per (lang, phase): docs,
+    * tokens, and the exact micro-unit quality sum (q89's device) plus
+    * the band's score range.
+    *
+    * Scale posture: the corpus collapses to the same (lang,
+    * rounded-score) histogram as q99 (map-side combine) — the window
+    * and the P-way fan-out order HISTOGRAM rows only; phase assignment
+    * is a broadcast join of ≤ 3·|langs| cutoff rows back onto one
+    * corpus scan, then a map-side-combinable (lang, phase) rollup. The
+    * corpus is never sorted and never shuffled except the final
+    * |langs|·P-row aggregate. */
+  def curriculumSchedule(spark: SparkSession, dir: String,
+                         phases: Int = CurriculumPhases): DataFrame = {
+    require(phases >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val cumW = byLang.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    // interior cutoffs p = 1..P-1, elected from the histogram (q99)
+    val cutoffs = scored
+      .groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byLang))
+      .select(col("lang"), col("q"), col("cum"), col("n"),
+        explode(array((1 until phases).map(p => lit(p.toLong)): _*)).as("p"))
+      .filter(col("cum") >= expr(s"(p * n + ${phases - 1}) div $phases"))
+      .groupBy(col("lang"), col("p")).agg(min(col("q")).as("cutoff"))
+    scored
+      .join(broadcast(cutoffs), Seq("lang"))
+      .groupBy(col("doc_id"), col("lang"), col("q"), col("n_tokens"))
+      // first band whose cutoff holds the score = 1 + bands strictly below
+      .agg(sum(when(col("cutoff") < col("q"), 1L).otherwise(0L)).as("below"))
+      .withColumn("phase", col("below") + 1L)
+      .select(col("lang"), col("phase"), col("n_tokens"),
+        expr("cast(round(q * 1000000) as bigint)").as("q_micro"))
+      .groupBy(col("lang"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("q_micro")).as("sum_q_micro"),
+        min(col("q_micro")).as("min_q_micro"),
+        max(col("q_micro")).as("max_q_micro"))
+      .orderBy(col("lang"), col("phase"))
+  }
+
+  def curriculumScheduleSql(phases: Int = CurriculumPhases): String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    round(0.25 * least(ntok / 50.0, 1.0) +
+       |          0.25 * (uniq / ntok) +
+       |          0.25 * (1.0 - (stops / ntok)) +
+       |          0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6) AS q,
+       |    ntok::BIGINT AS n_tokens
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT doc_id, lang, text,
+       |          string_split(lower(text), ' ') AS t FROM documents))
+       |), h AS (
+       |  SELECT lang, q, count(*)::BIGINT AS cnt FROM s GROUP BY lang, q
+       |), c AS (
+       |  SELECT lang, q, cnt,
+       |    sum(cnt) OVER (PARTITION BY lang ORDER BY q
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM h
+       |), cu AS (
+       |  SELECT lang, p, min(q) AS cutoff
+       |  FROM (SELECT lang, q, cum, n,
+       |        unnest(range(1, $phases)::BIGINT[]) AS p FROM c)
+       |  WHERE cum >= (p * n + ${phases - 1}) // $phases
+       |  GROUP BY lang, p
+       |), ph AS (
+       |  SELECT s.doc_id, s.lang, s.q, s.n_tokens,
+       |    (1 + sum(CASE WHEN cu.cutoff < s.q THEN 1 ELSE 0 END))::BIGINT
+       |      AS phase
+       |  FROM s JOIN cu USING (lang)
+       |  GROUP BY s.doc_id, s.lang, s.q, s.n_tokens
+       |)
+       |SELECT lang, phase, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS sum_tokens,
+       |  sum(CAST(round(q * 1000000) AS BIGINT))::BIGINT AS sum_q_micro,
+       |  min(CAST(round(q * 1000000) AS BIGINT))::BIGINT AS min_q_micro,
+       |  max(CAST(round(q * 1000000) AS BIGINT))::BIGINT AS max_q_micro
+       |FROM ph GROUP BY lang, phase ORDER BY lang, phase""".stripMargin
+  }
 }

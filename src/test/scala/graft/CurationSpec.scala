@@ -468,4 +468,41 @@ class CurationSpec extends SparkSpec {
     // weights follow the q86 mixture tiers
     assert(rows.map(_.getAs[Long]("weight_bp")).toSet == Set(800L, 600L, 400L, 200L))
   }
+
+  test("curriculum schedule (q102) matches a driver-side quartile banding") {
+    val phases = Curation.CurriculumPhases
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("q"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.TextHash.tokens(col("text"))).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // reference banding: interior cutoffs are the exact discrete
+    // quantiles; a doc joins the first band whose cutoff holds its score
+    val expect = docs.groupBy(_._1).toSeq.flatMap { case (lang, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length
+      val cuts = (1 until phases).map(p => sorted(((p * n + phases - 1) / phases) - 1))
+      rs.map { case (_, q, t) => ((lang, 1L + cuts.count(_ < q)), (q, t)) }
+    }.groupBy(_._1).view.mapValues { vs =>
+      val qs = vs.map(_._2._1); val ts = vs.map(_._2._2)
+      (vs.size.toLong, ts.sum, qs.map(q => math.round(q * 1000000)).sum,
+        qs.map(q => math.round(q * 1000000)).min, qs.map(q => math.round(q * 1000000)).max)
+    }.toMap
+    val got = Curation.curriculumSchedule(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("phase")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("sum_q_micro"), r.getAs[Long]("min_q_micro"),
+          r.getAs[Long]("max_q_micro")))).toMap
+    assert(got == expect, s"banding drift: got ${got.size} bands, want ${expect.size}")
+    // bands are total (every doc lands in one) and ordered by quality:
+    // phase p's max never exceeds phase p+1's min within a language
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+    got.keys.map(_._1).toSet.foreach { (lang: String) =>
+      val bands = got.filter(_._1._1 == lang).toSeq.sortBy(_._1._2)
+      bands.zip(bands.tail).foreach { case ((_, a), (_, b)) =>
+        assert(a._5 <= b._4, s"$lang: band overlap ${a._5} > ${b._4}")
+      }
+    }
+  }
 }

@@ -1087,6 +1087,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("curated intake with a calibration snapshot applies the per-lang quality policy") {
+    // the MODERN composed intake: importance gate -> mixture gate ->
+    // digest dedup -> q99 per-language calibration floor (replacing the
+    // scalar bar), row-identical to the same batch stages
+    val docs = Tables.documents(spark, sf0001).filter(col("source") =!= "src0")
+    val affinity = graft.operators.Curation.importanceAffinity(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("b") -> r.getAs[Long]("aff")).toMap
+    val thresholds = graft.operators.Curation.importanceSelection(spark, sf0001)
+      .collect().map(r =>
+        r.getAs[String]("lang") -> r.getAs[Long]("threshold_score")).toMap
+    val rates = graft.operators.Curation.mixtureRates(spark, sf0001)
+    val cutoffs = graft.operators.TextAnalysis.qualityCalibration(spark, sf0001)
+      .collect().filter(_.getAs[Long]("decile") == 5L)
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("cutoff")).toMap
+    val impPass = graft.operators.Curation.importanceScores(spark, sf0001)
+      .collect().collect {
+        case r if thresholds.get(r.getAs[String]("lang"))
+          .exists(r.getAs[Long]("score") >= _) => r.getAs[Long]("doc_id")
+      }.toSet
+    val mixPass = docs
+      .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+      .filter(graft.operators.Curation.mixtureCoin(col("doc_id")) < col("rate"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatePass = impPass intersect mixPass
+    // at this SF no text appears under two languages (pinned below), so
+    // (digest -> lang) is a function and the admitted digest set is
+    // deterministic despite arrival-order dedup winners
+    assert(docs.groupBy(col("text"))
+      .agg(countDistinct(col("lang")).as("nl")).filter(col("nl") > 1).count() == 0L)
+    val expectedDigests = docs
+      .withColumn("_h", sha2(col("text").cast("binary"), 256))
+      .withColumn("q", round(graft.operators.TextAnalysis.qualityScore(col("text")), 6))
+      .collect()
+      .collect { case r if gatePass.contains(r.getAs[Long]("doc_id")) &&
+        cutoffs.get(r.getAs[String]("lang")).exists(r.getAs[Double]("q") >= _) =>
+        r.getAs[String]("_h") }
+      .toSet
+    val streamDir = Files.createTempDirectory("graft_curated_cal")
+    Files.createSymbolicLink(streamDir.resolve("docs.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream
+      .schema(Tables.documents(spark, sf0001).schema)
+      .parquet(streamDir.toString)
+      .filter(col("source") =!= "src0")
+      .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 00:00:00")))
+    val q = Pipeline.curatedIntake(stream, rates, "ts",
+        importanceAffinity = affinity, importanceThresholds = thresholds,
+        qualityCutoffs = cutoffs)
+      .writeStream.format("memory").queryName("curated_cal")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("curated_cal").collect()
+    val gotDigests = got.map(r => java.security.MessageDigest.getInstance("SHA-256")
+      .digest(r.getAs[String]("text").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString).toSet
+    assert(gotDigests == expectedDigests &&
+      got.length == expectedDigests.size)
+    // every admitted row clears ITS language's cutoff (not some global bar)
+    got.foreach { r =>
+      assert(r.getAs[Double]("quality") >= cutoffs(r.getAs[String]("lang")))
+    }
+    // the per-lang policy admits a different set than any scalar floor
+    // could: strictly selective, non-empty
+    assert(got.nonEmpty && gotDigests.size < gatePass.size)
+  }
+
   test("OOV monitor: windowed drift rates against a static vocabulary snapshot") {
     import spark.implicits._
     val vocab = Seq("alpha", "beta").toDF("w")
