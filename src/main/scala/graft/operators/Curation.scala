@@ -1253,7 +1253,10 @@ object Curation {
         round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
         size(graft.functions.TextHash.tokens(col("text"))).cast("long")
           .as("n_tokens"))
-    // interior cutoffs p = 1..P-1, elected from the histogram (q99)
+    // interior cutoffs p = 1..P-1, elected from the histogram (q99),
+    // folded into ONE sorted array per language so phase assignment is a
+    // pure per-row map after the broadcast join — the corpus crosses no
+    // shuffle between the scan and the |langs|·P-row rollup
     val cutoffs = scored
       .groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(cumW))
@@ -1262,12 +1265,13 @@ object Curation {
         explode(array((1 until phases).map(p => lit(p.toLong)): _*)).as("p"))
       .filter(col("cum") >= expr(s"(p * n + ${phases - 1}) div $phases"))
       .groupBy(col("lang"), col("p")).agg(min(col("q")).as("cutoff"))
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("cutoff"))).as("cuts"))
     scored
       .join(broadcast(cutoffs), Seq("lang"))
-      .groupBy(col("doc_id"), col("lang"), col("q"), col("n_tokens"))
       // first band whose cutoff holds the score = 1 + bands strictly below
-      .agg(sum(when(col("cutoff") < col("q"), 1L).otherwise(0L)).as("below"))
-      .withColumn("phase", col("below") + 1L)
+      .withColumn("phase",
+        lit(1L) + size(filter(col("cuts"), c => c < col("q"))).cast("long"))
       .select(col("lang"), col("phase"), col("n_tokens"),
         expr("cast(round(q * 1000000) as bigint)").as("q_micro"))
       .groupBy(col("lang"), col("phase"))
