@@ -185,6 +185,47 @@ class ScaleHarnessSpec extends SparkSpec {
     assert(c1.length == 9 && c100.length == 9)
   }
 
+  test("q101: pair output is per-component — copy inflation cannot grow it; exact dups yield none") {
+    // exact-duplicate corpus: components exist (up to 3000-copy groups)
+    // but every member is byte-identical, so quality spread is zero and
+    // the election must produce NO pairs — and must survive the
+    // degenerate component sizes while doing so
+    val dup = corpusDir(30, 6000)
+    assert(Dedup.preferencePairElection(spark, dup).count() == 0L,
+      "exact duplicates produced preference pairs (no quality signal)")
+    // variant corpus: (base, stopword-degraded variant) near-dup groups;
+    // the BASE side duplicated `copies`× with exact copies. The scale
+    // invariant: the elected pair SET is a function of DISTINCT content —
+    // inflating membership 20× changes nothing (per-component election,
+    // never per-member)
+    def base(t: Int) = (0 until 12).map(j => s"v${t}w$j").mkString(" ")
+    def variantDir(copies: Int): String = {
+      val rows = (0 until 10).flatMap { t =>
+        (0 until copies).map(c => (t * 1000L + c, base(t))) :+
+          (t * 1000L + 999L, base(t) + " the")
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_scale_pref_$copies").toString
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("gen").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def election(dir: String) = Dedup.preferencePairElection(spark, dir)
+      .collect().map(p => (p.getAs[Long]("label"), p.getAs[Long]("chosen_id"),
+        p.getAs[Long]("rejected_id"), p.getAs[Long]("margin_micro"))).toSet
+    val (small, big) = (election(variantDir(5)), election(variantDir(100)))
+    assert(small.nonEmpty, "variant fixture banded no (base, variant) components")
+    assert(small == big,
+      s"copy inflation changed the elected pair set: ${small.size} -> ${big.size}")
+    small.foreach { case (_, c, r, m) =>
+      // chosen = a clean base copy (smallest id), rejected = the filler
+      // variant, margin strictly positive
+      assert(c % 1000L == 0L && r % 1000L == 999L && m > 0L)
+    }
+  }
+
   test("q83: sub-shard guard keeps candidate pairs O(n*maxCluster) on a degenerate cell") {
     val n1 = 100
     val n100 = 10000
