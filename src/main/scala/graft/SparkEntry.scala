@@ -172,7 +172,10 @@ object SparkEntry {
     "q101_preference_pairs" -> ((s, d) => Dedup.preferencePairs(s, d)),
     // curriculum phases: per-lang quality-quartile bands (docs/tokens/
     // micro-score per phase) via the q99 histogram — corpus never sorts
-    "q102_curriculum_schedule" -> ((s, d) => Curation.curriculumSchedule(s, d))
+    "q102_curriculum_schedule" -> ((s, d) => Curation.curriculumSchedule(s, d)),
+    // corpus datasheet: per-lang size/redundancy/quality-mass/provenance
+    // report, all integer or micro-unit columns
+    "q103_corpus_datasheet" -> ((s, d) => Curation.corpusDatasheet(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -281,6 +284,7 @@ object SparkEntry {
     "q99_quality_calibration" -> TextAnalysis.qualityCalibrationSql,
     "q100_epoch_schedule" -> Curation.epochScheduleSql(),
     "q101_preference_pairs" -> Dedup.preferencePairsSql(),
-    "q102_curriculum_schedule" -> Curation.curriculumScheduleSql()
+    "q102_curriculum_schedule" -> Curation.curriculumScheduleSql(),
+    "q103_corpus_datasheet" -> Curation.corpusDatasheetSql
   )
 }

@@ -1327,4 +1327,102 @@ object Curation {
        |  max(CAST(round(q * 1000000) AS BIGINT))::BIGINT AS max_q_micro
        |FROM ph GROUP BY lang, phase ORDER BY lang, phase""".stripMargin
   }
+
+  // ---- X30: corpus datasheet (q103) ---------------------------------------
+
+  /** X30 corpus datasheet (q103): the one-call per-language report a
+    * corpus consumer reads before anything else — size (docs, tokens),
+    * redundancy (distinct texts + exact-dup rate in basis points),
+    * quality mass (micro-unit sum of the q17 score), and provenance
+    * concentration (source count, the dominant source and its share).
+    * Every column is either an exact integer or the q89 micro-unit
+    * device, so the whole datasheet is hash-stable cross-engine. The
+    * dominant source ties break lexicographically — deterministic in
+    * both engines.
+    *
+    * Scale posture: three map-side-combinable aggregates, none over more
+    * than the corpus once — (lang) doc/token/quality rollup on the scan;
+    * (lang, digest) → (lang) distinct counting keyed on the 32-byte
+    * sha256 (never the body); (lang, source) counts (|langs|·|sources|
+    * rows) ranked by a window over that TINY table. One final 5-row
+    * join fan-in. Nothing sorts or shuffles the corpus body.
+    *
+    * Reference tie-in: the reference ships raw tweets with no corpus
+    * reporting at all (`ProcessStreamData.py:25-30`); the datasheet is
+    * the LLM-pipeline extension's summary surface (SURVEY.md §2.12). */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // (lang) body rollup — one scan: docs, tokens, quality micro-mass,
+    // distinct texts counted on the 32-byte digest (never the body)
+    val body = docs
+      .select(col("lang"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("t"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
+        sha2(col("text").cast("binary"), 256).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(expr("cast(round(q * 1000000) as bigint)")).as("sum_q_micro"),
+        countDistinct(col("h")).as("n_distinct_texts"))
+    // (lang, source) concentration: dominant source by count, ties
+    // lexicographic — a window over the |langs|·|sources|-row table
+    val srcW = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("source"))
+    val srcs = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(srcW))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        max(when(col("rk") === 1, col("source"))).as("top_source"),
+        max(when(col("rk") === 1, col("cnt"))).as("top_cnt"))
+    body.join(srcs, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_distinct_texts"),
+        expr("(n_docs - n_distinct_texts) * 10000 div n_docs").as("dup_rate_bp"),
+        col("sum_q_micro"), col("n_sources"), col("top_source"),
+        expr("top_cnt * 10000 div n_docs").as("top_source_share_bp"))
+      .orderBy(col("lang"))
+  }
+
+  def corpusDatasheetSql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT lang, text,
+       |    round(0.25 * least(ntok / 50.0, 1.0) +
+       |          0.25 * (uniq / ntok) +
+       |          0.25 * (1.0 - (stops / ntok)) +
+       |          0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6) AS q,
+       |    ntok::BIGINT AS t
+       |  FROM (
+       |    SELECT lang, text,
+       |      len(tk)::DOUBLE AS ntok,
+       |      len(list_distinct(tk))::DOUBLE AS uniq,
+       |      len(list_filter(tk, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT lang, text, string_split(lower(text), ' ') AS tk
+       |          FROM documents))
+       |), body AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+       |    sum(CAST(round(q * 1000000) AS BIGINT))::BIGINT AS sum_q_micro,
+       |    count(DISTINCT sha256(text))::BIGINT AS n_distinct_texts
+       |  FROM q GROUP BY lang
+       |), sc AS (
+       |  SELECT lang, source, count(*)::BIGINT AS cnt,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY count(*) DESC, source) AS rk
+       |  FROM documents GROUP BY lang, source
+       |), srcs AS (
+       |  SELECT lang, count(*)::BIGINT AS n_sources,
+       |    max(CASE WHEN rk = 1 THEN source END) AS top_source,
+       |    max(CASE WHEN rk = 1 THEN cnt END) AS top_cnt
+       |  FROM sc GROUP BY lang
+       |)
+       |SELECT b.lang, b.n_docs, b.n_tokens, b.n_distinct_texts,
+       |  ((b.n_docs - b.n_distinct_texts) * 10000 // b.n_docs)::BIGINT
+       |    AS dup_rate_bp,
+       |  b.sum_q_micro, s.n_sources, s.top_source,
+       |  (s.top_cnt * 10000 // b.n_docs)::BIGINT AS top_source_share_bp
+       |FROM body b JOIN srcs s USING (lang) ORDER BY b.lang""".stripMargin
+  }
 }

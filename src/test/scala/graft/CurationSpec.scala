@@ -469,6 +469,46 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("weight_bp")).toSet == Set(800L, 600L, 400L, 200L))
   }
 
+  test("corpus datasheet (q103): hand-computed fixture + corpus reconciliation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_datasheet").toString
+    Seq(
+      (1L, "alpha beta gamma", "x", "srcA"),
+      (2L, "alpha beta gamma", "x", "srcA"), // exact dup of doc 1
+      (3L, "delta epsilon", "x", "srcA"),
+      (4L, "zeta eta theta iota", "x", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Curation.corpusDatasheet(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_tokens") == 3L + 3L + 2L + 4L)
+    assert(row.getAs[Long]("n_distinct_texts") == 3L)
+    assert(row.getAs[Long]("dup_rate_bp") == 2500L) // 1 of 4 redundant
+    assert(row.getAs[Long]("n_sources") == 2L)
+    assert(row.getAs[String]("top_source") == "srcA")
+    assert(row.getAs[Long]("top_source_share_bp") == 7500L)
+    // quality mass reconciles with the per-doc kernel exactly
+    val expectQ = Tables.documents(spark, dir)
+      .select(round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .collect().map(x => math.round(x.getDouble(0) * 1000000)).sum
+    assert(row.getAs[Long]("sum_q_micro") == expectQ)
+    // and on the real corpus the datasheet totals reconcile with q15
+    val ds = Curation.corpusDatasheet(spark, sf0001).collect()
+    val stats = graft.operators.TextAnalysis.tokenStats(spark, sf0001).collect()
+      .map(s => s.getAs[String]("lang") ->
+        (s.getAs[Long]("n_docs"), s.getAs[Long]("sum_ws_tokens"))).toMap
+    ds.foreach { d =>
+      val (nd, nt) = stats(d.getAs[String]("lang"))
+      assert(d.getAs[Long]("n_docs") == nd && d.getAs[Long]("n_tokens") == nt)
+      assert(d.getAs[Long]("n_distinct_texts") <= nd)
+      assert(d.getAs[Long]("top_source_share_bp") >=
+        10000L / d.getAs[Long]("n_sources"))
+    }
+  }
+
   test("curriculum schedule (q102) matches a driver-side quartile banding") {
     val phases = Curation.CurriculumPhases
     val docs = Tables.documents(spark, sf0001)
