@@ -65,7 +65,11 @@ object PlanAudit {
     "q90_tokenizer_fairness",
     // q93 composes q23 (3-row query-set cross) + q37/q48 (centroid-table
     // cross) — every BNLJ side is one of those audited tiny tables
-    "q93_ann_recall")
+    "q93_ann_recall",
+    // q104 crossJoins the broadcast SINGLE-ROW (total_tokens,
+    // n_distinct_terms) corpus scalar onto |K| frontier rows — same
+    // audited shape as q84/q90
+    "q104_vocab_coverage")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

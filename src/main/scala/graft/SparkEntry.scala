@@ -175,7 +175,10 @@ object SparkEntry {
     "q102_curriculum_schedule" -> ((s, d) => Curation.curriculumSchedule(s, d)),
     // corpus datasheet: per-lang size/redundancy/quality-mass/provenance
     // report, all integer or micro-unit columns
-    "q103_corpus_datasheet" -> ((s, d) => Curation.corpusDatasheet(s, d))
+    "q103_corpus_datasheet" -> ((s, d) => Curation.corpusDatasheet(s, d)),
+    // vocab coverage frontier: token-occurrence share covered by top-K
+    // terms per candidate K — bounded-heap slice, term table never sorts
+    "q104_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverageFrontier(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -285,6 +288,7 @@ object SparkEntry {
     "q100_epoch_schedule" -> Curation.epochScheduleSql(),
     "q101_preference_pairs" -> Dedup.preferencePairsSql(),
     "q102_curriculum_schedule" -> Curation.curriculumScheduleSql(),
-    "q103_corpus_datasheet" -> Curation.corpusDatasheetSql
+    "q103_corpus_datasheet" -> Curation.corpusDatasheetSql,
+    "q104_vocab_coverage" -> TextAnalysis.vocabCoverageFrontierSql()
   )
 }

@@ -851,6 +851,91 @@ object TextAnalysis {
       .orderBy(col("lang"), col("decile"))
   }
 
+  // ---- X31: vocabulary coverage frontier (q104) ---------------------------
+
+  /** Candidate vocabulary sizes for [[vocabCoverageFrontier]] — spans
+    * under-provisioned (8, 16: partial coverage against the synthetic
+    * corpus's ~31 distinct whitespace tokens) through saturated (64) to
+    * the production-scale budget anchor (4096), so the curve shows both
+    * regimes at test scale and the heap bound is exercised at a real
+    * vocab size. */
+  val CoverageSizes: Seq[Int] = Seq(8, 16, 64, 4096)
+
+  /** X31 vocabulary coverage frontier (q104): for each candidate vocab
+    * size K, the share of token OCCURRENCES the top-K terms cover — the
+    * curve a tokenizer budget is elected from (the q85 vocab build picks
+    * ONE size; the frontier shows what each size buys). Ranking ties
+    * break (count desc, term asc) — deterministic in both engines.
+    *
+    * Scale posture: the corpus collapses to the term table with map-side
+    * combine; the top-maxK slice comes from the bounded-heap
+    * [[graft.functions.TopKTerms]] aggregate (the q85 device — the term
+    * table itself is NEVER sorted, which matters when a 100 TB corpus's
+    * vocabulary runs to billions of terms); the only window orders the
+    * ≤ max(K) heap output (bounded by construction — the adjudicated
+    * single-partition-window pattern). `n_terms_used` < K flags a
+    * vocabulary smaller than the budget. Integer basis points
+    * end-to-end. */
+  def vocabCoverageFrontier(spark: SparkSession, dir: String,
+                            sizes: Seq[Int] = CoverageSizes): DataFrame = {
+    require(sizes.nonEmpty && sizes == sizes.sorted && sizes.head > 0)
+    val maxK = sizes.last
+    val gc = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = gc.agg(sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("n_distinct_terms"))
+    val topk = udaf(new graft.functions.TopKTerms(maxK))
+    // rank INSIDE the single heap row (array_sort + posexplode) — no
+    // window, no exchange, nothing single-partition in the plan
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("cnt") > r.getField("cnt"), -1)
+        .when(l.getField("cnt") < r.getField("cnt"), 1)
+        .when(l.getField("term") < r.getField("term"), -1)
+        .when(l.getField("term") > r.getField("term"), 1)
+        .otherwise(0)
+    val ranked = gc.agg(topk(col("c"), col("w")).as("hits"))
+      .select(array_sort(col("hits"), cmp).as("sorted"))
+      .select(posexplode(col("sorted")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rn"),
+        col("h.cnt").as("c"))
+    ranked
+      .select(col("rn"), col("c"),
+        explode(array(sizes.map(k => lit(k.toLong)): _*)).as("vocab_k"))
+      .filter(col("rn") <= col("vocab_k"))
+      .groupBy(col("vocab_k"))
+      .agg(max(col("rn")).as("n_terms_used"),
+        sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_k"), col("n_terms_used"), col("covered_tokens"),
+        col("total_tokens"), col("n_distinct_terms"),
+        expr("covered_tokens * 10000 div total_tokens").as("coverage_bp"))
+      .orderBy(col("vocab_k"))
+  }
+
+  def vocabCoverageFrontierSql(sizes: Seq[Int] = CoverageSizes): String = {
+    val lst = sizes.map(k => s"$k::BIGINT").mkString("[", ", ", "]")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+       |), gc AS (
+       |  SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w
+       |), tot AS (
+       |  SELECT sum(c)::BIGINT AS total_tokens,
+       |    count(*)::BIGINT AS n_distinct_terms FROM gc
+       |), r AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM gc
+       |), e AS (
+       |  SELECT rn, c, unnest($lst) AS vocab_k FROM r
+       |)
+       |SELECT vocab_k, max(rn)::BIGINT AS n_terms_used,
+       |  sum(c)::BIGINT AS covered_tokens,
+       |  tot.total_tokens, tot.n_distinct_terms,
+       |  (sum(c) * 10000 // tot.total_tokens)::BIGINT AS coverage_bp
+       |FROM e CROSS JOIN tot WHERE rn <= vocab_k
+       |GROUP BY vocab_k, tot.total_tokens, tot.n_distinct_terms
+       |ORDER BY vocab_k""".stripMargin
+  }
+
   /** Harness seam (ScaleHarnessSpec): the row count of the (lang,
     * rounded-score) histogram — the ONLY thing q99 ever orders. */
   private[graft] def qualityHistRows(spark: SparkSession, dir: String): Long =

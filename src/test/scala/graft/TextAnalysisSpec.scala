@@ -250,6 +250,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f == Map("x" -> 15000L, "y" -> 5000L))
   }
 
+  test("vocab coverage frontier (q104) matches a driver-side ranking exactly") {
+    val counts = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val ranked = counts.sortBy { case (w, c) => (-c, w) }
+    val total = counts.map(_._2).sum
+    val rows = TextAnalysis.vocabCoverageFrontier(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("vocab_k")).toSeq ==
+      TextAnalysis.CoverageSizes.map(_.toLong))
+    rows.foreach { r =>
+      val k = r.getAs[Long]("vocab_k").toInt
+      val top = ranked.take(k)
+      assert(r.getAs[Long]("n_terms_used") == top.length.toLong)
+      assert(r.getAs[Long]("covered_tokens") == top.map(_._2).sum)
+      assert(r.getAs[Long]("total_tokens") == total)
+      assert(r.getAs[Long]("n_distinct_terms") == counts.length.toLong)
+      assert(r.getAs[Long]("coverage_bp") == top.map(_._2).sum * 10000L / total)
+    }
+    // the curve is monotone and saturates once K covers the vocabulary
+    val cov = rows.map(_.getAs[Long]("coverage_bp"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.last == 10000L)
+  }
+
   test("quality calibration (q99) = exact discrete deciles of the score list") {
     // reference quantile: d-th decile cutoff is the ceil(d*n/10)-th
     // smallest rounded score — recomputed driver-side from raw scores
