@@ -58,6 +58,38 @@ class PlanAuditSpec extends SparkSpec {
       "an unpartitioned window must trip the audit")
   }
 
+  test("shape pins: marquee plans keep their documented shuffle budgets") {
+    // round-over-round guard: a refactor that silently reintroduces a
+    // corpus-sized shuffle (e.g. q102's old per-doc regroup) must fail
+    // here, not in a 100 TB run. Bounds are the documented PLANS.md
+    // shapes plus slack for AQE's final-stage exchanges, NOT tight
+    // fits — they catch regressions of a whole extra corpus pass.
+    val budgets = Map(
+      // one (bucket, shard) partition + two-level rollup + output sort
+      "q98_bucketed_batching" -> 4,
+      // histogram two-phase + decile rollup + output sort — never the corpus
+      "q99_quality_calibration" -> 5,
+      // source-cardinality agg + output sort only
+      "q100_epoch_schedule" -> 3,
+      // histogram side + broadcast cutoff join + |langs|·P rollup + sort
+      "q102_curriculum_schedule" -> 6,
+      // three parallel rollups + 5-row fan-in + sort
+      "q103_corpus_datasheet" -> 7,
+      // term agg + 1-row heap agg + frontier rollup + sort; no window
+      "q104_vocab_coverage" -> 5)
+    budgets.foreach { case (name, budget) =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val shuffles = PlanAudit.shape(df)
+        .collectFirst { case ("shuffle_exchanges", v) => v }.get
+      assert(shuffles <= budget,
+        s"$name: $shuffles shuffle exchanges exceed the documented budget $budget")
+      val windows = PlanAudit.shape(df)
+        .collectFirst { case ("window_ops", v) => v }.get
+      if (name == "q104_vocab_coverage")
+        assert(windows == 0, s"q104 must stay windowless, found $windows")
+    }
+  }
+
   test("every documents scan prunes to the columns the query needs") {
     // full schema is doc_id,text,lang,source,n_chars (5 cols); any scan
     // reading all 5 has lost column pruning — no current query needs all
