@@ -558,6 +558,34 @@ object Pipeline {
       .filter(col("quality") >= element_at(co, col("lang")))
   }
 
+  /** X30 streaming twin: per-event-time-window corpus datasheet — the
+    * rolling intake health panel of the batch q103 report: per (window,
+    * lang) docs, tokens, quality micro-mass, and an HLL distinct-text
+    * estimate (keyed on the 32-byte sha digest — a streaming aggregate
+    * cannot hold exact distinct sets, and the sketch state never holds
+    * bodies; the batch q103 column is its exact oracle per closed
+    * window). One watermark-bounded windowed aggregate; everything fed
+    * to it is a stateless per-row projection (the same fused quality
+    * kernel and micro-unit device as batch), so the docs/tokens/quality
+    * columns are batch-exact per closed window and testable. A
+    * production intake alarms on this panel: token throughput dropping,
+    * quality mass sagging, or dup rate spiking mid-stream. */
+  def datasheetMonitor(stream: DataFrame, eventTimeCol: String,
+                       windowLen: String = "1 minute",
+                       watermark: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol), col("lang"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("t"),
+        round(round(graft.operators.TextAnalysis.qualityScore(col("text")), 6)
+          * lit(1000000), 0).cast("long").as("qm"),
+        sha2(col("text").cast("binary"), 256).as("h"))
+      .groupBy(window(col(eventTimeCol), windowLen), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("qm")).as("sum_q_micro"),
+        approx_count_distinct(col("h")).as("n_distinct_approx"))
+
   /** X14 streaming twin: per-event-time-window out-of-vocabulary rate of
     * the incoming token stream against a static vocabulary snapshot
     * ([[graft.operators.TextAnalysis.vocabulary]]) — the drift monitor a

@@ -107,4 +107,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.length == 1)
     assert(rows.head.getAs[Long]("n_misaligned") == 0L)
   }
+
+  test("round-12 operators reject invalid knobs loudly, not with bad plans") {
+    import spark.implicits._
+    val dummy = Seq((1L, "a b")).toDF("doc_id", "text")
+    // unsorted / non-positive bucket and size lists must fail fast
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.batchingSummaryOf(dummy, buckets = Seq(32, 16))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.batchingSummaryOf(dummy, docsPerBatch = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.vocabCoverageFrontier(spark, sf0001,
+        sizes = Seq(256, 64))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.curriculumSchedule(spark, sf0001, phases = 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.epochSchedule(spark, sf0001, budget = 0L)
+    }
+    // empty snapshots must be rejected before a stream ever starts
+    intercept[IllegalArgumentException] {
+      Pipeline.calibrationGate(dummy, Map.empty)
+    }
+  }
 }

@@ -1153,6 +1153,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && gotDigests.size < gatePass.size)
   }
 
+  test("datasheet monitor: windowed corpus panel matches the batch rollup per window (X30 twin)") {
+    val docs = Tables.documents(spark, sf0001)
+    val expect = docs
+      .select(col("lang"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("t"),
+        round(round(graft.operators.TextAnalysis.qualityScore(col("text")), 6)
+          * lit(1000000), 0).cast("long").as("qm"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("toks"), sum(col("qm")).as("qmm"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("toks"), r.getAs[Long]("qmm")))).toMap
+    val nDistinct = docs.select(countDistinct(col("text"))).first().getLong(0)
+    val streamDir = Files.createTempDirectory("graft_ds_stream")
+    Files.createSymbolicLink(streamDir.resolve("docs.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+      .withColumn("ts", lit(Timestamp.valueOf("2024-01-01 00:00:30")))
+    val q = Pipeline.datasheetMonitor(stream, "ts")
+      .writeStream.format("memory").queryName("ds_monitor")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ds_monitor").collect()
+    // one window, one row per language; docs/tokens/quality batch-exact
+    assert(got.map(_.getAs[String]("lang")).toSet == expect.keySet)
+    got.foreach { r =>
+      val (n, toks, qmm) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_tokens") == toks)
+      assert(r.getAs[Long]("sum_q_micro") == qmm)
+      assert(r.getAs[Long]("n_distinct_approx") > 0L)
+    }
+    // the HLL panel estimate lands near the exact batch distinct count
+    val estTotal = got.map(_.getAs[Long]("n_distinct_approx")).sum
+    assert(math.abs(estTotal - nDistinct) <= math.max(5L, nDistinct / 5),
+      s"HLL distinct estimate $estTotal far from exact $nDistinct")
+  }
+
   test("OOV monitor: windowed drift rates against a static vocabulary snapshot") {
     import spark.implicits._
     val vocab = Seq("alpha", "beta").toDF("w")
