@@ -178,7 +178,16 @@ object SparkEntry {
     "q103_corpus_datasheet" -> ((s, d) => Curation.corpusDatasheet(s, d)),
     // vocab coverage frontier: token-occurrence share covered by top-K
     // terms per candidate K — bounded-heap slice, term table never sorts
-    "q104_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverageFrontier(s, d))
+    "q104_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverageFrontier(s, d)),
+    // exact-substring span scrub: per-lang token mass a repeated-span
+    // dedup pass (ExactSubstr rule) would cut — positional coverage
+    "q105_span_scrub" -> ((s, d) => TextAnalysis.spanScrub(s, d)),
+    // DoReMi-shaped domain-weight election: multiplicative-weights update
+    // on token shares from per-domain quality deficit, uniform-smoothed
+    "q106_doremi_reweight" -> ((s, d) => Curation.doremiReweight(s, d)),
+    // embedding snapshot drift: per-label centroid cosine + exact L2
+    // shift between the even-/odd-vec_id snapshots — the re-embed monitor
+    "q107_snapshot_drift" -> ((s, d) => Similarity.snapshotDrift(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -289,6 +298,9 @@ object SparkEntry {
     "q101_preference_pairs" -> Dedup.preferencePairsSql(),
     "q102_curriculum_schedule" -> Curation.curriculumScheduleSql(),
     "q103_corpus_datasheet" -> Curation.corpusDatasheetSql,
-    "q104_vocab_coverage" -> TextAnalysis.vocabCoverageFrontierSql()
+    "q104_vocab_coverage" -> TextAnalysis.vocabCoverageFrontierSql(),
+    "q105_span_scrub" -> TextAnalysis.spanScrubSql(),
+    "q106_doremi_reweight" -> Curation.doremiReweightSql,
+    "q107_snapshot_drift" -> Similarity.snapshotDriftSql
   )
 }

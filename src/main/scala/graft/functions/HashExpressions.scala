@@ -202,6 +202,33 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** POSITIONAL word n-gram hashes (60-bit md5 halves), one per start
+    * position, NO dedup — element i is h1 of the gram starting at token
+    * i (0-based). The exact-substring span-scrub accounting (q105) needs
+    * every occurrence because its rule is "a span is duplicated if the
+    * same n tokens appear anywhere else in the corpus, including earlier
+    * in the same document" — the distinct shingle tables above erase the
+    * within-doc repeats that rule counts. Twin of
+    * transform(positional-gram HOF, g -> h1(g)); pinned bit-equal by
+    * HashKernelsSpec. */
+  def spanGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val m = math.max(nTok - n + 1, 0)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val from = bounds(2 * i)
+      val until = bounds(2 * (i + n - 1) + 1)
+      val (x1, _) = md5Halves(bytes, from, until - from)
+      out(i) = x1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused heuristic quality score — twin of the four-term HOF chain in
     * TextAnalysis.qualityScoreHof, ONE pass over the tokens instead of
     * four (split + array_distinct + lexicon filter + length): 0.25·each
@@ -523,6 +550,23 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional (non-distinct) n-gram hash array — the q105 span-scrub
+  * gram stream; see [[HashKernels.spanGramHashes]]. */
+case class SpanGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"span_gram_hashes needs n > 0 (got $n)")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"span_gram_hashes needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_gram_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.spanGramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.spanGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): SpanGramHashes =
+    copy(child = newChild)
+}
+
 /** Native distinct-shingle-string expression (twin of
   * TextHash.shingles — the gram text itself, for consumers that output
   * grams rather than hashes, e.g. the q73 duplicated-n-gram detector). */
@@ -653,6 +697,8 @@ object HashExpressions {
     bridge.column(ShingleHashes(bridge.expression(text), n))
   def shingles(text: Column, n: Int = 3): Column =
     bridge.column(Shingles(bridge.expression(text), n))
+  def spanGramHashes(text: Column, n: Int = 3): Column =
+    bridge.column(SpanGramHashes(bridge.expression(text), n))
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     bridge.column(QualityScore(bridge.expression(text), stopwords))
   def simhash(text: Column, bits: Int = 48): Column =

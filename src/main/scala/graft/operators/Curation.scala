@@ -913,6 +913,121 @@ object Curation {
        |FROM rt LEFT JOIN acc ON rt.source = acc.source CROSS JOIN tot
        |ORDER BY rt.source""".stripMargin
 
+  // ---- X33: DoReMi-style domain reweighting (q106) ------------------------
+  //
+  // q86's target shares are a fixed literal ("a DoReMi-style recipe would
+  // learn these"); q106 IS that election step. DoReMi (Xie et al. 2023,
+  // arXiv:2305.10429) runs multiplicative weights on domain shares: domains
+  // whose proxy model underperforms the reference (high excess loss) get
+  // upweighted, then the update is smoothed toward uniform. The published
+  // recipe's exp(eta * excess) doesn't survive a cross-engine hash gate
+  // (libm), so this is the integer first-order twin: factor = 1e6 +
+  // eta * excess_micro — same monotone structure (more excess, more
+  // weight), exact in both engines. The loss proxy is the corpus's own
+  // measurable stand-in: a domain's mean quality deficit vs the corpus
+  // mean, in the q89/q103 micro-unit device.
+
+  /** Integer multiplicative-weights learning rate: the update factor is
+    * 1e6 + [[DoremiEta]]·excess_micro (excess ≤ 1e6, so the factor stays
+    * under 9e6 and the bp-quantized weight product under 9e10 — long-safe
+    * at ANY corpus scale because the base share is already in bp). */
+  val DoremiEta = 8L
+  /** Uniform-smoothing mass in basis points (DoReMi's c = 1/10). */
+  val DoremiSmoothBp = 1000L
+
+  /** X33 DoReMi-shaped domain-weight election (q106): per source domain —
+    * token base share (bp), mean quality (micro), excess deficit vs the
+    * corpus mean (micro), the multiplicative-weights updated share (bp),
+    * and the uniform-smoothed final share (bp) a q86-style resample would
+    * then target. All arithmetic is exact integers after the one rounded
+    * quality projection.
+    *
+    * Scale posture: one corpus scan collapses to a |sources|-row table
+    * via map-side-combinable sums; every subsequent op (corpus totals,
+    * weight normalization, smoothing) is arithmetic over that tiny table
+    * with 1-row broadcasts — no corpus-sized shuffle besides the source
+    * rollup, no sort, no window. The 100 TB run pays exactly one
+    * tokenize+score pass. */
+  def doremiReweight(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextHash.tokens(col("text"))).cast("long").as("t"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(expr("cast(round(q * 1000000) as bigint)")).as("sum_q_micro"))
+    val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("sum_q_micro")).as("tot_q_micro"),
+      count(lit(1)).as("n_domains"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("base_share_bp", expr("n_tokens * 10000 div tot_tokens"))
+      .withColumn("mean_q_micro", expr("sum_q_micro div n_docs"))
+      .withColumn("excess_micro",
+        greatest(lit(0L), expr("tot_q_micro div tot_docs - sum_q_micro div n_docs")))
+      .withColumn("w",
+        expr(s"base_share_bp * (1000000 + $DoremiEta * excess_micro)"))
+    val wsum = scored.agg(sum(col("w")).as("w_tot"))
+    scored.crossJoin(broadcast(wsum))
+      .withColumn("new_share_bp", expr("w * 10000 div w_tot"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("base_share_bp"), col("mean_q_micro"), col("excess_micro"),
+        col("new_share_bp"),
+        expr(s"((10000 - $DoremiSmoothBp) * new_share_bp + " +
+          s"$DoremiSmoothBp * (10000 div n_domains)) div 10000")
+          .as("final_share_bp"))
+      .orderBy(col("source"))
+  }
+
+  def doremiReweightSql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH qd AS (
+       |  SELECT source, ntok::BIGINT AS t,
+       |    round(0.25 * least(ntok / 50.0, 1.0) +
+       |          0.25 * (uniq / ntok) +
+       |          0.25 * (1.0 - (stops / ntok)) +
+       |          0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6) AS q
+       |  FROM (
+       |    SELECT source,
+       |      len(tk)::DOUBLE AS ntok,
+       |      len(list_distinct(tk))::DOUBLE AS uniq,
+       |      len(list_filter(tk, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT source, text, string_split(lower(text), ' ') AS tk
+       |          FROM documents))
+       |), per AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+       |    sum(CAST(round(q * 1000000) AS BIGINT))::BIGINT AS sum_q_micro
+       |  FROM qd GROUP BY source
+       |), tot AS (
+       |  SELECT sum(n_docs)::BIGINT AS tot_docs,
+       |    sum(n_tokens)::BIGINT AS tot_tokens,
+       |    sum(sum_q_micro)::BIGINT AS tot_q_micro,
+       |    count(*)::BIGINT AS n_domains
+       |  FROM per
+       |), s AS (
+       |  SELECT per.source, per.n_docs, per.n_tokens,
+       |    (per.n_tokens * 10000 // tot.tot_tokens)::BIGINT AS base_share_bp,
+       |    (per.sum_q_micro // per.n_docs)::BIGINT AS mean_q_micro,
+       |    greatest(0, tot.tot_q_micro // tot.tot_docs
+       |      - per.sum_q_micro // per.n_docs)::BIGINT AS excess_micro,
+       |    tot.n_domains
+       |  FROM per CROSS JOIN tot
+       |), w AS (
+       |  SELECT s.*,
+       |    (base_share_bp * (1000000 + $DoremiEta * excess_micro))::BIGINT AS w
+       |  FROM s
+       |), ws AS (SELECT sum(w)::BIGINT AS w_tot FROM w)
+       |SELECT w.source, w.n_docs, w.n_tokens, w.base_share_bp, w.mean_q_micro,
+       |  w.excess_micro,
+       |  (w.w * 10000 // ws.w_tot)::BIGINT AS new_share_bp,
+       |  (((10000 - $DoremiSmoothBp) * (w.w * 10000 // ws.w_tot)
+       |    + $DoremiSmoothBp * (10000 // w.n_domains)) // 10000)::BIGINT
+       |    AS final_share_bp
+       |FROM w CROSS JOIN ws ORDER BY w.source""".stripMargin
+  }
+
   // ---- X23: importance-guided selection (q95) -----------------------------
   //
   // DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169): score

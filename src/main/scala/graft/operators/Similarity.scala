@@ -378,6 +378,84 @@ object Similarity {
        |GROUP BY label, i
        |ORDER BY label, dim""".stripMargin
 
+  // ---- X34: embedding snapshot drift monitor (q107) -----------------------
+
+  /** X34 centroid drift between corpus snapshots (q107): per label, the
+    * cosine between the label's centroid in the OLD snapshot (even
+    * vec_id — the driver's stand-in for "last ingest") and the NEW one
+    * (odd vec_id), plus the exact squared L2 shift. This is the
+    * embedding-space monitor a production pipeline runs after every
+    * re-embed or corpus refresh: a label whose centroid cosine falls is
+    * drifting (encoder change, distribution shift, label pollution).
+    *
+    * Cross-engine float discipline: per-dim centroids are first pinned
+    * to the q36-proven rounded grid (round(mean, 4)), then lifted to
+    * EXACT 1e-4 integers — dot / norms / L2 are exact 1e-8-unit longs
+    * from there, and the final cosine is one correctly-rounded
+    * sqrt/divide over identical integer inputs in both engines (IEEE
+    * 754 sqrt is exactly rounded, so determinism survives the float).
+    *
+    * Scale posture: ONE corpus scan — the (label, parity) rollup rides
+    * [[graft.functions.VectorMean]]'s map-side partial aggregation; all
+    * later steps (dim fan-out, old/new pivot, per-label fold) run over
+    * labels×[[Dim]] rows, audit-sized at any corpus scale. Labels seen
+    * in only one snapshot are dropped (no drift to measure). */
+  def snapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    val per = Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("label"),
+        (col("vec_id") % 2 === 0).as("is_old"))
+      .agg(count(lit(1)).as("n"),
+        mean(col("embedding").cast("array<double>")).as("c"))
+      .select(col("label"), col("is_old"), col("n"),
+        posexplode(col("c")).as(Seq("dim", "v")))
+      .select(col("label"), col("is_old"), col("n"),
+        col("dim").cast("long").as("dim"),
+        expr("cast(round(round(v, 4) * 10000) as bigint)").as("ci"))
+    per.groupBy(col("label"), col("dim"))
+      .agg(max(when(col("is_old"), col("n"))).as("n_old"),
+        max(when(!col("is_old"), col("n"))).as("n_new"),
+        max(when(col("is_old"), col("ci"))).as("a"),
+        max(when(!col("is_old"), col("ci"))).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("label"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(col("a") * col("b")).as("dot_e8"),
+        sum(col("a") * col("a")).as("na_e8"),
+        sum(col("b") * col("b")).as("nb_e8"),
+        sum((col("a") - col("b")) * (col("a") - col("b"))).as("l2_sq_e8"))
+      .select(col("label"), col("n_old"), col("n_new"), col("dot_e8"),
+        col("l2_sq_e8"),
+        round(col("dot_e8") /
+          (sqrt(col("na_e8").cast("double")) * sqrt(col("nb_e8").cast("double"))),
+          6).as("cos_shift"))
+      .orderBy(col("label"))
+  }
+
+  def snapshotDriftSql: String =
+    s"""WITH per AS (
+       |  SELECT label::BIGINT AS label, (vec_id % 2 = 0) AS is_old,
+       |    i::BIGINT AS dim, count(*)::BIGINT AS n,
+       |    CAST(round(round(avg(embedding[i+1]::DOUBLE), 4) * 10000) AS BIGINT)
+       |      AS ci
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
+       |  GROUP BY 1, 2, 3
+       |), wide AS (
+       |  SELECT label, dim,
+       |    max(CASE WHEN is_old THEN n END) AS n_old,
+       |    max(CASE WHEN NOT is_old THEN n END) AS n_new,
+       |    max(CASE WHEN is_old THEN ci END) AS a,
+       |    max(CASE WHEN NOT is_old THEN ci END) AS b
+       |  FROM per GROUP BY 1, 2
+       |)
+       |SELECT label, max(n_old)::BIGINT AS n_old, max(n_new)::BIGINT AS n_new,
+       |  sum(a * b)::BIGINT AS dot_e8,
+       |  sum((a - b) * (a - b))::BIGINT AS l2_sq_e8,
+       |  round(sum(a * b) / (sqrt(sum(a * a)::DOUBLE) * sqrt(sum(b * b)::DOUBLE)),
+       |    6) AS cos_shift
+       |FROM wide WHERE a IS NOT NULL AND b IS NOT NULL
+       |GROUP BY label ORDER BY label""".stripMargin
+
   // ---- X21: ANN index-quality audit (q93) ---------------------------------
 
   /** X21 ANN recall@k audit (q93): for every query, the fraction of the

@@ -767,6 +767,18 @@ object TextAnalysis {
     (sh.count(), sh.select(col("gk")).distinct().count())
   }
 
+  /** Scale-harness seam for q105 (ScaleHarnessSpec): the positional gram
+    * stream size (one row per token window — linear in corpus tokens)
+    * and the duplicated-gram key side (occ ≥ 2 vocabulary — bounded by
+    * CONTENT, not corpus size), measured on the exact cached fragment
+    * [[spanScrub]] consumes. */
+  def spanJoinInputs(spark: SparkSession, dir: String, n: Int = 5): (Long, Long) = {
+    val pg = posGrams(spark, dir, n)
+    (pg.count(),
+      pg.groupBy(col("gk")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).count())
+  }
+
   def boilerplateShare(spark: SparkSession, dir: String,
                        n: Int = 5, minDf: Int = 2): DataFrame = {
     val sh = gramKeys(spark, dir, n)
@@ -806,6 +818,102 @@ object TextAnalysis {
        |  sum(n_shared)::BIGINT AS sum_shared,
        |  round(sum(n_shared) / sum(n_grams)::DOUBLE, 6) AS shared_rate,
        |  sum(CASE WHEN n_shared * 2 >= n_grams THEN 1 ELSE 0 END)::BIGINT AS n_heavy
+       |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- X32: exact-substring span scrub accounting (q105) ------------------
+
+  /** Shared POSITIONAL gram table (q105): one row per (doc, start
+    * position) — (doc_id, pos 1-based, 60-bit gram hash), occurrences
+    * NOT deduplicated (within-doc repeats are duplicated spans too).
+    * PlanCache'd because both the occurrence count and the join-back
+    * consume it; the gram stream is one row per token (~corpus token
+    * count), so at 100 TB this is the fragment a real ExactSubstr pass
+    * persists once and probes twice. */
+  private[graft] def posGrams(spark: SparkSession, dir: String, n: Int): DataFrame =
+    graft.PlanCache.cached(spark, s"textanalysis.posGrams:$dir:$n") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.HashExpressions.spanGramHashes(col("text"), n))
+            .as(Seq("p0", "gk")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("gk"))
+    }
+
+  /** X32 exact-substring span-scrub accounting (q105): per language, how
+    * many tokens an exact repeated-span dedup pass (the "ExactSubstr"
+    * rule of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — public arXiv:2107.06499) would cut. A
+    * token position is REMOVED iff it is covered by at least one length-n
+    * token window whose gram occurs ≥ 2 times in the corpus (anywhere —
+    * another doc or earlier in the same doc). Reports per-lang doc count,
+    * token mass, removed mass, integer-basis-point removed share, and
+    * docs touched. Distinct from q87 (boilerplate share), which counts
+    * per-doc DISTINCT shared grams — this is positional coverage, the
+    * actual removal accounting a scrub pass bills against its corpus.
+    *
+    * Scale posture: the positional gram table is linear in corpus tokens
+    * and is PlanCache'd ([[posGrams]]) so the occurrence aggregation and
+    * the flag join-back share one materialization; the occurrence count
+    * rides map-side combine (a boilerplate gram combines within each
+    * partition before the gk shuffle); only grams with occ ≥ 2 survive
+    * into the join (the duplicated-gram vocabulary — at real corpora a
+    * small fraction of the gram stream); coverage expansion is a
+    * constant-factor (≤ n×) narrow explode of FLAGGED rows only, and the
+    * distinct/count collapse back to one row per doc before the
+    * lang rollup. The corpus body is never shuffled — only 8-byte gram
+    * keys and (doc_id, position) longs cross the wire. */
+  def spanScrub(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val pg = posGrams(spark, dir, n)
+    val dup = pg.groupBy(col("gk")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val flagged = pg.join(dup, Seq("gk")).select(col("doc_id"), col("pos"))
+    val cov = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit((n - 1).toLong))).as("cp"))
+      .distinct()
+    val rem = cov.groupBy(col("doc_id")).agg(count(lit(1)).as("removed"))
+    val dl = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).cast("long").as("ntok"))
+    dl.join(rem, Seq("doc_id"), "left")
+      .select(col("lang"), col("ntok"),
+        coalesce(col("removed"), lit(0L)).as("removed"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("sum_tokens"),
+        sum(col("removed")).as("sum_removed"),
+        sum(when(col("removed") > 0, 1L).otherwise(0L)).as("n_docs_hit"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"), col("sum_removed"),
+        expr("sum_removed * 10000 div sum_tokens").as("removed_bp"),
+        col("n_docs_hit"))
+      .orderBy(col("lang"))
+  }
+
+  def spanScrubSql(n: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+       |), pg AS (
+       |  SELECT doc_id, unnest(
+       |    [{'pos': i, 'gk': ${TextHash.h1Sql(s"array_to_string(t[i:i+${n - 1}], ' ')")}}
+       |     for i in range(1, len(t) - ${n - 2})], recursive := true)
+       |  FROM toks
+       |), dup AS (
+       |  SELECT gk FROM pg GROUP BY gk HAVING count(*) >= 2
+       |), cov AS (
+       |  SELECT DISTINCT doc_id, cp FROM (
+       |    SELECT pg.doc_id, unnest([pg.pos + d for d in range(0, $n)]) AS cp
+       |    FROM pg JOIN dup USING (gk))
+       |), rem AS (
+       |  SELECT doc_id, count(*)::BIGINT AS removed FROM cov GROUP BY doc_id
+       |), dl AS (
+       |  SELECT doc_id, lang, len(t)::BIGINT AS ntok FROM toks
+       |), pd AS (
+       |  SELECT dl.lang, dl.ntok, coalesce(rem.removed, 0) AS removed
+       |  FROM dl LEFT JOIN rem USING (doc_id)
+       |)
+       |SELECT lang, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS sum_tokens,
+       |  sum(removed)::BIGINT AS sum_removed,
+       |  (sum(removed) * 10000 // sum(ntok))::BIGINT AS removed_bp,
+       |  sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_hit
        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- X26: quality-quantile calibration (q99) ----------------------------

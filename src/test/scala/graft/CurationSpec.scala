@@ -469,6 +469,72 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("weight_bp")).toSet == Set(800L, 600L, 400L, 200L))
   }
 
+  test("doremi reweight (q106): exact driver-side recomputation + update direction") {
+    import spark.implicits._
+    // exact integer recomputation from the same per-source stats
+    val per = Tables.documents(spark, sf0001)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("t"),
+        round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(expr("cast(round(q * 1000000) as bigint)")).as("mq"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("mq")))
+    val totDocs = per.map(_._2).sum
+    val totToks = per.map(_._3).sum
+    val totQ = per.map(_._4).sum
+    val nDom = per.length.toLong
+    val corpusMean = totQ / totDocs
+    val expect = per.map { case (src, nd, nt, mq) =>
+      val base = nt * 10000L / totToks
+      val mean = mq / nd
+      val excess = math.max(0L, corpusMean - mean)
+      val w = base * (1000000L + Curation.DoremiEta * excess)
+      (src, base, mean, excess, w)
+    }
+    val wTot = expect.map(_._5).sum
+    val expectRows = expect.map { case (src, base, mean, excess, w) =>
+      val newBp = w * 10000L / wTot
+      val finalBp = ((10000L - Curation.DoremiSmoothBp) * newBp +
+        Curation.DoremiSmoothBp * (10000L / nDom)) / 10000L
+      src -> ((base, mean, excess, newBp, finalBp))
+    }.toMap
+    val rows = Curation.doremiReweight(spark, sf0001).collect()
+    assert(rows.length == expectRows.size)
+    rows.foreach { r =>
+      val (base, mean, excess, newBp, finalBp) = expectRows(r.getAs[String]("source"))
+      assert(r.getAs[Long]("base_share_bp") == base)
+      assert(r.getAs[Long]("mean_q_micro") == mean)
+      assert(r.getAs[Long]("excess_micro") == excess)
+      assert(r.getAs[Long]("new_share_bp") == newBp)
+      assert(r.getAs[Long]("final_share_bp") == finalBp)
+    }
+    // direction fixture: the low-quality (high-deficit) domain gains share
+    val dir = java.nio.file.Files.createTempDirectory("graft_doremi").toString
+    Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel", "en", "good"),
+      (2L, "india juliet kilo lima mike november oscar papa", "en", "good"),
+      (3L, "the the the the the the the the", "en", "bad"),
+      (4L, "a a a a a a a a", "en", "bad"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = Curation.doremiReweight(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(f("good").getAs[Long]("excess_micro") == 0L)
+    assert(f("bad").getAs[Long]("excess_micro") > 0L)
+    // equal token mass, so the update strictly moves share toward "bad"
+    assert(f("bad").getAs[Long]("new_share_bp") >
+      f("bad").getAs[Long]("base_share_bp"))
+    assert(f("good").getAs[Long]("new_share_bp") <
+      f("good").getAs[Long]("base_share_bp"))
+    // shares stay a (truncation-dust) partition of the whole
+    val sumFinal = f.values.map(_.getAs[Long]("final_share_bp")).sum
+    assert(sumFinal > 10000L - 2L * 2L && sumFinal <= 10000L)
+  }
+
   test("corpus datasheet (q103): hand-computed fixture + corpus reconciliation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_datasheet").toString

@@ -43,6 +43,23 @@ class HashKernelsSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.length} tagged-gram mismatches")
   }
 
+  test("native span gram hashes == positional HOF formulation on generated texts") {
+    val n = 3
+    val t = TextHash.tokens(col("text"))
+    val hof = when(size(t) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => TextHash.h1(concat_ws(" ", slice(t, i + lit(1), lit(n))))))
+    val df = texts(200).toDF("text").select(
+      HashExpressions.spanGramHashes(col("text"), n).as("native"), hof.as("hof"))
+    val bad = df.collect().filterNot(r => r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(bad.isEmpty, s"${bad.length} span-gram mismatches")
+    // positional length contract: exactly max(ntok - n + 1, 0) entries
+    val lens = texts(50).toDF("text").select(
+      size(HashExpressions.spanGramHashes(col("text"), n)).as("m"),
+      size(t).as("ntok")).collect()
+    lens.foreach(r => assert(r.getInt(0) == math.max(r.getInt(1) - n + 1, 0)))
+  }
+
   test("native sign band keys == per-plane expression tree on real embeddings") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("embedding").cast("array<double>").as("v"))

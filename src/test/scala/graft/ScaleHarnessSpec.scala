@@ -168,6 +168,33 @@ class ScaleHarnessSpec extends SparkSpec {
       s"top grams must carry template 0's >half-corpus df: ${top.mkString(", ")}")
   }
 
+  test("q105: positional gram stream is linear; duplicated-gram key side is content-bounded") {
+    // corpusDir texts are 12 disjoint-vocabulary words -> exactly 8
+    // positional 5-grams per doc (== distinct: no within-doc repeats)
+    val d1x = corpusDir(30, 60)
+    val d100x = corpusDir(30, 6000)
+    val (rows1, dup1) = TextAnalysis.spanJoinInputs(spark, d1x)
+    val (rows100, dup100) = TextAnalysis.spanJoinInputs(spark, d100x)
+    // the corpus side is one row per token window — linear, never more
+    assert(rows1 == 60L * 8 && rows100 == 6000L * 8,
+      s"positional gram stream ($rows1, $rows100) must be docs x 8")
+    // the join key side (occ >= 2 grams) is bounded by the CONTENT
+    // vocabulary even under 100x duplicate inflation
+    val (_, vocab1) = TextAnalysis.gramJoinInputs(spark, d1x)
+    assert(dup1 <= vocab1 && dup100 <= vocab1,
+      s"duplicated-gram vocab ($dup1, $dup100) must stay within content vocab $vocab1")
+    // coverage exactness at scale: every doc of a >=2-copy template is
+    // FULLY covered (all its grams repeat), single-copy docs untouched
+    val dupDocs = Tables.documents(spark, d100x).groupBy(col("text"))
+      .count().filter(col("count") >= 2)
+      .agg(sum(col("count"))).head.getLong(0)
+    val r = TextAnalysis.spanScrub(spark, d100x).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("sum_removed") == dupDocs * 12L,
+      s"duplicated-template docs must be fully covered")
+    assert(r.head.getAs[Long]("n_docs_hit") == dupDocs)
+  }
+
   test("q99: only the score histogram orders — invariant under duplication, bounded output") {
     // the windowed/ordered input of the calibration is the (lang,
     // rounded-score) HISTOGRAM, never the corpus: inflating the corpus

@@ -162,6 +162,50 @@ class TextAnalysisSpec extends SparkSpec {
     dir
   }
 
+  test("span scrub (q105): coverage matches hand-computed removal accounting") {
+    // cross-doc repeat: docs 1+2 share the 5-gram "a b c d e" (pos 1),
+    // so positions 1-5 of each are covered; doc 3 is untouched
+    val dir = docsFixture(Seq(
+      (1L, "a b c d e f", "en", "src0"),
+      (2L, "a b c d e z", "en", "src0"),
+      (3L, "p q r s t u v", "en", "src0")))
+    val r = TextAnalysis.spanScrub(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 3L)
+    assert(r.head.getAs[Long]("sum_tokens") == 19L)
+    assert(r.head.getAs[Long]("sum_removed") == 10L)
+    assert(r.head.getAs[Long]("removed_bp") == 10L * 10000L / 19L)
+    assert(r.head.getAs[Long]("n_docs_hit") == 2L)
+  }
+
+  test("span scrub counts WITHIN-doc repeats (the rule q87's distinct grams can't see)") {
+    // one doc, period-2 repetition: every positional 5-gram occurs twice
+    // within the SAME doc -> the whole doc is coverable
+    val dir = docsFixture(Seq((1L, "x y x y x y x y", "en", "src0")))
+    val r = TextAnalysis.spanScrub(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("sum_tokens") == 8L)
+    assert(r.head.getAs[Long]("sum_removed") == 8L)
+    assert(r.head.getAs[Long]("removed_bp") == 10000L)
+    assert(r.head.getAs[Long]("n_docs_hit") == 1L)
+  }
+
+  test("span scrub: real-corpus invariants (coverage bounded, short docs safe)") {
+    val rows = TextAnalysis.spanScrub(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_removed") <= r.getAs[Long]("sum_tokens"))
+      val bp = r.getAs[Long]("removed_bp")
+      assert(bp >= 0L && bp <= 10000L)
+      assert(r.getAs[Long]("n_docs_hit") <= r.getAs[Long]("n_docs"))
+    }
+    // sub-n docs produce no grams but still count toward the token mass
+    val dir = docsFixture(Seq((1L, "a b", "en", "src0")))
+    val f = TextAnalysis.spanScrub(spark, dir).collect()
+    assert(f.head.getAs[Long]("sum_tokens") == 2L)
+    assert(f.head.getAs[Long]("sum_removed") == 0L)
+  }
+
   test("bm25: ranking is total (score desc, doc_id asc) and tf-monotone at equal length") {
     val rows = TextAnalysis.bm25TopK(spark, sf0001).collect()
     assert(rows.length == 15)
