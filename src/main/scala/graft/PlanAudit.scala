@@ -69,7 +69,10 @@ object PlanAudit {
     // q104 crossJoins the broadcast SINGLE-ROW (total_tokens,
     // n_distinct_terms) corpus scalar onto |K| frontier rows — same
     // audited shape as q84/q90
-    "q104_vocab_coverage")
+    "q104_vocab_coverage",
+    // q106 crossJoins two broadcast SINGLE-ROW scalars (corpus totals,
+    // weight-sum) onto the |sources|-row table — the q86/q100 shape
+    "q106_doremi_reweight")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

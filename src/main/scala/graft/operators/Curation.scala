@@ -949,14 +949,19 @@ object Curation {
     * rollup, no sort, no window. The 100 TB run pays exactly one
     * tokenize+score pass. */
   def doremiReweight(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.documents(spark, dir)
-      .select(col("source"),
-        size(TextHash.tokens(col("text"))).cast("long").as("t"),
-        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("t")).as("n_tokens"),
-        sum(expr("cast(round(q * 1000000) as bigint)")).as("sum_q_micro"))
+    // the |sources|-row rollup is referenced three times downstream
+    // (corpus totals, weight-sum, output rows); persisting it pins the
+    // plan to ONE corpus tokenize+score pass instead of one per reference
+    val per = graft.PlanCache.cached(spark, s"curation.doremiPer:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          size(TextHash.tokens(col("text"))).cast("long").as("t"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("n_tokens"),
+          sum(expr("cast(round(q * 1000000) as bigint)")).as("sum_q_micro"))
+    }
     val tot = per.agg(sum(col("n_docs")).as("tot_docs"),
       sum(col("n_tokens")).as("tot_tokens"),
       sum(col("sum_q_micro")).as("tot_q_micro"),

@@ -76,7 +76,16 @@ class PlanAuditSpec extends SparkSpec {
       // three parallel rollups + 5-row fan-in + sort
       "q103_corpus_datasheet" -> 7,
       // term agg + 1-row heap agg + frontier rollup + sort; no window
-      "q104_vocab_coverage" -> 5)
+      "q104_vocab_coverage" -> 5,
+      // gk occurrence agg + gk join-back + (doc,pos) distinct + doc
+      // rollup + lang rollup/sort — the corpus body never shuffles
+      "q105_span_scrub" -> 6,
+      // one source rollup, PlanCache'd — the plan STRING repeats the
+      // cached rollup subtree per InMemoryRelation reference (3x), so
+      // the line count is 12 while the executed work is ONE corpus scan
+      "q106_doremi_reweight" -> 12,
+      // one (label,parity) rollup + dim pivot + label fold + sort
+      "q107_snapshot_drift" -> 5)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)
