@@ -72,7 +72,14 @@ object PlanAudit {
     "q104_vocab_coverage",
     // q106 crossJoins two broadcast SINGLE-ROW scalars (corpus totals,
     // weight-sum) onto the |sources|-row table — the q86/q100 shape
-    "q106_doremi_reweight")
+    "q106_doremi_reweight",
+    // q108's water-filling rank/prefix is a strictly-before THETA join
+    // of the |langs|-row table against its own broadcast (≤ dozens of
+    // rows squared), plus the 1-row crossover/prefix-mass scalars
+    "q108_unimax_allocation",
+    // q110's exact leg is corpus × broadcast ≤LshProbeMax-row probe
+    // table (the q23 sampled-query shape)
+    "q110_lsh_recall")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

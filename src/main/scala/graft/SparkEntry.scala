@@ -187,7 +187,16 @@ object SparkEntry {
     "q106_doremi_reweight" -> ((s, d) => Curation.doremiReweight(s, d)),
     // embedding snapshot drift: per-label centroid cosine + exact L2
     // shift between the even-/odd-vec_id snapshots — the re-embed monitor
-    "q107_snapshot_drift" -> ((s, d) => Similarity.snapshotDrift(s, d))
+    "q107_snapshot_drift" -> ((s, d) => Similarity.snapshotDrift(s, d)),
+    // UniMax water-filling: equal-share multilingual token allocation
+    // under a per-language epoch cap — windowless closed form
+    "q108_unimax_allocation" -> ((s, d) => Curation.unimaxAllocation(s, d)),
+    // count-min sketch audit: 4x1024 portable-hash sketch vs exact
+    // counts on the top-k tokens — overestimate is provably >= 0
+    "q109_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
+    // LSH banding recall audit: probe-sampled exact Jaccard truth vs
+    // the shared banded candidate table, by similarity bucket
+    "q110_lsh_recall" -> ((s, d) => Dedup.lshRecallAudit(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,6 +310,9 @@ object SparkEntry {
     "q104_vocab_coverage" -> TextAnalysis.vocabCoverageFrontierSql(),
     "q105_span_scrub" -> TextAnalysis.spanScrubSql(),
     "q106_doremi_reweight" -> Curation.doremiReweightSql,
-    "q107_snapshot_drift" -> Similarity.snapshotDriftSql
+    "q107_snapshot_drift" -> Similarity.snapshotDriftSql,
+    "q108_unimax_allocation" -> Curation.unimaxAllocationSql,
+    "q109_cms_heavy_hitters" -> TextAnalysis.cmsHeavyHittersSql(),
+    "q110_lsh_recall" -> Dedup.lshRecallAuditSql()
   )
 }

@@ -1335,6 +1335,128 @@ object Curation {
        |    AS deficit_tokens
        |FROM e ORDER BY source""".stripMargin
 
+  // ---- X35: UniMax water-filling language allocation (q108) ---------------
+  //
+  // UniMax (Chung et al. 2023, arXiv:2304.09151): allocate a multilingual
+  // token budget so every language gets an EQUAL share unless capped by
+  // its epoch ceiling (a language may repeat at most E epochs) — the
+  // fairness alternative to temperature sampling. The classic computation
+  // is sequential water-filling over languages sorted by capacity; the
+  // closed form used here: with capacities ascending, language k is
+  // capped iff cap_k·(L−k+1) ≤ B − prefix_{k−1} (the capped set is a
+  // RANK PREFIX — spec-asserted), every uncapped language gets the even
+  // split of what the capped prefix left.
+
+  /** Epoch ceiling per language (UniMax's E). */
+  val UnimaxEpochCap = 4L
+  /** Token budget as a multiple of the corpus size — derived from the
+    * corpus, not a literal, so both regimes (capped small languages,
+    * even-split large ones) appear at every SF. */
+  val UnimaxBudgetX = 3L
+
+  /** X35 UniMax allocation (q108): per language — token count, epoch
+    * capacity, water-filling rank, capped flag, allocated tokens, exact
+    * micro-epochs, and budget share in bp. All integer arithmetic;
+    * decimal(38,0) guards the micro products past 9.2e12 tokens
+    * (mirroring DuckDB's HUGEINT widening, the q100 device).
+    *
+    * Scale posture: one corpus scan collapses to the |langs|-row table;
+    * rank and prefix sums come from a TRIANGLE SELF-JOIN over those ≤
+    * dozens of rows (strictly-before keys), NOT a window — the plan
+    * stays windowless and nothing ever single-partitions more than
+    * |langs|² rows. The crossover rank and capped-prefix mass are 1-row
+    * broadcasts back onto the same tiny table. */
+  def unimaxAllocation(spark: SparkSession, dir: String): DataFrame = {
+    // the |langs|-row rollup feeds totals, the triangle join (both
+    // sides), the crossover election, and the output — persist it so
+    // the executed plan pays ONE corpus scan, not one per reference
+    val per = graft.PlanCache.cached(spark, s"curation.unimaxPer:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          size(TextHash.tokens(col("text"))).cast("long").as("len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+    }
+    val tot = per.agg(sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_langs"))
+    val base = per.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tot_tokens") * UnimaxBudgetX)
+      .withColumn("cap_tokens", col("n_tokens") * UnimaxEpochCap)
+    // rank/prefix over the |langs|-row table via the strictly-before
+    // triangle join: rank = 1 + |{j: key_j < key_k}|, prefix = Σ cap_j
+    val keys = base.select(col("lang").as("lang2"),
+      col("cap_tokens").as("cap2"))
+    val ranked = base.join(broadcast(keys),
+        col("cap2") < col("cap_tokens") ||
+          (col("cap2") === col("cap_tokens") && col("lang2") < col("lang")),
+        "left")
+      .groupBy(col("lang"), col("n_docs"), col("n_tokens"), col("budget"),
+        col("cap_tokens"), col("n_langs"))
+      .agg((count(col("lang2")) + 1L).as("alloc_rank"),
+        coalesce(sum(col("cap2")), lit(0L)).as("prefix"))
+    // ONE scalar agg elects both the crossover rank m and the capped-
+    // prefix mass: the capped set is a rank prefix, so the max flagged
+    // row's prefix + cap IS Σ_{rank ≤ m} cap
+    val flag = expr("cap_tokens * (n_langs - alloc_rank + 1) <= budget - prefix")
+    val m = ranked.agg(
+      coalesce(max(when(flag, col("alloc_rank"))), lit(0L)).as("m"),
+      coalesce(max(when(flag, col("prefix") + col("cap_tokens"))), lit(0L))
+        .as("prefix_m"))
+    ranked.crossJoin(broadcast(m))
+      .withColumn("capped", col("alloc_rank") <= col("m"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr("(budget - prefix_m) div (n_langs - m)")))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("cap_tokens"),
+        col("alloc_rank"), col("capped"), col("alloc_tokens"),
+        expr("cast(alloc_tokens as decimal(38,0)) * 1000000 div n_tokens")
+          .as("epochs_micro"),
+        expr("cast(alloc_tokens as decimal(38,0)) * 10000 div budget")
+          .as("share_bp"))
+      .orderBy(col("lang"))
+  }
+
+  def unimaxAllocationSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang
+       |), tot AS (
+       |  SELECT sum(n_tokens)::BIGINT AS tot_tokens, count(*)::BIGINT AS n_langs
+       |  FROM per
+       |), base AS (
+       |  SELECT per.*, tot.tot_tokens * $UnimaxBudgetX AS budget,
+       |    per.n_tokens * $UnimaxEpochCap AS cap_tokens, tot.n_langs
+       |  FROM per CROSS JOIN tot
+       |), ranked AS (
+       |  SELECT a.lang, a.n_docs, a.n_tokens, a.budget, a.cap_tokens,
+       |    a.n_langs,
+       |    1 + count(b.lang)::BIGINT AS alloc_rank,
+       |    coalesce(sum(b.cap_tokens), 0)::BIGINT AS prefix
+       |  FROM base a LEFT JOIN base b
+       |    ON b.cap_tokens < a.cap_tokens
+       |      OR (b.cap_tokens = a.cap_tokens AND b.lang < a.lang)
+       |  GROUP BY 1, 2, 3, 4, 5, 6
+       |), mm AS (
+       |  SELECT coalesce(max(CASE WHEN cap_tokens * (n_langs - alloc_rank + 1)
+       |      <= budget - prefix THEN alloc_rank END), 0)::BIGINT AS m
+       |  FROM ranked
+       |), pm AS (
+       |  SELECT coalesce(sum(CASE WHEN r.alloc_rank <= mm.m
+       |    THEN r.cap_tokens END), 0)::BIGINT AS prefix_m
+       |  FROM ranked r CROSS JOIN mm
+       |), f AS (
+       |  SELECT r.*, mm.m, pm.prefix_m,
+       |    CASE WHEN r.alloc_rank <= mm.m THEN r.cap_tokens
+       |      ELSE (r.budget - pm.prefix_m) // (r.n_langs - mm.m) END AS alloc
+       |  FROM ranked r CROSS JOIN mm CROSS JOIN pm
+       |)
+       |SELECT lang, n_docs, n_tokens, cap_tokens, alloc_rank,
+       |  (alloc_rank <= m) AS capped, alloc::BIGINT AS alloc_tokens,
+       |  ((alloc * 1000000) // n_tokens)::BIGINT AS epochs_micro,
+       |  ((alloc * 10000) // budget)::BIGINT AS share_bp
+       |FROM f ORDER BY lang""".stripMargin
+
   // ---- X29: curriculum phase schedule (q102) ------------------------------
 
   /** Curriculum phases for [[curriculumSchedule]]: 4 quartile bands per

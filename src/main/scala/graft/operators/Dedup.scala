@@ -346,6 +346,93 @@ object Dedup {
        |    >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- X37: LSH banding recall audit (q110) -------------------------------
+
+  /** Probe-set bound for [[lshRecallAudit]] — fixed doc_id prefix, so the
+    * exact leg stays a bounded-probe × corpus scan at every SF (the q93
+    * sampled-query device applied to the dedup index). */
+  val LshProbeMax = 32L
+
+  /** X37 LSH banding recall audit (q110): how much of the TRUE near-dup
+    * mass does the q20 banding actually retrieve, by similarity bucket —
+    * the parameter-tuning measurement (bands × rows trade recall for
+    * join cost) a dedup deployment runs before trusting its candidate
+    * generation. Ground truth is exact n-gram Jaccard of a fixed probe
+    * set against the whole corpus; retrieved = membership in the shared
+    * banded candidate-pair table. Theory says recall ≈ 1−(1−J^r)^b —
+    * rising steeply with J; the audit measures it on the real corpus.
+    *
+    * Scale posture: the exact leg is |probes| × corpus kernel
+    * evaluations — LINEAR via a broadcast of the ≤[[LshProbeMax]]-row
+    * probe table (never corpus × corpus); the candidate side reuses the
+    * PlanCache'd pair table every verifier already shares; the recall
+    * join is probe-pair-sized. */
+  def lshRecallAudit(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val probes = docs.filter(col("doc_id") < LshProbeMax)
+      .select(col("doc_id").as("pa"), col("text").as("pt"))
+    val truePairs = docs.join(broadcast(probes), col("doc_id") =!= col("pa"))
+      .select(least(col("pa"), col("doc_id")).as("doc_a"),
+        greatest(col("pa"), col("doc_id")).as("doc_b"),
+        round(graft.functions.HashExpressions.ngramJaccard(col("pt"), col("text")), 6)
+          .as("j"))
+      .filter(col("j") >= threshold)
+      // two probes can generate the same pair (both ends probed)
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("j")).as("j"))
+    val cand = candidatePairs(spark, dir).withColumn("hit", lit(1L))
+    truePairs.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(
+        when(col("j") >= 0.9, "[0.9,1.0]")
+          .when(col("j") >= 0.7, "[0.7,0.9)")
+          .otherwise("[0.5,0.7)").as("bucket"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_retrieved"))
+      .select(col("bucket"), col("n_true"), col("n_retrieved"),
+        round(col("n_retrieved") / col("n_true").cast("double"), 6).as("recall"))
+      .orderBy(col("bucket"))
+  }
+
+  def lshRecallAuditSql(threshold: Double = 0.5): String = {
+    val jac = (a: String, b: String) =>
+      s"round(len(list_intersect($a, $b))::DOUBLE / ((len($a) + len($b))::DOUBLE" +
+        s" - len(list_intersect($a, $b))::DOUBLE), 6)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |), probes AS (
+       |  SELECT doc_id AS pa, sh AS psh FROM sh WHERE doc_id < $LshProbeMax
+       |), tp AS (
+       |  SELECT least(p.pa, d.doc_id) AS doc_a,
+       |    greatest(p.pa, d.doc_id) AS doc_b,
+       |    max(${jac("p.psh", "d.sh")}) AS j
+       |  FROM probes p JOIN sh d ON d.doc_id <> p.pa
+       |  WHERE ${jac("p.psh", "d.sh")} >= $threshold
+       |  GROUP BY 1, 2
+       |)
+       |SELECT CASE WHEN j >= 0.9 THEN '[0.9,1.0]'
+       |            WHEN j >= 0.7 THEN '[0.7,0.9)'
+       |            ELSE '[0.5,0.7)' END AS bucket,
+       |  count(*)::BIGINT AS n_true,
+       |  sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_retrieved,
+       |  round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 6) AS recall
+       |FROM tp LEFT JOIN cand c USING (doc_a, doc_b)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** X2 SimHash near-dup: 60-bit fingerprints, 4 bands × 15 bits; banding
     * is exhaustive for Hamming ≤ 3 (pigeonhole: 3 flipped bits leave ≥1
     * clean band), so this banded plan returns exactly the brute-force

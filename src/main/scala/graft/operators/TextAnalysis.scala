@@ -888,6 +888,22 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Bounded snapshot artifact for the streaming span-scrub gate
+    * ([[graft.streaming.Pipeline.spanScrubGate]]): the top-`k`
+    * duplicated positional-gram keys by occurrence (ties by key) — the
+    * boilerplate lexicon a continuous intake screens against. Collected
+    * to the driver BECAUSE it is the snapshot (≤ k longs, kilobytes —
+    * the importanceGate/lexicon pattern); the ranking is Spark's
+    * bounded TakeOrdered, never a full gram sort. */
+  def spanGramSnapshot(spark: SparkSession, dir: String,
+                       n: Int = 5, k: Int = 64): Seq[Long] =
+    posGrams(spark, dir, n)
+      .groupBy(col("gk")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+      .orderBy(col("occ").desc, col("gk"))
+      .limit(k)
+      .collect().map(_.getAs[Long]("gk")).toSeq
+
   def spanScrubSql(n: Int = 5): String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
@@ -915,6 +931,105 @@ object TextAnalysis {
        |  (sum(removed) * 10000 // sum(ntok))::BIGINT AS removed_bp,
        |  sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_hit
        |FROM pd GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- X36: count-min-sketch heavy-hitter audit (q109) --------------------
+
+  /** Count-min depth (hash rows) and width (buckets per row). 4×1024
+    * cells = one 32 KB broadcastable array at ANY corpus scale — the
+    * whole point of sketched counting at 100 TB. Hashes are the
+    * portable (x1 + j·x2) mod P family over one md5 per token (the
+    * MinHash device), reduced mod width. */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+
+  /** Per-token count table — the q109 sketch input and exact side,
+    * PlanCache'd because both consume it (and a production pipeline
+    * materializes its term table once; see [[gramKeys]]). */
+  private[graft] def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"textanalysis.tokenCounts:$dir") {
+      Tables.documents(spark, dir)
+        .select(explode(toks(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    }
+
+  /** X36 count-min-sketch accuracy audit (q109): build the [[CmsDepth]]×
+    * [[CmsWidth]] count-min sketch (Cormode & Muthukrishnan 2005) over
+    * the corpus token stream, then audit it against ground truth on the
+    * exact top-k tokens — exact count, sketch estimate, and the
+    * overestimate (≥ 0 ALWAYS: count-min never undercounts, the spec
+    * invariant). This is the measurement a pipeline runs before trusting
+    * sketched frequencies for filtering at a scale where exact counting
+    * is a corpus-sized shuffle it wants to stop paying.
+    *
+    * Scale posture: the sketch aggregates the (token, cnt) table into
+    * depth×width cells with map-side combine — the sketch is 4096 rows,
+    * broadcastable forever; the exact top-k is the bounded-heap
+    * [[graft.functions.TopKTerms]] two-phase aggregate (never a corpus
+    * sort); the audit probe joins k×depth rows against the broadcast
+    * sketch. Summing per-token counts into cells is arithmetic-identical
+    * to streaming raw tokens through the sketch. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val P = TextHash.P
+    val tt = tokenCounts(spark, dir)
+    val hashed = tt.select(col("w"), col("cnt"),
+      (TextHash.h1(col("w")) % P).as("a"), (TextHash.h2(col("w")) % P).as("b"))
+    val js = explode(array((0 until CmsDepth).map(j => lit(j.toLong)): _*)).as("j")
+    val sketch = hashed
+      .select(col("cnt"), col("a"), col("b"), js)
+      .select(col("j"), (((col("a") + col("j") * col("b")) % P) % CmsWidth).as("bucket"),
+        col("cnt"))
+      .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cell"))
+    val topk = udaf(new graft.functions.TopKTerms(k))
+    val heads = tt.agg(topk(col("cnt"), col("w")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("w"), col("h.cnt").as("exact_cnt"))
+    heads
+      .join(hashed.select(col("w"), col("a"), col("b")), Seq("w"))
+      .select(col("rank"), col("w"), col("exact_cnt"), col("a"), col("b"), js)
+      .select(col("rank"), col("w"), col("exact_cnt"), col("j"),
+        (((col("a") + col("j") * col("b")) % P) % CmsWidth).as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy(col("rank"), col("w"), col("exact_cnt"))
+      .agg(min(col("cell")).as("cms_estimate"))
+      .select(col("rank"), col("w").as("token"), col("exact_cnt"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("exact_cnt")).as("overest"))
+      .orderBy(col("rank"))
+  }
+
+  def cmsHeavyHittersSql(k: Int = 15): String = {
+    val P = TextHash.P
+    s"""WITH tc AS (
+       |  SELECT w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY w
+       |), h AS (
+       |  SELECT w, cnt, (${TextHash.h1Sql("w")} % $P) AS a,
+       |    (${TextHash.h2Sql("w")} % $P) AS b
+       |  FROM tc
+       |), sk AS (
+       |  SELECT j, ((a + j * b) % $P) % $CmsWidth AS bucket,
+       |    sum(cnt)::BIGINT AS cell
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS j)
+       |  GROUP BY 1, 2
+       |), tk AS (
+       |  SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+       |  FROM tc
+       |), probe AS (
+       |  SELECT tk.rank, tk.w, tk.cnt, jj.j,
+       |    ((h.a + jj.j * h.b) % $P) % $CmsWidth AS bucket
+       |  FROM tk JOIN h USING (w)
+       |  CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS j) jj
+       |  WHERE tk.rank <= $k
+       |)
+       |SELECT p.rank::BIGINT AS rank, p.w AS token, p.cnt AS exact_cnt,
+       |  min(sk.cell)::BIGINT AS cms_estimate,
+       |  (min(sk.cell) - p.cnt)::BIGINT AS overest
+       |FROM probe p JOIN sk ON sk.j = p.j AND sk.bucket = p.bucket
+       |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin
+  }
 
   // ---- X26: quality-quantile calibration (q99) ----------------------------
 

@@ -536,6 +536,54 @@ object Pipeline {
       .filter(col("importance_score") >= element_at(th, col("lang")))
   }
 
+  /** X32 streaming twin: span-scrub intake gate — reject documents whose
+    * token positions are too heavily covered by KNOWN boilerplate spans.
+    * The snapshot is the top-k duplicated positional-gram keys of a
+    * batch corpus ([[graft.operators.TextAnalysis.spanGramSnapshot]],
+    * the batch q105's heaviest offenders) as a literal map — bounded
+    * (≤ k longs), so the gate is stateless like [[mixtureGate]] /
+    * [[importanceGate]]. Coverage is EXACT: the positional gram stream
+    * (native kernel) folds ascending flagged starts into an
+    * interval-union token count — the same covered-position rule as
+    * batch q105, restricted to the snapshot's grams. Appends
+    * `span_coverage_bp` (integer basis points of covered tokens) and
+    * admits rows strictly below `maxCoverageBp`. */
+  def spanScrubGate(stream: DataFrame, dupGrams: Seq[Long],
+                    maxCoverageBp: Long = 5000L, n: Int = 5): DataFrame = {
+    require(dupGrams.nonEmpty, "spanScrubGate: empty gram snapshot")
+    require(maxCoverageBp >= 0L && maxCoverageBp <= 10001L,
+      s"spanScrubGate: maxCoverageBp out of range ($maxCoverageBp)")
+    val dg = typedLit(dupGrams.map(_ -> true).toMap)
+    val gh = graft.functions.HashExpressions.spanGramHashes(col("text"), n)
+    // pair each positional gram with its 1-based start; fold ascending
+    // starts into the exact interval-union covered-token count:
+    // acc = (covered, last-covered-position)
+    val pairs = zip_with(gh, sequence(lit(1L), size(gh).cast("long")),
+      (g, i) => struct(g.as("g"), i.as("i")))
+    val covered = aggregate(pairs,
+      struct(lit(0L).as("cnt"), lit(0L).as("last")),
+      (acc, p) => {
+        val flagged = coalesce(element_at(dg, p.getField("g")), lit(false))
+        val i = p.getField("i")
+        val end = i + lit((n - 1).toLong)
+        val add = greatest(lit(0L),
+          end - greatest(acc.getField("last"), i - lit(1L)))
+        struct(
+          when(flagged, acc.getField("cnt") + add)
+            .otherwise(acc.getField("cnt")).as("cnt"),
+          when(flagged, greatest(acc.getField("last"), end))
+            .otherwise(acc.getField("last")).as("last"))
+      },
+      acc => acc.getField("cnt"))
+    stream
+      .withColumn("_cov", when(size(gh) === 0, lit(0L)).otherwise(covered))
+      .withColumn("_ntok",
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long"))
+      .withColumn("span_coverage_bp", expr("_cov * 10000 div _ntok"))
+      .drop("_cov", "_ntok")
+      .filter(col("span_coverage_bp") < maxCoverageBp)
+  }
+
   /** X26 streaming twin: per-language quality-calibration gate — admit
     * incoming documents at or above their language's batch-elected
     * quality cutoff (a decile row of

@@ -469,6 +469,49 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("weight_bp")).toSet == Set(800L, 600L, 400L, 200L))
   }
 
+  test("unimax allocation (q108): sequential water-filling recomputation, prefix-capped") {
+    val rows = Curation.unimaxAllocation(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // recompute by the SEQUENTIAL water-filling definition (the closed
+    // form in the operator must agree with the loop it replaces)
+    val per = rows.map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tokens")))
+    val budget = per.map(_._2).sum * Curation.UnimaxBudgetX
+    val caps = per.map { case (l, n) => (l, n * Curation.UnimaxEpochCap) }
+      .sortBy { case (l, c) => (c, l) }
+    var remaining = budget
+    var left = caps.length
+    val seq = scala.collection.mutable.Map.empty[String, Long]
+    caps.foreach { case (l, c) =>
+      val even = remaining / left
+      val a = math.min(c, even)
+      seq(l) = a; remaining -= a; left -= 1
+    }
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      // the closed form floors the even split ONCE; the sequential loop
+      // re-floors after every grant, so later languages can pick up one
+      // token of division dust — identical up to that dust
+      assert(math.abs(r.getAs[Long]("alloc_tokens") - seq(l)) <= 1L,
+        s"$l: closed form ${r.getAs[Long]("alloc_tokens")} != sequential ${seq(l)}")
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Long]("epochs_micro") <=
+        Curation.UnimaxEpochCap * 1000000L)
+    }
+    // the capped set is a rank prefix, and both regimes appear at sf0.001
+    val byRank = rows.sortBy(_.getAs[Long]("alloc_rank"))
+    val flags = byRank.map(_.getAs[Boolean]("capped"))
+    assert(!flags.dropWhile(identity).contains(true),
+      s"capped set must be a rank prefix: ${flags.mkString(",")}")
+    assert(flags.contains(true) && flags.contains(false),
+      "fixture scale must exercise both regimes")
+    // uncapped languages all receive the same even split
+    assert(rows.filterNot(_.getAs[Boolean]("capped"))
+      .map(_.getAs[Long]("alloc_tokens")).distinct.length == 1)
+    // the budget is spent up to integer-division dust
+    val spent = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(spent <= budget && budget - spent < rows.length.toLong * 2L)
+  }
+
   test("doremi reweight (q106): exact driver-side recomputation + update direction") {
     import spark.implicits._
     // exact integer recomputation from the same per-source stats

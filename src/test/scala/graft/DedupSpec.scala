@@ -360,4 +360,32 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[Long]("n_pairs")).sum
     assert(audited == got.size.toLong)
   }
+
+  test("lsh recall audit (q110): ratios valid, identical probes always retrieved") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.lshRecallAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty, "probe set found no true near-dup pairs at sf0.001")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_retrieved") <= r.getAs[Long]("n_true"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // exact-duplicate probes (J = 1.0) are ALWAYS retrieved: identical
+    // signatures collapse to one sig-group, whose within-group pairs are
+    // reconstructed deterministically — recall 1.0 by construction
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshrec").toString
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    Seq((1L, shared, "en", "src0"),
+        (2L, shared, "en", "src0"),
+        (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = Dedup.lshRecallAudit(spark, dir).collect()
+    assert(f.length == 1)
+    assert(f.head.getAs[String]("bucket") == "[0.9,1.0]")
+    assert(f.head.getAs[Long]("n_true") == 1L)
+    assert(f.head.getAs[Double]("recall") == 1.0)
+  }
 }

@@ -75,8 +75,12 @@ class PlanAuditSpec extends SparkSpec {
       "q102_curriculum_schedule" -> 6,
       // three parallel rollups + 5-row fan-in + sort
       "q103_corpus_datasheet" -> 7,
-      // term agg + 1-row heap agg + frontier rollup + sort; no window
-      "q104_vocab_coverage" -> 5,
+      // term agg + 1-row heap agg + frontier rollup + sort; no window.
+      // 4 in a fresh session; +2 when q109's cached token-count table
+      // plan-matches q104's term subtree (CacheManager substitutes
+      // matching fragments session-wide and the InMemoryRelation
+      // reprints its build subtree in the plan string)
+      "q104_vocab_coverage" -> 6,
       // gk occurrence agg + gk join-back + (doc,pos) distinct + doc
       // rollup + lang rollup/sort — the corpus body never shuffles
       "q105_span_scrub" -> 6,
@@ -85,7 +89,20 @@ class PlanAuditSpec extends SparkSpec {
       // the line count is 12 while the executed work is ONE corpus scan
       "q106_doremi_reweight" -> 12,
       // one (label,parity) rollup + dim pivot + label fold + sort
-      "q107_snapshot_drift" -> 5)
+      "q107_snapshot_drift" -> 5,
+      // ONE corpus scan into a cached |langs|-row rollup; the fan-out of
+      // InMemoryRelation references reprints the cached subtree in the
+      // plan string (~8x), so the line count is 24 while the executed
+      // work is a single scan plus 5-row arithmetic
+      "q108_unimax_allocation" -> 24,
+      // cached token-count table -> 4096-cell sketch agg + bounded-heap
+      // top-k + broadcast probe join + sort (cache reprints included)
+      "q109_cms_heavy_hitters" -> 10,
+      // probe-broadcast exact leg + the PlanCache'd candidate-pair chain
+      // (signatures -> sigGroups -> pairs nest, each InMemoryRelation
+      // reprinting its build subtree) — executed work is the exact leg
+      // plus cache reads
+      "q110_lsh_recall" -> 30)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)

@@ -981,6 +981,47 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < batch.length)
   }
 
+  test("span-scrub gate: snapshot coverage matches the batch q105 accounting row-exactly") {
+    import spark.implicits._
+    // batch corpus: docs 1-2 share the 5-gram "a b c d e"; doc 3 is clean
+    val dir = java.nio.file.Files.createTempDirectory("graft_spangate").toString
+    Seq((1L, "a b c d e f", "en", "src0"),
+        (2L, "a b c d e z", "en", "src0"),
+        (3L, "p q r s t u v", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val snap = graft.operators.TextAnalysis.spanGramSnapshot(spark, dir)
+    assert(snap.length == 1, s"fixture has exactly one duplicated gram, got $snap")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def run(maxBp: Long, name: String): Map[Long, Long] = {
+      val mem = MemoryStream[CuratedDocFixture]
+      mem.addData(
+        CuratedDocFixture(1L, "a b c d e f", "en", "src0", t0),
+        CuratedDocFixture(2L, "a b c d e z", "en", "src0", t0),
+        CuratedDocFixture(3L, "p q r s t u v", "en", "src0", t0))
+      val out = Pipeline.spanScrubGate(mem.toDS().toDF(), snap, maxBp)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("span_coverage_bp"))
+        .toMap
+    }
+    // threshold above the scale: every doc passes, coverages exact —
+    // docs 1-2 have positions 1-5 of 6 covered (8333 bp), doc 3 none
+    val all = run(10001L, "span_gate_all")
+    assert(all == Map(1L -> 8333L, 2L -> 8333L, 3L -> 0L), s"got $all")
+    // covered-token mass ties out to the batch q105 report on the corpus
+    // (docs 1-2 contribute 5 covered tokens each, doc 3 none)
+    val batch = graft.operators.TextAnalysis.spanScrub(spark, dir).collect()
+    assert(batch.head.getAs[Long]("sum_removed") == 10L)
+    assert(batch.head.getAs[Long]("n_docs_hit") == all.count(_._2 > 0L))
+    // the default policy drops the boilerplate-heavy docs, keeps the clean one
+    val kept = run(5000L, "span_gate_default")
+    assert(kept.keySet == Set(3L), s"gate kept ${kept.keySet}")
+  }
+
   test("curated intake: mixture gate + content dedup + quality gate compose in one job") {
     // snapshot with two equal-weight, equal-count sources: every rate is
     // exactly 1.0, so admission is decided purely by source membership

@@ -206,6 +206,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.head.getAs[Long]("sum_removed") == 0L)
   }
 
+  test("cms heavy hitters (q109): never undercounts, exact on a collision-free fixture") {
+    val rows = TextAnalysis.cmsHeavyHitters(spark, sf0001).collect()
+    assert(rows.length == 15)
+    // the count-min guarantee: estimate >= exact for EVERY token
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overest") >= 0L,
+        s"count-min undercounted ${r.getAs[String]("token")}")
+      assert(r.getAs[Long]("cms_estimate") ==
+        r.getAs[Long]("exact_cnt") + r.getAs[Long]("overest"))
+    }
+    // ranks are dense and exact counts non-increasing
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to 15L))
+    val cnts = rows.map(_.getAs[Long]("exact_cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y })
+    // tiny-vocabulary fixture: 3 tokens into 4x1024 cells — the md5
+    // buckets are deterministic and collision-free here, so the sketch
+    // is EXACT (the estimate-equals-truth regime)
+    val dir = docsFixture(Seq(
+      (1L, "aa aa aa bb bb cc", "en", "src0"),
+      (2L, "aa bb cc cc cc cc", "en", "src0")))
+    val f = TextAnalysis.cmsHeavyHitters(spark, dir, k = 3).collect()
+    assert(f.map(r => r.getAs[String]("token") -> r.getAs[Long]("exact_cnt")).toMap ==
+      Map("aa" -> 4L, "bb" -> 3L, "cc" -> 5L))
+    f.foreach(r => assert(r.getAs[Long]("overest") == 0L,
+      s"3 tokens in 4096 cells must not collide: ${r.getAs[String]("token")}"))
+  }
+
   test("bm25: ranking is total (score desc, doc_id asc) and tf-monotone at equal length") {
     val rows = TextAnalysis.bm25TopK(spark, sf0001).collect()
     assert(rows.length == 15)
