@@ -968,17 +968,32 @@ object TextAnalysis {
     * sort); the audit probe joins k×depth rows against the broadcast
     * sketch. Summing per-token counts into cells is arithmetic-identical
     * to streaming raw tokens through the sketch. */
-  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+  /** The corpus token table with its two 60-bit hash residues — shared
+    * by the sketch construction and the audit probe. */
+  private def cmsHashed(spark: SparkSession, dir: String): DataFrame = {
     val P = TextHash.P
-    val tt = tokenCounts(spark, dir)
-    val hashed = tt.select(col("w"), col("cnt"),
+    tokenCounts(spark, dir).select(col("w"), col("cnt"),
       (TextHash.h1(col("w")) % P).as("a"), (TextHash.h2(col("w")) % P).as("b"))
+  }
+
+  /** The materialized q109 sketch: (j, bucket, cell) — ≤ [[CmsDepth]] ×
+    * [[CmsWidth]] rows at ANY corpus scale (harness-asserted). */
+  private[graft] def cmsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val P = TextHash.P
     val js = explode(array((0 until CmsDepth).map(j => lit(j.toLong)): _*)).as("j")
-    val sketch = hashed
+    cmsHashed(spark, dir)
       .select(col("cnt"), col("a"), col("b"), js)
       .select(col("j"), (((col("a") + col("j") * col("b")) % P) % CmsWidth).as("bucket"),
         col("cnt"))
       .groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cell"))
+  }
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val P = TextHash.P
+    val tt = tokenCounts(spark, dir)
+    val hashed = cmsHashed(spark, dir)
+    val js = explode(array((0 until CmsDepth).map(j => lit(j.toLong)): _*)).as("j")
+    val sketch = cmsSketch(spark, dir)
     val topk = udaf(new graft.functions.TopKTerms(k))
     val heads = tt.agg(topk(col("cnt"), col("w")).as("hits"))
       .select(posexplode(col("hits")).as(Seq("pos", "h")))

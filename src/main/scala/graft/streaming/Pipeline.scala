@@ -634,6 +634,37 @@ object Pipeline {
         sum(col("qm")).as("sum_q_micro"),
         approx_count_distinct(col("h")).as("n_distinct_approx"))
 
+  /** X36 streaming twin: per-event-time-window count-min sketch of the
+    * incoming token stream — the bounded-state way to track heavy
+    * hitters on an unbounded stream: state is depth×width CELLS per
+    * in-watermark window (≤ [[graft.operators.TextAnalysis.CmsDepth]] ×
+    * [[graft.operators.TextAnalysis.CmsWidth]] = 4096 rows per window,
+    * 32 KB), never the token vocabulary — a per-token windowed count
+    * would grow state with distinct tokens, which is exactly what a
+    * 100 TB intake cannot hold. Cells are the same portable
+    * (x1 + j·x2) mod P family as batch q109, so a closed window's
+    * cells EQUAL the batch sketch over that window's rows (spec-gated)
+    * and any token's estimate is the same min-over-rows read. */
+  def sketchMonitor(stream: DataFrame, eventTimeCol: String,
+                    windowLen: String = "1 minute",
+                    watermark: String = "2 minutes"): DataFrame = {
+    val P = graft.functions.TextHash.P
+    val depth = graft.operators.TextAnalysis.CmsDepth
+    val width = graft.operators.TextAnalysis.CmsWidth
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("w"))
+      .select(col(eventTimeCol),
+        (graft.functions.TextHash.h1(col("w")) % P).as("a"),
+        (graft.functions.TextHash.h2(col("w")) % P).as("b"))
+      .select(col(eventTimeCol), col("a"), col("b"),
+        explode(array((0 until depth).map(j => lit(j.toLong)): _*)).as("j"))
+      .groupBy(window(col(eventTimeCol), windowLen), col("j"),
+        (((col("a") + col("j") * col("b")) % P) % width).as("bucket"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** X14 streaming twin: per-event-time-window out-of-vocabulary rate of
     * the incoming token stream against a static vocabulary snapshot
     * ([[graft.operators.TextAnalysis.vocabulary]]) — the drift monitor a

@@ -195,6 +195,36 @@ class ScaleHarnessSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_docs_hit") == dupDocs)
   }
 
+  test("q109/q110: sketch stays cell-bounded and probe recall stays exact under 100x duplication") {
+    val d1x = corpusDir(30, 60)
+    val d100x = corpusDir(30, 6000)
+    // q109: the sketch is bounded by depth x width cells at BOTH scales,
+    // and duplication adds NO new cells (same token set, same buckets)
+    val cellCap = TextAnalysis.CmsDepth.toLong * TextAnalysis.CmsWidth
+    val cells1 = TextAnalysis.cmsSketch(spark, d1x)
+      .select(col("j"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells100 = TextAnalysis.cmsSketch(spark, d100x)
+      .select(col("j"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells1.size.toLong <= cellCap && cells100.size.toLong <= cellCap)
+    assert(cells100 == cells1,
+      "duplicate inflation must not mint new sketch cells")
+    // q110: the exact leg is |probes| x corpus (probes fixed at any
+    // scale), and on a pure-duplication corpus every true pair is an
+    // exact dup -> recall is 1.0 BY CONSTRUCTION at 100x too
+    val copies = Tables.documents(spark, d100x)
+      .filter(col("doc_id") < 1000000L).count() // template-0 members
+    val cEff = math.min(copies, Dedup.LshProbeMax)
+    val expectTrue = cEff * (cEff - 1) / 2 + cEff * (copies - cEff)
+    val r = Dedup.lshRecallAudit(spark, d100x).collect()
+    assert(r.length == 1 && r.head.getAs[String]("bucket") == "[0.9,1.0]")
+    assert(r.head.getAs[Long]("n_true") == expectTrue,
+      s"true-pair count ${r.head.getAs[Long]("n_true")} != expected $expectTrue")
+    assert(r.head.getAs[Double]("recall") == 1.0,
+      "exact-dup probes must be fully retrieved at 100x")
+  }
+
   test("q99: only the score histogram orders — invariant under duplication, bounded output") {
     // the windowed/ordered input of the calibration is the (lang,
     // rounded-score) HISTOGRAM, never the corpus: inflating the corpus

@@ -1231,6 +1231,56 @@ class StreamingSpec extends SparkSpec {
       s"HLL distinct estimate $estTotal far from exact $nDistinct")
   }
 
+  test("sketch monitor: per-window cells equal the batch count-min over the same rows (X36 twin)") {
+    import spark.implicits._
+    val P = graft.functions.TextHash.P
+    val width = graft.operators.TextAnalysis.CmsWidth
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:10")
+    val docs = Seq(
+      CuratedDocFixture(1L, "aa bb aa cc", "en", "src0", t0),
+      CuratedDocFixture(2L, "aa bb", "en", "src0", t0),
+      CuratedDocFixture(3L, "dd dd dd", "en", "src0", t1))
+    val mem = MemoryStream[CuratedDocFixture]
+    val q = Pipeline.sketchMonitor(mem.toDS().toDF(), "ts")
+      .writeStream.format("memory").queryName("cms_mon")
+      .outputMode("complete").start()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("cms_mon").collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[Timestamp]("start"), r.getAs[Long]("j"),
+        r.getAs[Long]("bucket")) -> r.getAs[Long]("cell")).toMap
+    // batch recomputation of the same sketch per window, driver-side
+    def md5half(s: String, from: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(from, from + 15), 16)
+    }
+    val expect = scala.collection.mutable.Map.empty[(Timestamp, Long, Long), Long]
+    val winOf = Map(t0 -> Timestamp.valueOf("2024-01-01 00:00:00"),
+      t1 -> Timestamp.valueOf("2024-01-01 00:01:00"))
+    docs.foreach { dcc =>
+      dcc.text.toLowerCase.split(" ", -1).foreach { w =>
+        val a = md5half(w, 0) % P
+        val b = md5half(w, 16) % P
+        (0 until graft.operators.TextAnalysis.CmsDepth).foreach { j =>
+          val key = (winOf(dcc.ts), j.toLong, ((a + j * b) % P) % width)
+          expect(key) = expect.getOrElse(key, 0L) + 1L
+        }
+      }
+    }
+    assert(got == expect.toMap, s"cells diverge: got ${got.size}, want ${expect.size}")
+    // bounded-state claim: cells never exceed windows x depth x width
+    assert(got.size <= 2 * graft.operators.TextAnalysis.CmsDepth * width.toInt)
+    // heavy-hitter read: dd (3 occurrences, window 2) estimates >= 3
+    val ddA = md5half("dd", 0) % P; val ddB = md5half("dd", 16) % P
+    val est = (0 until graft.operators.TextAnalysis.CmsDepth).map { j =>
+      got((winOf(t1), j.toLong, ((ddA + j * ddB) % P) % width))
+    }.min
+    assert(est >= 3L)
+  }
+
   test("OOV monitor: windowed drift rates against a static vocabulary snapshot") {
     import spark.implicits._
     val vocab = Seq("alpha", "beta").toDF("w")
