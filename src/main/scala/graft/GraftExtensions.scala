@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{DotProduct, Int8Audit, MinHashSig, NGramJaccard, QualityScore, ShingleHashes, Shingles, SignBandKeys, SimHash, TaggedGrams, TokenHitCount}
+import graft.functions.{DotProduct, Int8Audit, MinHashSig, NGramJaccard, QualityScore, ShingleHashes, Shingles, SignBandKeys, SimHash, SpanGramHashes, TaggedGrams, TokenHitCount}
 
 /** SQL surface for the native expressions via the public
   * `SparkSessionExtensions` hook:
@@ -109,6 +109,13 @@ object GraftExtensions {
         case Seq(t) => ShingleHashes(t, 3)
         case Seq(t, n) => ShingleHashes(t, intLit(n, "n"))
         case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
+      }),
+    (FunctionIdentifier("span_gram_hashes"),
+      info("span_gram_hashes", "span_gram_hashes(text[, n]) - POSITIONAL word n-gram 60-bit hashes, no dedup (one per start position)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SpanGramHashes(t, 3)
+        case Seq(t, n) => SpanGramHashes(t, intLit(n, "n"))
+        case _ => throw new IllegalArgumentException("span_gram_hashes(text[, n])")
       }),
     (FunctionIdentifier("quality_score"),
       info("quality_score", "quality_score(text[, stop1, stop2, ...]) - fused 4-term heuristic quality in [0,1]"),

@@ -196,7 +196,10 @@ object SparkEntry {
     "q109_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
     // LSH banding recall audit: probe-sampled exact Jaccard truth vs
     // the shared banded candidate table, by similarity bucket
-    "q110_lsh_recall" -> ((s, d) => Dedup.lshRecallAudit(s, d))
+    "q110_lsh_recall" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
+    // composed eval-set builder: decontaminate -> exact dedup -> per-lang
+    // exact-k sample, with an order-free sampled-id membership gate
+    "q111_eval_set" -> ((s, d) => Curation.evalSetBuild(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -313,6 +316,7 @@ object SparkEntry {
     "q107_snapshot_drift" -> Similarity.snapshotDriftSql,
     "q108_unimax_allocation" -> Curation.unimaxAllocationSql,
     "q109_cms_heavy_hitters" -> TextAnalysis.cmsHeavyHittersSql(),
-    "q110_lsh_recall" -> Dedup.lshRecallAuditSql()
+    "q110_lsh_recall" -> Dedup.lshRecallAuditSql(),
+    "q111_eval_set" -> Curation.evalSetBuildSql()
   )
 }

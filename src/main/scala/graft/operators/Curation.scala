@@ -1457,6 +1457,110 @@ object Curation {
        |  ((alloc * 10000) // budget)::BIGINT AS share_bp
        |FROM f ORDER BY lang""".stripMargin
 
+  // ---- X38: decontaminated eval-set builder (q111) ------------------------
+
+  /** X38 eval-set construction (q111): the composed recipe an evaluation
+    * pipeline runs to carve a CLEAN held-out set from a corpus — q45
+    * decontamination (drop any doc sharing a 5-gram with the benchmark)
+    * → q19 exact dedup (one survivor per content digest) → q75
+    * deterministic per-language exact-k sample (smallest-k by content
+    * hash — dup-stable and engine-independent). One row per language:
+    * pool size, contaminated / duplicate exclusions, sample size, and
+    * the order-free sum of sampled doc_ids — the cross-engine MEMBERSHIP
+    * gate (the q101 elected-id-sum device): the oracle can only match if
+    * both engines picked the exact same documents.
+    *
+    * Scale posture: every stage is the already-audited library operator
+    * shape — broadcast bench-hash semi-join (or its q50 bloom twin at
+    * larger bench sizes), digest-keyed map-side-combinable dedup, and
+    * the bounded-heap [[graft.functions.MinKDocs]] two-phase sample
+    * (never a per-language window sort). The corpus body crosses one
+    * digest shuffle; everything else moves 8-byte keys. */
+  def evalSetBuild(spark: SparkSession, dir: String,
+                   benchSize: Int = 10, n: Int = 5, k: Int = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.HashExpressions.shingleHashes(col("text"), n)).as("h"))
+    val bench = sh.filter(col("doc_id") < benchSize).select(col("h")).distinct()
+    val contaminated = sh.filter(col("doc_id") >= benchSize)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val pool = docs.filter(col("doc_id") >= benchSize)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val flagged = pool.join(contaminated.withColumn("is_cont", lit(1L)),
+      Seq("doc_id"), "left")
+    val clean = flagged.filter(col("is_cont").isNull)
+    // one survivor per content digest; lang and content hash are
+    // digest-constant, so min() carries them without a join-back
+    val dedup = clean
+      .select(col("doc_id"), col("lang"),
+        sha2(col("text").cast("binary"), 256).as("dg"),
+        TextHash.h1(col("text")).as("hkey"))
+      .groupBy(col("dg"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("lang")).as("lang"),
+        min(col("hkey")).as("hkey"))
+    val minK = udaf(new graft.functions.MinKDocs(k))
+    val sampled = dedup.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_dedup"), minK(col("hkey"), col("doc_id")).as("picks"))
+      .select(col("lang"), col("n_dedup"),
+        size(col("picks")).cast("long").as("n_sampled"),
+        aggregate(col("picks"), lit(0L),
+          (acc, p) => acc + p.getField("doc_id")).as("sum_doc_ids"))
+    val poolStats = flagged.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pool"),
+        sum(coalesce(col("is_cont"), lit(0L))).as("n_contaminated"))
+    poolStats.join(sampled, Seq("lang"))
+      .select(col("lang"), col("n_pool"), col("n_contaminated"),
+        (col("n_pool") - col("n_contaminated") - col("n_dedup"))
+          .as("n_dup_excluded"),
+        col("n_dedup"), col("n_sampled"), col("sum_doc_ids"))
+      .orderBy(col("lang"))
+  }
+
+  def evalSetBuildSql(benchSize: Int = 10, n: Int = 5, k: Int = 25): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, text, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${TextHash.h1Sql("g")} AS h
+       |  FROM (SELECT doc_id, unnest(${TextHash.shinglesSql("t", n)}) AS g
+       |        FROM toks)
+       |), bench AS (
+       |  SELECT DISTINCT h FROM sh WHERE doc_id < $benchSize
+       |), cont AS (
+       |  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (h)
+       |  WHERE s.doc_id >= $benchSize
+       |), pool AS (
+       |  SELECT d.doc_id, d.lang, d.text,
+       |    CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS is_cont
+       |  FROM documents d LEFT JOIN cont c USING (doc_id)
+       |  WHERE d.doc_id >= $benchSize
+       |), ded AS (
+       |  SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+       |    min(${TextHash.h1Sql("text")}) AS hkey
+       |  FROM pool WHERE is_cont = 0
+       |  GROUP BY sha256(text)
+       |), r AS (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+       |  FROM ded
+       |), samp AS (
+       |  SELECT lang, count(*)::BIGINT AS n_dedup,
+       |    sum(CASE WHEN rn <= $k THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       |    coalesce(sum(CASE WHEN rn <= $k THEN doc_id END), 0)::BIGINT
+       |      AS sum_doc_ids
+       |  FROM r GROUP BY lang
+       |), ps AS (
+       |  SELECT lang, count(*)::BIGINT AS n_pool,
+       |    sum(is_cont)::BIGINT AS n_contaminated
+       |  FROM pool GROUP BY lang
+       |)
+       |SELECT ps.lang, ps.n_pool, ps.n_contaminated,
+       |  (ps.n_pool - ps.n_contaminated - samp.n_dedup)::BIGINT
+       |    AS n_dup_excluded,
+       |  samp.n_dedup, samp.n_sampled, samp.sum_doc_ids
+       |FROM ps JOIN samp USING (lang) ORDER BY ps.lang""".stripMargin
+
   // ---- X29: curriculum phase schedule (q102) ------------------------------
 
   /** Curriculum phases for [[curriculumSchedule]]: 4 quartile bands per

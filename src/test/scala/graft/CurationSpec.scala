@@ -469,6 +469,41 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("weight_bp")).toSet == Set(800L, 600L, 400L, 200L))
   }
 
+  test("eval-set builder (q111): exclusions partition the pool, membership exact on fixture") {
+    val rows = Curation.evalSetBuild(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the pool partitions exactly into contaminated + dup-excluded + kept
+      assert(r.getAs[Long]("n_pool") == r.getAs[Long]("n_contaminated") +
+        r.getAs[Long]("n_dup_excluded") + r.getAs[Long]("n_dedup"))
+      assert(r.getAs[Long]("n_sampled") ==
+        math.min(25L, r.getAs[Long]("n_dedup")))
+      assert(r.getAs[Long]("sum_doc_ids") > 0L)
+    }
+    // hand fixture: doc 0 is the benchmark; doc 10 leaks a bench 5-gram,
+    // docs 11/12 are exact dups, doc 13 is clean and unique
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evalset").toString
+    Seq((0L, "b1 b2 b3 b4 b5 b6", "en", "src0"),
+        (10L, "x b1 b2 b3 b4 b5 y", "en", "src0"),
+        (11L, "c1 c2 c3 c4 c5 c6", "en", "src0"),
+        (12L, "c1 c2 c3 c4 c5 c6", "en", "src0"),
+        (13L, "u1 u2 u3 u4 u5 u6", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = Curation.evalSetBuild(spark, dir, benchSize = 1, k = 2).collect()
+    assert(f.length == 1)
+    val row = f.head
+    assert(row.getAs[Long]("n_pool") == 4L)
+    assert(row.getAs[Long]("n_contaminated") == 1L)
+    assert(row.getAs[Long]("n_dup_excluded") == 1L)
+    assert(row.getAs[Long]("n_dedup") == 2L)
+    assert(row.getAs[Long]("n_sampled") == 2L)
+    // membership gate: dup winner 11 + unique 13 — exactly these two
+    assert(row.getAs[Long]("sum_doc_ids") == 11L + 13L)
+  }
+
   test("unimax allocation (q108): sequential water-filling recomputation, prefix-capped") {
     val rows = Curation.unimaxAllocation(spark, sf0001).collect()
     assert(rows.nonEmpty)

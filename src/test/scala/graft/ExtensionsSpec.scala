@@ -17,6 +17,7 @@ class ExtensionsSpec extends SparkSpec {
         |  int8_audit(array(1.0d, -1.0d, 0.5d)) AS i8,
         |  shingles('a b c d', 3) AS shg,
         |  size(shingle_hashes('a b c d', 3)) AS shn,
+        |  size(span_gram_hashes('a b a b', 2)) AS spn,
         |  quality_score('the cat sat') AS qs""".stripMargin)
       .head
     assert(r.getAs[Int]("hits") == 3)
@@ -40,6 +41,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("shg").toSeq ==
       Seq("a b c", "b c d"))
     assert(r.getAs[Int]("shn") == 2)
+    // positional (non-distinct): 'a b a b' has 3 bigram positions
+    assert(r.getAs[Int]("spn") == 3)
     val qsKernel = graft.functions.HashKernels.qualityScore(
       org.apache.spark.unsafe.types.UTF8String.fromString("the cat sat"),
       graft.functions.TokenHitCount.buildSet(
@@ -52,7 +55,8 @@ class ExtensionsSpec extends SparkSpec {
     val names = GraftExtensions.descriptions.map(_._1.funcName).toSet
     assert(names == Set("token_hit_count", "minhash_sig", "simhash",
       "ngram_jaccard", "dot_product", "tagged_grams", "sign_band_keys",
-      "int8_audit", "shingles", "shingle_hashes", "quality_score"))
+      "int8_audit", "shingles", "shingle_hashes", "span_gram_hashes",
+      "quality_score"))
     new GraftExtensions() // must construct cleanly for spark.sql.extensions
   }
 

@@ -102,7 +102,11 @@ class PlanAuditSpec extends SparkSpec {
       // (signatures -> sigGroups -> pairs nest, each InMemoryRelation
       // reprinting its build subtree) — executed work is the exact leg
       // plus cache reads
-      "q110_lsh_recall" -> 30)
+      "q110_lsh_recall" -> 30,
+      // bench semi-join + cont distinct + digest dedup + per-lang heap
+      // sample + pool rollup + fan-in + sort; one digest shuffle for
+      // the corpus body
+      "q111_eval_set" -> 8)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)
