@@ -199,7 +199,10 @@ object SparkEntry {
     "q110_lsh_recall" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     // composed eval-set builder: decontaminate -> exact dedup -> per-lang
     // exact-k sample, with an order-free sampled-id membership gate
-    "q111_eval_set" -> ((s, d) => Curation.evalSetBuild(s, d))
+    "q111_eval_set" -> ((s, d) => Curation.evalSetBuild(s, d)),
+    // contamination severity triage: exact shared-ngram flags vs
+    // whole-document near-dup-of-benchmark flags, per language
+    "q112_fuzzy_contamination" -> ((s, d) => Dedup.fuzzyContamination(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -317,6 +320,7 @@ object SparkEntry {
     "q108_unimax_allocation" -> Curation.unimaxAllocationSql,
     "q109_cms_heavy_hitters" -> TextAnalysis.cmsHeavyHittersSql(),
     "q110_lsh_recall" -> Dedup.lshRecallAuditSql(),
-    "q111_eval_set" -> Curation.evalSetBuildSql()
+    "q111_eval_set" -> Curation.evalSetBuildSql(),
+    "q112_fuzzy_contamination" -> Dedup.fuzzyContaminationSql()
   )
 }

@@ -433,6 +433,91 @@ object Dedup {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- X39: fuzzy benchmark decontamination (q112) ------------------------
+
+  /** X39 contamination severity triage (q112): cross-check q45's exact
+    * shared-n-gram rule (high recall, flag-explosion-prone — ONE shared
+    * phrase flags a doc) against whole-document MinHash similarity to
+    * the benchmark (est Jaccard ≥ `tau` — the certainly-leaked core).
+    * Reports, per language: corpus docs, exact-rule flags, near-dup
+    * flags, and the overlap. The exact-only delta is the incidental
+    * single-phrase overlap a reviewer can often keep; the near-dup set
+    * is the must-remove whole-item leakage — the triage real
+    * decontamination runs do when the n-gram rule flags too much.
+    *
+    * Scale posture: the fuzzy leg is a FILTER over the PlanCache'd
+    * banded candidate-pair table every dedup consumer already shares
+    * (bench ids sort below corpus ids, so bench×corpus pairs are exactly
+    * the pairs straddling the id boundary — no new join); the exact leg
+    * is the audited q45 broadcast-semi-join shape. Nothing here adds a
+    * corpus-sized shuffle beyond what q20/q45 already paid. */
+  def fuzzyContamination(spark: SparkSession, dir: String,
+                         benchSize: Int = 10, n: Int = 5,
+                         tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.HashExpressions.shingleHashes(col("text"), n)).as("h"))
+    val bench = sh.filter(col("doc_id") < benchSize).select(col("h")).distinct()
+    val exact = sh.filter(col("doc_id") >= benchSize)
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("ex", lit(1L))
+    val fuzzy = pairsWithEst(spark, dir)
+      .filter(col("doc_a") < benchSize && col("doc_b") >= benchSize &&
+        col("est_jaccard") >= tau)
+      .select(col("doc_b").as("doc_id")).distinct().withColumn("fz", lit(1L))
+    docs.filter(col("doc_id") >= benchSize)
+      .select(col("doc_id"), col("lang"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(fuzzy, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_corpus_docs"),
+        sum(coalesce(col("ex"), lit(0L))).as("n_exact_flagged"),
+        sum(coalesce(col("fz"), lit(0L))).as("n_fuzzy_flagged"),
+        sum(when(col("ex").isNotNull && col("fz").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .orderBy(col("lang"))
+  }
+
+  def fuzzyContaminationSql(benchSize: Int = 10, n: Int = 5,
+                            tau: Double = 0.5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), shd AS (
+       |  SELECT doc_id, ${TextHash.h1Sql("g")} AS h
+       |  FROM (SELECT doc_id, unnest(${shinglesSql("t", n)}) AS g FROM toks)
+       |), bench AS (
+       |  SELECT DISTINCT h FROM shd WHERE doc_id < $benchSize
+       |), exact AS (
+       |  SELECT DISTINCT s.doc_id FROM shd s JOIN bench USING (h)
+       |  WHERE s.doc_id >= $benchSize
+       |), sh3 AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh3
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig, mh
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), fuzzy AS (
+       |  SELECT DISTINCT y.doc_id
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < $benchSize AND y.doc_id >= $benchSize
+       |  WHERE round(list_sum([CASE WHEN x.mh[i+1] = y.mh[i+1] THEN 1 ELSE 0 END
+       |                        for i in range(0, $kMinhash)]) / $kMinhash.0, 4)
+       |    >= $tau
+       |)
+       |SELECT d.lang, count(*)::BIGINT AS n_corpus_docs,
+       |  sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_exact_flagged,
+       |  sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_fuzzy_flagged,
+       |  sum(CASE WHEN e.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_both
+       |FROM documents d
+       |LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |LEFT JOIN fuzzy f ON d.doc_id = f.doc_id
+       |WHERE d.doc_id >= $benchSize
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** X2 SimHash near-dup: 60-bit fingerprints, 4 bands × 15 bits; banding
     * is exhaustive for Hamming ≤ 3 (pigeonhole: 3 flipped bits leave ≥1
     * clean band), so this banded plan returns exactly the brute-force

@@ -432,6 +432,16 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** The (label, centroid-array) snapshot artifact the streaming drift
+    * monitor ([[graft.streaming.Pipeline.driftMonitor]]) broadcasts —
+    * the q36 centroids in array form, one row per label. */
+  def centroidSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(mean(col("embedding").cast("array<double>")).as("centroid"))
+  }
+
   def snapshotDriftSql: String =
     s"""WITH per AS (
        |  SELECT label::BIGINT AS label, (vec_id % 2 = 0) AS is_old,

@@ -848,6 +848,50 @@ object Pipeline {
     * Returns (query_id, hits: array<struct<cosine, vec_id>>) — explode
     * downstream of the sink; a Generate above a streaming agg is not
     * allowed inside the continuous plan. */
+  /** X34 streaming twin: per-event-time-window embedding drift monitor —
+    * the rolling q107: for each (window, label), the cosine between the
+    * window's incoming centroid and the BATCH centroid snapshot
+    * (`snapshot`: label → per-dim centroid array, broadcast — the q36
+    * artifact). The monitor a continuous embedding intake runs to catch
+    * encoder drift between re-embeds: a label whose window cosine falls
+    * below ~1 is drifting from its corpus-of-record. State is one
+    * [[graft.functions.VectorMean]] accumulator per (window, label) —
+    * bounded by labels × in-watermark windows, never the stream. The
+    * same integer device as batch q107: both centroids pin to the
+    * rounded 1e-4 grid, so the cosine is deterministic arithmetic over
+    * exact integers (one correctly-rounded sqrt). */
+  def driftMonitor(stream: DataFrame, snapshot: DataFrame,
+                   eventTimeCol: String,
+                   windowLen: String = "1 minute",
+                   watermark: String = "2 minutes"): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    val snap = snapshot.select(col("label").cast("long").as("label"),
+      col("centroid").cast("array<double>").as("cv"))
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen),
+        col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        mean(col("embedding").cast("array<double>")).as("c"))
+      .join(broadcast(snap), Seq("label"))
+      .select(col("window"), col("label"), col("n_vecs"),
+        transform(col("c"),
+          v => (round(round(v, 4) * 10000, 0)).cast("long")).as("a"),
+        transform(col("cv"),
+          v => (round(round(v, 4) * 10000, 0)).cast("long")).as("b"))
+      .select(col("window"), col("label"), col("n_vecs"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot_e8"),
+        aggregate(transform(col("a"), x => x * x),
+          lit(0L), (acc, v) => acc + v).as("na_e8"),
+        aggregate(transform(col("b"), x => x * x),
+          lit(0L), (acc, v) => acc + v).as("nb_e8"))
+      .select(col("window"), col("label"), col("n_vecs"),
+        round(col("dot_e8") /
+          (sqrt(col("na_e8").cast("double")) * sqrt(col("nb_e8").cast("double"))),
+          6).as("cos_to_snapshot"))
+  }
+
   def cosineTopKStream(queries: DataFrame, corpus: DataFrame,
                        k: Int = 10): DataFrame = {
     import graft.functions.HashExpressions.dotProduct

@@ -361,6 +361,37 @@ class DedupSpec extends SparkSpec {
     assert(audited == got.size.toLong)
   }
 
+  test("fuzzy contamination (q112): triage flags consistent, fixture separates the regimes") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.fuzzyContamination(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_flagged") <= r.getAs[Long]("n_corpus_docs"))
+      assert(r.getAs[Long]("n_fuzzy_flagged") <= r.getAs[Long]("n_corpus_docs"))
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_exact_flagged"), r.getAs[Long]("n_fuzzy_flagged")))
+    }
+    // fixture: doc 0 is the benchmark. doc 10 is its exact duplicate
+    // (both flags); doc 11 shares ONE 5-gram embedded in otherwise
+    // different text (exact-only — the incidental-overlap regime);
+    // doc 12 is clean
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzcont").toString
+    Seq((0L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10", "en", "src0"),
+        (10L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10", "en", "src0"),
+        (11L, "x1 x2 x3 b1 b2 b3 b4 b5 y1 y2 y3 y4 y5 y6 y7 y8 y9", "en", "src0"),
+        (12L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = Dedup.fuzzyContamination(spark, dir).collect()
+    assert(f.length == 1)
+    assert(f.head.getAs[Long]("n_corpus_docs") == 3L)
+    assert(f.head.getAs[Long]("n_exact_flagged") == 2L) // docs 10 and 11
+    assert(f.head.getAs[Long]("n_fuzzy_flagged") == 1L) // only the true dup
+    assert(f.head.getAs[Long]("n_both") == 1L)
+  }
+
   test("lsh recall audit (q110): ratios valid, identical probes always retrieved") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.lshRecallAudit(spark, sf0001).collect()

@@ -106,7 +106,11 @@ class PlanAuditSpec extends SparkSpec {
       // bench semi-join + cont distinct + digest dedup + per-lang heap
       // sample + pool rollup + fan-in + sort; one digest shuffle for
       // the corpus body
-      "q111_eval_set" -> 8)
+      "q111_eval_set" -> 8,
+      // exact semi-join leg + a FILTER over the PlanCache'd candidate-
+      // pair chain (InMemoryRelation reprints inflate the string count;
+      // executed work adds zero joins beyond q45's)
+      "q112_fuzzy_contamination" -> 32)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)

@@ -21,6 +21,8 @@ case class DocFixture(doc_id: Long, text: String, ts: Timestamp)
 
 case class ChunkDocFixture(doc_id: Long, lang: String, text: String)
 
+case class EmbFixture(label: Long, embedding: Seq[Double], ts: java.sql.Timestamp)
+
 case class CuratedDocFixture(doc_id: Long, text: String, lang: String,
                              source: String, ts: Timestamp)
 
@@ -1279,6 +1281,26 @@ class StreamingSpec extends SparkSpec {
       got((winOf(t1), j.toLong, ((ddA + j * ddB) % P) % width))
     }.min
     assert(est >= 3L)
+  }
+
+  test("drift monitor: window centroid cosine against the batch snapshot (X34 twin)") {
+    import spark.implicits._
+    val ex = Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+    val ey = Seq.tabulate(64)(i => if (i == 1) 1.0 else 0.0)
+    val snap = Seq((0L, ex), (1L, ey)).toDF("label", "centroid")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val mem = MemoryStream[EmbFixture]
+    mem.addData(
+      EmbFixture(0L, ex, t0), EmbFixture(0L, ex, t0), // stable label
+      EmbFixture(1L, ex, t0), EmbFixture(1L, ex, t0)) // rotated: snapshot ey
+    val q = Pipeline.driftMonitor(mem.toDS().toDF(), snap, "ts")
+      .writeStream.format("memory").queryName("drift_mon")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("drift_mon").collect()
+      .map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("cos_to_snapshot")))).toMap
+    assert(got == Map(0L -> ((2L, 1.0)), 1L -> ((2L, 0.0))), s"got $got")
   }
 
   test("OOV monitor: windowed drift rates against a static vocabulary snapshot") {
