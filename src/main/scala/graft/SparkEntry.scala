@@ -202,7 +202,10 @@ object SparkEntry {
     "q111_eval_set" -> ((s, d) => Curation.evalSetBuild(s, d)),
     // contamination severity triage: exact shared-ngram flags vs
     // whole-document near-dup-of-benchmark flags, per language
-    "q112_fuzzy_contamination" -> ((s, d) => Dedup.fuzzyContamination(s, d))
+    "q112_fuzzy_contamination" -> ((s, d) => Dedup.fuzzyContamination(s, d)),
+    // corpus snapshot diff: per-lang size/quality/turnover deltas
+    // between the even/odd-doc_id ingest snapshots
+    "q113_corpus_diff" -> ((s, d) => Curation.corpusDiff(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -321,6 +324,7 @@ object SparkEntry {
     "q109_cms_heavy_hitters" -> TextAnalysis.cmsHeavyHittersSql(),
     "q110_lsh_recall" -> Dedup.lshRecallAuditSql(),
     "q111_eval_set" -> Curation.evalSetBuildSql(),
-    "q112_fuzzy_contamination" -> Dedup.fuzzyContaminationSql()
+    "q112_fuzzy_contamination" -> Dedup.fuzzyContaminationSql(),
+    "q113_corpus_diff" -> Curation.corpusDiffSql
   )
 }

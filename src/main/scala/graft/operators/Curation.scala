@@ -1561,6 +1561,106 @@ object Curation {
        |  samp.n_dedup, samp.n_sampled, samp.sum_doc_ids
        |FROM ps JOIN samp USING (lang) ORDER BY ps.lang""".stripMargin
 
+  // ---- X40: corpus snapshot diff (q113) -----------------------------------
+
+  /** X40 corpus snapshot diff (q113): the q103 datasheet's DELTA report
+    * between two ingest snapshots (old = even doc_id, new = odd — the
+    * q107 device on the document side): per language, doc/token masses
+    * on each side, the mean-quality shift in exact micro-units, and the
+    * content turnover — digests present in both snapshots, minted by the
+    * new one, retired from the old. This is the report a data-ops
+    * rotation reviews after every refresh: "fr shrank 4%, quality up
+    * 12 m, a third of its content is new".
+    *
+    * Scale posture: ONE corpus scan; the side rollup is a (lang, parity)
+    * map-side-combinable aggregate and the turnover is a digest-keyed
+    * aggregate (32-byte keys, never bodies) collapsing to per-lang
+    * counts — the q103 shapes, nothing new at 100 TB. Mean deltas use
+    * `greatest(1, n)` guards so a one-sided language degrades to a
+    * defined value instead of a null. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("is_old"),
+        size(TextHash.tokens(col("text"))).cast("long").as("t"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"),
+        sha2(col("text").cast("binary"), 256).as("dg"))
+      .withColumn("qm", expr("cast(round(q * 1000000) as bigint)"))
+    val sides = d.groupBy(col("lang"))
+      .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("n_docs_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("n_docs_new"),
+        sum(when(col("is_old"), col("t")).otherwise(0L)).as("n_tokens_old"),
+        sum(when(!col("is_old"), col("t")).otherwise(0L)).as("n_tokens_new"),
+        sum(when(col("is_old"), col("qm")).otherwise(0L)).as("qm_old"),
+        sum(when(!col("is_old"), col("qm")).otherwise(0L)).as("qm_new"))
+    val turnover = d.groupBy(col("lang"), col("dg"))
+      .agg(max(when(col("is_old"), 1L).otherwise(0L)).as("o"),
+        max(when(!col("is_old"), 1L).otherwise(0L)).as("w"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("o") === 1L && col("w") === 1L, 1L).otherwise(0L))
+          .as("n_shared_texts"),
+        sum(when(col("o") === 0L && col("w") === 1L, 1L).otherwise(0L))
+          .as("n_new_texts"),
+        sum(when(col("o") === 1L && col("w") === 0L, 1L).otherwise(0L))
+          .as("n_retired_texts"))
+    sides.join(turnover, Seq("lang"))
+      .select(col("lang"), col("n_docs_old"), col("n_docs_new"),
+        col("n_tokens_old"), col("n_tokens_new"),
+        expr("qm_new div greatest(1L, n_docs_new) - " +
+          "qm_old div greatest(1L, n_docs_old)").as("mean_q_delta_micro"),
+        col("n_shared_texts"), col("n_new_texts"), col("n_retired_texts"))
+      .orderBy(col("lang"))
+  }
+
+  def corpusDiffSql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH qd AS (
+       |  SELECT lang, (doc_id % 2 = 0) AS is_old, text, ntok::BIGINT AS t,
+       |    CAST(round(round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      * 1000000) AS BIGINT) AS qm
+       |  FROM (
+       |    SELECT lang, doc_id, text,
+       |      len(tk)::DOUBLE AS ntok,
+       |      len(list_distinct(tk))::DOUBLE AS uniq,
+       |      len(list_filter(tk, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT lang, doc_id, text, string_split(lower(text), ' ') AS tk
+       |          FROM documents))
+       |), sides AS (
+       |  SELECT lang,
+       |    sum(CASE WHEN is_old THEN 1 ELSE 0 END)::BIGINT AS n_docs_old,
+       |    sum(CASE WHEN is_old THEN 0 ELSE 1 END)::BIGINT AS n_docs_new,
+       |    sum(CASE WHEN is_old THEN t ELSE 0 END)::BIGINT AS n_tokens_old,
+       |    sum(CASE WHEN is_old THEN 0 ELSE t END)::BIGINT AS n_tokens_new,
+       |    sum(CASE WHEN is_old THEN qm ELSE 0 END)::BIGINT AS qm_old,
+       |    sum(CASE WHEN is_old THEN 0 ELSE qm END)::BIGINT AS qm_new
+       |  FROM qd GROUP BY lang
+       |), tv AS (
+       |  SELECT lang,
+       |    sum(CASE WHEN o = 1 AND w = 1 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_shared_texts,
+       |    sum(CASE WHEN o = 0 AND w = 1 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_new_texts,
+       |    sum(CASE WHEN o = 1 AND w = 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_retired_texts
+       |  FROM (
+       |    SELECT lang, sha256(text) AS dg,
+       |      max(CASE WHEN is_old THEN 1 ELSE 0 END) AS o,
+       |      max(CASE WHEN is_old THEN 0 ELSE 1 END) AS w
+       |    FROM qd GROUP BY 1, 2)
+       |  GROUP BY lang
+       |)
+       |SELECT s.lang, s.n_docs_old, s.n_docs_new, s.n_tokens_old,
+       |  s.n_tokens_new,
+       |  (s.qm_new // greatest(1, s.n_docs_new)
+       |    - s.qm_old // greatest(1, s.n_docs_old))::BIGINT
+       |    AS mean_q_delta_micro,
+       |  tv.n_shared_texts, tv.n_new_texts, tv.n_retired_texts
+       |FROM sides s JOIN tv USING (lang) ORDER BY s.lang""".stripMargin
+  }
+
   // ---- X29: curriculum phase schedule (q102) ------------------------------
 
   /** Curriculum phases for [[curriculumSchedule]]: 4 quartile bands per

@@ -469,6 +469,41 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("weight_bp")).toSet == Set(800L, 600L, 400L, 200L))
   }
 
+  test("corpus diff (q113): sides reconcile with the datasheet, turnover exact on fixture") {
+    val rows = Curation.corpusDiff(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // side masses reconcile with the q103 datasheet totals per lang
+    val ds = Curation.corpusDatasheet(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    rows.foreach { r =>
+      val (nd, nt) = ds(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs_old") + r.getAs[Long]("n_docs_new") == nd)
+      assert(r.getAs[Long]("n_tokens_old") + r.getAs[Long]("n_tokens_new") == nt)
+      assert(r.getAs[Long]("n_shared_texts") >= 0L)
+    }
+    // fixture: doc 2 (old) and doc 3 (new) share text; doc 4 (old) is
+    // retired; doc 5 (new) is minted. New side is higher quality.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdiff").toString
+    Seq((2L, "alpha beta gamma delta", "en", "src0"),
+        (3L, "alpha beta gamma delta", "en", "src0"),
+        (4L, "the the the the", "en", "src0"),
+        (5L, "epsilon zeta eta theta iota kappa", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = Curation.corpusDiff(spark, dir).collect()
+    assert(f.length == 1)
+    val row = f.head
+    assert(row.getAs[Long]("n_docs_old") == 2L && row.getAs[Long]("n_docs_new") == 2L)
+    assert(row.getAs[Long]("n_shared_texts") == 1L)
+    assert(row.getAs[Long]("n_new_texts") == 1L)
+    assert(row.getAs[Long]("n_retired_texts") == 1L)
+    // dropping the stopword-run doc and minting a diverse one raises quality
+    assert(row.getAs[Long]("mean_q_delta_micro") > 0L)
+  }
+
   test("eval-set builder (q111): exclusions partition the pool, membership exact on fixture") {
     val rows = Curation.evalSetBuild(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -110,7 +110,10 @@ class PlanAuditSpec extends SparkSpec {
       // exact semi-join leg + a FILTER over the PlanCache'd candidate-
       // pair chain (InMemoryRelation reprints inflate the string count;
       // executed work adds zero joins beyond q45's)
-      "q112_fuzzy_contamination" -> 32)
+      "q112_fuzzy_contamination" -> 32,
+      // one (lang) side rollup + one (lang, digest) turnover rollup +
+      // per-lang fan-in + sort — the q103 shapes
+      "q113_corpus_diff" -> 5)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)
