@@ -205,7 +205,13 @@ object SparkEntry {
     "q112_fuzzy_contamination" -> ((s, d) => Dedup.fuzzyContamination(s, d)),
     // corpus snapshot diff: per-lang size/quality/turnover deltas
     // between the even/odd-doc_id ingest snapshots
-    "q113_corpus_diff" -> ((s, d) => Curation.corpusDiff(s, d))
+    "q113_corpus_diff" -> ((s, d) => Curation.corpusDiff(s, d)),
+    "q114_temperature_sampling" -> ((s, d) => Curation.temperatureAllocation(s, d)),
+    "q115_shard_manifest" -> ((s, d) => Curation.shardManifest(s, d)),
+    "q116_incremental_neardup" -> ((s, d) => Dedup.snapshotNearDupIntake(s, d)),
+    "q117_hybrid_retrieval" -> ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
+    "q118_redundancy_quality" -> ((s, d) => Dedup.redundancyQualityAudit(s, d)),
+    "q119_scaling_ladder" -> ((s, d) => Curation.scalingLadder(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -325,6 +331,12 @@ object SparkEntry {
     "q110_lsh_recall" -> Dedup.lshRecallAuditSql(),
     "q111_eval_set" -> Curation.evalSetBuildSql(),
     "q112_fuzzy_contamination" -> Dedup.fuzzyContaminationSql(),
-    "q113_corpus_diff" -> Curation.corpusDiffSql
+    "q113_corpus_diff" -> Curation.corpusDiffSql,
+    "q114_temperature_sampling" -> Curation.temperatureAllocationSql,
+    "q115_shard_manifest" -> Curation.shardManifestSql(),
+    "q116_incremental_neardup" -> Dedup.snapshotNearDupIntakeSql,
+    "q117_hybrid_retrieval" -> TextAnalysis.hybridRetrievalSql(),
+    "q118_redundancy_quality" -> Dedup.redundancyQualityAuditSql(),
+    "q119_scaling_ladder" -> Curation.scalingLadderSql()
   )
 }

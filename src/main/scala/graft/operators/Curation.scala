@@ -688,6 +688,124 @@ object Curation {
       .sortWithinPartitions(col("shard"), col("skey"), col("doc_id"))
   }
 
+  // ---- X42: shard content manifest (q115) ---------------------------------
+
+  /** X42 shard manifest (q115): the reproducibility certificate for a
+    * materialized training layout — per q78 shard: doc count, token
+    * mass, an ORDER-INVARIANT content checksum (`bit_xor` of a 60-bit
+    * row signature over (doc_id, sha256(text))), and the min/max row
+    * signatures as spot-check anchors. Two materializations of "the same
+    * corpus" (different writers, different partition layouts, a resumed
+    * job) are byte-equivalent iff their manifests match; a single
+    * changed/missing/extra document flips exactly its shard's xor.
+    * doc_id is folded into the signature so duplicate texts cannot
+    * cancel under xor.
+    *
+    * Scale posture: one narrow scan (hash + token count, no text bytes
+    * survive the map) into an nShards-row aggregate with map-side
+    * combine — xor is commutative/associative, so the checksum is
+    * indifferent to partitioning and addition order by construction.
+    * That is the whole point: the certificate can be recomputed on ANY
+    * cluster layout and still match. */
+  def shardManifest(spark: SparkSession, dir: String,
+                    nShards: Int = 16, seed: Long = 42): DataFrame = {
+    val skey = TextHash.h1(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+    val sig = TextHash.h1(concat(col("doc_id").cast("string"), lit(":"),
+      sha2(col("text").cast("binary"), 256)))
+    Tables.documents(spark, dir)
+      .select(pmod(skey, lit(nShards.toLong)).as("shard"),
+        size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+        sig.as("sig"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("bit_xor(sig)").as("content_xor"),
+        min(col("sig")).as("min_sig"),
+        max(col("sig")).as("max_sig"))
+      .orderBy(col("shard"))
+  }
+
+  def shardManifestSql(nShards: Int = 16, seed: Long = 42): String =
+    s"""WITH d AS (
+       |  SELECT ${TextHash.h1Sql(s"'shuf:$seed:' || doc_id::VARCHAR")}
+       |      % $nShards AS shard,
+       |    len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+       |    ${TextHash.h1Sql("doc_id::VARCHAR || ':' || sha256(text)")} AS sig
+       |  FROM documents
+       |)
+       |SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+       |  bit_xor(sig)::BIGINT AS content_xor,
+       |  min(sig)::BIGINT AS min_sig, max(sig)::BIGINT AS max_sig
+       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---- X46: scaling-ladder nested subsets (q119) --------------------------
+
+  /** Ladder rungs in permil of the corpus: 1%, 10%, 100%. */
+  val LadderPermil: Seq[Int] = Seq(10, 100, 1000)
+
+  /** X46 scaling-ladder subset election (q119): the nested corpus
+    * subsets a scaling-law study trains its model ladder on — rung r
+    * keeps doc iff md5("ladder:<seed>:<doc_id>") mod 1000 < r, so the
+    * 1% set is BY CONSTRUCTION a subset of the 10% set is a subset of
+    * the full corpus (threshold nesting — the property that makes
+    * ladder points comparable: a bigger run sees a superset, never a
+    * resample). Per (rung, lang): docs, token mass, the rung's share of
+    * the language's full token mass in basis points, and the order-free
+    * doc_id sum — the q101 cross-engine MEMBERSHIP gate (the oracle can
+    * only match if both engines elected identical documents).
+    *
+    * Scale posture: one scan, a constant 3-way rung fan-out of 8-byte
+    * projected rows (the q88 device — text never fans out), map-side
+    * combinable rollup to |rungs|·|langs| rows, lang totals broadcast
+    * back. No sort, no corpus-keyed join, deterministic under re-runs
+    * and engines (md5 coin, NOT rand() — the q43/q86 rule). */
+  def scalingLadder(spark: SparkSession, dir: String,
+                    seed: Long = 42): DataFrame = {
+    val h = TextHash.h1(concat(lit(s"ladder:$seed:"),
+      col("doc_id").cast("string"))) % 1000
+    val per = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(TextHash.tokens(col("text"))).cast("long").as("t"), h.as("h"))
+      .withColumn("rung_permil",
+        explode(array(LadderPermil.map(r => lit(r.toLong)): _*)))
+      .filter(col("h") < col("rung_permil"))
+      .groupBy(col("rung_permil"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+    val tot = Tables.documents(spark, dir)
+      .select(col("lang"), size(TextHash.tokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("lang_tokens"))
+    per.join(broadcast(tot), Seq("lang"))
+      .select(col("rung_permil"), col("lang"), col("n_docs"),
+        col("sum_tokens"), col("sum_doc_ids"),
+        expr("cast(sum_tokens as decimal(38,0)) * 10000 div lang_tokens")
+          .cast("long").as("share_bp"))
+      .orderBy(col("rung_permil"), col("lang"))
+  }
+
+  def scalingLadderSql(seed: Long = 42): String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id,
+       |    len(string_split(lower(text), ' '))::BIGINT AS t,
+       |    ${TextHash.h1Sql(s"'ladder:$seed:' || doc_id::VARCHAR")} % 1000 AS h
+       |  FROM documents
+       |), per AS (
+       |  SELECT r.rung_permil, d.lang, count(*)::BIGINT AS n_docs,
+       |    sum(d.t)::BIGINT AS sum_tokens,
+       |    sum(d.doc_id)::BIGINT AS sum_doc_ids
+       |  FROM d CROSS JOIN (SELECT unnest([${LadderPermil.mkString(", ")}])
+       |    AS rung_permil) r
+       |  WHERE d.h < r.rung_permil
+       |  GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT lang, sum(t)::BIGINT AS lang_tokens FROM d GROUP BY lang
+       |)
+       |SELECT per.rung_permil::BIGINT AS rung_permil, per.lang, per.n_docs,
+       |  per.sum_tokens, per.sum_doc_ids,
+       |  ((per.sum_tokens * 10000) // tot.lang_tokens)::BIGINT AS share_bp
+       |FROM per JOIN tot USING (lang)
+       |ORDER BY rung_permil, lang""".stripMargin
+
   // ---- X7+: quality-ranked token-budget selection (q82) ------------------
   //
   // "Select the best documents until the token budget is spent" — the
@@ -1456,6 +1574,73 @@ object Curation {
        |  ((alloc * 1000000) // n_tokens)::BIGINT AS epochs_micro,
        |  ((alloc * 10000) // budget)::BIGINT AS share_bp
        |FROM f ORDER BY lang""".stripMargin
+
+  // ---- X41: temperature-sampled language allocation (q114) ----------------
+
+  /** X41 temperature sampling (q114): the classic multilingual sampling
+    * rule p_l ∝ n_l^α with α = 1/2 — the smoothing XLM-R/mT5-style
+    * pretraining applies so low-resource languages are up-sampled
+    * relative to their natural share (arXiv:1911.02116 §3.1; UniMax's
+    * q108 water-filling is the cap-aware alternative). α is pinned to
+    * 1/2 so the power is ONE IEEE-correctly-rounded `sqrt` over an exact
+    * integer token count — both engines compute the identical double,
+    * and `floor(·×1e6)` lifts it to an exact micro-unit integer before
+    * any sum, so share arithmetic is order-free (the q107 device). Per
+    * language: token mass, natural share, temperature share, the boost
+    * factor (temperature/natural, bp of bp), and the token allocation
+    * under a budget of one corpus-equivalent.
+    *
+    * Scale posture: one corpus scan collapses to the PlanCache'd
+    * |langs|-row rollup shared with q108; everything after is tiny-table
+    * arithmetic against two broadcast scalars. n_tokens per language
+    * stays < 2^53 well past 100 TB (2.5e13 tokens ≪ 9e15), so the
+    * bigint→double sqrt input is exact by construction. */
+  def temperatureAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.PlanCache.cached(spark, s"curation.unimaxPer:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          size(TextHash.tokens(col("text"))).cast("long").as("len"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_tokens"))
+    }
+    val w = per.withColumn("w_micro",
+      floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = w.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_micro")).as("tot_w"))
+    w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("w_micro"),
+        expr("cast(n_tokens as decimal(38,0)) * 10000 div tot_tokens")
+          .cast("long").as("natural_bp"),
+        expr("cast(w_micro as decimal(38,0)) * 10000 div tot_w")
+          .cast("long").as("temp_bp"),
+        expr("cast(cast(w_micro as decimal(38,0)) * 10000 div tot_w " +
+          "as decimal(38,0)) * 10000 div " +
+          "(cast(n_tokens as decimal(38,0)) * 10000 div tot_tokens)")
+          .cast("long").as("boost_bp"),
+        expr("cast(tot_tokens as decimal(38,0)) * w_micro div tot_w")
+          .cast("long").as("alloc_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  def temperatureAllocationSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(len(string_split(lower(text), ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang
+       |), w AS (
+       |  SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1e6) AS BIGINT)
+       |    AS w_micro FROM per
+       |), tot AS (
+       |  SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+       |    sum(w_micro)::BIGINT AS tot_w FROM w
+       |)
+       |SELECT lang, n_docs, n_tokens, w_micro,
+       |  ((n_tokens * 10000) // tot_tokens)::BIGINT AS natural_bp,
+       |  ((w_micro * 10000) // tot_w)::BIGINT AS temp_bp,
+       |  ((((w_micro * 10000) // tot_w) * 10000) //
+       |    ((n_tokens * 10000) // tot_tokens))::BIGINT AS boost_bp,
+       |  ((tot_tokens * w_micro) // tot_w)::BIGINT AS alloc_tokens
+       |FROM w CROSS JOIN tot ORDER BY lang""".stripMargin
 
   // ---- X38: decontaminated eval-set builder (q111) ------------------------
 

@@ -649,6 +649,80 @@ object Dedup {
        |      THEN 1 ELSE 0 END)::BIGINT AS n_dropped
        |FROM newd GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- X43: incremental NEAR-dup intake vs a snapshot LSH index (q116) ----
+
+  /** X43 snapshot-index near-dup intake (q116): the banded generalization
+    * of [[incrementalDedup]] — a delta batch (odd doc_ids, the q113
+    * snapshot convention) probes the HISTORICAL corpus's banded-LSH
+    * index (even doc_ids) instead of exact signature identity, so a new
+    * document is flagged iff ANY of its bands collides with a snapshot
+    * bucket (an estimated-Jaccard ≥ 1/bands candidate — the same recall
+    * contract as q20's self-join, applied cross-corpus). Per language:
+    * delta size, flagged (near-dup of the snapshot), fresh, and the flag
+    * rate in basis points.
+    *
+    * Scale posture: the index is `distinct (band, sig)` over the
+    * snapshot — bounded by DISTINCT content, invariant under duplicate
+    * inflation (ScaleHarnessSpec pins this), persisted once and re-read
+    * per ingest batch; the probe side is one row per delta doc per band
+    * (linear in the batch). The snapshot CORPUS BODY is never read —
+    * only its signature index — which is what makes per-batch ingest
+    * dedup affordable at 100 TB. */
+  /** The q116 snapshot index: distinct (band, sig) buckets over the
+    * even-id half. Scale-harness seam (ScaleHarnessSpec): its size is
+    * bounded by DISTINCT content × bands — duplicate inflation must
+    * leave it unchanged. */
+  private[graft] def snapshotIndex(spark: SparkSession, dir: String): DataFrame =
+    banded(signatures(spark, dir).filter(col("doc_id") % 2 === 0), Seq.empty)
+      .select(col("band"), col("sig")).distinct()
+
+  def snapshotNearDupIntake(spark: SparkSession, dir: String): DataFrame = {
+    val sig = signatures(spark, dir)
+    val index = snapshotIndex(spark, dir)
+    val delta = sig.filter(col("doc_id") % 2 === 1)
+    val flagged = banded(delta, Seq.empty)
+      .join(index, Seq("band", "sig"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    val langs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"))
+    langs.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_delta"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_flagged"))
+      .select(col("lang"), col("n_delta"), col("n_flagged"),
+        (col("n_delta") - col("n_flagged")).as("n_fresh"),
+        expr("n_flagged * 10000 div n_delta").as("flag_rate_bp"))
+      .orderBy(col("lang"))
+  }
+
+  def snapshotNearDupIntakeSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, lang, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, lang, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, lang, b,
+       |    array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), idx AS (
+       |  SELECT DISTINCT b, sig FROM bands WHERE doc_id % 2 = 0
+       |), delta AS (
+       |  SELECT doc_id, lang,
+       |    max(CASE WHEN EXISTS (SELECT 1 FROM idx
+       |      WHERE idx.b = bands.b AND idx.sig = bands.sig)
+       |      THEN 1 ELSE 0 END) AS hit
+       |  FROM bands WHERE doc_id % 2 = 1 GROUP BY doc_id, lang
+       |)
+       |SELECT lang, count(*) AS n_delta,
+       |  sum(hit)::BIGINT AS n_flagged,
+       |  (count(*) - sum(hit))::BIGINT AS n_fresh,
+       |  ((sum(hit) * 10000) // count(*))::BIGINT AS flag_rate_bp
+       |FROM delta GROUP BY lang ORDER BY lang""".stripMargin
+
   def simhashNearDupSql(maxHamming: Int = 3): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
@@ -910,6 +984,95 @@ object Dedup {
        |FROM (SELECT label, count(*) AS cluster_size
        |      FROM l$rounds GROUP BY label)
        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  // ---- X45: redundancy-vs-quality audit (q118) ----------------------------
+
+  /** Cluster-size band boundaries for [[redundancyQualityAudit]] —
+    * power-of-two bands, the histogram resolution a datasheet needs. */
+  private def sizeBand(cs: Column): Column =
+    when(cs === 1, "1").when(cs === 2, "2")
+      .when(cs <= 4, "3-4").when(cs <= 8, "5-8").otherwise("9+")
+  private def sizeBandSql(cs: String): String =
+    s"CASE WHEN $cs = 1 THEN '1' WHEN $cs = 2 THEN '2' " +
+      s"WHEN $cs <= 4 THEN '3-4' WHEN $cs <= 8 THEN '5-8' ELSE '9+' END"
+
+  /** X45 redundancy-vs-quality audit (q118): tests the curation folk
+    * theorem "heavily duplicated content is lower quality" on THIS
+    * corpus — every document inherits its near-dup cluster size (q64
+    * components; singletons are size-1), sizes are banded into
+    * power-of-two bins, and each band reports docs, clusters, token
+    * mass, and quality mass in exact micro-units (band mean = one
+    * integer division of two exact sums). The answer decides whether
+    * dedup doubles as a quality filter or just a capacity saver — a
+    * datasheet row every corpus report should carry.
+    *
+    * Scale posture: reuses the PlanCache'd q64/q91/q94/q101
+    * label-propagation chain (no new corpus-wide work); cluster sizes
+    * are a component-keyed count; the quality kernel joins by doc_id;
+    * the band rollup is a 5-row aggregate with map-side combine. The
+    * corpus is scanned once and never sorted. */
+  def redundancyQualityAudit(spark: SparkSession, dir: String,
+                             threshold: Double = 0.5,
+                             rounds: Int = 6): DataFrame = {
+    val members = dedupClusterAssignments(spark, dir, threshold, rounds)
+      .select(col("doc_id"), col("label"))
+    val all = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .unionByName(members)
+    val sizes = all.groupBy(col("label")).agg(count(lit(1)).as("cs"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextHash.tokens(col("text"))).cast("long").as("t"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      .select(col("doc_id"), col("t"),
+        expr("cast(round(q * 1000000) as bigint)").as("q_micro"))
+    all.join(sizes, Seq("label")).join(scored, Seq("doc_id"))
+      .withColumn("size_band", sizeBand(col("cs")))
+      .groupBy(col("size_band"))
+      .agg(countDistinct(col("label")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(col("t")).as("sum_tokens"),
+        sum(col("q_micro")).as("sum_q_micro"))
+      .select(col("size_band"), col("n_clusters"), col("n_docs"),
+        col("sum_tokens"), col("sum_q_micro"),
+        expr("sum_q_micro div n_docs").as("avg_q_micro"))
+      .orderBy(col("size_band"))
+  }
+
+  def redundancyQualityAuditSql(threshold: Double = 0.5,
+                                rounds: Int = 6): String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${labelPropagationCtes(threshold, rounds)}, qv AS (
+       |  SELECT doc_id, ntok::BIGINT AS t,
+       |    CAST(round(round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      * 1000000) AS BIGINT) AS q_micro
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+       |          FROM documents))
+       |), sz AS (
+       |  SELECT label, count(*)::BIGINT AS cs FROM l$rounds GROUP BY label
+       |), j AS (
+       |  SELECT l.doc_id, l.label, ${sizeBandSql("sz.cs")} AS size_band
+       |  FROM l$rounds l JOIN sz USING (label)
+       |)
+       |SELECT size_band,
+       |  count(DISTINCT label)::BIGINT AS n_clusters,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(qv.t)::BIGINT AS sum_tokens,
+       |  sum(qv.q_micro)::BIGINT AS sum_q_micro,
+       |  (sum(qv.q_micro) // count(*))::BIGINT AS avg_q_micro
+       |FROM j JOIN qv USING (doc_id)
+       |GROUP BY size_band ORDER BY size_band""".stripMargin
+  }
 
   // ---- X20: contrastive-pair extraction (q91) -----------------------------
 

@@ -534,25 +534,41 @@ object TextAnalysis {
     * a 5-row broadcast; the doc-length join is a keyed equi-join; the
     * final ranking is the bounded-heap [[graft.functions.TopKHits]]
     * two-phase aggregate, not a corpus sort. */
+  /** Per-(doc, query-term) occurrence counts — the inverted-index probe
+    * output both retrieval legs consume (BM25 q84, hybrid RRF q117);
+    * PlanCache'd so the corpus token scan runs once per (session, dir). */
+  private[graft] def queryTermFreqs(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"textanalysis.queryTf:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(col("w").isin(Bm25Terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    }
+
+  /** Per-doc integer BM25 score (the q84 device), shared by the q84
+    * ranking and the q117 hybrid fusion. */
+  private[graft] def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"textanalysis.bm25Scores:$dir") {
+      val docs = Tables.documents(spark, dir)
+      val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+      val n = dl.agg(count(lit(1)).as("n_total"), sum(col("dl")).as("sum_dl"))
+      val tf = queryTermFreqs(spark, dir)
+      val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // mirror the oracle's expression tree exactly (left-assoc, same
+      // literal structure) — every double op must be the same IEEE op
+      val si = ((col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+        ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) *
+            (col("dl") / (col("sum_dl").cast("double") / col("n_total"))))))) * lit(10000)
+      tf.join(broadcast(dfreq), Seq("w"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), round(si, 0).cast("long").as("si"))
+        .groupBy(col("doc_id")).agg(sum(col("si")).as("si"))
+    }
+
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
-    val n = dl.agg(count(lit(1)).as("n_total"), sum(col("dl")).as("sum_dl"))
-    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      .filter(col("w").isin(Bm25Terms: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    // mirror the oracle's expression tree exactly (left-assoc, same
-    // literal structure) — every double op must be the same IEEE op
-    val si = ((col("n_total") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
-      ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
-        (lit(1.0) - lit(0.75) + lit(0.75) *
-          (col("dl") / (col("sum_dl").cast("double") / col("n_total"))))))) * lit(10000)
-    val scored = tf.join(broadcast(dfreq), Seq("w"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(n))
-      .select(col("doc_id"), round(si, 0).cast("long").as("si"))
-      .groupBy(col("doc_id")).agg(sum(col("si")).as("si"))
+    val scored = bm25Scores(spark, dir)
     val topk = udaf(new graft.functions.TopKHits(k))
     scored.agg(topk(col("si").cast("double"), col("doc_id")).as("hits"))
       .select(posexplode(col("hits")).as(Seq("pos", "h")))
@@ -591,6 +607,113 @@ object TextAnalysis {
        |)
        |SELECT rank::BIGINT AS rank, doc_id, round(si / 10000.0, 4) AS score
        |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  // ---- X44: hybrid retrieval fusion via RRF (q117) ------------------------
+
+  /** RRF smoothing constant (Cormack/Clarke/Büttcher 2009's k=60) and the
+    * per-leg candidate pool each ranking contributes to the fusion. */
+  val RrfK = 60
+  val RrfPool = 20
+
+  /** X44 reciprocal-rank-fusion hybrid retrieval (q117): the standard
+    * two-ranker fusion a RAG stack runs — leg A is the q84 BM25 ranking,
+    * leg B is plain coordination/term-frequency ranking (total query-term
+    * occurrences; no idf, no length normalization — deliberately a
+    * DIFFERENT relevance signal), each truncated to its top-[[RrfPool]];
+    * fused score = Σ_legs ⌊1e9 / (k + rank)⌋ in exact integers (rank
+    * arithmetic only — RRF is rank-based by definition, so no float ever
+    * enters the fusion), absent legs contribute 0. Output: the fused
+    * top-k with both leg ranks for attribution.
+    *
+    * Scale posture: both legs reuse the PlanCache'd inverted-index probe
+    * ([[queryTermFreqs]] — the corpus token stream is filtered to the
+    * query terms before any shuffle) and the PlanCache'd integer BM25
+    * score table; each leg reduces through the bounded-heap
+    * [[graft.functions.TopKHits]] two-phase aggregate, so the fusion
+    * join, rrf arithmetic, and final rank all run over ≤ 2·pool rows —
+    * audit-sized, never the corpus. */
+  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = udaf(new graft.functions.TopKHits(RrfPool))
+    def ranked(scored: DataFrame, scoreCol: String, rankName: String): DataFrame =
+      scored.agg(pool(col(scoreCol).cast("double"), col("doc_id")).as("hits"))
+        .select(posexplode(col("hits")).as(Seq("pos", "h")))
+        .select(col("h.vec_id").as("doc_id"),
+          (col("pos") + 1).cast("long").as(rankName))
+    val bmRank = ranked(bm25Scores(spark, dir), "si", "bm25_rank")
+    val tsRank = ranked(
+      queryTermFreqs(spark, dir).groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("ts")), "ts", "tf_rank")
+    val fused = bmRank.join(tsRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("tf_rank"), lit(0L)).as("tf_rank"))
+      .withColumn("rrf_micro",
+        when(col("bm25_rank") > 0,
+          expr(s"1000000000 div ($RrfK + bm25_rank)")).otherwise(lit(0L)) +
+        when(col("tf_rank") > 0,
+          expr(s"1000000000 div ($RrfK + tf_rank)")).otherwise(lit(0L)))
+    // ≤ 2·pool rows survive the legs — the unpartitioned window is
+    // bounded by construction (the q36/q93 audit-table pattern)
+    val w = Window.orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("rrf_micro"),
+        col("bm25_rank"), col("tf_rank"))
+      .orderBy(col("rank"))
+  }
+
+  def hybridRetrievalSql(k: Int = 10): String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS dl
+       |  FROM documents
+       |), n AS (
+       |  SELECT count(*)::BIGINT AS n_total, sum(dl)::BIGINT AS sum_dl FROM dl
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok
+       |  WHERE w IN ($terms) GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |), s AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(((n.n_total - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+       |        (dl.dl / (n.sum_dl::DOUBLE / n.n_total))))) * 10000) AS BIGINT) AS si
+       |  FROM tf JOIN dfq USING(w) JOIN dl USING(doc_id) CROSS JOIN n
+       |), sc AS (
+       |  SELECT doc_id, sum(si)::BIGINT AS si FROM s GROUP BY 1
+       |), bmr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY si DESC, doc_id) AS bm25_rank
+       |  FROM sc QUALIFY bm25_rank <= $RrfPool
+       |), ts AS (
+       |  SELECT doc_id, sum(tf)::BIGINT AS ts FROM tf GROUP BY 1
+       |), tsr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY ts DESC, doc_id) AS tf_rank
+       |  FROM ts QUALIFY tf_rank <= $RrfPool
+       |), fused AS (
+       |  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+       |    coalesce(b.bm25_rank, 0)::BIGINT AS bm25_rank,
+       |    coalesce(t.tf_rank, 0)::BIGINT AS tf_rank
+       |  FROM bmr b FULL JOIN tsr t ON b.doc_id = t.doc_id
+       |), r AS (
+       |  SELECT doc_id, bm25_rank, tf_rank,
+       |    ((CASE WHEN bm25_rank > 0 THEN 1000000000 // ($RrfK + bm25_rank)
+       |       ELSE 0 END) +
+       |     (CASE WHEN tf_rank > 0 THEN 1000000000 // ($RrfK + tf_rank)
+       |       ELSE 0 END))::BIGINT AS rrf_micro
+       |  FROM fused
+       |), fin AS (
+       |  SELECT doc_id, rrf_micro, bm25_rank, tf_rank,
+       |    row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+       |  FROM r
+       |)
+       |SELECT rank::BIGINT AS rank, doc_id, rrf_micro, bm25_rank, tf_rank
+       |FROM fin WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
   // ---- X14: vocabulary build + OOV audit (q85) ----------------------------

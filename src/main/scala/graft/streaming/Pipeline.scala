@@ -634,6 +634,38 @@ object Pipeline {
         sum(col("qm")).as("sum_q_micro"),
         approx_count_distinct(col("h")).as("n_distinct_approx"))
 
+  /** X42 streaming twin (q115): per-(window, shard) intake manifest —
+    * docs, token mass, and the order-invariant `bit_xor` content
+    * checksum over the same 60-bit (doc_id, sha256(text)) row signature
+    * as the batch [[graft.operators.Curation.shardManifest]]. Because
+    * xor is associative/commutative, folding a shard's per-window xors
+    * across closed windows reproduces the batch certificate over the
+    * same rows EXACTLY (spec-gated) — so an intake job can certify what
+    * it ingested without ever re-reading it: the running manifest IS
+    * the batch manifest of everything admitted so far. State is one row
+    * per (in-watermark window, shard) — nShards rows per window,
+    * independent of corpus size; everything below the aggregate is a
+    * stateless per-row projection and no text bytes enter state. */
+  def manifestMonitor(stream: DataFrame, eventTimeCol: String,
+                      nShards: Int = 16, seed: Long = 42,
+                      windowLen: String = "1 minute",
+                      watermark: String = "2 minutes"): DataFrame = {
+    val skey = graft.functions.TextHash.h1(
+      concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+    val sig = graft.functions.TextHash.h1(
+      concat(col("doc_id").cast("string"), lit(":"),
+        sha2(col("text").cast("binary"), 256)))
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol),
+        pmod(skey, lit(nShards.toLong)).as("shard"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("t"),
+        sig.as("sig"))
+      .groupBy(window(col(eventTimeCol), windowLen), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"),
+        expr("bit_xor(sig)").as("content_xor"))
+  }
+
   /** X36 streaming twin: per-event-time-window count-min sketch of the
     * incoming token stream — the bounded-state way to track heavy
     * hitters on an unbounded stream: state is depth×width CELLS per

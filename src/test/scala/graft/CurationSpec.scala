@@ -582,6 +582,128 @@ class CurationSpec extends SparkSpec {
     assert(spent <= budget && budget - spent < rows.length.toLong * 2L)
   }
 
+  test("temperature sampling (q114): exact sqrt micro-weights, flattened but order-preserving shares") {
+    val rows = Curation.temperatureAllocation(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      // w_micro is the exact integer lift of the α=1/2 power
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("w_micro") ==
+        math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+    }
+    // the boost factor is antitone in language size: the smallest
+    // language is up-sampled the most (bp flooring can shave a unit, so
+    // compare orderings, not the 10000 boundary)
+    val boostByTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+      .map(_.getAs[Long]("boost_bp"))
+    assert(boostByTok.sameElements(boostByTok.sorted.reverse),
+      s"boost must fall as size grows: ${boostByTok.mkString(",")}")
+    // α<1 flattens: the temperature-share spread is strictly narrower
+    val natSpread = rows.map(_.getAs[Long]("natural_bp"))
+    val tmpSpread = rows.map(_.getAs[Long]("temp_bp"))
+    assert(tmpSpread.max - tmpSpread.min < natSpread.max - natSpread.min,
+      s"temperature must compress shares (${tmpSpread.mkString(",")} vs ${natSpread.mkString(",")})")
+    // …but preserves the size ordering (x → √x is monotone)
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens")).map(_.getAs[Long]("temp_bp"))
+    assert(byTok.sameElements(byTok.sorted), "√ must preserve ordering")
+    // one-corpus-equivalent budget is spent up to integer-division dust
+    val spent = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(spent <= totTokens && totTokens - spent < rows.length.toLong,
+      s"alloc $spent vs budget $totTokens")
+  }
+
+  test("shard manifest (q115): layout-invariant checksum, single-doc sensitivity") {
+    val m1 = Curation.shardManifest(spark, sf0001).collect()
+    assert(m1.length == 16)
+    assert(m1.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0001).count())
+    // driver-side recomputation: xor over rows in an UNRELATED order
+    // must reproduce every shard's checksum (order invariance is the
+    // certificate's whole point)
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.TextHash.h1(concat(col("doc_id").cast("string"),
+          lit(":"), sha2(col("text").cast("binary"), 256))).as("sig"),
+        graft.functions.TextHash.h1(concat(lit("shuf:42:"),
+          col("doc_id").cast("string"))).as("skey"))
+      .collect()
+      .map(r => (r.getAs[Long]("skey") % 16, r.getAs[Long]("sig")))
+      .sortBy(_._2) // any order
+    val byShard = rows.groupBy(_._1).view.mapValues(_.map(_._2)
+      .foldLeft(0L)(_ ^ _)).toMap
+    m1.foreach { r =>
+      assert(r.getAs[Long]("content_xor") == byShard(r.getAs[Long]("shard")))
+      assert(r.getAs[Long]("min_sig") <= r.getAs[Long]("max_sig"))
+    }
+    // sensitivity: dropping one document flips exactly its shard's xor
+    // and leaves every other shard's certificate untouched
+    val victim = rows.head
+    val docs2 = Tables.documents(spark, sf0001)
+    val dropped = docs2.filter(
+      graft.functions.TextHash.h1(concat(col("doc_id").cast("string"),
+        lit(":"), sha2(col("text").cast("binary"), 256))) =!= victim._2)
+    withClue("recompute on dropped corpus") {
+      val sig = graft.functions.TextHash.h1(concat(col("doc_id").cast("string"),
+        lit(":"), sha2(col("text").cast("binary"), 256)))
+      val skey = graft.functions.TextHash.h1(concat(lit("shuf:42:"),
+        col("doc_id").cast("string")))
+      val man2 = dropped
+        .select(pmod(skey, lit(16L)).as("shard"), sig.as("sig"))
+        .groupBy(col("shard")).agg(expr("bit_xor(sig)").as("content_xor"))
+        .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("content_xor"))
+        .toMap
+      m1.foreach { r =>
+        val sh = r.getAs[Long]("shard")
+        if (sh == victim._1)
+          assert(man2(sh) == (r.getAs[Long]("content_xor") ^ victim._2),
+            "dropped doc must xor out of its shard")
+        else assert(man2(sh) == r.getAs[Long]("content_xor"),
+          s"unrelated shard $sh must keep its certificate")
+      }
+    }
+  }
+
+  test("scaling ladder (q119): rungs nest by construction and match a driver-side election") {
+    val rows = Curation.scalingLadder(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // the 100% rung IS the corpus, per lang
+    val full = Tables.documents(spark, sf0001).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.filter(_.getAs[Long]("rung_permil") == 1000L).foreach { r =>
+      val (n, ids) = full(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("sum_doc_ids") == ids)
+      assert(r.getAs[Long]("share_bp") == 10000L)
+    }
+    // nesting: per lang, docs/tokens/shares are monotone in the rung —
+    // and the membership is a SUBSET, verified via the hash election
+    val elected = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"),
+        (graft.functions.TextHash.h1(concat(lit("ladder:42:"),
+          col("doc_id").cast("string"))) % 1000).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (lang <- full.keys) {
+      val members = Curation.LadderPermil.map(p =>
+        p -> elected.filter(e => e._1 == lang && e._3 < p).map(_._2).toSet).toMap
+      // subsets nest
+      assert(members(10).subsetOf(members(100)) &&
+        members(100).subsetOf(members(1000)))
+      // operator rows agree with the driver-side election exactly
+      rows.filter(_.getAs[String]("lang") == lang).foreach { r =>
+        val m = members(r.getAs[Long]("rung_permil").toInt)
+        assert(r.getAs[Long]("n_docs") == m.size.toLong)
+        assert(r.getAs[Long]("sum_doc_ids") == m.toSeq.sum)
+      }
+    }
+    // monotone shares per lang across present rungs
+    for (lang <- full.keys) {
+      val byRung = rows.filter(_.getAs[String]("lang") == lang)
+        .sortBy(_.getAs[Long]("rung_permil")).map(_.getAs[Long]("share_bp"))
+      assert(byRung.sameElements(byRung.sorted))
+    }
+  }
+
   test("doremi reweight (q106): exact driver-side recomputation + update direction") {
     import spark.implicits._
     // exact integer recomputation from the same per-source stats

@@ -210,6 +210,33 @@ class DedupSpec extends SparkSpec {
     assert(roundsRun >= 7 && roundsRun <= 10, s"roundsRun=$roundsRun")
   }
 
+  test("snapshot near-dup intake (q116): flags agree with the pairwise candidate ground truth") {
+    val rows = Dedup.snapshotNearDupIntake(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // totals: delta side is exactly the odd half, flags partition it
+    assert(rows.map(_.getAs[Long]("n_delta")).sum == docs.keys.count(_ % 2 == 1))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") + r.getAs[Long]("n_fresh") ==
+        r.getAs[Long]("n_delta"))
+    }
+    // ground truth: an odd doc is flagged iff SOME candidate pair links
+    // it to an even doc (threshold 0.0 returns every banded candidate)
+    val pairs = Dedup.minhashNearDup(spark, sf0001, threshold = 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val flaggedTruth = pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(d => d % 2 == 1 &&
+        (if (d == a) b % 2 == 0 else a % 2 == 0))
+    }.distinct
+    val truthByLang = flaggedTruth.groupBy(docs).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_flagged") == truthByLang.getOrElse(lang, 0L),
+        s"$lang: operator ${r.getAs[Long]("n_flagged")} vs truth ${truthByLang.getOrElse(lang, 0L)}")
+    }
+  }
+
   test("auto cluster assignments agree with fixed-round on the test corpus") {
     val fixed = Dedup.dedupClusterAssignments(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -218,6 +245,37 @@ class DedupSpec extends SparkSpec {
     // the sf0.001 graph converges well inside 6 rounds (asserted by the
     // fixpoint test above), so auto must land on the identical labeling
     assert(auto == fixed)
+  }
+
+  test("redundancy-quality audit (q118): bands partition the corpus, reconcile with the cluster histogram") {
+    val rows = Dedup.redundancyQualityAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs,
+      "bands must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_docs"))
+      // band mean is the exact integer quotient of the band's sums
+      assert(r.getAs[Long]("avg_q_micro") ==
+        r.getAs[Long]("sum_q_micro") / r.getAs[Long]("n_docs"))
+    }
+    // reconcile against q64's independent cluster histogram: per band,
+    // cluster and doc counts must agree with the size-bucketed rollup
+    val hist = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs")))
+    def band(cs: Long): String =
+      if (cs == 1) "1" else if (cs == 2) "2"
+      else if (cs <= 4) "3-4" else if (cs <= 8) "5-8" else "9+"
+    val expect = hist.groupBy(h => band(h._1)).view
+      .mapValues(hs => (hs.map(_._2).sum, hs.map(_._3).sum)).toMap
+    rows.foreach { r =>
+      val b = r.getAs[String]("size_band")
+      assert((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")) == expect(b),
+        s"band $b disagrees with the q64 histogram")
+    }
+    // fixture corpus plants duplicates: a multi-doc band must exist
+    assert(rows.exists(_.getAs[String]("size_band") != "1"))
   }
 
   test("priority dedup: trusted source wins its group, scrape never survives") {

@@ -225,6 +225,37 @@ class ScaleHarnessSpec extends SparkSpec {
       "exact-dup probes must be fully retrieved at 100x")
   }
 
+  test("q116: snapshot index is duplicate-invariant; probe side linear in the delta") {
+    // the persisted index is distinct (band, sig) over the snapshot half:
+    // inflating the corpus 100x by DUPLICATION leaves it unchanged (every
+    // template contributes one bucket set regardless of copy count)
+    val d1x = corpusDir(30, 60)
+    val d100x = corpusDir(30, 6000)
+    val (i1, i100) = (Dedup.snapshotIndex(spark, d1x).count(),
+      Dedup.snapshotIndex(spark, d100x).count())
+    assert(i1 == i100,
+      s"duplicate inflation grew the snapshot index: $i1 -> $i100")
+    // corpusDir ids are t*1e6+c, so every template has an even (snapshot)
+    // member and the index covers all 30 templates' bucket sets
+    assert(i1 >= 30, s"index must cover every template's buckets, got $i1")
+    // intake flags on the duplicate-heavy corpus: every odd doc of a
+    // multi-copy template collides with its even twin -> flagged; the
+    // report partitions the delta at both scales
+    for (dir <- Seq(d1x, d100x)) {
+      val r = Dedup.snapshotNearDupIntake(spark, dir).collect()
+      val delta = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 2 === 1).count()
+      assert(r.map(_.getAs[Long]("n_delta")).sum == delta)
+      r.foreach(row => assert(row.getAs[Long]("n_flagged") +
+        row.getAs[Long]("n_fresh") == row.getAs[Long]("n_delta")))
+    }
+    // at 100x every odd doc is a copy of a template whose even twin is
+    // indexed -> flag rate is exactly 100%
+    val r100 = Dedup.snapshotNearDupIntake(spark, d100x).collect()
+    assert(r100.forall(_.getAs[Long]("n_fresh") == 0L),
+      "every delta doc duplicates an indexed template at 100x")
+  }
+
   test("q99: only the score histogram orders — invariant under duplication, bounded output") {
     // the windowed/ordered input of the calibration is the (lang,
     // rounded-score) HISTOGRAM, never the corpus: inflating the corpus

@@ -1283,6 +1283,62 @@ class StreamingSpec extends SparkSpec {
     assert(est >= 3L)
   }
 
+  test("manifest monitor: folded window xors equal the batch shard certificate (X42 twin)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:10")
+    val docs = Seq(
+      CuratedDocFixture(1L, "aa bb cc", "en", "src0", t0),
+      CuratedDocFixture(2L, "dd ee", "en", "src0", t0),
+      CuratedDocFixture(3L, "ff gg hh ii", "en", "src0", t0),
+      CuratedDocFixture(4L, "aa bb cc", "en", "src0", t1),
+      CuratedDocFixture(5L, "jj", "en", "src0", t1),
+      CuratedDocFixture(6L, "kk ll mm", "en", "src0", t1))
+    val mem = MemoryStream[CuratedDocFixture]
+    val q = Pipeline.manifestMonitor(mem.toDS().toDF(), "ts")
+      .writeStream.format("memory").queryName("manifest_mon")
+      .outputMode("complete").start()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("manifest_mon").collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[Timestamp]("start"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("content_xor"))).toMap
+    // driver-side recomputation of shard + row signature
+    def md5h1(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def sha256hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val winOf = Map(t0 -> Timestamp.valueOf("2024-01-01 00:00:00"),
+      t1 -> Timestamp.valueOf("2024-01-01 00:01:00"))
+    val rows = docs.map { dcc =>
+      (winOf(dcc.ts), md5h1(s"shuf:42:${dcc.doc_id}") % 16,
+        dcc.text.split(" ", -1).length.toLong,
+        md5h1(s"${dcc.doc_id}:${sha256hex(dcc.text)}"))
+    }
+    // per-(window, shard) rows are batch-exact
+    val expect = rows.groupBy(r => (r._1, r._2)).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._3).sum, rs.map(_._4).foldLeft(0L)(_ ^ _))
+    }.toMap
+    assert(got == expect, s"per-window manifests diverge")
+    // the running certificate: folding each shard's xors across closed
+    // windows reproduces the whole-intake batch manifest exactly
+    val folded = got.toSeq.groupBy(_._1._2).view.mapValues { es =>
+      (es.map(_._2._1).sum, es.map(_._2._2).sum,
+        es.map(_._2._3).foldLeft(0L)(_ ^ _))
+    }.toMap
+    val batch = rows.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._3).sum, rs.map(_._4).foldLeft(0L)(_ ^ _))
+    }.toMap
+    assert(folded == batch,
+      "xor fold across windows must equal the batch certificate")
+  }
+
   test("drift monitor: window centroid cosine against the batch snapshot (X34 twin)") {
     import spark.implicits._
     val ex = Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)

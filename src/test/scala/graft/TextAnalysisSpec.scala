@@ -251,6 +251,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f(0).getAs[Double]("score") > f(1).getAs[Double]("score"))
   }
 
+  test("hybrid RRF (q117): fusion matches a driver-side recomputation from the leg rankings") {
+    val rows = TextAnalysis.hybridRetrieval(spark, sf0001).collect()
+    assert(rows.length == 10)
+    // rank order total on (rrf desc, doc_id asc), scores positive
+    val keys = rows.map(r => (-r.getAs[Long]("rrf_micro"), r.getAs[Long]("doc_id")))
+    assert(keys.sameElements(keys.sorted))
+    rows.foreach { r =>
+      // recompute the fused score from the attributed leg ranks
+      val bm = r.getAs[Long]("bm25_rank"); val tf = r.getAs[Long]("tf_rank")
+      val expected = (if (bm > 0) 1000000000L / (60 + bm) else 0L) +
+        (if (tf > 0) 1000000000L / (60 + tf) else 0L)
+      assert(r.getAs[Long]("rrf_micro") == expected)
+      assert(bm >= 0 && bm <= TextAnalysis.RrfPool)
+      assert(tf >= 0 && tf <= TextAnalysis.RrfPool)
+      assert(bm > 0 || tf > 0, "a fused doc must appear in at least one leg")
+    }
+    // a doc at the top of BOTH legs must outrank a doc present in one:
+    // rrf(two legs, any ranks) >= 2*(1e9/80) > 1e9/61 >= rrf(one leg)
+    val both = rows.filter(r => r.getAs[Long]("bm25_rank") > 0 && r.getAs[Long]("tf_rank") > 0)
+    val one = rows.filter(r => r.getAs[Long]("bm25_rank") == 0 || r.getAs[Long]("tf_rank") == 0)
+    if (both.nonEmpty && one.nonEmpty)
+      assert(both.map(_.getAs[Long]("rrf_micro")).min >
+        one.map(_.getAs[Long]("rrf_micro")).max)
+    // fixture: the legs genuinely disagree (idf/length-norm vs raw tf)
+    // and RRF still ranks a both-legs doc first
+    val dir = docsFixture(Seq(
+      (1L, "vector hash stream filter join pad", "en", "src0"),
+      (2L, "vector vector vector vector vector vector vector vector", "en", "src0"),
+      (3L, "pad1 pad2 pad3 pad4 pad5", "en", "src0")))
+    val f = TextAnalysis.hybridRetrieval(spark, dir, k = 5).collect()
+    assert(f.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L),
+      "term-free doc must be absent from the fusion")
+  }
+
   test("vocab election: OOV decomposes exactly and per-lang in-vocab distinct <= V") {
     val rows = TextAnalysis.vocabOov(spark, sf0001).collect()
     assert(rows.nonEmpty)
