@@ -79,7 +79,13 @@ object PlanAudit {
     "q108_unimax_allocation",
     // q110's exact leg is corpus × broadcast ≤LshProbeMax-row probe
     // table (the q23 sampled-query shape)
-    "q110_lsh_recall")
+    "q110_lsh_recall",
+    // q114 crossJoins the broadcast SINGLE-ROW (tot_tokens, tot_w)
+    // scalar onto the |langs|-row weight table — the q90/q104 shape
+    "q114_temperature_sampling",
+    // q117's BM25 leg inherits q84's broadcast SINGLE-ROW corpus-scalar
+    // cross (the shared bm25Scores fragment)
+    "q117_hybrid_retrieval")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

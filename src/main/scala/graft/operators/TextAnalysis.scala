@@ -634,7 +634,6 @@ object TextAnalysis {
     * join, rrf arithmetic, and final rank all run over ≤ 2·pool rows —
     * audit-sized, never the corpus. */
   def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pool = udaf(new graft.functions.TopKHits(RrfPool))
     def ranked(scored: DataFrame, scoreCol: String, rankName: String): DataFrame =
       scored.agg(pool(col(scoreCol).cast("double"), col("doc_id")).as("hits"))
@@ -645,20 +644,31 @@ object TextAnalysis {
     val tsRank = ranked(
       queryTermFreqs(spark, dir).groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("ts")), "ts", "tf_rank")
-    val fused = bmRank.join(tsRank, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
-        coalesce(col("tf_rank"), lit(0L)).as("tf_rank"))
-      .withColumn("rrf_micro",
-        when(col("bm25_rank") > 0,
-          expr(s"1000000000 div ($RrfK + bm25_rank)")).otherwise(lit(0L)) +
-        when(col("tf_rank") > 0,
-          expr(s"1000000000 div ($RrfK + tf_rank)")).otherwise(lit(0L)))
-    // ≤ 2·pool rows survive the legs — the unpartitioned window is
-    // bounded by construction (the q36/q93 audit-table pattern)
-    val w = Window.orderBy(col("rrf_micro").desc, col("doc_id"))
-    fused.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    // ≤ 2·pool rows; persisted because BOTH the final heap and the
+    // attribution join read it — without the materialization point the
+    // two leg pipelines would replay once per consumer
+    val fused = graft.PlanCache.cached(spark, s"textanalysis.rrfFused:$dir") {
+      bmRank.join(tsRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+          coalesce(col("tf_rank"), lit(0L)).as("tf_rank"))
+        .withColumn("rrf_micro",
+          when(col("bm25_rank") > 0,
+            expr(s"1000000000 div ($RrfK + bm25_rank)")).otherwise(lit(0L)) +
+          when(col("tf_rank") > 0,
+            expr(s"1000000000 div ($RrfK + tf_rank)")).otherwise(lit(0L)))
+    }
+    // final rank via the same bounded heap (rrf desc, doc_id asc) so the
+    // whole plan stays windowless — rrf_micro ≤ 2·⌊1e9/61⌋ is exact in
+    // the heap's double score
+    val fin = udaf(new graft.functions.TopKHits(k))
+    fused.agg(fin(col("rrf_micro").cast("double"), col("doc_id")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.vec_id").as("doc_id"),
+        col("h.cosine").cast("long").as("rrf_micro"))
+      .join(fused.select(col("doc_id"), col("bm25_rank"), col("tf_rank")),
+        Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("rrf_micro"),
         col("bm25_rank"), col("tf_rank"))
       .orderBy(col("rank"))

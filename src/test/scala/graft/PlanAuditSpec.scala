@@ -113,7 +113,23 @@ class PlanAuditSpec extends SparkSpec {
       "q112_fuzzy_contamination" -> 32,
       // one (lang) side rollup + one (lang, digest) turnover rollup +
       // per-lang fan-in + sort — the q103 shapes
-      "q113_corpus_diff" -> 5)
+      "q113_corpus_diff" -> 5,
+      // |langs|-row rollup + scalar fold + tiny output sort — never the corpus
+      "q114_temperature_sampling" -> 7,
+      // ONE corpus scan into the nShards-row xor/count rollup + output sort
+      "q115_shard_manifest" -> 3,
+      // banded index distinct + probe semi-join + lang rollup — the
+      // corpus body never shuffles, only 8-byte band keys
+      "q116_incremental_neardup" -> 6,
+      // two heap-reduced legs + audit-sized fusion join; the count
+      // double-prints the PlanCache'd leg/fusion subtrees under every
+      // InMemoryTableScan reference (executed exchanges are far fewer) —
+      // a regression here means a leg stopped heap-reducing
+      "q117_hybrid_retrieval" -> 22,
+      // label chain + size rollup + quality join + 5-row band rollup
+      "q118_redundancy_quality" -> 9,
+      // constant rung fan-out + (rung, lang) rollup + broadcast totals
+      "q119_scaling_ladder" -> 4)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)
