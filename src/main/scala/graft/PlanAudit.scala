@@ -85,7 +85,13 @@ object PlanAudit {
     "q114_temperature_sampling",
     // q117's BM25 leg inherits q84's broadcast SINGLE-ROW corpus-scalar
     // cross (the shared bm25Scores fragment)
-    "q117_hybrid_retrieval")
+    "q117_hybrid_retrieval",
+    // q120 crosses the 3-row split-total table with the broadcast
+    // (V+1)-row bucket table (the exact-TVD grid) + a 1-row total scalar
+    "q120_split_divergence",
+    // q121 crosses the ≤4-cell contingency table with its broadcast
+    // 1-row total (plus q86's inherited feasibility-cap scalar)
+    "q121_gate_ablation")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to
@@ -94,7 +100,24 @@ object PlanAudit {
     * this is the initial plan (runtime re-plans only ever remove
     * exchanges, so the counts are an upper bound). */
   def shape(df: DataFrame): Seq[(String, Int)] = {
-    val lines = df.queryExecution.executedPlan.toString.linesIterator.toList
+    // elide cached subtrees: the tree printer repeats an InMemoryRelation's
+    // stored plan under EVERY InMemoryTableScan that references it, so a
+    // raw line count would grow with how many consumers share a cache
+    // (and with session history) rather than with executed work — skip
+    // every line nested deeper than an InMemoryRelation marker
+    val raw = df.queryExecution.executedPlan.toString.linesIterator.toList
+    def depth(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*').length
+    val lines = {
+      var skipAt = -1
+      raw.filter { l =>
+        if (skipAt >= 0 && depth(l) > skipAt) false
+        else {
+          skipAt = if (l.contains("InMemoryRelation")) depth(l) else -1
+          true
+        }
+      }
+    }
     def n(pred: String => Boolean) = lines.count(pred)
     Seq(
       "shuffle_exchanges" -> n(l => l.contains("Exchange") &&

@@ -211,7 +211,9 @@ object SparkEntry {
     "q116_incremental_neardup" -> ((s, d) => Dedup.snapshotNearDupIntake(s, d)),
     "q117_hybrid_retrieval" -> ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
     "q118_redundancy_quality" -> ((s, d) => Dedup.redundancyQualityAudit(s, d)),
-    "q119_scaling_ladder" -> ((s, d) => Curation.scalingLadder(s, d))
+    "q119_scaling_ladder" -> ((s, d) => Curation.scalingLadder(s, d)),
+    "q120_split_divergence" -> ((s, d) => Curation.splitDivergence(s, d)),
+    "q121_gate_ablation" -> ((s, d) => Curation.gateAblation(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,6 +339,8 @@ object SparkEntry {
     "q116_incremental_neardup" -> Dedup.snapshotNearDupIntakeSql,
     "q117_hybrid_retrieval" -> TextAnalysis.hybridRetrievalSql(),
     "q118_redundancy_quality" -> Dedup.redundancyQualityAuditSql(),
-    "q119_scaling_ladder" -> Curation.scalingLadderSql()
+    "q119_scaling_ladder" -> Curation.scalingLadderSql(),
+    "q120_split_divergence" -> Curation.splitDivergenceSql(),
+    "q121_gate_ablation" -> Curation.gateAblationSql()
   )
 }

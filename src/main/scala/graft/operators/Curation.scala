@@ -806,6 +806,203 @@ object Curation {
        |FROM per JOIN tot USING (lang)
        |ORDER BY rung_permil, lang""".stripMargin
 
+  // ---- X47: split token-distribution divergence (q120) --------------------
+
+  /** X47 split-distribution audit (q120): the eval-hygiene check AFTER
+    * q94/q96 settle membership — do train/val/test still SPEAK THE SAME
+    * LANGUAGE? Each split's token distribution over the elected top-V
+    * vocabulary (q85's election; everything else folds into one
+    * `<oov>` bucket, so the histogram is exactly V+1 cells) is compared
+    * against the corpus distribution: per split, the sum and max of
+    * |split-share − corpus-share| in basis points. A split whose
+    * divergence spikes is measuring a different distribution than the
+    * model trains on — exact-integer evidence, no χ² float ever crosses
+    * engines.
+    *
+    * Scale posture: the corpus is scanned once into (split, bucket)
+    * counts with map-side combine — the V+1 bucketing happens BEFORE the
+    * shuffle against the broadcast vocabulary, so the aggregate moves
+    * ≤ 3·(V+1) rows no matter the corpus size; the deviation table is a
+    * 3-row × (V+1)-row broadcast cross (audit-sized by construction). */
+  def splitDivergence(spark: SparkSession, dir: String,
+                      v: Int = TextAnalysis.VocabSize): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // ≤ 3·(V+1) rows consumed by the split totals, the corpus-bucket
+    // fold, AND the grid join — persist so the token scan behind it
+    // runs once, not three times
+    val sb = graft.PlanCache.cached(spark, s"curation.splitBuckets:$v:$dir") {
+      val vocab = TextAnalysis.vocabulary(spark, dir, v)
+        .withColumn("in_vocab", lit(1))
+      docs
+        .select(splitAssign(col("text")).as("split"),
+          explode(TextHash.tokens(col("text"))).as("w"))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("split"),
+          when(col("in_vocab").isNull, lit("<oov>")).otherwise(col("w")).as("b"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val st = sb.groupBy(col("split")).agg(sum(col("c")).as("tot"))
+    val dc = docs.select(splitAssign(col("text")).as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    val cb = sb.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+    val ct = cb.agg(sum(col("cc")).as("ctot"))
+    // exact TVD needs every (split, bucket) cell, including buckets a
+    // split never emits — build the full 3×(V+1) grid, then left-join
+    // the observed counts
+    st.crossJoin(broadcast(cb))
+      .join(sb, Seq("split", "b"), "left")
+      .crossJoin(broadcast(ct))
+      .select(col("split"), col("tot"),
+        abs(expr("cast(coalesce(c, 0) as decimal(38,0)) * 10000 div tot") -
+          expr("cast(cc as decimal(38,0)) * 10000 div ctot"))
+          .cast("long").as("dev"))
+      .groupBy(col("split"), col("tot"))
+      .agg(sum(col("dev")).as("sum_abs_dev_bp"),
+        max(col("dev")).as("max_abs_dev_bp"))
+      .join(broadcast(dc), Seq("split"))
+      .select(col("split"), col("n_docs"), col("tot").as("n_tokens"),
+        col("sum_abs_dev_bp"), col("max_abs_dev_bp"))
+      .orderBy(col("split"))
+  }
+
+  def splitDivergenceSql(v: Int = TextAnalysis.VocabSize): String =
+    s"""WITH tok AS (
+       |  SELECT ${splitAssignSql("hmod")} AS split, w FROM (
+       |    SELECT ${TextHash.h1Sql("text")} % 100 AS hmod,
+       |      unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents)
+       |), gc AS (
+       |  SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w
+       |), vv AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rn FROM gc)
+       |  WHERE rn <= $v
+       |), sb AS (
+       |  SELECT split,
+       |    CASE WHEN w IN (SELECT w FROM vv) THEN w ELSE '<oov>' END AS b,
+       |    count(*)::BIGINT AS c
+       |  FROM tok GROUP BY 1, 2
+       |), st AS (
+       |  SELECT split, sum(c)::BIGINT AS tot FROM sb GROUP BY split
+       |), dc AS (
+       |  SELECT ${splitAssignSql("hmod")} AS split, count(*)::BIGINT AS n_docs
+       |  FROM (SELECT ${TextHash.h1Sql("text")} % 100 AS hmod FROM documents)
+       |  GROUP BY 1
+       |), cb AS (
+       |  SELECT b, sum(c)::BIGINT AS cc FROM sb GROUP BY b
+       |), ct AS (
+       |  SELECT sum(cc)::BIGINT AS ctot FROM cb
+       |), grid AS (
+       |  SELECT st.split, st.tot, cb.b, cb.cc FROM st CROSS JOIN cb
+       |), dev AS (
+       |  SELECT g.split, g.tot,
+       |    abs(((coalesce(sb.c, 0) * 10000) // g.tot) -
+       |        ((g.cc * 10000) // ct.ctot))::BIGINT AS dev
+       |  FROM grid g LEFT JOIN sb ON sb.split = g.split AND sb.b = g.b
+       |  CROSS JOIN ct
+       |)
+       |SELECT dev.split, dc.n_docs, dev.tot AS n_tokens,
+       |  sum(dev.dev)::BIGINT AS sum_abs_dev_bp,
+       |  max(dev.dev)::BIGINT AS max_abs_dev_bp
+       |FROM dev JOIN dc USING (split)
+       |GROUP BY 1, 2, 3 ORDER BY split""".stripMargin
+
+  // ---- X48: gate-ablation contingency audit (q121) ------------------------
+
+  /** X48 gate-ablation audit (q121): the 2×2 contingency table of the
+    * intake pipeline's two independent gates — the scalar quality floor
+    * (the `curatedIntake` default, round(q,6) ≥ 0.2) × the q86 mixture
+    * acceptance coin — with each cell's doc/token mass, corpus share,
+    * and share WITHIN its quality stratum in basis points. The stratum
+    * share is the independence check: if the mixture coin (an md5 hash
+    * of doc_id) accepted high-quality documents at a different rate than
+    * low-quality ones, the "content-blind downsampling" claim the
+    * mixture design rests on would be false, and the ablation table is
+    * where that would show. Also the capacity-planning surface: how many
+    * tokens survive BOTH gates.
+    *
+    * Scale posture: one corpus scan against the broadcast |sources|-row
+    * rate table; two boolean flags computed per row pre-shuffle; the
+    * rollup is ≤4 cells with map-side combine and the marginals fold
+    * from those cells. Nothing corpus-sized ever shuffles. */
+  def gateAblation(spark: SparkSession, dir: String,
+                   minQuality: Double = 0.75, seed: Long = 42): DataFrame = {
+    // ≤4 rows consumed by the total fold, the stratum marginal, AND the
+    // output — persist so the corpus scan behind it runs once, not three
+    // times
+    val cells = graft.PlanCache.cached(spark,
+      s"curation.gateCells:$minQuality:$seed:$dir") {
+      val rt = mixtureRates(spark, dir).select(col("source"), col("rate"))
+      Tables.documents(spark, dir)
+        .join(broadcast(rt), Seq("source"))
+        .select(
+          (round(TextAnalysis.qualityScore(col("text")), 6) >= minQuality)
+            .as("quality_pass"),
+          (mixtureCoin(col("doc_id"), seed) < col("rate")).as("mixture_accept"),
+          size(TextHash.tokens(col("text"))).cast("long").as("t"))
+        .groupBy(col("quality_pass"), col("mixture_accept"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+    }
+    val tot = cells.agg(sum(col("n_docs")).as("n_tot"))
+    val marg = cells.groupBy(col("quality_pass"))
+      .agg(sum(col("n_docs")).as("stratum"))
+    cells.crossJoin(broadcast(tot))
+      .join(broadcast(marg), Seq("quality_pass"))
+      .select(col("quality_pass"), col("mixture_accept"),
+        col("n_docs"), col("sum_tokens"),
+        expr("n_docs * 10000 div n_tot").as("share_bp"),
+        expr("n_docs * 10000 div stratum").as("stratum_share_bp"))
+      .orderBy(col("quality_pass"), col("mixture_accept"))
+  }
+
+  def gateAblationSql(minQuality: Double = 0.75, seed: Long = 42): String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    ${mixtureWeightSql("source")} AS tw
+       |  FROM documents GROUP BY source
+       |), c AS (
+       |  SELECT min(n_docs / tw) AS cap FROM w
+       |), rt AS (
+       |  SELECT w.source, least(1.0, c.cap * w.tw / w.n_docs) AS rate
+       |  FROM w CROSS JOIN c
+       |), q AS (
+       |  SELECT doc_id, source, ntok::BIGINT AS t,
+       |    round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6) AS qq
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT doc_id, source, text,
+       |          string_split(lower(text), ' ') AS t FROM documents))
+       |), flags AS (
+       |  SELECT (q.qq >= $minQuality) AS quality_pass,
+       |    (${TextHash.h1Sql(s"'mix:$seed:' || q.doc_id::VARCHAR")}
+       |      / 1152921504606846976.0 < rt.rate) AS mixture_accept,
+       |    q.t
+       |  FROM q JOIN rt ON q.source = rt.source
+       |), cells AS (
+       |  SELECT quality_pass, mixture_accept, count(*)::BIGINT AS n_docs,
+       |    sum(t)::BIGINT AS sum_tokens
+       |  FROM flags GROUP BY 1, 2
+       |), tot AS (SELECT sum(n_docs)::BIGINT AS n_tot FROM cells),
+       |marg AS (
+       |  SELECT quality_pass, sum(n_docs)::BIGINT AS stratum
+       |  FROM cells GROUP BY 1
+       |)
+       |SELECT cells.quality_pass, cells.mixture_accept, cells.n_docs,
+       |  cells.sum_tokens,
+       |  ((cells.n_docs * 10000) // tot.n_tot)::BIGINT AS share_bp,
+       |  ((cells.n_docs * 10000) // marg.stratum)::BIGINT AS stratum_share_bp
+       |FROM cells CROSS JOIN tot JOIN marg USING (quality_pass)
+       |ORDER BY quality_pass, mixture_accept""".stripMargin
+  }
+
   // ---- X7+: quality-ranked token-budget selection (q82) ------------------
   //
   // "Select the best documents until the token budget is spent" — the

@@ -704,6 +704,77 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("split divergence (q120): exact TVD recomputation over the V+1 bucket grid") {
+    val rows = Curation.splitDivergence(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet == Set("train", "val", "test"))
+    // token totals reconcile with the corpus
+    val corpusTokens = Tables.documents(spark, sf0001)
+      .select(size(split(lower(col("text")), " ")).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == corpusTokens)
+    // driver-side recomputation from raw tokens
+    val vocab = graft.operators.TextAnalysis.vocabulary(spark, sf0001)
+      .collect().map(_.getString(0)).toSet
+    val toks = Tables.documents(spark, sf0001)
+      .select(Curation.splitAssign(col("text")).as("split"),
+        explode(split(lower(col("text")), " ")).as("w")).collect()
+      .map(r => (r.getString(0),
+        if (vocab(r.getString(1))) r.getString(1) else "<oov>"))
+    val corpusCnt = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ctot = toks.length.toLong
+    rows.foreach { r =>
+      val s = r.getAs[String]("split")
+      val mine = toks.filter(_._1 == s)
+      val tot = mine.length.toLong
+      assert(r.getAs[Long]("n_tokens") == tot)
+      val devs = corpusCnt.map { case (b, cc) =>
+        val c = mine.count(_._2 == b).toLong
+        math.abs(c * 10000 / tot - cc * 10000 / ctot)
+      }
+      assert(r.getAs[Long]("sum_abs_dev_bp") == devs.sum,
+        s"$s: TVD ${r.getAs[Long]("sum_abs_dev_bp")} != ${devs.sum}")
+      assert(r.getAs[Long]("max_abs_dev_bp") == devs.max)
+      // a content-hash split of one corpus should not diverge wildly
+      assert(r.getAs[Long]("sum_abs_dev_bp") <= 20000L)
+    }
+  }
+
+  test("gate ablation (q121): cells partition the corpus and reconcile with the q86 sample") {
+    val rows = Curation.gateAblation(spark, sf0001).collect()
+    val corpus = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "the 2x2 cells must partition the corpus")
+    assert(rows.length == 4, "fixture scale must populate all four cells")
+    // the mixture margin reconciles with the independently computed q86
+    // resample (same coin, same rates)
+    val accepted = rows.filter(_.getAs[Boolean]("mixture_accept"))
+      .map(_.getAs[Long]("n_docs")).sum
+    val q86 = Curation.mixtureResample(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_sampled")).sum
+    assert(accepted == q86, s"ablation accepted $accepted != q86 sampled $q86")
+    // share arithmetic is exact from the cell counts
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum
+    val strata = rows.groupBy(_.getAs[Boolean]("quality_pass")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("share_bp") == n * 10000 / tot)
+      assert(r.getAs[Long]("stratum_share_bp") ==
+        n * 10000 / strata(r.getAs[Boolean]("quality_pass")))
+    }
+    // the coin is content-blind: acceptance inside each quality stratum
+    // stays in the same ballpark as the overall rate (a md5-of-doc_id
+    // coin cannot systematically prefer a quality band)
+    val overallBp = accepted * 10000 / tot
+    strata.keys.foreach { qp =>
+      val acc = rows.filter(r => r.getAs[Boolean]("quality_pass") == qp &&
+        r.getAs[Boolean]("mixture_accept")).map(_.getAs[Long]("n_docs")).sum
+      val bp = acc * 10000 / strata(qp)
+      assert(math.abs(bp - overallBp) < 2500,
+        s"stratum $qp acceptance $bp far from overall $overallBp")
+    }
+  }
+
   test("doremi reweight (q106): exact driver-side recomputation + update direction") {
     import spark.implicits._
     // exact integer recomputation from the same per-source stats

@@ -129,7 +129,11 @@ class PlanAuditSpec extends SparkSpec {
       // label chain + size rollup + quality join + 5-row band rollup
       "q118_redundancy_quality" -> 9,
       // constant rung fan-out + (rung, lang) rollup + broadcast totals
-      "q119_scaling_ladder" -> 4)
+      "q119_scaling_ladder" -> 4,
+      // (split, bucket) count + three tiny rollups + the broadcast grid
+      "q120_split_divergence" -> 10,
+      // one scan into ≤4 cells + scalar/marginal folds
+      "q121_gate_ablation" -> 8)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)
