@@ -30,8 +30,24 @@ object PlanAudit {
     if (!allowBnlj && p.contains("BroadcastNestedLoopJoin"))
       flags += ("BroadcastNestedLoopJoin: verify the broadcast side is " +
         "provably tiny (or pass allowBnlj = true once proven)")
-    if (p.linesIterator.exists(_.contains("Window")) &&
-        p.contains("SinglePartition"))
+    // a Window is a red flag only when ITS OWN input collapses to one
+    // partition — an unrelated 1-row scalar aggregate elsewhere in the
+    // plan also prints "Exchange SinglePartition", so substring
+    // co-occurrence alone would false-positive (q122: a user_id-keyed
+    // lag window + a broadcast scalar total in one plan). Walk each
+    // Window's subtree and inspect the first Exchange feeding it.
+    val lines = p.linesIterator.toVector
+    def d(l: String): Int =
+      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*').length
+    val badWindow = lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Window [") && {
+        val wd = d(l)
+        lines.drop(i + 1).takeWhile(d(_) > wd)
+          .find(_.contains("Exchange"))
+          .exists(_.contains("SinglePartition"))
+      }
+    }
+    if (badWindow)
       flags += "Window over SinglePartition: whole-dataset single-task sort"
     flags.result()
   }
@@ -91,7 +107,10 @@ object PlanAudit {
     "q120_split_divergence",
     // q121 crosses the ≤4-cell contingency table with its broadcast
     // 1-row total (plus q86's inherited feasibility-cap scalar)
-    "q121_gate_ablation")
+    "q121_gate_ablation",
+    // q122 crosses the ≤|types|²-cell transition table with its
+    // broadcast 1-row transition total
+    "q122_transition_matrix")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -213,7 +213,8 @@ object SparkEntry {
     "q118_redundancy_quality" -> ((s, d) => Dedup.redundancyQualityAudit(s, d)),
     "q119_scaling_ladder" -> ((s, d) => Curation.scalingLadder(s, d)),
     "q120_split_divergence" -> ((s, d) => Curation.splitDivergence(s, d)),
-    "q121_gate_ablation" -> ((s, d) => Curation.gateAblation(s, d))
+    "q121_gate_ablation" -> ((s, d) => Curation.gateAblation(s, d)),
+    "q122_transition_matrix" -> ((s, d) => EventAnalytics.transitionMatrix(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -341,6 +342,7 @@ object SparkEntry {
     "q118_redundancy_quality" -> Dedup.redundancyQualityAuditSql(),
     "q119_scaling_ladder" -> Curation.scalingLadderSql(),
     "q120_split_divergence" -> Curation.splitDivergenceSql(),
-    "q121_gate_ablation" -> Curation.gateAblationSql()
+    "q121_gate_ablation" -> Curation.gateAblationSql(),
+    "q122_transition_matrix" -> EventAnalytics.transitionMatrixSql
   )
 }

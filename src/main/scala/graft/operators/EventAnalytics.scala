@@ -132,4 +132,58 @@ object EventAnalytics {
       |SELECT c.cohort_day, e.day AS activity_day, count(*) AS n_users
       |FROM e JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_day, activity_day""".stripMargin
+
+  /** User-journey transition matrix (q122): for every user's event
+    * sequence in (event-time, event_id) order, count each consecutive
+    * (from_type → to_type) step — the Markov-cell table session-flow
+    * analysis and journey anomaly detection read. Per cell: transitions,
+    * distinct users making the step, and the cell's share of all
+    * transitions in basis points.
+    *
+    * Cross-engine order rule: the lag window orders by the µs-truncated
+    * timestamp (DuckDB's ns column casts down to Spark's precision —
+    * FIXTURES.md §B) with event_id as the unique tie-break, so both
+    * engines walk identical sequences even when two events share a
+    * microsecond.
+    *
+    * Scale posture: ONE window exchange on the high-cardinality user_id
+    * (the q12-q14 contract — no low-cardinality key ever partitions a
+    * window), then a rollup to ≤|types|² cells with map-side combine;
+    * the cell table is persisted for its two consumers. At 100 TB the
+    * event log crosses the cluster once. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = graft.PlanCache.cached(spark, s"events.transitions:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }
+    val tot = cells.agg(sum(col("n_transitions")).as("n_tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        col("n_users"),
+        expr("n_transitions * 10000 div n_tot").as("share_bp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  def transitionMatrixSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts::TIMESTAMP, event_id) AS from_type
+      |  FROM events
+      |), cells AS (
+      |  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+      |    count(DISTINCT user_id)::BIGINT AS n_users
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (SELECT sum(n_transitions)::BIGINT AS n_tot FROM cells)
+      |SELECT from_type, to_type, n_transitions, n_users,
+      |  ((n_transitions * 10000) // tot.n_tot)::BIGINT AS share_bp
+      |FROM cells CROSS JOIN tot ORDER BY from_type, to_type""".stripMargin
 }

@@ -34,6 +34,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(steps == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"got $steps")
   }
 
+  test("transition matrix (q122): cells equal a driver-side sequence walk, shares exact") {
+    val rows = EventAnalytics.transitionMatrix(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side recomputation on the same (µs ts, event_id) order
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }
+    val users = ev.groupBy(_._1).view.mapValues { es =>
+      val o = es.sortBy(e => (e._2, e._3)).map(_._4)
+      o.zip(o.tail).toSet
+    }.toMap
+    val expect = trans.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = trans.length.toLong
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == tot)
+    // total transitions = events minus one per active user
+    assert(tot == ev.length - ev.map(_._1).distinct.length)
+    rows.foreach { r =>
+      val cell = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      assert(r.getAs[Long]("n_transitions") == expect(cell), s"cell $cell")
+      assert(r.getAs[Long]("n_users") ==
+        users.values.count(_.contains(cell)).toLong, s"users $cell")
+      assert(r.getAs[Long]("share_bp") ==
+        r.getAs[Long]("n_transitions") * 10000 / tot)
+    }
+  }
+
   test("retention: day-0 count equals cohort size; counts never exceed it") {
     val r = EventAnalytics.retention(spark, sf0001).collect()
     assert(r.nonEmpty)

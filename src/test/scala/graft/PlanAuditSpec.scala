@@ -133,7 +133,9 @@ class PlanAuditSpec extends SparkSpec {
       // (split, bucket) count + three tiny rollups + the broadcast grid
       "q120_split_divergence" -> 10,
       // one scan into ≤4 cells + scalar/marginal folds
-      "q121_gate_ablation" -> 8)
+      "q121_gate_ablation" -> 8,
+      // ONE user_id window exchange + ≤|types|² cell rollup + scalar
+      "q122_transition_matrix" -> 6)
     budgets.foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val shuffles = PlanAudit.shape(df)
