@@ -214,7 +214,8 @@ object SparkEntry {
     "q119_scaling_ladder" -> ((s, d) => Curation.scalingLadder(s, d)),
     "q120_split_divergence" -> ((s, d) => Curation.splitDivergence(s, d)),
     "q121_gate_ablation" -> ((s, d) => Curation.gateAblation(s, d)),
-    "q122_transition_matrix" -> ((s, d) => EventAnalytics.transitionMatrix(s, d))
+    "q122_transition_matrix" -> ((s, d) => EventAnalytics.transitionMatrix(s, d)),
+    "q123_effective_size" -> ((s, d) => Dedup.effectiveSize(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -343,6 +344,7 @@ object SparkEntry {
     "q119_scaling_ladder" -> Curation.scalingLadderSql(),
     "q120_split_divergence" -> Curation.splitDivergenceSql(),
     "q121_gate_ablation" -> Curation.gateAblationSql(),
-    "q122_transition_matrix" -> EventAnalytics.transitionMatrixSql
+    "q122_transition_matrix" -> EventAnalytics.transitionMatrixSql,
+    "q123_effective_size" -> Dedup.effectiveSizeSql()
   )
 }

@@ -1074,6 +1074,74 @@ object Dedup {
        |GROUP BY size_band ORDER BY size_band""".stripMargin
   }
 
+  // ---- X50: effective dataset size (q123) ---------------------------------
+
+  /** X50 effective-size accounting (q123): what the corpus is WORTH
+    * after near-dup collapse — per language: raw docs/tokens, the kept
+    * one-representative-per-cluster corpus (doc_id == label, the q64
+    * dedup decision), the redundancy factor (raw/effective token mass,
+    * basis points — 10000 = no redundancy) and the capacity a dedup
+    * pass frees (savings bp). "Effective dataset size" is the number a
+    * scaling-law budget should use instead of raw tokens: epochs over
+    * duplicated data repeat content the model has already seen.
+    * Language attribution follows each doc's own lang (a cluster
+    * spanning languages contributes its representative to the
+    * representative's language — 60-bit cross-lang shingle collisions
+    * are the only way that happens, disclosed at q78's key).
+    *
+    * Scale posture: reuses the PlanCache'd q64/q118 label chain; the
+    * kept-side rollup is a keyed join from the label set to a narrow
+    * (doc_id, lang, tokens) projection; both rollups are |langs|-row
+    * aggregates with map-side combine. */
+  def effectiveSize(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextHash.tokens(col("text"))).cast("long").as("t"))
+    val members = dedupClusterAssignments(spark, dir, threshold, rounds)
+      .select(col("doc_id"), col("label"))
+    val all = docs.select(col("doc_id"))
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .unionByName(members)
+    val raw = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+    val kept = all.filter(col("doc_id") === col("label"))
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("t")).as("kept_tokens"))
+    raw.join(kept, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        col("n_kept"), col("kept_tokens"),
+        expr("cast(sum_tokens as decimal(38,0)) * 10000 div kept_tokens")
+          .cast("long").as("redundancy_bp"),
+        expr("cast(sum_tokens - kept_tokens as decimal(38,0)) * 10000 " +
+          "div sum_tokens").cast("long").as("savings_bp"))
+      .orderBy(col("lang"))
+  }
+
+  def effectiveSizeSql(threshold: Double = 0.5, rounds: Int = 6): String =
+    s"""WITH ${labelPropagationCtes(threshold, rounds)}, d AS (
+       |  SELECT doc_id, lang,
+       |    len(string_split(lower(text), ' '))::BIGINT AS t
+       |  FROM documents
+       |), raw AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS sum_tokens
+       |  FROM d GROUP BY lang
+       |), kept AS (
+       |  SELECT d.lang, count(*)::BIGINT AS n_kept,
+       |    sum(d.t)::BIGINT AS kept_tokens
+       |  FROM l$rounds l JOIN d USING (doc_id)
+       |  WHERE l.doc_id = l.label GROUP BY d.lang
+       |)
+       |SELECT raw.lang, raw.n_docs, raw.sum_tokens, kept.n_kept,
+       |  kept.kept_tokens,
+       |  ((raw.sum_tokens * 10000) // kept.kept_tokens)::BIGINT
+       |    AS redundancy_bp,
+       |  (((raw.sum_tokens - kept.kept_tokens) * 10000) // raw.sum_tokens)
+       |    ::BIGINT AS savings_bp
+       |FROM raw JOIN kept USING (lang) ORDER BY raw.lang""".stripMargin
+
   // ---- X20: contrastive-pair extraction (q91) -----------------------------
 
   /** X20 contrastive positive-pair extraction (q91): every near-dup

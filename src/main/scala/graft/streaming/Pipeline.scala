@@ -649,14 +649,19 @@ object Pipeline {
   def manifestMonitor(stream: DataFrame, eventTimeCol: String,
                       nShards: Int = 16, seed: Long = 42,
                       windowLen: String = "1 minute",
-                      watermark: String = "2 minutes"): DataFrame = {
+                      watermark: String = "2 minutes",
+                      setWatermark: Boolean = true): DataFrame = {
     val skey = graft.functions.TextHash.h1(
       concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
     val sig = graft.functions.TextHash.h1(
       concat(col("doc_id").cast("string"), lit(":"),
         sha2(col("text").cast("binary"), 256)))
-    stream
-      .withWatermark(eventTimeCol, watermark)
+    // composed consumers (e.g. downstream of [[curatedIntake]], which
+    // already watermarks for its dedup) pass setWatermark = false and
+    // inherit the upstream watermark — Spark forbids redefining one
+    val wm = if (setWatermark) stream.withWatermark(eventTimeCol, watermark)
+             else stream
+    wm
       .select(col(eventTimeCol),
         pmod(skey, lit(nShards.toLong)).as("shard"),
         size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("t"),

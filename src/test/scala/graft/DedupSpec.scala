@@ -278,6 +278,31 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("size_band") != "1"))
   }
 
+  test("effective size (q123): kept side is one representative per cluster, ratios exact") {
+    val rows = Dedup.effectiveSize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    // kept total equals the q64 cluster count (one rep per cluster,
+    // singletons included)
+    val clusters = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(_.getAs[Long]("n_clusters")).sum
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == clusters,
+      "representatives must be exactly one per cluster")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("sum_tokens"))
+      assert(r.getAs[Long]("redundancy_bp") >= 10000L)
+      assert(r.getAs[Long]("savings_bp") >= 0L &&
+        r.getAs[Long]("savings_bp") < 10000L)
+      assert(r.getAs[Long]("redundancy_bp") ==
+        BigInt(r.getAs[Long]("sum_tokens")) * 10000 /
+          r.getAs[Long]("kept_tokens"))
+    }
+    // the duplicate-planted fixture must show real savings somewhere
+    assert(rows.exists(_.getAs[Long]("savings_bp") > 0L))
+  }
+
   test("priority dedup: trusted source wins its group, scrape never survives") {
     import org.apache.spark.sql.functions._
     val kept = Dedup.priorityKept(spark, sf0001).collect()

@@ -1339,6 +1339,59 @@ class StreamingSpec extends SparkSpec {
       "xor fold across windows must equal the batch certificate")
   }
 
+  test("curated intake feeds the manifest monitor: the certificate covers exactly the admitted rows (X15∘X42)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    // distinct texts (digest dedup drops nothing → the admitted set is
+    // deterministic); srcA admits everything, srcB nothing
+    val docs = Seq(
+      CuratedDocFixture(1L, "alpha beta gamma delta epsilon zeta", "en", "srcA", t0),
+      CuratedDocFixture(2L, "aa aa aa aa", "en", "srcA", t0),
+      CuratedDocFixture(3L, "eta theta iota kappa lambda mu", "en", "srcA", t0),
+      CuratedDocFixture(4L, "nu xi omicron pi rho sigma", "en", "srcB", t0),
+      CuratedDocFixture(5L, "bb bb bb", "en", "srcA", t0))
+    val rates = Seq(("srcA", 1.0), ("srcB", 0.0)).toDF("source", "rate")
+    val minQ = 0.5
+    // batch twin of the intake decision
+    val admitted = docs.toDF()
+      .filter(col("source") === "srcA")
+      .filter(round(graft.operators.TextAnalysis.qualityScore(col("text")), 6)
+        >= minQ)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(admitted.nonEmpty && admitted.length < docs.length,
+      "fixture must exercise both gates")
+    val mem = MemoryStream[CuratedDocFixture]
+    val q = Pipeline.manifestMonitor(
+        Pipeline.curatedIntake(mem.toDS().toDF(), rates, "ts", minQuality = minQ),
+        "ts", setWatermark = false)
+      .writeStream.format("memory").queryName("intake_manifest")
+      .outputMode("complete").start()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("intake_manifest").collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("content_xor"))).toMap
+    // the certificate of the admitted set, computed independently
+    def md5h1(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+    }
+    def sha256hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = admitted.map { case (id, text) =>
+      (md5h1(s"shuf:42:$id") % 16, text.split(" ", -1).length.toLong,
+        md5h1(s"$id:${sha256hex(text)}"))
+    }.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).foldLeft(0L)(_ ^ _))
+    }.toMap
+    assert(got == expect,
+      "the intake manifest must certify exactly the admitted rows")
+  }
+
   test("drift monitor: window centroid cosine against the batch snapshot (X34 twin)") {
     import spark.implicits._
     val ex = Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
