@@ -215,7 +215,8 @@ object SparkEntry {
     "q120_split_divergence" -> ((s, d) => Curation.splitDivergence(s, d)),
     "q121_gate_ablation" -> ((s, d) => Curation.gateAblation(s, d)),
     "q122_transition_matrix" -> ((s, d) => EventAnalytics.transitionMatrix(s, d)),
-    "q123_effective_size" -> ((s, d) => Dedup.effectiveSize(s, d))
+    "q123_effective_size" -> ((s, d) => Dedup.effectiveSize(s, d)),
+    "q124_bucket_occupancy" -> ((s, d) => Dedup.bucketOccupancy(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -345,6 +346,7 @@ object SparkEntry {
     "q120_split_divergence" -> Curation.splitDivergenceSql(),
     "q121_gate_ablation" -> Curation.gateAblationSql(),
     "q122_transition_matrix" -> EventAnalytics.transitionMatrixSql,
-    "q123_effective_size" -> Dedup.effectiveSizeSql()
+    "q123_effective_size" -> Dedup.effectiveSizeSql(),
+    "q124_bucket_occupancy" -> Dedup.bucketOccupancySql
   )
 }

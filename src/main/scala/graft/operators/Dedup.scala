@@ -1142,6 +1142,55 @@ object Dedup {
        |    ::BIGINT AS savings_bp
        |FROM raw JOIN kept USING (lang) ORDER BY raw.lang""".stripMargin
 
+  // ---- X51: LSH bucket-occupancy audit (q124) -----------------------------
+
+  /** X51 bucket-occupancy audit (q124): the shuffle-skew forecast for
+    * the dedup index — the (band, sig) bucket-size histogram of the
+    * banded corpus, with each occupancy band's bucket count, row mass,
+    * and the CANDIDATE-PAIR MASS a naive within-bucket self-join would
+    * generate (Σ s·(s−1)/2). This is the measurement that justifies the
+    * [[sigGroups]] representative collapse: on a duplicate-heavy corpus
+    * the 9+ band's pair mass is quadratic in copy count, and an operator
+    * reading this table knows which band its join cost lives in BEFORE
+    * running the join. A production dedup pipeline re-reads this audit
+    * after every ingest to catch boilerplate floods early.
+    *
+    * Scale posture: the banding streams the persisted signature table
+    * (no text), the bucket-size aggregate moves 8-byte keys with
+    * map-side combine, and the histogram folds buckets into ≤5 rows.
+    * Exact integers end to end. */
+  def bucketOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = banded(signatures(spark, dir), Seq.empty)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("s"))
+    buckets
+      .withColumn("occ_band", sizeBand(col("s")))
+      .groupBy(col("occ_band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("s")).as("n_rows"),
+        sum(expr("s * (s - 1) div 2")).as("n_pairs"))
+      .orderBy(col("occ_band"))
+  }
+
+  def bucketOccupancySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b,
+       |    array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), buckets AS (
+       |  SELECT b, sig, count(*)::BIGINT AS s FROM bands GROUP BY 1, 2
+       |)
+       |SELECT ${sizeBandSql("s")} AS occ_band,
+       |  count(*)::BIGINT AS n_buckets,
+       |  sum(s)::BIGINT AS n_rows,
+       |  sum((s * (s - 1)) // 2)::BIGINT AS n_pairs
+       |FROM buckets GROUP BY 1 ORDER BY occ_band""".stripMargin
+
   // ---- X20: contrastive-pair extraction (q91) -----------------------------
 
   /** X20 contrastive positive-pair extraction (q91): every near-dup

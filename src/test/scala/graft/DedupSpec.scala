@@ -303,6 +303,33 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("savings_bp") > 0L))
   }
 
+  test("bucket occupancy (q124): band algebra exact, histogram covers every banded row") {
+    val rows = Dedup.bucketOccupancy(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val valid = Set("1", "2", "3-4", "5-8", "9+")
+    rows.foreach { r =>
+      assert(valid(r.getAs[String]("occ_band")))
+      assert(r.getAs[Long]("n_rows") >= r.getAs[Long]("n_buckets"))
+      r.getAs[String]("occ_band") match {
+        case "1" =>
+          assert(r.getAs[Long]("n_pairs") == 0L)
+          assert(r.getAs[Long]("n_rows") == r.getAs[Long]("n_buckets"))
+        case "2" =>
+          assert(r.getAs[Long]("n_pairs") == r.getAs[Long]("n_buckets"))
+          assert(r.getAs[Long]("n_rows") == 2 * r.getAs[Long]("n_buckets"))
+        case _ =>
+          assert(r.getAs[Long]("n_pairs") > r.getAs[Long]("n_buckets"))
+      }
+    }
+    // every doc lands in every band exactly once: total rows = docs × bands
+    val docs = Tables.documents(spark, sf0001).count()
+    val totalRows = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(totalRows % docs == 0L,
+      s"banded rows $totalRows must be a whole multiple of $docs docs")
+    // the fixture's planted duplicates must concentrate somewhere
+    assert(rows.exists(_.getAs[String]("occ_band") != "1"))
+  }
+
   test("priority dedup: trusted source wins its group, scrape never survives") {
     import org.apache.spark.sql.functions._
     val kept = Dedup.priorityKept(spark, sf0001).collect()

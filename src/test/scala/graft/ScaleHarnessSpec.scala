@@ -256,6 +256,29 @@ class ScaleHarnessSpec extends SparkSpec {
       "every delta doc duplicates an indexed template at 100x")
   }
 
+  test("q124: occupancy audit prices the naive join's quadratic pair mass exactly") {
+    // disjoint template vocabularies -> every copy of template t shares
+    // ALL its band buckets and collides with nothing else, so the naive
+    // within-bucket pair mass is EXACTLY bands x Σ_t c_t(c_t-1)/2 — the
+    // quadratic cost the sigGroups representative collapse avoids, and
+    // precisely what the audit must report
+    val d100x = corpusDir(30, 6000)
+    val rows = Dedup.bucketOccupancy(spark, d100x).collect()
+    val copies = Tables.documents(spark, d100x).groupBy(col("text")).count()
+      .collect().map(_.getLong(1))
+    val docs = copies.sum
+    val bands = rows.map(_.getAs[Long]("n_rows")).sum / docs
+    assert(bands > 0 && rows.map(_.getAs[Long]("n_rows")).sum == bands * docs)
+    val naivePairs = bands * copies.map(c => c * (c - 1) / 2).sum
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == naivePairs,
+      s"audit must price the naive join exactly: got ${rows.map(_.getAs[Long]("n_pairs")).sum}, want $naivePairs")
+    // the pair mass is quadratic in copy count (~4.5M here) while the
+    // rep-collapsed join input stays at reps x bands (~120 rows) — the
+    // audit is the evidence for the q20 guard
+    assert(naivePairs > 1000000L)
+    assert(Dedup.hnBandedReps(spark, d100x).count() < 1000L)
+  }
+
   test("q99: only the score histogram orders — invariant under duplication, bounded output") {
     // the windowed/ordered input of the calibration is the (lang,
     // rounded-score) HISTOGRAM, never the corpus: inflating the corpus
