@@ -110,7 +110,13 @@ object PlanAudit {
     "q121_gate_ablation",
     // q122 crosses the ≤|types|²-cell transition table with its
     // broadcast 1-row transition total
-    "q122_transition_matrix")
+    "q122_transition_matrix",
+    // q125 inherits the IVF k-means centroid-table cross (q37/q48) and
+    // crosses its ≤K-row list table with the broadcast 1-row total
+    "q125_list_occupancy",
+    // q126's cumulative fold is a ≥-theta join of the ≤k+1-row level
+    // table against its own broadcast (the q108 windowless device)
+    "q126_threshold_curve")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

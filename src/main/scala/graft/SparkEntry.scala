@@ -216,7 +216,9 @@ object SparkEntry {
     "q121_gate_ablation" -> ((s, d) => Curation.gateAblation(s, d)),
     "q122_transition_matrix" -> ((s, d) => EventAnalytics.transitionMatrix(s, d)),
     "q123_effective_size" -> ((s, d) => Dedup.effectiveSize(s, d)),
-    "q124_bucket_occupancy" -> ((s, d) => Dedup.bucketOccupancy(s, d))
+    "q124_bucket_occupancy" -> ((s, d) => Dedup.bucketOccupancy(s, d)),
+    "q125_list_occupancy" -> ((s, d) => Similarity.listOccupancy(s, d)),
+    "q126_threshold_curve" -> ((s, d) => Dedup.thresholdSensitivity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -347,6 +349,8 @@ object SparkEntry {
     "q121_gate_ablation" -> Curation.gateAblationSql(),
     "q122_transition_matrix" -> EventAnalytics.transitionMatrixSql,
     "q123_effective_size" -> Dedup.effectiveSizeSql(),
-    "q124_bucket_occupancy" -> Dedup.bucketOccupancySql
+    "q124_bucket_occupancy" -> Dedup.bucketOccupancySql,
+    "q125_list_occupancy" -> Similarity.listOccupancySql,
+    "q126_threshold_curve" -> Dedup.thresholdSensitivitySql
   )
 }

@@ -1191,6 +1191,56 @@ object Dedup {
        |  sum((s * (s - 1)) // 2)::BIGINT AS n_pairs
        |FROM buckets GROUP BY 1 ORDER BY occ_band""".stripMargin
 
+  // ---- X53: threshold sensitivity curve (q126) ----------------------------
+
+  /** X53 threshold-sensitivity curve (q126): how many candidate pairs
+    * survive at every possible dedup threshold — one row per observed
+    * estimated-Jaccard level (est is i/k with k=[[kMinhash]] signature
+    * slots, so the level set is discrete and exactly representable;
+    * round(·,4) is the identity on x/16) with the pair count AT that
+    * level and the cumulative count at-or-above it. The table a dedup
+    * operator reads to PICK its threshold: "at t=0.5 I merge
+    * n_at_or_above(0.5) pairs" — the aggressiveness/recall dial
+    * quantified before committing to a merge.
+    *
+    * Scale posture: reuses the PlanCache'd banded candidate-pair table
+    * (no new corpus work); the level rollup is ≤ k+1 rows, and the
+    * cumulative fold is a ≥-triangle join over that broadcast tiny
+    * table — the q108 windowless device, nothing single-partitions. */
+  def thresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val pe = pairsWithEst(spark, dir)
+      .groupBy(col("est_jaccard")).agg(count(lit(1)).as("n_pairs"))
+    val other = pe.select(col("est_jaccard").as("e2"), col("n_pairs").as("c2"))
+    pe.join(broadcast(other), col("e2") >= col("est_jaccard"))
+      .groupBy(col("est_jaccard"), col("n_pairs"))
+      .agg(sum(col("c2")).as("n_at_or_above"))
+      .orderBy(col("est_jaccard"))
+  }
+
+  def thresholdSensitivitySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig, mh
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    round(list_sum([CASE WHEN x.mh[i+1] = y.mh[i+1] THEN 1 ELSE 0 END
+       |                    for i in range(0, $kMinhash)]) / $kMinhash.0, 4) AS est_jaccard
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |), pe AS (
+       |  SELECT est_jaccard, count(*)::BIGINT AS n_pairs FROM cand GROUP BY 1
+       |)
+       |SELECT a.est_jaccard, a.n_pairs,
+       |  sum(b.n_pairs)::BIGINT AS n_at_or_above
+       |FROM pe a JOIN pe b ON b.est_jaccard >= a.est_jaccard
+       |GROUP BY 1, 2 ORDER BY a.est_jaccard""".stripMargin
+
   // ---- X20: contrastive-pair extraction (q91) -----------------------------
 
   /** X20 contrastive positive-pair extraction (q91): every near-dup

@@ -787,6 +787,38 @@ object Similarity {
        |SELECT query_id, rank, vec_id, cosine FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** X52 IVF inverted-list occupancy (q125): the embeddings twin of the
+    * q124 bucket audit — per centroid: list size, corpus share, and the
+    * balance factor (size × K ÷ total, basis points; 10000 = perfectly
+    * even lists). An IVF index's probe cost IS its list size, so this
+    * table is the skew forecast read before choosing nprobe and the
+    * evidence for the q83 sub-shard guard when k-means degenerates (one
+    * hot list ⇒ its balance_bp ≈ K·10000).
+    *
+    * Scale posture: reuses the PlanCache'd IVF assignment (no new
+    * corpus pass); the rollup is a ≤K-row aggregate with map-side
+    * combine plus a broadcast 1-row total. */
+  def listOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assign) = ivfParts(spark, dir)
+    val lists = assign.groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = lists.agg(sum(col("n_vecs")).as("n_tot"))
+    lists.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        expr("n_vecs * 10000 div n_tot").as("share_bp"),
+        expr(s"n_vecs * $KmClusters * 10000 div n_tot").as("balance_bp"))
+      .orderBy(col("cid"))
+  }
+
+  def listOccupancySql: String =
+    s"""WITH $kmeansCtes, lists AS (
+       |  SELECT cid, count(*)::BIGINT AS n_vecs FROM a GROUP BY cid
+       |), tot AS (SELECT sum(n_vecs)::BIGINT AS n_tot FROM lists)
+       |SELECT cid::BIGINT AS cid, n_vecs,
+       |  ((n_vecs * 10000) // tot.n_tot)::BIGINT AS share_bp,
+       |  ((n_vecs * $KmClusters * 10000) // tot.n_tot)::BIGINT AS balance_bp
+       |FROM lists CROSS JOIN tot ORDER BY cid""".stripMargin
+
   def ivfMultiProbeTopKSql(k: Int = 5, nprobe: Int = 2): String =
     s"""WITH $kmeansCtes, q AS (
        |  SELECT vec_id AS query_id, v AS qv FROM a

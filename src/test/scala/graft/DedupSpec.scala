@@ -330,6 +330,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("occ_band") != "1"))
   }
 
+  test("threshold curve (q126): cumulative counts reconcile with the thresholded operators") {
+    val rows = Dedup.thresholdSensitivity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // levels are exact i/k grid points, strictly increasing
+    val ests = rows.map(_.getAs[Double]("est_jaccard"))
+    assert(ests.sameElements(ests.sorted.distinct))
+    ests.foreach(e => assert((e * 16).isWhole, s"est $e must sit on the i/16 grid"))
+    // cumulative is the suffix sum of the level counts, and its head
+    // (the lowest level's cumulative) is the total candidate count
+    val levels = rows.map(r => (r.getAs[Double]("est_jaccard"), r.getAs[Long]("n_pairs")))
+    rows.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(r.getAs[Long]("n_at_or_above") ==
+        levels.filter(_._1 >= e).map(_._2).sum)
+    }
+    // the curve must price the q20 default threshold exactly
+    val q20 = Dedup.minhashNearDup(spark, sf0001, threshold = 0.5).count()
+    val atHalf = rows.filter(_.getAs[Double]("est_jaccard") >= 0.5)
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(atHalf == q20, s"curve says $atHalf pairs at t=0.5, q20 merges $q20")
+  }
+
   test("priority dedup: trusted source wins its group, scrape never survives") {
     import org.apache.spark.sql.functions._
     val kept = Dedup.priorityKept(spark, sf0001).collect()

@@ -228,6 +228,24 @@ class SimilaritySpec extends SparkSpec {
     assert(full.nonEmpty && full.forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("list occupancy (q125): lists partition the corpus, balance algebra exact") {
+    val rows = graft.operators.Similarity.listOccupancy(spark, sf0001).collect()
+    assert(rows.nonEmpty &&
+      rows.length <= graft.operators.Similarity.KmClusters)
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+      "every vector lives in exactly one inverted list")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("share_bp") == n * 10000 / total)
+      assert(r.getAs[Long]("balance_bp") ==
+        n * graft.operators.Similarity.KmClusters * 10000 / total)
+    }
+    // probe cost at nprobe=1 is the list size: the hottest list bounds it
+    assert(rows.map(_.getAs[Long]("n_vecs")).max < total,
+      "fixture k-means must not collapse to one list")
+  }
+
   test("label purity: partitions the corpus, margins consistent with misalignment") {
     val rows = Similarity.labelPurity(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
