@@ -116,7 +116,9 @@ object PlanAudit {
     "q125_list_occupancy",
     // q126's cumulative fold is a ≥-theta join of the ≤k+1-row level
     // table against its own broadcast (the q108 windowless device)
-    "q126_threshold_curve")
+    "q126_threshold_curve",
+    // q127 crosses the ≤5-row gap-bucket table with its broadcast total
+    "q127_session_gaps")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

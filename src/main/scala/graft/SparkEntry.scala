@@ -218,7 +218,9 @@ object SparkEntry {
     "q123_effective_size" -> ((s, d) => Dedup.effectiveSize(s, d)),
     "q124_bucket_occupancy" -> ((s, d) => Dedup.bucketOccupancy(s, d)),
     "q125_list_occupancy" -> ((s, d) => Similarity.listOccupancy(s, d)),
-    "q126_threshold_curve" -> ((s, d) => Dedup.thresholdSensitivity(s, d))
+    "q126_threshold_curve" -> ((s, d) => Dedup.thresholdSensitivity(s, d)),
+    "q127_session_gaps" -> ((s, d) => EventAnalytics.sessionGaps(s, d)),
+    "q128_quality_attribution" -> ((s, d) => TextAnalysis.qualityComponents(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -351,6 +353,8 @@ object SparkEntry {
     "q123_effective_size" -> Dedup.effectiveSizeSql(),
     "q124_bucket_occupancy" -> Dedup.bucketOccupancySql,
     "q125_list_occupancy" -> Similarity.listOccupancySql,
-    "q126_threshold_curve" -> Dedup.thresholdSensitivitySql
+    "q126_threshold_curve" -> Dedup.thresholdSensitivitySql,
+    "q127_session_gaps" -> EventAnalytics.sessionGapsSql,
+    "q128_quality_attribution" -> TextAnalysis.qualityComponentsSql
   )
 }

@@ -172,6 +172,67 @@ object EventAnalytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Session-gap election histogram (q127): the distribution of
+    * consecutive same-user inter-event gaps in fixed duration buckets —
+    * the table a session timeout (q28's `session_window` gap) is chosen
+    * FROM: the bucket where the share collapses is the inactivity knee.
+    * Per bucket: gap count, distinct users, and share of all gaps in
+    * basis points. Gaps are exact integer microsecond differences on
+    * the µs-truncated timeline (the q122 cross-engine order rule), so
+    * bucket edges cut identically in both engines.
+    *
+    * Scale posture: the same ONE user_id window exchange as q122, then
+    * a ≤5-row bucket rollup with map-side combine + a broadcast 1-row
+    * total. Bucket labels are prefix-ordered so the output sort is
+    * chronological. */
+  def sessionGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = graft.PlanCache.cached(spark, s"events.sessionGaps:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+        .groupBy(
+          when(col("gap_us") < 10000000L, "a_lt_10s")
+            .when(col("gap_us") < 60000000L, "b_lt_60s")
+            .when(col("gap_us") < 600000000L, "c_lt_10m")
+            .when(col("gap_us") < 3600000000L, "d_lt_1h")
+            .otherwise("e_ge_1h").as("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct(col("user_id")).as("n_users"))
+    }
+    val tot = gaps.agg(sum(col("n_gaps")).as("n_tot"))
+    gaps.crossJoin(broadcast(tot))
+      .select(col("gap_bucket"), col("n_gaps"), col("n_users"),
+        expr("n_gaps * 10000 div n_tot").as("share_bp"))
+      .orderBy(col("gap_bucket"))
+  }
+
+  def sessionGapsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id,
+      |    epoch_us(ts::TIMESTAMP) -
+      |      lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+      |        ORDER BY ts::TIMESTAMP, event_id) AS gap_us
+      |  FROM events
+      |), g AS (
+      |  SELECT CASE WHEN gap_us < 10000000 THEN 'a_lt_10s'
+      |    WHEN gap_us < 60000000 THEN 'b_lt_60s'
+      |    WHEN gap_us < 600000000 THEN 'c_lt_10m'
+      |    WHEN gap_us < 3600000000 THEN 'd_lt_1h'
+      |    ELSE 'e_ge_1h' END AS gap_bucket, user_id
+      |  FROM seq WHERE gap_us IS NOT NULL
+      |), cells AS (
+      |  SELECT gap_bucket, count(*)::BIGINT AS n_gaps,
+      |    count(DISTINCT user_id)::BIGINT AS n_users
+      |  FROM g GROUP BY 1
+      |), tot AS (SELECT sum(n_gaps)::BIGINT AS n_tot FROM cells)
+      |SELECT gap_bucket, n_gaps, n_users,
+      |  ((n_gaps * 10000) // tot.n_tot)::BIGINT AS share_bp
+      |FROM cells CROSS JOIN tot ORDER BY gap_bucket""".stripMargin
+
   def transitionMatrixSql: String =
     """WITH seq AS (
       |  SELECT user_id, event_type AS to_type,

@@ -726,6 +726,85 @@ object TextAnalysis {
        |FROM fin WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  // ---- X54: quality-score component attribution (q128) --------------------
+
+  /** X54 quality attribution (q128): WHY a language's quality mass is
+    * what it is — the per-language mean of each of the four q17 score
+    * components (length saturation, type-token ratio, stopword
+    * complement, word-length saturation) in exact micro-units, next to
+    * the composite. A curation policy debugging a sagging language
+    * reads this instead of re-deriving the scorer: if `avg_ttr_micro`
+    * collapsed, the corpus went repetitive; if `avg_len_micro` did,
+    * it went short. Each component is rounded to the 1e-6 grid per row
+    * and lifted to an integer BEFORE summing (the q89/q103 device), so
+    * every mean is an order-free integer quotient.
+    *
+    * Scale posture: one narrow scan (the same fused token pass as q17)
+    * into a |langs|-row rollup with map-side combine. Nothing else. */
+  def qualityComponents(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val ntok = size(t).cast("double")
+    val c1 = least(ntok / 50.0, lit(1.0))
+    val c2 = size(array_distinct(t)).cast("double") / ntok
+    val c3 = lit(1.0) - hitCount(col("text"), Stopwords).cast("double") / ntok
+    val c4 = least(((length(col("text")).cast("double") - (ntok - 1)) / ntok)
+      / 6.0, lit(1.0))
+    def micro(name: String) = expr(s"cast(round($name * 1000000) as bigint)")
+    val base = Tables.documents(spark, dir)
+      .select(col("lang"),
+        round(c1, 6).as("c1"), round(c2, 6).as("c2"),
+        round(c3, 6).as("c3"), round(c4, 6).as("c4"),
+        round(qualityScore(col("text")), 6).as("q"))
+      .select(col("lang"),
+        micro("c1").as("m1"), micro("c2").as("m2"),
+        micro("c3").as("m3"), micro("c4").as("m4"),
+        micro("q").as("mq"))
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("m1")).as("s1"), sum(col("m2")).as("s2"),
+        sum(col("m3")).as("s3"), sum(col("m4")).as("s4"),
+        sum(col("mq")).as("sq"))
+      .select(col("lang"), col("n_docs"),
+        expr("s1 div n_docs").as("avg_len_micro"),
+        expr("s2 div n_docs").as("avg_ttr_micro"),
+        expr("s3 div n_docs").as("avg_stop_micro"),
+        expr("s4 div n_docs").as("avg_wordlen_micro"),
+        expr("sq div n_docs").as("avg_q_micro"))
+      .orderBy(col("lang"))
+  }
+
+  def qualityComponentsSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT lang,
+       |    CAST(round(round(least(ntok / 50.0, 1.0), 6) * 1000000) AS BIGINT) AS m1,
+       |    CAST(round(round(uniq / ntok, 6) * 1000000) AS BIGINT) AS m2,
+       |    CAST(round(round(1.0 - (stops / ntok), 6) * 1000000) AS BIGINT) AS m3,
+       |    CAST(round(round(least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      * 1000000) AS BIGINT) AS m4,
+       |    CAST(round(round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      * 1000000) AS BIGINT) AS mq
+       |  FROM (
+       |    SELECT lang,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT lang, text, string_split(lower(text), ' ') AS t
+       |          FROM documents))
+       |)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  (sum(m1) // count(*))::BIGINT AS avg_len_micro,
+       |  (sum(m2) // count(*))::BIGINT AS avg_ttr_micro,
+       |  (sum(m3) // count(*))::BIGINT AS avg_stop_micro,
+       |  (sum(m4) // count(*))::BIGINT AS avg_wordlen_micro,
+       |  (sum(mq) // count(*))::BIGINT AS avg_q_micro
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---- X14: vocabulary build + OOV audit (q85) ----------------------------
 
   /** Vocabulary cutoff for [[vocabOov]] — deliberately below the corpus's

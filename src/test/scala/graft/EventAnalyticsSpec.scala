@@ -65,6 +65,34 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("session gaps (q127): buckets cover every consecutive gap, recomputed exactly") {
+    val rows = EventAnalytics.sessionGaps(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // gap universe = events minus one per active user (the q122 identity)
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectedGaps = ev.length - ev.map(_._1).distinct.length
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == expectedGaps.toLong)
+    // driver-side bucket recomputation
+    def bucket(g: Long): String =
+      if (g < 10000000L) "a_lt_10s" else if (g < 60000000L) "b_lt_60s"
+      else if (g < 600000000L) "c_lt_10m" else if (g < 3600000000L) "d_lt_1h"
+      else "e_ge_1h"
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val o = es.sortBy(e => (e._2, e._3)).map(_._2)
+      o.zip(o.tail).map { case (a, b) => (u, bucket(b - a)) }
+    }
+    val byBucket = gaps.groupBy(_._2)
+    val tot = gaps.length.toLong
+    rows.foreach { r =>
+      val b = r.getAs[String]("gap_bucket")
+      assert(r.getAs[Long]("n_gaps") == byBucket(b).length.toLong)
+      assert(r.getAs[Long]("n_users") == byBucket(b).map(_._1).distinct.length.toLong)
+      assert(r.getAs[Long]("share_bp") == r.getAs[Long]("n_gaps") * 10000 / tot)
+    }
+  }
+
   test("retention: day-0 count equals cohort size; counts never exceed it") {
     val r = EventAnalytics.retention(spark, sf0001).collect()
     assert(r.nonEmpty)

@@ -285,6 +285,30 @@ class TextAnalysisSpec extends SparkSpec {
       "term-free doc must be absent from the fusion")
   }
 
+  test("quality attribution (q128): components average to the composite within rounding dust") {
+    val rows = TextAnalysis.qualityComponents(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = Seq("avg_len_micro", "avg_ttr_micro", "avg_stop_micro",
+        "avg_wordlen_micro").map(r.getAs[Long])
+      // every component lives on [0, 1] in micro-units
+      parts.foreach(p => assert(p >= 0L && p <= 1000000L, s"component $p out of range"))
+      // q = 0.25·Σ components: the averaged composite must sit within
+      // per-doc rounding dust of the averaged component mean
+      val fromParts = parts.sum / 4
+      val q = r.getAs[Long]("avg_q_micro")
+      assert(math.abs(q - fromParts) <= 2L,
+        s"${r.getAs[String]("lang")}: composite $q vs components $fromParts")
+    }
+    // attribution must reconcile with the q17 per-lang averages
+    val q17 = TextAnalysis.qualityByLang(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("avg_quality")).toMap
+    rows.foreach { r =>
+      val avg = r.getAs[Long]("avg_q_micro") / 1000000.0
+      assert(math.abs(avg - q17(r.getAs[String]("lang"))) < 0.001)
+    }
+  }
+
   test("vocab election: OOV decomposes exactly and per-lang in-vocab distinct <= V") {
     val rows = TextAnalysis.vocabOov(spark, sf0001).collect()
     assert(rows.nonEmpty)
