@@ -118,7 +118,11 @@ object PlanAudit {
     // table against its own broadcast (the q108 windowless device)
     "q126_threshold_curve",
     // q127 crosses the ≤5-row gap-bucket table with its broadcast total
-    "q127_session_gaps")
+    "q127_session_gaps",
+    // q129/q130 cross their ≤|sources|²-cell / ≤5-bucket tables with a
+    // broadcast 1-row total (the q121/q122 shape)
+    "q129_dup_flow",
+    "q130_conversion_latency")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -220,7 +220,10 @@ object SparkEntry {
     "q125_list_occupancy" -> ((s, d) => Similarity.listOccupancy(s, d)),
     "q126_threshold_curve" -> ((s, d) => Dedup.thresholdSensitivity(s, d)),
     "q127_session_gaps" -> ((s, d) => EventAnalytics.sessionGaps(s, d)),
-    "q128_quality_attribution" -> ((s, d) => TextAnalysis.qualityComponents(s, d))
+    "q128_quality_attribution" -> ((s, d) => TextAnalysis.qualityComponents(s, d)),
+    "q129_dup_flow" -> ((s, d) => Dedup.dupFlowMatrix(s, d)),
+    "q130_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(s, d)),
+    "q131_norm_audit" -> ((s, d) => Similarity.normAudit(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -355,6 +358,9 @@ object SparkEntry {
     "q125_list_occupancy" -> Similarity.listOccupancySql,
     "q126_threshold_curve" -> Dedup.thresholdSensitivitySql,
     "q127_session_gaps" -> EventAnalytics.sessionGapsSql,
-    "q128_quality_attribution" -> TextAnalysis.qualityComponentsSql
+    "q128_quality_attribution" -> TextAnalysis.qualityComponentsSql,
+    "q129_dup_flow" -> Dedup.dupFlowMatrixSql(),
+    "q130_conversion_latency" -> EventAnalytics.conversionLatencySql,
+    "q131_norm_audit" -> Similarity.normAuditSql
   )
 }

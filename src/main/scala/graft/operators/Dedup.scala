@@ -1241,6 +1241,74 @@ object Dedup {
        |FROM pe a JOIN pe b ON b.est_jaccard >= a.est_jaccard
        |GROUP BY 1, 2 ORDER BY a.est_jaccard""".stripMargin
 
+  // ---- X56: cross-source duplicate-flow matrix (q129) ---------------------
+
+  /** X56 duplicate-flow matrix (q129): WHERE the redundancy comes from —
+    * the thresholded near-dup pairs (the q20 merge set) rolled up by
+    * unordered source pair, with the share of all pairs in basis points
+    * and the within/cross flag. A mostly-diagonal matrix means sources
+    * re-publish themselves (dedup within provenance); heavy off-diagonal
+    * cells name the source pairs that mirror each other — the
+    * provenance-forensics table behind a crawl-policy decision ("stop
+    * crawling B, it's A re-hosted").
+    *
+    * Scale posture: reuses the PlanCache'd candidate-pair table; two
+    * keyed joins pull an 8-byte source tag per endpoint (never text);
+    * the rollup is ≤ |sources|² cells with map-side combine plus the
+    * broadcast 1-row total. */
+  def dupFlowMatrix(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val cells = graft.PlanCache.cached(spark,
+      s"dedup.dupFlow:$threshold:$dir") {
+      minhashPairs(spark, dir, threshold)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+    val tot = cells.agg(sum(col("n_pairs")).as("n_tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("source_a"), col("source_b"),
+        (col("source_a") =!= col("source_b")).as("cross_source"),
+        col("n_pairs"),
+        expr("n_pairs * 10000 div n_tot").as("share_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def dupFlowMatrixSql(threshold: Double = 0.5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig, mh
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |  WHERE round(list_sum([CASE WHEN x.mh[i+1] = y.mh[i+1] THEN 1 ELSE 0 END
+       |                        for i in range(0, $kMinhash)]) / $kMinhash.0, 4)
+       |    >= $threshold
+       |), cells AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b,
+       |    count(*)::BIGINT AS n_pairs
+       |  FROM cand
+       |  JOIN documents da ON da.doc_id = cand.doc_a
+       |  JOIN documents db ON db.doc_id = cand.doc_b
+       |  GROUP BY 1, 2
+       |), tot AS (SELECT sum(n_pairs)::BIGINT AS n_tot FROM cells)
+       |SELECT source_a, source_b, (source_a <> source_b) AS cross_source,
+       |  n_pairs, ((n_pairs * 10000) // tot.n_tot)::BIGINT AS share_bp
+       |FROM cells CROSS JOIN tot ORDER BY source_a, source_b""".stripMargin
+
   // ---- X20: contrastive-pair extraction (q91) -----------------------------
 
   /** X20 contrastive positive-pair extraction (q91): every near-dup

@@ -133,6 +133,68 @@ object EventAnalytics {
       |FROM e JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_day, activity_day""".stripMargin
 
+  /** Conversion-latency distribution (q130): for every user whose FIRST
+    * purchase is at-or-after their FIRST signup (the q58 first-touch
+    * rule, inclusive ties), the signup→purchase latency bucketed by
+    * duration — the time-to-convert histogram next to the funnel's
+    * step counts. Per bucket: converting users and share in basis
+    * points. Latencies are exact integer µs differences on the
+    * µs-truncated timeline.
+    *
+    * Scale posture: one conditional-min collapse per user (the q58
+    * shape — partial+final around ONE user_id exchange, no join against
+    * the raw log), then a ≤5-row bucket rollup + broadcast total. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"events.convLatency:$dir") {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+            .as("s_us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("p_us"))
+        .filter(col("s_us").isNotNull && col("p_us").isNotNull &&
+          col("p_us") >= col("s_us"))
+        .withColumn("lat_us", col("p_us") - col("s_us"))
+        .groupBy(
+          when(col("lat_us") < 86400000000L, "a_lt_1d")
+            .when(col("lat_us") < 259200000000L, "b_1_3d")
+            .when(col("lat_us") < 604800000000L, "c_3_7d")
+            .when(col("lat_us") < 1209600000000L, "d_7_14d")
+            .otherwise("e_ge_14d").as("latency_bucket"))
+        .agg(count(lit(1)).as("n_users"))
+    }
+    val tot = cells.agg(sum(col("n_users")).as("n_tot"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("latency_bucket"), col("n_users"),
+        expr("n_users * 10000 div n_tot").as("share_bp"))
+      .orderBy(col("latency_bucket"))
+  }
+
+  def conversionLatencySql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup'
+      |        THEN epoch_us(ts::TIMESTAMP) END) AS s_us,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts::TIMESTAMP) END) AS p_us
+      |  FROM events GROUP BY user_id
+      |), lat AS (
+      |  SELECT p_us - s_us AS lat_us FROM per_user
+      |  WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+      |), cells AS (
+      |  SELECT CASE WHEN lat_us < 86400000000 THEN 'a_lt_1d'
+      |    WHEN lat_us < 259200000000 THEN 'b_1_3d'
+      |    WHEN lat_us < 604800000000 THEN 'c_3_7d'
+      |    WHEN lat_us < 1209600000000 THEN 'd_7_14d'
+      |    ELSE 'e_ge_14d' END AS latency_bucket,
+      |    count(*)::BIGINT AS n_users
+      |  FROM lat GROUP BY 1
+      |), tot AS (SELECT sum(n_users)::BIGINT AS n_tot FROM cells)
+      |SELECT latency_bucket, n_users,
+      |  ((n_users * 10000) // tot.n_tot)::BIGINT AS share_bp
+      |FROM cells CROSS JOIN tot ORDER BY latency_bucket""".stripMargin
+
   /** User-journey transition matrix (q122): for every user's event
     * sequence in (event-time, event_id) order, count each consecutive
     * (from_type → to_type) step — the Markov-cell table session-flow

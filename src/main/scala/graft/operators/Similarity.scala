@@ -819,6 +819,49 @@ object Similarity {
        |  ((n_vecs * $KmClusters * 10000) // tot.n_tot)::BIGINT AS balance_bp
        |FROM lists CROSS JOIN tot ORDER BY cid""".stripMargin
 
+  /** X57 embedding norm audit (q131): per label — vector count and the
+    * min/max/mean SQUARED norm in exact 1e-8 integer units. The
+    * pre-index sanity check every vector pipeline runs: an ANN index
+    * built on unnormalized embeddings silently ranks by magnitude, and
+    * a label whose norm band diverges from the rest signals a broken
+    * embedder batch. Components lift to exact 1e-4 integers per
+    * dimension BEFORE squaring (the q107 device), so every sum is
+    * order-free and both engines agree bit-for-bit — no float norm ever
+    * crosses engines.
+    *
+    * Scale posture: one narrow scan, a per-row 64-term integer fold
+    * (whole-stage codegen'd HOF), |labels|-row rollup with map-side
+    * combine. */
+  def normAudit(spark: SparkSession, dir: String): DataFrame = {
+    val xi = transform(col("embedding"),
+      x => round(x.cast("double") * 10000, 0).cast("long"))
+    val n2 = aggregate(xi, lit(0L), (acc, v) => acc + v * v)
+    Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), n2.as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("n2")).as("min_norm2_e8"),
+        max(col("n2")).as("max_norm2_e8"),
+        sum(col("n2")).as("s2"))
+      .select(col("label"), col("n_vecs"), col("min_norm2_e8"),
+        col("max_norm2_e8"), expr("s2 div n_vecs").as("avg_norm2_e8"))
+      .orderBy(col("label"))
+  }
+
+  def normAuditSql: String =
+    s"""WITH v AS (
+       |  SELECT label::BIGINT AS label,
+       |    list_sum(list_transform(embedding, x ->
+       |      CAST(round(x::DOUBLE * 10000) AS BIGINT) *
+       |      CAST(round(x::DOUBLE * 10000) AS BIGINT)))::BIGINT AS n2
+       |  FROM embeddings
+       |)
+       |SELECT label, count(*)::BIGINT AS n_vecs,
+       |  min(n2)::BIGINT AS min_norm2_e8,
+       |  max(n2)::BIGINT AS max_norm2_e8,
+       |  (sum(n2) // count(*))::BIGINT AS avg_norm2_e8
+       |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   def ivfMultiProbeTopKSql(k: Int = 5, nprobe: Int = 2): String =
     s"""WITH $kmeansCtes, q AS (
        |  SELECT vec_id AS query_id, v AS qv FROM a

@@ -11,6 +11,9 @@ import graft.functions.Sentiment
 case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 case class UserState(n: Long)
 case class UserCount(user_id: Long, n_events: Long)
+case class SeqEvent(user_id: Long, us: Long, event_id: Long, event_type: String)
+case class LastEvent(us: Long, event_id: Long, event_type: String)
+case class TransitionOut(user_id: Long, from_type: String, to_type: String)
 
 /** Spark-4 `StatefulProcessor` behind [[Pipeline.runningUserCountsTws]]:
   * one named `ValueState[Long]` per user, TTL declared per state variable
@@ -816,6 +819,39 @@ object Pipeline {
     events.groupByKey(_.user_id)
       .transformWithState(new UserCountProcessor(stateTtl),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** X49 streaming twin (q122): per-user journey-transition extraction —
+    * keyed state holds each user's LAST event (one tiny struct per
+    * active key), and every arriving batch emits the (from_type →
+    * to_type) steps it completes, chaining across micro-batches through
+    * the stored last event. Folding the emitted transitions reproduces
+    * the batch q122 cell counts exactly (spec-gated across a batch
+    * split). Events inside a batch are ordered by (event-time µs,
+    * event_id) — the q122 total order; ACROSS batches the source must
+    * deliver each user's events in order (the same contract every
+    * stateful sequence processor carries; a replay source and the
+    * per-key ordering of a keyed log both satisfy it).
+    *
+    * Scale: one user_id shuffle per batch; state is one (us, event_id,
+    * type) struct per active key, independent of history length. */
+  def transitionMonitor(events: org.apache.spark.sql.Dataset[SeqEvent])
+      : org.apache.spark.sql.Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+          val chain = state.getOption
+            .map(l => SeqEvent(uid, l.us, l.event_id, l.event_type)).toSeq ++ sorted
+          chain.lastOption.foreach(last =>
+            state.update(LastEvent(last.us, last.event_id, last.event_type)))
+          chain.zip(chain.drop(1))
+            .map { case (a, b) => TransitionOut(uid, a.event_type, b.event_type) }
+            .iterator
+      }
   }
 
   /** T4 (EXT): sessionization via the typed

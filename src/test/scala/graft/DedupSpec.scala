@@ -352,6 +352,28 @@ class DedupSpec extends SparkSpec {
     assert(atHalf == q20, s"curve says $atHalf pairs at t=0.5, q20 merges $q20")
   }
 
+  test("dup flow matrix (q129): cells cover every merge pair, sources recomputed exactly") {
+    val rows = Dedup.dupFlowMatrix(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // totals reconcile with the q20 merge set
+    val pairs = Dedup.minhashNearDup(spark, sf0001, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
+    // driver-side source attribution
+    val src = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val cell = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(r.getAs[Long]("n_pairs") == expect(cell), s"cell $cell")
+      assert(r.getAs[Boolean]("cross_source") == (cell._1 != cell._2))
+    }
+  }
+
   test("priority dedup: trusted source wins its group, scrape never survives") {
     import org.apache.spark.sql.functions._
     val kept = Dedup.priorityKept(spark, sf0001).collect()

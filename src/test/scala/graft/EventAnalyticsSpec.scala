@@ -93,6 +93,33 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("conversion latency (q130): converting users equal the funnel's last step, buckets exact") {
+    val rows = EventAnalytics.conversionLatency(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side recomputation of first-touch latencies
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val lats = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.filter(_._3 == "signup").map(_._2).minOption
+      val p = es.filter(_._3 == "purchase").map(_._2).minOption
+      (s, p) match {
+        case (Some(a), Some(b)) if b >= a => Some(b - a)
+        case _ => None
+      }
+    }.toSeq
+    def bucket(l: Long): String =
+      if (l < 86400000000L) "a_lt_1d" else if (l < 259200000000L) "b_1_3d"
+      else if (l < 604800000000L) "c_3_7d" else if (l < 1209600000000L) "d_7_14d"
+      else "e_ge_14d"
+    assert(rows.map(_.getAs[Long]("n_users")).sum == lats.length.toLong)
+    val byBucket = lats.groupBy(bucket).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") ==
+        byBucket(r.getAs[String]("latency_bucket")))
+    }
+  }
+
   test("retention: day-0 count equals cohort size; counts never exceed it") {
     val r = EventAnalytics.retention(spark, sf0001).collect()
     assert(r.nonEmpty)

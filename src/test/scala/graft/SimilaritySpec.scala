@@ -246,6 +246,30 @@ class SimilaritySpec extends SparkSpec {
       "fixture k-means must not collapse to one list")
   }
 
+  test("norm audit (q131): exact integer norms, recomputed driver-side") {
+    val rows = graft.operators.Similarity.normAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side exact recomputation on the lifted 1e-4 integers
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)
+        .map(x => BigDecimal(x * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        .map(i => i * i).sum))
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == vecs.length.toLong)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("label")
+      val n2s = byLabel(l).map(_._2)
+      assert(r.getAs[Long]("min_norm2_e8") == n2s.min)
+      assert(r.getAs[Long]("max_norm2_e8") == n2s.max)
+      assert(r.getAs[Long]("avg_norm2_e8") == n2s.sum / n2s.length)
+      assert(r.getAs[Long]("min_norm2_e8") > 0L,
+        "fixture vectors must have nonzero norm")
+    }
+  }
+
   test("label purity: partitions the corpus, margins consistent with misalignment") {
     val rows = Similarity.labelPurity(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==

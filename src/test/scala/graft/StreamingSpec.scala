@@ -1392,6 +1392,41 @@ class StreamingSpec extends SparkSpec {
       "the intake manifest must certify exactly the admitted rows")
   }
 
+  test("transition monitor: folded stream transitions equal the batch q122 cells across a batch split (X49 twin)") {
+    import spark.implicits._
+    import graft.streaming.SeqEvent
+    // per-user sequences delivered in order but SPLIT across two
+    // micro-batches mid-journey — the stored last event must chain them
+    val b1 = Seq(
+      SeqEvent(1L, 10L, 1L, "view"), SeqEvent(1L, 20L, 2L, "click"),
+      SeqEvent(2L, 15L, 3L, "signup"),
+      SeqEvent(3L, 5L, 4L, "view"))
+    val b2 = Seq(
+      SeqEvent(1L, 30L, 5L, "purchase"),
+      SeqEvent(2L, 25L, 6L, "view"), SeqEvent(2L, 35L, 7L, "purchase"),
+      SeqEvent(3L, 50L, 8L, "error"))
+    val mem = MemoryStream[SeqEvent]
+    val q = Pipeline.transitionMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("trans_mon")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("trans_mon").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // batch walk over the union — the q122 definition
+    val all = (b1 ++ b2).groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+      val o = es.sortBy(e => (e.us, e.event_id)).map(_.event_type)
+      o.zip(o.tail)
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == all, s"stream $got vs batch $all")
+    // the cross-batch chains specifically must exist
+    assert(got.contains(("click", "purchase")) && got.contains(("signup", "view")),
+      "transitions spanning the batch split must be emitted")
+  }
+
   test("drift monitor: window centroid cosine against the batch snapshot (X34 twin)") {
     import spark.implicits._
     val ex = Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
