@@ -69,6 +69,46 @@ class EdgeCaseSpec extends SparkSpec {
     dir
   }
 
+  test("temperature allocation on a single-language corpus is the identity") {
+    val dir = writeDocs(Seq((1L, "only one language here", "en", "src0"),
+      (2L, "more of the same language", "en", "src1")))
+    val r = graft.operators.Curation.temperatureAllocation(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("natural_bp") == 10000L)
+    assert(r.head.getAs[Long]("temp_bp") == 10000L)
+    assert(r.head.getAs[Long]("boost_bp") == 10000L)
+    assert(r.head.getAs[Long]("alloc_tokens") == r.head.getAs[Long]("n_tokens"))
+  }
+
+  test("snapshot near-dup intake with an all-odd corpus: empty index, everything fresh") {
+    val dir = writeDocs(Seq((1L, "aa bb cc dd", "en", "src0"),
+      (3L, "aa bb cc dd", "en", "src0"), (5L, "ee ff gg hh", "en", "src0")))
+    val r = graft.operators.Dedup.snapshotNearDupIntake(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("n_delta")).sum == 3L)
+    assert(r.forall(_.getAs[Long]("n_flagged") == 0L),
+      "no snapshot half -> nothing can be flagged")
+    assert(r.forall(row => row.getAs[Long]("n_fresh") == row.getAs[Long]("n_delta")))
+  }
+
+  test("threshold curve on an all-distinct corpus is empty, no error") {
+    // disjoint vocabularies -> no band collisions -> no candidate pairs
+    val dir = writeDocs(Seq((1L, "a1 a2 a3 a4 a5", "en", "src0"),
+      (2L, "b1 b2 b3 b4 b5", "en", "src0")))
+    assert(graft.operators.Dedup.thresholdSensitivity(spark, dir).collect().isEmpty)
+    // and the flow matrix over the same empty merge set is empty too
+    assert(graft.operators.Dedup.dupFlowMatrix(spark, dir).collect().isEmpty)
+  }
+
+  test("conversion latency with no converting users is empty, no error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_ev").toString
+    Seq((1L, 1000000000L, 1L, "view", 0.0, "{}"),
+      (2L, 2000000000L, 2L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(graft.operators.EventAnalytics.conversionLatency(spark, dir)
+      .collect().isEmpty)
+  }
+
   test("bm25 on a corpus with zero query-term hits returns zero rows, no error") {
     val dir = writeDocs(Seq((1L, "nothing matches here", "en", "src0")))
     assert(graft.operators.TextAnalysis.bm25TopK(spark, dir).collect().isEmpty)
