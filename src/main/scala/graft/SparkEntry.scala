@@ -223,7 +223,8 @@ object SparkEntry {
     "q128_quality_attribution" -> ((s, d) => TextAnalysis.qualityComponents(s, d)),
     "q129_dup_flow" -> ((s, d) => Dedup.dupFlowMatrix(s, d)),
     "q130_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(s, d)),
-    "q131_norm_audit" -> ((s, d) => Similarity.normAudit(s, d))
+    "q131_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
+    "q132_value_percentiles" -> ((s, d) => EventAnalytics.valuePercentiles(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,6 +362,7 @@ object SparkEntry {
     "q128_quality_attribution" -> TextAnalysis.qualityComponentsSql,
     "q129_dup_flow" -> Dedup.dupFlowMatrixSql(),
     "q130_conversion_latency" -> EventAnalytics.conversionLatencySql,
-    "q131_norm_audit" -> Similarity.normAuditSql
+    "q131_norm_audit" -> Similarity.normAuditSql,
+    "q132_value_percentiles" -> EventAnalytics.valuePercentilesSql
   )
 }

@@ -195,6 +195,59 @@ object EventAnalytics {
       |  ((n_users * 10000) // tot.n_tot)::BIGINT AS share_bp
       |FROM cells CROSS JOIN tot ORDER BY latency_bucket""".stripMargin
 
+  /** Exact value-percentile table (q132): per event_type, the exact
+    * discrete p50/p90/p99 of `value` on a 0.01 grid — the latency/value
+    * SLO table every event dashboard carries, computed with the q99
+    * histogram-election device so percentiles are EXACT integers-rank
+    * elections, not interpolated floats: the corpus collapses to a
+    * (type, rounded-value) histogram with map-side combine, and only
+    * histogram rows (bounded by the value grid, not the event count)
+    * are ever windowed. cutoff = min value whose cumulative count
+    * reaches ⌈p·n/100⌉ — both engines compute the identical rank
+    * arithmetic, where an interpolated percentile could drift by an ulp.
+    *
+    * Scale posture: at 100 TB the histogram stays |grid| rows per type
+    * while a sort-based percentile would single-task each type; the
+    * Spark-native `approx_percentile` sketch is the spec-gated
+    * cross-check, not the answer (sketches are engine-specific —
+    * a DuckDB oracle can never hash-match one). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("event_type"))
+    val cumW = byType.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_type"), round(col("value"), 2).as("v"))
+      .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .select(col("event_type"), col("v"), col("cum"), col("n"),
+        explode(array(Seq(50, 90, 99).map(p => lit(p.toLong)): _*)).as("pct"))
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col("event_type"), col("pct"))
+      .agg(min(col("v")).as("cutoff"), max(col("n")).as("n_events"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  def valuePercentilesSql: String =
+    """WITH h AS (
+      |  SELECT event_type, round(value, 2) AS v, count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, v,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h
+      |), x AS (
+      |  SELECT c.event_type, c.v, c.cum, c.n, p.pct
+      |  FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+      |  WHERE c.cum >= (p.pct * c.n + 99) // 100
+      |)
+      |SELECT event_type, pct::BIGINT AS pct, min(v) AS cutoff,
+      |  max(n)::BIGINT AS n_events
+      |FROM x GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin
+
   /** User-journey transition matrix (q122): for every user's event
     * sequence in (event-time, event_id) order, count each consecutive
     * (from_type → to_type) step — the Markov-cell table session-flow
