@@ -224,7 +224,8 @@ object SparkEntry {
     "q129_dup_flow" -> ((s, d) => Dedup.dupFlowMatrix(s, d)),
     "q130_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(s, d)),
     "q131_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
-    "q132_value_percentiles" -> ((s, d) => EventAnalytics.valuePercentiles(s, d))
+    "q132_value_percentiles" -> ((s, d) => EventAnalytics.valuePercentiles(s, d)),
+    "q133_manifest_delta" -> ((s, d) => Dedup.dedupManifestDelta(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -363,6 +364,7 @@ object SparkEntry {
     "q129_dup_flow" -> Dedup.dupFlowMatrixSql(),
     "q130_conversion_latency" -> EventAnalytics.conversionLatencySql,
     "q131_norm_audit" -> Similarity.normAuditSql,
-    "q132_value_percentiles" -> EventAnalytics.valuePercentilesSql
+    "q132_value_percentiles" -> EventAnalytics.valuePercentilesSql,
+    "q133_manifest_delta" -> Dedup.dedupManifestDeltaSql()
   )
 }

@@ -1309,6 +1309,80 @@ object Dedup {
        |  n_pairs, ((n_pairs * 10000) // tot.n_tot)::BIGINT AS share_bp
        |FROM cells CROSS JOIN tot ORDER BY source_a, source_b""".stripMargin
 
+  // ---- X60: dedup manifest delta (q133) -----------------------------------
+
+  /** X60 dedup manifest delta (q133): the per-shard certificate of WHAT
+    * a dedup pass dropped — the q115 manifest of the full corpus next to
+    * the manifest of the kept one-representative-per-cluster corpus
+    * (q123's decision), with the dropped count and the XOR DELTA
+    * (xor_full ⊕ xor_kept). Because xor is its own inverse, the delta
+    * IS the order-invariant certificate of the dropped set: a consumer
+    * holding the old manifest and this table can verify the new
+    * materialization without re-reading either corpus — the manifest
+    * algebra that makes shipping dedup deltas auditable at 100 TB.
+    *
+    * Scale posture: reuses the PlanCache'd label chain; both manifests
+    * are the q115 shape (narrow scan → nShards-row xor/count agg with
+    * map-side combine); the diff is an nShards-row join. */
+  def dedupManifestDelta(spark: SparkSession, dir: String,
+                         nShards: Int = 16, seed: Long = 42,
+                         threshold: Double = 0.5,
+                         rounds: Int = 6): DataFrame = {
+    val skey = TextHash.h1(concat(lit(s"shuf:$seed:"), col("doc_id").cast("string")))
+    val sig = TextHash.h1(concat(col("doc_id").cast("string"), lit(":"),
+      sha2(col("text").cast("binary"), 256)))
+    def manifest(docs: DataFrame): DataFrame = docs
+      .select(pmod(skey, lit(nShards.toLong)).as("shard"), sig.as("sig"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(sig)").as("x"))
+    val docs = Tables.documents(spark, dir)
+    val members = dedupClusterAssignments(spark, dir, threshold, rounds)
+      .select(col("doc_id"), col("label"))
+    val keptIds = docs.select(col("doc_id"))
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .unionByName(members)
+      .filter(col("doc_id") === col("label"))
+      .select(col("doc_id"))
+    val full = manifest(docs)
+      .select(col("shard"), col("n").as("n_full"), col("x").as("x_full"))
+    val kept = manifest(docs.join(keptIds, Seq("doc_id")))
+      .select(col("shard"), col("n").as("n_kept"), col("x").as("x_kept"))
+    full.join(kept, Seq("shard"), "left")
+      .select(col("shard"), col("n_full"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_full") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        // a shard with no kept docs has kept-xor 0 (xor identity)
+        expr("x_full ^ coalesce(x_kept, 0)").as("xor_delta"))
+      .orderBy(col("shard"))
+  }
+
+  def dedupManifestDeltaSql(nShards: Int = 16, seed: Long = 42,
+                            threshold: Double = 0.5,
+                            rounds: Int = 6): String =
+    s"""WITH ${labelPropagationCtes(threshold, rounds)}, d AS (
+       |  SELECT doc_id,
+       |    ${TextHash.h1Sql(s"'shuf:$seed:' || doc_id::VARCHAR")}
+       |      % $nShards AS shard,
+       |    ${TextHash.h1Sql("doc_id::VARCHAR || ':' || sha256(text)")} AS sig
+       |  FROM documents
+       |), full_m AS (
+       |  SELECT shard, count(*)::BIGINT AS n_full,
+       |    bit_xor(sig)::BIGINT AS x_full
+       |  FROM d GROUP BY shard
+       |), kept_m AS (
+       |  SELECT d.shard, count(*)::BIGINT AS n_kept,
+       |    bit_xor(d.sig)::BIGINT AS x_kept
+       |  FROM l$rounds l JOIN d USING (doc_id)
+       |  WHERE l.doc_id = l.label GROUP BY d.shard
+       |)
+       |SELECT f.shard, f.n_full,
+       |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       |  (f.n_full - coalesce(k.n_kept, 0))::BIGINT AS n_dropped,
+       |  xor(f.x_full, coalesce(k.x_kept, 0))::BIGINT AS xor_delta
+       |FROM full_m f LEFT JOIN kept_m k USING (shard)
+       |ORDER BY f.shard""".stripMargin
+
   // ---- X20: contrastive-pair extraction (q91) -----------------------------
 
   /** X20 contrastive positive-pair extraction (q91): every near-dup

@@ -374,6 +374,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("manifest delta (q133): the xor delta is exactly the dropped set's certificate") {
+    val rows = Dedup.dedupManifestDelta(spark, sf0001).collect()
+    assert(rows.length == 16)
+    // totals reconcile with the q123 effective-size decision
+    val eff = Dedup.effectiveSize(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_full")).sum ==
+      eff.map(_.getAs[Long]("n_docs")).sum)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum ==
+      eff.map(_.getAs[Long]("n_kept")).sum)
+    // the certificate property: per shard, xor over the DROPPED docs'
+    // signatures (recomputed independently) equals the published delta
+    val kept = Dedup.dedupClusterAssignments(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("label")))
+    val keptSet = {
+      val members = kept.map(_._1).toSet
+      val reps = kept.filter(t => t._1 == t._2).map(_._1).toSet
+      (id: Long) => !members.contains(id) || reps.contains(id)
+    }
+    val dropped = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.TextHash.h1(concat(lit("shuf:42:"),
+          col("doc_id").cast("string"))).as("skey"),
+        graft.functions.TextHash.h1(concat(col("doc_id").cast("string"),
+          lit(":"), sha2(col("text").cast("binary"), 256))).as("sig"))
+      .collect()
+      .filter(r => !keptSet(r.getAs[Long]("doc_id")))
+      .map(r => (r.getAs[Long]("skey") % 16, r.getAs[Long]("sig")))
+    val deltaByShard = dropped.groupBy(_._1).view
+      .mapValues(_.map(_._2).foldLeft(0L)(_ ^ _)).toMap
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shard")
+      assert(r.getAs[Long]("xor_delta") == deltaByShard.getOrElse(sh, 0L),
+        s"shard $sh delta must certify exactly the dropped docs")
+      assert(r.getAs[Long]("n_dropped") ==
+        dropped.count(_._1 == sh).toLong)
+    }
+  }
+
   test("priority dedup: trusted source wins its group, scrape never survives") {
     import org.apache.spark.sql.functions._
     val kept = Dedup.priorityKept(spark, sf0001).collect()
