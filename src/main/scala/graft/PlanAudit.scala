@@ -122,7 +122,10 @@ object PlanAudit {
     // q129/q130 cross their ≤|sources|²-cell / ≤5-bucket tables with a
     // broadcast 1-row total (the q121/q122 shape)
     "q129_dup_flow",
-    "q130_conversion_latency")
+    "q130_conversion_latency",
+    // q134 crosses the support-floored candidate table with the
+    // broadcast SINGLE-ROW token total (the q53/q84 scalar shape)
+    "q134_collocations")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

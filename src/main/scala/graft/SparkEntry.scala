@@ -225,7 +225,8 @@ object SparkEntry {
     "q130_conversion_latency" -> ((s, d) => EventAnalytics.conversionLatency(s, d)),
     "q131_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
     "q132_value_percentiles" -> ((s, d) => EventAnalytics.valuePercentiles(s, d)),
-    "q133_manifest_delta" -> ((s, d) => Dedup.dedupManifestDelta(s, d))
+    "q133_manifest_delta" -> ((s, d) => Dedup.dedupManifestDelta(s, d)),
+    "q134_collocations" -> ((s, d) => TextAnalysis.collocations(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -365,6 +366,7 @@ object SparkEntry {
     "q130_conversion_latency" -> EventAnalytics.conversionLatencySql,
     "q131_norm_audit" -> Similarity.normAuditSql,
     "q132_value_percentiles" -> EventAnalytics.valuePercentilesSql,
-    "q133_manifest_delta" -> Dedup.dedupManifestDeltaSql()
+    "q133_manifest_delta" -> Dedup.dedupManifestDeltaSql(),
+    "q134_collocations" -> TextAnalysis.collocationsSql()
   )
 }

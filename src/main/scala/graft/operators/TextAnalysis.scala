@@ -805,6 +805,90 @@ object TextAnalysis {
        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- X61: collocation mining by integer lift (q134) ---------------------
+
+  /** Minimum pair occurrences before a bigram is a collocation
+    * candidate — the standard support floor that keeps rare-pair noise
+    * (and the candidate table) out. */
+  val CollocMinCount = 5
+
+  /** X61 collocation extraction (q134): the top-k adjacent word pairs by
+    * LIFT — observed pair frequency over the independence expectation,
+    * c_xy·N / (c_x·c_y), the ratio inside PMI. Computed as an exact
+    * integer in basis points (10000 = independent; the log wrapper is
+    * monotone, so ranking by lift IS ranking by PMI and no `ln` ever
+    * crosses engines). Ties break (lift desc, bigram asc). The phrase-
+    * mining primitive a tokenizer's merge list or a stop-phrase list is
+    * seeded from.
+    *
+    * Scale posture: unigram and bigram occurrence streams come from ONE
+    * TaggedGrams kernel pass (the q49/q67 device); the support floor
+    * prunes the candidate table BEFORE the two unigram joins (keyed on
+    * the word, never positional); the final ranking is the bounded-heap
+    * [[graft.functions.TopKTerms]] two-phase aggregate — the bigram
+    * vocabulary is never sorted. */
+  def collocations(spark: SparkSession, dir: String,
+                   minCount: Int = CollocMinCount, k: Int = 20): DataFrame = {
+    val g = graft.PlanCache.cached(spark, s"textanalysis.collocGrams:$dir") {
+      Tables.documents(spark, dir)
+        .select(explode(graft.functions.HashExpressions.taggedGrams(col("text")))
+          .as("g"))
+    }
+    val uni = g.filter(col("g").startsWith("t:"))
+      .select(col("g").substr(lit(3), length(col("g"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum(col("cu")).as("n_tok"))
+    val bi = g.filter(col("g").startsWith("b:"))
+      .select(col("g").substr(lit(3), length(col("g"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    val lifted = bi
+      .withColumn("w1", split(col("bigram"), " ")(0))
+      .withColumn("w2", split(col("bigram"), " ")(1))
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("cb"),
+        expr("cast(cb as decimal(38,0)) * n_tok * 10000 div " +
+          "(cast(c1 as decimal(38,0)) * c2)").cast("long").as("lift_bp"))
+    val topk = udaf(new graft.functions.TopKTerms(k))
+    lifted.agg(topk(col("lift_bp"), col("bigram")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("bigram"), col("h.cnt").as("lift_bp"))
+      .join(bi, Seq("bigram"))
+      .select(col("rank"), col("bigram"), col("cb").as("n_pair"), col("lift_bp"))
+      .orderBy(col("rank"))
+  }
+
+  def collocationsSql(minCount: Int = CollocMinCount, k: Int = 20): String =
+    s"""WITH base AS (
+       |  SELECT string_split(lower(text), ' ') AS t FROM documents
+       |), uni AS (
+       |  SELECT w, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(t) AS w FROM base) GROUP BY w
+       |), n AS (SELECT sum(cu)::BIGINT AS n_tok FROM uni),
+       |bi AS (
+       |  SELECT bg AS bigram, count(*)::BIGINT AS cb
+       |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bg FROM base)
+       |  GROUP BY bg HAVING count(*) >= $minCount
+       |), lifted AS (
+       |  SELECT bi.bigram, bi.cb,
+       |    ((bi.cb * n.n_tok * 10000) //
+       |      (u1.cu * u2.cu))::BIGINT AS lift_bp
+       |  FROM bi
+       |  JOIN uni u1 ON u1.w = string_split(bi.bigram, ' ')[1]
+       |  JOIN uni u2 ON u2.w = string_split(bi.bigram, ' ')[2]
+       |  CROSS JOIN n
+       |), r AS (
+       |  SELECT bigram, cb, lift_bp,
+       |    row_number() OVER (ORDER BY lift_bp DESC, bigram) AS rank
+       |  FROM lifted
+       |)
+       |SELECT rank::BIGINT AS rank, bigram, cb AS n_pair, lift_bp
+       |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
   // ---- X14: vocabulary build + OOV audit (q85) ----------------------------
 
   /** Vocabulary cutoff for [[vocabOov]] — deliberately below the corpus's

@@ -309,6 +309,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("collocations (q134): lift recomputed exactly, floor respected, ranking total") {
+    val rows = TextAnalysis.collocations(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side recomputation of unigram/bigram counts and lift
+    val texts = Tables.documents(spark, sf0001)
+      .select(lower(col("text"))).collect().map(_.getString(0).split(" ", -1))
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = texts.map(_.length.toLong).sum
+    val bi = texts.flatMap(t => t.zip(t.tail).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val bg = r.getAs[String]("bigram")
+      val Array(w1, w2) = bg.split(" ")
+      val cb = bi(bg)
+      assert(cb >= TextAnalysis.CollocMinCount.toLong)
+      assert(r.getAs[Long]("n_pair") == cb)
+      val lift = (BigInt(cb) * nTok * 10000 / (BigInt(uni(w1)) * uni(w2))).toLong
+      assert(r.getAs[Long]("lift_bp") == lift, s"bigram $bg")
+    }
+    // ranking is total on (lift desc, bigram asc)
+    val keys = rows.map(r => (-r.getAs[Long]("lift_bp"), r.getAs[String]("bigram")))
+    assert(keys.sameElements(keys.sorted))
+    // the heap's top-k equals the full ranking's top-k, recomputed
+    val full = bi.filter(_._2 >= TextAnalysis.CollocMinCount)
+      .map { case (bg, cb) =>
+        val Array(a, b) = bg.split(" ")
+        (bg, (BigInt(cb) * nTok * 10000 / (BigInt(uni(a)) * uni(b))).toLong)
+      }.toSeq.sortBy { case (bg, l) => (-l, bg) }.take(rows.length)
+    assert(rows.map(_.getAs[String]("bigram")).toSeq == full.map(_._1))
+  }
+
   test("vocab election: OOV decomposes exactly and per-lang in-vocab distinct <= V") {
     val rows = TextAnalysis.vocabOov(spark, sf0001).collect()
     assert(rows.nonEmpty)
