@@ -125,7 +125,10 @@ object PlanAudit {
     "q130_conversion_latency",
     // q134 crosses the support-floored candidate table with the
     // broadcast SINGLE-ROW token total (the q53/q84 scalar shape)
-    "q134_collocations")
+    "q134_collocations",
+    // q135 crosses the ≤k-row heap output with the broadcast 1-row
+    // key-count stats
+    "q135_skew_keys")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

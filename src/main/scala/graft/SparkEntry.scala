@@ -226,7 +226,8 @@ object SparkEntry {
     "q131_norm_audit" -> ((s, d) => Similarity.normAudit(s, d)),
     "q132_value_percentiles" -> ((s, d) => EventAnalytics.valuePercentiles(s, d)),
     "q133_manifest_delta" -> ((s, d) => Dedup.dedupManifestDelta(s, d)),
-    "q134_collocations" -> ((s, d) => TextAnalysis.collocations(s, d))
+    "q134_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "q135_skew_keys" -> ((s, d) => graft.operators.Scale.skewKeys(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -367,6 +368,7 @@ object SparkEntry {
     "q131_norm_audit" -> Similarity.normAuditSql,
     "q132_value_percentiles" -> EventAnalytics.valuePercentilesSql,
     "q133_manifest_delta" -> Dedup.dedupManifestDeltaSql(),
-    "q134_collocations" -> TextAnalysis.collocationsSql()
+    "q134_collocations" -> TextAnalysis.collocationsSql(),
+    "q135_skew_keys" -> graft.operators.Scale.skewKeysSql()
   )
 }

@@ -126,4 +126,53 @@ object Scale {
       |  sum(l_quantity) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Join-key skew election (q136): the top-k hottest `l_partkey` values
+    * with each key's row count and skew factor (count × n_keys ÷ total,
+    * basis points; 10000 = perfectly even) — the measurement that
+    * decides WHETHER [[saltedJoin]] is needed and WHICH keys to salt,
+    * read before a fact⋈fact join instead of discovering the hot key
+    * from a stalled stage. A key at skew_bp ≫ 10000 is the stage
+    * straggler salting (or AQE skew-join) must break up.
+    *
+    * Scale posture: per-key counts ride map-side combine on the fact
+    * scan; the election is the bounded-heap
+    * [[graft.functions.TopKHits]] two-phase aggregate (the key space of
+    * a 100 TB fact table never sorts); the stats fold is one row,
+    * broadcast back. */
+  def skewKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+               k: Int = 10): DataFrame = {
+    val counts = graft.PlanCache.cached(spark, s"scale.partkeyCounts:$dir") {
+      graft.Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    }
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"))
+    val topk = udaf(new graft.functions.TopKHits(k))
+    counts.agg(topk(col("cnt").cast("double"), col("l_partkey")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.vec_id").as("l_partkey"),
+        col("h.cosine").cast("long").as("cnt"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("l_partkey"), col("cnt"),
+        expr("cast(cnt as decimal(38,0)) * n_keys * 10000 div total")
+          .cast("long").as("skew_bp"))
+      .orderBy(col("rank"))
+  }
+
+  def skewKeysSql(k: Int = 10): String =
+    s"""WITH counts AS (
+       |  SELECT l_partkey, count(*)::BIGINT AS cnt
+       |  FROM lineitem GROUP BY l_partkey
+       |), stats AS (
+       |  SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS total
+       |  FROM counts
+       |), r AS (
+       |  SELECT l_partkey, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rank
+       |  FROM counts
+       |)
+       |SELECT rank::BIGINT AS rank, l_partkey, cnt,
+       |  ((cnt * stats.n_keys * 10000) // stats.total)::BIGINT AS skew_bp
+       |FROM r CROSS JOIN stats WHERE rank <= $k ORDER BY rank""".stripMargin
 }

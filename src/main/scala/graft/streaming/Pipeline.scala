@@ -674,6 +674,24 @@ object Pipeline {
         expr("bit_xor(sig)").as("content_xor"))
   }
 
+  /** X59 streaming twin (q132): per-(window, type, rounded-value)
+    * histogram of the incoming value stream — the bounded-state way to
+    * track exact percentiles on an unbounded stream: state is one row
+    * per (in-watermark window, type, 0.01-grid cell), bounded by the
+    * value grid, never the event count (a per-event buffer is exactly
+    * what a 100 TB intake cannot hold). A closed window's cells EQUAL
+    * the batch histogram over that window's rows (spec-gated), so the
+    * q132 rank election run over them yields the window's exact
+    * percentiles — the sketch-free SLO panel. */
+  def percentileMonitor(stream: DataFrame, eventTimeCol: String,
+                        windowLen: String = "1 minute",
+                        watermark: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen),
+        col("event_type"), round(col("value"), 2).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** X36 streaming twin: per-event-time-window count-min sketch of the
     * incoming token stream — the bounded-state way to track heavy
     * hitters on an unbounded stream: state is depth×width CELLS per

@@ -10,6 +10,27 @@ class ScaleSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("skew keys (q135): heap election equals the full ranking, skew algebra exact") {
+    val rows = Scale.skewKeys(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val counts = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nKeys = counts.length.toLong
+    val total = counts.map(_._2).sum
+    // heap top-k equals the (cnt desc, key asc) full ranking
+    val full = counts.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(rows.map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("cnt"))).toSeq
+      == full.toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("skew_bp") ==
+        (BigInt(r.getAs[Long]("cnt")) * nKeys * 10000 / total).toLong)
+      // a hot key is by definition above the even share
+      assert(r.getAs[Long]("skew_bp") >= 10000L,
+        "top keys must sit at or above the even share")
+    }
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")

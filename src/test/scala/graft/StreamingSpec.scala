@@ -26,6 +26,8 @@ case class EmbFixture(label: Long, embedding: Seq[Double], ts: java.sql.Timestam
 case class CuratedDocFixture(doc_id: Long, text: String, lang: String,
                              source: String, ts: Timestamp)
 
+case class ValueEventFixture(event_type: String, value: Double, ts: Timestamp)
+
 /** Streaming semantics (SURVEY.md §2.9 T1-T5, §5.4): stream/batch parity
   * on the SAME declarative transforms, watermarked dedup, stream-static
   * join, and exactly-once file-sink restart. */
@@ -1425,6 +1427,44 @@ class StreamingSpec extends SparkSpec {
     // the cross-batch chains specifically must exist
     assert(got.contains(("click", "purchase")) && got.contains(("signup", "view")),
       "transitions spanning the batch split must be emitted")
+  }
+
+  test("percentile monitor: closed-window cells equal the batch histogram; election exact (X59 twin)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:10")
+    val evs = Seq(
+      ValueEventFixture("click", 1.234, t0), ValueEventFixture("click", 1.234, t0),
+      ValueEventFixture("click", 5.678, t0), ValueEventFixture("view", 2.5, t0),
+      ValueEventFixture("click", 9.999, t1), ValueEventFixture("view", 0.004, t1))
+    val mem = MemoryStream[ValueEventFixture]
+    val q = Pipeline.percentileMonitor(mem.toDS().toDF(), "ts")
+      .writeStream.format("memory").queryName("pct_mon")
+      .outputMode("complete").start()
+    try { mem.addData(evs: _*); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("pct_mon").collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[Timestamp]("start"), r.getAs[String]("event_type"),
+        r.getAs[Double]("v")) -> r.getAs[Long]("cnt")).toMap
+    val winOf = Map(t0 -> Timestamp.valueOf("2024-01-01 00:00:00"),
+      t1 -> Timestamp.valueOf("2024-01-01 00:01:00"))
+    val expect = evs.groupBy(e => (winOf(e.ts), e.event_type,
+        BigDecimal(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == expect, s"cells diverge: $got vs $expect")
+    // the q132 election over window-1 click cells matches the exact
+    // per-window median of the rounded values
+    val cells = got.collect {
+      case ((w, "click", v), c) if w == winOf(t0) => (v, c)
+    }.toSeq.sortBy(_._1)
+    val n = cells.map(_._2).sum
+    val need = (50 * n + 99) / 100
+    val median = cells.scanLeft(("", 0L)) { case ((_, cum), (v, c)) =>
+      (v.toString, cum + c) }.drop(1)
+      .find(_._2 >= need).get._1.toDouble
+    val exact = cells.flatMap { case (v, c) => Seq.fill(c.toInt)(v) }
+      .apply((need - 1).toInt)
+    assert(median == exact, "rank election over cells must equal the exact median")
   }
 
   test("drift monitor: window centroid cosine against the batch snapshot (X34 twin)") {
