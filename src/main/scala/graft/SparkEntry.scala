@@ -227,7 +227,9 @@ object SparkEntry {
     "q132_value_percentiles" -> ((s, d) => EventAnalytics.valuePercentiles(s, d)),
     "q133_manifest_delta" -> ((s, d) => Dedup.dedupManifestDelta(s, d)),
     "q134_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
-    "q135_skew_keys" -> ((s, d) => graft.operators.Scale.skewKeys(s, d))
+    "q135_skew_keys" -> ((s, d) => graft.operators.Scale.skewKeys(s, d)),
+    "q136_diversity_profile" -> ((s, d) => TextAnalysis.diversityProfile(s, d)),
+    "q137_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -369,6 +371,8 @@ object SparkEntry {
     "q132_value_percentiles" -> EventAnalytics.valuePercentilesSql,
     "q133_manifest_delta" -> Dedup.dedupManifestDeltaSql(),
     "q134_collocations" -> TextAnalysis.collocationsSql(),
-    "q135_skew_keys" -> graft.operators.Scale.skewKeysSql()
+    "q135_skew_keys" -> graft.operators.Scale.skewKeysSql(),
+    "q136_diversity_profile" -> TextAnalysis.diversityProfileSql,
+    "q137_integrity_audit" -> Relational.integrityAuditSql
   )
 }

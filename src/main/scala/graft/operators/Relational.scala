@@ -529,4 +529,70 @@ object Relational {
       |             <= count(DISTINCT user_id) * 20
       |        THEN 1 ELSE 0 END)::BIGINT AS approx_within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Referential-integrity audit (q137): orphan counts for every foreign
+    * key in the star schema — lineitem→orders, lineitem→part,
+    * lineitem→supplier, orders→customer, customer→nation,
+    * supplier→nation, nation→region — the dbt-style freshness/quality
+    * gate a warehouse runs after every load: child rows, distinct child
+    * keys, orphan rows (no parent), distinct orphan keys. All zeros on a
+    * consistent load; a nonzero row names the broken relationship
+    * BEFORE a join silently drops (inner) or null-pads (outer) it.
+    *
+    * Scale posture: each relationship is one left-anti join keyed on
+    * the FK (broadcast for dim parents, shuffled-on-key for the
+    * fact→fact edges) feeding a 1-row count — no audit row ever carries
+    * payload columns, and the seven legs union to a 7-row table. */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, child: DataFrame, childKey: String,
+            parent: DataFrame, parentKey: String): DataFrame = {
+      val c = child.select(col(childKey).as("k"))
+      val orphans = c.join(
+        parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child_rows"),
+          countDistinct(col("k")).as("n_child_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col("k")).as("n_orphan_keys")))
+        .select(lit(name).as("relationship"), col("n_child_rows"),
+          col("n_child_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      leg("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      leg("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      leg("lineitem->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      leg("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      leg("nation->region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      leg("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      leg("supplier->nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("relationship"))
+  }
+
+  def integrityAuditSql: String = {
+    def leg(name: String, child: String, ck: String,
+            parent: String, pk: String): String =
+      s"""SELECT '$name' AS relationship,
+         |  count(*)::BIGINT AS n_child_rows,
+         |  count(DISTINCT $ck)::BIGINT AS n_child_keys,
+         |  sum(CASE WHEN $pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphan_rows,
+         |  count(DISTINCT CASE WHEN $pk IS NULL THEN $ck END)::BIGINT
+         |    AS n_orphan_keys
+         |FROM $child LEFT JOIN $parent ON $ck = $pk""".stripMargin
+    Seq(
+      leg("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      leg("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      leg("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      leg("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      leg("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      leg("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      leg("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
 }

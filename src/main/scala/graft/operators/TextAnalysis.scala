@@ -889,6 +889,59 @@ object TextAnalysis {
        |SELECT rank::BIGINT AS rank, bigram, cb AS n_pair, lift_bp
        |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
 
+  // ---- X63: n-gram diversity profile (q136) -------------------------------
+
+  /** X63 diversity profile (q136): per (lang, n) for n ∈ {1,2,3} — total
+    * n-gram occurrences, distinct n-grams, and the type-token ratio in
+    * basis points. The multi-resolution repetition diagnostic: unigram
+    * diversity collapsing means a small vocabulary, bigram/trigram
+    * diversity collapsing while unigrams hold means TEMPLATED text
+    * (same words, same order) — the signal behind "SEO spam reads
+    * diverse by vocabulary, identical by phrase". Also a cheap upper
+    * bound on compressibility (low diversity ⇒ high compression ⇒
+    * low information density per stored byte).
+    *
+    * Scale posture: one tokenized scan fans out to the three gram
+    * streams (8-byte hashed keys via [[TextHash.h1]] — the q73/q87
+    * shingle rule, gram strings never shuffle); per-(lang, n) counts
+    * ride map-side combine and distinct counting keys on the hash.
+    * h1 collisions under-count distinct by the disclosed birthday
+    * bound. */
+  def diversityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Seq(1, 2, 3).map { n =>
+      Tables.documents(spark, dir)
+        .select(col("lang"), lit(n.toLong).as("n"),
+          explode(graft.functions.HashExpressions
+            .spanGramHashes(col("text"), n)).as("g"))
+    }.reduce(_ unionByName _)
+    grams.groupBy(col("lang"), col("n"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("lang"), col("n"), col("n_grams"), col("n_distinct"),
+        expr("n_distinct * 10000 div n_grams").as("diversity_bp"))
+      .orderBy(col("lang"), col("n"))
+  }
+
+  def diversityProfileSql: String = {
+    def leg(n: Int): String =
+      s"""SELECT lang, $n::BIGINT AS n, ${TextHash.h1Sql("g")} AS g
+         |  FROM (SELECT lang, unnest(list_transform(range(1, len(t) - ${n - 2}),
+         |          i -> array_to_string(t[i:i+${n - 1}] , ' '))) AS g
+         |        FROM (SELECT lang, string_split(lower(text), ' ') AS t
+         |              FROM documents))""".stripMargin
+    s"""WITH grams AS (
+       |${leg(1)}
+       |UNION ALL
+       |${leg(2)}
+       |UNION ALL
+       |${leg(3)}
+       |)
+       |SELECT lang, n, count(*)::BIGINT AS n_grams,
+       |  count(DISTINCT g)::BIGINT AS n_distinct,
+       |  ((count(DISTINCT g) * 10000) // count(*))::BIGINT AS diversity_bp
+       |FROM grams GROUP BY lang, n ORDER BY lang, n""".stripMargin
+  }
+
   // ---- X14: vocabulary build + OOV audit (q85) ----------------------------
 
   /** Vocabulary cutoff for [[vocabOov]] — deliberately below the corpus's

@@ -109,6 +109,49 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("integrity audit (q137): clean star is all zeros; a planted orphan is named") {
+    // the driver testdata is referentially consistent — every audit row
+    // must report zero orphans
+    val clean = graft.operators.Relational.integrityAudit(spark, sf0001).collect()
+    assert(clean.length == 7)
+    clean.foreach { r =>
+      assert(r.getAs[Long]("n_orphan_rows") == 0L &&
+        r.getAs[Long]("n_orphan_keys") == 0L,
+        s"${r.getAs[String]("relationship")} must be consistent on driver data")
+      assert(r.getAs[Long]("n_child_keys") <= r.getAs[Long]("n_child_rows"))
+    }
+    // a broken load: two orders pointing at a missing customer
+    val dir = java.nio.file.Files.createTempDirectory("graft_fk").toString
+    def w(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    w("region", Seq((0, "r")).toDF("r_regionkey", "r_name"))
+    w("nation", Seq((0, "n", 0)).toDF("n_nationkey", "n_name", "n_regionkey"))
+    w("customer", Seq((1L, "c", 0, 0.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    w("supplier", Seq((1L, "s", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    w("part", Seq((1L, "p", "b", "t", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    w("orders", Seq(
+      (10L, 1L, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1"),
+      (11L, 99L, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1"),
+      (12L, 99L, "O", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+    w("lineitem", Seq((10L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+    val broken = graft.operators.Relational.integrityAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("relationship") ->
+        (r.getAs[Long]("n_orphan_rows"), r.getAs[Long]("n_orphan_keys"))).toMap
+    assert(broken("orders->customer") == (2L, 1L),
+      "two orphan orders sharing one missing customer key")
+    assert(broken.filterKeys(_ != "orders->customer").values
+      .forall(_ == (0L, 0L)), "no other relationship may fire")
+  }
+
   test("bm25 on a corpus with zero query-term hits returns zero rows, no error") {
     val dir = writeDocs(Seq((1L, "nothing matches here", "en", "src0")))
     assert(graft.operators.TextAnalysis.bm25TopK(spark, dir).collect().isEmpty)

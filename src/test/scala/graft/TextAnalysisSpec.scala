@@ -340,6 +340,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("bigram")).toSeq == full.map(_._1))
   }
 
+  test("diversity profile (q136): counts recomputed exactly, diversity falls with n on templated text") {
+    val rows = TextAnalysis.diversityProfile(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver-side recomputation (string grams; the operator hashes them,
+    // which can only merge — assert within the birthday-bound slack of 0)
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("lang"), lower(col("text"))).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    for (n <- Seq(1, 2, 3); lang <- texts.map(_._1).distinct) {
+      val grams = texts.filter(_._1 == lang).flatMap { case (_, t) =>
+        (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+      }
+      val row = rows.find(r => r.getAs[String]("lang") == lang &&
+        r.getAs[Long]("n") == n.toLong).get
+      assert(row.getAs[Long]("n_grams") == grams.length.toLong, s"$lang n=$n total")
+      assert(row.getAs[Long]("n_distinct") == grams.distinct.length.toLong,
+        s"$lang n=$n distinct")
+      assert(row.getAs[Long]("diversity_bp") ==
+        grams.distinct.length.toLong * 10000 / grams.length)
+    }
+    // the synthetic corpus is word-repetitive: unigram diversity is LOW
+    // while trigram diversity is much higher (few repeated phrases)
+    for (lang <- texts.map(_._1).distinct) {
+      def bp(n: Long) = rows.find(r => r.getAs[String]("lang") == lang &&
+        r.getAs[Long]("n") == n).get.getAs[Long]("diversity_bp")
+      assert(bp(1) < bp(3), s"$lang: unigram diversity must trail trigram")
+    }
+  }
+
   test("vocab election: OOV decomposes exactly and per-lang in-vocab distinct <= V") {
     val rows = TextAnalysis.vocabOov(spark, sf0001).collect()
     assert(rows.nonEmpty)
