@@ -128,7 +128,9 @@ object PlanAudit {
     "q134_collocations",
     // q135 crosses the ≤k-row heap output with the broadcast 1-row
     // key-count stats
-    "q135_skew_keys")
+    "q135_skew_keys",
+    // q137's legs each cross two SINGLE-ROW count aggregates
+    "q137_integrity_audit")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to
