@@ -130,7 +130,9 @@ object PlanAudit {
     // key-count stats
     "q135_skew_keys",
     // q137's legs each cross two SINGLE-ROW count aggregates
-    "q137_integrity_audit")
+    "q137_integrity_audit",
+    // q138 crosses the corpus scan with the broadcast 1-row max-id scalar
+    "q138_quality_trend")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -229,7 +229,8 @@ object SparkEntry {
     "q134_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
     "q135_skew_keys" -> ((s, d) => graft.operators.Scale.skewKeys(s, d)),
     "q136_diversity_profile" -> ((s, d) => TextAnalysis.diversityProfile(s, d)),
-    "q137_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d))
+    "q137_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d)),
+    "q138_quality_trend" -> ((s, d) => Curation.sourceQualityTrend(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -373,6 +374,7 @@ object SparkEntry {
     "q134_collocations" -> TextAnalysis.collocationsSql(),
     "q135_skew_keys" -> graft.operators.Scale.skewKeysSql(),
     "q136_diversity_profile" -> TextAnalysis.diversityProfileSql,
-    "q137_integrity_audit" -> Relational.integrityAuditSql
+    "q137_integrity_audit" -> Relational.integrityAuditSql,
+    "q138_quality_trend" -> Curation.sourceQualityTrendSql
   )
 }

@@ -1003,6 +1003,82 @@ object Curation {
        |ORDER BY quality_pass, mixture_accept""".stripMargin
   }
 
+  // ---- X65: per-source ingestion quality trend (q138) ---------------------
+
+  /** X65 ingestion-trend audit (q138): per (source, ingestion quarter) —
+    * doc count, exact quality micro-mass, the quarter mean, and the
+    * drift against the source's FIRST quarter. doc_id is the ingestion
+    * order proxy (the corpus's append sequence), cut into four global
+    * id-range quarters, so the table answers the crawl-ops question
+    * "did source S degrade as the crawl went on?" — the early-warning
+    * twin of q113's between-snapshot diff, visible WITHIN one snapshot.
+    *
+    * Scale posture: one scan against a broadcast 1-row max-id scalar;
+    * the quarter is integer range arithmetic per row (no per-source
+    * window — a 100 TB source never sorts); rollup to |sources|×4 rows
+    * with map-side combine; the drift join is that tiny table against
+    * its own quarter-0 slice. */
+  def sourceQualityTrend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val cells = graft.PlanCache.cached(spark, s"curation.qTrend:$dir") {
+      docs
+        .select(col("source"), col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+        .select(col("source"), col("doc_id"),
+          expr("cast(round(q * 1000000) as bigint)").as("qm"))
+        .crossJoin(broadcast(mx))
+        .withColumn("quarter", least(lit(3L), expr("doc_id * 4 div (mx + 1)")))
+        .groupBy(col("source"), col("quarter"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sum_q_micro"))
+    }
+    val q0 = cells.filter(col("quarter") === 0)
+      .select(col("source"),
+        expr("sum_q_micro div n_docs").as("first_avg"))
+    cells.join(broadcast(q0), Seq("source"))
+      .select(col("source"), col("quarter"), col("n_docs"),
+        col("sum_q_micro"),
+        expr("sum_q_micro div n_docs").as("avg_q_micro"),
+        (expr("sum_q_micro div n_docs") - col("first_avg"))
+          .as("drift_micro"))
+      .orderBy(col("source"), col("quarter"))
+  }
+
+  def sourceQualityTrendSql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH qd AS (
+       |  SELECT source, doc_id,
+       |    CAST(round(round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      * 1000000) AS BIGINT) AS qm
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT source, doc_id, text,
+       |          string_split(lower(text), ' ') AS t FROM documents))
+       |), mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+       |cells AS (
+       |  SELECT source, least(3, doc_id * 4 // (mx.mx + 1)) AS quarter,
+       |    count(*)::BIGINT AS n_docs, sum(qm)::BIGINT AS sum_q_micro
+       |  FROM qd CROSS JOIN mx GROUP BY 1, 2
+       |), q0 AS (
+       |  SELECT source, (sum_q_micro // n_docs)::BIGINT AS first_avg
+       |  FROM cells WHERE quarter = 0
+       |)
+       |SELECT cells.source, cells.quarter::BIGINT AS quarter, cells.n_docs,
+       |  cells.sum_q_micro,
+       |  (cells.sum_q_micro // cells.n_docs)::BIGINT AS avg_q_micro,
+       |  ((cells.sum_q_micro // cells.n_docs) - q0.first_avg)::BIGINT
+       |    AS drift_micro
+       |FROM cells JOIN q0 USING (source)
+       |ORDER BY cells.source, cells.quarter""".stripMargin
+  }
+
   // ---- X7+: quality-ranked token-budget selection (q82) ------------------
   //
   // "Select the best documents until the token budget is spent" — the

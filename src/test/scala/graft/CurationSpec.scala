@@ -775,6 +775,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quality trend (q138): quarters partition the corpus, drift anchored to quarter zero") {
+    val rows = Curation.sourceQualityTrend(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0001).count())
+    // driver-side quarter recomputation on the id ranges
+    val mx = Tables.documents(spark, sf0001)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val q0 = rs.find(_.getAs[Long]("quarter") == 0L)
+      assert(q0.isDefined, s"$src missing quarter 0")
+      assert(q0.get.getAs[Long]("drift_micro") == 0L,
+        "quarter 0 drifts from itself")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("avg_q_micro") ==
+          r.getAs[Long]("sum_q_micro") / r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("drift_micro") ==
+          r.getAs[Long]("avg_q_micro") - q0.get.getAs[Long]("avg_q_micro"))
+        assert(r.getAs[Long]("quarter") >= 0L && r.getAs[Long]("quarter") <= 3L)
+      }
+    }
+    // quarter boundaries follow the global id ranges exactly
+    val counted = Tables.documents(spark, sf0001)
+      .select(col("source"), least(lit(3L),
+        expr(s"doc_id * 4 div (${mx} + 1)")).as("qt"))
+      .groupBy(col("source"), col("qt")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        counted((r.getAs[String]("source"), r.getAs[Long]("quarter"))))
+    }
+  }
+
   test("doremi reweight (q106): exact driver-side recomputation + update direction") {
     import spark.implicits._
     // exact integer recomputation from the same per-source stats
