@@ -556,7 +556,12 @@ object Relational {
         .select(lit(name).as("relationship"), col("n_child_rows"),
           col("n_child_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
     }
-    val li = Tables.lineitem(spark, dir)
+    // the fact table feeds three legs — persist its 3-column key
+    // projection so the audit scans lineitem once, not three times
+    val li = graft.PlanCache.cached(spark, s"relational.liKeys:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    }
     Seq(
       leg("customer->nation", Tables.customer(spark, dir), "c_nationkey",
         Tables.nation(spark, dir), "n_nationkey"),

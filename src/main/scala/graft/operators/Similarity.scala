@@ -484,7 +484,12 @@ object Similarity {
     * the fixed [[QueryIds]] probe set models. */
   def annRecall(spark: SparkSession, dir: String,
                 k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val exact = cosineTopK(spark, dir, k).select(col("query_id"), col("vec_id"))
+    // the brute-force truth (|queries|·k rows) is referenced by BOTH
+    // recall legs — persist so the corpus-wide exact ranking runs once,
+    // not once per audited index
+    val exact = graft.PlanCache.cached(spark, s"sim.annTruth:$k:$dir") {
+      cosineTopK(spark, dir, k).select(col("query_id"), col("vec_id"))
+    }
     def recallOf(approx: DataFrame, index: String): DataFrame =
       exact.join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
           Seq("query_id", "vec_id"), "left")
