@@ -27,6 +27,55 @@ class PropertySpec extends SparkSpec {
       twice.collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("property: manifest xor algebra — certificates compose and deltas invert on arbitrary corpora") {
+    // signatures are arbitrary longs; the manifest devices (q115/q133)
+    // rest on xor being commutative, associative, and self-inverse
+    val sigGen = Gen.listOfN(40, Gen.long)
+    samples(sigGen, 60).foreach { sigs =>
+      val (a, b) = sigs.splitAt(sigs.length / 2)
+      def x(s: Seq[Long]) = s.foldLeft(0L)(_ ^ _)
+      // composition: manifest of a union = xor of part manifests,
+      // regardless of the split or ordering
+      assert((x(a) ^ x(b)) == x(scala.util.Random.shuffle(sigs)))
+      // delta inversion: full ⊕ kept = dropped (the q133 certificate)
+      val kept = a
+      assert((x(sigs) ^ x(kept)) == x(b))
+    }
+  }
+
+  test("property: sqrt temperature smoothing always flattens and preserves order") {
+    // the q114 claim on ARBITRARY language-size distributions: α=1/2
+    // shares are closer to uniform than natural shares (TVD decreases)
+    // and the size ordering is preserved
+    val sizesGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 1000000L))
+      .map(_.take(8)).suchThat(_.size >= 2)
+    samples(sizesGen, 80).foreach { sizes =>
+      val n = sizes.map(_.toDouble).sum
+      val w = sizes.map(s => math.sqrt(s.toDouble))
+      val ws = w.sum
+      val nat = sizes.map(_ / n)
+      val tmp = w.map(_ / ws)
+      val u = 1.0 / sizes.length
+      def tvd(p: Seq[Double]) = p.map(x => math.abs(x - u)).sum
+      assert(tvd(tmp) <= tvd(nat) + 1e-12, s"sizes $sizes")
+      // monotone: bigger language never gets a smaller temperature share
+      sizes.zip(tmp).sortBy(_._1).map(_._2)
+        .sliding(2).filter(_.size == 2)
+        .foreach(p => assert(p(0) <= p(1) + 1e-12))
+    }
+  }
+
+  test("property: RRF both-legs dominance holds for every rank combination") {
+    // the q117 invariant the spec asserts on data, proven over the whole
+    // rank space: any doc in BOTH legs outscores any doc in ONE leg
+    val pool = graft.operators.TextAnalysis.RrfPool
+    def rrf(r: Int) = if (r > 0) 1000000000L / (60 + r) else 0L
+    val both = for (a <- 1 to pool; b <- 1 to pool) yield rrf(a) + rrf(b)
+    val one = (1 to pool).map(rrf)
+    assert(both.min > one.max,
+      s"two-leg min ${both.min} must beat one-leg max ${one.max}")
+  }
+
   test("property: base64 encode∘decode is identity on arbitrary unicode") {
     val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const("日本語"),
       Gen.const("emoji🚀"), Gen.const("tab\tnewline\n"))).map(_.mkString(" "))
