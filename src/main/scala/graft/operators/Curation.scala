@@ -1498,7 +1498,13 @@ object Curation {
     * per incoming row (batch/stream parity is exact, not approximate). */
   private[graft] def importanceScores(spark: SparkSession, dir: String,
                                       targetSource: String = "src0"): DataFrame =
-    importanceScoresOf(dsirHist(spark, dir), targetSource)
+    // (doc_id, lang, score) — three longs per pool doc, consumed by the
+    // q95 election, its spec's ranking twin, and the streaming-gate
+    // snapshot; persisted so the histogram scoring join runs once per
+    // (session, dir, target), not once per consumer/pass
+    graft.PlanCache.cached(spark, s"curation.dsirScores:$targetSource:$dir") {
+      importanceScoresOf(dsirHist(spark, dir), targetSource)
+    }
 
   /** Scores over any histogram frame (see [[dsirHistOf]]). */
   private[graft] def importanceScoresOf(hist: DataFrame,
