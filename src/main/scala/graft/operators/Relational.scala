@@ -545,17 +545,20 @@ object Relational {
     * payload columns, and the seven legs union to a 7-row table. */
   def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
     def leg(name: String, child: DataFrame, childKey: String,
-            parent: DataFrame, parentKey: String): DataFrame = {
-      val c = child.select(col(childKey).as("k"))
-      val orphans = c.join(
-        parent.select(col(parentKey).as("k")).distinct(), Seq("k"), "left_anti")
-      c.agg(count(lit(1)).as("n_child_rows"),
-          countDistinct(col("k")).as("n_child_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_rows"),
-          countDistinct(col("k")).as("n_orphan_keys")))
+            parent: DataFrame, parentKey: String): DataFrame =
+      // one left join + one aggregate per relationship (the SQL twin's
+      // shape): child and orphan counts fall out of the same pass, so
+      // each leg costs one join stage instead of an anti-join plus two
+      // separate count jobs
+      child.select(col(childKey).as("k"))
+        .join(parent.select(col(parentKey).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_rows"),
+          countDistinct(col("k")).as("n_child_keys"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+          countDistinct(when(col("hit").isNull, col("k"))).as("n_orphan_keys"))
         .select(lit(name).as("relationship"), col("n_child_rows"),
           col("n_child_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
-    }
     // the fact table feeds three legs — persist its 3-column key
     // projection so the audit scans lineitem once, not three times
     val li = graft.PlanCache.cached(spark, s"relational.liKeys:$dir") {
