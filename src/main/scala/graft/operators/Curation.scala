@@ -911,7 +911,9 @@ object Curation {
 
   /** X48 gate-ablation audit (q121): the 2×2 contingency table of the
     * intake pipeline's two independent gates — the scalar quality floor
-    * (the `curatedIntake` default, round(q,6) ≥ 0.2) × the q86 mixture
+    * (round(q,6) ≥ `minQuality`, default 0.75 — a stricter ablation
+    * floor than `curatedIntake`'s 0.2 admission default, so the table
+    * stresses the regime where the gate actually rejects) × the q86 mixture
     * acceptance coin — with each cell's doc/token mass, corpus share,
     * and share WITHIN its quality stratum in basis points. The stratum
     * share is the independence check: if the mixture coin (an md5 hash

@@ -198,13 +198,17 @@ object EventAnalytics {
   /** Exact value-percentile table (q132): per event_type, the exact
     * discrete p50/p90/p99 of `value` on a 0.01 grid — the latency/value
     * SLO table every event dashboard carries, computed with the q99
-    * histogram-election device so percentiles are EXACT integers-rank
-    * elections, not interpolated floats: the corpus collapses to a
-    * (type, rounded-value) histogram with map-side combine, and only
-    * histogram rows (bounded by the value grid, not the event count)
-    * are ever windowed. cutoff = min value whose cumulative count
-    * reaches ⌈p·n/100⌉ — both engines compute the identical rank
-    * arithmetic, where an interpolated percentile could drift by an ulp.
+    * histogram-election device so percentiles are EXACT integer-rank
+    * elections, not interpolated floats: values lift to the exact
+    * integer cent grid (`cast(round(value*100) as bigint)`, the
+    * q107/q128 micro-unit device — Spark's BigDecimal HALF_UP and
+    * DuckDB's float `round(x,2)` disagree on fractional-decimal
+    * rounding, but both round-to-integer the same exact binary double),
+    * the corpus collapses to a (type, cents) histogram with map-side
+    * combine, and only histogram rows (bounded by the value grid, not
+    * the event count) are ever windowed. cutoff_cents = min cents whose
+    * cumulative count reaches ⌈p·n/100⌉ — both engines compute the
+    * identical rank arithmetic, and no double ever crosses engines.
     *
     * Scale posture: at 100 TB the histogram stays |grid| rows per type
     * while a sort-based percentile would single-task each type; the
@@ -217,7 +221,8 @@ object EventAnalytics {
     val cumW = byType.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
-      .select(col("event_type"), round(col("value"), 2).as("v"))
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v"))
       .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("n", sum(col("cnt")).over(byType))
@@ -225,13 +230,14 @@ object EventAnalytics {
         explode(array(Seq(50, 90, 99).map(p => lit(p.toLong)): _*)).as("pct"))
       .filter(col("cum") >= expr("(pct * n + 99) div 100"))
       .groupBy(col("event_type"), col("pct"))
-      .agg(min(col("v")).as("cutoff"), max(col("n")).as("n_events"))
+      .agg(min(col("v")).as("cutoff_cents"), max(col("n")).as("n_events"))
       .orderBy(col("event_type"), col("pct"))
   }
 
   def valuePercentilesSql: String =
     """WITH h AS (
-      |  SELECT event_type, round(value, 2) AS v, count(*)::BIGINT AS cnt
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |    count(*)::BIGINT AS cnt
       |  FROM events GROUP BY 1, 2
       |), c AS (
       |  SELECT event_type, v,
@@ -244,7 +250,7 @@ object EventAnalytics {
       |  FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
       |  WHERE c.cum >= (p.pct * c.n + 99) // 100
       |)
-      |SELECT event_type, pct::BIGINT AS pct, min(v) AS cutoff,
+      |SELECT event_type, pct::BIGINT AS pct, min(v)::BIGINT AS cutoff_cents,
       |  max(n)::BIGINT AS n_events
       |FROM x GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin
 

@@ -539,47 +539,64 @@ object Relational {
     * consistent load; a nonzero row names the broken relationship
     * BEFORE a join silently drops (inner) or null-pads (outer) it.
     *
-    * Scale posture: each relationship is one left-anti join keyed on
-    * the FK (broadcast for dim parents, shuffled-on-key for the
-    * fact→fact edges) feeding a 1-row count — no audit row ever carries
-    * payload columns, and the seven legs union to a 7-row table. */
+    * Scale posture: every child table crosses the cluster ONCE — the
+    * fact table's three FK legs fan out of a single scan via `stack`
+    * into one (relationship, key) stream, dim children append theirs,
+    * and the stream collapses to a (relationship, key, cnt) histogram
+    * with map-side combine BEFORE the single left join against the
+    * unioned-and-distinct parent-key table. Child histogram, parent
+    * distinct, and join all hash on (relationship, key), so the join
+    * reuses both sides' Exchanges, and the final 7-row fold is plain
+    * sums over the joined histogram — no countDistinct, so no Expand
+    * ever multiplies the stream. Versus the per-leg formulation this
+    * replaces 7 join stages (3 of them re-shuffling the same fact
+    * projection on a different FK each, each paying a 3× distinct-agg
+    * Expand) with one join and two ordinary aggregates. */
   def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
-    def leg(name: String, child: DataFrame, childKey: String,
-            parent: DataFrame, parentKey: String): DataFrame =
-      // one left join + one aggregate per relationship (the SQL twin's
-      // shape): child and orphan counts fall out of the same pass, so
-      // each leg costs one join stage instead of an anti-join plus two
-      // separate count jobs
-      child.select(col(childKey).as("k"))
-        .join(parent.select(col(parentKey).as("k")).distinct()
-          .withColumn("hit", lit(1)), Seq("k"), "left")
-        .agg(count(lit(1)).as("n_child_rows"),
-          countDistinct(col("k")).as("n_child_keys"),
-          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
-          countDistinct(when(col("hit").isNull, col("k"))).as("n_orphan_keys"))
-        .select(lit(name).as("relationship"), col("n_child_rows"),
-          col("n_child_keys"), col("n_orphan_rows"), col("n_orphan_keys"))
-    // the fact table feeds three legs — persist its 3-column key
-    // projection so the audit scans lineitem once, not three times
-    val li = graft.PlanCache.cached(spark, s"relational.liKeys:$dir") {
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-    }
-    Seq(
-      leg("customer->nation", Tables.customer(spark, dir), "c_nationkey",
-        Tables.nation(spark, dir), "n_nationkey"),
-      leg("lineitem->orders", li, "l_orderkey",
-        Tables.orders(spark, dir), "o_orderkey"),
-      leg("lineitem->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
-      leg("lineitem->supplier", li, "l_suppkey",
-        Tables.supplier(spark, dir), "s_suppkey"),
-      leg("nation->region", Tables.nation(spark, dir), "n_regionkey",
-        Tables.region(spark, dir), "r_regionkey"),
-      leg("orders->customer", Tables.orders(spark, dir), "o_custkey",
-        Tables.customer(spark, dir), "c_custkey"),
-      leg("supplier->nation", Tables.supplier(spark, dir), "s_nationkey",
-        Tables.nation(spark, dir), "n_nationkey"))
+    def pairs(name: String, child: DataFrame, childKey: String): DataFrame =
+      child.select(lit(name).as("relationship"),
+        col(childKey).cast("long").as("k"))
+    def parentKeys(name: String, parent: DataFrame, pk: String): DataFrame =
+      parent.select(lit(name).as("relationship"), col(pk).cast("long").as("k"))
+    // one fact scan emits all three FK streams (keys share the BIGINT
+    // grid, so the stack is type-uniform)
+    val li = Tables.lineitem(spark, dir).selectExpr(
+      "stack(3, " +
+        "'lineitem->orders', cast(l_orderkey as bigint), " +
+        "'lineitem->part', cast(l_partkey as bigint), " +
+        "'lineitem->supplier', cast(l_suppkey as bigint)) " +
+        "as (relationship, k)")
+    val children = Seq(
+      pairs("customer->nation", Tables.customer(spark, dir), "c_nationkey"),
+      li,
+      pairs("nation->region", Tables.nation(spark, dir), "n_regionkey"),
+      pairs("orders->customer", Tables.orders(spark, dir), "o_custkey"),
+      pairs("supplier->nation", Tables.supplier(spark, dir), "s_nationkey"))
       .reduce(_ unionByName _)
+    // distinct guards against a corrupted parent carrying duplicate PKs
+    // (exactly what an integrity audit must survive): a dup parent key
+    // would otherwise fan out child rows and inflate every count —
+    // mirrored by SELECT DISTINCT in the SQL twin
+    val parents = Seq(
+      parentKeys("customer->nation", Tables.nation(spark, dir), "n_nationkey"),
+      parentKeys("lineitem->orders", Tables.orders(spark, dir), "o_orderkey"),
+      parentKeys("lineitem->part", Tables.part(spark, dir), "p_partkey"),
+      parentKeys("lineitem->supplier", Tables.supplier(spark, dir), "s_suppkey"),
+      parentKeys("nation->region", Tables.region(spark, dir), "r_regionkey"),
+      parentKeys("orders->customer", Tables.customer(spark, dir), "c_custkey"),
+      parentKeys("supplier->nation", Tables.nation(spark, dir), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .distinct()
+      .withColumn("hit", lit(1))
+    children.groupBy(col("relationship"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(parents, Seq("relationship", "k"), "left")
+      .groupBy(col("relationship"))
+      .agg(sum(col("cnt")).as("n_child_rows"),
+        count(lit(1)).as("n_child_keys"),
+        sum(when(col("hit").isNull, col("cnt")).otherwise(0L))
+          .as("n_orphan_rows"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
       .orderBy(col("relationship"))
   }
 
@@ -592,7 +609,9 @@ object Relational {
          |  sum(CASE WHEN $pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphan_rows,
          |  count(DISTINCT CASE WHEN $pk IS NULL THEN $ck END)::BIGINT
          |    AS n_orphan_keys
-         |FROM $child LEFT JOIN $parent ON $ck = $pk""".stripMargin
+         |FROM $child
+         |LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p ON $ck = p.$pk"""
+        .stripMargin
     Seq(
       leg("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
       leg("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -127,7 +127,7 @@ object Scale {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** Join-key skew election (q136): the top-k hottest `l_partkey` values
+  /** Join-key skew election (q135): the top-k hottest `l_partkey` values
     * with each key's row count and skew factor (count × n_keys ÷ total,
     * basis points; 10000 = perfectly even) — the measurement that
     * decides WHETHER [[saltedJoin]] is needed and WHICH keys to salt,

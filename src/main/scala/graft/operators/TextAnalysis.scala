@@ -875,8 +875,8 @@ object TextAnalysis {
        |  GROUP BY bg HAVING count(*) >= $minCount
        |), lifted AS (
        |  SELECT bi.bigram, bi.cb,
-       |    ((bi.cb * n.n_tok * 10000) //
-       |      (u1.cu * u2.cu))::BIGINT AS lift_bp
+       |    ((bi.cb::HUGEINT * n.n_tok * 10000) //
+       |      (u1.cu::HUGEINT * u2.cu))::BIGINT AS lift_bp
        |  FROM bi
        |  JOIN uni u1 ON u1.w = string_split(bi.bigram, ' ')[1]
        |  JOIN uni u2 ON u2.w = string_split(bi.bigram, ' ')[2]

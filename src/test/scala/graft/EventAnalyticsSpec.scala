@@ -123,17 +123,18 @@ class EventAnalyticsSpec extends SparkSpec {
   test("value percentiles (q132): exact rank election, sketch cross-check within tolerance") {
     val rows = EventAnalytics.valuePercentiles(spark, sf0001).collect()
     assert(rows.nonEmpty)
-    // driver-side exact quantile of the rounded values
+    // driver-side exact quantile of the cent-grid values
     val vals = Tables.events(spark, sf0001)
-      .select(col("event_type"), round(col("value"), 2).as("v")).collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
     val byType = vals.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     rows.foreach { r =>
       val vs = byType(r.getAs[String]("event_type"))
       val p = r.getAs[Long]("pct")
       val need = ((p * vs.length + 99) / 100).toInt
       assert(r.getAs[Long]("n_events") == vs.length.toLong)
-      assert(r.getAs[Double]("cutoff") == vs(need - 1),
+      assert(r.getAs[Long]("cutoff_cents") == vs(need - 1),
         s"${r.getAs[String]("event_type")} p$p")
     }
     // Spark's approx_percentile sketch lands near the exact election
@@ -149,7 +150,7 @@ class EventAnalyticsSpec extends SparkSpec {
         case 50L => 0; case 90L => 1; case _ => 2
       }
       val a = approx(r.getAs[String]("event_type"))(i)
-      val c = r.getAs[Double]("cutoff")
+      val c = r.getAs[Long]("cutoff_cents") / 100.0
       assert(math.abs(a - c) <= math.max(1.0, c * 0.05),
         s"sketch $a far from exact $c")
     }
