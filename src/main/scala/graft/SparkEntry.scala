@@ -230,7 +230,10 @@ object SparkEntry {
     "q135_skew_keys" -> ((s, d) => graft.operators.Scale.skewKeys(s, d)),
     "q136_diversity_profile" -> ((s, d) => TextAnalysis.diversityProfile(s, d)),
     "q137_integrity_audit" -> ((s, d) => Relational.integrityAudit(s, d)),
-    "q138_quality_trend" -> ((s, d) => Curation.sourceQualityTrend(s, d))
+    "q138_quality_trend" -> ((s, d) => Curation.sourceQualityTrend(s, d)),
+    // oracle is the PLAIN join (the q68 device): electing hot keys from
+    // the q135 table and salting only those must be invisible in results
+    "q139_targeted_salt" -> ((s, d) => graft.operators.Scale.targetedSaltSummary(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -375,6 +378,7 @@ object SparkEntry {
     "q135_skew_keys" -> graft.operators.Scale.skewKeysSql(),
     "q136_diversity_profile" -> TextAnalysis.diversityProfileSql,
     "q137_integrity_audit" -> Relational.integrityAuditSql,
-    "q138_quality_trend" -> Curation.sourceQualityTrendSql
+    "q138_quality_trend" -> Curation.sourceQualityTrendSql,
+    "q139_targeted_salt" -> graft.operators.Scale.targetedSaltSummarySql
   )
 }

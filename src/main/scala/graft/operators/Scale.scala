@@ -40,6 +40,91 @@ object Scale {
       .drop("_salt")
   }
 
+  /** Fact-side salt column for [[saltedJoinTargeted]]: elected hot keys
+    * spread deterministically over `salt` sub-keys (hash of the whole
+    * row — reproducible, no rand()); every other row carries salt 0. */
+  private[graft] def targetedFactSalt(fact: DataFrame, factKey: String,
+                                      salt: Int, hotKeys: Seq[Long]): DataFrame =
+    fact.withColumn("_salt",
+      when(col(factKey).isin(hotKeys: _*),
+        pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)))
+        .otherwise(lit(0L)))
+
+  /** Build-side replication for [[saltedJoinTargeted]]: rows whose key is
+    * elected replicate once per salt value; everything else stays a
+    * single salt-0 row. */
+  private[graft] def targetedRightSalts(right: DataFrame, rightKey: String,
+                                        salt: Int, hotKeys: Seq[Long]): DataFrame =
+    right.withColumn("_salt",
+      explode(when(col(rightKey).isin(hotKeys: _*),
+        sequence(lit(0L), lit(salt.toLong - 1)))
+        .otherwise(array(lit(0L)))))
+
+  /** Targeted salted equi-join (the q135→q68 loop closed): salt ONLY the
+    * keys the [[skewKeys]] election named hot. Non-hot rows join exactly
+    * as the plain join would (salt 0 on both sides, no replication);
+    * each hot key's rows spread over `salt` reducers against a build
+    * side replicated `salt`× FOR THAT KEY ONLY. Result is row-identical
+    * to the plain join.
+    *
+    * This is the shape you actually run at 100 TB: [[saltedJoin]]'s
+    * blanket salting multiplies the ENTIRE build side `salt`× to fix a
+    * handful of stragglers, while the targeted variant pays the
+    * replication only on the elected list (|hotKeys|·(salt−1) extra
+    * build rows, ~0 for a typical top-10 election) — and an empty
+    * election degenerates to exactly the plain join. */
+  def saltedJoinTargeted(fact: DataFrame, right: DataFrame, factKey: String,
+                         rightKey: String, salt: Int,
+                         hotKeys: Seq[Long]): DataFrame = {
+    require(salt > 0, s"salt must be positive (got $salt) — pmod(x, 0) is " +
+      "NULL and a descending sequence() would silently empty the join")
+    require(!fact.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoinTargeted: inputs must not already carry a '_salt' column")
+    if (hotKeys.isEmpty)
+      fact.join(right, fact(factKey) === right(rightKey))
+    else {
+      val factSalted = targetedFactSalt(fact, factKey, salt, hotKeys)
+      val rightSalted = targetedRightSalts(right, rightKey, salt, hotKeys)
+      factSalted
+        .join(rightSalted,
+          factSalted(factKey) === rightSalted(rightKey) &&
+            factSalted("_salt") === rightSalted("_salt"))
+        .drop("_salt")
+    }
+  }
+
+  /** Oracle-gated targeted salted join (q139): the [[skewKeys]] election
+    * (top-`hot` part keys) feeds [[saltedJoinTargeted]] over
+    * lineitem⋈part, aggregated per brand. The oracle is the PLAIN join
+    * (the q68 device): electing and salting the hot keys must be
+    * invisible in query results, proven through the driver's hash gate.
+    *
+    * The election collect is the lexicon pattern (bounded: ≤`hot` rows
+    * from a two-phase heap aggregate, never corpus-sized) — exactly how
+    * a production job consumes the q135 table: read the tiny election,
+    * pass the key list into the next stage's plan. */
+  def targetedSaltSummary(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, salt: Int = 4,
+                          hot: Int = 3): DataFrame = {
+    val hotKeys = skewKeys(spark, dir, hot)
+      .select(col("l_partkey")).collect().map(_.getLong(0)).toSeq
+    val fact = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"))
+    val pd = graft.Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    saltedJoinTargeted(fact, pd, "l_partkey", "p_partkey", salt, hotKeys)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  def targetedSaltSummarySql: String =
+    """SELECT p_brand, count(*) AS n_items,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** Write both sides bucketed+sorted on the join key so the join needs
     * no Exchange at read time (bucket-pruned, sort-merge ready). This is
     * the layout a 100 TB fact table should be materialized in when it is

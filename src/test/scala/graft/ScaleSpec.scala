@@ -42,6 +42,50 @@ class ScaleSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("targeted salting: non-hot rows carry salt 0, hot keys spread, result row-identical") {
+    // a celebrity key (0) holding most rows, a modest tail — the shape
+    // the q135 election exists to catch
+    val fact = spark.range(0, 4000).select(
+        when(col("id") < 3000, 0L).otherwise(col("id") % 50 + 1).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(0, 51).select(col("id").as("dk"),
+      concat(lit("d"), col("id")).as("name"))
+    val hot = Seq(0L)
+    // fact side: every non-hot row must sit at salt 0 (no spread, so the
+    // non-hot partitioning is untouched)...
+    val salted = Scale.targetedFactSalt(fact, "k", 8, hot)
+    assert(salted.filter(col("k") =!= 0L && col("_salt") =!= 0L).count() == 0)
+    // ...while the hot key's rows use the whole salt range
+    assert(salted.filter(col("k") === 0L)
+      .select("_salt").distinct().count() == 8)
+    // build side: only the hot key replicates, exactly salt times
+    val rs = Scale.targetedRightSalts(dim, "dk", 8, hot)
+    assert(rs.filter(col("dk") === 0L).count() == 8)
+    assert(rs.filter(col("dk") =!= 0L).groupBy(col("dk")).count()
+      .filter(col("count") =!= 1L).count() == 0)
+    // and the join is row-identical to the plain join
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+    val targeted = Scale.saltedJoinTargeted(fact, dim, "k", "dk", 8, hot)
+    assert(plain.count() == targeted.count())
+    assert(plain.exceptAll(targeted).isEmpty && targeted.exceptAll(plain).isEmpty)
+    // empty election = exactly the plain join (degenerate case)
+    val none = Scale.saltedJoinTargeted(fact, dim, "k", "dk", 8, Seq.empty)
+    assert(plain.exceptAll(none).isEmpty && none.exceptAll(plain).isEmpty)
+  }
+
+  test("q139 consumes the q135 election: summary equals the plain-join summary") {
+    val got = Scale.targetedSaltSummary(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("salt column spreads rows across the full salt range") {
     val li = Tables.lineitem(spark, sf0001)
     val salts = li.withColumn("_salt",
