@@ -459,18 +459,22 @@ object Pipeline {
       .drop("rate")
 
   /** The composed streaming curation intake — the full batch curation
-    * recipe (q95 importance → q86 mixture → q19-style exact dedup → q17
-    * quality gate) as ONE continuous job, the engine's twin of the
-    * reference's single continuous stream (`streamer.py:48` →
-    * `ProcessStreamData.py:12-33`): [[importanceGate]] (when a snapshot
-    * is supplied) admits at the batch-elected per-language thresholds,
-    * [[mixtureGate]] admits at the snapshot's domain rates,
-    * `dropDuplicatesWithinWatermark` on the sha2 content digest drops
-    * exact re-ingests (state keyed on the 32-byte hash, never the body,
-    * bounded by the watermark), and the quality gate scores with the
-    * same native kernel as the batch q17/q65. Appends `importance_score`
-    * (when gated) and `quality`; otherwise passthrough. Everything
-    * outside the dedup is stateless — broadcast literal maps and per-row
+    * recipe (q95 importance → q86 mixture → q105 boilerplate scrub →
+    * q19-style exact dedup → q17 quality gate) as ONE continuous job,
+    * the engine's twin of the reference's single continuous stream
+    * (`streamer.py:48` → `ProcessStreamData.py:12-33`):
+    * [[importanceGate]] (when a snapshot is supplied) admits at the
+    * batch-elected per-language thresholds, [[mixtureGate]] admits at
+    * the snapshot's domain rates, [[spanScrubGate]] (when a gram
+    * snapshot is supplied) rejects boilerplate-covered documents BEFORE
+    * they enter dedup state (a scrubbed-out doc must never occupy a
+    * digest slot), `dropDuplicatesWithinWatermark` on the sha2 content
+    * digest drops exact re-ingests (state keyed on the 32-byte hash,
+    * never the body, bounded by the watermark), and the quality gate
+    * scores with the same native kernel as the batch q17/q65. Appends
+    * `importance_score` (when gated), `span_coverage_bp` (when
+    * scrubbed) and `quality`; otherwise passthrough. Everything outside
+    * the dedup is stateless — broadcast literal maps and per-row
     * predicates — so the job's only state is the in-watermark digest
     * set. */
   def curatedIntake(stream: DataFrame, rates: DataFrame, eventTimeCol: String,
@@ -478,14 +482,22 @@ object Pipeline {
                     watermark: String = "10 minutes",
                     importanceAffinity: Map[Long, Long] = Map.empty,
                     importanceThresholds: Map[String, Long] = Map.empty,
-                    qualityCutoffs: Map[String, Double] = Map.empty): DataFrame = {
+                    qualityCutoffs: Map[String, Double] = Map.empty,
+                    scrubGrams: Seq[Long] = Seq.empty,
+                    maxCoverageBp: Long = 5000L,
+                    scrubN: Int = 5): DataFrame = {
     require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
       "curatedIntake: supply both importance snapshots or neither")
     val pre =
       if (importanceAffinity.nonEmpty)
         importanceGate(stream, importanceAffinity, importanceThresholds)
       else stream
-    val deduped = mixtureGate(pre, rates, seed)
+    val mixed = mixtureGate(pre, rates, seed)
+    val scrubbed =
+      if (scrubGrams.nonEmpty)
+        spanScrubGate(mixed, scrubGrams, maxCoverageBp, scrubN)
+      else mixed
+    val deduped = scrubbed
       .withColumn("_h", sha2(col("text").cast("binary"), 256))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("_h"))

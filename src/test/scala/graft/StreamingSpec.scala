@@ -1026,6 +1026,56 @@ class StreamingSpec extends SparkSpec {
     assert(kept.keySet == Set(3L), s"gate kept ${kept.keySet}")
   }
 
+  test("curated intake with a span-scrub snapshot applies the boilerplate gate in-chain") {
+    import spark.implicits._
+    // snapshot corpus: equal-count sources (every mixture rate exactly
+    // 1.0) electing one duplicated 5-gram ("a b c d e")
+    val good = "the distributed engine shuffles partitioned vectors efficiently today"
+    val good2 = "another perfectly reasonable document about streaming watermarks arrives"
+    val snap = java.nio.file.Files.createTempDirectory("graft_scrub_intake").toString
+    Seq((1L, "a b c d e f", "en", "src0"),
+        (2L, "a b c d e z", "en", "src4"),
+        (3L, good, "en", "src0"),
+        (4L, good2, "en", "src4"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/documents.parquet")
+    val rates = graft.operators.Curation.mixtureRates(spark, snap)
+    assert(rates.collect().forall(_.getAs[Double]("rate") == 1.0))
+    val grams = graft.operators.TextAnalysis.spanGramSnapshot(spark, snap)
+    assert(grams.nonEmpty)
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def run(maxBp: Long, name: String): Array[org.apache.spark.sql.Row] = {
+      val mem = MemoryStream[CuratedDocFixture]
+      mem.addData(
+        CuratedDocFixture(10L, good, "en", "src0", t0),        // clean: admitted
+        CuratedDocFixture(11L, "a b c d e f", "en", "src4", t0), // boilerplate
+        CuratedDocFixture(12L, good, "en", "src4", t0),        // exact dup of 10
+        CuratedDocFixture(13L, "a a a a a", "en", "src0", t0), // junk quality
+        CuratedDocFixture(14L, good2, "en", "srcNEW", t0))     // unknown source
+      val q = Pipeline.curatedIntake(mem.toDS().toDF(), rates, "ts",
+          scrubGrams = grams, maxCoverageBp = maxBp)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).collect()
+    }
+    // default policy: the boilerplate-covered doc (positions 1-5 of 6 =
+    // 8333 bp) is scrubbed IN ADDITION to the dup/junk/unknown drops the
+    // un-scrubbed intake already makes — one clean survivor
+    val rows = run(5000L, "scrub_intake")
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(10L), rows.mkString(","))
+    assert(rows.head.getAs[Long]("span_coverage_bp") == 0L)
+    assert(rows.head.getAs[Double]("quality") >= 0.2)
+    // threshold above scale: the scrub stage admits the boilerplate doc
+    // with its exact batch coverage, and the rest of the chain is
+    // untouched — proving the drop above was the span gate specifically
+    val loose = run(10001L, "scrub_intake_loose")
+    assert(loose.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("span_coverage_bp")).toMap ==
+      Map(10L -> 0L, 11L -> 8333L), loose.mkString(","))
+  }
+
   test("curated intake: mixture gate + content dedup + quality gate compose in one job") {
     // snapshot with two equal-weight, equal-count sources: every rate is
     // exactly 1.0, so admission is decided purely by source membership
