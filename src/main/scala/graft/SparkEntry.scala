@@ -233,7 +233,9 @@ object SparkEntry {
     "q138_quality_trend" -> ((s, d) => Curation.sourceQualityTrend(s, d)),
     // oracle is the PLAIN join (the q68 device): electing hot keys from
     // the q135 table and salting only those must be invisible in results
-    "q139_targeted_salt" -> ((s, d) => graft.operators.Scale.targetedSaltSummary(s, d))
+    "q139_targeted_salt" -> ((s, d) => graft.operators.Scale.targetedSaltSummary(s, d)),
+    "q140_perplexity_filter" -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
+    "q141_ppx_calibration" -> ((s, d) => TextAnalysis.perplexityCalibration(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -379,6 +381,8 @@ object SparkEntry {
     "q136_diversity_profile" -> TextAnalysis.diversityProfileSql,
     "q137_integrity_audit" -> Relational.integrityAuditSql,
     "q138_quality_trend" -> Curation.sourceQualityTrendSql,
-    "q139_targeted_salt" -> graft.operators.Scale.targetedSaltSummarySql
+    "q139_targeted_salt" -> graft.operators.Scale.targetedSaltSummarySql,
+    "q140_perplexity_filter" -> TextAnalysis.perplexityFilterSql(),
+    "q141_ppx_calibration" -> TextAnalysis.perplexityCalibrationSql()
   )
 }

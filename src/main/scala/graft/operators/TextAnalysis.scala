@@ -1564,4 +1564,218 @@ object TextAnalysis {
        |FROM e WHERE cum >= (decile * n + 9) // 10
        |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   }
+
+  // ---- X66: CCNet-style LM perplexity filter (q140, q141) -----------------
+  //
+  // CCNet (Wenzek et al. 2019, arXiv:1911.00359) filters a crawled corpus
+  // by the perplexity of a reference-domain language model: score every
+  // pool document, split each language into head/middle/tail perplexity
+  // tertiles, keep the head (or head+middle). The published recipe uses a
+  // KenLM 5-gram model; floats can't cross the hash gate, so the scorer
+  // here is the integer twin: a token-unigram LM over the reference slice
+  // (source = targetSource, the q95 convention), Laplace-smoothed, with
+  // log2 evaluated in EXACT MILLI-BITS by an integer mantissa device —
+  // exponent e = bit-length(x) − 1 via length(bin(x)) (both engines print
+  // the same minimal binary string), a 16-entry LUT on the top four
+  // fractional mantissa bits, and cost(tok) = log2m(T + V) − log2m(cnt + 1)
+  // per token occurrence. A document's score is its mean token cost in
+  // milli-bits (≈ 1000·log2 of the unigram perplexity): the same monotone
+  // structure as CCNet's filter, exact integer arithmetic in both engines.
+
+  /** round(log2(1 + i/16)·1000) for i ∈ 0..15 — the fractional-mantissa
+    * LUT of the milli-bit integer log2 (≤ ~3 milli-bit quantization). */
+  private val Log2MilliLut = Seq(0, 87, 170, 248, 322, 392, 459, 524,
+    585, 644, 700, 755, 807, 858, 907, 954)
+  private val Log2Pow2 = (0 until 60).map(i => 1L << i)
+
+  /** Milli-bit integer log2 of a positive BIGINT expression `x` < 2^59:
+    * e·1000 + LUT[(x·16 div 2^e) − 16], e = length(bin(x)) − 1. The two
+    * dialects differ only in array indexing and integer-division
+    * spelling, so each gets its own printer over the same constants. */
+  private def log2MilliSpark(x: String): String =
+    s"((length(bin($x)) - 1) * 1000 + " +
+      s"element_at(array(${Log2MilliLut.mkString(", ")}), " +
+      s"cast((($x) * 16) div element_at(array(${Log2Pow2.mkString(", ")}), " +
+      s"length(bin($x))) as int) - 15))"
+
+  private def log2MilliDuck(x: String): String =
+    s"((length(bin($x)) - 1) * 1000 + " +
+      s"[${Log2MilliLut.mkString(", ")}][((($x) * 16) // " +
+      s"[${Log2Pow2.mkString(", ")}][length(bin($x))]) - 15])"
+
+  /** Per-pool-document perplexity table (doc_id, lang, ppx_mb, ntok,
+    * ppx_bucket): mean token cost in milli-bits against the
+    * `targetSource` unigram LM, and the per-language CCNet tertile
+    * (a_head / b_middle / c_tail by (ppx_mb asc, doc_id) rank).
+    * Persisted once per (session, dir, target) — the q140 audit and the
+    * q141 calibration both read it.
+    *
+    * Scale posture: the LM is the bounded reference-slice vocabulary
+    * (CCNet's LM is likewise a fixed artifact trained on the reference
+    * domain, not the crawl) — broadcast with its ≤|langs|-row stats
+    * table; pool tokens meet it map-side, collapse per doc with one
+    * doc_id-keyed exchange, and only per-doc score rows enter the
+    * per-language tertile window (the q65 caveat: for a 100 TB
+    * single-language corpus the production cut is the q99-style score
+    * histogram election, with this exact-rank twin as its oracle). */
+  private def perplexityScored(spark: SparkSession, dir: String,
+                               targetSource: String): DataFrame =
+    graft.PlanCache.cached(spark,
+      s"textanalysis.ppxScored:$targetSource:$dir") {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val lm = docs.filter(col("source") === targetSource)
+        .select(col("lang"), explode(TextHash.tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = lm.groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+      val scored = docs.filter(col("source") =!= targetSource)
+        .select(col("doc_id"), col("lang"),
+          explode(TextHash.tokens(col("text"))).as("tok"))
+        .join(broadcast(stats), Seq("lang"))
+        .join(broadcast(lm), Seq("lang", "tok"), "left")
+        .select(col("doc_id"), col("lang"),
+          expr(s"cast(${log2MilliSpark("t + v")} - " +
+            s"${log2MilliSpark("coalesce(cnt, 0) + 1")} as bigint)").as("cost"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(expr("sum(cost) div count(1)").as("ppx_mb"),
+          count(lit(1)).as("ntok"))
+      val byLang = Window.partitionBy(col("lang"))
+      val w = byLang.orderBy(col("ppx_mb"), col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .withColumn("ppx_bucket",
+          when(col("rn") * 3 <= col("n"), "a_head")
+            .when(col("rn") * 3 <= col("n") * 2, "b_middle")
+            .otherwise("c_tail"))
+        .drop("rn", "n")
+    }
+
+  /** X66 perplexity-filter audit (q140): per (lang, CCNet tertile) —
+    * docs, token mass, mean and max milli-bit perplexity. The head
+    * bucket is what a CCNet-style pipeline keeps; the table prices all
+    * three cuts before any data is dropped. */
+  def perplexityFilter(spark: SparkSession, dir: String,
+                       targetSource: String = "src0"): DataFrame =
+    perplexityScored(spark, dir, targetSource)
+      .groupBy(col("lang"), col("ppx_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("sum_tokens"),
+        expr("sum(ppx_mb) div count(1)").as("avg_ppx_mb"),
+        max(col("ppx_mb")).as("max_ppx_mb"))
+      .orderBy(col("lang"), col("ppx_bucket"))
+
+  private def perplexityChainSql(targetSource: String): String = {
+    val costExpr = s"${log2MilliDuck("st.t + st.v")} - " +
+      s"${log2MilliDuck("coalesce(lm.cnt, 0) + 1")}"
+    s"""ref AS (
+       |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents WHERE source = '$targetSource'
+       |), lm AS (
+       |  SELECT lang, tok, count(*)::BIGINT AS cnt FROM ref GROUP BY 1, 2
+       |), st AS (
+       |  SELECT lang, sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v
+       |  FROM lm GROUP BY lang
+       |), pool AS (
+       |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents WHERE source <> '$targetSource'
+       |), costs AS (
+       |  SELECT p.doc_id, p.lang, ($costExpr)::BIGINT AS cost
+       |  FROM pool p JOIN st ON st.lang = p.lang
+       |  LEFT JOIN lm ON lm.lang = p.lang AND lm.tok = p.tok
+       |), d AS (
+       |  SELECT doc_id, lang, (sum(cost) // count(*))::BIGINT AS ppx_mb,
+       |    count(*)::BIGINT AS ntok
+       |  FROM costs GROUP BY 1, 2
+       |), b AS (
+       |  SELECT doc_id, lang, ppx_mb, ntok,
+       |    CASE WHEN 3 * rn <= n THEN 'a_head'
+       |      WHEN 3 * rn <= 2 * n THEN 'b_middle'
+       |      ELSE 'c_tail' END AS ppx_bucket
+       |  FROM (SELECT *,
+       |      row_number() OVER (PARTITION BY lang ORDER BY ppx_mb, doc_id) AS rn,
+       |      count(*) OVER (PARTITION BY lang) AS n
+       |    FROM d)
+       |)""".stripMargin
+  }
+
+  def perplexityFilterSql(targetSource: String = "src0"): String =
+    s"""WITH ${perplexityChainSql(targetSource)}
+       |SELECT lang, ppx_bucket, count(*)::BIGINT AS n_docs,
+       |  sum(ntok)::BIGINT AS sum_tokens,
+       |  (sum(ppx_mb) // count(*))::BIGINT AS avg_ppx_mb,
+       |  max(ppx_mb) AS max_ppx_mb
+       |FROM b GROUP BY 1, 2 ORDER BY lang, ppx_bucket""".stripMargin
+
+  /** X66 perplexity-vs-quality calibration (q141): per (lang, tertile) —
+    * docs, mean q17 quality (micro-units), and how many land in their
+    * language's upper quality half (the q65 median device), with the
+    * share in basis points. The check CCNet itself prescribes before
+    * trusting a perplexity cut: if the head tertile's upper-half share
+    * doesn't beat the tail's, the LM is scoring fluency the quality
+    * heuristic doesn't value (or the reference slice is off-domain) and
+    * the filter would throw away good data. */
+  def perplexityCalibration(spark: SparkSession, dir: String,
+                            targetSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    val qw = byLang.orderBy(col("qm"), col("doc_id"))
+    val qd = Tables.documents(spark, dir)
+      .filter(col("source") =!= targetSource)
+      .select(col("doc_id"), col("lang"),
+        round(qualityScore(col("text")), 6).as("q"))
+      .select(col("doc_id"), col("lang"),
+        expr("cast(round(q * 1000000) as bigint)").as("qm"))
+      .withColumn("qrn", row_number().over(qw).cast("long"))
+      .withColumn("qn", count(lit(1)).over(byLang))
+      .withColumn("upper", (col("qrn") * 2) > col("qn"))
+      .select(col("doc_id"), col("lang"), col("qm"), col("upper"))
+    perplexityScored(spark, dir, targetSource)
+      .join(qd, Seq("doc_id", "lang"))
+      .groupBy(col("lang"), col("ppx_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(qm) div count(1)").as("avg_q_micro"),
+        sum(when(col("upper"), 1L).otherwise(0L)).as("n_upper_half"))
+      .select(col("lang"), col("ppx_bucket"), col("n_docs"),
+        col("avg_q_micro"), col("n_upper_half"),
+        expr("n_upper_half * 10000 div n_docs").as("upper_share_bp"))
+      .orderBy(col("lang"), col("ppx_bucket"))
+  }
+
+  def perplexityCalibrationSql(targetSource: String = "src0"): String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${perplexityChainSql(targetSource)},
+       |qs AS (
+       |  SELECT doc_id, lang,
+       |    CAST(round(round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      * 1000000) AS BIGINT) AS qm
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT doc_id, lang, text,
+       |          string_split(lower(text), ' ') AS t FROM documents
+       |          WHERE source <> '$targetSource'))
+       |), qr AS (
+       |  SELECT doc_id, lang, qm,
+       |    row_number() OVER (PARTITION BY lang ORDER BY qm, doc_id) AS qrn,
+       |    count(*) OVER (PARTITION BY lang) AS qn
+       |  FROM qs
+       |)
+       |SELECT b.lang, b.ppx_bucket, count(*)::BIGINT AS n_docs,
+       |  (sum(qr.qm) // count(*))::BIGINT AS avg_q_micro,
+       |  sum(CASE WHEN 2 * qr.qrn > qr.qn THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_upper_half,
+       |  ((sum(CASE WHEN 2 * qr.qrn > qr.qn THEN 1 ELSE 0 END) * 10000)
+       |    // count(*))::BIGINT AS upper_share_bp
+       |FROM b JOIN qr ON b.doc_id = qr.doc_id AND b.lang = qr.lang
+       |GROUP BY 1, 2 ORDER BY b.lang, b.ppx_bucket""".stripMargin
+  }
 }

@@ -487,4 +487,70 @@ class TextAnalysisSpec extends SparkSpec {
       assert(cuts.zip(cuts.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  // driver-side reimplementation of the q140 milli-bit integer log2
+  private val Log2Lut = Seq(0, 87, 170, 248, 322, 392, 459, 524,
+    585, 644, 700, 755, 807, 858, 907, 954)
+  private def log2m(x: Long): Long = {
+    require(x >= 1)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    e.toLong * 1000 + Log2Lut(((x * 16) >> e).toInt - 16)
+  }
+
+  test("perplexity filter (q140): milli-bit LM costs match a driver-side reimplementation") {
+    // reference slice: LM(en) = {a: 2, b: 1}, T=3, V=2 -> T+V = 5
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppx").toString
+    Seq((1L, "a a b", "en", "src0"),
+        (2L, "a a a a", "en", "srcX"), // most reference-like
+        (3L, "a b", "en", "srcX"),
+        (4L, "z z z", "en", "srcX"))   // fully out-of-model
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def cost(cnt: Long): Long = log2m(5) - log2m(cnt + 1)
+    val ppx = Map( // integer mean token cost per doc
+      2L -> (4 * cost(2)) / 4,           // four 'a'
+      3L -> (cost(2) + cost(1)) / 2,     // 'a' + 'b'
+      4L -> (3 * cost(0)) / 3)           // three unseen 'z'
+    // three pool docs in one lang: one per tertile, ranked by (ppx, id)
+    val rows = TextAnalysis.perplexityFilter(spark, dir).collect()
+    assert(rows.length == 3)
+    val byBucket = rows.map(r => r.getAs[String]("ppx_bucket") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("avg_ppx_mb"),
+        r.getAs[Long]("max_ppx_mb"), r.getAs[Long]("sum_tokens"))).toMap
+    assert(byBucket("a_head") == ((1L, ppx(2L), ppx(2L), 4L)))
+    assert(byBucket("b_middle") == ((1L, ppx(3L), ppx(3L), 2L)))
+    assert(byBucket("c_tail") == ((1L, ppx(4L), ppx(4L), 3L)))
+    // the ordering is the CCNet story: familiar < mixed < out-of-model
+    assert(ppx(2L) < ppx(3L) && ppx(3L) < ppx(4L))
+  }
+
+  test("perplexity tertiles (q140/q141): partition the pool, sizes within 1, ppx monotone") {
+    val pool = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= "src0")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f = TextAnalysis.perplexityFilter(spark, sf0001).collect()
+    f.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sizes = rs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.sum == pool(lang), s"$lang tertiles must partition the pool")
+      assert(sizes.max - sizes.min <= 1, s"$lang tertile sizes $sizes")
+      // mean perplexity is monotone across head -> middle -> tail
+      val byB = rs.sortBy(_.getAs[String]("ppx_bucket"))
+        .map(_.getAs[Long]("avg_ppx_mb"))
+      assert(byB.zip(byB.tail).forall { case (a, b) => a <= b })
+    }
+    val c = TextAnalysis.perplexityCalibration(spark, sf0001).collect()
+    c.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == pool(lang))
+      // exactly ceil(n/2) pool docs sit in the upper quality half
+      // (2·rn > n keeps the median element — the q65 rule)
+      assert(rs.map(_.getAs[Long]("n_upper_half")).sum == (pool(lang) + 1) / 2,
+        s"$lang upper-half mass")
+      rs.foreach { r =>
+        val share = r.getAs[Long]("n_upper_half") * 10000 / r.getAs[Long]("n_docs")
+        assert(r.getAs[Long]("upper_share_bp") == share)
+      }
+    }
+  }
 }
