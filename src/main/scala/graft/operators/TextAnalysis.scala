@@ -1618,8 +1618,8 @@ object TextAnalysis {
     * per-language tertile window (the q65 caveat: for a 100 TB
     * single-language corpus the production cut is the q99-style score
     * histogram election, with this exact-rank twin as its oracle). */
-  private def perplexityScored(spark: SparkSession, dir: String,
-                               targetSource: String): DataFrame =
+  private[graft] def perplexityScored(spark: SparkSession, dir: String,
+                                      targetSource: String): DataFrame =
     graft.PlanCache.cached(spark,
       s"textanalysis.ppxScored:$targetSource:$dir") {
       import org.apache.spark.sql.expressions.Window
@@ -1652,6 +1652,49 @@ object TextAnalysis {
             .otherwise("c_tail"))
         .drop("rn", "n")
     }
+
+  /** The LM snapshot the streaming gate
+    * ([[graft.streaming.Pipeline.perplexityGate]]) consumes: per-token
+    * milli-bit costs keyed `"lang tok"` (tokens are whitespace-split, so
+    * the space separator is unambiguous) plus the per-language
+    * unseen-token cost log2m(T+V). This is the artifact posture of the
+    * published recipe — CCNet ships its reference KenLM the same way:
+    * the model is bounded by the curated reference slice, not the
+    * crawl, and travels to workers whole. */
+  def perplexityLmSnapshot(spark: SparkSession, dir: String,
+                           targetSource: String = "src0")
+      : (Map[String, Long], Map[String, Long]) = {
+    val lm = Tables.documents(spark, dir)
+      .filter(col("source") === targetSource)
+      .select(col("lang"), explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = lm.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+    val costs = lm.join(broadcast(stats), Seq("lang"))
+      .select(concat(col("lang"), lit(" "), col("tok")).as("k"),
+        expr(s"cast(${log2MilliSpark("t + v")} - " +
+          s"${log2MilliSpark("cnt + 1")} as bigint)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = stats
+      .select(col("lang"),
+        expr(s"cast(${log2MilliSpark("t + v")} as bigint)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (costs, base)
+  }
+
+  /** Per-language admission cutoffs for the streaming gate: the max
+    * milli-bit perplexity across the KEPT tertiles (default head+middle
+    * — the CCNet keep set). A stream cannot rank, so the published
+    * contract is the boundary score; score-tied tail rows at the
+    * boundary are admitted (the importanceGate tie rule). */
+  def perplexityCutoffs(spark: SparkSession, dir: String,
+                        keep: Seq[String] = Seq("a_head", "b_middle"),
+                        targetSource: String = "src0"): Map[String, Long] =
+    perplexityScored(spark, dir, targetSource)
+      .filter(col("ppx_bucket").isin(keep: _*))
+      .groupBy(col("lang")).agg(max(col("ppx_mb")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** X66 perplexity-filter audit (q140): per (lang, CCNet tertile) —
     * docs, token mass, mean and max milli-bit perplexity. The head

@@ -464,16 +464,19 @@ object Pipeline {
     * the engine's twin of the reference's single continuous stream
     * (`streamer.py:48` → `ProcessStreamData.py:12-33`):
     * [[importanceGate]] (when a snapshot is supplied) admits at the
-    * batch-elected per-language thresholds, [[mixtureGate]] admits at
-    * the snapshot's domain rates, [[spanScrubGate]] (when a gram
+    * batch-elected per-language thresholds, [[perplexityGate]] (when an
+    * LM snapshot is supplied) admits at the batch q140 tertile-boundary
+    * scores, [[mixtureGate]] admits at the snapshot's domain rates,
+    * [[spanScrubGate]] (when a gram
     * snapshot is supplied) rejects boilerplate-covered documents BEFORE
     * they enter dedup state (a scrubbed-out doc must never occupy a
     * digest slot), `dropDuplicatesWithinWatermark` on the sha2 content
     * digest drops exact re-ingests (state keyed on the 32-byte hash,
     * never the body, bounded by the watermark), and the quality gate
     * scores with the same native kernel as the batch q17/q65. Appends
-    * `importance_score` (when gated), `span_coverage_bp` (when
-    * scrubbed) and `quality`; otherwise passthrough. Everything outside
+    * `importance_score` (when gated), `ppx_mb` (when LM-gated),
+    * `span_coverage_bp` (when scrubbed) and `quality`; otherwise
+    * passthrough. Everything outside
     * the dedup is stateless — broadcast literal maps and per-row
     * predicates — so the job's only state is the in-watermark digest
     * set. */
@@ -485,14 +488,25 @@ object Pipeline {
                     qualityCutoffs: Map[String, Double] = Map.empty,
                     scrubGrams: Seq[Long] = Seq.empty,
                     maxCoverageBp: Long = 5000L,
-                    scrubN: Int = 5): DataFrame = {
+                    scrubN: Int = 5,
+                    lmCosts: Map[String, Long] = Map.empty,
+                    lmBase: Map[String, Long] = Map.empty,
+                    ppxCutoffs: Map[String, Long] = Map.empty): DataFrame = {
     require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
       "curatedIntake: supply both importance snapshots or neither")
+    require(lmCosts.isEmpty == lmBase.isEmpty &&
+      lmBase.isEmpty == ppxCutoffs.isEmpty,
+      "curatedIntake: supply all three perplexity snapshots or none")
     val pre =
       if (importanceAffinity.nonEmpty)
         importanceGate(stream, importanceAffinity, importanceThresholds)
       else stream
-    val mixed = mixtureGate(pre, rates, seed)
+    // the second content-model gate sits with the first: both are pure
+    // per-row scores against broadcast snapshots
+    val pre2 =
+      if (lmCosts.nonEmpty) perplexityGate(pre, lmCosts, lmBase, ppxCutoffs)
+      else pre
+    val mixed = mixtureGate(pre2, rates, seed)
     val scrubbed =
       if (scrubGrams.nonEmpty)
         spanScrubGate(mixed, scrubGrams, maxCoverageBp, scrubN)
@@ -549,6 +563,45 @@ object Pipeline {
       .withColumn("importance_score", expr("_aff_sum DIV _ntok"))
       .drop("_aff_sum", "_ntok")
       .filter(col("importance_score") >= element_at(th, col("lang")))
+  }
+
+  /** X67 streaming twin: perplexity-intake gate — score each incoming
+    * document against the SAME reference-slice unigram LM as the batch
+    * q140 filter (exact integer milli-bits, the bin()-exponent +
+    * mantissa-LUT device) and admit rows at or below their language's
+    * elected cutoff ([[graft.operators.TextAnalysis.perplexityCutoffs]],
+    * the head+middle boundary by default). A stream cannot rank into
+    * tertiles, so the published contract is the BOUNDARY SCORE — the
+    * importanceGate posture exactly: admission is a pure per-row
+    * predicate (stateless, no checkpoint beyond the source's), and
+    * score-tied tail rows at the boundary are admitted rather than
+    * dropped. The LM arrives as literal maps keyed `"lang tok"` with a
+    * per-language unseen-token cost — the bounded-artifact pattern
+    * (CCNet ships its reference KenLM the same way; the model is sized
+    * by the curated reference slice, never the crawl). Documents of
+    * languages absent from the snapshot are DROPPED (null cost base),
+    * mirroring [[mixtureGate]]'s unknown-domain rule. Appends `ppx_mb`
+    * (exact integer milli-bits per token, batch-identical). */
+  def perplexityGate(stream: DataFrame, lmCosts: Map[String, Long],
+                     lmBase: Map[String, Long],
+                     cutoffs: Map[String, Long]): DataFrame = {
+    require(lmCosts.nonEmpty, "perplexityGate: empty LM cost snapshot")
+    require(lmBase.nonEmpty, "perplexityGate: empty LM base snapshot")
+    require(cutoffs.nonEmpty, "perplexityGate: empty cutoff snapshot")
+    val cm = typedLit(lmCosts)
+    val bm = typedLit(lmBase)
+    val cut = typedLit(cutoffs)
+    val toks = graft.functions.TextHash.tokens(col("text"))
+    stream
+      .withColumn("_cost_sum", aggregate(
+        transform(toks, t => coalesce(
+          element_at(cm, concat(col("lang"), lit(" "), t)),
+          element_at(bm, col("lang")))),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("_ntok", size(toks).cast("long"))
+      .withColumn("ppx_mb", expr("_cost_sum DIV _ntok"))
+      .drop("_cost_sum", "_ntok")
+      .filter(col("ppx_mb") <= element_at(cut, col("lang")))
   }
 
   /** X32 streaming twin: span-scrub intake gate — reject documents whose

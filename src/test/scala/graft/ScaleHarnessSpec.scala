@@ -392,4 +392,36 @@ class ScaleHarnessSpec extends SparkSpec {
       assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dups") == r.getAs[Long]("n_members"))
     }
   }
+
+  test("q140: the LM artifact is bounded by the reference slice, invariant under 100x pool inflation") {
+    // the broadcast side of the perplexity filter is the reference-slice
+    // vocabulary — the CROWD (pool) can grow 100x without adding a row
+    // to the model, exactly the CCNet artifact posture
+    def mk(poolCopies: Int): String = {
+      val ref = (0 until 10).map(i =>
+        (i.toLong, (0 until 12).map(j => s"r${i}w$j").mkString(" "), "en", "ref"))
+      val pool = for {
+        t <- 0 until 20
+        c <- 0 until poolCopies
+      } yield (1000L + t * 10000L + c,
+        (0 until 12).map(j => s"p${t}w$j").mkString(" "), "en", "gen")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ppx_scale_$poolCopies").toString
+      (ref ++ pool).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(4).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val d1 = mk(1)
+    val d100 = mk(100)
+    val lm1 = TextAnalysis.perplexityLmSnapshot(spark, d1, "ref")._1
+    val lm100 = TextAnalysis.perplexityLmSnapshot(spark, d100, "ref")._1
+    // 120 distinct reference tokens -> 120 LM rows at BOTH pool scales
+    assert(lm1.size == 120, s"LM vocab ${lm1.size}")
+    assert(lm100 == lm1, "100x pool inflation must not touch the LM artifact")
+    // the per-doc score table is linear in the pool (one row per doc)
+    assert(TextAnalysis.perplexityScored(spark, d1, "ref").count() == 20L)
+    assert(TextAnalysis.perplexityScored(spark, d100, "ref").count() == 2000L)
+  }
 }

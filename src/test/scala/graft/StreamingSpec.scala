@@ -1026,6 +1026,54 @@ class StreamingSpec extends SparkSpec {
     assert(kept.keySet == Set(3L), s"gate kept ${kept.keySet}")
   }
 
+  test("perplexity gate admits exactly the batch head+middle set with batch-identical scores (X67 twin)") {
+    import spark.implicits._
+    val (costs, base) = graft.operators.TextAnalysis
+      .perplexityLmSnapshot(spark, sf0001)
+    val cuts = graft.operators.TextAnalysis.perplexityCutoffs(spark, sf0001)
+    // batch truth: every pool doc's exact milli-bit score and its
+    // admit/drop decision at the elected boundary (ties admitted)
+    val scored = graft.operators.TextAnalysis
+      .perplexityScored(spark, sf0001, "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("ppx_mb"))).toMap
+    val expected = scored.collect {
+      case (id, (lang, ppx)) if cuts.get(lang).exists(ppx <= _) => id
+    }.toSet
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val pool = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= "src0").collect()
+      .map(r => CuratedDocFixture(r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), t0))
+    val mem = MemoryStream[CuratedDocFixture]
+    mem.addData(pool.toIndexedSeq: _*)
+    val q = Pipeline.perplexityGate(mem.toDS().toDF(), costs, base, cuts)
+      .writeStream.format("memory").queryName("ppx_gate")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("ppx_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ppx_mb")).toMap
+    assert(got.keySet == expected,
+      s"admitted ${got.size}, batch keep set ${expected.size}")
+    // appended score is the exact batch integer, row for row
+    got.foreach { case (id, ppx) => assert(ppx == scored(id)._2, s"doc $id") }
+    // the gate is selective at this SF (some tail rows exist above the
+    // boundary) but keeps at least the two elected tertiles
+    assert(expected.size < scored.size)
+    assert(expected.size * 3 >= scored.size * 2)
+    // unknown-language rows drop: replay one admitted doc under a lang
+    // the snapshot never saw
+    val mem2 = MemoryStream[CuratedDocFixture]
+    val some = pool.find(d => expected.contains(d.doc_id)).get
+    mem2.addData(some.copy(lang = "xx"))
+    val q2 = Pipeline.perplexityGate(mem2.toDS().toDF(), costs, base, cuts)
+      .writeStream.format("memory").queryName("ppx_gate_xx")
+      .outputMode("append").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(spark.table("ppx_gate_xx").count() == 0)
+  }
+
   test("curated intake with a span-scrub snapshot applies the boilerplate gate in-chain") {
     import spark.implicits._
     // snapshot corpus: equal-count sources (every mixture rate exactly
