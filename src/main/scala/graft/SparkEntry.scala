@@ -235,7 +235,8 @@ object SparkEntry {
     // the q135 table and salting only those must be invisible in results
     "q139_targeted_salt" -> ((s, d) => graft.operators.Scale.targetedSaltSummary(s, d)),
     "q140_perplexity_filter" -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
-    "q141_ppx_calibration" -> ((s, d) => TextAnalysis.perplexityCalibration(s, d))
+    "q141_ppx_calibration" -> ((s, d) => TextAnalysis.perplexityCalibration(s, d)),
+    "q142_rule_filter" -> ((s, d) => TextAnalysis.ruleFilterAudit(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -383,6 +384,7 @@ object SparkEntry {
     "q138_quality_trend" -> Curation.sourceQualityTrendSql,
     "q139_targeted_salt" -> graft.operators.Scale.targetedSaltSummarySql,
     "q140_perplexity_filter" -> TextAnalysis.perplexityFilterSql(),
-    "q141_ppx_calibration" -> TextAnalysis.perplexityCalibrationSql()
+    "q141_ppx_calibration" -> TextAnalysis.perplexityCalibrationSql(),
+    "q142_rule_filter" -> TextAnalysis.ruleFilterAuditSql
   )
 }

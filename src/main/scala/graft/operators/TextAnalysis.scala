@@ -1787,6 +1787,101 @@ object TextAnalysis {
       .orderBy(col("lang"), col("ppx_bucket"))
   }
 
+  // ---- X68: Gopher/C4 rule-filter audit (q142) ----------------------------
+
+  /** X68 rule-filter audit (q142): per language, how many documents each
+    * of the published heuristic cleaning rules would drop — the C4
+    * cleaning set (Raffel et al. 2019, arXiv:1910.10683 §2.2: terminal
+    * punctuation, "lorem ipsum", code braces) and the Gopher quality
+    * rules (Rae et al. 2021, arXiv:2112.11446 §A1.1: token-count bounds,
+    * mean-word-length band, stopword floor) — plus the clean remainder
+    * and its share. The rule-by-rule breakdown is what you read BEFORE
+    * picking thresholds: a rule flagging 40% of a source is mistuned or
+    * the source is garbage, and you want to know which rule fired, not
+    * just that a composite score sagged.
+    *
+    * Every rule is exact integer/string arithmetic (token counts from
+    * the shared whitespace grid; the mean-word-length band compares
+    * `chars−(ntok−1)` against `3·ntok`/`10·ntok` cross-multiplied — no
+    * division, no float): identical semantics in both engines.
+    *
+    * Scale posture: one narrow scan, one fused token pass per row
+    * (flags are per-row predicates), map-side combine to the
+    * ≤|langs|-row rollup. Nothing corpus-sized shuffles. */
+  def ruleFilterAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val ntok = size(t).cast("long")
+    val chars = length(col("text")).cast("long")
+    val wordChars = chars - (ntok - 1)
+    def b(c: Column): Column = when(c, 1L).otherwise(0L)
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        b(ntok < 5).as("f_short"),
+        b(ntok > 100000).as("f_long"),
+        b(wordChars < ntok * 3).as("f_word_short"),
+        b(wordChars > ntok * 10).as("f_word_long"),
+        b(!substring(col("text"), -1, 1).isin(".", "!", "?")).as("f_punct"),
+        b(col("text").contains("{") ||
+          lower(col("text")).contains("lorem ipsum")).as("f_boiler"),
+        b(hitCount(col("text"), Stopwords) < 2).as("f_stopword"))
+      .withColumn("f_any",
+        b(col("f_short") + col("f_long") + col("f_word_short") +
+          col("f_word_long") + col("f_punct") + col("f_boiler") +
+          col("f_stopword") > 0))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_short"),
+        sum(col("f_long")).as("n_long"),
+        sum(col("f_word_short")).as("n_word_short"),
+        sum(col("f_word_long")).as("n_word_long"),
+        sum(col("f_punct")).as("n_no_terminal"),
+        sum(col("f_boiler")).as("n_boiler"),
+        sum(col("f_stopword")).as("n_low_stopword"),
+        sum(lit(1L) - col("f_any")).as("n_clean"))
+      .withColumn("clean_share_bp", expr("n_clean * 10000 div n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  def ruleFilterAuditSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT lang,
+       |    CASE WHEN ntok < 5 THEN 1 ELSE 0 END AS f_short,
+       |    CASE WHEN ntok > 100000 THEN 1 ELSE 0 END AS f_long,
+       |    CASE WHEN wc < ntok * 3 THEN 1 ELSE 0 END AS f_word_short,
+       |    CASE WHEN wc > ntok * 10 THEN 1 ELSE 0 END AS f_word_long,
+       |    CASE WHEN right(text, 1) NOT IN ('.', '!', '?')
+       |      THEN 1 ELSE 0 END AS f_punct,
+       |    CASE WHEN position('{' IN text) > 0
+       |        OR position('lorem ipsum' IN lower(text)) > 0
+       |      THEN 1 ELSE 0 END AS f_boiler,
+       |    CASE WHEN stops < 2 THEN 1 ELSE 0 END AS f_stopword
+       |  FROM (
+       |    SELECT lang, text,
+       |      len(t)::BIGINT AS ntok,
+       |      (length(text) - (len(t) - 1))::BIGINT AS wc,
+       |      len(list_filter(t, x -> x IN ($stop)))::BIGINT AS stops
+       |    FROM (SELECT lang, text, string_split(lower(text), ' ') AS t
+       |          FROM documents))
+       |), g AS (
+       |  SELECT *,
+       |    CASE WHEN f_short + f_long + f_word_short + f_word_long +
+       |      f_punct + f_boiler + f_stopword > 0 THEN 1 ELSE 0 END AS f_any
+       |  FROM f
+       |)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(f_short)::BIGINT AS n_short,
+       |  sum(f_long)::BIGINT AS n_long,
+       |  sum(f_word_short)::BIGINT AS n_word_short,
+       |  sum(f_word_long)::BIGINT AS n_word_long,
+       |  sum(f_punct)::BIGINT AS n_no_terminal,
+       |  sum(f_boiler)::BIGINT AS n_boiler,
+       |  sum(f_stopword)::BIGINT AS n_low_stopword,
+       |  sum(1 - f_any)::BIGINT AS n_clean,
+       |  ((sum(1 - f_any) * 10000) // count(*))::BIGINT AS clean_share_bp
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def perplexityCalibrationSql(targetSource: String = "src0"): String = {
     val stop = Stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH ${perplexityChainSql(targetSource)},

@@ -497,6 +497,43 @@ class TextAnalysisSpec extends SparkSpec {
     e.toLong * 1000 + Log2Lut(((x * 16) >> e).toInt - 16)
   }
 
+  test("rule filter audit (q142): each published rule fires on its fixture doc and only it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rules").toString
+    // each fixture doc trips exactly ONE rule (the others carry >= 2
+    // stopwords, 5+ tokens, mean word length in [3,10], terminal
+    // punctuation, no braces) so every counter is pinned independently
+    Seq(
+      (1L, "the quality of the corpus is good and the tokens flow nicely.", "en", "src0"), // clean
+      (2L, "the end is near.", "en", "src0"),                        // f_short (4 toks)
+      (3L, "is a of to it be at on we do go the.", "en", "src0"),    // f_word_short (mean < 3)
+      (4L, "the extraordinarily incomprehensible multidimensional parallelization architectures of the materialized informational infrastructures.", "en", "src0"), // f_word_long
+      (5L, "the quality of the corpus is good and the tokens flow nicely", "en", "src0"), // f_punct
+      (6L, "the config block { x } is of the standard shape and it parses.", "en", "src0"), // f_boiler
+      (7L, "every corpus needs careful curation under strict quality rules today.", "en", "src0")) // f_stopword (0 hits)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.ruleFilterAudit(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_docs") == 7L)
+    assert(row.getAs[Long]("n_short") == 1L, "doc 2")
+    assert(row.getAs[Long]("n_long") == 0L)
+    assert(row.getAs[Long]("n_word_short") == 1L, "doc 3")
+    assert(row.getAs[Long]("n_word_long") == 1L, "doc 4")
+    assert(row.getAs[Long]("n_no_terminal") == 1L, "doc 5")
+    assert(row.getAs[Long]("n_boiler") == 1L, "doc 6")
+    assert(row.getAs[Long]("n_low_stopword") == 1L, "doc 7")
+    assert(row.getAs[Long]("n_clean") == 1L, "only the clean doc survives")
+    assert(row.getAs[Long]("clean_share_bp") == 10000L / 7L)
+    // and on the real corpus the audit partitions: clean + any-flag = docs
+    TextAnalysis.ruleFilterAudit(spark, sf0001).collect().foreach { x =>
+      assert(x.getAs[Long]("n_clean") <= x.getAs[Long]("n_docs"))
+      assert(x.getAs[Long]("clean_share_bp") ==
+        x.getAs[Long]("n_clean") * 10000 / x.getAs[Long]("n_docs"))
+    }
+  }
+
   test("perplexity filter (q140): milli-bit LM costs match a driver-side reimplementation") {
     // reference slice: LM(en) = {a: 2, b: 1}, T=3, V=2 -> T+V = 5
     val dir = java.nio.file.Files.createTempDirectory("graft_ppx").toString
