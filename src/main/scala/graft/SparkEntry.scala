@@ -236,7 +236,8 @@ object SparkEntry {
     "q139_targeted_salt" -> ((s, d) => graft.operators.Scale.targetedSaltSummary(s, d)),
     "q140_perplexity_filter" -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
     "q141_ppx_calibration" -> ((s, d) => TextAnalysis.perplexityCalibration(s, d)),
-    "q142_rule_filter" -> ((s, d) => TextAnalysis.ruleFilterAudit(s, d))
+    "q142_rule_filter" -> ((s, d) => TextAnalysis.ruleFilterAudit(s, d)),
+    "q143_filter_chain" -> ((s, d) => graft.operators.CurationPipeline.crawlFilterChain(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -385,6 +386,7 @@ object SparkEntry {
     "q139_targeted_salt" -> graft.operators.Scale.targetedSaltSummarySql,
     "q140_perplexity_filter" -> TextAnalysis.perplexityFilterSql(),
     "q141_ppx_calibration" -> TextAnalysis.perplexityCalibrationSql(),
-    "q142_rule_filter" -> TextAnalysis.ruleFilterAuditSql
+    "q142_rule_filter" -> TextAnalysis.ruleFilterAuditSql,
+    "q143_filter_chain" -> graft.operators.CurationPipeline.crawlFilterChainSql()
   )
 }

@@ -342,4 +342,103 @@ object CurationPipeline {
        |  count(DISTINCT (shard, c))::BIGINT AS n_contexts_touched
        |FROM ex GROUP BY split, lang ORDER BY split, lang""".stripMargin
   }
+
+  /** Crawl-to-corpus filter chain (q143): the published cleaning front
+    * end composed as ONE plan — q19 exact digest dedup → q142 Gopher/C4
+    * rule battery → q140 CCNet perplexity cut (head+middle tertiles
+    * RE-ELECTED over the rule-clean survivors, the hand-off
+    * q140-standalone cannot gate) — with per-language stage counts:
+    * pool → unique → rule-clean → perplexity-kept, plus the kept token
+    * mass and the elected cutoff score. This is the CCNet paper's own
+    * order (dedup, then LM filter) with the Gopher/C4 battery between.
+    *
+    * The chain applies the PAGE-level rules ([[ChainRules]]): C4's
+    * terminal-punctuation rule is a LINE rule (C4 filters line by line
+    * before page rules), and on a single-line sentence-fragment corpus
+    * it fires on every document — the q142 audit reports that
+    * truthfully; a chain that admits zero documents gates nothing.
+    *
+    * Scale posture inherited stage by stage: the corpus body crosses
+    * the digest-keyed dedup shuffle once; rule flags are per-row
+    * predicates on the survivors; per-doc perplexity scores come from
+    * the PlanCache'd q140 table (per-doc scores are pool-composition-
+    * independent — only the tertile RANKS re-elect, over score rows,
+    * never text); stage counts are ≤|langs|-row tables joined at the
+    * end. Dedup and rule-clean hand-offs are persisted for their two
+    * consumers each. */
+  /** The q143 chain's page-level rule subset — all q142 rules except the
+    * line-level terminal-punctuation rule. */
+  val ChainRules: Seq[String] = Seq("f_short", "f_long", "f_word_short",
+    "f_word_long", "f_boiler", "f_stopword")
+
+  def crawlFilterChain(spark: SparkSession, dir: String,
+                       targetSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = graft.Tables.documents(spark, dir)
+      .filter(col("source") =!= targetSource)
+    val np = pool.groupBy(col("lang")).agg(count(lit(1)).as("n_pool"))
+    val dd = graft.PlanCache.cached(spark,
+      s"pipeline.chainDedup:$targetSource:$dir") {
+      pool.groupBy(col("lang"), sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    }
+    val nu = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_unique"))
+    val rc = graft.PlanCache.cached(spark,
+      s"pipeline.chainClean:$targetSource:$dir") {
+      dd.filter(TextAnalysis.ruleViolations(col("text"), ChainRules) === 0)
+        .select(col("doc_id"), col("lang"))
+    }
+    val ncl = rc.groupBy(col("lang")).agg(count(lit(1)).as("n_rule_clean"))
+    val scored = TextAnalysis.perplexityScored(spark, dir, targetSource)
+      .select(col("doc_id"), col("lang"), col("ppx_mb"), col("ntok"))
+    val byLang = Window.partitionBy(col("lang"))
+    val w = byLang.orderBy(col("ppx_mb"), col("doc_id"))
+    val kept = rc.join(scored, Seq("doc_id", "lang"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rn") * 3 <= col("n") * 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ppx_kept"),
+        sum(col("ntok")).as("sum_tokens_kept"),
+        max(col("ppx_mb")).as("ppx_cutoff_mb"))
+    np.join(nu, Seq("lang")).join(ncl, Seq("lang")).join(kept, Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
+  def crawlFilterChainSql(targetSource: String = "src0"): String =
+    s"""WITH ${TextAnalysis.perplexityChainSql(targetSource)},
+       |pdocs AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE source <> '$targetSource'
+       |), np AS (
+       |  SELECT lang, count(*)::BIGINT AS n_pool FROM pdocs GROUP BY lang
+       |), dd AS (
+       |  SELECT lang, min(doc_id) AS doc_id, min(text) AS text
+       |  FROM pdocs GROUP BY lang, sha256(text)
+       |), nu AS (
+       |  SELECT lang, count(*)::BIGINT AS n_unique FROM dd GROUP BY lang
+       |), fl AS (
+       |  ${TextAnalysis.ruleFlagsSqlFrom("dd", "doc_id, lang")}
+       |), rc AS (
+       |  SELECT doc_id, lang FROM fl
+       |  WHERE ${ChainRules.mkString(" + ")} = 0
+       |), ncl AS (
+       |  SELECT lang, count(*)::BIGINT AS n_rule_clean FROM rc GROUP BY lang
+       |), r2 AS (
+       |  SELECT rc.lang, rc.doc_id, d.ppx_mb, d.ntok,
+       |    row_number() OVER (PARTITION BY rc.lang
+       |      ORDER BY d.ppx_mb, rc.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY rc.lang) AS n
+       |  FROM rc JOIN d ON d.doc_id = rc.doc_id AND d.lang = rc.lang
+       |), kept AS (
+       |  SELECT lang, count(*)::BIGINT AS n_ppx_kept,
+       |    sum(ntok)::BIGINT AS sum_tokens_kept,
+       |    max(ppx_mb)::BIGINT AS ppx_cutoff_mb
+       |  FROM r2 WHERE 3 * rn <= 2 * n GROUP BY lang
+       |)
+       |SELECT np.lang, np.n_pool, nu.n_unique, ncl.n_rule_clean,
+       |  kept.n_ppx_kept, kept.sum_tokens_kept, kept.ppx_cutoff_mb
+       |FROM np JOIN nu USING (lang) JOIN ncl USING (lang)
+       |JOIN kept USING (lang)
+       |ORDER BY np.lang""".stripMargin
 }

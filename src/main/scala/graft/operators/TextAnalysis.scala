@@ -1710,7 +1710,7 @@ object TextAnalysis {
         max(col("ppx_mb")).as("max_ppx_mb"))
       .orderBy(col("lang"), col("ppx_bucket"))
 
-  private def perplexityChainSql(targetSource: String): String = {
+  private[graft] def perplexityChainSql(targetSource: String): String = {
     val costExpr = s"${log2MilliDuck("st.t + st.v")} - " +
       s"${log2MilliDuck("coalesce(lm.cnt, 0) + 1")}"
     s"""ref AS (
@@ -1808,26 +1808,44 @@ object TextAnalysis {
     * Scale posture: one narrow scan, one fused token pass per row
     * (flags are per-row predicates), map-side combine to the
     * ≤|langs|-row rollup. Nothing corpus-sized shuffles. */
-  def ruleFilterAudit(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
+  /** The seven rule flags as named 0/1 columns over a `text` column —
+    * shared by the q142 audit and the q143 filter chain so the two can
+    * never drift. Order matters only for display. */
+  private[graft] def ruleFlags(text: Column): Seq[(String, Column)] = {
+    val t = toks(text)
     val ntok = size(t).cast("long")
-    val chars = length(col("text")).cast("long")
+    val chars = length(text).cast("long")
     val wordChars = chars - (ntok - 1)
     def b(c: Column): Column = when(c, 1L).otherwise(0L)
+    Seq(
+      "f_short" -> b(ntok < 5),
+      "f_long" -> b(ntok > 100000),
+      "f_word_short" -> b(wordChars < ntok * 3),
+      "f_word_long" -> b(wordChars > ntok * 10),
+      "f_punct" -> b(!substring(text, -1, 1).isin(".", "!", "?")),
+      "f_boiler" -> b(text.contains("{") ||
+        lower(text).contains("lorem ipsum")),
+      "f_stopword" -> b(hitCount(text, Stopwords) < 2))
+  }
+
+  /** Count of fired rules for a row (0 = clean), restricted to `rules`
+    * (default: all seven). */
+  private[graft] def ruleViolations(text: Column,
+                                    rules: Seq[String] = Seq.empty): Column = {
+    val picked =
+      if (rules.isEmpty) ruleFlags(text)
+      else ruleFlags(text).filter { case (n, _) => rules.contains(n) }
+    picked.map(_._2).reduce(_ + _)
+  }
+
+  def ruleFilterAudit(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .select(col("lang"),
-        b(ntok < 5).as("f_short"),
-        b(ntok > 100000).as("f_long"),
-        b(wordChars < ntok * 3).as("f_word_short"),
-        b(wordChars > ntok * 10).as("f_word_long"),
-        b(!substring(col("text"), -1, 1).isin(".", "!", "?")).as("f_punct"),
-        b(col("text").contains("{") ||
-          lower(col("text")).contains("lorem ipsum")).as("f_boiler"),
-        b(hitCount(col("text"), Stopwords) < 2).as("f_stopword"))
+      .select(col("lang") +: ruleFlags(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
       .withColumn("f_any",
-        b(col("f_short") + col("f_long") + col("f_word_short") +
+        when(col("f_short") + col("f_long") + col("f_word_short") +
           col("f_word_long") + col("f_punct") + col("f_boiler") +
-          col("f_stopword") > 0))
+          col("f_stopword") > 0, 1L).otherwise(0L))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("f_short")).as("n_short"),
@@ -1842,10 +1860,12 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
-  def ruleFilterAuditSql: String = {
+  /** The seven rule flags as a SQL SELECT over relation `rel`, carrying
+    * `passCols` through (must not include `text`) — the q142/q143
+    * shared fragment, mirroring [[ruleFlags]] rule for rule. */
+  private[graft] def ruleFlagsSqlFrom(rel: String, passCols: String): String = {
     val stop = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH f AS (
-       |  SELECT lang,
+    s"""SELECT $passCols,
        |    CASE WHEN ntok < 5 THEN 1 ELSE 0 END AS f_short,
        |    CASE WHEN ntok > 100000 THEN 1 ELSE 0 END AS f_long,
        |    CASE WHEN wc < ntok * 3 THEN 1 ELSE 0 END AS f_word_short,
@@ -1857,12 +1877,17 @@ object TextAnalysis {
        |      THEN 1 ELSE 0 END AS f_boiler,
        |    CASE WHEN stops < 2 THEN 1 ELSE 0 END AS f_stopword
        |  FROM (
-       |    SELECT lang, text,
+       |    SELECT $passCols, text,
        |      len(t)::BIGINT AS ntok,
        |      (length(text) - (len(t) - 1))::BIGINT AS wc,
        |      len(list_filter(t, x -> x IN ($stop)))::BIGINT AS stops
-       |    FROM (SELECT lang, text, string_split(lower(text), ' ') AS t
-       |          FROM documents))
+       |    FROM (SELECT $passCols, text, string_split(lower(text), ' ') AS t
+       |          FROM $rel))""".stripMargin
+  }
+
+  def ruleFilterAuditSql: String = {
+    s"""WITH f AS (
+       |  ${ruleFlagsSqlFrom("documents", "lang")}
        |), g AS (
        |  SELECT *,
        |    CASE WHEN f_short + f_long + f_word_short + f_word_long +

@@ -124,4 +124,36 @@ class CurationPipelineSpec extends SparkSpec {
       .count()
     assert(leaky == 0L, s"$leaky components straddle a split in the composed output")
   }
+
+  test("crawl filter chain (q143): stages narrow monotonically with exact tertile arithmetic") {
+    val rows = graft.operators.CurationPipeline
+      .crawlFilterChain(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val pool = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= "src0")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (np, nu, ncl, nk) = (r.getAs[Long]("n_pool"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("n_rule_clean"),
+        r.getAs[Long]("n_ppx_kept"))
+      assert(np == pool(lang))
+      // every stage narrows (or holds) the previous one
+      assert(np >= nu && nu >= ncl && ncl >= nk, r.toString)
+      // head+middle keeps exactly floor(2n/3) of the rule-clean set
+      assert(nk == ncl * 2 / 3, s"$lang: $nk of $ncl")
+      // each stage is selective at this SF (the chain gates something)
+      assert(ncl < nu, s"$lang: rule battery dropped nothing")
+      assert(nk >= 1L)
+    }
+    // the elected cutoff is a real score from the kept set: no kept doc
+    // exceeds it, and re-running the per-doc scorer confirms the bound
+    val scored = graft.operators.TextAnalysis
+      .perplexityScored(spark, sf0001, "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ppx_mb")).toMap
+    rows.foreach { r =>
+      assert(scored.values.exists(_ == r.getAs[Long]("ppx_cutoff_mb")))
+    }
+  }
 }
