@@ -467,9 +467,10 @@ object Pipeline {
     * batch-elected per-language thresholds, [[perplexityGate]] (when an
     * LM snapshot is supplied) admits at the batch q140 tertile-boundary
     * scores, [[mixtureGate]] admits at the snapshot's domain rates,
-    * [[spanScrubGate]] (when a gram
-    * snapshot is supplied) rejects boilerplate-covered documents BEFORE
-    * they enter dedup state (a scrubbed-out doc must never occupy a
+    * [[ruleFilterGate]] (when a rule list is supplied) drops documents
+    * tripping the Gopher/C4 battery, [[spanScrubGate]] (when a gram
+    * snapshot is supplied) rejects boilerplate-covered documents — both
+    * run BEFORE dedup state (a scrubbed-out doc must never occupy a
     * digest slot), `dropDuplicatesWithinWatermark` on the sha2 content
     * digest drops exact re-ingests (state keyed on the 32-byte hash,
     * never the body, bounded by the watermark), and the quality gate
@@ -491,7 +492,8 @@ object Pipeline {
                     scrubN: Int = 5,
                     lmCosts: Map[String, Long] = Map.empty,
                     lmBase: Map[String, Long] = Map.empty,
-                    ppxCutoffs: Map[String, Long] = Map.empty): DataFrame = {
+                    ppxCutoffs: Map[String, Long] = Map.empty,
+                    cleanRules: Seq[String] = Seq.empty): DataFrame = {
     require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
       "curatedIntake: supply both importance snapshots or neither")
     require(lmCosts.isEmpty == lmBase.isEmpty &&
@@ -507,10 +509,15 @@ object Pipeline {
       if (lmCosts.nonEmpty) perplexityGate(pre, lmCosts, lmBase, ppxCutoffs)
       else pre
     val mixed = mixtureGate(pre2, rates, seed)
+    // the stateless scrubs run before the dedup so rejected rows never
+    // occupy a digest state slot
+    val ruled =
+      if (cleanRules.nonEmpty) ruleFilterGate(mixed, cleanRules)
+      else mixed
     val scrubbed =
       if (scrubGrams.nonEmpty)
-        spanScrubGate(mixed, scrubGrams, maxCoverageBp, scrubN)
-      else mixed
+        spanScrubGate(ruled, scrubGrams, maxCoverageBp, scrubN)
+      else ruled
     val deduped = scrubbed
       .withColumn("_h", sha2(col("text").cast("binary"), 256))
       .withWatermark(eventTimeCol, watermark)
@@ -563,6 +570,25 @@ object Pipeline {
       .withColumn("importance_score", expr("_aff_sum DIV _ntok"))
       .drop("_aff_sum", "_ntok")
       .filter(col("importance_score") >= element_at(th, col("lang")))
+  }
+
+  /** X68 streaming twin: rule-filter intake gate — drop incoming
+    * documents that trip any of the named Gopher/C4 cleaning rules
+    * (default: the q143 chain's page-level subset). Entirely stateless:
+    * every rule is a per-row integer/string predicate over the shared
+    * whitespace token grid, evaluated by the SAME flag expressions as
+    * the batch q142 audit ([[graft.operators.TextAnalysis.ruleFlags]]),
+    * so batch/stream admission parity is row-exact by construction.
+    * Appends `rule_violations` (count of fired rules — 0 for every
+    * admitted row, retained so a downstream monitor can histogram the
+    * near-misses when the gate runs in audit mode with `admitAll`). */
+  def ruleFilterGate(stream: DataFrame,
+                     rules: Seq[String] =
+                       graft.operators.CurationPipeline.ChainRules,
+                     admitAll: Boolean = false): DataFrame = {
+    val out = stream.withColumn("rule_violations",
+      graft.operators.TextAnalysis.ruleViolations(col("text"), rules))
+    if (admitAll) out else out.filter(col("rule_violations") === 0L)
   }
 
   /** X67 streaming twin: perplexity-intake gate — score each incoming

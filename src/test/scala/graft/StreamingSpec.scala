@@ -1026,6 +1026,45 @@ class StreamingSpec extends SparkSpec {
     assert(kept.keySet == Set(3L), s"gate kept ${kept.keySet}")
   }
 
+  test("rule-filter gate admits exactly the batch clean set, audit mode counts violations (X68 twin)") {
+    import spark.implicits._
+    val rules = graft.operators.CurationPipeline.ChainRules
+    // batch truth: per-doc violation counts under the chain's rule set
+    val batch = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.ruleViolations(col("text"), rules)
+          .as("v"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("v")).toMap
+    val expected = batch.collect { case (id, 0L) => id }.toSet
+    assert(expected.nonEmpty && expected.size < batch.size,
+      "fixture must be selective")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = Tables.documents(spark, sf0001).collect()
+      .map(r => CuratedDocFixture(r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), t0))
+    val mem = MemoryStream[CuratedDocFixture]
+    mem.addData(docs.toIndexedSeq: _*)
+    val q = Pipeline.ruleFilterGate(mem.toDS().toDF(), rules)
+      .writeStream.format("memory").queryName("rule_gate")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("rule_gate").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == expected)
+    got.foreach(r => assert(r.getAs[Long]("rule_violations") == 0L))
+    // audit mode: everything passes through carrying its exact batch count
+    val mem2 = MemoryStream[CuratedDocFixture]
+    mem2.addData(docs.toIndexedSeq: _*)
+    val q2 = Pipeline.ruleFilterGate(mem2.toDS().toDF(), rules, admitAll = true)
+      .writeStream.format("memory").queryName("rule_gate_audit")
+      .outputMode("append").start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val audit = spark.table("rule_gate_audit").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rule_violations"))
+      .toMap
+    assert(audit == batch)
+  }
+
   test("perplexity gate admits exactly the batch head+middle set with batch-identical scores (X67 twin)") {
     import spark.implicits._
     val (costs, base) = graft.operators.TextAnalysis
