@@ -237,7 +237,8 @@ object SparkEntry {
     "q140_perplexity_filter" -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
     "q141_ppx_calibration" -> ((s, d) => TextAnalysis.perplexityCalibration(s, d)),
     "q142_rule_filter" -> ((s, d) => TextAnalysis.ruleFilterAudit(s, d)),
-    "q143_filter_chain" -> ((s, d) => graft.operators.CurationPipeline.crawlFilterChain(s, d))
+    "q143_filter_chain" -> ((s, d) => graft.operators.CurationPipeline.crawlFilterChain(s, d)),
+    "q144_dim_variance" -> ((s, d) => Similarity.dimensionVariance(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,6 +388,7 @@ object SparkEntry {
     "q140_perplexity_filter" -> TextAnalysis.perplexityFilterSql(),
     "q141_ppx_calibration" -> TextAnalysis.perplexityCalibrationSql(),
     "q142_rule_filter" -> TextAnalysis.ruleFilterAuditSql,
-    "q143_filter_chain" -> graft.operators.CurationPipeline.crawlFilterChainSql()
+    "q143_filter_chain" -> graft.operators.CurationPipeline.crawlFilterChainSql(),
+    "q144_dim_variance" -> Similarity.dimensionVarianceSql
   )
 }

@@ -867,6 +867,56 @@ object Similarity {
        |  (sum(n2) // count(*))::BIGINT AS avg_norm2_e8
        |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  /** X70 per-dimension variance profile (q144): for every embedding
+    * dimension — vector count, mean component (exact 1e-4 units) and
+    * variance (exact 1e-8 units) — the PCA/whitening prep audit read
+    * before building an index or training a projection: a flat spectrum
+    * means the embedder uses its capacity isotropically; collapsed
+    * dimensions (variance ≈ 0) are wasted width an IVF/PQ codebook
+    * should not spend cells on, and a runaway dimension dominates every
+    * un-normalized distance. Components lift to exact 1e-4 integers
+    * BEFORE any arithmetic (the q107/q131 device); the variance
+    * numerator n·Σx² − (Σx)² runs in decimal(38,0) (HUGEINT in the
+    * twin) so no intermediate overflows at any corpus size, and
+    * var = numerator div n² stays an exact integer both engines share.
+    *
+    * Scale posture: one narrow scan, per-row dimension fan-out
+    * collapsing immediately via map-side combine to a Dim-row table —
+    * at 100 TB the only shuffle carries 64 partial-sum rows per
+    * map task. */
+  def dimensionVariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("cast(round(cast(x as double) * 10000) as bigint)").as("xi"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("xi")).as("s1"),
+        sum(expr("xi * xi")).as("s2"))
+      .select(col("dim"), col("n_vecs"),
+        expr("s1 div n_vecs").as("mean_e4"),
+        expr("cast((cast(n_vecs as decimal(38,0)) * s2 - " +
+          "cast(s1 as decimal(38,0)) * s1) div " +
+          "(cast(n_vecs as decimal(38,0)) * n_vecs) as bigint)").as("var_e8"))
+      .orderBy(col("dim"))
+
+  def dimensionVarianceSql: String =
+    s"""WITH c AS (
+       |  SELECT i AS dim,
+       |    CAST(round(embedding[i+1]::DOUBLE * 10000) AS BIGINT) AS xi
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
+       |), g AS (
+       |  SELECT dim, count(*)::BIGINT AS n_vecs,
+       |    sum(xi)::BIGINT AS s1,
+       |    sum(xi * xi)::BIGINT AS s2
+       |  FROM c GROUP BY dim
+       |)
+       |SELECT dim::BIGINT AS dim, n_vecs,
+       |  (s1 // n_vecs)::BIGINT AS mean_e4,
+       |  ((n_vecs::HUGEINT * s2 - s1::HUGEINT * s1) //
+       |    (n_vecs::HUGEINT * n_vecs))::BIGINT AS var_e8
+       |FROM g ORDER BY dim""".stripMargin
+
   def ivfMultiProbeTopKSql(k: Int = 5, nprobe: Int = 2): String =
     s"""WITH $kmeansCtes, q AS (
        |  SELECT vec_id AS query_id, v AS qv FROM a

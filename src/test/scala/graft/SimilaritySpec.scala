@@ -337,4 +337,29 @@ class SimilaritySpec extends SparkSpec {
     // e_x -> e_y at unit length: l2^2 = 2 in e-8 units
     assert(f(1L).getAs[Long]("l2_sq_e8") == 2L * 10000L * 10000L)
   }
+
+  test("dimension variance (q144): exact integer mean/var match a driver-side recomputation") {
+    val rows = Similarity.dimensionVariance(spark, sf0001).collect()
+    assert(rows.length == Similarity.Dim)
+    // driver-side recomputation over the same 1e-4 integer lift
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x =>
+        BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim").toInt
+      val xs = vecs.map(_(d))
+      val n = xs.length.toLong
+      val s1 = xs.sum
+      val s2 = xs.map(x => x * x).sum
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("mean_e4") == s1 / n, s"dim $d mean")
+      val varE8 = ((BigInt(n) * s2 - BigInt(s1) * s1) / (BigInt(n) * n)).toLong
+      assert(r.getAs[Long]("var_e8") == varE8, s"dim $d var")
+      assert(varE8 >= 0L)
+    }
+    // the spectrum is informative: not every dimension identical
+    assert(rows.map(_.getAs[Long]("var_e8")).distinct.length > 1)
+  }
 }
