@@ -373,7 +373,6 @@ object CurationPipeline {
 
   def crawlFilterChain(spark: SparkSession, dir: String,
                        targetSource: String = "src0"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pool = graft.Tables.documents(spark, dir)
       .filter(col("source") =!= targetSource)
     val np = pool.groupBy(col("lang")).agg(count(lit(1)).as("n_pool"))
@@ -391,12 +390,10 @@ object CurationPipeline {
     val ncl = rc.groupBy(col("lang")).agg(count(lit(1)).as("n_rule_clean"))
     val scored = TextAnalysis.perplexityScored(spark, dir, targetSource)
       .select(col("doc_id"), col("lang"), col("ppx_mb"), col("ntok"))
-    val byLang = Window.partitionBy(col("lang"))
-    val w = byLang.orderBy(col("ppx_mb"), col("doc_id"))
-    val kept = rc.join(scored, Seq("doc_id", "lang"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(byLang))
-      .filter(col("rn") * 3 <= col("n") * 2)
+    // tertiles RE-ELECTED over the survivors via the windowless
+    // histogram device — the corpus-sized frame never sorts per lang
+    val kept = TextAnalysis.tertileAssign(rc.join(scored, Seq("doc_id", "lang")))
+      .filter(col("ppx_bucket") =!= "c_tail")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_ppx_kept"),
         sum(col("ntok")).as("sum_tokens_kept"),

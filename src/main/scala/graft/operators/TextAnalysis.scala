@@ -1613,16 +1613,50 @@ object TextAnalysis {
     * Scale posture: the LM is the bounded reference-slice vocabulary
     * (CCNet's LM is likewise a fixed artifact trained on the reference
     * domain, not the crawl) — broadcast with its ≤|langs|-row stats
-    * table; pool tokens meet it map-side, collapse per doc with one
-    * doc_id-keyed exchange, and only per-doc score rows enter the
-    * per-language tertile window (the q65 caveat: for a 100 TB
-    * single-language corpus the production cut is the q99-style score
-    * histogram election, with this exact-rank twin as its oracle). */
+    * table; pool tokens meet it map-side and collapse per doc with one
+    * doc_id-keyed exchange; tertile assignment is the windowless
+    * [[tertileAssign]] histogram election (the corpus never sorts, no
+    * per-language window — a 100 TB single-language pool is fine). */
+  /** Per-document tertile assignment over a (doc_id, lang, ppx_mb, …)
+    * frame — row-identical to ranking every doc per language by
+    * (ppx_mb asc, doc_id) and cutting at ⌊n/3⌋ / ⌊2n/3⌋, but the corpus
+    * never sorts: the election runs on the bounded per-(lang, score)
+    * HISTOGRAM (the q95/q82 two-phase device — prefix sums over
+    * histogram rows decide how many of each score bucket fall in each
+    * tertile), and the only per-document window is a row_number
+    * confined to each score TIE bucket, partitioned on the
+    * high-cardinality (lang, score) key the preceding join already
+    * shuffled on. */
+  private[graft] def tertileAssign(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col("lang"), col("ppx_mb"))
+      .agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy(col("lang"))
+    val wPre = byLang.orderBy(col("ppx_mb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val info = hist
+      .withColumn("pre", coalesce(sum(col("c")).over(wPre), lit(0L)))
+      .withColumn("n", sum(col("c")).over(byLang))
+      .select(col("lang"), col("ppx_mb"),
+        greatest(least(expr("n div 3 - pre"), col("c")), lit(0L))
+          .as("head_take"),
+        greatest(least(expr("(2 * n) div 3 - pre"), col("c")), lit(0L))
+          .as("mid_take"))
+    val wTie = Window.partitionBy(col("lang"), col("ppx_mb"))
+      .orderBy(col("doc_id"))
+    scored.join(info, Seq("lang", "ppx_mb"))
+      .withColumn("_rn", row_number().over(wTie).cast("long"))
+      .withColumn("ppx_bucket",
+        when(col("_rn") <= col("head_take"), "a_head")
+          .when(col("_rn") <= col("mid_take"), "b_middle")
+          .otherwise("c_tail"))
+      .drop("_rn", "head_take", "mid_take")
+  }
+
   private[graft] def perplexityScored(spark: SparkSession, dir: String,
                                       targetSource: String): DataFrame =
     graft.PlanCache.cached(spark,
       s"textanalysis.ppxScored:$targetSource:$dir") {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(spark, dir)
       val lm = docs.filter(col("source") === targetSource)
         .select(col("lang"), explode(TextHash.tokens(col("text"))).as("tok"))
@@ -1641,16 +1675,7 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("lang"))
         .agg(expr("sum(cost) div count(1)").as("ppx_mb"),
           count(lit(1)).as("ntok"))
-      val byLang = Window.partitionBy(col("lang"))
-      val w = byLang.orderBy(col("ppx_mb"), col("doc_id"))
-      scored
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(byLang))
-        .withColumn("ppx_bucket",
-          when(col("rn") * 3 <= col("n"), "a_head")
-            .when(col("rn") * 3 <= col("n") * 2, "b_middle")
-            .otherwise("c_tail"))
-        .drop("rn", "n")
+      tertileAssign(scored)
     }
 
   /** The LM snapshot the streaming gate
