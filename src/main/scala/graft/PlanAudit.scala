@@ -65,6 +65,9 @@ object PlanAudit {
     "q66_quantization_audit", "q70_pq_adc",
     // q76 range-joins the calendar-bounded distinct-days dimension
     "q76_rolling_active",
+    // q145's WAU leg is the same q76 range join against the
+    // calendar-bounded distinct-days dimension
+    "q145_stickiness",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

@@ -238,7 +238,8 @@ object SparkEntry {
     "q141_ppx_calibration" -> ((s, d) => TextAnalysis.perplexityCalibration(s, d)),
     "q142_rule_filter" -> ((s, d) => TextAnalysis.ruleFilterAudit(s, d)),
     "q143_filter_chain" -> ((s, d) => graft.operators.CurationPipeline.crawlFilterChain(s, d)),
-    "q144_dim_variance" -> ((s, d) => Similarity.dimensionVariance(s, d))
+    "q144_dim_variance" -> ((s, d) => Similarity.dimensionVariance(s, d)),
+    "q145_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -389,6 +390,7 @@ object SparkEntry {
     "q141_ppx_calibration" -> TextAnalysis.perplexityCalibrationSql(),
     "q142_rule_filter" -> TextAnalysis.ruleFilterAuditSql,
     "q143_filter_chain" -> graft.operators.CurationPipeline.crawlFilterChainSql(),
-    "q144_dim_variance" -> Similarity.dimensionVarianceSql
+    "q144_dim_variance" -> Similarity.dimensionVarianceSql,
+    "q145_stickiness" -> EventAnalytics.stickinessSql()
   )
 }

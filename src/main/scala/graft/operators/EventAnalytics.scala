@@ -113,6 +113,57 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** DAU/WAU stickiness (q145): per calendar day — exact daily active
+    * users, exact trailing-7-day active users (the q76 WAU device), and
+    * the stickiness ratio in basis points (DAU·10⁴ div WAU) — the
+    * engagement dial every growth dashboard carries: 10000 bp means
+    * every weekly user shows up daily; a sagging ratio with flat WAU
+    * means the same audience visits less often. Integer day arithmetic
+    * and an integer ratio: nothing interpolated crosses engines.
+    *
+    * Scale posture: activity collapses once to distinct (user, day)
+    * pairs (the only corpus-sized shuffle, shared by both legs via
+    * PlanCache); DAU is a per-day count over the pairs; WAU re-uses the
+    * q76 calendar-bounded range fan-out (≤ 7 rows per pair); the final
+    * join is |days|-row against |days|-row. */
+  def stickiness(spark: SparkSession, dir: String,
+                 windowDays: Int = 7): DataFrame = {
+    val pairs = graft.PlanCache.cached(spark, s"events.userDayPairs:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    }
+    val dau = pairs.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val days = pairs.select(col("day").as("t")).distinct()
+    val wau = pairs.join(days,
+        datediff(col("t"), col("day")).between(0, windowDays - 1))
+      .groupBy(col("t"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("t").as("day"), col("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 10000 div wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
+  def stickinessSql(windowDays: Int = 7): String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+       |), dau AS (
+       |  SELECT day, count(DISTINCT user_id)::BIGINT AS dau
+       |  FROM pairs GROUP BY day
+       |), days AS (
+       |  SELECT DISTINCT day AS t FROM pairs
+       |), wau AS (
+       |  SELECT t AS day, count(DISTINCT user_id)::BIGINT AS wau
+       |  FROM pairs JOIN days
+       |    ON date_diff('day', day, t) BETWEEN 0 AND ${windowDays - 1}
+       |  GROUP BY t
+       |)
+       |SELECT dau.day, dau.dau, wau.wau,
+       |  ((dau.dau * 10000) // wau.wau)::BIGINT AS stickiness_bp
+       |FROM dau JOIN wau USING (day) ORDER BY dau.day""".stripMargin
+
   def rollingActiveUsersSql(windowDays: Int = 7): String =
     s"""WITH pairs AS (
        |  SELECT DISTINCT user_id, ts::DATE AS day FROM events

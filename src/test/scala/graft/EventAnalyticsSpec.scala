@@ -156,6 +156,28 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("stickiness (q145): dau <= wau, ratio exact, wau identical to q76") {
+    val rows = EventAnalytics.stickiness(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val wau76 = EventAnalytics.rollingActiveUsers(spark, sf0001).collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("active_users"))
+      .toMap
+    val dauTruth = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).count().collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day")
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(dau == dauTruth(day), s"$day dau")
+      assert(wau == wau76(day), s"$day wau must be exactly the q76 value")
+      assert(dau >= 1L && dau <= wau, s"$day: dau $dau wau $wau")
+      assert(r.getAs[Long]("stickiness_bp") == dau * 10000 / wau)
+      assert(r.getAs[Long]("stickiness_bp") <= 10000L)
+    }
+    assert(rows.length == wau76.size, "every q76 day appears")
+  }
+
   test("retention: day-0 count equals cohort size; counts never exceed it") {
     val r = EventAnalytics.retention(spark, sf0001).collect()
     assert(r.nonEmpty)
