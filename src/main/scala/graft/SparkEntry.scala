@@ -239,7 +239,8 @@ object SparkEntry {
     "q142_rule_filter" -> ((s, d) => TextAnalysis.ruleFilterAudit(s, d)),
     "q143_filter_chain" -> ((s, d) => graft.operators.CurationPipeline.crawlFilterChain(s, d)),
     "q144_dim_variance" -> ((s, d) => Similarity.dimensionVariance(s, d)),
-    "q145_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d))
+    "q145_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d)),
+    "q146_media_percentiles" -> ((s, d) => Multimodal.mediaBytePercentiles(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -391,6 +392,7 @@ object SparkEntry {
     "q142_rule_filter" -> TextAnalysis.ruleFilterAuditSql,
     "q143_filter_chain" -> graft.operators.CurationPipeline.crawlFilterChainSql(),
     "q144_dim_variance" -> Similarity.dimensionVarianceSql,
-    "q145_stickiness" -> EventAnalytics.stickinessSql()
+    "q145_stickiness" -> EventAnalytics.stickinessSql(),
+    "q146_media_percentiles" -> Multimodal.mediaBytePercentilesSql
   )
 }

@@ -256,4 +256,57 @@ object Multimodal {
       |  round(avg(16 + (n_chars * 7) % 480), 4) AS avg_height
       |FROM documents
       |GROUP BY 1 ORDER BY media_type""".stripMargin
+
+  /** Payload-size percentile table (q146): per media type, the exact
+    * p50/p90/p99 of the binary payload size in bytes — the shard- and
+    * cache-sizing table a blob store is provisioned from (how big is a
+    * typical image vs the video tail). The q132 histogram-election
+    * device on `octet_length(content)`: the corpus collapses to a
+    * (type, size) histogram with map-side combine; only histogram rows
+    * (bounded by the distinct-size grid, not the item count) are ever
+    * windowed; cutoffs are exact integer rank elections. The binary
+    * column itself never shuffles — `octet_length` is computed at the
+    * scan and only the size integer travels. */
+  def mediaBytePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy(col("media_type"))
+    val cumW = byType.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mediaTable(spark, dir)
+      .select(col("media_type"),
+        octet_length(col("content")).cast("long").as("v"))
+      .groupBy(col("media_type"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .select(col("media_type"), col("v"), col("cum"), col("n"),
+        explode(array(Seq(50, 90, 99).map(p => lit(p.toLong)): _*)).as("pct"))
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col("media_type"), col("pct"))
+      .agg(min(col("v")).as("cutoff_bytes"), max(col("n")).as("n_items"))
+      .orderBy(col("media_type"), col("pct"))
+  }
+
+  def mediaBytePercentilesSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |    octet_length(text::BLOB)::BIGINT AS v
+      |  FROM documents
+      |), h AS (
+      |  SELECT media_type, v, count(*)::BIGINT AS cnt FROM m GROUP BY 1, 2
+      |), c AS (
+      |  SELECT media_type, v,
+      |    sum(cnt) OVER (PARTITION BY media_type ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY media_type) AS n
+      |  FROM h
+      |), x AS (
+      |  SELECT c.media_type, c.v, c.cum, c.n, p.pct
+      |  FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+      |  WHERE c.cum >= (p.pct * c.n + 99) // 100
+      |)
+      |SELECT media_type, pct::BIGINT AS pct, min(v)::BIGINT AS cutoff_bytes,
+      |  max(n)::BIGINT AS n_items
+      |FROM x GROUP BY 1, 2 ORDER BY media_type, pct""".stripMargin
 }

@@ -79,4 +79,21 @@ class MultimodalSpec extends SparkSpec {
       .select("media_type", "width").queryExecution.executedPlan.toString
     assert(!plan.contains("content"), "payload column must not be scanned")
   }
+
+  test("byte percentiles (q146): exact rank election per media type") {
+    val rows = Multimodal.mediaBytePercentiles(spark, sf0001).collect()
+    assert(rows.length == 9, "3 types x 3 percentiles")
+    val sizes = Multimodal.mediaTable(spark, sf0001)
+      .select("media_type", "content").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).length.toLong)
+    val byType = sizes.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val vs = byType(r.getAs[String]("media_type"))
+      val p = r.getAs[Long]("pct")
+      val need = ((p * vs.length + 99) / 100).toInt
+      assert(r.getAs[Long]("n_items") == vs.length.toLong)
+      assert(r.getAs[Long]("cutoff_bytes") == vs(need - 1),
+        s"${r.getAs[String]("media_type")} p$p")
+    }
+  }
 }
