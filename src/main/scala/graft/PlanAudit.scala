@@ -68,6 +68,9 @@ object PlanAudit {
     // q145's WAU leg is the same q76 range join against the
     // calendar-bounded distinct-days dimension
     "q145_stickiness",
+    // q147's prefix sums are the q108 triangle theta-join over the
+    // broadcast 4-row quarters table
+    "q147_vocab_growth",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

@@ -240,7 +240,8 @@ object SparkEntry {
     "q143_filter_chain" -> ((s, d) => graft.operators.CurationPipeline.crawlFilterChain(s, d)),
     "q144_dim_variance" -> ((s, d) => Similarity.dimensionVariance(s, d)),
     "q145_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d)),
-    "q146_media_percentiles" -> ((s, d) => Multimodal.mediaBytePercentiles(s, d))
+    "q146_media_percentiles" -> ((s, d) => Multimodal.mediaBytePercentiles(s, d)),
+    "q147_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowthCurve(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -393,6 +394,7 @@ object SparkEntry {
     "q143_filter_chain" -> graft.operators.CurationPipeline.crawlFilterChainSql(),
     "q144_dim_variance" -> Similarity.dimensionVarianceSql,
     "q145_stickiness" -> EventAnalytics.stickinessSql(),
-    "q146_media_percentiles" -> Multimodal.mediaBytePercentilesSql
+    "q146_media_percentiles" -> Multimodal.mediaBytePercentilesSql,
+    "q147_vocab_growth" -> TextAnalysis.vocabGrowthCurveSql
   )
 }

@@ -1565,6 +1565,90 @@ object TextAnalysis {
        |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   }
 
+  // ---- X73: Heaps-law vocabulary growth curve (q147) ----------------------
+
+  /** X73 vocabulary growth curve (q147): distinct tokens vs tokens
+    * scanned across ingestion-order quarters of the corpus (doc_id =
+    * ingestion proxy, the q138 quarter device) — the empirical Heaps'
+    * law measurement (V ≈ K·nᵝ) that predicts how fast the vocabulary
+    * (and hence OOV rate, q85) keeps growing at 100× the data: if the
+    * curve is still steep at the last quarter, a tokenizer frozen today
+    * will degrade as the corpus grows. Per quarter: new tokens minted,
+    * cumulative tokens, cumulative distinct, and the cumulative
+    * type-token ratio in basis points.
+    *
+    * Exact single-pass formulation: a token's FIRST quarter is
+    * min(quarter) over its occurrences (quarters are monotone in
+    * doc_id), so cumulative-distinct-at-quarter-q = tokens whose first
+    * quarter ≤ q — no per-prefix recount. Tokens travel as 60-bit h1
+    * hashes (the q136 rule — gram strings never shuffle; distinct
+    * under-counts by the disclosed birthday bound).
+    *
+    * Scale posture: one tokenized scan; per-(token-hash) min-quarter
+    * with map-side combine is the only corpus-sized shuffle; both
+    * rollups land on 4-row tables and the prefix sums are the q108
+    * windowless triangle self-join over those 4 rows (no global-order
+    * window anywhere). */
+  def vocabGrowthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val toks = docs
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("tok"))
+      .crossJoin(broadcast(mx))
+      .select(least(lit(3L), expr("doc_id * 4 div (mx + 1)")).as("quarter"),
+        TextHash.h1(col("tok")).as("h"))
+    // ONE corpus scan + one (hash, quarter)-keyed shuffle; both rollups
+    // fold from the persisted histogram (occurrence mass per quarter,
+    // first-quarter election per token)
+    val hq = graft.PlanCache.cached(spark, s"textanalysis.vocabHQ:$dir") {
+      toks.groupBy(col("h"), col("quarter")).agg(count(lit(1)).as("cnt"))
+    }
+    val occ = hq.groupBy(col("quarter")).agg(sum(col("cnt")).as("n_occ"))
+    val minted = hq.groupBy(col("h")).agg(min(col("quarter")).as("quarter"))
+      .groupBy(col("quarter")).agg(count(lit(1)).as("new_distinct"))
+    // LEFT join: a mature corpus quarter can mint ZERO new tokens (the
+    // Heaps curve's whole point) and must still report its row
+    val cells = occ.join(minted, Seq("quarter"), "left")
+      .withColumn("new_distinct", coalesce(col("new_distinct"), lit(0L)))
+    val prior = cells.select(col("quarter").as("q2"),
+      col("n_occ").as("o2"), col("new_distinct").as("d2"))
+    cells.join(broadcast(prior), col("q2") <= col("quarter"))
+      .groupBy(col("quarter"), col("new_distinct"))
+      .agg(sum(col("o2")).as("cum_tokens"),
+        sum(col("d2")).as("cum_distinct"))
+      .select(col("quarter"), col("new_distinct"), col("cum_tokens"),
+        col("cum_distinct"),
+        expr("cum_distinct * 10000 div cum_tokens").as("ttr_bp"))
+      .orderBy(col("quarter"))
+  }
+
+  def vocabGrowthCurveSql: String =
+    s"""WITH mx AS (SELECT max(doc_id)::BIGINT AS mx FROM documents),
+       |tk AS (
+       |  SELECT least(3, doc_id * 4 // (mx.mx + 1)) AS quarter,
+       |    ${TextHash.h1Sql("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents) CROSS JOIN mx
+       |), occ AS (
+       |  SELECT quarter, count(*)::BIGINT AS n_occ FROM tk GROUP BY quarter
+       |), minted AS (
+       |  SELECT quarter, count(*)::BIGINT AS new_distinct
+       |  FROM (SELECT h, min(quarter) AS quarter FROM tk GROUP BY h)
+       |  GROUP BY quarter
+       |), c AS (
+       |  SELECT occ.quarter,
+       |    coalesce(minted.new_distinct, 0)::BIGINT AS new_distinct,
+       |    sum(occ.n_occ) OVER (ORDER BY occ.quarter
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |    sum(coalesce(minted.new_distinct, 0)) OVER (ORDER BY occ.quarter
+       |      ROWS UNBOUNDED PRECEDING) AS cum_distinct
+       |  FROM occ LEFT JOIN minted USING (quarter)
+       |)
+       |SELECT quarter::BIGINT AS quarter, new_distinct,
+       |  cum_tokens::BIGINT AS cum_tokens, cum_distinct::BIGINT AS cum_distinct,
+       |  ((cum_distinct * 10000) // cum_tokens)::BIGINT AS ttr_bp
+       |FROM c ORDER BY quarter""".stripMargin
+
   // ---- X66: CCNet-style LM perplexity filter (q140, q141) -----------------
   //
   // CCNet (Wenzek et al. 2019, arXiv:1911.00359) filters a crawled corpus

@@ -497,6 +497,47 @@ class TextAnalysisSpec extends SparkSpec {
     e.toLong * 1000 + Log2Lut(((x * 16) >> e).toInt - 16)
   }
 
+  test("vocab growth (q147): quarters reconcile with corpus totals, curve flattens correctly") {
+    val rows = TextAnalysis.vocabGrowthCurve(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("quarter"))
+    assert(rows.length == 4)
+    // driver-side truth over the same quartering and hash
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val mx = docs.map(_._1).max
+    def quarter(id: Long): Long = math.min(3L, id * 4 / (mx + 1))
+    val totalTokens = docs.map(_._2.length.toLong).sum
+    val last = rows.last
+    assert(last.getAs[Long]("cum_tokens") == totalTokens)
+    // cumulative distinct at quarter 3 = corpus distinct vocabulary
+    val vocab = docs.flatMap(_._2).distinct.length.toLong
+    assert(last.getAs[Long]("cum_distinct") == vocab,
+      "h1 collisions would undercount; none expected at this vocab size")
+    // new_distinct sums to the vocabulary; cum columns are monotone
+    assert(rows.map(_.getAs[Long]("new_distinct")).sum == vocab)
+    val cums = rows.map(r => (r.getAs[Long]("cum_tokens"),
+      r.getAs[Long]("cum_distinct"), r.getAs[Long]("ttr_bp")))
+    cums.zip(cums.tail).foreach { case ((t1, d1, _), (t2, d2, _)) =>
+      assert(t1 < t2 && d1 <= d2)
+    }
+    // exact per-quarter minting against a driver recomputation
+    val firstQuarter = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, ts) =>
+      ts.foreach(t => if (!firstQuarter.contains(t))
+        firstQuarter(t) = quarter(id))
+    }
+    val mintTruth = firstQuarter.values.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("new_distinct") ==
+        mintTruth.getOrElse(r.getAs[Long]("quarter"), 0L),
+        s"quarter ${r.getAs[Long]("quarter")}")
+      assert(r.getAs[Long]("ttr_bp") ==
+        r.getAs[Long]("cum_distinct") * 10000 / r.getAs[Long]("cum_tokens"))
+    }
+  }
+
   test("rule filter audit (q142): each published rule fires on its fixture doc and only it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rules").toString
     // each fixture doc trips exactly ONE rule (the others carry >= 2
