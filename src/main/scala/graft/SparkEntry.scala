@@ -241,7 +241,9 @@ object SparkEntry {
     "q144_dim_variance" -> ((s, d) => Similarity.dimensionVariance(s, d)),
     "q145_stickiness" -> ((s, d) => EventAnalytics.stickiness(s, d)),
     "q146_media_percentiles" -> ((s, d) => Multimodal.mediaBytePercentiles(s, d)),
-    "q147_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowthCurve(s, d))
+    "q147_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowthCurve(s, d)),
+    "q148_zipf_audit" -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
+    "q149_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -395,6 +397,8 @@ object SparkEntry {
     "q144_dim_variance" -> Similarity.dimensionVarianceSql,
     "q145_stickiness" -> EventAnalytics.stickinessSql(),
     "q146_media_percentiles" -> Multimodal.mediaBytePercentilesSql,
-    "q147_vocab_growth" -> TextAnalysis.vocabGrowthCurveSql
+    "q147_vocab_growth" -> TextAnalysis.vocabGrowthCurveSql,
+    "q148_zipf_audit" -> TextAnalysis.zipfAuditSql(),
+    "q149_vocab_overlap" -> TextAnalysis.vocabOverlapSql
   )
 }

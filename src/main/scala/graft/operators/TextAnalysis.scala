@@ -1565,6 +1565,117 @@ object TextAnalysis {
        |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   }
 
+  // ---- X74: Zipf rank-frequency audit (q148) ------------------------------
+
+  /** X74 Zipf audit (q148): the top-`k` terms with their frequency in
+    * exact milli-bits and the LOCAL Zipf slope between adjacent ranks —
+    * slope ≈ 1000 (i.e. −1 in log-log space) is the natural-language
+    * signature; a flat head (slope ≪ 1000) reads as templated/synthetic
+    * text, a cliff as a boilerplate token dominating the corpus. All
+    * log arithmetic is the q140 integer milli-bit device — the audit
+    * ships exact integers, no libm, and both engines agree bit-for-bit:
+    * slope_milli = (log2m(cnt_r) − log2m(cnt_{r+1}))·1000 div
+    * (log2m(r+1) − log2m(r)).
+    *
+    * Scale posture: term counts ride map-side combine; the head is the
+    * bounded-heap [[graft.functions.TopKTerms]] two-phase aggregate
+    * (the vocabulary never sorts); slope pairing is an equi self-join
+    * of the broadcast k-row head on rank+1. */
+  def zipfAudit(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextHash.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val topk = udaf(new graft.functions.TopKTerms(k))
+    val head = counts
+      .agg(topk(col("cnt"), col("w")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("term"), col("h.cnt").as("cnt"))
+      .withColumn("log2f_milli",
+        expr(s"cast(${log2MilliSpark("cnt")} as bigint)"))
+    val next = head.select((col("rank") - 1).as("rank"),
+      col("log2f_milli").as("l2_next"))
+    head.join(broadcast(next), Seq("rank"))
+      .select(col("rank"), col("term"), col("cnt"), col("log2f_milli"),
+        expr(s"(log2f_milli - l2_next) * 1000 div " +
+          s"(${log2MilliSpark("rank + 1")} - ${log2MilliSpark("rank")})")
+          .as("slope_milli"))
+      .orderBy(col("rank"))
+  }
+
+  def zipfAuditSql(k: Int = 16): String =
+    s"""WITH counts AS (
+       |  SELECT w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents) GROUP BY w
+       |), head AS (
+       |  SELECT rank, w AS term, cnt,
+       |    (${log2MilliDuck("cnt")})::BIGINT AS log2f_milli
+       |  FROM (SELECT w, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, w) AS rank
+       |    FROM counts)
+       |  WHERE rank <= $k
+       |)
+       |SELECT a.rank::BIGINT AS rank, a.term, a.cnt, a.log2f_milli,
+       |  ((a.log2f_milli - b.log2f_milli) * 1000 //
+       |    ((${log2MilliDuck("a.rank + 1")}) - (${log2MilliDuck("a.rank")})))
+       |    ::BIGINT AS slope_milli
+       |FROM head a JOIN head b ON b.rank = a.rank + 1
+       |ORDER BY a.rank""".stripMargin
+
+  // ---- X75: cross-lingual vocabulary overlap (q149) -----------------------
+
+  /** X75 vocabulary overlap (q149): for every ordered language pair,
+    * how much of lang_a's vocabulary also appears in lang_b — the
+    * language-ID leak detector: two languages sharing an implausible
+    * share of their vocabularies means the `lang` column is unreliable
+    * (mislabeled docs) or the corpus is code-switched, and either way a
+    * per-language tokenizer/LM budget is being double-spent. Share in
+    * exact basis points of the SOURCE language's vocabulary (the matrix
+    * is deliberately asymmetric — a small language absorbed into a big
+    * one reads differently per direction).
+    *
+    * Scale posture: one tokenized scan collapses to the distinct
+    * (lang, 60-bit token hash) vocabulary table (PlanCache'd — sizes
+    * fold and both self-join sides read it); the self-join keys on the
+    * hash (vocabulary-sized, never corpus-sized); output is
+    * |langs|·(|langs|−1) rows. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val lv = graft.PlanCache.cached(spark, s"textanalysis.langVocab:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("lang"), TextHash.h1(col("tok")).as("h"))
+        .distinct()
+    }
+    val sizes = lv.groupBy(col("lang")).agg(count(lit(1)).as("v_a"))
+    lv.join(lv.select(col("lang").as("lang_b"), col("h")), Seq("h"))
+      .filter(col("lang") =!= col("lang_b"))
+      .groupBy(col("lang").as("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("v_a"))),
+        Seq("lang_a"))
+      .select(col("lang_a"), col("lang_b"), col("n_shared"), col("v_a"),
+        expr("n_shared * 10000 div v_a").as("share_bp"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  def vocabOverlapSql: String =
+    s"""WITH lv AS (
+       |  SELECT DISTINCT lang, ${TextHash.h1Sql("tok")} AS h
+       |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)
+       |), sizes AS (
+       |  SELECT lang, count(*)::BIGINT AS v_a FROM lv GROUP BY lang
+       |), shared AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS n_shared
+       |  FROM lv a JOIN lv b ON a.h = b.h AND a.lang <> b.lang
+       |  GROUP BY 1, 2
+       |)
+       |SELECT s.lang_a, s.lang_b, s.n_shared, z.v_a,
+       |  ((s.n_shared * 10000) // z.v_a)::BIGINT AS share_bp
+       |FROM shared s JOIN sizes z ON z.lang = s.lang_a
+       |ORDER BY s.lang_a, s.lang_b""".stripMargin
+
   // ---- X73: Heaps-law vocabulary growth curve (q147) ----------------------
 
   /** X73 vocabulary growth curve (q147): distinct tokens vs tokens

@@ -538,6 +538,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("zipf audit (q148): head, milli-bit freqs and local slopes match a driver recomputation") {
+    val rows = TextAnalysis.zipfAudit(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 15, "k=16 head pairs into 15 slope rows")
+    val counts = Tables.documents(spark, sf0001)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val head = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(16)
+    rows.foreach { r =>
+      val i = r.getAs[Long]("rank").toInt - 1
+      assert(r.getAs[String]("term") == head(i)._1, s"rank ${i + 1}")
+      assert(r.getAs[Long]("cnt") == head(i)._2)
+      assert(r.getAs[Long]("log2f_milli") == log2m(head(i)._2))
+      val slope = (log2m(head(i)._2) - log2m(head(i + 1)._2)) * 1000 /
+        (log2m(i + 2L) - log2m(i + 1L))
+      assert(r.getAs[Long]("slope_milli") == slope, s"rank ${i + 1} slope")
+      assert(slope >= 0L, "frequencies are non-increasing down the head")
+    }
+  }
+
+  test("vocab overlap (q149): shared counts symmetric, shares exact vs driver recomputation") {
+    val rows = TextAnalysis.vocabOverlap(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val vocab = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("text")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.flatMap(_.getString(1).toLowerCase.split(" ", -1)).toSet)
+      .toMap
+    val byPair = rows.map(r => (r.getAs[String]("lang_a"),
+      r.getAs[String]("lang_b")) -> r).toMap
+    assert(byPair.size == vocab.size * (vocab.size - 1),
+      "every ordered pair present")
+    byPair.foreach { case ((a, b), r) =>
+      val shared = (vocab(a) intersect vocab(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") == shared, s"$a->$b")
+      assert(r.getAs[Long]("v_a") == vocab(a).size.toLong)
+      assert(r.getAs[Long]("share_bp") == shared * 10000 / vocab(a).size)
+      // the raw intersection is symmetric; the share need not be
+      assert(byPair((b, a)).getAs[Long]("n_shared") == shared)
+    }
+  }
+
   test("rule filter audit (q142): each published rule fires on its fixture doc and only it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rules").toString
     // each fixture doc trips exactly ONE rule (the others carry >= 2
