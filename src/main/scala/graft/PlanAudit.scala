@@ -71,6 +71,9 @@ object PlanAudit {
     // q147's prefix sums are the q108 triangle theta-join over the
     // broadcast 4-row quarters table
     "q147_vocab_growth",
+    // q150 crossJoins the broadcast SINGLE-ROW (total_pairs, n_keys)
+    // scalar onto the k-row election — the q135 shape
+    "q150_join_forecast",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

@@ -243,7 +243,8 @@ object SparkEntry {
     "q146_media_percentiles" -> ((s, d) => Multimodal.mediaBytePercentiles(s, d)),
     "q147_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowthCurve(s, d)),
     "q148_zipf_audit" -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
-    "q149_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d))
+    "q149_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
+    "q150_join_forecast" -> ((s, d) => graft.operators.Scale.joinCardinalityForecast(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -399,6 +400,7 @@ object SparkEntry {
     "q146_media_percentiles" -> Multimodal.mediaBytePercentilesSql,
     "q147_vocab_growth" -> TextAnalysis.vocabGrowthCurveSql,
     "q148_zipf_audit" -> TextAnalysis.zipfAuditSql(),
-    "q149_vocab_overlap" -> TextAnalysis.vocabOverlapSql
+    "q149_vocab_overlap" -> TextAnalysis.vocabOverlapSql,
+    "q150_join_forecast" -> graft.operators.Scale.joinCardinalityForecastSql()
   )
 }

@@ -245,6 +245,65 @@ object Scale {
       .orderBy(col("rank"))
   }
 
+  /** Join-cardinality forecast (q150): EXACT output-row count of the
+    * lineitem⋈lineitem self-join on `l_partkey`, priced from per-key
+    * histograms BEFORE the join ever runs — Σ_k cnt(k)², with the top-k
+    * keys by pair contribution and their share in basis points. The
+    * companion to the q135 election: q135 names the hot keys by row
+    * count, this prices what they cost the JOIN (quadratic in cnt — a
+    * key with 2× the rows costs 4× the pairs), which is the number a
+    * planner actually budgets shuffles and spill by.
+    *
+    * Scale posture: the per-key histogram rides map-side combine on the
+    * fact scan (shared with q135 via PlanCache); every pair count is
+    * histogram arithmetic in decimal(38,0) — the join output is priced
+    * WITHOUT materializing a single joined row; the election is the
+    * bounded-heap top-k; the total is a broadcast 1-row fold. */
+  def joinCardinalityForecast(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, k: Int = 10): DataFrame = {
+    val counts = graft.PlanCache.cached(spark, s"scale.partkeyCounts:$dir") {
+      graft.Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    }
+    val pairs = counts.select(col("l_partkey"),
+      expr("cast(cnt as decimal(38,0)) * cnt").cast("long").as("n_pairs"))
+    val tot = pairs.agg(sum(col("n_pairs")).as("total_pairs"),
+      count(lit(1)).as("n_keys"))
+    val topk = udaf(new graft.functions.TopKHits(k))
+    pairs.agg(topk(col("n_pairs").cast("double"), col("l_partkey")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.vec_id").as("l_partkey"),
+        col("h.cosine").cast("long").as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("l_partkey"), col("n_pairs"),
+        col("total_pairs"), col("n_keys"),
+        expr("cast(cast(n_pairs as decimal(38,0)) * 10000 div total_pairs " +
+          "as bigint)").as("share_bp"))
+      .orderBy(col("rank"))
+  }
+
+  def joinCardinalityForecastSql(k: Int = 10): String =
+    s"""WITH counts AS (
+       |  SELECT l_partkey, count(*)::BIGINT AS cnt
+       |  FROM lineitem GROUP BY l_partkey
+       |), pairs AS (
+       |  SELECT l_partkey, (cnt::HUGEINT * cnt)::BIGINT AS n_pairs
+       |  FROM counts
+       |), tot AS (
+       |  SELECT sum(n_pairs)::BIGINT AS total_pairs,
+       |    count(*)::BIGINT AS n_keys
+       |  FROM pairs
+       |), r AS (
+       |  SELECT l_partkey, n_pairs,
+       |    row_number() OVER (ORDER BY n_pairs DESC, l_partkey) AS rank
+       |  FROM pairs
+       |)
+       |SELECT rank::BIGINT AS rank, l_partkey, n_pairs,
+       |  tot.total_pairs, tot.n_keys,
+       |  ((n_pairs::HUGEINT * 10000) // tot.total_pairs)::BIGINT AS share_bp
+       |FROM r CROSS JOIN tot WHERE rank <= $k ORDER BY rank""".stripMargin
+
   def skewKeysSql(k: Int = 10): String =
     s"""WITH counts AS (
        |  SELECT l_partkey, count(*)::BIGINT AS cnt

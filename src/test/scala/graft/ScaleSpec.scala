@@ -86,6 +86,31 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q150 forecast: priced pair total equals the ACTUAL self-join cardinality") {
+    val rows = Scale.joinCardinalityForecast(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val total = rows.head.getAs[Long]("total_pairs")
+    // the whole point: the histogram-priced total IS the join's real
+    // output size, without having run the join — prove it by running it
+    val li = Tables.lineitem(spark, sf0001).select("l_partkey")
+    val actual = li.join(li.withColumnRenamed("l_partkey", "k2"),
+      col("l_partkey") === col("k2")).count()
+    assert(total == actual, s"forecast $total vs actual $actual")
+    // per-key pricing is cnt^2 and shares reconcile
+    val counts = li.groupBy(col("l_partkey")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val c = counts(r.getAs[Long]("l_partkey"))
+      assert(r.getAs[Long]("n_pairs") == c * c)
+      assert(r.getAs[Long]("share_bp") ==
+        BigInt(c) * c * 10000 / total)
+      assert(r.getAs[Long]("n_keys") == counts.size.toLong)
+    }
+    // the ranking is by pair contribution (non-increasing)
+    val np = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n_pairs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b })
+  }
+
   test("salt column spreads rows across the full salt range") {
     val li = Tables.lineitem(spark, sf0001)
     val salts = li.withColumn("_salt",
