@@ -216,4 +216,34 @@ class EdgeCaseSpec extends SparkSpec {
       Pipeline.calibrationGate(dummy, Map.empty)
     }
   }
+
+  test("perplexity filter/chain with NO reference slice return zero rows, no error") {
+    // every doc is pool (no src0): the LM is empty, so nothing can be
+    // scored — the operators must degrade to empty audits, not crash
+    val dir = writeDocs(Seq((1L, "some pool text here", "en", "srcX"),
+      (2L, "more pool text here", "en", "srcY")))
+    assert(graft.operators.TextAnalysis.perplexityFilter(spark, dir)
+      .collect().isEmpty)
+    assert(graft.operators.CurationPipeline.crawlFilterChain(spark, dir)
+      .collect().isEmpty)
+  }
+
+  test("vocab overlap on a single-language corpus returns zero rows") {
+    val dir = writeDocs(Seq((1L, "one language only", "en", "src0"),
+      (2L, "still the same language", "en", "src0")))
+    assert(graft.operators.TextAnalysis.vocabOverlap(spark, dir)
+      .collect().isEmpty)
+  }
+
+  test("targeted salting with hot keys absent from the data stays row-identical") {
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // keys far outside the data: every row takes the salt-0 path and the
+    // build side replicates nothing
+    val ghost = graft.operators.Scale.saltedJoinTargeted(
+      li, o, "l_orderkey", "o_orderkey", 8, Seq(-1L, Long.MaxValue))
+    assert(plain.count() == ghost.count())
+    assert(plain.exceptAll(ghost).isEmpty && ghost.exceptAll(plain).isEmpty)
+  }
 }
