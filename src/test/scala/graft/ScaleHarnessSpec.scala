@@ -393,6 +393,33 @@ class ScaleHarnessSpec extends SparkSpec {
     }
   }
 
+  test("q147/q149: vocabulary tables are content-bounded, invariant under 100x duplication") {
+    // the corpusDir templates carry disjoint 12-token vocabularies, so
+    // 30 distinct docs = 360 distinct tokens regardless of copy count
+    val d1 = corpusDir(30, 60)
+    val d100 = corpusDir(30, 6000)
+    for (dir <- Seq(d1, d100)) {
+      // q149's self-join input: the distinct (lang, hash) vocab table
+      val lv = Tables.documents(spark, dir)
+        .select(col("lang"),
+          explode(graft.functions.TextHash.tokens(col("text"))).as("tok"))
+        .select(col("lang"), graft.functions.TextHash.h1(col("tok")).as("h"))
+        .distinct().count()
+      assert(lv == 360L, s"$dir vocab table has $lv rows")
+      // q147's shuffled histogram: bounded by vocab x 4 quarters, never
+      // by the corpus
+      val curve = TextAnalysis.vocabGrowthCurve(spark, dir).collect()
+      assert(curve.map(_.getAs[Long]("new_distinct")).sum == 360L)
+      assert(curve.last.getAs[Long]("cum_distinct") == 360L)
+    }
+    // 100x duplication grows token MASS 100x but mints nothing new
+    val t1 = TextAnalysis.vocabGrowthCurve(spark, d1).collect()
+      .last.getAs[Long]("cum_tokens")
+    val t100 = TextAnalysis.vocabGrowthCurve(spark, d100).collect()
+      .last.getAs[Long]("cum_tokens")
+    assert(t100 == t1 * 100, s"token mass $t1 -> $t100")
+  }
+
   test("q140: the LM artifact is bounded by the reference slice, invariant under 100x pool inflation") {
     // the broadcast side of the perplexity filter is the reference-slice
     // vocabulary — the CROWD (pool) can grow 100x without adding a row
