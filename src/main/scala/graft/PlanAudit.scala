@@ -74,6 +74,10 @@ object PlanAudit {
     // q150 crossJoins the broadcast SINGLE-ROW (total_pairs, n_keys)
     // scalar onto the k-row election — the q135 shape
     "q150_join_forecast",
+    // q151 fans the per-source histogram over the broadcast
+    // |sources|-row dimension (the KL pair space) plus the 1-row vocab
+    // scalar — both provably tiny sides
+    "q151_domain_kl",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

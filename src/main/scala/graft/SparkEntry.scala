@@ -244,7 +244,8 @@ object SparkEntry {
     "q147_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowthCurve(s, d)),
     "q148_zipf_audit" -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q149_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
-    "q150_join_forecast" -> ((s, d) => graft.operators.Scale.joinCardinalityForecast(s, d))
+    "q150_join_forecast" -> ((s, d) => graft.operators.Scale.joinCardinalityForecast(s, d)),
+    "q151_domain_kl" -> ((s, d) => TextAnalysis.domainShiftKl(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -401,6 +402,7 @@ object SparkEntry {
     "q147_vocab_growth" -> TextAnalysis.vocabGrowthCurveSql,
     "q148_zipf_audit" -> TextAnalysis.zipfAuditSql(),
     "q149_vocab_overlap" -> TextAnalysis.vocabOverlapSql,
-    "q150_join_forecast" -> graft.operators.Scale.joinCardinalityForecastSql()
+    "q150_join_forecast" -> graft.operators.Scale.joinCardinalityForecastSql(),
+    "q151_domain_kl" -> TextAnalysis.domainShiftKlSql
   )
 }

@@ -1565,6 +1565,97 @@ object TextAnalysis {
        |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   }
 
+  // ---- X77: domain-shift KL divergence (q151) -----------------------------
+
+  /** X77 domain-shift audit (q151): for every ordered source pair, the
+    * KL divergence KL(a‖b) of their unigram token distributions in
+    * integer MILLI-BITS — the domain-shift number the DSIR/DoReMi
+    * family reasons about (how surprised source b's language model is
+    * by source a's text): near 0 = same domain; large and asymmetric =
+    * a niche source inside a general one. Laplace-smoothed on the
+    * reference (b) side so missing tokens stay finite.
+    *
+    * Integer discipline: every log runs through the q140 milli-bit
+    * device on RAW COUNTS via the sum identity
+    * log(p/q) = log cnt_a + log(T_b+V) − log(cnt_b+1) − log T_a — no
+    * argument ever exceeds a raw count/total (the log2m 2⁵⁹ bound
+    * holds at any corpus size, where pricing the PRODUCTS would
+    * overflow it), each term weights by cnt_a, the sum runs in
+    * decimal(38,0)/HUGEINT, and the final div T_a lands exact integer
+    * milli-bits both engines share. Quantization is the LUT's ±3 mb
+    * per term — deterministic and identical cross-engine.
+    *
+    * Scale posture: one tokenized scan collapses to the per-(source,
+    * hashed-token) histogram (PlanCache'd — totals, vocab and both
+    * join sides read it); the pair fan-out joins histogram rows on the
+    * token hash (vocabulary-sized × |sources|, never corpus-sized);
+    * output is |sources|·(|sources|−1) rows. */
+  def domainShiftKl(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.PlanCache.cached(spark, s"textanalysis.srcHist:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("source"), TextHash.h1(col("tok")).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("cnt"))
+    }
+    val totals = hist.groupBy(col("source")).agg(sum(col("cnt")).as("t"))
+    val vocab = hist.select(col("h")).distinct().agg(count(lit(1)).as("v"))
+    val sources = hist.select(col("source").as("source_b")).distinct()
+    // KL sums over ALL of a's tokens — including those b has never seen
+    // (cnt_b = 0, Laplace floor): fan a's histogram out over the
+    // broadcast |sources|-row dimension, then LEFT join b's counts
+    val a = hist.select(col("source").as("source_a"), col("h"),
+      col("cnt").as("ca"))
+    val b = hist.select(col("source").as("source_b"), col("h"),
+      col("cnt").as("cb"))
+    a.crossJoin(broadcast(sources))
+      .filter(col("source_a") =!= col("source_b"))
+      .join(b, Seq("source_b", "h"), "left")
+      .withColumn("cb", coalesce(col("cb"), lit(0L)))
+      .join(broadcast(totals.select(col("source").as("source_a"),
+        col("t").as("ta"))), Seq("source_a"))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("t").as("tb"))), Seq("source_b"))
+      .crossJoin(broadcast(vocab))
+      .select(col("source_a"), col("source_b"), col("ta"),
+        expr(s"cast(ca as decimal(38,0)) * (${log2MilliSpark("ca")} + " +
+          s"${log2MilliSpark("tb + v")} - ${log2MilliSpark("cb + 1")} - " +
+          s"${log2MilliSpark("ta")})").as("term"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        expr("cast(sum(term) div max(ta) as bigint)").as("kl_mb"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def domainShiftKlSql: String =
+    s"""WITH hist AS (
+       |  SELECT source, ${TextHash.h1Sql("tok")} AS h, count(*)::BIGINT AS cnt
+       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT source, sum(cnt)::BIGINT AS t FROM hist GROUP BY source
+       |), vocab AS (
+       |  SELECT count(DISTINCT h)::BIGINT AS v FROM hist
+       |), srcs AS (
+       |  SELECT DISTINCT source AS source_b FROM hist
+       |), terms AS (
+       |  SELECT a.source AS source_a, s.source_b, ta.t AS ta,
+       |    a.cnt::HUGEINT * ((${log2MilliDuck("a.cnt")}) +
+       |      (${log2MilliDuck("tb.t + vocab.v")}) -
+       |      (${log2MilliDuck("coalesce(b.cnt, 0) + 1")}) -
+       |      (${log2MilliDuck("ta.t")})) AS term
+       |  FROM hist a
+       |  CROSS JOIN srcs s
+       |  LEFT JOIN hist b ON b.h = a.h AND b.source = s.source_b
+       |  JOIN totals ta ON ta.source = a.source
+       |  JOIN totals tb ON tb.source = s.source_b
+       |  CROSS JOIN vocab
+       |  WHERE a.source <> s.source_b
+       |)
+       |SELECT source_a, source_b, count(*)::BIGINT AS n_terms,
+       |  (sum(term) // max(ta))::BIGINT AS kl_mb
+       |FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // ---- X74: Zipf rank-frequency audit (q148) ------------------------------
 
   /** X74 Zipf audit (q148): the top-`k` terms with their frequency in

@@ -538,6 +538,46 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("domain KL (q151): milli-bit divergences match a driver recomputation; disjoint domains diverge most") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    // A and B share a vocabulary at slightly different rates; C is a
+    // disjoint domain — KL(A||C) must dwarf KL(A||B)
+    Seq(
+      (1L, "alpha beta gamma alpha beta alpha", "en", "srcA"),
+      (2L, "alpha beta gamma gamma beta beta", "en", "srcB"),
+      (3L, "delta epsilon zeta delta epsilon zeta", "en", "srcC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.domainShiftKl(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("kl_mb"))).toMap
+    assert(rows.size == 6)
+    // driver-side recomputation over the same integer log algebra
+    val docs = Map(
+      "srcA" -> "alpha beta gamma alpha beta alpha",
+      "srcB" -> "alpha beta gamma gamma beta beta",
+      "srcC" -> "delta epsilon zeta delta epsilon zeta")
+    val hist = docs.map { case (s, t) =>
+      s -> t.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val totals = hist.view.mapValues(_.values.sum).toMap
+    val v = hist.values.flatMap(_.keys).toSet.size.toLong
+    for (a <- docs.keys; b <- docs.keys if a != b) {
+      val (ta, tb) = (totals(a), totals(b))
+      val sum = hist(a).map { case (tok, ca) =>
+        BigInt(ca) * (log2m(ca) + log2m(tb + v) -
+          log2m(hist(b).getOrElse(tok, 0L) + 1) - log2m(ta))
+      }.sum
+      val want = (sum / ta).toLong
+      assert(rows((a, b)) == ((hist(a).size.toLong, want)), s"$a||$b")
+    }
+    // divergence ordering: the disjoint domain is much farther away
+    assert(rows(("srcA", "srcC"))._2 > rows(("srcA", "srcB"))._2 * 2,
+      s"${rows(("srcA", "srcC"))._2} vs ${rows(("srcA", "srcB"))._2}")
+    assert(rows(("srcA", "srcC"))._2 > 0L)
+  }
+
   test("zipf audit (q148): head, milli-bit freqs and local slopes match a driver recomputation") {
     val rows = TextAnalysis.zipfAudit(spark, sf0001).collect()
       .sortBy(_.getAs[Long]("rank"))
