@@ -552,20 +552,29 @@ object Relational {
     * replaces 7 join stages (3 of them re-shuffling the same fact
     * projection on a different FK each, each paying a 3× distinct-agg
     * Expand) with one join and two ordinary aggregates. */
+  /** Relationship codes for [[integrityAudit]]'s hot path: the string
+    * name never enters a shuffle or a hash-agg key — rows carry a 0..6
+    * integer and the 7-row tail maps codes back to names. */
+  private val FkRelationships = Seq(
+    "customer->nation", "lineitem->orders", "lineitem->part",
+    "lineitem->supplier", "nation->region", "orders->customer",
+    "supplier->nation")
+
   def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val code = FkRelationships.zipWithIndex.toMap
     def pairs(name: String, child: DataFrame, childKey: String): DataFrame =
-      child.select(lit(name).as("relationship"),
+      child.select(lit(code(name)).as("rel"),
         col(childKey).cast("long").as("k"))
     def parentKeys(name: String, parent: DataFrame, pk: String): DataFrame =
-      parent.select(lit(name).as("relationship"), col(pk).cast("long").as("k"))
+      parent.select(lit(code(name)).as("rel"), col(pk).cast("long").as("k"))
     // one fact scan emits all three FK streams (keys share the BIGINT
     // grid, so the stack is type-uniform)
     val li = Tables.lineitem(spark, dir).selectExpr(
-      "stack(3, " +
-        "'lineitem->orders', cast(l_orderkey as bigint), " +
-        "'lineitem->part', cast(l_partkey as bigint), " +
-        "'lineitem->supplier', cast(l_suppkey as bigint)) " +
-        "as (relationship, k)")
+      s"stack(3, " +
+        s"${code("lineitem->orders")}, cast(l_orderkey as bigint), " +
+        s"${code("lineitem->part")}, cast(l_partkey as bigint), " +
+        s"${code("lineitem->supplier")}, cast(l_suppkey as bigint)) " +
+        "as (rel, k)")
     val children = Seq(
       pairs("customer->nation", Tables.customer(spark, dir), "c_nationkey"),
       li,
@@ -588,15 +597,20 @@ object Relational {
       .reduce(_ unionByName _)
       .distinct()
       .withColumn("hit", lit(1))
-    children.groupBy(col("relationship"), col("k"))
+    val nameOf = FkRelationships.zipWithIndex
+      .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
+    children.groupBy(col("rel"), col("k"))
       .agg(count(lit(1)).as("cnt"))
-      .join(parents, Seq("relationship", "k"), "left")
-      .groupBy(col("relationship"))
+      .join(parents, Seq("rel", "k"), "left")
+      .groupBy(col("rel"))
       .agg(sum(col("cnt")).as("n_child_rows"),
         count(lit(1)).as("n_child_keys"),
         sum(when(col("hit").isNull, col("cnt")).otherwise(0L))
           .as("n_orphan_rows"),
         sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+      .select(expr(s"CASE rel $nameOf END").as("relationship"),
+        col("n_child_rows"), col("n_child_keys"),
+        col("n_orphan_rows"), col("n_orphan_keys"))
       .orderBy(col("relationship"))
   }
 
