@@ -245,7 +245,8 @@ object SparkEntry {
     "q148_zipf_audit" -> ((s, d) => TextAnalysis.zipfAudit(s, d)),
     "q149_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
     "q150_join_forecast" -> ((s, d) => graft.operators.Scale.joinCardinalityForecast(s, d)),
-    "q151_domain_kl" -> ((s, d) => TextAnalysis.domainShiftKl(s, d))
+    "q151_domain_kl" -> ((s, d) => TextAnalysis.domainShiftKl(s, d)),
+    "q152_ppx_by_source" -> ((s, d) => TextAnalysis.perplexityBySource(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -403,6 +404,7 @@ object SparkEntry {
     "q148_zipf_audit" -> TextAnalysis.zipfAuditSql(),
     "q149_vocab_overlap" -> TextAnalysis.vocabOverlapSql,
     "q150_join_forecast" -> graft.operators.Scale.joinCardinalityForecastSql(),
-    "q151_domain_kl" -> TextAnalysis.domainShiftKlSql
+    "q151_domain_kl" -> TextAnalysis.domainShiftKlSql,
+    "q152_ppx_by_source" -> TextAnalysis.perplexityBySourceSql()
   )
 }

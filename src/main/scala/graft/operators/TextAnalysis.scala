@@ -1565,6 +1565,41 @@ object TextAnalysis {
        |GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   }
 
+  /** X66+ per-source perplexity profile (q152): how each pool SOURCE
+    * scores against the reference LM — docs, mean milli-bit perplexity,
+    * and the share of its documents landing in the corpus-wide tail
+    * tertile. The actionable companion to the pairwise q151 KL matrix:
+    * a source whose tail share dwarfs its peers is the one the mixture
+    * (q86) or the perplexity gate should throttle first. Reuses the
+    * PlanCache'd q140 per-doc table joined back to the narrow
+    * (doc_id, source) spine — no token is re-scored. */
+  def perplexityBySource(spark: SparkSession, dir: String,
+                         targetSource: String = "src0"): DataFrame = {
+    val spine = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    perplexityScored(spark, dir, targetSource)
+      .join(spine, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(ppx_mb) div count(1)").as("avg_ppx_mb"),
+        sum(when(col("ppx_bucket") === "c_tail", 1L).otherwise(0L))
+          .as("n_tail"))
+      .select(col("source"), col("n_docs"), col("avg_ppx_mb"), col("n_tail"),
+        expr("n_tail * 10000 div n_docs").as("tail_share_bp"))
+      .orderBy(col("source"))
+  }
+
+  def perplexityBySourceSql(targetSource: String = "src0"): String =
+    s"""WITH ${perplexityChainSql(targetSource)}
+       |SELECT dd.source, count(*)::BIGINT AS n_docs,
+       |  (sum(b.ppx_mb) // count(*))::BIGINT AS avg_ppx_mb,
+       |  sum(CASE WHEN b.ppx_bucket = 'c_tail' THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_tail,
+       |  ((sum(CASE WHEN b.ppx_bucket = 'c_tail' THEN 1 ELSE 0 END) * 10000)
+       |    // count(*))::BIGINT AS tail_share_bp
+       |FROM b JOIN documents dd ON dd.doc_id = b.doc_id
+       |GROUP BY dd.source ORDER BY dd.source""".stripMargin
+
   // ---- X77: domain-shift KL divergence (q151) -----------------------------
 
   /** X77 domain-shift audit (q151): for every ordered source pair, the

@@ -538,6 +538,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("perplexity by source (q152): partitions the pool, tail mass reconciles with tertiles") {
+    val rows = TextAnalysis.perplexityBySource(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[String]("source") == "src0"),
+      "the reference slice is not a pool source")
+    val scored = TextAnalysis.perplexityScored(spark, sf0001, "src0").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scored.length.toLong)
+    // total tail mass across sources equals the tertile table's c_tail
+    assert(rows.map(_.getAs[Long]("n_tail")).sum ==
+      scored.count(_.getAs[String]("ppx_bucket") == "c_tail").toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tail_share_bp") ==
+        r.getAs[Long]("n_tail") * 10000 / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("domain KL (q151): milli-bit divergences match a driver recomputation; disjoint domains diverge most") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
     // A and B share a vocabulary at slightly different rates; C is a
