@@ -246,7 +246,8 @@ object SparkEntry {
     "q149_vocab_overlap" -> ((s, d) => TextAnalysis.vocabOverlap(s, d)),
     "q150_join_forecast" -> ((s, d) => graft.operators.Scale.joinCardinalityForecast(s, d)),
     "q151_domain_kl" -> ((s, d) => TextAnalysis.domainShiftKl(s, d)),
-    "q152_ppx_by_source" -> ((s, d) => TextAnalysis.perplexityBySource(s, d))
+    "q152_ppx_by_source" -> ((s, d) => TextAnalysis.perplexityBySource(s, d)),
+    "q153_kmv_sketch" -> ((s, d) => TextAnalysis.kmvSketch(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -405,6 +406,7 @@ object SparkEntry {
     "q149_vocab_overlap" -> TextAnalysis.vocabOverlapSql,
     "q150_join_forecast" -> graft.operators.Scale.joinCardinalityForecastSql(),
     "q151_domain_kl" -> TextAnalysis.domainShiftKlSql,
-    "q152_ppx_by_source" -> TextAnalysis.perplexityBySourceSql()
+    "q152_ppx_by_source" -> TextAnalysis.perplexityBySourceSql(),
+    "q153_kmv_sketch" -> TextAnalysis.kmvSketchSql()
   )
 }

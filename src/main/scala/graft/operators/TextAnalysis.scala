@@ -1691,6 +1691,98 @@ object TextAnalysis {
        |  (sum(term) // max(ta))::BIGINT AS kl_mb
        |FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ---- X79: KMV distinct-sketch mergeability audit (q153) -----------------
+
+  /** X79 KMV sketch audit (q153): the k-minimum-values distinct sketch
+    * (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007) priced against
+    * exact truth — per source AND for the all-source union — over the
+    * bigram-phrase universe. KMV is THE mergeable distinct sketch for a
+    * 100 TB federation: each shard keeps only its k smallest 60-bit
+    * content hashes, a union's sketch is the k smallest of the
+    * concatenated sketches (no rescan — [[TextAnalysisSpec]] proves
+    * merged-from-sketches ≡ computed-from-data), and the estimate is
+    * (k−1)·2⁶⁰ div h₍ₖ₎. The audit ships, per scope, the exact distinct
+    * count, the sketch fill, the k-th minimum hash, the KMV estimate and
+    * its signed-magnitude error in basis points — the table that decides
+    * whether a k=64 sketch is accurate enough to replace an exact
+    * distinct pass in the q129/q149-style cross-source audits.
+    *
+    * Integer discipline: h1 is uniform on [0, 2⁶⁰); the estimator is one
+    * decimal(38,0)/HUGEINT product (63·2⁶⁰ overflows BIGINT) followed by
+    * one integer division — both engines land the identical BIGINT. A
+    * scope with fewer than k distinct values holds its whole universe, so
+    * the estimate degenerates to the exact count (same CASE both sides).
+    *
+    * Scale posture: one tokenized scan collapses to the PlanCache'd
+    * distinct (source, hash) phrase table (vocabulary-sized — phrase
+    * strings never shuffle, the q73/q87 rule); per-scope sketches are the
+    * bounded-heap [[graft.functions.MinKDocs]] two-phase aggregate (each
+    * map task keeps k rows, the shuffle carries ~partitions·k rows, no
+    * scope ever sorts); the union scope re-reads the cached table, not
+    * the corpus. */
+  def kmvSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hs = graft.PlanCache.cached(spark, s"textanalysis.kmvBigramH:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(graft.functions.HashExpressions.taggedGrams(col("text")))
+            .as("g"))
+        .filter(col("g").startsWith("b:"))
+        .select(col("source"),
+          TextHash.h1(col("g").substr(lit(3), length(col("g")))).as("h"))
+        .distinct()
+    }
+    val tagged = hs.select(col("source").as("scope"), col("h"))
+      .unionByName(
+        hs.select(lit("union").as("scope"), col("h")).distinct())
+    val minK = udaf(new graft.functions.MinKDocs(k))
+    tagged.groupBy(col("scope"))
+      .agg(count(lit(1)).as("n_exact"), minK(col("h"), col("h")).as("picks"))
+      .select(col("scope"), col("n_exact"),
+        size(col("picks")).cast("long").as("n_sketch"),
+        expr("array_max(transform(picks, p -> p.h))").as("kth_h"))
+      .select(col("scope"), col("n_exact"), col("n_sketch"), col("kth_h"),
+        expr(s"case when n_sketch < $k then n_exact else " +
+          s"cast(cast(${k - 1} as decimal(38,0)) * ${1L << 60} " +
+          "div greatest(kth_h, 1) as bigint) end").as("est_distinct"))
+      .withColumn("err_bp",
+        expr("cast(cast(abs(est_distinct - n_exact) as decimal(38,0)) " +
+          "* 10000 div n_exact as bigint)"))
+      .orderBy(col("scope"))
+  }
+
+  def kmvSketchSql(k: Int = 64): String =
+    s"""WITH base AS (
+       |  SELECT source, string_split(lower(text), ' ') AS t FROM documents
+       |), hs AS (
+       |  SELECT DISTINCT source, ${TextHash.h1Sql("bg")} AS h
+       |  FROM (SELECT source, unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bg FROM base)
+       |), tagged AS (
+       |  SELECT source AS scope, h FROM hs
+       |  UNION ALL
+       |  SELECT DISTINCT 'union' AS scope, h FROM hs
+       |), r AS (
+       |  SELECT scope, h,
+       |    row_number() OVER (PARTITION BY scope ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY scope) AS n_exact
+       |  FROM tagged
+       |), agg AS (
+       |  SELECT scope, max(n_exact)::BIGINT AS n_exact,
+       |    count(CASE WHEN rn <= $k THEN 1 END)::BIGINT AS n_sketch,
+       |    max(CASE WHEN rn <= $k THEN h END)::BIGINT AS kth_h
+       |  FROM r GROUP BY scope
+       |), est AS (
+       |  SELECT scope, n_exact, n_sketch, kth_h,
+       |    CASE WHEN n_sketch < $k THEN n_exact
+       |         ELSE ((${k - 1}::HUGEINT * ${1L << 60}) //
+       |               greatest(kth_h, 1))::BIGINT END AS est_distinct
+       |  FROM agg
+       |)
+       |SELECT scope, n_exact, n_sketch, kth_h, est_distinct,
+       |  ((abs(est_distinct - n_exact)::HUGEINT * 10000)
+       |    // n_exact)::BIGINT AS err_bp
+       |FROM est ORDER BY scope""".stripMargin
+
   // ---- X74: Zipf rank-frequency audit (q148) ------------------------------
 
   /** X74 Zipf audit (q148): the top-`k` terms with their frequency in

@@ -730,4 +730,43 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("KMV sketch (q153): union row IS the merge of per-source sketches; n<k degenerates to exact") {
+    val k = 64
+    val out = TextAnalysis.kmvSketch(spark, sf0001, k).collect()
+    val union = out.find(_.getAs[String]("scope") == "union").get
+    // rebuild the distinct (source, hash) phrase table the query sketches
+    val hs = Tables.documents(spark, sf0001)
+      .select(col("source"),
+        explode(graft.functions.HashExpressions.taggedGrams(col("text")))
+          .as("g"))
+      .filter(col("g").startsWith("b:"))
+      .select(col("source"),
+        TextHash.h1(col("g").substr(lit(3), length(col("g")))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val perSrc = hs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.distinct.sorted.take(k)).toMap
+    // the KMV merge theorem: the k smallest of the UNION OF SKETCHES are
+    // exactly the k smallest of the full union — no rescan needed
+    val merged = perSrc.values.flatten.toSeq.distinct.sorted.take(k)
+    val direct = hs.map(_._2).toSeq.distinct.sorted.take(k)
+    assert(merged == direct, "sketch merge must equal a full-data pass")
+    assert(union.getAs[Long]("kth_h") == merged.last)
+    assert(union.getAs[Long]("est_distinct") ==
+      (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(merged.last)).toLong)
+    // per-source rows carry each source's own sketch fill and k-th minimum
+    out.filter(_.getAs[String]("scope") != "union").foreach { r =>
+      val sk = perSrc(r.getAs[String]("scope"))
+      assert(r.getAs[Long]("n_sketch") == sk.size.toLong)
+      assert(r.getAs[Long]("kth_h") == sk.last)
+    }
+    // a scope holding its whole universe (k > n) estimates EXACTLY
+    val big = TextAnalysis.kmvSketch(spark, sf0001, k = 4096).collect()
+    assert(big.nonEmpty)
+    big.foreach { r =>
+      assert(r.getAs[Long]("n_sketch") == r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("est_distinct") == r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("err_bp") == 0L)
+    }
+  }
 }
