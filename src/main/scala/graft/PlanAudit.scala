@@ -78,6 +78,9 @@ object PlanAudit {
     // |sources|-row dimension (the KL pair space) plus the 1-row vocab
     // scalar — both provably tiny sides
     "q151_domain_kl",
+    // q154 crossJoins the broadcast SINGLE-ROW corpus-total scalar onto
+    // the |sources|·|langs| cell table — the q84/q90 audited shape
+    "q154_source_lang_mi",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

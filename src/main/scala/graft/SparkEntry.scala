@@ -247,7 +247,8 @@ object SparkEntry {
     "q150_join_forecast" -> ((s, d) => graft.operators.Scale.joinCardinalityForecast(s, d)),
     "q151_domain_kl" -> ((s, d) => TextAnalysis.domainShiftKl(s, d)),
     "q152_ppx_by_source" -> ((s, d) => TextAnalysis.perplexityBySource(s, d)),
-    "q153_kmv_sketch" -> ((s, d) => TextAnalysis.kmvSketch(s, d))
+    "q153_kmv_sketch" -> ((s, d) => TextAnalysis.kmvSketch(s, d)),
+    "q154_source_lang_mi" -> ((s, d) => TextAnalysis.sourceLangMi(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -407,6 +408,7 @@ object SparkEntry {
     "q150_join_forecast" -> graft.operators.Scale.joinCardinalityForecastSql(),
     "q151_domain_kl" -> TextAnalysis.domainShiftKlSql,
     "q152_ppx_by_source" -> TextAnalysis.perplexityBySourceSql(),
-    "q153_kmv_sketch" -> TextAnalysis.kmvSketchSql()
+    "q153_kmv_sketch" -> TextAnalysis.kmvSketchSql(),
+    "q154_source_lang_mi" -> TextAnalysis.sourceLangMiSql
   )
 }

@@ -1617,8 +1617,9 @@ object TextAnalysis {
     * holds at any corpus size, where pricing the PRODUCTS would
     * overflow it), each term weights by cnt_a, the sum runs in
     * decimal(38,0)/HUGEINT, and the final div T_a lands exact integer
-    * milli-bits both engines share. Quantization is the LUT's ±3 mb
-    * per term — deterministic and identical cross-engine.
+    * milli-bits both engines share. Quantization is the mantissa floor
+    * to a 1/16 cell (≤ ~87 mb per term, worst in the first cell) —
+    * deterministic and identical cross-engine.
     *
     * Scale posture: one tokenized scan collapses to the per-(source,
     * hashed-token) histogram (PlanCache'd — totals, vocab and both
@@ -1782,6 +1783,79 @@ object TextAnalysis {
        |  ((abs(est_distinct - n_exact)::HUGEINT * 10000)
        |    // n_exact)::BIGINT AS err_bp
        |FROM est ORDER BY scope""".stripMargin
+
+  // ---- X80: source-language mutual-information audit (q154) ---------------
+
+  /** X80 composition-balance audit (q154): the source × language joint
+    * distribution priced against independence — per cell the observed
+    * doc count, the LIFT vs the independence expectation in basis
+    * points (obs·N / (n_s·n_l), the q134 collocation device at the
+    * corpus-composition level), the pointwise mutual information in
+    * exact milli-bits, and the cell's weighted MI summand (corpus
+    * MI = Σ mi_term_mb div N). The datasheet companion to q103 and the
+    * UniMax/temperature allocators (q108/q114): a source whose lift
+    * concentrates in one language is a SPECIALIST — reweighting it
+    * moves that language's budget, not the corpus's; lift ≈ 10000
+    * everywhere means source and language mix independently and
+    * per-source levers act language-neutrally.
+    *
+    * Integer discipline: PMI runs through the q140 milli-bit log device
+    * on RAW COUNTS via the sum identity log(p_sl/(p_s·p_l)) =
+    * log n_sl + log N − log n_s − log n_l (every argument a count, the
+    * 2⁵⁹ bound holds at any corpus size); lift and the MI summand are
+    * decimal(38,0)/HUGEINT products with one integer division.
+    *
+    * Scale posture: ONE narrow documents scan collapses map-side to the
+    * |sources|·|langs| cell table (PlanCache'd — both marginals and the
+    * total re-read it, never the corpus); marginals broadcast back onto
+    * cells; output is cell-table-sized. */
+  def sourceLangMi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"textanalysis.srcLangCells:$dir") {
+      Tables.documents(spark, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_sl"))
+    }
+    val ns = cells.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
+    val nl = cells.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
+    val n = cells.agg(sum(col("n_sl")).as("n"))
+    cells.join(broadcast(ns), Seq("source"))
+      .join(broadcast(nl), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("lang"), col("n_sl").as("n_docs"),
+        expr("cast(cast(n_sl as decimal(38,0)) * n * 10000 div " +
+          "(cast(n_s as decimal(38,0)) * n_l) as bigint)").as("lift_bp"),
+        expr(s"cast(${log2MilliSpark("n_sl")} + ${log2MilliSpark("n")} - " +
+          s"${log2MilliSpark("n_s")} - ${log2MilliSpark("n_l")} as bigint)")
+          .as("pmi_mb"))
+      .withColumn("mi_term_mb",
+        expr("cast(cast(n_docs as decimal(38,0)) * pmi_mb as bigint)"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  def sourceLangMiSql: String =
+    s"""WITH cells AS (
+       |  SELECT source, lang, count(*)::BIGINT AS n_sl
+       |  FROM documents GROUP BY 1, 2
+       |), ns AS (
+       |  SELECT source, sum(n_sl)::BIGINT AS n_s FROM cells GROUP BY source
+       |), nl AS (
+       |  SELECT lang, sum(n_sl)::BIGINT AS n_l FROM cells GROUP BY lang
+       |), n AS (SELECT sum(n_sl)::BIGINT AS n FROM cells),
+       |terms AS (
+       |  SELECT c.source, c.lang, c.n_sl AS n_docs,
+       |    ((c.n_sl::HUGEINT * n.n * 10000) //
+       |      (ns.n_s::HUGEINT * nl.n_l))::BIGINT AS lift_bp,
+       |    ((${log2MilliDuck("c.n_sl")}) + (${log2MilliDuck("n.n")}) -
+       |      (${log2MilliDuck("ns.n_s")}) -
+       |      (${log2MilliDuck("nl.n_l")}))::BIGINT AS pmi_mb
+       |  FROM cells c
+       |  JOIN ns USING (source)
+       |  JOIN nl USING (lang)
+       |  CROSS JOIN n
+       |)
+       |SELECT source, lang, n_docs, lift_bp, pmi_mb,
+       |  (n_docs::HUGEINT * pmi_mb)::BIGINT AS mi_term_mb
+       |FROM terms ORDER BY source, lang""".stripMargin
 
   // ---- X74: Zipf rank-frequency audit (q148) ------------------------------
 
@@ -1996,7 +2070,10 @@ object TextAnalysis {
   // structure as CCNet's filter, exact integer arithmetic in both engines.
 
   /** round(log2(1 + i/16)·1000) for i ∈ 0..15 — the fractional-mantissa
-    * LUT of the milli-bit integer log2 (≤ ~3 milli-bit quantization). */
+    * LUT of the milli-bit integer log2. Entry rounding is ≤ 0.5 mb; the
+    * dominant quantization is the mantissa FLOOR to its 1/16 cell —
+    * ≤ log2(1+1/16)·1000 ≈ 87 mb per term, worst in the first cell —
+    * deterministic and identical cross-engine. */
   private val Log2MilliLut = Seq(0, 87, 170, 248, 322, 392, 459, 524,
     585, 644, 700, 755, 807, 858, 907, 954)
   private val Log2Pow2 = (0 until 60).map(i => 1L << i)

@@ -769,4 +769,38 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Long]("err_bp") == 0L)
     }
   }
+
+  test("source-lang MI (q154): lift is the exact independence ratio; PMI tracks log2(lift); MI >= 0") {
+    val rows = TextAnalysis.sourceLangMi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val bySrc = rows.groupBy(_.getAs[String]("source")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val byLang = rows.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    rows.foreach { r =>
+      val s = r.getAs[String]("source"); val l = r.getAs[String]("lang")
+      val c = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("lift_bp") ==
+        (BigInt(c) * n * 10000 / (BigInt(bySrc(s)) * byLang(l))).toLong)
+      // the integer PMI stays within LUT truncation of the float log2 of
+      // the same ratio: each log2m term floors to a 1/16 mantissa cell
+      // (≤ ~87 mb), and pmi sums 4 signed terms
+      val pmiF = 1000.0 *
+        math.log(c.toDouble * n / (bySrc(s).toDouble * byLang(l))) /
+        math.log(2)
+      assert(math.abs(r.getAs[Long]("pmi_mb") - pmiF) <= 180.0, s"$s/$l pmi")
+      assert(r.getAs[Long]("mi_term_mb") == c * r.getAs[Long]("pmi_mb"))
+    }
+    // corpus MI = Σ summands div N — tracks the float MI within the
+    // same truncation envelope (and so can't go meaningfully negative)
+    val miF = rows.map { r =>
+      val p = r.getAs[Long]("n_docs").toDouble / n
+      p * 1000.0 * math.log(r.getAs[Long]("n_docs").toDouble * n /
+        (bySrc(r.getAs[String]("source")).toDouble *
+          byLang(r.getAs[String]("lang")))) / math.log(2)
+    }.sum
+    assert(math.abs(rows.map(_.getAs[Long]("mi_term_mb")).sum.toDouble / n
+      - miF) <= 180.0)
+  }
 }
