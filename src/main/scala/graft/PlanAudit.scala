@@ -81,6 +81,9 @@ object PlanAudit {
     // q154 crossJoins the broadcast SINGLE-ROW corpus-total scalar onto
     // the |sources|·|langs| cell table — the q84/q90 audited shape
     "q154_source_lang_mi",
+    // q155's rank and cumulative folds are the q108/q147 broadcast
+    // triangle theta-joins over the |sources|-row table
+    "q155_novelty_election",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

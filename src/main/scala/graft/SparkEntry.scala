@@ -248,7 +248,8 @@ object SparkEntry {
     "q151_domain_kl" -> ((s, d) => TextAnalysis.domainShiftKl(s, d)),
     "q152_ppx_by_source" -> ((s, d) => TextAnalysis.perplexityBySource(s, d)),
     "q153_kmv_sketch" -> ((s, d) => TextAnalysis.kmvSketch(s, d)),
-    "q154_source_lang_mi" -> ((s, d) => TextAnalysis.sourceLangMi(s, d))
+    "q154_source_lang_mi" -> ((s, d) => TextAnalysis.sourceLangMi(s, d)),
+    "q155_novelty_election" -> ((s, d) => TextAnalysis.vocabNoveltyElection(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -409,6 +410,7 @@ object SparkEntry {
     "q151_domain_kl" -> TextAnalysis.domainShiftKlSql,
     "q152_ppx_by_source" -> TextAnalysis.perplexityBySourceSql(),
     "q153_kmv_sketch" -> TextAnalysis.kmvSketchSql(),
-    "q154_source_lang_mi" -> TextAnalysis.sourceLangMiSql
+    "q154_source_lang_mi" -> TextAnalysis.sourceLangMiSql,
+    "q155_novelty_election" -> TextAnalysis.vocabNoveltyElectionSql
   )
 }

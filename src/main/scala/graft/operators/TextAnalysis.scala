@@ -1784,6 +1784,91 @@ object TextAnalysis {
        |    // n_exact)::BIGINT AS err_bp
        |FROM est ORDER BY scope""".stripMargin
 
+  // ---- X81: marginal vocab-novelty election (q155) ------------------------
+
+  /** X81 acquisition-order audit (q155): sources ranked by token mass,
+    * then each source credited with the vocabulary it is FIRST to
+    * contribute in that order — the greedy data-acquisition curve ("if
+    * we ingest sources biggest-first, what does each one newly add").
+    * Per rank: the source, its token mass, its own vocabulary, its
+    * marginal novel-type count, the novelty share of its vocabulary in
+    * basis points, and the cumulative union vocabulary. A big source
+    * with near-zero novelty is REDUNDANT with what precedes it (its
+    * budget buys tokens, not types — q123's effective-size story at the
+    * vocabulary level); a small source with high novelty is the niche
+    * worth keeping through the mixture gates.
+    *
+    * Scale posture: everything derives from the PlanCache'd q151
+    * per-(source, 60-bit hash) histogram — vocabulary-sized, never the
+    * corpus. Ranking and the cumulative fold are windowless broadcast
+    * triangle joins over the |sources|-row table (the q108/q147 device —
+    * no global-order window); the only vocabulary-sized operation is
+    * one min-rank groupBy on the hash. Token credit keys on the hash,
+    * strings never shuffle. */
+  def vocabNoveltyElection(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.PlanCache.cached(spark, s"textanalysis.srcHist:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("source"), TextHash.h1(col("tok")).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("cnt"))
+    }
+    val sizes = hist.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("vocab"))
+    // rank by (token mass desc, source) without a global window:
+    // rank = 1 + |{sources that beat this one}| over the broadcast
+    // |sources|-row table
+    val other = sizes.select(col("source").as("s2"), col("n_tok").as("t2"))
+    val ranked = sizes.join(broadcast(other),
+        col("t2") > col("n_tok") ||
+          (col("t2") === col("n_tok") && col("s2") < col("source")), "left")
+      .groupBy(col("source"), col("n_tok"), col("vocab"))
+      .agg((count(col("s2")) + 1).as("rank"))
+    // each hash credits the best-ranked source containing it
+    val novel = hist.select(col("source"), col("h"))
+      .join(broadcast(ranked.select(col("source"), col("rank"))),
+        Seq("source"))
+      .groupBy(col("h")).agg(min(col("rank")).as("rank"))
+      .groupBy(col("rank")).agg(count(lit(1)).as("novel"))
+    // LEFT join: a fully redundant source mints ZERO types and must
+    // still report its row
+    val cells = ranked.join(novel, Seq("rank"), "left")
+      .withColumn("novel", coalesce(col("novel"), lit(0L)))
+    val prior = cells.select(col("rank").as("r2"), col("novel").as("v2"))
+    cells.join(broadcast(prior), col("r2") <= col("rank"))
+      .groupBy(col("rank"), col("source"), col("n_tok"), col("vocab"),
+        col("novel"))
+      .agg(sum(col("v2")).as("cum_vocab"))
+      .withColumn("novelty_bp", expr("novel * 10000 div vocab"))
+      .orderBy(col("rank"))
+  }
+
+  def vocabNoveltyElectionSql: String =
+    s"""WITH hist AS (
+       |  SELECT source, ${TextHash.h1Sql("tok")} AS h, count(*)::BIGINT AS cnt
+       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), sizes AS (
+       |  SELECT source, sum(cnt)::BIGINT AS n_tok, count(*)::BIGINT AS vocab
+       |  FROM hist GROUP BY source
+       |), ranked AS (
+       |  SELECT source, n_tok, vocab,
+       |    row_number() OVER (ORDER BY n_tok DESC, source) AS rank
+       |  FROM sizes
+       |), novel AS (
+       |  SELECT rank, count(*)::BIGINT AS novel
+       |  FROM (SELECT h, min(r.rank) AS rank
+       |        FROM hist JOIN ranked r USING (source) GROUP BY h)
+       |  GROUP BY rank
+       |)
+       |SELECT r.rank::BIGINT AS rank, r.source, r.n_tok, r.vocab,
+       |  coalesce(n.novel, 0)::BIGINT AS novel,
+       |  sum(coalesce(n.novel, 0)) OVER (ORDER BY r.rank
+       |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab,
+       |  ((coalesce(n.novel, 0) * 10000) // r.vocab)::BIGINT AS novelty_bp
+       |FROM ranked r LEFT JOIN novel n USING (rank)
+       |ORDER BY rank""".stripMargin
+
   // ---- X80: source-language mutual-information audit (q154) ---------------
 
   /** X80 composition-balance audit (q154): the source × language joint

@@ -803,4 +803,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Long]("mi_term_mb")).sum.toDouble / n
       - miF) <= 180.0)
   }
+
+  test("novelty election (q155): greedy credit follows token-mass rank; a redundant source mints zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    // srcBig (10 tokens, vocab a b c d) outranks srcDup (5 tokens,
+    // vocab ⊂ srcBig) outranks srcNiche (3 tokens, 2 novel types x y)
+    Seq(
+      (1L, "a b c d a b c d a b", "en", "srcBig"),
+      (2L, "x y a", "en", "srcNiche"),
+      (3L, "a b a b a", "en", "srcDup"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.vocabNoveltyElection(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("vocab"),
+        r.getAs[Long]("novel"), r.getAs[Long]("cum_vocab"),
+        r.getAs[Long]("novelty_bp")))
+    assert(rows.toSeq == Seq(
+      (1L, "srcBig", 10L, 4L, 4L, 4L, 10000L),
+      (2L, "srcDup", 5L, 2L, 0L, 4L, 0L),
+      (3L, "srcNiche", 3L, 3L, 2L, 6L, 6666L)))
+  }
 }
