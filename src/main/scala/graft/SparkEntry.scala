@@ -249,7 +249,8 @@ object SparkEntry {
     "q152_ppx_by_source" -> ((s, d) => TextAnalysis.perplexityBySource(s, d)),
     "q153_kmv_sketch" -> ((s, d) => TextAnalysis.kmvSketch(s, d)),
     "q154_source_lang_mi" -> ((s, d) => TextAnalysis.sourceLangMi(s, d)),
-    "q155_novelty_election" -> ((s, d) => TextAnalysis.vocabNoveltyElection(s, d))
+    "q155_novelty_election" -> ((s, d) => TextAnalysis.vocabNoveltyElection(s, d)),
+    "q156_containment" -> ((s, d) => Dedup.containmentNearDup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -411,6 +412,7 @@ object SparkEntry {
     "q152_ppx_by_source" -> TextAnalysis.perplexityBySourceSql(),
     "q153_kmv_sketch" -> TextAnalysis.kmvSketchSql(),
     "q154_source_lang_mi" -> TextAnalysis.sourceLangMiSql,
-    "q155_novelty_election" -> TextAnalysis.vocabNoveltyElectionSql
+    "q155_novelty_election" -> TextAnalysis.vocabNoveltyElectionSql,
+    "q156_containment" -> Dedup.containmentNearDupSql()
   )
 }

@@ -346,6 +346,86 @@ object Dedup {
        |    >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- X82: containment near-dup (q156) -----------------------------------
+
+  /** X82 containment near-dup (q156): one-sided n-gram containment over
+    * the SAME banded-LSH candidate set as q20/q22/q56. Symmetric Jaccard
+    * under-scores doc-contains-doc pairs — a page embedded verbatim in a
+    * longer aggregator page scores |A|/|B|, arbitrarily low as the host
+    * grows — so a dedup keyed on Jaccard alone keeps BOTH copies of the
+    * contained text. Broder's resemblance-vs-containment distinction
+    * (public: Broder 1997, "On the resemblance and containment of
+    * documents"). Per candidate pair: exact shingle-set intersection,
+    * both directional containments in integer basis points
+    * (n_inter·10000 div |side| — BIGINT throughout, nothing floats
+    * across engines), the symmetric Jaccard for comparison, and a
+    * relation verdict: 'mutual' when both directions clear the
+    * threshold, else which doc is contained in which. Scale: the verify
+    * join touches only the persisted candidate list (orders of magnitude
+    * smaller than the corpus, shared with q22/q56 — candidate generation
+    * is not re-paid), and the containment math is a per-row projection.
+    * Ref anchor: the reference stores duplicate tweets untouched
+    * (`ProcessStreamData.py:25-30`); mandated X-family extension. */
+  def containmentNearDup(spark: SparkSession, dir: String,
+                         thresholdBp: Long = 8000L): DataFrame = {
+    val cand = candidatePairs(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.HashExpressions.shingles(col("text")).as("sh"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        expr("n_inter * 10000 div (n_a + n_b - n_inter)").as("jaccard_bp"),
+        expr("n_inter * 10000 div n_a").as("cont_a_bp"),
+        expr("n_inter * 10000 div n_b").as("cont_b_bp"))
+      .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= thresholdBp)
+      .withColumn("relation",
+        when(col("cont_a_bp") >= thresholdBp && col("cont_b_bp") >= thresholdBp,
+          lit("mutual"))
+          .when(col("cont_a_bp") >= thresholdBp, lit("a_in_b"))
+          .otherwise(lit("b_in_a")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def containmentNearDupSql(thresholdBp: Long = 8000L): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shinglesSql("t")} AS sh FROM toks
+       |), mh AS (
+       |  SELECT doc_id, ${minhashSignatureSql("sh", kMinhash)} AS mh FROM sh
+       |), bands AS (
+       |  SELECT doc_id, b, array_to_string(mh[b*$rowsN+1 : b*$rowsN+$rowsN], '_') AS sig
+       |  FROM mh CROSS JOIN (SELECT unnest(range(0, $bandsN)) AS b)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig
+       |    AND x.doc_id < y.doc_id
+       |), m AS (
+       |  SELECT doc_a, doc_b, len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+       |    len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b
+       |  FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+       |            JOIN sh b ON cand.doc_b = b.doc_id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |)
+       |SELECT doc_a, doc_b, n_inter, n_a, n_b,
+       |  n_inter * 10000 // (n_a + n_b - n_inter) AS jaccard_bp,
+       |  n_inter * 10000 // n_a AS cont_a_bp,
+       |  n_inter * 10000 // n_b AS cont_b_bp,
+       |  CASE WHEN n_inter * 10000 // n_a >= $thresholdBp
+       |        AND n_inter * 10000 // n_b >= $thresholdBp THEN 'mutual'
+       |       WHEN n_inter * 10000 // n_a >= $thresholdBp THEN 'a_in_b'
+       |       ELSE 'b_in_a' END AS relation
+       |FROM m
+       |WHERE greatest(n_inter * 10000 // n_a, n_inter * 10000 // n_b)
+       |  >= $thresholdBp
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- X37: LSH banding recall audit (q110) -------------------------------
 
   /** Probe-set bound for [[lshRecallAudit]] — fixed doc_id prefix, so the

@@ -166,6 +166,49 @@ class DedupSpec extends SparkSpec {
     dir
   }
 
+  test("containment (q156): doc-in-doc pair sub-threshold on Jaccard is caught; verdicts and bp exact") {
+    // A is contained verbatim in B (aggregator-page shape); C is an exact
+    // copy of A; D is unrelated. The tail makes (A,B)'s Jaccard fall below
+    // the 0.8 threshold that its containment clears — the pair a
+    // Jaccard-keyed dedup misses.
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "sleepy badgers watch from a mossy log beside the silver river bend " +
+      "under pale morning light today"
+    // tail chosen (offline md5 search) so the banding recalls the pair:
+    // jaccard = 26/33 ≈ 0.788 < 0.8 yet one of the 4 minhash bands agrees
+    val tail = "here discussing bonus editorial commentary adjunct paragraph"
+    val rows = Seq(1L -> base, 2L -> (base + " " + tail), 3L -> base,
+      4L -> "completely unrelated prose about volcanic basalt columns forming hexagonal patterns near coastal cliffs")
+    val dir = docsDir(rows)
+    val out = Dedup.containmentNearDup(spark, dir).collect()
+    val byPair = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(byPair.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got pairs ${byPair.keySet}")
+    assert(byPair((1L, 2L)).getAs[String]("relation") == "a_in_b")
+    assert(byPair((1L, 3L)).getAs[String]("relation") == "mutual")
+    assert(byPair((2L, 3L)).getAs[String]("relation") == "b_in_a")
+    // the catch that motivates the operator: (1,2) is sub-threshold on
+    // symmetric Jaccard but fully contained one-way
+    assert(byPair((1L, 2L)).getAs[Long]("jaccard_bp") < 8000L)
+    assert(byPair((1L, 2L)).getAs[Long]("cont_a_bp") == 10000L)
+    // every emitted number matches a driver-side shingle-set recomputation
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split(" ", -1)
+      toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.toMap.map { case (id, t) => id -> shingleSet(t) }
+    out.foreach { r =>
+      val (sa, sb) = (sets(r.getAs[Long]("doc_a")), sets(r.getAs[Long]("doc_b")))
+      val inter = (sa intersect sb).size.toLong
+      assert(r.getAs[Long]("n_inter") == inter)
+      assert(r.getAs[Long]("n_a") == sa.size.toLong)
+      assert(r.getAs[Long]("n_b") == sb.size.toLong)
+      assert(r.getAs[Long]("jaccard_bp") == inter * 10000 / (sa.size + sb.size - inter))
+      assert(r.getAs[Long]("cont_a_bp") == inter * 10000 / sa.size)
+      assert(r.getAs[Long]("cont_b_bp") == inter * 10000 / sb.size)
+    }
+  }
+
   test("boilerplate guard: 100-copy doc collapses to one banding rep; pair output stays complete") {
     val boiler = "spam spam lovely spam wonderful spam spam spam lovely spam again ok"
     val other = "a completely different document about quantum chromodynamics lattices here"
