@@ -250,7 +250,8 @@ object SparkEntry {
     "q153_kmv_sketch" -> ((s, d) => TextAnalysis.kmvSketch(s, d)),
     "q154_source_lang_mi" -> ((s, d) => TextAnalysis.sourceLangMi(s, d)),
     "q155_novelty_election" -> ((s, d) => TextAnalysis.vocabNoveltyElection(s, d)),
-    "q156_containment" -> ((s, d) => Dedup.containmentNearDup(s, d))
+    "q156_containment" -> ((s, d) => Dedup.containmentNearDup(s, d)),
+    "q157_rep_bands" -> ((s, d) => TextAnalysis.repetitionProfile(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -413,6 +414,7 @@ object SparkEntry {
     "q153_kmv_sketch" -> TextAnalysis.kmvSketchSql(),
     "q154_source_lang_mi" -> TextAnalysis.sourceLangMiSql,
     "q155_novelty_election" -> TextAnalysis.vocabNoveltyElectionSql,
-    "q156_containment" -> Dedup.containmentNearDupSql()
+    "q156_containment" -> Dedup.containmentNearDupSql(),
+    "q157_rep_bands" -> TextAnalysis.repetitionProfileSql
   )
 }

@@ -229,6 +229,36 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-row positional n-gram multiset statistics in ONE pass:
+    * [n_grams, n_distinct, top_count] (total occurrences, distinct gram
+    * strings, the most-repeated gram's occurrence count). Keys are the
+    * gram STRINGS (zero-copy byte slices, no hashing ambiguity), so the
+    * counts are exact — the per-document repetition kernel (q157) that
+    * replaces an explode + corpus-wide (doc, gram) shuffle with a
+    * map-side projection. */
+  def gramStats(s: UTF8String, n: Int): ArrayData = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var total = 0L
+    var top = 0L
+    var i = 0
+    while (i <= nTok - n) {
+      val from = bounds(2 * i)
+      val until = bounds(2 * (i + n - 1) + 1)
+      val g = UTF8String.fromBytes(bytes, from, until - from)
+      val prev = counts.get(g)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(g, Integer.valueOf(c))
+      if (c > top) top = c.toLong
+      total += 1
+      i += 1
+    }
+    new GenericArrayData(Array(total, counts.size.toLong, top))
+  }
+
   /** Fused heuristic quality score — twin of the four-term HOF chain in
     * TextAnalysis.qualityScoreHof, ONE pass over the tokens instead of
     * four (split + array_distinct + lexicon filter + length): 0.25·each
@@ -567,6 +597,23 @@ case class SpanGramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-row n-gram multiset stats [n_grams, n_distinct, top_count] — the
+  * q157 intra-document repetition kernel; see [[HashKernels.gramStats]]. */
+case class GramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"gram_stats needs n > 0 (got $n)")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"gram_stats needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.gramStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.gramStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramStats =
+    copy(child = newChild)
+}
+
 /** Native distinct-shingle-string expression (twin of
   * TextHash.shingles — the gram text itself, for consumers that output
   * grams rather than hashes, e.g. the q73 duplicated-n-gram detector). */
@@ -699,6 +746,8 @@ object HashExpressions {
     bridge.column(Shingles(bridge.expression(text), n))
   def spanGramHashes(text: Column, n: Int = 3): Column =
     bridge.column(SpanGramHashes(bridge.expression(text), n))
+  def gramStats(text: Column, n: Int): Column =
+    bridge.column(GramStats(bridge.expression(text), n))
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     bridge.column(QualityScore(bridge.expression(text), stopwords))
   def simhash(text: Column, bits: Int = 48): Column =

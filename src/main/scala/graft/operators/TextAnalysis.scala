@@ -942,6 +942,83 @@ object TextAnalysis {
        |FROM grams GROUP BY lang, n ORDER BY lang, n""".stripMargin
   }
 
+  // ---- X83: intra-document repetition profile (q157) ----------------------
+
+  /** X83 repetition profile (q157): per (source, repetition band) — doc
+    * count, mean top-bigram share and mean duplicate-trigram share in
+    * basis points. The INTRA-document counterpart of the corpus-level
+    * q136 diversity profile, and the OTHER Gopher repetition family rule
+    * (public: Rae et al. 2021, arXiv:2112.11446 §A1.1 "fraction of
+    * duplicate n-grams") next to q49's top-token/top-bigram flags:
+    * keyword-stuffed or template-spun pages repeat their own phrases,
+    * which corpus-level dedup never sees (the doc is unique, its CONTENT
+    * is not). Bands: none (0 duplicate trigrams), low (<10%), mid
+    * (<25%), high (≥25%). Docs with fewer than 3 tokens have no trigram
+    * multiset and are excluded by construction.
+    *
+    * Scale posture — the plan upgrade over q49: the per-doc multiset
+    * stats come from the [[graft.functions.HashExpressions.gramStats]]
+    * codegen kernel, ONE map-side pass per row, replacing q49's
+    * explode + corpus-wide (doc, gram) shuffle; the only shuffle left is
+    * the |sources|·4-row rollup with map-side combine. All shares are
+    * BIGINT basis points (exact gram-string counts — nothing floats
+    * across engines). */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.gramStats
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        gramStats(col("text"), 2).as("s2"), gramStats(col("text"), 3).as("s3"))
+      .select(col("source"),
+        col("s2").getItem(0).as("n2"), col("s2").getItem(2).as("t2"),
+        col("s3").getItem(0).as("n3"), col("s3").getItem(1).as("nd3"))
+      .filter(col("n3") > 0)
+      .select(col("source"),
+        expr("t2 * 10000 div n2").as("top2_bp"),
+        expr("(n3 - nd3) * 10000 div n3").as("dup3_bp"))
+      .withColumn("rep_band",
+        when(col("dup3_bp") === 0, lit("none"))
+          .when(col("dup3_bp") < 1000, lit("low"))
+          .when(col("dup3_bp") < 2500, lit("mid"))
+          .otherwise(lit("high")))
+      .groupBy(col("source"), col("rep_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("top2_bp")).as("s_top2"), sum(col("dup3_bp")).as("s_dup3"))
+      .select(col("source"), col("rep_band"), col("n_docs"),
+        expr("s_top2 div n_docs").as("avg_top2_bp"),
+        expr("s_dup3 div n_docs").as("avg_dup3_bp"))
+      .orderBy(col("source"), col("rep_band"))
+  }
+
+  def repetitionProfileSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+       |), g2 AS (
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(t)),
+       |    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks
+       |), g3 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks
+       |), p2 AS (
+       |  SELECT doc_id, source, max(c)::BIGINT AS t2, sum(c)::BIGINT AS n2
+       |  FROM (SELECT doc_id, source, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2
+       |), p3 AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS n3, count(*)::BIGINT AS nd3
+       |  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+       |  GROUP BY 1
+       |), d AS (
+       |  SELECT source, t2 * 10000 // n2 AS top2_bp,
+       |    (n3 - nd3) * 10000 // n3 AS dup3_bp
+       |  FROM p2 JOIN p3 USING (doc_id)
+       |)
+       |SELECT source,
+       |  CASE WHEN dup3_bp = 0 THEN 'none' WHEN dup3_bp < 1000 THEN 'low'
+       |       WHEN dup3_bp < 2500 THEN 'mid' ELSE 'high' END AS rep_band,
+       |  count(*)::BIGINT AS n_docs,
+       |  (sum(top2_bp)::BIGINT // count(*)) AS avg_top2_bp,
+       |  (sum(dup3_bp)::BIGINT // count(*)) AS avg_dup3_bp
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- X14: vocabulary build + OOV audit (q85) ----------------------------
 
   /** Vocabulary cutoff for [[vocabOov]] — deliberately below the corpus's

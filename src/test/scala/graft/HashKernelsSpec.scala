@@ -60,6 +60,25 @@ class HashKernelsSpec extends SparkSpec {
     lens.foreach(r => assert(r.getInt(0) == math.max(r.getInt(1) - n + 1, 0)))
   }
 
+  test("native gram stats == driver multiset recomputation on generated texts") {
+    for (n <- Seq(2, 3)) {
+      val rows = texts(200).toDF("text").select(col("text"),
+        HashExpressions.gramStats(col("text"), n).as("st")).collect()
+      rows.foreach { r =>
+        val toks = r.getString(0).toLowerCase.split(" ", -1).toSeq
+        val grams = toks.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+        val st = r.getSeq[Long](1)
+        assert(st.length == 3)
+        assert(st(0) == grams.size.toLong, s"n_grams for '${r.getString(0)}'")
+        assert(st(1) == counts.size.toLong, s"n_distinct for '${r.getString(0)}'")
+        assert(st(2) == (if (counts.isEmpty) 0L else counts.values.max.toLong),
+          s"top_count for '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("native sign band keys == per-plane expression tree on real embeddings") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("embedding").cast("array<double>").as("v"))

@@ -554,6 +554,50 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition profile (q157): planted spam lands in the high band; shares match a driver recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep157").toString
+    val spam = Seq.fill(10)("buy cheap pills now").mkString(" ")
+    val clean = "every word in this sentence appears exactly once keeping all trigram shares minimal"
+    val docs = Seq(
+      (1L, spam, "spamfarm"), // one 4-token phrase ×10 → mostly duplicate trigrams
+      (2L, clean, "curated"),
+      (3L, clean + " " + clean.split(" ").take(5).mkString(" "), "curated"),
+      (4L, "too short", "curated")) // <3 tokens: excluded by construction
+    docs.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.repetitionProfile(spark, dir).collect()
+    // driver-side recomputation of the full per-doc → band pipeline
+    def stats(t: String, n: Int): (Long, Long, Long) = {
+      val grams = t.toLowerCase.split(" ", -1).toSeq.sliding(n)
+        .filter(_.length == n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      (grams.size.toLong, counts.size.toLong,
+        if (counts.isEmpty) 0L else counts.values.max)
+    }
+    case class Doc(source: String, top2: Long, dup3: Long, band: String)
+    val perDoc = docs.filter(d => stats(d._2, 3)._1 > 0).map { d =>
+      val (n2, _, t2) = stats(d._2, 2)
+      val (n3, nd3, _) = stats(d._2, 3)
+      val top2 = t2 * 10000 / n2
+      val dup3 = (n3 - nd3) * 10000 / n3
+      val band = if (dup3 == 0) "none" else if (dup3 < 1000) "low"
+        else if (dup3 < 2500) "mid" else "high"
+      Doc(d._3, top2, dup3, band)
+    }
+    val expected = perDoc.groupBy(d => (d.source, d.band)).map { case (k, ds) =>
+      k -> (ds.size.toLong, ds.map(_.top2).sum / ds.size, ds.map(_.dup3).sum / ds.size)
+    }
+    val got = rows.map(r => (r.getAs[String]("source"), r.getAs[String]("rep_band")) ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("avg_top2_bp"), r.getAs[Long]("avg_dup3_bp"))).toMap
+    assert(got == expected, s"got $got, expected $expected")
+    // the planted signal: the spam farm is in the high band, and the
+    // short doc contributed nowhere
+    assert(got.contains(("spamfarm", "high")))
+    assert(got.keys.filter(_._1 == "curated").forall(k => k._2 != "high"))
+  }
+
   test("domain KL (q151): milli-bit divergences match a driver recomputation; disjoint domains diverge most") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
     // A and B share a vocabulary at slightly different rates; C is a
