@@ -84,6 +84,9 @@ object PlanAudit {
     // q155's rank and cumulative folds are the q108/q147 broadcast
     // triangle theta-joins over the |sources|-row table
     "q155_novelty_election",
+    // q158's pair fan-out is a broadcast triangle cross over the
+    // |sources|-row sketch table (k·|sources| longs)
+    "q158_sketch_overlap",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

@@ -251,7 +251,8 @@ object SparkEntry {
     "q154_source_lang_mi" -> ((s, d) => TextAnalysis.sourceLangMi(s, d)),
     "q155_novelty_election" -> ((s, d) => TextAnalysis.vocabNoveltyElection(s, d)),
     "q156_containment" -> ((s, d) => Dedup.containmentNearDup(s, d)),
-    "q157_rep_bands" -> ((s, d) => TextAnalysis.repetitionProfile(s, d))
+    "q157_rep_bands" -> ((s, d) => TextAnalysis.repetitionProfile(s, d)),
+    "q158_sketch_overlap" -> ((s, d) => TextAnalysis.sketchOverlap(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -415,6 +416,7 @@ object SparkEntry {
     "q154_source_lang_mi" -> TextAnalysis.sourceLangMiSql,
     "q155_novelty_election" -> TextAnalysis.vocabNoveltyElectionSql,
     "q156_containment" -> Dedup.containmentNearDupSql(),
-    "q157_rep_bands" -> TextAnalysis.repetitionProfileSql
+    "q157_rep_bands" -> TextAnalysis.repetitionProfileSql,
+    "q158_sketch_overlap" -> TextAnalysis.sketchOverlapSql()
   )
 }

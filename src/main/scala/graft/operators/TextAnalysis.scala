@@ -1861,6 +1861,151 @@ object TextAnalysis {
        |    // n_exact)::BIGINT AS err_bp
        |FROM est ORDER BY scope""".stripMargin
 
+  // ---- X84: sketch-estimated source-overlap matrix (q158) ------------------
+
+  /** X84 sketch overlap matrix (q158): pairwise source overlap estimated
+    * ENTIRELY from the per-source KMV sketches of q153 — the federation
+    * algebra that motivates keeping sketches at all. The k smallest
+    * hashes of A∪B are always a subset of sketch(A) ∪ sketch(B) (any
+    * union-minimum is a minimum of its own side), so est|A∪B| needs no
+    * rescan: merge the two k-value sketches, re-take the k smallest,
+    * apply the (k−1)·2⁶⁰ div h₍ₖ₎ estimator. Intersection follows by
+    * inclusion–exclusion (est|A|+est|B|−est|A∪B|, reported signed — the
+    * estimator CAN go slightly negative on disjoint sources) and Jaccard
+    * in basis points from the clamped intersection. Each estimated
+    * column sits next to its exact twin (hash-join truth) plus the
+    * absolute Jaccard error in bp — the table that decides whether
+    * shipped sketches can replace the exact q129/q149-style cross-source
+    * passes. When BOTH sides' universes are smaller than k the merged
+    * sketch IS the exact union set and the estimate degenerates to exact
+    * (same CASE both engines).
+    *
+    * Scale posture: per-source sketches are the q153 bounded-heap
+    * aggregate over the PlanCache'd (source, hash) phrase table (shared
+    * cache — computed once per session); ALL pairwise algebra is array
+    * math over the |sources|-row sketch table (k·|sources| longs,
+    * driver-scale), so the |sources|² fan-out is an audited
+    * broadcast-tiny cross; only the exact-truth leg touches the
+    * vocabulary-sized table (one self-equi-join on the 60-bit hash).
+    * Integer discipline: the estimator product rides decimal(38,0)/
+    * HUGEINT (63·2⁶⁰ overflows BIGINT); everything else is BIGINT. */
+  def sketchOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hs = graft.PlanCache.cached(spark, s"textanalysis.kmvBigramH:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(graft.functions.HashExpressions.taggedGrams(col("text")))
+            .as("g"))
+        .filter(col("g").startsWith("b:"))
+        .select(col("source"),
+          TextHash.h1(col("g").substr(lit(3), length(col("g")))).as("h"))
+        .distinct()
+    }
+    val minK = udaf(new graft.functions.MinKDocs(k))
+    val estCase = s"case when n_sketch < $k then n_exact else " +
+      s"cast(cast(${k - 1} as decimal(38,0)) * ${1L << 60} " +
+      "div greatest(kth_h, 1) as bigint) end"
+    val perSrc = hs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"), minK(col("h"), col("h")).as("picks"))
+      .select(col("source"), col("n_exact"),
+        size(col("picks")).cast("long").as("n_sketch"),
+        expr("sort_array(transform(picks, p -> p.h))").as("harr"))
+      .select(col("source"), col("n_exact"), col("n_sketch"), col("harr"),
+        expr("coalesce(element_at(harr, -1), 0)").as("kth_h"))
+      .select(col("source"), col("n_exact"), col("n_sketch"), col("harr"),
+        expr(estCase).as("est"))
+    val a = perSrc.select(col("source").as("source_a"), col("n_exact").as("na"),
+      col("n_sketch").as("ska"), col("harr").as("ha"), col("est").as("est_a"))
+    val b = perSrc.select(col("source").as("source_b"), col("n_exact").as("nb"),
+      col("n_sketch").as("skb"), col("harr").as("hb"), col("est").as("est_b"))
+    val exactInter = hs.select(col("source").as("source_a"), col("h"))
+      .join(hs.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("merged", expr("sort_array(array_distinct(concat(ha, hb)))"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("est_a"), col("est_b"), col("ska"), col("skb"),
+        size(col("merged")).cast("long").as("m"),
+        expr(s"coalesce(element_at(merged, least($k, size(merged))), 0)")
+          .as("kth_h"))
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("est_a"), col("est_b"),
+        expr(s"case when ska < $k and skb < $k then m else " +
+          s"cast(cast(${k - 1} as decimal(38,0)) * ${1L << 60} " +
+          "div greatest(kth_h, 1) as bigint) end").as("est_union"))
+      .withColumn("est_inter", col("est_a") + col("est_b") - col("est_union"))
+      .join(exactInter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .select(col("source_a"), col("source_b"),
+        (col("na") + col("nb") - col("exact_inter")).as("exact_union"),
+        col("est_union"), col("exact_inter"), col("est_inter"),
+        expr("exact_inter * 10000 div (na + nb - exact_inter)")
+          .as("exact_j_bp"),
+        expr("greatest(est_inter, 0) * 10000 div est_union").as("est_j_bp"))
+      .withColumn("j_err_bp", abs(col("est_j_bp") - col("exact_j_bp")))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sketchOverlapSql(k: Int = 64): String =
+    s"""WITH base AS (
+       |  SELECT source, string_split(lower(text), ' ') AS t FROM documents
+       |), hs AS (
+       |  SELECT DISTINCT source, ${TextHash.h1Sql("bg")} AS h
+       |  FROM (SELECT source, unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bg FROM base)
+       |), r AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n_exact
+       |  FROM hs
+       |), per AS (
+       |  SELECT source, max(n_exact)::BIGINT AS n_exact,
+       |    count(CASE WHEN rn <= $k THEN 1 END)::BIGINT AS n_sketch,
+       |    list(h ORDER BY h) FILTER (WHERE rn <= $k) AS harr,
+       |    max(CASE WHEN rn <= $k THEN h END)::BIGINT AS kth_h
+       |  FROM r GROUP BY source
+       |), est AS (
+       |  SELECT source, n_exact, n_sketch, harr,
+       |    CASE WHEN n_sketch < $k THEN n_exact
+       |         ELSE ((${k - 1}::HUGEINT * ${1L << 60}) //
+       |               greatest(kth_h, 1))::BIGINT END AS est
+       |  FROM per
+       |), ei AS (
+       |  SELECT x.source AS source_a, y.source AS source_b,
+       |    count(*)::BIGINT AS exact_inter
+       |  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    a.n_exact AS na, b.n_exact AS nb, a.est AS est_a, b.est AS est_b,
+       |    a.n_sketch AS ska, b.n_sketch AS skb,
+       |    list_sort(list_distinct(list_concat(a.harr, b.harr))) AS merged
+       |  FROM est a JOIN est b ON a.source < b.source
+       |), pu AS (
+       |  SELECT source_a, source_b, na, nb, est_a, est_b,
+       |    CASE WHEN ska < $k AND skb < $k THEN len(merged)::BIGINT
+       |         ELSE ((${k - 1}::HUGEINT * ${1L << 60}) //
+       |               greatest(merged[least($k, len(merged))], 1))::BIGINT
+       |    END AS est_union
+       |  FROM pairs
+       |), j AS (
+       |  SELECT p.source_a, p.source_b,
+       |    (na + nb - coalesce(ei.exact_inter, 0))::BIGINT AS exact_union,
+       |    est_union, coalesce(ei.exact_inter, 0)::BIGINT AS exact_inter,
+       |    (est_a + est_b - est_union)::BIGINT AS est_inter,
+       |    (coalesce(ei.exact_inter, 0) * 10000 //
+       |      (na + nb - coalesce(ei.exact_inter, 0)))::BIGINT AS exact_j_bp,
+       |    (greatest(est_a + est_b - est_union, 0) * 10000 //
+       |      est_union)::BIGINT AS est_j_bp
+       |  FROM pu p LEFT JOIN ei
+       |    ON ei.source_a = p.source_a AND ei.source_b = p.source_b
+       |)
+       |SELECT source_a, source_b, exact_union, est_union, exact_inter,
+       |  est_inter, exact_j_bp, est_j_bp,
+       |  abs(est_j_bp - exact_j_bp)::BIGINT AS j_err_bp
+       |FROM j ORDER BY source_a, source_b""".stripMargin
+
   // ---- X81: marginal vocab-novelty election (q155) ------------------------
 
   /** X81 acquisition-order audit (q155): sources ranked by token mass,

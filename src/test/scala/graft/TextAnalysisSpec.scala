@@ -598,6 +598,81 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keys.filter(_._1 == "curated").forall(k => k._2 != "high"))
   }
 
+  test("sketch overlap (q158): full output matches a driver reimplementation of the KMV merge algebra") {
+    val k = 64
+    def h1(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    // per-source distinct bigram hash sets, straight from the raw table
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+    val sets = docs.groupBy(_.getString(0)).map { case (src, rows) =>
+      src -> rows.flatMap { r =>
+        val t = r.getString(1).toLowerCase.split(" ", -1)
+        t.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      }.map(h1).toSet
+    }
+    def est(set: Set[Long]): Long =
+      if (set.size < k) set.size.toLong
+      else {
+        val kth = set.toSeq.sorted.apply(k - 1)
+        (BigInt(k - 1) * BigInt(1L << 60) / BigInt(kth max 1L)).toLong
+      }
+    def sketch(set: Set[Long]): Seq[Long] = set.toSeq.sorted.take(k)
+    val rows = TextAnalysis.sketchOverlap(spark, sf0001).collect()
+    assert(rows.length == sets.size * (sets.size - 1) / 2)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (a, b) = (sets(sa), sets(sb))
+      val exactInter = (a intersect b).size.toLong
+      val exactUnion = a.size.toLong + b.size.toLong - exactInter
+      // the merge theorem: est of the union from the two SKETCHES only
+      val merged = (sketch(a) ++ sketch(b)).distinct.sorted
+      val estUnion =
+        if (a.size < k && b.size < k) merged.size.toLong
+        else (BigInt(k - 1) * BigInt(1L << 60) /
+          BigInt(merged(math.min(k, merged.size) - 1) max 1L)).toLong
+      val estInter = est(a) + est(b) - estUnion
+      assert(r.getAs[Long]("exact_union") == exactUnion, s"($sa,$sb) union")
+      assert(r.getAs[Long]("exact_inter") == exactInter, s"($sa,$sb) inter")
+      assert(r.getAs[Long]("est_union") == estUnion, s"($sa,$sb) est_union")
+      assert(r.getAs[Long]("est_inter") == estInter, s"($sa,$sb) est_inter")
+      assert(r.getAs[Long]("exact_j_bp") == exactInter * 10000 / exactUnion)
+      assert(r.getAs[Long]("est_j_bp") == (estInter max 0L) * 10000 / estUnion)
+      assert(r.getAs[Long]("j_err_bp") ==
+        math.abs(r.getAs[Long]("est_j_bp") - r.getAs[Long]("exact_j_bp")))
+    }
+  }
+
+  test("sketch overlap (q158): sub-k universes degenerate to exact; disjoint sources clamp at zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skov").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "tiny_a"),
+      (2L, "alpha beta gamma epsilon", "tiny_b"),
+      (3L, "zeta eta theta iota kappa", "tiny_c"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.sketchOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r)
+      .toMap
+    assert(rows.size == 3)
+    // every universe here is far below k=64: estimates are EXACT
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("est_union") == r.getAs[Long]("exact_union"))
+      assert(r.getAs[Long]("est_inter") == r.getAs[Long]("exact_inter"))
+      assert(r.getAs[Long]("j_err_bp") == 0L)
+    }
+    // tiny_a and tiny_b share the 'alpha beta'/'beta gamma' bigrams;
+    // tiny_c is disjoint from both
+    assert(rows(("tiny_a", "tiny_b")).getAs[Long]("exact_inter") == 2L)
+    assert(rows(("tiny_a", "tiny_c")).getAs[Long]("exact_inter") == 0L)
+    assert(rows(("tiny_a", "tiny_c")).getAs[Long]("est_j_bp") == 0L)
+  }
+
   test("domain KL (q151): milli-bit divergences match a driver recomputation; disjoint domains diverge most") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
     // A and B share a vocabulary at slightly different rates; C is a
