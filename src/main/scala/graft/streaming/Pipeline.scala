@@ -678,6 +678,28 @@ object Pipeline {
       .filter(col("span_coverage_bp") < maxCoverageBp)
   }
 
+  /** X83 streaming twin: intra-document repetition gate — reject
+    * documents whose duplicate-trigram share meets or exceeds
+    * `maxDup3Bp` (default 2500, the batch q157 'high'-band floor).
+    * Stateless AND snapshot-free: the signal is intrinsic to the row,
+    * so the gate is one native `gram_stats` kernel call per document —
+    * the exact multiset stats of batch q157, making batch/stream
+    * admission parity row-exact and testable. Appends `dup3_bp`.
+    * Documents with fewer than 3 tokens carry dup3_bp = 0 and are
+    * ADMITTED (nothing to repeat) — batch q157 merely EXCLUDES them
+    * from its audit, but a gate must decide every row. */
+  def repetitionGate(stream: DataFrame, maxDup3Bp: Long = 2500L): DataFrame = {
+    require(maxDup3Bp >= 0L && maxDup3Bp <= 10001L,
+      s"repetitionGate: maxDup3Bp out of range ($maxDup3Bp)")
+    stream
+      .withColumn("_s3",
+        graft.functions.HashExpressions.gramStats(col("text"), 3))
+      .withColumn("dup3_bp", expr("case when _s3[0] = 0 then cast(0 as bigint) " +
+        "else (_s3[0] - _s3[1]) * 10000 div _s3[0] end"))
+      .drop("_s3")
+      .filter(col("dup3_bp") < maxDup3Bp)
+  }
+
   /** X26 streaming twin: per-language quality-calibration gate — admit
     * incoming documents at or above their language's batch-elected
     * quality cutoff (a decile row of

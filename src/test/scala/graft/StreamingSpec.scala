@@ -1026,6 +1026,42 @@ class StreamingSpec extends SparkSpec {
     assert(kept.keySet == Set(3L), s"gate kept ${kept.keySet}")
   }
 
+  test("repetition gate admits exactly the batch sub-band set; short docs always pass (X83 twin)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val spam = Seq.fill(10)("buy cheap pills now").mkString(" ")
+    val fixtures = Tables.documents(spark, sf0001).collect()
+      .map(r => CuratedDocFixture(r.getAs[Long]("doc_id"),
+        r.getAs[String]("text"), r.getAs[String]("lang"),
+        r.getAs[String]("source"), t0)) ++
+      Seq(CuratedDocFixture(900001L, spam, "en", "spamfarm", t0),
+        CuratedDocFixture(900002L, "too short", "en", "spamfarm", t0))
+    // batch truth: the q157 per-doc rule, with the gate's short-doc
+    // admission (n3 = 0 → dup3_bp = 0)
+    def dup3(text: String): Long = {
+      val grams = text.toLowerCase.split(" ", -1).toSeq.sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) 0L
+      else (grams.size - grams.distinct.size).toLong * 10000 / grams.size
+    }
+    val expected = fixtures.collect {
+      case f if dup3(f.text) < 2500L => f.doc_id -> dup3(f.text)
+    }.toMap
+    val mem = MemoryStream[CuratedDocFixture]
+    mem.addData(fixtures.toIndexedSeq: _*)
+    val q = Pipeline.repetitionGate(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("rep_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("rep_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup3_bp")).toMap
+    assert(got == expected,
+      s"gate admitted ${got.size} docs, batch rule admits ${expected.size}")
+    // the planted signal: spam rejected, the short doc admitted at 0 bp
+    assert(!got.contains(900001L))
+    assert(got.get(900002L).contains(0L))
+  }
+
   test("rule-filter gate admits exactly the batch clean set, audit mode counts violations (X68 twin)") {
     import spark.implicits._
     val rules = graft.operators.CurationPipeline.ChainRules
