@@ -469,14 +469,17 @@ object Pipeline {
     * scores, [[mixtureGate]] admits at the snapshot's domain rates,
     * [[ruleFilterGate]] (when a rule list is supplied) drops documents
     * tripping the Gopher/C4 battery, [[spanScrubGate]] (when a gram
-    * snapshot is supplied) rejects boilerplate-covered documents — both
-    * run BEFORE dedup state (a scrubbed-out doc must never occupy a
+    * snapshot is supplied) rejects boilerplate-covered documents, and
+    * [[repetitionGate]] (when `maxDup3Bp` ≤ 10000) drops
+    * internally-repetitive documents — all three run BEFORE dedup state
+    * (a scrubbed-out doc must never occupy a
     * digest slot), `dropDuplicatesWithinWatermark` on the sha2 content
     * digest drops exact re-ingests (state keyed on the 32-byte hash,
     * never the body, bounded by the watermark), and the quality gate
     * scores with the same native kernel as the batch q17/q65. Appends
     * `importance_score` (when gated), `ppx_mb` (when LM-gated),
-    * `span_coverage_bp` (when scrubbed) and `quality`; otherwise
+    * `span_coverage_bp` (when scrubbed), `dup3_bp` (when
+    * repetition-gated) and `quality`; otherwise
     * passthrough. Everything outside
     * the dedup is stateless — broadcast literal maps and per-row
     * predicates — so the job's only state is the in-watermark digest
@@ -493,7 +496,8 @@ object Pipeline {
                     lmCosts: Map[String, Long] = Map.empty,
                     lmBase: Map[String, Long] = Map.empty,
                     ppxCutoffs: Map[String, Long] = Map.empty,
-                    cleanRules: Seq[String] = Seq.empty): DataFrame = {
+                    cleanRules: Seq[String] = Seq.empty,
+                    maxDup3Bp: Long = 10001L): DataFrame = {
     require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
       "curatedIntake: supply both importance snapshots or neither")
     require(lmCosts.isEmpty == lmBase.isEmpty &&
@@ -518,7 +522,12 @@ object Pipeline {
       if (scrubGrams.nonEmpty)
         spanScrubGate(ruled, scrubGrams, maxCoverageBp, scrubN)
       else ruled
-    val deduped = scrubbed
+    // the intra-doc repetition gate (q157 twin) is snapshot-free; the
+    // default threshold 10001 admits everything (opt-in like the others)
+    val derepped =
+      if (maxDup3Bp <= 10000L) repetitionGate(scrubbed, maxDup3Bp)
+      else scrubbed
+    val deduped = derepped
       .withColumn("_h", sha2(col("text").cast("binary"), 256))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("_h"))

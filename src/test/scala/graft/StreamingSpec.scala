@@ -1231,6 +1231,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("quality") >= 0.2)
   }
 
+  test("curated intake with the repetition gate drops internally-repetitive docs before dedup state") {
+    // same two-source rate-1.0 snapshot as the basic composition test, so
+    // admission is decided by the repetition gate specifically
+    val snap = java.nio.file.Files.createTempDirectory("graft_curated_rep").toString
+    (Seq((1L, "base doc one", "en", "src0"), (2L, "base doc two", "en", "src4")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/documents.parquet")
+    val rates = graft.operators.Curation.mixtureRates(spark, snap)
+    val good = "the distributed engine shuffles partitioned vectors efficiently today"
+    // spam passes the scalar quality floor of this corpus (varied words)
+    // but is ~90% duplicate trigrams — only the repetition gate drops it
+    val spam = Seq.fill(10)("buy cheap discount pills now").mkString(" ")
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def run(maxBp: Long, name: String): Seq[org.apache.spark.sql.Row] = {
+      val mem = MemoryStream[CuratedDocFixture]
+      val out = Pipeline.curatedIntake(mem.toDS().toDF(), rates, "ts",
+        maxDup3Bp = maxBp)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          CuratedDocFixture(10L, good, "en", "src0", t0),
+          CuratedDocFixture(11L, spam, "en", "src4", t0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().toIndexedSeq
+    }
+    // default threshold 10001: the gate is off and BOTH docs land (the
+    // spam doc is quality-diverse enough for the scalar floor) — pinning
+    // that the drop below is the repetition gate, not another stage
+    val open = run(10001L, "rep_intake_open")
+    assert(open.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 11L), open.mkString(","))
+    assert(open.forall(!_.schema.fieldNames.contains("dup3_bp")))
+    // composed at the q157 'high' floor: spam is gone, the clean doc
+    // carries its dup3_bp audit column
+    val gated = run(2500L, "rep_intake_gated")
+    assert(gated.map(_.getAs[Long]("doc_id")).toSet == Set(10L))
+    assert(gated.head.getAs[Long]("dup3_bp") == 0L)
+  }
+
   test("curated intake with importance snapshot admits row-identically to the batch recipe") {
     // the full composed job: q95 importance gate -> q86 mixture gate ->
     // watermarked digest dedup -> q17 quality gate, replayed over the live
