@@ -252,7 +252,8 @@ object SparkEntry {
     "q155_novelty_election" -> ((s, d) => TextAnalysis.vocabNoveltyElection(s, d)),
     "q156_containment" -> ((s, d) => Dedup.containmentNearDup(s, d)),
     "q157_rep_bands" -> ((s, d) => TextAnalysis.repetitionProfile(s, d)),
-    "q158_sketch_overlap" -> ((s, d) => TextAnalysis.sketchOverlap(s, d))
+    "q158_sketch_overlap" -> ((s, d) => TextAnalysis.sketchOverlap(s, d)),
+    "q159_quantile_sketch" -> ((s, d) => EventAnalytics.quantileSketchAudit(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -417,6 +418,7 @@ object SparkEntry {
     "q155_novelty_election" -> TextAnalysis.vocabNoveltyElectionSql,
     "q156_containment" -> Dedup.containmentNearDupSql(),
     "q157_rep_bands" -> TextAnalysis.repetitionProfileSql,
-    "q158_sketch_overlap" -> TextAnalysis.sketchOverlapSql()
+    "q158_sketch_overlap" -> TextAnalysis.sketchOverlapSql(),
+    "q159_quantile_sketch" -> EventAnalytics.quantileSketchAuditSql
   )
 }

@@ -305,6 +305,116 @@ object EventAnalytics {
       |  max(n)::BIGINT AS n_events
       |FROM x GROUP BY 1, 2 ORDER BY event_type, pct""".stripMargin
 
+  /** Mergeable quantile-sketch audit (q159): the log-binned histogram
+    * sketch (DDSketch-family, public: Masson et al., VLDB 2019) priced
+    * against the exact q132 percentile table. The q132 exact histogram is
+    * keyed on the raw cent VALUE — unbounded as the value range grows and
+    * only mergeable at full fidelity; this sketch re-keys it onto
+    * relative-error log bins (4 sub-bins per octave: bin = 4·e + s over
+    * v4 = 4·cents, e = ⌊log2 v4⌋ via the established length(bin(x))
+    * device, s = ⌊4·v4/2^e⌋ − 4), which is the state a 1000-shard
+    * federation ships: bounded (≤ 4 bins/octave ≈ 250 bins for any
+    * BIGINT range), merged by plain count addition, quantiles read off
+    * the merged cumulative. Bin estimates take the bin's UPPER edge, so
+    * the estimate over-reads by strictly less than the 25% bin width —
+    * err_bp < 2500 by construction (the spec asserts it, and that merged
+    * shard sketches equal the full-data sketch). Per (event_type, pct ∈
+    * {50, 90, 99}): event count, sketch size in bins, exact vs estimated
+    * cents, and the error in basis points.
+    *
+    * Scale posture: the sketch is ONE map-side-combined groupBy on
+    * (type, bin) — at 100 TB each map task emits ≤ bins rows, no value
+    * ever sorts globally; the windowed cumulative runs over sketch rows
+    * (bounded), exactly like q132's histogram device; the exact leg IS
+    * q132 (shared shape, audit-sized join). All arithmetic BIGINT. */
+  def quantileSketchAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sketch = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint) * 4").as("v4"))
+      .select(col("event_type"),
+        expr("(length(bin(v4)) - 1) * 4 + v4 * 4 div " +
+          "shiftleft(cast(1 as bigint), length(bin(v4)) - 1) - 4").as("bin"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cumW = byType.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = sketch
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("n_bins", count(lit(1)).over(byType))
+      .select(col("event_type"), col("bin"), col("cum"), col("n"),
+        col("n_bins"),
+        explode(array(Seq(50, 90, 99).map(p => lit(p.toLong)): _*)).as("pct"))
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col("event_type"), col("pct"))
+      .agg(min(col("bin")).as("qbin"), max(col("n_bins")).as("n_bins"))
+      .select(col("event_type"), col("pct"), col("n_bins"),
+        expr("(shiftleft(cast(1 as bigint), cast(qbin div 4 as int) - 2) " +
+          "* (qbin % 4 + 5) - 1) div 4").as("est_cents"))
+    est.join(valuePercentiles(spark, dir), Seq("event_type", "pct"))
+      .select(col("event_type"), col("pct"), col("n_events"), col("n_bins"),
+        col("cutoff_cents").as("exact_cents"), col("est_cents"))
+      .withColumn("err_bp",
+        expr("abs(est_cents - exact_cents) * 10000 div exact_cents"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  def quantileSketchAuditSql: String =
+    """WITH vals AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) * 4 AS v4
+      |  FROM events
+      |), sk AS (
+      |  SELECT event_type,
+      |    (length(bin(v4)) - 1) * 4 +
+      |      (v4 * 4 // (1::BIGINT << (length(bin(v4)) - 1))) - 4 AS bin,
+      |    count(*)::BIGINT AS cnt
+      |  FROM vals GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, bin,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n,
+      |    count(*) OVER (PARTITION BY event_type) AS n_bins
+      |  FROM sk
+      |), x AS (
+      |  SELECT event_type, bin, n_bins, pct
+      |  FROM c CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+      |  WHERE cum >= (pct * n + 99) // 100
+      |), q AS (
+      |  SELECT event_type, pct, min(bin) AS qbin, max(n_bins)::BIGINT AS n_bins
+      |  FROM x GROUP BY 1, 2
+      |), e AS (
+      |  SELECT event_type, pct::BIGINT AS pct, n_bins,
+      |    (((1::BIGINT << ((qbin // 4) - 2)::INT) * (qbin % 4 + 5) - 1)
+      |      // 4)::BIGINT AS est_cents
+      |  FROM q
+      |), h AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |    count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), c2 AS (
+      |  SELECT event_type, v,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h
+      |), x2 AS (
+      |  SELECT c2.event_type, c2.v, c2.n, p.pct
+      |  FROM c2 CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+      |  WHERE c2.cum >= (p.pct * c2.n + 99) // 100
+      |), ex AS (
+      |  SELECT event_type, pct::BIGINT AS pct, min(v)::BIGINT AS exact_cents,
+      |    max(n)::BIGINT AS n_events
+      |  FROM x2 GROUP BY 1, 2
+      |)
+      |SELECT e.event_type, e.pct, ex.n_events, e.n_bins, ex.exact_cents,
+      |  e.est_cents,
+      |  (abs(e.est_cents - ex.exact_cents) * 10000 // ex.exact_cents)::BIGINT
+      |    AS err_bp
+      |FROM e JOIN ex ON e.event_type = ex.event_type AND e.pct = ex.pct
+      |ORDER BY e.event_type, e.pct""".stripMargin
+
   /** User-journey transition matrix (q122): for every user's event
     * sequence in (event-time, event_id) order, count each consecutive
     * (from_type → to_type) step — the Markov-cell table session-flow

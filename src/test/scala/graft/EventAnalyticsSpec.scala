@@ -156,6 +156,58 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("quantile sketch (q159): merged shard sketches = full-data sketch; error bounded by bin width") {
+    // driver reimplementation of the log-bin device: bin = 4e + s over
+    // v4 = 4·cents, e = floor(log2 v4), s = floor(4·v4/2^e) - 4
+    def bin(cents: Long): Long = {
+      val v4 = cents * 4
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v4)
+      e.toLong * 4 + (v4 * 4 >> e) - 4
+    }
+    def ub(b: Long): Long = (((1L << (b / 4 - 2)) * (b % 4 + 5)) - 1) / 4
+    val raw = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // two "shards" by event_id parity, each reduced to its (type, bin)
+    // histogram — the state a federation ships — then merged by addition
+    def hist(rows: Seq[(Long, String, Long)]): Map[(String, Long), Long] =
+      rows.groupBy(r => (r._2, bin(r._3))).view.mapValues(_.size.toLong).toMap
+    val shards = raw.partition(_._1 % 2 == 0)
+    val merged = (hist(shards._1.toSeq).toSeq ++ hist(shards._2.toSeq).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == hist(raw.toSeq), "merge must equal the full-data sketch")
+    // quantiles read off the merged sketch match the operator exactly
+    def estOf(tpe: String, pct: Long): Long = {
+      val bins = merged.collect { case ((t, b), c) if t == tpe => (b, c) }
+        .toSeq.sortBy(_._1)
+      val n = bins.map(_._2).sum
+      val need = (pct * n + 99) / 100
+      var cum = 0L
+      val qbin = bins.collectFirst {
+        case (b, c) if { cum += c; cum >= need } => b
+      }.get
+      ub(qbin)
+    }
+    val rows = EventAnalytics.quantileSketchAudit(spark, sf0001).collect()
+    assert(rows.length == merged.keys.map(_._1).toSet.size * 3)
+    rows.foreach { r =>
+      val (t, p) = (r.getAs[String]("event_type"), r.getAs[Long]("pct"))
+      assert(r.getAs[Long]("est_cents") == estOf(t, p), s"$t p$p")
+      // upper-edge rule: never under-reads, and the 25%-width guarantee
+      assert(r.getAs[Long]("est_cents") >= r.getAs[Long]("exact_cents"))
+      assert(r.getAs[Long]("err_bp") < 2500L, s"$t p$p err ${r.getAs[Long]("err_bp")}")
+    }
+    // the sketch is radically smaller than the exact value histogram
+    val distinctCents = raw.map(r => (r._2, r._3)).distinct.groupBy(_._1)
+      .view.mapValues(_.size).toMap
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_bins") < distinctCents(t) / 2,
+        s"$t sketch not compressive: ${r.getAs[Long]("n_bins")} bins")
+    }
+  }
+
   test("stickiness (q145): dau <= wau, ratio exact, wau identical to q76") {
     val rows = EventAnalytics.stickiness(spark, sf0001).collect()
     assert(rows.nonEmpty)
