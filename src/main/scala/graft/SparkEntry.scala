@@ -253,7 +253,8 @@ object SparkEntry {
     "q156_containment" -> ((s, d) => Dedup.containmentNearDup(s, d)),
     "q157_rep_bands" -> ((s, d) => TextAnalysis.repetitionProfile(s, d)),
     "q158_sketch_overlap" -> ((s, d) => TextAnalysis.sketchOverlap(s, d)),
-    "q159_quantile_sketch" -> ((s, d) => EventAnalytics.quantileSketchAudit(s, d))
+    "q159_quantile_sketch" -> ((s, d) => EventAnalytics.quantileSketchAudit(s, d)),
+    "q160_blocklist" -> ((s, d) => TextAnalysis.blocklistDensity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -419,6 +420,7 @@ object SparkEntry {
     "q156_containment" -> Dedup.containmentNearDupSql(),
     "q157_rep_bands" -> TextAnalysis.repetitionProfileSql,
     "q158_sketch_overlap" -> TextAnalysis.sketchOverlapSql(),
-    "q159_quantile_sketch" -> EventAnalytics.quantileSketchAuditSql
+    "q159_quantile_sketch" -> EventAnalytics.quantileSketchAuditSql,
+    "q160_blocklist" -> TextAnalysis.blocklistDensitySql()
   )
 }

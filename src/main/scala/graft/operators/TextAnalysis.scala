@@ -1019,6 +1019,65 @@ object TextAnalysis {
        |  (sum(dup3_bp)::BIGINT // count(*)) AS avg_dup3_bp
        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- X86: blocklist-density audit (q160) ---------------------------------
+
+  /** Denylist for [[blocklistDensity]] — a fixture over the synthetic
+    * vocabulary ('leak' is deliberately absent from the corpus: an inert
+    * term must contribute nothing, spec-pinned). Production swaps in the
+    * real C4-style word list; the mechanism is term-set membership, not
+    * the terms. */
+  val Blocklist: Seq[String] = Seq("slow", "dup", "leak")
+
+  /** X86 blocklist-density audit (q160): the C4 "bad words" filter
+    * accounting (public: Raffel et al. 2020, arXiv:1910.10683 §2.2 — C4
+    * drops any page containing a denylisted word) as a per-source panel:
+    * docs, tokens, blocklist occurrences, occurrences per 10k tokens,
+    * flagged docs (≥1 hit — exactly the C4 drop rule) and the flagged
+    * share in basis points. This is the audit run BEFORE committing to
+    * the drop: a source with a high flagged share loses its whole budget
+    * to the filter, and the density column separates pervasive usage
+    * from one-word incidents (the known C4 over-blocking failure mode —
+    * medical/dialect pages dropped for single terms).
+    *
+    * Scale posture: hits ride the native codegen `token_hit_count`
+    * kernel (the q01 sentiment device — lexicon compiled into the
+    * expression, one pass per row, no tokenization explode); the rollup
+    * is |sources| rows with map-side combine. All-integer output. */
+  def blocklistDensity(spark: SparkSession, dir: String,
+                       blocklist: Seq[String] = Blocklist): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(toks(col("text"))).cast("long").as("ntok"),
+        hitCount(col("text"), blocklist).cast("long").as("hits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("hits")).as("n_hits"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_hits"),
+        expr("n_hits * 10000 div n_tokens").as("hits_per_10k"),
+        col("n_flagged"),
+        expr("n_flagged * 10000 div n_docs").as("flagged_bp"))
+      .orderBy(col("source"))
+
+  def blocklistDensitySql(blocklist: Seq[String] = Blocklist): String = {
+    val lst = blocklist.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+       |), d AS (
+       |  SELECT source, len(toks)::BIGINT AS ntok,
+       |    len(list_filter(toks, x -> x IN ($lst)))::BIGINT AS hits
+       |  FROM t
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(ntok)::BIGINT AS n_tokens, sum(hits)::BIGINT AS n_hits,
+       |  (sum(hits)::BIGINT * 10000 // sum(ntok))::BIGINT AS hits_per_10k,
+       |  sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       |  (sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT * 10000
+       |    // count(*))::BIGINT AS flagged_bp
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- X14: vocabulary build + OOV audit (q85) ----------------------------
 
   /** Vocabulary cutoff for [[vocabOov]] — deliberately below the corpus's

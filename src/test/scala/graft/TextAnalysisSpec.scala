@@ -598,6 +598,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keys.filter(_._1 == "curated").forall(k => k._2 != "high"))
   }
 
+  test("blocklist density (q160): hand-counted hits; inert terms contribute nothing; clean source at zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_block").toString
+    Seq(
+      // 2 hits ('slow' ×1, 'dup' ×1) in 6 tokens; flagged
+      (1L, "the slow join caused dup rows", "dirty"),
+      // 1 hit in 5 tokens; flagged
+      (2L, "another slow scan finished eventually", "dirty"),
+      // no blocklist terms at all
+      (3L, "clean fast query with perfect results", "clean"),
+      // 'leak' is on the blocklist but absent from this corpus's text;
+      // 'leaky' must NOT match (token membership, not substring)
+      (4L, "leaky abstraction nearly mentioned here", "clean"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.blocklistDensity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.keySet == Set("clean", "dirty"))
+    val dirty = rows("dirty")
+    assert(dirty.getAs[Long]("n_docs") == 2L)
+    assert(dirty.getAs[Long]("n_tokens") == 11L)
+    assert(dirty.getAs[Long]("n_hits") == 3L)
+    assert(dirty.getAs[Long]("hits_per_10k") == 3L * 10000 / 11)
+    assert(dirty.getAs[Long]("n_flagged") == 2L)
+    assert(dirty.getAs[Long]("flagged_bp") == 10000L)
+    val clean = rows("clean")
+    assert(clean.getAs[Long]("n_hits") == 0L)
+    assert(clean.getAs[Long]("n_flagged") == 0L)
+    assert(clean.getAs[Long]("flagged_bp") == 0L)
+  }
+
   test("sketch overlap (q158): full output matches a driver reimplementation of the KMV merge algebra") {
     val k = 64
     def h1(s: String): Long = {
