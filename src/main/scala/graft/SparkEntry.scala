@@ -254,7 +254,8 @@ object SparkEntry {
     "q157_rep_bands" -> ((s, d) => TextAnalysis.repetitionProfile(s, d)),
     "q158_sketch_overlap" -> ((s, d) => TextAnalysis.sketchOverlap(s, d)),
     "q159_quantile_sketch" -> ((s, d) => EventAnalytics.quantileSketchAudit(s, d)),
-    "q160_blocklist" -> ((s, d) => TextAnalysis.blocklistDensity(s, d))
+    "q160_blocklist" -> ((s, d) => TextAnalysis.blocklistDensity(s, d)),
+    "q161_trunc_families" -> ((s, d) => Dedup.truncationFamilies(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -421,6 +422,7 @@ object SparkEntry {
     "q157_rep_bands" -> TextAnalysis.repetitionProfileSql,
     "q158_sketch_overlap" -> TextAnalysis.sketchOverlapSql(),
     "q159_quantile_sketch" -> EventAnalytics.quantileSketchAuditSql,
-    "q160_blocklist" -> TextAnalysis.blocklistDensitySql()
+    "q160_blocklist" -> TextAnalysis.blocklistDensitySql(),
+    "q161_trunc_families" -> Dedup.truncationFamiliesSql()
   )
 }

@@ -426,6 +426,83 @@ object Dedup {
        |  >= $thresholdBp
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- X87: truncation-family audit (q161) ---------------------------------
+
+  /** X87 truncation-family audit (q161): documents grouped by the
+    * 60-bit hash of their first `headN` tokens — the head fingerprint.
+    * A group holding MORE than one distinct text is a truncation/
+    * extension family: re-crawls cut at different byte budgets, feed
+    * previews next to full articles, or expanding wiki revisions — the
+    * same page at different lengths. Exact dedup (q19) keeps every
+    * length variant and near-dup banding only catches them while the
+    * length gap is small (Jaccard |A|/|B| decays with the extension —
+    * the q156 containment story, but head-anchored and exact, no LSH
+    * needed). Per language: head groups, families, affected docs, the
+    * token mass a keep-longest policy would discard (exact copies
+    * within a family count toward the discard — the policy keeps ONE
+    * row), eligible token total and the waste in basis points. Docs
+    * shorter than `headN` tokens have no head fingerprint and are
+    * excluded by construction.
+    *
+    * Scale posture: one narrow scan emits (lang, head-hash, text-hash,
+    * ntok) — 8-byte keys, text never shuffles (the q73/q87 rule); the
+    * distinct-text count rides the q137 two-level histogram device
+    * (groupBy (lang, hk, th) then (lang, hk)) so no Expand ever
+    * doubles the stream; the per-lang rollup is map-side combined. */
+  def truncationFamilies(spark: SparkSession, dir: String,
+                         headN: Int = 8): DataFrame = {
+    require(headN > 0, s"truncationFamilies: headN must be positive ($headN)")
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextHash.tokens(col("text")).as("t"),
+        TextHash.h1(col("text")).as("th"))
+      .filter(size(col("t")) >= headN)
+      .select(col("lang"),
+        TextHash.h1(concat_ws(" ", slice(col("t"), 1, headN))).as("hk"),
+        col("th"), size(col("t")).cast("long").as("ntok"))
+      .groupBy(col("lang"), col("hk"), col("th"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ntok")).as("s0"),
+        max(col("ntok")).as("m0"))
+      .groupBy(col("lang"), col("hk"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("nd"),
+        sum(col("s0")).as("s"), max(col("m0")).as("mx"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_heads"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_families"),
+        sum(when(col("nd") > 1, col("n")).otherwise(0L)).as("n_docs_affected"),
+        sum(when(col("nd") > 1, col("s") - col("mx")).otherwise(0L))
+          .as("wasted_tokens"),
+        sum(col("s")).as("total_tokens"))
+      .withColumn("wasted_bp", expr("wasted_tokens * 10000 div total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  def truncationFamiliesSql(headN: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT lang, text, string_split(lower(text), ' ') AS toks
+       |  FROM documents
+       |), e AS (
+       |  SELECT lang,
+       |    ${TextHash.h1Sql(s"array_to_string(toks[1:$headN], ' ')")} AS hk,
+       |    ${TextHash.h1Sql("text")} AS th, len(toks)::BIGINT AS ntok
+       |  FROM t WHERE len(toks) >= $headN
+       |), g1 AS (
+       |  SELECT lang, hk, th, count(*)::BIGINT AS cnt,
+       |    sum(ntok)::BIGINT AS s0, max(ntok)::BIGINT AS m0
+       |  FROM e GROUP BY 1, 2, 3
+       |), g2 AS (
+       |  SELECT lang, hk, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS nd,
+       |    sum(s0)::BIGINT AS s, max(m0)::BIGINT AS mx
+       |  FROM g1 GROUP BY 1, 2
+       |)
+       |SELECT lang, count(*)::BIGINT AS n_heads,
+       |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_families,
+       |  sum(CASE WHEN nd > 1 THEN n ELSE 0 END)::BIGINT AS n_docs_affected,
+       |  sum(CASE WHEN nd > 1 THEN s - mx ELSE 0 END)::BIGINT AS wasted_tokens,
+       |  sum(s)::BIGINT AS total_tokens,
+       |  (sum(CASE WHEN nd > 1 THEN s - mx ELSE 0 END)::BIGINT * 10000
+       |    // sum(s))::BIGINT AS wasted_bp
+       |FROM g2 GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- X37: LSH banding recall audit (q110) -------------------------------
 
   /** Probe-set bound for [[lshRecallAudit]] — fixed doc_id prefix, so the

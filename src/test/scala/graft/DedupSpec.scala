@@ -209,6 +209,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("truncation families (q161): head-sharing length variants counted, exact-dup-only groups excluded") {
+    val head = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val rows = Seq(
+      // a 3-member truncation family: same 8-token head, three lengths,
+      // PLUS an exact copy of the middle member (4 docs, keep-longest
+      // discards 3 of them)
+      1L -> head,                                      // 8 tokens
+      2L -> (head + " india juliet"),                  // 10 tokens
+      3L -> (head + " india juliet kilo lima"),        // 12 tokens
+      4L -> (head + " india juliet"),                  // exact copy of 2
+      // exact-dup-only group: same head, ONE distinct text — not a family
+      5L -> "mike november oscar papa quebec romeo sierra tango uniform",
+      6L -> "mike november oscar papa quebec romeo sierra tango uniform",
+      // too short for a head fingerprint: excluded entirely
+      7L -> "whiskey xray yankee",
+      // lone doc: a head group of one
+      8L -> "zulu alpha bravo charlie delta echo foxtrot golf hotel india")
+    val dir = docsDir(rows)
+    val out = Dedup.truncationFamilies(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("lang") == "en")
+    // head groups: family head, dup-only head, lone head = 3
+    assert(r.getAs[Long]("n_heads") == 3L)
+    assert(r.getAs[Long]("n_families") == 1L)
+    assert(r.getAs[Long]("n_docs_affected") == 4L)
+    // keep-longest keeps doc 3 (12 tokens); discards 8 + 10 + 10
+    assert(r.getAs[Long]("wasted_tokens") == 28L)
+    // eligible tokens: family 8+10+12+10 = 40, dup pair 9+9 = 18, lone 10
+    assert(r.getAs[Long]("total_tokens") == 68L)
+    assert(r.getAs[Long]("wasted_bp") == 28L * 10000 / 68)
+  }
+
   test("boilerplate guard: 100-copy doc collapses to one banding rep; pair output stays complete") {
     val boiler = "spam spam lovely spam wonderful spam spam spam lovely spam again ok"
     val other = "a completely different document about quantum chromodynamics lattices here"
