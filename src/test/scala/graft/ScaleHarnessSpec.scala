@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, EventAnalytics, Similarity, TextAnalysis}
 
 /** 100× deterministic scale harness: seeded duplicate-heavy / skew-heavy
   * corpora inflated two orders of magnitude, with the candidate-pair /
@@ -450,5 +450,98 @@ class ScaleHarnessSpec extends SparkSpec {
     // the per-doc score table is linear in the pool (one row per doc)
     assert(TextAnalysis.perplexityScored(spark, d1, "ref").count() == 20L)
     assert(TextAnalysis.perplexityScored(spark, d100, "ref").count() == 2000L)
+  }
+
+  test("q157: repetition profile pays no corpus shuffle — no Generate, exchanges only at the rollup") {
+    val d1x = corpusDir(30, 60)
+    val df = TextAnalysis.repetitionProfile(spark, d1x)
+    val plan = df.queryExecution.executedPlan.toString
+    // the zero-shuffle claim: the gram_stats kernel replaces the explode
+    // — no Generate node anywhere, and the only exchanges are the
+    // |sources|·4-row rollup hash + the final presentation sort
+    assert(!plan.contains("Generate"), s"q157 plan explodes grams:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).length <= 2,
+      s"q157 plan shuffles the corpus:\n$plan")
+    // duplication-invariance of the per-doc signal: every template has
+    // the same multiset shape, so the band row is identical at 100× and
+    // only n_docs scales
+    val r1 = df.collect()
+    val r100 = TextAnalysis.repetitionProfile(spark, corpusDir(30, 6000)).collect()
+    assert(r1.length == 1 && r100.length == 1)
+    assert(r1.head.getAs[Long]("n_docs") == 60L)
+    assert(r100.head.getAs[Long]("n_docs") == 6000L)
+    Seq("rep_band", "avg_top2_bp", "avg_dup3_bp").foreach { c =>
+      assert(r1.head.getAs[Any](c) == r100.head.getAs[Any](c), c)
+    }
+  }
+
+  test("q158: sketch overlap is a pure function of CONTENT — invariant under 100x duplicate inflation") {
+    // two sources with overlapping template vocabularies; inflate copies
+    // 100× — the distinct (source, hash) table and hence every sketch,
+    // estimate and exact count must not move
+    def mk(copies: Int): String = {
+      val rows = for {
+        t <- 0 until 20
+        c <- 0 until copies
+        src <- Seq("sa", "sb") if src == "sa" || t >= 10
+      } yield (t.toLong * 100000L + c * 2L + (if (src == "sa") 0L else 1L),
+        (0 until 12).map(j => s"t${t}w$j").mkString(" "), "en", src)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_skov_scale_$copies").toString
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(4).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val out1 = TextAnalysis.sketchOverlap(spark, mk(1)).collect().map(_.toSeq)
+    val out100 = TextAnalysis.sketchOverlap(spark, mk(100)).collect().map(_.toSeq)
+    assert(out1.length == 1)
+    assert(out1.toSeq == out100.toSeq,
+      "duplicate inflation must not move sketch-overlap output")
+  }
+
+  test("q159: the quantile sketch is bounded and its estimates are duplication-invariant") {
+    def mkEvents(copies: Int): String = {
+      val rows = for {
+        v <- 1 to 200
+        c <- 0 until copies
+      } yield (v.toLong * 10000L + c, v.toLong * 1000000000L,
+        v.toLong % 7, if (v % 2 == 0) "click" else "view", v * 0.37, "{}")
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_qsk_scale_$copies").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val r1 = EventAnalytics.quantileSketchAudit(spark, mkEvents(1)).collect()
+    val r100 = EventAnalytics.quantileSketchAudit(spark, mkEvents(100)).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("pct"))
+    val m100 = r100.map(r => key(r) -> r).toMap
+    r1.foreach { r =>
+      val t = m100(key(r))
+      // duplicating every event uniformly moves NO quantile and adds NO bin
+      Seq("n_bins", "exact_cents", "est_cents", "err_bp").foreach { c =>
+        assert(r.getAs[Long](c) == t.getAs[Long](c), s"${key(r)} $c")
+      }
+      assert(t.getAs[Long]("n_events") == r.getAs[Long]("n_events") * 100)
+      // the bin-width guarantee holds at both scales
+      assert(r.getAs[Long]("err_bp") < 2500L)
+    }
+  }
+
+  test("q161: head-group table is content-bounded — 100x duplication adds no head and no family") {
+    val d1x = corpusDir(30, 60)
+    val d100x = corpusDir(30, 6000)
+    val r1 = Dedup.truncationFamilies(spark, d1x).collect().head
+    val r100 = Dedup.truncationFamilies(spark, d100x).collect().head
+    // 30 templates -> 30 heads at BOTH scales; exact copies share the
+    // full text hash, so no duplication can mint a family
+    assert(r1.getAs[Long]("n_heads") == 30L)
+    assert(r100.getAs[Long]("n_heads") == 30L)
+    assert(r1.getAs[Long]("n_families") == 0L)
+    assert(r100.getAs[Long]("n_families") == 0L)
+    assert(r100.getAs[Long]("total_tokens") == 6000L * 12)
   }
 }
