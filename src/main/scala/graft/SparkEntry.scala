@@ -255,7 +255,8 @@ object SparkEntry {
     "q158_sketch_overlap" -> ((s, d) => TextAnalysis.sketchOverlap(s, d)),
     "q159_quantile_sketch" -> ((s, d) => EventAnalytics.quantileSketchAudit(s, d)),
     "q160_blocklist" -> ((s, d) => TextAnalysis.blocklistDensity(s, d)),
-    "q161_trunc_families" -> ((s, d) => Dedup.truncationFamilies(s, d))
+    "q161_trunc_families" -> ((s, d) => Dedup.truncationFamilies(s, d)),
+    "q162_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -423,6 +424,7 @@ object SparkEntry {
     "q158_sketch_overlap" -> TextAnalysis.sketchOverlapSql(),
     "q159_quantile_sketch" -> EventAnalytics.quantileSketchAuditSql,
     "q160_blocklist" -> TextAnalysis.blocklistDensitySql(),
-    "q161_trunc_families" -> Dedup.truncationFamiliesSql()
+    "q161_trunc_families" -> Dedup.truncationFamiliesSql(),
+    "q162_weighted_sample" -> Curation.weightedSampleSql()
   )
 }

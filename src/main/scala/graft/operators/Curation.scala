@@ -617,6 +617,75 @@ object Curation {
        |FROM r WHERE rn <= $k
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Coin modulus for [[weightedSample]]: the race coin is uniform on
+    * [1, 2²⁰], so its integer log2 costs span [0, 20000] milli-bits. */
+  private val WsCoinM = 1L << 20
+
+  /** X88 weighted reservoir sample (q162): exactly-k-per-language
+    * TOKEN-MASS-weighted sampling — the Efraimidis–Spirakis exponential
+    * race (public: Efraimidis & Spirakis 2006, "Weighted random sampling
+    * with a reservoir": key uᵢ^(1/wᵢ), keep top-k ⇔ keep the k smallest
+    * −ln(uᵢ)/wᵢ), re-expressed on the repo's exact-integer rails so both
+    * engines elect the identical sample: the coin is the q78/q86 md5
+    * device (uniform on [1, 2²⁰]), −ln u becomes the q140 integer
+    * log2-milli-bit cost (20000 − log2mb(u)), and the race key is one
+    * BIGINT division (cost·10⁹ div w, doc_id tie-break). Bigger
+    * documents draw proportionally smaller keys, so the k winners are a
+    * weighted-without-replacement draw — the eval-subset move when docs
+    * must be sampled by token mass, not per-doc uniformly (q75's rule).
+    *
+    * Scale posture: q75's exact shape with the race key in place of the
+    * content hash — bounded-heap [[graft.functions.MinKDocs]] two-phase
+    * aggregate (each map task keeps k rows per language, no stratum ever
+    * sorts), winners broadcast back for payload. No float anywhere: the
+    * E-S exponentials live entirely in milli-bit integers. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 8,
+                     seed: Long = 42): DataFrame = {
+    val minK = udaf(new graft.functions.MinKDocs(k))
+    val docs = Tables.documents(spark, dir)
+    val keyed = docs
+      .select(col("lang"), col("doc_id"),
+        size(TextHash.tokens(col("text"))).cast("long").as("w"))
+      .withColumn("u",
+        TextHash.h1(concat(lit(s"ws:$seed:"), col("doc_id").cast("string")))
+          % WsCoinM + 1L)
+      .withColumn("race_key",
+        expr(s"(20000 - ${TextAnalysis.log2MilliSpark("u")}) " +
+          "* cast(1000000000 as bigint) div w"))
+    val picked = keyed
+      .groupBy(col("lang"))
+      .agg(minK(col("race_key"), col("doc_id")).as("picks"))
+      .select(col("lang"), posexplode(expr("array_sort(picks)")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.h").as("race_key"), col("col.doc_id").as("doc_id"))
+    broadcast(picked)
+      .join(keyed.select(col("doc_id"), col("w")), Seq("doc_id"))
+      .select(col("lang"), col("rn"), col("doc_id"), col("w"), col("race_key"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  def weightedSampleSql(k: Int = 8, seed: Long = 42): String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, len(string_split(lower(text), ' '))::BIGINT AS w
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, doc_id, w,
+       |    (${TextHash.h1Sql(s"'ws:$seed:' || doc_id")} % $WsCoinM) + 1 AS u
+       |  FROM d
+       |), kx AS (
+       |  SELECT lang, doc_id, w,
+       |    ((20000 - ${TextAnalysis.log2MilliDuck("u")}) * 1000000000) // w
+       |      AS race_key
+       |  FROM c
+       |), r AS (
+       |  SELECT lang, doc_id, w, race_key,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY race_key, doc_id) AS rn
+       |  FROM kx
+       |)
+       |SELECT lang, rn::BIGINT AS rn, doc_id, w, race_key
+       |FROM r WHERE rn <= $k ORDER BY lang, rn""".stripMargin
+
   /** Deterministic corpus shuffle (q78): reproducible training-order
     * randomization. Every doc gets a pseudorandom-but-deterministic
     * 60-bit key = md5("shuf:<seed>:<doc_id>") — NOT rand(): re-runs,

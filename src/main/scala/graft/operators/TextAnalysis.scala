@@ -2448,13 +2448,13 @@ object TextAnalysis {
     * e·1000 + LUT[(x·16 div 2^e) − 16], e = length(bin(x)) − 1. The two
     * dialects differ only in array indexing and integer-division
     * spelling, so each gets its own printer over the same constants. */
-  private def log2MilliSpark(x: String): String =
+  private[operators] def log2MilliSpark(x: String): String =
     s"((length(bin($x)) - 1) * 1000 + " +
       s"element_at(array(${Log2MilliLut.mkString(", ")}), " +
       s"cast((($x) * 16) div element_at(array(${Log2Pow2.mkString(", ")}), " +
       s"length(bin($x))) as int) - 15))"
 
-  private def log2MilliDuck(x: String): String =
+  private[operators] def log2MilliDuck(x: String): String =
     s"((length(bin($x)) - 1) * 1000 + " +
       s"[${Log2MilliLut.mkString(", ")}][((($x) * 16) // " +
       s"[${Log2Pow2.mkString(", ")}][length(bin($x))]) - 15])"

@@ -205,6 +205,50 @@ class CurationSpec extends SparkSpec {
     assert(viaHeap.exceptAll(Curation.stratifiedSample(spark, sf0001, k)).isEmpty)
   }
 
+  test("weighted sample (q162): race keys match a driver E-S reimplementation; mass drives the odds") {
+    // driver twins of the repo's integer devices
+    def h1(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val lut = Seq(0L, 87L, 170L, 248L, 322L, 392L, 459L, 524L,
+      585L, 644L, 700L, 755L, 807L, 858L, 907L, 954L)
+    def log2m(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      e.toLong * 1000 + lut(((x * 16) >> e).toInt - 16)
+    }
+    def raceKey(docId: Long, w: Long, seed: Long): Long = {
+      val u = h1(s"ws:$seed:$docId") % (1L << 20) + 1
+      (20000L - log2m(u)) * 1000000000L / w
+    }
+    val k = 8
+    val rows = Curation.weightedSample(spark, sf0001, k).collect()
+    val docs = Tables.documents(spark, sf0001).select(col("lang"), col("doc_id"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the operator's winners ARE the k smallest driver-computed keys
+    val byLang = docs.groupBy(_._1)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, picked) =>
+      val expected = byLang(lang)
+        .map(d => (raceKey(d._2, d._3, 42L), d._2)).sorted.take(k)
+      val got = picked.sortBy(_.getAs[Long]("rn"))
+        .map(r => (r.getAs[Long]("race_key"), r.getAs[Long]("doc_id"))).toSeq
+      assert(got == expected.toSeq, s"$lang sample diverges")
+    }
+    rows.foreach { r =>
+      val w = docs.find(d => d._2 == r.getAs[Long]("doc_id")).get._3
+      assert(r.getAs[Long]("w") == w)
+    }
+    // the WEIGHTED property: in a two-doc race with a 50:1 token-mass
+    // ratio, the heavy doc must win the k=1 draw for most seeds (each
+    // seed is deterministic; expectation ≈ 98%)
+    val wins = (1 to 60).count { s =>
+      raceKey(1L, 100L, s.toLong) < raceKey(2L, 2L, s.toLong)
+    }
+    assert(wins >= 50, s"heavy doc won only $wins/60 seeded races")
+  }
+
   test("contamination overlap: fraction rule is stricter than any-hit q45 rule") {
     val anyHit = Curation.contamination(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n_contaminated")).toMap
