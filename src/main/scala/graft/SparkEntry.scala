@@ -256,7 +256,8 @@ object SparkEntry {
     "q159_quantile_sketch" -> ((s, d) => EventAnalytics.quantileSketchAudit(s, d)),
     "q160_blocklist" -> ((s, d) => TextAnalysis.blocklistDensity(s, d)),
     "q161_trunc_families" -> ((s, d) => Dedup.truncationFamilies(s, d)),
-    "q162_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d))
+    "q162_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
+    "q163_vocab_entropy" -> ((s, d) => TextAnalysis.vocabEntropy(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -425,6 +426,7 @@ object SparkEntry {
     "q159_quantile_sketch" -> EventAnalytics.quantileSketchAuditSql,
     "q160_blocklist" -> TextAnalysis.blocklistDensitySql(),
     "q161_trunc_families" -> Dedup.truncationFamiliesSql(),
-    "q162_weighted_sample" -> Curation.weightedSampleSql()
+    "q162_weighted_sample" -> Curation.weightedSampleSql(),
+    "q163_vocab_entropy" -> TextAnalysis.vocabEntropySql
   )
 }

@@ -1828,6 +1828,74 @@ object TextAnalysis {
        |  (sum(term) // max(ta))::BIGINT AS kl_mb
        |FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ---- X89: per-source vocabulary entropy (q163) ----------------------------
+
+  /** X89 vocabulary entropy (q163): per source — distinct token types,
+    * token mass, the Shannon entropy of the unigram distribution in
+    * EXACT MILLI-BITS (H = Σ cᵢ·(log2 T − log2 cᵢ) / T via the q140
+    * integer log2 device — no float log ever crosses engines), and the
+    * entropy normalized by its log2(n_types) maximum in basis points.
+    * The information-density companion to q136's type-token ratio and
+    * q148's Zipf slope: TTR counts types, entropy weighs how evenly the
+    * mass uses them — a source can have a huge vocabulary and still
+    * spend 95% of its tokens on 50 words (low entropy, low norm_bp),
+    * which is what a unigram-level "diversity" mixture policy actually
+    * cares about. 2^(H) is the unigram perplexity of the source.
+    *
+    * Scale posture: everything reads the PlanCache'd q151 per-(source,
+    * 60-bit hash) histogram — vocabulary-sized, the corpus is never
+    * re-scanned; totals broadcast back onto the histogram; the weighted
+    * term sum rides decimal(38,0)/HUGEINT (the q151 rule: log arguments
+    * are raw counts, 2⁵⁹-safe, never products). */
+  def vocabEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.PlanCache.cached(spark, s"textanalysis.srcHist:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("source"), TextHash.h1(col("tok")).as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("cnt"))
+    }
+    val totals = hist.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("t"), count(lit(1)).as("n_types"))
+    hist.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("t"), col("n_types"),
+        expr(s"cast(cnt as decimal(38,0)) * " +
+          s"((${log2MilliSpark("t")}) - (${log2MilliSpark("cnt")}))").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_types")).as("n_types"), max(col("t")).as("n_tokens"),
+        expr("cast(sum(term) div max(t) as bigint)").as("entropy_mb"))
+      .withColumn("norm_bp",
+        when(col("n_types") > 1,
+          expr(s"entropy_mb * 10000 div (${log2MilliSpark("n_types")})"))
+          .otherwise(lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  def vocabEntropySql: String =
+    s"""WITH hist AS (
+       |  SELECT source, ${TextHash.h1Sql("tok")} AS h, count(*)::BIGINT AS cnt
+       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), totals AS (
+       |  SELECT source, sum(cnt)::BIGINT AS t, count(*)::BIGINT AS n_types
+       |  FROM hist GROUP BY source
+       |), terms AS (
+       |  SELECT hist.source, t, n_types,
+       |    cnt::HUGEINT * ((${log2MilliDuck("t")}) - (${log2MilliDuck("cnt")}))
+       |      AS term
+       |  FROM hist JOIN totals ON hist.source = totals.source
+       |), e AS (
+       |  SELECT source, max(n_types)::BIGINT AS n_types,
+       |    max(t)::BIGINT AS n_tokens,
+       |    (sum(term) // max(t))::BIGINT AS entropy_mb
+       |  FROM terms GROUP BY source
+       |)
+       |SELECT source, n_types, n_tokens, entropy_mb,
+       |  CASE WHEN n_types > 1
+       |       THEN (entropy_mb * 10000 // (${log2MilliDuck("n_types")}))::BIGINT
+       |       ELSE 0::BIGINT END AS norm_bp
+       |FROM e ORDER BY source""".stripMargin
+
   // ---- X79: KMV distinct-sketch mergeability audit (q153) -----------------
 
   /** X79 KMV sketch audit (q153): the k-minimum-values distinct sketch

@@ -705,6 +705,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(("tiny_a", "tiny_c")).getAs[Long]("est_j_bp") == 0L)
   }
 
+  test("vocab entropy (q163): milli-bit H matches a driver recomputation; skew collapses it; 1-type floor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
+    Seq(
+      // flat: 6 types, each once → H = log2(6) exactly
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "flat"),
+      // skewed: same 6 types, 15 of 20 tokens on one → H well below
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam beta gamma delta epsilon zeta", "en", "skewed"),
+      // degenerate: one type → H = 0, norm undefined → 0
+      (3L, "mono mono mono mono", "en", "mono"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.vocabEntropy(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // driver recomputation over the same integer log algebra
+    def entropy(counts: Seq[Long]): Long = {
+      val t = counts.sum
+      counts.map(c => BigInt(c) * (log2m(t) - log2m(c))).sum.toLong / t
+    }
+    val flat = rows("flat")
+    assert(flat.getAs[Long]("n_types") == 6L)
+    assert(flat.getAs[Long]("entropy_mb") == entropy(Seq.fill(6)(1L)))
+    // uniform over 6 types: H = log2(6) to LUT precision, norm ≈ 10000
+    assert(flat.getAs[Long]("entropy_mb") == log2m(6L))
+    assert(flat.getAs[Long]("norm_bp") == 10000L)
+    val skewed = rows("skewed")
+    assert(skewed.getAs[Long]("n_types") == 6L)
+    assert(skewed.getAs[Long]("entropy_mb") ==
+      entropy(Seq(15L, 1L, 1L, 1L, 1L, 1L)))
+    assert(skewed.getAs[Long]("entropy_mb") < flat.getAs[Long]("entropy_mb"))
+    assert(skewed.getAs[Long]("norm_bp") < 10000L)
+    val mono = rows("mono")
+    assert(mono.getAs[Long]("entropy_mb") == 0L)
+    assert(mono.getAs[Long]("norm_bp") == 0L)
+  }
+
   test("domain KL (q151): milli-bit divergences match a driver recomputation; disjoint domains diverge most") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
     // A and B share a vocabulary at slightly different rates; C is a
