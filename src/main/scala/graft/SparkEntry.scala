@@ -257,7 +257,8 @@ object SparkEntry {
     "q160_blocklist" -> ((s, d) => TextAnalysis.blocklistDensity(s, d)),
     "q161_trunc_families" -> ((s, d) => Dedup.truncationFamilies(s, d)),
     "q162_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
-    "q163_vocab_entropy" -> ((s, d) => TextAnalysis.vocabEntropy(s, d))
+    "q163_vocab_entropy" -> ((s, d) => TextAnalysis.vocabEntropy(s, d)),
+    "q164_volume_anomaly" -> ((s, d) => EventAnalytics.volumeAnomaly(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -427,6 +428,7 @@ object SparkEntry {
     "q160_blocklist" -> TextAnalysis.blocklistDensitySql(),
     "q161_trunc_families" -> Dedup.truncationFamiliesSql(),
     "q162_weighted_sample" -> Curation.weightedSampleSql(),
-    "q163_vocab_entropy" -> TextAnalysis.vocabEntropySql
+    "q163_vocab_entropy" -> TextAnalysis.vocabEntropySql,
+    "q164_volume_anomaly" -> EventAnalytics.volumeAnomalySql()
   )
 }

@@ -415,6 +415,67 @@ object EventAnalytics {
       |FROM e JOIN ex ON e.event_type = ex.event_type AND e.pct = ex.pct
       |ORDER BY e.event_type, e.pct""".stripMargin
 
+  /** Volume-anomaly panel (q164): per (day, event_type) — event count,
+    * the trailing-`trail`-day baseline (integer mean over the PRIOR days
+    * present, rows-based so calendar gaps simply shrink the baseline
+    * window — the documented rule), the signed deviation from baseline
+    * in basis points, and an anomaly flag at ±`threshBp`. The intake
+    * alarm every event pipeline carries: a type whose daily volume
+    * halves (instrumentation broke) or doubles (bot flood) shows as
+    * |dev_bp| ≥ 5000 the day it happens. Day 1 of each type has no
+    * baseline and is excluded.
+    *
+    * Scale posture: the corpus collapses FIRST to the (day, type) cell
+    * table with map-side combine — the trailing window runs over those
+    * bounded aggregate rows (the q132 histogram-window rule: windows
+    * never see raw events), partitioned by type with a rows-frame. All
+    * deviations are BIGINT div arithmetic — identical in both engines. */
+  def volumeAnomaly(spark: SparkSession, dir: String, trail: Int = 7,
+                    threshBp: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trail > 0, s"volumeAnomaly: trail must be positive ($trail)")
+    val daily = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day"), col("event_type"), col("n_events"))
+    val trailW = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-trail, -1)
+    daily
+      .withColumn("n_prior", count(lit(1)).over(trailW))
+      .withColumn("sum_prior", sum(col("n_events")).over(trailW))
+      .filter(col("n_prior") > 0)
+      .withColumn("base", expr("sum_prior div n_prior"))
+      .withColumn("dev_bp",
+        expr("(n_events - base) * 10000 div greatest(base, 1)"))
+      .withColumn("anomaly",
+        when(abs(col("dev_bp")) >= threshBp, 1L).otherwise(0L))
+      .select(col("day"), col("event_type"), col("n_events"), col("base"),
+        col("dev_bp"), col("anomaly"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  def volumeAnomalySql(trail: Int = 7, threshBp: Long = 5000L): String =
+    s"""WITH d AS (
+       |  SELECT time_bucket(INTERVAL '1 day', ts)::TIMESTAMP AS day,
+       |    event_type, count(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT day, event_type, n_events,
+       |    count(*) OVER w AS n_prior,
+       |    sum(n_events) OVER w AS sum_prior
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN $trail PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT day, event_type, n_events,
+       |  (sum_prior // n_prior)::BIGINT AS base,
+       |  ((n_events - sum_prior // n_prior) * 10000
+       |    // greatest(sum_prior // n_prior, 1))::BIGINT AS dev_bp,
+       |  (CASE WHEN abs((n_events - sum_prior // n_prior) * 10000
+       |    // greatest(sum_prior // n_prior, 1)) >= $threshBp
+       |    THEN 1 ELSE 0 END)::BIGINT AS anomaly
+       |FROM t WHERE n_prior > 0 ORDER BY day, event_type""".stripMargin
+
   /** User-journey transition matrix (q122): for every user's event
     * sequence in (event-time, event_id) order, count each consecutive
     * (from_type → to_type) step — the Markov-cell table session-flow

@@ -208,6 +208,42 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("volume anomaly (q164): planted spike and drop flagged, steady days quiet, day-1 excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_anomaly").toString
+    // type "steady": 10/day for 9 days; day 9 spikes to 30 (+200% dev)
+    // type "fade": 10/day for 4 days, then 1 on day 5 (-90% dev)
+    var eid = 0L
+    val rows = (
+      (for { d <- 1 to 9; i <- 1 to (if (d == 9) 30 else 10) } yield {
+        eid += 1; (eid, nanos(d.toLong * day + i), eid % 5, "steady", 1.0, "{}")
+      }) ++
+      (for { d <- 1 to 5; i <- 1 to (if (d == 5) 1 else 10) } yield {
+        eid += 1; (eid, nanos(d.toLong * day + i), eid % 5, "fade", 1.0, "{}")
+      })).toSeq
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.volumeAnomaly(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day").getTime / 1000 / day) -> r).toMap
+    // day 1 of each type has no baseline: 9-1 + 5-1 = 12 rows
+    assert(out.size == 12, s"got ${out.size} rows")
+    // steady days 2-8: base 10, dev 0, quiet
+    (2L to 8L).foreach { d =>
+      val r = out(("steady", d))
+      assert(r.getAs[Long]("base") == 10L && r.getAs[Long]("dev_bp") == 0L &&
+        r.getAs[Long]("anomaly") == 0L, s"steady day $d")
+    }
+    // the spike: 30 vs base 10 = +20000 bp, flagged
+    val spike = out(("steady", 9L))
+    assert(spike.getAs[Long]("dev_bp") == 20000L)
+    assert(spike.getAs[Long]("anomaly") == 1L)
+    // the drop: 1 vs base 10 = -9000 bp, flagged
+    val drop = out(("fade", 5L))
+    assert(drop.getAs[Long]("base") == 10L)
+    assert(drop.getAs[Long]("dev_bp") == -9000L)
+    assert(drop.getAs[Long]("anomaly") == 1L)
+  }
+
   test("stickiness (q145): dau <= wau, ratio exact, wau identical to q76") {
     val rows = EventAnalytics.stickiness(spark, sf0001).collect()
     assert(rows.nonEmpty)
