@@ -258,7 +258,8 @@ object SparkEntry {
     "q161_trunc_families" -> ((s, d) => Dedup.truncationFamilies(s, d)),
     "q162_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "q163_vocab_entropy" -> ((s, d) => TextAnalysis.vocabEntropy(s, d)),
-    "q164_volume_anomaly" -> ((s, d) => EventAnalytics.volumeAnomaly(s, d))
+    "q164_volume_anomaly" -> ((s, d) => EventAnalytics.volumeAnomaly(s, d)),
+    "q165_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -429,6 +430,7 @@ object SparkEntry {
     "q161_trunc_families" -> Dedup.truncationFamiliesSql(),
     "q162_weighted_sample" -> Curation.weightedSampleSql(),
     "q163_vocab_entropy" -> TextAnalysis.vocabEntropySql,
-    "q164_volume_anomaly" -> EventAnalytics.volumeAnomalySql()
+    "q164_volume_anomaly" -> EventAnalytics.volumeAnomalySql(),
+    "q165_media_dedup" -> Multimodal.mediaDedupSql
   )
 }

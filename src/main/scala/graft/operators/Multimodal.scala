@@ -257,6 +257,56 @@ object Multimodal {
       |FROM documents
       |GROUP BY 1 ORDER BY media_type""".stripMargin
 
+  /** X91 media-payload dedup audit (q165): per media type — items,
+    * distinct payloads by sha-256 content digest (the key a
+    * content-addressable blob store dedups on), duplicate items, the
+    * byte mass a CAS would NOT re-store ((copies−1)·size per digest
+    * group) and that saving in basis points of the total. The X1 exact
+    * dedup applied to the BINARY column family: at 100 TB of media the
+    * cheapest storage win is not near-dup ML, it's refusing to store the
+    * same bytes twice (re-uploads, mirrored scrapes, thumbnail reposts).
+    *
+    * Scale posture: digest and size are computed AT THE SCAN
+    * (sha2/octet_length projections) so the payload bytes never shuffle
+    * — only the 32-byte digest and a long travel; one (type, digest)
+    * histogram with map-side combine, then a \|types\|-row rollup. All
+    * BIGINT. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_type"), sha2(col("content"), 256).as("h"),
+        octet_length(col("content")).cast("long").as("sz"))
+      .groupBy(col("media_type"), col("h"))
+      .agg(count(lit(1)).as("copies"), max(col("sz")).as("sz"))
+      .groupBy(col("media_type"))
+      .agg(sum(col("copies")).as("n_items"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("copies") - 1).as("n_dup_items"),
+        sum((col("copies") - 1) * col("sz")).as("dup_bytes"),
+        sum(col("copies") * col("sz")).as("total_bytes"))
+      .withColumn("savings_bp",
+        expr("dup_bytes * 10000 div total_bytes"))
+      .orderBy(col("media_type"))
+
+  def mediaDedupSql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS media_type,
+      |    sha256(text) AS h, octet_length(text::BLOB)::BIGINT AS sz
+      |  FROM documents
+      |), g AS (
+      |  SELECT media_type, h, count(*)::BIGINT AS copies, max(sz)::BIGINT AS sz
+      |  FROM m GROUP BY 1, 2
+      |)
+      |SELECT media_type, sum(copies)::BIGINT AS n_items,
+      |  count(*)::BIGINT AS n_distinct,
+      |  sum(copies - 1)::BIGINT AS n_dup_items,
+      |  sum((copies - 1) * sz)::BIGINT AS dup_bytes,
+      |  sum(copies * sz)::BIGINT AS total_bytes,
+      |  (sum((copies - 1) * sz)::BIGINT * 10000
+      |    // sum(copies * sz))::BIGINT AS savings_bp
+      |FROM g GROUP BY media_type ORDER BY media_type""".stripMargin
+
   /** Payload-size percentile table (q146): per media type, the exact
     * p50/p90/p99 of the binary payload size in bytes — the shard- and
     * cache-sizing table a blob store is provisioned from (how big is a

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, length, lit}
+
 import graft.operators.{MediaRecord, Multimodal, StubDecoder}
 
 /** Multimodal plumbing (SURVEY.md §2.12 X5): schema, typed batch map,
@@ -78,6 +80,48 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.mediaTable(spark, sf0001)
       .select("media_type", "width").queryExecution.executedPlan.toString
     assert(!plan.contains("content"), "payload column must not be scanned")
+  }
+
+  test("media dedup (q165): CAS digest groups match a driver byte-level recompute") {
+    val rows = Multimodal.mediaDedup(spark, sf0001).collect()
+    assert(rows.length == 3, "one row per media type")
+    val payloads = Multimodal.mediaTable(spark, sf0001)
+      .select("media_type", "content").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+    rows.foreach { r =>
+      val t = r.getAs[String]("media_type")
+      val ps = payloads.filter(_._1 == t).map(_._2)
+      val groups = ps.groupBy(identity).values.map(_.size.toLong).toSeq
+      val sizes = ps.groupBy(identity).toSeq.map { case (p, c) =>
+        (c.size.toLong, p.length.toLong) }
+      assert(r.getAs[Long]("n_items") == ps.length.toLong)
+      assert(r.getAs[Long]("n_distinct") == groups.length.toLong)
+      assert(r.getAs[Long]("n_dup_items") == groups.map(_ - 1).sum)
+      val dupBytes = sizes.map { case (c, s) => (c - 1) * s }.sum
+      val totalBytes = sizes.map { case (c, s) => c * s }.sum
+      assert(r.getAs[Long]("dup_bytes") == dupBytes, s"$t dup_bytes")
+      assert(r.getAs[Long]("total_bytes") == totalBytes)
+      assert(r.getAs[Long]("savings_bp") == dupBytes * 10000 / totalBytes)
+    }
+    // the duplicate path, pinned on a planted fixture: doc_ids 0/3/6 are
+    // the same 'image' payload uploaded three times — a CAS stores one
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mediadup").toString
+    Seq((0L, "same bytes again"), (3L, "same bytes again"),
+      (6L, "same bytes again"), (9L, "different image bytes"),
+      (1L, "an audio payload"), (2L, "a video payload"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("fix").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fix = Multimodal.mediaDedup(spark, dir).collect()
+      .map(r => r.getAs[String]("media_type") -> r).toMap
+    val img = fix("image")
+    assert(img.getAs[Long]("n_items") == 4L)
+    assert(img.getAs[Long]("n_distinct") == 2L)
+    assert(img.getAs[Long]("n_dup_items") == 2L)
+    assert(img.getAs[Long]("dup_bytes") == 2L * "same bytes again".length)
+    assert(fix("audio").getAs[Long]("n_dup_items") == 0L)
   }
 
   test("byte percentiles (q146): exact rank election per media type") {
