@@ -87,6 +87,9 @@ object PlanAudit {
     // q158's pair fan-out is a broadcast triangle cross over the
     // |sources|-row sketch table (k·|sources| longs)
     "q158_sketch_overlap",
+    // q166's pair fan-out and census×pairs join are broadcast crosses
+    // over the ≤2·RrfPool-row fused pool / single-row aggregates
+    "q166_rank_agreement",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

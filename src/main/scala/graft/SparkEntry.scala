@@ -259,7 +259,8 @@ object SparkEntry {
     "q162_weighted_sample" -> ((s, d) => Curation.weightedSample(s, d)),
     "q163_vocab_entropy" -> ((s, d) => TextAnalysis.vocabEntropy(s, d)),
     "q164_volume_anomaly" -> ((s, d) => EventAnalytics.volumeAnomaly(s, d)),
-    "q165_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d))
+    "q165_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
+    "q166_rank_agreement" -> ((s, d) => TextAnalysis.rankAgreement(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -431,6 +432,7 @@ object SparkEntry {
     "q162_weighted_sample" -> Curation.weightedSampleSql(),
     "q163_vocab_entropy" -> TextAnalysis.vocabEntropySql,
     "q164_volume_anomaly" -> EventAnalytics.volumeAnomalySql(),
-    "q165_media_dedup" -> Multimodal.mediaDedupSql
+    "q165_media_dedup" -> Multimodal.mediaDedupSql,
+    "q166_rank_agreement" -> TextAnalysis.rankAgreementSql
   )
 }

@@ -633,7 +633,10 @@ object TextAnalysis {
     * [[graft.functions.TopKHits]] two-phase aggregate, so the fusion
     * join, rrf arithmetic, and final rank all run over ≤ 2·pool rows —
     * audit-sized, never the corpus. */
-  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** The fused (doc_id, bm25_rank, tf_rank, rrf_micro) pool table —
+    * ≤ 2·[[RrfPool]] rows; persisted because the q117 final heap, its
+    * attribution join AND the q166 agreement audit all read it. */
+  private[graft] def rrfFusedTable(spark: SparkSession, dir: String): DataFrame = {
     val pool = udaf(new graft.functions.TopKHits(RrfPool))
     def ranked(scored: DataFrame, scoreCol: String, rankName: String): DataFrame =
       scored.agg(pool(col(scoreCol).cast("double"), col("doc_id")).as("hits"))
@@ -644,10 +647,7 @@ object TextAnalysis {
     val tsRank = ranked(
       queryTermFreqs(spark, dir).groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("ts")), "ts", "tf_rank")
-    // ≤ 2·pool rows; persisted because BOTH the final heap and the
-    // attribution join read it — without the materialization point the
-    // two leg pipelines would replay once per consumer
-    val fused = graft.PlanCache.cached(spark, s"textanalysis.rrfFused:$dir") {
+    graft.PlanCache.cached(spark, s"textanalysis.rrfFused:$dir") {
       bmRank.join(tsRank, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
           coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
@@ -658,6 +658,10 @@ object TextAnalysis {
           when(col("tf_rank") > 0,
             expr(s"1000000000 div ($RrfK + tf_rank)")).otherwise(lit(0L)))
     }
+  }
+
+  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val fused = rrfFusedTable(spark, dir)
     // final rank via the same bounded heap (rrf desc, doc_id asc) so the
     // whole plan stays windowless — rrf_micro ≤ 2·⌊1e9/61⌋ is exact in
     // the heap's double score
@@ -724,6 +728,118 @@ object TextAnalysis {
        |)
        |SELECT rank::BIGINT AS rank, doc_id, rrf_micro, bm25_rank, tf_rank
        |FROM fin WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  // ---- X92: retrieval rank-agreement audit (q166) ---------------------------
+
+  /** X92 rank-agreement audit (q166): exact Kendall-tau concordance
+    * between the two q117 retrieval legs (BM25 vs raw term-frequency)
+    * over the docs BOTH legs rank, plus the leg-overlap census — the
+    * diagnostic that says whether RRF fusion is worth running at all.
+    * Tau near 10000 means the rankers agree and fusion is redundant;
+    * tau near 0 (or negative) means they disagree and RRF's rank-blend
+    * is doing real work; a tiny `n_both` overlap means the legs surface
+    * DIFFERENT documents and fusion widens recall (public: Kendall 1938;
+    * RRF per Cormack et al., SIGIR 2009 — the q117 anchor). All counts
+    * are exact integers: tau_bp = (2·C − P)·10000 div P over the P
+    * both-ranked pairs (ranks are distinct — no tie terms).
+    *
+    * Scale posture: reads ONLY the PlanCache'd ≤ 2·[[RrfPool]]-row fused
+    * pool (shared with q117 — no corpus re-scan, no re-scoring); the
+    * pair fan-out is an audited broadcast-tiny triangle cross over a
+    * bounded table (≤ pool² pairs by construction, independent of
+    * corpus size). */
+  def rankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val fused = rrfFusedTable(spark, dir)
+    val both = fused.filter(col("bm25_rank") > 0 && col("tf_rank") > 0)
+    val a = both.select(col("doc_id").as("da"), col("bm25_rank").as("ba"),
+      col("tf_rank").as("ta"))
+    val b = both.select(col("doc_id").as("db"), col("bm25_rank").as("bb"),
+      col("tf_rank").as("tb"))
+    val pc = a.join(b, col("da") < col("db"))
+      .select(when((col("ba") < col("bb")) === (col("ta") < col("tb")), 1L)
+        .otherwise(0L).as("conc"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("conc")), lit(0L)).as("concordant"))
+    val census = fused.agg(
+      sum(when(col("bm25_rank") > 0 && col("tf_rank") > 0, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("bm25_rank") > 0 && col("tf_rank") === 0, 1L).otherwise(0L))
+        .as("n_bm25_only"),
+      sum(when(col("tf_rank") > 0 && col("bm25_rank") === 0, 1L).otherwise(0L))
+        .as("n_tf_only"))
+    census.crossJoin(pc)
+      .select(col("n_both"), col("n_bm25_only"), col("n_tf_only"),
+        col("n_pairs"), col("concordant"),
+        (col("n_pairs") - col("concordant")).as("discordant"),
+        when(col("n_pairs") > 0,
+          expr("(2 * concordant - n_pairs) * 10000 div n_pairs"))
+          .otherwise(lit(0L)).as("tau_bp"))
+  }
+
+  def rankAgreementSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT AS dl
+       |  FROM documents
+       |), n AS (
+       |  SELECT count(*)::BIGINT AS n_total, sum(dl)::BIGINT AS sum_dl FROM dl
+       |), tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok
+       |  WHERE w IN ($terms) GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY 1
+       |), s AS (
+       |  SELECT tf.doc_id,
+       |    CAST(round(((n.n_total - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 *
+       |        (dl.dl / (n.sum_dl::DOUBLE / n.n_total))))) * 10000) AS BIGINT) AS si
+       |  FROM tf JOIN dfq USING(w) JOIN dl USING(doc_id) CROSS JOIN n
+       |), sc AS (
+       |  SELECT doc_id, sum(si)::BIGINT AS si FROM s GROUP BY 1
+       |), bmr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY si DESC, doc_id) AS bm25_rank
+       |  FROM sc QUALIFY bm25_rank <= $RrfPool
+       |), ts AS (
+       |  SELECT doc_id, sum(tf)::BIGINT AS ts FROM tf GROUP BY 1
+       |), tsr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY ts DESC, doc_id) AS tf_rank
+       |  FROM ts QUALIFY tf_rank <= $RrfPool
+       |), fused AS (
+       |  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+       |    coalesce(b.bm25_rank, 0)::BIGINT AS bm25_rank,
+       |    coalesce(t.tf_rank, 0)::BIGINT AS tf_rank
+       |  FROM bmr b FULL JOIN tsr t ON b.doc_id = t.doc_id
+       |), both_ranked AS (
+       |  SELECT doc_id, bm25_rank, tf_rank FROM fused
+       |  WHERE bm25_rank > 0 AND tf_rank > 0
+       |), p AS (
+       |  SELECT CASE WHEN (x.bm25_rank < y.bm25_rank) = (x.tf_rank < y.tf_rank)
+       |              THEN 1 ELSE 0 END AS conc
+       |  FROM both_ranked x JOIN both_ranked y ON x.doc_id < y.doc_id
+       |), pc AS (
+       |  SELECT count(*)::BIGINT AS n_pairs,
+       |    coalesce(sum(conc), 0)::BIGINT AS concordant
+       |  FROM p
+       |), census AS (
+       |  SELECT
+       |    sum(CASE WHEN bm25_rank > 0 AND tf_rank > 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_both,
+       |    sum(CASE WHEN bm25_rank > 0 AND tf_rank = 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_bm25_only,
+       |    sum(CASE WHEN tf_rank > 0 AND bm25_rank = 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_tf_only
+       |  FROM fused
+       |)
+       |SELECT n_both, n_bm25_only, n_tf_only, n_pairs, concordant,
+       |  (n_pairs - concordant)::BIGINT AS discordant,
+       |  (CASE WHEN n_pairs > 0
+       |        THEN (2 * concordant - n_pairs) * 10000 // n_pairs
+       |        ELSE 0 END)::BIGINT AS tau_bp
+       |FROM census CROSS JOIN pc""".stripMargin
   }
 
   // ---- X54: quality-score component attribution (q128) --------------------

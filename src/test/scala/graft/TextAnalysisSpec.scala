@@ -705,6 +705,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(("tiny_a", "tiny_c")).getAs[Long]("est_j_bp") == 0L)
   }
 
+  test("rank agreement (q166): tau and census recomputed exactly from the shared fused pool") {
+    val fused = TextAnalysis.rrfFusedTable(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_rank"),
+        r.getAs[Long]("tf_rank")))
+    val both = fused.filter(f => f._2 > 0 && f._3 > 0)
+    val pairs = for {
+      i <- both.indices; j <- both.indices
+      if both(i)._1 < both(j)._1
+    } yield (both(i)._2 < both(j)._2) == (both(i)._3 < both(j)._3)
+    val r = TextAnalysis.rankAgreement(spark, sf0001).collect().head
+    assert(r.getAs[Long]("n_both") == both.length.toLong)
+    assert(r.getAs[Long]("n_bm25_only") ==
+      fused.count(f => f._2 > 0 && f._3 == 0).toLong)
+    assert(r.getAs[Long]("n_tf_only") ==
+      fused.count(f => f._3 > 0 && f._2 == 0).toLong)
+    assert(r.getAs[Long]("n_pairs") == pairs.length.toLong)
+    assert(r.getAs[Long]("concordant") == pairs.count(identity).toLong)
+    assert(r.getAs[Long]("discordant") == pairs.count(!_).toLong)
+    val p = pairs.length.toLong
+    val expectedTau =
+      if (p == 0) 0L else (2 * pairs.count(identity).toLong - p) * 10000 / p
+    assert(r.getAs[Long]("tau_bp") == expectedTau)
+    assert(r.getAs[Long]("tau_bp") >= -10000L && r.getAs[Long]("tau_bp") <= 10000L)
+    // the audit only makes sense if the legs rank overlapping docs here
+    assert(r.getAs[Long]("n_both") > 1L, "fixture pools do not overlap")
+  }
+
   test("vocab entropy (q163): milli-bit H matches a driver recomputation; skew collapses it; 1-type floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
     Seq(
