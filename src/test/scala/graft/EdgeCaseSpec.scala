@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashExpressions, TextHash}
-import graft.operators.TextPipeline
+import graft.operators.{Curation, Dedup, TextAnalysis, TextPipeline}
 import graft.streaming.Pipeline
 
 /** Regression coverage for the review-found edge cases. */
@@ -245,5 +245,60 @@ class EdgeCaseSpec extends SparkSpec {
       li, o, "l_orderkey", "o_orderkey", 8, Seq(-1L, Long.MaxValue))
     assert(plain.count() == ghost.count())
     assert(plain.exceptAll(ghost).isEmpty && ghost.exceptAll(plain).isEmpty)
+  }
+
+  test("round-13 batch-B operators survive degenerate corpora without errors") {
+    // one short doc: no trigrams (q157 empty), no 8-token head (q161
+    // empty), one source (q158 zero pairs), one lang with k > n (q162
+    // samples all), single type (q163 entropy floor)
+    val tiny = writeDocs(Seq((1L, "ab cd", "en", "solo")))
+    assert(TextAnalysis.repetitionProfile(spark, tiny).collect().isEmpty)
+    assert(Dedup.truncationFamilies(spark, tiny).collect().isEmpty)
+    assert(TextAnalysis.sketchOverlap(spark, tiny).collect().isEmpty)
+    val ws = Curation.weightedSample(spark, tiny, k = 8).collect()
+    assert(ws.length == 1 && ws.head.getAs[Long]("doc_id") == 1L)
+    val ve = TextAnalysis.vocabEntropy(spark, tiny).collect()
+    assert(ve.length == 1 && ve.head.getAs[Long]("n_types") == 2L)
+    // containment on a no-candidate corpus (disjoint vocabularies)
+    val disjoint = writeDocs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "a"),
+      (2L, "one two three four five six seven eight nine", "en", "b")))
+    assert(Dedup.containmentNearDup(spark, disjoint).collect().isEmpty)
+    // blocklist on a clean corpus: zero hits everywhere, no div error
+    val clean = TextAnalysis.blocklistDensity(spark, disjoint).collect()
+    assert(clean.forall(_.getAs[Long]("n_hits") == 0L))
+  }
+
+  test("round-13 batch-B event operators survive single-bucket fixtures") {
+    // one day of events: every (type, day) row is day-1 → q164 empty;
+    // q159 still elects exact quantiles on a single value
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_ev").toString
+    Seq((1L, 1000000000L, 1L, "click", 2.5, "{}"),
+      (2L, 2000000000L, 2L, "click", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    assert(graft.operators.EventAnalytics.volumeAnomaly(spark, dir)
+      .collect().isEmpty)
+    val qs = graft.operators.EventAnalytics.quantileSketchAudit(spark, dir)
+      .collect()
+    assert(qs.length == 3)
+    qs.foreach { r =>
+      assert(r.getAs[Long]("exact_cents") == 250L)
+      assert(r.getAs[Long]("n_bins") == 1L)
+      assert(r.getAs[Long]("err_bp") < 2500L)
+    }
+  }
+
+  test("round-13 batch-B operators reject invalid knobs loudly") {
+    intercept[IllegalArgumentException] {
+      Dedup.truncationFamilies(spark, sf0001, headN = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.EventAnalytics.volumeAnomaly(spark, sf0001, trail = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Pipeline.repetitionGate(
+        Tables.documents(spark, sf0001), maxDup3Bp = -1L)
+    }
   }
 }
