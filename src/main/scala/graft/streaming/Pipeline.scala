@@ -759,6 +759,37 @@ object Pipeline {
         sum(col("qm")).as("sum_q_micro"),
         approx_count_distinct(col("h")).as("n_distinct_approx"))
 
+  /** X90 streaming twin: per-(window, type) volume-anomaly monitor —
+    * the continuous form of the batch q164 panel. The baseline arrives
+    * as a broadcast literal map (per-type expected count per window,
+    * elected from q164's trailing-mean history — the bounded-snapshot
+    * pattern of every gate here), the stream pays ONE watermark-bounded
+    * windowed count, and each closed window carries its signed
+    * deviation in basis points plus the ±`threshBp` anomaly flag.
+    * Types absent from the baseline snapshot report dev_bp against a
+    * floor of 1 (a type the baseline has never seen IS the anomaly).
+    * The count/deviation columns are batch-exact per closed window and
+    * testable; a production intake alarms on `anomaly = 1`. */
+  def volumeMonitor(stream: DataFrame, baseline: Map[String, Long],
+                    eventTimeCol: String,
+                    windowLen: String = "1 minute",
+                    watermark: String = "2 minutes",
+                    threshBp: Long = 5000L): DataFrame = {
+    require(baseline.nonEmpty, "volumeMonitor: empty baseline snapshot")
+    val base = typedLit(baseline)
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("base",
+        greatest(coalesce(element_at(base, col("event_type")), lit(0L)),
+          lit(1L)))
+      .withColumn("dev_bp",
+        expr("(n_events - base) * 10000 div base"))
+      .withColumn("anomaly",
+        when(abs(col("dev_bp")) >= threshBp, 1L).otherwise(0L))
+  }
+
   /** X42 streaming twin (q115): per-(window, shard) intake manifest —
     * docs, token mass, and the order-invariant `bit_xor` content
     * checksum over the same 60-bit (doc_id, sha256(text)) row signature

@@ -1412,6 +1412,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && gotDigests.size < gatePass.size)
   }
 
+  test("volume monitor: deviations vs broadcast baseline exact; unseen type floors at 1 (X90 twin)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:30")
+    // one window: 12 clicks (baseline 10 → +2000 bp quiet), 2 views
+    // (baseline 10 → -8000 bp anomaly), 3 of a type the baseline has
+    // never seen (floor base 1 → +20000 bp anomaly)
+    var eid = 0L
+    def ev(t: String, n: Int) = (1 to n).map { _ =>
+      eid += 1; (eid, t0, eid % 3, t, 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_volmon").toString
+    (ev("click", 12) ++ ev("view", 2) ++ ev("ghost", 3))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+    val q = Pipeline.volumeMonitor(stream,
+        Map("click" -> 10L, "view" -> 10L), "ts")
+      .writeStream.format("memory").queryName("vol_monitor")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("vol_monitor").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("base"),
+          r.getAs[Long]("dev_bp"), r.getAs[Long]("anomaly"))).toMap
+    assert(got == Map(
+      "click" -> ((12L, 10L, 2000L, 0L)),
+      "view" -> ((2L, 10L, -8000L, 1L)),
+      "ghost" -> ((3L, 1L, 20000L, 1L))), s"got $got")
+  }
+
   test("datasheet monitor: windowed corpus panel matches the batch rollup per window (X30 twin)") {
     val docs = Tables.documents(spark, sf0001)
     val expect = docs
