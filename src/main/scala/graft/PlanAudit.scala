@@ -90,6 +90,9 @@ object PlanAudit {
     // q166's pair fan-out and census×pairs join are broadcast crosses
     // over the ≤2·RrfPool-row fused pool / single-row aggregates
     "q166_rank_agreement",
+    // q167's cumulative folds are broadcast triangle theta-joins over
+    // the content-bounded length-grid histogram (q108/q147 device)
+    "q167_length_drift",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

@@ -260,7 +260,8 @@ object SparkEntry {
     "q163_vocab_entropy" -> ((s, d) => TextAnalysis.vocabEntropy(s, d)),
     "q164_volume_anomaly" -> ((s, d) => EventAnalytics.volumeAnomaly(s, d)),
     "q165_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
-    "q166_rank_agreement" -> ((s, d) => TextAnalysis.rankAgreement(s, d))
+    "q166_rank_agreement" -> ((s, d) => TextAnalysis.rankAgreement(s, d)),
+    "q167_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -433,6 +434,7 @@ object SparkEntry {
     "q163_vocab_entropy" -> TextAnalysis.vocabEntropySql,
     "q164_volume_anomaly" -> EventAnalytics.volumeAnomalySql(),
     "q165_media_dedup" -> Multimodal.mediaDedupSql,
-    "q166_rank_agreement" -> TextAnalysis.rankAgreementSql
+    "q166_rank_agreement" -> TextAnalysis.rankAgreementSql,
+    "q167_length_drift" -> TextAnalysis.lengthDriftSql
   )
 }

@@ -1944,6 +1944,102 @@ object TextAnalysis {
        |  (sum(term) // max(ta))::BIGINT AS kl_mb
        |FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ---- X93: length-distribution drift audit (q167) --------------------------
+
+  /** X93 length-drift audit (q167): per source, the exact two-sample
+    * Kolmogorov–Smirnov statistic between the source's token-length
+    * distribution and the whole corpus's, in basis points, plus the
+    * length where the gap peaks. The LENGTH lens next to q151's
+    * vocabulary KL: a source whose documents are systematically shorter
+    * (previews, snippets) or longer (aggregator pages) than the corpus
+    * skews packing (q71/q88) and length-bucketed batching (q98) even
+    * when its vocabulary looks normal. D = max over the length grid of
+    * |CDF_source − CDF_corpus|, each CDF an exact integer share
+    * (cum·10000 div n) — no float crosses engines; ties on D break to
+    * the smallest length in both engines.
+    *
+    * Scale posture: the corpus collapses FIRST to (source, len) and
+    * (len) histograms with map-side combine — the length grid is
+    * content-bounded (distinct lengths, not documents); the cumulative
+    * folds are broadcast triangle theta-joins over grid rows (the
+    * q108/q147 device — no global-order window); the final argmax is a
+    * per-source window over ≤ grid rows. */
+  def lengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(TextHash.tokens(col("text"))).cast("long").as("len"))
+    val srcH = lens.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("c"))
+    val corpH = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+    // corpus CDF over the grid via the broadcast triangle fold
+    val g1 = corpH.select(col("len").as("glen"))
+    val corpCum = g1.join(broadcast(corpH), col("len") <= col("glen"))
+      .groupBy(col("glen")).agg(sum(col("c")).as("cum_c"))
+    val nTotal = lens.count()
+    // per-source CDF evaluated on the SAME grid (every corpus length)
+    val srcTotals = srcH.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val h = srcH.select(col("source").as("hsrc"), col("len").as("hlen"),
+      col("c"))
+    val srcCum = g1.crossJoin(broadcast(srcTotals.select(col("source"))))
+      .join(broadcast(h),
+        col("hsrc") === col("source") && col("hlen") <= col("glen"), "left")
+      .groupBy(col("source"), col("glen"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("cum_s"))
+    val d = srcCum.join(broadcast(corpCum), Seq("glen"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .select(col("source"), col("glen").as("len"), col("n_s"),
+        expr(s"abs(cum_s * 10000 div n_s - cum_c * 10000 div $nTotal)")
+          .as("gap_bp"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("gap_bp").desc, col("len").asc)
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_s").as("n_docs"),
+        col("gap_bp").as("ks_bp"), col("len").as("ks_len"))
+      .orderBy(col("source"))
+  }
+
+  def lengthDriftSql: String =
+    """WITH lens AS (
+      |  SELECT source, len(string_split(lower(text), ' '))::BIGINT AS len
+      |  FROM documents
+      |), src_h AS (
+      |  SELECT source, len, count(*)::BIGINT AS c FROM lens GROUP BY 1, 2
+      |), corp_h AS (
+      |  SELECT len, count(*)::BIGINT AS c FROM lens GROUP BY 1
+      |), grid AS (
+      |  SELECT len AS glen FROM corp_h
+      |), corp_cum AS (
+      |  SELECT g.glen, sum(h.c)::BIGINT AS cum_c
+      |  FROM grid g JOIN corp_h h ON h.len <= g.glen
+      |  GROUP BY g.glen
+      |), n AS (
+      |  SELECT count(*)::BIGINT AS n_total FROM lens
+      |), src_totals AS (
+      |  SELECT source, sum(c)::BIGINT AS n_s FROM src_h GROUP BY source
+      |), src_cum AS (
+      |  SELECT t.source, g.glen, coalesce(sum(h.c), 0)::BIGINT AS cum_s
+      |  FROM grid g CROSS JOIN src_totals t
+      |  LEFT JOIN src_h h ON h.source = t.source AND h.len <= g.glen
+      |  GROUP BY t.source, g.glen
+      |), d AS (
+      |  SELECT s.source, s.glen AS len, t.n_s,
+      |    abs(s.cum_s * 10000 // t.n_s - c.cum_c * 10000 // n.n_total)
+      |      AS gap_bp
+      |  FROM src_cum s
+      |  JOIN corp_cum c ON c.glen = s.glen
+      |  JOIN src_totals t ON t.source = s.source
+      |  CROSS JOIN n
+      |), r AS (
+      |  SELECT source, len, n_s, gap_bp,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY gap_bp DESC, len ASC) AS rn
+      |  FROM d
+      |)
+      |SELECT source, n_s AS n_docs, gap_bp::BIGINT AS ks_bp, len AS ks_len
+      |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+
   // ---- X89: per-source vocabulary entropy (q163) ----------------------------
 
   /** X89 vocabulary entropy (q163): per source — distinct token types,

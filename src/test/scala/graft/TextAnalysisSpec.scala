@@ -732,6 +732,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_both") > 1L, "fixture pools do not overlap")
   }
 
+  test("length drift (q167): KS gaps match a driver recomputation; a planted short-doc source peaks") {
+    // exact driver recomputation of the integer KS over the live corpus
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("source"), size(graft.functions.TextHash.tokens(col("text")))
+        .cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grid = lens.map(_._2).distinct.sorted
+    val nTotal = lens.length.toLong
+    def ks(src: String): (Long, Long) = {
+      val mine = lens.filter(_._1 == src).map(_._2)
+      val nS = mine.length.toLong
+      val gaps = grid.map { g =>
+        val cumS = mine.count(_ <= g).toLong
+        val cumC = lens.count(_._2 <= g).toLong
+        (math.abs(cumS * 10000 / nS - cumC * 10000 / nTotal), g)
+      }
+      gaps.maxBy(x => (x._1, -x._2))
+    }
+    val rows = TextAnalysis.lengthDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, at) = ks(r.getAs[String]("source"))
+      assert(r.getAs[Long]("ks_bp") == d, s"${r.getAs[String]("source")} ks")
+      assert(r.getAs[Long]("ks_len") == at, s"${r.getAs[String]("source")} len")
+    }
+    // planted drift: a snippet farm of 5-token docs against 50-token
+    // bodies must carry a near-maximal KS at the short length
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    val short = (1L to 4L).map(i => (i, Seq.fill(5)(s"s$i").mkString(" "), "snippets"))
+    val long = (10L to 21L).map(i => (i, (0 until 50).map(j => s"w${i}x$j").mkString(" "), "bodies"))
+    (short ++ long).toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fix = TextAnalysis.lengthDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // snippets: CDF_s(5) = 10000 vs corpus 4/16 = 2500 → D = 7500 at len 5
+    assert(fix("snippets").getAs[Long]("ks_bp") == 7500L)
+    assert(fix("snippets").getAs[Long]("ks_len") == 5L)
+    // bodies mirror the complement: same D from the other side
+    assert(fix("bodies").getAs[Long]("ks_bp") == 2500L)
+  }
+
   test("vocab entropy (q163): milli-bit H matches a driver recomputation; skew collapses it; 1-type floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
     Seq(
