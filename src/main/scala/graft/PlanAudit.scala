@@ -93,6 +93,9 @@ object PlanAudit {
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",
+    // q168's cumulative-below fold is the same triangle shape over the
+    // (lang, len) histogram
+    "q168_token_gini",
     // q83 reuses the IVF k-means (crossJoin over the broadcast KmClusters-
     // row centroid table — same audited shape as q37/q48)
     "q83_semantic_dedup",

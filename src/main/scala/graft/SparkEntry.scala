@@ -261,7 +261,8 @@ object SparkEntry {
     "q164_volume_anomaly" -> ((s, d) => EventAnalytics.volumeAnomaly(s, d)),
     "q165_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     "q166_rank_agreement" -> ((s, d) => TextAnalysis.rankAgreement(s, d)),
-    "q167_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(s, d))
+    "q167_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(s, d)),
+    "q168_token_gini" -> ((s, d) => TextAnalysis.tokenGini(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -435,6 +436,7 @@ object SparkEntry {
     "q164_volume_anomaly" -> EventAnalytics.volumeAnomalySql(),
     "q165_media_dedup" -> Multimodal.mediaDedupSql,
     "q166_rank_agreement" -> TextAnalysis.rankAgreementSql,
-    "q167_length_drift" -> TextAnalysis.lengthDriftSql
+    "q167_length_drift" -> TextAnalysis.lengthDriftSql,
+    "q168_token_gini" -> TextAnalysis.tokenGiniSql
   )
 }

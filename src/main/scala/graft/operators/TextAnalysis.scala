@@ -2040,6 +2040,79 @@ object TextAnalysis {
       |SELECT source, n_s AS n_docs, gap_bp::BIGINT AS ks_bp, len AS ks_len
       |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // ---- X94: token-mass Gini concentration (q168) -----------------------------
+
+  /** X94 token-mass Gini (q168): per language — document count, token
+    * mass, and the exact Gini coefficient of per-document token mass in
+    * basis points. The inequality line of a corpus datasheet: Gini near
+    * 0 means tokens spread evenly across documents, near 10000 means a
+    * few giant documents carry the corpus — which decides whether
+    * doc-level sampling (q75) and doc-level dedup decisions move token
+    * mass proportionally or not (the q123 effective-size story at the
+    * allocation level). Computed EXACTLY in integers via the rank-sum
+    * identity G = (2·S − (n+1)·T) / (n·T) with S = Σ rankᵢ·xᵢ over the
+    * ascending sort — tie blocks contribute c·B + c(c+1)/2 rank mass in
+    * closed form, so the histogram never expands back to documents.
+    *
+    * Scale posture: the corpus collapses FIRST to the (lang, len)
+    * histogram with map-side combine (grid = distinct lengths,
+    * content-bounded); the cumulative-below fold is the broadcast
+    * triangle theta-join (q108/q147 device); S and T ride
+    * decimal(38,0)/HUGEINT (rank·len products overflow BIGINT at corpus
+    * scale). */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(TextHash.tokens(col("text"))).cast("long").as("len"))
+      .groupBy(col("lang"), col("len")).agg(count(lit(1)).as("c"))
+    val a = h.select(col("lang"), col("len"), col("c"))
+    val b = h.select(col("lang").as("blang"), col("len").as("blen"),
+      col("c").as("bc"))
+    // B = docs strictly below each length block (triangle fold)
+    val below = a.join(broadcast(b),
+        col("blang") === col("lang") && col("blen") < col("len"), "left")
+      .groupBy(col("lang"), col("len"), col("c"))
+      .agg(coalesce(sum(col("bc")), lit(0L)).as("bl"))
+    below
+      .select(col("lang"), col("c"), col("len"),
+        // rank mass of the tie block: c·B + c(c+1)/2, times len
+        expr("cast(len as decimal(38,0)) * " +
+          "(c * bl + c * (c + 1) div 2)").as("s_term"),
+        expr("cast(len as decimal(38,0)) * c").as("t_term"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("s_term")).as("s"), sum(col("t_term")).as("t"))
+      .select(col("lang"), col("n_docs"),
+        col("t").cast("long").as("total_tokens"),
+        expr("cast((2 * s - (n_docs + 1) * t) * 10000 div (n_docs * t) " +
+          "as bigint)").as("gini_bp"))
+      .orderBy(col("lang"))
+  }
+
+  def tokenGiniSql: String =
+    """WITH h AS (
+      |  SELECT lang, len(string_split(lower(text), ' '))::BIGINT AS len,
+      |    count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2
+      |), below AS (
+      |  SELECT a.lang, a.len, a.c, coalesce(sum(b.c), 0)::BIGINT AS bl
+      |  FROM h a LEFT JOIN h b ON b.lang = a.lang AND b.len < a.len
+      |  GROUP BY a.lang, a.len, a.c
+      |), terms AS (
+      |  SELECT lang, c,
+      |    len::HUGEINT * (c * bl + c * (c + 1) // 2) AS s_term,
+      |    len::HUGEINT * c AS t_term
+      |  FROM below
+      |), agg AS (
+      |  SELECT lang, sum(c)::BIGINT AS n_docs,
+      |    sum(s_term) AS s, sum(t_term) AS t
+      |  FROM terms GROUP BY lang
+      |)
+      |SELECT lang, n_docs, t::BIGINT AS total_tokens,
+      |  ((2 * s - (n_docs + 1) * t) * 10000 // (n_docs * t))::BIGINT
+      |    AS gini_bp
+      |FROM agg ORDER BY lang""".stripMargin
+
   // ---- X89: per-source vocabulary entropy (q163) ----------------------------
 
   /** X89 vocabulary entropy (q163): per source — distinct token types,

@@ -775,6 +775,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fix("bodies").getAs[Long]("ks_bp") == 2500L)
   }
 
+  test("token gini (q168): rank-sum identity matches a driver pairwise recomputation; bounds hold") {
+    def giniBp(xs: Seq[Long]): Long = {
+      // reference form: mean absolute pairwise difference / (2·mean)
+      val n = xs.length.toLong
+      val t = xs.sum
+      val s = xs.sorted.zipWithIndex
+        .map { case (x, i) => BigInt(i + 1) * x }.sum
+      ((2 * s - BigInt(n + 1) * t) * 10000 / (BigInt(n) * t)).toLong
+    }
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("lang"), size(graft.functions.TextHash.tokens(col("text")))
+        .cast("long").as("len"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = TextAnalysis.tokenGini(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mine = lens.filter(_._1 == r.getAs[String]("lang")).map(_._2)
+      assert(r.getAs[Long]("n_docs") == mine.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == mine.sum)
+      assert(r.getAs[Long]("gini_bp") == giniBp(mine.toSeq),
+        s"${r.getAs[String]("lang")} gini")
+      assert(r.getAs[Long]("gini_bp") >= 0L && r.getAs[Long]("gini_bp") < 10000L)
+    }
+    // analytic anchors: equal masses → 0; one giant among dust → near max
+    val dir = java.nio.file.Files.createTempDirectory("graft_gini").toString
+    val eq = (1L to 5L).map(i => (i, "a b c d", "en"))
+    val skew = (10L to 18L).map(i => (i, "x", "xx")) :+
+      (19L, Seq.fill(991)("y").mkString(" "), "xx")
+    (eq ++ skew).toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"), lit("s").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fix = TextAnalysis.tokenGini(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("gini_bp")).toMap
+    assert(fix("en") == 0L)
+    // 9 docs of 1 token + 1 of 991: G = (2·S − 11·1000)/(10·1000) with
+    // S = 45 + 10·991 = 9955 → 8910 bp
+    assert(fix("xx") == 8910L)
+  }
+
   test("vocab entropy (q163): milli-bit H matches a driver recomputation; skew collapses it; 1-type floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
     Seq(
