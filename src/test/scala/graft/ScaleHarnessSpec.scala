@@ -531,6 +531,62 @@ class ScaleHarnessSpec extends SparkSpec {
     }
   }
 
+  test("q163/q167/q168: distribution functionals are invariant under 100x uniform duplication") {
+    // entropy, KS drift and Gini are all functions of the SHAPE of a
+    // distribution — duplicating every doc uniformly scales every
+    // histogram cell by the same factor and must move none of them
+    val d1x = corpusDir(30, 60)
+    val d100x = corpusDir(30, 6000)
+    // same histogram SHAPE requires the same copy mix — corpusDir's skew
+    // allocation differs between scales, so build uniform-copy corpora
+    def uniform(copies: Int): String = {
+      val rows = for { t <- 0 until 25; c <- 0 until copies } yield
+        (t.toLong * 1000000L + c,
+          (0 until (6 + t % 7)).map(j => s"u${t}w$j").mkString(" "))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_statinv_$copies").toString
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          concat(lit("s"), (col("doc_id") / 1000000L).cast("long") % 5)
+            .as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .repartition(4).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val (u1, u100) = (uniform(1), uniform(100))
+    def strip(df: org.apache.spark.sql.DataFrame, drop: String*): Seq[Seq[Any]] =
+      df.drop(drop: _*).collect().map(_.toSeq).toSeq
+    // entropy: probabilities unchanged -> H invariant up to the LUT's
+    // quantization: the 16-entry mantissa table floors within a bucket
+    // (≤ ~87 mb per log2mb call), and scaling every argument by 100
+    // re-buckets them all — so the functional moves by at most about
+    // one bucket width, never more
+    val e1 = TextAnalysis.vocabEntropy(spark, u1).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("entropy_mb"), r.getAs[Long]("norm_bp"))).toMap
+    val e100 = TextAnalysis.vocabEntropy(spark, u100).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("entropy_mb"), r.getAs[Long]("norm_bp"))).toMap
+    assert(e1.keySet == e100.keySet)
+    e1.foreach { case (s, (h1v, n1v)) =>
+      val (h100, n100) = e100(s)
+      assert(math.abs(h1v - h100) <= 100L, s"$s H drifted ${h1v - h100} mb")
+      assert(math.abs(n1v - n100) <= 300L, s"$s norm drifted ${n1v - n100} bp")
+    }
+    // KS: every CDF share identical -> same D at the same length
+    assert(strip(TextAnalysis.lengthDrift(spark, u1), "n_docs") ==
+      strip(TextAnalysis.lengthDrift(spark, u100), "n_docs"))
+    // Gini: scale-free by construction
+    assert(strip(TextAnalysis.tokenGini(spark, u1), "n_docs", "total_tokens") ==
+      strip(TextAnalysis.tokenGini(spark, u100), "n_docs", "total_tokens"))
+    // and the SKEWED inflation (d1x vs d100x) must keep outputs well-formed
+    TextAnalysis.tokenGini(spark, d100x).collect().foreach { r =>
+      assert(r.getAs[Long]("gini_bp") >= 0L && r.getAs[Long]("gini_bp") < 10000L)
+    }
+    assert(TextAnalysis.vocabEntropy(spark, d1x).count() == 1L)
+  }
+
   test("q161: head-group table is content-bounded — 100x duplication adds no head and no family") {
     val d1x = corpusDir(30, 60)
     val d100x = corpusDir(30, 6000)
