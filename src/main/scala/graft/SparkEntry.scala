@@ -262,7 +262,8 @@ object SparkEntry {
     "q165_media_dedup" -> ((s, d) => Multimodal.mediaDedup(s, d)),
     "q166_rank_agreement" -> ((s, d) => TextAnalysis.rankAgreement(s, d)),
     "q167_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(s, d)),
-    "q168_token_gini" -> ((s, d) => TextAnalysis.tokenGini(s, d))
+    "q168_token_gini" -> ((s, d) => TextAnalysis.tokenGini(s, d)),
+    "q169_cooccurrence" -> ((s, d) => EventAnalytics.cooccurrenceLift(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -437,6 +438,7 @@ object SparkEntry {
     "q165_media_dedup" -> Multimodal.mediaDedupSql,
     "q166_rank_agreement" -> TextAnalysis.rankAgreementSql,
     "q167_length_drift" -> TextAnalysis.lengthDriftSql,
-    "q168_token_gini" -> TextAnalysis.tokenGiniSql
+    "q168_token_gini" -> TextAnalysis.tokenGiniSql,
+    "q169_cooccurrence" -> EventAnalytics.cooccurrenceLiftSql
   )
 }

@@ -476,6 +476,71 @@ object EventAnalytics {
        |    THEN 1 ELSE 0 END)::BIGINT AS anomaly
        |FROM t WHERE n_prior > 0 ORDER BY day, event_type""".stripMargin
 
+  /** Event co-occurrence lift matrix (q169): for every unordered pair
+    * of event types — users doing BOTH, each side's user marginal, and
+    * the lift versus independence in basis points
+    * (n_both·n_users·10000 div (n_a·n_b)): lift ≫ 10000 means the two
+    * behaviors travel together (bundle them in funnels), ≪ 10000 means
+    * they split the user base (distinct segments). The q154
+    * source×language independence device applied to BEHAVIOR, and the
+    * unordered companion to q122's directed transition matrix (q122
+    * counts consecutive steps; this counts whether the same user EVER
+    * does both).
+    *
+    * Scale posture: ONE distinct (user, type) projection (map-side
+    * combinable, ≤ \|types\| rows per user), self-joined on the
+    * high-cardinality user_id (the q12-q14 window-partition contract
+    * applied to a join key — never on a type); cells and marginals are
+    * ≤ \|types\|²-row rollups with map-side combine; the lift product
+    * rides decimal(38,0)/HUGEINT (n_both·n_users·10000 overflows BIGINT
+    * at 100 TB user counts). */
+  def cooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val marginals = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users_t"))
+    val nUsers = ut.select(col("user_id")).distinct().count()
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marginals.select(col("event_type").as("type_a"),
+        col("n_users_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marginals.select(col("event_type").as("type_b"),
+        col("n_users_t").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        expr(s"cast(cast(n_both as decimal(38,0)) * $nUsers * 10000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("lift_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  def cooccurrenceLiftSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), m AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_users_t FROM ut GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM ut
+      |), p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*)::BIGINT AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, n_both, ma.n_users_t AS n_a, mb.n_users_t AS n_b,
+      |  ((n_both::HUGEINT * n.n_users * 10000)
+      |    // (ma.n_users_t::HUGEINT * mb.n_users_t))::BIGINT AS lift_bp
+      |FROM p
+      |JOIN m ma ON ma.event_type = p.type_a
+      |JOIN m mb ON mb.event_type = p.type_b
+      |CROSS JOIN n
+      |ORDER BY type_a, type_b""".stripMargin
+
   /** User-journey transition matrix (q122): for every user's event
     * sequence in (event-time, event_id) order, count each consecutive
     * (from_type → to_type) step — the Markov-cell table session-flow

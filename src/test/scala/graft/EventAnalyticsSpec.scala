@@ -244,6 +244,43 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(drop.getAs[Long]("anomaly") == 1L)
   }
 
+  test("cooccurrence lift (q169): cells match a driver set recomputation; planted bundle and split pin the poles") {
+    // driver recomputation on the live corpus
+    val ut = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nUsers = ut.map(_._1).distinct.length.toLong
+    val rows = EventAnalytics.cooccurrenceLift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val both = (byType(a) intersect byType(b)).size.toLong
+      assert(r.getAs[Long]("n_both") == both, s"($a,$b)")
+      assert(r.getAs[Long]("n_a") == byType(a).size.toLong)
+      assert(r.getAs[Long]("n_b") == byType(b).size.toLong)
+      assert(r.getAs[Long]("lift_bp") ==
+        (BigInt(both) * nUsers * 10000 /
+          (BigInt(byType(a).size) * byType(b).size)).toLong)
+    }
+    // poles on a planted fixture: a perfect bundle (every 'buy' user
+    // also 'pays') and a perfect split (no user does both)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cooc").toString
+    var eid = 0L
+    def ev(u: Long, t: String) = { eid += 1; (eid, nanos(eid), u, t, 1.0, "{}") }
+    (Seq(1L, 2L).flatMap(u => Seq(ev(u, "buy"), ev(u, "pay"))) ++
+      Seq(ev(3L, "lurk"), ev(4L, "lurk")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val fix = EventAnalytics.cooccurrenceLift(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        r.getAs[Long]("lift_bp")).toMap
+    // bundle: both=2, na=nb=2, n=4 -> lift 2*4*10000/4 = 20000
+    assert(fix(("buy", "pay")) == 20000L)
+    // split pairs never co-occur -> absent from the matrix entirely
+    assert(!fix.contains(("buy", "lurk")) && !fix.contains(("lurk", "pay")))
+  }
+
   test("stickiness (q145): dau <= wau, ratio exact, wau identical to q76") {
     val rows = EventAnalytics.stickiness(spark, sf0001).collect()
     assert(rows.nonEmpty)
