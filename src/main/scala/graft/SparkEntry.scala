@@ -263,7 +263,8 @@ object SparkEntry {
     "q166_rank_agreement" -> ((s, d) => TextAnalysis.rankAgreement(s, d)),
     "q167_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(s, d)),
     "q168_token_gini" -> ((s, d) => TextAnalysis.tokenGini(s, d)),
-    "q169_cooccurrence" -> ((s, d) => EventAnalytics.cooccurrenceLift(s, d))
+    "q169_cooccurrence" -> ((s, d) => EventAnalytics.cooccurrenceLift(s, d)),
+    "q170_mattr" -> ((s, d) => TextAnalysis.mattrDiversity(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -439,6 +440,7 @@ object SparkEntry {
     "q166_rank_agreement" -> TextAnalysis.rankAgreementSql,
     "q167_length_drift" -> TextAnalysis.lengthDriftSql,
     "q168_token_gini" -> TextAnalysis.tokenGiniSql,
-    "q169_cooccurrence" -> EventAnalytics.cooccurrenceLiftSql
+    "q169_cooccurrence" -> EventAnalytics.cooccurrenceLiftSql,
+    "q170_mattr" -> TextAnalysis.mattrDiversitySql()
   )
 }

@@ -229,6 +229,49 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Moving-average type-token ratio (MATTR) in integer basis points:
+    * the mean distinct-token count over every w-token sliding window,
+    * scaled — Σ_windows distinct(window) · 10000 / (n_windows · w).
+    * ONE pass with an incremental count map (add the entering token,
+    * retire the leaving one), O(n) per row regardless of w. Returns −1
+    * for documents shorter than w tokens (no window — callers filter).
+    * The length-bias-free diversity score (plain TTR decays with doc
+    * length by Heaps' law; MATTR holds the window fixed). */
+  def mattrBp(s: UTF8String, w: Int): Long = {
+    val lower = s.toLowerCase
+    val bytes = lower.getBytes
+    val bounds = tokenBounds(bytes)
+    val nTok = bounds.length / 2
+    if (nTok < w) return -1L
+    def tok(i: Int): UTF8String =
+      UTF8String.fromBytes(bytes, bounds(2 * i), bounds(2 * i + 1) - bounds(2 * i))
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var distinct = 0
+    var i = 0
+    while (i < w) {
+      val t = tok(i)
+      val prev = counts.get(t)
+      if (prev == null) { counts.put(t, 1); distinct += 1 }
+      else counts.put(t, prev.intValue() + 1)
+      i += 1
+    }
+    var sumDistinct = distinct.toLong
+    while (i < nTok) {
+      val in = tok(i)
+      val pin = counts.get(in)
+      if (pin == null) { counts.put(in, 1); distinct += 1 }
+      else counts.put(in, pin.intValue() + 1)
+      val out = tok(i - w)
+      val pout = counts.get(out).intValue()
+      if (pout == 1) { counts.remove(out); distinct -= 1 }
+      else counts.put(out, pout - 1)
+      sumDistinct += distinct
+      i += 1
+    }
+    val nWin = (nTok - w + 1).toLong
+    sumDistinct * 10000L / (nWin * w)
+  }
+
   /** Per-row positional n-gram multiset statistics in ONE pass:
     * [n_grams, n_distinct, top_count] (total occurrences, distinct gram
     * strings, the most-repeated gram's occurrence count). Keys are the
@@ -597,6 +640,23 @@ case class SpanGramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Moving-average TTR in basis points (−1 below w tokens) — the q170
+  * diversity kernel; see [[HashKernels.mattrBp]]. */
+case class MattrBp(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, s"mattr_bp needs w > 0 (got $w)")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"mattr_bp needs string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "mattr_bp"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.mattrBp(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.mattrBp($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): MattrBp =
+    copy(child = newChild)
+}
+
 /** Per-row n-gram multiset stats [n_grams, n_distinct, top_count] — the
   * q157 intra-document repetition kernel; see [[HashKernels.gramStats]]. */
 case class GramStats(child: Expression, n: Int) extends UnaryExpression {
@@ -748,6 +808,8 @@ object HashExpressions {
     bridge.column(SpanGramHashes(bridge.expression(text), n))
   def gramStats(text: Column, n: Int): Column =
     bridge.column(GramStats(bridge.expression(text), n))
+  def mattrBp(text: Column, w: Int): Column =
+    bridge.column(MattrBp(bridge.expression(text), w))
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     bridge.column(QualityScore(bridge.expression(text), stopwords))
   def simhash(text: Column, bits: Int = 48): Column =

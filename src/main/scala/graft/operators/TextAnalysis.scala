@@ -2040,6 +2040,65 @@ object TextAnalysis {
       |SELECT source, n_s AS n_docs, gap_bp::BIGINT AS ks_bp, len AS ks_len
       |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // ---- X96: moving-average TTR diversity (q170) ------------------------------
+
+  /** Window width for [[mattrDiversity]] — below the corpus's typical
+    * doc length so most docs carry at least one window. */
+  val MattrW = 25
+
+  /** X96 MATTR diversity (q170): per source — eligible docs, the mean
+    * moving-average type-token ratio at window [[MattrW]] in basis
+    * points, and the mean PLAIN TTR beside it. Plain TTR decays with
+    * document length by Heaps' law, so a long-document source reads as
+    * "less diverse" than a snippet farm even when their language is
+    * identical; MATTR holds the window fixed (public: Covington &
+    * McFall 2010, "Cutting the Gordian knot: the moving-average
+    * type-token ratio") and the ttr−mattr gap column IS the length bias
+    * being removed. Docs shorter than the window have no MATTR and are
+    * excluded.
+    *
+    * Scale posture: MATTR rides the `mattr_bp` codegen kernel — ONE
+    * O(n) pass per row with an incremental window count-map (no
+    * explode, no per-window recount, no shuffle before the |sources|-
+    * row rollup); all shares are exact BIGINT basis points. */
+  def mattrDiversity(spark: SparkSession, dir: String,
+                     w: Int = MattrW): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        graft.functions.HashExpressions.mattrBp(col("text"), w).as("mattr_bp"),
+        expr("cast(size(array_distinct(split(lower(text), ' '))) as bigint) " +
+          "* 10000 div cast(size(split(lower(text), ' ')) as bigint)")
+          .as("ttr_bp"))
+      .filter(col("mattr_bp") >= 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("mattr_bp")).as("sm"), sum(col("ttr_bp")).as("st"))
+      .select(col("source"), col("n_docs"),
+        expr("sm div n_docs").as("avg_mattr_bp"),
+        expr("st div n_docs").as("avg_ttr_bp"))
+      .orderBy(col("source"))
+  }
+
+  def mattrDiversitySql(w: Int = MattrW): String =
+    s"""WITH t AS (
+       |  SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+       |), d AS (
+       |  SELECT source,
+       |    CASE WHEN len(toks) >= $w THEN
+       |      (list_sum([len(list_distinct(toks[i:i+${w - 1}]))
+       |         for i in range(1, len(toks) - ${w - 2})])::BIGINT * 10000)
+       |        // ((len(toks) - ${w - 1})::BIGINT * $w)
+       |    ELSE -1 END AS mattr_bp,
+       |    (len(list_distinct(toks))::BIGINT * 10000)
+       |      // len(toks)::BIGINT AS ttr_bp
+       |  FROM t
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  (sum(mattr_bp)::BIGINT // count(*))::BIGINT AS avg_mattr_bp,
+       |  (sum(ttr_bp)::BIGINT // count(*))::BIGINT AS avg_ttr_bp
+       |FROM d WHERE mattr_bp >= 0
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // ---- X94: token-mass Gini concentration (q168) -----------------------------
 
   /** X94 token-mass Gini (q168): per language — document count, token

@@ -79,6 +79,24 @@ class HashKernelsSpec extends SparkSpec {
     }
   }
 
+  test("native mattr == driver sliding-window recomputation on generated texts") {
+    for (w <- Seq(3, 25)) {
+      val rows = texts(200).toDF("text").select(col("text"),
+        HashExpressions.mattrBp(col("text"), w).as("m")).collect()
+      rows.foreach { r =>
+        val toks = r.getString(0).toLowerCase.split(" ", -1).toSeq
+        val expected =
+          if (toks.length < w) -1L
+          else {
+            val wins = toks.sliding(w).filter(_.length == w).toSeq
+            wins.map(_.distinct.length.toLong).sum * 10000 /
+              (wins.length.toLong * w)
+          }
+        assert(r.getLong(1) == expected, s"w=$w text='${r.getString(0)}'")
+      }
+    }
+  }
+
   test("native sign band keys == per-plane expression tree on real embeddings") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("embedding").cast("array<double>").as("v"))

@@ -815,6 +815,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fix("xx") == 8910L)
   }
 
+  test("mattr (q170): window fixes TTR's length bias; short docs excluded; values exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mattr").toString
+    // base: 30 distinct tokens; doubled: the same text twice — identical
+    // local diversity, half the plain TTR
+    val base = (0 until 30).map(i => s"v$i").mkString(" ")
+    Seq(
+      (1L, base, "once"),
+      (2L, base + " " + base, "twice"),
+      (3L, "too short for any window", "once"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.mattrDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // the short doc is excluded: 'once' counts a single doc
+    assert(rows("once").getAs[Long]("n_docs") == 1L)
+    // plain TTR: 10000 for base, 5000 for the doubled doc — length bias
+    assert(rows("once").getAs[Long]("avg_ttr_bp") == 10000L)
+    assert(rows("twice").getAs[Long]("avg_ttr_bp") == 5000L)
+    // MATTR at w=25: base windows all-distinct (10000); the doubled doc
+    // only loses diversity in the windows straddling the seam — driver
+    // recompute, and far above its plain TTR
+    def mattr(text: String, w: Int = TextAnalysis.MattrW): Long = {
+      val toks = text.split(" ", -1).toSeq
+      val wins = toks.sliding(w).filter(_.length == w).toSeq
+      wins.map(_.distinct.length.toLong).sum * 10000 / (wins.length.toLong * w)
+    }
+    assert(rows("once").getAs[Long]("avg_mattr_bp") == 10000L)
+    assert(rows("twice").getAs[Long]("avg_mattr_bp") == mattr(base + " " + base))
+    assert(rows("twice").getAs[Long]("avg_mattr_bp") > 8000L,
+      "MATTR failed to discount the length bias")
+  }
+
   test("vocab entropy (q163): milli-bit H matches a driver recomputation; skew collapses it; 1-type floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
     Seq(
