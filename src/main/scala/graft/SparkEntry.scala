@@ -264,7 +264,8 @@ object SparkEntry {
     "q167_length_drift" -> ((s, d) => TextAnalysis.lengthDrift(s, d)),
     "q168_token_gini" -> ((s, d) => TextAnalysis.tokenGini(s, d)),
     "q169_cooccurrence" -> ((s, d) => EventAnalytics.cooccurrenceLift(s, d)),
-    "q170_mattr" -> ((s, d) => TextAnalysis.mattrDiversity(s, d))
+    "q170_mattr" -> ((s, d) => TextAnalysis.mattrDiversity(s, d)),
+    "q171_vocab_diff" -> ((s, d) => TextAnalysis.vocabDiff(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,6 +442,7 @@ object SparkEntry {
     "q167_length_drift" -> TextAnalysis.lengthDriftSql,
     "q168_token_gini" -> TextAnalysis.tokenGiniSql,
     "q169_cooccurrence" -> EventAnalytics.cooccurrenceLiftSql,
-    "q170_mattr" -> TextAnalysis.mattrDiversitySql()
+    "q170_mattr" -> TextAnalysis.mattrDiversitySql(),
+    "q171_vocab_diff" -> TextAnalysis.vocabDiffSql
   )
 }

@@ -2040,6 +2040,75 @@ object TextAnalysis {
       |SELECT source, n_s AS n_docs, gap_bp::BIGINT AS ks_bp, len AS ks_len
       |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
 
+  // ---- X97: vocabulary lifecycle diff (q171) ---------------------------------
+
+  /** X97 vocab lifecycle diff (q171): the q113 snapshot diff at the
+    * VOCABULARY level (old = even doc_id, new = odd — the shared q107/
+    * q113 split device): per language — token types present in both
+    * snapshots, minted by the new one, retired from the old, and the
+    * occurrence-mass share each churn class carries on its own side in
+    * basis points. q113 says how many DOCUMENTS turned over; this says
+    * whether the refresh changed the LANGUAGE — a refresh can replace
+    * half the docs while minting near-zero vocabulary (re-crawl churn)
+    * or keep every doc yet shift mass onto new terms (topic drift), and
+    * the two need different mixture reactions (q86/q106).
+    *
+    * Scale posture: ONE tokenized scan collapses map-side to the
+    * (lang, 60-bit hash) histogram with per-side conditional counts
+    * (the q151 rule — token strings never shuffle); all churn classes
+    * and mass shares come from one vocabulary-sized rollup; zero-mass
+    * guards via greatest(…, 1). */
+  def vocabDiff(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % 2 === 0).as("is_old"),
+        explode(TextHash.tokens(col("text"))).as("tok"))
+      .select(col("lang"), col("is_old"), TextHash.h1(col("tok")).as("h"))
+      .groupBy(col("lang"), col("h"))
+      .agg(sum(when(col("is_old"), 1L).otherwise(0L)).as("c_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("c_new"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("c_old") > 0 && col("c_new") > 0, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("c_old") === 0, 1L).otherwise(0L)).as("n_minted"),
+        sum(when(col("c_new") === 0, 1L).otherwise(0L)).as("n_retired"),
+        sum(when(col("c_old") === 0, col("c_new")).otherwise(0L))
+          .as("minted_mass"),
+        sum(col("c_new")).as("new_mass"),
+        sum(when(col("c_new") === 0, col("c_old")).otherwise(0L))
+          .as("retired_mass"),
+        sum(col("c_old")).as("old_mass"))
+      .select(col("lang"), col("n_both"), col("n_minted"), col("n_retired"),
+        expr("minted_mass * 10000 div greatest(new_mass, 1)")
+          .as("minted_share_bp"),
+        expr("retired_mass * 10000 div greatest(old_mass, 1)")
+          .as("retired_share_bp"))
+      .orderBy(col("lang"))
+
+  def vocabDiffSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, (doc_id % 2 = 0) AS is_old,
+       |    ${TextHash.h1Sql("tok")} AS h
+       |  FROM (SELECT lang, doc_id, unnest(string_split(lower(text), ' '))
+       |          AS tok
+       |        FROM documents)
+       |), g AS (
+       |  SELECT lang, h,
+       |    sum(CASE WHEN is_old THEN 1 ELSE 0 END)::BIGINT AS c_old,
+       |    sum(CASE WHEN is_old THEN 0 ELSE 1 END)::BIGINT AS c_new
+       |  FROM h GROUP BY 1, 2
+       |)
+       |SELECT lang,
+       |  sum(CASE WHEN c_old > 0 AND c_new > 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_both,
+       |  sum(CASE WHEN c_old = 0 THEN 1 ELSE 0 END)::BIGINT AS n_minted,
+       |  sum(CASE WHEN c_new = 0 THEN 1 ELSE 0 END)::BIGINT AS n_retired,
+       |  (sum(CASE WHEN c_old = 0 THEN c_new ELSE 0 END)::BIGINT * 10000
+       |    // greatest(sum(c_new), 1))::BIGINT AS minted_share_bp,
+       |  (sum(CASE WHEN c_new = 0 THEN c_old ELSE 0 END)::BIGINT * 10000
+       |    // greatest(sum(c_old), 1))::BIGINT AS retired_share_bp
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- X96: moving-average TTR diversity (q170) ------------------------------
 
   /** Window width for [[mattrDiversity]] — below the corpus's typical

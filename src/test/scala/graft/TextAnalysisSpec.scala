@@ -849,6 +849,41 @@ class TextAnalysisSpec extends SparkSpec {
       "MATTR failed to discount the length bias")
   }
 
+  test("vocab diff (q171): churn classes partition the vocabulary; planted mint and retire are exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vdiff").toString
+    // old (even ids): shared + retiring terms; new (odd ids): shared +
+    // minted terms — hand-computable churn
+    Seq(
+      (2L, "stable words here plus legacy jargon", "en"),
+      (4L, "stable words here again", "en"),
+      (1L, "stable words here plus fresh coinage", "en"),
+      (3L, "stable words here once more", "en"))
+      .toDF("doc_id", "text", "lang")
+      .select(col("doc_id"), col("text"), col("lang"), lit("s").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.vocabDiff(spark, dir).collect().head
+    // old vocab: stable words here plus legacy jargon again (7 types)
+    // new vocab: stable words here plus fresh coinage once more (8)
+    // both: stable, words, here, plus, = 4; minted: fresh coinage once
+    // more = 4; retired: legacy jargon again = 3
+    assert(r.getAs[Long]("n_both") == 4L)
+    assert(r.getAs[Long]("n_minted") == 4L)
+    assert(r.getAs[Long]("n_retired") == 3L)
+    // new side mass: 6 + 5 = 11 tokens, minted occurrences = 4
+    assert(r.getAs[Long]("minted_share_bp") == 4L * 10000 / 11)
+    // old side mass: 6 + 4 = 10 tokens, retired occurrences = 3
+    assert(r.getAs[Long]("retired_share_bp") == 3L * 10000 / 10)
+    // live-corpus sanity: classes partition each side's vocabulary
+    val live = TextAnalysis.vocabDiff(spark, sf0001).collect()
+    assert(live.nonEmpty)
+    live.foreach { row =>
+      assert(row.getAs[Long]("n_both") >= 0L)
+      assert(row.getAs[Long]("minted_share_bp") <= 10000L)
+      assert(row.getAs[Long]("retired_share_bp") <= 10000L)
+    }
+  }
+
   test("vocab entropy (q163): milli-bit H matches a driver recomputation; skew collapses it; 1-type floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_entropy").toString
     Seq(
