@@ -265,7 +265,8 @@ object SparkEntry {
     "q168_token_gini" -> ((s, d) => TextAnalysis.tokenGini(s, d)),
     "q169_cooccurrence" -> ((s, d) => EventAnalytics.cooccurrenceLift(s, d)),
     "q170_mattr" -> ((s, d) => TextAnalysis.mattrDiversity(s, d)),
-    "q171_vocab_diff" -> ((s, d) => TextAnalysis.vocabDiff(s, d))
+    "q171_vocab_diff" -> ((s, d) => TextAnalysis.vocabDiff(s, d)),
+    "q172_burstiness" -> ((s, d) => EventAnalytics.burstiness(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -443,6 +444,7 @@ object SparkEntry {
     "q168_token_gini" -> TextAnalysis.tokenGiniSql,
     "q169_cooccurrence" -> EventAnalytics.cooccurrenceLiftSql,
     "q170_mattr" -> TextAnalysis.mattrDiversitySql(),
-    "q171_vocab_diff" -> TextAnalysis.vocabDiffSql
+    "q171_vocab_diff" -> TextAnalysis.vocabDiffSql,
+    "q172_burstiness" -> EventAnalytics.burstinessSql
   )
 }

@@ -541,6 +541,52 @@ object EventAnalytics {
       |CROSS JOIN n
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** Arrival-burstiness audit (q172): per event type, the exact Fano
+    * factor of the per-day arrival counts in basis points —
+    * F = var/mean, computed as F_bp = (n·Σc² − (Σc)²)·10000 div
+    * (n·Σc) over the n observed daily cells. 10000 is the Poisson line:
+    * F ≫ 10000 means arrivals clump (campaign bursts, bot storms — the
+    * q164 alarms will fire often and honestly), F ≪ 10000 means
+    * metronome traffic (schedulers, heartbeats — any q164 flag there is
+    * a REAL break). The characterization that calibrates how much
+    * trust to put in threshold alarms per type. Population variance
+    * over observed days (absent days are not zero-filled — the same
+    * rows-based rule as q164, disclosed).
+    *
+    * Scale posture: the corpus collapses FIRST to (type, day) cells
+    * with map-side combine; Σc and Σc² are one |types|-row rollup over
+    * those cells; the c² products ride decimal(38,0)/HUGEINT (a 100 TB
+    * day cell squared overflows BIGINT). */
+  def burstiness(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("n_events"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("ss"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        expr("cast((n_days * ss - cast(n_events as decimal(38,0)) " +
+          "* n_events) * 10000 div (cast(n_days as decimal(38,0)) " +
+          "* n_events) as bigint)").as("fano_bp"))
+      .orderBy(col("event_type"))
+
+  def burstinessSql: String =
+    """WITH d AS (
+      |  SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+      |    count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2
+      |), a AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_days,
+      |    sum(c)::BIGINT AS n_events,
+      |    sum(c::HUGEINT * c) AS ss
+      |  FROM d GROUP BY event_type
+      |)
+      |SELECT event_type, n_days, n_events,
+      |  ((n_days * ss - n_events::HUGEINT * n_events) * 10000
+      |    // (n_days::HUGEINT * n_events))::BIGINT AS fano_bp
+      |FROM a ORDER BY event_type""".stripMargin
+
   /** User-journey transition matrix (q122): for every user's event
     * sequence in (event-time, event_id) order, count each consecutive
     * (from_type → to_type) step — the Markov-cell table session-flow

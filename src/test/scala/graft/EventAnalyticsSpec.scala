@@ -352,4 +352,36 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(n <= member, s"$d: window count $n > member-day sum $member")
     }
   }
+
+  test("burstiness (q172): metronome at 0, planted burst exact, one-day type degenerate-0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    var eid = 0L
+    val rows = (
+      // "metronome": exactly 10/day for 4 days → var 0 → fano_bp 0
+      (for { d <- 1 to 4; i <- 1 to 10 } yield {
+        eid += 1; (eid, nanos(d.toLong * day + i), eid % 5, "metronome", 1.0, "{}")
+      }) ++
+      // "bursty": 1,1,1,17 over 4 days → n=4, Σc=20, Σc²=292
+      //   F_bp = (4·292 − 400)·10000 div (4·20) = 96000
+      (for { d <- 1 to 4; i <- 1 to (if (d == 4) 17 else 1) } yield {
+        eid += 1; (eid, nanos(d.toLong * day + i), eid % 5, "bursty", 1.0, "{}")
+      }) ++
+      // "once": a single observed day → numerator 1·c²−c² = 0
+      (for { i <- 1 to 7 } yield {
+        eid += 1; (eid, nanos(day + i), eid % 5, "once", 1.0, "{}")
+      })).toSeq
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.burstiness(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.size == 3)
+    val m = out("metronome")
+    assert(m.getAs[Long]("n_days") == 4L && m.getAs[Long]("n_events") == 40L)
+    assert(m.getAs[Long]("fano_bp") == 0L, "metronome must sit at var 0")
+    val b = out("bursty")
+    assert(b.getAs[Long]("n_days") == 4L && b.getAs[Long]("n_events") == 20L)
+    assert(b.getAs[Long]("fano_bp") == 96000L,
+      s"planted burst: got ${b.getAs[Long]("fano_bp")}")
+    assert(out("once").getAs[Long]("fano_bp") == 0L, "single-day type")
+  }
 }
