@@ -266,7 +266,8 @@ object SparkEntry {
     "q169_cooccurrence" -> ((s, d) => EventAnalytics.cooccurrenceLift(s, d)),
     "q170_mattr" -> ((s, d) => TextAnalysis.mattrDiversity(s, d)),
     "q171_vocab_diff" -> ((s, d) => TextAnalysis.vocabDiff(s, d)),
-    "q172_burstiness" -> ((s, d) => EventAnalytics.burstiness(s, d))
+    "q172_burstiness" -> ((s, d) => EventAnalytics.burstiness(s, d)),
+    "q173_vocab_richness" -> ((s, d) => TextAnalysis.vocabRichness(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -445,6 +446,7 @@ object SparkEntry {
     "q169_cooccurrence" -> EventAnalytics.cooccurrenceLiftSql,
     "q170_mattr" -> TextAnalysis.mattrDiversitySql(),
     "q171_vocab_diff" -> TextAnalysis.vocabDiffSql,
-    "q172_burstiness" -> EventAnalytics.burstinessSql
+    "q172_burstiness" -> EventAnalytics.burstinessSql,
+    "q173_vocab_richness" -> TextAnalysis.vocabRichnessSql
   )
 }

@@ -3303,4 +3303,69 @@ object TextAnalysis {
        |FROM b JOIN qr ON b.doc_id = qr.doc_id AND b.lang = qr.lang
        |GROUP BY 1, 2 ORDER BY b.lang, b.ppx_bucket""".stripMargin
   }
+
+  // ---- X99: vocabulary-richness estimators (q173) --------------------------
+
+  /** Per-(lang, 60-bit token hash) occurrence histogram — the COUNTED
+    * companion to the q149 distinct vocabulary table. PlanCache'd so the
+    * richness fold and any future frequency-spectrum consumer share one
+    * tokenized scan. */
+  private[graft] def langHist(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"textanalysis.langHist:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("lang"), explode(TextHash.tokens(col("text"))).as("tok"))
+        .select(col("lang"), TextHash.h1(col("tok")).as("h"))
+        .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("cnt"))
+    }
+
+  /** X99 vocabulary-richness estimators (q173): per language — token
+    * mass N, observed types V, singletons F1, doubletons F2, the
+    * bias-corrected Chao1 asymptotic richness estimate
+    * V + F1·(F1−1) div (2·(F2+1)) (Chao 1984; the +1 correction keeps
+    * it defined at F2 = 0), and the Good–Turing unseen-probability mass
+    * F1·10⁴ div N in basis points (Good 1953). The "how much vocabulary
+    * haven't we crawled yet" line of a corpus datasheet: unseen_bp near
+    * zero says the corpus has saturated its languages' vocabularies
+    * (more data buys repetition, not coverage — the q147 growth curve's
+    * asymptote read as one number); a large chao1 − n_types gap says
+    * the long tail is still uncollected and OOV monitors (q85/X14)
+    * will keep firing on fresh data. Integer floors throughout,
+    * disclosed: both estimators round toward zero in BOTH engines.
+    *
+    * Scale posture: the corpus collapses map-side to the vocabulary-
+    * sized (lang, hash) histogram ([[langHist]], PlanCache'd — token
+    * strings never shuffle, the q151 rule); the estimator fold is a
+    * \|langs\|-row rollup; the F1·(F1−1) product rides
+    * decimal(38,0)/HUGEINT (singleton counts at 100 TB square past
+    * BIGINT). */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame =
+    langHist(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("f1"),
+        col("f2"),
+        expr("n_types + cast(cast(f1 as decimal(38,0)) * (f1 - 1) div " +
+          "cast(2 * (f2 + 1) as decimal(38,0)) as bigint)").as("chao1"),
+        expr("f1 * 10000 div n_tokens").as("unseen_bp"))
+      .orderBy(col("lang"))
+
+  def vocabRichnessSql: String =
+    s"""WITH hist AS (
+       |  SELECT lang, ${TextHash.h1Sql("tok")} AS h, count(*)::BIGINT AS cnt
+       |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), a AS (
+       |  SELECT lang, sum(cnt)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+       |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+       |  FROM hist GROUP BY lang
+       |)
+       |SELECT lang, n_tokens, n_types, f1, f2,
+       |  (n_types + f1::HUGEINT * (f1 - 1) // (2 * (f2 + 1)))::BIGINT AS chao1,
+       |  (f1 * 10000 // n_tokens)::BIGINT AS unseen_bp
+       |FROM a ORDER BY lang""".stripMargin
 }

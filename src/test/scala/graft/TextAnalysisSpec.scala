@@ -1192,4 +1192,30 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "srcDup", 5L, 2L, 0L, 4L, 0L),
       (3L, "srcNiche", 3L, 3L, 2L, 6L, 6666L)))
   }
+
+  test("vocab richness (q173): Chao1 and Good-Turing exact on hand counts, F2=0 guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rich").toString
+    Seq(
+      // lang aa: tokens p q r s s → N=5, V=4, F1=3 (p,q,r), F2=1 (s)
+      //   chao1 = 4 + 3·2 div (2·2) = 5; unseen_bp = 3·10000 div 5 = 6000
+      (1L, "p q r", "aa", "t", 5L),
+      (2L, "s s", "aa", "t", 3L),
+      // lang bb: all distinct → F2=0 exercises the +1 guard:
+      //   N=4, V=4, F1=4, F2=0 → chao1 = 4 + 4·3 div 2 = 10; unseen 10000
+      (3L, "w x y z", "bb", "t", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.vocabRichness(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(out.size == 2)
+    val aa = out("aa")
+    assert(aa.getAs[Long]("n_tokens") == 5L && aa.getAs[Long]("n_types") == 4L)
+    assert(aa.getAs[Long]("f1") == 3L && aa.getAs[Long]("f2") == 1L)
+    assert(aa.getAs[Long]("chao1") == 5L, s"chao1 ${aa.getAs[Long]("chao1")}")
+    assert(aa.getAs[Long]("unseen_bp") == 6000L)
+    val bb = out("bb")
+    assert(bb.getAs[Long]("f2") == 0L && bb.getAs[Long]("chao1") == 10L,
+      "F2=0 must ride the bias-corrected denominator, not divide by zero")
+    assert(bb.getAs[Long]("unseen_bp") == 10000L, "all-singleton corpus")
+  }
 }
