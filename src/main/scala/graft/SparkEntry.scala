@@ -267,7 +267,8 @@ object SparkEntry {
     "q170_mattr" -> ((s, d) => TextAnalysis.mattrDiversity(s, d)),
     "q171_vocab_diff" -> ((s, d) => TextAnalysis.vocabDiff(s, d)),
     "q172_burstiness" -> ((s, d) => EventAnalytics.burstiness(s, d)),
-    "q173_vocab_richness" -> ((s, d) => TextAnalysis.vocabRichness(s, d))
+    "q173_vocab_richness" -> ((s, d) => TextAnalysis.vocabRichness(s, d)),
+    "q174_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -447,6 +448,7 @@ object SparkEntry {
     "q170_mattr" -> TextAnalysis.mattrDiversitySql(),
     "q171_vocab_diff" -> TextAnalysis.vocabDiffSql,
     "q172_burstiness" -> EventAnalytics.burstinessSql,
-    "q173_vocab_richness" -> TextAnalysis.vocabRichnessSql
+    "q173_vocab_richness" -> TextAnalysis.vocabRichnessSql,
+    "q174_winnowing" -> TextAnalysis.winnowingSql()
   )
 }

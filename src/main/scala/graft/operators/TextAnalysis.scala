@@ -3368,4 +3368,122 @@ object TextAnalysis {
        |  (n_types + f1::HUGEINT * (f1 - 1) // (2 * (f2 + 1)))::BIGINT AS chao1,
        |  (f1 * 10000 // n_tokens)::BIGINT AS unseen_bp
        |FROM a ORDER BY lang""".stripMargin
+
+  // ---- X100: winnowing fingerprint selection (q174) ------------------------
+
+  /** Selected fingerprint positions under robust winnowing (Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD — public): over the positional gram stream
+    * ([[posGrams]]), every full window of `w` consecutive gram positions
+    * selects its minimum-hash gram, ties broken to the RIGHTMOST
+    * position; the fingerprint set is the distinct selected positions.
+    * Implemented without per-window state via one composite-key window
+    * min: e = (gk mod 2⁴⁰)·2²⁰ + (2²⁰−1−pos) — min(e) picks the smallest
+    * 40-bit hash and, among equal hashes, the largest pos. [[TextHash.h1]]
+    * is a non-negative 60-bit value, so the mod-2⁴⁰ reduction and the
+    * decode are exact; positions are bounded by 2²⁰ grams/doc (disclosed
+    * — a longer doc would need a wider position field). Returns
+    * (doc_id, spos). */
+  private[graft] def winnowedPositions(spark: SparkSession, dir: String,
+                                       n: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = posGrams(spark, dir, n).withColumn("e",
+      expr(s"(gk % ${1L << 40}) * ${1L << 20} + (${(1L << 20) - 1} - pos)"))
+    val fr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    enc.select(col("doc_id"), count(lit(1)).over(fr).as("c"),
+        min(col("e")).over(fr).as("me"))
+      .filter(col("c") === w)
+      .select(col("doc_id"),
+        expr(s"${(1L << 20) - 1} - (me % ${1L << 20})").as("spos"))
+      .distinct()
+  }
+
+  /** X100 winnowing fingerprint audit (q174): per source — docs with a
+    * gram stream, total grams, selected fingerprints, selection density
+    * in basis points, and the distinct selected hashes an index would
+    * store. THE index-size pricing for fingerprint-based near-dup at
+    * 100 TB: winnowing guarantees any shared run of ≥ w+n−1 tokens
+    * yields a shared fingerprint while storing ~2/(w+1) of the gram
+    * stream (expected density 4000 bp at w=4) — this row is that
+    * guarantee's bill, next to X2's MinHash (set-similarity, no
+    * locality) and X32's full positional index (exact spans, 1:1 rows).
+    * Docs shorter than n tokens have no grams (excluded); docs with
+    * fewer than w grams contribute grams but no full window, hence no
+    * fingerprints (the q170 sub-window convention, disclosed).
+    *
+    * Scale posture: the gram stream is the PlanCache'd [[posGrams]]
+    * fragment shared with q105; the selection window partitions on
+    * high-cardinality doc_id and is O(w) per row; selected rows (~2/(w+1)
+    * of the stream) join source on doc_id; rollups are per-doc then
+    * \|sources\|-row with map-side combine. Gram strings never shuffle —
+    * only 8-byte keys and positions. */
+  def winnowing(spark: SparkSession, dir: String,
+                n: Int = 5, w: Int = 4): DataFrame = {
+    val pg = posGrams(spark, dir, n)
+    val sel = winnowedPositions(spark, dir, n, w)
+    val ds = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val gtot = pg.groupBy(col("doc_id")).agg(count(lit(1)).as("g"))
+    val stot = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("s"))
+    val perSrc = gtot.join(stot, Seq("doc_id"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .join(ds, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("n_grams"),
+        sum(col("s")).as("n_selected"))
+    val hashes = sel.join(
+        pg.select(col("doc_id"), col("pos").as("spos"), col("gk")),
+        Seq("doc_id", "spos"))
+      .join(ds, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("gk")).as("n_hashes"))
+    perSrc.join(hashes, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_selected"),
+        expr("n_selected * 10000 div n_grams").as("density_bp"),
+        coalesce(col("n_hashes"), lit(0L)).as("n_hashes"))
+      .orderBy(col("source"))
+  }
+
+  def winnowingSql(n: Int = 5, w: Int = 4): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |), pg AS (
+       |  SELECT doc_id, unnest(
+       |    [{'pos': i, 'gk': ${TextHash.h1Sql(s"array_to_string(t[i:i+${n - 1}], ' ')")}}
+       |     for i in range(1, len(t) - ${n - 2})], recursive := true)
+       |  FROM toks
+       |), enc AS (
+       |  SELECT doc_id, pos, gk,
+       |    (gk % ${1L << 40}) * ${1L << 20} + (${(1L << 20) - 1} - pos) AS e
+       |  FROM pg
+       |), win AS (
+       |  SELECT doc_id, count(*) OVER fr AS c, min(e) OVER fr AS me
+       |  FROM enc
+       |  WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, ${(1L << 20) - 1} - (me % ${1L << 20}) AS spos
+       |  FROM win WHERE c = $w
+       |), ds AS (
+       |  SELECT doc_id, source FROM documents
+       |), gtot AS (
+       |  SELECT doc_id, count(*)::BIGINT AS g FROM pg GROUP BY 1
+       |), stot AS (
+       |  SELECT doc_id, count(*)::BIGINT AS s FROM sel GROUP BY 1
+       |), agg AS (
+       |  SELECT ds.source, count(*)::BIGINT AS n_docs, sum(g)::BIGINT AS n_grams,
+       |    sum(coalesce(s, 0))::BIGINT AS n_selected,
+       |    (sum(coalesce(s, 0)) * 10000 // sum(g))::BIGINT AS density_bp
+       |  FROM gtot JOIN ds USING (doc_id) LEFT JOIN stot USING (doc_id)
+       |  GROUP BY 1
+       |), hs AS (
+       |  SELECT ds.source, count(DISTINCT gk)::BIGINT AS n_hashes
+       |  FROM sel JOIN pg ON pg.doc_id = sel.doc_id AND pg.pos = sel.spos
+       |  JOIN ds ON ds.doc_id = sel.doc_id
+       |  GROUP BY 1
+       |)
+       |SELECT agg.source, n_docs, n_grams, n_selected, density_bp,
+       |  coalesce(hs.n_hashes, 0)::BIGINT AS n_hashes
+       |FROM agg LEFT JOIN hs ON hs.source = agg.source
+       |ORDER BY agg.source""".stripMargin
 }

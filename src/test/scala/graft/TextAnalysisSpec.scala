@@ -1218,4 +1218,46 @@ class TextAnalysisSpec extends SparkSpec {
       "F2=0 must ride the bias-corrected denominator, not divide by zero")
     assert(bb.getAs[Long]("unseen_bp") == 10000L, "all-singleton corpus")
   }
+
+  test("winnowing (q174): coverage guarantee, rightmost-min determinism, dup docs share fingerprints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    val long = (1 to 30).map(i => s"tok${i % 11}").mkString(" ") // repeats → hash ties
+    Seq(
+      (1L, long, "en", "srcA", 120L),
+      (2L, long, "en", "srcB", 120L),                // exact dup of doc 1
+      (3L, "a b c d e f g h i j k l", "en", "srcA", 23L),
+      (4L, "one two three four five", "en", "srcA", 22L), // exactly n=3 grams < w
+      (5L, "xx yy", "en", "srcA", 5L))               // < n tokens: no grams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val n = 3; val w = 4
+    val sel = operators.TextAnalysis.winnowedPositions(spark, dir, n, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSet }
+    // winnowing guarantee: every full w-window of gram positions holds a selection
+    def grams(text: String): Int = text.split(" ").length - n + 1
+    for ((d, text) <- Seq(1L -> long, 2L -> long, 3L -> "a b c d e f g h i j k l")) {
+      val g = grams(text)
+      val ps = sel(d)
+      (1 to g - w + 1).foreach { j =>
+        assert(ps.exists(p => p >= j && p < j + w),
+          s"doc $d window [$j, ${j + w - 1}) has no fingerprint; sel=$ps")
+      }
+      assert(ps.forall(p => p >= 1 && p <= g), s"doc $d decoded out of range")
+    }
+    // identical docs select identical positions (the dup-detection property)
+    assert(sel(1L) == sel(2L), "exact duplicate docs must share fingerprints")
+    // doc 4: 3 grams < w=4 → no full window; doc 5: no grams at all
+    assert(!sel.contains(4L) && !sel.contains(5L))
+    val out = operators.TextAnalysis.winnowing(spark, dir, n, w).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = out("srcA"); val b = out("srcB")
+    // srcA docs with grams: 1, 3, 4 (doc 5 gramless); srcB: doc 2
+    assert(a.getAs[Long]("n_docs") == 3L && b.getAs[Long]("n_docs") == 1L)
+    assert(b.getAs[Long]("n_grams") == grams(long).toLong)
+    assert(b.getAs[Long]("n_selected") == sel(2L).size.toLong)
+    // density ≤ 10000 and the dup doc's hash set is shared with srcA's copy
+    assert(a.getAs[Long]("density_bp") <= 10000L)
+    assert(b.getAs[Long]("n_hashes") <= b.getAs[Long]("n_selected"))
+  }
 }
