@@ -90,6 +90,9 @@ object PlanAudit {
     // q166's pair fan-out and census×pairs join are broadcast crosses
     // over the ≤2·RrfPool-row fused pool / single-row aggregates
     "q166_rank_agreement",
+    // q175 crossJoins the broadcast SINGLE-ROW purchase-cents total onto
+    // the ≤2·|types|-row model legs — the q154 audited scalar shape
+    "q175_attribution",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

@@ -268,7 +268,8 @@ object SparkEntry {
     "q171_vocab_diff" -> ((s, d) => TextAnalysis.vocabDiff(s, d)),
     "q172_burstiness" -> ((s, d) => EventAnalytics.burstiness(s, d)),
     "q173_vocab_richness" -> ((s, d) => TextAnalysis.vocabRichness(s, d)),
-    "q174_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d))
+    "q174_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
+    "q175_attribution" -> ((s, d) => EventAnalytics.attribution(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -449,6 +450,7 @@ object SparkEntry {
     "q171_vocab_diff" -> TextAnalysis.vocabDiffSql,
     "q172_burstiness" -> EventAnalytics.burstinessSql,
     "q173_vocab_richness" -> TextAnalysis.vocabRichnessSql,
-    "q174_winnowing" -> TextAnalysis.winnowingSql()
+    "q174_winnowing" -> TextAnalysis.winnowingSql(),
+    "q175_attribution" -> EventAnalytics.attributionSql
   )
 }

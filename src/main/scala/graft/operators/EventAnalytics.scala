@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -701,4 +701,82 @@ object EventAnalytics {
       |SELECT from_type, to_type, n_transitions, n_users,
       |  ((n_transitions * 10000) // tot.n_tot)::BIGINT AS share_bp
       |FROM cells CROSS JOIN tot ORDER BY from_type, to_type""".stripMargin
+
+  /** Revenue-attribution comparison (q175): every purchase's cent value
+    * credited to a channel under the two standard single-touch models —
+    * FIRST-touch (the user's first event type ever: which door they came
+    * in through) and LAST-touch (the latest non-purchase event type
+    * strictly before the purchase; purchases with no prior touch credit
+    * "(direct)"). Per (model, channel): purchases, cents, and the
+    * channel's share of all purchase cents in basis points. Reading the
+    * two models side by side is the point: a channel fat under
+    * first-touch but thin under last-touch ACQUIRES users who convert
+    * elsewhere; the reverse CLOSES conversions it didn't source. Event
+    * order is (µs timestamp, event_id) — the q122 cross-engine rule; a
+    * purchase immediately after another purchase skips it and credits
+    * the latest NON-purchase touch (both engines via null-skipping
+    * window last-value).
+    *
+    * Scale posture: ONE user_id window exchange computes both
+    * attributions (two frames over the same partition/order — Spark
+    * plans them over a single shuffle); the per-purchase table is
+    * PlanCache'd (both model legs read it); legs collapse to ≤|types|-row
+    * rollups with map-side combine; the grand total is a broadcast 1-row
+    * scalar. Cents ride the exact round(value·100) integer grid. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFirst = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = graft.PlanCache.cached(spark, s"events.attribution:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("first_type", first(col("event_type")).over(wFirst))
+        .withColumn("prev_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(wPrev))
+        .filter(col("event_type") === "purchase")
+        .select(col("cents"), col("first_type"),
+          coalesce(col("prev_touch"), lit("(direct)")).as("last_type"))
+    }
+    val tot = purchases.agg(sum(col("cents")).as("tc"))
+    def leg(model: String, channel: Column): DataFrame =
+      purchases.groupBy(channel.as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+        .select(lit(model).as("model"), col("channel"), col("n_purchases"),
+          col("cents"))
+    leg("first_touch", col("first_type"))
+      .unionByName(leg("last_touch", col("last_type")))
+      .crossJoin(broadcast(tot))
+      .select(col("model"), col("channel"), col("n_purchases"), col("cents"),
+        expr("cents * 10000 div tc").as("share_bp"))
+      .orderBy(col("model"), col("channel"))
+  }
+
+  def attributionSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    first_value(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts::TIMESTAMP, event_id) AS first_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_touch
+      |  FROM events
+      |), p AS (
+      |  SELECT cents, first_type, coalesce(prev_touch, '(direct)') AS last_type
+      |  FROM seq WHERE event_type = 'purchase'
+      |), tot AS (SELECT sum(cents)::BIGINT AS tc FROM p
+      |), u AS (
+      |  SELECT 'first_touch' AS model, first_type AS channel,
+      |    count(*)::BIGINT AS n_purchases, sum(cents)::BIGINT AS cents
+      |  FROM p GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'last_touch', last_type, count(*)::BIGINT, sum(cents)::BIGINT
+      |  FROM p GROUP BY 2
+      |)
+      |SELECT model, channel, n_purchases, cents,
+      |  (cents * 10000 // tot.tc)::BIGINT AS share_bp
+      |FROM u CROSS JOIN tot ORDER BY model, channel""".stripMargin
 }

@@ -384,4 +384,39 @@ class EventAnalyticsSpec extends SparkSpec {
       s"planted burst: got ${b.getAs[Long]("fano_bp")}")
     assert(out("once").getAs[Long]("fano_bp") == 0L, "single-day type")
   }
+
+  test("attribution (q175): first vs last touch exact, direct fallback, purchase-skip rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    Seq(
+      // user 1: view → click → purchase $10 (first=view, last=click)
+      (1L, nanos(10), 1L, "view", 0.0, "{}"),
+      (2L, nanos(20), 1L, "click", 0.0, "{}"),
+      (3L, nanos(30), 1L, "purchase", 10.0, "{}"),
+      // user 2: lone purchase $5 (first=purchase itself, last=(direct))
+      (4L, nanos(40), 2L, "purchase", 5.0, "{}"),
+      // user 3: signup → purchase $2 → purchase $3: BOTH purchases credit
+      // signup under last-touch (the intervening purchase is skipped)
+      (5L, nanos(50), 3L, "signup", 0.0, "{}"),
+      (6L, nanos(60), 3L, "purchase", 2.0, "{}"),
+      (7L, nanos(70), 3L, "purchase", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.attribution(spark, dir).collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[String]("channel")) -> r)
+      .toMap
+    // total 2000 cents
+    def check(model: String, ch: String, n: Long, cents: Long, bp: Long): Unit = {
+      val r = out((model, ch))
+      assert(r.getAs[Long]("n_purchases") == n, s"$model/$ch n")
+      assert(r.getAs[Long]("cents") == cents, s"$model/$ch cents")
+      assert(r.getAs[Long]("share_bp") == bp, s"$model/$ch bp")
+    }
+    assert(out.size == 6)
+    check("first_touch", "view", 1L, 1000L, 5000L)
+    check("first_touch", "purchase", 1L, 500L, 2500L)
+    check("first_touch", "signup", 2L, 500L, 2500L)
+    check("last_touch", "click", 1L, 1000L, 5000L)
+    check("last_touch", "(direct)", 1L, 500L, 2500L)
+    check("last_touch", "signup", 2L, 500L, 2500L)
+  }
 }
