@@ -93,6 +93,10 @@ object PlanAudit {
     // q175 crossJoins the broadcast SINGLE-ROW purchase-cents total onto
     // the ≤2·|types|-row model legs — the q154 audited scalar shape
     "q175_attribution",
+    // q176 crossJoins two broadcast SINGLE-ROW scalars (the reference
+    // date, then the 9-cutoff row) onto the per-customer rollup — the
+    // q154 audited scalar shape
+    "q176_rfm_segments",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

@@ -269,7 +269,10 @@ object SparkEntry {
     "q172_burstiness" -> ((s, d) => EventAnalytics.burstiness(s, d)),
     "q173_vocab_richness" -> ((s, d) => TextAnalysis.vocabRichness(s, d)),
     "q174_winnowing" -> ((s, d) => TextAnalysis.winnowing(s, d)),
-    "q175_attribution" -> ((s, d) => EventAnalytics.attribution(s, d))
+    "q175_attribution" -> ((s, d) => EventAnalytics.attribution(s, d)),
+    "q176_rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
+    "q177_readability" -> ((s, d) => TextAnalysis.readabilityProfile(s, d)),
+    "q178_confusability" -> ((s, d) => Similarity.labelConfusability(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -451,6 +454,9 @@ object SparkEntry {
     "q172_burstiness" -> EventAnalytics.burstinessSql,
     "q173_vocab_richness" -> TextAnalysis.vocabRichnessSql,
     "q174_winnowing" -> TextAnalysis.winnowingSql(),
-    "q175_attribution" -> EventAnalytics.attributionSql
+    "q175_attribution" -> EventAnalytics.attributionSql,
+    "q176_rfm_segments" -> Relational.rfmSegmentsSql,
+    "q177_readability" -> TextAnalysis.readabilityProfileSql,
+    "q178_confusability" -> Similarity.labelConfusabilitySql
   )
 }

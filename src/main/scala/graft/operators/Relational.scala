@@ -614,6 +614,155 @@ object Relational {
       .orderBy(col("relationship"))
   }
 
+  /** RFM customer segmentation (q176): every customer scored 1..4 on
+    * Recency (days since last order, lower = better), Frequency (order
+    * count) and Monetary (lifetime spend), then rolled up per
+    * (segment, r, f, m) cell — the standard marketing-segmentation
+    * table (Hughes 1994) and the relational twin of the corpus-side
+    * source elections: "which customers do we re-engage" is the same
+    * shape as "which sources do we re-crawl". Quartile cutoffs are
+    * EXACT histogram elections (the q132 integer-rank device), not
+    * ntile: a corpus-wide ntile would single-task-sort every customer,
+    * while the histogram election never windows more than the metric's
+    * value grid. Score semantics: cutoff c_p = min value whose
+    * cumulative customer count reaches ⌈p·n/100⌉; score = 1 + #cutoffs
+    * strictly exceeded (recency mirrored so fresher = higher). Ties
+    * share a score — deterministic and engine-independent, no
+    * row_number tie-break needed.
+    *
+    * Scale posture: orders collapse ONCE to the per-customer (last
+    * date, count, cents) rollup with map-side combine (PlanCache'd —
+    * the histogram pass and the scoring pass both read it); the
+    * reference date is a broadcast 1-row scalar; the three metric
+    * histograms ride one stack() projection of the rollup and window
+    * only grid-sized rows (recency = days, frequency = small ints,
+    * monetary on the whole-dollar grid so the histogram is
+    * price-range-bounded, not customer-bounded); the 9 cutoffs
+    * broadcast back as one row. Cents ride the exact
+    * round(price·100) integer grid end-to-end. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = graft.PlanCache.cached(spark, s"relational.rfmCust:$dir") {
+      Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_date"),
+          count(lit(1)).as("freq"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    }
+    val ref = cust.agg(max(col("last_date")).as("ref_date"))
+    val base = cust.crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref_date"), col("last_date")).cast("long").as("r_days"),
+        col("freq"), col("cents"), expr("cents div 100").as("dollars"))
+    val byM = Window.partitionBy(col("metric"))
+    val cumW = byM.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = base
+      .selectExpr("stack(3, 0, r_days, 1, freq, 2, dollars) as (metric, v)")
+      .groupBy(col("metric"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byM))
+      .select(col("metric"), col("v"),
+        explode(array(Seq(25, 50, 75).map(p => lit(p.toLong)): _*)).as("pct"),
+        col("cum"), col("n"))
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col("metric"), col("pct")).agg(min(col("v")).as("cv"))
+    def cut(m: Int, p: Int) =
+      min(when(col("metric") === m && col("pct") === p, col("cv")))
+    val w = cuts.agg(
+      cut(0, 25).as("r25"), cut(0, 50).as("r50"), cut(0, 75).as("r75"),
+      cut(1, 25).as("f25"), cut(1, 50).as("f50"), cut(1, 75).as("f75"),
+      cut(2, 25).as("m25"), cut(2, 50).as("m50"), cut(2, 75).as("m75"))
+    def gt(v: String, c: String) =
+      when(col(v) > col(c), 1L).otherwise(0L)
+    base.crossJoin(broadcast(w))
+      .select(
+        (lit(4L) - gt("r_days", "r25") - gt("r_days", "r50") -
+          gt("r_days", "r75")).as("r_score"),
+        (lit(1L) + gt("freq", "f25") + gt("freq", "f50") +
+          gt("freq", "f75")).as("f_score"),
+        (lit(1L) + gt("dollars", "m25") + gt("dollars", "m50") +
+          gt("dollars", "m75")).as("m_score"),
+        col("freq"), col("cents"))
+      .groupBy(
+        expr("CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'a_loyal' " +
+          "WHEN r_score >= 3 THEN 'b_recent' " +
+          "WHEN f_score >= 3 THEN 'c_at_risk' " +
+          "ELSE 'd_hibernating' END").as("segment"),
+        col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("freq")).as("n_orders"),
+        sum(col("cents")).as("cents"))
+      .orderBy(col("segment"), col("r_score"), col("f_score"),
+        col("m_score"))
+  }
+
+  def rfmSegmentsSql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey, max(o_orderdate::DATE) AS last_date,
+      |    count(*)::BIGINT AS freq,
+      |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      |  FROM orders GROUP BY 1
+      |), ref AS (SELECT max(last_date) AS ref_date FROM cust
+      |), base AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', last_date, ref.ref_date)::BIGINT AS r_days,
+      |    freq, cents, cents // 100 AS dollars
+      |  FROM cust CROSS JOIN ref
+      |), m AS (
+      |  SELECT 0 AS metric, r_days AS v FROM base
+      |  UNION ALL SELECT 1, freq FROM base
+      |  UNION ALL SELECT 2, dollars FROM base
+      |), h AS (
+      |  SELECT metric, v, count(*)::BIGINT AS cnt FROM m GROUP BY 1, 2
+      |), c AS (
+      |  SELECT metric, v,
+      |    sum(cnt) OVER (PARTITION BY metric ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY metric) AS n
+      |  FROM h
+      |), x AS (
+      |  SELECT c.metric, c.v, p.pct FROM c
+      |  CROSS JOIN (SELECT unnest([25, 50, 75]) AS pct) p
+      |  WHERE c.cum >= (p.pct * c.n + 99) // 100
+      |), cut AS (
+      |  SELECT metric, pct, min(v) AS cv FROM x GROUP BY 1, 2
+      |), w AS (
+      |  SELECT
+      |    min(CASE WHEN metric = 0 AND pct = 25 THEN cv END) AS r25,
+      |    min(CASE WHEN metric = 0 AND pct = 50 THEN cv END) AS r50,
+      |    min(CASE WHEN metric = 0 AND pct = 75 THEN cv END) AS r75,
+      |    min(CASE WHEN metric = 1 AND pct = 25 THEN cv END) AS f25,
+      |    min(CASE WHEN metric = 1 AND pct = 50 THEN cv END) AS f50,
+      |    min(CASE WHEN metric = 1 AND pct = 75 THEN cv END) AS f75,
+      |    min(CASE WHEN metric = 2 AND pct = 25 THEN cv END) AS m25,
+      |    min(CASE WHEN metric = 2 AND pct = 50 THEN cv END) AS m50,
+      |    min(CASE WHEN metric = 2 AND pct = 75 THEN cv END) AS m75
+      |  FROM cut
+      |), scored AS (
+      |  SELECT
+      |    4 - (CASE WHEN r_days > w.r25 THEN 1 ELSE 0 END
+      |       + CASE WHEN r_days > w.r50 THEN 1 ELSE 0 END
+      |       + CASE WHEN r_days > w.r75 THEN 1 ELSE 0 END)::BIGINT AS r_score,
+      |    1 + (CASE WHEN freq > w.f25 THEN 1 ELSE 0 END
+      |       + CASE WHEN freq > w.f50 THEN 1 ELSE 0 END
+      |       + CASE WHEN freq > w.f75 THEN 1 ELSE 0 END)::BIGINT AS f_score,
+      |    1 + (CASE WHEN dollars > w.m25 THEN 1 ELSE 0 END
+      |       + CASE WHEN dollars > w.m50 THEN 1 ELSE 0 END
+      |       + CASE WHEN dollars > w.m75 THEN 1 ELSE 0 END)::BIGINT AS m_score,
+      |    freq, cents
+      |  FROM base CROSS JOIN w
+      |)
+      |SELECT CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'a_loyal'
+      |    WHEN r_score >= 3 THEN 'b_recent'
+      |    WHEN f_score >= 3 THEN 'c_at_risk'
+      |    ELSE 'd_hibernating' END AS segment,
+      |  r_score, f_score, m_score,
+      |  count(*)::BIGINT AS n_customers,
+      |  sum(freq)::BIGINT AS n_orders, sum(cents)::BIGINT AS cents
+      |FROM scored GROUP BY 1, 2, 3, 4
+      |ORDER BY segment, r_score, f_score, m_score""".stripMargin
+
   def integrityAuditSql: String = {
     def leg(name: String, child: String, ck: String,
             parent: String, pk: String): String =

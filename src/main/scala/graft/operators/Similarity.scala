@@ -1289,4 +1289,78 @@ object Similarity {
        |WHERE round(${cosineSql("x.embedding", "y.embedding")}, 6) >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  /** Label-confusability matrix (q178): the upper triangle of pairwise
+    * cosines between LABEL CENTROIDS — which classes sit close in
+    * embedding space. The companion the q89 label-purity audit reads
+    * next: purity says "this label's members scatter", confusability
+    * says "scatter TOWARD WHICH rival" — the pair to merge, relabel, or
+    * mine hard negatives between (the q92 selection, aimed by class).
+    * The confusable verdict is an EXACT integer rule (100·dot² ≥
+    * 81·‖a‖²·‖b‖² with dot > 0, i.e. cos ≥ 0.9) so the flag never
+    * rides a float comparison across engines; the reported cosine
+    * follows the q107 discipline — centroids pinned to the 1e-4 grid,
+    * dot/norms exact 1e-8-unit longs, one correctly-rounded
+    * sqrt/divide at the end.
+    *
+    * Scale posture: ONE corpus scan (VectorMean's map-side partial
+    * agg) collapses to |labels|·Dim integer rows; the pair fan-out is
+    * a self-join over that audit-sized table (the q158 triangle
+    * shape); dot² products ride decimal(38,0)/HUGEINT. */
+  def labelConfusability(spark: SparkSession, dir: String): DataFrame = {
+    val mean = udaf(graft.functions.VectorMean)
+    val ci = graft.PlanCache.cached(spark, s"similarity.labelCentroidE4:$dir") {
+      Tables.embeddings(spark, dir)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"),
+          mean(col("embedding").cast("array<double>")).as("c"))
+        .select(col("label"), col("n"), posexplode(col("c")).as(Seq("dim", "v")))
+        .select(col("label"), col("n"), col("dim").cast("long").as("dim"),
+          expr("cast(round(round(v, 4) * 10000) as bigint)").as("ci"))
+    }
+    val a = ci.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("dim"), col("ci").as("ca"))
+    val b = ci.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("dim"), col("ci").as("cb"))
+    a.join(b, Seq("dim")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("ca") * col("cb")).as("dot_e8"),
+        sum(col("ca") * col("ca")).as("na_e8"),
+        sum(col("cb") * col("cb")).as("nb_e8"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot_e8"),
+        round(col("dot_e8") /
+          (sqrt(col("na_e8").cast("double")) * sqrt(col("nb_e8").cast("double"))),
+          6).as("cosine"),
+        (col("dot_e8") > 0 &&
+          expr("cast(100 as decimal(38,0)) * dot_e8 * dot_e8 >= " +
+            "cast(81 as decimal(38,0)) * na_e8 * nb_e8")).as("confusable"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  def labelConfusabilitySql: String =
+    s"""WITH ci AS (
+       |  SELECT label::BIGINT AS label, i::BIGINT AS dim,
+       |    count(*)::BIGINT AS n,
+       |    CAST(round(round(avg(embedding[i+1]::DOUBLE), 4) * 10000) AS BIGINT)
+       |      AS ci
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, $Dim)) AS i)
+       |  GROUP BY 1, 2
+       |), p AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    max(a.n)::BIGINT AS n_a, max(b.n)::BIGINT AS n_b,
+       |    sum(a.ci * b.ci)::BIGINT AS dot_e8,
+       |    sum(a.ci * a.ci)::BIGINT AS na_e8,
+       |    sum(b.ci * b.ci)::BIGINT AS nb_e8
+       |  FROM ci a JOIN ci b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2
+       |)
+       |SELECT label_a, label_b, n_a, n_b, dot_e8,
+       |  round(dot_e8 / (sqrt(na_e8::DOUBLE) * sqrt(nb_e8::DOUBLE)), 6)
+       |    AS cosine,
+       |  (dot_e8 > 0 AND
+       |   100::HUGEINT * dot_e8 * dot_e8 >= 81::HUGEINT * na_e8 * nb_e8)
+       |    AS confusable
+       |FROM p ORDER BY label_a, label_b""".stripMargin
 }

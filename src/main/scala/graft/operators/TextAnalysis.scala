@@ -3486,4 +3486,91 @@ object TextAnalysis {
        |  coalesce(hs.n_hashes, 0)::BIGINT AS n_hashes
        |FROM agg LEFT JOIN hs ON hs.source = agg.source
        |ORDER BY agg.source""".stripMargin
+
+  /** Readability profile (q177): per source, the classic surface
+    * readability statistics in exact integer units — words/doc,
+    * chars/word and syllables/word in milli-units, the Gunning complex-
+    * word (≥3 syllables) share in basis points, and the two standard
+    * composite scores: Flesch Reading Ease (Flesch 1948) and the Gunning
+    * Fog index (Gunning 1952), both in milli-units. Syllables use the
+    * standard vowel-group proxy (runs of [aeiou], min 1 per word —
+    * exact for the driver vocabulary, the documented approximation for
+    * real English). The corpus has no sentence delimiters, so sentence
+    * := document (words/sentence = words/doc); on punctuated text a
+    * sentence splitter would slot in where n_docs enters the formula.
+    * A quality-filter pipeline reads this beside the q17 heuristic and
+    * q140 perplexity: FRE far below a source's peers flags
+    * machine-generated or OCR-mangled text the stopword ratio misses.
+    *
+    * Scale posture: the corpus collapses ONCE to the (source, word)
+    * histogram with map-side combine (PlanCache'd); the syllable regex
+    * runs on vocabulary TYPES, not corpus tokens (the q173 histogram
+    * rule); the fold is a |sources|-row rollup. The 84600·Σsyl products
+    * ride decimal(38,0)/HUGEINT (the q151 rule); every division is a
+    * single exact integer div on positive operands, so truncation is
+    * engine-identical. */
+  def readabilityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.PlanCache.cached(spark, s"textanalysis.srcWordHist:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(TextHash.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    }
+    val sy = hist
+      .withColumn("syl", greatest(lit(1L),
+        (length(regexp_replace(col("w"), "[aeiou]+", "v")) -
+          length(regexp_replace(col("w"), "[aeiou]+", ""))).cast("long")))
+      .withColumn("chars", length(col("w")).cast("long"))
+    val agg = sy.groupBy(col("source")).agg(
+      sum(col("cnt")).as("n_words"),
+      sum(col("chars") * col("cnt")).as("n_chars"),
+      sum(col("syl") * col("cnt")).as("n_syll"),
+      sum(when(col("syl") >= 3, col("cnt")).otherwise(0L)).as("n_complex"))
+    val docs = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    docs.join(agg, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        expr("n_words * 1000 div n_docs").as("words_per_doc_milli"),
+        expr("n_chars * 1000 div n_words").as("chars_per_word_milli"),
+        expr("n_syll * 1000 div n_words").as("syll_per_word_milli"),
+        expr("n_complex * 10000 div n_words").as("complex_bp"),
+        expr("206835 " +
+          "- cast(cast(1015 as decimal(38,0)) * n_words div n_docs as bigint) " +
+          "- cast(cast(84600 as decimal(38,0)) * n_syll div n_words as bigint)")
+          .as("fre_milli"),
+        expr("cast(cast(400 as decimal(38,0)) * n_words div n_docs as bigint) " +
+          "+ cast(cast(40000 as decimal(38,0)) * n_complex div n_words as bigint)")
+          .as("fog_milli"))
+      .orderBy(col("source"))
+  }
+
+  def readabilityProfileSql: String =
+    """WITH h AS (
+      |  SELECT source, w, count(*)::BIGINT AS cnt
+      |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |), sy AS (
+      |  SELECT source, cnt, length(w)::BIGINT AS chars,
+      |    greatest(1, length(regexp_replace(w, '[aeiou]+', 'v', 'g'))
+      |      - length(regexp_replace(w, '[aeiou]+', '', 'g')))::BIGINT AS syl
+      |  FROM h
+      |), agg AS (
+      |  SELECT source, sum(cnt)::BIGINT AS n_words,
+      |    sum(chars * cnt)::BIGINT AS n_chars,
+      |    sum(syl * cnt)::BIGINT AS n_syll,
+      |    sum(CASE WHEN syl >= 3 THEN cnt ELSE 0 END)::BIGINT AS n_complex
+      |  FROM sy GROUP BY 1
+      |), d AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+      |)
+      |SELECT d.source, n_docs, n_words,
+      |  (n_words * 1000 // n_docs)::BIGINT AS words_per_doc_milli,
+      |  (n_chars * 1000 // n_words)::BIGINT AS chars_per_word_milli,
+      |  (n_syll * 1000 // n_words)::BIGINT AS syll_per_word_milli,
+      |  (n_complex * 10000 // n_words)::BIGINT AS complex_bp,
+      |  206835 - (1015::HUGEINT * n_words // n_docs)::BIGINT
+      |    - (84600::HUGEINT * n_syll // n_words)::BIGINT AS fre_milli,
+      |  (400::HUGEINT * n_words // n_docs)::BIGINT
+      |    + (40000::HUGEINT * n_complex // n_words)::BIGINT AS fog_milli
+      |FROM d JOIN agg USING (source) ORDER BY d.source""".stripMargin
 }

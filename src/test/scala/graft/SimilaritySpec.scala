@@ -362,4 +362,35 @@ class SimilaritySpec extends SparkSpec {
     // the spectrum is informative: not every dimension identical
     assert(rows.map(_.getAs[Long]("var_e8")).distinct.length > 1)
   }
+
+  test("labelConfusability (q178): exact cosines, integer confusable rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_confus").toString
+    import spark.implicits._
+    def v(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    Seq(
+      (0L, v(0 -> 1.0f), 0),              // centroid +x
+      (1L, v(0 -> 0.8f, 1 -> 0.6f), 1),   // cos vs l0 = 0.8
+      (2L, v(1 -> 1.0f), 2),              // orthogonal to l0
+      (3L, v(0 -> 1.0f, 1 -> 0.1f), 3))   // cos vs l0 ≈ 0.995 → confusable
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.labelConfusability(spark, dir).collect()
+      .map(r => (r.getAs[Long]("label_a"), r.getAs[Long]("label_b")) -> r)
+      .toMap
+    assert(out.size == 6, "upper triangle of 4 labels")
+    assert(out((0L, 1L)).getAs[Double]("cosine") == 0.8)
+    assert(!out((0L, 1L)).getAs[Boolean]("confusable"), "0.8 < 0.9")
+    assert(out((0L, 2L)).getAs[Double]("cosine") == 0.0)
+    assert(!out((0L, 2L)).getAs[Boolean]("confusable"))
+    // 1e8 / (1e4 · √1.01e8) = 0.995037…
+    assert(out((0L, 3L)).getAs[Double]("cosine") == 0.995037)
+    assert(out((0L, 3L)).getAs[Boolean]("confusable"),
+      "100·dot² = 1e18 ≥ 81·na·nb = 8.181e17")
+    assert(!out((1L, 2L)).getAs[Boolean]("confusable"))
+    assert(out.values.forall(_.getAs[Long]("n_a") == 1L))
+  }
 }

@@ -1260,4 +1260,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.getAs[Long]("density_bp") <= 10000L)
     assert(b.getAs[Long]("n_hashes") <= b.getAs[Long]("n_selected"))
   }
+
+  test("readability (q177): vowel-group syllables, complex share, exact FRE/Fog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_read").toString
+    Seq(
+      // s1: identified = i|e|i|ie → 4 syl (complex), banana = 3 (complex)
+      (1L, "the cat identified a banana", "en", "s1", 27L),
+      // s2: all mono-syllable; zz has no vowels → floor at 1
+      (2L, "go to bed", "en", "s2", 9L),
+      (3L, "we zz", "en", "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.readabilityProfile(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 1L && s1.getAs[Long]("n_words") == 5L)
+    assert(s1.getAs[Long]("words_per_doc_milli") == 5000L)
+    assert(s1.getAs[Long]("chars_per_word_milli") == 4600L)   // 23 chars / 5
+    assert(s1.getAs[Long]("syll_per_word_milli") == 2000L)    // 10 syl / 5
+    assert(s1.getAs[Long]("complex_bp") == 4000L)             // 2 of 5
+    // 206835 − 1015·5 − 84600·10 div 5 = 32560
+    assert(s1.getAs[Long]("fre_milli") == 32560L)
+    // 400·5 + 40000·2 div 5 = 18000
+    assert(s1.getAs[Long]("fog_milli") == 18000L)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_docs") == 2L && s2.getAs[Long]("n_words") == 5L)
+    assert(s2.getAs[Long]("words_per_doc_milli") == 2500L)
+    assert(s2.getAs[Long]("syll_per_word_milli") == 1000L)    // zz floors at 1
+    assert(s2.getAs[Long]("complex_bp") == 0L)
+    // 206835 − 1015·5 div 2 − 84600·5 div 5 = 206835 − 2537 − 84600
+    assert(s2.getAs[Long]("fre_milli") == 119698L)
+    assert(s2.getAs[Long]("fog_milli") == 1000L)
+  }
 }
