@@ -97,6 +97,9 @@ object PlanAudit {
     // date, then the 9-cutoff row) onto the per-customer rollup — the
     // q154 audited scalar shape
     "q176_rfm_segments",
+    // q179 crossJoins the broadcast SINGLE-ROW session total onto the
+    // ≤5-row band table — the q127 audited scalar shape
+    "q179_sessionization",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

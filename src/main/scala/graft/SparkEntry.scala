@@ -272,7 +272,9 @@ object SparkEntry {
     "q175_attribution" -> ((s, d) => EventAnalytics.attribution(s, d)),
     "q176_rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     "q177_readability" -> ((s, d) => TextAnalysis.readabilityProfile(s, d)),
-    "q178_confusability" -> ((s, d) => Similarity.labelConfusability(s, d))
+    "q178_confusability" -> ((s, d) => Similarity.labelConfusability(s, d)),
+    "q179_sessionization" -> ((s, d) => EventAnalytics.sessionization(s, d)),
+    "q180_robust_stats" -> ((s, d) => EventAnalytics.robustValueStats(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -457,6 +459,8 @@ object SparkEntry {
     "q175_attribution" -> EventAnalytics.attributionSql,
     "q176_rfm_segments" -> Relational.rfmSegmentsSql,
     "q177_readability" -> TextAnalysis.readabilityProfileSql,
-    "q178_confusability" -> Similarity.labelConfusabilitySql
+    "q178_confusability" -> Similarity.labelConfusabilitySql,
+    "q179_sessionization" -> EventAnalytics.sessionizationSql,
+    "q180_robust_stats" -> EventAnalytics.robustValueStatsSql
   )
 }

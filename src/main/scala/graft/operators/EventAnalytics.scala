@@ -779,4 +779,205 @@ object EventAnalytics {
       |SELECT model, channel, n_purchases, cents,
       |  (cents * 10000 // tot.tc)::BIGINT AS share_bp
       |FROM u CROSS JOIN tot ORDER BY model, channel""".stripMargin
+
+  /** Inactivity-gap timeout for [[sessionization]] (30 min in µs) — the
+    * knee the q127 gap histogram motivates. */
+  val SessionTimeoutUs: Long = 1800000000L
+
+  /** Sessionization audit (q179): the batch twin of the T2
+    * `session_window` — events split into sessions at >30 min of
+    * same-user inactivity, then the session-size distribution: per
+    * size band, sessions, share of all sessions in bp, events carried,
+    * total duration (whole seconds) and mean seconds per session in
+    * milli-units (exact integer division). The a_1 band's share
+    * IS the bounce rate; the table is how a product dashboard prices
+    * engagement depth, and how a training-data pipeline weighs
+    * "session" context windows before packing interaction logs.
+    *
+    * Session ids are the standard lag+cumsum device: a row opens a new
+    * session iff it has no predecessor or its gap exceeds the timeout;
+    * the running sum of open-flags over the same (ts, event_id) window
+    * (the q122 cross-engine order rule) numbers sessions 1..k per
+    * user. Both engines compute identical integer µs gaps, so session
+    * boundaries cut identically.
+    *
+    * Scale posture: ONE user_id window exchange (lag and cumsum share
+    * the same partition/order — one Exchange, one sort); the
+    * per-session rollup groups on (user_id, sid), which the window's
+    * hash partitioning on user_id already clusters — no second
+    * Exchange; bands collapse to ≤5 rows with map-side combine + a
+    * broadcast 1-row total. Durations are exact integer µs divided
+    * once at the end. */
+  def sessionization(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (us, event_id) ≡ the q122 (ts, event_id) rule: ts is µs-truncated
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = graft.PlanCache.cached(spark, s"events.sessions:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("opens", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionTimeoutUs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("opens")).over(cum))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(us) - min(us)) div 1000000").as("dur_sec"))
+    }
+    val bands = sess.groupBy(
+      when(col("n_events") === 1, "a_1")
+        .when(col("n_events") === 2, "b_2")
+        .when(col("n_events") <= 5, "c_3_5")
+        .when(col("n_events") <= 10, "d_6_10")
+        .otherwise("e_gt_10").as("size_band"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dur_sec")).as("sum_dur_sec"))
+    val tot = bands.agg(sum(col("n_sessions")).as("n_tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("size_band"), col("n_sessions"),
+        expr("n_sessions * 10000 div n_tot").as("share_bp"),
+        col("n_events"), col("sum_dur_sec"),
+        expr("sum_dur_sec * 1000 div n_sessions").as("dur_per_session_milli"))
+      .orderBy(col("size_band"))
+  }
+
+  /** Robust value statistics (q180): per event type, the plain, TRIMMED
+    * (drop the lowest and highest 5% of occurrences) and WINSORIZED
+    * (clamp to the p5/p95 values) means of `value`, in exact
+    * milli-cents — the outlier-resistant companion to the q132
+    * percentile table (Tukey's robust statistics): a mean that moves
+    * when the trimmed mean doesn't is pure tail, and the
+    * trimmed-vs-winsorized gap prices how heavy that tail is. Both
+    * robust means are EXACT integer rank algebra, not sketches:
+    * occurrences of value v occupy ranks (cum−cnt, cum] in the
+    * per-type value histogram, so the trimmed slice keeps
+    * min(cum,hi) − max(cum−cnt,lo) of them and the winsor cutoffs are
+    * integer-rank elections (the q132 device) — no float ever crosses
+    * engines.
+    *
+    * Scale posture: the corpus collapses ONCE to the (type, cents)
+    * histogram with map-side combine (PlanCache'd — both stat legs
+    * read it); cumulative windows run over grid-sized histogram rows
+    * only; cutoffs join back per-type (broadcast, ≤|types| rows);
+    * ·1000 products ride decimal(38,0)/HUGEINT. Divisions rely on the
+    * documented non-negative value grid — a signed-value corpus would
+    * need floor-vs-truncate alignment (Spark `div` truncates, DuckDB
+    * `//` floors; identical only on non-negative operands). */
+  def robustValueStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = Window.partitionBy(col("event_type"))
+    val cumW = byT.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = graft.PlanCache.cached(spark, s"events.centsHistCum:$dir") {
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("v"))
+        .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cumW))
+        .withColumn("n", sum(col("cnt")).over(byT))
+        .withColumn("lo", expr("5 * n div 100"))
+        .withColumn("hi", expr("n - 5 * n div 100"))
+    }
+    val core = hist.groupBy(col("event_type")).agg(
+      max(col("n")).as("n_events"),
+      sum(col("cnt") * col("v")).as("sum_v"),
+      sum(greatest(lit(0L),
+        least(col("cum"), col("hi")) - greatest(col("cum") - col("cnt"),
+          col("lo"))) * col("v")).as("trimmed_sum"),
+      max(col("hi") - col("lo")).as("trimmed_n"),
+      min(when(col("cum") >= col("lo") + 1, col("v"))).as("c5"),
+      min(when(col("cum") >= col("hi"), col("v"))).as("c95"))
+    val wins = hist.join(broadcast(core.select(col("event_type"),
+        col("c5").as("w5"), col("c95").as("w95"))), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt") *
+        least(greatest(col("v"), col("w5")), col("w95"))).as("wins_sum"))
+    core.join(wins, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        expr("cast(cast(sum_v as decimal(38,0)) * 1000 div n_events " +
+          "as bigint)").as("mean_millicents"),
+        expr("cast(cast(trimmed_sum as decimal(38,0)) * 1000 div trimmed_n " +
+          "as bigint)").as("trimmed_mean_millicents"),
+        expr("cast(cast(wins_sum as decimal(38,0)) * 1000 div n_events " +
+          "as bigint)").as("winsorized_mean_millicents"),
+        col("c5").as("p5_cents"), col("c95").as("p95_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  def robustValueStatsSql: String =
+    """WITH h AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |    count(*)::BIGINT AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, v, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h
+      |), b AS (
+      |  SELECT *, 5 * n // 100 AS lo, n - 5 * n // 100 AS hi FROM c
+      |), core AS (
+      |  SELECT event_type, max(n)::BIGINT AS n_events,
+      |    sum(cnt * v)::BIGINT AS sum_v,
+      |    sum(greatest(0, least(cum, hi) - greatest(cum - cnt, lo)) * v)
+      |      ::BIGINT AS trimmed_sum,
+      |    max(hi - lo)::BIGINT AS trimmed_n,
+      |    min(CASE WHEN cum >= lo + 1 THEN v END)::BIGINT AS c5,
+      |    min(CASE WHEN cum >= hi THEN v END)::BIGINT AS c95
+      |  FROM b GROUP BY 1
+      |), wins AS (
+      |  SELECT b.event_type,
+      |    sum(b.cnt * least(greatest(b.v, core.c5), core.c95))::BIGINT
+      |      AS wins_sum
+      |  FROM b JOIN core USING (event_type) GROUP BY 1
+      |)
+      |SELECT event_type, n_events,
+      |  (sum_v::HUGEINT * 1000 // n_events)::BIGINT AS mean_millicents,
+      |  (trimmed_sum::HUGEINT * 1000 // trimmed_n)::BIGINT
+      |    AS trimmed_mean_millicents,
+      |  (wins_sum::HUGEINT * 1000 // n_events)::BIGINT
+      |    AS winsorized_mean_millicents,
+      |  c5 AS p5_cents, c95 AS p95_cents
+      |FROM core JOIN wins USING (event_type) ORDER BY event_type""".stripMargin
+
+  def sessionizationSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+       |    lag(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+       |      ORDER BY ts::TIMESTAMP, event_id) AS prev_us
+       |  FROM events
+       |), f AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN prev_us IS NULL OR us - prev_us > $SessionTimeoutUs
+       |      THEN 1 ELSE 0 END AS opens
+       |  FROM seq
+       |), sid AS (
+       |  -- same (us, event_id) tie-break as the lag window: a µs tie with
+       |  -- an opens=1 row would otherwise split sessions differently
+       |  SELECT user_id, us,
+       |    sum(opens) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM f
+       |), sess AS (
+       |  SELECT user_id, sid, count(*)::BIGINT AS n_events,
+       |    ((max(us) - min(us)) // 1000000)::BIGINT AS dur_sec
+       |  FROM sid GROUP BY 1, 2
+       |), bands AS (
+       |  SELECT CASE WHEN n_events = 1 THEN 'a_1'
+       |    WHEN n_events = 2 THEN 'b_2'
+       |    WHEN n_events <= 5 THEN 'c_3_5'
+       |    WHEN n_events <= 10 THEN 'd_6_10'
+       |    ELSE 'e_gt_10' END AS size_band,
+       |    count(*)::BIGINT AS n_sessions,
+       |    sum(n_events)::BIGINT AS n_events,
+       |    sum(dur_sec)::BIGINT AS sum_dur_sec
+       |  FROM sess GROUP BY 1
+       |), tot AS (SELECT sum(n_sessions)::BIGINT AS n_tot FROM bands)
+       |SELECT size_band, n_sessions,
+       |  (n_sessions * 10000 // tot.n_tot)::BIGINT AS share_bp,
+       |  n_events, sum_dur_sec,
+       |  (sum_dur_sec * 1000 // n_sessions)::BIGINT AS dur_per_session_milli
+       |FROM bands CROSS JOIN tot ORDER BY size_band""".stripMargin
 }

@@ -419,4 +419,67 @@ class EventAnalyticsSpec extends SparkSpec {
     check("last_touch", "(direct)", 1L, 500L, 2500L)
     check("last_touch", "signup", 2L, 500L, 2500L)
   }
+
+  test("sessionization (q179): 30-min split, inclusive boundary, size bands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Seq(
+      // user 1: two 2-event sessions (gap 1990 s > 1800 splits)
+      (1L, nanos(0), 1L, "view", 0.0, "{}"),
+      (2L, nanos(10), 1L, "click", 0.0, "{}"),
+      (3L, nanos(2000), 1L, "view", 0.0, "{}"),
+      (4L, nanos(2010), 1L, "click", 0.0, "{}"),
+      // user 2: a bounce
+      (5L, nanos(100), 2L, "view", 0.0, "{}"),
+      // user 3: gap of EXACTLY 1800 s stays one session (> , not >=),
+      // then 1801 s opens a new one
+      (6L, nanos(0), 3L, "view", 0.0, "{}"),
+      (7L, nanos(1800), 3L, "click", 0.0, "{}"),
+      (8L, nanos(3601), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.sessionization(spark, dir).collect()
+      .map(r => r.getAs[String]("size_band") -> r).toMap
+    assert(out.size == 2)
+    val a = out("a_1")
+    assert(a.getAs[Long]("n_sessions") == 2L &&
+      a.getAs[Long]("n_events") == 2L && a.getAs[Long]("sum_dur_sec") == 0L)
+    assert(a.getAs[Long]("share_bp") == 4000L, "bounce share = 2 of 5")
+    val b = out("b_2")
+    assert(b.getAs[Long]("n_sessions") == 3L && b.getAs[Long]("n_events") == 6L)
+    assert(b.getAs[Long]("sum_dur_sec") == 1820L, "10 + 10 + 1800")
+    assert(b.getAs[Long]("dur_per_session_milli") == 606666L)
+    assert(b.getAs[Long]("share_bp") == 6000L)
+  }
+
+  test("robustValueStats (q180): exact trim slice, winsor clamp, rank cutoffs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust").toString
+    var eid = 0L
+    val rows =
+      // type t: 1 low outlier, 18 at $1, 1 high outlier → n=20, lo=1, hi=19
+      ((Seq(0.01) ++ Seq.fill(18)(1.0) ++ Seq(100.0)).map { v =>
+        eid += 1; (eid, nanos(eid), eid % 7, "t", v, "{}")
+      }) ++
+      // type u: n=3 → lo=0, trimming keeps everything
+      (Seq(2.0, 4.0, 6.0).map { v =>
+        eid += 1; (eid, nanos(eid), eid % 7, "u", v, "{}")
+      })
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.robustValueStats(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val t = out("t")
+    assert(t.getAs[Long]("n_events") == 20L)
+    assert(t.getAs[Long]("mean_millicents") == 590050L)   // 11801·1000/20
+    // both outliers fall outside ranks (1, 19] → pure $1 core
+    assert(t.getAs[Long]("trimmed_mean_millicents") == 100000L)
+    assert(t.getAs[Long]("p5_cents") == 100L && t.getAs[Long]("p95_cents") == 100L)
+    assert(t.getAs[Long]("winsorized_mean_millicents") == 100000L)
+    val u = out("u")
+    assert(u.getAs[Long]("n_events") == 3L)
+    assert(u.getAs[Long]("mean_millicents") == 400000L)
+    assert(u.getAs[Long]("trimmed_mean_millicents") == 400000L,
+      "n < 20 → lo = 0, trim keeps all")
+    assert(u.getAs[Long]("p5_cents") == 200L && u.getAs[Long]("p95_cents") == 600L)
+    assert(u.getAs[Long]("winsorized_mean_millicents") == 400000L)
+  }
 }
