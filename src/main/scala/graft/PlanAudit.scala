@@ -100,6 +100,12 @@ object PlanAudit {
     // q179 crossJoins the broadcast SINGLE-ROW session total onto the
     // ≤5-row band table — the q127 audited scalar shape
     "q179_sessionization",
+    // q184 crossJoins the broadcast SINGLE-ROW basket total onto the
+    // k-row pair election — the q150 audited scalar shape
+    "q184_basket_pairs",
+    // q185 crossJoins the broadcast SINGLE-ROW grand total onto the
+    // ≤168-row (dow, hour) cell grid
+    "q185_seasonality",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

@@ -274,7 +274,14 @@ object SparkEntry {
     "q177_readability" -> ((s, d) => TextAnalysis.readabilityProfile(s, d)),
     "q178_confusability" -> ((s, d) => Similarity.labelConfusability(s, d)),
     "q179_sessionization" -> ((s, d) => EventAnalytics.sessionization(s, d)),
-    "q180_robust_stats" -> ((s, d) => EventAnalytics.robustValueStats(s, d))
+    "q180_robust_stats" -> ((s, d) => EventAnalytics.robustValueStats(s, d)),
+    "q181_benford" -> ((s, d) => Relational.benfordAudit(s, d)),
+    "q182_hygiene" -> ((s, d) => Curation.encodingHygiene(s, d)),
+    "q183_fd_audit" -> ((s, d) => Relational.fdAudit(s, d)),
+    "q184_basket_pairs" -> ((s, d) => Relational.basketPairs(s, d)),
+    "q185_seasonality" -> ((s, d) => EventAnalytics.weeklySeasonality(s, d)),
+    "q186_new_returning" -> ((s, d) => EventAnalytics.newVsReturning(s, d)),
+    "q187_supplier_hhi" -> ((s, d) => Relational.supplierHhi(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -461,6 +468,13 @@ object SparkEntry {
     "q177_readability" -> TextAnalysis.readabilityProfileSql,
     "q178_confusability" -> Similarity.labelConfusabilitySql,
     "q179_sessionization" -> EventAnalytics.sessionizationSql,
-    "q180_robust_stats" -> EventAnalytics.robustValueStatsSql
+    "q180_robust_stats" -> EventAnalytics.robustValueStatsSql,
+    "q181_benford" -> Relational.benfordAuditSql,
+    "q182_hygiene" -> Curation.encodingHygieneSql,
+    "q183_fd_audit" -> Relational.fdAuditSql,
+    "q184_basket_pairs" -> Relational.basketPairsSql(),
+    "q185_seasonality" -> EventAnalytics.weeklySeasonalitySql,
+    "q186_new_returning" -> EventAnalytics.newVsReturningSql,
+    "q187_supplier_hhi" -> Relational.supplierHhiSql
   )
 }

@@ -2406,4 +2406,90 @@ object Curation {
        |  (s.top_cnt * 10000 // b.n_docs)::BIGINT AS top_source_share_bp
        |FROM body b JOIN srcs s USING (lang) ORDER BY b.lang""".stripMargin
   }
+
+  /** The four encoding-hygiene character classes [[encodingHygiene]]
+    * screens for, as (tag, codepoint): the UTF-8 decode-failure
+    * REPLACEMENT CHARACTER, a control char (BEL — the class
+    * representative; real cleaners sweep C0 minus tab/newline), the
+    * no-break space that poisons whitespace tokenization, and the
+    * zero-width space that makes visually-identical strings unequal
+    * (a dedup killer). */
+  val HygieneChars: Seq[(String, Int)] = Seq(
+    "repl" -> 0xFFFD, "ctrl" -> 0x0007, "nbsp" -> 0x00A0, "zwsp" -> 0x200B)
+
+  /** Encoding-hygiene audit (q182): per language — docs carrying each
+    * hygiene-class character, total bad characters, and the characters
+    * a cleaner would REMOVE (replacement/control/zero-width deleted;
+    * NBSP maps 1:1 to a plain space, so it flags but removes nothing).
+    * This is the decode-sanity row of a corpus datasheet: replacement
+    * chars mean upstream charset damage (mojibake), zero-width
+    * characters silently defeat exact dedup (X1) and token counting
+    * (X4), and NBSP splits the whitespace tokenizer's contract.
+    *
+    * The driver corpus is clean lowercase-alpha (zero hits proves
+    * nothing), so hygiene characters are injected IN-QUERY,
+    * deterministically from doc_id — the q60 scrub-audit device; both
+    * engines audit the identical augmented text. Counting is pure
+    * length algebra (length(t) − length(replace(t, c, ''))): no
+    * regex, so no dialect ever crosses engines.
+    *
+    * Scale posture: a narrow per-row map (four replace/length pairs,
+    * codegen'd) into a |langs|-row rollup with map-side combine — the
+    * flat-scalable q15 shape. */
+  def encodingHygiene(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    def ch(tag: String): String =
+      new String(Character.toChars(HygieneChars.toMap.apply(tag)))
+    val injected = concat(col("text"),
+      when(pmod(d, lit(3)) === 0, lit(ch("repl"))).otherwise(lit("")),
+      when(pmod(d, lit(4)) === 1, lit(ch("ctrl"))).otherwise(lit("")),
+      when(pmod(d, lit(5)) === 2, lit(ch("nbsp"))).otherwise(lit("")),
+      when(pmod(d, lit(7)) === 3, lit(ch("zwsp"))).otherwise(lit("")))
+    def cnt(t: org.apache.spark.sql.Column, tag: String) =
+      (length(t) - length(translate(t, ch(tag), ""))).cast("long")
+    val t = injected
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        cnt(t, "repl").as("c_repl"), cnt(t, "ctrl").as("c_ctrl"),
+        cnt(t, "nbsp").as("c_nbsp"), cnt(t, "zwsp").as("c_zwsp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c_repl") > 0, 1L).otherwise(0L)).as("docs_repl"),
+        sum(when(col("c_ctrl") > 0, 1L).otherwise(0L)).as("docs_ctrl"),
+        sum(when(col("c_nbsp") > 0, 1L).otherwise(0L)).as("docs_nbsp"),
+        sum(when(col("c_zwsp") > 0, 1L).otherwise(0L)).as("docs_zwsp"),
+        sum(col("c_repl") + col("c_ctrl") + col("c_nbsp") + col("c_zwsp"))
+          .as("n_bad_chars"),
+        sum(col("c_repl") + col("c_ctrl") + col("c_zwsp"))
+          .as("n_chars_removed"))
+      .orderBy(col("lang"))
+  }
+
+  def encodingHygieneSql: String = {
+    val cp = HygieneChars.toMap
+    def inj(m: Int, r: Int, tag: String): String =
+      s"CASE WHEN doc_id % $m = $r THEN chr(${cp(tag)}) ELSE '' END"
+    def cnt(tag: String): String =
+      s"length(t) - length(replace(t, chr(${cp(tag)}), ''))"
+    s"""WITH aug AS (
+       |  SELECT lang, text || ${inj(3, 0, "repl")} || ${inj(4, 1, "ctrl")}
+       |    || ${inj(5, 2, "nbsp")} || ${inj(7, 3, "zwsp")} AS t
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang,
+       |    (${cnt("repl")})::BIGINT AS c_repl,
+       |    (${cnt("ctrl")})::BIGINT AS c_ctrl,
+       |    (${cnt("nbsp")})::BIGINT AS c_nbsp,
+       |    (${cnt("zwsp")})::BIGINT AS c_zwsp
+       |  FROM aug
+       |)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN c_repl > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_repl,
+       |  sum(CASE WHEN c_ctrl > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_ctrl,
+       |  sum(CASE WHEN c_nbsp > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_nbsp,
+       |  sum(CASE WHEN c_zwsp > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_zwsp,
+       |  sum(c_repl + c_ctrl + c_nbsp + c_zwsp)::BIGINT AS n_bad_chars,
+       |  sum(c_repl + c_ctrl + c_zwsp)::BIGINT AS n_chars_removed
+       |FROM c GROUP BY 1 ORDER BY lang""".stripMargin
+  }
 }

@@ -942,6 +942,115 @@ object EventAnalytics {
       |  c5 AS p5_cents, c95 AS p95_cents
       |FROM core JOIN wins USING (event_type) ORDER BY event_type""".stripMargin
 
+  /** Weekly-seasonality deviation map (q185): the (ISO weekday × hour)
+    * traffic heatmap with each cell's observed share against the
+    * share INDEPENDENCE would predict (row share × column share), in
+    * basis points — the weekly load fingerprint behind the q29 hourly
+    * profile and the q164 anomaly monitor's seasonal baseline. A cell
+    * whose dev_bp is strongly positive is a weekly hotspot (Monday-9am
+    * spikes); an all-near-zero map says hour-of-day and day-of-week
+    * load are separable, so capacity can be planned from the two
+    * marginals alone. All arithmetic is exact integer on the 168-cell
+    * grid (obs = O·10⁴ div N, exp = R·C·10⁴ div N² in
+    * decimal(38,0)/HUGEINT); weekday is ISO (Mon=1) in BOTH engines —
+    * Spark `weekday()+1` ≡ DuckDB `isodow()`.
+    *
+    * Scale posture: the corpus collapses map-side to ≤168 cells; row,
+    * column and grand totals are ≤7-, ≤24- and 1-row broadcast
+    * rollups of the cell table — no corpus-wide window, no second
+    * scan. */
+  def weeklySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"events.dowHourCells:$dir") {
+      Tables.events(spark, dir)
+        .select((expr("weekday(ts)") + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hour"))
+        .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n_events"))
+    }
+    val r = cells.groupBy(col("dow")).agg(sum(col("n_events")).as("r_tot"))
+    val c = cells.groupBy(col("hour")).agg(sum(col("n_events")).as("c_tot"))
+    val n = cells.agg(sum(col("n_events")).as("n_tot"))
+    cells
+      .join(broadcast(r), Seq("dow"))
+      .join(broadcast(c), Seq("hour"))
+      .crossJoin(broadcast(n))
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("n_events * 10000 div n_tot").as("obs_bp"),
+        expr("cast(cast(r_tot as decimal(38,0)) * c_tot * 10000 " +
+          "div (cast(n_tot as decimal(38,0)) * n_tot) as bigint)")
+          .as("exp_bp"))
+      .withColumn("dev_bp", col("obs_bp") - col("exp_bp"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  def weeklySeasonalitySql: String =
+    """WITH cells AS (
+      |  SELECT isodow(ts::TIMESTAMP)::BIGINT AS dow,
+      |    hour(ts::TIMESTAMP)::BIGINT AS hour,
+      |    count(*)::BIGINT AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), r AS (SELECT dow, sum(n_events)::BIGINT AS r_tot FROM cells GROUP BY 1
+      |), c AS (SELECT hour, sum(n_events)::BIGINT AS c_tot FROM cells GROUP BY 1
+      |), n AS (SELECT sum(n_events)::BIGINT AS n_tot FROM cells)
+      |SELECT cells.dow, cells.hour, n_events,
+      |  (n_events * 10000 // n.n_tot)::BIGINT AS obs_bp,
+      |  ((r.r_tot::HUGEINT * c.c_tot * 10000)
+      |    // (n.n_tot::HUGEINT * n.n_tot))::BIGINT AS exp_bp,
+      |  (n_events * 10000 // n.n_tot)::BIGINT
+      |    - ((r.r_tot::HUGEINT * c.c_tot * 10000)
+      |       // (n.n_tot::HUGEINT * n.n_tot))::BIGINT AS dev_bp
+      |FROM cells
+      |JOIN r USING (dow) JOIN c USING (hour) CROSS JOIN n
+      |ORDER BY dow, hour""".stripMargin
+
+  /** New-vs-returning growth accounting (q186): per activity day —
+    * distinct active users, users whose FIRST-ever event lands that day
+    * (acquisition), returning users, and the new-user share in bp. The
+    * daily growth ledger every product review reads first (the q28
+    * retention matrix's diagonal margin) and the intake-side twin of
+    * corpus snapshot deltas (q133): "how much of today's activity is
+    * genuinely new entities".
+    *
+    * Scale posture: the corpus collapses to distinct (user, day) with
+    * map-side partial agg (ONE corpus exchange, keyed on user_id); the
+    * first-day election groups the SAME user-hashed stream (Exchange
+    * reused — no second corpus shuffle); the flag join is user-keyed on
+    * two already-co-partitioned user-grained tables; the day rollup is
+    * calendar-sized. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = graft.PlanCache.cached(spark, s"events.userDays:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+    }
+    val firsts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    userDays.join(firsts, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new_users"))
+      .select(col("day"), col("n_active_users"), col("n_new_users"),
+        (col("n_active_users") - col("n_new_users")).as("n_returning"),
+        expr("n_new_users * 10000 div n_active_users").as("new_share_bp"))
+      .orderBy(col("day"))
+  }
+
+  def newVsReturningSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+      |), f AS (
+      |  SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1
+      |)
+      |SELECT day, count(*)::BIGINT AS n_active_users,
+      |  sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_new_users,
+      |  (count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END))::BIGINT
+      |    AS n_returning,
+      |  (sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 10000
+      |    // count(*))::BIGINT AS new_share_bp
+      |FROM ud JOIN f USING (user_id)
+      |GROUP BY day ORDER BY day""".stripMargin
+
   def sessionizationSql: String =
     s"""WITH seq AS (
        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,

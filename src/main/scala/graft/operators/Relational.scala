@@ -763,6 +763,295 @@ object Relational {
       |FROM scored GROUP BY 1, 2, 3, 4
       |ORDER BY segment, r_score, f_score, m_score""".stripMargin
 
+  /** Benford-law expected first-digit shares in basis points:
+    * round(log10(1 + 1/d) · 10⁴) for d = 1..9 — constants, so no log
+    * ever crosses engines. */
+  private val BenfordBp: Seq[Int] =
+    Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+  /** Benford first-digit audit (q181): the observed leading-digit
+    * distribution of the two money columns (`o_totalprice`,
+    * `l_extendedprice`) against Benford's law (Benford 1938; Hill 1995)
+    * — the classic books-integrity screen: organically-sized amounts
+    * follow log10(1+1/d), while fabricated, capped, or unit-mangled
+    * data shows up as a flat or spiked digit profile. Per (measure,
+    * digit): count, observed share bp, expected bp and the signed
+    * deviation. Digits are taken from the EXACT cents grid
+    * (round(·100) → BIGINT → first character), which is leading-digit
+    * invariant under the ×100 shift, so no float, log, or locale
+    * formatting crosses engines.
+    *
+    * Scale posture: two narrow column scans collapse map-side to ≤9
+    * rows each; the expected table is a CASE constant; totals are a
+    * per-measure window over ≤9 rows. At 100 TB this is the cheapest
+    * possible shape — a projection and a 9-key combine. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def leg(measure: String, df: DataFrame, priceCol: String): DataFrame =
+      df.select(lit(measure).as("measure"),
+        expr(s"substring(cast(cast(round($priceCol * 100) as bigint) " +
+          "as string), 1, 1)").as("digit"))
+        .filter(col("digit") =!= "0" && col("digit") =!= "-")
+        .groupBy(col("measure"), col("digit"))
+        .agg(count(lit(1)).as("n_values"))
+    val cells = leg("l_extendedprice", Tables.lineitem(spark, dir),
+      "l_extendedprice")
+      .unionByName(leg("o_totalprice", Tables.orders(spark, dir),
+        "o_totalprice"))
+    val expected = BenfordBp.zipWithIndex
+      .map { case (bp, i) => s"WHEN '${i + 1}' THEN ${bp}L" }
+      .mkString("CASE digit ", " ", " END")
+    cells
+      .withColumn("n_total",
+        sum(col("n_values")).over(Window.partitionBy(col("measure"))))
+      .select(col("measure"), col("digit"), col("n_values"),
+        expr("n_values * 10000 div n_total").as("obs_bp"),
+        expr(expected).as("benford_bp"))
+      .withColumn("dev_bp", col("obs_bp") - col("benford_bp"))
+      .orderBy(col("measure"), col("digit"))
+  }
+
+  def benfordAuditSql: String = {
+    val expected = BenfordBp.zipWithIndex
+      .map { case (bp, i) => s"WHEN '${i + 1}' THEN $bp" }
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH v AS (
+       |  SELECT 'l_extendedprice' AS measure,
+       |    substr(CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR, 1, 1)
+       |      AS digit
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'o_totalprice',
+       |    substr(CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR, 1, 1)
+       |  FROM orders
+       |), cells AS (
+       |  SELECT measure, digit, count(*)::BIGINT AS n_values
+       |  FROM v WHERE digit NOT IN ('0', '-') GROUP BY 1, 2
+       |), t AS (
+       |  SELECT *, sum(n_values) OVER (PARTITION BY measure) AS n_total
+       |  FROM cells
+       |)
+       |SELECT measure, digit, n_values,
+       |  (n_values * 10000 // n_total)::BIGINT AS obs_bp,
+       |  ($expected)::BIGINT AS benford_bp,
+       |  (n_values * 10000 // n_total)::BIGINT - ($expected)::BIGINT AS dev_bp
+       |FROM t ORDER BY measure, digit""".stripMargin
+  }
+
+  /** The (relationship, table, determinant, dependent) legs
+    * [[fdAudit]] profiles — two that must HOLD on a sane star schema
+    * (key-determined attributes) and two that genuinely DON'T (an
+    * order spans suppliers; a part ships from many suppliers), so the
+    * audit demonstrates both verdicts on real data. */
+  private val FdLegs: Seq[(String, String, String, String)] = Seq(
+    ("customer: c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("lineitem: l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem: l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("orders: o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"))
+
+  /** Functional-dependency / uniqueness profiler (q183): for each
+    * candidate determinant→dependent pair, the exact violation
+    * accounting — distinct determinant keys, distinct (det, dep)
+    * pairs, keys mapping to MORE than one dependent value, the worst
+    * fanout, and the violation share in bp. fd_holds is the derived
+    * verdict (n_pairs = n_keys). This is the constraint-DISCOVERY op
+    * of a data-quality layer (Deequ/profiling family): run it before
+    * declaring schema contracts, and keep it running to catch a feed
+    * that starts violating a dependency the pipeline relies on (e.g.
+    * the q137 FK audit assumes key-determined dims).
+    *
+    * Scale posture: each leg collapses to its distinct (det, dep)
+    * pair set with map-side partial aggregation FIRST (the only
+    * corpus-sized exchange, keyed on the high-cardinality
+    * determinant), then folds per-determinant fanouts into a 1-row
+    * summary — no countDistinct Expand, no second scan. Legs union
+    * AFTER aggregation (4 single-row plans), so each table crosses
+    * the cluster once per leg. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, df: DataFrame, a: String, b: String): DataFrame =
+      df.select(col(a).cast("long").as("k"), col(b).cast("long").as("v"))
+        .groupBy(col("k"), col("v")).agg(count(lit(1)).as("dup"))
+        .groupBy(col("k")).agg(count(lit(1)).as("fanout"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("fanout")).as("n_pairs"),
+          sum(when(col("fanout") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("fanout")).as("max_fanout"))
+        .select(lit(name).as("dependency"), col("n_keys"), col("n_pairs"),
+          col("n_violating"), col("max_fanout"),
+          expr("n_violating * 10000 div n_keys").as("violation_bp"),
+          (col("n_pairs") === col("n_keys")).as("fd_holds"))
+    val tables = Map[String, DataFrame](
+      "customer" -> Tables.customer(spark, dir),
+      "lineitem" -> Tables.lineitem(spark, dir),
+      "orders" -> Tables.orders(spark, dir))
+    FdLegs.map { case (name, t, a, b) => leg(name, tables(t), a, b) }
+      .reduce(_ unionByName _)
+      .orderBy(col("dependency"))
+  }
+
+  def fdAuditSql: String = {
+    def leg(name: String, t: String, a: String, b: String): String =
+      s"""SELECT '$name' AS dependency, n_keys, n_pairs, n_violating,
+         |  max_fanout, (n_violating * 10000 // n_keys)::BIGINT AS violation_bp,
+         |  n_pairs = n_keys AS fd_holds
+         |FROM (
+         |  SELECT count(*)::BIGINT AS n_keys, sum(fanout)::BIGINT AS n_pairs,
+         |    sum(CASE WHEN fanout > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+         |    max(fanout)::BIGINT AS max_fanout
+         |  FROM (
+         |    SELECT k, count(*)::BIGINT AS fanout FROM (
+         |      SELECT DISTINCT $a::BIGINT AS k, $b::BIGINT AS v FROM $t
+         |    ) GROUP BY k
+         |  )
+         |)""".stripMargin
+    FdLegs.map { case (name, t, a, b) => leg(name, t, a, b) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+  }
+
+  /** Market-basket frequent pairs (q184): the top-k part pairs
+    * co-purchased in the same order, with support (orders containing
+    * both) and lift in basis points (support·N div (n_a·n_b) — how
+    * much more often the pair co-occurs than independence predicts;
+    * 10000 = independent). The classic frequent-itemset head
+    * (Agrawal & Srikant 1994, restricted to pairs — the 2-itemset
+    * lattice level every apriori pass starts from) and the relational
+    * twin of q169's event-type lift matrix.
+    *
+    * Scale posture: ONE corpus exchange — lineitem collapses to
+    * per-order sorted part SETS (collect_set under partial agg; the
+    * set is order-sized, ~4-7 parts), and the pair fan-out is a pure
+    * EXPRESSION over each set (nested transform + flatten: ≤
+    * C(|order|, 2) pairs per row, never corpus², no self-join, no
+    * second shuffle of the fact table). Part counts and the basket
+    * total read the same cached sets. The top-k rides orderBy+limit,
+    * which Spark plans as TakeOrderedAndProject (a bounded
+    * per-partition heap — the k-row answer, no full sort ever
+    * materializes); per-part counts join back only onto the k
+    * winners. lift products ride decimal(38,0)/HUGEINT. */
+  def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val sets = graft.PlanCache.cached(spark, s"relational.basketSets:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .groupBy(col("okey"))
+        .agg(sort_array(collect_set(col("part"))).as("ps"))
+    }
+    // all (a, b) with a < b: the set is sorted and distinct, so pairing
+    // each element with its strict suffix enumerates exactly the
+    // unordered pairs, already in canonical order
+    val top = sets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("p"))
+      .groupBy(col("p.x").as("part_a"), col("p.y").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(k)
+    val partOrders = sets.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
+    val n = sets.agg(count(lit(1)).as("n_baskets"))
+    top
+      .join(partOrders.select(col("part").as("part_a"),
+        col("n_ord").as("n_a")), Seq("part_a"))
+      .join(partOrders.select(col("part").as("part_b"),
+        col("n_ord").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("n_a"), col("n_b"), col("n_baskets"),
+        expr("cast(cast(support as decimal(38,0)) * n_baskets * 10000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("lift_bp"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+  }
+
+  def basketPairsSql(k: Int = 20): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+       |), pairs AS (
+       |  SELECT a.part AS part_a, b.part AS part_b, count(*)::BIGINT AS support
+       |  FROM items a JOIN items b
+       |    ON a.okey = b.okey AND a.part < b.part
+       |  GROUP BY 1, 2
+       |), top AS (
+       |  SELECT * FROM pairs
+       |  ORDER BY support DESC, part_a, part_b LIMIT $k
+       |), po AS (
+       |  SELECT part, count(*)::BIGINT AS n_ord FROM items GROUP BY 1
+       |), n AS (
+       |  SELECT count(DISTINCT okey)::BIGINT AS n_baskets FROM items
+       |)
+       |SELECT part_a, part_b, support, pa.n_ord AS n_a, pb.n_ord AS n_b,
+       |  n.n_baskets,
+       |  (support::HUGEINT * n.n_baskets * 10000
+       |    // (pa.n_ord::HUGEINT * pb.n_ord))::BIGINT AS lift_bp
+       |FROM top
+       |JOIN po pa ON pa.part = top.part_a
+       |JOIN po pb ON pb.part = top.part_b
+       |CROSS JOIN n
+       |ORDER BY support DESC, part_a, part_b""".stripMargin
+
+  /** Supplier-concentration audit (q187): per supplier nation — the
+    * Herfindahl–Hirschman index of supplier revenue shares on the
+    * standard 0..10000 scale (Σ share², the antitrust concentration
+    * measure; ≥ 2500 is "highly concentrated" under the DOJ guideline),
+    * the top supplier's share in bp, and the effective supplier count
+    * (inverse-Simpson, milli) — how many EQUAL-sized suppliers the
+    * nation behaves as. The supply-chain risk lens beside X106's
+    * revenue stats: a nation can have many suppliers and still be
+    * one-supplier fragile.
+    *
+    * All integer-exact: per-row revenue lifts to the cents grid
+    * (round((price·(1−disc))·100) — both engines round the identical
+    * binary double to integer); HHI = 10⁴·Σs² div T² and the
+    * effective count T²·1000 div Σs² are single divisions in
+    * decimal(38,0)/HUGEINT.
+    *
+    * Scale posture: lineitem collapses to (supplier, cents) with
+    * map-side combine, joins the broadcast supplier dim for the
+    * nation, then folds to |nations| rows carrying Σs/Σs²/max — the
+    * fact table crosses the cluster once. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        expr("cast(round((l_extendedprice * (1 - l_discount)) * 100) " +
+          "as bigint)").as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("s"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+    sup.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s")).as("revenue_cents"),
+        sum(expr("cast(s as decimal(38,0)) * s")).as("sum_sq"),
+        max(col("s")).as("top_cents"))
+      .select(col("s_nationkey").cast("long").as("nationkey"),
+        col("n_suppliers"), col("revenue_cents"),
+        expr("cast(10000 * sum_sq div (cast(revenue_cents as decimal(38,0)) " +
+          "* revenue_cents) as bigint)").as("hhi"),
+        expr("top_cents * 10000 div revenue_cents").as("top_share_bp"),
+        expr("cast(cast(revenue_cents as decimal(38,0)) * revenue_cents " +
+          "* 1000 div sum_sq as bigint)").as("effective_suppliers_milli"))
+      .orderBy(col("nationkey"))
+  }
+
+  def supplierHhiSql: String =
+    """WITH s AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+      |        AS BIGINT))::BIGINT AS s
+      |  FROM lineitem GROUP BY 1
+      |), n AS (
+      |  SELECT s_nationkey, s FROM s JOIN supplier ON l_suppkey = s_suppkey
+      |)
+      |SELECT s_nationkey::BIGINT AS nationkey,
+      |  count(*)::BIGINT AS n_suppliers,
+      |  sum(s)::BIGINT AS revenue_cents,
+      |  ((10000::HUGEINT * sum(s::HUGEINT * s))
+      |    // (sum(s)::HUGEINT * sum(s)))::BIGINT AS hhi,
+      |  (max(s) * 10000 // sum(s))::BIGINT AS top_share_bp,
+      |  ((sum(s)::HUGEINT * sum(s) * 1000) // sum(s::HUGEINT * s))::BIGINT
+      |    AS effective_suppliers_milli
+      |FROM n GROUP BY 1 ORDER BY nationkey""".stripMargin
+
   def integrityAuditSql: String = {
     def leg(name: String, child: String, ck: String,
             parent: String, pk: String): String =

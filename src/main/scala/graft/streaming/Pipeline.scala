@@ -470,15 +470,17 @@ object Pipeline {
     * [[ruleFilterGate]] (when a rule list is supplied) drops documents
     * tripping the Gopher/C4 battery, [[spanScrubGate]] (when a gram
     * snapshot is supplied) rejects boilerplate-covered documents, and
-    * [[repetitionGate]] (when `maxDup3Bp` ≤ 10000) drops
-    * internally-repetitive documents — all three run BEFORE dedup state
-    * (a scrubbed-out doc must never occupy a
+    * [[hygieneGate]] (when `maxBadBp` ≤ 10000) drops encoding-damaged
+    * documents, and [[repetitionGate]] (when `maxDup3Bp` ≤ 10000) drops
+    * internally-repetitive documents — all of these run BEFORE dedup
+    * state (a scrubbed-out doc must never occupy a
     * digest slot), `dropDuplicatesWithinWatermark` on the sha2 content
     * digest drops exact re-ingests (state keyed on the 32-byte hash,
     * never the body, bounded by the watermark), and the quality gate
     * scores with the same native kernel as the batch q17/q65. Appends
     * `importance_score` (when gated), `ppx_mb` (when LM-gated),
-    * `span_coverage_bp` (when scrubbed), `dup3_bp` (when
+    * `span_coverage_bp` (when scrubbed), `hygiene_bp` (when
+    * hygiene-gated), `dup3_bp` (when
     * repetition-gated) and `quality`; otherwise
     * passthrough. Everything outside
     * the dedup is stateless — broadcast literal maps and per-row
@@ -497,7 +499,8 @@ object Pipeline {
                     lmBase: Map[String, Long] = Map.empty,
                     ppxCutoffs: Map[String, Long] = Map.empty,
                     cleanRules: Seq[String] = Seq.empty,
-                    maxDup3Bp: Long = 10001L): DataFrame = {
+                    maxDup3Bp: Long = 10001L,
+                    maxBadBp: Long = 10001L): DataFrame = {
     require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
       "curatedIntake: supply both importance snapshots or neither")
     require(lmCosts.isEmpty == lmBase.isEmpty &&
@@ -514,10 +517,14 @@ object Pipeline {
       else pre
     val mixed = mixtureGate(pre2, rates, seed)
     // the stateless scrubs run before the dedup so rejected rows never
-    // occupy a digest state slot
-    val ruled =
-      if (cleanRules.nonEmpty) ruleFilterGate(mixed, cleanRules)
+    // occupy a digest state slot; hygiene first — encoding damage
+    // invalidates every downstream text score
+    val hygienic =
+      if (maxBadBp <= 10000L) hygieneGate(mixed, maxBadBp)
       else mixed
+    val ruled =
+      if (cleanRules.nonEmpty) ruleFilterGate(hygienic, cleanRules)
+      else hygienic
     val scrubbed =
       if (scrubGrams.nonEmpty)
         spanScrubGate(ruled, scrubGrams, maxCoverageBp, scrubN)
@@ -697,6 +704,32 @@ object Pipeline {
     * Documents with fewer than 3 tokens carry dup3_bp = 0 and are
     * ADMITTED (nothing to repeat) — batch q157 merely EXCLUDES them
     * from its audit, but a gate must decide every row. */
+  /** X108 streaming twin: encoding-hygiene gate — drop incoming
+    * documents whose bad-character density (replacement/control/NBSP/
+    * zero-width occurrences per 10k characters, the q182 classes)
+    * exceeds `maxBadBp`. Stateless: the count is pure length algebra
+    * over four `translate` passes (the exact batch device — no regex,
+    * no state), so batch/stream admission parity is row-exact and
+    * testable. maxBadBp = 0 is the strict posture (any hygiene
+    * character rejects); the q182 audit is how the threshold is chosen.
+    * Appends `hygiene_bp`. */
+  def hygieneGate(stream: DataFrame, maxBadBp: Long = 0L): DataFrame = {
+    require(maxBadBp >= 0L && maxBadBp <= 10001L,
+      s"hygieneGate: maxBadBp out of range ($maxBadBp)")
+    val bad = graft.operators.Curation.HygieneChars
+      .map { case (_, cp) =>
+        val c = new String(Character.toChars(cp))
+        length(col("text")) - length(translate(col("text"), c, ""))
+      }
+      .reduce(_ + _).cast("long")
+    stream
+      .withColumn("_bad", bad)
+      .withColumn("hygiene_bp",
+        expr("_bad * 10000 div greatest(1, length(text))"))
+      .drop("_bad")
+      .filter(col("hygiene_bp") <= maxBadBp)
+  }
+
   def repetitionGate(stream: DataFrame, maxDup3Bp: Long = 2500L): DataFrame = {
     require(maxDup3Bp >= 0L && maxDup3Bp <= 10001L,
       s"repetitionGate: maxDup3Bp out of range ($maxDup3Bp)")

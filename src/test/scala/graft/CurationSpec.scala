@@ -994,4 +994,24 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("encodingHygiene (q182): injection rule, length algebra, NBSP removes nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hyg").toString
+    // doc_id drives injection: 0→FFFD, 1→BEL, 2→NBSP, 3→FFFD+ZWSP, 4→clean
+    (0L to 4L).map(i => (i, "abc", "en", "t", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.encodingHygiene(spark, dir).collect()
+    assert(r.length == 1)
+    val en = r.head
+    assert(en.getAs[Long]("n_docs") == 5L)
+    assert(en.getAs[Long]("docs_repl") == 2L, "doc 0 and doc 3 (3%3=0)")
+    assert(en.getAs[Long]("docs_ctrl") == 1L)
+    assert(en.getAs[Long]("docs_nbsp") == 1L)
+    assert(en.getAs[Long]("docs_zwsp") == 1L)
+    assert(en.getAs[Long]("n_bad_chars") == 5L)
+    assert(en.getAs[Long]("n_chars_removed") == 4L,
+      "NBSP maps to a space — flagged but not removed")
+  }
 }

@@ -482,4 +482,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(u.getAs[Long]("p5_cents") == 200L && u.getAs[Long]("p95_cents") == 600L)
     assert(u.getAs[Long]("winsorized_mean_millicents") == 400000L)
   }
+
+  test("weeklySeasonality (q185): ISO weekday cells, exact independence baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_season").toString
+    // epoch day 4 = Monday 1970-01-05 (isodow 1), day 5 = Tuesday
+    def at(d: Long, h: Long, i: Long) = nanos(d * day + h * 3600 + i)
+    var eid = 0L
+    val rows = (Seq.fill(3)((4L, 9L)) ++ Seq((4L, 10L)) ++
+      Seq.fill(2)((5L, 9L))).map { case (d, h) =>
+      eid += 1; (eid, at(d, h, eid), eid % 3, "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.weeklySeasonality(spark, dir).collect()
+      .map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) -> r).toMap
+    assert(out.size == 3)
+    val mon9 = out((1L, 9L))
+    assert(mon9.getAs[Long]("n_events") == 3L)
+    assert(mon9.getAs[Long]("obs_bp") == 5000L)          // 3/6
+    assert(mon9.getAs[Long]("exp_bp") == 5555L)          // 4·5·10⁴ div 36
+    assert(mon9.getAs[Long]("dev_bp") == -555L)
+    val mon10 = out((1L, 10L))
+    assert(mon10.getAs[Long]("obs_bp") == 1666L &&
+      mon10.getAs[Long]("exp_bp") == 1111L && mon10.getAs[Long]("dev_bp") == 555L)
+    val tue9 = out((2L, 9L))
+    assert(tue9.getAs[Long]("obs_bp") == 3333L &&
+      tue9.getAs[Long]("exp_bp") == 2777L && tue9.getAs[Long]("dev_bp") == 556L)
+  }
+
+  test("newVsReturning (q186): first-day election, exact daily ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_newret").toString
+    def at(d: Long, i: Long) = nanos(d * day + i)
+    Seq(
+      (1L, at(1, 10), 1L, "view", 0.0, "{}"),   // A day 1 (new)
+      (2L, at(2, 10), 1L, "view", 0.0, "{}"),   // A day 2 (returning)
+      (3L, at(2, 11), 1L, "click", 0.0, "{}"),  // same user+day, no double count
+      (4L, at(2, 20), 2L, "view", 0.0, "{}"),   // B day 2 (new)
+      (5L, at(2, 30), 3L, "view", 0.0, "{}"),   // C day 2 (new)
+      (6L, at(3, 10), 3L, "view", 0.0, "{}"))   // C day 3 (returning)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.newVsReturning(spark, dir).collect()
+    assert(out.length == 3)
+    def row(i: Int) = (out(i).getAs[Long]("n_active_users"),
+      out(i).getAs[Long]("n_new_users"), out(i).getAs[Long]("n_returning"),
+      out(i).getAs[Long]("new_share_bp"))
+    assert(row(0) == ((1L, 1L, 0L, 10000L)))
+    assert(row(1) == ((3L, 2L, 1L, 6666L)))
+    assert(row(2) == ((1L, 0L, 1L, 0L)))
+  }
 }

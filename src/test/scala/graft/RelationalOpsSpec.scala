@@ -71,4 +71,141 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_customers") == 1L &&
       r.getAs[Long]("cents") == 4200L)
   }
+
+  test("benfordAudit (q181): exact digit extraction on the cents grid") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_benford").toString
+    // prices chosen so cents leading digits are controlled:
+    // 1.00→100(1), 12.34→1234(1), 0.25→25(2), 2.00→200(2), 9.99→999(9)
+    Seq((1L, 1L, "O", 1.00, day(1), "1-URGENT"),
+      (2L, 1L, "O", 12.34, day(2), "1-URGENT"),
+      (3L, 2L, "O", 0.25, day(3), "1-URGENT"),
+      (4L, 2L, "O", 2.00, day(4), "1-URGENT"),
+      (5L, 3L, "O", 9.99, day(5), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // empty lineitem leg with the right schema
+    Seq.empty[(Long, Long, Long, Long, Double, Double, Double, Double,
+        String, String, java.sql.Timestamp)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .repartition(1) // force a schema-bearing (empty) footer on disk
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.benfordAudit(spark, dir).collect()
+    assert(out.forall(_.getAs[String]("measure") == "o_totalprice"))
+    val byDigit = out.map(r => r.getAs[String]("digit") -> r).toMap
+    assert(byDigit.keySet == Set("1", "2", "9"))
+    assert(byDigit("1").getAs[Long]("n_values") == 2L)
+    assert(byDigit("1").getAs[Long]("obs_bp") == 4000L)
+    assert(byDigit("1").getAs[Long]("benford_bp") == 3010L)
+    assert(byDigit("1").getAs[Long]("dev_bp") == 990L)
+    assert(byDigit("2").getAs[Long]("obs_bp") == 4000L)
+    assert(byDigit("9").getAs[Long]("benford_bp") == 458L)
+    assert(byDigit("9").getAs[Long]("dev_bp") == 2000L - 458L)
+  }
+
+  test("fdAudit (q183): holding and violated dependencies, exact fanout algebra") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fd").toString
+    // customer: c_custkey -> c_nationkey HOLDS (keys 1,2,3 each one nation)
+    Seq((1L, "a", 10, 1.0, "m"), (2L, "b", 10, 1.0, "m"),
+      (3L, "c", 20, 1.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    // orders: o_orderkey -> o_custkey HOLDS (pk)
+    Seq((1L, 1L, "O", 1.0, day(1), "p"), (2L, 2L, "O", 1.0, day(2), "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // lineitem: order 1 spans suppliers 7 and 8 (violates l_orderkey->l_suppkey
+    // with fanout 2); part 5 ships from suppliers 7 and 8 (violates
+    // l_partkey->l_suppkey); part 6 from supplier 7 only. A duplicate
+    // (order 1, supplier 7) row must NOT inflate the distinct pair count.
+    Seq((1L, 5L, 7L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", day(1)),
+      (1L, 5L, 7L, 2L, 1.0, 1.0, 0.0, 0.0, "N", "O", day(1)),
+      (1L, 5L, 8L, 3L, 1.0, 1.0, 0.0, 0.0, "N", "O", day(1)),
+      (2L, 6L, 7L, 1L, 1.0, 1.0, 0.0, 0.0, "N", "O", day(2)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.fdAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("dependency") -> r).toMap
+    assert(out.size == 4)
+    val cust = out("customer: c_custkey->c_nationkey")
+    assert(cust.getAs[Boolean]("fd_holds") && cust.getAs[Long]("n_keys") == 3L)
+    assert(cust.getAs[Long]("violation_bp") == 0L)
+    val ord = out("orders: o_orderkey->o_custkey")
+    assert(ord.getAs[Boolean]("fd_holds") && ord.getAs[Long]("max_fanout") == 1L)
+    val los = out("lineitem: l_orderkey->l_suppkey")
+    assert(!los.getAs[Boolean]("fd_holds"))
+    assert(los.getAs[Long]("n_keys") == 2L && los.getAs[Long]("n_pairs") == 3L)
+    assert(los.getAs[Long]("n_violating") == 1L &&
+      los.getAs[Long]("max_fanout") == 2L)
+    assert(los.getAs[Long]("violation_bp") == 5000L)
+    val lps = out("lineitem: l_partkey->l_suppkey")
+    assert(!lps.getAs[Boolean]("fd_holds") &&
+      lps.getAs[Long]("violation_bp") == 5000L)
+  }
+
+  test("basketPairs (q184): distinct baskets, pair supports, exact lift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket").toString
+    def li(ok: Long, pk: Long, ln: Long) =
+      (ok, pk, 1L, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", day(1))
+    // order 1: {5,6,7}; order 2: {5,6}; order 3: {5,5,6} (dup line must
+    // not double-count); order 4: {9} (no pairs, still a basket)
+    Seq(li(1, 5, 1), li(1, 6, 2), li(1, 7, 3),
+      li(2, 5, 1), li(2, 6, 2),
+      li(3, 5, 1), li(3, 5, 2), li(3, 6, 3),
+      li(4, 9, 1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.basketPairs(spark, dir).collect()
+    assert(out.length == 3)
+    val first = out.head
+    assert(first.getAs[Long]("part_a") == 5L && first.getAs[Long]("part_b") == 6L)
+    assert(first.getAs[Long]("support") == 3L)
+    assert(first.getAs[Long]("n_a") == 3L && first.getAs[Long]("n_b") == 3L)
+    assert(first.getAs[Long]("n_baskets") == 4L)
+    // 3·4·10⁴ div 9 = 13333
+    assert(first.getAs[Long]("lift_bp") == 13333L)
+    // remaining pairs tie at support 1 → ordered (5,7) then (6,7)
+    assert(out(1).getAs[Long]("part_a") == 5L && out(1).getAs[Long]("part_b") == 7L)
+    assert(out(2).getAs[Long]("part_a") == 6L && out(2).getAs[Long]("part_b") == 7L)
+    // 1·4·10⁴ div (3·1) = 13333
+    assert(out(1).getAs[Long]("lift_bp") == 13333L)
+  }
+
+  test("supplierHhi (q187): exact cents grid, HHI, top share, effective count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hhi").toString
+    def li(ok: Long, sk: Long, price: Double, disc: Double, ln: Long) =
+      (ok, 1L, sk, ln, 1.0, price, disc, 0.0, "N", "O", day(1))
+    // nation 10: supplier 1 → 100+200 = 300 cents; supplier 2 → 2·(1−.5) = 100
+    // nation 20: supplier 3 alone → 500
+    Seq(li(1, 1, 1.0, 0.0, 1), li(1, 1, 2.0, 0.0, 2),
+      li(2, 2, 2.0, 0.5, 1), li(3, 3, 5.0, 0.0, 1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "s1", 10, 0.0), (2L, "s2", 10, 0.0), (3L, "s3", 20, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    val out = Relational.supplierHhi(spark, dir).collect()
+      .map(r => r.getAs[Long]("nationkey") -> r).toMap
+    val n10 = out(10L)
+    assert(n10.getAs[Long]("n_suppliers") == 2L &&
+      n10.getAs[Long]("revenue_cents") == 400L)
+    // 10⁴·(300² + 100²) div 400² = 10⁴·100000 div 160000 = 6250
+    assert(n10.getAs[Long]("hhi") == 6250L)
+    assert(n10.getAs[Long]("top_share_bp") == 7500L)
+    // 400²·1000 div 100000 = 1600 — "1.6 effective suppliers"
+    assert(n10.getAs[Long]("effective_suppliers_milli") == 1600L)
+    val n20 = out(20L)
+    assert(n20.getAs[Long]("hhi") == 10000L &&
+      n20.getAs[Long]("top_share_bp") == 10000L &&
+      n20.getAs[Long]("effective_suppliers_milli") == 1000L)
+  }
 }

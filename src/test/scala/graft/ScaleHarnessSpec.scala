@@ -600,4 +600,146 @@ class ScaleHarnessSpec extends SparkSpec {
     assert(r100.getAs[Long]("n_families") == 0L)
     assert(r100.getAs[Long]("total_tokens") == 6000L * 12)
   }
+
+  /** Events corpus of `copies` clones of a 3-user template: every clone
+    * replays the same relative timeline and values under fresh user/event
+    * ids, so all share/rank functionals must be copy-count-invariant. */
+  private def eventClonesDir(copies: Int): String = {
+    val day = 86400L
+    // (relSec, type, value) per template user
+    val template: Seq[(Long, Seq[(Long, String, Double)])] = Seq(
+      1L -> Seq((4 * day + 9 * 3600L, "view", 0.01), (4 * day + 9 * 3600 + 10L, "click", 1.0),
+        (4 * day + 9 * 3600 + 2000L, "view", 1.0), (4 * day + 9 * 3600 + 2010L, "click", 100.0)),
+      2L -> Seq((4 * day + 10 * 3600L, "view", 1.0)),
+      3L -> Seq((5 * day + 9 * 3600L, "view", 2.0), (5 * day + 9 * 3600 + 1800L, "click", 4.0),
+        (5 * day + 9 * 3600 + 3601L, "view", 6.0)))
+    var eid = 0L
+    val rows = for {
+      c <- 0 until copies
+      (u, evs) <- template
+      (sec, ty, v) <- evs
+    } yield {
+      eid += 1
+      (eid, sec * 1000000000L, u * 100000L + c, ty, v, "{}")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_evclone_$copies").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q179/q180/q185: session bands, robust means and seasonality are invariant under 100x user cloning") {
+    val (d1, d100) = (eventClonesDir(1), eventClonesDir(100))
+    // q179: per-clone sessions identical -> shares and durations invariant,
+    // counts scale exactly 100x
+    val s1 = EventAnalytics.sessionization(spark, d1).collect()
+      .map(r => r.getAs[String]("size_band") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("dur_per_session_milli"))).toMap
+    val s100 = EventAnalytics.sessionization(spark, d100).collect()
+      .map(r => r.getAs[String]("size_band") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("dur_per_session_milli"))).toMap
+    assert(s1.keySet == s100.keySet)
+    s1.foreach { case (band, (n1, bp1, dur1)) =>
+      val (n100, bp100, dur100) = s100(band)
+      assert(n100 == 100L * n1, s"$band sessions must scale 100x")
+      assert(bp100 == bp1 && dur100 == dur1, s"$band functionals drifted")
+    }
+    // q180: exact invariance needs lo = 5n div 100 to scale with n, i.e.
+    // per-type counts divisible by 20 at base scale — build that corpus
+    // (the general template above trims a DIFFERENT 5% once n crosses a
+    // div-100 boundary, which is correct rank semantics, not drift)
+    def valuesDir(copies: Int): String = {
+      val vals = Seq(0.01) ++ Seq.fill(18)(1.0) ++ Seq(100.0)
+      var eid = 0L
+      val rows = for { c <- 0 until copies; v <- vals } yield {
+        eid += 1; (eid, eid * 1000000000L, eid % 7, "t", v, "{}")
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_valclone_$copies").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def stats(dir: String) = EventAnalytics.robustValueStats(spark, dir)
+      .drop("n_events").collect().map(_.toSeq).toSeq
+    assert(stats(valuesDir(1)) == stats(valuesDir(100)),
+      "trim/winsor means must be invariant under exact-proportion cloning")
+    // q185: cell/marginal shares all scale together
+    def season(dir: String) = EventAnalytics.weeklySeasonality(spark, dir)
+      .drop("n_events").collect().map(_.toSeq).toSeq
+    assert(season(d1) == season(d100))
+  }
+
+  test("q176/q184: RFM cutoffs and basket lift are invariant under 100x entity cloning") {
+    import java.sql.Timestamp
+    import java.time.LocalDateTime
+    def day(d: Int): Timestamp =
+      Timestamp.valueOf(LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
+    def ordersDir(copies: Int): String = {
+      val rDays = Seq(0, 1, 2, 3, 4, 5, 6, 7)
+      val freq = Seq(1, 1, 2, 2, 3, 3, 4, 4)
+      val dollars = Seq(10, 20, 30, 40, 50, 60, 70, 80)
+      var ok = 0L
+      val rows = for {
+        c <- 0 until copies
+        i <- 0 until 8
+        j <- 0 until freq(i)
+      } yield {
+        ok += 1
+        val price = if (j == freq(i) - 1) (dollars(i) - (freq(i) - 1)).toDouble
+                    else 1.0
+        (ok, (i + 1).toLong * 100000L + c, "O", price,
+          day(100 - rDays(i) - (freq(i) - 1 - j)), "1-URGENT")
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_rfmclone_$copies").toString
+      rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val (r1, r100) = (ordersDir(1), ordersDir(100))
+    val a = graft.operators.Relational.rfmSegments(spark, r1).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("r_score"),
+        r.getAs[Long]("f_score"), r.getAs[Long]("m_score")) ->
+        r.getAs[Long]("n_customers")).toMap
+    val b = graft.operators.Relational.rfmSegments(spark, r100).collect()
+      .map(r => (r.getAs[String]("segment"), r.getAs[Long]("r_score"),
+        r.getAs[Long]("f_score"), r.getAs[Long]("m_score")) ->
+        r.getAs[Long]("n_customers")).toMap
+    assert(a.keySet == b.keySet, "cutoffs must not move under cloning")
+    a.foreach { case (k, n) => assert(b(k) == 100L * n, s"$k must scale 100x") }
+    // q184: cloned baskets scale support and basket counts together
+    def basketsDir(copies: Int): String = {
+      def li(ok: Long, pk: Long, ln: Long) =
+        (ok, pk, 1L, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", day(1))
+      val template = Seq((1L, Seq(5L, 6L, 7L)), (2L, Seq(5L, 6L)),
+        (3L, Seq(5L, 6L)), (4L, Seq(9L)))
+      val rows = for {
+        c <- 0 until copies
+        (ok, parts) <- template
+        (pk, ln) <- parts.zipWithIndex.map { case (p, l) => (p, (l + 1).toLong) }
+      } yield li(ok * 100000L + c, pk, ln)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_bktclone_$copies").toString
+      rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val (k1, k100) = (basketsDir(1), basketsDir(100))
+    def pairs(dir: String) = graft.operators.Relational.basketPairs(spark, dir)
+      .collect().map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        (r.getAs[Long]("support"), r.getAs[Long]("lift_bp"))).toMap
+    val (p1, p100) = (pairs(k1), pairs(k100))
+    assert(p1.keySet == p100.keySet)
+    p1.foreach { case (k, (sup, lift)) =>
+      assert(p100(k)._1 == 100L * sup, s"$k support must scale 100x")
+      assert(p100(k)._2 == lift, s"$k lift must be clone-invariant")
+    }
+  }
 }

@@ -1062,6 +1062,40 @@ class StreamingSpec extends SparkSpec {
     assert(got.get(900002L).contains(0L))
   }
 
+  test("hygiene gate admits exactly the batch length-algebra set (X108 twin)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val dirty = Seq(
+      CuratedDocFixture(910001L, "clean text here", "en", "s", t0),
+      CuratedDocFixture(910002L, "bad\ufffddecode", "en", "s", t0),
+      CuratedDocFixture(910003L, "bell\u0007inside", "en", "s", t0),
+      CuratedDocFixture(910004L, "nb\u00a0space", "en", "s", t0),
+      CuratedDocFixture(910005L, "zero\u200bwidth", "en", "s", t0),
+      // one bad char in 100 chars = 100 bp — admitted at maxBadBp=100
+      CuratedDocFixture(910006L, ("x" * 99) + "\u200b", "en", "s", t0))
+    val mem = MemoryStream[CuratedDocFixture]
+    mem.addData(dirty.toIndexedSeq: _*)
+    val q = Pipeline.hygieneGate(mem.toDS().toDF(), maxBadBp = 100L)
+      .writeStream.format("memory").queryName("hyg_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("hyg_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hygiene_bp")).toMap
+    // 15-char clean doc → 0 bp; every 1-bad-char short doc ≫ 100 bp;
+    // the 100-char doc sits exactly AT the threshold (inclusive)
+    assert(got.keySet == Set(910001L, 910006L), s"got $got")
+    assert(got(910001L) == 0L && got(910006L) == 100L)
+    // strict default rejects the boundary doc too
+    val mem2 = MemoryStream[CuratedDocFixture]
+    mem2.addData(dirty.toIndexedSeq: _*)
+    val q2 = Pipeline.hygieneGate(mem2.toDS().toDF())
+      .writeStream.format("memory").queryName("hyg_gate_strict")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("hyg_gate_strict").collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(910001L))
+  }
+
   test("rule-filter gate admits exactly the batch clean set, audit mode counts violations (X68 twin)") {
     import spark.implicits._
     val rules = graft.operators.CurationPipeline.ChainRules
