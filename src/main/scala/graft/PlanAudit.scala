@@ -106,6 +106,12 @@ object PlanAudit {
     // q185 crossJoins the broadcast SINGLE-ROW grand total onto the
     // ≤168-row (dow, hour) cell grid
     "q185_seasonality",
+    // q188 crossJoins the broadcast SINGLE-ROW signup total onto the
+    // 5-interval table — the q130 audited scalar shape
+    "q188_conversion_survival",
+    // q190 crossJoins the broadcast SINGLE-ROW gap total onto the
+    // ≤4-row band table — the q127 audited scalar shape
+    "q190_purchase_gaps",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

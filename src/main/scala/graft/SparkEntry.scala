@@ -281,7 +281,10 @@ object SparkEntry {
     "q184_basket_pairs" -> ((s, d) => Relational.basketPairs(s, d)),
     "q185_seasonality" -> ((s, d) => EventAnalytics.weeklySeasonality(s, d)),
     "q186_new_returning" -> ((s, d) => EventAnalytics.newVsReturning(s, d)),
-    "q187_supplier_hhi" -> ((s, d) => Relational.supplierHhi(s, d))
+    "q187_supplier_hhi" -> ((s, d) => Relational.supplierHhi(s, d)),
+    "q188_conversion_survival" -> ((s, d) => EventAnalytics.conversionSurvival(s, d)),
+    "q189_mann_kendall" -> ((s, d) => EventAnalytics.mannKendallTrend(s, d)),
+    "q190_purchase_gaps" -> ((s, d) => Relational.repeatPurchaseGaps(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -475,6 +478,9 @@ object SparkEntry {
     "q184_basket_pairs" -> Relational.basketPairsSql(),
     "q185_seasonality" -> EventAnalytics.weeklySeasonalitySql,
     "q186_new_returning" -> EventAnalytics.newVsReturningSql,
-    "q187_supplier_hhi" -> Relational.supplierHhiSql
+    "q187_supplier_hhi" -> Relational.supplierHhiSql,
+    "q188_conversion_survival" -> EventAnalytics.conversionSurvivalSql,
+    "q189_mann_kendall" -> EventAnalytics.mannKendallTrendSql,
+    "q190_purchase_gaps" -> Relational.repeatPurchaseGapsSql
   )
 }

@@ -1051,6 +1051,179 @@ object EventAnalytics {
       |FROM ud JOIN f USING (user_id)
       |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Survival-table intervals for [[conversionSurvival]] (label,
+    * day-lo, day-hi): day 0, day 1, days 2-3, 4-7, 8-14. Conversions
+    * past day 14 (and never-converters) remain in the final survival
+    * figure — the event log is the complete history, so there is no
+    * censoring to model. */
+  private val SurvivalIntervals: Seq[(String, Long, Long)] = Seq(
+    ("a_d0", 0L, 0L), ("b_d1", 1L, 1L), ("c_d2_3", 2L, 3L),
+    ("d_d4_7", 4L, 7L), ("e_d8_14", 8L, 14L))
+
+  /** Time-to-convert survival table (q188): discrete signup→first-
+    * purchase survival over day intervals — users at risk entering the
+    * interval, conversions inside it, the interval hazard in bp
+    * (converted ÷ at-risk), cumulative conversions, and the survival
+    * share still unconverted at the interval's end. The actuarial
+    * life-table reading of q130's latency histogram (Kaplan–Meier on
+    * complete-history data, where no censoring term is needed): hazard
+    * says WHEN conversion pressure happens, survival says how much of
+    * the funnel is still open — both exact integer ratios, never a
+    * cumulative float product.
+    *
+    * Scale posture: one user-keyed conditional-min collapse (the q58/
+    * q130 shape) → a day-grid latency histogram with map-side combine;
+    * the interval table is a broadcast 5-row cross over grid-sized
+    * rows; the signup total is a broadcast 1-row scalar. */
+  def conversionSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val users = graft.PlanCache.cached(spark, s"events.signupLat:$dir") {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+            .as("s_us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("p_us"))
+        .filter(col("s_us").isNotNull)
+        .select(when(col("p_us").isNotNull && col("p_us") >= col("s_us"),
+          expr("(p_us - s_us) div 86400000000")).as("lat_day"))
+    }
+    val hist = users.filter(col("lat_day").isNotNull)
+      .groupBy(col("lat_day")).agg(count(lit(1)).as("cnt"))
+    val total = users.agg(count(lit(1)).as("n_signups"))
+    val intervals = SurvivalIntervals.map { case (l, lo, hi) =>
+      struct(lit(l).as("interval"), lit(lo).as("lo"), lit(hi).as("hi"))
+    }
+    hist
+      // literal 5-interval fan-out per histogram row: a pure Generate
+      // over grid-sized rows, no join at all
+      .select(col("lat_day"), col("cnt"),
+        explode(array(intervals: _*)).as("iv"))
+      .select(col("lat_day"), col("cnt"),
+        col("iv.interval").as("interval"), col("iv.lo").as("lo"),
+        col("iv.hi").as("hi"))
+      .groupBy(col("interval"), col("lo"))
+      .agg(sum(when(col("lat_day").between(col("lo"), col("hi")),
+          col("cnt")).otherwise(0L)).as("converted_in"),
+        sum(when(col("lat_day") < col("lo"), col("cnt")).otherwise(0L))
+          .as("cum_before"))
+      .crossJoin(broadcast(total))
+      .select(col("interval"), col("converted_in"),
+        (col("n_signups") - col("cum_before")).as("at_risk"),
+        expr("converted_in * 10000 div (n_signups - cum_before)")
+          .as("hazard_bp"),
+        (col("cum_before") + col("converted_in")).as("cum_converted"),
+        expr("(n_signups - cum_before - converted_in) * 10000 div n_signups")
+          .as("survival_bp"))
+      .orderBy(col("interval"))
+  }
+
+  def conversionSurvivalSql: String = {
+    val ivs = SurvivalIntervals
+      .map { case (l, lo, hi) => s"('$l', $lo, $hi)" }.mkString(", ")
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'signup'
+       |        THEN epoch_us(ts::TIMESTAMP) END) AS s_us,
+       |    min(CASE WHEN event_type = 'purchase'
+       |        THEN epoch_us(ts::TIMESTAMP) END) AS p_us
+       |  FROM events GROUP BY user_id
+       |), u AS (
+       |  SELECT CASE WHEN p_us IS NOT NULL AND p_us >= s_us
+       |    THEN (p_us - s_us) // 86400000000 END AS lat_day
+       |  FROM per_user WHERE s_us IS NOT NULL
+       |), h AS (
+       |  SELECT lat_day, count(*)::BIGINT AS cnt FROM u
+       |  WHERE lat_day IS NOT NULL GROUP BY 1
+       |), tot AS (SELECT count(*)::BIGINT AS n_signups FROM u
+       |), iv(interval, lo, hi) AS (VALUES $ivs
+       |), c AS (
+       |  SELECT iv.interval, iv.lo,
+       |    sum(CASE WHEN h.lat_day BETWEEN iv.lo AND iv.hi
+       |        THEN h.cnt ELSE 0 END)::BIGINT AS converted_in,
+       |    sum(CASE WHEN h.lat_day < iv.lo THEN h.cnt ELSE 0 END)::BIGINT
+       |      AS cum_before
+       |  FROM iv CROSS JOIN h GROUP BY 1, 2
+       |)
+       |SELECT interval, converted_in,
+       |  (tot.n_signups - cum_before)::BIGINT AS at_risk,
+       |  (converted_in * 10000 // (tot.n_signups - cum_before))::BIGINT
+       |    AS hazard_bp,
+       |  (cum_before + converted_in)::BIGINT AS cum_converted,
+       |  ((tot.n_signups - cum_before - converted_in) * 10000
+       |    // tot.n_signups)::BIGINT AS survival_bp
+       |FROM c CROSS JOIN tot ORDER BY interval""".stripMargin
+  }
+
+  /** Mann–Kendall trend test (q189): per event type, the exact
+    * nonparametric trend statistic over the daily volume series —
+    * S = Σ_{i<j} sign(c_j − c_i), Kendall's tau against time in bp
+    * (S ÷ C(n,2)), and the sign verdict. The standard
+    * distribution-free "is this metric actually trending" test (Mann
+    * 1945; Kendall 1975) behind the q164 level alarms: volumeAnomaly
+    * flags single bad days, this reads the whole window's direction —
+    * robust to outliers because only ORDER enters, never magnitude.
+    * All integer: sign sums and one bp division.
+    *
+    * Scale posture: the corpus collapses FIRST to (type, day) cells
+    * with map-side combine (the q164/q172 seam, PlanCache-shared);
+    * the pair fan-out is a type-keyed self-join over the
+    * calendar-sized cell table (days², audit-sized at any corpus
+    * scale — 10 years is ~6.7M pairs per type); the fold is a
+    * |types|-row rollup. */
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"events.dayTypeCells:$dir") {
+      Tables.events(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val a = cells.select(col("event_type"), col("day").as("d1"),
+      col("c").as("c1"))
+    val b = cells.select(col("event_type").as("et_b"), col("day").as("d2"),
+      col("c").as("c2"))
+    a.join(b, col("event_type") === col("et_b") && col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"),
+        (countDistinct(col("d2")) + 1).as("n_days"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"),
+        // sign-split: Spark div truncates, DuckDB // floors — they only
+        // agree on non-negative operands, so divide |S| and re-sign
+        expr("CASE WHEN s_stat < 0 " +
+          "THEN -((-s_stat) * 10000 div n_pairs) " +
+          "ELSE s_stat * 10000 div n_pairs END").as("tau_bp"),
+        expr("CASE WHEN s_stat > 0 THEN 'increasing' " +
+          "WHEN s_stat < 0 THEN 'decreasing' ELSE 'flat' END").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  def mannKendallTrendSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT a.event_type,
+      |  (count(DISTINCT b.day) + 1)::BIGINT AS n_days,
+      |  count(*)::BIGINT AS n_pairs,
+      |  sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |      ELSE 0 END)::BIGINT AS s_stat,
+      |  (CASE WHEN sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |          ELSE 0 END) < 0
+      |    THEN -((-sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |          ELSE 0 END)) * 10000 // count(*))
+      |    ELSE sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |          ELSE 0 END) * 10000 // count(*) END)::BIGINT AS tau_bp,
+      |  CASE WHEN sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |         ELSE 0 END) > 0 THEN 'increasing'
+      |    WHEN sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |         ELSE 0 END) < 0 THEN 'decreasing'
+      |    ELSE 'flat' END AS trend
+      |FROM cells a JOIN cells b
+      |  ON a.event_type = b.event_type AND a.day < b.day
+      |GROUP BY 1 ORDER BY a.event_type""".stripMargin
+
   def sessionizationSql: String =
     s"""WITH seq AS (
        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,

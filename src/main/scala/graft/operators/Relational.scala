@@ -1052,6 +1052,70 @@ object Relational {
       |    AS effective_suppliers_milli
       |FROM n GROUP BY 1 ORDER BY nationkey""".stripMargin
 
+  /** Repeat-purchase interval profile (q190): consecutive same-customer
+    * order gaps in fixed day bands — purchase-cadence accounting, the
+    * relational twin of q127's event-gap histogram and the lens that
+    * calibrates q176's recency cutoffs ("how long is TOO long between
+    * orders" is read off where the band share collapses; churn
+    * definitions start here). Per band: gaps, distinct customers, and
+    * share of all gaps in bp. Gap order is (o_orderdate, o_orderkey) —
+    * the q122 tie rule on the order grain; day arithmetic is exact
+    * integer datediff.
+    *
+    * Scale posture: ONE o_custkey window exchange (the q127 shape) —
+    * orders project to three narrow columns first; the band rollup is
+    * ≤4 rows with map-side combine + a broadcast 1-row total. */
+  def repeatPurchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = graft.PlanCache.cached(spark, s"relational.orderGaps:$dir") {
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("day"))
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+        .filter(col("prev_day").isNotNull)
+        .withColumn("gap_days", datediff(col("day"), col("prev_day"))
+          .cast("long"))
+        .groupBy(
+          when(col("gap_days") <= 7, "a_le_7d")
+            .when(col("gap_days") <= 30, "b_8_30d")
+            .when(col("gap_days") <= 90, "c_31_90d")
+            .otherwise("d_gt_90d").as("gap_band"))
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    }
+    val tot = gaps.agg(sum(col("n_gaps")).as("n_tot"))
+    gaps.crossJoin(broadcast(tot))
+      .select(col("gap_band"), col("n_gaps"), col("n_customers"),
+        expr("n_gaps * 10000 div n_tot").as("share_bp"))
+      .orderBy(col("gap_band"))
+  }
+
+  def repeatPurchaseGapsSql: String =
+    """WITH seq AS (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate::DATE, o_orderkey),
+      |      o_orderdate::DATE)::BIGINT AS gap_days
+      |  FROM orders
+      |), g AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN gap_days <= 7 THEN 'a_le_7d'
+      |      WHEN gap_days <= 30 THEN 'b_8_30d'
+      |      WHEN gap_days <= 90 THEN 'c_31_90d'
+      |      ELSE 'd_gt_90d' END AS gap_band
+      |  FROM seq WHERE gap_days IS NOT NULL
+      |), cells AS (
+      |  SELECT gap_band, count(*)::BIGINT AS n_gaps,
+      |    count(DISTINCT o_custkey)::BIGINT AS n_customers
+      |  FROM g GROUP BY 1
+      |), tot AS (SELECT sum(n_gaps)::BIGINT AS n_tot FROM cells)
+      |SELECT gap_band, n_gaps, n_customers,
+      |  (n_gaps * 10000 // tot.n_tot)::BIGINT AS share_bp
+      |FROM cells CROSS JOIN tot ORDER BY gap_band""".stripMargin
+
   def integrityAuditSql: String = {
     def leg(name: String, child: String, ck: String,
             parent: String, pk: String): String =

@@ -531,4 +531,55 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(row(1) == ((3L, 2L, 1L, 6666L)))
     assert(row(2) == ((1L, 0L, 1L, 0L)))
   }
+
+  test("conversionSurvival (q188): life-table hazard and survival, exact ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv").toString
+    def at(d: Long, i: Long) = nanos(d * day + i)
+    Seq(
+      (1L, at(0, 10), 1L, "signup", 0.0, "{}"),
+      (2L, at(0, 20), 1L, "purchase", 1.0, "{}"),   // lat 0d
+      (3L, at(0, 10), 2L, "signup", 0.0, "{}"),
+      (4L, at(2, 10), 2L, "purchase", 1.0, "{}"),   // lat 2d
+      (5L, at(0, 10), 3L, "signup", 0.0, "{}"),
+      (6L, at(10, 10), 3L, "purchase", 1.0, "{}"),  // lat 10d
+      (7L, at(0, 10), 4L, "signup", 0.0, "{}"))     // never converts
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.conversionSurvival(spark, dir).collect()
+      .map(r => r.getAs[String]("interval") ->
+        (r.getAs[Long]("at_risk"), r.getAs[Long]("converted_in"),
+          r.getAs[Long]("hazard_bp"), r.getAs[Long]("cum_converted"),
+          r.getAs[Long]("survival_bp"))).toMap
+    assert(out.size == 5)
+    assert(out("a_d0") == ((4L, 1L, 2500L, 1L, 7500L)))
+    assert(out("b_d1") == ((3L, 0L, 0L, 1L, 7500L)))
+    assert(out("c_d2_3") == ((3L, 1L, 3333L, 2L, 5000L)))
+    assert(out("d_d4_7") == ((2L, 0L, 0L, 2L, 5000L)))
+    assert(out("e_d8_14") == ((2L, 1L, 5000L, 3L, 2500L)))
+  }
+
+  test("mannKendallTrend (q189): sign algebra, negative-tau division parity") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mk").toString
+    var eid = 0L
+    def burst(ty: String, d: Long, n: Int) = (1 to n).map { i =>
+      eid += 1; (eid, nanos(d * day + i), eid % 5, ty, 1.0, "{}")
+    }
+    val rows = burst("up", 1, 1) ++ burst("up", 2, 2) ++
+      burst("up", 3, 3) ++ burst("up", 4, 4) ++
+      burst("neg", 1, 3) ++ burst("neg", 2, 1) ++ burst("neg", 3, 2)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.mannKendallTrend(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val up = out("up")
+    assert(up.getAs[Long]("n_days") == 4L && up.getAs[Long]("n_pairs") == 6L)
+    assert(up.getAs[Long]("s_stat") == 6L && up.getAs[Long]("tau_bp") == 10000L)
+    assert(up.getAs[String]("trend") == "increasing")
+    // counts 3,1,2: pairs (3,1)−1 (3,2)−1 (1,2)+1 → S=−1, tau=−3333
+    val neg = out("neg")
+    assert(neg.getAs[Long]("s_stat") == -1L)
+    assert(neg.getAs[Long]("tau_bp") == -3333L,
+      "sign-split division must truncate toward zero in BOTH engines")
+    assert(neg.getAs[String]("trend") == "decreasing")
+  }
 }

@@ -208,4 +208,23 @@ class RelationalOpsSpec extends SparkSpec {
       n20.getAs[Long]("top_share_bp") == 10000L &&
       n20.getAs[Long]("effective_suppliers_milli") == 1000L)
   }
+
+  test("repeatPurchaseGaps (q190): consecutive-order day gaps, band shares") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps").toString
+    def o(ok: Long, ck: Long, d: Int) =
+      (ok, ck, "O", 1.0, day(d), "1-URGENT")
+    // cust 1: days 1, 5, 40 → gaps 4 (a band), 35 (c); cust 2: 1, 200 → 199 (d)
+    Seq(o(1, 1, 1), o(2, 1, 5), o(3, 1, 40), o(4, 2, 1), o(5, 2, 200))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Relational.repeatPurchaseGaps(spark, dir).collect()
+      .map(r => r.getAs[String]("gap_band") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("n_customers"),
+          r.getAs[Long]("share_bp"))).toMap
+    assert(out.size == 3)
+    assert(out("a_le_7d") == ((1L, 1L, 3333L)))
+    assert(out("c_31_90d") == ((1L, 1L, 3333L)))
+    assert(out("d_gt_90d") == ((1L, 1L, 3333L)))
+  }
 }
