@@ -112,6 +112,10 @@ object PlanAudit {
     // q190 crossJoins the broadcast SINGLE-ROW gap total onto the
     // ≤4-row band table — the q127 audited scalar shape
     "q190_purchase_gaps",
+    // q191 crossJoins the broadcast SINGLE-ROW user total onto the
+    // 2-row arm table; q192 the dwell total onto ≤|types| rows
+    "q191_ab_readout",
+    "q192_state_dwell",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

@@ -284,7 +284,9 @@ object SparkEntry {
     "q187_supplier_hhi" -> ((s, d) => Relational.supplierHhi(s, d)),
     "q188_conversion_survival" -> ((s, d) => EventAnalytics.conversionSurvival(s, d)),
     "q189_mann_kendall" -> ((s, d) => EventAnalytics.mannKendallTrend(s, d)),
-    "q190_purchase_gaps" -> ((s, d) => Relational.repeatPurchaseGaps(s, d))
+    "q190_purchase_gaps" -> ((s, d) => Relational.repeatPurchaseGaps(s, d)),
+    "q191_ab_readout" -> ((s, d) => EventAnalytics.abReadout(s, d)),
+    "q192_state_dwell" -> ((s, d) => EventAnalytics.stateDwell(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -481,6 +483,8 @@ object SparkEntry {
     "q187_supplier_hhi" -> Relational.supplierHhiSql,
     "q188_conversion_survival" -> EventAnalytics.conversionSurvivalSql,
     "q189_mann_kendall" -> EventAnalytics.mannKendallTrendSql,
-    "q190_purchase_gaps" -> Relational.repeatPurchaseGapsSql
+    "q190_purchase_gaps" -> Relational.repeatPurchaseGapsSql,
+    "q191_ab_readout" -> EventAnalytics.abReadoutSql,
+    "q192_state_dwell" -> EventAnalytics.stateDwellSql
   )
 }

@@ -1224,6 +1224,138 @@ object EventAnalytics {
       |  ON a.event_type = b.event_type AND a.day < b.day
       |GROUP BY 1 ORDER BY a.event_type""".stripMargin
 
+  /** Deterministic experiment readout (q191): users assigned to
+    * control/treatment by the md5-derived 60-bit hash of their id
+    * (h1 % 2 — the q86 mixture-coin device on the user grain), then
+    * per arm: users, assignment share (the balance check every
+    * experiment platform runs before reading results), converters
+    * (≥1 purchase), conversion bp, purchase cents, and cents/user in
+    * milli-cents. This is how production experimentation actually
+    * buckets — a pure function of the id, reproducible across reruns,
+    * backfills and engines, never a stored assignment table. The
+    * readout is the exact 2×2 table (+ value column); significance
+    * testing happens downstream of these exact counts.
+    *
+    * Scale posture: ONE user-keyed collapse (map-side partial agg on
+    * the hash-projected stream), then a 2-row arm rollup + broadcast
+    * 1-row total. Cents ride the round(·100) grid. */
+  def abReadout(spark: SparkSession, dir: String): DataFrame = {
+    val users = graft.PlanCache.cached(spark, s"events.abUsers:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"),
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("purchase_cents"))
+        .select(
+          when(pmod(graft.functions.TextHash.h1(col("user_id").cast("string")),
+            lit(2L)) === 0L, "control").otherwise("treatment").as("arm"),
+          col("converted"), col("purchase_cents"))
+    }
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converters"),
+        sum(col("purchase_cents")).as("purchase_cents"))
+    val tot = arms.agg(sum(col("n_users")).as("n_tot"))
+    arms.crossJoin(broadcast(tot))
+      .select(col("arm"), col("n_users"),
+        expr("n_users * 10000 div n_tot").as("assign_share_bp"),
+        col("n_converters"),
+        expr("n_converters * 10000 div n_users").as("conv_bp"),
+        col("purchase_cents"),
+        expr("purchase_cents * 1000 div n_users").as("cents_per_user_milli"))
+      .orderBy(col("arm"))
+  }
+
+  def abReadoutSql: String = {
+    val arm = graft.functions.TextHash.h1Sql("user_id::VARCHAR")
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+       |      AS converted,
+       |    sum(CASE WHEN event_type = 'purchase'
+       |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+       |      AS purchase_cents
+       |  FROM events GROUP BY 1
+       |), a AS (
+       |  SELECT CASE WHEN ($arm) % 2 = 0 THEN 'control'
+       |    ELSE 'treatment' END AS arm, converted, purchase_cents
+       |  FROM u
+       |), arms AS (
+       |  SELECT arm, count(*)::BIGINT AS n_users,
+       |    sum(converted)::BIGINT AS n_converters,
+       |    sum(purchase_cents)::BIGINT AS purchase_cents
+       |  FROM a GROUP BY 1
+       |), tot AS (SELECT sum(n_users)::BIGINT AS n_tot FROM arms)
+       |SELECT arm, n_users,
+       |  (n_users * 10000 // tot.n_tot)::BIGINT AS assign_share_bp,
+       |  n_converters,
+       |  (n_converters * 10000 // n_users)::BIGINT AS conv_bp,
+       |  purchase_cents,
+       |  (purchase_cents * 1000 // n_users)::BIGINT AS cents_per_user_milli
+       |FROM arms CROSS JOIN tot ORDER BY arm""".stripMargin
+  }
+
+  /** State dwell-time attribution (q192): per event type, the total and
+    * mean time users SPEND in that state — each inter-event gap is
+    * attributed to the event that OPENED it (last-touch state
+    * semantics, the q175 rule applied to time instead of revenue).
+    * Complements q127 (which distributes the same gaps by duration) by
+    * answering "which state do users linger in" — the screen-time
+    * table of product analytics, and the dwell weighting a session-
+    * packing pipeline (X26/X105) reads before sizing context windows.
+    * All integer: exact µs gaps, single divisions.
+    *
+    * Scale posture: the same ONE user_id window exchange as q122/q127
+    * (lead over (us, event_id)); a ≤|types|-row rollup with map-side
+    * combine + a broadcast 1-row total. */
+  def stateDwell(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cells = graft.PlanCache.cached(spark, s"events.stateDwell:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dwell_us", col("next_us") - col("us"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_dwells"),
+          sum(col("dwell_us")).as("dwell_us"))
+    }
+    val tot = cells.agg(sum(col("dwell_us")).as("t_us"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_dwells"),
+        expr("dwell_us div 1000000").as("dwell_sec"),
+        expr("dwell_us div (n_dwells * 1000)").as("mean_dwell_ms"),
+        expr("case when t_us = 0 then cast(0 as bigint) " +
+          "else dwell_us * 10000 div t_us end").as("dwell_share_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  def stateDwellSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us,
+      |    lead(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id
+      |      ORDER BY ts::TIMESTAMP, event_id) AS next_us
+      |  FROM events
+      |), d AS (
+      |  SELECT event_type, next_us - us AS dwell_us
+      |  FROM seq WHERE next_us IS NOT NULL
+      |), cells AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_dwells,
+      |    sum(dwell_us)::BIGINT AS dwell_us
+      |  FROM d GROUP BY 1
+      |), tot AS (SELECT sum(dwell_us)::BIGINT AS t_us FROM cells)
+      |SELECT event_type, n_dwells,
+      |  (dwell_us // 1000000)::BIGINT AS dwell_sec,
+      |  (dwell_us // (n_dwells * 1000))::BIGINT AS mean_dwell_ms,
+      |  (CASE WHEN tot.t_us = 0 THEN 0
+      |    ELSE dwell_us * 10000 // tot.t_us END)::BIGINT AS dwell_share_bp
+      |FROM cells CROSS JOIN tot ORDER BY event_type""".stripMargin
+
   def sessionizationSql: String =
     s"""WITH seq AS (
        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,

@@ -582,4 +582,53 @@ class EventAnalyticsSpec extends SparkSpec {
       "sign-split division must truncate toward zero in BOTH engines")
     assert(neg.getAs[String]("trend") == "decreasing")
   }
+
+  test("abReadout (q191): hash assignment partitions users; exact arm arithmetic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab").toString
+    // 40 users, every odd user purchases $1
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u * 10, nanos(u), u, "view", 0.0, "{}")) ++
+        (if (u % 2 == 1) Seq((u * 10 + 1, nanos(u + 1), u, "purchase", 1.0, "{}"))
+         else Seq.empty)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.abReadout(spark, dir).collect()
+    assert(out.map(_.getAs[String]("arm")).toSet == Set("control", "treatment"))
+    assert(out.map(_.getAs[Long]("n_users")).sum == 40L,
+      "arms must partition the user set")
+    out.foreach { r =>
+      val (n, conv, cents) = (r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_converters"), r.getAs[Long]("purchase_cents"))
+      assert(r.getAs[Long]("conv_bp") == conv * 10000 / n)
+      assert(r.getAs[Long]("assign_share_bp") == n * 10000 / 40)
+      assert(cents == conv * 100L, "every converter spent exactly $1")
+      assert(r.getAs[Long]("cents_per_user_milli") == cents * 1000 / n)
+    }
+    // determinism: a pure function of the id — rerun must agree exactly
+    val again = EventAnalytics.abReadout(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("stateDwell (q192): gaps attribute to the opening state, exact shares") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dwell").toString
+    Seq(
+      (1L, nanos(0), 1L, "view", 0.0, "{}"),
+      (2L, nanos(10), 1L, "click", 0.0, "{}"),
+      (3L, nanos(30), 1L, "purchase", 1.0, "{}"),  // terminal: no dwell
+      (4L, nanos(0), 2L, "view", 0.0, "{}"),
+      (5L, nanos(100), 2L, "view", 0.0, "{}"))     // terminal
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.stateDwell(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.keySet == Set("view", "click"), "terminal events carry no dwell")
+    val v = out("view")
+    assert(v.getAs[Long]("n_dwells") == 2L && v.getAs[Long]("dwell_sec") == 110L)
+    assert(v.getAs[Long]("mean_dwell_ms") == 55000L)
+    assert(v.getAs[Long]("dwell_share_bp") == 8461L)   // 110/130
+    val c = out("click")
+    assert(c.getAs[Long]("n_dwells") == 1L && c.getAs[Long]("dwell_sec") == 20L)
+    assert(c.getAs[Long]("dwell_share_bp") == 1538L)
+  }
 }
