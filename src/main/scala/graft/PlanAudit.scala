@@ -116,6 +116,12 @@ object PlanAudit {
     // 2-row arm table; q192 the dwell total onto ≤|types| rows
     "q191_ab_readout",
     "q192_state_dwell",
+    // q194 crossJoins the broadcast SINGLE-ROW vector count onto the
+    // anchor stream (the modular negative-partner key)
+    "q194_triplet_margin",
+    // q196 crossJoins the broadcast SINGLE-ROW user total onto the
+    // ≤5-row streak-band table
+    "q196_active_streaks",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

@@ -286,7 +286,11 @@ object SparkEntry {
     "q189_mann_kendall" -> ((s, d) => EventAnalytics.mannKendallTrend(s, d)),
     "q190_purchase_gaps" -> ((s, d) => Relational.repeatPurchaseGaps(s, d)),
     "q191_ab_readout" -> ((s, d) => EventAnalytics.abReadout(s, d)),
-    "q192_state_dwell" -> ((s, d) => EventAnalytics.stateDwell(s, d))
+    "q192_state_dwell" -> ((s, d) => EventAnalytics.stateDwell(s, d)),
+    "q193_erasure_sweep" -> ((s, d) => Curation.erasureSweep(s, d)),
+    "q194_triplet_margin" -> ((s, d) => Similarity.tripletMargin(s, d)),
+    "q195_cohort_ltv" -> ((s, d) => EventAnalytics.cohortLtv(s, d)),
+    "q196_active_streaks" -> ((s, d) => EventAnalytics.activeStreaks(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -485,6 +489,10 @@ object SparkEntry {
     "q189_mann_kendall" -> EventAnalytics.mannKendallTrendSql,
     "q190_purchase_gaps" -> Relational.repeatPurchaseGapsSql,
     "q191_ab_readout" -> EventAnalytics.abReadoutSql,
-    "q192_state_dwell" -> EventAnalytics.stateDwellSql
+    "q192_state_dwell" -> EventAnalytics.stateDwellSql,
+    "q193_erasure_sweep" -> Curation.erasureSweepSql(),
+    "q194_triplet_margin" -> Similarity.tripletMarginSql(),
+    "q195_cohort_ltv" -> EventAnalytics.cohortLtvSql,
+    "q196_active_streaks" -> EventAnalytics.activeStreaksSql
   )
 }

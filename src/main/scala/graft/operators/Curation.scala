@@ -2465,6 +2465,73 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Right-to-erasure sweep audit (q193): given a deterministic deletion
+    * cohort (custkey ≡ 0 mod `modulus` — the stand-in for a GDPR/CCPA
+    * deletion list), the exact per-table blast radius through the
+    * referential cascade: customers in the cohort, their orders
+    * (o_custkey FK), and those orders' lineitems (l_orderkey FK). Per
+    * table: rows before, rows erased, rows after, erased share in bp.
+    * This is the compliance op every data platform runs BEFORE the
+    * actual delete — sizing the rewrite, proving the cascade reaches
+    * every child table, and leaving an audit row; the q137 FK audit is
+    * what guarantees the cascade edges are the complete set.
+    *
+    * Scale posture: the cohort predicate is a pure row filter
+    * (pushable to the scan); orders mark membership with that same
+    * filter — no join; lineitem resolves membership through ONE
+    * LEFT SEMI join against the deleted-order keys (the only shuffle,
+    * keyed on the high-cardinality order key); each table then folds
+    * to a 1-row count pair and the three rows union post-agg. */
+  def erasureSweep(spark: SparkSession, dir: String,
+                   modulus: Long = 97L): DataFrame = {
+    require(modulus > 0, "erasureSweep: modulus must be positive")
+    def summarize(name: String, df: DataFrame,
+                  deleted: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(deleted, 1L).otherwise(0L)).as("n_erased"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_erased"),
+          (col("n_rows") - col("n_erased")).as("n_after"),
+          expr("n_erased * 10000 div n_rows").as("erased_bp"))
+    val cust = summarize("customer", Tables.customer(spark, dir),
+      pmod(col("c_custkey"), lit(modulus)) === 0)
+    val orders = summarize("orders", Tables.orders(spark, dir),
+      pmod(col("o_custkey"), lit(modulus)) === 0)
+    val deletedOrders = Tables.orders(spark, dir)
+      .filter(pmod(col("o_custkey"), lit(modulus)) === 0)
+      .select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+      .join(deletedOrders.withColumn("_del", lit(1L)),
+        col("l_orderkey") === col("o_orderkey"), "left")
+    val lineitem = summarize("lineitem", li, col("_del").isNotNull)
+    Seq(cust, orders, lineitem).reduce(_ unionByName _)
+      .orderBy(col("table_name"))
+  }
+
+  def erasureSweepSql(modulus: Long = 97L): String =
+    s"""WITH c AS (
+       |  SELECT 'customer' AS table_name, count(*)::BIGINT AS n_rows,
+       |    sum(CASE WHEN c_custkey % $modulus = 0 THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_erased
+       |  FROM customer
+       |), o AS (
+       |  SELECT 'orders', count(*)::BIGINT,
+       |    sum(CASE WHEN o_custkey % $modulus = 0 THEN 1 ELSE 0 END)::BIGINT
+       |  FROM orders
+       |), l AS (
+       |  SELECT 'lineitem', count(*)::BIGINT,
+       |    sum(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |  FROM lineitem
+       |  LEFT JOIN (SELECT o_orderkey FROM orders
+       |             WHERE o_custkey % $modulus = 0) d
+       |    ON l_orderkey = d.o_orderkey
+       |), u AS (
+       |  SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+       |)
+       |SELECT table_name, n_rows, n_erased,
+       |  (n_rows - n_erased)::BIGINT AS n_after,
+       |  (n_erased * 10000 // n_rows)::BIGINT AS erased_bp
+       |FROM u ORDER BY table_name""".stripMargin
+
   def encodingHygieneSql: String = {
     val cp = HygieneChars.toMap
     def inj(m: Int, r: Int, tag: String): String =

@@ -1356,6 +1356,143 @@ object EventAnalytics {
       |    ELSE dwell_us * 10000 // tot.t_us END)::BIGINT AS dwell_share_bp
       |FROM cells CROSS JOIN tot ORDER BY event_type""".stripMargin
 
+  /** Cohort lifetime-value matrix (q195): users grouped by the calendar
+    * MONTH of their first event; per (cohort_month, activity_month) the
+    * purchase cents that cohort spent that month and the per-cohort-user
+    * rate in milli-cents — the revenue companion to q28's retention
+    * counts (an LTV curve is this matrix read along a row, and payback
+    * analysis reads it along the diagonal). Months are 'yyyy-MM' UTC
+    * strings, cents exact.
+    *
+    * Scale posture: ONE user-keyed collapse computes first-month and
+    * per-(user, month) spend together (map-side partial agg); the
+    * cohort fan-in is a user-keyed join of two co-partitioned
+    * user-grained tables; the matrix fold is months²-sized with
+    * map-side combine; cohort sizes broadcast back onto matrix rows. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val um = graft.PlanCache.cached(spark, s"events.userMonths:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM").as("month"),
+          when(col("event_type") === "purchase",
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L)
+            .as("cents"))
+        .groupBy(col("user_id"), col("month"))
+        .agg(sum(col("cents")).as("cents"))
+    }
+    val cohorts = um.groupBy(col("user_id"))
+      .agg(min(col("month")).as("cohort_month"))
+    val sizes = cohorts.groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    um.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_month"), col("month").as("activity_month"))
+      .agg(sum(col("cents")).as("purchase_cents"),
+        count(lit(1)).as("n_active_users"))
+      .join(broadcast(sizes), Seq("cohort_month"))
+      .select(col("cohort_month"), col("activity_month"),
+        col("n_cohort_users"), col("n_active_users"), col("purchase_cents"),
+        expr("purchase_cents * 1000 div n_cohort_users")
+          .as("cents_per_cohort_user_milli"))
+      .orderBy(col("cohort_month"), col("activity_month"))
+  }
+
+  def cohortLtvSql: String =
+    """WITH um AS (
+      |  SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m') AS month,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+      |      AS cents
+      |  FROM events GROUP BY 1, 2
+      |), cohorts AS (
+      |  SELECT user_id, min(month) AS cohort_month FROM um GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_month, count(*)::BIGINT AS n_cohort_users
+      |  FROM cohorts GROUP BY 1
+      |), m AS (
+      |  SELECT c.cohort_month, um.month AS activity_month,
+      |    sum(um.cents)::BIGINT AS purchase_cents,
+      |    count(*)::BIGINT AS n_active_users
+      |  FROM um JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_month, activity_month, n_cohort_users, n_active_users,
+      |  purchase_cents,
+      |  (purchase_cents * 1000 // n_cohort_users)::BIGINT
+      |    AS cents_per_cohort_user_milli
+      |FROM m JOIN sizes USING (cohort_month)
+      |ORDER BY cohort_month, activity_month""".stripMargin
+
+  /** Longest-active-streak distribution (q196): per user, the longest
+    * run of CONSECUTIVE active days, rolled into streak bands — the
+    * engagement-habit histogram (gamification's "streak" read as an
+    * audit), computed with the classic gaps-and-islands device: on a
+    * user's distinct active days ordered by date, day −
+    * row_number()·1day is CONSTANT within a consecutive run, so the
+    * (user, anchor) group IS the island and its size the streak
+    * length. One pass, no self-join, no recursion.
+    *
+    * Scale posture: corpus collapses to distinct (user, day) map-side
+    * (PlanCache-shared with q186); the island window partitions on
+    * user_id (the q122 exchange, reused by the island rollup and the
+    * per-user max — all user-keyed); the band fold is ≤5 rows +
+    * broadcast scalar total. */
+  def activeStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val userDays = graft.PlanCache.cached(spark, s"events.userDays:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+    }
+    val streaks = userDays
+      .withColumn("anchor",
+        date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("best_streak"))
+    val bands = streaks.groupBy(
+      when(col("best_streak") === 1, "a_1")
+        .when(col("best_streak") === 2, "b_2")
+        .when(col("best_streak") <= 4, "c_3_4")
+        .when(col("best_streak") <= 7, "d_5_7")
+        .otherwise("e_gt_7").as("streak_band"))
+      .agg(count(lit(1)).as("n_users"),
+        max(col("best_streak")).as("max_streak"))
+    val tot = bands.agg(sum(col("n_users")).as("n_tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("streak_band"), col("n_users"),
+        expr("n_users * 10000 div n_tot").as("share_bp"),
+        col("max_streak"))
+      .orderBy(col("streak_band"))
+  }
+
+  def activeStreaksSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+      |), isl AS (
+      |  SELECT user_id,
+      |    day - to_days(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY day)::INTEGER) AS anchor
+      |  FROM ud
+      |), s AS (
+      |  SELECT user_id, count(*)::BIGINT AS streak
+      |  FROM isl GROUP BY user_id, anchor
+      |), best AS (
+      |  SELECT user_id, max(streak)::BIGINT AS best_streak FROM s GROUP BY 1
+      |), bands AS (
+      |  SELECT CASE WHEN best_streak = 1 THEN 'a_1'
+      |    WHEN best_streak = 2 THEN 'b_2'
+      |    WHEN best_streak <= 4 THEN 'c_3_4'
+      |    WHEN best_streak <= 7 THEN 'd_5_7'
+      |    ELSE 'e_gt_7' END AS streak_band,
+      |    count(*)::BIGINT AS n_users,
+      |    max(best_streak)::BIGINT AS max_streak
+      |  FROM best GROUP BY 1
+      |), tot AS (SELECT sum(n_users)::BIGINT AS n_tot FROM bands)
+      |SELECT streak_band, n_users,
+      |  (n_users * 10000 // tot.n_tot)::BIGINT AS share_bp, max_streak
+      |FROM bands CROSS JOIN tot ORDER BY streak_band""".stripMargin
+
   def sessionizationSql: String =
     s"""WITH seq AS (
        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,

@@ -1339,6 +1339,99 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Triplet-margin audit (q194): for every anchor vector, a
+    * deterministic positive (the label's next vector by vec_id,
+    * wrapping; singleton labels drop) and a deterministic negative
+    * (the corpus's next vector by id, dropped when it shares the
+    * anchor's label), then per label: anchors, triplets violating
+    * cos(a,p) ≥ cos(a,n) + margin, violation share bp, and the mean
+    * margin in micro-units. This is the metric-learning readiness
+    * number (Schroff et al. 2015, FaceNet's triplet loss read as an
+    * audit): a label with high violation share cannot be separated at
+    * that margin — retrain, merge (see q178), or relabel (q89).
+    * Cosines are the q23 device (sequential-fold dots, identical
+    * doubles in both engines) lifted to exact micro integers before
+    * ANY comparison; the mean is a sign-split integer division.
+    *
+    * Scale posture: partner election is a per-label window (lead +
+    * first over the label partition — labels are the partition key,
+    * never a global window); partner resolution is two id-keyed
+    * equi-joins (each vector fetched, not scanned); folds are
+    * |labels|-row rollups. No pair fan-out — exactly 3 cosine
+    * evaluations per anchor at any corpus scale. */
+  def tripletMargin(spark: SparkSession, dir: String,
+                    marginMicro: Long = 50000L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val wl = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val anchors = e
+      .withColumn("pos_id", coalesce(lead(col("vec_id"), 1).over(wl),
+        first(col("vec_id")).over(wl)))
+      .filter(col("pos_id") =!= col("vec_id"))
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val pos = e.select(col("vec_id").as("pos_id"), col("v").as("pv"))
+    val neg = e.select(col("vec_id").as("neg_id"), col("v").as("nv"),
+      col("label").as("neg_label"))
+    anchors.crossJoin(broadcast(n))
+      .withColumn("neg_id", pmod(col("vec_id") + 1, col("n_vecs")))
+      .join(pos, Seq("pos_id"))
+      .join(neg, Seq("neg_id"))
+      .filter(col("neg_label") =!= col("label"))
+      .select(col("label"),
+        round(cosine(col("v"), col("pv")) * lit(1000000.0)).cast("long")
+          .as("c_ap"),
+        round(cosine(col("v"), col("nv")) * lit(1000000.0)).cast("long")
+          .as("c_an"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        sum(when(col("c_ap") < col("c_an") + marginMicro, 1L).otherwise(0L))
+          .as("n_violations"),
+        sum(col("c_ap") - col("c_an")).as("margin_sum"))
+      .select(col("label"), col("n_anchors"), col("n_violations"),
+        expr("n_violations * 10000 div n_anchors").as("violation_bp"),
+        // sign-split: the mean margin may be negative
+        expr("CASE WHEN margin_sum < 0 " +
+          "THEN -((-margin_sum) div n_anchors) " +
+          "ELSE margin_sum div n_anchors END").as("margin_mean_micro"))
+      .orderBy(col("label"))
+  }
+
+  def tripletMarginSql(marginMicro: Long = 50000L): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label::BIGINT AS label, embedding AS v
+       |  FROM embeddings
+       |), n AS (SELECT count(*)::BIGINT AS n_vecs FROM e
+       |), a AS (
+       |  SELECT vec_id, label, v,
+       |    coalesce(lead(vec_id) OVER w, first_value(vec_id) OVER w)
+       |      AS pos_id
+       |  FROM e WINDOW w AS (PARTITION BY label ORDER BY vec_id)
+       |), b AS (
+       |  SELECT a.*, (a.vec_id + 1) % n.n_vecs AS neg_id
+       |  FROM a CROSS JOIN n WHERE a.pos_id <> a.vec_id
+       |), s AS (
+       |  SELECT b.label,
+       |    CAST(round(${cosineSql("b.v", "p.v")} * 1000000) AS BIGINT)
+       |      AS c_ap,
+       |    CAST(round(${cosineSql("b.v", "ng.v")} * 1000000) AS BIGINT)
+       |      AS c_an
+       |  FROM b
+       |  JOIN e p ON p.vec_id = b.pos_id
+       |  JOIN e ng ON ng.vec_id = b.neg_id AND ng.label <> b.label
+       |), g AS (
+       |  SELECT label, count(*)::BIGINT AS n_anchors,
+       |    sum(CASE WHEN c_ap < c_an + $marginMicro THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_violations,
+       |    sum(c_ap - c_an)::BIGINT AS margin_sum
+       |  FROM s GROUP BY 1
+       |)
+       |SELECT label, n_anchors, n_violations,
+       |  (n_violations * 10000 // n_anchors)::BIGINT AS violation_bp,
+       |  (CASE WHEN margin_sum < 0 THEN -((-margin_sum) // n_anchors)
+       |    ELSE margin_sum // n_anchors END)::BIGINT AS margin_mean_micro
+       |FROM g ORDER BY label""".stripMargin
+
   def labelConfusabilitySql: String =
     s"""WITH ci AS (
        |  SELECT label::BIGINT AS label, i::BIGINT AS dim,

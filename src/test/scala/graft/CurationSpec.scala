@@ -1014,4 +1014,34 @@ class CurationSpec extends SparkSpec {
     assert(en.getAs[Long]("n_chars_removed") == 4L,
       "NBSP maps to a space — flagged but not removed")
   }
+
+  test("erasureSweep (q193): cascade reaches orders and lineitem exactly") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((97L, "a", 1, 0.0, "m"), (1L, "b", 1, 0.0, "m"), (2L, "c", 2, 0.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 97L, "O", 1.0, t, "p"), (2L, 1L, "O", 1.0, t, "p"),
+      (3L, 97L, "O", 1.0, t, "p"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    def li(ok: Long, ln: Long) =
+      (ok, 1L, 1L, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", t)
+    Seq(li(1, 1), li(1, 2), li(2, 1), li(3, 1))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Curation.erasureSweep(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_erased"),
+          r.getAs[Long]("n_after"), r.getAs[Long]("erased_bp"))).toMap
+    assert(out("customer") == ((3L, 1L, 2L, 3333L)))
+    assert(out("orders") == ((3L, 2L, 1L, 6666L)))
+    assert(out("lineitem") == ((4L, 3L, 1L, 7500L)),
+      "the cascade must erase every line of every deleted order")
+  }
 }

@@ -631,4 +631,50 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("n_dwells") == 1L && c.getAs[Long]("dwell_sec") == 20L)
     assert(c.getAs[Long]("dwell_share_bp") == 1538L)
   }
+
+  test("cohortLtv (q195): month cohorts, exact per-cohort-user cents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ltv").toString
+    def at(d: Long, i: Long) = nanos(d * day + i)
+    Seq(
+      (1L, at(4, 1), 1L, "view", 0.0, "{}"),        // u1 joins 1970-01
+      (2L, at(4, 2), 1L, "purchase", 1.0, "{}"),
+      (3L, at(35, 1), 1L, "purchase", 2.0, "{}"),   // u1 spends in 1970-02
+      (4L, at(5, 1), 2L, "view", 0.0, "{}"),        // u2 joins 1970-01, never buys
+      (5L, at(35, 2), 3L, "purchase", 5.0, "{}"))   // u3 joins 1970-02
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.cohortLtv(spark, dir).collect()
+      .map(r => (r.getAs[String]("cohort_month"),
+        r.getAs[String]("activity_month")) ->
+        (r.getAs[Long]("n_cohort_users"), r.getAs[Long]("n_active_users"),
+          r.getAs[Long]("purchase_cents"),
+          r.getAs[Long]("cents_per_cohort_user_milli"))).toMap
+    assert(out.size == 3)
+    assert(out(("1970-01", "1970-01")) == ((2L, 2L, 100L, 50000L)))
+    assert(out(("1970-01", "1970-02")) == ((2L, 1L, 200L, 100000L)),
+      "later-month spend divides by the COHORT size, not actives")
+    assert(out(("1970-02", "1970-02")) == ((1L, 1L, 500L, 500000L)))
+  }
+
+  test("activeStreaks (q196): gaps-and-islands runs, band shares") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_streak").toString
+    var eid = 0L
+    def on(u: Long, d: Long) = { eid += 1; (eid, nanos(d * day + u), u, "view", 0.0, "{}") }
+    val rows = Seq(1L, 2L, 3L, 5L).map(on(1L, _)) ++      // best 3
+      Seq(1L).map(on(2L, _)) ++                           // best 1
+      Seq(10L, 11L, 20L, 21L).map(on(3L, _)) ++           // best 2
+      (1L to 8L).map(on(4L, _))                           // best 8
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.activeStreaks(spark, dir).collect()
+      .map(r => r.getAs[String]("streak_band") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("max_streak"))).toMap
+    assert(out.size == 4)
+    assert(out("a_1") == ((1L, 2500L, 1L)))
+    assert(out("b_2") == ((1L, 2500L, 2L)))
+    assert(out("c_3_4") == ((1L, 2500L, 3L)),
+      "a gap must break the run: 1,2,3,5 is a 3-streak")
+    assert(out("e_gt_7") == ((1L, 2500L, 8L)))
+  }
 }

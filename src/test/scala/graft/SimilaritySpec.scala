@@ -393,4 +393,40 @@ class SimilaritySpec extends SparkSpec {
     assert(!out((1L, 2L)).getAs[Boolean]("confusable"))
     assert(out.values.forall(_.getAs[Long]("n_a") == 1L))
   }
+
+  test("tripletMargin (q194): partner election, micro-grid margins, sign-split mean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_triplet").toString
+    import spark.implicits._
+    def v(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      xs.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    // labels: 0,0,1,2,3,3; singleton labels (1, 2) drop as anchors;
+    // v0's negative candidate (id 1) shares its label and drops too
+    Seq(
+      (0L, v(0 -> 1.0f), 0),             // x
+      (1L, v(0 -> 0.8f, 1 -> 0.6f), 0),  // cos to v0 = 0.8, to v2 = 0.6
+      (2L, v(1 -> 1.0f), 1),             // y
+      (3L, v(0 -> 0.6f, 1 -> 0.8f), 2),
+      (4L, v(1 -> 1.0f), 3),             // y
+      (5L, v(0 -> 1.0f), 3))             // x: pos orthogonal, neg identical
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.tripletMargin(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out.keySet == Set(0L, 3L))
+    val l0 = out(0L)
+    // anchor v1: c_ap = 0.8e6, c_an = 0.6e6 → no violation at margin 0.05
+    assert(l0.getAs[Long]("n_anchors") == 1L &&
+      l0.getAs[Long]("n_violations") == 0L)
+    assert(l0.getAs[Long]("margin_mean_micro") == 200000L)
+    val l3 = out(3L)
+    // anchor v5: c_ap = 0 (orthogonal pos), c_an = 1e6 (identical neg)
+    assert(l3.getAs[Long]("n_anchors") == 1L &&
+      l3.getAs[Long]("n_violations") == 1L &&
+      l3.getAs[Long]("violation_bp") == 10000L)
+    assert(l3.getAs[Long]("margin_mean_micro") == -1000000L,
+      "negative mean must divide sign-split")
+  }
 }
