@@ -1110,7 +1110,11 @@ object EventAnalytics {
       .crossJoin(broadcast(total))
       .select(col("interval"), col("converted_in"),
         (col("n_signups") - col("cum_before")).as("at_risk"),
-        expr("converted_in * 10000 div (n_signups - cum_before)")
+        // at_risk can be 0 when every remaining signup already
+        // converted before the interval; define the hazard as 0 there
+        // (nothing left to convert) instead of a NULL from div-by-zero
+        expr("CASE WHEN n_signups - cum_before = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE converted_in * 10000 div (n_signups - cum_before) END")
           .as("hazard_bp"),
         (col("cum_before") + col("converted_in")).as("cum_converted"),
         expr("(n_signups - cum_before - converted_in) * 10000 div n_signups")
@@ -1147,8 +1151,9 @@ object EventAnalytics {
        |)
        |SELECT interval, converted_in,
        |  (tot.n_signups - cum_before)::BIGINT AS at_risk,
-       |  (converted_in * 10000 // (tot.n_signups - cum_before))::BIGINT
-       |    AS hazard_bp,
+       |  (CASE WHEN tot.n_signups - cum_before = 0 THEN 0
+       |    ELSE converted_in * 10000 // (tot.n_signups - cum_before)
+       |    END)::BIGINT AS hazard_bp,
        |  (cum_before + converted_in)::BIGINT AS cum_converted,
        |  ((tot.n_signups - cum_before - converted_in) * 10000
        |    // tot.n_signups)::BIGINT AS survival_bp
@@ -1163,7 +1168,10 @@ object EventAnalytics {
     * 1945; Kendall 1975) behind the q164 level alarms: volumeAnomaly
     * flags single bad days, this reads the whole window's direction —
     * robust to outliers because only ORDER enters, never magnitude.
-    * All integer: sign sums and one bp division.
+    * All integer: sign sums and one bp division. Types active on a
+    * single day (no pairs) still appear — n_days = 1, n_pairs = 0,
+    * tau_bp = 0, 'flat' — so an absent row always means "untracked",
+    * never "not enough days".
     *
     * Scale posture: the corpus collapses FIRST to (type, day) cells
     * with map-side combine (the q164/q172 seam, PlanCache-shared);
@@ -1182,16 +1190,27 @@ object EventAnalytics {
       col("c").as("c1"))
     val b = cells.select(col("event_type").as("et_b"), col("day").as("d2"),
       col("c").as("c2"))
-    a.join(b, col("event_type") === col("et_b") && col("d1") < col("d2"))
+    // per-type day counts come from the cell table directly (not the
+    // pair join) so a type active on a SINGLE day — which produces no
+    // pairs — still appears, with n_pairs = 0 and a 'flat' verdict
+    val perType = cells.groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_days"))
+    val pairs = a
+      .join(b, col("event_type") === col("et_b") && col("d1") < col("d2"))
       .groupBy(col("event_type"))
-      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_stat"),
-        count(lit(1)).as("n_pairs"),
-        (countDistinct(col("d2")) + 1).as("n_days"))
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_raw"),
+        count(lit(1)).as("p_raw"))
+    perType.join(pairs, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("p_raw"), lit(0L)).as("n_pairs"),
+        coalesce(col("s_raw"), lit(0L)).as("s_stat"))
       .select(col("event_type"), col("n_days"), col("n_pairs"),
         col("s_stat"),
         // sign-split: Spark div truncates, DuckDB // floors — they only
-        // agree on non-negative operands, so divide |S| and re-sign
-        expr("CASE WHEN s_stat < 0 " +
+        // agree on non-negative operands, so divide |S| and re-sign;
+        // zero pairs (single active day) defines tau as 0
+        expr("CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN s_stat < 0 " +
           "THEN -((-s_stat) * 10000 div n_pairs) " +
           "ELSE s_stat * 10000 div n_pairs END").as("tau_bp"),
         expr("CASE WHEN s_stat > 0 THEN 'increasing' " +
@@ -1203,26 +1222,28 @@ object EventAnalytics {
     """WITH cells AS (
       |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
       |  FROM events GROUP BY 1, 2
+      |), pt AS (
+      |  SELECT event_type, count(DISTINCT day)::BIGINT AS n_days
+      |  FROM cells GROUP BY 1
+      |), p AS (
+      |  SELECT a.event_type, count(*)::BIGINT AS p_raw,
+      |    sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+      |        ELSE 0 END)::BIGINT AS s_raw
+      |  FROM cells a JOIN cells b
+      |    ON a.event_type = b.event_type AND a.day < b.day
+      |  GROUP BY 1
       |)
-      |SELECT a.event_type,
-      |  (count(DISTINCT b.day) + 1)::BIGINT AS n_days,
-      |  count(*)::BIGINT AS n_pairs,
-      |  sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
-      |      ELSE 0 END)::BIGINT AS s_stat,
-      |  (CASE WHEN sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
-      |          ELSE 0 END) < 0
-      |    THEN -((-sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
-      |          ELSE 0 END)) * 10000 // count(*))
-      |    ELSE sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
-      |          ELSE 0 END) * 10000 // count(*) END)::BIGINT AS tau_bp,
-      |  CASE WHEN sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
-      |         ELSE 0 END) > 0 THEN 'increasing'
-      |    WHEN sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
-      |         ELSE 0 END) < 0 THEN 'decreasing'
+      |SELECT pt.event_type, pt.n_days,
+      |  coalesce(p.p_raw, 0)::BIGINT AS n_pairs,
+      |  coalesce(p.s_raw, 0)::BIGINT AS s_stat,
+      |  (CASE WHEN coalesce(p.p_raw, 0) = 0 THEN 0
+      |    WHEN p.s_raw < 0 THEN -((-p.s_raw) * 10000 // p.p_raw)
+      |    ELSE p.s_raw * 10000 // p.p_raw END)::BIGINT AS tau_bp,
+      |  CASE WHEN coalesce(p.s_raw, 0) > 0 THEN 'increasing'
+      |    WHEN coalesce(p.s_raw, 0) < 0 THEN 'decreasing'
       |    ELSE 'flat' END AS trend
-      |FROM cells a JOIN cells b
-      |  ON a.event_type = b.event_type AND a.day < b.day
-      |GROUP BY 1 ORDER BY a.event_type""".stripMargin
+      |FROM pt LEFT JOIN p USING (event_type)
+      |ORDER BY pt.event_type""".stripMargin
 
   /** Deterministic experiment readout (q191): users assigned to
     * control/treatment by the md5-derived 60-bit hash of their id

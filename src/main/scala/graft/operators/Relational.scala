@@ -860,16 +860,22 @@ object Relational {
     * that starts violating a dependency the pipeline relies on (e.g.
     * the q137 FK audit assumes key-determined dims).
     *
-    * Scale posture: each leg collapses to its distinct (det, dep)
-    * pair set with map-side partial aggregation FIRST (the only
-    * corpus-sized exchange, keyed on the high-cardinality
-    * determinant), then folds per-determinant fanouts into a 1-row
-    * summary — no countDistinct Expand, no second scan. Legs union
-    * AFTER aggregation (4 single-row plans), so each table crosses
-    * the cluster once per leg. */
+    * Scale posture: each leg shuffles ONCE, keyed on the
+    * high-cardinality determinant alone: an explicit repartition(k)
+    * whose HashPartitioning satisfies BOTH downstream groupings
+    * (ClusteredDistribution(k,v) and (k) — the subset rule), so the
+    * (k,v) distinct-pair collapse and the per-determinant fanout fold
+    * run back-to-back with no second exchange. Map-side combine would
+    * buy nothing here — v is one long and distinct (k,v) ≈ rows for a
+    * near-key determinant — so raw-row repartition halves the wire
+    * volume vs two combined exchanges. Then a 1-row summary — no
+    * countDistinct Expand, no second scan. Legs union AFTER
+    * aggregation (4 single-row plans), so each table crosses the
+    * cluster once per leg. */
   def fdAudit(spark: SparkSession, dir: String): DataFrame = {
     def leg(name: String, df: DataFrame, a: String, b: String): DataFrame =
       df.select(col(a).cast("long").as("k"), col(b).cast("long").as("v"))
+        .repartition(col("k"))
         .groupBy(col("k"), col("v")).agg(count(lit(1)).as("dup"))
         .groupBy(col("k")).agg(count(lit(1)).as("fanout"))
         .agg(count(lit(1)).as("n_keys"),

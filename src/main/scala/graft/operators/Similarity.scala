@@ -1353,6 +1353,14 @@ object Similarity {
     * doubles in both engines) lifted to exact micro integers before
     * ANY comparison; the mean is a sign-split integer division.
     *
+    * PRECONDITION: `vec_id` must be DENSE and 0-BASED (0..n−1) — the
+    * negative partner is `pmod(vec_id + 1, n_vecs)`, so a gapped or
+    * 1-based id space makes the neg_id join silently drop anchors
+    * (identically in both engines, invisible to the parity oracle).
+    * The embeddings fixture satisfies this (asserted in
+    * SimilaritySpec); re-densify ids (`row_number() - 1` over vec_id)
+    * before calling on any other table.
+    *
     * Scale posture: partner election is a per-label window (lead +
     * first over the label partition — labels are the partition key,
     * never a global window); partner resolution is two id-keyed

@@ -482,7 +482,11 @@ object Pipeline {
     * `span_coverage_bp` (when scrubbed), `hygiene_bp` (when
     * hygiene-gated), `dup3_bp` (when
     * repetition-gated) and `quality`; otherwise
-    * passthrough. Everything outside
+    * passthrough. Threshold boundary rule: every `max*Bp` gate admits
+    * STRICTLY below its threshold (`dup3_bp < maxDup3Bp`,
+    * `span_coverage_bp < maxCoverageBp`) EXCEPT [[hygieneGate]], which
+    * admits inclusively (`hygiene_bp <= maxBadBp`) so its strict
+    * default 0 still passes clean documents. Everything outside
     * the dedup is stateless — broadcast literal maps and per-row
     * predicates — so the job's only state is the in-watermark digest
     * set. */
@@ -704,6 +708,18 @@ object Pipeline {
     * Documents with fewer than 3 tokens carry dup3_bp = 0 and are
     * ADMITTED (nothing to repeat) — batch q157 merely EXCLUDES them
     * from its audit, but a gate must decide every row. */
+  def repetitionGate(stream: DataFrame, maxDup3Bp: Long = 2500L): DataFrame = {
+    require(maxDup3Bp >= 0L && maxDup3Bp <= 10001L,
+      s"repetitionGate: maxDup3Bp out of range ($maxDup3Bp)")
+    stream
+      .withColumn("_s3",
+        graft.functions.HashExpressions.gramStats(col("text"), 3))
+      .withColumn("dup3_bp", expr("case when _s3[0] = 0 then cast(0 as bigint) " +
+        "else (_s3[0] - _s3[1]) * 10000 div _s3[0] end"))
+      .drop("_s3")
+      .filter(col("dup3_bp") < maxDup3Bp)
+  }
+
   /** X108 streaming twin: encoding-hygiene gate — drop incoming
     * documents whose bad-character density (replacement/control/NBSP/
     * zero-width occurrences per 10k characters, the q182 classes)
@@ -712,7 +728,11 @@ object Pipeline {
     * no state), so batch/stream admission parity is row-exact and
     * testable. maxBadBp = 0 is the strict posture (any hygiene
     * character rejects); the q182 audit is how the threshold is chosen.
-    * Appends `hygiene_bp`. */
+    * Boundary convention: this gate admits INCLUSIVELY
+    * (`hygiene_bp <= maxBadBp`) so the strict default 0 still admits
+    * perfectly clean documents — unlike the sibling `max*Bp` gates
+    * ([[repetitionGate]], [[spanScrubGate]]), which admit strictly
+    * below their thresholds. Appends `hygiene_bp`. */
   def hygieneGate(stream: DataFrame, maxBadBp: Long = 0L): DataFrame = {
     require(maxBadBp >= 0L && maxBadBp <= 10001L,
       s"hygieneGate: maxBadBp out of range ($maxBadBp)")
@@ -728,18 +748,6 @@ object Pipeline {
         expr("_bad * 10000 div greatest(1, length(text))"))
       .drop("_bad")
       .filter(col("hygiene_bp") <= maxBadBp)
-  }
-
-  def repetitionGate(stream: DataFrame, maxDup3Bp: Long = 2500L): DataFrame = {
-    require(maxDup3Bp >= 0L && maxDup3Bp <= 10001L,
-      s"repetitionGate: maxDup3Bp out of range ($maxDup3Bp)")
-    stream
-      .withColumn("_s3",
-        graft.functions.HashExpressions.gramStats(col("text"), 3))
-      .withColumn("dup3_bp", expr("case when _s3[0] = 0 then cast(0 as bigint) " +
-        "else (_s3[0] - _s3[1]) * 10000 div _s3[0] end"))
-      .drop("_s3")
-      .filter(col("dup3_bp") < maxDup3Bp)
   }
 
   /** X26 streaming twin: per-language quality-calibration gate — admit

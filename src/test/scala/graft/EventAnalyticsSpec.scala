@@ -566,7 +566,8 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     val rows = burst("up", 1, 1) ++ burst("up", 2, 2) ++
       burst("up", 3, 3) ++ burst("up", 4, 4) ++
-      burst("neg", 1, 3) ++ burst("neg", 2, 1) ++ burst("neg", 3, 2)
+      burst("neg", 1, 3) ++ burst("neg", 2, 1) ++ burst("neg", 3, 2) ++
+      burst("once", 2, 5) // single active day: no pairs, must still appear
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
     val out = EventAnalytics.mannKendallTrend(spark, dir).collect()
@@ -581,6 +582,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(neg.getAs[Long]("tau_bp") == -3333L,
       "sign-split division must truncate toward zero in BOTH engines")
     assert(neg.getAs[String]("trend") == "decreasing")
+    // the single-day type produces zero pairs yet must not vanish
+    val once = out("once")
+    assert(once.getAs[Long]("n_days") == 1L &&
+      once.getAs[Long]("n_pairs") == 0L &&
+      once.getAs[Long]("s_stat") == 0L &&
+      once.getAs[Long]("tau_bp") == 0L &&
+      once.getAs[String]("trend") == "flat",
+      "a one-day series is a defined 'flat' row, not an absent one")
+  }
+
+  test("conversionSurvival: zero at-risk interval has hazard 0, not NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_surv0").toString
+    // one user, converts on day 0 → every later interval has at_risk 0
+    Seq(
+      (1L, nanos(10), 1L, "signup", 0.0, "{}"),
+      (2L, nanos(20), 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.conversionSurvival(spark, dir).collect()
+      .map(r => r.getAs[String]("interval") -> r).toMap
+    assert(out("a_d0").getAs[Long]("hazard_bp") == 10000L)
+    Seq("b_d1", "c_d2_3", "d_d4_7", "e_d8_14").foreach { iv =>
+      val r = out(iv)
+      assert(r.getAs[Long]("at_risk") == 0L)
+      assert(!r.isNullAt(r.fieldIndex("hazard_bp")) &&
+        r.getAs[Long]("hazard_bp") == 0L,
+        s"$iv: empty risk set must read 0, never NULL")
+    }
   }
 
   test("abReadout (q191): hash assignment partitions users; exact arm arithmetic") {

@@ -429,4 +429,21 @@ class SimilaritySpec extends SparkSpec {
     assert(l3.getAs[Long]("margin_mean_micro") == -1000000L,
       "negative mean must divide sign-split")
   }
+
+  test("tripletMargin precondition: fixture vec_ids are dense 0-based") {
+    // q194's negative partner is pmod(vec_id + 1, n_vecs): a gapped or
+    // 1-based id space silently drops anchors IDENTICALLY in both
+    // engines, so the parity oracle cannot catch the drift — pin the
+    // documented precondition on the real fixture here instead.
+    import org.apache.spark.sql.functions._
+    val s = Tables.embeddings(spark, sf0001)
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("lo"),
+        max(col("vec_id")).as("hi"),
+        countDistinct(col("vec_id")).as("nd"))
+      .collect()(0)
+    assert(s.getAs[Long]("lo") == 0L, "vec_id must start at 0")
+    assert(s.getAs[Long]("hi") == s.getAs[Long]("n") - 1L &&
+      s.getAs[Long]("nd") == s.getAs[Long]("n"),
+      "vec_id must be dense 0..n-1")
+  }
 }
