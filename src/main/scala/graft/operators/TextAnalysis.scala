@@ -3045,6 +3045,43 @@ object TextAnalysis {
     (costs, base)
   }
 
+  /** The same LM artifact as [[perplexityLmSnapshot]] but as a
+    * DataFrame that NEVER touches the driver: rows (lang, tok,
+    * cost_mb) for seen tokens plus one (lang, NULL, cost_mb) base row
+    * per language for unseen tokens — the relation the broadcast-join
+    * gate variant ([[graft.streaming.Pipeline.perplexityGate]]'s
+    * DataFrame overload) consumes. This is the full-scale seam: a
+    * million-type reference vocabulary stays distributed and ships to
+    * workers as a broadcast relation instead of inlining into the
+    * literal plan. Costs are the identical integer milli-bit algebra,
+    * so admissions match the map path row for row (spec-pinned). */
+  def perplexityLmSnapshotDf(spark: SparkSession, dir: String,
+                             targetSource: String = "src0"): DataFrame = {
+    val lm = Tables.documents(spark, dir)
+      .filter(col("source") === targetSource)
+      .select(col("lang"), explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = lm.groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("t"), count(lit(1)).as("v"))
+    lm.join(broadcast(stats), Seq("lang"))
+      .select(col("lang"), col("tok"),
+        expr(s"cast(${log2MilliSpark("t + v")} - " +
+          s"${log2MilliSpark("cnt + 1")} as bigint)").as("cost_mb"))
+      .unionByName(stats.select(col("lang"),
+        lit(null).cast("string").as("tok"),
+        expr(s"cast(${log2MilliSpark("t + v")} as bigint)").as("cost_mb")))
+  }
+
+  /** [[perplexityCutoffs]] as an undriven DataFrame (lang, cutoff_mb)
+    * for the broadcast-join gate variant. */
+  def perplexityCutoffsDf(spark: SparkSession, dir: String,
+                          keep: Seq[String] = Seq("a_head", "b_middle"),
+                          targetSource: String = "src0"): DataFrame =
+    perplexityScored(spark, dir, targetSource)
+      .filter(col("ppx_bucket").isin(keep: _*))
+      .groupBy(col("lang")).agg(max(col("ppx_mb")).as("cutoff_mb"))
+
   /** Per-language admission cutoffs for the streaming gate: the max
     * milli-bit perplexity across the KEPT tertiles (default head+middle
     * — the CCNet keep set). A stream cannot rank, so the published

@@ -650,6 +650,47 @@ object Pipeline {
       .filter(col("ppx_mb") <= element_at(cut, col("lang")))
   }
 
+  /** X67 broadcast-join variant: the same CCNet admission rule with the
+    * LM snapshot as a DATAFRAME relation
+    * ([[graft.operators.TextAnalysis.perplexityLmSnapshotDf]]: rows
+    * (lang, tok, cost_mb) plus one (lang, NULL, cost_mb) base row per
+    * language; cutoffs (lang, cutoff_mb)) instead of literal maps. This
+    * is the full-scale seam: a million-type reference vocabulary ships
+    * to workers as a broadcast relation, never inlining into the plan
+    * as a `typedLit`. Semantics are row-identical to the map overload
+    * (spec-pinned): per token, the seen cost else the language base;
+    * score = cost sum DIV token count; admit `ppx_mb <= cutoff(lang)`;
+    * unknown languages and empty documents drop.
+    *
+    * Posture: the per-document RE-aggregation after the token explode
+    * makes this the batch / `foreachBatch` form of the gate (inside a
+    * continuous query an unwatermarked re-group is not appendable) —
+    * which is exactly how a full-scale LM would run in production:
+    * score each micro-batch as a DataFrame, exactly-once via the sink
+    * checkpoint. Requires a unique `doc_id` to rejoin scores. The
+    * bounded-snapshot map overload remains the in-chain continuous
+    * form ([[curatedIntake]]). */
+  def perplexityGate(stream: DataFrame, lm: DataFrame,
+                     cutoffs: DataFrame): DataFrame = {
+    val costRows = lm.filter(col("tok").isNotNull)
+    val baseRows = lm.filter(col("tok").isNull)
+      .select(col("lang"), col("cost_mb").as("_base_mb"))
+    val scored = stream
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("tok"))
+      .join(broadcast(costRows), Seq("lang", "tok"), "left")
+      .join(broadcast(baseRows), Seq("lang"))
+      .select(col("doc_id"),
+        coalesce(col("cost_mb"), col("_base_mb")).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(_c) DIV count(1)").as("ppx_mb"))
+    stream
+      .join(scored, Seq("doc_id"))
+      .join(broadcast(cutoffs), Seq("lang"))
+      .filter(col("ppx_mb") <= col("cutoff_mb"))
+      .select(stream.columns.map(col).toIndexedSeq :+ col("ppx_mb"): _*)
+  }
+
   /** X32 streaming twin: span-scrub intake gate — reject documents whose
     * token positions are too heavily covered by KNOWN boilerplate spans.
     * The snapshot is the top-k duplicated positional-gram keys of a

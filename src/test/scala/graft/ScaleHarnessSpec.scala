@@ -742,4 +742,34 @@ class ScaleHarnessSpec extends SparkSpec {
       assert(p100(k)._2 == lift, s"$k lift must be clone-invariant")
     }
   }
+
+  test("q156: containment verify leg is candidate-bounded — duplicate mass, never corpus^2") {
+    // The exact shingle-intersection leg joins the per-doc shingle table
+    // onto the PERSISTED banded-LSH candidate list (the q20/q22 seam).
+    // Under duplicate inflation the candidate list is exactly the true
+    // duplicate-pair mass (sum of C(copies, 2) per content group, plus
+    // any cross-group banding collisions — none here, the templates use
+    // disjoint vocabularies), strictly below the corpus^2 mass an
+    // all-pairs verifier would pay.
+    val d = corpusDir(12, 1200)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val n = docs.count()
+    val dupMass = docs.groupBy(col("text"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2"))).first().getLong(0)
+    // thresholdBp = 0 admits every evaluated candidate, so the output
+    // count IS the verify leg's input cardinality
+    val evaluated = Dedup.containmentNearDup(spark, d, 0L).count()
+    assert(evaluated == dupMass,
+      s"verify leg touched $evaluated pairs, candidate mass is $dupMass")
+    assert(evaluated < n * (n - 1) / 4,
+      s"verify leg approaches corpus^2 ($evaluated of ${n * (n - 1) / 2})")
+    // and every duplicate pair reads as exact mutual containment
+    val rels = Dedup.containmentNearDup(spark, d, 8000L)
+      .select(col("relation"), col("cont_a_bp"), col("cont_b_bp"))
+      .distinct().collect()
+    assert(rels.map(_.getAs[String]("relation")).toSet == Set("mutual"))
+    assert(rels.forall(r => r.getAs[Long]("cont_a_bp") == 10000L &&
+      r.getAs[Long]("cont_b_bp") == 10000L))
+  }
 }

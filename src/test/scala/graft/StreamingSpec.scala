@@ -1183,6 +1183,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("ppx_gate_xx").count() == 0)
   }
 
+  test("perplexity gate broadcast-join variant admits the literal-map set row-identically (X67 seam)") {
+    // Same pool, two snapshot forms: the bounded literal maps and the
+    // undriven DataFrame relation. Admissions AND appended scores must
+    // agree row for row — the DataFrame path is the full-scale LM seam,
+    // so any drift here would silently change the corpus at scale.
+    val (costs, base) = graft.operators.TextAnalysis
+      .perplexityLmSnapshot(spark, sf0001)
+    val cuts = graft.operators.TextAnalysis.perplexityCutoffs(spark, sf0001)
+    val lmDf = graft.operators.TextAnalysis.perplexityLmSnapshotDf(spark, sf0001)
+    val cutDf = graft.operators.TextAnalysis.perplexityCutoffsDf(spark, sf0001)
+    val pool = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= "src0")
+    def admissions(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("ppx_mb")).toMap
+    val viaMaps = admissions(Pipeline.perplexityGate(pool, costs, base, cuts))
+    val joined = Pipeline.perplexityGate(pool, lmDf, cutDf)
+    val viaJoin = admissions(joined)
+    assert(viaMaps.nonEmpty, "fixture must admit something")
+    assert(viaJoin == viaMaps,
+      s"broadcast-join path admitted ${viaJoin.size}, map path ${viaMaps.size}")
+    // the variant preserves the stream's columns (plus ppx_mb appended)
+    assert(joined.columns.toSeq == pool.columns.toSeq :+ "ppx_mb")
+    // and the DataFrame artifact matches the collected maps exactly
+    val dfCosts = lmDf.filter(col("tok").isNotNull).collect()
+      .map(r => s"${r.getAs[String]("lang")} ${r.getAs[String]("tok")}" ->
+        r.getAs[Long]("cost_mb")).toMap
+    val dfBase = lmDf.filter(col("tok").isNull).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("cost_mb")).toMap
+    assert(dfCosts == costs && dfBase == base)
+  }
+
   test("curated intake with a span-scrub snapshot applies the boilerplate gate in-chain") {
     import spark.implicits._
     // snapshot corpus: equal-count sources (every mixture rate exactly
