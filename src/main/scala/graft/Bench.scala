@@ -35,7 +35,7 @@ object Bench {
     // Warm up codegen/JIT/classloading on the tiny SF so the timings below
     // measure the engine, not first-query JVM warmup (~17 s cold).
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try { run(fn, warmDir) } catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
@@ -121,7 +121,13 @@ object Bench {
     // and reuse it in pass 2 — the min therefore measures steady-state
     // cost, which is the honest number for a persisted index.
     val meta = scala.collection.mutable.LinkedHashMap.empty[String, Meta]
-    val results0 = SparkEntry.queries.map { case (name, fn) =>
+    // SORTED execution order: Map iteration order reshuffles whenever
+    // keys are added, silently moving the cost of shared PlanCache
+    // seams between queries round-over-round (q86 drifted 1.4x in r13,
+    // q148/q28 in r14, purely from who pays the seam first). Sorted
+    // order is stable under appends, so per-query times stay
+    // comparable across rounds.
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A failing query must surface, not silently record a near-zero
       // time that deflates the total: it lands in "errors" with time -1.
       val (t1, l1, m1) = onePass(name, fn, recordErr = true)
@@ -185,7 +191,7 @@ object Bench {
       .mkString("{", ",", "}")
     val qsRaw = results.map { case (k, t) => s"\"" + k + "\":" + t._1 }
       .mkString("{", ",", "}")
-    val total = results.values.map(robust).filter(_ >= 0).sum
+    val total = results.map { case (_, t) => robust(t) }.filter(_ >= 0).sum
     // Streaming throughput: the reference's per-record pipeline (score
     // sentiment on each doc) run as a Structured Streaming micro-batch,
     // docs replicated 20× in-stream for a stable number. The reference
@@ -229,7 +235,7 @@ object Bench {
     // n_queries/sec_per_query: the query count grows round over round,
     // so the raw total is not comparable across rounds — the per-query
     // average is.
-    val nq = results.values.count(robust(_) >= 0)
+    val nq = results.count { case (_, t) => robust(t) >= 0 }
     val common =
       s""""n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"bench_protocol":$Protocol,"errors":$errJson,"partial_pass_queries":$partialJson,"requeued_queries":$requeueJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir""""
     // STDOUT carries ROBUST numbers ONLY: the driver snapshots a truncated
@@ -263,8 +269,9 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"bench: could not write $outPath: $e") }
     // merge this run's steady-state mins back into the history file
     try {
-      val merged = (history.keySet ++ results.keySet).toList.sorted.flatMap { k =>
-        val cur = results.get(k).map(robust).filter(_ >= 0)
+      val resultsMap = results.toMap
+      val merged = (history.keySet ++ resultsMap.keySet).toList.sorted.flatMap { k =>
+        val cur = resultsMap.get(k).map(robust).filter(_ >= 0)
         val old = history.get(k).filter(_ >= 0)
         (cur, old) match {
           case (Some(c), Some(o)) => Some(k -> math.min(c, o))

@@ -122,6 +122,26 @@ object PlanAudit {
     // q196 crossJoins the broadcast SINGLE-ROW user total onto the
     // ≤5-row streak-band table
     "q196_active_streaks",
+    // q198's fold-pairing pair counts are a broadcast cross of the
+    // ≤cap-row length histogram with itself (≤cap² cells at any corpus
+    // scale) plus the 1-row totals scalar
+    "q198_packing_election",
+    // q200 crossJoins the broadcast SINGLE-ROW min/max bounds onto the
+    // fact scan (the q154 scalar shape) and the 16-row predicate table
+    // onto the ≤3·64-row chunk-stats table
+    "q200_zorder_layout",
+    // q203/q206 crossJoin the broadcast SINGLE-ROW calendar-span scalar
+    // onto the |types|-row distinct list to build the shared dense grid
+    "q203_burst_panel",
+    "q206_comovement",
+    // q204 crossJoins the broadcast SINGLE-ROW cutoff scalar onto the
+    // event stream (the q154 audited scalar shape)
+    "q204_incremental_refresh",
+    // q207 crossJoins the broadcast SINGLE-ROW midpoint scalar onto the
+    // purchase stream; boundary election is the q167 triangle over the
+    // audit-sized spend histogram; assignment is a broadcast ≤3-row
+    // theta-join per period (the q176 cutoff shape)
+    "q207_value_migration",
     // q167's cumulative folds are broadcast triangle theta-joins over
     // the content-bounded length-grid histogram (q108/q147 device)
     "q167_length_drift",

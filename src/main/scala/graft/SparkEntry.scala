@@ -290,7 +290,18 @@ object SparkEntry {
     "q193_erasure_sweep" -> ((s, d) => Curation.erasureSweep(s, d)),
     "q194_triplet_margin" -> ((s, d) => Similarity.tripletMargin(s, d)),
     "q195_cohort_ltv" -> ((s, d) => EventAnalytics.cohortLtv(s, d)),
-    "q196_active_streaks" -> ((s, d) => EventAnalytics.activeStreaks(s, d))
+    "q196_active_streaks" -> ((s, d) => EventAnalytics.activeStreaks(s, d)),
+    "q197_pii_audit" -> ((s, d) => Curation.piiAudit(s, d)),
+    "q198_packing_election" -> ((s, d) => Packing.packingElection(s, d)),
+    "q199_k_anonymity" -> ((s, d) => Curation.kAnonymity(s, d)),
+    "q200_zorder_layout" -> ((s, d) => graft.operators.Scale.zorderElection(s, d)),
+    "q201_media_ahash" -> ((s, d) => Multimodal.mediaAhashNearDup(s, d)),
+    "q202_bpe_merges" -> ((s, d) => TextAnalysis.bpeFirstMerges(s, d)),
+    "q203_burst_panel" -> ((s, d) => EventAnalytics.decayedBurstPanel(s, d)),
+    "q204_incremental_refresh" -> ((s, d) => Relational.incrementalRefreshAudit(s, d)),
+    "q205_bloom_sizing" -> ((s, d) => graft.operators.Scale.bloomSizing(s, d)),
+    "q206_comovement" -> ((s, d) => EventAnalytics.comovementMatrix(s, d)),
+    "q207_value_migration" -> ((s, d) => EventAnalytics.valueMigration(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -493,6 +504,17 @@ object SparkEntry {
     "q193_erasure_sweep" -> Curation.erasureSweepSql(),
     "q194_triplet_margin" -> Similarity.tripletMarginSql(),
     "q195_cohort_ltv" -> EventAnalytics.cohortLtvSql,
-    "q196_active_streaks" -> EventAnalytics.activeStreaksSql
+    "q196_active_streaks" -> EventAnalytics.activeStreaksSql,
+    "q197_pii_audit" -> Curation.piiAuditSql,
+    "q198_packing_election" -> Packing.packingElectionSql(),
+    "q199_k_anonymity" -> Curation.kAnonymitySql(),
+    "q200_zorder_layout" -> graft.operators.Scale.zorderElectionSql,
+    "q201_media_ahash" -> Multimodal.mediaAhashNearDupSql,
+    "q202_bpe_merges" -> TextAnalysis.bpeFirstMergesSql(),
+    "q203_burst_panel" -> EventAnalytics.decayedBurstPanelSql,
+    "q204_incremental_refresh" -> Relational.incrementalRefreshAuditSql(),
+    "q205_bloom_sizing" -> graft.operators.Scale.bloomSizingSql,
+    "q206_comovement" -> EventAnalytics.comovementMatrixSql,
+    "q207_value_migration" -> EventAnalytics.valueMigrationSql
   )
 }

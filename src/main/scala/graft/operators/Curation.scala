@@ -2465,6 +2465,213 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** The three PII pattern classes [[piiAudit]] screens for, as
+    * (tag, regex): the C4/Dolma masking battery's core — email
+    * addresses, IP-like dotted quads, and US-style hyphenated phone
+    * numbers. The patterns deliberately stay inside the regex subset
+    * where Java (Spark) and RE2 (DuckDB) agree exactly: literal
+    * classes, bounded repetition, `\d`, ASCII `\b` — no backreferences,
+    * no lookaround, no alternation ambiguity — so non-overlapping
+    * left-to-right match COUNTS are engine-identical. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b")
+
+  /** PII-detection audit (q197): per (lang, PII class) — documents
+    * carrying at least one hit, total hits, and the carrying-doc share
+    * in bp. This is the privacy row of a corpus datasheet (the audit a
+    * C4/Dolma-style PII-masking pass runs BEFORE deciding to mask or
+    * drop): emails and phone numbers are direct identifiers, IP
+    * addresses are quasi-identifiers, and the per-language split shows
+    * which ingest streams leak them.
+    *
+    * The driver corpus is clean word-soup (zero hits proves nothing),
+    * so PII strings are injected IN-QUERY, deterministically from
+    * doc_id — the q60/q182 device; both engines audit the identical
+    * augmented text. doc_id ≡ 0 (mod 3) gains one email and ≡ 0
+    * (mod 9) a second (exercising hit counts > 1), ≡ 1 (mod 4) a
+    * phone, ≡ 2 (mod 5) a dotted quad. Counting is `regexp_count`
+    * over [[PiiPatterns]] — the documented Java/RE2-agreeing subset.
+    *
+    * Scale posture: a narrow per-row projection (three codegen'd
+    * regexp counters) into a |langs|-row rollup with map-side combine
+    * (the q15/q182 shape); the per-class long format unpivots AFTER
+    * aggregation via one stack() over |langs| rows, never a corpus
+    * Expand. */
+  def piiAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val injected = concat(col("text"),
+      when(pmod(d, lit(3)) === 0,
+        concat(lit(" u"), pmod(d, lit(97)).cast("string"), lit("@ex.org")))
+        .otherwise(lit("")),
+      when(pmod(d, lit(9)) === 0,
+        concat(lit(" re"), pmod(d, lit(89)).cast("string"), lit("@ex.org")))
+        .otherwise(lit("")),
+      when(pmod(d, lit(4)) === 1,
+        concat(lit(" 555-"), lpad(pmod(d, lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(d, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(d, lit(5)) === 2,
+        concat(lit(" 10."), pmod(d, lit(256)).cast("string"),
+          lit("."), pmod(d, lit(199)).cast("string"),
+          lit("."), pmod(d, lit(97)).cast("string")))
+        .otherwise(lit("")))
+    val pats = PiiPatterns.toMap
+    def cnt(tag: String) =
+      regexp_count(injected, lit(pats(tag))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("lang"), cnt("email").as("c_email"),
+        cnt("ip").as("c_ip"), cnt("phone").as("c_phone"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c_email") > 0, 1L).otherwise(0L)).as("d_email"),
+        sum(col("c_email")).as("h_email"),
+        sum(when(col("c_ip") > 0, 1L).otherwise(0L)).as("d_ip"),
+        sum(col("c_ip")).as("h_ip"),
+        sum(when(col("c_phone") > 0, 1L).otherwise(0L)).as("d_phone"),
+        sum(col("c_phone")).as("h_phone"))
+      .select(col("lang"), col("n_docs"), expr(
+        "stack(3, 'email', d_email, h_email, 'ip', d_ip, h_ip, " +
+          "'phone', d_phone, h_phone) AS (pii_class, docs_hit, n_hits)"))
+      .select(col("lang"), col("pii_class"), col("n_docs"),
+        col("docs_hit"), col("n_hits"),
+        expr("docs_hit * 10000 div n_docs").as("density_bp"))
+      .orderBy(col("lang"), col("pii_class"))
+  }
+
+  def piiAuditSql: String = {
+    val pats = PiiPatterns.toMap
+    def cnt(tag: String): String =
+      s"len(regexp_extract_all(t, '${pats(tag)}'))::BIGINT"
+    s"""WITH aug AS (
+       |  SELECT lang, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' u' || (doc_id % 97)::VARCHAR || '@ex.org'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 9 = 0
+       |         THEN ' re' || (doc_id % 89)::VARCHAR || '@ex.org'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 1
+       |         THEN ' 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+       |           || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 2
+       |         THEN ' 10.' || (doc_id % 256)::VARCHAR
+       |           || '.' || (doc_id % 199)::VARCHAR
+       |           || '.' || (doc_id % 97)::VARCHAR
+       |         ELSE '' END AS t
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, ${cnt("email")} AS c_email, ${cnt("ip")} AS c_ip,
+       |    ${cnt("phone")} AS c_phone
+       |  FROM aug
+       |), g AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN c_email > 0 THEN 1 ELSE 0 END)::BIGINT AS d_email,
+       |    sum(c_email)::BIGINT AS h_email,
+       |    sum(CASE WHEN c_ip > 0 THEN 1 ELSE 0 END)::BIGINT AS d_ip,
+       |    sum(c_ip)::BIGINT AS h_ip,
+       |    sum(CASE WHEN c_phone > 0 THEN 1 ELSE 0 END)::BIGINT AS d_phone,
+       |    sum(c_phone)::BIGINT AS h_phone
+       |  FROM c GROUP BY 1
+       |), u AS (
+       |  SELECT lang, 'email' AS pii_class, n_docs, d_email AS docs_hit,
+       |    h_email AS n_hits FROM g
+       |  UNION ALL
+       |  SELECT lang, 'ip', n_docs, d_ip, h_ip FROM g
+       |  UNION ALL
+       |  SELECT lang, 'phone', n_docs, d_phone, h_phone FROM g
+       |)
+       |SELECT lang, pii_class, n_docs, docs_hit, n_hits,
+       |  (docs_hit * 10000 // n_docs)::BIGINT AS density_bp
+       |FROM u ORDER BY lang, pii_class""".stripMargin
+  }
+
+  /** Anonymity thresholds [[kAnonymity]] prices: the k values privacy
+    * reviews actually debate (k = 2 "any corroboration", 5 and 10 "the
+    * common policy floors", 20 "strict release"). */
+  val KAnonThresholds: Seq[Int] = Seq(2, 5, 10, 20)
+
+  /** k-anonymity audit (q199): for the quasi-identifier tuple
+    * (nation, market segment, $100 account-balance band) — the classic
+    * "coarse demographics + a binned numeric is still identifying"
+    * setup (Sweeney 2002) — the exact re-identification exposure at
+    * each policy threshold k: equivalence classes smaller than k, the
+    * rows inside them, and the at-risk share in bp. A singleton class
+    * is a direct re-identification; the audit is what a privacy review
+    * runs BEFORE any release or join against external data, and the
+    * q193 erasure sweep is its remediation twin.
+    *
+    * The balance band shifts by +100000 cents before the integer
+    * division: TPC-H balances go negative, and Spark `div` truncates
+    * while DuckDB `//` floors — non-negative operands are the only
+    * regime where both engines agree (FIXTURES.md §C sign rule).
+    *
+    * Scale posture: ONE corpus shuffle (the quasi-identifier groupBy,
+    * map-side combinable, keyed on the high-cardinality QI tuple),
+    * collapsed to a class-SIZE histogram (≤|distinct sizes| rows —
+    * audit-sized at any corpus scale); every threshold is a
+    * conditional sum over that histogram in one pass, and the
+    * per-k long format is a 4-row stack over the 1-row aggregate,
+    * never a re-scan. */
+  def kAnonymity(spark: SparkSession, dir: String,
+                 thresholds: Seq[Int] = KAnonThresholds): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.forall(_ > 1), s"kAnonymity: bad thresholds $thresholds")
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("q_nation"),
+        col("c_mktsegment").as("q_segment"),
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 10000")
+          .as("q_balband"))
+      .groupBy(col("q_nation"), col("q_segment"), col("q_balband"))
+      .agg(count(lit(1)).as("gsize"))
+    val hist = classes.groupBy(col("gsize")).agg(count(lit(1)).as("ng"))
+    val sums = thresholds.flatMap { k =>
+      Seq(sum(when(col("gsize") < k, col("ng")).otherwise(0L))
+        .as(s"gb_$k"),
+        sum(when(col("gsize") < k, col("gsize") * col("ng")).otherwise(0L))
+          .as(s"rk_$k"))
+    }
+    val stackArgs = thresholds
+      .map(k => s"${k}L, gb_$k, rk_$k").mkString(", ")
+    val aggCols = Seq(sum(col("gsize") * col("ng")).as("n_rows")) ++ sums
+    hist
+      .agg(sum(col("ng")).as("n_classes"), aggCols: _*)
+      .select(col("n_classes"), col("n_rows"), expr(
+        s"stack(${thresholds.size}, $stackArgs) " +
+          "AS (k, classes_below, rows_at_risk)"))
+      .select(col("k"), col("n_classes"), col("classes_below"),
+        col("n_rows"), col("rows_at_risk"),
+        expr("rows_at_risk * 10000 div n_rows").as("risk_bp"))
+      .orderBy(col("k"))
+  }
+
+  def kAnonymitySql(thresholds: Seq[Int] = KAnonThresholds): String = {
+    val legs = thresholds.map { k =>
+      s"""SELECT $k::BIGINT AS k, n_classes, (
+         |    SELECT count(*)::BIGINT FROM cls WHERE gsize < $k) AS classes_below,
+         |  n_rows, (
+         |    SELECT coalesce(sum(gsize), 0)::BIGINT FROM cls
+         |    WHERE gsize < $k) AS rows_at_risk
+         |FROM tot""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH cls AS (
+       |  SELECT c_nationkey::BIGINT AS q_nation, c_mktsegment AS q_segment,
+       |    ((round(c_acctbal * 100)::BIGINT + 100000) // 10000) AS q_balband,
+       |    count(*)::BIGINT AS gsize
+       |  FROM customer GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT count(*)::BIGINT AS n_classes, sum(gsize)::BIGINT AS n_rows
+       |  FROM cls
+       |), u AS (
+       |  $legs
+       |)
+       |SELECT k, n_classes, classes_below, n_rows, rows_at_risk,
+       |  (rows_at_risk * 10000 // n_rows)::BIGINT AS risk_bp
+       |FROM u ORDER BY k""".stripMargin
+  }
+
   /** Right-to-erasure sweep audit (q193): given a deterministic deletion
     * cohort (custkey ≡ 0 mod `modulus` — the stand-in for a GDPR/CCPA
     * deletion list), the exact per-table blast radius through the

@@ -1552,4 +1552,291 @@ object EventAnalytics {
        |  n_events, sum_dur_sec,
        |  (sum_dur_sec * 1000 // n_sessions)::BIGINT AS dur_per_session_milli
        |FROM bands CROSS JOIN tot ORDER BY size_band""".stripMargin
+
+  // ---- X129: decayed-baseline burst panel (q203) ---------------------------
+
+  /** Dyadic decay weights for [[decayedBurstPanel]]: the 7 most recent
+    * prior days at halving weight (64, 32, …, 1; denominator 127) —
+    * exponential smoothing with α = 1/2 truncated to a week (the
+    * classic Brown/Holt recursion made EXACTLY integer: powers of two
+    * instead of a float decay, so both engines land identical
+    * baselines). */
+  val BurstWeights: Seq[Long] = (0 until 7).map(k => 64L >> k)
+
+  /** X129 decayed-baseline burst panel (q203): per event type — days
+    * scored, burst days (volume more than 2× the decayed baseline of
+    * the prior week), quiet days (volume under a fifth of it), and the
+    * worst burst ratio in bp of baseline. The q164 level panel flags
+    * deviations from a STATIC per-type mean; this scores each day
+    * against a RECENCY-weighted baseline, so a gradual ramp stops
+    * alerting (the baseline follows) while a step change fires — the
+    * burst-vs-trend distinction every volume monitor eventually needs
+    * (q189 reads direction, this reads shock). Gap days count as
+    * genuine zeros: the calendar grid is dense, so a silent week
+    * really does decay the baseline to zero, and a "burst from
+    * silence" (volume with a zero baseline) is counted in
+    * `n_burst` but carries the documented ratio sentinel −1 (it has
+    * no finite ratio and must not win `max_ratio_bp`).
+    *
+    * Scale posture: the corpus collapses FIRST to (type, day) cells
+    * (the PlanCache seam shared with q164/q172/q189); the dense grid
+    * is |types| × calendar days (audit-sized at ANY corpus scale) via
+    * one broadcast span scalar; the 7 lags ride ONE type-keyed window
+    * over grid rows; the fold is a |types|-row rollup. */
+  /** Dense (event_type, day, c) calendar grid over the event span —
+    * gap days as genuine zeros. |types| × calendar days rows
+    * (audit-sized at any corpus scale); PlanCache-shared by the q203
+    * burst panel and the q206 co-movement matrix. */
+  private def denseDayGrid(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"events.denseDayGrid:$dir") {
+      val cells = graft.PlanCache.cached(spark, s"events.dayTypeCells:$dir") {
+        Tables.events(spark, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c"))
+      }
+      val span = Tables.events(spark, dir)
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+      cells.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(cells, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("c"), lit(0L)).as("c"))
+    }
+
+  def decayedBurstPanel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = denseDayGrid(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val baseline = BurstWeights.zipWithIndex
+      .map { case (wt, k) => lag(col("c"), k + 1, 0L).over(w) * lit(wt) }
+      .reduce(_ + _)
+    grid
+      .withColumn("rn", row_number().over(w))
+      .withColumn("b127", baseline)
+      .filter(col("rn") > 7) // a full prior week exists
+      .select(col("event_type"), col("c"), col("b127"),
+        expr("CASE WHEN b127 = 0 THEN CASE WHEN c = 0 THEN CAST(10000 AS BIGINT) " +
+          "ELSE CAST(-1 AS BIGINT) END " +
+          "ELSE c * 127 * 10000 div b127 END").as("ratio_bp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(when(col("c") * 127 > col("b127") * 2, 1L).otherwise(0L))
+          .as("n_burst"),
+        sum(when(col("c") * 127 * 5 < col("b127"), 1L).otherwise(0L))
+          .as("n_quiet"),
+        max(col("ratio_bp")).as("max_ratio_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  // ---- X133: value-quartile migration matrix (q207) ------------------------
+
+  /** X133 value-quartile migration matrix (q207): split the purchase
+    * log at the midpoint day, assign each user an exact spend QUARTILE
+    * within each half (the q132/q176 histogram-rank election — never
+    * ntile), and emit the migration matrix: users per (from, to) cell,
+    * plus 'new' (second half only) and 'churned' (first half only)
+    * edges with quartile 0 on the missing side. This is the
+    * period-over-period value-migration read every growth team runs —
+    * RFM (q176) scores a single window; this shows users MOVING
+    * between value tiers, which is where expansion and churn risk
+    * actually live.
+    *
+    * Quartile rule: boundary = smallest spend with cum ≥ (q·n+3) div 4
+    * over the period's per-user spend histogram; a user's quartile is
+    * 1 + (boundaries strictly below their spend) — exact, total and
+    * tie-stable in both engines (equal spends share a quartile).
+    *
+    * Scale posture: ONE user-period collapse (map-side combinable, the
+    * only corpus shuffle); each period's boundary election runs on the
+    * distinct-spend histogram (audit-sized); quartile assignment is a
+    * broadcast ≤3-row theta-join per period (the q176 cutoff shape);
+    * the matrix is a ≤(5×5)-row fold. */
+  def valueMigration(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val mid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("cut"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .withColumn("period", when(col("day") <= col("cut"), 1L).otherwise(2L))
+      .groupBy(col("user_id"), col("period"))
+      .agg(sum(col("cents")).as("spend"))
+    def quartiled(p: Long): DataFrame = {
+      val u = perUser.filter(col("period") === p)
+      val hist = u.groupBy(col("spend")).agg(count(lit(1)).as("cnt"))
+      val n = u.agg(count(lit(1)).as("n"))
+      // boundary q (1..3) = smallest spend with cum >= (q·n+3) div 4;
+      // cum via the q167-style triangle fold (audit-sized histogram)
+      val h2 = hist.select(col("spend").as("s2"), col("cnt").as("c2"))
+      val cum = hist.join(broadcast(h2), col("s2") <= col("spend"))
+        .groupBy(col("spend")).agg(sum(col("c2")).as("cum"))
+      val bounds = cum.crossJoin(broadcast(n))
+        .select(col("spend"),
+          explode(sequence(lit(1L), lit(3L))).as("q"), col("cum"), col("n"))
+        .filter(col("cum") >= expr("(q * n + 3) div 4"))
+        .groupBy(col("q")).agg(min(col("spend")).as("boundary"))
+      u.join(broadcast(bounds), col("spend") > col("boundary"), "left")
+        .groupBy(col("user_id"))
+        .agg((count(col("q")) + 1).as("quartile"))
+    }
+    val q1 = quartiled(1L).select(col("user_id"), col("quartile").as("q_from"))
+    val q2 = quartiled(2L).select(col("user_id"), col("quartile").as("q_to"))
+    q1.join(q2, Seq("user_id"), "full")
+      .select(coalesce(col("q_from"), lit(0L)).as("q_from"),
+        coalesce(col("q_to"), lit(0L)).as("q_to"))
+      .groupBy(col("q_from"), col("q_to"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("q_from"), col("q_to"))
+  }
+
+  def valueMigrationSql: String = {
+    def leg(p: Int, cmp: String): String =
+      s"""  SELECT user_id, sum(cents)::BIGINT AS spend
+         |  FROM ev CROSS JOIN mid WHERE day $cmp cut GROUP BY 1""".stripMargin
+    def quartile(src: String): String =
+      s"""  SELECT u.user_id, (1 + count(b.q))::BIGINT AS quartile
+         |  FROM $src u LEFT JOIN (
+         |    SELECT q, min(spend) AS boundary FROM (
+         |      SELECT h.spend, q.q, sum(h2.cnt) AS cum, n.n
+         |      FROM (SELECT spend, count(*)::BIGINT AS cnt FROM $src
+         |            GROUP BY 1) h
+         |      JOIN (SELECT spend AS s2, count(*)::BIGINT AS cnt FROM $src
+         |            GROUP BY 1) h2(s2, cnt) ON h2.s2 <= h.spend
+         |      CROSS JOIN (SELECT unnest([1, 2, 3])::BIGINT AS q) q
+         |      CROSS JOIN (SELECT count(*)::BIGINT AS n FROM $src) n
+         |      GROUP BY h.spend, q.q, n.n
+         |    ) WHERE cum >= (q * n + 3) // 4 GROUP BY q
+         |  ) b ON u.spend > b.boundary
+         |  GROUP BY u.user_id""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, ts::DATE AS day, round(value * 100)::BIGINT AS cents
+       |  FROM events WHERE event_type = 'purchase'
+       |), mid AS (
+       |  SELECT min(day) + ((max(day) - min(day)) // 2)::INTEGER AS cut
+       |  FROM ev
+       |), p1 AS (
+       |${leg(1, "<=")}
+       |), p2 AS (
+       |${leg(2, ">")}
+       |), k1 AS (
+       |${quartile("p1")}
+       |), k2 AS (
+       |${quartile("p2")}
+       |)
+       |SELECT coalesce(k1.quartile, 0)::BIGINT AS q_from,
+       |  coalesce(k2.quartile, 0)::BIGINT AS q_to,
+       |  count(*)::BIGINT AS n_users
+       |FROM k1 FULL JOIN k2 USING (user_id)
+       |GROUP BY 1, 2 ORDER BY q_from, q_to""".stripMargin
+  }
+
+  // ---- X132: metric co-movement matrix (q206) ------------------------------
+
+  /** X132 metric co-movement matrix (q206): Spearman rank correlation
+    * (Spearman 1904) between every pair of event types' DAILY volume
+    * series, in exact milli units: ρ = 1 − 6·Σd² ∕ (n³ − n) over
+    * distinct ranks. The "which metrics move together" read behind
+    * dashboard grouping and alert dedup — two types with ρ ≈ 1000 are
+    * one signal, ρ ≈ −1000 is a substitution effect (q169 reads
+    * per-user co-occurrence; this reads population-level co-movement,
+    * robust to scale because only RANKS enter). Ranks come from the
+    * DENSE calendar grid (gap days are genuine zeros in both series)
+    * and tie-break deterministically on the day, so both engines rank
+    * identically and the statistic is the documented distinct-rank
+    * variant. All integer: Σd² and one milli division, sign-free by
+    * construction (the division operand is non-negative; the
+    * subtraction may legitimately go negative).
+    *
+    * Scale posture: the corpus collapses to the PlanCache-shared dense
+    * grid first (|types| × calendar days — audit-sized); ranking is a
+    * type-keyed window over grid rows; the pair space is a day-keyed
+    * self-join of the grid (|types|² × days cells, still audit-sized);
+    * the fold is a |types|²-row rollup. */
+  def comovementMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("day"))
+    val ranked = denseDayGrid(spark, dir)
+      .withColumn("r", row_number().over(w).cast("long"))
+    val a = ranked.select(col("event_type").as("type_a"), col("day"),
+      col("r").as("ra"))
+    val b = ranked.select(col("event_type").as("type_b"), col("day"),
+      col("r").as("rb"))
+    a.join(b, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("ra") - col("rb")) * (col("ra") - col("rb"))).as("d2_sum"))
+      .select(col("type_a"), col("type_b"), col("n_days"), col("d2_sum"),
+        expr("CASE WHEN n_days < 2 THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000 - 6000 * d2_sum div (n_days * n_days * n_days - n_days) " +
+          "END").as("rho_milli"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  def comovementMatrixSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+      |), grid AS (
+      |  SELECT t.event_type, g.day::DATE AS day, coalesce(cells.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM cells) t
+      |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY))::DATE AS day FROM span) g
+      |  LEFT JOIN cells USING (event_type, day)
+      |), ranked AS (
+      |  SELECT event_type, day,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY c, day)
+      |      ::BIGINT AS r
+      |  FROM grid
+      |)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*)::BIGINT AS n_days,
+      |  sum((a.r - b.r) * (a.r - b.r))::BIGINT AS d2_sum,
+      |  (CASE WHEN count(*) < 2 THEN 0
+      |    ELSE 1000 - 6000 * sum((a.r - b.r) * (a.r - b.r))
+      |      // (count(*) * count(*) * count(*) - count(*)) END)::BIGINT
+      |    AS rho_milli
+      |FROM ranked a JOIN ranked b
+      |  ON a.day = b.day AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
+  def decayedBurstPanelSql: String = {
+    val terms = BurstWeights.zipWithIndex
+      .map { case (wt, k) => s"lag(c, ${k + 1}, 0) OVER w * $wt" }
+      .mkString(" + ")
+    s"""WITH cells AS (
+       |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+       |), grid AS (
+       |  SELECT t.event_type, g.day::DATE AS day, coalesce(cells.c, 0) AS c
+       |  FROM (SELECT DISTINCT event_type FROM cells) t
+       |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+       |    INTERVAL 1 DAY))::DATE AS day FROM span) g
+       |  LEFT JOIN cells USING (event_type, day)
+       |), scored AS (
+       |  SELECT event_type, c, $terms AS b127,
+       |    row_number() OVER w AS rn
+       |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |)
+       |SELECT event_type, count(*)::BIGINT AS n_days_scored,
+       |  sum(CASE WHEN c * 127 > b127 * 2 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_burst,
+       |  sum(CASE WHEN c * 127 * 5 < b127 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_quiet,
+       |  max(CASE WHEN b127 = 0 THEN (CASE WHEN c = 0 THEN 10000 ELSE -1 END)
+       |    ELSE c * 127 * 10000 // b127 END)::BIGINT AS max_ratio_bp
+       |FROM scored WHERE rn > 7
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
 }

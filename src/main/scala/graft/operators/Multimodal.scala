@@ -359,4 +359,148 @@ object Multimodal {
       |SELECT media_type, pct::BIGINT AS pct, min(v)::BIGINT AS cutoff_bytes,
       |  max(n)::BIGINT AS n_items
       |FROM x GROUP BY 1, 2 ORDER BY media_type, pct""".stripMargin
+
+  // ---- X127: perceptual-hash media near-dup (q201) -------------------------
+
+  /** Cells in the [[mediaAhashNearDup]] average-hash grid (16 → a
+    * 16-bit hash, two 8-bit Hamming bands). */
+  val AhashCells: Int = 16
+
+  /** The 16-bit average-hash of one payload as a Column: 16
+    * deterministic cell values derived from the content digest (the
+    * STUB stand-in for decoded pixel-block means — swap the cell
+    * source for real pixels to productionize, exactly like
+    * [[StubDecoder.decode]]), each compared against the grid mean.
+    * Cell values pre-divide by 16 so the 16-cell sum stays inside
+    * BIGINT in BOTH engines (16 × 2⁶⁰ would overflow; 16 × 2⁵⁶ not). */
+  private def ahash(dg: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // shiftright(x, 4) ≡ x // 16 on non-negative values — EXACT in both
+    // engines; Column./ would divide as doubles and drop low bits past
+    // 2^53, silently diverging from DuckDB's integer //
+    val cells = (0 until AhashCells).map { i =>
+      shiftright(graft.functions.TextHash.h1(concat(dg, lit(s"#$i"))), 4)
+    }
+    val mean = shiftright(cells.reduce(_ + _), 4)
+    cells.zipWithIndex.map { case (c, i) =>
+      when(c > mean, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** X127 perceptual near-dup audit (q201): per media type — items,
+    * distinct perceptual hashes, banded candidate pairs, pairs within
+    * Hamming distance 1, exact-hash pairs, and the near share in bp.
+    * The average-hash family (aHash/pHash — the public perceptual-
+    * hashing recipe): hash the DECODED content into a small bit
+    * signature, then find near pairs by Hamming distance with a banded
+    * (pigeonhole) join — distance ≤ 1 over two 8-bit bands guarantees
+    * at least one band matches exactly, so candidates come from an
+    * EQUI-join, never an all-pairs scan. The decode is the documented
+    * X5 stub (cell values derive from the content digest); the
+    * banding, grouping, pair arithmetic and Hamming verify — the parts
+    * Spark owns at 100 TB — are real and oracle-gated.
+    *
+    * Scale posture: payloads reduce to a 32-byte digest AT THE SCAN
+    * (the q165 rule — bytes never shuffle); items collapse to
+    * (type, ahash) GROUPS before any join (the q20 sigGroups rule), so
+    * the band self-join sees one row per hash group per band and pair
+    * MASS is computed arithmetically from group sizes (n_a·n_b,
+    * C(n,2)) — copy inflation grows counts, never join input. */
+  def mediaAhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val groups = mediaTable(spark, dir)
+      .select(col("media_type"), sha2(col("content"), 256).as("dg"))
+      .withColumn("ahash", ahash(col("dg")))
+      .groupBy(col("media_type"), col("ahash"))
+      .agg(count(lit(1)).as("n"))
+    val banded = groups.select(col("media_type"), col("ahash"), col("n"),
+      explode(array(
+        struct(lit(0L).as("band"), (col("ahash") % 256L).as("bv")),
+        struct(lit(1L).as("band"),
+          shiftright(col("ahash"), 8).as("bv")))).as("b"))
+      .select(col("media_type"), col("ahash"), col("n"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    val l = banded.select(col("media_type"), col("band"), col("bv"),
+      col("ahash").as("ha"), col("n").as("na"))
+    val r = banded.select(col("media_type").as("mt_b"), col("band").as("band_b"),
+      col("bv").as("bv_b"), col("ahash").as("hb"), col("n").as("nb"))
+    val cross = l.join(r,
+        col("media_type") === col("mt_b") && col("band") === col("band_b") &&
+          col("bv") === col("bv_b") && col("ha") < col("hb"))
+      .select(col("media_type"), col("ha"), col("hb"), col("na"), col("nb"))
+      .distinct()
+      .withColumn("hd", expr("cast(bit_count(ha ^ hb) as bigint)"))
+      .groupBy(col("media_type"))
+      .agg(sum(col("na") * col("nb")).as("cross_cand"),
+        sum(when(col("hd") <= 1L, col("na") * col("nb")).otherwise(0L))
+          .as("cross_near"))
+    val within = groups.groupBy(col("media_type"))
+      .agg(sum(col("n")).as("n_items"),
+        count(lit(1)).as("n_hashes"),
+        sum(expr("n * (n - 1) div 2")).as("exact_pairs"))
+    within.join(cross, Seq("media_type"), "left")
+      .select(col("media_type"), col("n_items"), col("n_hashes"),
+        (coalesce(col("cross_cand"), lit(0L)) + col("exact_pairs"))
+          .as("cand_pairs"),
+        (coalesce(col("cross_near"), lit(0L)) + col("exact_pairs"))
+          .as("near_pairs"),
+        col("exact_pairs"))
+      .withColumn("near_bp", expr("CASE WHEN cand_pairs = 0 THEN 0 " +
+        "ELSE near_pairs * 10000 div cand_pairs END"))
+      .orderBy(col("media_type"))
+  }
+
+  def mediaAhashNearDupSql: String = {
+    def h1(e: String): String = graft.functions.TextHash.h1Sql(e)
+    val cells = (0 until AhashCells)
+      .map(i => s"(${h1(s"dg || '#$i'")} // 16)")
+    val mean = s"((${cells.mkString(" + ")}) // $AhashCells)"
+    val bits = cells.zipWithIndex
+      .map { case (c, i) =>
+        s"CASE WHEN $c > m THEN ${1L << i} ELSE 0 END" }
+      .mkString(" + ")
+    s"""WITH m0 AS (
+       |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |    sha256(text) AS dg
+       |  FROM documents
+       |), withmean AS (
+       |  SELECT media_type, dg, $mean AS m FROM m0
+       |), hashed AS (
+       |  SELECT media_type, ($bits)::BIGINT AS ahash FROM withmean
+       |), g AS (
+       |  SELECT media_type, ahash, count(*)::BIGINT AS n
+       |  FROM hashed GROUP BY 1, 2
+       |), banded AS (
+       |  SELECT media_type, ahash, n, 0::BIGINT AS band,
+       |    (ahash % 256)::BIGINT AS bv FROM g
+       |  UNION ALL
+       |  SELECT media_type, ahash, n, 1, (ahash // 256)::BIGINT FROM g
+       |), cp AS (
+       |  SELECT DISTINCT a.media_type, a.ahash AS ha, b.ahash AS hb,
+       |    a.n AS na, b.n AS nb
+       |  FROM banded a JOIN banded b
+       |    ON a.media_type = b.media_type AND a.band = b.band
+       |    AND a.bv = b.bv AND a.ahash < b.ahash
+       |), cr AS (
+       |  SELECT media_type, sum(na * nb)::BIGINT AS cross_cand,
+       |    sum(CASE WHEN bit_count(xor(ha, hb)) <= 1 THEN na * nb
+       |        ELSE 0 END)::BIGINT AS cross_near
+       |  FROM cp GROUP BY 1
+       |), w AS (
+       |  SELECT media_type, sum(n)::BIGINT AS n_items,
+       |    count(*)::BIGINT AS n_hashes,
+       |    sum(n * (n - 1) // 2)::BIGINT AS exact_pairs
+       |  FROM g GROUP BY 1
+       |)
+       |SELECT w.media_type, w.n_items, w.n_hashes,
+       |  (coalesce(cr.cross_cand, 0) + w.exact_pairs)::BIGINT AS cand_pairs,
+       |  (coalesce(cr.cross_near, 0) + w.exact_pairs)::BIGINT AS near_pairs,
+       |  w.exact_pairs,
+       |  (CASE WHEN coalesce(cr.cross_cand, 0) + w.exact_pairs = 0 THEN 0
+       |    ELSE (coalesce(cr.cross_near, 0) + w.exact_pairs) * 10000
+       |      // (coalesce(cr.cross_cand, 0) + w.exact_pairs)
+       |    END)::BIGINT AS near_bp
+       |FROM w LEFT JOIN cr USING (media_type)
+       |ORDER BY w.media_type""".stripMargin
+  }
 }

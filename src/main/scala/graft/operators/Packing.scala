@@ -382,6 +382,145 @@ object Packing {
       .orderBy(col("bucket_cap"))
   }
 
+  // ---- X124: packing-regime election (q198) -------------------------------
+
+  /** X124 packing-regime election (q198): the exact waste bill of three
+    * batch-construction regimes over the SAME truncated length corpus —
+    * `a_naive_padded` (every doc its own row padded to the cap),
+    * `b_bucket_padded` (the q98 length-bucketed batcher, folded to one
+    * row), and `c_fold_packed` (histogram fold-packing: the r-th
+    * longest sequence shares a cap-length bin with the r-th shortest
+    * when they fit — the depth-2 regime of packed-BERT's
+    * histogram-based packing, Krell et al. 2021, arXiv:2107.02027).
+    * Per regime: sequences, bins, real tokens, cost (= bin) tokens and
+    * waste in exact bp. This is the election a training-data platform
+    * runs before choosing its collator: q71/q98 price two regimes in
+    * isolation; this puts all three on one bill.
+    *
+    * Histogram-driven, NEVER a per-doc sort: the corpus collapses to a
+    * ≤cap-row length histogram (map-side combine), desc-rank intervals
+    * come from the q167-style broadcast triangle fold over that
+    * histogram, and the fold pairing's per-(la, lb)
+    * pair counts are closed-form interval intersections on the
+    * histogram×histogram cross (≤cap² cells at ANY corpus scale —
+    * the allow-listed broadcast-audit cross pattern). The middle
+    * element of an odd corpus packs alone (the `n % 2` term).
+    *
+    * Cross-engine: pure integer interval algebra; the bp division
+    * rides the q98 decimal(38,0) guard. */
+  def packingElection(spark: SparkSession, dir: String,
+                      buckets: Seq[Int] = BatchBuckets,
+                      docsPerBatch: Int = DocsPerBatch,
+                      nShards: Int = 8): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted)
+    val cap = buckets.last.toLong
+    val docs = Tables.documents(spark, dir)
+    val hist = docs
+      .select(least(size(TextHash.tokens(col("text"))).cast("long"),
+        lit(cap)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = hist.agg(sum(col("c")).as("n"),
+      sum(col("tok") * col("c")).as("rt"))
+    // desc-rank interval of each length class: ranks [lo, hi] hold
+    // exactly the docs of this truncated length (ties are
+    // interchangeable, so pair COUNTS are order-free). The cumulative
+    // fold is the q167/q168 broadcast triangle theta-join over the
+    // ≤cap-row histogram — never a SinglePartition window.
+    val h2 = hist.select(col("tok").as("tok2"), col("c").as("c2"))
+    val iv = hist.join(broadcast(h2), col("tok2") >= col("tok"))
+      .groupBy(col("tok"), col("c"))
+      .agg(sum(col("c2")).as("hi"))
+      .select(col("tok"), (col("hi") - col("c") + 1).as("lo"), col("hi"))
+    val a1 = iv.select(col("tok").as("la"), col("lo").as("lo1"),
+      col("hi").as("hi1"))
+    val a2 = iv.select(col("tok").as("lb"), col("lo").as("lo2"),
+      col("hi").as("hi2"))
+    // rank r (≤ n div 2) pairs with rank n+1−r: pairs with lengths
+    // (la, lb) = |[lo1,hi1] ∩ [n+1−hi2, n+1−lo2] ∩ [1, n div 2]|
+    val pairs = a1.crossJoin(broadcast(a2))
+      .crossJoin(broadcast(totals.select(col("n"))))
+      .select(col("la"), col("lb"),
+        greatest(lit(0L),
+          least(col("hi1"), col("n") + 1 - col("lo2"),
+            expr("n div 2")) -
+            greatest(col("lo1"), col("n") + 1 - col("hi2")) + 1).as("np"))
+      .filter(col("np") > 0)
+    val packAgg = pairs.agg(
+      sum(when(col("la") + col("lb") <= cap, col("np")).otherwise(0L))
+        .as("fit"),
+      sum(when(col("la") + col("lb") > cap, col("np")).otherwise(0L))
+        .as("split"))
+    val packed = packAgg.crossJoin(broadcast(totals))
+      .select(lit("c_fold_packed").as("regime"), col("n").as("n_seqs"),
+        (col("fit") + col("split") * 2 + pmod(col("n"), lit(2L)))
+          .as("n_bins"), col("rt").as("real_tokens"))
+      .withColumn("cost_tokens", lit(cap) * col("n_bins"))
+    val naive = totals.select(lit("a_naive_padded").as("regime"),
+      col("n").as("n_seqs"), col("n").as("n_bins"),
+      col("rt").as("real_tokens"), (lit(cap) * col("n")).as("cost_tokens"))
+    val bucketed = batchingSummaryOf(docs, buckets, docsPerBatch, nShards)
+      .agg(sum(col("n_docs")).as("n_seqs"), sum(col("n_batches")).as("n_bins"),
+        sum(col("sum_tokens")).as("real_tokens"),
+        sum(col("padded_tokens")).as("cost_tokens"))
+      .select(lit("b_bucket_padded").as("regime"), col("n_seqs"),
+        col("n_bins"), col("real_tokens"), col("cost_tokens"))
+    Seq(naive, bucketed,
+      packed.select(col("regime"), col("n_seqs"), col("n_bins"),
+        col("real_tokens"), col("cost_tokens")))
+      .reduce(_ unionByName _)
+      .select(col("regime"), col("n_seqs"), col("n_bins"),
+        col("real_tokens"), col("cost_tokens"),
+        expr("cast(cost_tokens - real_tokens as decimal(38,0)) * 10000 div " +
+          "cast(cost_tokens as decimal(38,0))").cast("long").as("waste_bp"))
+      .orderBy(col("regime"))
+  }
+
+  def packingElectionSql(buckets: Seq[Int] = BatchBuckets,
+                         docsPerBatch: Int = DocsPerBatch,
+                         nShards: Int = 8): String = {
+    val cap = buckets.last
+    s"""WITH h AS (
+       |  SELECT least(len(string_split(lower(text), ' ')), $cap)::BIGINT
+       |    AS tok, count(*)::BIGINT AS c
+       |  FROM documents GROUP BY 1
+       |), nn AS (
+       |  SELECT sum(c)::BIGINT AS n, sum(tok * c)::BIGINT AS rt FROM h
+       |), iv AS (
+       |  SELECT tok,
+       |    (sum(c) OVER (ORDER BY tok DESC) - c + 1)::BIGINT AS lo,
+       |    (sum(c) OVER (ORDER BY tok DESC))::BIGINT AS hi
+       |  FROM h
+       |), p AS (
+       |  SELECT a1.tok AS la, a2.tok AS lb,
+       |    greatest(0, least(a1.hi, nn.n + 1 - a2.lo, nn.n // 2)
+       |      - greatest(a1.lo, nn.n + 1 - a2.hi) + 1)::BIGINT AS np
+       |  FROM iv a1 CROSS JOIN iv a2 CROSS JOIN nn
+       |), agg AS (
+       |  SELECT sum(CASE WHEN la + lb <= $cap THEN np ELSE 0 END)::BIGINT
+       |      AS fit,
+       |    sum(CASE WHEN la + lb > $cap THEN np ELSE 0 END)::BIGINT AS split
+       |  FROM p
+       |), bq AS (${batchingSummarySql(buckets, docsPerBatch, nShards)}
+       |), u AS (
+       |  SELECT 'a_naive_padded' AS regime, n AS n_seqs, n AS n_bins,
+       |    rt AS real_tokens, ($cap * n)::BIGINT AS cost_tokens FROM nn
+       |  UNION ALL
+       |  SELECT 'b_bucket_padded', sum(n_docs)::BIGINT,
+       |    sum(n_batches)::BIGINT, sum(sum_tokens)::BIGINT,
+       |    sum(padded_tokens)::BIGINT FROM bq
+       |  UNION ALL
+       |  SELECT 'c_fold_packed', nn.n,
+       |    (agg.fit + 2 * agg.split + nn.n % 2)::BIGINT,
+       |    nn.rt,
+       |    ($cap * (agg.fit + 2 * agg.split + nn.n % 2))::BIGINT
+       |  FROM agg CROSS JOIN nn
+       |)
+       |SELECT regime, n_seqs, n_bins, real_tokens, cost_tokens,
+       |  ((cost_tokens - real_tokens) * 10000 // cost_tokens)::BIGINT
+       |    AS waste_bp
+       |FROM u ORDER BY regime""".stripMargin
+  }
+
   def batchingSummarySql(buckets: Seq[Int] = BatchBuckets,
                          docsPerBatch: Int = DocsPerBatch,
                          nShards: Int = 8): String = {

@@ -1144,4 +1144,133 @@ object Relational {
       leg("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
   }
+
+  // ---- X130: incremental-maintenance audit (q204) --------------------------
+
+  /** X130 incremental aggregate-maintenance audit (q204): split the
+    * event log at a deterministic cutoff (the last 7 calendar days are
+    * the DELTA, everything before is the BASE materialization), merge
+    * the delta's partial aggregate into the base aggregate, and prove
+    * the merge equals a full recompute — then bill the efficiency: how
+    * many groups the refresh touched vs the full table, and how many
+    * rows it read. This is incremental view maintenance (Gupta &
+    * Mumick 1995) as an oracle-gated audit — the refresh pattern every
+    * materialized daily-revenue table runs at 100 TB, where "recompute
+    * the world" is not an option. Sums and counts are self-mergeable
+    * partial states, which is exactly why the engine's aggregates
+    * stay in that family.
+    *
+    * Output (one row per event type): full groups, delta groups
+    * touched, touch share bp, full rows, delta rows, delta row share
+    * bp, and n_mismatch — the count of (type, day) cells where the
+    * merged refresh disagrees with the full recompute (0 by
+    * construction; the column is the audit's verdict, and the DuckDB
+    * twin recomputes it independently).
+    *
+    * Scale posture: the delta predicate is a pure day filter (pushable
+    * to the scan); base/delta/full aggregates are ONE map-side-
+    * combinable shape each; the merge is a |cells|-row groupBy over
+    * two aggregate outputs; the comparison is a full-outer join on the
+    * audit-sized cell table, never on rows. */
+  def incrementalRefreshAudit(spark: SparkSession, dir: String,
+                              deltaDays: Int = 7): DataFrame = {
+    require(deltaDays > 0, s"incrementalRefreshAudit: bad window $deltaDays")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase",
+          expr("cast(round(value * 100) as bigint)")).otherwise(0L)
+          .as("cents"))
+    val cut = ev.agg(date_sub(max(col("day")), deltaDays - 1).as("cut"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    def cellAgg(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val base = cellAgg(tagged.filter(col("day") < col("cut")))
+    val delta = cellAgg(tagged.filter(col("day") >= col("cut")))
+    // the refresh: merge partial states (sum of sums, sum of counts)
+    val merged = base.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    val full = cellAgg(ev)
+    val cmp = full
+      .join(merged.select(col("event_type"), col("day"),
+        col("n").as("n_m"), col("cents").as("cents_m")),
+        Seq("event_type", "day"), "full")
+      .select(col("event_type"), col("day"),
+        when(col("n").isNull || col("n_m").isNull ||
+          col("n") =!= col("n_m") || col("cents") =!= col("cents_m"), 1L)
+          .otherwise(0L).as("mismatch"))
+    val perType = cmp.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups_full"),
+        sum(col("mismatch")).as("n_mismatch"))
+    val deltaStats = delta.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups_delta"), sum(col("n")).as("rows_delta"))
+    val fullStats = full.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("rows_full"))
+    perType
+      .join(deltaStats, Seq("event_type"), "left")
+      .join(fullStats, Seq("event_type"))
+      .select(col("event_type"), col("n_groups_full"),
+        coalesce(col("n_groups_delta"), lit(0L)).as("n_groups_delta"),
+        expr("coalesce(n_groups_delta, 0) * 10000 div n_groups_full")
+          .as("touch_bp"),
+        col("rows_full"),
+        coalesce(col("rows_delta"), lit(0L)).as("rows_delta"),
+        expr("coalesce(rows_delta, 0) * 10000 div rows_full")
+          .as("delta_rows_bp"),
+        col("n_mismatch"))
+      .orderBy(col("event_type"))
+  }
+
+  def incrementalRefreshAuditSql(deltaDays: Int = 7): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, ts::DATE AS day,
+       |    CASE WHEN event_type = 'purchase'
+       |      THEN round(value * 100)::BIGINT ELSE 0 END AS cents
+       |  FROM events
+       |), cut AS (
+       |  SELECT max(day) - ${deltaDays - 1} AS cut FROM ev
+       |), base AS (
+       |  SELECT event_type, day, count(*)::BIGINT AS n,
+       |    sum(cents)::BIGINT AS cents
+       |  FROM ev CROSS JOIN cut WHERE day < cut GROUP BY 1, 2
+       |), delta AS (
+       |  SELECT event_type, day, count(*)::BIGINT AS n,
+       |    sum(cents)::BIGINT AS cents
+       |  FROM ev CROSS JOIN cut WHERE day >= cut GROUP BY 1, 2
+       |), merged AS (
+       |  SELECT event_type, day, sum(n)::BIGINT AS n,
+       |    sum(cents)::BIGINT AS cents
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+       |  GROUP BY 1, 2
+       |), f AS (
+       |  SELECT event_type, day, count(*)::BIGINT AS n,
+       |    sum(cents)::BIGINT AS cents
+       |  FROM ev GROUP BY 1, 2
+       |), cmp AS (
+       |  SELECT coalesce(f.event_type, m.event_type) AS event_type,
+       |    CASE WHEN f.n IS NULL OR m.n IS NULL OR f.n <> m.n
+       |      OR f.cents <> m.cents THEN 1 ELSE 0 END AS mismatch
+       |  FROM f FULL JOIN merged m USING (event_type, day)
+       |), pt AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_groups_full,
+       |    sum(mismatch)::BIGINT AS n_mismatch
+       |  FROM cmp GROUP BY 1
+       |), ds AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_groups_delta,
+       |    sum(n)::BIGINT AS rows_delta
+       |  FROM delta GROUP BY 1
+       |), fs AS (
+       |  SELECT event_type, sum(n)::BIGINT AS rows_full FROM f GROUP BY 1
+       |)
+       |SELECT pt.event_type, pt.n_groups_full,
+       |  coalesce(ds.n_groups_delta, 0)::BIGINT AS n_groups_delta,
+       |  (coalesce(ds.n_groups_delta, 0) * 10000 // pt.n_groups_full)::BIGINT
+       |    AS touch_bp,
+       |  fs.rows_full, coalesce(ds.rows_delta, 0)::BIGINT AS rows_delta,
+       |  (coalesce(ds.rows_delta, 0) * 10000 // fs.rows_full)::BIGINT
+       |    AS delta_rows_bp,
+       |  pt.n_mismatch
+       |FROM pt LEFT JOIN ds USING (event_type) JOIN fs USING (event_type)
+       |ORDER BY pt.event_type""".stripMargin
 }

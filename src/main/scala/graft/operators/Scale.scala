@@ -319,4 +319,210 @@ object Scale {
        |SELECT rank::BIGINT AS rank, l_partkey, cnt,
        |  ((cnt * stats.n_keys * 10000) // stats.total)::BIGINT AS skew_bp
        |FROM r CROSS JOIN stats WHERE rank <= $k ORDER BY rank""".stripMargin
+
+  // ---- X131: Bloom-filter sizing election (q205) ---------------------------
+
+  /** Sizing targets for [[bloomSizing]], as (fpp in bp of 1%, i.e.
+    * 100 = 1% and 10 = 0.1%; milli-bits per key; hash count k). The
+    * constants are the closed-form optimum m/n = −ln p ∕ ln²2 and
+    * k = −log2 p (Bloom 1970): 1% → 9.585 bits/key, k = 7;
+    * 0.1% → 14.378 bits/key, k = 10 — fixed INTEGER milli-constants so
+    * both engines compute identical bills (no ln() crosses engines). */
+  val BloomTargets: Seq[(Long, Long, Long)] =
+    Seq((100L, 9585L, 7L), (10L, 14378L, 10L))
+
+  /** X131 Bloom-filter sizing election (q205): for the join keys a
+    * q50-style bloom stage would guard — lineitem's order and part
+    * keys, orders' customer key — the exact build bill at each target
+    * false-positive rate: distinct keys, filter bits, bytes, and hash
+    * count. This is the sizing table an engineer prices BEFORE
+    * building a distributed bloom: at 100 TB the filter must fit the
+    * broadcast budget, and the n_keys × bits-per-key product is the
+    * whole decision. fpp is reported in bp-of-1% (100 = 1%).
+    *
+    * Scale posture: both lineitem keys ride ONE stack() fact pass (the
+    * q137 device) unioned with the orders leg; the only corpus shuffle
+    * is the (key_col, k) distinct collapse (map-side combinable,
+    * high-cardinality key); targets fan out over the |keys|-row count
+    * table AFTER aggregation. */
+  def bloomSizing(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir).selectExpr(
+      "stack(2, 'lineitem.l_orderkey', cast(l_orderkey as bigint), " +
+        "'lineitem.l_partkey', cast(l_partkey as bigint)) AS (key_col, k)")
+    val ord = graft.Tables.orders(spark, dir)
+      .select(lit("orders.o_custkey").as("key_col"),
+        col("o_custkey").cast("long").as("k"))
+    val counts = li.unionByName(ord)
+      .groupBy(col("key_col"), col("k")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("key_col")).agg(count(lit(1)).as("n_keys"))
+    val targets = BloomTargets.map { case (fpp, mbk, kh) =>
+      struct(lit(fpp).as("fpp_bp"), lit(mbk).as("mbk"), lit(kh).as("kh"))
+    }
+    counts
+      .select(col("key_col"), col("n_keys"),
+        explode(array(targets: _*)).as("t"))
+      .select(col("key_col"), col("t.fpp_bp").as("fpp_bp"), col("n_keys"),
+        expr("n_keys * t.mbk div 1000").as("filter_bits"),
+        expr("(n_keys * t.mbk div 1000 + 7) div 8").as("filter_bytes"),
+        col("t.kh").as("k_hashes"))
+      .orderBy(col("key_col"), col("fpp_bp"))
+  }
+
+  def bloomSizingSql: String = {
+    val legs = BloomTargets.map { case (fpp, mbk, kh) =>
+      s"SELECT $fpp::BIGINT AS fpp_bp, $mbk::BIGINT AS mbk, " +
+        s"$kh::BIGINT AS kh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH keys AS (
+       |  SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey::BIGINT AS k
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'lineitem.l_partkey', l_partkey::BIGINT FROM lineitem
+       |  UNION ALL
+       |  SELECT 'orders.o_custkey', o_custkey::BIGINT FROM orders
+       |), c AS (
+       |  SELECT key_col, count(DISTINCT k)::BIGINT AS n_keys
+       |  FROM keys GROUP BY 1
+       |), t AS (
+       |  $legs
+       |)
+       |SELECT key_col, fpp_bp, n_keys,
+       |  (n_keys * mbk // 1000)::BIGINT AS filter_bits,
+       |  ((n_keys * mbk // 1000 + 7) // 8)::BIGINT AS filter_bytes,
+       |  kh AS k_hashes
+       |FROM c CROSS JOIN t ORDER BY key_col, fpp_bp""".stripMargin
+  }
+
+  // ---- X125: Z-order layout election (q200) --------------------------------
+
+  /** Bits per dimension for [[zorderElection]]'s bucket grid: 6 bits →
+    * 64 value-range buckets per column, a 12-bit Z-curve, and 64
+    * Z-range chunks (the file granularity under audit). */
+  val ZBits: Int = 6
+
+  /** The bit-interleave of two `bits`-bit bucket indices as an integer
+    * expression STRING shared verbatim by both engines (pure shifts,
+    * masks and adds — no dialect surface): x occupies the even bits, y
+    * the odd. This is the Morton / Z-value of the cell (Morton 1966;
+    * the clustering device behind Delta/Iceberg Z-ordering). */
+  private[graft] def mortonExpr(bx: String, by: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($bx >> $i) & 1) << ${2 * i})",
+        s"((($by >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  /** X125 Z-order layout election (q200): the exact file-skipping bill
+    * of three physical layouts of lineitem — chunked by `l_orderkey`
+    * range, by `l_shipdate` range, or by Z-value range over both — for
+    * a deterministic two-class predicate workload (8 orderkey point
+    * lookups + 8 one-week shipdate windows, spread over each column's
+    * span). Per (layout, predicate class): chunks, predicates, the
+    * chunk×predicate pairs a min/max-pruning scan must READ, and the
+    * skipped share in bp. This is the layout election a lakehouse runs
+    * before rewriting 100 TB: single-column layouts skip perfectly on
+    * their own column and read EVERYTHING on the other; the Z-curve
+    * buys both at once (Morton 1966 — the public Z-ordering recipe).
+    *
+    * Scale posture: min/max come from ONE broadcast scalar pass; bucket
+    * ids, Z-values and chunk ids are pure per-row integer algebra
+    * (value-RANGE chunking, so there is NO global sort and NO rank
+    * shuffle — the audit never orders the corpus); all three layouts
+    * ride one stack() projection into a single (layout, chunk) rollup
+    * (≤3·64 cells); the workload evaluation is a broadcast cross of
+    * that ≤192-row stats table with the 16-row predicate table.
+    * Cross-engine: shifts/masks/adds only, shared via [[mortonExpr]]. */
+  def zorderElection(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val buckets = 1 << ZBits // 64 per dimension
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long").as("x"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("y"))
+    val bounds = li.agg(min(col("x")).as("minx"), max(col("x")).as("maxx"),
+      min(col("y")).as("miny"), max(col("y")).as("maxy"))
+    val bucketed = li.crossJoin(broadcast(bounds))
+      .select(col("x"), col("y"),
+        expr(s"(x - minx) * $buckets div (maxx - minx + 1)").as("bx"),
+        expr(s"(y - miny) * $buckets div (maxy - miny + 1)").as("by"))
+      .withColumn("z", expr(mortonExpr("bx", "by", ZBits)))
+    val chunkStats = bucketed
+      .selectExpr("x", "y",
+        s"stack(3, 'a_orderkey', bx, 'b_shipdate', by, " +
+          s"'c_zorder', z div $buckets) AS (layout, chunk)")
+      .groupBy(col("layout"), col("chunk"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    // the deterministic workload: 8 point keys / 8 week windows spread
+    // over each span at odd sixteenths (never the exact min/max)
+    val preds = broadcast(bounds)
+      .select(explode(sequence(lit(0L), lit(7L))).as("j"),
+        col("minx"), col("maxx"), col("miny"), col("maxy"))
+      .select(col("j"),
+        expr("minx + (maxx - minx) * (2 * j + 1) div 16").as("pk"),
+        expr("miny + (maxy - miny) * (2 * j + 1) div 16").as("lo"))
+      .withColumn("hi", col("lo") + 6L)
+    val pairs = chunkStats.crossJoin(broadcast(preds))
+      .select(col("layout"),
+        expr("stack(2, " +
+          "'point_orderkey', CASE WHEN pk BETWEEN min_x AND max_x " +
+          "THEN 1L ELSE 0L END, " +
+          "'range_shipdate', CASE WHEN hi >= min_y AND lo <= max_y " +
+          "THEN 1L ELSE 0L END) AS (pred_class, scanned)"))
+      .groupBy(col("layout"), col("pred_class"))
+      .agg(expr("count(1) div 8").as("n_chunks"),
+        lit(8L).as("n_preds"), count(lit(1)).as("pairs_total"),
+        sum(col("scanned")).as("pairs_scanned"))
+      .select(col("layout"), col("pred_class"), col("n_chunks"),
+        col("n_preds"), col("pairs_total"), col("pairs_scanned"),
+        expr("(pairs_total - pairs_scanned) * 10000 div pairs_total")
+          .as("skip_bp"))
+      .orderBy(col("layout"), col("pred_class"))
+    pairs
+  }
+
+  def zorderElectionSql: String = {
+    val buckets = 1 << ZBits
+    s"""WITH li AS (
+       |  SELECT l_orderkey::BIGINT AS x,
+       |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS y
+       |  FROM lineitem
+       |), bounds AS (
+       |  SELECT min(x) AS minx, max(x) AS maxx,
+       |    min(y) AS miny, max(y) AS maxy
+       |  FROM li
+       |), b AS (
+       |  SELECT x, y,
+       |    (x - minx) * $buckets // (maxx - minx + 1) AS bx,
+       |    (y - miny) * $buckets // (maxy - miny + 1) AS by
+       |  FROM li CROSS JOIN bounds
+       |), z AS (
+       |  SELECT x, y, bx, by, ${mortonExpr("bx", "by", ZBits)} AS z FROM b
+       |), assigned AS (
+       |  SELECT x, y, 'a_orderkey' AS layout, bx AS chunk FROM z
+       |  UNION ALL SELECT x, y, 'b_shipdate', by FROM z
+       |  UNION ALL SELECT x, y, 'c_zorder', z // $buckets FROM z
+       |), cs AS (
+       |  SELECT layout, chunk, min(x) AS min_x, max(x) AS max_x,
+       |    min(y) AS min_y, max(y) AS max_y
+       |  FROM assigned GROUP BY 1, 2
+       |), preds AS (
+       |  SELECT j, minx + (maxx - minx) * (2 * j + 1) // 16 AS pk,
+       |    miny + (maxy - miny) * (2 * j + 1) // 16 AS lo,
+       |    miny + (maxy - miny) * (2 * j + 1) // 16 + 6 AS hi
+       |  FROM (SELECT unnest(range(0, 8))::BIGINT AS j) CROSS JOIN bounds
+       |), evald AS (
+       |  SELECT layout, 'point_orderkey' AS pred_class,
+       |    CASE WHEN pk BETWEEN min_x AND max_x THEN 1 ELSE 0 END AS scanned
+       |  FROM cs CROSS JOIN preds
+       |  UNION ALL
+       |  SELECT layout, 'range_shipdate',
+       |    CASE WHEN hi >= min_y AND lo <= max_y THEN 1 ELSE 0 END
+       |  FROM cs CROSS JOIN preds
+       |)
+       |SELECT layout, pred_class, (count(*) // 8)::BIGINT AS n_chunks,
+       |  8::BIGINT AS n_preds, count(*)::BIGINT AS pairs_total,
+       |  sum(scanned)::BIGINT AS pairs_scanned,
+       |  ((count(*) - sum(scanned)) * 10000 // count(*))::BIGINT AS skip_bp
+       |FROM evald GROUP BY 1, 2 ORDER BY layout, pred_class""".stripMargin
+  }
 }

@@ -3610,4 +3610,60 @@ object TextAnalysis {
       |  (400::HUGEINT * n_words // n_docs)::BIGINT
       |    + (40000::HUGEINT * n_complex // n_words)::BIGINT AS fog_milli
       |FROM d JOIN agg USING (source) ORDER BY d.source""".stripMargin
+
+  // ---- X128: BPE first-merge election (q202) -------------------------------
+
+  /** X128 BPE first-merge election (q202): per language, the top-k most
+    * frequent adjacent CHARACTER pairs inside tokens — exactly the
+    * statistic byte-pair encoding greedily merges first (Sennrich et
+    * al. 2016, arXiv:1508.07909). The "what would this tokenizer learn
+    * from MY corpus" read: the first merges define the vocabulary's
+    * bottom layer, and a per-language split shows which scripts/
+    * digraphs dominate each ingest stream (compare with the X19
+    * fairness and X31 coverage audits downstream). Ties break on the
+    * pair string, so the election is total and engine-identical.
+    *
+    * Scale posture: the pair stream is a bounded-fanout per-token
+    * expression (length−1 pairs per token — the q73 gram-stream rule);
+    * it collapses immediately to (lang, pair) cells with map-side
+    * combine, and the CELL table is alphabet²-bounded — the ranking
+    * window partitions on lang over those audit-sized cells, never
+    * over the corpus. */
+  def bpeFirstMerges(spark: SparkSession, dir: String,
+                     k: Int = 10): DataFrame = {
+    require(k > 0, s"bpeFirstMerges: k must be positive ($k)")
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextHash.tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("lang"), explode(
+        expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+        .as("pair"))
+      .groupBy(col("lang"), col("pair")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("pair"))
+    cells.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("pair"), col("cnt"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  def bpeFirstMergesSql(k: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT lang, unnest(list_transform(range(1, length(t)),
+       |    i -> substr(t, i, 2))) AS pair
+       |  FROM toks WHERE length(t) >= 2
+       |), c AS (
+       |  SELECT lang, pair, count(*)::BIGINT AS cnt FROM pairs GROUP BY 1, 2
+       |), r AS (
+       |  SELECT lang, pair, cnt,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY cnt DESC, pair) AS rank
+       |  FROM c
+       |)
+       |SELECT lang, rank::BIGINT AS rank, pair, cnt
+       |FROM r WHERE rank <= $k ORDER BY lang, rank""".stripMargin
 }

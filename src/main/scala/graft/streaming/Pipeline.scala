@@ -471,7 +471,9 @@ object Pipeline {
     * tripping the Gopher/C4 battery, [[spanScrubGate]] (when a gram
     * snapshot is supplied) rejects boilerplate-covered documents, and
     * [[hygieneGate]] (when `maxBadBp` ≤ 10000) drops encoding-damaged
-    * documents, and [[repetitionGate]] (when `maxDup3Bp` ≤ 10000) drops
+    * documents, [[piiGate]] (when `maxPiiHits` ≥ 0) drops
+    * identifier-carrying documents, and [[repetitionGate]] (when
+    * `maxDup3Bp` ≤ 10000) drops
     * internally-repetitive documents — all of these run BEFORE dedup
     * state (a scrubbed-out doc must never occupy a
     * digest slot), `dropDuplicatesWithinWatermark` on the sha2 content
@@ -480,12 +482,13 @@ object Pipeline {
     * scores with the same native kernel as the batch q17/q65. Appends
     * `importance_score` (when gated), `ppx_mb` (when LM-gated),
     * `span_coverage_bp` (when scrubbed), `hygiene_bp` (when
-    * hygiene-gated), `dup3_bp` (when
+    * hygiene-gated), `pii_hits` (when PII-gated), `dup3_bp` (when
     * repetition-gated) and `quality`; otherwise
     * passthrough. Threshold boundary rule: every `max*Bp` gate admits
     * STRICTLY below its threshold (`dup3_bp < maxDup3Bp`,
-    * `span_coverage_bp < maxCoverageBp`) EXCEPT [[hygieneGate]], which
-    * admits inclusively (`hygiene_bp <= maxBadBp`) so its strict
+    * `span_coverage_bp < maxCoverageBp`) EXCEPT [[hygieneGate]] and
+    * [[piiGate]], which admit inclusively (`hygiene_bp <= maxBadBp`,
+    * `pii_hits <= maxPiiHits`) so their strict
     * default 0 still passes clean documents. Everything outside
     * the dedup is stateless — broadcast literal maps and per-row
     * predicates — so the job's only state is the in-watermark digest
@@ -504,7 +507,8 @@ object Pipeline {
                     ppxCutoffs: Map[String, Long] = Map.empty,
                     cleanRules: Seq[String] = Seq.empty,
                     maxDup3Bp: Long = 10001L,
-                    maxBadBp: Long = 10001L): DataFrame = {
+                    maxBadBp: Long = 10001L,
+                    maxPiiHits: Long = -1L): DataFrame = {
     require(importanceAffinity.isEmpty == importanceThresholds.isEmpty,
       "curatedIntake: supply both importance snapshots or neither")
     require(lmCosts.isEmpty == lmBase.isEmpty &&
@@ -526,9 +530,16 @@ object Pipeline {
     val hygienic =
       if (maxBadBp <= 10000L) hygieneGate(mixed, maxBadBp)
       else mixed
-    val ruled =
-      if (cleanRules.nonEmpty) ruleFilterGate(hygienic, cleanRules)
+    // the PII gate (q197 twin) sits right after hygiene: both are
+    // per-row content-safety screens that must run before any text
+    // score is trusted; opt-in via maxPiiHits >= 0 (a count threshold,
+    // not bp — the audit counts identifiers, not density)
+    val depersonalized =
+      if (maxPiiHits >= 0L) piiGate(hygienic, maxPiiHits)
       else hygienic
+    val ruled =
+      if (cleanRules.nonEmpty) ruleFilterGate(depersonalized, cleanRules)
+      else depersonalized
     val scrubbed =
       if (scrubGrams.nonEmpty)
         spanScrubGate(ruled, scrubGrams, maxCoverageBp, scrubN)
@@ -789,6 +800,55 @@ object Pipeline {
         expr("_bad * 10000 div greatest(1, length(text))"))
       .drop("_bad")
       .filter(col("hygiene_bp") <= maxBadBp)
+  }
+
+  /** X123 streaming twin: PII gate — drop incoming documents carrying
+    * more than `maxPiiHits` PII matches (emails + IP-like dotted quads
+    * + hyphenated phone numbers, the
+    * [[graft.operators.Curation.PiiPatterns]] battery the batch q197
+    * audit prices). Stateless: three codegen'd `regexp_count` calls per
+    * row against the documented Java/RE2-agreeing pattern subset, so
+    * batch/stream admission parity is row-exact and testable.
+    * `maxPiiHits = 0` is the strict posture (any identifier rejects) —
+    * like [[hygieneGate]], the boundary is INCLUSIVE so the strict
+    * default still admits clean documents. Appends `pii_hits`. */
+  def piiGate(stream: DataFrame, maxPiiHits: Long = 0L): DataFrame = {
+    require(maxPiiHits >= 0L, s"piiGate: maxPiiHits negative ($maxPiiHits)")
+    val hits = graft.operators.Curation.PiiPatterns
+      .map { case (_, pat) => regexp_count(col("text"), lit(pat)).cast("long") }
+      .reduce(_ + _)
+    stream
+      .withColumn("pii_hits", hits)
+      .filter(col("pii_hits") <= maxPiiHits)
+  }
+
+  /** X123 continuous twin of the batch q197 audit: windowed PII panel —
+    * per (event-time window, PII class): documents seen, documents
+    * carrying ≥1 hit, and total hits, over the
+    * [[graft.operators.Curation.PiiPatterns]] battery. Run alongside
+    * [[piiGate]]: the gate enforces, the monitor shows what pressure
+    * the gate is under (a leak upstream shows as a density step here
+    * long before anyone audits the batch corpus). Stateless per row
+    * (three codegen'd regexp counters, the per-class long format is a
+    * 3× stack BEFORE the windowed rollup); state is one row per
+    * (in-watermark window, class) — bounded regardless of volume. */
+  def piiMonitor(stream: DataFrame, eventTimeCol: String,
+                 windowLen: String = "1 minute",
+                 watermark: String = "2 minutes"): DataFrame = {
+    val pats = graft.operators.Curation.PiiPatterns.toMap
+    def cnt(tag: String) =
+      regexp_count(col("text"), lit(pats(tag))).cast("long")
+    stream
+      .select(col(eventTimeCol).as("_pii_t"), cnt("email").as("c_email"),
+        cnt("ip").as("c_ip"), cnt("phone").as("c_phone"))
+      .selectExpr("_pii_t",
+        "stack(3, 'email', c_email, 'ip', c_ip, 'phone', c_phone) " +
+          "AS (pii_class, cnt)")
+      .withWatermark("_pii_t", watermark)
+      .groupBy(window(col("_pii_t"), windowLen), col("pii_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("cnt")).as("n_hits"))
   }
 
   /** X26 streaming twin: per-language quality-calibration gate — admit

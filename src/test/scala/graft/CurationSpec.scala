@@ -1015,6 +1015,66 @@ class CurationSpec extends SparkSpec {
       "NBSP maps to a space — flagged but not removed")
   }
 
+  test("piiAudit (q197): injection rule, regex counts, base-text hits add in") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    // doc_id drives injection: 0→two emails (0%3=0, 0%9=0), 1→phone
+    // (1%4=1), 2→ip (2%5=2), 8→clean, 9→two injected emails + one in
+    // the base text + a phone (9%4=1)
+    Seq((0L, "z z z", "en"), (1L, "w w", "en"), (2L, "v", "de"),
+        (8L, "t", "en"), (9L, "contact a@b.io now", "de"))
+      .map { case (i, t, l) => (i, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Curation.piiAudit(spark, dir).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("pii_class")) ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("docs_hit"),
+          x.getAs[Long]("n_hits"), x.getAs[Long]("density_bp"))).toMap
+    assert(r.size == 6, s"2 langs x 3 classes, got ${r.keySet}")
+    // en pool: docs 0 (2 emails), 1 (phone), 8 (clean)
+    assert(r(("en", "email")) == ((3L, 1L, 2L, 3333L)))
+    assert(r(("en", "phone")) == ((3L, 1L, 1L, 3333L)))
+    assert(r(("en", "ip")) == ((3L, 0L, 0L, 0L)))
+    // de pool: doc 2 (ip), doc 9 (2 injected + 1 base-text email, phone)
+    assert(r(("de", "email")) == ((2L, 1L, 3L, 5000L)),
+      "base-text a@b.io must add to the injected pair")
+    assert(r(("de", "phone")) == ((2L, 1L, 1L, 5000L)))
+    assert(r(("de", "ip")) == ((2L, 1L, 1L, 5000L)))
+  }
+
+  test("kAnonymity (q199): class sizing, threshold sweep, negative-balance band parity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kanon").toString
+    // four QI classes: A = 3 rows, B = 1 (singleton), C = 2, D = 12;
+    // B sits on a NEGATIVE balance to pin the +100000-shift band rule
+    val rows =
+      (1 to 3).map(i => (i.toLong, s"a$i", 1, 150.00, "BUILDING")) ++
+      Seq((10L, "b", 2, -999.99, "MACHINERY")) ++
+      (20 to 21).map(i => (i.toLong, s"c$i", 3, 42.00, "AUTOMOBILE")) ++
+      (30 to 41).map(i => (i.toLong, s"d$i", 1, 150.00, "MACHINERY"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = graft.operators.Curation.kAnonymity(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_classes"), r.getAs[Long]("classes_below"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("rows_at_risk"),
+          r.getAs[Long]("risk_bp"))).toMap
+    assert(out.keySet == Set(2L, 5L, 10L, 20L))
+    assert(out(2L) == ((4L, 1L, 18L, 1L, 555L)),
+      "only the singleton is below k=2")
+    assert(out(5L) == ((4L, 3L, 18L, 6L, 3333L)))
+    assert(out(10L) == ((4L, 3L, 18L, 6L, 3333L)))
+    assert(out(20L) == ((4L, 4L, 18L, 18L, 10000L)),
+      "every class is below k=20")
+    // the negative balance lands in band (−99999 + 100000) div 10000 = 0:
+    // non-negative before division, so both engines agree (sign rule)
+    val bands = Tables.customer(spark, dir)
+      .where(col("c_acctbal") < 0)
+      .select(expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 10000")
+        .as("b"))
+    assert(bands.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
   test("erasureSweep (q193): cascade reaches orders and lineitem exactly") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -706,4 +706,106 @@ class EventAnalyticsSpec extends SparkSpec {
       "a gap must break the run: 1,2,3,5 is a 3-streak")
     assert(out("e_gt_7") == ((1L, 2500L, 8L)))
   }
+
+  test("decayedBurstPanel (q203): dyadic baseline, burst/quiet verdicts, silence sentinel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    var eid = 0L
+    def ev(ty: String, d: Long, n: Int) = (1 to n).map { i =>
+      eid += 1; (eid, nanos(d * day + i), eid % 5, ty, 1.0, "{}")
+    }
+    // span = days 1..10. Type a: steady 1/day for days 1..8, a 10x
+    // burst on day 9, silence on day 10. Type b: one event on day 1
+    // only. Type c: one event on day 10 only (burst from silence).
+    val rows = (1L to 8L).flatMap(d => ev("a", d, 1)) ++ ev("a", 9, 10) ++
+      ev("b", 1, 1) ++ ev("c", 10, 1)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.decayedBurstPanel(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days_scored"), r.getAs[Long]("n_burst"),
+          r.getAs[Long]("n_quiet"), r.getAs[Long]("max_ratio_bp"))).toMap
+    // a day 8: b127 = 127 (7x1), c=1 → ratio 10000, normal
+    // a day 9: b127 = 127, c=10 → ratio 100000, burst
+    // a day10: b127 = 640 + 63 = 703, c=0 → quiet
+    assert(out("a") == ((3L, 1L, 1L, 100000L)))
+    // b day 8: b127 = 1 (day-1 event at weight 1), c=0 → quiet;
+    // days 9-10: all-zero baseline and volume → ratio 10000, normal
+    assert(out("b") == ((3L, 0L, 1L, 10000L)))
+    // c day 10: burst from silence — counted, sentinel -1 never wins max
+    assert(out("c") == ((3L, 1L, 0L, 10000L)))
+  }
+
+  test("incrementalRefreshAudit (q204): merge == full recompute, exact touch bill") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    // span days 1..10 → cutoff = day 4 (last 7 days are the delta)
+    Seq(
+      (1L, nanos(1 * day + 1), 1L, "purchase", 1.0, "{}"),
+      (2L, nanos(1 * day + 2), 2L, "purchase", 1.0, "{}"),
+      (3L, nanos(5 * day + 1), 1L, "purchase", 2.0, "{}"),
+      (4L, nanos(2 * day + 1), 1L, "view", 0.0, "{}"),
+      (5L, nanos(4 * day + 1), 2L, "view", 0.0, "{}"),
+      (6L, nanos(4 * day + 2), 3L, "view", 0.0, "{}"),
+      (7L, nanos(4 * day + 3), 4L, "view", 0.0, "{}"),
+      (8L, nanos(10 * day + 1), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.operators.Relational.incrementalRefreshAudit(spark, dir)
+    val m = out.collect().map(r => r.getAs[String]("event_type") ->
+      (r.getAs[Long]("n_groups_full"), r.getAs[Long]("n_groups_delta"),
+        r.getAs[Long]("touch_bp"), r.getAs[Long]("rows_full"),
+        r.getAs[Long]("rows_delta"), r.getAs[Long]("delta_rows_bp"),
+        r.getAs[Long]("n_mismatch"))).toMap
+    // purchase: cells {d1(2 rows), d5(1)}; only d5 is in the delta
+    assert(m("purchase") == ((2L, 1L, 5000L, 3L, 1L, 3333L, 0L)))
+    // view: cells {d2, d4(3), d10}; d4 and d10 are delta
+    assert(m("view") == ((3L, 2L, 6666L, 5L, 4L, 8000L, 0L)))
+  }
+
+  test("comovementMatrix (q206): exact Spearman milli on ramps, ties, and gap days") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rho").toString
+    var eid = 0L
+    def ev(ty: String, d: Long, n: Int) = (1 to n).map { i =>
+      eid += 1; (eid, nanos(d * day + i), eid % 5, ty, 1.0, "{}")
+    }
+    // span days 1..4: 'up' ramps 1,2,3,4; 'dn' ramps 4,3,2,1; 'eq' is
+    // flat 1,1,1,1 (pure tie-break ranking); 'gap' fires day 1 only
+    val rows = (1 to 4).flatMap(d => ev("up", d.toLong, d)) ++
+      (1 to 4).flatMap(d => ev("dn", d.toLong, 5 - d)) ++
+      (1 to 4).flatMap(d => ev("eq", d.toLong, 1)) ++ ev("gap", 1, 1)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.comovementMatrix(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("d2_sum"),
+          r.getAs[Long]("rho_milli"))).toMap
+    assert(out.size == 6, "C(4,2) type pairs")
+    // perfect anti-correlation and (via the day tie-break on the flat
+    // series) perfect correlation
+    assert(out(("dn", "up")) == ((4L, 20L, -1000L)))
+    assert(out(("eq", "up")) == ((4L, 0L, 1000L)))
+    // gap days are genuine zeros: gap ranks (d1..d4) = 4,1,2,3 vs
+    // up 1,2,3,4 → d² = 9+1+1+1 = 12 → 1000 − 72000/60 = −200
+    assert(out(("gap", "up")) == ((4L, 12L, -200L)))
+  }
+
+  test("valueMigration (q207): exact quartile elections per period, new/churned edges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_migr").toString
+    // span days 1..10 → cut = day 5 (period 1 is day <= 5)
+    def p(id: Long, d: Long, u: Long, dollars: Double) =
+      (id, nanos(d * day + id), u, "purchase", dollars, "{}")
+    Seq(
+      p(1, 1, 1L, 1.0), p(2, 6, 1L, 10.0),  // riser: q1 -> q4
+      p(3, 2, 2L, 2.0), p(4, 7, 2L, 2.0),   // holder: q2 -> q2
+      p(5, 3, 3L, 3.0), p(6, 8, 3L, 1.0),   // faller: q3 -> q1
+      p(7, 4, 4L, 4.0),                      // churned: q4 -> 0
+      p(8, 9, 5L, 5.0),                      // new: 0 -> q3
+      (9L, nanos(10 * day), 9L, "view", 0.0, "{}")) // non-purchase ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.valueMigration(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_from"), r.getAs[Long]("q_to")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(out == Map((1L, 4L) -> 1L, (2L, 2L) -> 1L, (3L, 1L) -> 1L,
+      (4L, 0L) -> 1L, (0L, 3L) -> 1L), s"got $out")
+  }
 }

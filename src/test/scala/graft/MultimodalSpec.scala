@@ -140,4 +140,56 @@ class MultimodalSpec extends SparkSpec {
         s"${r.getAs[String]("media_type")} p$p")
     }
   }
+
+  test("ahash near-dup (q201): pair accounting matches a driver recompute; banding is complete at hd<=1") {
+    import org.apache.spark.sql.functions._
+    // driver-side recompute of the full pipeline at sf0.001: hashes,
+    // candidate mass, near mass — then assert the operator agrees and
+    // that banded candidates contain EVERY hd<=1 pair (pigeonhole)
+    val rows = Multimodal.mediaTable(spark, sf0001)
+      .select(col("media_type"), sha2(col("content"), 256).as("dg"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def h1(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def ah(dg: String): Long = {
+      val cells = (0 until Multimodal.AhashCells).map(i => h1(s"$dg#$i") >> 4)
+      val mean = cells.sum >> 4
+      cells.zipWithIndex.collect { case (c, i) if c > mean => 1L << i }.sum
+    }
+    val byType = rows.groupBy(_._1).view
+      .mapValues(_.map { case (_, dg) => ah(dg) }).toMap
+    val expect = byType.map { case (t, hs) =>
+      val groups = hs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val exact = groups.values.map(n => n * (n - 1) / 2).sum
+      val keys = groups.keys.toSeq.sorted
+      val crossPairs = for {
+        i <- keys.indices; j <- (i + 1) until keys.size
+        ha = keys(i); hb = keys(j)
+        if (ha & 255L) == (hb & 255L) || (ha >> 8) == (hb >> 8)
+      } yield (ha, hb)
+      val cand = exact + crossPairs.map { case (a, b) => groups(a) * groups(b) }.sum
+      val near = exact + crossPairs.collect {
+        case (a, b) if java.lang.Long.bitCount(a ^ b) <= 1 =>
+          groups(a) * groups(b)
+      }.sum
+      // completeness: every hd<=1 pair IS band-matched (shared low or
+      // high byte) — the pigeonhole guarantee the equi-join relies on
+      for {
+        i <- keys.indices; j <- (i + 1) until keys.size
+        if java.lang.Long.bitCount(keys(i) ^ keys(j)) <= 1
+      } assert((keys(i) & 255L) == (keys(j) & 255L) ||
+        (keys(i) >> 8) == (keys(j) >> 8))
+      t -> (hs.length.toLong, groups.size.toLong, cand, near, exact)
+    }
+    val got = Multimodal.mediaAhashNearDup(spark, sf0001).collect()
+      .map(r => r.getAs[String]("media_type") ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("n_hashes"),
+          r.getAs[Long]("cand_pairs"), r.getAs[Long]("near_pairs"),
+          r.getAs[Long]("exact_pairs"))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(expect.values.map(_._3).sum > 0, "fixture must have candidates")
+  }
 }

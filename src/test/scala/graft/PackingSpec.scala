@@ -215,4 +215,43 @@ class PackingSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
   }
+
+  test("packing election (q198): fold pairing, odd middle, split pairs, corpus ordering") {
+    import spark.implicits._
+    def mk(lens: Seq[Int]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_pack_elect").toString
+      lens.zipWithIndex
+        .map { case (l, i) =>
+          ((i + 1).toLong, Seq.fill(l)("w").mkString(" "), "en", "s", l.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def byRegime(dir: String, buckets: Seq[Int]) =
+      Packing.packingElection(spark, dir, buckets = buckets,
+        docsPerBatch = 2, nShards = 1).collect()
+        .map(r => r.getAs[String]("regime") ->
+          (r.getAs[Long]("n_seqs"), r.getAs[Long]("n_bins"),
+            r.getAs[Long]("real_tokens"), r.getAs[Long]("cost_tokens"),
+            r.getAs[Long]("waste_bp"))).toMap
+    // lengths 5,4,3,2 at cap 8: fold pairs (5,2) and (4,3) both fit
+    val even = byRegime(mk(Seq(5, 4, 3, 2)), Seq(4, 8))
+    assert(even("a_naive_padded") == ((4L, 4L, 14L, 32L, 5625L)))
+    assert(even("c_fold_packed") == ((4L, 2L, 14L, 16L, 1250L)))
+    // bucketed: cap-4 bucket batches (4,3)->pad 8 and (2)->pad 2;
+    // cap-8 bucket (5)->pad 5: bins 3, cost 15
+    assert(even("b_bucket_padded") == ((4L, 3L, 14L, 15L, 666L)))
+    // odd corpus: (5,3) pair fits, the middle 4 packs alone
+    val odd = byRegime(mk(Seq(5, 4, 3)), Seq(4, 8))
+    assert(odd("c_fold_packed") == ((3L, 2L, 12L, 16L, 2500L)))
+    // two cap-length docs cannot share a bin: the split doubles bins
+    val split = byRegime(mk(Seq(8, 8)), Seq(4, 8))
+    assert(split("c_fold_packed") == ((2L, 2L, 16L, 16L, 0L)))
+    // the real corpus elects packing: monotone waste across regimes
+    val sf = Packing.packingElection(spark, sf0001).collect()
+      .map(r => r.getAs[String]("regime") -> r.getAs[Long]("waste_bp")).toMap
+    assert(sf("c_fold_packed") <= sf("b_bucket_padded") &&
+      sf("b_bucket_padded") <= sf("a_naive_padded"),
+      s"regime election inverted: $sf")
+  }
 }

@@ -221,4 +221,62 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS orders_bkt")
     }
   }
+
+  test("bloomSizing (q205): distinct keys per column, closed-form bills at both targets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    Seq((1L, 7L), (1L, 7L), (2L, 7L), (3L, 8L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq(5L, 5L, 6L).toDF("o_custkey").write.parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Scale.bloomSizing(spark, dir).collect()
+      .map(r => (r.getAs[String]("key_col"), r.getAs[Long]("fpp_bp")) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("filter_bits"),
+          r.getAs[Long]("filter_bytes"), r.getAs[Long]("k_hashes"))).toMap
+    assert(out.size == 6, "3 key columns x 2 targets")
+    // l_orderkey: 3 distinct; 1% → 3·9585‰ = 28 bits, 0.1% → 43 bits
+    assert(out(("lineitem.l_orderkey", 100L)) == ((3L, 28L, 4L, 7L)))
+    assert(out(("lineitem.l_orderkey", 10L)) == ((3L, 43L, 6L, 10L)))
+    // l_partkey and o_custkey: 2 distinct each
+    assert(out(("lineitem.l_partkey", 100L)) == ((2L, 19L, 3L, 7L)))
+    assert(out(("lineitem.l_partkey", 10L)) == ((2L, 28L, 4L, 10L)))
+    assert(out(("orders.o_custkey", 100L)) == ((2L, 19L, 3L, 7L)))
+    assert(out(("orders.o_custkey", 10L)) == ((2L, 28L, 4L, 10L)))
+  }
+
+  test("mortonExpr: exact bit interleave (x even bits, y odd bits)") {
+    import spark.implicits._
+    // x=3 (bits 0,1 -> z bits 0,2 = 5), y=5 (bits 0,2 -> z bits 1,5 = 34)
+    val z = Seq((3L, 5L)).toDF("bx", "by")
+      .selectExpr(graft.operators.Scale.mortonExpr("bx", "by", 6) + " AS z")
+      .first().getLong(0)
+    assert(z == 39L, s"interleave(3, 5) must be 39, got $z")
+  }
+
+  test("zorderElection (q200): exact skip bill on an independent 64x64 grid") {
+    import spark.implicits._
+    // 4096 rows, every (x, y) combo once: bx = x, by = y (span 0..63),
+    // chunk(zorder) = interleave(x div 8, y div 8) — the 8x8 super-grid.
+    // Hand bill: point preds pk = 63(2j+1) div 16 hit one x-column;
+    // week windows [lo, lo+6] on y hit 2 y-supercells except the last
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val rows = for { x <- 0 to 63; y <- 0 to 63 } yield
+      (x.toLong, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(y.toLong)))
+    rows.toDF("l_orderkey", "l_shipdate")
+      .repartition(4).write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Scale.zorderElection(spark, dir).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("pred_class")) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("pairs_total"),
+          r.getAs[Long]("pairs_scanned"), r.getAs[Long]("skip_bp"))).toMap
+    assert(out.size == 6)
+    // orderkey layout: perfect on points, blind on date ranges
+    assert(out(("a_orderkey", "point_orderkey")) == ((64L, 512L, 8L, 9843L)))
+    assert(out(("a_orderkey", "range_shipdate")) == ((64L, 512L, 512L, 0L)))
+    // shipdate layout: the mirror image
+    assert(out(("b_shipdate", "point_orderkey")) == ((64L, 512L, 512L, 0L)))
+    assert(out(("b_shipdate", "range_shipdate")) == ((64L, 512L, 54L, 8945L)))
+    // the Z-curve skips well on BOTH — the whole point of the layout
+    assert(out(("c_zorder", "point_orderkey")) == ((64L, 512L, 64L, 8750L)))
+    assert(out(("c_zorder", "range_shipdate")) == ((64L, 512L, 120L, 7656L)))
+  }
 }

@@ -1096,6 +1096,84 @@ class StreamingSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet == Set(910001L))
   }
 
+  test("pii gate admits exactly the regex-clean set, inclusive threshold (X123 twin)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val pool = Seq(
+      CuratedDocFixture(920001L, "perfectly anonymous prose here", "en", "s", t0),
+      CuratedDocFixture(920002L, "contact me at jo.doe@corp.example.com soon", "en", "s", t0),
+      CuratedDocFixture(920003L, "server at 192.168.001.042 responded", "en", "s", t0),
+      CuratedDocFixture(920004L, "call 555-867-5309 anytime", "en", "s", t0),
+      // two identifiers: must read pii_hits = 2
+      CuratedDocFixture(920005L, "a@b.co and 10.0.0.1 together", "en", "s", t0),
+      // digit runs that must NOT match: unhyphenated phone, 5-octet quad
+      CuratedDocFixture(920006L, "ref 5558675309 and 1.2.3.4.5 ok?", "en", "s", t0))
+    val mem = MemoryStream[CuratedDocFixture]
+    mem.addData(pool.toIndexedSeq: _*)
+    val q = Pipeline.piiGate(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("pii_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("pii_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pii_hits")).toMap
+    // strict default: only identifier-free docs pass. 920006's digit
+    // runs are not in the pattern battery... except the 5-octet quad,
+    // whose first four octets ARE a legitimate dotted-quad match (the
+    // documented longest-prefix behavior in BOTH engines).
+    assert(got.keySet == Set(920001L), s"got $got")
+    assert(got(920001L) == 0L)
+    // maxPiiHits = 1 admits single-identifier docs, still not the pair
+    val mem2 = MemoryStream[CuratedDocFixture]
+    mem2.addData(pool.toIndexedSeq: _*)
+    val q2 = Pipeline.piiGate(mem2.toDS().toDF(), maxPiiHits = 1L)
+      .writeStream.format("memory").queryName("pii_gate_1")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got1 = spark.table("pii_gate_1").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pii_hits")).toMap
+    assert(got1.keySet ==
+      Set(920001L, 920002L, 920003L, 920004L, 920006L), s"got $got1")
+    assert(got1(920002L) == 1L && got1(920003L) == 1L &&
+      got1(920004L) == 1L && got1(920006L) == 1L)
+    // batch parity: the same counter via the audit's pattern battery
+    // over a batch DataFrame agrees row for row
+    val batch = Pipeline.piiGate(pool.toDF(), maxPiiHits = Long.MaxValue)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pii_hits"))
+      .toMap
+    assert(batch == Map(920001L -> 0L, 920002L -> 1L, 920003L -> 1L,
+      920004L -> 1L, 920005L -> 2L, 920006L -> 1L), s"batch $batch")
+  }
+
+  test("pii monitor: windowed per-class panel matches hand counts (X123 continuous twin)") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:10")
+    val t1 = Timestamp.valueOf("2024-01-01 00:01:10") // next 1-min window
+    val mem = MemoryStream[CuratedDocFixture]
+    mem.addData(
+      CuratedDocFixture(1L, "clean prose only", "en", "s", t0),
+      CuratedDocFixture(2L, "mail a@b.co and c@d.org now", "en", "s", t0),
+      CuratedDocFixture(3L, "host 10.0.0.1 dials 555-867-5309", "en", "s", t1))
+    val q = Pipeline.piiMonitor(mem.toDS().toDF(), "ts")
+      .writeStream.format("memory").queryName("pii_mon")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("pii_mon").collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("window")
+          .getAs[Timestamp]("start"), r.getAs[String]("pii_class")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("docs_hit"),
+          r.getAs[Long]("n_hits"))).toMap
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val w1 = Timestamp.valueOf("2024-01-01 00:01:00")
+    assert(got.size == 6, s"2 windows x 3 classes: $got")
+    assert(got((w0, "email")) == ((2L, 1L, 2L)),
+      "doc 2 carries TWO emails in one doc")
+    assert(got((w0, "ip")) == ((2L, 0L, 0L)))
+    assert(got((w0, "phone")) == ((2L, 0L, 0L)))
+    assert(got((w1, "email")) == ((1L, 0L, 0L)))
+    assert(got((w1, "ip")) == ((1L, 1L, 1L)))
+    assert(got((w1, "phone")) == ((1L, 1L, 1L)))
+  }
+
   test("rule-filter gate admits exactly the batch clean set, audit mode counts violations (X68 twin)") {
     import spark.implicits._
     val rules = graft.operators.CurationPipeline.ChainRules
@@ -1336,6 +1414,43 @@ class StreamingSpec extends SparkSpec {
     val gated = run(2500L, "rep_intake_gated")
     assert(gated.map(_.getAs[Long]("doc_id")).toSet == Set(10L))
     assert(gated.head.getAs[Long]("dup3_bp") == 0L)
+  }
+
+  test("curated intake with the pii gate drops identifier-carrying docs before dedup state") {
+    // two-source rate-1.0 snapshot so admission is decided by the PII
+    // gate specifically (the q157-composition test's device)
+    val snap = java.nio.file.Files.createTempDirectory("graft_curated_pii").toString
+    (Seq((1L, "base doc one", "en", "src0"), (2L, "base doc two", "en", "src4")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$snap/documents.parquet")
+    val rates = graft.operators.Curation.mixtureRates(spark, snap)
+    val good = "the distributed engine shuffles partitioned vectors efficiently today"
+    val leaky = "the distributed engine mails results to dev@ops.example.net today"
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def run(maxHits: Long, name: String): Seq[org.apache.spark.sql.Row] = {
+      val mem = MemoryStream[CuratedDocFixture]
+      val out = Pipeline.curatedIntake(mem.toDS().toDF(), rates, "ts",
+        maxPiiHits = maxHits)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          CuratedDocFixture(10L, good, "en", "src0", t0),
+          CuratedDocFixture(11L, leaky, "en", "src4", t0))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().toIndexedSeq
+    }
+    // default -1: gate off, both docs land, no audit column appended
+    val open = run(-1L, "pii_intake_open")
+    assert(open.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 11L))
+    assert(open.forall(!_.schema.fieldNames.contains("pii_hits")))
+    // strict posture: the email-carrying doc is gone before dedup; the
+    // clean doc carries its pii_hits audit column
+    val gated = run(0L, "pii_intake_strict")
+    assert(gated.map(_.getAs[Long]("doc_id")).toSet == Set(10L))
+    assert(gated.head.getAs[Long]("pii_hits") == 0L)
   }
 
   test("curated intake with importance snapshot admits row-identically to the batch recipe") {

@@ -1292,4 +1292,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s2.getAs[Long]("fre_milli") == 119698L)
     assert(s2.getAs[Long]("fog_milli") == 1000L)
   }
+
+  test("bpeFirstMerges (q202): adjacent char pairs, per-lang ranks, pair tie-break") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq(
+      (1L, "abab cd", "en", "t", 7L),  // abab → ab,ba,ab; cd → cd
+      (2L, "ab x", "en", "t", 4L),     // ab → ab; 'x' has no pair
+      (3L, "zz zz", "de", "t", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.bpeFirstMerges(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("pair"), r.getAs[Long]("cnt"))).toMap
+    // en: ab×3, then the ba/cd tie breaks on the pair string
+    assert(out(("en", 1L)) == (("ab", 3L)))
+    assert(out(("en", 2L)) == (("ba", 1L)), "tie must break 'ba' < 'cd'")
+    assert(out(("en", 3L)) == (("cd", 1L)))
+    assert(out(("de", 1L)) == (("zz", 2L)))
+    assert(out.size == 4, s"single-char tokens contribute nothing: $out")
+  }
 }
