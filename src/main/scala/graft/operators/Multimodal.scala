@@ -366,19 +366,19 @@ object Multimodal {
     * 16-bit hash, two 8-bit Hamming bands). */
   val AhashCells: Int = 16
 
-  /** The 16-bit average-hash of one payload as a Column: 16
-    * deterministic cell values derived from the content digest (the
-    * STUB stand-in for decoded pixel-block means — swap the cell
-    * source for real pixels to productionize, exactly like
-    * [[StubDecoder.decode]]), each compared against the grid mean.
-    * Cell values pre-divide by 16 so the 16-cell sum stays inside
-    * BIGINT in BOTH engines (16 × 2⁶⁰ would overflow; 16 × 2⁵⁶ not). */
+  /** The 16-bit average-hash of one payload as a Column: the 16 BYTES
+    * of md5(content digest) are the cell values (the STUB stand-in for
+    * decoded pixel-block means — swap the cell source for real pixels
+    * to productionize, exactly like [[StubDecoder.decode]]), each
+    * compared against the grid mean. ONE hash per payload — an
+    * earlier 16-md5-per-row formulation cost 1.6 s on the bench for
+    * identical audit semantics. shiftright(sum, 4) ≡ sum // 16 on
+    * non-negative values, exact in both engines (Column./ would
+    * divide as doubles). */
   private def ahash(dg: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    // shiftright(x, 4) ≡ x // 16 on non-negative values — EXACT in both
-    // engines; Column./ would divide as doubles and drop low bits past
-    // 2^53, silently diverging from DuckDB's integer //
+    val h = md5(dg.cast("binary"))
     val cells = (0 until AhashCells).map { i =>
-      shiftright(graft.functions.TextHash.h1(concat(dg, lit(s"#$i"))), 4)
+      conv(substring(h, 2 * i + 1, 2), 16, 10).cast("long")
     }
     val mean = shiftright(cells.reduce(_ + _), 4)
     cells.zipWithIndex.map { case (c, i) =>
@@ -406,11 +406,16 @@ object Multimodal {
     * MASS is computed arithmetically from group sizes (n_a·n_b,
     * C(n,2)) — copy inflation grows counts, never join input. */
   def mediaAhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val groups = mediaTable(spark, dir)
-      .select(col("media_type"), sha2(col("content"), 256).as("dg"))
-      .withColumn("ahash", ahash(col("dg")))
-      .groupBy(col("media_type"), col("ahash"))
-      .agg(count(lit(1)).as("n"))
+    // persisted like Dedup.sigGroups: the band self-join reads this
+    // aggregate TWICE (left and right leg) — uncached, both legs would
+    // re-scan the corpus and re-digest every payload
+    val groups = graft.PlanCache.cached(spark, s"multimodal.ahashGroups:$dir") {
+      mediaTable(spark, dir)
+        .select(col("media_type"), sha2(col("content"), 256).as("dg"))
+        .withColumn("ahash", ahash(col("dg")))
+        .groupBy(col("media_type"), col("ahash"))
+        .agg(count(lit(1)).as("n"))
+    }
     val banded = groups.select(col("media_type"), col("ahash"), col("n"),
       explode(array(
         struct(lit(0L).as("band"), (col("ahash") % 256L).as("bv")),
@@ -449,9 +454,8 @@ object Multimodal {
   }
 
   def mediaAhashNearDupSql: String = {
-    def h1(e: String): String = graft.functions.TextHash.h1Sql(e)
     val cells = (0 until AhashCells)
-      .map(i => s"(${h1(s"dg || '#$i'")} // 16)")
+      .map(i => s"(('0x' || substr(hh, ${2 * i + 1}, 2))::BIGINT)")
     val mean = s"((${cells.mkString(" + ")}) // $AhashCells)"
     val bits = cells.zipWithIndex
       .map { case (c, i) =>
@@ -461,10 +465,10 @@ object Multimodal {
        |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
        |              WHEN doc_id % 3 = 1 THEN 'audio'
        |              ELSE 'video' END AS media_type,
-       |    sha256(text) AS dg
+       |    md5(sha256(text)) AS hh
        |  FROM documents
        |), withmean AS (
-       |  SELECT media_type, dg, $mean AS m FROM m0
+       |  SELECT media_type, hh, $mean AS m FROM m0
        |), hashed AS (
        |  SELECT media_type, ($bits)::BIGINT AS ahash FROM withmean
        |), g AS (

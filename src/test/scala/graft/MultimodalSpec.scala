@@ -149,13 +149,10 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.mediaTable(spark, sf0001)
       .select(col("media_type"), sha2(col("content"), 256).as("dg"))
       .collect().map(r => (r.getString(0), r.getString(1)))
-    def h1(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
-      java.lang.Long.parseLong(hex, 16)
-    }
     def ah(dg: String): Long = {
-      val cells = (0 until Multimodal.AhashCells).map(i => h1(s"$dg#$i") >> 4)
+      // the 16 bytes of md5(digest string) ARE the cell values
+      val cells = java.security.MessageDigest.getInstance("MD5")
+        .digest(dg.getBytes("UTF-8")).map(b => (b & 0xff).toLong).toSeq
       val mean = cells.sum >> 4
       cells.zipWithIndex.collect { case (c, i) if c > mean => 1L << i }.sum
     }
