@@ -103,6 +103,19 @@ object PlanAudit {
     // q184 crossJoins the broadcast SINGLE-ROW basket total onto the
     // k-row pair election — the q150 audited scalar shape
     "q184_basket_pairs",
+    // q212 is q184's triple twin — the same single-row basket-total
+    // scalar cross onto the k-row election
+    "q212_basket_triples",
+    // q216 crossJoins the broadcast SINGLE-ROW session total onto the
+    // k-row path election — the q184/q150 audited scalar shape
+    "q216_session_paths",
+    // q217's bills and election are 1-2-row scalar crosses (step
+    // scalars × final scalar × min scalar) — nothing row-scale
+    "q217_join_order",
+    // q213's cumulative folds are broadcast triangle theta-joins over
+    // the distinct-score histogram and the ≤10-row decile table, plus
+    // two single-row scalar crosses — the q167/q108 audited shapes
+    "q213_decile_gains",
     // q185 crossJoins the broadcast SINGLE-ROW grand total onto the
     // ≤168-row (dow, hour) cell grid
     "q185_seasonality",
@@ -165,6 +178,9 @@ object PlanAudit {
     // q93 composes q23 (3-row query-set cross) + q37/q48 (centroid-table
     // cross) — every BNLJ side is one of those audited tiny tables
     "q93_ann_recall",
+    // q209 composes the SAME three ranking plans as q93 (shared truth
+    // seam) — identical audited BNLJ sides
+    "q209_graded_retrieval",
     // q104 crossJoins the broadcast SINGLE-ROW (total_tokens,
     // n_distinct_terms) corpus scalar onto |K| frontier rows — same
     // audited shape as q84/q90
@@ -228,14 +244,19 @@ object PlanAudit {
     // stored plan under EVERY InMemoryTableScan that references it, so a
     // raw line count would grow with how many consumers share a cache
     // (and with session history) rather than with executed work — skip
-    // every line nested deeper than an InMemoryRelation marker
+    // every line nested deeper than an InMemoryRelation marker. A
+    // MATERIALIZED cache additionally prints its AQE "== Final Plan ==" /
+    // "== Initial Plan ==" sections at the SAME depth as the IMR line
+    // (not deeper), so the skip is >= — safe because an IMR is always an
+    // only child: nothing legitimate shares its depth before the tree
+    // pops back above it.
     val raw = df.queryExecution.executedPlan.toString.linesIterator.toList
     def depth(l: String): Int =
       l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*').length
     val lines = {
       var skipAt = -1
       raw.filter { l =>
-        if (skipAt >= 0 && depth(l) > skipAt) false
+        if (skipAt >= 0 && depth(l) >= skipAt) false
         else {
           skipAt = if (l.contains("InMemoryRelation")) depth(l) else -1
           true

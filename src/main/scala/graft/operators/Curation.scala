@@ -2672,6 +2672,104 @@ object Curation {
        |FROM u ORDER BY k""".stripMargin
   }
 
+  /** Diversity thresholds [[lDiversity]] prices: ℓ = 2 ("not every row
+    * in the class agrees"), 3 and 5 (the common policy floors from the
+    * original paper's examples). */
+  val LDivThresholds: Seq[Int] = Seq(2, 3, 5)
+
+  /** X137 ℓ-diversity audit (q211): k-anonymity's successor read
+    * (Machanavajjhala et al. 2006) over the RELEASED table q199's QI
+    * classes would actually ship — orders joined to customer
+    * demographics, sensitive attribute `o_orderpriority`. A class can
+    * be large (k-anonymous) and still leak: if every order in it shares
+    * one priority, the attacker learns it without re-identifying
+    * anyone (the homogeneity attack). Per policy threshold ℓ: classes
+    * whose distinct-sensitive-value count is below ℓ, the released
+    * rows inside them, and the at-risk share in bp — the companion
+    * table a privacy review reads NEXT TO q199 before a release.
+    *
+    * Scale posture: orders pre-collapse to (custkey, priority) cells
+    * with map-side combine BEFORE the customer join (≤5 rows per
+    * customer joins instead of every order); the join is the only
+    * row-scale shuffle; one explicit repartition on the QI tuple then
+    * serves BOTH the (QI, sens) cell collapse and the QI class rollup
+    * (the q183 exchange-reuse device, prefix-clustering satisfies the
+    * superset groupBy); everything after is the q199 histogram device —
+    * thresholds are conditional sums over the class-diversity
+    * histogram, per-ℓ rows stack over the 1-row aggregate. */
+  def lDiversity(spark: SparkSession, dir: String,
+                 thresholds: Seq[Int] = LDivThresholds): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted &&
+      thresholds.forall(_ > 1), s"lDiversity: bad thresholds $thresholds")
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val released = perCust
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("q_nation"),
+        col("c_mktsegment").as("q_segment"),
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 10000")
+          .as("q_balband"),
+        col("o_orderpriority").as("sens"), col("n"))
+      .repartition(col("q_nation"), col("q_segment"), col("q_balband"))
+    val cells = released
+      .groupBy(col("q_nation"), col("q_segment"), col("q_balband"),
+        col("sens"))
+      .agg(sum(col("n")).as("n"))
+    val classes = cells
+      .groupBy(col("q_nation"), col("q_segment"), col("q_balband"))
+      .agg(sum(col("n")).as("gsize"), count(lit(1)).as("ldiv"))
+    val hist = classes.groupBy(col("ldiv"))
+      .agg(count(lit(1)).as("ng"), sum(col("gsize")).as("rows_g"))
+    val sums = thresholds.flatMap { l =>
+      Seq(sum(when(col("ldiv") < l, col("ng")).otherwise(0L)).as(s"cb_$l"),
+        sum(when(col("ldiv") < l, col("rows_g")).otherwise(0L)).as(s"rk_$l"))
+    }
+    val stackArgs = thresholds.map(l => s"${l}L, cb_$l, rk_$l").mkString(", ")
+    hist
+      .agg(sum(col("ng")).as("n_classes"),
+        (Seq(sum(col("rows_g")).as("n_rows")) ++ sums): _*)
+      .select(col("n_classes"), col("n_rows"), expr(
+        s"stack(${thresholds.size}, $stackArgs) " +
+          "AS (l, classes_below, rows_at_risk)"))
+      .select(col("l"), col("n_classes"), col("classes_below"),
+        col("n_rows"), col("rows_at_risk"),
+        expr("rows_at_risk * 10000 div n_rows").as("risk_bp"))
+      .orderBy(col("l"))
+  }
+
+  def lDiversitySql(thresholds: Seq[Int] = LDivThresholds): String = {
+    val legs = thresholds.map { l =>
+      s"""SELECT $l::BIGINT AS l, n_classes, (
+         |    SELECT count(*)::BIGINT FROM cls WHERE ldiv < $l)
+         |    AS classes_below,
+         |  n_rows, (
+         |    SELECT coalesce(sum(gsize), 0)::BIGINT FROM cls
+         |    WHERE ldiv < $l) AS rows_at_risk
+         |FROM tot""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH rel AS (
+       |  SELECT c_nationkey::BIGINT AS q_nation, c_mktsegment AS q_segment,
+       |    ((round(c_acctbal * 100)::BIGINT + 100000) // 10000) AS q_balband,
+       |    o_orderpriority AS sens
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |), cls AS (
+       |  SELECT q_nation, q_segment, q_balband,
+       |    count(*)::BIGINT AS gsize,
+       |    count(DISTINCT sens)::BIGINT AS ldiv
+       |  FROM rel GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT count(*)::BIGINT AS n_classes, sum(gsize)::BIGINT AS n_rows
+       |  FROM cls
+       |), u AS (
+       |  $legs
+       |)
+       |SELECT l, n_classes, classes_below, n_rows, rows_at_risk,
+       |  (rows_at_risk * 10000 // n_rows)::BIGINT AS risk_bp
+       |FROM u ORDER BY l""".stripMargin
+  }
+
   /** Right-to-erasure sweep audit (q193): given a deterministic deletion
     * cohort (custkey ≡ 0 mod `modulus` — the stand-in for a GDPR/CCPA
     * deletion list), the exact per-table blast radius through the

@@ -1839,4 +1839,227 @@ object EventAnalytics {
        |FROM scored WHERE rn > 7
        |GROUP BY 1 ORDER BY event_type""".stripMargin
   }
+
+  // ---- X139: decile gains / lift table (q213) -------------------------------
+
+  /** X139 decile gains table (q213): rank users by an engagement score
+    * (click + view events), split into deciles, and per decile read the
+    * positive rate, lift vs the base rate, and cumulative capture of
+    * all positives — the standard model-evaluation gains chart
+    * ("target the top 2 deciles, capture X% of buyers") read as an
+    * exact audit. The positive label is deterministic and
+    * self-calibrated: a user whose purchase count strictly exceeds the
+    * corpus per-user mean (n_purch · n_users > total purchases — pure
+    * integer cross-multiplication, no division). q99 calibrates a
+    * quality score against labels; this prices a TARGETING score the
+    * way a campaign consumer would.
+    *
+    * Decile assignment is windowless and exact (the q132/q167 rule —
+    * NEVER ntile, never a global sort): the per-user collapse feeds a
+    * distinct-SCORE histogram; descending cumulative counts come from
+    * the broadcast triangle self-join over histogram rows; a score's
+    * decile is ((10·(cum−1)) div n_users) + 1 — whole tie-groups land
+    * in one decile, so equal scores never split across deciles (the
+    * q207 tie-stable rule).
+    *
+    * Scale posture: ONE corpus shuffle (the user_id collapse,
+    * map-side combinable); the histogram is |distinct scores|-sized
+    * (audit-sized at any corpus scale); both cumulative folds are
+    * broadcast triangle joins (histogram², then ≤10²); every divisor
+    * is guarded or structurally positive. */
+  def decileGains(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.PlanCache.cached(spark, s"events.userEngagement:$dir") {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type").isin("click", "view"), 1L)
+          .otherwise(0L)).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+    }
+    val tot = per.agg(count(lit(1)).as("n_users_t"),
+      sum(col("n_purch")).as("tot_purch"))
+    val hist = per.crossJoin(broadcast(tot))
+      .select(col("score"),
+        when(col("n_purch") * col("n_users_t") > col("tot_purch"), 1L)
+          .otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("nu"), sum(col("pos")).as("np"))
+    val histB = hist.select(col("score").as("s2"), col("nu").as("nu2"))
+    val dec = hist
+      .join(broadcast(histB), col("s2") >= col("score"))
+      .groupBy(col("score"), col("nu"), col("np"))
+      .agg(sum(col("nu2")).as("cum_u"))
+      .crossJoin(broadcast(tot))
+      .select(expr("(10 * (cum_u - 1)) div n_users_t + 1").as("decile"),
+        col("nu"), col("np"))
+      .groupBy(col("decile"))
+      .agg(sum(col("nu")).as("n_users"), sum(col("np")).as("n_pos"))
+    val decTot = dec.agg(sum(col("n_users")).as("tot_u"),
+      sum(col("n_pos")).as("tot_pos"))
+    val decB = dec.select(col("decile").as("d2"),
+      col("n_users").as("nu2"), col("n_pos").as("np2"))
+    dec
+      .join(broadcast(decB), col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_users"), col("n_pos"))
+      .agg(sum(col("nu2")).as("cum_users"), sum(col("np2")).as("cum_pos"))
+      .crossJoin(broadcast(decTot))
+      .select(col("decile"), col("n_users"), col("n_pos"),
+        col("cum_users"), col("cum_pos"),
+        expr("n_pos * 10000 div n_users").as("rate_bp"),
+        expr("CASE WHEN tot_pos = 0 THEN 0 ELSE " +
+          "n_pos * tot_u * 10000 div (n_users * tot_pos) END").as("lift_bp"),
+        expr("CASE WHEN tot_pos = 0 THEN 0 ELSE " +
+          "cum_pos * 10000 div tot_pos END").as("capture_bp"))
+      .orderBy(col("decile"))
+  }
+
+  def decileGainsSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0
+      |      END)::BIGINT AS score,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END)::BIGINT AS n_purch
+      |  FROM events GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS n_users_t, sum(n_purch)::BIGINT
+      |    AS tot_purch
+      |  FROM per
+      |), hist AS (
+      |  SELECT score, count(*)::BIGINT AS nu,
+      |    sum(CASE WHEN n_purch * tot.n_users_t > tot.tot_purch
+      |      THEN 1 ELSE 0 END)::BIGINT AS np
+      |  FROM per CROSS JOIN tot GROUP BY 1
+      |), cum AS (
+      |  SELECT a.score, a.nu, a.np, sum(b.nu)::BIGINT AS cum_u
+      |  FROM hist a JOIN hist b ON b.score >= a.score
+      |  GROUP BY 1, 2, 3
+      |), dec AS (
+      |  SELECT ((10 * (cum_u - 1)) // tot.n_users_t + 1) AS decile,
+      |    sum(nu)::BIGINT AS n_users, sum(np)::BIGINT AS n_pos
+      |  FROM cum CROSS JOIN tot GROUP BY 1
+      |), dt AS (
+      |  SELECT sum(n_users)::BIGINT AS tot_u, sum(n_pos)::BIGINT AS tot_pos
+      |  FROM dec
+      |), c AS (
+      |  SELECT a.decile, a.n_users, a.n_pos,
+      |    sum(b.n_users)::BIGINT AS cum_users,
+      |    sum(b.n_pos)::BIGINT AS cum_pos
+      |  FROM dec a JOIN dec b ON b.decile <= a.decile
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT decile, n_users, n_pos, cum_users, cum_pos,
+      |  (n_pos * 10000 // n_users)::BIGINT AS rate_bp,
+      |  CASE WHEN dt.tot_pos = 0 THEN 0
+      |    ELSE (n_pos * dt.tot_u * 10000 // (n_users * dt.tot_pos))::BIGINT
+      |    END AS lift_bp,
+      |  CASE WHEN dt.tot_pos = 0 THEN 0
+      |    ELSE (cum_pos * 10000 // dt.tot_pos)::BIGINT END AS capture_bp
+      |FROM c CROSS JOIN dt ORDER BY decile""".stripMargin
+
+  // ---- X142: top session paths (q216) ---------------------------------------
+
+  /** Path depth for [[sessionPaths]]: the opening trigram — long enough
+    * to separate journeys, short enough that the path space stays
+    * |types|³-bounded. */
+  val PathDepth: Int = 3
+
+  /** X142 top session paths (q216): the most frequent session-opening
+    * event-type sequences (first [[PathDepth]] events per session,
+    * joined with '>'), each with its session share and the share of
+    * those sessions that convert (contain a purchase ANYWHERE — the
+    * journey may convert after the opening). Sequential-pattern
+    * mining's depth-k head (Agrawal & Srikant 1995, ICDE) restricted to
+    * session openings — the "how do converting journeys START" read
+    * behind onboarding and landing-page work; q122 reads one-step
+    * transitions, q58 a FIXED funnel, this elects the actual paths.
+    *
+    * Sessions cut by the q179 lag+cumsum device (same timeout, same
+    * (µs, event_id) order rule, so boundaries are cross-engine
+    * identical); the opening path is the first 3 events in that same
+    * order — deterministic under ts collisions.
+    *
+    * Scale posture: ONE user_id window exchange (lag + cumsum share
+    * it); the per-session path fold groups on (user_id, sid), already
+    * clustered by the window's partitioning — no second corpus
+    * exchange; the path rollup is |types|³-bounded with map-side
+    * combine; top-k rides TakeOrderedAndProject; the total is a
+    * broadcast 1-row scalar. */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val paths = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("opens", when(col("prev_us").isNull ||
+        col("us") - col("prev_us") > SessionTimeoutUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("opens")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        array_join(expr(s"transform(slice(sort_array(collect_list(" +
+          s"struct(us, event_id, event_type))), 1, $PathDepth), " +
+          "e -> e.event_type)"), ">").as("path"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converts"))
+    val byPath = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converts")).as("n_convert"))
+    val tot = byPath.agg(sum(col("n_sessions")).as("n_tot"))
+    byPath
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("n_sessions"),
+        expr("n_sessions * 10000 div n_tot").as("share_bp"),
+        col("n_convert"),
+        expr("n_convert * 10000 div n_sessions").as("convert_bp"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
+  def sessionPathsSql(k: Int = 20): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+       |  FROM events
+       |), marked AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |      OR us - lag(us) OVER w > $SessionTimeoutUs
+       |      THEN 1 ELSE 0 END AS opens
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), sids AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    sum(opens) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked
+       |), ranked AS (
+       |  SELECT user_id, sid, event_type, us, event_id,
+       |    row_number() OVER (PARTITION BY user_id, sid
+       |      ORDER BY us, event_id) AS rn
+       |  FROM sids
+       |), sess AS (
+       |  SELECT user_id, sid,
+       |    string_agg(CASE WHEN rn <= $PathDepth THEN event_type END, '>'
+       |      ORDER BY us, event_id) AS path,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END)::BIGINT AS converts
+       |  FROM ranked GROUP BY 1, 2
+       |), byp AS (
+       |  SELECT path, count(*)::BIGINT AS n_sessions,
+       |    sum(converts)::BIGINT AS n_convert
+       |  FROM sess GROUP BY 1
+       |), top AS (
+       |  SELECT * FROM byp ORDER BY n_sessions DESC, path LIMIT $k
+       |), tot AS (
+       |  SELECT sum(n_sessions)::BIGINT AS n_tot FROM byp
+       |)
+       |SELECT path, n_sessions,
+       |  (n_sessions * 10000 // tot.n_tot)::BIGINT AS share_bp,
+       |  n_convert,
+       |  (n_convert * 10000 // n_sessions)::BIGINT AS convert_bp
+       |FROM top CROSS JOIN tot
+       |ORDER BY n_sessions DESC, path""".stripMargin
 }

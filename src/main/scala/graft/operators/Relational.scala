@@ -995,6 +995,210 @@ object Relational {
        |CROSS JOIN n
        |ORDER BY support DESC, part_a, part_b""".stripMargin
 
+  /** X138 market-basket frequent triples (q212): the 3-itemset lattice level
+    * above q184 — top-k part triples co-purchased in one order, with
+    * support and lift vs full independence (support·N²·10⁴ div
+    * (n_a·n_b·n_c); 10000 = independent). This is the depth the apriori
+    * candidate walk (Agrawal & Srikant 1994) reaches next, and where
+    * naive enumeration starts to hurt — which is exactly what the
+    * bounded-fanout device below avoids pricing per corpus size.
+    *
+    * Scale posture: REUSES q184's PlanCache'd per-order sorted part
+    * sets (the one corpus exchange is shared, not re-paid); the triple
+    * fan-out is a pure nested-transform expression over each set —
+    * ≤ C(|order|, 3) structs per row (≤35 for TPC-H's 7-line orders),
+    * never corpus³, no self-join; the top-k rides
+    * TakeOrderedAndProject; per-part counts join back only onto the k
+    * winners; lift products ride decimal(38,0)/HUGEINT. */
+  def basketTriples(spark: SparkSession, dir: String,
+                    k: Int = 15): DataFrame = {
+    val sets = graft.PlanCache.cached(spark, s"relational.basketSets:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .groupBy(col("okey"))
+        .agg(sort_array(collect_set(col("part"))).as("ps"))
+    }
+    // x before y before z in the sorted distinct set: pair each element
+    // with its strict suffix, then each suffix element with ITS strict
+    // suffix — exactly the ordered triples, already canonical
+    val top = sets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> " +
+          "transform(slice(ps, i + j + 3, size(ps)), " +
+          "z -> struct(x, y, z))))))")).as("t"))
+      .groupBy(col("t.x").as("part_a"), col("t.y").as("part_b"),
+        col("t.z").as("part_c"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+      .limit(k)
+    val partOrders = sets.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
+    val n = sets.agg(count(lit(1)).as("n_baskets"))
+    top
+      .join(partOrders.select(col("part").as("part_a"),
+        col("n_ord").as("n_a")), Seq("part_a"))
+      .join(partOrders.select(col("part").as("part_b"),
+        col("n_ord").as("n_b")), Seq("part_b"))
+      .join(partOrders.select(col("part").as("part_c"),
+        col("n_ord").as("n_c")), Seq("part_c"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("part_c"), col("support"),
+        col("n_a"), col("n_b"), col("n_c"), col("n_baskets"),
+        expr("cast(cast(support as decimal(38,0)) * n_baskets * n_baskets " +
+          "* 10000 div (cast(n_a as decimal(38,0)) * n_b * n_c) as bigint)")
+          .as("lift_bp"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"),
+        col("part_c"))
+  }
+
+  def basketTriplesSql(k: Int = 15): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+       |), triples AS (
+       |  SELECT a.part AS part_a, b.part AS part_b, c.part AS part_c,
+       |    count(*)::BIGINT AS support
+       |  FROM items a
+       |  JOIN items b ON a.okey = b.okey AND a.part < b.part
+       |  JOIN items c ON b.okey = c.okey AND b.part < c.part
+       |  GROUP BY 1, 2, 3
+       |), top AS (
+       |  SELECT * FROM triples
+       |  ORDER BY support DESC, part_a, part_b, part_c LIMIT $k
+       |), po AS (
+       |  SELECT part, count(*)::BIGINT AS n_ord FROM items GROUP BY 1
+       |), n AS (
+       |  SELECT count(DISTINCT okey)::BIGINT AS n_baskets FROM items
+       |)
+       |SELECT part_a, part_b, part_c, support, pa.n_ord AS n_a,
+       |  pb.n_ord AS n_b, pc.n_ord AS n_c, n.n_baskets,
+       |  (support::HUGEINT * n.n_baskets * n.n_baskets * 10000
+       |    // (pa.n_ord::HUGEINT * pb.n_ord * pc.n_ord))::BIGINT AS lift_bp
+       |FROM top
+       |JOIN po pa ON pa.part = top.part_a
+       |JOIN po pb ON pb.part = top.part_b
+       |JOIN po pc ON pc.part = top.part_c
+       |CROSS JOIN n
+       |ORDER BY support DESC, part_a, part_b, part_c""".stripMargin
+
+  /** The directed column pairs [[dependenceAudit]] scores, as
+    * (name, a-expr, b-expr) — shared verbatim by both engines (pure
+    * cast/month algebra). */
+  private val DependencePairs: Seq[(String, String, String)] = Seq(
+    ("a_returnflag_to_linestatus", "l_returnflag", "l_linestatus"),
+    ("b_linestatus_to_returnflag", "l_linestatus", "l_returnflag"),
+    ("c_quantity_to_returnflag",
+      "cast(cast(round(l_quantity) as bigint) as string)", "l_returnflag"),
+    ("d_shipmonth_to_linestatus",
+      "cast(month(l_shipdate) as string)", "l_linestatus"))
+
+  /** X140 conditional-entropy dependence audit (q214): for directed
+    * column pairs a → b, the exact-milli-bit H(b) and H(b|a) and the
+    * captured-information share (H(b) − H(b|a)) ∕ H(b) in bp — the SOFT
+    * version of q183's exact functional dependencies. An FD profiler
+    * answers "does a determine b EXACTLY"; this answers "how much of b
+    * does knowing a buy" (10000 bp = exact FD, 0 = independent), which
+    * is what drives denormalization, sort-key and dictionary-sharing
+    * decisions when the dependency is real but dirty. A constant b
+    * column (H(b) = 0) reports 10000 — trivially determined.
+    *
+    * All integer: the q140/q163 milli-bit log2 device; every entropy
+    * term is c·(log2m(group total) − log2m(c)) ≥ 0 (the LUT is
+    * monotone), summed in decimal(38,0)/HUGEINT and divided once by
+    * the corpus total; milli-bit rounding can land H(b|a) a hair above
+    * H(b) on near-independent pairs, so the bp clamps at 0 —
+    * identically in both engines.
+    *
+    * Scale posture: all four pairs ride ONE stack() projection (the
+    * q137/q210 rule) into a (dep, a, b) cell collapse — map-side
+    * combinable, the only corpus shuffle; marginals, conditionals and
+    * both entropy folds are cell-table rollups (audit-sized at any
+    * corpus scale); per-(dep, a) totals broadcast back onto cells. */
+  def dependenceAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val stackArgs = DependencePairs
+      .map { case (n, a, b) => s"'$n', cast($a as string), $b" }
+      .mkString(", ")
+    // persisted: four downstream legs (totals, conditionals, both
+    // marginal entropies) read this cell table — uncached, each would
+    // re-scan and re-collapse the corpus
+    val cells = graft.PlanCache.cached(spark, s"relational.depCells:$dir") {
+      Tables.lineitem(spark, dir)
+        .selectExpr(s"stack(${DependencePairs.size}, $stackArgs) " +
+          "AS (dep, a, b)")
+        .groupBy(col("dep"), col("a"), col("b"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val tot = cells.groupBy(col("dep"))
+      .agg(sum(col("n")).as("t"), count(lit(1)).as("n_cells"))
+    val ta = cells.groupBy(col("dep"), col("a")).agg(sum(col("n")).as("t_a"))
+    val hb = cells.groupBy(col("dep"), col("b")).agg(sum(col("n")).as("c_b"))
+      .join(broadcast(tot), Seq("dep"))
+      .select(col("dep"), col("t"),
+        expr(s"cast(c_b as decimal(38,0)) * ((${TA.log2MilliSpark("t")}) - " +
+          s"(${TA.log2MilliSpark("c_b")}))").as("term"))
+      .groupBy(col("dep"))
+      .agg(expr("cast(sum(term) div max(t) as bigint)").as("h_b_mb"))
+    val hba = cells.join(broadcast(ta), Seq("dep", "a"))
+      .select(col("dep"),
+        expr(s"cast(n as decimal(38,0)) * ((${TA.log2MilliSpark("t_a")}) - " +
+          s"(${TA.log2MilliSpark("n")}))").as("term"))
+      .groupBy(col("dep"))
+      .agg(sum(col("term")).as("terms"))
+      .join(broadcast(tot), Seq("dep"))
+      .select(col("dep"), col("t").as("n_rows"), col("n_cells"),
+        expr("cast(terms div t as bigint)").as("h_b_given_a_mb"))
+    hba.join(broadcast(hb), Seq("dep"))
+      .select(col("dep").as("dependency"), col("n_rows"), col("n_cells"),
+        col("h_b_mb"), col("h_b_given_a_mb"),
+        expr("CASE WHEN h_b_mb = 0 THEN 10000 ELSE " +
+          "greatest(0L, (h_b_mb - h_b_given_a_mb) * 10000 div h_b_mb) END")
+          .as("dependence_bp"))
+      .orderBy(col("dependency"))
+  }
+
+  def dependenceAuditSql: String = {
+    import graft.operators.{TextAnalysis => TA}
+    val legs = DependencePairs.map { case (n, a, b) =>
+      s"SELECT '$n' AS dep, ($a)::VARCHAR AS a, $b AS b FROM lineitem"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH pairs AS (
+       |  $legs
+       |), cells AS (
+       |  SELECT dep, a, b, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT dep, sum(n)::BIGINT AS t, count(*)::BIGINT AS n_cells
+       |  FROM cells GROUP BY 1
+       |), ta AS (
+       |  SELECT dep, a, sum(n)::BIGINT AS t_a FROM cells GROUP BY 1, 2
+       |), hb AS (
+       |  SELECT m.dep,
+       |    (sum(c_b::HUGEINT * ((${TA.log2MilliDuck("t")}) -
+       |      (${TA.log2MilliDuck("c_b")}))) // max(t))::BIGINT AS h_b_mb
+       |  FROM (SELECT dep, b, sum(n)::BIGINT AS c_b FROM cells
+       |        GROUP BY 1, 2) m
+       |  JOIN tot ON m.dep = tot.dep GROUP BY 1
+       |), hba AS (
+       |  SELECT c.dep, max(tot.t)::BIGINT AS n_rows,
+       |    max(tot.n_cells)::BIGINT AS n_cells,
+       |    (sum(n::HUGEINT * ((${TA.log2MilliDuck("t_a")}) -
+       |      (${TA.log2MilliDuck("n")}))) // max(tot.t))::BIGINT
+       |      AS h_b_given_a_mb
+       |  FROM cells c
+       |  JOIN ta ON c.dep = ta.dep AND c.a = ta.a
+       |  JOIN tot ON c.dep = tot.dep
+       |  GROUP BY 1
+       |)
+       |SELECT hba.dep AS dependency, n_rows, n_cells, h_b_mb,
+       |  h_b_given_a_mb,
+       |  CASE WHEN h_b_mb = 0 THEN 10000::BIGINT ELSE
+       |    greatest(0, (h_b_mb - h_b_given_a_mb) * 10000 // h_b_mb)::BIGINT
+       |    END AS dependence_bp
+       |FROM hba JOIN hb ON hba.dep = hb.dep
+       |ORDER BY dependency""".stripMargin
+  }
+
   /** Supplier-concentration audit (q187): per supplier nation — the
     * Herfindahl–Hirschman index of supplier revenue shares on the
     * standard 0..10000 scale (Σ share², the antitrust concentration
@@ -1273,4 +1477,95 @@ object Relational {
        |  pt.n_mismatch
        |FROM pt LEFT JOIN ds USING (event_type) JOIN fs USING (event_type)
        |ORDER BY pt.event_type""".stripMargin
+
+  // ---- X134: Pareto-skyline supplier election (q208) -----------------------
+
+  /** X134 Pareto-skyline supplier election (q208): per region, the
+    * suppliers NOT dominated on (unit price ↓, account balance ↑) — a
+    * supplier is dominated when another in its region is no worse on
+    * both objectives and strictly better on at least one (Börzsönyi,
+    * Kossmann & Stocker 2001, "The Skyline Operator"). This is the
+    * multi-objective shortlist a sourcing decision actually wants:
+    * q187's HHI reads concentration, this elects the efficient
+    * frontier to concentrate ON. Unit price is the supplier's billed
+    * tenth-cents per unit (cents·10 div qty — exact integer); balances
+    * ride the exact cent grid. Suppliers with no lineitems are out of
+    * scope (no price signal).
+    *
+    * Dominance device — NEVER the quadratic self-join: within a region
+    * order by unit price; a supplier is dominated iff the max balance
+    * among STRICTLY CHEAPER suppliers reaches its balance (RANGE frame
+    * to 1 PRECEDING), or a SAME-PRICED supplier strictly exceeds it
+    * (per-(region, price) max). Two window passes, O(n log n), exact
+    * for the strict-in-one tie rule: equal (price, balance) points
+    * dominate neither and both stay on the frontier.
+    *
+    * Scale posture: the corpus pass is ONE map-side-combinable
+    * l_suppkey aggregate (PlanCache-shared); the skyline runs over the
+    * supplier-sized bill joined to broadcast dims, so the windows'
+    * region partitions are dim-bounded at any corpus scale. */
+  def supplierSkyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bill = graft.PlanCache.cached(spark, s"relational.supplierBill:$dir") {
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("cast(round(l_quantity) as bigint)")).as("qty"),
+          sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .as("cents"))
+    }
+    val dims = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"),
+        expr("cast(round(s_acctbal * 100) as bigint)").as("bal_cents"))
+    val scored = bill.join(dims, col("l_suppkey") === col("s_suppkey"))
+      .select(col("r_name"), col("s_suppkey"), col("n_items"),
+        expr("cents * 10 div qty").as("unit_tenth_cents"), col("bal_cents"))
+    val cheaper = Window.partitionBy(col("r_name"))
+      .orderBy(col("unit_tenth_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy(col("r_name"), col("unit_tenth_cents"))
+    scored
+      .withColumn("best_cheaper_bal", max(col("bal_cents")).over(cheaper))
+      .withColumn("best_same_bal", max(col("bal_cents")).over(samePrice))
+      .filter(!(coalesce(col("best_cheaper_bal") >= col("bal_cents"),
+        lit(false)) || col("best_same_bal") > col("bal_cents")))
+      .select(col("r_name"), col("s_suppkey"), col("n_items"),
+        col("unit_tenth_cents"), col("bal_cents"))
+      .orderBy(col("r_name"), col("unit_tenth_cents"), col("s_suppkey"))
+  }
+
+  def supplierSkylineSql: String =
+    """WITH bill AS (
+      |  SELECT l_suppkey, count(*)::BIGINT AS n_items,
+      |    sum(round(l_quantity)::BIGINT)::BIGINT AS qty,
+      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+      |  FROM lineitem GROUP BY 1
+      |), dims AS (
+      |  SELECT s_suppkey, r_name,
+      |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |), scored AS (
+      |  SELECT r_name, s_suppkey, n_items,
+      |    (cents * 10 // qty) AS unit_tenth_cents, bal_cents
+      |  FROM bill JOIN dims ON l_suppkey = s_suppkey
+      |), flagged AS (
+      |  SELECT r_name, s_suppkey, n_items, unit_tenth_cents, bal_cents,
+      |    max(bal_cents) OVER (PARTITION BY r_name ORDER BY unit_tenth_cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS best_cheaper_bal,
+      |    max(bal_cents) OVER (PARTITION BY r_name, unit_tenth_cents)
+      |      AS best_same_bal
+      |  FROM scored
+      |)
+      |SELECT r_name, s_suppkey, n_items, unit_tenth_cents, bal_cents
+      |FROM flagged
+      |WHERE NOT (coalesce(best_cheaper_bal >= bal_cents, false)
+      |  OR best_same_bal > bal_cents)
+      |ORDER BY r_name, unit_tenth_cents, s_suppkey""".stripMargin
 }

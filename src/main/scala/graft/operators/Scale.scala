@@ -525,4 +525,297 @@ object Scale {
        |  ((count(*) - sum(scanned)) * 10000 // count(*))::BIGINT AS skip_bp
        |FROM evald GROUP BY 1, 2 ORDER BY layout, pred_class""".stripMargin
   }
+
+  // ---- X136: column-encodability election (q210) ----------------------------
+
+  /** X136 column-encodability election (q210): per audited lineitem
+    * column — exact rows, distinct values, value runs (within an
+    * orderkey block, the row-group stand-in), and the exact bit bill of
+    * three physical encodings: plain (8 bits/char), dictionary
+    * (ceil-log2(distincts) bits/row + the dictionary itself), and
+    * run-length over dictionary codes (code + 32-bit run length per
+    * run). The winner and its savings in bp is the encoding election a
+    * columnar writer (parquet's PLAIN / RLE_DICTIONARY choice) makes
+    * per column chunk — read here as a corpus audit BEFORE committing a
+    * 100 TB rewrite: q200 elects the row ORDER, this elects the byte
+    * ENCODING, and together they are the layout decision. High-card
+    * keys (l_partkey) should elect plain/dict, low-card flags
+    * (l_returnflag, l_linestatus) RLE — the audit proves it from data,
+    * not intuition.
+    *
+    * Cross-engine: values are canonicalized to ASCII digit/flag strings
+    * (integral doubles via round-then-cast, the q210 FIXTURES rule), so
+    * length() agrees; code bits = length(bin(n_distinct − 1)) — the
+    * integer ceil-log2 both engines share (bin(0) = '0' ⇒ one bit for a
+    * single-valued column).
+    *
+    * Scale posture: all five columns ride ONE stack() projection of
+    * four narrow columns (the q137/q205 fact-pass rule); run counting
+    * partitions on (col_name, l_orderkey) — high-cardinality, no global
+    * sort; the distinct collapse is map-side combinable on (col_name,
+    * v); everything after is a 5-row fold. */
+  def encodingElection(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = graft.Tables.lineitem(spark, dir).selectExpr(
+      "l_orderkey", "l_linenumber",
+      "stack(5, " +
+        "'l_linestatus', l_linestatus, " +
+        "'l_partkey', cast(l_partkey as string), " +
+        "'l_quantity', cast(cast(round(l_quantity) as bigint) as string), " +
+        "'l_returnflag', l_returnflag, " +
+        "'l_tax', cast(cast(round(l_tax * 100) as bigint) as string)" +
+        ") AS (col_name, v)")
+    // the synthetic lineitem has duplicate (orderkey, linenumber) pairs,
+    // so the value itself tie-breaks the block order — deterministic in
+    // both engines (run counting needs A canonical order, not THE one)
+    val runW = Window.partitionBy(col("col_name"), col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("v"))
+    val runs = vals
+      .withColumn("prev", lag(col("v"), 1).over(runW))
+      .select(col("col_name"),
+        when(col("prev").isNull || col("prev") =!= col("v"), 1L)
+          .otherwise(0L).as("is_run"))
+      .groupBy(col("col_name")).agg(sum(col("is_run")).as("n_runs"))
+    val dist = vals.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("n"))
+    val per = dist.groupBy(col("col_name"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(length(col("v")).cast("long")).as("distinct_chars"),
+        sum(col("n") * length(col("v")).cast("long")).as("value_chars"))
+    per.join(runs, Seq("col_name"))
+      .withColumn("code_bits",
+        expr("cast(length(bin(n_distinct - 1)) as bigint)"))
+      .withColumn("plain_bits", expr("value_chars * 8"))
+      .withColumn("dict_bits_est",
+        expr("n_rows * code_bits + distinct_chars * 8"))
+      .withColumn("rle_bits_est",
+        expr("n_runs * (code_bits + 32) + distinct_chars * 8"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("n_runs"), col("code_bits"), col("plain_bits"),
+        col("dict_bits_est"), col("rle_bits_est"),
+        expr("CASE WHEN plain_bits <= dict_bits_est " +
+          "AND plain_bits <= rle_bits_est THEN 'a_plain' " +
+          "WHEN dict_bits_est <= rle_bits_est THEN 'b_dict' " +
+          "ELSE 'c_rle' END").as("best_encoding"),
+        expr("(plain_bits - least(plain_bits, dict_bits_est, " +
+          "rle_bits_est)) * 10000 div plain_bits").as("savings_bp"))
+      .orderBy(col("col_name"))
+  }
+
+  /** X143 join-order election (q217): the EXACT intermediate-result
+    * bill of both orders of the lineitem ⋈ orders ⋈ customer chain,
+    * computed from per-key count histograms WITHOUT materializing a
+    * single joined row — |A ⋈ B| = Σₖ cntA(k)·cntB(k) (Selinger et al.
+    * 1979's System R cost walk, done with exact counts instead of
+    * uniformity estimates). Per order: first-step rows, final rows
+    * (identical for both — join commutativity, spec-asserted), the
+    * total intermediate bill, and the election on that total. At
+    * 100 TB the intermediate row bill IS the shuffle cost a wrong
+    * join order pays; q150 forecasts one join, q215 prices build
+    * sides, this walks the tree.
+    *
+    * Scale posture: every histogram is a map-side-combinable groupBy
+    * on a high-cardinality join key; step cardinalities are key-keyed
+    * equi-joins of COUNT tables (never row-scale products); each
+    * order's bill folds to one row, the election is a 2-row cross with
+    * a broadcast scalar. */
+  def joinOrderElection(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame = {
+    val liCnt = graft.PlanCache.cached(spark, s"scale.liOrderCnt:$dir") {
+      graft.Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_li"))
+    }
+    val ord = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val custCnt = graft.Tables.customer(spark, dir)
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_c"))
+    // order A: (lineitem ⋈ orders) first — per-order fan-in, then the
+    // joined rows' custkey histogram meets the customer histogram
+    val j1 = graft.PlanCache.cached(spark, s"scale.liOrdCustHist:$dir") {
+      liCnt.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("n_li")).as("n_j1"))
+    }
+    val stepA1 = j1.agg(sum(col("n_j1")).as("step1_rows"))
+    val fin = j1.join(custCnt, col("o_custkey") === col("c_custkey"))
+      .agg(sum(expr("n_j1 * n_c")).as("final_rows"))
+    // order B: (orders ⋈ customer) first
+    val ocCnt = ord.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_o"))
+    val stepB1 = ocCnt.join(custCnt, col("o_custkey") === col("c_custkey"))
+      .agg(sum(expr("n_o * n_c")).as("step1_rows"))
+    def bill(name: String, step1: DataFrame): DataFrame =
+      step1.crossJoin(broadcast(fin))
+        .select(lit(name).as("join_order"), col("step1_rows"),
+          col("final_rows"),
+          (col("step1_rows") + col("final_rows")).as("total_rows"))
+    // persisted: the election scalar and the final projection both read
+    // this 2-row bill — uncached, each reference re-walks every
+    // histogram lineage (dozens of redundant scans)
+    val bills = graft.PlanCache.cached(spark, s"scale.joinOrderBills:$dir") {
+      bill("a_lineitem_orders_first", stepA1)
+        .unionByName(bill("b_orders_customer_first", stepB1))
+    }
+    val best = bills.agg(min(col("total_rows")).as("min_total"))
+    bills.crossJoin(broadcast(best))
+      .select(col("join_order"), col("step1_rows"), col("final_rows"),
+        col("total_rows"),
+        (col("total_rows") === col("min_total")).as("elected"))
+      .orderBy(col("join_order"))
+  }
+
+  def joinOrderElectionSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS k, count(*)::BIGINT AS n_li
+      |  FROM lineitem GROUP BY 1
+      |), cc AS (
+      |  SELECT c_custkey AS k, count(*)::BIGINT AS n_c
+      |  FROM customer GROUP BY 1
+      |), j1 AS (
+      |  SELECT o_custkey AS k, sum(n_li)::BIGINT AS n_j1
+      |  FROM li JOIN orders ON li.k = o_orderkey GROUP BY 1
+      |), a1 AS (
+      |  SELECT sum(n_j1)::BIGINT AS step1_rows FROM j1
+      |), fin AS (
+      |  SELECT sum(n_j1 * n_c)::BIGINT AS final_rows
+      |  FROM j1 JOIN cc ON j1.k = cc.k
+      |), oc AS (
+      |  SELECT o_custkey AS k, count(*)::BIGINT AS n_o
+      |  FROM orders GROUP BY 1
+      |), b1 AS (
+      |  SELECT sum(n_o * n_c)::BIGINT AS step1_rows
+      |  FROM oc JOIN cc ON oc.k = cc.k
+      |), bills AS (
+      |  SELECT 'a_lineitem_orders_first' AS join_order, a1.step1_rows,
+      |    fin.final_rows,
+      |    (a1.step1_rows + fin.final_rows) AS total_rows
+      |  FROM a1 CROSS JOIN fin
+      |  UNION ALL
+      |  SELECT 'b_orders_customer_first', b1.step1_rows, fin.final_rows,
+      |    (b1.step1_rows + fin.final_rows)
+      |  FROM b1 CROSS JOIN fin
+      |), best AS (
+      |  SELECT min(total_rows)::BIGINT AS min_total FROM bills
+      |)
+      |SELECT join_order, step1_rows, final_rows, total_rows,
+      |  (total_rows = best.min_total) AS elected
+      |FROM bills CROSS JOIN best ORDER BY join_order""".stripMargin
+
+  /** Per-table exact row-width expressions for [[broadcastSizing]]:
+    * 8 bytes per numeric/date column plus the exact string lengths —
+    * shared verbatim by both engines (pure length algebra). */
+  private val SizingLegs: Seq[(String, String)] = Seq(
+    ("customer", "24 + length(c_name) + length(c_mktsegment)"),
+    ("lineitem", "72 + length(l_returnflag) + length(l_linestatus)"),
+    ("nation", "16 + length(n_name)"),
+    ("orders", "32 + length(o_orderstatus) + length(o_orderpriority)"),
+    ("part", "24 + length(p_name) + length(p_brand) + length(p_type)"),
+    ("region", "8 + length(r_name)"),
+    ("supplier", "24 + length(s_name)"))
+
+  /** Broadcast thresholds [[broadcastSizing]] prices, as (label,
+    * bytes): Spark's 10 MB `autoBroadcastJoinThreshold` default and
+    * the 100 MB ceiling clusters commonly raise it to. */
+  val BroadcastThresholds: Seq[(String, Long)] =
+    Seq(("a_10mb", 10L * 1024 * 1024), ("b_100mb", 100L * 1024 * 1024))
+
+  /** X141 broadcast build-side sizing election (q215): for every table
+    * in the star, the exact row count and deserialized byte bill
+    * (8 bytes per numeric/date column + exact string lengths), and
+    * whether it fits under each broadcast threshold — the
+    * `autoBroadcastJoinThreshold` tuning read a 100 TB deployment makes
+    * BEFORE Catalyst does (a dim that misses the default 10 MB by 2×
+    * turns every star join into a sort-merge; raising the threshold for
+    * it is the single cheapest plan fix there is). ANALYZE TABLE's
+    * statistics collection expressed as an oracle-gated audit; q150
+    * forecasts a join's OUTPUT, this prices its INPUT sides.
+    *
+    * Scale posture: one map-side-combinable (count, sum-width) fold per
+    * table — each table is scanned once and collapses to ONE row before
+    * the union; thresholds fan out post-agg over the 7-row table. */
+  def broadcastSizing(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    val legs = SizingLegs.map { case (t, w) =>
+      graft.Tables.table(spark, dir, t)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr(s"cast(($w) as bigint)")).as("est_bytes"))
+        .select(lit(t).as("tbl"), col("n_rows"), col("est_bytes"))
+    }
+    val thresholds = BroadcastThresholds.map { case (n, b) =>
+      struct(lit(n).as("threshold"), lit(b).as("thr_bytes"))
+    }
+    legs.reduce(_ unionByName _)
+      .select(col("tbl"), col("n_rows"), col("est_bytes"),
+        explode(array(thresholds: _*)).as("t"))
+      .select(col("tbl"), col("t.threshold").as("threshold"),
+        col("n_rows"), col("est_bytes"), col("t.thr_bytes").as("thr_bytes"),
+        (col("est_bytes") <= col("t.thr_bytes")).as("fits"))
+      .orderBy(col("tbl"), col("threshold"))
+  }
+
+  def broadcastSizingSql: String = {
+    val legs = SizingLegs.map { case (t, w) =>
+      s"""SELECT '$t' AS tbl, count(*)::BIGINT AS n_rows,
+         |    sum($w)::BIGINT AS est_bytes FROM $t""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val thr = BroadcastThresholds.map { case (n, b) =>
+      s"SELECT '$n' AS threshold, $b::BIGINT AS thr_bytes"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sizes AS (
+       |  $legs
+       |), thr AS (
+       |  $thr
+       |)
+       |SELECT tbl, threshold, n_rows, est_bytes, thr_bytes,
+       |  (est_bytes <= thr_bytes) AS fits
+       |FROM sizes CROSS JOIN thr ORDER BY tbl, threshold""".stripMargin
+  }
+
+  def encodingElectionSql: String =
+    """WITH vals AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    'l_linestatus' AS col_name, l_linestatus AS v FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber,
+      |    'l_partkey', l_partkey::VARCHAR FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber,
+      |    'l_quantity', round(l_quantity)::BIGINT::VARCHAR FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber,
+      |    'l_returnflag', l_returnflag FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber,
+      |    'l_tax', CAST(round(l_tax * 100) AS BIGINT)::VARCHAR FROM lineitem
+      |), runs0 AS (
+      |  SELECT col_name,
+      |    CASE WHEN lag(v) OVER (PARTITION BY col_name, l_orderkey
+      |      ORDER BY l_linenumber, v) IS DISTINCT FROM v THEN 1 ELSE 0 END
+      |      AS is_run
+      |  FROM vals
+      |), runs AS (
+      |  SELECT col_name, sum(is_run)::BIGINT AS n_runs FROM runs0 GROUP BY 1
+      |), d AS (
+      |  SELECT col_name, v, count(*)::BIGINT AS n FROM vals GROUP BY 1, 2
+      |), per AS (
+      |  SELECT col_name, sum(n)::BIGINT AS n_rows,
+      |    count(*)::BIGINT AS n_distinct,
+      |    sum(length(v))::BIGINT AS distinct_chars,
+      |    sum(n * length(v))::BIGINT AS value_chars
+      |  FROM d GROUP BY 1
+      |), e AS (
+      |  SELECT per.col_name, n_rows, n_distinct, n_runs,
+      |    length(bin(n_distinct - 1))::BIGINT AS code_bits,
+      |    value_chars * 8 AS plain_bits,
+      |    n_rows * length(bin(n_distinct - 1))::BIGINT
+      |      + distinct_chars * 8 AS dict_bits_est,
+      |    n_runs * (length(bin(n_distinct - 1))::BIGINT + 32)
+      |      + distinct_chars * 8 AS rle_bits_est
+      |  FROM per JOIN runs USING (col_name)
+      |)
+      |SELECT col_name, n_rows, n_distinct, n_runs, code_bits, plain_bits,
+      |  dict_bits_est, rle_bits_est,
+      |  CASE WHEN plain_bits <= dict_bits_est
+      |    AND plain_bits <= rle_bits_est THEN 'a_plain'
+      |    WHEN dict_bits_est <= rle_bits_est THEN 'b_dict'
+      |    ELSE 'c_rle' END AS best_encoding,
+      |  ((plain_bits - least(plain_bits, dict_bits_est, rle_bits_est))
+      |    * 10000 // plain_bits)::BIGINT AS savings_bp
+      |FROM e ORDER BY col_name""".stripMargin
 }

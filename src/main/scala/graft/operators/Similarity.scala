@@ -486,10 +486,9 @@ object Similarity {
                 k: Int = 10, nprobe: Int = 2): DataFrame = {
     // the brute-force truth (|queries|·k rows) is referenced by BOTH
     // recall legs — persist so the corpus-wide exact ranking runs once,
-    // not once per audited index
-    val exact = graft.PlanCache.cached(spark, s"sim.annTruth:$k:$dir") {
-      cosineTopK(spark, dir, k).select(col("query_id"), col("vec_id"))
-    }
+    // not once per audited index (and once across q93/q209, which share
+    // this key; the exact rank rides along for q209's graded relevance)
+    val exact = annTruth(spark, dir, k)
     def recallOf(approx: DataFrame, index: String): DataFrame =
       exact.join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
           Seq("query_id", "vec_id"), "left")
@@ -517,6 +516,106 @@ object Similarity {
        |UNION ALL
        |${leg(ivfMultiProbeTopKSql(k, nprobe), s"ivf_nprobe$nprobe")}
        |ORDER BY index_kind, query_id""".stripMargin
+  }
+
+  // ---- X135: graded retrieval-metrics eval (q209) --------------------------
+
+  /** Exact-ranking ground truth shared by the q93 recall and q209 graded
+    * audits: (query_id, vec_id, true_rank), PlanCache'd so the
+    * corpus-wide brute-force ranking runs once per (session, dir, k). */
+  private def annTruth(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.PlanCache.cached(spark, s"sim.annTruth:$k:$dir") {
+      cosineTopK(spark, dir, k)
+        .select(col("query_id"), col("vec_id"), col("rank").as("true_rank"))
+    }
+
+  /** Per-position DCG discounts in exact micro units —
+    * round(10⁶ / log2(i + 1)) for system rank i = 1..10, fixed integer
+    * constants so no runtime log ever crosses engines (the q205
+    * closed-form-constant rule). Extend the list before raising k. */
+  val DcgDiscMicro: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** X135 graded retrieval-metrics eval (q209): NDCG@k and MRR for the
+    * IVF index at nprobe=1 and nprobe=`nprobe` against the brute-force
+    * exact ranking — the GRADED companion to q93's recall@k. Recall
+    * treats every exact-top-k member alike; NDCG prices WHERE the index
+    * put them (losing the top result costs more than losing the tenth),
+    * and MRR prices how deep a user scrolls to the first true hit —
+    * the two numbers a retrieval deployment actually tracks (Järvelin &
+    * Kekäläinen 2002 for DCG; standard IR practice for MRR).
+    *
+    * Graded relevance of a returned vector is (k + 1 − true_rank) —
+    * exact-rank-graded, 0 when outside the exact top-k — so
+    * ndcg_bp = DCG·10⁴ div IDCG with IDCG the constant perfect-ordering
+    * bill, and rr_micro = 10⁶ div first-hit system rank (0 = no hit).
+    * All integer: discounts are the fixed [[DcgDiscMicro]] LUT, so both
+    * engines land identical BIGINTs.
+    *
+    * Scale posture: composes the SAME three already-audited ranking
+    * plans as q93 (exact truth PlanCache-shared via [[annTruth]]); the
+    * metric join is keyed (query_id, vec_id) over ≤2·k·|queries| rows —
+    * audit-sized at any corpus scale; per-query folds are k-row groups.
+    * At 100 TB the exact leg runs over a SAMPLED query set, which the
+    * fixed [[QueryIds]] probe set models. */
+  def gradedRetrievalEval(spark: SparkSession, dir: String,
+                          k: Int = 10, nprobe: Int = 2): DataFrame = {
+    require(k <= DcgDiscMicro.size,
+      s"gradedRetrievalEval: k=$k exceeds the ${DcgDiscMicro.size}-entry " +
+        "DcgDiscMicro LUT — extend the constant list first")
+    val idcgMicro =
+      (1 to k).map(i => (k + 1 - i).toLong * DcgDiscMicro(i - 1)).sum
+    val truth = annTruth(spark, dir, k)
+    val disc = array(DcgDiscMicro.take(k).map(lit): _*)
+    def metricsOf(approx: DataFrame, index: String): DataFrame =
+      approx.select(col("query_id"), col("rank").as("sys_rank"), col("vec_id"))
+        .join(truth, Seq("query_id", "vec_id"), "left")
+        .select(col("query_id"), col("sys_rank"),
+          coalesce(lit(k.toLong + 1) - col("true_rank"), lit(0L)).as("rel"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_sys"),
+          sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"),
+          sum(col("rel") * element_at(disc, col("sys_rank").cast("int")))
+            .as("dcg_micro"),
+          min(when(col("rel") > 0, col("sys_rank"))).as("first_hit"))
+        .select(lit(index).as("index_kind"), col("query_id"), col("n_sys"),
+          col("n_hit"), col("dcg_micro"),
+          expr(s"dcg_micro * 10000 div ${idcgMicro}L").as("ndcg_bp"),
+          expr("coalesce(1000000 div first_hit, 0)").as("rr_micro"))
+    metricsOf(ivfTopK(spark, dir, k), "ivf_nprobe1")
+      .unionByName(metricsOf(ivfMultiProbeTopK(spark, dir, k, nprobe),
+        s"ivf_nprobe$nprobe"))
+      .orderBy(col("index_kind"), col("query_id"))
+  }
+
+  def gradedRetrievalEvalSql(k: Int = 10, nprobe: Int = 2): String = {
+    val idcgMicro =
+      (1 to k).map(i => (k + 1 - i).toLong * DcgDiscMicro(i - 1)).sum
+    val discList = DcgDiscMicro.take(k).mkString("[", ", ", "]")
+    def leg(approxSql: String, index: String): String =
+      s"""SELECT '$index' AS index_kind, s.query_id,
+         |  s.rank AS sys_rank,
+         |  CASE WHEN t.vec_id IS NULL THEN 0
+         |       ELSE ${k + 1} - t.true_rank END AS rel
+         |FROM ($approxSql) s
+         |LEFT JOIN truth t
+         |  ON s.query_id = t.query_id AND s.vec_id = t.vec_id""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT query_id, vec_id, rank AS true_rank
+       |  FROM (${cosineTopKSql(k)})
+       |), j AS (
+       |  ${leg(ivfTopKSql(k), "ivf_nprobe1")}
+       |  UNION ALL
+       |  ${leg(ivfMultiProbeTopKSql(k, nprobe), s"ivf_nprobe$nprobe")}
+       |)
+       |SELECT index_kind, query_id, count(*)::BIGINT AS n_sys,
+       |  sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       |  sum(rel::HUGEINT * ($discList)[sys_rank])::BIGINT AS dcg_micro,
+       |  (sum(rel::HUGEINT * ($discList)[sys_rank]) * 10000
+       |    // $idcgMicro)::BIGINT AS ndcg_bp,
+       |  coalesce(1000000 // min(CASE WHEN rel > 0 THEN sys_rank END),
+       |    0)::BIGINT AS rr_micro
+       |FROM j GROUP BY 1, 2 ORDER BY index_kind, query_id""".stripMargin
   }
 
   // ---- X18: label-purity audit (q89) --------------------------------------

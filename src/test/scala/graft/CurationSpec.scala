@@ -1104,4 +1104,30 @@ class CurationSpec extends SparkSpec {
     assert(out("lineitem") == ((4L, 3L, 1L, 7500L)),
       "the cascade must erase every line of every deleted order")
   }
+
+  test("lDiversity (q211): homogeneous class flagged below its row-diverse twin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ldiv").toString
+    // class A = (nation 1, S, band): c1 + c2, every order priority P1
+    // (ldiv 1 — the homogeneity attack); class B = (nation 2, S, band):
+    // c3 with priorities P1/P2/P3 (ldiv 3). 3 released rows each.
+    Seq((1L, "c1", 1L, 0.0, "S"), (2L, "c2", 1L, 0.0, "S"),
+      (3L, "c3", 2L, 0.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "P1"), (2L, 1L, "P1"), (3L, 2L, "P1"),
+      (4L, 3L, "P1"), (5L, 3L, "P2"), (6L, 3L, "P3"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Curation.lDiversity(spark, dir).collect()
+      .map(r => r.getAs[Long]("l") ->
+        (r.getAs[Long]("n_classes"), r.getAs[Long]("classes_below"),
+          r.getAs[Long]("n_rows"), r.getAs[Long]("rows_at_risk"),
+          r.getAs[Long]("risk_bp"))).toMap
+    assert(out.size == 3)
+    assert(out(2L) == ((2L, 1L, 6L, 3L, 5000L)))
+    assert(out(3L) == ((2L, 1L, 6L, 3L, 5000L)),
+      "ldiv 3 is NOT below l = 3 (strict threshold)")
+    assert(out(5L) == ((2L, 2L, 6L, 6L, 10000L)))
+  }
 }

@@ -808,4 +808,58 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out == Map((1L, 4L) -> 1L, (2L, 2L) -> 1L, (3L, 1L) -> 1L,
       (4L, 0L) -> 1L, (0L, 3L) -> 1L), s"got $out")
   }
+
+  test("decileGains (q213): tie-stable decile election, exact lift/capture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gains2").toString
+    var eid = 0L
+    def ev(u: Long, t: String, n: Int) = (1 to n).map { _ =>
+      eid += 1; (eid, nanos(eid), u, t, 1.0, "{}") }
+    // scores (click+view): u1=4, u2=3, u3=2, u4=1, u5=0; purchases:
+    // u1=3, u2=1, u5=1 → total 5 over 5 users; positive iff n_purch·5 > 5
+    // (strictly above the mean) → u1 only
+    (ev(1, "click", 4) ++ ev(1, "purchase", 3) ++
+      ev(2, "view", 3) ++ ev(2, "purchase", 1) ++
+      ev(3, "click", 2) ++ ev(4, "view", 1) ++
+      ev(5, "error", 1) ++ ev(5, "purchase", 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.decileGains(spark, dir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("cum_users"), r.getAs[Long]("cum_pos"),
+          r.getAs[Long]("rate_bp"), r.getAs[Long]("lift_bp"),
+          r.getAs[Long]("capture_bp"))).toMap
+    // cum ranks 1..5 from the top score land in deciles 1,3,5,7,9
+    assert(out.keySet == Set(1L, 3L, 5L, 7L, 9L), s"got ${out.keySet}")
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 10000L, 50000L, 10000L)))
+    assert(out(3L) == ((1L, 0L, 2L, 1L, 0L, 0L, 10000L)))
+    assert(out(9L) == ((1L, 0L, 5L, 1L, 0L, 0L, 10000L)))
+  }
+
+  test("sessionPaths (q216): opening trigrams, late conversion still counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_paths").toString
+    var eid = 0L
+    def ev(u: Long, t: String, sec: Long) = { eid += 1
+      (eid, nanos(sec), u, t, 1.0, "{}") }
+    // u1 session 1: view>click>purchase + a 4th event (purchase INSIDE
+    // the opening); u1 session 2 (a day later): view>click, converts 0;
+    // u2: click>view>view>purchase — converts via an event PAST the
+    // opening trigram
+    (Seq(ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", 3),
+      ev(1, "click", 4),
+      ev(1, "view", day + 100), ev(1, "click", day + 101),
+      ev(2, "click", 10), ev(2, "view", 11), ev(2, "view", 12),
+      ev(2, "purchase", 13)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.sessionPaths(spark, dir).collect()
+      .map(r => r.getAs[String]("path") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("n_convert"), r.getAs[Long]("convert_bp")))
+    assert(out.toMap == Map(
+      "view>click>purchase" -> ((1L, 3333L, 1L, 10000L)),
+      "view>click" -> ((1L, 3333L, 0L, 0L)),
+      "click>view>view" -> ((1L, 3333L, 1L, 10000L))),
+      s"got ${out.mkString(", ")}")
+  }
 }

@@ -227,4 +227,78 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out("c_31_90d") == ((1L, 1L, 3333L)))
     assert(out("d_gt_90d") == ((1L, 1L, 3333L)))
   }
+
+  test("supplierSkyline (q208): exact dominance with the strict-in-one tie rule") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skyline").toString
+    Seq((0L, "R1"), (1L, "R2")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((10L, "N1", 0L), (11L, "N2", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    // R1: S1 (unit 10000, bal 10000), S2 (5000, 5000), S3 (10000, 9000 —
+    // same-price-dominated by S1), S4 (12000, 10000 — dominated by S1),
+    // S5 (5000, 5000 — equal point to S2: BOTH stay). R2: S6 alone.
+    Seq((1L, "S1", 10L, 100.0), (2L, "S2", 10L, 50.0), (3L, "S3", 10L, 90.0),
+      (4L, "S4", 10L, 100.0), (5L, "S5", 10L, 50.0), (6L, "S6", 11L, -5.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    // (suppkey, qty, price): unit_tenth_cents = round(price·100)·10 div qty
+    Seq((1L, 2.0, 20.0), (2L, 2.0, 10.0), (3L, 1.0, 10.0), (4L, 1.0, 12.0),
+      (5L, 4.0, 20.0), (6L, 1.0, 99.0))
+      .toDF("l_suppkey", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.supplierSkyline(spark, dir).collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("s_suppkey"),
+        r.getAs[Long]("unit_tenth_cents"), r.getAs[Long]("bal_cents")))
+    assert(out.toSeq == Seq(("R1", 2L, 5000L, 5000L),
+      ("R1", 5L, 5000L, 5000L), ("R1", 1L, 10000L, 10000L),
+      ("R2", 6L, 99000L, -500L)),
+      s"skyline mismatch: ${out.mkString(", ")}")
+  }
+
+  test("basketTriples (q212): canonical triple fan-out, support and lift exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_triples").toString
+    // order 1: {1,2,3} (with a duplicate part 1 line — sets dedup);
+    // order 2: {1,2,3,4}; order 3: {1,2} (too small for a triple)
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.basketTriples(spark, dir).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("part_c"), r.getAs[Long]("support"),
+        r.getAs[Long]("lift_bp")))
+    // N = 3 baskets; part orders: p1 3, p2 3, p3 2, p4 1
+    // (1,2,3): 2·9·10⁴ div (3·3·2) = 10000; (1,2,4): 1·9·10⁴ div 9 =
+    // 10000; (1,3,4) and (2,3,4): 1·9·10⁴ div 6 = 15000
+    assert(out.toSeq == Seq((1L, 2L, 3L, 2L, 10000L),
+      (1L, 2L, 4L, 1L, 10000L), (1L, 3L, 4L, 1L, 15000L),
+      (2L, 3L, 4L, 1L, 15000L)), s"got ${out.mkString(", ")}")
+  }
+
+  test("dependenceAudit (q214): exact FD scores 10000, independence 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dep").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // returnflag ↔ linestatus is a perfect two-way FD; quantity is
+    // independent of returnflag (uniform 2×2); shipmonth is CONSTANT so
+    // conditioning on it buys nothing. Uniform powers of two make every
+    // milli-bit entropy exact: H = 1000 mb, H(·|indep) = 1000 mb.
+    Seq(("A", "X", 1.0, ts("1970-01-10 00:00:00")),
+      ("A", "X", 2.0, ts("1970-01-11 00:00:00")),
+      ("B", "Y", 1.0, ts("1970-01-12 00:00:00")),
+      ("B", "Y", 2.0, ts("1970-01-13 00:00:00")))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.dependenceAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("dependency") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_cells"),
+          r.getAs[Long]("h_b_mb"), r.getAs[Long]("h_b_given_a_mb"),
+          r.getAs[Long]("dependence_bp"))).toMap
+    assert(out.size == 4)
+    assert(out("a_returnflag_to_linestatus") == ((4L, 2L, 1000L, 0L, 10000L)))
+    assert(out("b_linestatus_to_returnflag") == ((4L, 2L, 1000L, 0L, 10000L)))
+    assert(out("c_quantity_to_returnflag") == ((4L, 4L, 1000L, 1000L, 0L)))
+    assert(out("d_shipmonth_to_linestatus") == ((4L, 2L, 1000L, 1000L, 0L)))
+  }
 }

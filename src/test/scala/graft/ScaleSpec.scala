@@ -279,4 +279,110 @@ class ScaleSpec extends SparkSpec {
     assert(out(("c_zorder", "point_orderkey")) == ((64L, 512L, 64L, 8750L)))
     assert(out(("c_zorder", "range_shipdate")) == ((64L, 512L, 120L, 7656L)))
   }
+
+  test("encodingElection (q210): exact bit bills and winners on a hand fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_enc").toString
+    // (orderkey, linenumber, linestatus, partkey, quantity, tax, returnflag)
+    Seq((1L, 1, "O", 1L, 1.0, 0.04, "A"), (1L, 2, "O", 2L, 1.0, 0.04, "A"),
+      (1L, 3, "O", 3L, 2.0, 0.04, "B"), (1L, 4, "O", 4L, 2.0, 0.04, "B"),
+      (2L, 1, "O", 5L, 3.0, 0.04, "A"), (2L, 2, "O", 6L, 3.0, 0.04, "B"))
+      .toDF("l_orderkey", "l_linenumber", "l_linestatus", "l_partkey",
+        "l_quantity", "l_tax", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Scale.encodingElection(spark, dir).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("n_runs"), r.getAs[Long]("code_bits"),
+          r.getAs[Long]("plain_bits"), r.getAs[Long]("dict_bits_est"),
+          r.getAs[Long]("rle_bits_est"), r.getAs[String]("best_encoding"),
+          r.getAs[Long]("savings_bp"))).toMap
+    assert(out.size == 5)
+    // returnflag A A B B | A B: 2 distinct, 2+2 runs, 1 code bit;
+    // plain 48, dict 6+16 = 22, rle 4·33+16 = 148 → dict saves 5416 bp
+    assert(out("l_returnflag") ==
+      ((6L, 2L, 4L, 1L, 48L, 22L, 148L, "b_dict", 5416L)))
+    // linestatus all O: 1 distinct (bin(0) = '0' → 1 bit), 1+1 runs;
+    // dict 6+8 = 14, rle 2·33+8 = 74
+    assert(out("l_linestatus") ==
+      ((6L, 1L, 2L, 1L, 48L, 14L, 74L, "b_dict", 7083L)))
+    // quantity 1 1 2 2 | 3 3: 3 distinct → 2 code bits, 2+1 runs;
+    // dict 12+24 = 36, rle 3·34+24 = 126
+    assert(out("l_quantity") ==
+      ((6L, 3L, 3L, 2L, 48L, 36L, 126L, "b_dict", 2500L)))
+    // tax all 4 cents: same bill as linestatus
+    assert(out("l_tax") == ((6L, 1L, 2L, 1L, 48L, 14L, 74L, "b_dict", 7083L)))
+    // partkey all distinct: 6 distinct → 3 code bits, 4+2 runs;
+    // dict 18+48 = 66, rle 6·35+48 = 258 → plain wins, saves nothing
+    assert(out("l_partkey") ==
+      ((6L, 6L, 6L, 3L, 48L, 66L, 258L, "a_plain", 0L)))
+  }
+
+  test("broadcastSizing (q215): exact per-table byte bills, threshold fan-out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bsize").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((0L, "R")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((0L, "N", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "SS", 0L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((1L, "ccc", 0L, 0.0, "MKT"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, "pn", "br", "ty", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((1L, 1L, "O", 1.0, ts("1970-01-02 00:00:00"), "PRIO"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "A", "F",
+      ts("1970-01-03 00:00:00")),
+      (1L, 2L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "R", "O",
+        ts("1970-01-04 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Scale.broadcastSizing(spark, dir).collect()
+      .map(r => (r.getAs[String]("tbl"), r.getAs[String]("threshold")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"),
+          r.getAs[Boolean]("fits"))).toMap
+    assert(out.size == 14, "7 tables x 2 thresholds")
+    // widths: 8/byte per numeric/date col + exact string lengths
+    assert(out(("region", "a_10mb")) == ((1L, 9L, true)))
+    assert(out(("nation", "a_10mb")) == ((1L, 17L, true)))
+    assert(out(("supplier", "a_10mb")) == ((1L, 26L, true)))
+    assert(out(("customer", "a_10mb")) == ((1L, 30L, true)))
+    assert(out(("part", "a_10mb")) == ((1L, 30L, true)))
+    assert(out(("orders", "a_10mb")) == ((1L, 37L, true)))
+    assert(out(("lineitem", "b_100mb")) == ((2L, 148L, true)))
+  }
+
+  test("joinOrderElection (q217): exact intermediate bills from count histograms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jorder").toString
+    Seq((1L, "c1", 0L, 0.0), (2L, "c2", 0L, 0.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    // o1 x3 lines, o2 x1, o3 x2 → |li⋈o| = 6; |o⋈c| = 3; final = 6
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (3L, 5L), (3L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Scale.joinOrderElection(spark, dir).collect()
+      .map(r => r.getAs[String]("join_order") ->
+        (r.getAs[Long]("step1_rows"), r.getAs[Long]("final_rows"),
+          r.getAs[Long]("total_rows"), r.getAs[Boolean]("elected"))).toMap
+    assert(out("a_lineitem_orders_first") == ((6L, 6L, 12L, false)))
+    assert(out("b_orders_customer_first") == ((3L, 6L, 9L, true)),
+      "joining the dims first defers the fact fan-in — the cheaper walk")
+    // join commutativity: both orders land on the same final cardinality
+    assert(out.values.map(_._2).toSet.size == 1)
+  }
 }

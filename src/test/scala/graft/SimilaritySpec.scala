@@ -446,4 +446,56 @@ class SimilaritySpec extends SparkSpec {
       s.getAs[Long]("nd") == s.getAs[Long]("n"),
       "vec_id must be dense 0..n-1")
   }
+
+  test("DcgDiscMicro LUT pins round(1e6 / log2(i + 1))") {
+    graft.operators.Similarity.DcgDiscMicro.zipWithIndex.foreach {
+      case (d, i) =>
+        val expect = math.round(1e6 / (math.log(i + 2) / math.log(2)))
+        assert(d == expect, s"disc(${i + 1}) must be $expect, got $d")
+    }
+  }
+
+  test("gradedRetrievalEval (q209): NDCG/MRR match an independent recompute") {
+    val k = 10
+    val disc = graft.operators.Similarity.DcgDiscMicro
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    // independent Scala recompute from the component rankings (each
+    // fixture-tested on its own)
+    val truth = graft.operators.Similarity.cosineTopK(spark, sf0001, k)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("rank")).toMap
+    def expect(sys: Array[(Long, Long, Long)]): Map[(Long, Long, Long), Long] =
+      // (query, sys_rank, vec) → per-query (dcg, first_hit 0-sentinel) fold
+      sys.groupBy(_._1).flatMap { case (q, rows) =>
+        val rels = rows.map { case (_, sr, v) =>
+          (sr, truth.get((q, v)).map(tr => k + 1 - tr).getOrElse(0L)) }
+        val dcg = rels.map { case (sr, rel) => rel * disc(sr.toInt - 1) }.sum
+        val hits = rels.filter(_._2 > 0).map(_._1)
+        val rr = if (hits.isEmpty) 0L else 1000000L / hits.min
+        Seq((q, 0L, 0L) -> dcg, (q, 1L, 0L) -> rr)
+      }
+    val out = graft.operators.Similarity.gradedRetrievalEval(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty && out.length % 2 == 0)
+    val byKind = out.groupBy(_.getAs[String]("index_kind"))
+    assert(byKind.keySet == Set("ivf_nprobe1", "ivf_nprobe2"))
+    Seq("ivf_nprobe1" -> graft.operators.Similarity.ivfTopK(spark, sf0001, k),
+      "ivf_nprobe2" ->
+        graft.operators.Similarity.ivfMultiProbeTopK(spark, sf0001, k, 2))
+      .foreach { case (kind, sysDf) =>
+        val sys = sysDf.collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+        val exp = expect(sys)
+        byKind(kind).foreach { r =>
+          val q = r.getAs[Long]("query_id")
+          val dcg = r.getAs[Long]("dcg_micro")
+          assert(dcg == exp((q, 0L, 0L)), s"$kind q$q dcg")
+          assert(r.getAs[Long]("rr_micro") == exp((q, 1L, 0L)), s"$kind q$q rr")
+          assert(r.getAs[Long]("ndcg_bp") == dcg * 10000L / idcg)
+          assert(r.getAs[Long]("ndcg_bp") <= 10000L)
+          assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_sys"))
+        }
+      }
+  }
 }
