@@ -23,11 +23,11 @@ object PlanAudit {
     * side (query-point sets, centroid tables, calendar dimensions) —
     * the audit can see the operator but not the cardinality proof. */
   def redFlags(df: DataFrame, allowBnlj: Boolean = false): Seq[String] = {
-    val p = df.queryExecution.executedPlan.toString
+    val nodes = planLines(df)
     val flags = Seq.newBuilder[String]
-    if (p.contains("CartesianProduct"))
+    if (nodes.exists(_._2.contains("CartesianProduct")))
       flags += "CartesianProduct: unbounded all-pairs join — never survives scale"
-    if (!allowBnlj && p.contains("BroadcastNestedLoopJoin"))
+    if (!allowBnlj && nodes.exists(_._2.contains("BroadcastNestedLoopJoin")))
       flags += ("BroadcastNestedLoopJoin: verify the broadcast side is " +
         "provably tiny (or pass allowBnlj = true once proven)")
     // a Window is a red flag only when ITS OWN input collapses to one
@@ -36,21 +36,34 @@ object PlanAudit {
     // co-occurrence alone would false-positive (q122: a user_id-keyed
     // lag window + a broadcast scalar total in one plan). Walk each
     // Window's subtree and inspect the first Exchange feeding it.
-    val lines = p.linesIterator.toVector
-    def d(l: String): Int =
-      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*').length
-    val badWindow = lines.zipWithIndex.exists { case (l, i) =>
-      l.contains("Window [") && {
-        val wd = d(l)
-        lines.drop(i + 1).takeWhile(d(_) > wd)
+    val badWindow = nodes.exists { case (n, s) =>
+      s.contains("Window [") &&
+        org.apache.spark.sql.graft.bridge.planNodes(n).drop(1)
+          .map(nodeLine)
           .find(_.contains("Exchange"))
           .exists(_.contains("SinglePartition"))
-      }
     }
     if (badWindow)
       flags += "Window over SinglePartition: whole-dataset single-task sort"
     flags.result()
   }
+
+  /** One (node, description-line) pair per node of `df`'s executed plan
+    * tree — AQE wrappers and query stages unwrapped, cached
+    * (InMemoryRelation) build subtrees EXCLUDED. The earlier treeString
+    * line parsing broke on materialized caches: their inner AQE
+    * "== Final/Initial Plan ==" sections print at arbitrary indentation
+    * and leaked cached work into this query's counts (q217 showed 39
+    * phantom scans). Walking the node tree makes the cache boundary
+    * structural: InMemoryTableScan is a leaf. */
+  private def planLines(df: DataFrame)
+      : Seq[(org.apache.spark.sql.execution.SparkPlan, String)] =
+    org.apache.spark.sql.graft.bridge
+      .planNodes(df.queryExecution.executedPlan)
+      .map(n => (n, nodeLine(n)))
+
+  private def nodeLine(n: org.apache.spark.sql.execution.SparkPlan): String =
+    n.simpleString(150)
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -112,6 +125,15 @@ object PlanAudit {
     // q217's bills and election are 1-2-row scalar crosses (step
     // scalars × final scalar × min scalar) — nothing row-scale
     "q217_join_order",
+    // q219 crossJoins the broadcast SINGLE-ROW best-candidate scalar
+    // onto the 3-row profile — the q150 audited scalar shape
+    "q219_shuffle_advisor",
+    // q222 crossJoins two broadcast SINGLE-ROW scalars (total, leftover)
+    // plus the q167 remainder-ranking triangle over |sources| rows
+    "q222_hamilton_alloc",
+    // q224 crossJoins the broadcast SINGLE-ROW part total onto the
+    // ≤5-row band table — the q127 audited scalar shape
+    "q224_copurchase_degrees",
     // q213's cumulative folds are broadcast triangle theta-joins over
     // the distinct-score histogram and the ≤10-row decile table, plus
     // two single-row scalar crosses — the q167/q108 audited shapes
@@ -240,29 +262,11 @@ object PlanAudit {
     * this is the initial plan (runtime re-plans only ever remove
     * exchanges, so the counts are an upper bound). */
   def shape(df: DataFrame): Seq[(String, Int)] = {
-    // elide cached subtrees: the tree printer repeats an InMemoryRelation's
-    // stored plan under EVERY InMemoryTableScan that references it, so a
-    // raw line count would grow with how many consumers share a cache
-    // (and with session history) rather than with executed work — skip
-    // every line nested deeper than an InMemoryRelation marker. A
-    // MATERIALIZED cache additionally prints its AQE "== Final Plan ==" /
-    // "== Initial Plan ==" sections at the SAME depth as the IMR line
-    // (not deeper), so the skip is >= — safe because an IMR is always an
-    // only child: nothing legitimate shares its depth before the tree
-    // pops back above it.
-    val raw = df.queryExecution.executedPlan.toString.linesIterator.toList
-    def depth(l: String): Int =
-      l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*').length
-    val lines = {
-      var skipAt = -1
-      raw.filter { l =>
-        if (skipAt >= 0 && depth(l) >= skipAt) false
-        else {
-          skipAt = if (l.contains("InMemoryRelation")) depth(l) else -1
-          true
-        }
-      }
-    }
+    // one description line per plan-tree node, cached build subtrees
+    // structurally excluded (see planLines) — counts reflect THIS
+    // query's executed work, independent of how many consumers share a
+    // cache or whether it materialized
+    val lines = planLines(df).map(_._2)
     def n(pred: String => Boolean) = lines.count(pred)
     Seq(
       "shuffle_exchanges" -> n(l => l.contains("Exchange") &&

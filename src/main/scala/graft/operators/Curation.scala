@@ -2770,6 +2770,80 @@ object Curation {
        |FROM u ORDER BY l""".stripMargin
   }
 
+  /** X148 Hamilton largest-remainder apportionment (q222): allocate an
+    * exact integer sample budget across sources proportionally —
+    * base = ⌊target·nₛ/total⌋ per source, then the leftover seats go to
+    * the largest remainders (ties by source name). Hamilton's method
+    * (1792, the US House apportionment rule) is THE exact-integer
+    * proportional allocator: q86/q114/q108 decide what the target MIX
+    * should be; this converts any mix into whole-document counts that
+    * sum EXACTLY to the budget — the last step before a sampler runs,
+    * where naive rounding silently over- or under-draws.
+    *
+    * Scale posture: one corpus pass collapses to the |sources|-row
+    * count table; base/remainder are per-row integer algebra against a
+    * broadcast 1-row total; the remainder ranking is the q167 broadcast
+    * triangle (never a single-partition window); the leftover is a
+    * 1-row fold. Σ alloc = target is spec-asserted. */
+  def hamiltonAllocation(spark: SparkSession, dir: String,
+                         target: Long = 1000L): DataFrame = {
+    require(target > 0, s"hamiltonAllocation: target must be positive")
+    val src = graft.PlanCache.cached(spark, s"curation.srcCounts:$dir") {
+      Tables.documents(spark, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    }
+    val tot = src.agg(sum(col("n_docs")).as("total"))
+    val base = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("total"),
+        expr(s"n_docs * ${target}L div total").as("base_alloc"),
+        expr(s"(n_docs * ${target}L) % total").as("remainder"))
+    val leftover = base.agg((lit(target) - sum(col("base_alloc")))
+      .as("leftover"))
+    val b2 = base.select(col("source").as("s2"), col("remainder").as("r2"))
+    base
+      .join(broadcast(b2),
+        expr("r2 > remainder OR (r2 = remainder AND s2 < source)"), "left")
+      .groupBy(col("source"), col("n_docs"), col("total"),
+        col("base_alloc"), col("remainder"))
+      .agg(count(col("s2")).as("rnk"))
+      .crossJoin(broadcast(leftover))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 10000 div total").as("share_bp"),
+        col("base_alloc"), col("remainder"),
+        (col("rnk") < col("leftover")).as("plus_one"),
+        expr("base_alloc + (CASE WHEN rnk < leftover THEN 1 ELSE 0 END)")
+          .as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  def hamiltonAllocationSql(target: Long = 1000L): String =
+    s"""WITH src AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(n_docs)::BIGINT AS total FROM src
+       |), base AS (
+       |  SELECT source, n_docs, total,
+       |    (n_docs * $target // total)::BIGINT AS base_alloc,
+       |    ((n_docs * $target) % total)::BIGINT AS remainder
+       |  FROM src CROSS JOIN tot
+       |), lo AS (
+       |  SELECT ($target - sum(base_alloc))::BIGINT AS leftover FROM base
+       |), ranked AS (
+       |  SELECT a.source, a.n_docs, a.total, a.base_alloc, a.remainder,
+       |    count(b.source)::BIGINT AS rnk
+       |  FROM base a LEFT JOIN base b
+       |    ON b.remainder > a.remainder
+       |    OR (b.remainder = a.remainder AND b.source < a.source)
+       |  GROUP BY 1, 2, 3, 4, 5
+       |)
+       |SELECT source, n_docs,
+       |  (n_docs * 10000 // total)::BIGINT AS share_bp,
+       |  base_alloc, remainder,
+       |  (rnk < lo.leftover) AS plus_one,
+       |  (base_alloc + CASE WHEN rnk < lo.leftover THEN 1 ELSE 0
+       |    END)::BIGINT AS alloc
+       |FROM ranked CROSS JOIN lo ORDER BY source""".stripMargin
+
   /** Right-to-erasure sweep audit (q193): given a deterministic deletion
     * cohort (custkey ≡ 0 mod `modulus` — the stand-in for a GDPR/CCPA
     * deletion list), the exact per-table blast radius through the

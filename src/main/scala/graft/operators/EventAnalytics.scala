@@ -1957,6 +1957,127 @@ object EventAnalytics {
       |    ELSE (cum_pos * 10000 // dt.tot_pos)::BIGINT END AS capture_bp
       |FROM c CROSS JOIN dt ORDER BY decile""".stripMargin
 
+  // ---- X147: funnel stage-dwell diagnosis (q221) -----------------------------
+
+  /** X147 funnel stage-dwell diagnosis (q221): per consecutive funnel
+    * transition (signup→view, view→purchase, the q58 first-touch
+    * inclusive-tie rule) — users entering, users passing, pass rate bp,
+    * and the exact mean and median dwell seconds of the passers. q58
+    * counts WHO falls out of the funnel, q130 prices the END-TO-END
+    * conversion delay; this attributes the delay (and the drop) to the
+    * STAGE that causes it — the diagnosis a growth team acts on
+    * ("step 2 passes fine but takes 3 days; step 3 is where we lose
+    * them").
+    *
+    * The median is the q132 exact-rank election (cum ≥ ⌈n/2⌉ over the
+    * per-stage dwell histogram) — never ntile, never interpolated; the
+    * histogram is keyed on whole dwell SECONDS, so its size is bounded
+    * by the calendar span (the q200 value-range rule), not the user
+    * count. Means are single integer divisions of µs-exact sums.
+    *
+    * Scale posture: ONE user_id conditional-min collapse (the
+    * q58/q130 shape, PlanCache'd); stage dwells project off that
+    * user-grained table; the cumulative window runs over histogram
+    * rows partitioned by stage; entering/passing counts are 1-row
+    * folds broadcast back. */
+  def funnelStageDwell(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = graft.PlanCache.cached(spark, s"events.funnelFirsts:$dir") {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+            .as("s_us"),
+          min(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .as("v_us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("p_us"))
+    }
+    val dwells = firsts
+      .filter(col("s_us") <= col("v_us"))
+      .select(lit("a_signup_to_view").as("stage"),
+        expr("(v_us - s_us) div 1000000").as("dwell_sec"))
+      .unionByName(firsts
+        .filter(col("s_us") <= col("v_us") && col("v_us") <= col("p_us"))
+        .select(lit("b_view_to_purchase").as("stage"),
+          expr("(p_us - v_us) div 1000000").as("dwell_sec")))
+    val byStage = Window.partitionBy(col("stage"))
+    val cumW = byStage.orderBy(col("dwell_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = dwells.groupBy(col("stage"), col("dwell_sec"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byStage))
+      .withColumn("sum_dwell",
+        sum(col("dwell_sec") * col("cnt")).over(byStage))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("stage"))
+      .agg(max(col("n")).as("n_passing"),
+        min(col("dwell_sec")).as("p50_dwell_sec"),
+        expr("max(sum_dwell) div max(n)").as("mean_dwell_sec"))
+    val entering = firsts.agg(
+      sum(when(col("s_us").isNotNull, 1L).otherwise(0L)).as("e1"),
+      sum(when(col("s_us") <= col("v_us"), 1L).otherwise(0L)).as("e2"))
+      .select(explode(array(
+        struct(lit("a_signup_to_view").as("stage"), col("e1").as("n_entering")),
+        struct(lit("b_view_to_purchase").as("stage"), col("e2").as("n_entering"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_entering"))
+    stats.join(broadcast(entering), Seq("stage"))
+      .select(col("stage"), col("n_entering"), col("n_passing"),
+        expr("n_passing * 10000 div n_entering").as("pass_bp"),
+        col("mean_dwell_sec"), col("p50_dwell_sec"))
+      .orderBy(col("stage"))
+  }
+
+  def funnelStageDwellSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup'
+      |        THEN epoch_us(ts::TIMESTAMP) END) AS s_us,
+      |    min(CASE WHEN event_type = 'view'
+      |        THEN epoch_us(ts::TIMESTAMP) END) AS v_us,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts::TIMESTAMP) END) AS p_us
+      |  FROM events GROUP BY user_id
+      |), dwells AS (
+      |  SELECT 'a_signup_to_view' AS stage,
+      |    (v_us - s_us) // 1000000 AS dwell_sec
+      |  FROM firsts WHERE s_us <= v_us
+      |  UNION ALL
+      |  SELECT 'b_view_to_purchase', (p_us - v_us) // 1000000
+      |  FROM firsts WHERE s_us <= v_us AND v_us <= p_us
+      |), h AS (
+      |  SELECT stage, dwell_sec, count(*)::BIGINT AS cnt
+      |  FROM dwells GROUP BY 1, 2
+      |), c AS (
+      |  SELECT stage, dwell_sec, cnt,
+      |    sum(cnt) OVER (PARTITION BY stage ORDER BY dwell_sec
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY stage) AS n,
+      |    sum(dwell_sec * cnt) OVER (PARTITION BY stage) AS sum_dwell
+      |  FROM h
+      |), med AS (
+      |  SELECT stage, max(n)::BIGINT AS n_passing,
+      |    min(dwell_sec)::BIGINT AS p50_dwell_sec,
+      |    (max(sum_dwell) // max(n))::BIGINT AS mean_dwell_sec
+      |  FROM c WHERE cum >= (n + 1) // 2 GROUP BY 1
+      |), ent AS (
+      |  SELECT 'a_signup_to_view' AS stage,
+      |    sum(CASE WHEN s_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_entering
+      |  FROM firsts
+      |  UNION ALL
+      |  SELECT 'b_view_to_purchase',
+      |    sum(CASE WHEN s_us <= v_us THEN 1 ELSE 0 END)::BIGINT
+      |  FROM firsts
+      |)
+      |SELECT med.stage, n_entering, n_passing,
+      |  (n_passing * 10000 // n_entering)::BIGINT AS pass_bp,
+      |  mean_dwell_sec, p50_dwell_sec
+      |FROM med JOIN ent ON med.stage = ent.stage
+      |ORDER BY med.stage""".stripMargin
+
   // ---- X142: top session paths (q216) ---------------------------------------
 
   /** Path depth for [[sessionPaths]]: the opening trigram — long enough

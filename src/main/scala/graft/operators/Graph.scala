@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph reads over the co-purchase projection of the order/part
+  * bipartite graph (two parts are adjacent iff some order contains
+  * both). The edge table derives from q184's per-order sorted part
+  * sets, so edge generation is a bounded per-row EXPRESSION — never a
+  * corpus self-join — and the graph tables (edges, degrees, node
+  * universe) are content-bounded: |parts| nodes, ≤ Σ C(|order|, 2)
+  * edges.
+  */
+object Graph {
+
+  /** The distinct directed co-purchase edge table (u, v), both
+    * directions of every unordered pair — PlanCache'd: degrees, the
+    * q224 profile and every q225 iteration read it. */
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"graph.copurchaseEdges:$dir") {
+      val sets = graft.PlanCache.cached(spark,
+        s"relational.basketSets:$dir") {
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+          .groupBy(col("okey"))
+          .agg(sort_array(collect_set(col("part"))).as("ps"))
+      }
+      val pairs = sets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("p"))
+        .select(col("p.x").as("u"), col("p.y").as("v"))
+        .distinct()
+      pairs.unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+    }
+
+  /** The node universe: every part that appears in any basket —
+    * includes isolated parts (single-item orders) that carry no edge. */
+  private def nodes(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"graph.copurchaseNodes:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("node")).distinct()
+    }
+
+  /** X150 co-purchase degree profile (q224): the degree distribution of
+    * the co-purchase graph in bands (0 = isolated, then doubling), with
+    * part counts and shares — the connectivity read on basket data that
+    * q184's pair list can't give: q184 ranks EDGES, this profiles
+    * NODES, and the e_ge_8 band is the hub set that makes
+    * recommendation fan-out expensive and the a_0 band the long tail no
+    * co-purchase model can reach. Degree = distinct co-purchase
+    * partners (the directed edge table's out-degree).
+    *
+    * Scale posture: edges derive from the cached basket sets via a
+    * bounded pair expression (the q184 rule — never corpus²); degree is
+    * one map-side-combinable collapse of the edge table; the band fold
+    * is ≤5 rows + a broadcast scalar. */
+  def copurchaseDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val deg = edges(spark, dir).groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val bands = nodes(spark, dir)
+      .join(deg, col("node") === col("u"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("d"))
+      .groupBy(
+        when(col("d") === 0, "a_0")
+          .when(col("d") === 1, "b_1")
+          .when(col("d") <= 3, "c_2_3")
+          .when(col("d") <= 7, "d_4_7")
+          .otherwise("e_ge_8").as("degree_band"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("d")).as("sum_degree"))
+    val tot = bands.agg(sum(col("n_parts")).as("n_tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("degree_band"), col("n_parts"),
+        expr("n_parts * 10000 div n_tot").as("share_bp"),
+        col("sum_degree"))
+      .orderBy(col("degree_band"))
+  }
+
+  def copurchaseDegreesSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+      |), e AS (
+      |  SELECT DISTINCT a.part AS u, b.part AS v
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part
+      |), deg AS (
+      |  SELECT u, count(*)::BIGINT AS d FROM e GROUP BY 1
+      |), nd AS (
+      |  SELECT DISTINCT part AS node FROM items
+      |), banded AS (
+      |  SELECT CASE WHEN coalesce(d, 0) = 0 THEN 'a_0'
+      |    WHEN d = 1 THEN 'b_1'
+      |    WHEN d <= 3 THEN 'c_2_3'
+      |    WHEN d <= 7 THEN 'd_4_7'
+      |    ELSE 'e_ge_8' END AS degree_band,
+      |    coalesce(d, 0) AS d
+      |  FROM nd LEFT JOIN deg ON node = u
+      |), bands AS (
+      |  SELECT degree_band, count(*)::BIGINT AS n_parts,
+      |    sum(d)::BIGINT AS sum_degree
+      |  FROM banded GROUP BY 1
+      |), tot AS (SELECT sum(n_parts)::BIGINT AS n_tot FROM bands)
+      |SELECT degree_band, n_parts,
+      |  (n_parts * 10000 // tot.n_tot)::BIGINT AS share_bp, sum_degree
+      |FROM bands CROSS JOIN tot ORDER BY degree_band""".stripMargin
+
+  /** Synchronized PageRank iterations [[pagerank]] runs — fixed so both
+    * engines walk the identical computation. */
+  val PrIterations: Int = 3
+
+  /** X151 integer PageRank (q225): [[PrIterations]] synchronized
+    * power-iteration steps over the co-purchase graph with dyadic
+    * damping d = ½ — prₜ₊₁(v) = 500 + (Σᵤ→ᵥ prₜ(u) div deg(u)) div 2 in
+    * exact milli units (Brin & Page 1998; the ½ damping makes every
+    * step pure integer division, so both engines land identical
+    * BIGINTs — a float 0.85 walk would drift). Top-k parts by final
+    * rank: the "structurally central" products whose removal fragments
+    * the co-purchase neighborhood — a different head than q184's raw
+    * pair counts (a moderately-bought part bridging many baskets
+    * outranks a big seller bought alone). Isolated nodes settle at the
+    * 500-milli floor and never surface.
+    *
+    * Scale posture: each iteration is ONE edge-keyed equi-join (rank
+    * mass moves along the cached edge table) plus a v-keyed collapse
+    * with map-side combine — the classic synchronous Pregel step as
+    * plain joins; 3 fixed iterations = 3 bounded shuffle rounds at any
+    * scale, no driver-side convergence loop; contributions divide
+    * BEFORE summing (floor per edge, deterministic under any engine's
+    * addition order). */
+  def pagerank(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = graft.PlanCache.cached(spark, s"graph.copurchaseDeg:$dir") {
+      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    }
+    val nd = nodes(spark, dir)
+    var pr = nd.select(col("node"), lit(1000L).as("pr"))
+    for (_ <- 1 to PrIterations) {
+      val recv = pr
+        .join(deg, col("node") === col("u"))
+        .select(col("node").as("src"), expr("pr div d").as("contrib"))
+        .join(e, col("src") === e("u"))
+        .groupBy(col("v")).agg(sum(col("contrib")).as("recv"))
+      pr = nd.join(recv, col("node") === col("v"), "left")
+        .select(col("node"),
+          expr("500L + coalesce(recv, 0L) div 2").as("pr"))
+    }
+    pr.join(deg, col("node") === col("u"), "left")
+      .select(col("node").as("part"), col("pr").as("pr_milli"),
+        coalesce(col("d"), lit(0L)).as("degree"))
+      .orderBy(col("pr_milli").desc, col("part"))
+      .limit(k)
+  }
+
+  def pagerankSql(k: Int = 15): String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.node,
+         |    500 + coalesce(sum(p.pr // dg.d), 0) // 2 AS pr
+         |  FROM nd n
+         |  LEFT JOIN e ON e.v = n.node
+         |  LEFT JOIN $prev p ON p.node = e.u
+         |  LEFT JOIN deg dg ON dg.u = e.u
+         |  GROUP BY 1
+         |)""".stripMargin
+    val steps = (1 to PrIterations)
+      .map(i => step(if (i == 1) "pr0" else s"it${i - 1}", s"it$i"))
+      .mkString(", ")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+       |), e AS (
+       |  SELECT DISTINCT a.part AS u, b.part AS v
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part
+       |), deg AS (
+       |  SELECT u, count(*)::BIGINT AS d FROM e GROUP BY 1
+       |), nd AS (
+       |  SELECT DISTINCT part AS node FROM items
+       |), pr0 AS (
+       |  SELECT node, 1000::BIGINT AS pr FROM nd
+       |), $steps
+       |SELECT f.node AS part, f.pr::BIGINT AS pr_milli,
+       |  coalesce(dg.d, 0)::BIGINT AS degree
+       |FROM it$PrIterations f LEFT JOIN deg dg ON dg.u = f.node
+       |ORDER BY pr_milli DESC, part LIMIT $k""".stripMargin
+  }
+}

@@ -1199,6 +1199,91 @@ object Relational {
        |ORDER BY dependency""".stripMargin
   }
 
+  /** X149 ship-lag SLA table (q223): per order priority — line items,
+    * the EXACT median order-to-ship lag in days, the shares shipped
+    * within 7 and 30 days (bp), and the worst lag. The service-level
+    * attainment read an operations dashboard carries: priorities exist
+    * to change shipping behavior, and this table is the proof (or
+    * refutation) that they do — the relational twin of q132's SLO
+    * percentiles, on the order→lineitem grain.
+    *
+    * The median is the q132 exact-rank election over the
+    * (priority, lag_days) histogram; the lag grid is bounded by the
+    * CALENDAR span in days (the q200 value-range rule), so histogram
+    * rows — the only thing ever windowed — are corpus-independent.
+    * Negative lags (synthetic data has uncorrelated dates) order and
+    * count fine: no division touches the lag value.
+    *
+    * Scale posture: ONE corpus join (lineitem ⋈ orders on the
+    * high-cardinality order key) collapses straight to the
+    * (priority, day) histogram with map-side combine; windows and SLA
+    * folds run over grid rows only. */
+  def shipLagSla(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = graft.PlanCache.cached(spark, s"relational.shipLag:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord_day"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("ship_day"), col("ord_day")).cast("long")
+            .as("lag_days"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val cumW = byP.orderBy(col("lag_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = cells
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(byP))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("lag_days")).as("p50_lag_days"))
+    val sla = cells.groupBy(col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("n_items"),
+        sum(when(col("lag_days") <= 7, col("cnt")).otherwise(0L)).as("w7"),
+        sum(when(col("lag_days") <= 30, col("cnt")).otherwise(0L)).as("w30"),
+        max(col("lag_days")).as("max_lag_days"))
+    sla.join(broadcast(med), Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_items"), col("p50_lag_days"),
+        expr("w7 * 10000 div n_items").as("sla_7d_bp"),
+        expr("w30 * 10000 div n_items").as("sla_30d_bp"),
+        col("max_lag_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def shipLagSlaSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority,
+      |    (l_shipdate::DATE - o_orderdate::DATE)::BIGINT AS lag_days,
+      |    count(*)::BIGINT AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT o_orderpriority, lag_days, cnt,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM cells
+      |), med AS (
+      |  SELECT o_orderpriority, min(lag_days)::BIGINT AS p50_lag_days
+      |  FROM c WHERE cum >= (n + 1) // 2 GROUP BY 1
+      |), sla AS (
+      |  SELECT o_orderpriority, sum(cnt)::BIGINT AS n_items,
+      |    sum(CASE WHEN lag_days <= 7 THEN cnt ELSE 0 END)::BIGINT AS w7,
+      |    sum(CASE WHEN lag_days <= 30 THEN cnt ELSE 0 END)::BIGINT AS w30,
+      |    max(lag_days)::BIGINT AS max_lag_days
+      |  FROM cells GROUP BY 1
+      |)
+      |SELECT sla.o_orderpriority, n_items, p50_lag_days,
+      |  (w7 * 10000 // n_items)::BIGINT AS sla_7d_bp,
+      |  (w30 * 10000 // n_items)::BIGINT AS sla_30d_bp,
+      |  max_lag_days
+      |FROM sla JOIN med ON sla.o_orderpriority = med.o_orderpriority
+      |ORDER BY sla.o_orderpriority""".stripMargin
+
   /** Supplier-concentration audit (q187): per supplier nation — the
     * Herfindahl–Hirschman index of supplier revenue shares on the
     * standard 0..10000 scale (Σ share², the antitrust concentration

@@ -701,6 +701,145 @@ object Scale {
       |  (total_rows = best.min_total) AS elected
       |FROM bills CROSS JOIN best ORDER BY join_order""".stripMargin
 
+  /** Compaction targets [[compactionPlan]] prices, as (label, bytes):
+    * a 1 MB floor that exposes the ceil arithmetic at audit scale and
+    * the 128 MB lakehouse default. */
+  val CompactionTargets: Seq[(String, Long)] =
+    Seq(("a_1mb", 1L * 1024 * 1024), ("b_128mb", 128L * 1024 * 1024))
+
+  /** X144 compaction-plan audit (q218): for the q63 time-partitioned
+    * lineitem layout (one partition per ship year-month), the exact
+    * per-partition row count and byte bill (the q215 width algebra)
+    * and, per target file size, the files a compaction (OPTIMIZE /
+    * rewrite) would emit plus their mean fill in bp — the small-files
+    * planning read every lakehouse runs before paying a rewrite: at
+    * 100 TB the file count IS the driver-side listing and task-launch
+    * bill, and a partition whose fill_bp is low is the one fragmenting
+    * the table.
+    *
+    * Scale posture: ONE corpus pass collapses to the |year-month|-row
+    * partition bill (map-side combine, calendar-bounded at any corpus
+    * scale); targets fan out post-agg; ceil division is
+    * (bytes + t − 1) div t on non-negative integers — exact in both
+    * engines. */
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val parts = graft.Tables.lineitem(spark, dir)
+      .groupBy(expr("cast(year(l_shipdate) * 100 + month(l_shipdate) " +
+        "as bigint)").as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("cast(72 + length(l_returnflag) + length(l_linestatus) " +
+          "as bigint)")).as("bytes"))
+    val targets = CompactionTargets.map { case (n, b) =>
+      struct(lit(n).as("target"), lit(b).as("target_bytes"))
+    }
+    parts
+      .select(col("ship_month"), col("n_rows"), col("bytes"),
+        explode(array(targets: _*)).as("t"))
+      .select(col("ship_month"), col("t.target").as("target"),
+        col("n_rows"), col("bytes"),
+        expr("(bytes + t.target_bytes - 1) div t.target_bytes").as("n_files"),
+        expr("bytes * 10000 div " +
+          "(((bytes + t.target_bytes - 1) div t.target_bytes) " +
+          "* t.target_bytes)").as("fill_bp"))
+      .orderBy(col("ship_month"), col("target"))
+  }
+
+  def compactionPlanSql: String = {
+    val thr = CompactionTargets.map { case (n, b) =>
+      s"SELECT '$n' AS target, $b::BIGINT AS target_bytes"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH parts AS (
+       |  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ship_month,
+       |    count(*)::BIGINT AS n_rows,
+       |    sum(72 + length(l_returnflag) + length(l_linestatus))::BIGINT
+       |      AS bytes
+       |  FROM lineitem GROUP BY 1
+       |), thr AS (
+       |  $thr
+       |)
+       |SELECT ship_month, target, n_rows, bytes,
+       |  ((bytes + target_bytes - 1) // target_bytes)::BIGINT AS n_files,
+       |  (bytes * 10000 // (((bytes + target_bytes - 1) // target_bytes)
+       |    * target_bytes))::BIGINT AS fill_bp
+       |FROM parts CROSS JOIN thr ORDER BY ship_month, target""".stripMargin
+  }
+
+  /** Candidate partition counts [[shufflePartitionAdvisor]] prices —
+    * the powers of four a tuning pass actually tries. */
+  val PartitionCandidates: Seq[Int] = Seq(8, 32, 128)
+
+  /** Skew tolerance for [[shufflePartitionAdvisor]]: a candidate is
+    * admissible when its hottest reducer carries at most 2× the mean
+    * (20000 bp). */
+  val SkewToleranceBp: Long = 20000L
+
+  /** X145 shuffle-partition advisor (q219): for each candidate
+    * `spark.sql.shuffle.partitions` count, the EXACT reducer-size
+    * profile a hash shuffle of lineitem on `l_partkey` would produce —
+    * buckets hit, hottest-reducer rows, and the hot/mean ratio in bp —
+    * and the election of the smallest admissible candidate (hot ≤ 2×
+    * mean). This is the static read behind the shuffle-partition knob:
+    * too few partitions and the hot reducer stalls the stage; too many
+    * and task overhead dominates — the smallest balanced count wins.
+    * AQE coalesces at runtime; this audit prices the decision from
+    * data, and its per-candidate profile is the evidence q135/q139
+    * act on when one KEY (not one reducer) is hot.
+    *
+    * Scale posture: all candidates ride ONE stack() projection into a
+    * (candidate, bucket) cell collapse — map-side combinable, ≤Σp
+    * cells (168 here) at any corpus scale; the profile and election
+    * are folds over that cell table. Bucket = key mod p on
+    * non-negative keys — identical in both engines. */
+  def shufflePartitionAdvisor(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    val stackArgs = PartitionCandidates
+      .map(p => s"${p}L, pmod(l_partkey, $p)").mkString(", ")
+    val cells = graft.Tables.lineitem(spark, dir)
+      .selectExpr(s"stack(${PartitionCandidates.size}, $stackArgs) " +
+        "AS (n_partitions, bucket)")
+      .groupBy(col("n_partitions"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val prof = cells.groupBy(col("n_partitions"))
+      .agg(count(lit(1)).as("n_buckets_hit"), max(col("n")).as("max_rows"),
+        sum(col("n")).as("n_total"))
+      .select(col("n_partitions"), col("n_buckets_hit"), col("max_rows"),
+        col("n_total"),
+        expr("max_rows * n_partitions * 10000 div n_total").as("skew_bp"))
+    val ok = prof.filter(col("skew_bp") <= SkewToleranceBp)
+      .agg(min(col("n_partitions")).as("best_p"))
+    prof.crossJoin(broadcast(ok))
+      .select(col("n_partitions"), col("n_buckets_hit"), col("max_rows"),
+        col("n_total"), col("skew_bp"),
+        coalesce(col("n_partitions") === col("best_p"), lit(false))
+          .as("elected"))
+      .orderBy(col("n_partitions"))
+  }
+
+  def shufflePartitionAdvisorSql: String = {
+    val legs = PartitionCandidates.map { p =>
+      s"SELECT ${p}::BIGINT AS n_partitions, l_partkey % $p AS bucket " +
+        "FROM lineitem"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH fan AS (
+       |  $legs
+       |), cells AS (
+       |  SELECT n_partitions, bucket, count(*)::BIGINT AS n
+       |  FROM fan GROUP BY 1, 2
+       |), prof AS (
+       |  SELECT n_partitions, count(*)::BIGINT AS n_buckets_hit,
+       |    max(n)::BIGINT AS max_rows, sum(n)::BIGINT AS n_total,
+       |    (max(n) * n_partitions * 10000 // sum(n))::BIGINT AS skew_bp
+       |  FROM cells GROUP BY 1
+       |), ok AS (
+       |  SELECT min(n_partitions)::BIGINT AS best_p FROM prof
+       |  WHERE skew_bp <= $SkewToleranceBp
+       |)
+       |SELECT n_partitions, n_buckets_hit, max_rows, n_total, skew_bp,
+       |  coalesce(n_partitions = ok.best_p, false) AS elected
+       |FROM prof CROSS JOIN ok ORDER BY n_partitions""".stripMargin
+  }
+
   /** Per-table exact row-width expressions for [[broadcastSizing]]:
     * 8 bytes per numeric/date column plus the exact string lengths —
     * shared verbatim by both engines (pure length algebra). */

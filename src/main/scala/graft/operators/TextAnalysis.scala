@@ -3666,4 +3666,63 @@ object TextAnalysis {
        |)
        |SELECT lang, rank::BIGINT AS rank, pair, cnt
        |FROM r WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+
+  // ---- X146: term position-bias audit (q220) --------------------------------
+
+  /** X146 term position-bias audit (q220): for the corpus's top-k
+    * terms, WHERE in their documents they occur — mean relative
+    * position in milli (0 = document start, 999 = end) and the share of
+    * occurrences in the leading third (bp). The positional companion to
+    * q53's TF-IDF and q134's collocations: frequency says WHAT a corpus
+    * repeats, this says WHERE — a term front-loaded at 10× the uniform
+    * rate is template/boilerplate structure (headers, ledes), and a
+    * corpus whose content terms all sit in the leading third teaches a
+    * model the summarization lead bias the Gopher/C4 analyses warn
+    * about. Uniform placement reads mean ≈ 500, front ≈ 3333 bp.
+    *
+    * All integer: relative position = pos·1000 div n_tokens (0-based
+    * posexplode ≡ DuckDB's zipped unnest(range)); means and shares are
+    * single divisions by occurrence counts.
+    *
+    * Scale posture: ONE corpus pass fans tokens out with their
+    * positions and collapses straight to per-term cells (map-side
+    * combine, vocabulary-sized — the q163 histogram rule); the top-k
+    * rides TakeOrderedAndProject over cells, never a corpus sort. */
+  def termPositionBias(spark: SparkSession, dir: String,
+                       k: Int = 10): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(TextHash.tokens(col("text")).as("toks"))
+      .select(posexplode(col("toks")).as(Seq("pos", "tok")),
+        size(col("toks")).as("n"))
+      .select(col("tok"), expr("pos * 1000 div n").as("rel"))
+    occ.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"), sum(col("rel")).as("sum_rel"),
+        sum(when(col("rel") < 333, 1L).otherwise(0L)).as("front"))
+      .orderBy(col("n_occ").desc, col("tok"))
+      .limit(k)
+      .select(col("tok").as("term"), col("n_occ"),
+        expr("sum_rel div n_occ").as("mean_pos_milli"),
+        expr("front * 10000 div n_occ").as("front_share_bp"))
+      .orderBy(col("n_occ").desc, col("term"))
+  }
+
+  def termPositionBiasSql(k: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT string_split(lower(text), ' ') AS l FROM documents
+       |), occ AS (
+       |  SELECT unnest(l) AS tok,
+       |    unnest(range(len(l))) * 1000 // len(l) AS rel
+       |  FROM toks
+       |), cells AS (
+       |  SELECT tok, count(*)::BIGINT AS n_occ,
+       |    sum(rel)::BIGINT AS sum_rel,
+       |    sum(CASE WHEN rel < 333 THEN 1 ELSE 0 END)::BIGINT AS front
+       |  FROM occ GROUP BY 1
+       |), top AS (
+       |  SELECT * FROM cells ORDER BY n_occ DESC, tok LIMIT $k
+       |)
+       |SELECT tok AS term, n_occ,
+       |  (sum_rel // n_occ)::BIGINT AS mean_pos_milli,
+       |  (front * 10000 // n_occ)::BIGINT AS front_share_bp
+       |FROM top ORDER BY n_occ DESC, term""".stripMargin
 }

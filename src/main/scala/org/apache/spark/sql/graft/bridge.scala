@@ -23,6 +23,26 @@ object bridge {
       df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
         .queryExecution.analyzed)
 
+  /** Flatten a physical plan into its tree nodes WITHOUT descending
+    * into cached subtrees: AQE wrappers unwrap via their current plan
+    * (`executedPlan` is private[sql] — hence this bridge), query stages
+    * via their contained plan, and InMemoryTableScan is a LEAF (its
+    * InMemoryRelation's stored build plan is deliberately not visited —
+    * cached work is not this query's work). The string-based
+    * alternative (parsing treeString indentation) breaks on
+    * materialized caches, whose inner AQE sections print at arbitrary
+    * indent. */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    p +: (p match {
+      case a: AdaptiveSparkPlanExec => planNodes(a.executedPlan)
+      case q: QueryStageExec => planNodes(q.plan)
+      case _ => p.children.flatMap(planNodes)
+    })
+  }
+
   /** Stable unique id for a session instance (`sessionUUID` is
     * private[sql]) — unlike identityHashCode, never collides between two
     * live sessions. */

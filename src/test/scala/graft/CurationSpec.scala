@@ -1130,4 +1130,26 @@ class CurationSpec extends SparkSpec {
       "ldiv 3 is NOT below l = 3 (strict threshold)")
     assert(out(5L) == ((2L, 2L, 6L, 6L, 10000L)))
   }
+
+  test("hamiltonAllocation (q222): largest remainders get the leftover, sum exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hamilton").toString
+    // counts 5 / 3 / 1 over target 7: quotas 35/9, 21/9, 7/9 → bases
+    // 3, 2, 0 (sum 5); remainders 8, 3, 7 → the 2 leftover seats go to
+    // s_a (rem 8) and s_c (rem 7)
+    (1 to 9).map { i =>
+      val src = if (i <= 5) "s_a" else if (i <= 8) "s_b" else "s_c"
+      (i.toLong, s"t $i", "en", src, 3L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.hamiltonAllocation(spark, dir, target = 7L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("base_alloc"), r.getAs[Long]("remainder"),
+          r.getAs[Boolean]("plus_one"), r.getAs[Long]("alloc"))).toMap
+    assert(out("s_a") == ((3L, 8L, true, 4L)))
+    assert(out("s_b") == ((2L, 3L, false, 2L)))
+    assert(out("s_c") == ((0L, 7L, true, 1L)),
+      "the smallest source still gets a seat via its large remainder")
+    assert(out.values.map(_._4).sum == 7L, "allocations must sum to target")
+  }
 }

@@ -862,4 +862,31 @@ class EventAnalyticsSpec extends SparkSpec {
       "click>view>view" -> ((1L, 3333L, 1L, 10000L))),
       s"got ${out.mkString(", ")}")
   }
+
+  test("funnelStageDwell (q221): per-stage pass rates and exact median dwell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dwell").toString
+    var eid = 0L
+    def ev(u: Long, t: String, sec: Long) = { eid += 1
+      (eid, nanos(sec), u, t, 1.0, "{}") }
+    // u1: signup@0 → view@10 → purchase@40 (dwells 10, 30)
+    // u2: signup@0 → view@20, no purchase      (dwell 20)
+    // u3: signup@0, view BEFORE signup → drops at stage 1
+    // u4: view only → never enters (no signup)
+    (Seq(ev(1, "signup", 100), ev(1, "view", 110), ev(1, "purchase", 140),
+      ev(2, "signup", 200), ev(2, "view", 220),
+      ev(3, "view", 300), ev(3, "signup", 310),
+      ev(4, "view", 400)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.funnelStageDwell(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_entering"), r.getAs[Long]("n_passing"),
+          r.getAs[Long]("pass_bp"), r.getAs[Long]("mean_dwell_sec"),
+          r.getAs[Long]("p50_dwell_sec"))).toMap
+    // stage 1: 3 signups enter, u1+u2 pass; dwells {10, 20} → mean 15,
+    // median = rank ⌈2/2⌉ = 1 → 10
+    assert(out("a_signup_to_view") == ((3L, 2L, 6666L, 15L, 10L)))
+    // stage 2: the 2 passers enter, only u1 converts; dwell {30}
+    assert(out("b_view_to_purchase") == ((2L, 1L, 5000L, 30L, 30L)))
+  }
 }

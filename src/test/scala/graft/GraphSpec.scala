@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("copurchaseDegrees (q224): bands, isolated parts, shares exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_deg").toString
+    // o1 {1,2}, o2 {1,3}, o3 {4}: degrees 1→2, 2→1, 3→1, 4→0 (isolated)
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.copurchaseDegrees(spark, dir).collect()
+      .map(r => r.getAs[String]("degree_band") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("sum_degree"))).toMap
+    assert(out == Map(
+      "a_0" -> ((1L, 2500L, 0L)),
+      "b_1" -> ((2L, 5000L, 2L)),
+      "c_2_3" -> ((1L, 2500L, 2L))), s"got $out")
+  }
+
+  test("pagerank (q225): three integer dyadic-damping steps, hand-walked") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    // star: 1-2, 1-3 (from o1 {1,2}, o2 {1,3})
+    // pr0 = 1000 each; hand walk (floor division at every step):
+    // it1: 1 ← 1000+1000 → 1500; 2,3 ← 500 → 750
+    // it2: 1 ← 750+750 → 1250;   2,3 ← 750 → 875
+    // it3: 1 ← 875+875 → 1375;   2,3 ← 625 → 812
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.pagerank(spark, dir).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("pr_milli"),
+        r.getAs[Long]("degree")))
+    assert(out.toSeq == Seq((1L, 1375L, 2L), (2L, 812L, 1L),
+      (3L, 812L, 1L)), s"got ${out.mkString(", ")}")
+  }
+
+  test("pagerank: an isolated node settles at the 500-milli floor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr2").toString
+    Seq((1L, 1L), (1L, 2L), (2L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.pagerank(spark, dir).collect()
+      .map(r => r.getAs[Long]("part") -> r.getAs[Long]("pr_milli")).toMap
+    assert(out(9L) == 500L)
+    // a 2-cycle holds the initial mass exactly: 500 + 1000 div 2
+    assert(out(1L) == 1000L && out(2L) == 1000L)
+  }
+}

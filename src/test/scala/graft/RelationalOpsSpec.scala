@@ -301,4 +301,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out("c_quantity_to_returnflag") == ((4L, 4L, 1000L, 1000L, 0L)))
     assert(out("d_shipmonth_to_linestatus") == ((4L, 2L, 1000L, 1000L, 0L)))
   }
+
+  test("shipLagSla (q223): exact medians and SLA shares per priority") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sla").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "P1", ts("1970-01-01 00:00:00")),
+      (2L, "P1", ts("1970-01-01 00:00:00")),
+      (3L, "P2", ts("1970-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // P1 lags: 2, 10, 40 → median 10, w7 1, w30 2, max 40
+    // P2 lags: 5 → all within 7d
+    Seq((1L, ts("1970-01-03 00:00:00")), (1L, ts("1970-01-11 00:00:00")),
+      (2L, ts("1970-02-10 00:00:00")), (3L, ts("1970-01-06 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.shipLagSla(spark, dir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n_items"), r.getAs[Long]("p50_lag_days"),
+          r.getAs[Long]("sla_7d_bp"), r.getAs[Long]("sla_30d_bp"),
+          r.getAs[Long]("max_lag_days"))).toMap
+    assert(out("P1") == ((3L, 10L, 3333L, 6666L, 40L)))
+    assert(out("P2") == ((1L, 5L, 10000L, 10000L, 5L)))
+  }
 }

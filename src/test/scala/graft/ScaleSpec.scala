@@ -385,4 +385,49 @@ class ScaleSpec extends SparkSpec {
     // join commutativity: both orders land on the same final cardinality
     assert(out.values.map(_._2).toSet.size == 1)
   }
+
+  test("compactionPlan (q218): exact partition byte bills and ceil file math") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Jan 1970: 3 rows x 74 bytes (72 + 1 + 1); Feb: 1 row
+    Seq(ts("1970-01-05 00:00:00"), ts("1970-01-15 00:00:00"),
+      ts("1970-01-25 00:00:00"), ts("1970-02-01 00:00:00"))
+      .map(t => (t, "A", "F")).toDF("l_shipdate", "l_returnflag", "l_linestatus")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Scale.compactionPlan(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ship_month"), r.getAs[String]("target")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("bytes"),
+          r.getAs[Long]("n_files"), r.getAs[Long]("fill_bp"))).toMap
+    assert(out.size == 4, "2 months x 2 targets")
+    // 222·10⁴ div 2²⁰ = 2117 bp? no — 2220000 div 1048576 = 2
+    assert(out((197001L, "a_1mb")) == ((3L, 222L, 1L, 2L)))
+    assert(out((197001L, "b_128mb")) == ((3L, 222L, 1L, 0L)))
+    assert(out((197002L, "a_1mb")) == ((1L, 74L, 1L, 0L)))
+    // the ceil identity holds for every row against the declared targets
+    val targets = graft.operators.Scale.CompactionTargets.toMap
+    out.foreach { case ((_, t), (_, bytes, files, fill)) =>
+      val tb = targets(t)
+      assert(files == (bytes + tb - 1) / tb)
+      assert(fill == bytes * 10000 / (files * tb))
+    }
+  }
+
+  test("shufflePartitionAdvisor (q219): smallest balanced candidate elected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shadv").toString
+    (1L to 12L).map(k => Tuple1(k)).toDF("l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Scale.shufflePartitionAdvisor(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("n_partitions") ->
+        (r.getAs[Long]("n_buckets_hit"), r.getAs[Long]("max_rows"),
+          r.getAs[Long]("skew_bp"), r.getAs[Boolean]("elected"))).toMap
+    // keys 1..12: mod 8 → max bucket 2 (13333 bp, balanced); mod 32/128
+    // → 12 singleton buckets whose max is 32/128x the mean (sparse
+    // over-partitioning reads as skew) — the SMALLEST balanced wins
+    assert(out(8L) == ((8L, 2L, 13333L, true)))
+    assert(out(32L) == ((12L, 1L, 26666L, false)))
+    assert(out(128L) == ((12L, 1L, 106666L, false)))
+  }
 }

@@ -1312,4 +1312,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("de", 1L)) == (("zz", 2L)))
     assert(out.size == 4, s"single-char tokens contribute nothing: $out")
   }
+
+  test("termPositionBias (q220): exact relative positions and front shares") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_posbias").toString
+    // doc1 "a b a": rels 0, 333, 666; doc2 "b a": rels 0, 500
+    Seq((1L, "a b a", "en", "t", 5L), (2L, "b a", "en", "t", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.termPositionBias(spark, dir).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("mean_pos_milli"),
+          r.getAs[Long]("front_share_bp"))).toMap
+    assert(out.size == 2)
+    // a: rels {0, 666, 500} → mean 388, 1 of 3 in the leading third
+    assert(out("a") == ((3L, 388L, 3333L)))
+    // b: rels {333, 0} → mean 166; rel 333 is NOT < 333 (strict)
+    assert(out("b") == ((2L, 166L, 5000L)))
+  }
 }
