@@ -253,7 +253,20 @@ object PlanAudit {
     // q137's legs each cross two SINGLE-ROW count aggregates
     "q137_integrity_audit",
     // q138 crosses the corpus scan with the broadcast 1-row max-id scalar
-    "q138_quality_trend")
+    "q138_quality_trend",
+    // q226 crossJoins the broadcast SINGLE-ROW max-revenue and total
+    // scalars onto the part-revenue table, and its cumulative fold is
+    // the q167 broadcast triangle over the ≤1001-row permille histogram
+    "q226_abc_classes",
+    // q227 crossJoins the broadcast SINGLE-ROW anchor-day scalar onto
+    // the event stream (the q204 audited scalar shape)
+    "q227_churn_labels",
+    // q229's quotient ranking is the q222 broadcast triangle over the
+    // |sources|·seats-row ladder, plus the 1-row total scalar
+    "q229_dhondt_alloc",
+    // q230 crossJoins the broadcast SINGLE-ROW global hour-grid scalar
+    // onto the |types|-row per-type rollup
+    "q230_coverage_gaps")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

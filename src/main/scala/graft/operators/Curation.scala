@@ -2938,4 +2938,86 @@ object Curation {
        |  sum(c_repl + c_ctrl + c_zwsp)::BIGINT AS n_chars_removed
        |FROM c GROUP BY 1 ORDER BY lang""".stripMargin
   }
+
+  /** X155 D'Hondt highest-averages apportionment (q229): allocate the
+    * same integer seat budget q222 apportions, but by Jefferson/D'Hondt
+    * divisors — every source competes with the quotient ladder
+    * votes/1, votes/2, …, and the top-`seats` quotients win. The OTHER
+    * canonical apportionment family: largest-remainder (q222) is
+    * quota-exact but suffers the Alabama paradox; highest-averages is
+    * house-monotone but biased toward large sources — running both over
+    * the same counts exposes exactly which small sources D'Hondt
+    * starves (dev_bp < 0), the call a sampler makes when deciding
+    * whether minority domains keep guaranteed representation.
+    *
+    * Quotients compare on the exact milli grid (votes·10⁶ div r) with
+    * the total order (quotient, votes, source asc, rung asc) — the
+    * divisor ladder is strictly decreasing per source, so the election
+    * is deterministic in both engines.
+    *
+    * Scale posture: the corpus collapses once to |sources| counts (the
+    * PlanCache'd q222 seam); the quotient ladder is |sources|·seats
+    * rows (audit-sized at any corpus scale) and its ranking the q167
+    * broadcast triangle; seats fold back per source. */
+  def dhondtAllocation(spark: SparkSession, dir: String,
+                       seats: Int = 100): DataFrame = {
+    require(seats > 0 && 10000 % seats == 0,
+      s"dhondtAllocation: seats must divide 10000 ($seats)")
+    val src = graft.PlanCache.cached(spark, s"curation.srcCounts:$dir") {
+      Tables.documents(spark, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    }
+    val tot = src.agg(sum(col("n_docs")).as("total"))
+    val quot = src
+      .select(col("source"), col("n_docs"),
+        explode(expr(s"sequence(1, $seats)")).as("r"))
+      .select(col("source"), col("n_docs"), col("r"),
+        expr("n_docs * 1000000L div r").as("qm"))
+    val b = quot.select(col("qm").as("qm2"), col("n_docs").as("v2"),
+      col("source").as("s2"), col("r").as("r2"))
+    quot
+      .join(broadcast(b),
+        expr("qm2 > qm OR (qm2 = qm AND (v2 > n_docs OR (v2 = n_docs " +
+          "AND (s2 < source OR (s2 = source AND r2 < r)))))"), "left")
+      .groupBy(col("source"), col("n_docs"), col("r"))
+      .agg(count(col("s2")).as("rnk"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(sum(when(col("rnk") < seats, 1L).otherwise(0L)).as("seats"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs").as("votes"),
+        expr("n_docs * 10000 div total").as("share_bp"),
+        col("seats"),
+        expr(s"seats * 10000 div $seats").as("seat_bp"),
+        (expr(s"seats * 10000 div $seats") -
+          expr("n_docs * 10000 div total")).as("dev_bp"))
+      .orderBy(col("source"))
+  }
+
+  def dhondtAllocationSql(seats: Int = 100): String =
+    s"""WITH src AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(n_docs)::BIGINT AS total FROM src
+       |), q AS (
+       |  SELECT source, n_docs, t.r::BIGINT AS r,
+       |    (n_docs * 1000000 // t.r)::BIGINT AS qm
+       |  FROM src CROSS JOIN range(1, ${seats + 1}) t(r)
+       |), ranked AS (
+       |  SELECT a.source, a.n_docs, a.r, count(b.source)::BIGINT AS rnk
+       |  FROM q a LEFT JOIN q b
+       |    ON b.qm > a.qm OR (b.qm = a.qm AND (b.n_docs > a.n_docs
+       |      OR (b.n_docs = a.n_docs AND (b.source < a.source
+       |      OR (b.source = a.source AND b.r < a.r)))))
+       |  GROUP BY 1, 2, 3
+       |), won AS (
+       |  SELECT source, n_docs,
+       |    sum(CASE WHEN rnk < $seats THEN 1 ELSE 0 END)::BIGINT AS seats
+       |  FROM ranked GROUP BY 1, 2
+       |)
+       |SELECT source, n_docs AS votes,
+       |  (n_docs * 10000 // total)::BIGINT AS share_bp, seats,
+       |  (seats * 10000 // $seats)::BIGINT AS seat_bp,
+       |  ((seats * 10000 // $seats) - (n_docs * 10000 // total))::BIGINT
+       |    AS dev_bp
+       |FROM won CROSS JOIN tot ORDER BY source""".stripMargin
 }

@@ -808,12 +808,15 @@ object EventAnalytics {
     * Exchange; bands collapse to ≤5 rows with map-side combine + a
     * broadcast 1-row total. Durations are exact integer µs divided
     * once at the end. */
-  def sessionization(spark: SparkSession, dir: String): DataFrame = {
+  /** Cached per-session rollup (user_id, sid, n_events, dur_sec, us0,
+    * us1) — the q179 lag+cumsum device materialized once; q179's bands
+    * and q233's concurrency sweep read the same table. */
+  private def sessionTable(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // (us, event_id) ≡ the q122 (ts, event_id) rule: ts is µs-truncated
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = graft.PlanCache.cached(spark, s"events.sessions:$dir") {
+    graft.PlanCache.cached(spark, s"events.sessions:$dir") {
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
         .withColumn("prev_us", lag(col("us"), 1).over(w))
@@ -822,8 +825,13 @@ object EventAnalytics {
         .withColumn("sid", sum(col("opens")).over(cum))
         .groupBy(col("user_id"), col("sid"))
         .agg(count(lit(1)).as("n_events"),
-          expr("(max(us) - min(us)) div 1000000").as("dur_sec"))
+          expr("(max(us) - min(us)) div 1000000").as("dur_sec"),
+          min(col("us")).as("us0"), max(col("us")).as("us1"))
     }
+  }
+
+  def sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessionTable(spark, dir)
     val bands = sess.groupBy(
       when(col("n_events") === 1, "a_1")
         .when(col("n_events") === 2, "b_2")
@@ -2183,4 +2191,389 @@ object EventAnalytics {
        |  (n_convert * 10000 // n_sessions)::BIGINT AS convert_bp
        |FROM top CROSS JOIN tot
        |ORDER BY n_sessions DESC, path""".stripMargin
+
+  /** Observation-window days for [[churnLabels]] (days 0..ObsDays-1 from
+    * the corpus' first day) and the horizon that labels churn (the next
+    * HorizonDays). Fixed so both engines cut identical cohorts. */
+  val ObsDays: Int = 14
+  val HorizonDays: Int = 7
+
+  /** X153 churn-label builder (q227): the supervised-label table a churn
+    * model trains on, at the (user, event_type) grain — a user's
+    * engagement with a FEATURE counts as churned iff the pair is active
+    * in the [[ObsDays]]-day observation window but has NO event in the
+    * following [[HorizonDays]]-day horizon — rolled up by
+    * observation-activity band (1, 2–3, 4–7, ≥8 active days). The
+    * causal-direction complement of q59's descriptive cohorts:
+    * retention counts what HAPPENED per cohort day, this fixes a
+    * feature window and a disjoint future label window (the
+    * leakage-free framing — features never read horizon data). The
+    * feature grain is deliberate: whole-account churn is near-zero on
+    * any healthy product, feature abandonment is where the signal
+    * lives, and the monotone churn-vs-activity gradient across bands
+    * is the sanity read before any model sees the table.
+    *
+    * Windows anchor at the corpus' first event day (data-derived, not a
+    * wall-clock constant), so the query is scale- and refresh-stable.
+    *
+    * Scale posture: ONE corpus shuffle (groupBy (user_id, event_type)
+    * with conditional distinct-day count and horizon flag — no join,
+    * no window); the band rollup runs on one row per observed pair;
+    * the anchor day is a broadcast 1-row scalar. Day arithmetic is
+    * exact integer datediff on calendar days (ns-vs-µs parity-safe). */
+  def churnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val d0 = ev.agg(min(col("day")).as("d0"))
+    val perUser = ev.crossJoin(broadcast(d0))
+      .select(col("user_id"), col("event_type"),
+        datediff(col("day"), col("d0")).as("idx"), col("day"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        countDistinct(when(col("idx") < ObsDays, col("day"))).as("obs_days"),
+        max(when(col("idx").between(ObsDays, ObsDays + HorizonDays - 1), 1L)
+          .otherwise(0L)).as("horizon_active"))
+      .filter(col("obs_days") > 0)
+    perUser
+      .groupBy(
+        when(col("obs_days") === 1, "a_1")
+          .when(col("obs_days") <= 3, "b_2_3")
+          .when(col("obs_days") <= 7, "c_4_7")
+          .otherwise("d_ge_8").as("activity_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("horizon_active") === 0, 1L).otherwise(0L))
+          .as("n_churned"),
+        sum(col("obs_days")).as("sum_obs_days"))
+      .select(col("activity_band"), col("n_pairs"), col("n_churned"),
+        expr("n_churned * 10000 div n_pairs").as("churn_bp"),
+        col("sum_obs_days"))
+      .orderBy(col("activity_band"))
+  }
+
+  def churnLabelsSql: String =
+    s"""WITH d0 AS (
+       |  SELECT min(ts::DATE) AS d0 FROM events
+       |), u AS (
+       |  SELECT user_id, event_type,
+       |    count(DISTINCT CASE WHEN ts::DATE - d0 < $ObsDays
+       |      THEN ts::DATE END)::BIGINT AS obs_days,
+       |    max(CASE WHEN ts::DATE - d0 BETWEEN $ObsDays
+       |      AND ${ObsDays + HorizonDays - 1} THEN 1 ELSE 0
+       |      END)::BIGINT AS horizon_active
+       |  FROM events CROSS JOIN d0
+       |  GROUP BY 1, 2
+       |), labeled AS (
+       |  SELECT CASE WHEN obs_days = 1 THEN 'a_1'
+       |      WHEN obs_days <= 3 THEN 'b_2_3'
+       |      WHEN obs_days <= 7 THEN 'c_4_7'
+       |      ELSE 'd_ge_8' END AS activity_band,
+       |    obs_days, horizon_active
+       |  FROM u WHERE obs_days > 0
+       |)
+       |SELECT activity_band, count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN horizon_active = 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_churned,
+       |  (sum(CASE WHEN horizon_active = 0 THEN 1 ELSE 0 END) * 10000
+       |    // count(*))::BIGINT AS churn_bp,
+       |  sum(obs_days)::BIGINT AS sum_obs_days
+       |FROM labeled GROUP BY 1 ORDER BY activity_band""".stripMargin
+
+  /** X154 CUSUM level-shift detection (q228, Page 1954): for each event
+    * type, the two-sided cumulative-sum statistic over its zero-filled
+    * daily count series — S⁺ᵢ = max(0, S⁺ᵢ₋₁ + devᵢ) for upward shifts,
+    * the mirrored S⁻ for drops — with the peak value (normalized to bp
+    * of the series' total deviation capacity n·total) and the day it
+    * peaks. CUSUM accumulates small sustained deviations that q164's
+    * per-day z-panel (memoryless by design) never flags: a 10% step
+    * change hiding inside daily noise walks the CUSUM line up day after
+    * day until it crosses, and the argmax day IS the change point
+    * estimate.
+    *
+    * Exactness: deviations are scaled by n (devᵢ = cᵢ·n − total), so
+    * mean-centering never divides — the whole walk is BIGINT in both
+    * engines; peaks are ≤ 2·n·total, so the bp product stays inside the
+    * decimal(38,0)/HUGEINT guard at any corpus scale.
+    *
+    * Scale posture: the corpus collapses once to (type, day) cells
+    * (map-side combine); the per-type series is calendar-bounded (the
+    * q164/q185 rule: days, not events), so the per-type map + the
+    * sequential `aggregate` fold touch ≤|days| elements per type — the
+    * ONE inherently-sequential statistic here rides a bounded array
+    * fold, never a driver loop; the DuckDB twin walks the identical
+    * recursion as a recursive CTE. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val series = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        sum(col("c")).as("total"),
+        map_from_entries(collect_list(struct(col("day"), col("c"))))
+          .as("m"))
+      .select(col("event_type"), col("d0"), col("total"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("n"), col("m"))
+    val devAt = "(coalesce(element_at(m, date_add(d0, cast(i as int))), " +
+      "cast(0 as bigint)) * n - total)"
+    def sUp = s"greatest(cast(0 as bigint), acc.su + $devAt)"
+    def sDn = s"greatest(cast(0 as bigint), acc.sd - $devAt)"
+    series
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  sequence(cast(0 as bigint), n - 1),
+           |  named_struct(
+           |    'su', cast(0 as bigint), 'mu', cast(0 as bigint),
+           |    'au', cast(-1 as bigint),
+           |    'sd', cast(0 as bigint), 'md', cast(0 as bigint),
+           |    'ad', cast(-1 as bigint)),
+           |  (acc, i) -> named_struct(
+           |    'su', $sUp,
+           |    'mu', CASE WHEN $sUp > acc.mu THEN $sUp ELSE acc.mu END,
+           |    'au', CASE WHEN $sUp > acc.mu THEN i ELSE acc.au END,
+           |    'sd', $sDn,
+           |    'md', CASE WHEN $sDn > acc.md THEN $sDn ELSE acc.md END,
+           |    'ad', CASE WHEN $sDn > acc.md THEN i ELSE acc.ad END))""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("total").as("total_events"),
+        expr("cast(cast(st.mu as decimal(38,0)) * 10000 div " +
+          "(cast(n as decimal(38,0)) * total) as bigint)").as("up_peak_bp"),
+        expr("CASE WHEN st.au >= 0 THEN date_add(d0, cast(st.au as int)) " +
+          "END").as("up_peak_day"),
+        expr("cast(cast(st.md as decimal(38,0)) * 10000 div " +
+          "(cast(n as decimal(38,0)) * total) as bigint)").as("down_peak_bp"),
+        expr("CASE WHEN st.ad >= 0 THEN date_add(d0, cast(st.ad as int)) " +
+          "END").as("down_peak_day"))
+      .orderBy(col("event_type"))
+  }
+
+  def cusumShiftSql: String = {
+    val dev = "(coalesce(c.c, 0) * f.n - f.total)"
+    val sUp = s"greatest(0, f.su + $dev)"
+    val sDn = s"greatest(0, f.sd - $dev)"
+    s"""WITH RECURSIVE cnt AS (
+       |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT event_type, min(day) AS d0,
+       |    (max(day) - min(day) + 1)::BIGINT AS n,
+       |    sum(c)::BIGINT AS total
+       |  FROM cnt GROUP BY 1
+       |), f AS (
+       |  SELECT event_type, d0, n, total, 0::BIGINT AS i,
+       |    0::BIGINT AS su, 0::BIGINT AS mu, (-1)::BIGINT AS au,
+       |    0::BIGINT AS sd, 0::BIGINT AS md, (-1)::BIGINT AS ad
+       |  FROM span
+       |  UNION ALL
+       |  SELECT f.event_type, f.d0, f.n, f.total, f.i + 1,
+       |    $sUp,
+       |    CASE WHEN $sUp > f.mu THEN $sUp ELSE f.mu END,
+       |    CASE WHEN $sUp > f.mu THEN f.i ELSE f.au END,
+       |    $sDn,
+       |    CASE WHEN $sDn > f.md THEN $sDn ELSE f.md END,
+       |    CASE WHEN $sDn > f.md THEN f.i ELSE f.ad END
+       |  FROM f LEFT JOIN cnt c
+       |    ON c.event_type = f.event_type AND c.day = f.d0 + (f.i)::INTEGER
+       |  WHERE f.i < f.n
+       |)
+       |SELECT event_type, n AS n_days, total AS total_events,
+       |  (mu::HUGEINT * 10000 // (n::HUGEINT * total))::BIGINT
+       |    AS up_peak_bp,
+       |  CASE WHEN au >= 0 THEN d0 + au::INTEGER END AS up_peak_day,
+       |  (md::HUGEINT * 10000 // (n::HUGEINT * total))::BIGINT
+       |    AS down_peak_bp,
+       |  CASE WHEN ad >= 0 THEN d0 + ad::INTEGER END AS down_peak_day
+       |FROM f WHERE i = n ORDER BY event_type""".stripMargin
+  }
+
+  /** X156 ingestion-coverage gap audit (q230): per event type, hourly
+    * presence against the corpus-wide hour grid — expected hours,
+    * present hours, coverage bp, the number of contiguous MISSING runs
+    * (gaps-and-islands), and the longest outage in hours. The backfill
+    * planner's worklist: q164 asks "was yesterday's volume weird", this
+    * asks "which hours never ARRIVED" — run-length matters because one
+    * 12-hour outage and twelve 1-hour blips cost the same cell count
+    * but completely different backfill jobs (one range-restated
+    * partition vs twelve). Head/tail gaps count against the shared
+    * global grid, so a type that starts late or stops early shows as
+    * gapped, not short.
+    *
+    * Scale posture: the corpus collapses once to distinct (type, hour)
+    * cells — calendar-bounded per type at ANY corpus scale (the
+    * q164/q185 rule), so the per-type lag window rides bounded
+    * partitions; the grid is a broadcast 1-row scalar; output is
+    * |types| rows. Hour index is exact integer µs div 3600·10⁶. */
+  def coverageGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct()
+    val grid = cells.agg(min(col("h")).as("gmin"), max(col("h")).as("gmax"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    cells.withColumn("prev", lag(col("h"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_present"),
+        min(col("h")).as("first_h"), max(col("h")).as("last_h"),
+        sum(when(col("h") - col("prev") > 1, 1L).otherwise(0L))
+          .as("runs_mid"),
+        max(when(col("h") - col("prev") > 1, col("h") - col("prev") - 1)
+          .otherwise(0L)).as("max_mid"))
+      .crossJoin(broadcast(grid))
+      .select(col("event_type"),
+        (col("gmax") - col("gmin") + 1).as("n_expected"),
+        col("n_present"),
+        expr("n_present * 10000 div (gmax - gmin + 1)").as("coverage_bp"),
+        (col("runs_mid")
+          + when(col("first_h") > col("gmin"), 1L).otherwise(0L)
+          + when(col("last_h") < col("gmax"), 1L).otherwise(0L))
+          .as("n_gap_runs"),
+        greatest(col("max_mid"), col("first_h") - col("gmin"),
+          col("gmax") - col("last_h")).as("max_gap_hours"))
+      .orderBy(col("event_type"))
+  }
+
+  def coverageGapsSql: String =
+    """WITH cells AS (
+      |  SELECT DISTINCT event_type,
+      |    epoch_us(ts::TIMESTAMP) // 3600000000 AS h
+      |  FROM events
+      |), grid AS (
+      |  SELECT min(h) AS gmin, max(h) AS gmax FROM cells
+      |), g AS (
+      |  SELECT event_type, h,
+      |    lag(h) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      |  FROM cells
+      |), per AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_present,
+      |    min(h) AS first_h, max(h) AS last_h,
+      |    sum(CASE WHEN h - prev > 1 THEN 1 ELSE 0 END)::BIGINT AS runs_mid,
+      |    max(CASE WHEN h - prev > 1 THEN h - prev - 1 ELSE 0
+      |      END)::BIGINT AS max_mid
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT event_type, (gmax - gmin + 1)::BIGINT AS n_expected,
+      |  n_present,
+      |  (n_present * 10000 // (gmax - gmin + 1))::BIGINT AS coverage_bp,
+      |  (runs_mid + CASE WHEN first_h > gmin THEN 1 ELSE 0 END
+      |    + CASE WHEN last_h < gmax THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_gap_runs,
+      |  greatest(max_mid, first_h - gmin, gmax - last_h)::BIGINT
+      |    AS max_gap_hours
+      |FROM per CROSS JOIN grid ORDER BY event_type""".stripMargin
+
+  /** X159 peak session concurrency (q233): per calendar day, the maximum
+    * number of SIMULTANEOUSLY open sessions at minute resolution, the
+    * first minute-of-day it peaks, and how many sessions started that
+    * day — the capacity-sizing read (connection pools, state-store
+    * memory, seat licensing) that per-day session COUNTS can't give: a
+    * day of short non-overlapping sessions and a day of long stacked
+    * ones count the same in q179 but need completely different peak
+    * capacity. The classic interval-stabbing sweep made distributed:
+    * sessions become ±1 deltas at their start minute / end+1 minute,
+    * deltas collapse to the minute grid FIRST (map-side combine), and
+    * only then does the running sum walk the grid.
+    *
+    * Minute resolution is the documented contract (a sub-minute spike
+    * inside one cell reads as its cell's plateau) — it is what bounds
+    * the sweep: the grid is calendar minutes, so the global
+    * running-sum window rides ≤44 640 rows per month at ANY corpus
+    * scale (the q203/q206 bounded-grid rule), never the session count.
+    * Per-day sentinel rows carry the entering concurrency across
+    * silent days, so a session spanning a quiet day still registers.
+    *
+    * Scale posture: sessions come from the PlanCache'd q179 seam (one
+    * user_id window exchange, paid once); the delta collapse is
+    * map-side combinable; everything after runs on the bounded minute
+    * grid. Day span covers [first session START, last session END] day
+    * — a cross-midnight session registers on its closing day via the
+    * sentinel carry, but the pure release minute (end+1) can't mint a
+    * day beyond the data. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = sessionTable(spark, dir)
+      .select(expr("us0 div 60000000").as("m0"),
+        expr("us1 div 60000000").as("m1"))
+    val bounds = spans.agg(expr("min(m0) div 1440").as("d_lo"),
+      expr("max(m1) div 1440").as("d_hi"))
+    val deltas = spans.select(col("m0").as("m"), lit(1L).as("d"))
+      .unionByName(spans.select((col("m1") + 1).as("m"), lit(-1L).as("d")))
+    val sentinels = bounds
+      .select(explode(expr("sequence(d_lo, d_hi)")).as("dd"))
+      .select((col("dd") * 1440).as("m"), lit(0L).as("d"))
+    val sweep = deltas.unionByName(sentinels)
+      .groupBy(col("m")).agg(sum(col("d")).as("net"))
+      // calendar-bounded single-partition sweep — see scaladoc
+      .withColumn("cur", sum(col("net")).over(Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(expr("m div 1440").as("day_idx"), col("m"), col("cur"))
+    val peaks = sweep.groupBy(col("day_idx")).agg(max(col("cur")).as("peak"))
+    val argm = sweep.join(peaks, Seq("day_idx"))
+      .filter(col("cur") === col("peak"))
+      .groupBy(col("day_idx"), col("peak"))
+      .agg(min(expr("m % 1440")).as("peak_minute"))
+    val starts = spans.groupBy(expr("m0 div 1440").as("day_idx"))
+      .agg(count(lit(1)).as("n_started"))
+    argm.join(starts, Seq("day_idx"), "left")
+      .crossJoin(broadcast(bounds))
+      .filter(col("day_idx").between(col("d_lo"), col("d_hi")))
+      .select(
+        expr("date_add(DATE '1970-01-01', cast(day_idx as int))").as("day"),
+        coalesce(col("n_started"), lit(0L)).as("n_sessions_started"),
+        col("peak").as("peak_concurrent"),
+        col("peak_minute").as("peak_minute_of_day"))
+      .orderBy(col("day"))
+  }
+
+  def peakConcurrencySql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+       |), marked AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |      OR us - lag(us) OVER w > $SessionTimeoutUs
+       |      THEN 1 ELSE 0 END AS opens
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), sids AS (
+       |  SELECT user_id, us,
+       |    sum(opens) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked
+       |), spans AS (
+       |  SELECT min(us) // 60000000 AS m0, max(us) // 60000000 AS m1
+       |  FROM sids GROUP BY user_id, sid
+       |), bounds AS (
+       |  SELECT min(m0) // 1440 AS d_lo, max(m1) // 1440 AS d_hi FROM spans
+       |), cells AS (
+       |  SELECT m, sum(d)::BIGINT AS net FROM (
+       |    SELECT m0 AS m, 1 AS d FROM spans
+       |    UNION ALL SELECT m1 + 1, -1 FROM spans
+       |    UNION ALL SELECT unnest(generate_series(d_lo, d_hi)) * 1440, 0
+       |    FROM bounds
+       |  ) GROUP BY 1
+       |), sweep AS (
+       |  SELECT m // 1440 AS day_idx, m,
+       |    sum(net) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW)::BIGINT AS cur
+       |  FROM cells
+       |), peaks AS (
+       |  SELECT day_idx, max(cur)::BIGINT AS peak FROM sweep GROUP BY 1
+       |), argm AS (
+       |  SELECT s.day_idx, p.peak, min(s.m % 1440)::BIGINT AS peak_minute
+       |  FROM sweep s JOIN peaks p
+       |    ON s.day_idx = p.day_idx AND s.cur = p.peak
+       |  GROUP BY 1, 2
+       |), starts AS (
+       |  SELECT m0 // 1440 AS day_idx, count(*)::BIGINT AS n_started
+       |  FROM spans GROUP BY 1
+       |)
+       |SELECT DATE '1970-01-01' + a.day_idx::INTEGER AS day,
+       |  coalesce(s.n_started, 0)::BIGINT AS n_sessions_started,
+       |  a.peak AS peak_concurrent,
+       |  a.peak_minute AS peak_minute_of_day
+       |FROM argm a
+       |LEFT JOIN starts s ON a.day_idx = s.day_idx
+       |CROSS JOIN bounds
+       |WHERE a.day_idx BETWEEN d_lo AND d_hi
+       |ORDER BY day""".stripMargin
 }

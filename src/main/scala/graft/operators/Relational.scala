@@ -1653,4 +1653,87 @@ object Relational {
       |WHERE NOT (coalesce(best_cheaper_bal >= bal_cents, false)
       |  OR best_same_bal > bal_cents)
       |ORDER BY r_name, unit_tenth_cents, s_suppkey""".stripMargin
+
+  /** X152 ABC/Pareto revenue classification (q226): parts split into the
+    * classic inventory classes — A carries the first ~80% of revenue
+    * mass, B the next ~15%, C the tail — with exact part counts, revenue
+    * and share per class. The 80/20 working read behind stocking policy,
+    * cache admission and shard-tiering decisions: q213 prices engagement
+    * deciles per USER, this prices revenue concentration per SKU, and
+    * q187's HHI is its one-number summary.
+    *
+    * Class boundaries are elected on a permille-of-max revenue grid
+    * (cell = rev·1000 div max_rev, ≤1001 cells at ANY corpus scale), so
+    * whole tie-cells land in one class (the q213 tie-stable rule) and
+    * the corpus never sorts: a per-part cumulative would need a global
+    * order; the cell histogram needs only the bounded triangle fold.
+    * Revenue rides the exact cents grid; the cum·100 / total·95
+    * products stay under 2^63 for any corpus a BIGINT revenue sum fits.
+    *
+    * Scale posture: lineitem collapses once to the part-revenue table
+    * (map-side combine, the only corpus shuffle — PlanCache'd for the
+    * max/cells branches); the permille histogram is ≤1001 rows, its
+    * cumulative the q167 broadcast triangle; classes fold to 3 rows. */
+  def abcClasses(spark: SparkSession, dir: String): DataFrame = {
+    val pr = graft.PlanCache.cached(spark, s"relational.partRevenue:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          expr("cast(round((l_extendedprice * (1 - l_discount)) * 100) " +
+            "as bigint)").as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+    }
+    val mx = pr.agg(max(col("rev")).as("maxr"))
+    val cells = pr.crossJoin(broadcast(mx))
+      .select(expr("rev * 1000 div maxr").as("cell"), col("rev"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_parts"), sum(col("rev")).as("mass"))
+    val tot = cells.agg(sum(col("mass")).as("total"))
+    val hi = cells.select(col("cell").as("c2"), col("mass").as("m2"))
+    cells.join(broadcast(hi), col("c2") > col("cell"), "left")
+      .groupBy(col("cell"), col("cell_parts"), col("mass"))
+      .agg(coalesce(sum(col("m2")), lit(0L)).as("cum_above"))
+      .crossJoin(broadcast(tot))
+      .select(
+        when(col("cum_above") * 100 < col("total") * 80, "A")
+          .when(col("cum_above") * 100 < col("total") * 95, "B")
+          .otherwise("C").as("abc_class"),
+        col("cell_parts"), col("mass"), col("total"))
+      .groupBy(col("abc_class"), col("total"))
+      .agg(sum(col("cell_parts")).as("n_parts"),
+        sum(col("mass")).as("revenue_cents"))
+      .select(col("abc_class"), col("n_parts"), col("revenue_cents"),
+        expr("cast(cast(revenue_cents as decimal(38,0)) * 10000 div total " +
+          "as bigint)").as("share_bp"))
+      .orderBy(col("abc_class"))
+  }
+
+  def abcClassesSql: String =
+    """WITH pr AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+      |        AS BIGINT))::BIGINT AS rev
+      |  FROM lineitem GROUP BY 1
+      |), mx AS (
+      |  SELECT max(rev)::BIGINT AS maxr FROM pr
+      |), cells AS (
+      |  SELECT (rev * 1000 // maxr)::BIGINT AS cell,
+      |    count(*)::BIGINT AS cell_parts, sum(rev)::BIGINT AS mass
+      |  FROM pr CROSS JOIN mx GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(mass)::BIGINT AS total FROM cells
+      |), cum AS (
+      |  SELECT a.cell, a.cell_parts, a.mass,
+      |    coalesce(sum(b.mass), 0)::BIGINT AS cum_above
+      |  FROM cells a LEFT JOIN cells b ON b.cell > a.cell
+      |  GROUP BY 1, 2, 3
+      |), cls AS (
+      |  SELECT CASE WHEN cum_above * 100 < total * 80 THEN 'A'
+      |    WHEN cum_above * 100 < total * 95 THEN 'B'
+      |    ELSE 'C' END AS abc_class, cell_parts, mass, total
+      |  FROM cum CROSS JOIN tot
+      |)
+      |SELECT abc_class, sum(cell_parts)::BIGINT AS n_parts,
+      |  sum(mass)::BIGINT AS revenue_cents,
+      |  (sum(mass)::HUGEINT * 10000 // total)::BIGINT AS share_bp
+      |FROM cls GROUP BY abc_class, total ORDER BY abc_class""".stripMargin
 }

@@ -957,4 +957,114 @@ object Scale {
       |  ((plain_bits - least(plain_bits, dict_bits_est, rle_bits_est))
       |    * 10000 // plain_bits)::BIGINT AS savings_bp
       |FROM e ORDER BY col_name""".stripMargin
+
+  /** X157 LPT shard-to-worker schedule election (q231, Graham 1969):
+    * assign each source's byte mass to the least-loaded of 4 workers in
+    * longest-processing-time order — the classic 4/3-approximate
+    * makespan schedule — and report the resulting per-worker bill. The
+    * task-placement read behind every static sharding decision (file→
+    * executor, shard→reducer, tablet→server): q219 balances by HASHING
+    * keys, this balances by PACKING known sizes, and the over_ideal_bp
+    * column is the straggler tax the greedy schedule leaves on the
+    * table (0 = perfectly level, Graham bounds it at 3333 bp).
+    *
+    * Determinism: items sort (mass desc, source asc); the fold assigns
+    * to the FIRST least-loaded slot — both engines walk the identical
+    * greedy recursion (Spark as a bounded array fold, DuckDB as a
+    * recursive CTE over the ranked items).
+    *
+    * Scale posture: the corpus collapses once to |sources| masses (the
+    * only corpus-sized work); the sort/fold touch |sources| elements —
+    * audit-sized at any corpus scale, never a driver loop; output is
+    * exactly `workers` rows. */
+  def lptSchedule(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame = {
+    val workers = 4 // the fold state below is specialized to 4 slots
+    val src = graft.Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("mass"))
+    val least4 = "least(element_at(acc, 1), element_at(acc, 2), " +
+      "element_at(acc, 3), element_at(acc, 4))"
+    val slot = s"(CASE WHEN element_at(acc, 1) = $least4 THEN 0 " +
+      s"WHEN element_at(acc, 2) = $least4 THEN 1 " +
+      s"WHEN element_at(acc, 3) = $least4 THEN 2 ELSE 3 END)"
+    src.agg(collect_list(struct(col("mass"), col("source"))).as("items"))
+      .select(expr(
+        s"""aggregate(
+           |  array_sort(items, (l, r) -> CASE
+           |    WHEN l.mass > r.mass THEN -1 WHEN l.mass < r.mass THEN 1
+           |    WHEN l.source < r.source THEN -1
+           |    WHEN l.source > r.source THEN 1 ELSE 0 END),
+           |  array(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L),
+           |  (acc, x) -> transform(acc, (v, i) ->
+           |    CASE WHEN i = $slot THEN v + x.mass
+           |         WHEN i - 4 = $slot THEN v + 1L
+           |         ELSE v END))""".stripMargin).as("st"))
+      .select(col("st"),
+        expr("element_at(st, 1) + element_at(st, 2) + element_at(st, 3) " +
+          "+ element_at(st, 4)").as("total"))
+      .select(explode(expr(
+        s"""transform(sequence(1, $workers), w -> named_struct(
+           |  'worker', cast(w as bigint),
+           |  'load_chars', element_at(st, w),
+           |  'n_shards', element_at(st, w + 4)))""".stripMargin)).as("wk"),
+        col("total"))
+      .select(col("wk.worker").as("worker"), col("wk.n_shards").as("n_shards"),
+        col("wk.load_chars").as("load_chars"),
+        expr("wk.load_chars * 10000 div total").as("share_bp"),
+        (expr("wk.load_chars * 40000 div total") - lit(10000L))
+          .as("over_ideal_bp"))
+      .orderBy(col("worker"))
+  }
+
+  def lptScheduleSql: String = {
+    def slotIs(s: Int): String = s match {
+      case 1 => "f.w1 <= f.w2 AND f.w1 <= f.w3 AND f.w1 <= f.w4"
+      case 2 => "NOT (f.w1 <= f.w2 AND f.w1 <= f.w3 AND f.w1 <= f.w4) " +
+        "AND f.w2 <= f.w3 AND f.w2 <= f.w4"
+      case 3 => "NOT (f.w1 <= f.w2 AND f.w1 <= f.w3 AND f.w1 <= f.w4) " +
+        "AND NOT (f.w2 <= f.w3 AND f.w2 <= f.w4) AND f.w3 <= f.w4"
+      case _ => "NOT (f.w1 <= f.w2 AND f.w1 <= f.w3 AND f.w1 <= f.w4) " +
+        "AND NOT (f.w2 <= f.w3 AND f.w2 <= f.w4) AND NOT (f.w3 <= f.w4)"
+    }
+    s"""WITH RECURSIVE src AS (
+       |  SELECT source, sum(n_chars)::BIGINT AS mass
+       |  FROM documents GROUP BY 1
+       |), ranked AS (
+       |  SELECT source, mass,
+       |    row_number() OVER (ORDER BY mass DESC, source) AS rk
+       |  FROM src
+       |), nn AS (
+       |  SELECT count(*)::BIGINT AS n_items FROM ranked
+       |), f AS (
+       |  SELECT 0::BIGINT AS i,
+       |    0::BIGINT AS w1, 0::BIGINT AS w2, 0::BIGINT AS w3,
+       |    0::BIGINT AS w4, 0::BIGINT AS c1, 0::BIGINT AS c2,
+       |    0::BIGINT AS c3, 0::BIGINT AS c4
+       |  UNION ALL
+       |  SELECT f.i + 1,
+       |    CASE WHEN ${slotIs(1)} THEN f.w1 + r.mass ELSE f.w1 END,
+       |    CASE WHEN ${slotIs(2)} THEN f.w2 + r.mass ELSE f.w2 END,
+       |    CASE WHEN ${slotIs(3)} THEN f.w3 + r.mass ELSE f.w3 END,
+       |    CASE WHEN ${slotIs(4)} THEN f.w4 + r.mass ELSE f.w4 END,
+       |    CASE WHEN ${slotIs(1)} THEN f.c1 + 1 ELSE f.c1 END,
+       |    CASE WHEN ${slotIs(2)} THEN f.c2 + 1 ELSE f.c2 END,
+       |    CASE WHEN ${slotIs(3)} THEN f.c3 + 1 ELSE f.c3 END,
+       |    CASE WHEN ${slotIs(4)} THEN f.c4 + 1 ELSE f.c4 END
+       |  FROM f JOIN ranked r ON r.rk = f.i + 1
+       |), last AS (
+       |  SELECT f.* FROM f CROSS JOIN nn WHERE f.i = nn.n_items
+       |), tot AS (
+       |  SELECT (w1 + w2 + w3 + w4)::BIGINT AS total FROM last
+       |)
+       |SELECT worker, n_shards, load_chars,
+       |  (load_chars * 10000 // total)::BIGINT AS share_bp,
+       |  ((load_chars * 40000 // total) - 10000)::BIGINT AS over_ideal_bp
+       |FROM (
+       |  SELECT 1::BIGINT AS worker, c1 AS n_shards, w1 AS load_chars
+       |  FROM last
+       |  UNION ALL SELECT 2, c2, w2 FROM last
+       |  UNION ALL SELECT 3, c3, w3 FROM last
+       |  UNION ALL SELECT 4, c4, w4 FROM last
+       |) CROSS JOIN tot ORDER BY worker""".stripMargin
+  }
 }

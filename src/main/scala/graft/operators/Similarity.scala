@@ -1563,4 +1563,199 @@ object Similarity {
        |   100::HUGEINT * dot_e8 * dot_e8 >= 81::HUGEINT * na_e8 * nb_e8)
        |    AS confusable
        |FROM p ORDER BY label_a, label_b""".stripMargin
+
+  /** X158 mutual-nearest-neighbor audit (q232): within each coarse LSH
+    * bucket, every vector's top-1 cosine neighbor, and per label the
+    * share of vectors whose NN relation is RECIPROCAL (a is b's top-1
+    * AND b is a's) plus how many of those mutual partners share the
+    * label. Mutual-NN is the standard high-precision matching rule
+    * (de-dup record linkage, bitext mining, cross-lingual alignment):
+    * one-directional NN is noisy where density varies — the hub problem
+    * — while reciprocity certifies both sides agree, and a LOW
+    * intra-label share among mutual pairs flags label noise q89's
+    * centroid margins can't see (centroids blur pairwise structure).
+    *
+    * Candidates come from the q24 bucket seam, not an all-pairs pass,
+    * so "nearest" is bucket-scoped by construction in BOTH engines —
+    * the semantics that survive 100 TB (cost/recall knob = Planes).
+    *
+    * Scale posture: the bucketed-norm table is PlanCache'd (both join
+    * sides read one materialization — hash kernels run once per
+    * vector); the self-join is the bucket equi-join (~n²/2^Planes
+    * pairs); top-1 rides a row_number window on the high-cardinality
+    * vec_id; the mutuality probe joins two 1-row-per-vec tables; the
+    * rollup is |labels| rows. */
+  def mutualNn(spark: SparkSession, dir: String): DataFrame = {
+    val ec = graft.PlanCache.cached(spark, s"similarity.bucketNorm:$dir") {
+      withNorm(Tables.embeddings(spark, dir), "embedding")
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          bucket(col("v")).as("bkt"))
+    }
+    val a = ec.select(col("vec_id").as("vid"), col("label").as("la"),
+      col("v").as("va"), col("nrm").as("na"), col("bkt"))
+    val b = ec.select(col("vec_id").as("nid"), col("label").as("lb"),
+      col("v").as("vb"), col("nrm").as("nb"), col("bkt"))
+    val scored = a.join(b, Seq("bkt")).filter(col("vid") =!= col("nid"))
+      .select(col("vid"), col("la"), col("nid"), col("lb"),
+        round(cosinePre(col("va"), col("vb"), col("na"), col("nb")), 6)
+          .as("c"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("c").desc, col("nid"))
+    val nn = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("la"), col("nid"), col("lb"))
+    val back = nn.select(col("vid").as("bvid"), col("nid").as("bnid"))
+    val per = nn.join(back, col("bvid") === col("nid"), "left")
+      .select(col("la"),
+        when(col("bnid") === col("vid"), 1L).otherwise(0L).as("mutual"),
+        col("lb"))
+      .groupBy(col("la"))
+      .agg(count(lit(1)).as("n_nn"), sum(col("mutual")).as("n_mutual"),
+        sum(when(col("mutual") === 1 && col("lb") === col("la"), 1L)
+          .otherwise(0L)).as("n_intra"))
+    ec.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .join(per, col("label") === col("la"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_nn"), lit(0L)).as("n_nn"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        coalesce(col("n_intra"), lit(0L)).as("n_intra"))
+      .select(col("label"), col("n_vecs"), col("n_nn"), col("n_mutual"),
+        expr("CASE WHEN n_nn > 0 THEN n_mutual * 10000 div n_nn " +
+          "ELSE cast(0 as bigint) END").as("mutual_bp"),
+        col("n_intra"),
+        expr("CASE WHEN n_mutual > 0 THEN n_intra * 10000 div n_mutual " +
+          "ELSE cast(0 as bigint) END").as("intra_bp"))
+      .orderBy(col("label"))
+  }
+
+  def mutualNnSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding, ${bucketSql("embedding")} AS bkt
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT a.vec_id AS vid, a.label AS la,
+       |    b2.vec_id AS nid, b2.label AS lb,
+       |    round(${cosineSql("a.embedding", "b2.embedding")}, 6) AS c
+       |  FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id
+       |), nn AS (
+       |  SELECT vid, la, nid, lb FROM (
+       |    SELECT vid, la, nid, lb,
+       |      row_number() OVER (PARTITION BY vid ORDER BY c DESC, nid)
+       |        AS rn
+       |    FROM scored
+       |  ) WHERE rn = 1
+       |), m AS (
+       |  SELECT a.la,
+       |    CASE WHEN bk.nid = a.vid THEN 1 ELSE 0 END AS mutual, a.lb
+       |  FROM nn a LEFT JOIN nn bk ON bk.vid = a.nid
+       |), per AS (
+       |  SELECT la, count(*)::BIGINT AS n_nn,
+       |    sum(mutual)::BIGINT AS n_mutual,
+       |    sum(CASE WHEN mutual = 1 AND lb = la THEN 1 ELSE 0
+       |      END)::BIGINT AS n_intra
+       |  FROM m GROUP BY 1
+       |), nv AS (
+       |  SELECT label, count(*)::BIGINT AS n_vecs FROM embeddings GROUP BY 1
+       |)
+       |SELECT label, n_vecs,
+       |  coalesce(n_nn, 0)::BIGINT AS n_nn,
+       |  coalesce(n_mutual, 0)::BIGINT AS n_mutual,
+       |  (CASE WHEN coalesce(n_nn, 0) > 0
+       |    THEN coalesce(n_mutual, 0) * 10000 // n_nn
+       |    ELSE 0 END)::BIGINT AS mutual_bp,
+       |  coalesce(n_intra, 0)::BIGINT AS n_intra,
+       |  (CASE WHEN coalesce(n_mutual, 0) > 0
+       |    THEN coalesce(n_intra, 0) * 10000 // n_mutual
+       |    ELSE 0 END)::BIGINT AS intra_bp
+       |FROM nv LEFT JOIN per ON la = label
+       |ORDER BY label""".stripMargin
+
+  /** Expected-candidate budget (milli) for [[probeDepthFrontier]]'s
+    * election: the deepest prefix whose expected per-query candidate
+    * count is ≤ this wins; if none qualifies the full [[Planes]]-bit
+    * bucket is elected (the deepest available). */
+  val ProbeBudgetMilli: Long = 32000L
+
+  /** X160 LSH probe-depth frontier (q234): for every prefix depth
+    * P = 1..[[Planes]] of the coarse probe bucket, the exact cost
+    * profile a P-bit probe would pay — non-empty buckets, the hottest
+    * bucket and its corpus share, and the EXPECTED per-query candidate
+    * count 𝔼[s−1] = Σ s(s−1)/n in milli units — plus the election of
+    * the shallowest depth meeting [[ProbeBudgetMilli]]. The
+    * index-tuning read behind the q24/q93 recall numbers: each extra
+    * plane halves expected candidates (cost) but costs recall, and the
+    * hot-share column shows when the hyperplanes stop splitting a hub
+    * region (adding planes buys nothing — the q124 degenerate-bucket
+    * story at probe resolution). q125 prices IVF lists the same way;
+    * this prices the sign-LSH probe and ELECTS the knob.
+    *
+    * Every depth's occupancy derives from the SAME full-depth bucket id
+    * by prefix bit-shift (buckets nest dyadically), so all four
+    * profiles come from one |2^Planes|-row table — no per-depth corpus
+    * pass, and shift/bit algebra is engine-exact on non-negative ids.
+    *
+    * Scale posture: ONE corpus pass (the PlanCache'd q232 bucketed-norm
+    * seam collapsed to ≤2^Planes occupancy rows, map-side combine);
+    * depth fan-out, quadratic mass (decimal(38,0)/HUGEINT) and the
+    * election are folds over that bounded table; the elected-depth
+    * scalar broadcasts back onto the 4-row frontier. */
+  def probeDepthFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val ec = graft.PlanCache.cached(spark, s"similarity.bucketNorm:$dir") {
+      withNorm(Tables.embeddings(spark, dir), "embedding")
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          bucket(col("v")).as("bkt"))
+    }
+    val occ = ec.groupBy(col("bkt")).agg(count(lit(1)).as("s"))
+    val frontier = occ
+      .select(explode(expr(s"sequence(1, $Planes)")).as("p"),
+        col("bkt"), col("s"))
+      .groupBy(col("p"), expr(s"shiftright(bkt, $Planes - p)").as("pb"))
+      .agg(sum(col("s")).as("sb"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("sb")).as("hottest"),
+        sum(col("sb")).as("n"),
+        sum(expr("cast(sb as decimal(38,0)) * (sb - 1)")).as("pairs"))
+      .select(col("p").cast("long").as("p"), col("n_buckets"),
+        col("hottest"),
+        expr("hottest * 10000 div n").as("hot_share_bp"),
+        expr("cast(pairs * 1000 div n as bigint)")
+          .as("exp_candidates_milli"))
+    val elected = frontier.agg(coalesce(
+      min(when(col("exp_candidates_milli") <= ProbeBudgetMilli, col("p"))),
+      lit(Planes.toLong)).as("min_p"))
+    frontier.crossJoin(broadcast(elected))
+      .select(col("p"), col("n_buckets"), col("hottest"),
+        col("hot_share_bp"), col("exp_candidates_milli"),
+        (col("p") === col("min_p")).as("elected"))
+      .orderBy(col("p"))
+  }
+
+  def probeDepthFrontierSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, ${bucketSql("embedding")} AS bkt FROM embeddings
+       |), occ AS (
+       |  SELECT bkt, count(*)::BIGINT AS s FROM b GROUP BY 1
+       |), pocc AS (
+       |  SELECT t.p::BIGINT AS p, bkt >> ($Planes - t.p)::INTEGER AS pb,
+       |    sum(s)::BIGINT AS sb
+       |  FROM occ CROSS JOIN range(1, ${Planes + 1}) t(p)
+       |  GROUP BY 1, 2
+       |), fr AS (
+       |  SELECT p, count(*)::BIGINT AS n_buckets,
+       |    max(sb)::BIGINT AS hottest, sum(sb)::BIGINT AS n,
+       |    sum(sb::HUGEINT * (sb - 1)) AS pairs
+       |  FROM pocc GROUP BY 1
+       |), f2 AS (
+       |  SELECT p, n_buckets, hottest,
+       |    (hottest * 10000 // n)::BIGINT AS hot_share_bp,
+       |    (pairs * 1000 // n)::BIGINT AS exp_candidates_milli
+       |  FROM fr
+       |), mp AS (
+       |  SELECT coalesce(min(CASE WHEN exp_candidates_milli
+       |      <= $ProbeBudgetMilli THEN p END), $Planes)::BIGINT AS min_p
+       |  FROM f2
+       |)
+       |SELECT p, n_buckets, hottest, hot_share_bp, exp_candidates_milli,
+       |  (p = min_p) AS elected
+       |FROM f2 CROSS JOIN mp ORDER BY p""".stripMargin
 }

@@ -15,6 +15,13 @@ case class SeqEvent(user_id: Long, us: Long, event_id: Long, event_type: String)
 case class LastEvent(us: Long, event_id: Long, event_type: String)
 case class TransitionOut(user_id: Long, from_type: String, to_type: String)
 
+/** Typed rows for [[Pipeline.gapMonitor]] (streaming twin of q230's
+  * interior gap runs): input hour cells, per-type last-seen state, and
+  * one emitted row per CLOSED ingestion gap. */
+case class HourCell(event_type: String, h: Long)
+case class HourSeen(last_h: Long)
+case class GapOut(event_type: String, gap_start_h: Long, gap_hours: Long)
+
 /** Spark-4 `StatefulProcessor` behind [[Pipeline.runningUserCountsTws]]:
   * one named `ValueState[Long]` per user, TTL declared per state variable
   * (`TTLConfig`) instead of the mapGroupsWithState timeout dance. */
@@ -1164,6 +1171,41 @@ object Pipeline {
           chain.zip(chain.drop(1))
             .map { case (a, b) => TransitionOut(uid, a.event_type, b.event_type) }
             .iterator
+      }
+  }
+
+  /** X156 streaming twin (q230): per-type ingestion-gap detection —
+    * keyed state holds each event type's LAST seen hour cell; when
+    * traffic resumes after ≥1 silent hour, the monitor emits the closed
+    * gap (first missing hour, run length), chaining across micro-batches
+    * through the stored high-water mark. Folding the emitted rows
+    * reproduces the batch q230 INTERIOR gap runs (`n_gap_runs` minus its
+    * head/tail terms, `max_gap_hours` likewise) over the same cells —
+    * spec-gated across a batch split. Head/tail gaps against the global
+    * grid are batch-only reads by construction: a stream cannot know
+    * mid-run that an edge hour will never arrive.
+    *
+    * Input is the (event_type, hour) cell stream (callers collapse raw
+    * events with the same µs div 3600·10⁶ rule as the batch audit); the
+    * per-type ordering contract is the [[transitionMonitor]] one.
+    *
+    * Scale: one event_type shuffle per batch; state is ONE long per
+    * type, independent of history length; emitted rows are one per
+    * closed gap, never per event. */
+  def gapMonitor(cells: org.apache.spark.sql.Dataset[HourCell])
+      : org.apache.spark.sql.Dataset[GapOut] = {
+    import cells.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    cells.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HourSeen, GapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (t, it, state) =>
+          val hours = it.map(_.h).toSeq.distinct.sorted
+          val chain = state.getOption.map(_.last_h).toSeq ++ hours
+          chain.lastOption.foreach(h => state.update(HourSeen(h)))
+          chain.zip(chain.drop(1)).collect {
+            case (a, b) if b - a > 1 => GapOut(t, a + 1, b - a - 1)
+          }.iterator
       }
   }
 

@@ -1152,4 +1152,25 @@ class CurationSpec extends SparkSpec {
       "the smallest source still gets a seat via its large remainder")
     assert(out.values.map(_._4).sum == 7L, "allocations must sum to target")
   }
+
+  test("dhondtAllocation (q229): exact-proportional case seats cleanly, sums to budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dhondt").toString
+    // votes 6/3/1 on 100 seats: threshold 0.1 seats exactly 60/30/10 —
+    // the boundary quotient 100000 milli is a 3-way tie at ranks 97-99
+    val docs = (1L to 6L).map(i => (i, "s_a")) ++
+      (7L to 9L).map(i => (i, "s_b")) :+ ((10L, "s_c"))
+    docs.toDF("doc_id", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.dhondtAllocation(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("votes"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("seats"), r.getAs[Long]("seat_bp"),
+          r.getAs[Long]("dev_bp")))).toMap
+    assert(out == Map(
+      "s_a" -> ((6L, 6000L, 60L, 6000L, 0L)),
+      "s_b" -> ((3L, 3000L, 30L, 3000L, 0L)),
+      "s_c" -> ((1L, 1000L, 10L, 1000L, 0L))), s"got $out")
+    assert(out.values.map(_._3).sum == 100L, "seats must sum to the budget")
+  }
 }

@@ -889,4 +889,95 @@ class EventAnalyticsSpec extends SparkSpec {
     // stage 2: the 2 passers enter, only u1 converts; dwell {30}
     assert(out("b_view_to_purchase") == ((2L, 1L, 5000L, 30L, 30L)))
   }
+
+  test("churnLabels (q227): pair grain, bands, horizon labeling, exclusions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_churn").toString
+    var eid = 0L
+    def ev(u: Long, d: Long, t: String = "click") = {
+      eid += 1; (eid, nanos(d * day + 1), u, t, 1.0, "{}")
+    }
+    val rows =
+      // (u1, click): obs days 1,2 (b_2_3), silent horizon → churned
+      Seq(ev(1L, 1L), ev(1L, 2L)) ++
+        // (u1, view): one obs day (a_1), no horizon → churned — the
+        // feature grain labels this pair independently of u1's clicks
+        Seq(ev(1L, 1L, "view")) ++
+        // (u2, click): one obs day (a_1), day 16 (horizon) → retained
+        Seq(ev(2L, 1L), ev(2L, 16L)) ++
+        // (u3, click): obs days 1..8 (d_ge_8), horizon day 15 → retained
+        (1L to 8L).map(d => ev(3L, d)) :+ ev(3L, 15L) :+
+        // (u4, click): horizon-only → no observation activity → excluded
+        ev(4L, 16L)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.churnLabels(spark, dir).collect()
+      .map(r => r.getAs[String]("activity_band") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_churned"),
+          r.getAs[Long]("churn_bp"), r.getAs[Long]("sum_obs_days")))).toMap
+    assert(out == Map(
+      "a_1" -> ((2L, 1L, 5000L, 2L)),
+      "b_2_3" -> ((1L, 1L, 10000L, 2L)),
+      "d_ge_8" -> ((1L, 0L, 0L, 8L))), s"got $out")
+  }
+
+  test("cusumShift (q228): hand-walked two-sided walk, zero-fill, flat type") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { i =>
+      eid += 1; (eid, nanos(d * day + i), eid % 5, t, 1.0, "{}")
+    }
+    // "shift": 1,1,3,3 → dev·4 = −4,−4,4,4; S⁺ peaks 8 at i=3, S⁻ 8 at i=1
+    // "flat": 2,2 → all-zero devs → both peaks 0, argmax −1 → NULL days
+    // "gap": 2,_,2 (day 2 empty) → zero-fill: dev·3 = 2,−4,2;
+    //   S⁺ peak 2 at i=0, S⁻ peak 4 at i=1 (the missing day)
+    val rows = evs("shift", 1, 1) ++ evs("shift", 2, 1) ++
+      evs("shift", 3, 3) ++ evs("shift", 4, 3) ++
+      evs("flat", 1, 2) ++ evs("flat", 2, 2) ++
+      evs("gap", 1, 2) ++ evs("gap", 3, 2)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.cusumShift(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val s = out("shift")
+    assert(s.getAs[Long]("n_days") == 4L && s.getAs[Long]("total_events") == 8L)
+    assert(s.getAs[Long]("up_peak_bp") == 2500L, // 8·10⁴ div (4·8)
+      s"up ${s.getAs[Long]("up_peak_bp")}")
+    assert(s.getAs[java.sql.Date]("up_peak_day").toString == "1970-01-05")
+    assert(s.getAs[Long]("down_peak_bp") == 2500L)
+    assert(s.getAs[java.sql.Date]("down_peak_day").toString == "1970-01-03")
+    val f = out("flat")
+    assert(f.getAs[Long]("up_peak_bp") == 0L && f.getAs[Long]("down_peak_bp") == 0L)
+    assert(f.isNullAt(f.fieldIndex("up_peak_day")) &&
+      f.isNullAt(f.fieldIndex("down_peak_day")))
+    val g = out("gap")
+    assert(g.getAs[Long]("n_days") == 3L && g.getAs[Long]("total_events") == 4L)
+    assert(g.getAs[Long]("up_peak_bp") == 1666L) // 2·10⁴ div 12
+    assert(g.getAs[Long]("down_peak_bp") == 3333L) // 4·10⁴ div 12
+    assert(g.getAs[java.sql.Date]("down_peak_day").toString == "1970-01-03",
+      "the S⁻ peak lands on the zero-filled missing day")
+  }
+
+  test("coverageGaps (q230): runs, head gaps, and the shared global grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cover").toString
+    var eid = 0L
+    def ev(t: String, h: Long) = { eid += 1; (eid, nanos(h * 3600L + 1), eid % 5, t, 1.0, "{}") }
+    val rows =
+      (0L to 5L).map(h => ev("full", h)) ++ // all 6 grid hours
+        Seq(ev("gappy", 0L), ev("gappy", 3L), ev("gappy", 5L)) ++ // 2 runs
+        Seq(ev("late", 4L), ev("late", 5L)) // head gap of 4
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.coverageGaps(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_expected"), r.getAs[Long]("n_present"),
+          r.getAs[Long]("coverage_bp"), r.getAs[Long]("n_gap_runs"),
+          r.getAs[Long]("max_gap_hours")))).toMap
+    assert(out == Map(
+      "full" -> ((6L, 6L, 10000L, 0L, 0L)),
+      "gappy" -> ((6L, 3L, 5000L, 2L, 2L)),
+      "late" -> ((6L, 2L, 3333L, 1L, 4L))), s"got $out")
+  }
 }

@@ -324,4 +324,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out("P1") == ((3L, 10L, 3333L, 6666L, 40L)))
     assert(out("P2") == ((1L, 5L, 10000L, 10000L, 5L)))
   }
+
+  test("abcClasses (q226): permille-cell election, hand-walked 80/95 cut") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_abc").toString
+    // part revenues (cents): 8000, 1500, 400, 100 → total 10000, max 8000
+    // cells (rev·1000 div 8000): 1000, 187, 50, 12
+    // cum_above: 0 → A; 8000 (=80% exactly, NOT <) → B; 9500, 9900 → C
+    Seq((1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 4.0, 0.0), (4L, 1.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.abcClasses(spark, dir).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        ((r.getAs[Long]("n_parts"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Long]("share_bp")))).toMap
+    assert(out == Map(
+      "A" -> ((1L, 8000L, 8000L)),
+      "B" -> ((1L, 1500L, 1500L)),
+      "C" -> ((2L, 500L, 500L))), s"got $out")
+  }
 }

@@ -430,4 +430,25 @@ class ScaleSpec extends SparkSpec {
     assert(out(32L) == ((12L, 1L, 26666L, false)))
     assert(out(128L) == ((12L, 1L, 106666L, false)))
   }
+
+  test("lptSchedule (q231): hand-walked greedy fold, loads and counts exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lpt").toString
+    // masses desc 10,9,8,7,6,5 on 4 workers:
+    // 10→w1, 9→w2, 8→w3, 7→w4, 6→w4 (least=7), 5→w3 (least=8)
+    // → w1=10(1), w2=9(1), w3=13(2), w4=13(2); total 45
+    Seq(("s1", 10L), ("s2", 9L), ("s3", 8L), ("s4", 7L), ("s5", 6L),
+      ("s6", 5L)).toDF("source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Scale.lptSchedule(spark, dir).collect()
+      .map(r => r.getAs[Long]("worker") ->
+        ((r.getAs[Long]("n_shards"), r.getAs[Long]("load_chars"),
+          r.getAs[Long]("share_bp"), r.getAs[Long]("over_ideal_bp")))).toMap
+    assert(out == Map(
+      1L -> ((1L, 10L, 2222L, -1112L)),
+      2L -> ((1L, 9L, 2000L, -2000L)),
+      3L -> ((2L, 13L, 2888L, 1555L)),
+      4L -> ((2L, 13L, 2888L, 1555L))), s"got $out")
+    assert(out.values.map(_._2).sum == 45L, "loads must conserve total mass")
+  }
 }

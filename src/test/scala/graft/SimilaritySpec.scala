@@ -7,6 +7,30 @@ import graft.operators.Similarity
 /** Unit coverage for similarity search (SURVEY.md §2.12 X3). */
 class SimilaritySpec extends SparkSpec {
 
+  test("mutualNn (q232): reciprocal pairs, tie-break, bucket-isolated vector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mnn").toString
+    // a = (1, 0.5, 0…): plane dots ∈ {±1.5, ±0.5}, never 0 — so −a lands
+    // in the exact complementary bucket, guaranteed apart from a.
+    val a = Array.tabulate(64)(i => if (i == 0) 1.0f else if (i == 1) 0.5f else 0.0f)
+    val na = a.map(-_)
+    // v0=v1=v2=a (labels 0,0,1) share a bucket; cosine ties resolve by
+    // vec_id: nn(0)=1, nn(1)=0 (mutual), nn(2)=0 (one-directional).
+    // v3=−a (label 2) is alone in its bucket → no candidates at all.
+    Seq((0L, a, 0), (1L, a, 0), (2L, a, 1), (3L, na, 2))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.mutualNn(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_nn"),
+          r.getAs[Long]("n_mutual"), r.getAs[Long]("mutual_bp"),
+          r.getAs[Long]("n_intra"), r.getAs[Long]("intra_bp")))).toMap
+    assert(out == Map(
+      0 -> ((2L, 2L, 2L, 10000L, 2L, 10000L)),
+      1 -> ((1L, 1L, 0L, 0L, 0L, 0L)),
+      2 -> ((1L, 0L, 0L, 0L, 0L, 0L))), s"got $out")
+  }
+
   test("hyperplanes are deterministic ±1 and fixed across calls") {
     assert(Similarity.Hyperplanes.size == Similarity.Bands * Similarity.BandPlanes)
     assert(Similarity.Hyperplanes.forall(_.size == Similarity.Dim))
