@@ -266,7 +266,13 @@ object PlanAudit {
     "q229_dhondt_alloc",
     // q230 crossJoins the broadcast SINGLE-ROW global hour-grid scalar
     // onto the |types|-row per-type rollup
-    "q230_coverage_gaps")
+    "q230_coverage_gaps",
+    // q233 crossJoins the broadcast SINGLE-ROW day-span scalar onto the
+    // calendar-bounded per-day peak table
+    "q233_peak_concurrency",
+    // q234 crossJoins the broadcast SINGLE-ROW elected-depth scalar
+    // onto the |Planes|-row frontier
+    "q234_probe_frontier")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

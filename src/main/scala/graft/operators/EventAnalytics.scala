@@ -2475,9 +2475,12 @@ object EventAnalytics {
     *
     * Minute resolution is the documented contract (a sub-minute spike
     * inside one cell reads as its cell's plateau) — it is what bounds
-    * the sweep: the grid is calendar minutes, so the global
-    * running-sum window rides ≤44 640 rows per month at ANY corpus
-    * scale (the q203/q206 bounded-grid rule), never the session count.
+    * the sweep: the grid is calendar minutes (≤44 640 cells per month
+    * at ANY corpus scale, the q203/q206 bounded-grid rule), and the
+    * running sum is the textbook TWO-LEVEL distributed prefix sum —
+    * a day-partitioned window (≤1440 rows per partition) plus per-day
+    * entering offsets from the q167 broadcast triangle over the
+    * |days|-row net table — so no single-partition window ever forms.
     * Per-day sentinel rows carry the entering concurrency across
     * silent days, so a session spanning a quiet day still registers.
     *
@@ -2500,12 +2503,23 @@ object EventAnalytics {
     val sentinels = bounds
       .select(explode(expr("sequence(d_lo, d_hi)")).as("dd"))
       .select((col("dd") * 1440).as("m"), lit(0L).as("d"))
-    val sweep = deltas.unionByName(sentinels)
+    val cells = deltas.unionByName(sentinels)
       .groupBy(col("m")).agg(sum(col("d")).as("net"))
-      // calendar-bounded single-partition sweep — see scaladoc
-      .withColumn("cur", sum(col("net")).over(Window.orderBy(col("m"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(expr("m div 1440").as("day_idx"), col("m"), col("cur"))
+      .withColumn("day_idx", expr("m div 1440"))
+    // two-level prefix sum: within-day running sum (≤1440 rows per
+    // partition) + per-day entering offsets via the broadcast triangle
+    val wd = Window.partitionBy(col("day_idx")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayNet = cells.groupBy(col("day_idx")).agg(sum(col("net")).as("dnet"))
+    val prior = dayNet.select(col("day_idx").as("d2"), col("dnet").as("n2"))
+    val offsets = dayNet.join(broadcast(prior), col("d2") < col("day_idx"),
+        "left")
+      .groupBy(col("day_idx"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("entering"))
+    val sweep = cells.withColumn("wcum", sum(col("net")).over(wd))
+      .join(broadcast(offsets), Seq("day_idx"))
+      .select(col("day_idx"), col("m"),
+        (col("wcum") + col("entering")).as("cur"))
     val peaks = sweep.groupBy(col("day_idx")).agg(max(col("cur")).as("peak"))
     val argm = sweep.join(peaks, Seq("day_idx"))
       .filter(col("cur") === col("peak"))

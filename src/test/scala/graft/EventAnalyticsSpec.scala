@@ -980,4 +980,34 @@ class EventAnalyticsSpec extends SparkSpec {
       "gappy" -> ((6L, 3L, 5000L, 2L, 2L)),
       "late" -> ((6L, 2L, 3333L, 1L, 4L))), s"got $out")
   }
+
+  test("peakConcurrency (q233): overlap peak, sentinel carry across midnight") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_peak").toString
+    var eid = 0L
+    def ev(u: Long, sec: Long) = { eid += 1; (eid, nanos(sec), u, "click", 1.0, "{}") }
+    val rows = Seq(
+      // day 0: u1 session [m10, m20], u2 [m15], u3 [m5] + [m90]
+      // (75-min silence splits u3) → peak 2 at minute 15, 4 starts
+      ev(1L, 600L), ev(1L, 1200L), ev(2L, 900L),
+      ev(3L, 300L), ev(3L, 5400L),
+      // day 1: one session at minute 30
+      ev(4L, 86400L + 1800L),
+      // u5 spans midnight day2→day3 (23:50 → 00:10, 20-min gap, one
+      // session): day 3 has NO start but carries concurrency 1 in via
+      // the sentinel at minute 0
+      ev(5L, 2L * 86400L + 85800L), ev(5L, 3L * 86400L + 600L))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.peakConcurrency(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n_sessions_started"),
+          r.getAs[Long]("peak_concurrent"),
+          r.getAs[Long]("peak_minute_of_day")))).toMap
+    assert(out == Map(
+      "1970-01-01" -> ((4L, 2L, 15L)),
+      "1970-01-02" -> ((1L, 1L, 30L)),
+      "1970-01-03" -> ((1L, 1L, 1430L)),
+      "1970-01-04" -> ((0L, 1L, 0L))), s"got $out")
+  }
 }

@@ -31,6 +31,51 @@ class SimilaritySpec extends SparkSpec {
       2 -> ((1L, 0L, 0L, 0L, 0L, 0L))), s"got $out")
   }
 
+  test("probeDepthFrontier (q234): antipodal buckets keep every depth's profile; nesting algebra exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf").toString
+    // a and −a land in complementary 4-bit buckets (every plane sign
+    // flips), so their prefixes differ at EVERY depth: all four depths
+    // must show the identical 2-bucket profile — the prefix-nesting
+    // algebra in its closed form. occ {6, 2}, n = 8:
+    // pairs = 6·5 + 2·1 = 32 → exp = 32·1000 div 8 = 4000 milli
+    val a = Array.tabulate(64)(i => if (i == 0) 1.0f else if (i == 1) 0.5f else 0.0f)
+    val na = a.map(-_)
+    val rows = (0L until 6L).map(i => (i, a, 0)) ++ Seq((6L, na, 1), (7L, na, 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.probeDepthFrontier(spark, dir).collect()
+      .map(r => r.getAs[Long]("p") ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("hottest"),
+          r.getAs[Long]("hot_share_bp"), r.getAs[Long]("exp_candidates_milli"),
+          r.getAs[Boolean]("elected")))).toMap
+    assert(out == Map(
+      1L -> ((2L, 6L, 7500L, 4000L, true)), // shallowest under budget wins
+      2L -> ((2L, 6L, 7500L, 4000L, false)),
+      3L -> ((2L, 6L, 7500L, 4000L, false)),
+      4L -> ((2L, 6L, 7500L, 4000L, false))), s"got $out")
+  }
+
+  test("probeDepthFrontier: refinement monotonicity and election rule on the sf fixture") {
+    val rows = Similarity.probeDepthFrontier(spark, sf0001).collect()
+      .sortBy(_.getAs[Long]("p"))
+    assert(rows.map(_.getAs[Long]("p")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // refining a partition can only split cells: buckets grow, the
+    // hottest bucket and the quadratic pair mass never increase
+    val nb = rows.map(_.getAs[Long]("n_buckets")).toSeq
+    val hot = rows.map(_.getAs[Long]("hottest")).toSeq
+    val exp = rows.map(_.getAs[Long]("exp_candidates_milli")).toSeq
+    assert(nb == nb.sorted, s"bucket counts must be non-decreasing: $nb")
+    assert(hot == hot.sorted.reverse, s"hottest must be non-increasing: $hot")
+    assert(exp == exp.sorted.reverse, s"expected candidates must be non-increasing: $exp")
+    // exactly one elected row, and it follows the budget rule
+    val elected = rows.filter(_.getAs[Boolean]("elected")).map(_.getAs[Long]("p"))
+    assert(elected.length == 1, s"exactly one elected depth: $elected")
+    val meeting = rows.filter(_.getAs[Long]("exp_candidates_milli")
+      <= Similarity.ProbeBudgetMilli).map(_.getAs[Long]("p"))
+    assert(elected.head == (if (meeting.nonEmpty) meeting.min else Similarity.Planes.toLong))
+  }
+
   test("hyperplanes are deterministic ±1 and fixed across calls") {
     assert(Similarity.Hyperplanes.size == Similarity.Bands * Similarity.BandPlanes)
     assert(Similarity.Hyperplanes.forall(_.size == Similarity.Dim))

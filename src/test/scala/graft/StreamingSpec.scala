@@ -1938,4 +1938,29 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 00:01:00.0" -> 0.5),
       s"got $rates")
   }
+
+  test("gap monitor: closed gaps chain across a batch split (X156 twin of q230)") {
+    import graft.streaming.{GapOut, HourCell}
+    val mem = MemoryStream[HourCell]
+    val q = Pipeline.gapMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("gap_mon")
+      .outputMode("append").start()
+    try {
+      // batch 1: gappy {0, 3} (one interior gap), full {0, 1}
+      mem.addData(HourCell("gappy", 0L), HourCell("gappy", 3L),
+        HourCell("full", 0L), HourCell("full", 1L))
+      q.processAllAvailable()
+      // batch 2: gappy resumes at 5 — the 3→5 gap closes ACROSS the
+      // split through the stored high-water mark; full stays contiguous
+      mem.addData(HourCell("gappy", 5L), HourCell("full", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gap_mon").collect()
+      .map(r => GapOut(r.getAs[String]("event_type"),
+        r.getAs[Long]("gap_start_h"), r.getAs[Long]("gap_hours"))).toSet
+    // exactly q230's INTERIOR runs on the same cells: runs_mid = 2 for
+    // gappy (lengths 2 and 1), none for full — head/tail are batch-only
+    assert(got == Set(GapOut("gappy", 1L, 2L), GapOut("gappy", 4L, 1L)),
+      s"got $got")
+  }
 }
