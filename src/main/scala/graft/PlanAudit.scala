@@ -272,7 +272,14 @@ object PlanAudit {
     "q233_peak_concurrency",
     // q234 crossJoins the broadcast SINGLE-ROW elected-depth scalar
     // onto the |Planes|-row frontier
-    "q234_probe_frontier")
+    "q234_probe_frontier",
+    // q235's deviation grid crosses the broadcast k-row top-term table
+    // with the |sources|-row mass table plus the 1-row corpus scalar
+    "q235_term_dispersion",
+    // q236/q237 cross their ≤4-row outcome / ≤|channels|+1-row credit
+    // rollups with a broadcast 1-row total (the q127 scalar shape)
+    "q236_error_recovery",
+    "q237_u_attribution")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -2590,4 +2590,227 @@ object EventAnalytics {
        |CROSS JOIN bounds
        |WHERE a.day_idx BETWEEN d_lo AND d_hi
        |ORDER BY day""".stripMargin
+
+  /** Recovery/abandonment cutoffs for [[errorRecovery]] (µs): a next
+    * event within QuickUs is a quick recovery; nothing within
+    * AbandonUs is an abandonment. */
+  val QuickUs: Long = 300000000L
+  val AbandonUs: Long = 1800000000L
+
+  /** X162 error-recovery outcome audit (q236): what happens immediately
+    * AFTER each error event — the user's next action classified as
+    * quick recovery (any non-error within 5 min), slow recovery
+    * (non-error within 30 min), error cascade (another error within
+    * 30 min), or abandonment (nothing within 30 min) — with share and
+    * mean time-to-next per outcome. The reliability read q58's funnel
+    * and q122's transition matrix both miss: transitions count WHERE
+    * users go, this times HOW FAST they come back and isolates the
+    * cascade share (retry storms — the client-side thundering herd
+    * that turns one fault into N) from the abandonment share (the
+    * revenue cost of the fault). The 30-min abandonment cutoff is the
+    * q179 session-timeout knee, so "abandoned" = "the error ended the
+    * session".
+    *
+    * Scale posture: ONE user_id window exchange (the q179/q122 order
+    * rule (µs, event_id)) computes each error's successor; the
+    * classification is a per-row expression and the rollup is ≤4 rows.
+    * Gap algebra is exact integer µs. */
+  def errorRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val outcomes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("event_type") === "error")
+      .select(
+        when(col("next_type").isNull || col("gap_us") > AbandonUs,
+          "d_abandoned")
+          .when(col("next_type") === "error", "c_cascade")
+          .when(col("gap_us") <= QuickUs, "a_quick_recovery")
+          .otherwise("b_slow_recovery").as("outcome"),
+        when(col("next_type").isNotNull && col("gap_us") <= AbandonUs,
+          col("gap_us")).as("gus"))
+    val agg = outcomes.groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n_errors"),
+        coalesce(sum(col("gus")), lit(0L)).as("sum_gus"))
+    val tot = agg.agg(sum(col("n_errors")).as("n_tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("outcome"), col("n_errors"),
+        expr("n_errors * 10000 div n_tot").as("share_bp"),
+        expr("sum_gus div (n_errors * 1000)").as("mean_gap_ms"))
+      .orderBy(col("outcome"))
+  }
+
+  def errorRecoverySql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(ts::TIMESTAMP) AS us,
+       |    lead(event_type) OVER w AS next_type,
+       |    lead(epoch_us(ts::TIMESTAMP)) OVER w
+       |      - epoch_us(ts::TIMESTAMP) AS gap_us
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), o AS (
+       |  SELECT CASE
+       |      WHEN next_type IS NULL OR gap_us > $AbandonUs THEN 'd_abandoned'
+       |      WHEN next_type = 'error' THEN 'c_cascade'
+       |      WHEN gap_us <= $QuickUs THEN 'a_quick_recovery'
+       |      ELSE 'b_slow_recovery' END AS outcome,
+       |    CASE WHEN next_type IS NOT NULL AND gap_us <= $AbandonUs
+       |      THEN gap_us END AS gus
+       |  FROM seq WHERE event_type = 'error'
+       |), agg AS (
+       |  SELECT outcome, count(*)::BIGINT AS n_errors,
+       |    coalesce(sum(gus), 0)::BIGINT AS sum_gus
+       |  FROM o GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(n_errors)::BIGINT AS n_tot FROM agg
+       |)
+       |SELECT outcome, n_errors,
+       |  (n_errors * 10000 // n_tot)::BIGINT AS share_bp,
+       |  (sum_gus // (n_errors * 1000))::BIGINT AS mean_gap_ms
+       |FROM agg CROSS JOIN tot ORDER BY outcome""".stripMargin
+
+  /** The non-purchase channel universe for [[uShapedAttribution]] —
+    * fixed so the per-purchase running counts are a closed column set
+    * in both engines (FIXTURES.md §B event_type domain). */
+  val TouchChannels: Seq[String] = Seq("click", "error", "signup", "view")
+
+  /** X163 U-shaped multi-touch revenue attribution (q237): every
+    * purchase's cents split 40% to the FIRST touch, 40% to the LAST
+    * touch before purchase, 20% spread evenly over the middle touches
+    * — the position-based model between q175's two single-touch
+    * extremes (first-touch over-credits acquisition, last-touch
+    * over-credits closing; U-shaped prices both ends of the journey
+    * and still acknowledges the middle). Touch = any non-purchase
+    * event; a touchless purchase credits '(direct)'. Allocation is
+    * EXACT to the cent per purchase: 40% legs floor on the cents grid,
+    * the middle pool is the exact remainder, its per-touch unit floors,
+    * and the division remainder rides with the first-touch credit
+    * (documented, engine-identical) — Σ credits ≡ Σ purchase cents,
+    * spec-asserted.
+    *
+    * Scale posture: ONE user_id window exchange carries the first/last
+    * touch AND the per-channel running counts (the channel set is the
+    * fixed [[TouchChannels]], so "middle touches per channel" is
+    * closed-form column algebra — no touch-list explosion, no
+    * purchase×touch join); each purchase then fans out exactly
+    * 2+|channels| credit rows via stack(), and the rollup is
+    * ≤|channels|+1 rows. */
+  def uShapedAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val base = TouchChannels.foldLeft(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("ft", first(touch, ignoreNulls = true).over(wPrev))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(wPrev))) {
+      (df, t) => df.withColumn(s"c_$t",
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).over(wPrev))
+    }
+    val cSum = TouchChannels.map(t => s"coalesce(c_$t, 0L)").mkString(" + ")
+    val p = base.filter(col("event_type") === "purchase")
+      .select(Seq(col("cents"),
+        coalesce(col("ft"), lit("(direct)")).as("ft"),
+        coalesce(col("lt"), lit("(direct)")).as("lt"),
+        expr(s"$cSum").as("m")) ++
+        TouchChannels.map(t =>
+          coalesce(col(s"c_$t"), lit(0L)).as(s"c_$t")): _*)
+      .select(Seq(col("cents"), col("ft"), col("lt"), col("m"),
+        expr("cents * 2 div 5").as("f40"),
+        expr("cents - 2 * (cents * 2 div 5)").as("mid_total"),
+        expr("greatest(m - 2, 0L)").as("m_mid")) ++
+        TouchChannels.map(t => (col(s"c_$t")
+          - when(col("ft") === t, 1L).otherwise(0L)
+          - when(col("lt") === t && col("m") >= 2, 1L).otherwise(0L))
+          .as(s"mc_$t")): _*)
+      .select(col("*"),
+        expr("CASE WHEN m_mid > 0 THEN mid_total div m_mid ELSE 0L END")
+          .as("unit"))
+      .select(col("*"),
+        expr("mid_total - unit * m_mid").as("rem"))
+    val midLegs = TouchChannels
+      .map(t => s"'$t', unit * mc_$t").mkString(", ")
+    val credits = p.select(expr(
+      s"stack(${TouchChannels.size + 2}, " +
+        s"ft, f40 + rem, lt, f40, $midLegs) as (channel, acents)"))
+    val agg = credits.groupBy(col("channel"))
+      .agg(sum(col("acents")).as("cents"),
+        sum(when(col("acents") > 0, 1L).otherwise(0L)).as("n_credits"))
+      .filter(col("cents") > 0)
+    val tot = agg.agg(sum(col("cents")).as("tc"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_credits"), col("cents"),
+        expr("cents * 10000 div tc").as("share_bp"))
+      .orderBy(col("channel"))
+  }
+
+  def uShapedAttributionSql: String = {
+    val counts = TouchChannels.map(t =>
+      s"""    sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+         |      OVER wp AS c_$t""".stripMargin).mkString(",\n")
+    val mids = TouchChannels.map(t =>
+      s"""    (c_$t - CASE WHEN ft = '$t' THEN 1 ELSE 0 END
+         |      - CASE WHEN lt = '$t' AND m >= 2 THEN 1 ELSE 0
+         |      END)::BIGINT AS mc_$t""".stripMargin).mkString(",\n")
+    val midLegs = TouchChannels.map(t =>
+      s"SELECT '$t' AS channel, unit * mc_$t AS acents FROM alloc")
+      .mkString("\n  UNION ALL ")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    first_value(CASE WHEN event_type <> 'purchase'
+       |        THEN event_type END IGNORE NULLS) OVER wp AS ft,
+       |    last_value(CASE WHEN event_type <> 'purchase'
+       |        THEN event_type END IGNORE NULLS) OVER wp AS lt,
+       |$counts
+       |  FROM events
+       |  WINDOW wp AS (PARTITION BY user_id
+       |    ORDER BY ts::TIMESTAMP, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), p AS (
+       |  SELECT cents, coalesce(ft, '(direct)') AS ft,
+       |    coalesce(lt, '(direct)') AS lt,
+       |    (${TouchChannels.map(t => s"coalesce(c_$t, 0)").mkString(" + ")}
+       |      )::BIGINT AS m,
+       |    ${TouchChannels.map(t => s"coalesce(c_$t, 0)::BIGINT AS c_$t")
+            .mkString(", ")}
+       |  FROM seq WHERE event_type = 'purchase'
+       |), sized AS (
+       |  SELECT cents, ft, lt, m,
+       |    (cents * 2 // 5)::BIGINT AS f40,
+       |    (cents - 2 * (cents * 2 // 5))::BIGINT AS mid_total,
+       |    greatest(m - 2, 0)::BIGINT AS m_mid,
+       |$mids
+       |  FROM p
+       |), alloc AS (
+       |  SELECT *, CASE WHEN m_mid > 0 THEN mid_total // m_mid
+       |      ELSE 0 END::BIGINT AS unit,
+       |    (mid_total - (CASE WHEN m_mid > 0 THEN mid_total // m_mid
+       |      ELSE 0 END) * m_mid)::BIGINT AS rem
+       |  FROM sized
+       |), credits AS (
+       |  SELECT ft AS channel, f40 + rem AS acents FROM alloc
+       |  UNION ALL SELECT lt, f40 FROM alloc
+       |  UNION ALL $midLegs
+       |), agg AS (
+       |  SELECT channel, sum(acents)::BIGINT AS cents,
+       |    sum(CASE WHEN acents > 0 THEN 1 ELSE 0 END)::BIGINT AS n_credits
+       |  FROM credits GROUP BY 1
+       |  HAVING sum(acents) > 0
+       |), tot AS (
+       |  SELECT sum(cents)::BIGINT AS tc FROM agg
+       |)
+       |SELECT channel, n_credits, cents,
+       |  (cents * 10000 // tot.tc)::BIGINT AS share_bp
+       |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
 }

@@ -3725,4 +3725,78 @@ object TextAnalysis {
        |  (sum_rel // n_occ)::BIGINT AS mean_pos_milli,
        |  (front * 10000 // n_occ)::BIGINT AS front_share_bp
        |FROM top ORDER BY n_occ DESC, term""".stripMargin
+
+  // ---- X161: term source-dispersion audit (q235) ----------------------------
+
+  /** X161 term source-dispersion audit (q235, Gries 2008): for the
+    * corpus's top-k terms, how unevenly their occurrences spread across
+    * SOURCES — the exact total-variation distance (bp) between the
+    * term's source distribution and the corpus's source token masses,
+    * plus its single heaviest source share. The provenance companion to
+    * q220's positional read: frequency says WHAT repeats, position says
+    * WHERE in a document, dispersion says WHERE IN THE CORPUS — a
+    * frequent term with high dp_bp is source-local vocabulary
+    * (boilerplate, domain jargon, a crawl artifact) that q53's global
+    * TF-IDF under-weights and a deduped mixture inherits verbatim,
+    * while dp_bp ≈ 0 is corpus-wide (function-word-like) usage. Gries'
+    * DP statistic, on the integer bp grid.
+    *
+    * Scale posture: ONE corpus pass collapses tokens to (term, source)
+    * cells (map-side combine, vocabulary×sources-sized — the q163
+    * histogram rule); the top-k election rides TakeOrderedAndProject
+    * over term totals; the deviation grid is k·|sources| rows built
+    * from broadcast tiny sides; every share floors on the bp grid
+    * identically in both engines. */
+  def termDispersion(spark: SparkSession, dir: String,
+                     k: Int = 25): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextHash.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("source")).agg(count(lit(1)).as("cnt"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("cnt")).as("stok"))
+    val corpus = srcTot.agg(sum(col("stok")).as("ctok"))
+    val top = cells.groupBy(col("tok")).agg(sum(col("cnt")).as("ttot"))
+      .orderBy(col("ttot").desc, col("tok")).limit(k)
+    val topCells = cells.join(broadcast(top.select(col("tok"))), Seq("tok"))
+    top.crossJoin(srcTot)
+      .join(topCells, Seq("tok", "source"), "left")
+      .crossJoin(broadcast(corpus))
+      .select(col("tok"), col("ttot"),
+        coalesce(col("cnt"), lit(0L)).as("cobs"),
+        expr("coalesce(cnt, 0L) * 10000 div ttot").as("a_bp"),
+        expr("stok * 10000 div ctok").as("b_bp"))
+      .groupBy(col("tok"), col("ttot"))
+      .agg(sum(when(col("cobs") > 0, 1L).otherwise(0L)).as("n_sources"),
+        max(col("a_bp")).as("top_source_bp"),
+        sum(abs(col("a_bp") - col("b_bp"))).as("sad"))
+      .select(col("tok").as("term"), col("ttot").as("n_occurrences"),
+        col("n_sources"), col("top_source_bp"),
+        expr("sad div 2").as("dp_bp"))
+      .orderBy(col("dp_bp").desc, col("term"))
+  }
+
+  def termDispersionSql(k: Int = 25): String =
+    s"""WITH cells AS (
+       |  SELECT tok, source, count(*)::BIGINT AS cnt FROM (
+       |    SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents
+       |  ) GROUP BY 1, 2
+       |), src AS (
+       |  SELECT source, sum(cnt)::BIGINT AS stok FROM cells GROUP BY 1
+       |), corpus AS (
+       |  SELECT sum(stok)::BIGINT AS ctok FROM src
+       |), top AS (
+       |  SELECT tok, sum(cnt)::BIGINT AS ttot FROM cells GROUP BY 1
+       |  ORDER BY ttot DESC, tok LIMIT $k
+       |), grid AS (
+       |  SELECT t.tok, t.ttot, coalesce(c.cnt, 0)::BIGINT AS cobs,
+       |    (coalesce(c.cnt, 0) * 10000 // t.ttot)::BIGINT AS a_bp,
+       |    (s.stok * 10000 // corpus.ctok)::BIGINT AS b_bp
+       |  FROM top t CROSS JOIN src s CROSS JOIN corpus
+       |  LEFT JOIN cells c ON c.tok = t.tok AND c.source = s.source
+       |)
+       |SELECT tok AS term, ttot AS n_occurrences,
+       |  sum(CASE WHEN cobs > 0 THEN 1 ELSE 0 END)::BIGINT AS n_sources,
+       |  max(a_bp)::BIGINT AS top_source_bp,
+       |  (sum(abs(a_bp - b_bp)) // 2)::BIGINT AS dp_bp
+       |FROM grid GROUP BY 1, 2 ORDER BY dp_bp DESC, term""".stripMargin
 }

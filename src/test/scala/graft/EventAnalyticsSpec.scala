@@ -1010,4 +1010,60 @@ class EventAnalyticsSpec extends SparkSpec {
       "1970-01-03" -> ((1L, 1L, 1430L)),
       "1970-01-04" -> ((0L, 1L, 0L))), s"got $out")
   }
+
+  test("errorRecovery (q236): four outcomes, cutoffs, cascade beats quick") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_errrec").toString
+    var eid = 0L
+    def ev(u: Long, sec: Long, t: String) = { eid += 1; (eid, nanos(sec), u, t, 1.0, "{}") }
+    val rows = Seq(
+      ev(1L, 0L, "error"), ev(1L, 60L, "click"), // quick (60 s)
+      ev(2L, 0L, "error"), ev(2L, 600L, "view"), // slow (10 min)
+      // an error 100 s after an error is a CASCADE, not a quick recovery
+      ev(3L, 0L, "error"), ev(3L, 100L, "error"), // cascade; 2nd abandoned
+      ev(4L, 0L, "error"), ev(4L, 3600L, "click")) // > 30 min → abandoned
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.errorRecovery(spark, dir).collect()
+      .map(r => r.getAs[String]("outcome") ->
+        ((r.getAs[Long]("n_errors"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("mean_gap_ms")))).toMap
+    assert(out == Map(
+      "a_quick_recovery" -> ((1L, 2000L, 60000L)),
+      "b_slow_recovery" -> ((1L, 2000L, 600000L)),
+      "c_cascade" -> ((1L, 2000L, 100000L)),
+      "d_abandoned" -> ((2L, 4000L, 0L))), s"got $out")
+  }
+
+  test("uShapedAttribution (q237): 40/20/40 split, cents-exact, direct and single-touch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ushape").toString
+    var eid = 0L
+    def ev(u: Long, sec: Long, t: String, v: Double = 0.0) = {
+      eid += 1; (eid, nanos(sec), u, t, v, "{}")
+    }
+    val rows = Seq(
+      // u1: click, view, click → $10 purchase: ft=click 400(+rem 0),
+      // lt=click 400, middle view gets the exact 200 pool
+      ev(1L, 10L, "click"), ev(1L, 20L, "view"), ev(1L, 30L, "click"),
+      ev(1L, 40L, "purchase", 10.0),
+      // u2: touchless $5 purchase → all 500 cents to (direct)
+      ev(2L, 10L, "purchase", 5.0),
+      // u3: one signup touch, $7: ft=lt=signup; m_mid=0 → the 140-cent
+      // middle pool rides the remainder back to the first touch
+      ev(3L, 10L, "signup"), ev(3L, 20L, "purchase", 7.0))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.uShapedAttribution(spark, dir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_credits"), r.getAs[Long]("cents"),
+          r.getAs[Long]("share_bp")))).toMap
+    assert(out == Map(
+      "(direct)" -> ((2L, 500L, 2272L)),
+      "click" -> ((2L, 800L, 3636L)),
+      "signup" -> ((2L, 700L, 3181L)),
+      "view" -> ((1L, 200L, 909L))), s"got $out")
+    // allocation conserves revenue exactly: 1000 + 500 + 700
+    assert(out.values.map(_._2).sum == 2200L)
+  }
 }

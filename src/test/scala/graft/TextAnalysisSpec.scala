@@ -1330,4 +1330,23 @@ class TextAnalysisSpec extends SparkSpec {
     // b: rels {333, 0} → mean 166; rel 333 is NOT < 333 (strict)
     assert(out("b") == ((2L, 166L, 5000L)))
   }
+
+  test("termDispersion (q235): source-local terms score TVD/2, shared terms 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_disp").toString
+    // srcA: "x x x x z" (5 tokens), srcB: "y y y y z" (5) — masses 50/50.
+    // x lives only in A: |10000−5000| + |0−5000| = 10000 → dp 5000;
+    // z is 1+1: shares 5000/5000 → dp 0
+    Seq((1L, "x x x x z", "srcA"), (2L, "y y y y z", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.termDispersion(spark, dir).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_sources"),
+          r.getAs[Long]("top_source_bp"), r.getAs[Long]("dp_bp")))).toMap
+    assert(out == Map(
+      "x" -> ((4L, 1L, 10000L, 5000L)),
+      "y" -> ((4L, 1L, 10000L, 5000L)),
+      "z" -> ((2L, 2L, 5000L, 0L))), s"got $out")
+  }
 }
