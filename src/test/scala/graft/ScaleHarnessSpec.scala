@@ -629,6 +629,141 @@ class ScaleHarnessSpec extends SparkSpec {
     dir
   }
 
+  test("q227/q228/q230/q233: round-14 event functionals are invariant under 100x user cloning") {
+    val (d1, d100) = (eventClonesDir(1), eventClonesDir(100))
+    // q227: clones mint identical (user, type) pairs — bands' bp columns
+    // invariant, pair counts scale exactly 100x
+    val c1 = EventAnalytics.churnLabels(spark, d1).collect()
+      .map(r => r.getAs[String]("activity_band") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("churn_bp"))).toMap
+    val c100 = EventAnalytics.churnLabels(spark, d100).collect()
+      .map(r => r.getAs[String]("activity_band") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("churn_bp"))).toMap
+    assert(c1.keySet == c100.keySet)
+    c1.foreach { case (b, (n1, bp1)) =>
+      assert(c100(b) == ((100L * n1, bp1)), s"$b drifted: ${c100(b)}")
+    }
+    // q228: daily counts scale 100x together — the normalized CUSUM walk
+    // (peak bp, change-point days) cannot move; totals scale exactly
+    val k1 = EventAnalytics.cusumShift(spark, d1).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val k100 = EventAnalytics.cusumShift(spark, d100).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(k1.keySet == k100.keySet)
+    k1.foreach { case (t, r1) =>
+      val r100 = k100(t)
+      assert(r100.getAs[Long]("total_events") ==
+        100L * r1.getAs[Long]("total_events"))
+      Seq("n_days", "up_peak_bp", "down_peak_bp").foreach(c =>
+        assert(r100.getAs[Long](c) == r1.getAs[Long](c), s"$t.$c drifted"))
+      Seq("up_peak_day", "down_peak_day").foreach(c =>
+        assert(r100.getAs[java.sql.Date](c) == r1.getAs[java.sql.Date](c),
+          s"$t.$c drifted"))
+    }
+    // q230: presence cells are a pure function of CONTENT hours — the
+    // whole audit is bit-identical under duplication
+    def cover(dir: String) = EventAnalytics.coverageGaps(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(cover(d1) == cover(d100))
+    // q233: clones stack concurrency at the SAME minutes — the sweep's
+    // grid (and so the peak minute) is invariant, peaks scale 100x
+    val p1 = EventAnalytics.peakConcurrency(spark, d1).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    val p100 = EventAnalytics.peakConcurrency(spark, d100).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(p1.keySet == p100.keySet)
+    p1.foreach { case (d, r1) =>
+      val r100 = p100(d)
+      assert(r100.getAs[Long]("peak_concurrent") ==
+        100L * r1.getAs[Long]("peak_concurrent"), s"$d peak must scale")
+      assert(r100.getAs[Long]("n_sessions_started") ==
+        100L * r1.getAs[Long]("n_sessions_started"))
+      assert(r100.getAs[Long]("peak_minute_of_day") ==
+        r1.getAs[Long]("peak_minute_of_day"), s"$d peak minute drifted")
+    }
+  }
+
+  test("q226/q234/q235: value-histogram, occupancy and dispersion frontiers are share-invariant under 100x cloning") {
+    // q226: clone every part 100x at the same revenue — the permille
+    // cell table is a pure function of the revenue DISTRIBUTION, so
+    // class shares hold and part counts scale exactly
+    def liDir(copies: Int): String = {
+      val rows = for {
+        c <- 0 until copies
+        (p, price) <- Seq((1L, 80.0), (2L, 15.0), (3L, 4.0), (4L, 1.0))
+      } yield (p * 1000000L + c, price, 0.0)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_abcclone_$copies").toString
+      rows.toDF("l_partkey", "l_extendedprice", "l_discount")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val a1 = graft.operators.Relational.abcClasses(spark, liDir(1)).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("share_bp"))).toMap
+    val a100 = graft.operators.Relational.abcClasses(spark, liDir(100)).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("share_bp"))).toMap
+    assert(a1.keySet == a100.keySet)
+    a1.foreach { case (cls, (n1, bp1)) =>
+      assert(a100(cls) == ((100L * n1, bp1)), s"$cls drifted: ${a100(cls)}")
+    }
+    // q234: duplicating vectors densifies buckets but cannot move the
+    // partition structure: bucket counts and hot shares invariant, the
+    // hottest bucket scales exactly — the ≤2^Planes bound in action
+    def vecDir(copies: Int): String = {
+      val a = Array.tabulate(64)(i => if (i == 0) 1.0f else if (i == 1) 0.5f else 0.0f)
+      val na = a.map(-_)
+      val rows = for {
+        c <- 0 until copies
+        (v, vec, l) <- Seq((1L, a, 0), (2L, a, 0), (3L, na, 1))
+      } yield (v * 1000000L + c, vec, l)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_pdfclone_$copies").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val f1 = Similarity.probeDepthFrontier(spark, vecDir(1)).collect()
+      .map(r => r.getAs[Long]("p") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("hottest"),
+          r.getAs[Long]("hot_share_bp"))).toMap
+    val f100 = Similarity.probeDepthFrontier(spark, vecDir(100)).collect()
+      .map(r => r.getAs[Long]("p") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("hottest"),
+          r.getAs[Long]("hot_share_bp"))).toMap
+    f1.foreach { case (p, (nb1, h1, hs1)) =>
+      val (nb100, h100, hs100) = f100(p)
+      assert(nb100 == nb1 && h100 == 100L * h1 && hs100 == hs1,
+        s"depth $p drifted: ${f100(p)}")
+    }
+    // q235: the (term, source) cell table is content-bounded — doc
+    // duplication scales occurrences, never the shares or the ranking
+    val (t1, t100) = (corpusWithSources(1), corpusWithSources(100))
+    val dp1 = TextAnalysis.termDispersion(spark, t1).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("top_source_bp"), r.getAs[Long]("dp_bp")))
+    val dp100 = TextAnalysis.termDispersion(spark, t100).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("n_sources"),
+        r.getAs[Long]("top_source_bp"), r.getAs[Long]("dp_bp")))
+    assert(dp1.toSeq == dp100.toSeq,
+      "dispersion must be a pure function of content")
+  }
+
+  /** Two-source corpus for the q235 invariance leg: per copy, the same
+    * source-local + shared vocabulary. */
+  private def corpusWithSources(copies: Int): String = {
+    val rows = for {
+      c <- 0 until copies
+      (d, text, src) <- Seq((1L, "x x x x z", "srcA"), (2L, "y y y y z", "srcB"))
+    } yield (d * 1000000L + c, text, src)
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_dispclone_$copies").toString
+    rows.toDF("doc_id", "text", "source")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("q179/q180/q185: session bands, robust means and seasonality are invariant under 100x user cloning") {
     val (d1, d100) = (eventClonesDir(1), eventClonesDir(100))
     // q179: per-clone sessions identical -> shares and durations invariant,
