@@ -279,7 +279,10 @@ object PlanAudit {
     // q236/q237 cross their ≤4-row outcome / ≤|channels|+1-row credit
     // rollups with a broadcast 1-row total (the q127 scalar shape)
     "q236_error_recovery",
-    "q237_u_attribution")
+    "q237_u_attribution",
+    // q238's lattice algebra is all broadcast crosses/theta-joins over
+    // the 8-cuboid table, its 35 subsets, and 1-row top/winner scalars
+    "q238_cuboid_election")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

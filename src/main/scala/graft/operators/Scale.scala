@@ -1067,4 +1067,121 @@ object Scale {
        |  UNION ALL SELECT 4, c4, w4 FROM last
        |) CROSS JOIN tot ORDER BY worker""".stripMargin
   }
+
+  /** Views materialized beyond the always-available finest cuboid in
+    * [[cuboidElection]]. */
+  val CuboidBudget: Int = 3
+
+  /** X164 cube-lattice materialization election (q238, Harinarayan,
+    * Rajaraman & Ullman 1996): over the 3-dimension lineitem lattice
+    * (returnflag r, linestatus s, ship-month m — 8 cuboids), elect
+    * which [[CuboidBudget]] views to materialize beside the finest so
+    * the total rows scanned answering ALL 8 group-by shapes is
+    * minimal. Exhaustive-optimal on the C(7,3)=35 subsets (the lattice
+    * is structurally tiny, so the greedy's approximation is
+    * unnecessary): a cuboid q is answered by the SMALLEST materialized
+    * v whose dimension set covers q's (bitmask containment), and the
+    * HRU linear cost model prices that answer at |v| rows. Completes
+    * the optimizer quartet — q215 prices build sides, q217 join
+    * orders, q219 reducer counts, this the summary-table layer every
+    * BI workload sits on — and saving_bp is the exact bill cut vs
+    * answering everything from the finest cuboid.
+    *
+    * Scale posture: ONE corpus shuffle (the finest-cell collapse,
+    * ≤|r|·|s|·12 rows at ANY corpus scale — the q185 bounded-grid
+    * rule); all 8 cardinalities come from one mask-fanned rollup of
+    * that table (canonical '|'-joined string keys, engine-exact);
+    * subsets, coverage and the argmin are folds over ≤35·8 rows. */
+  def cuboidElection(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val cells = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("r"), col("l_linestatus").as("s"),
+        month(col("l_shipdate")).as("m"))
+      .groupBy(col("r"), col("s"), col("m")).agg(count(lit(1)).as("cnt"))
+    val masks = spark.range(8).select(col("id").as("mask"))
+    val key = "concat(CASE WHEN (mask & 1) = 1 THEN r ELSE '' END, '|', " +
+      "CASE WHEN (mask & 2) = 2 THEN s ELSE '' END, '|', " +
+      "CASE WHEN (mask & 4) = 4 THEN cast(m as string) ELSE '' END)"
+    val cub = cells.crossJoin(broadcast(masks))
+      .groupBy(col("mask"))
+      .agg(countDistinct(expr(key)).as("card"))
+    val top = cub.filter(col("mask") === 7)
+      .select(col("card").as("top_card"))
+    def mem(n: String) = cub.filter(col("mask") < 7)
+      .select(col("mask").as(s"m_$n"), col("card").as(s"c_$n"))
+    val subsets = mem("a")
+      .join(broadcast(mem("b")), col("m_a") < col("m_b"))
+      .join(broadcast(mem("c")), col("m_b") < col("m_c"))
+    val q = cub.select(col("mask").as("qm"), col("card").as("qc"))
+    val costs = subsets.crossJoin(broadcast(q)).crossJoin(broadcast(top))
+      .select(col("m_a"), col("m_b"), col("m_c"),
+        least(
+          when(expr("(qm & m_a) = qm"), col("c_a")),
+          when(expr("(qm & m_b) = qm"), col("c_b")),
+          when(expr("(qm & m_c) = qm"), col("c_c")),
+          col("top_card")).as("served"))
+      .groupBy(col("m_a"), col("m_b"), col("m_c"))
+      .agg(sum(col("served")).as("cost"))
+    val winner = costs
+      .orderBy(col("cost"), col("m_a"), col("m_b"), col("m_c")).limit(1)
+      .select(col("m_a").as("wa"), col("m_b").as("wb"),
+        col("m_c").as("wc"), col("cost").as("wcost"))
+    val label = "CASE WHEN mask = 0 THEN '(apex)' ELSE " +
+      "concat(CASE WHEN (mask & 1) = 1 THEN 'r' ELSE '' END, " +
+      "CASE WHEN (mask & 2) = 2 THEN 's' ELSE '' END, " +
+      "CASE WHEN (mask & 4) = 4 THEN 'm' ELSE '' END) END"
+    cub.crossJoin(broadcast(winner)).crossJoin(broadcast(top))
+      .select(expr(label).as("cuboid"), col("mask"), col("card"),
+        (col("mask") === 7 || col("mask") === col("wa")
+          || col("mask") === col("wb") || col("mask") === col("wc"))
+          .as("materialized"),
+        expr("(8 * top_card - wcost) * 10000 div (8 * top_card)")
+          .as("saving_bp"))
+      .orderBy(col("mask"))
+  }
+
+  def cuboidElectionSql: String =
+    """WITH cells AS (
+      |  SELECT l_returnflag AS r, l_linestatus AS s,
+      |    month(l_shipdate) AS m, count(*)::BIGINT AS cnt
+      |  FROM lineitem GROUP BY 1, 2, 3
+      |), masks AS (
+      |  SELECT unnest(range(0, 8))::BIGINT AS mask
+      |), cub AS (
+      |  SELECT mask, count(DISTINCT
+      |    concat(CASE WHEN (mask & 1) = 1 THEN r ELSE '' END, '|',
+      |      CASE WHEN (mask & 2) = 2 THEN s ELSE '' END, '|',
+      |      CASE WHEN (mask & 4) = 4 THEN m::VARCHAR ELSE '' END)
+      |    )::BIGINT AS card
+      |  FROM cells CROSS JOIN masks GROUP BY 1
+      |), top AS (
+      |  SELECT card AS top_card FROM cub WHERE mask = 7
+      |), mem AS (
+      |  SELECT mask, card FROM cub WHERE mask < 7
+      |), subsets AS (
+      |  SELECT a.mask AS m_a, a.card AS c_a, b.mask AS m_b, b.card AS c_b,
+      |    c.mask AS m_c, c.card AS c_c
+      |  FROM mem a JOIN mem b ON a.mask < b.mask
+      |  JOIN mem c ON b.mask < c.mask
+      |), costs AS (
+      |  SELECT m_a, m_b, m_c, sum(least(
+      |    CASE WHEN (q.mask & m_a) = q.mask THEN c_a END,
+      |    CASE WHEN (q.mask & m_b) = q.mask THEN c_b END,
+      |    CASE WHEN (q.mask & m_c) = q.mask THEN c_c END,
+      |    top.top_card))::BIGINT AS cost
+      |  FROM subsets CROSS JOIN cub q CROSS JOIN top
+      |  GROUP BY 1, 2, 3
+      |), winner AS (
+      |  SELECT m_a AS wa, m_b AS wb, m_c AS wc, cost AS wcost
+      |  FROM costs ORDER BY cost, m_a, m_b, m_c LIMIT 1
+      |)
+      |SELECT CASE WHEN mask = 0 THEN '(apex)' ELSE
+      |    concat(CASE WHEN (mask & 1) = 1 THEN 'r' ELSE '' END,
+      |      CASE WHEN (mask & 2) = 2 THEN 's' ELSE '' END,
+      |      CASE WHEN (mask & 4) = 4 THEN 'm' ELSE '' END) END AS cuboid,
+      |  mask, card,
+      |  (mask = 7 OR mask = wa OR mask = wb OR mask = wc) AS materialized,
+      |  ((8 * top_card - wcost) * 10000 // (8 * top_card))::BIGINT
+      |    AS saving_bp
+      |FROM cub CROSS JOIN winner CROSS JOIN top ORDER BY mask""".stripMargin
 }

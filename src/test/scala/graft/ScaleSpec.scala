@@ -451,4 +451,31 @@ class ScaleSpec extends SparkSpec {
       4L -> ((2L, 13L, 2888L, 1555L))), s"got $out")
     assert(out.values.map(_._2).sum == 45L, "loads must conserve total mass")
   }
+
+  test("cuboidElection (q238): hand-solved lattice — {s, rs, sm} is the unique optimum") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("graft_cuboid").toString
+    // cells (A,O,1), (A,O,2), (B,O,1) → cards: apex 1, r 2, s 1, rs 2,
+    // m 2, rm 3, sm 2, rsm 3. Lower bound per query shape forces
+    // 2, 3, 6 into the winner: cost 16 of the finest-only 24 → 3333 bp
+    Seq(("A", "O", "2024-01-05"), ("A", "O", "2024-02-05"),
+      ("B", "O", "2024-01-09"))
+      .map { case (r, s, d) => (r, s, Timestamp.valueOf(d + " 00:00:00")) }
+      .toDF("l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Scale.cuboidElection(spark, dir).collect()
+      .map(r => r.getAs[Long]("mask") ->
+        ((r.getAs[String]("cuboid"), r.getAs[Long]("card"),
+          r.getAs[Boolean]("materialized"), r.getAs[Long]("saving_bp")))).toMap
+    assert(out == Map(
+      0L -> (("(apex)", 1L, false, 3333L)),
+      1L -> (("r", 2L, false, 3333L)),
+      2L -> (("s", 1L, true, 3333L)),
+      3L -> (("rs", 2L, true, 3333L)),
+      4L -> (("m", 2L, false, 3333L)),
+      5L -> (("rm", 3L, false, 3333L)),
+      6L -> (("sm", 2L, true, 3333L)),
+      7L -> (("rsm", 3L, true, 3333L))), s"got $out")
+  }
 }
