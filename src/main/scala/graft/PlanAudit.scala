@@ -282,7 +282,11 @@ object PlanAudit {
     "q237_u_attribution",
     // q238's lattice algebra is all broadcast crosses/theta-joins over
     // the 8-cuboid table, its 35 subsets, and 1-row top/winner scalars
-    "q238_cuboid_election")
+    "q238_cuboid_election",
+    // q239/q240 cross their band / per-lang rollups with a broadcast
+    // 1-row total (the q127 scalar shape)
+    "q239_bot_regularity",
+    "q240_modality_coverage")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -3020,4 +3020,56 @@ object Curation {
        |  ((seats * 10000 // $seats) - (n_docs * 10000 // total))::BIGINT
        |    AS dev_bp
        |FROM won CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** X166 modality-coverage audit (q240): per language, how much of the
+    * text corpus actually HAS an embedding row (doc_id ↔ vec_id), plus
+    * the orphan embeddings no document claims — the referential-
+    * integrity read at the modality seam that q137's TPC-H FK audit
+    * doesn't cover. Every retrieval/dedup operator downstream (q23,
+    * q83, q94) silently restricts itself to the embedded subset; this
+    * is the audit that says HOW restricted, per language — a lang with
+    * low coverage_bp is invisible to semantic dedup and ANN retrieval
+    * no matter how much text it contributes, and orphan vectors are
+    * stale index entries an erasure sweep (q193) must also reach.
+    *
+    * Scale posture: ONE id-keyed join (docs left-join the projected
+    * vec_id column — the only corpus shuffle) collapses straight to
+    * |langs| rows with map-side combine; the orphan count is a
+    * LEFT ANTI join on the same high-cardinality key folding to a
+    * broadcast 1-row scalar. */
+  def modalityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val perLang = docs
+      .join(vecs, col("doc_id") === col("vec_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L))
+          .as("n_with_embedding"))
+    val orphans = vecs.join(docs, col("doc_id") === col("vec_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphan_vecs"))
+    perLang.crossJoin(broadcast(orphans))
+      .select(col("lang"), col("n_docs"), col("n_with_embedding"),
+        expr("n_with_embedding * 10000 div n_docs").as("coverage_bp"),
+        col("n_orphan_vecs"))
+      .orderBy(col("lang"))
+  }
+
+  def modalityCoverageSql: String =
+    """WITH per AS (
+      |  SELECT d.lang, count(*)::BIGINT AS n_docs,
+      |    sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |      AS n_with_embedding
+      |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |  GROUP BY 1
+      |), orph AS (
+      |  SELECT count(*)::BIGINT AS n_orphan_vecs
+      |  FROM embeddings e
+      |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      |)
+      |SELECT lang, n_docs, n_with_embedding,
+      |  (n_with_embedding * 10000 // n_docs)::BIGINT AS coverage_bp,
+      |  n_orphan_vecs
+      |FROM per CROSS JOIN orph ORDER BY lang""".stripMargin
 }

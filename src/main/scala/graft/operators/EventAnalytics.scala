@@ -2813,4 +2813,89 @@ object EventAnalytics {
        |  (cents * 10000 // tot.tc)::BIGINT AS share_bp
        |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin
   }
+
+  /** Minimum inter-event gaps a user needs before [[botRegularity]]
+    * scores them (regularity over fewer samples is noise). */
+  val MinGaps: Long = 9L
+
+  /** X165 bot-regularity panel (q239): users bucketed by how MECHANICAL
+    * their inter-event timing is — the modal whole-second gap's share
+    * of all their gaps (metronomic ≥ 80%, regular ≥ 40%, mixed ≥ 20%,
+    * else organic) — with user counts, gap mass and the mean modal
+    * share per band. The anti-automation read q172's Fano panel can't
+    * give: burstiness is a CORPUS-cell property, this is a PER-ACTOR
+    * timing signature — a scraper on a fixed polling interval sits at
+    * top_share ≈ 10000 while organic humans spread across the gap
+    * spectrum, and the a/b bands are the review queue every abuse team
+    * works through. Gaps round to the whole-second grid (schedulers
+    * fire on seconds; sub-second jitter would hide the signature).
+    *
+    * Scale posture: ONE user_id window exchange mints gaps; the modal
+    * election is the (user, gap) collapse followed by the per-user
+    * max — both map-side combinable, keyed on the high-cardinality
+    * user; the band rollup runs on one row per qualifying user. */
+  def botRegularity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"),
+        expr("(us - prev_us) div 1000000").as("gap_s"))
+      .groupBy(col("user_id"), col("gap_s")).agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_gaps"), max(col("c")).as("mode_c"))
+      .filter(col("n_gaps") >= MinGaps)
+      .select(col("user_id"), col("n_gaps"),
+        expr("mode_c * 10000 div n_gaps").as("top_share_bp"))
+    val bands = perUser.groupBy(
+      when(col("top_share_bp") >= 8000, "a_metronomic")
+        .when(col("top_share_bp") >= 4000, "b_regular")
+        .when(col("top_share_bp") >= 2000, "c_mixed")
+        .otherwise("d_organic").as("regularity_band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_gaps")).as("n_gaps"),
+        sum(col("top_share_bp")).as("sum_top"))
+    val tot = bands.agg(sum(col("n_users")).as("n_tot"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("regularity_band"), col("n_users"),
+        expr("n_users * 10000 div n_tot").as("share_bp"),
+        col("n_gaps"),
+        expr("sum_top div n_users").as("mean_top_share_bp"))
+      .orderBy(col("regularity_band"))
+  }
+
+  def botRegularitySql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id,
+       |    (epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP))
+       |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP),
+       |        event_id)) // 1000000 AS gap_s
+       |  FROM events
+       |), cells AS (
+       |  SELECT user_id, gap_s, count(*)::BIGINT AS c
+       |  FROM seq WHERE gap_s IS NOT NULL GROUP BY 1, 2
+       |), u AS (
+       |  SELECT user_id, sum(c)::BIGINT AS n_gaps, max(c)::BIGINT AS mode_c
+       |  FROM cells GROUP BY 1 HAVING sum(c) >= $MinGaps
+       |), scored AS (
+       |  SELECT user_id, n_gaps,
+       |    (mode_c * 10000 // n_gaps)::BIGINT AS top_share_bp
+       |  FROM u
+       |), bands AS (
+       |  SELECT CASE WHEN top_share_bp >= 8000 THEN 'a_metronomic'
+       |      WHEN top_share_bp >= 4000 THEN 'b_regular'
+       |      WHEN top_share_bp >= 2000 THEN 'c_mixed'
+       |      ELSE 'd_organic' END AS regularity_band,
+       |    count(*)::BIGINT AS n_users, sum(n_gaps)::BIGINT AS n_gaps,
+       |    sum(top_share_bp)::BIGINT AS sum_top
+       |  FROM scored GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(n_users)::BIGINT AS n_tot FROM bands
+       |)
+       |SELECT regularity_band, n_users,
+       |  (n_users * 10000 // n_tot)::BIGINT AS share_bp, n_gaps,
+       |  (sum_top // n_users)::BIGINT AS mean_top_share_bp
+       |FROM bands CROSS JOIN tot ORDER BY regularity_band""".stripMargin
 }

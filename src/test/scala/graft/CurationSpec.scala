@@ -1173,4 +1173,21 @@ class CurationSpec extends SparkSpec {
       "s_c" -> ((1L, 1000L, 10L, 1000L, 0L))), s"got $out")
     assert(out.values.map(_._3).sum == 100L, "seats must sum to the budget")
   }
+
+  test("modalityCoverage (q240): per-lang coverage, orphan vectors counted once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_modcov").toString
+    Seq((1L, "en"), (2L, "en"), (3L, "fr")).toDF("doc_id", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    // vec 1 and 3 match docs; 99 is a stale index orphan
+    Seq(Tuple1(1L), Tuple1(3L), Tuple1(99L)).toDF("vec_id")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Curation.modalityCoverage(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_with_embedding"),
+          r.getAs[Long]("coverage_bp"), r.getAs[Long]("n_orphan_vecs")))).toMap
+    assert(out == Map(
+      "en" -> ((2L, 1L, 5000L, 1L)),
+      "fr" -> ((1L, 1L, 10000L, 1L))), s"got $out")
+  }
 }

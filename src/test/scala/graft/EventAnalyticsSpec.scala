@@ -1066,4 +1066,36 @@ class EventAnalyticsSpec extends SparkSpec {
     // allocation conserves revenue exactly: 1000 + 500 + 700
     assert(out.values.map(_._2).sum == 2200L)
   }
+
+  test("botRegularity (q239): modal-gap bands, minimum-gap exclusion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
+    var eid = 0L
+    def user(u: Long, secs: Seq[Long]) = secs.map { s =>
+      eid += 1; (eid, nanos(s), u, "click", 1.0, "{}")
+    }
+    def cum(gaps: Seq[Long]): Seq[Long] = gaps.scanLeft(0L)(_ + _)
+    val rows =
+      // u1: ten exact 10 s gaps → top share 10000 → a_metronomic
+      user(1L, cum(Seq.fill(10)(10L))) ++
+        // u2: gaps 1..10, all distinct → 1000 → d_organic
+        user(2L, cum((1L to 10L))) ++
+        // u3: five 10 s + five distinct → 5000 → b_regular
+        user(3L, cum(Seq.fill(5)(10L) ++ (1L to 5L))) ++
+        // u5: three 10 s + seven distinct → 3000 → c_mixed
+        user(5L, cum(Seq.fill(3)(10L) ++ (1L to 7L))) ++
+        // u4: only five gaps → below MinGaps, excluded
+        user(4L, cum((1L to 5L)))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.botRegularity(spark, dir).collect()
+      .map(r => r.getAs[String]("regularity_band") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("n_gaps"), r.getAs[Long]("mean_top_share_bp")))).toMap
+    assert(out == Map(
+      "a_metronomic" -> ((1L, 2500L, 10L, 10000L)),
+      "b_regular" -> ((1L, 2500L, 10L, 5000L)),
+      "c_mixed" -> ((1L, 2500L, 10L, 3000L)),
+      "d_organic" -> ((1L, 2500L, 10L, 1000L))), s"got $out")
+  }
 }
