@@ -2493,19 +2493,26 @@ object EventAnalytics {
     * day beyond the data. */
   def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = sessionTable(spark, dir)
-      .select(expr("us0 div 60000000").as("m0"),
-        expr("us1 div 60000000").as("m1"))
+    val spans = graft.PlanCache.cached(spark, s"events.sessionMinutes:$dir") {
+      sessionTable(spark, dir)
+        .select(expr("us0 div 60000000").as("m0"),
+          expr("us1 div 60000000").as("m1"))
+    }
     val bounds = spans.agg(expr("min(m0) div 1440").as("d_lo"),
       expr("max(m1) div 1440").as("d_hi"))
-    val deltas = spans.select(col("m0").as("m"), lit(1L).as("d"))
-      .unionByName(spans.select((col("m1") + 1).as("m"), lit(-1L).as("d")))
+    // one pass fans each session into its ±1 delta pair
+    val deltas = spans.select(explode(expr(
+      "array(named_struct('m', m0, 'd', 1L), " +
+        "named_struct('m', m1 + 1, 'd', -1L))")).as("e"))
+      .select(col("e.m").as("m"), col("e.d").as("d"))
     val sentinels = bounds
       .select(explode(expr("sequence(d_lo, d_hi)")).as("dd"))
       .select((col("dd") * 1440).as("m"), lit(0L).as("d"))
-    val cells = deltas.unionByName(sentinels)
-      .groupBy(col("m")).agg(sum(col("d")).as("net"))
-      .withColumn("day_idx", expr("m div 1440"))
+    val cells = graft.PlanCache.cached(spark, s"events.minuteCells:$dir") {
+      deltas.unionByName(sentinels)
+        .groupBy(col("m")).agg(sum(col("d")).as("net"))
+        .withColumn("day_idx", expr("m div 1440"))
+    }
     // two-level prefix sum: within-day running sum (≤1440 rows per
     // partition) + per-day entering offsets via the broadcast triangle
     val wd = Window.partitionBy(col("day_idx")).orderBy(col("m"))
@@ -2516,15 +2523,16 @@ object EventAnalytics {
         "left")
       .groupBy(col("day_idx"))
       .agg(coalesce(sum(col("n2")), lit(0L)).as("entering"))
-    val sweep = cells.withColumn("wcum", sum(col("net")).over(wd))
+    // peak + first peak minute in ONE collapse: lexicographic struct max
+    // over (cur, −minute) elects max cur then min minute — no join-back
+    val argm = cells.withColumn("wcum", sum(col("net")).over(wd))
       .join(broadcast(offsets), Seq("day_idx"))
-      .select(col("day_idx"), col("m"),
-        (col("wcum") + col("entering")).as("cur"))
-    val peaks = sweep.groupBy(col("day_idx")).agg(max(col("cur")).as("peak"))
-    val argm = sweep.join(peaks, Seq("day_idx"))
-      .filter(col("cur") === col("peak"))
-      .groupBy(col("day_idx"), col("peak"))
-      .agg(min(expr("m % 1440")).as("peak_minute"))
+      .select(col("day_idx"),
+        struct((col("wcum") + col("entering")).as("cur"),
+          (lit(0L) - col("m") % 1440).as("negm")).as("pk"))
+      .groupBy(col("day_idx")).agg(max(col("pk")).as("pk"))
+      .select(col("day_idx"), col("pk.cur").as("peak"),
+        (lit(0L) - col("pk.negm")).as("peak_minute"))
     val starts = spans.groupBy(expr("m0 div 1440").as("day_idx"))
       .agg(count(lit(1)).as("n_started"))
     argm.join(starts, Seq("day_idx"), "left")
