@@ -22,6 +22,14 @@ case class HourCell(event_type: String, h: Long)
 case class HourSeen(last_h: Long)
 case class GapOut(event_type: String, gap_start_h: Long, gap_hours: Long)
 
+/** Typed rows for [[Pipeline.cusumMonitor]] (streaming twin of q228):
+  * input closed-day counts, the per-type two-sided walk state, and the
+  * per-day walk emission with alarm flags. */
+case class DayCount(event_type: String, day_idx: Long, c: Long)
+case class CusumState(su: Long, sd: Long)
+case class CusumOut(event_type: String, day_idx: Long, su: Long, sd: Long,
+                    alarm_up: Boolean, alarm_dn: Boolean)
+
 /** Spark-4 `StatefulProcessor` behind [[Pipeline.runningUserCountsTws]]:
   * one named `ValueState[Long]` per user, TTL declared per state variable
   * (`TTLConfig`) instead of the mapGroupsWithState timeout dance. */
@@ -1206,6 +1214,54 @@ object Pipeline {
           chain.zip(chain.drop(1)).collect {
             case (a, b) if b - a > 1 => GapOut(t, a + 1, b - a - 1)
           }.iterator
+      }
+  }
+
+  /** X154 streaming twin (q228): the two-sided CUSUM walk as a live
+    * monitor — keyed state holds each type's (S⁺, S⁻); every closed-day
+    * count moves the walk by its deviation from a FIXED baseline target
+    * and emits the updated statistics with alarm flags once a side
+    * crosses `hFactor`·target. The deliberate difference from the
+    * batch audit, documented like [[volumeMonitor]] vs q164: q228
+    * centers retrospectively on the realized series mean (it can — it
+    * sees the whole series), the monitor centers on the operator-
+    * supplied baseline because a stream cannot know its future mean.
+    * With the same target, a batch fold over the same closed-day cells
+    * reproduces the emitted walk EXACTLY (spec-gated across a batch
+    * split) — so the alarm log doubles as an audit trail.
+    *
+    * Input is the closed-day (type, day, count) cell stream (the
+    * output grain of a daily windowed count); per-type day order is
+    * the [[transitionMonitor]] ordering contract.
+    *
+    * Scale: one event_type shuffle per batch; state is two longs per
+    * type, independent of history; emissions are one row per closed
+    * day-cell, never per event. */
+  def cusumMonitor(cells: org.apache.spark.sql.Dataset[DayCount],
+                   target: Map[String, Long],
+                   hFactor: Long = 4L)
+      : org.apache.spark.sql.Dataset[CusumOut] = {
+    require(target.nonEmpty, "cusumMonitor: empty baseline target map")
+    require(hFactor > 0, s"cusumMonitor: hFactor must be positive ($hFactor)")
+    import cells.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    cells.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (t, it, state) =>
+          val tgt = math.max(target.getOrElse(t, 1L), 1L)
+          val h = hFactor * tgt
+          val st0 = state.getOption.getOrElse(CusumState(0L, 0L))
+          var su = st0.su
+          var sd = st0.sd
+          val out = it.toSeq.sortBy(_.day_idx).map { cell =>
+            val dev = cell.c - tgt
+            su = math.max(0L, su + dev)
+            sd = math.max(0L, sd - dev)
+            CusumOut(t, cell.day_idx, su, sd, su >= h, sd >= h)
+          }
+          state.update(CusumState(su, sd))
+          out.iterator
       }
   }
 

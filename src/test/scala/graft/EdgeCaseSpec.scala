@@ -301,4 +301,69 @@ class EdgeCaseSpec extends SparkSpec {
         Tables.documents(spark, sf0001), maxDup3Bp = -1L)
     }
   }
+
+  test("round-14 operators: degenerate single-entity inputs stay defined") {
+    import spark.implicits._
+    // q226: one part → cell 1000, cum_above 0 → the whole corpus is A
+    val d1 = java.nio.file.Files.createTempDirectory("graft_e_abc").toString
+    Seq((1L, 10.0, 0.0)).toDF("l_partkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$d1/lineitem.parquet")
+    val abc = graft.operators.Relational.abcClasses(spark, d1).collect()
+    assert(abc.length == 1 && abc.head.getAs[String]("abc_class") == "A"
+      && abc.head.getAs[Long]("share_bp") == 10000L)
+    // q229: one source takes every seat at zero deviation
+    val d2 = java.nio.file.Files.createTempDirectory("graft_e_dh").toString
+    Seq((1L, "only")).toDF("doc_id", "source")
+      .write.parquet(s"$d2/documents.parquet")
+    val dh = Curation.dhondtAllocation(spark, d2).collect()
+    assert(dh.length == 1 && dh.head.getAs[Long]("seats") == 100L
+      && dh.head.getAs[Long]("dev_bp") == 0L)
+    // q231: one source loads one worker; the other three sit at zero
+    val d3 = java.nio.file.Files.createTempDirectory("graft_e_lpt").toString
+    Seq(("s", 7L)).toDF("source", "n_chars")
+      .write.parquet(s"$d3/documents.parquet")
+    val lpt = graft.operators.Scale.lptSchedule(spark, d3).collect()
+      .map(r => r.getAs[Long]("worker") -> r.getAs[Long]("load_chars")).toMap
+    assert(lpt == Map(1L -> 7L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // q233: a single one-event session is a 1-session peak at its own
+    // minute; the sweep's sentinel day equals the session day
+    val d4 = java.nio.file.Files.createTempDirectory("graft_e_peak").toString
+    Seq((1L, 90L * 1000000000L, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d4/events.parquet")
+    val pk = graft.operators.EventAnalytics.peakConcurrency(spark, d4).collect()
+    assert(pk.length == 1 && pk.head.getAs[Long]("peak_concurrent") == 1L
+      && pk.head.getAs[Long]("peak_minute_of_day") == 1L)
+    // q236: an error-free corpus yields an EMPTY outcome table, not a
+    // divide-by-zero
+    val d5 = java.nio.file.Files.createTempDirectory("graft_e_err").toString
+    Seq((1L, 1000000000L, 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d5/events.parquet")
+    assert(graft.operators.EventAnalytics.errorRecovery(spark, d5).count() == 0L)
+    // q237: a purchase-free corpus yields an empty credit table
+    assert(graft.operators.EventAnalytics.uShapedAttribution(spark, d5)
+      .count() == 0L)
+    // q239: nobody reaches MinGaps → empty panel, no division
+    assert(graft.operators.EventAnalytics.botRegularity(spark, d5)
+      .count() == 0L)
+  }
+
+  test("round-14 knob validation rejects nonsense") {
+    intercept[IllegalArgumentException] {
+      Curation.dhondtAllocation(spark, sf0001, seats = 7) // 7 ∤ 10000
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Pipeline.cusumMonitor(
+        spark.emptyDataset[graft.streaming.DayCount](
+          org.apache.spark.sql.Encoders.product[graft.streaming.DayCount]),
+        target = Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Pipeline.cusumMonitor(
+        spark.emptyDataset[graft.streaming.DayCount](
+          org.apache.spark.sql.Encoders.product[graft.streaming.DayCount]),
+        target = Map("t" -> 1L), hFactor = 0L)
+    }
+  }
 }

@@ -1963,4 +1963,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(GapOut("gappy", 1L, 2L), GapOut("gappy", 4L, 1L)),
       s"got $got")
   }
+
+  test("cusum monitor: walk chains across a batch split, alarms at h·target (X154 twin)") {
+    import graft.streaming.{CusumOut, DayCount}
+    val mem = MemoryStream[DayCount]
+    // target 2, hFactor 2 → alarm at S ≥ 4
+    val q = Pipeline.cusumMonitor(mem.toDS(), Map("t" -> 2L), hFactor = 2L)
+      .writeStream.format("memory").queryName("cusum_mon")
+      .outputMode("append").start()
+    try {
+      // days 1, 2: counts 4, 4 → dev +2, +2 → S⁺ 2 then 4 (alarm)
+      mem.addData(DayCount("t", 1L, 4L), DayCount("t", 2L, 4L))
+      q.processAllAvailable()
+      // day 3 arrives in the NEXT batch: count 0 → dev −2 → S⁺ 2, S⁻ 2 —
+      // the walk must continue from the stored (4, 0) state
+      mem.addData(DayCount("t", 3L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cusum_mon").collect()
+      .map(r => CusumOut(r.getAs[String]("event_type"),
+        r.getAs[Long]("day_idx"), r.getAs[Long]("su"), r.getAs[Long]("sd"),
+        r.getAs[Boolean]("alarm_up"), r.getAs[Boolean]("alarm_dn")))
+      .sortBy(_.day_idx)
+    assert(got.toSeq == Seq(
+      CusumOut("t", 1L, 2L, 0L, false, false),
+      CusumOut("t", 2L, 4L, 0L, true, false),
+      CusumOut("t", 3L, 2L, 2L, false, false)), s"got ${got.toSeq}")
+    // batch fold over the same cells and target reproduces the walk
+    val cells = Seq((1L, 4L), (2L, 4L), (3L, 0L))
+    var (su, sd) = (0L, 0L)
+    val ref = cells.map { case (d, c) =>
+      su = math.max(0L, su + (c - 2L)); sd = math.max(0L, sd - (c - 2L))
+      (d, su, sd)
+    }
+    assert(got.map(o => (o.day_idx, o.su, o.sd)).toSeq == ref)
+  }
 }
