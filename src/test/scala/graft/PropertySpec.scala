@@ -234,4 +234,66 @@ class PropertySpec extends SparkSpec {
       s"every record must be exactly one of valid/corrupt ($ok + $bad)")
     assert(ok >= valid.size - 1 && bad >= garbage.size - 1)
   }
+
+  test("property: LPT schedule conserves mass and honors the Graham bound on arbitrary shards") {
+    // greedy list scheduling: C_max ≤ total/m + (1 − 1/m)·p_max; with
+    // m = 4 that is 4·C_max ≤ total + 3·p_max — on ANY mass vector
+    val massGen = Gen.chooseNum(1L, 1000L)
+    val caseGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, massGen))
+    samples(caseGen, 5).zipWithIndex.foreach { case (masses, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_p_lpt_$i").toString
+      masses.zipWithIndex.map { case (m, j) => (f"s$j%02d", m) }
+        .toDF("source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val loads = graft.operators.Scale.lptSchedule(spark, dir).collect()
+        .map(_.getAs[Long]("load_chars"))
+      assert(loads.sum == masses.sum, s"case $i: mass not conserved")
+      assert(4L * loads.max <= masses.sum + 3L * masses.max,
+        s"case $i: Graham bound violated (${loads.max} of $masses)")
+    }
+  }
+
+  test("property: D'Hondt seats always sum to the budget and follow vote order") {
+    val votesGen = Gen.chooseNum(1L, 1000L)
+    val caseGen = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, votesGen))
+    samples(caseGen, 5).zipWithIndex.foreach { case (votes, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_p_dh_$i").toString
+      votes.zipWithIndex.flatMap { case (v, j) =>
+        (0L until v).map(k => (j * 1000000L + k, f"s$j%02d"))
+      }.toDF("doc_id", "source").repartition(2)
+        .write.parquet(s"$dir/documents.parquet")
+      val out = graft.operators.Curation.dhondtAllocation(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("votes"), r.getAs[Long]("seats"))).toMap
+      assert(out.values.map(_._2).sum == 100L, s"case $i: seats ≠ budget")
+      for (a <- out.values; b <- out.values if a._1 > b._1)
+        assert(a._2 >= b._2,
+          s"case $i: more votes must never mean fewer seats ($out)")
+    }
+  }
+
+  test("property: U-shaped attribution conserves cents on arbitrary journeys") {
+    val chanGen = Gen.oneOf("click", "view", "signup", "error", "purchase")
+    val caseGen = Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 3L), chanGen,
+      Gen.chooseNum(1, 50)))
+    samples(caseGen, 5).zipWithIndex.foreach { case (evs, i) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_p_ush_$i").toString
+      val rows = evs.zipWithIndex.map { case ((u, t, v), j) =>
+        (j.toLong + 1, (j.toLong + 1) * 1000000000L, u, t, v.toDouble, "{}")
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val credited = graft.operators.EventAnalytics
+        .uShapedAttribution(spark, dir).collect()
+        .map(_.getAs[Long]("cents")).sum
+      val purchased = evs.collect {
+        case (_, "purchase", v) => v.toLong * 100L
+      }.sum
+      assert(credited == purchased,
+        s"case $i: credited $credited ≠ purchased $purchased")
+    }
+  }
 }
