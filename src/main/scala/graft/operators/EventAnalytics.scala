@@ -2822,6 +2822,100 @@ object EventAnalytics {
        |FROM agg CROSS JOIN tot ORDER BY channel""".stripMargin
   }
 
+  /** Seasonal lag (days) for [[forecastBacktest]]'s seasonal-naive
+    * model — weekly, the q185 cycle. */
+  val SeasonLag: Int = 7
+
+  /** X167 forecast backtest (q241, Hyndman & Koehler 2006's MASE on the
+    * integer grid): for each event type's zero-filled daily series, the
+    * in-sample error bills of the two zero-parameter forecasters —
+    * naive (ŷₜ = yₜ₋₁) and seasonal-naive (ŷₜ = yₜ₋₇) — as exact
+    * absolute-deviation sums over the common support t ≥ 7, their
+    * ratio in bp (the MASE numerator/denominator pair), and the
+    * election of whether weekly seasonality actually helps forecast
+    * the stream. The forecasting companion to q185/q189: seasonality
+    * DEVIATION maps say the weekly pattern exists, the trend test says
+    * the level moves — this says whether a capacity forecast should
+    * CARRY the weekly pattern, judged the way forecasters are actually
+    * judged (against the naive baseline), with no floats anywhere.
+    * Types whose span is shorter than a full season have no t ≥ 7
+    * support and are dropped (documented).
+    *
+    * Scale posture: the corpus collapses once to (type, day) cells
+    * (map-side combine); zero-fill and both lag reads ride the
+    * calendar-bounded per-type series (the q228 map + q230 bounded
+    * window rule); output is ≤|types| rows. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val series = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        sum(col("c")).as("total"),
+        map_from_entries(collect_list(struct(col("day"), col("c"))))
+          .as("m"))
+      .select(col("event_type"), col("total"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("n"),
+        col("d0"), col("m"))
+      .filter(col("n") > SeasonLag)
+      .select(col("event_type"), col("total"), col("n"),
+        explode(expr("sequence(cast(0 as bigint), n - 1)")).as("i"),
+        expr("coalesce(element_at(m, date_add(d0, cast(i as int))), " +
+          "cast(0 as bigint))").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("i"))
+    series
+      .withColumn("p1", lag(col("c"), 1).over(w))
+      .withColumn("p7", lag(col("c"), SeasonLag).over(w))
+      .filter(col("i") >= SeasonLag)
+      .groupBy(col("event_type"), col("n"), col("total"))
+      .agg(sum(abs(col("c") - col("p1"))).as("sad_naive"),
+        sum(abs(col("c") - col("p7"))).as("sad_seasonal"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("total").as("total_events"), col("sad_naive"),
+        col("sad_seasonal"),
+        expr("CASE WHEN sad_naive > 0 " +
+          "THEN sad_seasonal * 10000 div sad_naive " +
+          "ELSE 10000L END").as("mase_bp"),
+        (col("sad_seasonal") < col("sad_naive")).as("seasonal_helps"))
+      .orderBy(col("event_type"))
+  }
+
+  def forecastBacktestSql: String =
+    s"""WITH cnt AS (
+       |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT event_type, min(day) AS d0,
+       |    (max(day) - min(day) + 1)::BIGINT AS n, sum(c)::BIGINT AS total
+       |  FROM cnt GROUP BY 1
+       |  HAVING (max(day) - min(day) + 1) > $SeasonLag
+       |), grid AS (
+       |  SELECT event_type, n, total, d0,
+       |    unnest(generate_series(0, (n - 1)::INTEGER))::BIGINT AS i
+       |  FROM span
+       |), filled AS (
+       |  SELECT g.event_type, g.n, g.total, g.i,
+       |    coalesce(c.c, 0)::BIGINT AS c
+       |  FROM grid g LEFT JOIN cnt c
+       |    ON c.event_type = g.event_type AND c.day = g.d0 + g.i::INTEGER
+       |), lagged AS (
+       |  SELECT event_type, n, total, i, c,
+       |    lag(c, 1) OVER w AS p1, lag(c, $SeasonLag) OVER w AS p7
+       |  FROM filled
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY i)
+       |)
+       |SELECT event_type, n AS n_days, total AS total_events,
+       |  sum(abs(c - p1))::BIGINT AS sad_naive,
+       |  sum(abs(c - p7))::BIGINT AS sad_seasonal,
+       |  (CASE WHEN sum(abs(c - p1)) > 0
+       |    THEN sum(abs(c - p7)) * 10000 // sum(abs(c - p1))
+       |    ELSE 10000 END)::BIGINT AS mase_bp,
+       |  (sum(abs(c - p7)) < sum(abs(c - p1))) AS seasonal_helps
+       |FROM lagged WHERE i >= $SeasonLag
+       |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
+
   /** Minimum inter-event gaps a user needs before [[botRegularity]]
     * scores them (regularity over fewer samples is noise). */
   val MinGaps: Long = 9L

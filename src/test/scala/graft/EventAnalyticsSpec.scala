@@ -1067,6 +1067,37 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.values.map(_._2).sum == 2200L)
   }
 
+  test("forecastBacktest (q241): weekly pattern wins, trend loses, short span drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fcast").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { j =>
+      eid += 1; (eid, nanos(d * day + j), eid % 5, t, 1.0, "{}")
+    }
+    val weekly = Seq(5, 1, 1, 1, 1, 1, 1)
+    val rows =
+      // "flat7": two identical weeks → seasonal errors 0, naive pays the
+      // Monday spike twice (|1−5| at t=7... wait, |5−1|=4 entering and
+      // |1−5|=4 leaving): sad_naive 8, sad_seasonal 0
+      (0 until 14).flatMap(d => evs("flat7", d.toLong, weekly(d % 7))) ++
+        // "trend": counts 1..14 → naive pays 1/day (7), seasonal 7/day (49)
+        (0 until 14).flatMap(d => evs("trend", d.toLong, d + 1)) ++
+        // "const": both bills 0 → mase pinned at 10000, helps = false
+        (0 until 14).flatMap(d => evs("const", d.toLong, 2)) ++
+        // "short": 5-day span < one season → dropped from the panel
+        (0 until 5).flatMap(d => evs("short", d.toLong, 3))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.forecastBacktest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("sad_naive"), r.getAs[Long]("sad_seasonal"),
+          r.getAs[Long]("mase_bp"), r.getAs[Boolean]("seasonal_helps")))).toMap
+    assert(out == Map(
+      "flat7" -> ((8L, 0L, 0L, true)),
+      "trend" -> ((7L, 49L, 70000L, false)),
+      "const" -> ((0L, 0L, 10000L, false))), s"got $out")
+  }
+
   test("botRegularity (q239): modal-gap bands, minimum-gap exclusion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
