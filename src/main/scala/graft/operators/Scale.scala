@@ -1099,9 +1099,13 @@ object Scale {
         month(col("l_shipdate")).as("m"))
       .groupBy(col("r"), col("s"), col("m")).agg(count(lit(1)).as("cnt"))
     val masks = spark.range(8).select(col("id").as("mask"))
-    val key = "concat(CASE WHEN (mask & 1) = 1 THEN r ELSE '' END, '|', " +
-      "CASE WHEN (mask & 2) = 2 THEN s ELSE '' END, '|', " +
-      "CASE WHEN (mask & 4) = 4 THEN cast(m as string) ELSE '' END)"
+    // coalesce each dim: Spark's concat is NULL-absorbing while DuckDB's
+    // skips NULLs, so a NULL dim value would silently diverge the
+    // engines' countDistinct — the '<null>' sentinel keys them identically.
+    val key =
+      "concat(CASE WHEN (mask & 1) = 1 THEN coalesce(r, '<null>') ELSE '' END, '|', " +
+      "CASE WHEN (mask & 2) = 2 THEN coalesce(s, '<null>') ELSE '' END, '|', " +
+      "CASE WHEN (mask & 4) = 4 THEN coalesce(cast(m as string), '<null>') ELSE '' END)"
     val cub = cells.crossJoin(broadcast(masks))
       .groupBy(col("mask"))
       .agg(countDistinct(expr(key)).as("card"))
@@ -1149,9 +1153,9 @@ object Scale {
       |  SELECT unnest(range(0, 8))::BIGINT AS mask
       |), cub AS (
       |  SELECT mask, count(DISTINCT
-      |    concat(CASE WHEN (mask & 1) = 1 THEN r ELSE '' END, '|',
-      |      CASE WHEN (mask & 2) = 2 THEN s ELSE '' END, '|',
-      |      CASE WHEN (mask & 4) = 4 THEN m::VARCHAR ELSE '' END)
+      |    concat(CASE WHEN (mask & 1) = 1 THEN coalesce(r, '<null>') ELSE '' END, '|',
+      |      CASE WHEN (mask & 2) = 2 THEN coalesce(s, '<null>') ELSE '' END, '|',
+      |      CASE WHEN (mask & 4) = 4 THEN coalesce(m::VARCHAR, '<null>') ELSE '' END)
       |    )::BIGINT AS card
       |  FROM cells CROSS JOIN masks GROUP BY 1
       |), top AS (

@@ -1209,7 +1209,12 @@ object Pipeline {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (t, it, state) =>
           val hours = it.map(_.h).toSeq.distinct.sorted
-          val chain = state.getOption.map(_.last_h).toSeq ++ hours
+          val prev = state.getOption.map(_.last_h)
+          // Replay/late cells at or below the stored high-water mark are
+          // ignored: chaining them would break monotonicity, mint a
+          // phantom gap against the mark, and regress the mark itself.
+          val fresh = prev.fold(hours)(p => hours.filter(_ > p))
+          val chain = prev.toSeq ++ fresh
           chain.lastOption.foreach(h => state.update(HourSeen(h)))
           chain.zip(chain.drop(1)).collect {
             case (a, b) if b - a > 1 => GapOut(t, a + 1, b - a - 1)

@@ -1964,6 +1964,31 @@ class StreamingSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("gap monitor: replayed/late cells at or below the mark mint no phantom gaps") {
+    import graft.streaming.{GapOut, HourCell}
+    val mem = MemoryStream[HourCell]
+    val q = Pipeline.gapMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("gap_mon_replay")
+      .outputMode("append").start()
+    try {
+      mem.addData(HourCell("t", 8L), HourCell("t", 9L), HourCell("t", 10L))
+      q.processAllAvailable()
+      // batch 2 replays hour 5 (below the stored mark 10) alongside 12:
+      // the replay must be ignored — the only real gap is 10→12 (hour 11).
+      // Before the clamp this emitted a phantom 6-hour gap (6..11) and
+      // could regress the mark.
+      mem.addData(HourCell("t", 5L), HourCell("t", 12L))
+      q.processAllAvailable()
+      // batch 3: hour 13 — contiguous iff the mark advanced to 12
+      mem.addData(HourCell("t", 13L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("gap_mon_replay").collect()
+      .map(r => GapOut(r.getAs[String]("event_type"),
+        r.getAs[Long]("gap_start_h"), r.getAs[Long]("gap_hours"))).toSet
+    assert(got == Set(GapOut("t", 11L, 1L)), s"got $got")
+  }
+
   test("cusum monitor: walk chains across a batch split, alarms at h·target (X154 twin)") {
     import graft.streaming.{CusumOut, DayCount}
     val mem = MemoryStream[DayCount]
