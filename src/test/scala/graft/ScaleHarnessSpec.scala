@@ -878,6 +878,61 @@ class ScaleHarnessSpec extends SparkSpec {
     }
   }
 
+  test("q224/q225: co-purchase graph is content-bounded — edges, degrees and ranks invariant under 100x order cloning") {
+    // The graph seam (operators/Graph.scala) derives edges from q184's
+    // per-order sorted part sets via a bounded pair EXPRESSION, then
+    // collapses to DISTINCT (u, v). Cloned orders carry the same part
+    // sets, so the edge table — and with it every PageRank iteration's
+    // join input (each step joins ONLY the cached edge table) — is a
+    // function of CONTENT, never of corpus size. Pin: the full degree
+    // profile and the final rank table are bit-identical at 1x and 100x.
+    import java.sql.Timestamp
+    import java.time.LocalDateTime
+    def day(d: Int): Timestamp =
+      Timestamp.valueOf(LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
+    def graphDir(copies: Int): String = {
+      def li(ok: Long, pk: Long, ln: Long) =
+        (ok, pk, 1L, ln, 1.0, 1.0, 0.0, 0.0, "N", "O", day(1))
+      // undirected edges: (5,6) (5,7) (6,7) (5,8); 9 is isolated —
+      // degrees 5→3, 6→2, 7→2, 8→1, 9→0; |directed edges| = 8
+      val template = Seq((1L, Seq(5L, 6L, 7L)), (2L, Seq(5L, 6L)),
+        (3L, Seq(5L, 8L)), (4L, Seq(9L)))
+      val rows = for {
+        c <- 0 until copies
+        (ok, parts) <- template
+        (pk, ln) <- parts.zipWithIndex.map { case (p, l) => (p, (l + 1).toLong) }
+      } yield li(ok * 100000L + c, pk, ln)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_graphclone_$copies").toString
+      rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val (g1, g100) = (graphDir(1), graphDir(100))
+    def profile(dir: String) = graft.operators.Graph
+      .copurchaseDegrees(spark, dir).collect()
+      .map(r => r.getAs[String]("degree_band") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("share_bp"),
+          r.getAs[Long]("sum_degree"))).toMap
+    val (p1, p100) = (profile(g1), profile(g100))
+    assert(p1 == p100, s"degree profile moved under cloning: $p1 vs $p100")
+    // the edge table itself: Σ sum_degree = |directed edges| = 8,
+    // the template's content bound — NOT 100x it
+    assert(p1.values.map(_._3).sum == 8L)
+    assert(p1("a_0") == ((1L, 2000L, 0L)), s"isolated band: ${p1("a_0")}")
+    def ranks(dir: String) = graft.operators.Graph.pagerank(spark, dir)
+      .collect().map(r => (r.getAs[Long]("part"), r.getAs[Long]("pr_milli"),
+        r.getAs[Long]("degree"))).toSeq
+    val (r1, r100) = (ranks(g1), ranks(g100))
+    assert(r1 == r100, s"pagerank moved under cloning: $r1 vs $r100")
+    // hub 5 outranks everything; the isolated part rides the 500 floor
+    assert(r1.head._1 == 5L, s"expected part 5 at the top: ${r1.head}")
+    assert(r1.find(_._1 == 9L).exists(_._2 == 500L),
+      "isolated part must settle at the 500-milli damping floor")
+  }
+
   test("q156: containment verify leg is candidate-bounded — duplicate mass, never corpus^2") {
     // The exact shingle-intersection leg joins the per-doc shingle table
     // onto the PERSISTED banded-LSH candidate list (the q20/q22 seam).
