@@ -286,7 +286,11 @@ object PlanAudit {
     // q239/q240 cross their band / per-lang rollups with a broadcast
     // 1-row total (the q127 scalar shape)
     "q239_bot_regularity",
-    "q240_modality_coverage")
+    "q240_modality_coverage",
+    // q242 crosses the |scopes|-row scope list with the broadcast
+    // 64-row register grid — both provably tiny (registers per scope
+    // are capped at m = 64 by construction)
+    "q242_hll_mergeability")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

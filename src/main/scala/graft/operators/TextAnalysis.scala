@@ -2401,6 +2401,163 @@ object TextAnalysis {
        |    // n_exact)::BIGINT AS err_bp
        |FROM est ORDER BY scope""".stripMargin
 
+  // ---- X168: HyperLogLog mergeability audit (q242) -------------------------
+
+  /** Per-source HyperLogLog register table over the q153 bigram-hash
+    * seam: register index j = h mod 64 (low 6 bits), rank source
+    * w = h div 64 (the remaining 54 bits), register value
+    * rho(w) = trailing-zero count of w plus one (55 when w = 0 — the
+    * all-zero suffix convention), register cell = max rho per (source,
+    * j). Only HIT registers are stored; [[hllSketch]] fills the m = 64
+    * grid. rho rides `length(bin(w & -w))` — the isolated lowest set
+    * bit's bit-length IS trailing-zeros + 1, and `bin` is minimal-width
+    * in both engines, so the cell table is engine-exact with no float.
+    * (Flajolet's HLL analysis needs only that registers are i.i.d.
+    * Geometric(1/2) maxima; the trailing-zero rank is the same
+    * distribution as the leading-zero one on the uniform 54-bit
+    * suffix.) */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"textanalysis.hllRegisters:$dir") {
+      graft.PlanCache.cached(spark, s"textanalysis.kmvBigramH:$dir") {
+        Tables.documents(spark, dir)
+          .select(col("source"),
+            explode(graft.functions.HashExpressions.taggedGrams(col("text")))
+              .as("g"))
+          .filter(col("g").startsWith("b:"))
+          .select(col("source"),
+            TextHash.h1(col("g").substr(lit(3), length(col("g")))).as("h"))
+          .distinct()
+      }
+        .select(col("source"), (col("h") % 64).as("j"),
+          expr("h div 64").as("w"))
+        .groupBy(col("source"), col("j"))
+        .agg(max(expr("CASE WHEN w = 0 THEN 55L ELSE " +
+          "cast(length(bin(w & -w)) as bigint) END")).as("m"))
+    }
+
+  /** α₆₄ = 0.7213/(1 + 1.079/64) in parts-per-million (Flajolet,
+    * Fusy, Gandouet & Meunier 2007) — fixed integer so both engines
+    * walk the identical estimator arithmetic. */
+  private val HllAlphaPpm: Long = 709341L
+
+  /** X168 HLL mergeability audit (q242): the industry-standard distinct
+    * sketch joins the mergeable suite (KMV q153, DDSketch-style
+    * quantiles q159, count-min q109). Per scope (each source + the
+    * union), the m = 64 register table folds to the HLL estimate in
+    * pure integer arithmetic — Σ 2^(−Mⱼ) is carried as the fixed-point
+    * Σ 2^(55−Mⱼ) (≤ 64·2⁵⁵ < 2⁶³), the raw estimate is
+    * α_ppm·m²·2⁵⁵ div S div 10⁶ on a decimal(38,0)/HUGEINT guard, and
+    * the small-range branch (V zero registers > 0 and raw ≤ 5m/2) is
+    * linear counting m·ln(m/V) via the milli-bit log2 device
+    * (ln 2 = 693147 ppb). est vs exact error lands in basis points —
+    * the table that certifies shipped registers can replace exact
+    * distinct passes. The union row is computed FROM THE PER-SOURCE
+    * REGISTER TABLES (register-wise max — the HLL union law), never by
+    * rescanning hashes: the operator itself is the mergeability
+    * demonstration, and the spec pins merge ≡ direct full-data sketch.
+    * Spark's approx_count_distinct (q34) stays the corroboration leg,
+    * never the oracle (the q132 rule).
+    *
+    * Scale posture: registers ride the PlanCache'd (source, h) bigram
+    * seam (shared with q153/q158) and collapse map-side to ≤ 64 cells
+    * per source; everything after is folds over the |scopes|·64 grid —
+    * broadcast-tiny crosses; the exact leg is the same distinct counts
+    * q153 already pays. Sketch state is 64 longs per source at ANY
+    * corpus scale — the whole point. */
+  def hllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegisters(spark, dir)
+    val scoped = regs.select(col("source").as("scope"), col("j"), col("m"))
+      .unionByName(
+        regs.groupBy(col("j")).agg(max(col("m")).as("m"))
+          .select(lit("union").as("scope"), col("j"), col("m")))
+    val grid = scoped.select(col("scope")).distinct()
+      .crossJoin(broadcast(spark.range(64).select(col("id").as("j"))))
+    val sums = grid
+      .join(scoped, Seq("scope", "j"), "left")
+      .select(col("scope"), coalesce(col("m"), lit(0L)).as("m"))
+      .groupBy(col("scope"))
+      .agg(
+        sum(expr("shiftleft(1L, 55 - cast(m as int))")).as("s_fp"),
+        count(when(col("m") === 0L, lit(1))).as("v_zero"))
+    val hs = graft.PlanCache.cached(spark, s"textanalysis.kmvBigramH:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          explode(graft.functions.HashExpressions.taggedGrams(col("text")))
+            .as("g"))
+        .filter(col("g").startsWith("b:"))
+        .select(col("source"),
+          TextHash.h1(col("g").substr(lit(3), length(col("g")))).as("h"))
+        .distinct()
+    }
+    val exact = hs.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      .select(col("source").as("scope"), col("n_exact"))
+      .unionByName(
+        hs.agg(countDistinct(col("h")).as("n_exact"))
+          .select(lit("union").as("scope"), col("n_exact")))
+    sums.join(exact, Seq("scope"))
+      .select(col("scope"), col("n_exact"), col("v_zero"),
+        expr(s"cast(cast(${HllAlphaPpm * 4096L} as decimal(38,0)) " +
+          s"* ${1L << 55} div s_fp div 1000000 as bigint)").as("raw_est"))
+      .select(col("scope"), col("n_exact"), col("v_zero"),
+        expr("CASE WHEN v_zero > 0 AND raw_est <= 160 THEN " +
+          s"64L * (6000L - (${log2MilliSpark("v_zero")})) * 693147L " +
+          "div 1000000000L ELSE raw_est END").as("est_distinct"))
+      .withColumn("err_bp",
+        expr("cast(cast(abs(est_distinct - n_exact) as decimal(38,0)) " +
+          "* 10000 div greatest(n_exact, 1) as bigint)"))
+      .orderBy(col("scope"))
+  }
+
+  def hllSketchSql: String =
+    s"""WITH base AS (
+       |  SELECT source, string_split(lower(text), ' ') AS t FROM documents
+       |), hs AS (
+       |  SELECT DISTINCT source, ${TextHash.h1Sql("bg")} AS h
+       |  FROM (SELECT source, unnest(list_transform(range(1, len(t)),
+       |          i -> t[i] || ' ' || t[i+1])) AS bg FROM base)
+       |), regs AS (
+       |  SELECT source, h % 64 AS j,
+       |    max(CASE WHEN h // 64 = 0 THEN 55
+       |        ELSE length(bin((h // 64) & (-(h // 64))))::BIGINT END) AS m
+       |  FROM hs GROUP BY 1, 2
+       |), scoped AS (
+       |  SELECT source AS scope, j, m FROM regs
+       |  UNION ALL
+       |  SELECT 'union' AS scope, j, max(m) AS m FROM regs GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT s.scope, g.j
+       |  FROM (SELECT DISTINCT scope FROM scoped) s
+       |  CROSS JOIN (SELECT unnest(range(0, 64))::BIGINT AS j) g
+       |), sums AS (
+       |  SELECT grid.scope,
+       |    sum(1::BIGINT << (55 - coalesce(m, 0))::INT)::BIGINT AS s_fp,
+       |    count(CASE WHEN coalesce(m, 0) = 0 THEN 1 END)::BIGINT AS v_zero
+       |  FROM grid LEFT JOIN scoped
+       |    ON grid.scope = scoped.scope AND grid.j = scoped.j
+       |  GROUP BY 1
+       |), ex AS (
+       |  SELECT source AS scope, count(*)::BIGINT AS n_exact
+       |  FROM hs GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'union', count(DISTINCT h)::BIGINT FROM hs
+       |), est AS (
+       |  SELECT sums.scope, n_exact, v_zero,
+       |    (($HllAlphaPpm::HUGEINT * 4096 * ${1L << 55})
+       |      // s_fp // 1000000)::BIGINT AS raw_est
+       |  FROM sums JOIN ex ON sums.scope = ex.scope
+       |)
+       |SELECT scope, n_exact, v_zero,
+       |  CASE WHEN v_zero > 0 AND raw_est <= 160 THEN
+       |    64 * (6000 - (${log2MilliDuck("v_zero")})) * 693147
+       |      // 1000000000
+       |  ELSE raw_est END AS est_distinct,
+       |  ((abs((CASE WHEN v_zero > 0 AND raw_est <= 160 THEN
+       |      64 * (6000 - (${log2MilliDuck("v_zero")})) * 693147
+       |        // 1000000000
+       |    ELSE raw_est END) - n_exact)::HUGEINT * 10000)
+       |    // greatest(n_exact, 1))::BIGINT AS err_bp
+       |FROM est ORDER BY scope""".stripMargin
+
   // ---- X84: sketch-estimated source-overlap matrix (q158) ------------------
 
   /** X84 sketch overlap matrix (q158): pairwise source overlap estimated

@@ -1137,6 +1137,70 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch (q242): registers match an independent walk; union merge equals a full-data pass") {
+    // independent reference: java trailing-zero count, not the engines'
+    // bin() bit-length trick
+    def rho(w: Long): Long =
+      if (w == 0L) 55L else java.lang.Long.numberOfTrailingZeros(w) + 1L
+    val hs = Tables.documents(spark, sf0001)
+      .select(col("source"),
+        explode(graft.functions.HashExpressions.taggedGrams(col("text")))
+          .as("g"))
+      .filter(col("g").startsWith("b:"))
+      .select(col("source"),
+        TextHash.h1(col("g").substr(lit(3), length(col("g")))).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val refRegs = hs.groupBy(p => (p._1, p._2 % 64)).view
+      .mapValues(_.map(p => rho(p._2 / 64)).max).toMap
+    val got = TextAnalysis.hllRegisters(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("j")) ->
+        r.getAs[Long]("m")).toMap
+    assert(got == refRegs, "register table must match the reference walk")
+    // the HLL union law: register-wise max of per-source tables IS the
+    // sketch of the pooled data — no rescan
+    val merged = refRegs.groupBy(_._1._2).view
+      .mapValues(_.values.max).toMap
+    val direct = hs.map(_._2).distinct.groupBy(_ % 64).view
+      .mapValues(_.map(h => rho(h / 64)).max).toMap
+    assert(merged == direct, "sketch merge must equal a full-data pass")
+    // the union row's estimate replays from the merged registers alone
+    val out = TextAnalysis.hllSketch(spark, sf0001).collect()
+    val union = out.find(_.getAs[String]("scope") == "union").get
+    val sFp = (0 until 64)
+      .map(j => BigInt(1) << (55 - merged.getOrElse(j.toLong, 0L).toInt)).sum
+    val vZero = 64L - merged.size
+    val raw = (BigInt(709341L) * 4096 * (BigInt(1) << 55) / sFp / 1000000).toLong
+    assert(union.getAs[Long]("v_zero") == vZero)
+    if (!(vZero > 0 && raw <= 160))
+      assert(union.getAs[Long]("est_distinct") == raw)
+    // m = 64 gives sigma ~ 1.04/8 = 13%; 4 sigma is the sanity band
+    out.foreach { r =>
+      assert(r.getAs[Long]("err_bp") < 5200L,
+        s"${r.getAs[String]("scope")} err ${r.getAs[Long]("err_bp")}bp")
+    }
+  }
+
+  test("HLL sketch (q242): tiny scopes take the linear-counting branch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    Seq((1L, "x y z", "en", "a", 5L), (2L, "p q", "en", "b", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.hllSketch(spark, dir).collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("v_zero"),
+          r.getAs[Long]("est_distinct"))).toMap
+    assert(out.keySet == Set("a", "b", "union"))
+    assert(out("a")._1 == 2L && out("b")._1 == 1L && out("union")._1 == 3L)
+    out.foreach { case (scope, (_, vZero, est)) =>
+      assert(vZero > 60L, s"$scope must leave most registers empty")
+      // linear counting m*ln(m/V): the integer milli-bit device must sit
+      // within 1 of the float value
+      val expect = 64.0 * math.log(64.0 / vZero.toDouble)
+      assert(math.abs(est - expect) <= 1.0,
+        s"$scope linear estimate $est vs ${expect}")
+    }
+  }
+
   test("source-lang MI (q154): lift is the exact independence ratio; PMI tracks log2(lift); MI >= 0") {
     val rows = TextAnalysis.sourceLangMi(spark, sf0001).collect()
     assert(rows.nonEmpty)
