@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale-out utilities (100 TB posture, SURVEY.md §7): the two join
@@ -549,14 +549,17 @@ object Scale {
     * integer ceil-log2 both engines share (bin(0) = '0' ⇒ one bit for a
     * single-valued column).
     *
-    * Scale posture: all five columns ride ONE stack() projection of
-    * four narrow columns (the q137/q205 fact-pass rule); run counting
-    * partitions on (col_name, l_orderkey) — high-cardinality, no global
-    * sort; the distinct collapse is map-side combinable on (col_name,
-    * v); everything after is a 5-row fold. */
+    * Scale posture: the distinct collapse rides ONE stack() projection
+    * of four narrow columns (the q137/q205 fact-pass rule), map-side
+    * combinable on (col_name, v); run counting pays ONE orderkey
+    * shuffle of the UNSTACKED corpus — each block collects a single
+    * sorted primitive-struct array (blocks are order-sized, so
+    * sort_array is an in-group fold, never a windowed corpus sort) and
+    * all five columns' boundary transitions are counted by array folds
+    * over that SAME array (the gram_stats/q228 device); everything
+    * after is a 5-row fold. */
   def encodingElection(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vals = graft.Tables.lineitem(spark, dir).selectExpr(
       "l_orderkey", "l_linenumber",
       "stack(5, " +
@@ -567,16 +570,34 @@ object Scale {
         "'l_tax', cast(cast(round(l_tax * 100) as bigint) as string)" +
         ") AS (col_name, v)")
     // the synthetic lineitem has duplicate (orderkey, linenumber) pairs,
-    // so the value itself tie-breaks the block order — deterministic in
-    // both engines (run counting needs A canonical order, not THE one)
-    val runW = Window.partitionBy(col("col_name"), col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("v"))
-    val runs = vals
-      .withColumn("prev", lag(col("v"), 1).over(runW))
-      .select(col("col_name"),
-        when(col("prev").isNull || col("prev") =!= col("v"), 1L)
-          .otherwise(0L).as("is_run"))
-      .groupBy(col("col_name")).agg(sum(col("is_run")).as("n_runs"))
+    // so the full numeric tuple tie-breaks the block order — ONE
+    // canonical order shared by all five columns, deterministic in both
+    // engines (run counting needs A canonical order, not THE one).
+    // Values ride as BIGINTs (ascii for the single-char flags) so the
+    // collected block array is primitive-struct cheap, and all five run
+    // counts fold over the SAME sorted array.
+    def runCount(f: String): Column =
+      expr("aggregate(blk, named_struct('n', 0L, 'p', -1L), " +
+        s"(acc, x) -> named_struct('n', acc.n + IF(x.$f = acc.p, 0L, 1L), " +
+        s"'p', x.$f), acc -> acc.n)")
+    val runs = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("sort_array(collect_list(named_struct(" +
+        "'ln', l_linenumber, " +
+        "'ls', cast(ascii(l_linestatus) as bigint), " +
+        "'pk', l_partkey, " +
+        "'qty', cast(round(l_quantity) as bigint), " +
+        "'rf', cast(ascii(l_returnflag) as bigint), " +
+        "'tax', cast(round(l_tax * 100) as bigint))))").as("blk"))
+      .select(runCount("ls").as("r_ls"), runCount("pk").as("r_pk"),
+        runCount("qty").as("r_qty"), runCount("rf").as("r_rf"),
+        runCount("tax").as("r_tax"))
+      .agg(sum(col("r_ls")).as("s_ls"), sum(col("r_pk")).as("s_pk"),
+        sum(col("r_qty")).as("s_qty"), sum(col("r_rf")).as("s_rf"),
+        sum(col("r_tax")).as("s_tax"))
+      .selectExpr("stack(5, " +
+        "'l_linestatus', s_ls, 'l_partkey', s_pk, 'l_quantity', s_qty, " +
+        "'l_returnflag', s_rf, 'l_tax', s_tax) AS (col_name, n_runs)")
     val dist = vals.groupBy(col("col_name"), col("v"))
       .agg(count(lit(1)).as("n"))
     val per = dist.groupBy(col("col_name"))
@@ -922,14 +943,28 @@ object Scale {
       |    'l_returnflag', l_returnflag FROM lineitem
       |  UNION ALL SELECT l_orderkey, l_linenumber,
       |    'l_tax', CAST(round(l_tax * 100) AS BIGINT)::VARCHAR FROM lineitem
-      |), runs0 AS (
-      |  SELECT col_name,
-      |    CASE WHEN lag(v) OVER (PARTITION BY col_name, l_orderkey
-      |      ORDER BY l_linenumber, v) IS DISTINCT FROM v THEN 1 ELSE 0 END
-      |      AS is_run
-      |  FROM vals
+      |), runsrc AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    ascii(l_linestatus)::BIGINT AS ls, l_partkey::BIGINT AS pk,
+      |    round(l_quantity)::BIGINT AS qty, ascii(l_returnflag)::BIGINT AS rf,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+      |  FROM lineitem
+      |), marked AS (
+      |  SELECT
+      |    CASE WHEN lag(ls) OVER w IS DISTINCT FROM ls THEN 1 ELSE 0 END AS b_ls,
+      |    CASE WHEN lag(pk) OVER w IS DISTINCT FROM pk THEN 1 ELSE 0 END AS b_pk,
+      |    CASE WHEN lag(qty) OVER w IS DISTINCT FROM qty THEN 1 ELSE 0 END AS b_qty,
+      |    CASE WHEN lag(rf) OVER w IS DISTINCT FROM rf THEN 1 ELSE 0 END AS b_rf,
+      |    CASE WHEN lag(tax) OVER w IS DISTINCT FROM tax THEN 1 ELSE 0 END AS b_tax
+      |  FROM runsrc
+      |  WINDOW w AS (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, ls, pk, qty, rf, tax)
       |), runs AS (
-      |  SELECT col_name, sum(is_run)::BIGINT AS n_runs FROM runs0 GROUP BY 1
+      |  SELECT 'l_linestatus' AS col_name, sum(b_ls)::BIGINT AS n_runs FROM marked
+      |  UNION ALL SELECT 'l_partkey', sum(b_pk)::BIGINT FROM marked
+      |  UNION ALL SELECT 'l_quantity', sum(b_qty)::BIGINT FROM marked
+      |  UNION ALL SELECT 'l_returnflag', sum(b_rf)::BIGINT FROM marked
+      |  UNION ALL SELECT 'l_tax', sum(b_tax)::BIGINT FROM marked
       |), d AS (
       |  SELECT col_name, v, count(*)::BIGINT AS n FROM vals GROUP BY 1, 2
       |), per AS (
