@@ -65,6 +65,48 @@ object PlanAudit {
   private def nodeLine(n: org.apache.spark.sql.execution.SparkPlan): String =
     n.simpleString(150)
 
+  /** A `broadcast()` whose build-side size is an ENFORCED claim, not a
+    * prose comment. Production behavior is exactly the plain broadcast
+    * hint (zero overhead — no count, no extra job); when the
+    * `graft.boundedCheck` system property is set (PlanAuditSpec's
+    * bounded-broadcast sweep), each call also registers (tag, unhinted
+    * side, claimed max rows) so the sweep can materialize the side and
+    * FAIL on any claim the data does not honor. This turns
+    * [[AllowedBnlj]] prose cardinality arguments into checked facts for
+    * every migrated site ([[BoundedBnlj]]): a future edit that grows a
+    * "1-row scalar" into a corpus-sized side breaks the spec instead of
+    * passing the gate silently. */
+  object Bounded {
+    final case class Claim(tag: String, side: DataFrame, maxRows: Long)
+    private val reg = new java.util.concurrent.ConcurrentLinkedQueue[Claim]
+    private def checking: Boolean =
+      sys.props.get("graft.boundedCheck").contains("true")
+    def claims(): Seq[Claim] = {
+      import scala.jdk.CollectionConverters._
+      reg.asScala.toSeq
+    }
+    def reset(): Unit = reg.clear()
+    def broadcastBounded(tag: String, df: DataFrame, maxRows: Long): DataFrame = {
+      require(maxRows > 0, s"boundedBroadcast($tag): non-positive bound")
+      if (checking) reg.add(Claim(tag, df, maxRows))
+      org.apache.spark.sql.functions.broadcast(df)
+    }
+  }
+
+  /** [[AllowedBnlj]] entries whose broadcast sides have been migrated to
+    * [[Bounded.broadcastBounded]] — their cardinality arguments are
+    * CHECKED by PlanAuditSpec's sweep (claims registered at plan-build
+    * time, sides materialized and compared to the claimed bound), not
+    * just stated in the comments above. Grows as sites migrate. */
+  val BoundedBnlj: Set[String] = Set(
+    "q150_join_forecast",
+    "q154_source_lang_mi",
+    "q236_error_recovery",
+    "q237_u_attribution",
+    "q239_bot_regularity",
+    "q240_modality_coverage",
+    "q242_hll_mergeability")
+
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
     * (query-point sets, centroid tables, single-row counts, a

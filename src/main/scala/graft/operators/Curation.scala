@@ -3049,7 +3049,8 @@ object Curation {
     val orphans = vecs.join(docs, col("doc_id") === col("vec_id"),
         "left_anti")
       .agg(count(lit(1)).as("n_orphan_vecs"))
-    perLang.crossJoin(broadcast(orphans))
+    perLang.crossJoin(graft.PlanAudit.Bounded
+      .broadcastBounded("q240_modality_coverage.orphans", orphans, 1L))
       .select(col("lang"), col("n_docs"), col("n_with_embedding"),
         expr("n_with_embedding * 10000 div n_docs").as("coverage_bp"),
         col("n_orphan_vecs"))

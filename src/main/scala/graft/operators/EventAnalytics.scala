@@ -2645,7 +2645,8 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_errors"),
         coalesce(sum(col("gus")), lit(0L)).as("sum_gus"))
     val tot = agg.agg(sum(col("n_errors")).as("n_tot"))
-    agg.crossJoin(broadcast(tot))
+    agg.crossJoin(graft.PlanAudit.Bounded
+      .broadcastBounded("q236_error_recovery.total", tot, 1L))
       .select(col("outcome"), col("n_errors"),
         expr("n_errors * 10000 div n_tot").as("share_bp"),
         expr("sum_gus div (n_errors * 1000)").as("mean_gap_ms"))
@@ -2755,7 +2756,8 @@ object EventAnalytics {
         sum(when(col("acents") > 0, 1L).otherwise(0L)).as("n_credits"))
       .filter(col("cents") > 0)
     val tot = agg.agg(sum(col("cents")).as("tc"))
-    agg.crossJoin(broadcast(tot))
+    agg.crossJoin(graft.PlanAudit.Bounded
+      .broadcastBounded("q237_u_attribution.total", tot, 1L))
       .select(col("channel"), col("n_credits"), col("cents"),
         expr("cents * 10000 div tc").as("share_bp"))
       .orderBy(col("channel"))
@@ -2960,7 +2962,8 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"), sum(col("n_gaps")).as("n_gaps"),
         sum(col("top_share_bp")).as("sum_top"))
     val tot = bands.agg(sum(col("n_users")).as("n_tot"))
-    bands.crossJoin(broadcast(tot))
+    bands.crossJoin(graft.PlanAudit.Bounded
+      .broadcastBounded("q239_bot_regularity.total", tot, 1L))
       .select(col("regularity_band"), col("n_users"),
         expr("n_users * 10000 div n_tot").as("share_bp"),
         col("n_gaps"),

@@ -275,7 +275,8 @@ object Scale {
       .select((col("pos") + 1).cast("long").as("rank"),
         col("h.vec_id").as("l_partkey"),
         col("h.cosine").cast("long").as("n_pairs"))
-      .crossJoin(broadcast(tot))
+      .crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q150_join_forecast.totals", tot, 1L))
       .select(col("rank"), col("l_partkey"), col("n_pairs"),
         col("total_pairs"), col("n_keys"),
         expr("cast(cast(n_pairs as decimal(38,0)) * 10000 div total_pairs " +

@@ -2471,7 +2471,9 @@ object TextAnalysis {
         regs.groupBy(col("j")).agg(max(col("m")).as("m"))
           .select(lit("union").as("scope"), col("j"), col("m")))
     val grid = scoped.select(col("scope")).distinct()
-      .crossJoin(broadcast(spark.range(64).select(col("id").as("j"))))
+      .crossJoin(graft.PlanAudit.Bounded.broadcastBounded(
+        "q242_hll_mergeability.register_grid",
+        spark.range(64).select(col("id").as("j")), 64L))
     val sums = grid
       .join(scoped, Seq("scope", "j"), "left")
       .select(col("scope"), coalesce(col("m"), lit(0L)).as("m"))
@@ -2822,9 +2824,14 @@ object TextAnalysis {
     val ns = cells.groupBy(col("source")).agg(sum(col("n_sl")).as("n_s"))
     val nl = cells.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_l"))
     val n = cells.agg(sum(col("n_sl")).as("n"))
-    cells.join(broadcast(ns), Seq("source"))
-      .join(broadcast(nl), Seq("lang"))
-      .crossJoin(broadcast(n))
+    cells.join(graft.PlanAudit.Bounded
+        .broadcastBounded("q154_source_lang_mi.per_source", ns, 1024L),
+        Seq("source"))
+      .join(graft.PlanAudit.Bounded
+        .broadcastBounded("q154_source_lang_mi.per_lang", nl, 1024L),
+        Seq("lang"))
+      .crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q154_source_lang_mi.total", n, 1L))
       .select(col("source"), col("lang"), col("n_sl").as("n_docs"),
         expr("cast(cast(n_sl as decimal(38,0)) * n * 10000 div " +
           "(cast(n_s as decimal(38,0)) * n_l) as bigint)").as("lift_bp"),

@@ -58,6 +58,33 @@ class PlanAuditSpec extends SparkSpec {
       "an unpartitioned window must trip the audit")
   }
 
+  test("bounded-broadcast claims: every migrated BNLJ entry registers a claim and the data honors it") {
+    sys.props("graft.boundedCheck") = "true"
+    try {
+      PlanAudit.Bounded.reset()
+      // building the plans registers the claims (no execution needed)
+      PlanAudit.BoundedBnlj.toSeq.sorted
+        .foreach(q => SparkEntry.queries(q)(spark, sf0001))
+      val claims = PlanAudit.Bounded.claims()
+      PlanAudit.BoundedBnlj.foreach { q =>
+        assert(claims.exists(_.tag.startsWith(q)),
+          s"$q is listed as migrated but registered no bounded-broadcast " +
+            "claim — its broadcast site regressed to a bare broadcast()")
+        assert(PlanAudit.AllowedBnlj.contains(q),
+          s"$q is bounded-migrated but missing from AllowedBnlj")
+      }
+      // materialize each claimed side and fail on any broken bound
+      claims.foreach { c =>
+        val n = c.side.limit((c.maxRows + 1).toInt).count()
+        assert(n <= c.maxRows,
+          s"${c.tag}: claimed <= ${c.maxRows} rows, side has >= $n")
+      }
+    } finally {
+      sys.props.remove("graft.boundedCheck")
+      PlanAudit.Bounded.reset()
+    }
+  }
+
   test("shape pins: marquee plans keep their documented shuffle budgets") {
     // round-over-round guard: a refactor that silently reintroduces a
     // corpus-sized shuffle (e.g. q102's old per-doc regroup) must fail
