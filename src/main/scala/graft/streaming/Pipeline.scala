@@ -30,6 +30,18 @@ case class CusumState(su: Long, sd: Long)
 case class CusumOut(event_type: String, day_idx: Long, su: Long, sd: Long,
                     alarm_up: Boolean, alarm_dn: Boolean)
 
+/** Typed rows for [[Pipeline.concurrencyMonitor]] (streaming twin of
+  * q233): input ±1 session delta cells at the minute grain (`m` is the
+  * absolute minute, `day_idx = m div 1440`; `opens` counts sessions
+  * STARTING at that minute), the global walk state (last closed day,
+  * concurrency entering the next), and one emitted capacity row per
+  * closed day. */
+case class MinuteCell(day_idx: Long, m: Long, net: Long, opens: Long)
+case class ConcurrencyState(last_day: Long, entering: Long)
+case class ConcurrencyOut(day_idx: Long, n_sessions_started: Long,
+                          peak_concurrent: Long, peak_minute_of_day: Long,
+                          over_capacity: Boolean)
+
 /** Spark-4 `StatefulProcessor` behind [[Pipeline.runningUserCountsTws]]:
   * one named `ValueState[Long]` per user, TTL declared per state variable
   * (`TTLConfig`) instead of the mapGroupsWithState timeout dance. */
@@ -1267,6 +1279,78 @@ object Pipeline {
           }
           state.update(CusumState(su, sd))
           out.iterator
+      }
+  }
+
+  /** X159 streaming twin (q233): live peak-concurrency capacity monitor —
+    * one global prefix-sum walk over the ±1 session delta cells, chained
+    * across micro-batches through (last closed day, entering
+    * concurrency) state. Input is the closed-day minute-cell stream
+    * (callers fan each closed session [m0, m1] into +1 at m0 and −1 at
+    * m1+1 and forward a day's cells once its window closes — the same
+    * rule as the batch audit); per-day emission carries the day's peak,
+    * its first peak minute, session starts and the over-capacity flag
+    * against the supplied threshold. The batch sentinel rule is
+    * replayed exactly (every day gets a minute-0 cell, so a silent or
+    * cell-less day reads peak = entering concurrency at minute 0), and
+    * the walk folds to the batch q233 rows over the same sessions —
+    * spec-gated across a batch split. Deliberate batch-only reads, the
+    * gapMonitor head/tail rule: the batch knows the global day span, so
+    * a close-delta landing after the last session-END day (a session
+    * ending at 23:59) is a batch-filtered tail row the stream still
+    * emits; the spec compares on the batch's span. Replayed days at or
+    * below the stored mark are ignored (the gapMonitor clamp rule).
+    *
+    * Scale: state is TWO longs regardless of history; cells are
+    * calendar-bounded (≤1441 per day at ANY corpus scale — they are the
+    * output grain of an upstream windowed collapse), so the single
+    * logical key is a monitor-sized walk, never a corpus shuffle;
+    * emissions are one row per closed day. */
+  def concurrencyMonitor(cells: org.apache.spark.sql.Dataset[MinuteCell],
+                         capacity: Long)
+      : org.apache.spark.sql.Dataset[ConcurrencyOut] = {
+    require(capacity > 0, s"concurrencyMonitor: capacity must be positive ($capacity)")
+    import cells.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    cells.groupByKey(_ => "all")
+      .flatMapGroupsWithState[ConcurrencyState, ConcurrencyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val st0 = state.getOption
+          val fresh = {
+            val all = it.toSeq
+            st0.fold(all)(s => all.filter(_.day_idx > s.last_day))
+          }
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val byDay = fresh.groupBy(_.day_idx)
+            val d0 = st0.map(_.last_day + 1).getOrElse(byDay.keys.min)
+            val dMax = byDay.keys.max
+            var entering = st0.map(_.entering).getOrElse(0L)
+            val out = Seq.newBuilder[ConcurrencyOut]
+            var d = d0
+            while (d <= dMax) {
+              val dc = byDay.getOrElse(d, Seq.empty)
+              val m0 = d * 1440L
+              val merged = (if (dc.exists(_.m == m0)) dc
+                            else MinuteCell(d, m0, 0L, 0L) +: dc)
+                .groupBy(_.m).view
+                .mapValues(cs => cs.map(_.net).sum).toSeq.sortBy(_._1)
+              var cur = entering
+              var peak = Long.MinValue
+              var peakM = 0L
+              merged.foreach { case (m, net) =>
+                cur += net
+                if (cur > peak) { peak = cur; peakM = m % 1440L }
+              }
+              out += ConcurrencyOut(d, dc.map(_.opens).sum, peak, peakM,
+                peak > capacity)
+              entering = cur
+              d += 1
+            }
+            state.update(ConcurrencyState(dMax, entering))
+            out.result().iterator
+          }
       }
   }
 

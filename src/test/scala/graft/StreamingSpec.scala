@@ -1989,6 +1989,61 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(GapOut("t", 11L, 1L)), s"got $got")
   }
 
+  test("concurrency monitor: folded walk equals batch q233 across a batch split (X159 twin)") {
+    import graft.streaming.{ConcurrencyOut, MinuteCell}
+    // the q233 batch fixture, replayed: u1 [m10,m20], u2 [m15], u3 [m5]
+    // + [m90] (day 0), u4 day-1 m30, u5 spanning midnight day2->day3
+    val dir = Files.createTempDirectory("graft_concmon").toString
+    var eid = 0L
+    def ev(u: Long, sec: Long) = { eid += 1; (eid, sec * 1000000000L, u, "click", 1.0, "{}") }
+    Seq(ev(1L, 600L), ev(1L, 1200L), ev(2L, 900L),
+      ev(3L, 300L), ev(3L, 5400L),
+      ev(4L, 86400L + 1800L),
+      ev(5L, 2L * 86400L + 85800L), ev(5L, 3L * 86400L + 600L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventAnalytics.peakConcurrency(spark, dir)
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        ((r.getAs[Long]("n_sessions_started"),
+          r.getAs[Long]("peak_concurrent"),
+          r.getAs[Long]("peak_minute_of_day")))).toMap
+    // the same sessions as closed [m0, m1] spans, fanned to delta cells
+    // with the batch rule (+1 at m0, -1 at m1+1)
+    val spans = Seq((10L, 20L), (15L, 15L), (5L, 5L), (90L, 90L),
+      (1470L, 1470L), (4310L, 4330L))
+    val cells = spans.flatMap { case (m0, m1) =>
+      Seq(MinuteCell(m0 / 1440L, m0, 1L, 1L),
+        MinuteCell((m1 + 1) / 1440L, m1 + 1, -1L, 0L))
+    }
+    val mem = MemoryStream[MinuteCell]
+    val q = Pipeline.concurrencyMonitor(mem.toDS(), capacity = 1L)
+      .writeStream.format("memory").queryName("conc_mon")
+      .outputMode("append").start()
+    try {
+      // batch 1 closes days 0-1; batch 2 closes days 2-3 — day 3's walk
+      // must chain through the stored (last_day, entering) state
+      mem.addData(cells.filter(_.day_idx <= 1L): _*)
+      q.processAllAvailable()
+      mem.addData(cells.filter(_.day_idx >= 2L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conc_mon").collect()
+      .map(r => r.getAs[Long]("day_idx") ->
+        ((r.getAs[Long]("n_sessions_started"),
+          r.getAs[Long]("peak_concurrent"),
+          r.getAs[Long]("peak_minute_of_day"),
+          r.getAs[Boolean]("over_capacity")))).toMap
+    assert(got.keySet == batch.keySet, s"day spans differ: $got vs $batch")
+    batch.foreach { case (d, (starts, peak, minute)) =>
+      assert(got(d)._1 == starts && got(d)._2 == peak && got(d)._3 == minute,
+        s"day $d: stream ${got(d)} vs batch ${(starts, peak, minute)}")
+      assert(got(d)._4 == (peak > 1L), s"day $d capacity flag")
+    }
+    // day 0 peaks at 2 concurrent > capacity 1 — the alarm the monitor exists for
+    assert(got(0L)._4, "day 0 must flag over-capacity")
+  }
+
   test("cusum monitor: walk chains across a batch split, alarms at h·target (X154 twin)") {
     import graft.streaming.{CusumOut, DayCount}
     val mem = MemoryStream[DayCount]
