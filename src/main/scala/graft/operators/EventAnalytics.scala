@@ -2918,6 +2918,129 @@ object EventAnalytics {
        |FROM lagged WHERE i >= $SeasonLag
        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin
 
+  /** Non-negative shift for [[holtBacktest]]'s dyadic divisions: Spark
+    * `div` truncates toward zero while DuckDB `//` floors, so every
+    * division operand is shifted by this multiple of 4 first (the
+    * FIXTURES §C rule) — level/trend magnitudes stay far below it. */
+  val HoltShift: Long = 1L << 50
+
+  /** X169 Holt trend-corrected backtest (q243): the next rung of the
+    * q241 forecaster ladder (Holt 1957; judged as Hyndman & Koehler
+    * 2006 judge forecasters — against the naive baselines). Per event
+    * type, one exact level+trend smoothing walk over the zero-filled
+    * daily series with DYADIC weights α = ½, β = ¼, in integer
+    * milli-units so both engines land identical BIGINTs:
+    * f_t = ℓ + b, ℓ' = (y + ℓ + b) div 2, b' = (ℓ' − ℓ + 3b) div 4 —
+    * every division on a [[HoltShift]]-shifted non-negative operand
+    * (floor ≡ truncate). The bill is the i ≥ 7 absolute-deviation sum
+    * (the exact q241 judged span), with q241's naive and seasonal SADs
+    * recomputed in the SAME fold (map lookups at i−1/i−7, no window) —
+    * so the row carries MASE vs BOTH baselines and the election says
+    * whether trend-correction earns its keep per type; a type q241
+    * called seasonal can still reject Holt (level+trend can't carry a
+    * weekly shape), which is the point of backtesting the ladder.
+    *
+    * Scale posture: the corpus collapses once to (type, day) cells; the
+    * walk is a calendar-bounded per-type array fold (the q228 device —
+    * genuinely sequential state rides the fold, never a driver loop);
+    * ≤|types| output rows. */
+  def holtBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val series = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        sum(col("c")).as("total"),
+        map_from_entries(collect_list(struct(col("day"), col("c"))))
+          .as("m"))
+      .select(col("event_type"), col("d0"), col("total"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("n"), col("m"))
+      .filter(col("n") > SeasonLag)
+    def cAt(j: String) = "coalesce(element_at(m, date_add(d0, " +
+      s"cast(($j) as int))), cast(0 as bigint))"
+    val c = HoltShift
+    val lNew = s"((${cAt("i")} * 1000 + acc.l + acc.b + $c) div 2 - ${c / 2})"
+    series
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  sequence(cast(1 as bigint), n - 1),
+           |  named_struct(
+           |    'l', ${cAt("0")} * 1000, 'b', cast(0 as bigint),
+           |    'sh', cast(0 as bigint), 'sn', cast(0 as bigint),
+           |    'ss', cast(0 as bigint)),
+           |  (acc, i) -> named_struct(
+           |    'l', $lNew,
+           |    'b', (($lNew - acc.l + 3 * acc.b + $c) div 4 - ${c / 4}),
+           |    'sh', acc.sh + IF(i >= $SeasonLag,
+           |      abs(${cAt("i")} * 1000 - (acc.l + acc.b)), cast(0 as bigint)),
+           |    'sn', acc.sn + IF(i >= $SeasonLag,
+           |      abs(${cAt("i")} - ${cAt("i - 1")}), cast(0 as bigint)),
+           |    'ss', acc.ss + IF(i >= $SeasonLag,
+           |      abs(${cAt("i")} - ${cAt(s"i - $SeasonLag")}),
+           |      cast(0 as bigint))))""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("total").as("total_events"),
+        col("st.sn").as("sad_naive"), col("st.ss").as("sad_seasonal"),
+        col("st.sh").as("sad_holt_milli"),
+        expr("CASE WHEN st.sn > 0 THEN st.sh * 10 div st.sn " +
+          "ELSE 10000L END").as("mase_vs_naive_bp"),
+        expr("CASE WHEN st.ss > 0 THEN st.sh * 10 div st.ss " +
+          "ELSE 10000L END").as("mase_vs_seasonal_bp"),
+        expr("st.sh < st.sn * 1000 AND st.sh < st.ss * 1000")
+          .as("holt_best"))
+      .orderBy(col("event_type"))
+  }
+
+  def holtBacktestSql: String = {
+    val c = HoltShift
+    val lNew = s"((coalesce(ci.c, 0) * 1000 + f.l + f.b + $c) // 2 - ${c / 2})"
+    s"""WITH RECURSIVE cnt AS (
+       |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT event_type, min(day) AS d0,
+       |    (max(day) - min(day) + 1)::BIGINT AS n, sum(c)::BIGINT AS total
+       |  FROM cnt GROUP BY 1
+       |  HAVING (max(day) - min(day) + 1) > $SeasonLag
+       |), f AS (
+       |  SELECT s.event_type, s.d0, s.n, s.total, 1::BIGINT AS i,
+       |    coalesce(c0.c, 0) * 1000 AS l, 0::BIGINT AS b,
+       |    0::BIGINT AS sh, 0::BIGINT AS sn, 0::BIGINT AS ss
+       |  FROM span s LEFT JOIN cnt c0
+       |    ON c0.event_type = s.event_type AND c0.day = s.d0
+       |  UNION ALL
+       |  SELECT f.event_type, f.d0, f.n, f.total, f.i + 1,
+       |    $lNew,
+       |    (($lNew - f.l + 3 * f.b + $c) // 4 - ${c / 4}),
+       |    f.sh + CASE WHEN f.i >= $SeasonLag
+       |      THEN abs(coalesce(ci.c, 0) * 1000 - (f.l + f.b))
+       |      ELSE 0 END,
+       |    f.sn + CASE WHEN f.i >= $SeasonLag
+       |      THEN abs(coalesce(ci.c, 0) - coalesce(c1.c, 0)) ELSE 0 END,
+       |    f.ss + CASE WHEN f.i >= $SeasonLag
+       |      THEN abs(coalesce(ci.c, 0) - coalesce(c7.c, 0)) ELSE 0 END
+       |  FROM f
+       |  LEFT JOIN cnt ci
+       |    ON ci.event_type = f.event_type AND ci.day = f.d0 + (f.i)::INTEGER
+       |  LEFT JOIN cnt c1
+       |    ON c1.event_type = f.event_type
+       |    AND c1.day = f.d0 + (f.i - 1)::INTEGER
+       |  LEFT JOIN cnt c7
+       |    ON c7.event_type = f.event_type
+       |    AND c7.day = f.d0 + (f.i - $SeasonLag)::INTEGER
+       |  WHERE f.i <= f.n - 1
+       |)
+       |SELECT event_type, n AS n_days, total AS total_events,
+       |  sn AS sad_naive, ss AS sad_seasonal, sh AS sad_holt_milli,
+       |  (CASE WHEN sn > 0 THEN sh * 10 // sn ELSE 10000 END)::BIGINT
+       |    AS mase_vs_naive_bp,
+       |  (CASE WHEN ss > 0 THEN sh * 10 // ss ELSE 10000 END)::BIGINT
+       |    AS mase_vs_seasonal_bp,
+       |  (sh < sn * 1000 AND sh < ss * 1000) AS holt_best
+       |FROM f WHERE i = n ORDER BY event_type""".stripMargin
+  }
+
   /** Minimum inter-event gaps a user needs before [[botRegularity]]
     * scores them (regularity over fewer samples is noise). */
   val MinGaps: Long = 9L

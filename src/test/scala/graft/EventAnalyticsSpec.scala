@@ -1098,6 +1098,72 @@ class EventAnalyticsSpec extends SparkSpec {
       "const" -> ((0L, 0L, 10000L, false))), s"got $out")
   }
 
+  test("holtBacktest (q243): walk matches an independent floorDiv replay; SADs agree with q241") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_holt").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { j =>
+      eid += 1; (eid, nanos(d * day + j), eid % 5, t, 1.0, "{}")
+    }
+    // up: linear uptrend (Holt's home turf); down: downtrend driving the
+    // trend accumulator NEGATIVE (the floor-vs-truncate division trap);
+    // weekly: a seasonal shape level+trend cannot carry
+    val shapes = Map(
+      "up" -> (4 to 22 by 2).map(_.toLong),
+      "down" -> (22 to 4 by -2).map(_.toLong),
+      "weekly" -> Seq(10L, 1L, 1L, 1L, 1L, 1L, 1L, 10L, 1L, 1L))
+    val rows = shapes.toSeq.flatMap { case (t, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) => evs(t, d.toLong, c.toInt) }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // independent reference: Math.floorDiv instead of the shifted div
+    def replay(cs: Seq[Long]): (Long, Long, Long) = {
+      var l = cs.head * 1000; var b = 0L
+      var sh = 0L; var sn = 0L; var ss = 0L
+      for (i <- 1 until cs.size) {
+        val y = cs(i) * 1000
+        if (i >= 7) {
+          sh += math.abs(y - (l + b))
+          sn += math.abs(cs(i) - cs(i - 1))
+          ss += math.abs(cs(i) - cs(i - 7))
+        }
+        val lNew = Math.floorDiv(y + l + b, 2L)
+        b = Math.floorDiv(lNew - l + 3L * b, 4L)
+        l = lNew
+      }
+      (sh, sn, ss)
+    }
+    val out = EventAnalytics.holtBacktest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("sad_naive"), r.getAs[Long]("sad_seasonal"),
+          r.getAs[Long]("sad_holt_milli"), r.getAs[Long]("mase_vs_naive_bp"),
+          r.getAs[Long]("mase_vs_seasonal_bp"),
+          r.getAs[Boolean]("holt_best")))).toMap
+    assert(out.keySet == shapes.keySet)
+    shapes.foreach { case (t, cs) =>
+      val (sh, sn, ss) = replay(cs)
+      val got = out(t)
+      assert(got._1 == sn && got._2 == ss && got._3 == sh,
+        s"$t: got $got, replay ${(sh, sn, ss)}")
+      assert(got._4 == (if (sn > 0) sh * 10 / sn else 10000L), s"$t naive bp")
+      assert(got._5 == (if (ss > 0) sh * 10 / ss else 10000L), s"$t seasonal bp")
+      assert(got._6 == (sh < sn * 1000 && sh < ss * 1000), s"$t election")
+    }
+    // the elections land where the ladder says they should
+    assert(out("up")._6 && out("down")._6,
+      "Holt must beat both baselines on pure trends")
+    assert(!out("weekly")._6 && out("weekly")._2 == 0L,
+      "a pure weekly shape belongs to the seasonal forecaster")
+    // the q241 columns recomputed inside the fold agree with q241 itself
+    val q241 = EventAnalytics.forecastBacktest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("sad_naive"), r.getAs[Long]("sad_seasonal")))).toMap
+    shapes.keys.foreach { t =>
+      assert((out(t)._1, out(t)._2) == q241(t), s"$t SADs diverge from q241")
+    }
+  }
+
   test("botRegularity (q239): modal-gap bands, minimum-gap exclusion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
