@@ -933,6 +933,41 @@ class ScaleHarnessSpec extends SparkSpec {
       "isolated part must settle at the 500-milli damping floor")
   }
 
+  test("q242: HLL register tables are content-bounded — the whole sketch panel invariant under 100x duplication") {
+    // registers derive from the DISTINCT (source, bigram-hash) seam, so
+    // duplicate inflation cannot touch a single register NOR the exact
+    // counts the estimates are judged against: the full output table is
+    // bit-identical at 1x and 100x, and sketch state is <= 64 longs per
+    // source at ANY corpus scale.
+    def hllDir(copies: Int): String = {
+      def text(s: String, i: Int): String =
+        (0 until 10).map(j => s"${s}t${i}w$j").mkString(" ")
+      val rows = for {
+        c <- 0 until copies
+        s <- Seq("alpha", "beta")
+        i <- 0 until 6
+      } yield (s.hashCode.toLong * 1000L + i * 100L + c, text(s, i), "en", s)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_hllclone_$copies").toString
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def panel(dir: String) = graft.operators.TextAnalysis
+      .hllSketch(spark, dir).collect()
+      .map(r => r.getAs[String]("scope") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("v_zero"),
+          r.getAs[Long]("est_distinct"), r.getAs[Long]("err_bp"))).toMap
+    val (p1, p100) = (panel(hllDir(1)), panel(hllDir(100)))
+    assert(p1 == p100, s"sketch panel moved under duplication: $p1 vs $p100")
+    assert(p1.keySet == Set("alpha", "beta", "union"))
+    // and the register tables themselves stay within the m = 64 budget
+    val regs = graft.operators.TextAnalysis.hllRegisters(spark, hllDir(100))
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+    regs.foreach(r => assert(r.getAs[Long]("n") <= 64L))
+  }
+
   test("q156: containment verify leg is candidate-bounded — duplicate mass, never corpus^2") {
     // The exact shingle-intersection leg joins the per-doc shingle table
     // onto the PERSISTED banded-LSH candidate list (the q20/q22 seam).
