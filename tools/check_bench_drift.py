@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--ref", default="/root/repo/BENCH_REF.json")
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=0.15)
+    ap.add_argument("--allow-new", action="store_true",
+                    help="downgrade reference staleness (queries missing "
+                         "from BENCH_REF.json) from a named failure to a "
+                         "note — for mid-round iteration while new queries "
+                         "land; the round-end refresh must clear it")
     args = ap.parse_args()
 
     bench = load_bench(args.bench)
@@ -66,10 +71,24 @@ def main():
          and bench["queries"][name] - ref[name] * median_ratio > args.floor),
         key=lambda t: -t[3])
 
+    # staleness gate (VERDICT r14 ask #1, the PLANS_r* staleness rule):
+    # the fresh run's key set IS the live query surface, so any query it
+    # measures that the committed reference never saw is a named failure,
+    # not a silent blind spot (q241 was invisible to this gate for a
+    # round because the ref predated it).
     new = sorted(set(bench["queries"]) - set(ref))
     if new:
-        print(f"note: {len(new)} queries have no history yet: "
-              f"{', '.join(new[:8])}{'...' if len(new) > 8 else ''}")
+        msg = (f"{len(new)} measured queries missing from the committed "
+               f"reference: {', '.join(new[:8])}"
+               f"{'...' if len(new) > 8 else ''}")
+        if args.allow_new:
+            print(f"note: {msg}")
+        else:
+            print(f"STALE_REF: {msg}")
+            print("refresh with: cp BENCH_LOCAL.json BENCH_REF.json "
+                  "(after adjudicating drift), or pass --allow-new "
+                  "mid-round")
+            return 2
     print(f"median per-query ratio vs committed reference run: "
           f"{median_ratio:.2f} (load-normalized drift gated at "
           f">{args.threshold}x of that)")
