@@ -105,7 +105,8 @@ object PlanAudit {
     "q237_u_attribution",
     "q239_bot_regularity",
     "q240_modality_coverage",
-    "q242_hll_mergeability")
+    "q242_hll_mergeability",
+    "q244_mg_mergeability")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -332,7 +333,10 @@ object PlanAudit {
     // q242 crosses the |scopes|-row scope list with the broadcast
     // 64-row register grid — both provably tiny (registers per scope
     // are capped at m = 64 by construction)
-    "q242_hll_mergeability")
+    "q242_hll_mergeability",
+    // q244 crosses the ≤k merged-summary rows with the broadcast 1-row
+    // corpus-total scalar (the q127 shape) — bounded-enforced
+    "q244_mg_mergeability")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

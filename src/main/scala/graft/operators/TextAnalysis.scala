@@ -1647,6 +1647,128 @@ object TextAnalysis {
        |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin
   }
 
+  // ---- X170: Misra–Gries mergeability audit (q244) -------------------------
+
+  /** Summary size for [[mgMergeability]] — k counters per source. */
+  val MgK: Int = 16
+
+  /** X170 Misra–Gries mergeability audit (q244): the DETERMINISTIC
+    * heavy-hitter summary (Misra & Gries 1982) beside the probabilistic
+    * count-min of q109 — k counters per source, merged with the
+    * Agarwal et al. 2012 mergeable-summaries rule (sum counters, then
+    * subtract the (k+1)-th largest and drop non-positive), audited
+    * against exact truth. Where count-min only ever OVERcounts, MG only
+    * ever UNDERcounts, and the two audits bracket a term's true mass
+    * from both sides. Per merged-summary term: estimate, exact corpus
+    * count, the undercount and its share, and whether it sits within
+    * the theoretical n/(k+1) bound (it must — spec-gated, and the
+    * `within_bound` column makes the guarantee a visible fact).
+    * Reduction is order-independent here because it runs on exact
+    * per-source counts: summary = { (w, c − t) : c > t } with t the
+    * (k+1)-th largest count under the (count desc, term asc) total
+    * order — ties at the threshold drop, which is exactly the MG
+    * worst case the bound prices.
+    *
+    * Scale posture: per-source counts collapse map-side; the (k+1)-th
+    * threshold is the bounded-heap [[graft.functions.TopKTerms]]
+    * aggregate (never a vocab sort), and every term beating the
+    * threshold is IN that heap, so summaries slice the heap array —
+    * no join back to the counts table; the merge works on ≤
+    * |sources|·k rows; the exact leg broadcasts the ≤ k merged terms
+    * into one equi-join against the shared q109 token-count seam. */
+  def mgMergeability(spark: SparkSession, dir: String,
+                     k: Int = MgK): DataFrame = {
+    val topk1 = udaf(new graft.functions.TopKTerms(k + 1))
+    // per-source summaries: heap → threshold → sliced counters
+    val summ = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(topk1(col("cnt").cast("long"), col("w")).as("hits"))
+      .select(explode(expr(
+        s"""transform(
+           |  filter(hits, h -> h.cnt >
+           |    IF(size(hits) = ${k + 1}, element_at(hits, ${k + 1}).cnt,
+           |       cast(0 as bigint))),
+           |  h -> named_struct('w', h.term, 'c', h.cnt -
+           |    IF(size(hits) = ${k + 1}, element_at(hits, ${k + 1}).cnt,
+           |       cast(0 as bigint))))""".stripMargin)).as("s"))
+      .select(col("s.w").as("w"), col("s.c").as("c"))
+    // the mergeable-summaries rule, replayed on the union
+    // rank rides the heap's own (count desc, term asc) array order —
+    // uniform threshold subtraction preserves it, so no global window
+    val merged = summ.groupBy(col("w")).agg(sum(col("c")).as("msum"))
+      .agg(topk1(col("msum"), col("w")).as("hits"))
+      .select(posexplode(expr(
+        s"""transform(
+           |  filter(hits, h -> h.cnt >
+           |    IF(size(hits) = ${k + 1}, element_at(hits, ${k + 1}).cnt,
+           |       cast(0 as bigint))),
+           |  h -> named_struct('w', h.term, 'est', h.cnt -
+           |    IF(size(hits) = ${k + 1}, element_at(hits, ${k + 1}).cnt,
+           |       cast(0 as bigint))))""".stripMargin)).as(Seq("pos", "s")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("s.w").as("term"), col("s.est").as("est_count"))
+    val exact = tokenCounts(spark, dir)
+    val tot = exact.agg(sum(col("cnt")).as("n_tot"))
+    merged.join(exact.withColumnRenamed("w", "term"), Seq("term"))
+      .crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q244_mg_mergeability.total", tot, 1L))
+      .select(col("rank"), col("term"), col("est_count"),
+        col("cnt").as("exact_count"),
+        (col("cnt") - col("est_count")).as("undercount"),
+        expr("(cnt - est_count) * 10000 div cnt").as("undercount_bp"),
+        expr(s"n_tot div ${k + 1}").as("bound"),
+        expr(s"cnt - est_count <= n_tot div ${k + 1}").as("within_bound"))
+      .orderBy(col("rank"))
+  }
+
+  def mgMergeabilitySql(k: Int = MgK): String = {
+    s"""WITH sc AS (
+       |  SELECT source, w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT source, w, cnt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY cnt DESC, w) AS rn
+       |  FROM sc
+       |), thr AS (
+       |  SELECT source,
+       |    coalesce(max(CASE WHEN rn = ${k + 1} THEN cnt END), 0) AS t
+       |  FROM ranked GROUP BY 1
+       |), summ AS (
+       |  SELECT r.w, r.cnt - thr.t AS c
+       |  FROM ranked r JOIN thr USING (source) WHERE r.cnt > thr.t
+       |), pre AS (
+       |  SELECT w, sum(c)::BIGINT AS msum FROM summ GROUP BY 1
+       |), mr AS (
+       |  SELECT w, msum, row_number() OVER (ORDER BY msum DESC, w) AS rn
+       |  FROM pre
+       |), mthr AS (
+       |  SELECT coalesce(max(CASE WHEN rn = ${k + 1} THEN msum END), 0) AS t
+       |  FROM mr
+       |), msumm AS (
+       |  SELECT w AS term, msum - mthr.t AS est_count
+       |  FROM mr CROSS JOIN mthr WHERE msum > mthr.t
+       |), tc AS (
+       |  SELECT w, count(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY 1
+       |), tot AS (SELECT sum(cnt)::BIGINT AS n_tot FROM tc)
+       |SELECT row_number() OVER (ORDER BY est_count DESC, term)::BIGINT
+       |    AS rank,
+       |  term, est_count, tc.cnt AS exact_count,
+       |  (tc.cnt - est_count)::BIGINT AS undercount,
+       |  ((tc.cnt - est_count) * 10000 // tc.cnt)::BIGINT AS undercount_bp,
+       |  (tot.n_tot // ${k + 1})::BIGINT AS bound,
+       |  (tc.cnt - est_count <= tot.n_tot // ${k + 1}) AS within_bound
+       |FROM msumm JOIN tc ON tc.w = msumm.term CROSS JOIN tot
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- X26: quality-quantile calibration (q99) ----------------------------
 
   /** X26 per-language quality-decile calibration (q99): the cutoff table

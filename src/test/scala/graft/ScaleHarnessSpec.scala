@@ -968,6 +968,40 @@ class ScaleHarnessSpec extends SparkSpec {
     regs.foreach(r => assert(r.getAs[Long]("n") <= 64L))
   }
 
+  test("q244: MG summaries scale exactly with duplication — terms, shares and the bound verdict invariant") {
+    // duplicating every doc 100x multiplies every per-source count, every
+    // (k+1)-th threshold, and the corpus total by exactly 100 — so the
+    // summary TERM SET, ranks, undercount shares and the bound verdict
+    // are invariant while the counters scale linearly. Summary state is
+    // <= k counters per source at any corpus scale.
+    def mgDir(copies: Int): String = {
+      val rows = for {
+        c <- 0 until copies
+        (t, src) <- Seq(("a a a a a b b b c c d", "A"),
+          ("a a a a e e e e c c c", "B"))
+      } yield ((src.hashCode.toLong * 10000L + c, t, "en", src, 21L))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_mgclone_$copies").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def panel(dir: String) = graft.operators.TextAnalysis
+      .mgMergeability(spark, dir, k = 2).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("est_count"),
+          r.getAs[Long]("exact_count"), r.getAs[Long]("undercount_bp"),
+          r.getAs[Boolean]("within_bound"))).toMap
+    val (p1, p100) = (panel(mgDir(1)), panel(mgDir(100)))
+    assert(p1.keySet == p100.keySet, "summary term set moved under cloning")
+    p1.foreach { case (t, (rank, est, exact, bp, ok)) =>
+      val c = p100(t)
+      assert(c._1 == rank && c._4 == bp && c._5 == ok, s"$t shares moved")
+      assert(c._2 == 100L * est && c._3 == 100L * exact,
+        s"$t counters must scale linearly")
+    }
+  }
+
   test("q156: containment verify leg is candidate-bounded — duplicate mass, never corpus^2") {
     // The exact shingle-intersection leg joins the per-doc shingle table
     // onto the PERSISTED banded-LSH candidate list (the q20/q22 seam).

@@ -1201,6 +1201,53 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("MG summary (q244): hand-walked merge at k=2; undercount never exceeds n/(k+1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg").toString
+    // source A counts: a5 b3 c2 d1 -> t_A = 2 (3rd largest), summary a3 b1
+    // source B counts: a4 e4 c3   -> t_B = 3, summary a1 e1
+    // merged pre: a4 b1 e1 -> t_m = 1 (3rd of a4, b1, e1), summary a3
+    Seq(
+      (1L, "a a a a a b b b c c d", "en", "A", 21L),
+      (2L, "a a a a e e e e c c c", "en", "B", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.mgMergeability(spark, dir, k = 2).collect()
+    assert(out.length == 1, s"got ${out.toSeq}")
+    val r = out.head
+    // exact a = 9, n_tot = 22, bound = 22 div 3 = 7
+    assert(r.getAs[Long]("rank") == 1L)
+    assert(r.getAs[String]("term") == "a")
+    assert(r.getAs[Long]("est_count") == 3L)
+    assert(r.getAs[Long]("exact_count") == 9L)
+    assert(r.getAs[Long]("undercount") == 6L)
+    assert(r.getAs[Long]("undercount_bp") == 6666L)
+    assert(r.getAs[Long]("bound") == 7L)
+    assert(r.getAs[Boolean]("within_bound"))
+  }
+
+  test("MG summary (q244): guarantees hold at corpus scale — undercount-only, bound kept, heavy hitters survive") {
+    val out = TextAnalysis.mgMergeability(spark, sf0001).collect()
+    assert(out.nonEmpty && out.length <= TextAnalysis.MgK)
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_count") <= r.getAs[Long]("exact_count"),
+        s"${r.getAs[String]("term")}: MG must never overcount")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("term")}: undercount exceeds n/(k+1)")
+    }
+    // the heavy-hitter guarantee: every term whose true count beats
+    // n/(k+1) must survive the merged summary
+    val counts = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = counts.map(_._2).sum
+    val mustSurvive = counts.filter(_._2 > n / (TextAnalysis.MgK + 1))
+      .map(_._1).toSet
+    val surviving = out.map(_.getAs[String]("term")).toSet
+    assert(mustSurvive.subsetOf(surviving),
+      s"dropped heavy hitters: ${mustSurvive -- surviving}")
+  }
+
   test("source-lang MI (q154): lift is the exact independence ratio; PMI tracks log2(lift); MI >= 0") {
     val rows = TextAnalysis.sourceLangMi(spark, sf0001).collect()
     assert(rows.nonEmpty)
