@@ -106,7 +106,8 @@ object PlanAudit {
     "q239_bot_regularity",
     "q240_modality_coverage",
     "q242_hll_mergeability",
-    "q244_mg_mergeability")
+    "q244_mg_mergeability",
+    "q245_neyman_allocation")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -336,7 +337,10 @@ object PlanAudit {
     "q242_hll_mergeability",
     // q244 crosses the ≤k merged-summary rows with the broadcast 1-row
     // corpus-total scalar (the q127 shape) — bounded-enforced
-    "q244_mg_mergeability")
+    "q244_mg_mergeability",
+    // q245's Hamilton rank triangles and totals/leftover scalars are all
+    // |sources|-row / 1-row broadcasts — every side bounded-enforced
+    "q245_neyman_allocation")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

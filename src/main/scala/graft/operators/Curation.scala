@@ -2844,6 +2844,157 @@ object Curation {
        |    END)::BIGINT AS alloc
        |FROM ranked CROSS JOIN lo ORDER BY source""".stripMargin
 
+  /** 32-step restoring integer square root of a non-negative BIGINT —
+    * the classic bitwise algorithm (bit = 4^(31−step); accept the bit
+    * when the remainder covers res+bit), every intermediate ≤ the
+    * input so nothing overflows and every operand stays non-negative
+    * (floor ≡ truncate across engines). The Spark fold; the DuckDB twin
+    * is the same walk as a recursive CTE (lambda state there is a
+    * single value — FIXTURES §C). */
+  private[graft] def isqrtSpark(s: String): String =
+    s"""aggregate(
+       |  sequence(0, 31),
+       |  named_struct('n', $s, 'r', cast(0 as bigint)),
+       |  (acc, i) -> named_struct(
+       |    'n', IF(acc.n >= acc.r + shiftleft(1L, 62 - 2 * cast(i as int)),
+       |      acc.n - acc.r - shiftleft(1L, 62 - 2 * cast(i as int)), acc.n),
+       |    'r', IF(acc.n >= acc.r + shiftleft(1L, 62 - 2 * cast(i as int)),
+       |      (acc.r div 2) + shiftleft(1L, 62 - 2 * cast(i as int)),
+       |      acc.r div 2)),
+       |  acc -> acc.r)""".stripMargin
+
+  /** X171 Neyman stratified-sample allocation (q245): the optimal
+    * sample-size split of an audit budget across source strata
+    * (Neyman 1934) — n_h ∝ N_h·σ_h — computed EXACTLY: the per-stratum
+    * weight N_h·σ_h equals isqrt(N_h·Σx² − (Σx)²) on the nose (σ_h =
+    * sqrt(S2_h)/N_h), so one integer square root per stratum replaces
+    * any float path, and the budget lands via the q222 Hamilton
+    * largest-remainder rule. The proportional allocation (q222's) is
+    * recomputed in the same pass so every row carries the Neyman-vs-
+    * proportional delta — the "sample variance-heavy strata harder"
+    * correction a QA audit buys over naive proportional sampling; a
+    * zero-variance stratum draws (near) nothing, which is Neyman
+    * working as designed. All-constant corpora (total weight 0) fall
+    * back to proportional. Value audited: n_chars.
+    *
+    * Domain bound: S2_h = N_h²·var_h ≤ (N_h·max_chars/2)², BIGINT-safe
+    * to N_h·max_chars < 2⁶² (the decimal(38,0) guard covers the
+    * intermediate products).
+    *
+    * Scale posture: one map-side stratum collapse (count/Σx/Σx²); the
+    * isqrt fold and BOTH Hamilton rank triangles run on the
+    * |sources|-row table (bounded-enforced broadcasts); output is one
+    * row per stratum. */
+  def neymanAllocation(spark: SparkSession, dir: String,
+                       target: Long = 1000L): DataFrame = {
+    require(target > 0, "neymanAllocation: target must be positive")
+    val bb = graft.PlanAudit.Bounded
+    val wtab = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"),
+        sum(expr("n_chars * n_chars")).as("sxx"))
+      .select(col("source"), col("n_docs"),
+        expr("cast(cast(n_docs as decimal(38,0)) * sxx - " +
+          "cast(sx as decimal(38,0)) * sx as bigint)").as("s2_num"))
+      .select(col("source"), col("n_docs"), col("s2_num"),
+        expr(isqrtSpark("s2_num")).as("w"))
+    val tots = wtab.agg(sum(col("w")).as("wt"), sum(col("n_docs")).as("nt"))
+    val base = wtab
+      .crossJoin(bb.broadcastBounded("q245_neyman_allocation.totals", tots, 1L))
+      .select(col("source"), col("n_docs"), col("s2_num"), col("w"),
+        expr("IF(wt > 0, w, n_docs)").as("wu"),
+        expr("IF(wt > 0, wt, nt)").as("wut"), col("nt"))
+      .select(col("source"), col("n_docs"), col("s2_num"), col("w"),
+        col("wu"), col("wut"), col("nt"),
+        expr(s"wu * ${target}L div wut").as("bn"),
+        expr(s"(wu * ${target}L) % wut").as("rn"),
+        expr(s"n_docs * ${target}L div nt").as("bp"),
+        expr(s"(n_docs * ${target}L) % nt").as("rp"))
+    val lo = base.agg((lit(target) - sum(col("bn"))).as("ln"),
+      (lit(target) - sum(col("bp"))).as("lp"))
+    val tn = base.select(col("source").as("sn"), col("rn").as("r2n"))
+    val tp = base.select(col("source").as("sp"), col("rp").as("r2p"))
+    base
+      .join(bb.broadcastBounded("q245_neyman_allocation.tri_n", tn, 1024L),
+        expr("r2n > rn OR (r2n = rn AND sn < source)"), "left")
+      .groupBy(base.columns.map(col): _*)
+      .agg(count(col("sn")).as("rkn"))
+      .join(bb.broadcastBounded("q245_neyman_allocation.tri_p", tp, 1024L),
+        expr("r2p > rp OR (r2p = rp AND sp < source)"), "left")
+      .groupBy((base.columns.map(col) :+ col("rkn")): _*)
+      .agg(count(col("sp")).as("rkp"))
+      .crossJoin(bb.broadcastBounded("q245_neyman_allocation.leftover", lo, 1L))
+      .select(col("source"), col("n_docs"), col("s2_num"),
+        col("w").as("neyman_weight"),
+        expr("wu * 10000 div wut").as("weight_share_bp"),
+        expr("bn + IF(rkn < ln, 1L, 0L)").as("alloc_neyman"),
+        expr("bp + IF(rkp < lp, 1L, 0L)").as("alloc_prop"))
+      .withColumn("delta",
+        col("alloc_neyman") - col("alloc_prop"))
+      .orderBy(col("source"))
+  }
+
+  def neymanAllocationSql(target: Long = 1000L): String =
+    s"""WITH RECURSIVE st AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(n_chars)::BIGINT AS sx,
+       |    sum(n_chars * n_chars)::BIGINT AS sxx
+       |  FROM documents GROUP BY 1
+       |), s2t AS (
+       |  SELECT source, n_docs,
+       |    (n_docs::HUGEINT * sxx - sx::HUGEINT * sx)::BIGINT AS s2_num
+       |  FROM st
+       |), f AS (
+       |  SELECT source, n_docs, s2_num, s2_num AS num, 0::BIGINT AS res,
+       |    0 AS i
+       |  FROM s2t
+       |  UNION ALL
+       |  SELECT source, n_docs, s2_num,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN num - res - (1::BIGINT << (62 - 2 * i)) ELSE num END,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN res // 2 + (1::BIGINT << (62 - 2 * i)) ELSE res // 2 END,
+       |    i + 1
+       |  FROM f WHERE i < 32
+       |), wtab AS (
+       |  SELECT source, n_docs, s2_num, res AS w FROM f WHERE i = 32
+       |), tots AS (
+       |  SELECT sum(w)::BIGINT AS wt, sum(n_docs)::BIGINT AS nt FROM wtab
+       |), base AS (
+       |  SELECT source, n_docs, s2_num, w,
+       |    CASE WHEN wt > 0 THEN w ELSE n_docs END AS wu,
+       |    CASE WHEN wt > 0 THEN wt ELSE nt END AS wut, nt,
+       |    (CASE WHEN wt > 0 THEN w ELSE n_docs END) * $target
+       |      // (CASE WHEN wt > 0 THEN wt ELSE nt END) AS bn,
+       |    ((CASE WHEN wt > 0 THEN w ELSE n_docs END) * $target)
+       |      % (CASE WHEN wt > 0 THEN wt ELSE nt END) AS rn,
+       |    n_docs * $target // nt AS bp,
+       |    (n_docs * $target) % nt AS rp
+       |  FROM wtab CROSS JOIN tots
+       |), lo AS (
+       |  SELECT ($target - sum(bn))::BIGINT AS ln,
+       |    ($target - sum(bp))::BIGINT AS lp
+       |  FROM base
+       |), rkd AS (
+       |  SELECT a.*,
+       |    (SELECT count(*) FROM base b
+       |     WHERE b.rn > a.rn OR (b.rn = a.rn AND b.source < a.source))
+       |      AS rkn,
+       |    (SELECT count(*) FROM base c
+       |     WHERE c.rp > a.rp OR (c.rp = a.rp AND c.source < a.source))
+       |      AS rkp
+       |  FROM base a
+       |)
+       |SELECT source, n_docs, s2_num, w AS neyman_weight,
+       |  (wu * 10000 // wut)::BIGINT AS weight_share_bp,
+       |  (bn + CASE WHEN rkn < lo.ln THEN 1 ELSE 0 END)::BIGINT
+       |    AS alloc_neyman,
+       |  (bp + CASE WHEN rkp < lo.lp THEN 1 ELSE 0 END)::BIGINT
+       |    AS alloc_prop,
+       |  ((bn + CASE WHEN rkn < lo.ln THEN 1 ELSE 0 END) -
+       |   (bp + CASE WHEN rkp < lo.lp THEN 1 ELSE 0 END))::BIGINT AS delta
+       |FROM rkd CROSS JOIN lo ORDER BY source""".stripMargin
+
   /** Right-to-erasure sweep audit (q193): given a deterministic deletion
     * cohort (custkey ≡ 0 mod `modulus` — the stand-in for a GDPR/CCPA
     * deletion list), the exact per-table blast radius through the

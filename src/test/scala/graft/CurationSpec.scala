@@ -1153,6 +1153,39 @@ class CurationSpec extends SparkSpec {
     assert(out.values.map(_._4).sum == 7L, "allocations must sum to target")
   }
 
+  test("neymanAllocation (q245): hand-walked weights, zero-variance stratum starves, prop leg equals q222") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_neyman").toString
+    // A: four constant-length docs (variance 0 -> weight 0); B: lengths
+    // 10/20 -> S2 = 2*500 - 900 = 100 -> weight isqrt(100) = 10
+    (Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L)).map {
+      case (i, nc) => (i, s"t $i", "en", "A", nc)
+    } ++ Seq((5L, 10L), (6L, 20L)).map {
+      case (i, nc) => (i, s"t $i", "en", "B", nc)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.neymanAllocation(spark, dir, target = 1000L).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("s2_num"), r.getAs[Long]("neyman_weight"),
+          r.getAs[Long]("weight_share_bp"), r.getAs[Long]("alloc_neyman"),
+          r.getAs[Long]("alloc_prop"), r.getAs[Long]("delta")))).toMap
+    // prop: A 4000 div 6 = 666 rem 4, B 333 rem 2 -> leftover seat to A
+    assert(out("A") == ((0L, 0L, 0L, 0L, 667L, -667L)), s"got ${out("A")}")
+    assert(out("B") == ((100L, 10L, 10000L, 1000L, 333L, 667L)),
+      s"got ${out("B")}")
+    // at corpus scale: both allocations exhaust the budget exactly and
+    // the proportional leg is bit-identical to q222's election
+    val sf = Curation.neymanAllocation(spark, sf0001).collect()
+    assert(sf.map(_.getAs[Long]("alloc_neyman")).sum == 1000L)
+    assert(sf.map(_.getAs[Long]("alloc_prop")).sum == 1000L)
+    val q222 = Curation.hamiltonAllocation(spark, sf0001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+    sf.foreach { r =>
+      assert(r.getAs[Long]("alloc_prop") == q222(r.getAs[String]("source")),
+        s"${r.getAs[String]("source")}: prop leg diverged from q222")
+    }
+  }
+
   test("dhondtAllocation (q229): exact-proportional case seats cleanly, sums to budget") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dhondt").toString

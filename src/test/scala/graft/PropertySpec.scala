@@ -296,4 +296,22 @@ class PropertySpec extends SparkSpec {
         s"case $i: credited $credited ≠ purchased $purchased")
     }
   }
+
+  test("property: the q245 integer square root is exact floor(sqrt) across the BIGINT domain") {
+    // boundary-heavy generator: perfect squares, squares±1, and raw
+    // uniform draws up to 2^62
+    val raw = Gen.chooseNum(0L, (1L << 62) - 1)
+    val root = Gen.chooseNum(0L, (1L << 31) - 1)
+    val g = Gen.oneOf(raw, root.map(r => r * r),
+      root.map(r => math.max(0L, r * r - 1)), root.map(r => r * r + 1))
+    val xs = (samples(g, 300) ++ Seq(0L, 1L, 2L, 3L, 4L,
+      (1L << 62) - 1, 1L << 62)).distinct
+    val got = xs.toDF("x")
+      .select(col("x"), expr(graft.operators.Curation.isqrtSpark("x")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val want = java.math.BigInteger.valueOf(x).sqrt().longValueExact()
+      assert(got(x) == want, s"isqrt($x): got ${got(x)}, want $want")
+    }
+  }
 }

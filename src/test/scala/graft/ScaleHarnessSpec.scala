@@ -1002,6 +1002,41 @@ class ScaleHarnessSpec extends SparkSpec {
     }
   }
 
+  test("q245: Neyman weights scale with the exact floor-sqrt window under 100x cloning; budgets stay exact") {
+    // cloning docs 100x scales S2 by exactly 100^2, so the TRUE weight
+    // scales by 100 and the integer weight lands in
+    // [100*w, 100*w + 99] (floor(100*sqrt(k)) vs 100*floor(sqrt(k)));
+    // both allocations must still exhaust the budget to the seat.
+    def nDir(copies: Int): String = {
+      val rows = for {
+        c <- 0 until copies
+        (src, ncs) <- Seq("A" -> Seq(10L, 30L, 50L), "B" -> Seq(20L, 20L, 26L))
+        (nc, i) <- ncs.zipWithIndex
+      } yield (src.hashCode.toLong * 100000L + c * 10L + i, s"t", "en", src, nc)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_neyclone_$copies").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def panel(dir: String) = graft.operators.Curation
+      .neymanAllocation(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("neyman_weight"), r.getAs[Long]("alloc_neyman"),
+          r.getAs[Long]("alloc_prop"))).toMap
+    val (p1, p100) = (panel(nDir(1)), panel(nDir(100)))
+    assert(p1.keySet == p100.keySet)
+    p1.foreach { case (s, (w, _, _)) =>
+      val w100 = p100(s)._1
+      assert(w100 >= 100L * w && w100 <= 100L * w + 99L,
+        s"$s: weight $w -> $w100 outside the floor-sqrt window")
+    }
+    Seq(p1, p100).foreach { p =>
+      assert(p.values.map(_._2).sum == 1000L, "neyman budget must be exact")
+      assert(p.values.map(_._3).sum == 1000L, "prop budget must be exact")
+    }
+  }
+
   test("q156: containment verify leg is candidate-bounded — duplicate mass, never corpus^2") {
     // The exact shingle-intersection leg joins the per-doc shingle table
     // onto the PERSISTED banded-LSH candidate list (the q20/q22 seam).
