@@ -151,6 +151,131 @@ object Graph {
       .limit(k)
   }
 
+  /** X172 triangle census (q246): exact triangle counts and clustering
+    * coefficients over the co-purchase graph, per q224 degree band —
+    * the cohesion read degrees alone can't give (a hub wired to a
+    * clique and a hub wired to a star have identical degree rows; only
+    * the triangle count separates "communities" from "fan-out"). Band
+    * coefficient = Σ per-node triangles ·10⁴ div Σ C(deg, 2) wedges —
+    * how often a node's two partners are themselves co-purchased.
+    *
+    * Scale posture: the classic DEGREE-ORIENTATION device (each
+    * undirected edge kept once, low (degree, id) endpoint first) plus
+    * the EDGE-WISE intersection formulation: triangles on oriented
+    * edge (u,v) = |N⁺(u) ∩ N⁺(v)|, computed in-row against the
+    * broadcast forward-adjacency table (content-bounded: |parts| rows
+    * × arboricity-bounded forward lists) — the 83M-row wedge
+    * materialization a join-based counter pays on this dense graph
+    * never exists, and no triangle list is ever exploded: per-node
+    * counts are the edge-incident sum div 2 (each triangle's three
+    * edges credit each corner exactly twice). Wedges are arithmetic on
+    * the degree table. Edges/degrees ride the PlanCache'd q224/q225
+    * seam (content-bounded — the graph harness pin). */
+  def triangleProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = graft.PlanCache.cached(spark, s"graph.copurchaseDeg:$dir") {
+      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    }
+    val ori = graft.PlanCache.cached(spark, s"graph.orientedEdges:$dir") {
+      e.join(deg.select(col("u").as("ux"), col("d").as("du")),
+          col("u") === col("ux"))
+        .join(deg.select(col("u").as("vx"), col("d").as("dv")),
+          col("v") === col("vx"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .select(col("u"), col("v"))
+    }
+    val adj = graft.PlanCache.cached(spark, s"graph.fwdAdjacency:$dir") {
+      ori.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nb"))
+    }
+    // each triangle {a,b,c} materializes exactly once, on its BASE edge
+    // (the one whose two fwd-lists meet): u and v take credit by count,
+    // the third corners by exploding the (small) intersection array
+    val triE = ori
+      .join(broadcast(adj.select(col("u").as("ua"), col("nb").as("nu"))),
+        col("u") === col("ua"))
+      .join(broadcast(adj.select(col("u").as("va"), col("nb").as("nv"))),
+        col("v") === col("va"), "left")
+      .select(col("u"), col("v"),
+        expr("array_intersect(nu, coalesce(nv, array()))").as("ws"))
+      .select(col("u"), col("v"), col("ws"),
+        expr("cast(size(ws) as bigint)").as("te"))
+      .filter(col("te") > 0)
+    val perNode = triE
+      .select(explode(concat(
+        expr("array(named_struct('n', u, 't', te), " +
+          "named_struct('n', v, 't', te))"),
+        expr("transform(ws, w -> named_struct('n', w, 't', 1L))"))).as("x"))
+      .groupBy(col("x.n").as("node"))
+      .agg(sum(col("x.t")).as("tri"))
+    val bands = nodes(spark, dir)
+      .join(deg, col("node") === col("u"), "left")
+      .join(perNode, Seq("node"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("d"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .groupBy(
+        when(col("d") === 0, "a_0")
+          .when(col("d") === 1, "b_1")
+          .when(col("d") <= 3, "c_2_3")
+          .when(col("d") <= 7, "d_4_7")
+          .otherwise("e_ge_8").as("degree_band"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("d * (d - 1) div 2")).as("wedges"),
+        sum(col("tri")).as("triangles"))
+    bands
+      .select(col("degree_band"), col("n_parts"), col("wedges"),
+        col("triangles"),
+        expr("CASE WHEN wedges > 0 THEN triangles * 10000 div wedges " +
+          "ELSE 0L END").as("cc_bp"))
+      .orderBy(col("degree_band"))
+  }
+
+  def triangleProfileSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+      |), e AS (
+      |  SELECT DISTINCT a.part AS u, b.part AS v
+      |  FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part
+      |), deg AS (
+      |  SELECT u, count(*)::BIGINT AS d FROM e GROUP BY 1
+      |), nd AS (
+      |  SELECT DISTINCT part AS node FROM items
+      |), ori AS (
+      |  SELECT e.u, e.v, dv.d AS dv
+      |  FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+      |  WHERE du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+      |), tris AS (
+      |  SELECT w.a, w.b, w.c
+      |  FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |        FROM ori e1 JOIN ori e2 ON e1.u = e2.u
+      |        WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)) w
+      |  WHERE EXISTS (SELECT 1 FROM ori o WHERE o.u = w.b AND o.v = w.c)
+      |), pn AS (
+      |  SELECT node, count(*)::BIGINT AS tri
+      |  FROM (SELECT a AS node FROM tris
+      |        UNION ALL SELECT b FROM tris
+      |        UNION ALL SELECT c FROM tris)
+      |  GROUP BY 1
+      |), banded AS (
+      |  SELECT CASE WHEN coalesce(d, 0) = 0 THEN 'a_0'
+      |      WHEN d = 1 THEN 'b_1'
+      |      WHEN d <= 3 THEN 'c_2_3'
+      |      WHEN d <= 7 THEN 'd_4_7'
+      |      ELSE 'e_ge_8' END AS degree_band,
+      |    coalesce(d, 0) AS d, coalesce(tri, 0) AS tri
+      |  FROM nd LEFT JOIN deg ON nd.node = deg.u
+      |  LEFT JOIN pn ON pn.node = nd.node
+      |), bands AS (
+      |  SELECT degree_band, count(*)::BIGINT AS n_parts,
+      |    sum(d * (d - 1) // 2)::BIGINT AS wedges,
+      |    sum(tri)::BIGINT AS triangles
+      |  FROM banded GROUP BY 1
+      |)
+      |SELECT degree_band, n_parts, wedges, triangles,
+      |  (CASE WHEN wedges > 0 THEN triangles * 10000 // wedges
+      |    ELSE 0 END)::BIGINT AS cc_bp
+      |FROM bands ORDER BY degree_band""".stripMargin
+
   def pagerankSql(k: Int = 15): String = {
     def step(prev: String, out: String): String =
       s"""$out AS (

@@ -38,6 +38,41 @@ class GraphSpec extends SparkSpec {
       (3L, 812L, 1L)), s"got ${out.mkString(", ")}")
   }
 
+  test("triangleProfile (q246): hand-walked orientation, one triangle, band coefficients exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
+    // o1 {5,6,7} (a triangle), o2 {5,8}, o3 {9}: degrees 5→3, 6→2,
+    // 7→2, 8→1, 9→0. Orientation by (deg, id): 6→5, 7→5, 6→7, 8→5 —
+    // the single triangle {5,6,7} materializes ONLY on base edge (6,7)
+    // (fwd-lists {5,7} ∩ {5} = {5}); credits: 6 as u, 7 as v, 5 as w.
+    // Wedges: C(3,2)=3 at 5, 1 each at 6 and 7.
+    Seq((1L, 5L), (1L, 6L), (1L, 7L), (2L, 5L), (2L, 8L), (3L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.triangleProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("degree_band") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("wedges"),
+          r.getAs[Long]("triangles"), r.getAs[Long]("cc_bp"))).toMap
+    assert(out == Map(
+      "a_0" -> ((1L, 0L, 0L, 0L)),
+      "b_1" -> ((1L, 0L, 0L, 0L)),
+      "c_2_3" -> ((3L, 5L, 3L, 6000L))), s"got $out")
+  }
+
+  test("triangleProfile: per-node credits sum to 3x the triangle count on a clique") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tri4").toString
+    // one order with 4 parts = K4: C(4,3) = 4 triangles, each node in
+    // C(3,2) = 3 of them; all degrees 3 → one c_2_3 band row with
+    // 12 wedges (4*C(3,2)), 12 triangle credits, cc = 10000
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.triangleProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("degree_band") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("wedges"),
+          r.getAs[Long]("triangles"), r.getAs[Long]("cc_bp"))).toMap
+    assert(out == Map("c_2_3" -> ((4L, 12L, 12L, 10000L))), s"got $out")
+  }
+
   test("pagerank: an isolated node settles at the 500-milli floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pr2").toString
     Seq((1L, 1L), (1L, 2L), (2L, 9L))

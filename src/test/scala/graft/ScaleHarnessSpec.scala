@@ -927,6 +927,14 @@ class ScaleHarnessSpec extends SparkSpec {
         r.getAs[Long]("degree"))).toSeq
     val (r1, r100) = (ranks(g1), ranks(g100))
     assert(r1 == r100, s"pagerank moved under cloning: $r1 vs $r100")
+    // q246 rides the same content-bounded seam: the triangle census —
+    // including the broadcast fwd-adjacency table — is clone-invariant
+    def tris(dir: String) = graft.operators.Graph.triangleProfile(spark, dir)
+      .collect().map(r => r.getAs[String]("degree_band") ->
+        (r.getAs[Long]("n_parts"), r.getAs[Long]("wedges"),
+          r.getAs[Long]("triangles"), r.getAs[Long]("cc_bp"))).toMap
+    val (t1, t100) = (tris(g1), tris(g100))
+    assert(t1 == t100, s"triangle census moved under cloning: $t1 vs $t100")
     // hub 5 outranks everything; the isolated part rides the 500 floor
     assert(r1.head._1 == 5L, s"expected part 5 at the top: ${r1.head}")
     assert(r1.find(_._1 == 9L).exists(_._2 == 500L),
