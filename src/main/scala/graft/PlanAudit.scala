@@ -107,7 +107,8 @@ object PlanAudit {
     "q240_modality_coverage",
     "q242_hll_mergeability",
     "q244_mg_mergeability",
-    "q245_neyman_allocation")
+    "q245_neyman_allocation",
+    "q247_markov_backtest")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -340,7 +341,10 @@ object PlanAudit {
     "q244_mg_mergeability",
     // q245's Hamilton rank triangles and totals/leftover scalars are all
     // |sources|-row / 1-row broadcasts — every side bounded-enforced
-    "q245_neyman_allocation")
+    "q245_neyman_allocation",
+    // q247 crosses the |types|-row state table with the bounded-enforced
+    // 1-row marginal-election scalar
+    "q247_markov_backtest")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -702,6 +702,107 @@ object EventAnalytics {
       |  ((n_transitions * 10000) // tot.n_tot)::BIGINT AS share_bp
       |FROM cells CROSS JOIN tot ORDER BY from_type, to_type""".stripMargin
 
+  /** X173 Markov next-event backtest (q247): how predictable is the
+    * journey — per state, the first-order Markov predictor (the modal
+    * next event given the CURRENT event) judged on exact transition
+    * counts against the marginal baseline (always predict the globally
+    * most-common next event), the q241/q243 forecaster-ladder
+    * discipline applied to the q122 transition seam. Per from-state:
+    * out-transitions, the modal prediction and its exact hits,
+    * accuracy in bp, the baseline's hits/accuracy on the SAME
+    * transitions, the lift, and the helps election — a state where
+    * conditioning does NOT beat the marginal is one the product funnel
+    * should treat as noise, and the lift-weighted sum is the ceiling
+    * any next-action model must beat before it earns deployment.
+    * Argmax elections ride the lexicographic struct-min device
+    * (min(−count, type) — count desc, type asc), never a window.
+    *
+    * Scale posture: everything reads the PlanCache'd |types|² q122
+    * cell table (ONE user window exchange, shared); elections and
+    * joins are folds over those cells plus a bounded-enforced 1-row
+    * marginal broadcast; ≤|types| output rows. */
+  def markovBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = graft.PlanCache.cached(spark, s"events.transitions:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }
+    val perState = cells.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("n_out"),
+        min(struct((lit(0L) - col("n_transitions")).as("nc"),
+          col("to_type").as("t"))).as("pick"))
+      .select(col("from_type"), col("n_out"),
+        col("pick.t").as("modal_next"),
+        (lit(0L) - col("pick.nc")).as("hits"))
+    val marginal = cells.groupBy(col("to_type"))
+      .agg(sum(col("n_transitions")).as("n"))
+      .agg(min(struct((lit(0L) - col("n")).as("nn"),
+        col("to_type").as("t"))).as("g"))
+      .select(col("g.t").as("g_modal"))
+    val baseline = cells.select(col("from_type").as("bf"),
+      col("to_type").as("bt"), col("n_transitions").as("bn"))
+    perState
+      .crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q247_markov_backtest.marginal", marginal, 1L))
+      .join(baseline,
+        col("from_type") === col("bf") && col("g_modal") === col("bt"),
+        "left")
+      .select(col("from_type"), col("n_out"), col("modal_next"),
+        col("hits"),
+        expr("hits * 10000 div n_out").as("accuracy_bp"),
+        col("g_modal").as("baseline_next"),
+        coalesce(col("bn"), lit(0L)).as("baseline_hits"),
+        expr("coalesce(bn, 0L) * 10000 div n_out").as("baseline_bp"),
+        (expr("hits * 10000 div n_out") -
+          expr("coalesce(bn, 0L) * 10000 div n_out")).as("lift_bp"),
+        (col("hits") > coalesce(col("bn"), lit(0L))).as("markov_helps"))
+      .orderBy(col("from_type"))
+  }
+
+  def markovBacktestSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts::TIMESTAMP, event_id) AS from_type
+      |  FROM events
+      |), cells AS (
+      |  SELECT from_type, to_type, count(*)::BIGINT AS n
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT from_type, to_type, n,
+      |    row_number() OVER (PARTITION BY from_type
+      |      ORDER BY n DESC, to_type) AS rn,
+      |    sum(n) OVER (PARTITION BY from_type) AS n_out
+      |  FROM cells
+      |), st AS (
+      |  SELECT from_type, n_out, to_type AS modal_next, n AS hits
+      |  FROM ranked WHERE rn = 1
+      |), marg AS (
+      |  SELECT to_type AS g_modal
+      |  FROM cells GROUP BY to_type
+      |  ORDER BY sum(n) DESC, to_type LIMIT 1
+      |)
+      |SELECT st.from_type, st.n_out::BIGINT AS n_out, st.modal_next,
+      |  st.hits,
+      |  (st.hits * 10000 // st.n_out)::BIGINT AS accuracy_bp,
+      |  marg.g_modal AS baseline_next,
+      |  coalesce(b.n, 0)::BIGINT AS baseline_hits,
+      |  (coalesce(b.n, 0) * 10000 // st.n_out)::BIGINT AS baseline_bp,
+      |  ((st.hits * 10000 // st.n_out) -
+      |   (coalesce(b.n, 0) * 10000 // st.n_out))::BIGINT AS lift_bp,
+      |  (st.hits > coalesce(b.n, 0)) AS markov_helps
+      |FROM st CROSS JOIN marg
+      |LEFT JOIN cells b
+      |  ON b.from_type = st.from_type AND b.to_type = marg.g_modal
+      |ORDER BY st.from_type""".stripMargin
+
   /** Revenue-attribution comparison (q175): every purchase's cent value
     * credited to a channel under the two standard single-touch models —
     * FIRST-touch (the user's first event type ever: which door they came

@@ -1164,6 +1164,32 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("markovBacktest (q247): modal predictions, marginal baseline, strict helps election") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
+    var eid = 0L
+    def chain(u: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, j) => eid += 1; (eid, nanos(u * 10000L + j * 10L), u, t, 1.0, "{}")
+    }
+    // transitions: A->B x3, A->C x1, B->A x1, B->C x2, C->C x2
+    // to-marginal: B 3, A 1, C 5 -> baseline predicts C everywhere
+    val rows = chain(1L, Seq("A", "B", "A", "C", "C", "C")) ++
+      chain(2L, Seq("A", "B")) ++ chain(3L, Seq("A", "B", "C")) ++
+      chain(4L, Seq("B", "C"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.markovBacktest(spark, dir).collect()
+      .map(r => r.getAs[String]("from_type") ->
+        ((r.getAs[Long]("n_out"), r.getAs[String]("modal_next"),
+          r.getAs[Long]("hits"), r.getAs[Long]("accuracy_bp"),
+          r.getAs[String]("baseline_next"), r.getAs[Long]("baseline_hits"),
+          r.getAs[Long]("lift_bp"), r.getAs[Boolean]("markov_helps")))).toMap
+    assert(out == Map(
+      "A" -> ((4L, "B", 3L, 7500L, "C", 1L, 5000L, true)),
+      "B" -> ((3L, "C", 2L, 6666L, "C", 2L, 0L, false)),
+      "C" -> ((2L, "C", 2L, 10000L, "C", 2L, 0L, false))), s"got $out")
+  }
+
   test("botRegularity (q239): modal-gap bands, minimum-gap exclusion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
