@@ -3142,6 +3142,116 @@ object EventAnalytics {
        |FROM f WHERE i = n ORDER BY event_type""".stripMargin
   }
 
+  /** Error-rate budget for [[errorBudget]] in basis points of all
+    * events (the SLO: at most this share may be errors). */
+  val BudgetBp: Long = 2500L
+
+  /** X174 error-budget burn panel (q248): the SRE multiwindow burn-rate
+    * read (Beyer et al., the public SRE workbook) on the zero-filled
+    * daily grid — per day: exact event/error counts, the day's error
+    * rate, its burn rate against the [[BudgetBp]] SLO in centi-multiples
+    * (100 = consuming budget exactly at the sustainable rate), the same
+    * pair over the trailing 7-day window, month-to-date cumulative
+    * burn, and the fast-burn alert (day burn ≥ 2× AND trailing-week
+    * burn ≥ 1× — the workbook's short+long window conjunction that
+    * suppresses both blips and stale pages). q236 reads how users
+    * RECOVER from errors, q164 whether volume is weird; this is the
+    * release-gate read: is the error SHARE eating the budget faster
+    * than the SLO can absorb.
+    *
+    * Scale posture: the corpus collapses once to ≤|days| (day, n, e)
+    * cells; the grid, trailing windows and cumulative sums are map
+    * lookups over the calendar-bounded day map (the q241/q243 device —
+    * the inner folds touch ≤7 and ≤|days| cells per row, never the
+    * corpus, and no single-partition window forms); one output row per
+    * day. */
+  def errorBudget(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("is_err")).as("e"))
+    def winAgg(from: String) =
+      s"aggregate(sequence($from, i), named_struct('n', 0L, 'e', 0L), " +
+        "(acc, j) -> named_struct(" +
+        "'n', acc.n + coalesce(element_at(m, date_add(d0, cast(j as int))).n, 0L), " +
+        "'e', acc.e + coalesce(element_at(m, date_add(d0, cast(j as int))).e, 0L)))"
+    cells
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        map_from_entries(collect_list(struct(col("day"),
+          struct(col("n"), col("e"))))).as("m"))
+      .select(col("d0"), col("m"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("nd"))
+      .select(col("d0"), col("m"),
+        explode(expr("sequence(cast(0 as bigint), nd - 1)")).as("i"))
+      .select(
+        expr("date_add(d0, cast(i as int))").as("day"),
+        expr("coalesce(element_at(m, date_add(d0, cast(i as int))).n, 0L)")
+          .as("n"),
+        expr("coalesce(element_at(m, date_add(d0, cast(i as int))).e, 0L)")
+          .as("e"),
+        expr(winAgg("greatest(cast(0 as bigint), i - 6)")).as("w7"),
+        expr(winAgg("cast(0 as bigint)")).as("wc"))
+      .select(col("day"), col("n").as("n_events"), col("e").as("n_errors"),
+        expr("CASE WHEN n > 0 THEN e * 10000 div n ELSE 0L END")
+          .as("rate_bp"),
+        expr(s"CASE WHEN n > 0 THEN e * 10000 div n * 100 div $BudgetBp " +
+          "ELSE 0L END").as("burn_1d_centi"),
+        col("w7.n").as("n_events_7d"), col("w7.e").as("n_errors_7d"),
+        expr("CASE WHEN w7.n > 0 THEN w7.e * 10000 div w7.n ELSE 0L END")
+          .as("rate_7d_bp"),
+        expr("CASE WHEN w7.n > 0 THEN w7.e * 10000 div w7.n * 100 div " +
+          s"$BudgetBp ELSE 0L END").as("burn_7d_centi"),
+        expr("CASE WHEN wc.n > 0 THEN wc.e * 10000 div wc.n * 100 div " +
+          s"$BudgetBp ELSE 0L END").as("cum_burn_centi"))
+      .withColumn("alert_fast",
+        col("burn_1d_centi") >= 200L && col("burn_7d_centi") >= 100L)
+      .orderBy(col("day"))
+  }
+
+  def errorBudgetSql: String =
+    s"""WITH cells AS (
+       |  SELECT ts::DATE AS d, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+       |      AS e
+       |  FROM events GROUP BY 1
+       |), span AS (
+       |  SELECT min(d) AS d0, (max(d) - min(d) + 1)::BIGINT AS nd
+       |  FROM cells
+       |), grid AS (
+       |  SELECT d0 + unnest(range(0, nd::INTEGER))::INTEGER AS day
+       |  FROM span
+       |), g AS (
+       |  SELECT day, coalesce(n, 0) AS n, coalesce(e, 0) AS e
+       |  FROM grid LEFT JOIN cells ON cells.d = grid.day
+       |), w AS (
+       |  SELECT a.day, a.n, a.e,
+       |    sum(CASE WHEN b.day >= a.day - 6 THEN b.n ELSE 0 END)::BIGINT
+       |      AS n7,
+       |    sum(CASE WHEN b.day >= a.day - 6 THEN b.e ELSE 0 END)::BIGINT
+       |      AS e7,
+       |    sum(b.n)::BIGINT AS nc, sum(b.e)::BIGINT AS ec
+       |  FROM g a JOIN g b ON b.day <= a.day
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT day, n AS n_events, e AS n_errors,
+       |  (CASE WHEN n > 0 THEN e * 10000 // n ELSE 0 END)::BIGINT
+       |    AS rate_bp,
+       |  (CASE WHEN n > 0 THEN e * 10000 // n * 100 // $BudgetBp
+       |    ELSE 0 END)::BIGINT AS burn_1d_centi,
+       |  n7 AS n_events_7d, e7 AS n_errors_7d,
+       |  (CASE WHEN n7 > 0 THEN e7 * 10000 // n7 ELSE 0 END)::BIGINT
+       |    AS rate_7d_bp,
+       |  (CASE WHEN n7 > 0 THEN e7 * 10000 // n7 * 100 // $BudgetBp
+       |    ELSE 0 END)::BIGINT AS burn_7d_centi,
+       |  (CASE WHEN nc > 0 THEN ec * 10000 // nc * 100 // $BudgetBp
+       |    ELSE 0 END)::BIGINT AS cum_burn_centi,
+       |  (CASE WHEN n > 0 THEN e * 10000 // n * 100 // $BudgetBp
+       |     ELSE 0 END) >= 200
+       |    AND (CASE WHEN n7 > 0 THEN e7 * 10000 // n7 * 100 // $BudgetBp
+       |     ELSE 0 END) >= 100 AS alert_fast
+       |FROM w ORDER BY day""".stripMargin
+
   /** Minimum inter-event gaps a user needs before [[botRegularity]]
     * scores them (regularity over fewer samples is noise). */
   val MinGaps: Long = 9L

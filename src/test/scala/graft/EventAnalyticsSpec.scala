@@ -1164,6 +1164,33 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("errorBudget (q248): burn arithmetic on a hand grid — alert conjunction, silent-day zero fill") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ebudget").toString
+    var eid = 0L
+    def evs(d: Long, errs: Int, oks: Int) =
+      (1 to errs).map { j => eid += 1; (eid, nanos(d * day + j), eid % 3, "error", 1.0, "{}") } ++
+        (1 to oks).map { j => eid += 1; (eid, nanos(d * day + 100 + j), eid % 3, "click", 1.0, "{}") }
+    // day0: 1/4 errors (burn exactly 1x); day1: 2/2 (4x day burn + 2x
+    // week burn -> the fast alert); day2: silent; day3: 0/5 clean
+    val rows = evs(0L, 1, 3) ++ evs(1L, 2, 0) ++ evs(3L, 0, 5)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.errorBudget(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_errors"),
+          r.getAs[Long]("rate_bp"), r.getAs[Long]("burn_1d_centi"),
+          r.getAs[Long]("rate_7d_bp"), r.getAs[Long]("burn_7d_centi"),
+          r.getAs[Long]("cum_burn_centi"),
+          r.getAs[Boolean]("alert_fast")))).toMap
+    assert(out == Map(
+      "1970-01-01" -> ((4L, 1L, 2500L, 100L, 2500L, 100L, 100L, false)),
+      "1970-01-02" -> ((2L, 2L, 10000L, 400L, 5000L, 200L, 200L, true)),
+      "1970-01-03" -> ((0L, 0L, 0L, 0L, 5000L, 200L, 200L, false)),
+      "1970-01-04" -> ((5L, 0L, 0L, 0L, 2727L, 109L, 109L, false))),
+      s"got $out")
+  }
+
   test("markovBacktest (q247): modal predictions, marginal baseline, strict helps election") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_markov").toString
