@@ -1769,6 +1769,108 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- X175: RAKE keyphrase extraction (q249) ------------------------------
+
+  /** Longest candidate phrase [[rakeKeyphrases]] scores — stopword-free
+    * runs longer than this are discarded (they are headlines, not
+    * keyphrases). */
+  val RakeMaxLen: Int = 4
+
+  /** X175 RAKE keyphrase extraction (q249): corpus-level keyphrases via
+    * Rapid Automatic Keyword Extraction (Rose et al. 2010) — candidate
+    * phrases are the maximal stopword-delimited token runs (≤
+    * [[RakeMaxLen]] words), each word scores deg/freq (deg = Σ phrase
+    * lengths it appears in, freq = occurrences — words that live in
+    * LONG phrases outscore equally-frequent loners), and a phrase
+    * scores the sum of its member word scores. Integer milli-scores
+    * keep both engines exact. The top-k table (phrase, occurrences,
+    * words, score) is the "what is this corpus about" read beside
+    * q53's tf-idf TERMS: RAKE surfaces multi-word units ("hash join
+    * order") tf-idf can only rank word-by-word.
+    *
+    * Scale posture: phrase extraction is a per-doc EXPRESSION (mark
+    * stopwords as delimiters, split, trim, filter — no explode until
+    * the phrase grain); word stats collapse map-side from the
+    * phrase-TYPE table (counts carried, occurrences never re-scanned);
+    * the score join is keyed on the content-bounded word vocabulary;
+    * top-k rides the bounded TopKTerms heap (never a corpus sort) and
+    * the final detail join broadcasts the ≤k winners. */
+  def rakeKeyphrases(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val phrases = Tables.documents(spark, dir)
+      .select(explode(expr(
+        "filter(transform(split(concat_ws(' ', " +
+          s"transform(split(lower(text), ' '), t -> IF(t IN ($stopList), '§', t))" +
+          "), '§'), p -> trim(p)), " +
+          s"p -> p != '' AND size(split(p, ' ')) <= $RakeMaxLen)"))
+        .as("phrase"))
+    val pt = graft.PlanCache.cached(spark, s"textanalysis.rakePhrases:$dir") {
+      phrases.groupBy(col("phrase")).agg(count(lit(1)).as("cnt"))
+        .withColumn("len", size(split(col("phrase"), " ")).cast("long"))
+    }
+    val ws = pt.select(explode(split(col("phrase"), " ")).as("w"),
+        col("cnt"), col("len"))
+      .groupBy(col("w"))
+      .agg(sum(col("cnt")).as("freq"),
+        sum(col("cnt") * col("len")).as("deg"))
+      .select(col("w"), expr("deg * 1000 div freq").as("wscore"))
+    val scored = pt
+      .select(col("phrase"), col("cnt"), col("len"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(ws, Seq("w"))
+      .groupBy(col("phrase"), col("cnt"), col("len"))
+      .agg(sum(col("wscore")).as("score_milli"))
+    val topk = udaf(new graft.functions.TopKTerms(k))
+    val heads = scored
+      .agg(topk(col("score_milli"), col("phrase")).as("hits"))
+      .select(posexplode(col("hits")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("h.term").as("phrase"), col("h.cnt").as("score_milli"))
+    scored.select(col("phrase"), col("cnt").as("n_occurrences"),
+        col("len").as("n_words"))
+      .join(broadcast(heads), Seq("phrase"))
+      .select(col("rank"), col("phrase"), col("n_words"),
+        col("n_occurrences"), col("score_milli"))
+      .orderBy(col("rank"))
+  }
+
+  def rakeKeyphrasesSql(k: Int = 15): String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH ph AS (
+       |  SELECT unnest(list_filter(list_transform(
+       |    string_split(array_to_string(list_transform(
+       |      string_split(lower(text), ' '),
+       |      t -> CASE WHEN t IN ($stopList) THEN '§' ELSE t END), ' '),
+       |      '§'), p -> trim(p)),
+       |    p -> p <> '' AND len(string_split(p, ' ')) <= $RakeMaxLen))
+       |    AS phrase
+       |  FROM documents
+       |), pt AS (
+       |  SELECT phrase, count(*)::BIGINT AS cnt,
+       |    len(string_split(phrase, ' '))::BIGINT AS len
+       |  FROM ph GROUP BY 1
+       |), wrd AS (
+       |  SELECT unnest(string_split(phrase, ' ')) AS w, cnt, len FROM pt
+       |), ws AS (
+       |  SELECT w, (sum(cnt * len) * 1000 // sum(cnt))::BIGINT AS wscore
+       |  FROM wrd GROUP BY 1
+       |), scored AS (
+       |  SELECT p.phrase, p.cnt, p.len, sum(ws.wscore)::BIGINT
+       |    AS score_milli
+       |  FROM (SELECT phrase, cnt, len, unnest(string_split(phrase, ' '))
+       |          AS w FROM pt) p
+       |  JOIN ws ON ws.w = p.w
+       |  GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT phrase, cnt, len, score_milli,
+       |    row_number() OVER (ORDER BY score_milli DESC, phrase) AS rank
+       |  FROM scored
+       |)
+       |SELECT rank::BIGINT AS rank, phrase, len AS n_words,
+       |  cnt AS n_occurrences, score_milli
+       |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   // ---- X26: quality-quantile calibration (q99) ----------------------------
 
   /** X26 per-language quality-decile calibration (q99): the cutoff table

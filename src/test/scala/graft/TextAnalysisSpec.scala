@@ -1248,6 +1248,28 @@ class TextAnalysisSpec extends SparkSpec {
       s"dropped heavy hitters: ${mustSurvive -- surviving}")
   }
 
+  test("RAKE keyphrases (q249): hand-walked degree/frequency scores, stopword segmentation, tie order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rake").toString
+    // doc1 segments: "fast hash join" | "hash join order"
+    // doc2 segments: "hash join" | "data table"
+    // word scores (deg*1000 div freq): fast 3000, order 3000,
+    // hash = join = 8000 div 3 = 2666, data = table = 2000
+    Seq(
+      (1L, "the fast hash join and hash join order", "en", "s", 38L),
+      (2L, "hash join of the data table", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.rakeKeyphrases(spark, dir).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("phrase"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("score_milli"))).toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, "fast hash join", 3L, 1L, 8332L),
+      (2L, "hash join order", 3L, 1L, 8332L),
+      (3L, "hash join", 2L, 1L, 5332L),
+      (4L, "data table", 2L, 1L, 4000L)), s"got $out")
+  }
+
   test("source-lang MI (q154): lift is the exact independence ratio; PMI tracks log2(lift); MI >= 0") {
     val rows = TextAnalysis.sourceLangMi(spark, sf0001).collect()
     assert(rows.nonEmpty)
