@@ -30,6 +30,18 @@ case class CusumState(su: Long, sd: Long)
 case class CusumOut(event_type: String, day_idx: Long, su: Long, sd: Long,
                     alarm_up: Boolean, alarm_dn: Boolean)
 
+/** Typed rows for [[Pipeline.burnMonitor]] (streaming twin of q248):
+  * input closed-day (events, errors) cells, the walk state (last
+  * closed day, cumulative counts, the trailing 6-day ring), and one
+  * emitted burn row per closed day. */
+case class BudgetCell(day_idx: Long, n: Long, e: Long)
+case class BurnState(last_day: Long, cum_n: Long, cum_e: Long,
+                     ring: Seq[(Long, Long)])
+case class BurnOut(day_idx: Long, n_events: Long, n_errors: Long,
+                   rate_bp: Long, burn_1d_centi: Long,
+                   rate_7d_bp: Long, burn_7d_centi: Long,
+                   cum_burn_centi: Long, alert_fast: Boolean)
+
 /** Typed rows for [[Pipeline.concurrencyMonitor]] (streaming twin of
   * q233): input ±1 session delta cells at the minute grain (`m` is the
   * absolute minute, `day_idx = m div 1440`; `opens` counts sessions
@@ -1254,6 +1266,68 @@ object Pipeline {
     * Scale: one event_type shuffle per batch; state is two longs per
     * type, independent of history; emissions are one row per closed
     * day-cell, never per event. */
+  /** X174 streaming twin (q248): the error-budget burn walk as a live
+    * monitor — one global state (last closed day, cumulative counts,
+    * the trailing 6-day ring) chained across micro-batches. Input is
+    * the closed-day (events, errors) cell stream (the output grain of
+    * a daily windowed count); silent days zero-fill exactly as the
+    * batch grid does; replayed days at or below the stored mark are
+    * ignored (the gapMonitor clamp rule). Because every q248 window is
+    * TRAILING, the folded emissions equal the batch rows verbatim for
+    * every closed day — no head/tail divergence at all (spec-gated
+    * across a batch split), so the alert log doubles as the audit
+    * trail.
+    *
+    * Scale: state is three longs plus a ≤6-pair ring regardless of
+    * history; one row per closed day. */
+  def burnMonitor(cells: org.apache.spark.sql.Dataset[BudgetCell],
+                  budgetBp: Long = 2500L)
+      : org.apache.spark.sql.Dataset[BurnOut] = {
+    require(budgetBp > 0, s"burnMonitor: budget must be positive ($budgetBp)")
+    import cells.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    cells.groupByKey(_ => "all")
+      .flatMapGroupsWithState[BurnState, BurnOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val st0 = state.getOption
+          val all = it.toSeq
+          val fresh = st0.fold(all)(s => all.filter(_.day_idx > s.last_day))
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val byDay = fresh.groupBy(_.day_idx).view
+              .mapValues(cs => (cs.map(_.n).sum, cs.map(_.e).sum)).toMap
+            val d0 = st0.map(_.last_day + 1).getOrElse(byDay.keys.min)
+            val dMax = byDay.keys.max
+            var cumN = st0.map(_.cum_n).getOrElse(0L)
+            var cumE = st0.map(_.cum_e).getOrElse(0L)
+            var ring = st0.map(_.ring.toVector).getOrElse(Vector.empty)
+            val out = Seq.newBuilder[BurnOut]
+            var d = d0
+            while (d <= dMax) {
+              val (n, e) = byDay.getOrElse(d, (0L, 0L))
+              val (n7, e7) = ring.foldLeft((n, e)) {
+                case ((an, ae), (rn, re)) => (an + rn, ae + re)
+              }
+              cumN += n; cumE += e
+              val rate = if (n > 0) e * 10000L / n else 0L
+              val burn1 = if (n > 0) e * 10000L / n * 100L / budgetBp else 0L
+              val rate7 = if (n7 > 0) e7 * 10000L / n7 else 0L
+              val burn7 =
+                if (n7 > 0) e7 * 10000L / n7 * 100L / budgetBp else 0L
+              val cumBurn =
+                if (cumN > 0) cumE * 10000L / cumN * 100L / budgetBp else 0L
+              out += BurnOut(d, n, e, rate, burn1, rate7, burn7, cumBurn,
+                burn1 >= 200L && burn7 >= 100L)
+              ring = (ring :+ (n, e)).takeRight(6)
+              d += 1
+            }
+            state.update(BurnState(dMax, cumN, cumE, ring))
+            out.result().iterator
+          }
+      }
+  }
+
   def cusumMonitor(cells: org.apache.spark.sql.Dataset[DayCount],
                    target: Map[String, Long],
                    hFactor: Long = 4L)

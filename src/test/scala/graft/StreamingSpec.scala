@@ -2044,6 +2044,50 @@ class StreamingSpec extends SparkSpec {
     assert(got(0L)._4, "day 0 must flag over-capacity")
   }
 
+  test("burn monitor: folded walk equals batch q248 verbatim across a batch split (X174 twin)") {
+    import graft.streaming.{BudgetCell, BurnOut}
+    // the q248 spec fixture replayed: day0 1/4 errors, day1 2/2 (the
+    // fast alert), day2 silent, day3 0/5 clean
+    val dir = Files.createTempDirectory("graft_burnmon").toString
+    var eid = 0L
+    def evs(d: Long, errs: Int, oks: Int) =
+      (1 to errs).map { j => eid += 1; (eid, (d * 86400L + j) * 1000000000L, eid % 3, "error", 1.0, "{}") } ++
+        (1 to oks).map { j => eid += 1; (eid, (d * 86400L + 100 + j) * 1000000000L, eid % 3, "click", 1.0, "{}") }
+    (evs(0L, 1, 3) ++ evs(1L, 2, 0) ++ evs(3L, 0, 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventAnalytics.errorBudget(spark, dir)
+      .collect().map(r =>
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_errors"),
+            r.getAs[Long]("rate_bp"), r.getAs[Long]("burn_1d_centi"),
+            r.getAs[Long]("rate_7d_bp"), r.getAs[Long]("burn_7d_centi"),
+            r.getAs[Long]("cum_burn_centi"),
+            r.getAs[Boolean]("alert_fast")))).toMap
+    val mem = MemoryStream[BudgetCell]
+    val q = Pipeline.burnMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("burn_mon")
+      .outputMode("append").start()
+    try {
+      // batch 1 closes days 0-1; batch 2 closes day 3 — the monitor
+      // must zero-fill silent day 2 and chain cum/ring state through it
+      mem.addData(BudgetCell(0L, 4L, 1L), BudgetCell(1L, 2L, 2L))
+      q.processAllAvailable()
+      mem.addData(BudgetCell(3L, 5L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("burn_mon").collect()
+      .map(r => r.getAs[Long]("day_idx") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_errors"),
+          r.getAs[Long]("rate_bp"), r.getAs[Long]("burn_1d_centi"),
+          r.getAs[Long]("rate_7d_bp"), r.getAs[Long]("burn_7d_centi"),
+          r.getAs[Long]("cum_burn_centi"),
+          r.getAs[Boolean]("alert_fast")))).toMap
+    assert(got == batch,
+      s"stream rows must equal batch verbatim: $got vs $batch")
+    assert(got(1L)._8, "day 1 must raise the fast-burn alert")
+  }
+
   test("cusum monitor: walk chains across a batch split, alarms at h·target (X154 twin)") {
     import graft.streaming.{CusumOut, DayCount}
     val mem = MemoryStream[DayCount]
