@@ -1428,6 +1428,135 @@ object EventAnalytics {
        |FROM arms CROSS JOIN tot ORDER BY arm""".stripMargin
   }
 
+  /** X176 A/B significance audit (q250): the inference layer q191's
+    * readout stops short of — the pooled two-proportion z-test on the
+    * conversion split, computed EXACTLY in integer fixed point. With
+    * x/n converters per arm, z = (x₁n₂ − x₂n₁) / sqrt(D) where
+    * D = P(N−P)·n₁·n₂ div N (P = x₁+x₂, N = n₁+n₂ — the pooled
+    * variance numerator on a floored integer grid, identical in both
+    * engines); the q245 isqrt device takes the root and the magnitude
+    * lands in milli. Signed division never happens (the FIXTURES §C
+    * floor/truncate trap): the statistic rides |diff| with an explicit
+    * direction column. Row carries both arms' counts, the absolute
+    * conversion gap in bp, z in milli, and the 95%/99% verdicts
+    * (1960/2576 milli) — the "is this real or noise" stamp every
+    * experiment readout needs before anyone ships on it.
+    *
+    * Domain bound: D ≤ N³/16 — BIGINT-safe below ~4.5M experiment
+    * users (the decimal(38,0) guard covers the intermediate products);
+    * beyond that, test on a user sample.
+    *
+    * Scale posture: rides the PlanCache'd q191 per-user table (ONE
+    * user collapse, shared); everything after is a 1-row fold. */
+  def abSignificance(spark: SparkSession, dir: String): DataFrame = {
+    val users = graft.PlanCache.cached(spark, s"events.abUsers:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"),
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("purchase_cents"))
+        .select(
+          when(pmod(graft.functions.TextHash.h1(col("user_id").cast("string")),
+            lit(2L)) === 0L, "control").otherwise("treatment").as("arm"),
+          col("converted"), col("purchase_cents"))
+    }
+    users
+      .agg(
+        sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === "control", col("converted"))
+          .otherwise(0L)).as("x1"),
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === "treatment", col("converted"))
+          .otherwise(0L)).as("x2"))
+      .select(col("n1").as("n_control"), col("x1").as("conv_control"),
+        expr("CASE WHEN n1 > 0 THEN x1 * 10000 div n1 ELSE 0L END")
+          .as("conv_control_bp"),
+        col("n2").as("n_treatment"), col("x2").as("conv_treatment"),
+        expr("CASE WHEN n2 > 0 THEN x2 * 10000 div n2 ELSE 0L END")
+          .as("conv_treatment_bp"),
+        expr("abs(x2 * n1 - x1 * n2)").as("dabs"),
+        expr("CASE WHEN x2 * n1 > x1 * n2 THEN 'treatment_up' " +
+          "WHEN x2 * n1 < x1 * n2 THEN 'treatment_down' " +
+          "ELSE 'flat' END").as("direction"),
+        expr("CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+          "cast(cast((x1 + x2) as decimal(38,0)) * (n1 + n2 - x1 - x2) " +
+          "* n1 * n2 div (n1 + n2) as bigint) ELSE 0L END").as("dvar"))
+      .select(col("n_control"), col("conv_control"), col("conv_control_bp"),
+        col("n_treatment"), col("conv_treatment"), col("conv_treatment_bp"),
+        expr("CASE WHEN n_control > 0 AND n_treatment > 0 THEN " +
+          "cast(cast(dabs as decimal(38,0)) * 10000 div " +
+          "(cast(n_control as decimal(38,0)) * n_treatment) as bigint) " +
+          "ELSE 0L END").as("diff_abs_bp"),
+        col("direction"),
+        expr(s"CASE WHEN dvar > 0 THEN cast(cast(dabs as decimal(38,0)) " +
+          s"* 1000 div (${Curation.isqrtSpark("dvar")}) as bigint) " +
+          "ELSE 0L END").as("z_abs_milli"))
+      .withColumn("significant_95", col("z_abs_milli") >= 1960L)
+      .withColumn("significant_99", col("z_abs_milli") >= 2576L)
+  }
+
+  def abSignificanceSql: String = {
+    val arm = graft.functions.TextHash.h1Sql("user_id::VARCHAR")
+    s"""WITH RECURSIVE u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+       |      AS converted
+       |  FROM events GROUP BY 1
+       |), s AS (
+       |  SELECT
+       |    sum(CASE WHEN ($arm) % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN ($arm) % 2 = 0 THEN converted ELSE 0 END)::BIGINT
+       |      AS x1,
+       |    sum(CASE WHEN ($arm) % 2 = 0 THEN 0 ELSE 1 END)::BIGINT AS n2,
+       |    sum(CASE WHEN ($arm) % 2 = 0 THEN 0 ELSE converted END)::BIGINT
+       |      AS x2
+       |  FROM u
+       |), d AS (
+       |  SELECT n1, x1, n2, x2,
+       |    abs(x2 * n1 - x1 * n2)::BIGINT AS dabs,
+       |    CASE WHEN x2 * n1 > x1 * n2 THEN 'treatment_up'
+       |      WHEN x2 * n1 < x1 * n2 THEN 'treatment_down'
+       |      ELSE 'flat' END AS direction,
+       |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |      ((x1 + x2)::HUGEINT * (n1 + n2 - x1 - x2) * n1 * n2
+       |        // (n1 + n2))::BIGINT ELSE 0 END AS dvar
+       |  FROM s
+       |), f AS (
+       |  SELECT d.*, dvar AS num, 0::BIGINT AS res, 0 AS i FROM d
+       |  UNION ALL
+       |  SELECT n1, x1, n2, x2, dabs, direction, dvar,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN num - res - (1::BIGINT << (62 - 2 * i)) ELSE num END,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN res // 2 + (1::BIGINT << (62 - 2 * i)) ELSE res // 2 END,
+       |    i + 1
+       |  FROM f WHERE i < 32
+       |)
+       |SELECT n1 AS n_control, x1 AS conv_control,
+       |  (CASE WHEN n1 > 0 THEN x1 * 10000 // n1 ELSE 0 END)::BIGINT
+       |    AS conv_control_bp,
+       |  n2 AS n_treatment, x2 AS conv_treatment,
+       |  (CASE WHEN n2 > 0 THEN x2 * 10000 // n2 ELSE 0 END)::BIGINT
+       |    AS conv_treatment_bp,
+       |  (CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    (dabs::HUGEINT * 10000 // (n1::HUGEINT * n2))::BIGINT
+       |    ELSE 0 END)::BIGINT AS diff_abs_bp,
+       |  direction,
+       |  (CASE WHEN dvar > 0 THEN
+       |    (dabs::HUGEINT * 1000 // res)::BIGINT ELSE 0 END)::BIGINT
+       |    AS z_abs_milli,
+       |  (CASE WHEN dvar > 0 THEN
+       |    (dabs::HUGEINT * 1000 // res)::BIGINT ELSE 0 END) >= 1960
+       |    AS significant_95,
+       |  (CASE WHEN dvar > 0 THEN
+       |    (dabs::HUGEINT * 1000 // res)::BIGINT ELSE 0 END) >= 2576
+       |    AS significant_99
+       |FROM f WHERE i = 32""".stripMargin
+  }
+
   /** State dwell-time attribution (q192): per event type, the total and
     * mean time users SPEND in that state — each inter-event gap is
     * attributed to the event that OPENED it (last-touch state

@@ -1164,6 +1164,46 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("abSignificance (q250): exact pooled z on a designed 10%-vs-30% split; floors match float z") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_absig").toString
+    def h1(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // pick 100 users per arm by replaying the q191 hash assignment
+    val ids = Iterator.from(1).map(_.toLong)
+    val control = ids.filter(u => h1(u.toString) % 2 == 0).take(100).toSeq
+    val treatment = Iterator.from(1).map(_.toLong)
+      .filter(u => h1(u.toString) % 2 == 1).take(100).toSeq
+    var eid = 0L
+    def ev(u: Long, t: String) = { eid += 1; (eid, eid * 1000000000L, u, t, 1.0, "{}") }
+    // control converts 10/100, treatment 30/100
+    val rows = (control ++ treatment).map(ev(_, "view")) ++
+      control.take(10).map(ev(_, "purchase")) ++
+      treatment.take(30).map(ev(_, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = EventAnalytics.abSignificance(spark, dir).collect().head
+    assert(r.getAs[Long]("n_control") == 100L &&
+      r.getAs[Long]("conv_control") == 10L)
+    assert(r.getAs[Long]("n_treatment") == 100L &&
+      r.getAs[Long]("conv_treatment") == 30L)
+    assert(r.getAs[Long]("conv_control_bp") == 1000L &&
+      r.getAs[Long]("conv_treatment_bp") == 3000L)
+    assert(r.getAs[Long]("diff_abs_bp") == 2000L)
+    assert(r.getAs[String]("direction") == "treatment_up")
+    // dvar = 40*160*100*100 div 200 = 320000; isqrt = 565;
+    // z = 2000*1000 div 565 = 3539 — the float z is 3.536, so the
+    // integer floors sit within one milli-step of it
+    assert(r.getAs[Long]("z_abs_milli") == 3539L,
+      s"z ${r.getAs[Long]("z_abs_milli")}")
+    assert(r.getAs[Boolean]("significant_95") &&
+      r.getAs[Boolean]("significant_99"))
+  }
+
   test("errorBudget (q248): burn arithmetic on a hand grid — alert conjunction, silent-day zero fill") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ebudget").toString
