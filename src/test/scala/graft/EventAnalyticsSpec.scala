@@ -1257,6 +1257,70 @@ class EventAnalyticsSpec extends SparkSpec {
       "C" -> ((2L, "C", 2L, 10000L, "C", 2L, 0L, false))), s"got $out")
   }
 
+  test("hwBacktest (q251): walk matches an independent floorDiv replay; weekly shape elects the seasonal rungs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hw").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { j =>
+      eid += 1; (eid, nanos(d * day + j), eid % 5, t, 1.0, "{}")
+    }
+    val shapes = Map(
+      "up" -> (4 to 30 by 2).map(_.toLong),
+      "weekly" -> (0 until 21).map(i => if (i % 7 == 0) 20L else 2L))
+    val rows = shapes.toSeq.flatMap { case (t, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) => evs(t, d.toLong, c.toInt) }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    def replay(cs: Seq[Long]): (Long, Long, Long, Long) = {
+      var l = cs.head * 1000; var b = 0L
+      val s = Array.fill(7)(0L)
+      var hl = l; var hb = 0L
+      var shw = 0L; var sho = 0L; var sn = 0L; var ss = 0L
+      for (i <- 1 until cs.size) {
+        val y = cs(i) * 1000; val j = i % 7
+        if (i >= 7) {
+          shw += math.abs(y - (l + b + s(j)))
+          sho += math.abs(y - (hl + hb))
+          sn += math.abs(cs(i) - cs(i - 1))
+          ss += math.abs(cs(i) - cs(i - 7))
+        }
+        val lN = Math.floorDiv(y - s(j) + l + b, 2L)
+        b = Math.floorDiv(lN - l + 3L * b, 4L)
+        s(j) = Math.floorDiv(y - lN + s(j), 2L)
+        l = lN
+        val hlN = Math.floorDiv(y + hl + hb, 2L)
+        hb = Math.floorDiv(hlN - hl + 3L * hb, 4L)
+        hl = hlN
+      }
+      (shw, sho, sn, ss)
+    }
+    val out = EventAnalytics.hwBacktest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("sad_naive"), r.getAs[Long]("sad_seasonal"),
+          r.getAs[Long]("sad_holt_milli"), r.getAs[Long]("sad_hw_milli"),
+          r.getAs[String]("best_model")))).toMap
+    assert(out.keySet == shapes.keySet)
+    shapes.foreach { case (t, cs) =>
+      val (shw, sho, sn, ss) = replay(cs)
+      val got = out(t)
+      assert((got._1, got._2, got._3, got._4) == ((sn, ss, sho, shw)),
+        s"$t: got $got, replay ${(sn, ss, sho, shw)}")
+      val expectBest =
+        if (sn * 1000 <= ss * 1000 && sn * 1000 <= sho && sn * 1000 <= shw)
+          "a_naive"
+        else if (ss * 1000 <= sho && ss * 1000 <= shw) "b_seasonal"
+        else if (sho <= shw) "c_holt" else "d_hw"
+      assert(got._5 == expectBest, s"$t election")
+    }
+    // the spiky-weekly shape must belong to a seasonal rung, and HW
+    // must beat plain Holt there (the whole point of the season ring)
+    assert(Set("b_seasonal", "d_hw").contains(out("weekly")._5),
+      s"weekly elected ${out("weekly")._5}")
+    assert(out("weekly")._4 < out("weekly")._3,
+      "HW must out-forecast plain Holt on a weekly shape")
+  }
+
   test("botRegularity (q239): modal-gap bands, minimum-gap exclusion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
