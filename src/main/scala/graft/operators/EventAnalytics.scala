@@ -3538,6 +3538,123 @@ object EventAnalytics {
        |FROM f WHERE i = n ORDER BY event_type""".stripMargin
   }
 
+  /** X178 Theil–Sen robust slope (q252): the MAGNITUDE companion to
+    * q189's Mann–Kendall direction test (Sen 1968; Theil 1950) — per
+    * event type, the median of all C(n,2) pairwise day-slopes over the
+    * zero-filled daily grid, in milli-events/day. Median beats
+    * least-squares here for the same reason MK beats Pearson: a single
+    * outage day cannot drag the slope. Slopes are magnitude-floored
+    * toward zero (sign-split — both engines truncate identically, the
+    * FIXTURES §C signed-division rule) and the median is the exact
+    * lower-median histogram-rank election (the q132 device, never a
+    * sort of the corpus). The MK S statistic rides the same pair pass,
+    * so the row pairs q189's "is there a trend" with "how steep".
+    *
+    * Scale posture: the corpus collapses once to (type, day) cells;
+    * the pair fan-out is calendar-bounded (C(|days|,2) per type, not
+    * corpus-sized); the histogram collapse is map-side combinable and
+    * the cumulative election windows on the |types|-partition slope
+    * histogram. ≤|types| output rows. */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val series = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        map_from_entries(collect_list(struct(col("day"), col("c"))))
+          .as("m"))
+      .select(col("event_type"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("n"),
+        col("d0"), col("m"))
+      .filter(col("n") > 1)
+    def cAt(j: String) = "coalesce(element_at(m, date_add(d0, " +
+      s"cast(($j) as int))), cast(0 as bigint))"
+    val pairs = series
+      .select(col("event_type"), col("n"), col("d0"), col("m"),
+        explode(expr("sequence(cast(0 as bigint), n - 2)")).as("i"))
+      .select(col("event_type"), col("n"), col("d0"), col("m"), col("i"),
+        explode(expr("sequence(i + 1, n - 1)")).as("j"))
+      .select(col("event_type"), col("n"),
+        expr(s"${cAt("j")} - ${cAt("i")}").as("diff"),
+        (col("j") - col("i")).as("gap"))
+      .select(col("event_type"), col("n"),
+        expr("CASE WHEN diff >= 0 THEN diff * 1000 div gap " +
+          "ELSE 0L - ((0L - diff) * 1000 div gap) END").as("slope"),
+        signum(col("diff")).cast("long").as("sgn"))
+    val stats = pairs.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), count(lit(1)).as("n_pairs"),
+        sum(col("sgn")).as("s_stat"))
+    val hist = pairs.groupBy(col("event_type"), col("slope"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(stats.select(col("event_type"), col("n_pairs")), Seq("event_type"))
+      .filter(col("cum") >= expr("(n_pairs + 1) div 2"))
+      .groupBy(col("event_type"))
+      .agg(min(col("slope")).as("theil_sen_milli"))
+    stats.join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"), col("theil_sen_milli"),
+        expr("CASE WHEN theil_sen_milli > 0 THEN 'a_up' " +
+          "WHEN theil_sen_milli < 0 THEN 'c_down' " +
+          "ELSE 'b_flat' END").as("direction"))
+      .orderBy(col("event_type"))
+  }
+
+  def theilSenSql: String =
+    """WITH cnt AS (
+      |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT event_type, min(day) AS d0,
+      |    (max(day) - min(day) + 1)::BIGINT AS n
+      |  FROM cnt GROUP BY 1
+      |  HAVING (max(day) - min(day) + 1) > 1
+      |), grid0 AS (
+      |  SELECT event_type, n, d0,
+      |    unnest(range(0, n::INTEGER))::BIGINT AS i
+      |  FROM span
+      |), grid AS (
+      |  SELECT g.event_type, g.n, g.i, coalesce(c.c, 0)::BIGINT AS c
+      |  FROM grid0 g LEFT JOIN cnt c
+      |    ON c.event_type = g.event_type AND c.day = g.d0 + g.i::INTEGER
+      |), pairs AS (
+      |  SELECT a.event_type, a.n,
+      |    CASE WHEN b.c - a.c >= 0
+      |      THEN (b.c - a.c) * 1000 // (b.i - a.i)
+      |      ELSE -((a.c - b.c) * 1000 // (b.i - a.i)) END AS slope,
+      |    sign(b.c - a.c)::BIGINT AS sgn
+      |  FROM grid a JOIN grid b
+      |    ON a.event_type = b.event_type AND b.i > a.i
+      |), stats AS (
+      |  SELECT event_type, max(n)::BIGINT AS n_days,
+      |    count(*)::BIGINT AS n_pairs, sum(sgn)::BIGINT AS s_stat
+      |  FROM pairs GROUP BY 1
+      |), hist AS (
+      |  SELECT event_type, slope, count(*)::BIGINT AS cnt
+      |  FROM pairs GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT event_type, slope,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY slope
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist
+      |), med AS (
+      |  SELECT c.event_type, min(c.slope)::BIGINT AS theil_sen_milli
+      |  FROM cum c JOIN stats s ON s.event_type = c.event_type
+      |  WHERE c.cum >= (s.n_pairs + 1) // 2
+      |  GROUP BY 1
+      |)
+      |SELECT s.event_type, s.n_days, s.n_pairs, s.s_stat,
+      |  m.theil_sen_milli,
+      |  CASE WHEN m.theil_sen_milli > 0 THEN 'a_up'
+      |    WHEN m.theil_sen_milli < 0 THEN 'c_down'
+      |    ELSE 'b_flat' END AS direction
+      |FROM stats s JOIN med m ON m.event_type = s.event_type
+      |ORDER BY s.event_type""".stripMargin
+
   /** Minimum inter-event gaps a user needs before [[botRegularity]]
     * scores them (regularity over fewer samples is noise). */
   val MinGaps: Long = 9L

@@ -1321,6 +1321,41 @@ class EventAnalyticsSpec extends SparkSpec {
       "HW must out-forecast plain Holt on a weekly shape")
   }
 
+  test("theilSen (q252): exact pair-median slopes; an outage day cannot drag the long-series slope") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsen").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { j =>
+      eid += 1; (eid, nanos(d * day + j), eid % 5, t, 1.0, "{}")
+    }
+    val shapes = Map(
+      // pure line 2,4,6,8: every pair slope exactly 2000 milli/day
+      "lin" -> Seq(2L, 4L, 6L, 8L),
+      // interior outage on a flat series: slopes
+      // {-10000,-5000,0,0,0,10000} -> lower median 0, S = -1
+      "out" -> Seq(10L, 10L, 0L, 10L),
+      // 9-day line with day 4 an outage: 28 of 36 pairs still read
+      // exactly 1000 — the median ignores the outage entirely
+      "rob" -> Seq(1L, 2L, 3L, 4L, 0L, 6L, 7L, 8L, 9L))
+    val rows = shapes.toSeq.flatMap { case (t, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        if (c == 0L) Seq.empty else evs(t, d.toLong, c.toInt)
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.theilSen(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("s_stat"), r.getAs[Long]("theil_sen_milli"),
+          r.getAs[String]("direction")))).toMap
+    assert(out("lin") == ((4L, 6L, 6L, 2000L, "a_up")), s"got ${out("lin")}")
+    assert(out("out") == ((4L, 6L, -1L, 0L, "b_flat")),
+      s"got ${out("out")}")
+    assert(out("rob") == ((9L, 36L, 28L, 1000L, "a_up")),
+      s"got ${out("rob")}")
+  }
+
   test("botRegularity (q239): modal-gap bands, minimum-gap exclusion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bot").toString
