@@ -1218,6 +1218,142 @@ object Relational {
     * high-cardinality order key) collapses straight to the
     * (priority, day) histogram with map-side combine; windows and SLA
     * folds run over grid rows only. */
+  /** X179 Mann–Whitney rank test (q253): does urgent fulfillment
+    * actually ship FASTER — the exact two-sample rank-sum test (Mann &
+    * Whitney 1947) on the q223 ship-lag distribution, urgent
+    * (1-URGENT/2-HIGH) vs routine orders, in pure integers: midranks
+    * of tie groups ride DOUBLED (a span over ranks [a,b] has doubled
+    * midrank a+b — never a .5), U₁ follows from the doubled rank sum,
+    * the null deviation |U₁ − n₁n₂/2| stays doubled, and
+    * z = deviation / sqrt(n₁n₂(N+1)/12) lands in milli via the q245
+    * isqrt (untied variance, documented; ties here are massive but
+    * the untied z is the CONSERVATIVE-direction classic). Completes
+    * the inference shelf: q250 tests proportions, this tests whole
+    * DISTRIBUTIONS without any normality assumption — the referee for
+    * every "priority classes don't differ" claim q223's medians alone
+    * can't settle.
+    *
+    * Scale posture: rides the PlanCache'd q223 (priority, lag, count)
+    * histogram — lag values are calendar-bounded, so the rank walk is
+    * a one-row fold over the lag range (the q228 device, never a
+    * corpus sort); output is one row. Products ride decimal(38,0)
+    * guards (n₁n₂(N+1) overflows BIGINT near 2e9 items). */
+  def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"relational.shipLag:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord_day"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("ship_day"), col("ord_day")).cast("long")
+            .as("lag_days"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val byLag = cells
+      .groupBy(col("lag_days"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          col("cnt")).otherwise(0L)).as("c1"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(col("cnt"))).as("c2"))
+    val walk = byLag
+      .agg(min(col("lag_days")).as("lo"), max(col("lag_days")).as("hi"),
+        map_from_entries(collect_list(struct(col("lag_days"),
+          struct(col("c1"), col("c2"))))).as("m"))
+      .select(expr(
+        """aggregate(
+          |  sequence(lo, hi),
+          |  named_struct('n1', 0L, 'n2', 0L, 'r1d', 0L),
+          |  (acc, v) -> named_struct(
+          |    'n1', acc.n1 + coalesce(element_at(m, v).c1, 0L),
+          |    'n2', acc.n2 + coalesce(element_at(m, v).c2, 0L),
+          |    'r1d', acc.r1d + coalesce(element_at(m, v).c1, 0L) *
+          |      (2 * (acc.n1 + acc.n2) +
+          |       coalesce(element_at(m, v).c1, 0L) +
+          |       coalesce(element_at(m, v).c2, 0L) + 1)))""".stripMargin)
+        .as("st"))
+      .select(col("st.n1").as("n1"), col("st.n2").as("n2"),
+        col("st.r1d").as("r1d"))
+    walk
+      .select(col("n1").as("n_urgent"), col("n2").as("n_routine"),
+        expr("2 * n1 * n2 + n1 * (n1 + 1) - r1d").as("u1_doubled"),
+        expr("abs(2 * n1 * n2 + n1 * (n1 + 1) - r1d - n1 * n2)").as("devd"),
+        expr("CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+          "cast(cast(n1 as decimal(38,0)) * n2 * (n1 + n2 + 1) div 12 " +
+          "as bigint) ELSE 0L END").as("var12"),
+        expr("CASE WHEN 2 * n1 * n2 + n1 * (n1 + 1) - r1d > n1 * n2 " +
+          "THEN 'a_urgent_faster' " +
+          "WHEN 2 * n1 * n2 + n1 * (n1 + 1) - r1d < n1 * n2 " +
+          "THEN 'c_urgent_slower' ELSE 'b_even' END").as("direction"))
+      .select(col("n_urgent"), col("n_routine"), col("u1_doubled"),
+        col("direction"),
+        expr("CASE WHEN var12 > 0 THEN cast(cast(devd as decimal(38,0)) " +
+          s"* 1000 div (2 * (${graft.operators.Curation.isqrtSpark("var12")})) " +
+          "as bigint) ELSE 0L END").as("z_abs_milli"))
+      .withColumn("significant_95", col("z_abs_milli") >= 1960L)
+      .withColumn("significant_99", col("z_abs_milli") >= 2576L)
+  }
+
+  def mannWhitneySql: String =
+    s"""WITH RECURSIVE cells AS (
+       |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END AS grp,
+       |    (l_shipdate::DATE - o_orderdate::DATE)::BIGINT AS lag_days,
+       |    count(*)::BIGINT AS cnt
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), bylag AS (
+       |  SELECT lag_days,
+       |    sum(CASE WHEN grp = 1 THEN cnt ELSE 0 END)::BIGINT AS c1,
+       |    sum(CASE WHEN grp = 0 THEN cnt ELSE 0 END)::BIGINT AS c2
+       |  FROM cells GROUP BY 1
+       |), ranked AS (
+       |  SELECT c1, c2,
+       |    coalesce(sum(c1 + c2) OVER (ORDER BY lag_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cbefore
+       |  FROM bylag
+       |), s AS (
+       |  SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+       |    sum(c1 * (2 * cbefore + c1 + c2 + 1))::BIGINT AS r1d
+       |  FROM ranked
+       |), d AS (
+       |  SELECT n1, n2,
+       |    (2 * n1 * n2 + n1 * (n1 + 1) - r1d)::BIGINT AS u1d,
+       |    abs(2 * n1 * n2 + n1 * (n1 + 1) - r1d - n1 * n2)::BIGINT
+       |      AS devd,
+       |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |      (n1::HUGEINT * n2 * (n1 + n2 + 1) // 12)::BIGINT
+       |      ELSE 0 END AS var12
+       |  FROM s
+       |), f AS (
+       |  SELECT d.*, var12 AS num, 0::BIGINT AS res, 0 AS i FROM d
+       |  UNION ALL
+       |  SELECT n1, n2, u1d, devd, var12,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN num - res - (1::BIGINT << (62 - 2 * i)) ELSE num END,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN res // 2 + (1::BIGINT << (62 - 2 * i)) ELSE res // 2 END,
+       |    i + 1
+       |  FROM f WHERE i < 32
+       |)
+       |SELECT n1 AS n_urgent, n2 AS n_routine, u1d AS u1_doubled,
+       |  CASE WHEN u1d > n1 * n2 THEN 'a_urgent_faster'
+       |    WHEN u1d < n1 * n2 THEN 'c_urgent_slower'
+       |    ELSE 'b_even' END AS direction,
+       |  (CASE WHEN var12 > 0 THEN
+       |    (devd::HUGEINT * 1000 // (2 * res))::BIGINT
+       |    ELSE 0 END)::BIGINT AS z_abs_milli,
+       |  (CASE WHEN var12 > 0 THEN
+       |    (devd::HUGEINT * 1000 // (2 * res))::BIGINT ELSE 0 END) >= 1960
+       |    AS significant_95,
+       |  (CASE WHEN var12 > 0 THEN
+       |    (devd::HUGEINT * 1000 // (2 * res))::BIGINT ELSE 0 END) >= 2576
+       |    AS significant_99
+       |FROM f WHERE i = 32""".stripMargin
+
   def shipLagSla(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = graft.PlanCache.cached(spark, s"relational.shipLag:$dir") {

@@ -325,6 +325,35 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out("P2") == ((1L, 5L, 10000L, 10000L, 5L)))
   }
 
+  test("mannWhitney (q253): doubled midranks and z on a hand-ranked tie fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mw").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "1-URGENT", ts("1970-01-01 00:00:00")),
+      (2L, "3-MEDIUM", ts("1970-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // urgent lags {1, 1, 2}, routine {2, 3}: ranks with doubled
+    // midranks — the 1s span ranks 1-2 (doubled 3 each), the 2s span
+    // 3-4 (doubled 7 each) -> r1d = 2*3 + 7 = 13, U1 doubled =
+    // 2*6 + 12 - 13 = 11 > n1*n2 = 6 -> urgent faster;
+    // var = 3*2*6 div 12 ... = 3*2*(5+1) div 12 = 3 -> isqrt 1;
+    // z = |11-6|*1000 div 2 = 2500
+    Seq((1L, ts("1970-01-02 00:00:00")), (1L, ts("1970-01-02 00:00:00")),
+      (1L, ts("1970-01-03 00:00:00")),
+      (2L, ts("1970-01-03 00:00:00")), (2L, ts("1970-01-04 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = Relational.mannWhitney(spark, dir).collect().head
+    assert(r.getAs[Long]("n_urgent") == 3L && r.getAs[Long]("n_routine") == 2L)
+    assert(r.getAs[Long]("u1_doubled") == 11L,
+      s"u1d ${r.getAs[Long]("u1_doubled")}")
+    assert(r.getAs[String]("direction") == "a_urgent_faster")
+    assert(r.getAs[Long]("z_abs_milli") == 2500L,
+      s"z ${r.getAs[Long]("z_abs_milli")}")
+    assert(r.getAs[Boolean]("significant_95") &&
+      !r.getAs[Boolean]("significant_99"))
+  }
+
   test("abcClasses (q226): permille-cell election, hand-walked 80/95 cut") {
     val dir = java.nio.file.Files.createTempDirectory("graft_abc").toString
     // part revenues (cents): 8000, 1500, 400, 100 → total 10000, max 8000
