@@ -1440,6 +1440,94 @@ object Relational {
     * map-side combine, joins the broadcast supplier dim for the
     * nation, then folds to |nations| rows carrying Σs/Σs²/max — the
     * fact table crosses the cluster once. */
+  /** X180 supplier Lorenz concentration (q254): per nation, the exact
+    * Gini coefficient of supplier revenue plus two Lorenz-curve reads —
+    * the bottom-half revenue share and the top-decile share. The
+    * DISTRIBUTIONAL concentration companion to q187 (HHI weights the
+    * head quadratically; Gini prices the whole curve) and q226 (ABC
+    * uses fixed 80/95 cuts; the Lorenz points report where THIS data
+    * actually sits). Gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) on the
+    * deterministic (cents asc, suppkey asc) rank — Σ rank·x is
+    * invariant across tie orders, so the tie-break only pins engine
+    * agreement. All integer; wide products on decimal(38,0)/HUGEINT.
+    *
+    * Scale posture: suppliers are a DIMENSION (content-bounded
+    * against fact growth); the one corpus-scale pass is the suppkey
+    * revenue collapse (map-side combinable); ranks window on the
+    * nation partition of the supplier-grain table — ≤|suppliers| rows
+    * total, never fact-scale, and never SinglePartition; output is
+    * one row per nation. */
+  def supplierLorenz(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sup = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        expr("cast(round((l_extendedprice * (1 - l_discount)) * 100) " +
+          "as bigint)").as("cents"))
+      .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("s"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("nationkey"),
+        col("l_suppkey"), col("s"))
+    val byN = Window.partitionBy(col("nationkey"))
+    val rw = byN.orderBy(col("s"), col("l_suppkey"))
+    sup
+      .withColumn("rnk", row_number().over(rw).cast("long"))
+      .withColumn("n", count(lit(1)).over(byN))
+      .groupBy(col("nationkey"))
+      .agg(max(col("n")).as("n_suppliers"),
+        sum(col("s")).as("revenue_cents"),
+        sum(expr("cast(rnk as decimal(38,0)) * s")).as("rs"),
+        sum(when(col("rnk") <= expr("n div 2"), col("s"))
+          .otherwise(lit(0L))).as("bottom_half_cents"),
+        sum(when(col("rnk") > expr("n - (n + 9) div 10"), col("s"))
+          .otherwise(lit(0L))).as("top_decile_cents"))
+      .select(col("nationkey"), col("n_suppliers"), col("revenue_cents"),
+        expr("cast((2 * rs - cast(n_suppliers + 1 as decimal(38,0)) " +
+          "* revenue_cents) * 10000 div " +
+          "(cast(n_suppliers as decimal(38,0)) * revenue_cents) " +
+          "as bigint)").as("gini_bp"),
+        expr("bottom_half_cents * 10000 div revenue_cents")
+          .as("bottom_half_share_bp"),
+        expr("top_decile_cents * 10000 div revenue_cents")
+          .as("top_decile_share_bp"))
+      .orderBy(col("nationkey"))
+  }
+
+  def supplierLorenzSql: String =
+    """WITH s AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100)
+      |        AS BIGINT))::BIGINT AS s
+      |  FROM lineitem GROUP BY 1
+      |), sup AS (
+      |  SELECT sn.s_nationkey::BIGINT AS nationkey, s.l_suppkey, s.s
+      |  FROM s JOIN supplier sn ON sn.s_suppkey = s.l_suppkey
+      |), ranked AS (
+      |  SELECT nationkey, s,
+      |    row_number() OVER (PARTITION BY nationkey
+      |      ORDER BY s, l_suppkey)::BIGINT AS rnk,
+      |    count(*) OVER (PARTITION BY nationkey)::BIGINT AS n
+      |  FROM sup
+      |), agg AS (
+      |  SELECT nationkey, max(n)::BIGINT AS n_suppliers,
+      |    sum(s)::BIGINT AS revenue_cents,
+      |    sum(rnk::HUGEINT * s) AS rs,
+      |    sum(CASE WHEN rnk <= n // 2 THEN s ELSE 0 END)::BIGINT
+      |      AS bottom_half_cents,
+      |    sum(CASE WHEN rnk > n - (n + 9) // 10 THEN s ELSE 0 END)::BIGINT
+      |      AS top_decile_cents
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT nationkey, n_suppliers, revenue_cents,
+      |  ((2 * rs - (n_suppliers + 1)::HUGEINT * revenue_cents) * 10000
+      |    // (n_suppliers::HUGEINT * revenue_cents))::BIGINT AS gini_bp,
+      |  (bottom_half_cents * 10000 // revenue_cents)::BIGINT
+      |    AS bottom_half_share_bp,
+      |  (top_decile_cents * 10000 // revenue_cents)::BIGINT
+      |    AS top_decile_share_bp
+      |FROM agg ORDER BY nationkey""".stripMargin
+
   def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val sup = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"),

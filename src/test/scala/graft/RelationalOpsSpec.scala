@@ -354,6 +354,29 @@ class RelationalOpsSpec extends SparkSpec {
       !r.getAs[Boolean]("significant_99"))
   }
 
+  test("supplierLorenz (q254): hand-walked Gini and Lorenz points; equal split reads zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lorenz").toString
+    // nation 0 revenues (cents): 100, 100, 200, 600 ->
+    // S = 1*100 + 2*100 + 3*200 + 4*600 = 3300,
+    // gini = (6600 - 5*1000)*1e4 / (4*1000) = 4000 bp;
+    // bottom half (2 of 4) = 200 -> 2000 bp; top decile (1) = 600 -> 6000
+    // nation 1: 500/500 -> gini 0, both shares 5000
+    Seq((1L, 1.0, 0.0), (2L, 1.0, 0.0), (3L, 2.0, 0.0), (4L, 6.0, 0.0),
+      (5L, 5.0, 0.0), (6L, 5.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 1L), (6L, 1L))
+      .toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    val out = Relational.supplierLorenz(spark, dir).collect()
+      .map(r => r.getAs[Long]("nationkey") ->
+        ((r.getAs[Long]("n_suppliers"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Long]("gini_bp"), r.getAs[Long]("bottom_half_share_bp"),
+          r.getAs[Long]("top_decile_share_bp")))).toMap
+    assert(out(0L) == ((4L, 1000L, 4000L, 2000L, 6000L)), s"got ${out(0L)}")
+    assert(out(1L) == ((2L, 1000L, 0L, 5000L, 5000L)), s"got ${out(1L)}")
+  }
+
   test("abcClasses (q226): permille-cell election, hand-walked 80/95 cut") {
     val dir = java.nio.file.Files.createTempDirectory("graft_abc").toString
     // part revenues (cents): 8000, 1500, 400, 100 → total 10000, max 8000
