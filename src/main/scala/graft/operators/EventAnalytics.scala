@@ -3280,8 +3280,9 @@ object EventAnalytics {
     * daily grid — per day: exact event/error counts, the day's error
     * rate, its burn rate against the [[BudgetBp]] SLO in centi-multiples
     * (100 = consuming budget exactly at the sustainable rate), the same
-    * pair over the trailing 7-day window, month-to-date cumulative
-    * burn, and the fast-burn alert (day burn ≥ 2× AND trailing-week
+    * pair over the trailing 7-day window, since-start cumulative
+    * burn (from the corpus' first day, no month reset), and the
+    * fast-burn alert (day burn ≥ 2× AND trailing-week
     * burn ≥ 1× — the workbook's short+long window conjunction that
     * suppresses both blips and stale pages). q236 reads how users
     * RECOVER from errors, q164 whether volume is weird; this is the
@@ -3397,7 +3398,12 @@ object EventAnalytics {
     *
     * Scale posture: the q243 posture verbatim — one (type, day)
     * collapse, a calendar-bounded per-type fold whose state is 11
-    * longs (2 + 7-slot season ring + 2), ≤|types| output rows. */
+    * longs (2 + 7-slot season ring + 2), ≤|types| output rows.
+    *
+    * Domain bound: mase_hw_vs_holt_bp computes shw·10⁴ in BIGINT —
+    * safe while the milli-unit SAD stays below ~9.2e14, i.e. a mean
+    * daily |error| of ~2.5e9 events over a year-long span; the
+    * sibling ·10 columns have 1000× more headroom. */
   def hwBacktest(spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"))
@@ -3454,7 +3460,7 @@ object EventAnalytics {
           "ELSE 10000L END").as("mase_hw_vs_naive_bp"),
         expr("CASE WHEN st.ss > 0 THEN st.shw * 10 div st.ss " +
           "ELSE 10000L END").as("mase_hw_vs_seasonal_bp"),
-        expr("CASE WHEN st.sho > 0 THEN st.shw * 1000 div st.sho " +
+        expr("CASE WHEN st.sho > 0 THEN st.shw * 10000 div st.sho " +
           "ELSE 10000L END").as("mase_hw_vs_holt_bp"),
         expr("CASE WHEN st.sn * 1000 <= st.ss * 1000 " +
           "AND st.sn * 1000 <= st.sho AND st.sn * 1000 <= st.shw " +
@@ -3529,7 +3535,7 @@ object EventAnalytics {
        |    AS mase_hw_vs_naive_bp,
        |  (CASE WHEN ss > 0 THEN shw * 10 // ss ELSE 10000 END)::BIGINT
        |    AS mase_hw_vs_seasonal_bp,
-       |  (CASE WHEN sho > 0 THEN shw * 1000 // sho ELSE 10000 END)::BIGINT
+       |  (CASE WHEN sho > 0 THEN shw * 10000 // sho ELSE 10000 END)::BIGINT
        |    AS mase_hw_vs_holt_bp,
        |  CASE WHEN sn * 1000 <= ss * 1000 AND sn * 1000 <= sho
        |      AND sn * 1000 <= shw THEN 'a_naive'

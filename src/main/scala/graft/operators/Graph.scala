@@ -166,10 +166,13 @@ object Graph {
     * broadcast forward-adjacency table (content-bounded: |parts| rows
     * × arboricity-bounded forward lists) — the 83M-row wedge
     * materialization a join-based counter pays on this dense graph
-    * never exists, and no triangle list is ever exploded: per-node
-    * counts are the edge-incident sum div 2 (each triangle's three
-    * edges credit each corner exactly twice). Wedges are arithmetic on
-    * the degree table. Edges/degrees ride the PlanCache'd q224/q225
+    * never exists, and no triangle list is ever exploded: each
+    * triangle materializes exactly once, on its BASE edge (the one
+    * whose two forward-lists meet), which credits each of the three
+    * corners exactly once — u and v by the intersection count, the
+    * apexes via the exploded (small) intersection array — so per-node
+    * counts are the plain sum of those credits, no division. Wedges
+    * are arithmetic on the degree table. Edges/degrees ride the PlanCache'd q224/q225
     * seam (content-bounded — the graph harness pin). */
   def triangleProfile(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)

@@ -1236,8 +1236,16 @@ object Relational {
     * Scale posture: rides the PlanCache'd q223 (priority, lag, count)
     * histogram — lag values are calendar-bounded, so the rank walk is
     * a one-row fold over the lag range (the q228 device, never a
-    * corpus sort); output is one row. Products ride decimal(38,0)
-    * guards (n₁n₂(N+1) overflows BIGINT near 2e9 items). */
+    * corpus sort); output is one row. The variance product rides a
+    * decimal(38,0) guard (n₁n₂(N+1) overflows BIGINT near 2e9 items).
+    *
+    * Domain bound: u1_doubled, devd and the r1d fold itself are plain
+    * BIGINT in both engines — exact while the pooled count N = n₁+n₂
+    * stays below ~3.0e9 rows (r1d ≤ N(N+1) and 2n₁n₂+n₁(n₁+1) ≤
+    * N(N+1) must fit 2⁶³); past that, shard the test (per month /
+    * per region) before pooling — lifting just the SELECT to decimal
+    * would not help because the fold accumulator saturates at the
+    * same domain. */
   def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val cells = graft.PlanCache.cached(spark, s"relational.shipLag:$dir") {
       Tables.lineitem(spark, dir)
@@ -1487,10 +1495,10 @@ object Relational {
           "* revenue_cents) * 10000 div " +
           "(cast(n_suppliers as decimal(38,0)) * revenue_cents) " +
           "as bigint)").as("gini_bp"),
-        expr("bottom_half_cents * 10000 div revenue_cents")
-          .as("bottom_half_share_bp"),
-        expr("top_decile_cents * 10000 div revenue_cents")
-          .as("top_decile_share_bp"))
+        expr("cast(cast(bottom_half_cents as decimal(38,0)) * 10000 " +
+          "div revenue_cents as bigint)").as("bottom_half_share_bp"),
+        expr("cast(cast(top_decile_cents as decimal(38,0)) * 10000 " +
+          "div revenue_cents as bigint)").as("top_decile_share_bp"))
       .orderBy(col("nationkey"))
   }
 
@@ -1522,9 +1530,9 @@ object Relational {
       |SELECT nationkey, n_suppliers, revenue_cents,
       |  ((2 * rs - (n_suppliers + 1)::HUGEINT * revenue_cents) * 10000
       |    // (n_suppliers::HUGEINT * revenue_cents))::BIGINT AS gini_bp,
-      |  (bottom_half_cents * 10000 // revenue_cents)::BIGINT
+      |  (bottom_half_cents::HUGEINT * 10000 // revenue_cents)::BIGINT
       |    AS bottom_half_share_bp,
-      |  (top_decile_cents * 10000 // revenue_cents)::BIGINT
+      |  (top_decile_cents::HUGEINT * 10000 // revenue_cents)::BIGINT
       |    AS top_decile_share_bp
       |FROM agg ORDER BY nationkey""".stripMargin
 

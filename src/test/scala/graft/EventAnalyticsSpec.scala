@@ -1300,12 +1300,26 @@ class EventAnalyticsSpec extends SparkSpec {
         ((r.getAs[Long]("sad_naive"), r.getAs[Long]("sad_seasonal"),
           r.getAs[Long]("sad_holt_milli"), r.getAs[Long]("sad_hw_milli"),
           r.getAs[String]("best_model")))).toMap
+    val mase = EventAnalytics.hwBacktest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("mase_hw_vs_naive_bp"),
+          r.getAs[Long]("mase_hw_vs_seasonal_bp"),
+          r.getAs[Long]("mase_hw_vs_holt_bp")))).toMap
     assert(out.keySet == shapes.keySet)
     shapes.foreach { case (t, cs) =>
       val (shw, sho, sn, ss) = replay(cs)
       val got = out(t)
       assert((got._1, got._2, got._3, got._4) == ((sn, ss, sho, shw)),
         s"$t: got $got, replay ${(sn, ss, sho, shw)}")
+      // all three MASE ratios in true basis points: shw is milli-units
+      // so vs the raw-unit sn/ss the factor is 10, vs milli-unit sho
+      // it is 10000 (equal SADs must read 10000 on every column)
+      val expectMase = (
+        if (sn > 0) Math.floorDiv(shw * 10, sn) else 10000L,
+        if (ss > 0) Math.floorDiv(shw * 10, ss) else 10000L,
+        if (sho > 0) Math.floorDiv(shw * 10000, sho) else 10000L)
+      assert(mase(t) == expectMase, s"$t mase: got ${mase(t)}, " +
+        s"expect $expectMase")
       val expectBest =
         if (sn * 1000 <= ss * 1000 && sn * 1000 <= sho && sn * 1000 <= shw)
           "a_naive"

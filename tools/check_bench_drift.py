@@ -71,6 +71,21 @@ def main():
          and bench["queries"][name] - ref[name] * median_ratio > args.floor),
         key=lambda t: -t[3])
 
+    # diagnostics FIRST (VERDICT r15 ADVICE): a run that is both stale
+    # and drifted must still show the drift read on the overlapping
+    # queries — returning 2 before printing forced a refresh-and-rerun
+    # just to see the already-computed numbers.
+    print(f"median per-query ratio vs committed reference run: "
+          f"{median_ratio:.2f} (load-normalized drift gated at "
+          f">{args.threshold}x of that)")
+    if drifted:
+        for name, old, newsec, rel in drifted:
+            print(f"DRIFT: {name} {old:.3f}s ref -> {newsec:.3f}s "
+                  f"({rel:.2f}x load-normalized)")
+    else:
+        print(f"OK: no query drifted >{args.threshold}x load-normalized "
+              f"(+{args.floor}s floor) over {len(ratios)} compared")
+
     # staleness gate (VERDICT r14 ask #1, the PLANS_r* staleness rule):
     # the fresh run's key set IS the live query surface, so any query it
     # measures that the committed reference never saw is a named failure,
@@ -85,22 +100,11 @@ def main():
             print(f"note: {msg}")
         else:
             print(f"STALE_REF: {msg}")
-            print("refresh with: cp BENCH_LOCAL.json BENCH_REF.json "
-                  "(after adjudicating drift), or pass --allow-new "
-                  "mid-round")
+            print("refresh with: python3 tools/mint_bench_ref.py "
+                  "BENCH_LOCAL.json (after adjudicating drift; the mint "
+                  "is load-gated), or pass --allow-new mid-round")
             return 2
-    print(f"median per-query ratio vs committed reference run: "
-          f"{median_ratio:.2f} (load-normalized drift gated at "
-          f">{args.threshold}x of that)")
-
-    if not drifted:
-        print(f"OK: no query drifted >{args.threshold}x load-normalized "
-              f"(+{args.floor}s floor) over {len(ratios)} compared")
-        return 0
-    for name, old, newsec, rel in drifted:
-        print(f"DRIFT: {name} {old:.3f}s ref -> {newsec:.3f}s "
-              f"({rel:.2f}x load-normalized)")
-    return 1
+    return 1 if drifted else 0
 
 
 if __name__ == "__main__":
