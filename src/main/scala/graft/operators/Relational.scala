@@ -1362,6 +1362,209 @@ object Relational {
        |    AS significant_99
        |FROM f WHERE i = 32""".stripMargin
 
+  /** Order priorities in their literal TPC-H-ish spelling, in output
+    * order — the k groups of the Kruskal–Wallis test. */
+  private val Priorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** X181 Kruskal–Wallis k-sample rank test (q255): do ANY of the five
+    * order priorities ship on a different lag distribution? (Kruskal &
+    * Wallis 1952). The k-sample completion of the inference shelf:
+    * q250 compares two proportions, q253 two distributions — this is
+    * the omnibus read that says whether the priority knob does
+    * anything at all before pairwise q253 runs chase which pair moved.
+    * Exactly the q253 device generalized: per-priority DOUBLED-midrank
+    * sums (never a .5 — FIXTURES §C) in ONE fold over the same
+    * PlanCache'd q223/q253 (priority, lag, count) histogram, then
+    * H = 12/(N(N+1))·ΣR²ᵍ/nᵍ − 3(N+1) in exact milli fixed point with
+    * the tie correction H' = H/(1 − Σ(t³−t)/(N³−N)), judged against
+    * the χ²(df) 95/99% critical values (df = live groups − 1).
+    *
+    * Cross-engine exactness: each group's ⌊R²ᵍ/nᵍ⌋ rides the quotient
+    * identity R² div n = q²n + 2qs + ⌊s²/n⌋ (R = qn+s) so no decimal
+    * division is ever trusted for rounding; the tie mass Σ(t³−t) is
+    * decimal(38,0)/HUGEINT INSIDE the fold (a single hot lag bucket
+    * overflows BIGINT t³ past ~2.1e6 items); H is clamped at 0 (the
+    * per-group floors can dip an exactly-null H a hair negative).
+    *
+    * Domain bound: the rank-sum fold is the q253 one — exact while the
+    * pooled count N stays below ~2.1e9 (R2ᵍ ≤ 2nᵍN and s² ≤ N² must
+    * fit BIGINT); the tie-corrected product h·(N³−N) is decimal-safe
+    * while h_milli·N³ < 1e38 (any realistic H at any N in domain).
+    *
+    * Scale posture: rides the PlanCache'd q223 histogram — one
+    * corpus-scale join+collapse shared with q223/q253, then a one-row
+    * fold over the calendar-bounded lag range; ≤5 output rows. */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"relational.shipLag:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord_day"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("ship_day"), col("ord_day")).cast("long")
+            .as("lag_days"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val gCols = Priorities.zipWithIndex.map { case (p, i) =>
+      sum(when(col("o_orderpriority") === p, col("cnt")).otherwise(0L))
+        .as(s"g${i + 1}")
+    }
+    val byLag = cells.groupBy(col("lag_days")).agg(gCols.head, gCols.tail: _*)
+    val ks = 1 to Priorities.size
+    def gAt(i: Int) = s"coalesce(element_at(m, v).g$i, 0L)"
+    val tSum = ks.map(gAt).mkString(" + ")
+    val cbSum = ks.map(i => s"acc.n$i").mkString(" + ")
+    val initFields = (ks.map(i => s"'n$i', 0L") ++
+      ks.map(i => s"'r$i', 0L") :+
+      "'st', cast(0 as decimal(38,0))").mkString(", ")
+    val stepFields = (ks.map(i => s"'n$i', acc.n$i + ${gAt(i)}") ++
+      ks.map(i =>
+        s"'r$i', acc.r$i + ${gAt(i)} * (2 * ($cbSum) + ($tSum) + 1)") :+
+      (s"'st', cast(acc.st + (cast(($tSum) as decimal(38,0)) * ($tSum) " +
+        s"* ($tSum) - ($tSum)) as decimal(38,0))")).mkString(",\n    ")
+    val walk = byLag
+      .agg(min(col("lag_days")).as("lo"), max(col("lag_days")).as("hi"),
+        map_from_entries(collect_list(struct(col("lag_days"),
+          struct(ks.map(i => col(s"g$i")): _*)))).as("m"))
+      .select(expr(
+        s"""aggregate(
+           |  sequence(lo, hi),
+           |  named_struct($initFields),
+           |  (acc, v) -> named_struct(
+           |    $stepFields))""".stripMargin).as("w"))
+      .select(ks.map(i => col(s"w.n$i").as(s"n$i")) ++
+        ks.map(i => col(s"w.r$i").as(s"r$i")) :+ col("w.st").as("st"): _*)
+    // floor(3000*r^2 / n) exactly, with no decimal Divide and no
+    // decimal mod in the path: r = q*n + s gives
+    // floor(r^2/n) = q^2*n + 2*q*s + floor(s^2/n), and the residue
+    // r^2 mod n = s^2 mod n (s^2 <= N^2 fits BIGINT), so
+    // floor(3000*r^2/n) = 3000*floor(r^2/n) + floor(3000*(s^2 mod n)/n)
+    // — scaling BEFORE the division keeps the fixed-point loss below
+    // 3000*k/(N(N+1)) milli instead of 3000/(N(N+1)) per dropped unit
+    def qOf(i: Int) =
+      s"""CASE WHEN n$i > 0 THEN
+         |  cast(3000 as decimal(38,0)) * (
+         |    cast(r$i div n$i as decimal(38,0)) * (r$i div n$i) * n$i
+         |      + cast(2 as decimal(38,0)) * (r$i div n$i) * (r$i % n$i)
+         |      + ((r$i % n$i) * (r$i % n$i) div n$i))
+         |    + (3000 * ((r$i % n$i) * (r$i % n$i) % n$i) div n$i)
+         |  ELSE cast(0 as decimal(38,0)) END""".stripMargin
+    val dfExpr = ks.map(i => s"(CASE WHEN n$i > 0 THEN 1L ELSE 0L END)")
+      .mkString(" + ") + " - 1L"
+    val stackArgs = Priorities.zipWithIndex.map { case (p, i) =>
+      val k = i + 1
+      s"'$p', n$k, r$k, CASE WHEN n$k > 0 THEN " +
+        s"cast(cast(r$k as decimal(38,0)) * 500 div n$k as bigint) " +
+        s"ELSE 0L END"
+    }.mkString(",\n      ")
+    walk
+      .withColumn("n", expr(ks.map(i => s"n$i").mkString(" + ")))
+      .withColumn("qsum", expr(ks.map(qOf).mkString(" + ")))
+      .withColumn("h_milli", expr(
+        "greatest(qsum div (n * (n + 1)) - 3000 * (n + 1), 0L)"))
+      .withColumn("nn3", expr(
+        "cast(n as decimal(38,0)) * n * n - n"))
+      .withColumn("h_tie_milli", expr(
+        "CASE WHEN nn3 - st > 0 THEN " +
+          "cast(cast(h_milli as decimal(38,0)) * nn3 div (nn3 - st) " +
+          "as bigint) ELSE 0L END"))
+      .withColumn("df", expr(dfExpr))
+      .withColumn("crit95_milli", expr(
+        "CASE df WHEN 1L THEN 3841L WHEN 2L THEN 5991L " +
+          "WHEN 3L THEN 7815L WHEN 4L THEN 9488L ELSE 0L END"))
+      .withColumn("crit99_milli", expr(
+        "CASE df WHEN 1L THEN 6635L WHEN 2L THEN 9210L " +
+          "WHEN 3L THEN 11345L WHEN 4L THEN 13277L ELSE 0L END"))
+      .selectExpr(
+        s"stack(${Priorities.size},\n      $stackArgs) " +
+          "as (o_orderpriority, n_items, rank_sum_doubled, mean_rank_milli)",
+        "h_milli", "h_tie_milli", "df",
+        "df >= 1L AND h_tie_milli >= crit95_milli as significant_95",
+        "df >= 1L AND h_tie_milli >= crit99_milli as significant_99")
+      .filter(col("n_items") > 0L)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def kruskalWallisSql: String = {
+    val ks = 1 to Priorities.size
+    val gDefs = Priorities.zipWithIndex.map { case (p, i) =>
+      s"sum(CASE WHEN o_orderpriority = '$p' THEN cnt ELSE 0 END)::BIGINT " +
+        s"AS g${i + 1}"
+    }.mkString(",\n       |    ")
+    val tSum = ks.map(i => s"g$i").mkString(" + ")
+    val rDefs = ks.map(i =>
+      s"sum(g$i * (2 * cb + t + 1))::BIGINT AS r$i").mkString(",\n       |    ")
+    val nDefs = ks.map(i => s"sum(g$i)::BIGINT AS n$i").mkString(", ")
+    val qSum = ks.map(i =>
+      s"CASE WHEN n$i > 0 THEN 3000::HUGEINT * (r$i::HUGEINT * r$i // n$i)"
+        + s" + 3000 * ((r$i % n$i) * (r$i % n$i) % n$i) // n$i ELSE 0 END")
+      .mkString("\n       |      + ")
+    val dfExpr = ks.map(i => s"(CASE WHEN n$i > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ") + " - 1"
+    val rows = Priorities.zipWithIndex.map { case (p, i) =>
+      val k = i + 1
+      s"""SELECT '$p' AS o_orderpriority, n$k AS n_items,
+         |    r$k AS rank_sum_doubled,
+         |    CASE WHEN n$k > 0 THEN (r$k::HUGEINT * 500 // n$k)::BIGINT
+         |      ELSE 0 END AS mean_rank_milli,
+         |    h_milli, h_tie_milli, df, significant_95, significant_99
+         |  FROM f""".stripMargin
+    }.mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority,
+       |    (l_shipdate::DATE - o_orderdate::DATE)::BIGINT AS lag_days,
+       |    count(*)::BIGINT AS cnt
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), bylag AS (
+       |  SELECT lag_days,
+       |    $gDefs
+       |  FROM cells GROUP BY 1
+       |), ranked AS (
+       |  SELECT *, ($tSum)::BIGINT AS t,
+       |    coalesce(sum($tSum) OVER (ORDER BY lag_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS cb
+       |  FROM bylag
+       |), s AS (
+       |  SELECT $nDefs,
+       |    $rDefs,
+       |    sum(t::HUGEINT * t * t - t) AS stt,
+       |    sum(t)::BIGINT AS n
+       |  FROM ranked
+       |), g AS (
+       |  SELECT *,
+       |    greatest(($qSum)
+       |      // (n::HUGEINT * (n + 1)) - 3000 * (n + 1), 0)::BIGINT
+       |      AS h_milli,
+       |    (n::HUGEINT * n * n - n) AS nn3,
+       |    ($dfExpr)::BIGINT AS df
+       |  FROM s
+       |), h AS (
+       |  SELECT *,
+       |    (CASE WHEN nn3 - stt > 0
+       |      THEN (h_milli::HUGEINT * nn3 // (nn3 - stt))::BIGINT
+       |      ELSE 0 END) AS h_tie_milli
+       |  FROM g
+       |), f AS (
+       |  SELECT *,
+       |    df >= 1 AND h_tie_milli >= (CASE df WHEN 1 THEN 3841
+       |      WHEN 2 THEN 5991 WHEN 3 THEN 7815 WHEN 4 THEN 9488
+       |      ELSE 0 END) AS significant_95,
+       |    df >= 1 AND h_tie_milli >= (CASE df WHEN 1 THEN 6635
+       |      WHEN 2 THEN 9210 WHEN 3 THEN 11345 WHEN 4 THEN 13277
+       |      ELSE 0 END) AS significant_99
+       |  FROM h
+       |)
+       |SELECT * FROM (
+       |  $rows
+       |) u
+       |WHERE n_items > 0 ORDER BY o_orderpriority""".stripMargin
+  }
+
   def shipLagSla(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = graft.PlanCache.cached(spark, s"relational.shipLag:$dir") {

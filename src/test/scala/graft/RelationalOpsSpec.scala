@@ -354,6 +354,45 @@ class RelationalOpsSpec extends SparkSpec {
       !r.getAs[Boolean]("significant_99"))
   }
 
+  test("kruskalWallis (q255): hand-ranked 3-group fixture; tie correction and df election") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kw").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "1-URGENT", ts("1970-01-01 00:00:00")),
+      (2L, "3-MEDIUM", ts("1970-01-01 00:00:00")),
+      (3L, "5-LOW", ts("1970-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // lags: URGENT {1,2}, MEDIUM {2,3}, LOW {4,5}; pooled N=6 with one
+    // tie pair at lag 2 (doubled midrank 5). Doubled rank sums:
+    // U: 2+5=7, M: 5+8=13, L: 10+12=22 (sum 42 = 2*21 check).
+    // Sum floor(3000*R2^2/n) = 73500+253500+726000 = 1053000;
+    // h = 1053000 div 42 - 3000*7 = 25071-21000 = 4071 milli
+    // (exact H = 4.0714...). Ties: one t=2 -> stt=6, nn3=210;
+    // h_tie = 4071*210 div 204 = 4190. df=2 -> crit95=5991 -> not sig.
+    Seq((1L, ts("1970-01-02 00:00:00")), (1L, ts("1970-01-03 00:00:00")),
+      (2L, ts("1970-01-03 00:00:00")), (2L, ts("1970-01-04 00:00:00")),
+      (3L, ts("1970-01-05 00:00:00")), (3L, ts("1970-01-06 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.kruskalWallis(spark, dir).collect()
+    assert(out.length == 3, s"got ${out.length} rows")
+    val byP = out.map(r => r.getAs[String]("o_orderpriority") ->
+      ((r.getAs[Long]("n_items"), r.getAs[Long]("rank_sum_doubled"),
+        r.getAs[Long]("mean_rank_milli")))).toMap
+    assert(byP("1-URGENT") == ((2L, 7L, 1750L)), s"got ${byP("1-URGENT")}")
+    assert(byP("3-MEDIUM") == ((2L, 13L, 3250L)), s"got ${byP("3-MEDIUM")}")
+    assert(byP("5-LOW") == ((2L, 22L, 5500L)), s"got ${byP("5-LOW")}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("h_milli") == 4071L,
+        s"h ${r.getAs[Long]("h_milli")}")
+      assert(r.getAs[Long]("h_tie_milli") == 4190L,
+        s"h_tie ${r.getAs[Long]("h_tie_milli")}")
+      assert(r.getAs[Long]("df") == 2L)
+      assert(!r.getAs[Boolean]("significant_95"))
+      assert(!r.getAs[Boolean]("significant_99"))
+    }
+  }
+
   test("supplierLorenz (q254): hand-walked Gini and Lorenz points; equal split reads zero") {
     val dir = java.nio.file.Files.createTempDirectory("graft_lorenz").toString
     // nation 0 revenues (cents): 100, 100, 200, 600 ->
