@@ -108,7 +108,8 @@ object PlanAudit {
     "q242_hll_mergeability",
     "q244_mg_mergeability",
     "q245_neyman_allocation",
-    "q247_markov_backtest")
+    "q247_markov_backtest",
+    "q256_components")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -179,6 +180,9 @@ object PlanAudit {
     // q224 crossJoins the broadcast SINGLE-ROW part total onto the
     // ≤5-row band table — the q127 audited scalar shape
     "q224_copurchase_degrees",
+    // q256 crossJoins the broadcast SINGLE-ROW node total onto the
+    // ≤5-row band table — the q224 shape, bounded-ENFORCED
+    "q256_components",
     // q213's cumulative folds are broadcast triangle theta-joins over
     // the distinct-score histogram and the ≤10-row decile table, plus
     // two single-row scalar crosses — the q167/q108 audited shapes

@@ -310,4 +310,117 @@ object Graph {
        |FROM it$PrIterations f LEFT JOIN deg dg ON dg.u = f.node
        |ORDER BY pr_milli DESC, part LIMIT $k""".stripMargin
   }
+
+  /** Unrolled propagate+jump rounds the [[componentProfile]] SQL twin
+    * runs: each round widens every node's known-min radius to at least
+    * 2r+1, so $CcSqlRounds rounds rigorously cover components up to
+    * 2^$CcSqlRounds nodes — far past any oracle scale factor. The
+    * SPARK side instead runs [[graft.operators.Dedup.propagateLabelsAuto]]
+    * to exact convergence, and converged min-labels are canonical (the
+    * component's min node id) whatever walk produced them, so the two
+    * engines agree by construction. */
+  val CcSqlRounds: Int = 15
+
+  /** X182 co-purchase connected components (q256): does the basket
+    * graph fall into one giant component or many niches? Degrees
+    * (q224), PageRank (q225) and triangles (q246) all read LOCAL
+    * structure; this is the global read — min-label propagation over
+    * the same cached edge seam (the q64 `propagateLabels` device on
+    * part ids instead of doc ids, run to exact convergence), isolated
+    * parts kept as size-1 components via the node universe. Per
+    * component-size band (the q224 band shape): component count, node
+    * mass, node share, undirected edge mass — the "one giant club vs
+    * many cliques" table that decides whether co-purchase
+    * recommendation needs per-community models.
+    *
+    * Scale posture: edges/nodes ride the PlanCache'd q224/q225/q246
+    * seam (content-bounded, the graph clone pin); propagation is the
+    * q64 posture — one edge-keyed join + min-collapse per round with
+    * per-round lineage truncation, round count = convergence (graph
+    * diameter, single digits on a dense co-purchase graph), never a
+    * driver-side component walk; the band collapse is ≤5 rows + a
+    * broadcast scalar. */
+  def componentProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ori = edges(spark, dir).filter(col("u") < col("v"))
+    val labels = graft.PlanCache.cached(spark, s"graph.components:$dir") {
+      graft.operators.Dedup.propagateLabelsAuto(ori, maxRounds = 64)._1
+    }
+    val full = nodes(spark, dir)
+      .join(labels.withColumnRenamed("doc_id", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("comp"))
+    val sizes = full.groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+    val edgeMass = ori
+      .join(full.select(col("node").as("u"), col("comp")), Seq("u"))
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_edges"))
+    val comps = sizes.join(edgeMass, Seq("comp"), "left")
+      .select(col("n_nodes"), coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+    val bands = comps
+      .groupBy(
+        when(col("n_nodes") === 1, "a_1")
+          .when(col("n_nodes") === 2, "b_2")
+          .when(col("n_nodes") <= 4, "c_3_4")
+          .when(col("n_nodes") <= 8, "d_5_8")
+          .otherwise("e_ge_9").as("size_band"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("n_nodes")).as("n_nodes"),
+        sum(col("n_edges")).as("n_edges"))
+    val tot = bands.agg(sum(col("n_nodes")).as("n_tot"))
+    bands.crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q256_components.total", tot, 1L))
+      .select(col("size_band"), col("n_components"), col("n_nodes"),
+        expr("n_nodes * 10000 div n_tot").as("node_share_bp"),
+        col("n_edges"))
+      .orderBy(col("size_band"))
+  }
+
+  def componentProfileSql: String = {
+    // round k: propagate the min label one hop, then jump lab -> lab(lab)
+    def round(prev: String, k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT n.node, least(n.lab, coalesce(m.mn, n.lab)) AS lab
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.v AS node, min(l.lab) AS mn
+         |    FROM e JOIN $prev l ON l.node = e.u GROUP BY e.v
+         |  ) m USING (node)
+         |), j$k AS MATERIALIZED (
+         |  SELECT a.node, b.lab FROM p$k a JOIN p$k b ON a.lab = b.node
+         |)""".stripMargin
+    val rounds = (1 to CcSqlRounds)
+      .map(k => round(if (k == 1) "l0" else s"j${k - 1}", k))
+      .mkString(", ")
+    s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT a.part AS u, b.part AS v
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part
+       |), nd AS MATERIALIZED (
+       |  SELECT DISTINCT part AS node FROM items
+       |), l0 AS MATERIALIZED (
+       |  SELECT node, node AS lab FROM nd
+       |), $rounds, sz AS (
+       |  SELECT lab, count(*)::BIGINT AS n_nodes
+       |  FROM j$CcSqlRounds GROUP BY 1
+       |), ec AS (
+       |  SELECT c.lab, count(*)::BIGINT AS n_edges
+       |  FROM e JOIN j$CcSqlRounds c ON e.u = c.node
+       |  WHERE e.u < e.v GROUP BY 1
+       |), cs AS (
+       |  SELECT sz.lab, sz.n_nodes, coalesce(ec.n_edges, 0)::BIGINT
+       |    AS n_edges
+       |  FROM sz LEFT JOIN ec USING (lab)
+       |), bands AS (
+       |  SELECT CASE WHEN n_nodes = 1 THEN 'a_1'
+       |    WHEN n_nodes = 2 THEN 'b_2'
+       |    WHEN n_nodes <= 4 THEN 'c_3_4'
+       |    WHEN n_nodes <= 8 THEN 'd_5_8'
+       |    ELSE 'e_ge_9' END AS size_band,
+       |    count(*)::BIGINT AS n_components,
+       |    sum(n_nodes)::BIGINT AS n_nodes,
+       |    sum(n_edges)::BIGINT AS n_edges
+       |  FROM cs GROUP BY 1
+       |), tot AS (SELECT sum(n_nodes)::BIGINT AS n_tot FROM bands)
+       |SELECT size_band, n_components, n_nodes,
+       |  (n_nodes * 10000 // tot.n_tot)::BIGINT AS node_share_bp, n_edges
+       |FROM bands CROSS JOIN tot ORDER BY size_band""".stripMargin
+  }
 }

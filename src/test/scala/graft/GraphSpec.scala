@@ -38,6 +38,26 @@ class GraphSpec extends SparkSpec {
       (3L, 812L, 1L)), s"got ${out.mkString(", ")}")
   }
 
+  test("componentProfile (q256): multi-component fixture — bands, isolated node, edge mass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    // components: {1,2,3} (triangle via o1, 3 edges), {4,5} (1 edge via
+    // o2), {6} isolated (o3), {7,8,9,10} chain 7-8-9-10 (3 edges via
+    // o4/o5/o6) -> bands: a_1 1 comp/1 node/0 edges;
+    // b_2 1/2/1; c_3_4 2/7/6
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 6L),
+      (4L, 7L), (4L, 8L), (5L, 8L), (5L, 9L), (6L, 9L), (6L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.componentProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("size_band") ->
+        ((r.getAs[Long]("n_components"), r.getAs[Long]("n_nodes"),
+          r.getAs[Long]("node_share_bp"), r.getAs[Long]("n_edges")))).toMap
+    assert(out == Map(
+      "a_1" -> ((1L, 1L, 1000L, 0L)),
+      "b_2" -> ((1L, 2L, 2000L, 1L)),
+      "c_3_4" -> ((2L, 7L, 7000L, 6L))), s"got $out")
+  }
+
   test("triangleProfile (q246): hand-walked orientation, one triangle, band coefficients exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tri").toString
     // o1 {5,6,7} (a triangle), o2 {5,8}, o3 {9}: degrees 5→3, 6→2,

@@ -939,6 +939,21 @@ class ScaleHarnessSpec extends SparkSpec {
     assert(r1.head._1 == 5L, s"expected part 5 at the top: ${r1.head}")
     assert(r1.find(_._1 == 9L).exists(_._2 == 500L),
       "isolated part must settle at the 500-milli damping floor")
+    // q256 rides the same seam: label propagation joins ONLY the
+    // content-bounded edge table, so the component profile — count,
+    // node mass, edge mass per band — is clone-invariant too
+    def comps(dir: String) = graft.operators.Graph
+      .componentProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("size_band") ->
+        (r.getAs[Long]("n_components"), r.getAs[Long]("n_nodes"),
+          r.getAs[Long]("node_share_bp"), r.getAs[Long]("n_edges"))).toMap
+    val (c1, c100) = (comps(g1), comps(g100))
+    assert(c1 == c100, s"component profile moved under cloning: $c1 vs $c100")
+    // template content: {5,6,7,8} one 4-node component with 4 edges,
+    // {9} isolated
+    assert(c1 == Map(
+      "a_1" -> ((1L, 1L, 2000L, 0L)),
+      "c_3_4" -> ((1L, 4L, 8000L, 4L))), s"got $c1")
   }
 
   test("q242: HLL register tables are content-bounded — the whole sketch panel invariant under 100x duplication") {
