@@ -42,6 +42,16 @@ case class BurnOut(day_idx: Long, n_events: Long, n_errors: Long,
                    rate_7d_bp: Long, burn_7d_centi: Long,
                    cum_burn_centi: Long, alert_fast: Boolean)
 
+/** Typed rows for [[Pipeline.burstMonitor]] (streaming twin of q203):
+  * input closed-day counts (the [[DayCount]] grain shared with
+  * [[Pipeline.cusumMonitor]]), the per-type walk state (last closed
+  * day, days ingested, the 7-day dyadic ring newest-first), and one
+  * scored emission per closed day once a full prior week exists. */
+case class BurstState(last_day: Long, n_days: Long, ring: Seq[Long])
+case class BurstOut(event_type: String, day_idx: Long, c: Long,
+                    b127: Long, ratio_bp: Long,
+                    is_burst: Boolean, is_quiet: Boolean)
+
 /** Typed rows for [[Pipeline.concurrencyMonitor]] (streaming twin of
   * q233): input ±1 session delta cells at the minute grain (`m` is the
   * absolute minute, `day_idx = m div 1440`; `opens` counts sessions
@@ -1323,6 +1333,69 @@ object Pipeline {
               d += 1
             }
             state.update(BurnState(dMax, cumN, cumE, ring))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** X129 streaming twin (q203): the decayed-baseline burst walk as a
+    * live monitor — per-type keyed state (last closed day, days
+    * ingested, the 7-slot dyadic ring) chained across micro-batches.
+    * Input is the closed-day (type, day, count) cell stream (the
+    * output grain of a daily windowed count, per type from the
+    * series' first grid day — the q228 contract); silent days
+    * zero-fill exactly as the batch dense grid does, and a silent day
+    * genuinely decays the ring toward zero. Scoring replays the batch
+    * rules verbatim: a day is scored only once a full prior week
+    * exists (the batch `rn > 7` head rule), baseline = Σ wₖ·c₍d₋ₖ₎
+    * over [[graft.operators.EventAnalytics.BurstWeights]]
+    * (64…1, denominator 127), burst = c·127 > 2·b, quiet = c·127·5 <
+    * b, and a burst from silence carries the −1 ratio sentinel. The
+    * per-day emissions fold to the batch q203 panel EXACTLY across
+    * any batch split (spec-gated), so the alert log doubles as the
+    * audit trail. Replayed days at or below the stored mark are
+    * ignored (the gapMonitor clamp rule).
+    *
+    * Scale: state is two longs plus a ≤7-slot ring per type
+    * regardless of history; one event_type shuffle per batch over
+    * day-grain cells (never per event); one row per scored day. */
+  def burstMonitor(cells: org.apache.spark.sql.Dataset[DayCount])
+      : org.apache.spark.sql.Dataset[BurstOut] = {
+    import cells.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val weights = graft.operators.EventAnalytics.BurstWeights
+    cells.groupByKey(_.event_type)
+      .flatMapGroupsWithState[BurstState, BurstOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (t, it, state) =>
+          val st0 = state.getOption
+          val all = it.toSeq
+          val fresh = st0.fold(all)(s => all.filter(_.day_idx > s.last_day))
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val byDay = fresh.groupBy(_.day_idx).view
+              .mapValues(_.map(_.c).sum).toMap
+            val d0 = st0.map(_.last_day + 1).getOrElse(byDay.keys.min)
+            val dMax = byDay.keys.max
+            var nDays = st0.map(_.n_days).getOrElse(0L)
+            var ring = st0.map(_.ring.toVector).getOrElse(Vector.empty)
+            val out = Seq.newBuilder[BurstOut]
+            var d = d0
+            while (d <= dMax) {
+              val c = byDay.getOrElse(d, 0L)
+              nDays += 1
+              if (nDays > 7) {
+                val b = ring.zip(weights).map { case (rc, w) => rc * w }.sum
+                val ratio =
+                  if (b == 0L) { if (c == 0L) 10000L else -1L }
+                  else c * 127L * 10000L / b
+                out += BurstOut(t, d, c, b, ratio,
+                  c * 127L > b * 2L, c * 127L * 5L < b)
+              }
+              ring = (c +: ring).take(7)
+              d += 1
+            }
+            state.update(BurstState(dMax, nDays, ring))
             out.result().iterator
           }
       }

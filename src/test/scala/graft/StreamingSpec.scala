@@ -2044,6 +2044,71 @@ class StreamingSpec extends SparkSpec {
     assert(got(0L)._4, "day 0 must flag over-capacity")
   }
 
+  test("burst monitor: folded walk equals batch q203 verbatim across a batch split (X129 twin)") {
+    import graft.streaming.{BurstOut, DayCount}
+    // three shapes over the shared 0-9 grid: flat 3/day (never fires),
+    // spiky (burst day 7, quiet day 8), rise (silent until a day-9
+    // burst-from-silence -> the -1 ratio sentinel)
+    val counts = Map(
+      "flat" -> (0 to 9).map(d => d.toLong -> 3L).toMap,
+      "spiky" -> ((0 to 6).map(d => d.toLong -> 2L).toMap +
+        (7L -> 20L) + (9L -> 2L)),
+      "rise" -> Map(9L -> 5L))
+    val dir = Files.createTempDirectory("graft_burstmon").toString
+    var eid = 0L
+    counts.toSeq.flatMap { case (t, byDay) =>
+      byDay.toSeq.flatMap { case (d, c) =>
+        (1 to c.toInt).map { j =>
+          eid += 1; (eid, (d * 86400L + j) * 1000000000L, eid % 3, t, 1.0, "{}")
+        }
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventAnalytics.decayedBurstPanel(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days_scored"), r.getAs[Long]("n_burst"),
+          r.getAs[Long]("n_quiet"), r.getAs[Long]("max_ratio_bp")))).toMap
+    // cells: the dense grid's non-silent days per type, plus the grid's
+    // first day (the q203 contract — each type's walk starts at the
+    // global span start; silent interior days zero-fill in the monitor)
+    val cells = counts.toSeq.flatMap { case (t, byDay) =>
+      val nonSilent = byDay.toSeq.map { case (d, c) => DayCount(t, d, c) }
+      if (byDay.contains(0L)) nonSilent
+      else DayCount(t, 0L, 0L) +: nonSilent
+    }
+    val mem = MemoryStream[DayCount]
+    val q = Pipeline.burstMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("burst_mon")
+      .outputMode("append").start()
+    try {
+      // batch 1 closes days 0-7 (the first scored day); batch 2 closes
+      // days 8-9 — the ring and day counter chain through the split
+      mem.addData(cells.filter(_.day_idx <= 7L): _*)
+      q.processAllAvailable()
+      mem.addData(cells.filter(_.day_idx >= 8L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("burst_mon").collect()
+      .map(r => BurstOut(r.getAs[String]("event_type"),
+        r.getAs[Long]("day_idx"), r.getAs[Long]("c"), r.getAs[Long]("b127"),
+        r.getAs[Long]("ratio_bp"), r.getAs[Boolean]("is_burst"),
+        r.getAs[Boolean]("is_quiet")))
+    val folded = got.groupBy(_.event_type).view.mapValues { rows =>
+      (rows.length.toLong, rows.count(_.is_burst).toLong,
+        rows.count(_.is_quiet).toLong, rows.map(_.ratio_bp).max)
+    }.toMap
+    assert(folded == batch,
+      s"folded stream must equal batch panel: $folded vs $batch")
+    val byKey = got.map(o => (o.event_type, o.day_idx) -> o).toMap
+    assert(byKey(("spiky", 7L)).ratio_bp == 100000L &&
+      byKey(("spiky", 7L)).is_burst, s"got ${byKey(("spiky", 7L))}")
+    assert(byKey(("spiky", 8L)).is_quiet)
+    assert(byKey(("rise", 9L)).ratio_bp == -1L &&
+      byKey(("rise", 9L)).is_burst, s"got ${byKey(("rise", 9L))}")
+    // the sentinel must not win the max: rise's max is the silent 10000
+    assert(folded("rise")._4 == 10000L)
+  }
+
   test("burn monitor: folded walk equals batch q248 verbatim across a batch split (X174 twin)") {
     import graft.streaming.{BudgetCell, BurnOut}
     // the q248 spec fixture replayed: day0 1/4 errors, day1 2/2 (the
