@@ -1362,6 +1362,129 @@ object Relational {
        |    AS significant_99
        |FROM f WHERE i = 32""".stripMargin
 
+  /** X183 two-sample Kolmogorov–Smirnov test (q257): do urgent and
+    * routine ship lags differ in distribution SHAPE? (Kolmogorov 1933;
+    * Smirnov 1939). The companion to q253 on the same seam: Mann–
+    * Whitney reads a LOCATION shift (it can miss two distributions
+    * with equal medians but different spread); KS reads the maximum
+    * CDF gap, so variance/tail changes fire too. D = max over the lag
+    * grid of |F₁ − F₂|, exactly: M = max |cum₁·n₂ − cum₂·n₁| (and the
+    * smallest lag attaining it), d_bp = M·10⁴ div n₁n₂. Significance
+    * avoids the classical c(α)·√((n₁+n₂)/n₁n₂) root entirely by
+    * SQUARING the inequality: significant iff M² > ⌊c²·10⁶·(n₁+n₂)·
+    * n₁n₂⌋ div 10⁶ with c²·10⁶ the exact integer literals 1844164
+    * (α=.05, c=1.358) and 2650384 (α=.01, c=1.628) — all decimal(38,0)
+    * /HUGEINT, no libm in either engine.
+    *
+    * Domain bound: the q253 one — cum·n products and M fit BIGINT
+    * while the pooled count N stays below ~2.1e9 ((N/2)² ≤ 2⁶³); M²
+    * rides decimal(38,0) to the same domain.
+    *
+    * Scale posture: rides the PlanCache'd q223/q253/q255 histogram —
+    * no new corpus scan; one-row fold over the calendar-bounded lag
+    * range; one output row. */
+  def ksTwoSample(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"relational.shipLag:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord_day"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"),
+          datediff(col("ship_day"), col("ord_day")).cast("long")
+            .as("lag_days"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val byLag = cells
+      .groupBy(col("lag_days"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          col("cnt")).otherwise(0L)).as("c1"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(col("cnt"))).as("c2"))
+    byLag
+      .agg(min(col("lag_days")).as("lo"), max(col("lag_days")).as("hi"),
+        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        map_from_entries(collect_list(struct(col("lag_days"),
+          struct(col("c1"), col("c2"))))).as("m"))
+      .select(col("n1"), col("n2"), expr(
+        """aggregate(
+          |  sequence(lo, hi),
+          |  named_struct('cum1', 0L, 'cum2', 0L, 'mx', 0L, 'mlag', lo),
+          |  (acc, v) -> named_struct(
+          |    'cum1', acc.cum1 + coalesce(element_at(m, v).c1, 0L),
+          |    'cum2', acc.cum2 + coalesce(element_at(m, v).c2, 0L),
+          |    'mx', greatest(acc.mx, abs(
+          |      (acc.cum1 + coalesce(element_at(m, v).c1, 0L)) * n2 -
+          |      (acc.cum2 + coalesce(element_at(m, v).c2, 0L)) * n1)),
+          |    'mlag', IF(abs(
+          |      (acc.cum1 + coalesce(element_at(m, v).c1, 0L)) * n2 -
+          |      (acc.cum2 + coalesce(element_at(m, v).c2, 0L)) * n1)
+          |      > acc.mx, v, acc.mlag)))""".stripMargin).as("w"))
+      .select(col("n1").as("n_urgent"), col("n2").as("n_routine"),
+        col("w.mx").as("mx"), col("w.mlag").as("d_lag"))
+      .withColumn("rhs95", expr(
+        "cast(1844164 as decimal(38,0)) * (n_urgent + n_routine) " +
+          "* n_urgent * n_routine"))
+      .withColumn("rhs99", expr(
+        "cast(2650384 as decimal(38,0)) * (n_urgent + n_routine) " +
+          "* n_urgent * n_routine"))
+      .select(col("n_urgent"), col("n_routine"),
+        expr("CASE WHEN n_urgent > 0 AND n_routine > 0 THEN " +
+          "cast(cast(mx as decimal(38,0)) * 10000 div " +
+          "(n_urgent * n_routine) as bigint) ELSE 0L END").as("d_bp"),
+        col("d_lag"),
+        expr("cast(mx as decimal(38,0)) * mx > cast((rhs95 - " +
+          "rhs95 % 1000000) / 1000000 as decimal(38,0))")
+          .as("significant_95"),
+        expr("cast(mx as decimal(38,0)) * mx > cast((rhs99 - " +
+          "rhs99 % 1000000) / 1000000 as decimal(38,0))")
+          .as("significant_99"))
+  }
+
+  def ksTwoSampleSql: String =
+    """WITH cells AS (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END AS grp,
+      |    (l_shipdate::DATE - o_orderdate::DATE)::BIGINT AS lag_days,
+      |    count(*)::BIGINT AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |), bylag AS (
+      |  SELECT lag_days,
+      |    sum(CASE WHEN grp = 1 THEN cnt ELSE 0 END)::BIGINT AS c1,
+      |    sum(CASE WHEN grp = 0 THEN cnt ELSE 0 END)::BIGINT AS c2
+      |  FROM cells GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM bylag
+      |), walk AS (
+      |  SELECT lag_days,
+      |    sum(c1) OVER (ORDER BY lag_days)::BIGINT AS cum1,
+      |    sum(c2) OVER (ORDER BY lag_days)::BIGINT AS cum2
+      |  FROM bylag
+      |), dev AS (
+      |  SELECT w.lag_days, abs(w.cum1 * t.n2 - w.cum2 * t.n1)::BIGINT AS d
+      |  FROM walk w CROSS JOIN tot t
+      |), mx AS (
+      |  SELECT max(d)::BIGINT AS mx FROM dev
+      |), at AS (
+      |  SELECT min(lag_days)::BIGINT AS d_lag FROM dev, mx
+      |  WHERE dev.d = mx.mx
+      |)
+      |SELECT t.n1 AS n_urgent, t.n2 AS n_routine,
+      |  (CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+      |    (mx.mx::HUGEINT * 10000 // (t.n1 * t.n2))::BIGINT
+      |    ELSE 0 END) AS d_bp,
+      |  at.d_lag,
+      |  mx.mx::HUGEINT * mx.mx >
+      |    1844164::HUGEINT * (t.n1 + t.n2) * t.n1 * t.n2 // 1000000
+      |    AS significant_95,
+      |  mx.mx::HUGEINT * mx.mx >
+      |    2650384::HUGEINT * (t.n1 + t.n2) * t.n1 * t.n2 // 1000000
+      |    AS significant_99
+      |FROM tot t, mx, at""".stripMargin
+
   /** Order priorities in their literal TPC-H-ish spelling, in output
     * order — the k groups of the Kruskal–Wallis test. */
   private val Priorities: Seq[String] =

@@ -354,6 +354,30 @@ class RelationalOpsSpec extends SparkSpec {
       !r.getAs[Boolean]("significant_99"))
   }
 
+  test("ksTwoSample (q257): hand-walked CDF gap, argmax lag, squared threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, "1-URGENT", ts("1970-01-01 00:00:00")),
+      (2L, "3-MEDIUM", ts("1970-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // urgent lags {1,1,2}, routine {2,3}: scaled devs |cum1*n2-cum2*n1|
+    // = 4 (lag 1), 3 (lag 2), 0 (lag 3) -> M=4 at lag 1,
+    // d_bp = 4*10000 div 6 = 6666; threshold floor(1844164*5*6/1e6)=55,
+    // 16 < 55 -> not significant
+    Seq((1L, ts("1970-01-02 00:00:00")), (1L, ts("1970-01-02 00:00:00")),
+      (1L, ts("1970-01-03 00:00:00")),
+      (2L, ts("1970-01-03 00:00:00")), (2L, ts("1970-01-04 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = Relational.ksTwoSample(spark, dir).collect().head
+    assert(r.getAs[Long]("n_urgent") == 3L && r.getAs[Long]("n_routine") == 2L)
+    assert(r.getAs[Long]("d_bp") == 6666L, s"d ${r.getAs[Long]("d_bp")}")
+    assert(r.getAs[Long]("d_lag") == 1L, s"lag ${r.getAs[Long]("d_lag")}")
+    assert(!r.getAs[Boolean]("significant_95") &&
+      !r.getAs[Boolean]("significant_99"))
+  }
+
   test("kruskalWallis (q255): hand-ranked 3-group fixture; tie correction and df election") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kw").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
