@@ -109,7 +109,8 @@ object PlanAudit {
     "q244_mg_mergeability",
     "q245_neyman_allocation",
     "q247_markov_backtest",
-    "q256_components")
+    "q256_components",
+    "q258_chi2_independence")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -183,6 +184,10 @@ object PlanAudit {
     // q256 crossJoins the broadcast SINGLE-ROW node total onto the
     // ≤5-row band table — the q224 shape, bounded-ENFORCED
     "q256_components",
+    // q258 crossJoins the ≤|flags|-row margin, the 1-row corpus scalar
+    // and the 1-row χ² stat onto the ≤15-cell contingency grid — all
+    // three bounded-ENFORCED
+    "q258_chi2_independence",
     // q213's cumulative folds are broadcast triangle theta-joins over
     // the distinct-score histogram and the ≤10-row decile table, plus
     // two single-row scalar crosses — the q167/q108 audited shapes

@@ -1485,6 +1485,159 @@ object Relational {
       |    AS significant_99
       |FROM tot t, mx, at""".stripMargin
 
+  /** χ² critical values in milli, df 1..8 — Pearson 1900 table, the
+    * shared literal both engines judge q258 against. */
+  private val Chi2Crit95: Seq[Long] =
+    Seq(3841L, 5991L, 7815L, 9488L, 11070L, 12592L, 14067L, 15507L)
+  private val Chi2Crit99: Seq[Long] =
+    Seq(6635L, 9210L, 11345L, 13277L, 15086L, 16812L, 18475L, 20090L)
+
+  /** X184 χ² test of independence (q258): is the return-flag mix
+    * independent of order priority? (Pearson 1900). The inference
+    * shelf's CATEGORICAL member: q250 compares two proportions, q253/
+    * q255/q257 compare numeric distributions — this is the r×c
+    * contingency read (does the priority knob change OUTCOMES), with
+    * q154's mutual information replaced by a calibrated test: per
+    * cell, observed count, expected count and the χ² contribution in
+    * exact milli fixed point ((O·N − r·c)² scaled BEFORE one integral
+    * division — no float ever forms), the global χ² = Σ of the
+    * displayed cell contributions (so the table self-audits), df from
+    * the live category counts, the 95/99% verdicts against the
+    * Pearson table, and Cramér's V in milli via the q245 exact isqrt
+    * (effect SIZE, so a huge-N hairline dependence can't masquerade
+    * as a big one).
+    *
+    * Domain bound: dev² = (O·N − rc)² ≤ N⁴ rides decimal(38,0)/
+    * HUGEINT — exact while N stays below ~5.6e8 (1000·N⁴ < 10³⁸);
+    * past that, shard the table (per region / per year) first.
+    *
+    * Scale posture: ONE corpus join+collapse to the ≤(5×3)-cell
+    * contingency table (map-side combinable); margins, the dense
+    * grid, χ² and the isqrt are arithmetic on ≤15 rows with two
+    * bounded-enforced broadcast scalars; ≤15 output rows. */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val bb = graft.PlanAudit.Bounded
+    val cells = graft.PlanCache.cached(spark,
+      s"relational.prioFlagCells:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("o"))
+    }
+    val pr = cells.groupBy(col("o_orderpriority"))
+      .agg(sum(col("o")).as("r_tot"))
+    val fl = cells.groupBy(col("l_returnflag")).agg(sum(col("o")).as("c_tot"))
+    val glob = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("o_orderpriority")).as("nr"),
+      countDistinct(col("l_returnflag")).as("nc"))
+    val dense = pr
+      .crossJoin(bb.broadcastBounded("q258_chi2_independence.flags", fl, 64L))
+      .join(cells, Seq("o_orderpriority", "l_returnflag"), "left")
+      .select(col("o_orderpriority"), col("l_returnflag"),
+        col("r_tot"), col("c_tot"),
+        coalesce(col("o"), lit(0L)).as("observed"))
+      .crossJoin(bb.broadcastBounded("q258_chi2_independence.glob", glob, 1L))
+      .withColumn("expected_milli", expr(
+        "cast(cast(1000 as decimal(38,0)) * r_tot * c_tot div n as bigint)"))
+      .withColumn("contrib_milli", expr(
+        "cast(cast(1000 as decimal(38,0)) * " +
+          "(cast(observed as decimal(38,0)) * n " +
+          "- cast(r_tot as decimal(38,0)) * c_tot) * " +
+          "(cast(observed as decimal(38,0)) * n " +
+          "- cast(r_tot as decimal(38,0)) * c_tot) div " +
+          "(cast(n as decimal(38,0)) * r_tot * c_tot) as bigint)"))
+    def critCase(tab: Seq[Long]) = "CASE df " + tab.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1}L THEN ${v}L" }
+      .mkString(" ") + " ELSE 0L END"
+    val st = dense
+      .agg(sum(col("contrib_milli")).as("chi2_milli"),
+        max(col("n")).as("n"), max(col("nr")).as("nr"),
+        max(col("nc")).as("nc"))
+      .withColumn("df", expr("(nr - 1) * (nc - 1)"))
+      .withColumn("cramers_v_milli", expr(
+        "CASE WHEN least(nr - 1, nc - 1) >= 1 AND n > 0 THEN " +
+          graft.operators.Curation.isqrtSpark(
+            "chi2_milli * 1000 div (least(nr - 1, nc - 1) * n)") +
+          " ELSE 0L END"))
+      .select(col("chi2_milli"), col("df"), col("cramers_v_milli"),
+        expr(s"df >= 1L AND df <= 8L AND chi2_milli >= " +
+          s"(${critCase(Chi2Crit95)})").as("significant_95"),
+        expr(s"df >= 1L AND df <= 8L AND chi2_milli >= " +
+          s"(${critCase(Chi2Crit99)})").as("significant_99"))
+    dense
+      .select(col("o_orderpriority"), col("l_returnflag"), col("observed"),
+        col("expected_milli"), col("contrib_milli"))
+      .crossJoin(bb.broadcastBounded("q258_chi2_independence.stat", st, 1L))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+  }
+
+  def chiSquareIndependenceSql: String = {
+    def critCase(tab: Seq[Long]) = "CASE df " + tab.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+      .mkString(" ") + " ELSE 0 END"
+    s"""WITH RECURSIVE cells AS (
+       |  SELECT o_orderpriority AS p, l_returnflag AS fg,
+       |    count(*)::BIGINT AS o
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), pr AS (
+       |  SELECT p, sum(o)::BIGINT AS r_tot FROM cells GROUP BY 1
+       |), fl AS (
+       |  SELECT fg, sum(o)::BIGINT AS c_tot FROM cells GROUP BY 1
+       |), g AS (
+       |  SELECT sum(o)::BIGINT AS n,
+       |    count(DISTINCT p)::BIGINT AS nr,
+       |    count(DISTINCT fg)::BIGINT AS nc
+       |  FROM cells
+       |), dense AS (
+       |  SELECT pr.p, fl.fg, pr.r_tot, fl.c_tot,
+       |    coalesce(c.o, 0)::BIGINT AS observed
+       |  FROM pr CROSS JOIN fl
+       |  LEFT JOIN cells c ON c.p = pr.p AND c.fg = fl.fg
+       |), cont AS (
+       |  SELECT d.p, d.fg, d.observed,
+       |    (1000::HUGEINT * d.r_tot * d.c_tot // g.n)::BIGINT
+       |      AS expected_milli,
+       |    (1000::HUGEINT
+       |      * (d.observed::HUGEINT * g.n - d.r_tot::HUGEINT * d.c_tot)
+       |      * (d.observed::HUGEINT * g.n - d.r_tot::HUGEINT * d.c_tot)
+       |      // (g.n::HUGEINT * d.r_tot * d.c_tot))::BIGINT
+       |      AS contrib_milli
+       |  FROM dense d CROSS JOIN g
+       |), s AS (
+       |  SELECT sum(c.contrib_milli)::BIGINT AS chi2_milli,
+       |    ((g.nr - 1) * (g.nc - 1))::BIGINT AS df,
+       |    CASE WHEN least(g.nr - 1, g.nc - 1) >= 1 AND g.n > 0
+       |      THEN (sum(c.contrib_milli)::BIGINT * 1000)
+       |        // (least(g.nr - 1, g.nc - 1) * g.n)
+       |      ELSE 0 END AS varg
+       |  FROM cont c CROSS JOIN g
+       |  GROUP BY g.nr, g.nc, g.n
+       |), f AS (
+       |  SELECT s.*, varg AS num, 0::BIGINT AS res, 0 AS i FROM s
+       |  UNION ALL
+       |  SELECT chi2_milli, df, varg,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN num - res - (1::BIGINT << (62 - 2 * i)) ELSE num END,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN res // 2 + (1::BIGINT << (62 - 2 * i)) ELSE res // 2 END,
+       |    i + 1
+       |  FROM f WHERE i < 32
+       |)
+       |SELECT c.p AS o_orderpriority, c.fg AS l_returnflag, c.observed,
+       |  c.expected_milli, c.contrib_milli,
+       |  f.chi2_milli, f.df, f.res AS cramers_v_milli,
+       |  f.df >= 1 AND f.df <= 8 AND f.chi2_milli >=
+       |    (${critCase(Chi2Crit95)}) AS significant_95,
+       |  f.df >= 1 AND f.df <= 8 AND f.chi2_milli >=
+       |    (${critCase(Chi2Crit99)}) AS significant_99
+       |FROM cont c CROSS JOIN (SELECT * FROM f WHERE i = 32) f
+       |ORDER BY o_orderpriority, l_returnflag""".stripMargin
+  }
+
   /** Order priorities in their literal TPC-H-ish spelling, in output
     * order — the k groups of the Kruskal–Wallis test. */
   private val Priorities: Seq[String] =

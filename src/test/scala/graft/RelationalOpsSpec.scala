@@ -354,6 +354,38 @@ class RelationalOpsSpec extends SparkSpec {
       !r.getAs[Boolean]("significant_99"))
   }
 
+  test("chiSquareIndependence (q258): hand-walked 2x2 table, exact V, both verdicts fire") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chi").toString
+    Seq((1L, "1-URGENT"), (2L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    // URGENT: 8A/2N, LOW: 2A/8N -> N=20, all margins 10, E=5 per cell,
+    // contrib = 1000*(O*20-100)^2/(20*100) = 1800 each, chi2 = 7200,
+    // df=1 (both crits pass), V = sqrt(7.2/20) = 0.600 exactly
+    val items =
+      (1 to 8).map(_ => (1L, "A")) ++ (1 to 2).map(_ => (1L, "N")) ++
+        (1 to 2).map(_ => (2L, "A")) ++ (1 to 8).map(_ => (2L, "N"))
+    items.toDF("l_orderkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = Relational.chiSquareIndependence(spark, dir).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Long]("expected_milli") == 5000L)
+      assert(r.getAs[Long]("contrib_milli") == 1800L,
+        s"contrib ${r.getAs[Long]("contrib_milli")}")
+      assert(r.getAs[Long]("chi2_milli") == 7200L)
+      assert(r.getAs[Long]("df") == 1L)
+      assert(r.getAs[Long]("cramers_v_milli") == 600L,
+        s"V ${r.getAs[Long]("cramers_v_milli")}")
+      assert(r.getAs[Boolean]("significant_95") &&
+        r.getAs[Boolean]("significant_99"))
+    }
+    val o = out.map(r => (r.getAs[String]("o_orderpriority"),
+      r.getAs[String]("l_returnflag")) -> r.getAs[Long]("observed")).toMap
+    assert(o == Map(("1-URGENT", "A") -> 8L, ("1-URGENT", "N") -> 2L,
+      ("5-LOW", "A") -> 2L, ("5-LOW", "N") -> 8L), s"got $o")
+  }
+
   test("ksTwoSample (q257): hand-walked CDF gap, argmax lag, squared threshold") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ks").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
