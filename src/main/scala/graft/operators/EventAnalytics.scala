@@ -1654,6 +1654,70 @@ object EventAnalytics {
       .orderBy(col("cohort_month"), col("activity_month"))
   }
 
+  /** X185 weekly cohort retention triangle (q259): the classic
+    * product-analytics retention read — users bucketed into weekly
+    * signup cohorts (first-active week), then per (cohort, week
+    * offset): active users and retention in bp of the cohort size.
+    * q195 answers "how much do cohorts SPEND over time"; this answers
+    * "do they COME BACK at all" — the activity twin, and the table
+    * every growth review draws as the triangle (offset 0 reads 10000
+    * by construction; the decay profile down each column is the
+    * product's habit curve, and a cohort row that decays faster than
+    * the one above it is the regression signal). Weeks are absolute
+    * epoch-day div 7 buckets, so both engines cut identically and
+    * cross-month weeks never split.
+    *
+    * Scale posture: ONE corpus collapse to the distinct (user, week)
+    * grain (map-side combinable, the only corpus shuffle); cohorts
+    * are a user-grain min; the triangle is a cohort-keyed collapse of
+    * the user-week table joined to the broadcast cohort-size
+    * dimension; ≤|weeks|² output rows. */
+  def retentionTriangle(spark: SparkSession, dir: String): DataFrame = {
+    val uw = graft.PlanCache.cached(spark, s"events.userWeeks:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"),
+          expr("cast(datediff(to_date(ts), date'1970-01-01') div 7 " +
+            "as bigint)").as("week"))
+        .distinct()
+    }
+    val cohorts = uw.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort_users"))
+    uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"),
+        col("n_cohort_users"), col("n_active_users"),
+        expr("n_active_users * 10000 div n_cohort_users")
+          .as("retention_bp"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def retentionTriangleSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    ((ts::DATE - DATE '1970-01-01') // 7)::BIGINT AS week
+      |  FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+      |), sizes AS (
+      |  SELECT cohort_week, count(*)::BIGINT AS n_cohort_users
+      |  FROM cohorts GROUP BY 1
+      |), tri AS (
+      |  SELECT c.cohort_week, (uw.week - c.cohort_week)::BIGINT
+      |      AS week_offset,
+      |    count(*)::BIGINT AS n_active_users
+      |  FROM uw JOIN cohorts c USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_week, week_offset, n_cohort_users, n_active_users,
+      |  (n_active_users * 10000 // n_cohort_users)::BIGINT AS retention_bp
+      |FROM tri JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   def cohortLtvSql: String =
     """WITH um AS (
       |  SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m') AS month,

@@ -661,6 +661,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("dwell_share_bp") == 1538L)
   }
 
+  test("retentionTriangle (q259): staggered cohorts, dropout, exact bp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    var eid = 0L
+    def ev(u: Long, d: Long) = { eid += 1; (eid, nanos(d * day), u, "click", 1.0, "{}") }
+    // weeks are epoch-day div 7; fixture days 0/7/14 hit weeks 0/1/2.
+    // cohort w0 = {u1,u2,u3}: offsets 0 -> 3, 1 -> 1 (u1), 2 -> 2
+    // (u1,u2); cohort w1 = {u4}: offsets 0, 1 -> 1 each
+    val rows = Seq(ev(1L, 0L), ev(1L, 7L), ev(1L, 14L),
+      ev(2L, 0L), ev(2L, 14L), ev(3L, 0L),
+      ev(4L, 7L), ev(4L, 14L))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.retentionTriangle(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        ((r.getAs[Long]("n_cohort_users"), r.getAs[Long]("n_active_users"),
+          r.getAs[Long]("retention_bp")))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((3L, 3L, 10000L)),
+      (0L, 1L) -> ((3L, 1L, 3333L)),
+      (0L, 2L) -> ((3L, 2L, 6666L)),
+      (1L, 0L) -> ((1L, 1L, 10000L)),
+      (1L, 1L) -> ((1L, 1L, 10000L))), s"got $out")
+  }
+
   test("cohortLtv (q195): month cohorts, exact per-cohort-user cents") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ltv").toString
     def at(d: Long, i: Long) = nanos(d * day + i)
