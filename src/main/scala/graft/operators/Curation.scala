@@ -1150,6 +1150,117 @@ object Curation {
        |ORDER BY cells.source, cells.quarter""".stripMargin
   }
 
+  // ---- X186: Wilson lower-bound source ranking (q260) ---------------------
+
+  /** X186 Wilson lower-bound source ranking (q260): rank sources by
+    * the 95% Wilson score LOWER bound of their quality pass rate
+    * (Wilson 1927; the classic "sort by lower bound, not by average"
+    * ranking rule) — the small-sample-honest answer to "which sources
+    * feed the best docs": a source with 3/3 passes must NOT outrank
+    * one with 95/100 (raw rates say it does; the Wilson bound says the
+    * 3-doc source could easily be a 47% source). Pass = the q121 gate
+    * rule (round(quality, 6) ≥ 0.75). Exactly integer: with k of n
+    * passing and z = 1.96 carried as the milli literal 1960,
+    * LB = (k + z²/2 − z·√(k(n−k)/n + z²/4)) / (n + z²) becomes
+    * lb_milli = 1000·(10⁶k + 1920800 − 1960·s) div (10⁶n + 3841600)
+    * where s = CEIL-isqrt(⌊10⁶k(n−k)/n⌋ + 960400) — the root is
+    * rounded UP so the bound stays conservative (a lower bound must
+    * never optimistically round), via the q245 restoring isqrt plus
+    * one exactness probe; clamped at 0. The shrink column (rate − LB)
+    * is the per-source evidence deficit.
+    *
+    * Domain bound: exact while a source holds ≲ 9e12 docs (10⁶n must
+    * fit BIGINT; the t product rides decimal(38,0) far past that).
+    *
+    * Scale posture: ONE corpus collapse to |sources| (n, k) rows
+    * (map-side combinable); everything after is per-row arithmetic on
+    * the source dimension — no window, no join; |sources| output
+    * rows. */
+  def wilsonQualityRank(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"curation.wilsonCells:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          (round(TextAnalysis.qualityScore(col("text")), 6) >= 0.75)
+            .as("pass"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    }
+    cells
+      .withColumn("t", expr(
+        "cast(cast(1000000 as decimal(38,0)) * n_pass * (n_docs - n_pass) " +
+          "div n_docs as bigint)"))
+      .withColumn("s0", expr(isqrtSpark("t + 960400")))
+      .withColumn("s", expr("s0 + IF(s0 * s0 < t + 960400, 1L, 0L)"))
+      .withColumn("wilson_lb_milli", expr(
+        "greatest(cast(cast(1000 as decimal(38,0)) * " +
+          "(1000000 * n_pass + 1920800 - 1960 * s) div " +
+          "(1000000 * n_docs + 3841600) as bigint), 0L)"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        expr("n_pass * 1000 div n_docs").as("pass_rate_milli"),
+        col("wilson_lb_milli"),
+        expr("n_pass * 1000 div n_docs - wilson_lb_milli")
+          .as("shrink_milli"))
+      .orderBy(col("wilson_lb_milli").desc, col("source"))
+  }
+
+  def wilsonQualityRankSql: String = {
+    val stop = graft.operators.TextAnalysis.Stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE qd AS (
+       |  SELECT source,
+       |    (round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      >= 0.75) AS pass
+       |  FROM (
+       |    SELECT source,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT source, text,
+       |          string_split(lower(text), ' ') AS t FROM documents))
+       |), cells AS (
+       |  SELECT source, count(*)::BIGINT AS n_docs,
+       |    sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass
+       |  FROM qd GROUP BY 1
+       |), base AS (
+       |  SELECT source, n_docs, n_pass,
+       |    (1000000::HUGEINT * n_pass * (n_docs - n_pass)
+       |      // n_docs)::BIGINT + 960400 AS arg
+       |  FROM cells
+       |), f AS (
+       |  SELECT source, n_docs, n_pass, arg,
+       |    arg AS num, 0::BIGINT AS res, 0 AS i FROM base
+       |  UNION ALL
+       |  SELECT source, n_docs, n_pass, arg,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN num - res - (1::BIGINT << (62 - 2 * i)) ELSE num END,
+       |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+       |      THEN res // 2 + (1::BIGINT << (62 - 2 * i)) ELSE res // 2 END,
+       |    i + 1
+       |  FROM f WHERE i < 32
+       |), s AS (
+       |  SELECT source, n_docs, n_pass,
+       |    res + (CASE WHEN res * res < arg THEN 1 ELSE 0 END) AS sq
+       |  FROM f WHERE i = 32
+       |)
+       |SELECT source, n_docs, n_pass,
+       |  (n_pass * 1000 // n_docs)::BIGINT AS pass_rate_milli,
+       |  greatest((1000::HUGEINT *
+       |    (1000000 * n_pass + 1920800 - 1960 * sq)
+       |    // (1000000 * n_docs + 3841600))::BIGINT, 0)::BIGINT
+       |    AS wilson_lb_milli,
+       |  ((n_pass * 1000 // n_docs) -
+       |    greatest((1000::HUGEINT *
+       |      (1000000 * n_pass + 1920800 - 1960 * sq)
+       |      // (1000000 * n_docs + 3841600))::BIGINT, 0))::BIGINT
+       |    AS shrink_milli
+       |FROM s ORDER BY wilson_lb_milli DESC, source""".stripMargin
+  }
+
   // ---- X7+: quality-ranked token-budget selection (q82) ------------------
   //
   // "Select the best documents until the token budget is spent" — the

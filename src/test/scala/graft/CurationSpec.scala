@@ -783,6 +783,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("wilsonQualityRank (q260): hand-walked bounds; 95/100 outranks 3/3") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wilson").toString
+    // pass text: 50 distinct >=6-char non-stopword tokens -> q = 1.0;
+    // fail text: stopword soup -> q ~ 0.22
+    val passText = (1 to 50).map(i => f"token$i%02dxx").mkString(" ")
+    val failText = "the the the"
+    var id = 0L
+    def docs(src: String, pass: Int, fail: Int) =
+      (1 to pass).map { _ => id += 1; (id, passText, "en", src, 1L) } ++
+        (1 to fail).map { _ => id += 1; (id, failText, "en", src, 1L) }
+    (docs("srcA", 3, 0) ++ docs("srcB", 95, 5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = Curation.wilsonQualityRank(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"),
+          r.getAs[Long]("pass_rate_milli"), r.getAs[Long]("wilson_lb_milli"),
+          r.getAs[Long]("shrink_milli")))).toMap
+    // hand walk: (3,3): s = ceil-isqrt(960400) = 980 exactly ->
+    // lb = 1000*3e6 div 6841600 = 438; (100,95): t = 4750000,
+    // arg = 5710400, isqrt 2389 (2389^2 = 5707321 < arg) -> ceil 2390,
+    // num = 95e6 + 1920800 - 1960*2390 = 92236400,
+    // lb = 1000*92236400 div 103841600 = 888
+    assert(out("srcA") == ((3L, 3L, 1000L, 438L, 562L)),
+      s"got ${out("srcA")}")
+    assert(out("srcB") == ((100L, 95L, 950L, 888L, 62L)),
+      s"got ${out("srcB")}")
+    // the rule's whole point: the evidence-rich 95% source outranks the
+    // 3-doc perfect source
+    assert(out("srcB")._4 > out("srcA")._4)
+  }
+
   test("gate ablation (q121): cells partition the corpus and reconcile with the q86 sample") {
     val rows = Curation.gateAblation(spark, sf0001).collect()
     val corpus = Tables.documents(spark, sf0001).count()
