@@ -110,7 +110,8 @@ object PlanAudit {
     "q245_neyman_allocation",
     "q247_markov_backtest",
     "q256_components",
-    "q258_chi2_independence")
+    "q258_chi2_independence",
+    "q261_markov_stationary")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -188,6 +189,9 @@ object PlanAudit {
     // and the 1-row χ² stat onto the ≤15-cell contingency grid — all
     // three bounded-ENFORCED
     "q258_chi2_independence",
+    // q261 crossJoins the broadcast SINGLE-ROW totals scalar onto the
+    // ≤|types|-row stationary table — bounded-ENFORCED
+    "q261_markov_stationary",
     // q213's cumulative folds are broadcast triangle theta-joins over
     // the distinct-score histogram and the ≤10-row decile table, plus
     // two single-row scalar crosses — the q167/q108 audited shapes

@@ -721,6 +721,150 @@ object EventAnalytics {
     * cell table (ONE user window exchange, shared); elections and
     * joins are folds over those cells plus a bounded-enforced 1-row
     * marginal broadcast; ≤|types| output rows. */
+  /** Synchronized power-iteration steps [[markovStationary]] runs —
+    * fixed so both engines walk the identical computation (the q225
+    * PrIterations rule). 16 steps: the residual shrinks by |λ₂| per
+    * step, so even a sluggish λ₂ = ½ chain lands within a tenth of a
+    * bp of the true stationary mix — and each step is a join over a
+    * ≤|types|²-cell table, so 16 of them are audit-priced. */
+  val MarkovSteps: Int = 16
+
+  /** X187 Markov stationary event mix (q261): the long-run event
+    * distribution the click-stream converges to — [[MarkovSteps]]
+    * synchronized integer power-iteration steps of π·P from the
+    * uniform start over the q122/q247 transition matrix (Markov 1906;
+    * the q225 dyadic-damping discipline without damping). q122 shows
+    * today's one-step flows and q247 how predictable the next step
+    * is; this is the EQUILIBRIUM read — if the stationary share of
+    * 'error' exceeds its observed share, the flow structure is
+    * funneling users toward errors and the mix will drift there as
+    * sessions lengthen. Exactly integer: per-cell transition
+    * probability floored once to micro units (n·10⁶ div r), each step
+    * floors per-term mass·p div 10⁶ BEFORE summing (engine-order-
+    * proof, the q225 rule), shares renormalized in bp at the end so
+    * the floor shrinkage cancels; a state with no outgoing
+    * transitions keeps its mass (self-loop — the PageRank dangling
+    * rule without teleport).
+    *
+    * Domain bound: per-term mass·p_micro ≤ 10³·|types|·10⁶ — BIGINT-
+    * safe at any corpus size; the cell table is ≤|types|² rows.
+    *
+    * Scale posture: the transition collapse rides the PlanCache'd
+    * q122/q247 seam (its ONE user-window exchange); the walk is 8
+    * joins over the ≤|types|²-cell table — audit-sized at any scale;
+    * ≤|types| output rows. */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cells = graft.PlanCache.cached(spark, s"events.transitions:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag(col("to_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+    }
+    val outdeg = cells.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("n_out"))
+    val pcell = cells
+      .join(outdeg, Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        expr("n_transitions * 1000000 div n_out").as("p_micro"))
+    val types = cells.select(col("from_type").as("event_type"))
+      .unionByName(cells.select(col("to_type").as("event_type")))
+      .distinct()
+    var pi = types.select(col("event_type"), lit(1000L).as("mass"))
+    for (_ <- 1 to MarkovSteps) {
+      val flow = pi
+        .join(pcell, col("event_type") === col("from_type"))
+        .groupBy(col("to_type").as("event_type"))
+        .agg(sum(expr("mass * p_micro div 1000000")).as("mass"))
+      val stuck = pi
+        .join(outdeg, col("event_type") === col("from_type"), "left")
+        .filter(col("n_out").isNull)
+        .select(col("event_type"), col("mass"))
+      // per-step lineage truncation (the q64 propagation rule): pi is
+      // referenced twice per step (flow + dangling leg), so without a
+      // cut the logical plan doubles every iteration
+      pi = flow.unionByName(stuck)
+        .groupBy(col("event_type")).agg(sum(col("mass")).as("mass"))
+        .localCheckpoint(eager = false)
+    }
+    val obs = outdeg.select(col("from_type").as("event_type"), col("n_out"))
+    val tots = pi.agg(sum(col("mass")).as("pi_tot"))
+      .crossJoin(obs.agg(sum(col("n_out")).as("out_tot")))
+    types
+      .join(obs, Seq("event_type"), "left")
+      .join(pi, Seq("event_type"), "left")
+      .crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q261_markov_stationary.totals", tots, 1L))
+      .select(col("event_type"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        expr("coalesce(n_out, 0L) * 10000 div out_tot").as("obs_share_bp"),
+        expr("coalesce(mass, 0L) * 10000 div pi_tot")
+          .as("stationary_share_bp"))
+      .withColumn("delta_bp",
+        col("stationary_share_bp") - col("obs_share_bp"))
+      .orderBy(col("event_type"))
+  }
+
+  def markovStationarySql: String = {
+    def step(prev: String, k: Int): String =
+      s"""pi$k AS MATERIALIZED (
+         |  SELECT event_type, sum(mass)::BIGINT AS mass FROM (
+         |    SELECT p.to_type AS event_type,
+         |      (i.mass * p.p_micro // 1000000)::BIGINT AS mass
+         |    FROM $prev i JOIN pcell p ON p.from_type = i.event_type
+         |    UNION ALL
+         |    SELECT i.event_type, i.mass
+         |    FROM $prev i LEFT JOIN outdeg o ON o.from_type = i.event_type
+         |    WHERE o.from_type IS NULL
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    val steps = (1 to MarkovSteps)
+      .map(k => step(if (k == 1) "pi0" else s"pi${k - 1}", k))
+      .mkString(", ")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS to_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts::TIMESTAMP, event_id) AS from_type
+       |  FROM events
+       |), cells AS MATERIALIZED (
+       |  SELECT from_type, to_type, count(*)::BIGINT AS n
+       |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+       |), outdeg AS MATERIALIZED (
+       |  SELECT from_type, sum(n)::BIGINT AS n_out FROM cells GROUP BY 1
+       |), pcell AS MATERIALIZED (
+       |  SELECT c.from_type, c.to_type,
+       |    (c.n * 1000000 // o.n_out)::BIGINT AS p_micro
+       |  FROM cells c JOIN outdeg o USING (from_type)
+       |), ty AS (
+       |  SELECT from_type AS event_type FROM cells
+       |  UNION
+       |  SELECT to_type FROM cells
+       |), pi0 AS (
+       |  SELECT event_type, 1000::BIGINT AS mass FROM ty
+       |), $steps, tots AS (
+       |  SELECT (SELECT sum(mass) FROM pi$MarkovSteps)::BIGINT AS pi_tot,
+       |    (SELECT sum(n_out) FROM outdeg)::BIGINT AS out_tot
+       |)
+       |SELECT ty.event_type,
+       |  coalesce(o.n_out, 0)::BIGINT AS n_out,
+       |  (coalesce(o.n_out, 0) * 10000 // t.out_tot)::BIGINT
+       |    AS obs_share_bp,
+       |  (coalesce(p.mass, 0) * 10000 // t.pi_tot)::BIGINT
+       |    AS stationary_share_bp,
+       |  ((coalesce(p.mass, 0) * 10000 // t.pi_tot) -
+       |   (coalesce(o.n_out, 0) * 10000 // t.out_tot))::BIGINT AS delta_bp
+       |FROM ty
+       |LEFT JOIN outdeg o ON o.from_type = ty.event_type
+       |LEFT JOIN pi$MarkovSteps p ON p.event_type = ty.event_type
+       |CROSS JOIN tots t
+       |ORDER BY ty.event_type""".stripMargin
+  }
+
   def markovBacktest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -661,6 +661,47 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("dwell_share_bp") == 1538L)
   }
 
+  test("markovStationary (q261): biased 2-state chain converges to 1/3-2/3; exact replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mkst").toString
+    // one user walking A B B A B B A B B A: transitions A->B x3,
+    // B->B x3, B->A x3 -> P = [[0,1],[1/2,1/2]], stationary (1/3, 2/3)
+    val seqTypes = Seq("alpha", "beta", "beta", "alpha", "beta", "beta",
+      "alpha", "beta", "beta", "alpha")
+    var eid = 0L
+    val rows = seqTypes.map { t =>
+      eid += 1; (eid, nanos(eid), 1L, t, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // operational replay: p_micro floored once, per-term mass*p div 1e6
+    val p = Map(("alpha", "beta") -> 1000000L,
+      ("beta", "beta") -> 500000L, ("beta", "alpha") -> 500000L)
+    var mass = Map("alpha" -> 1000L, "beta" -> 1000L)
+    for (_ <- 1 to EventAnalytics.MarkovSteps) {
+      val next = scala.collection.mutable.Map("alpha" -> 0L, "beta" -> 0L)
+      p.foreach { case ((f, t), pm) =>
+        next(t) += Math.floorDiv(mass(f) * pm, 1000000L)
+      }
+      mass = next.toMap
+    }
+    val tot = mass.values.sum
+    val out = EventAnalytics.markovStationary(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_out"), r.getAs[Long]("obs_share_bp"),
+          r.getAs[Long]("stationary_share_bp"),
+          r.getAs[Long]("delta_bp")))).toMap
+    assert(out("alpha")._1 == 3L && out("beta")._1 == 6L)
+    assert(out("alpha")._2 == 3333L && out("beta")._2 == 6666L)
+    assert(out("alpha")._3 == mass("alpha") * 10000L / tot,
+      s"alpha ${out("alpha")} vs replay ${mass("alpha") * 10000L / tot}")
+    assert(out("beta")._3 == mass("beta") * 10000L / tot)
+    // 8 steps from uniform must already sit within 2bp of 1/3-2/3
+    assert(math.abs(out("alpha")._3 - 3333L) <= 2,
+      s"alpha stationary ${out("alpha")._3}")
+    out.foreach { case (_, (_, obs, st, d)) => assert(d == st - obs) }
+  }
+
   test("retentionTriangle (q259): staggered cohorts, dropout, exact bp") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ret").toString
