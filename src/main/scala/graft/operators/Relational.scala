@@ -785,19 +785,26 @@ object Relational {
     * rows each; the expected table is a CASE constant; totals are a
     * per-measure window over ≤9 rows. At 100 TB this is the cheapest
     * possible shape — a projection and a 9-key combine. */
+  /** The (measure, leading-digit, count) cells q181 and q262 share —
+    * PlanCache'd: the audit and the goodness-of-fit verdict read the
+    * same two money-column scans. */
+  private def benfordCells(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"relational.benfordCells:$dir") {
+      def leg(measure: String, df: DataFrame, priceCol: String): DataFrame =
+        df.select(lit(measure).as("measure"),
+          expr(s"substring(cast(cast(round($priceCol * 100) as bigint) " +
+            "as string), 1, 1)").as("digit"))
+          .filter(col("digit") =!= "0" && col("digit") =!= "-")
+          .groupBy(col("measure"), col("digit"))
+          .agg(count(lit(1)).as("n_values"))
+      leg("l_extendedprice", Tables.lineitem(spark, dir), "l_extendedprice")
+        .unionByName(leg("o_totalprice", Tables.orders(spark, dir),
+          "o_totalprice"))
+    }
+
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def leg(measure: String, df: DataFrame, priceCol: String): DataFrame =
-      df.select(lit(measure).as("measure"),
-        expr(s"substring(cast(cast(round($priceCol * 100) as bigint) " +
-          "as string), 1, 1)").as("digit"))
-        .filter(col("digit") =!= "0" && col("digit") =!= "-")
-        .groupBy(col("measure"), col("digit"))
-        .agg(count(lit(1)).as("n_values"))
-    val cells = leg("l_extendedprice", Tables.lineitem(spark, dir),
-      "l_extendedprice")
-      .unionByName(leg("o_totalprice", Tables.orders(spark, dir),
-        "o_totalprice"))
+    val cells = benfordCells(spark, dir)
     val expected = BenfordBp.zipWithIndex
       .map { case (bp, i) => s"WHEN '${i + 1}' THEN ${bp}L" }
       .mkString("CASE digit ", " ", " END")
@@ -836,6 +843,110 @@ object Relational {
        |  ($expected)::BIGINT AS benford_bp,
        |  (n_values * 10000 // n_total)::BIGINT - ($expected)::BIGINT AS dev_bp
        |FROM t ORDER BY measure, digit""".stripMargin
+  }
+
+  /** X188 Benford goodness-of-fit verdict (q262): q181 SHOWS the
+    * per-digit deviations; this one JUDGES them — per money column,
+    * the Pearson χ² against the Benford expectation over the dense
+    * 1-9 digit grid (absent digits count as observed 0, which is
+    * itself strong evidence) plus Nigrini's mean-absolute-deviation
+    * conformity bands (Nigrini 2012: MAD < 60 bp close, < 120
+    * acceptable, < 150 marginal, else nonconforming — the forensic-
+    * accounting standard read). χ² in exact milli fixed point: per
+    * digit, dev = O·10⁴ − N·bp, contrib = 1000·dev² div (10⁴·N·bp),
+    * judged against the Pearson table at df = 8; MAD = ⌊Σ|obs_bp −
+    * benford_bp|/9⌋ over exactly the floored bp q181 prints, so the
+    * two tables reconcile by eye.
+    *
+    * Domain bound: dev² ≤ 10⁸·N² rides decimal(38,0)/HUGEINT — exact
+    * while a measure holds ≲ 10¹³ values.
+    *
+    * Scale posture: rides the PlanCache'd q181 digit cells (two
+    * column scans, map-side combinable); the dense grid, χ² and MAD
+    * are arithmetic on ≤18 rows; 2 output rows. */
+  def benfordGof(spark: SparkSession, dir: String): DataFrame = {
+    val cells = benfordCells(spark, dir)
+    val tots = cells.groupBy(col("measure"))
+      .agg(sum(col("n_values")).as("n_total"))
+    val expected = BenfordBp.zipWithIndex
+      .map { case (bp, i) => s"WHEN ${i + 1} THEN ${bp}L" }
+      .mkString("CASE d ", " ", " END")
+    tots
+      .select(col("measure"), col("n_total"),
+        explode(expr("sequence(1, 9)")).as("d"))
+      .join(cells.withColumn("d", col("digit").cast("int")),
+        Seq("measure", "d"), "left")
+      .select(col("measure"), col("n_total"), col("d"),
+        coalesce(col("n_values"), lit(0L)).as("o"),
+        expr(expected).as("bp"))
+      .withColumn("contrib_milli", expr(
+        "cast(cast(1000 as decimal(38,0)) * " +
+          "(o * 10000 - n_total * bp) * (o * 10000 - n_total * bp) div " +
+          "(cast(10000 as decimal(38,0)) * n_total * bp) as bigint)"))
+      .withColumn("absdev_bp", expr(
+        "abs(o * 10000 div n_total - bp)"))
+      .groupBy(col("measure"))
+      .agg(max(col("n_total")).as("n_values"),
+        sum(col("contrib_milli")).as("chi2_milli"),
+        sum(col("absdev_bp")).as("sad_bp"))
+      .withColumn("mad_bp", expr("sad_bp div 9"))
+      .select(col("measure"), col("n_values"), col("chi2_milli"),
+        lit(8L).as("df"),
+        (col("chi2_milli") >= lit(Chi2Crit95(7))).as("significant_95"),
+        (col("chi2_milli") >= lit(Chi2Crit99(7))).as("significant_99"),
+        col("mad_bp"),
+        expr("CASE WHEN mad_bp < 60 THEN 'a_close' " +
+          "WHEN mad_bp < 120 THEN 'b_acceptable' " +
+          "WHEN mad_bp < 150 THEN 'c_marginal' " +
+          "ELSE 'd_nonconforming' END").as("conformity"))
+      .orderBy(col("measure"))
+  }
+
+  def benfordGofSql: String = {
+    val expected = BenfordBp.zipWithIndex
+      .map { case (bp, i) => s"WHEN ${i + 1} THEN $bp" }
+      .mkString("CASE g.d ", " ", " END")
+    s"""WITH v AS (
+       |  SELECT 'l_extendedprice' AS measure,
+       |    substr(CAST(round(l_extendedprice * 100) AS BIGINT)::VARCHAR, 1, 1)
+       |      AS digit
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'o_totalprice',
+       |    substr(CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR, 1, 1)
+       |  FROM orders
+       |), cells AS (
+       |  SELECT measure, digit, count(*)::BIGINT AS n_values
+       |  FROM v WHERE digit NOT IN ('0', '-') GROUP BY 1, 2
+       |), tots AS (
+       |  SELECT measure, sum(n_values)::BIGINT AS n_total
+       |  FROM cells GROUP BY 1
+       |), grid AS (
+       |  SELECT t.measure, t.n_total, g.d,
+       |    coalesce(c.n_values, 0)::BIGINT AS o,
+       |    ($expected)::BIGINT AS bp
+       |  FROM tots t
+       |  CROSS JOIN (SELECT unnest(range(1, 10))::BIGINT AS d) g
+       |  LEFT JOIN cells c ON c.measure = t.measure AND c.digit = g.d::VARCHAR
+       |), contrib AS (
+       |  SELECT measure, n_total, d, o, bp,
+       |    (1000::HUGEINT * (o * 10000 - n_total::HUGEINT * bp)
+       |      * (o * 10000 - n_total::HUGEINT * bp)
+       |      // (10000::HUGEINT * n_total * bp))::BIGINT AS contrib_milli,
+       |    abs(o * 10000 // n_total - bp)::BIGINT AS absdev_bp
+       |  FROM grid
+       |)
+       |SELECT measure, max(n_total)::BIGINT AS n_values,
+       |  sum(contrib_milli)::BIGINT AS chi2_milli,
+       |  8::BIGINT AS df,
+       |  sum(contrib_milli) >= ${Chi2Crit95(7)} AS significant_95,
+       |  sum(contrib_milli) >= ${Chi2Crit99(7)} AS significant_99,
+       |  (sum(absdev_bp) // 9)::BIGINT AS mad_bp,
+       |  CASE WHEN sum(absdev_bp) // 9 < 60 THEN 'a_close'
+       |    WHEN sum(absdev_bp) // 9 < 120 THEN 'b_acceptable'
+       |    WHEN sum(absdev_bp) // 9 < 150 THEN 'c_marginal'
+       |    ELSE 'd_nonconforming' END AS conformity
+       |FROM contrib GROUP BY measure ORDER BY measure""".stripMargin
   }
 
   /** The (relationship, table, determinant, dependent) legs

@@ -354,6 +354,31 @@ class RelationalOpsSpec extends SparkSpec {
       !r.getAs[Boolean]("significant_99"))
   }
 
+  test("benfordGof (q262): hand-walked chi2 over the dense digit grid; Nigrini MAD bands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgof").toString
+    // lineitem digits: one of each 1..9 plus an extra 1 (N=10);
+    // per-digit contribs (milli) hand-floored: 338+328+49+0+54+163+
+    // 304+465+641 = 2342; SAD of floored bp devs = 4040 -> MAD 448
+    val prices = (1 to 9).map(_.toDouble) :+ 1.0
+    prices.map(p => (1L, p)).toDF("l_orderkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    // orders: a single 1.00 row -> chi2 = 1623 + sum(bp div 10 for
+    // d=2..9) = 2318; MAD = (6990+6990) div 9 = 1553
+    Seq((1L, 1.0)).toDF("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = Relational.benfordGof(spark, dir).collect()
+      .map(r => r.getAs[String]("measure") ->
+        ((r.getAs[Long]("n_values"), r.getAs[Long]("chi2_milli"),
+          r.getAs[Long]("df"), r.getAs[Boolean]("significant_95"),
+          r.getAs[Long]("mad_bp"), r.getAs[String]("conformity")))).toMap
+    assert(out("l_extendedprice") ==
+      ((10L, 2342L, 8L, false, 448L, "d_nonconforming")),
+      s"got ${out("l_extendedprice")}")
+    assert(out("o_totalprice") ==
+      ((1L, 2318L, 8L, false, 1553L, "d_nonconforming")),
+      s"got ${out("o_totalprice")}")
+  }
+
   test("chiSquareIndependence (q258): hand-walked 2x2 table, exact V, both verdicts fire") {
     val dir = java.nio.file.Files.createTempDirectory("graft_chi").toString
     Seq((1L, "1-URGENT"), (2L, "5-LOW"))
