@@ -949,6 +949,165 @@ object Relational {
        |FROM contrib GROUP BY measure ORDER BY measure""".stripMargin
   }
 
+  /** X189 order-backlog audit (q263): the end-of-day open-lineitem
+    * backlog series rolled to per-year operating stats, with the
+    * Little's-law implied wait (Little 1961: L = λW, so W = L/λ —
+    * average backlog over average daily arrivals). q223 prices the
+    * SLA tail and q253/q257 test whether priorities differ; this is
+    * the CAPACITY read: how much work sits open, when it peaked, and
+    * the wait the backlog level implies — the number a fulfillment
+    * planner actually staffs against. Each lineitem enters the
+    * backlog on its order date and leaves on its ship date (+1/−1
+    * deltas; a data-artifact ship-before-order lag, cf. q253's
+    * negative lag range, dips the running sum negative — min_backlog
+    * surfaces exactly that instead of hiding it). implied_wait =
+    * Σbacklog·1000 div arrivals — the L/λ algebra collapses to one
+    * exact division per year.
+    *
+    * Scale posture: ONE corpus join+collapse to ≤|days| (day, net)
+    * cells (map-side combinable, sentinel zero-days from the span
+    * scalar); the running backlog is the q233 TWO-LEVEL prefix sum —
+    * a within-year window (≤366 rows per partition, never
+    * SinglePartition) plus per-year entering offsets via the
+    * broadcast ≤|years|-row triangle; ≤|years| output rows. */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = graft.PlanCache.cached(spark, s"relational.backlogSpans:$dir") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"),
+          expr("cast(datediff(to_date(l_shipdate), date'1970-01-01') " +
+            "as bigint)").as("sday"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"),
+            expr("cast(datediff(to_date(o_orderdate), date'1970-01-01') " +
+              "as bigint)").as("aday")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("aday"), col("sday"))
+    }
+    val bounds = spans.agg(least(min(col("aday")), min(col("sday")))
+        .as("d_lo"),
+      greatest(max(col("aday")), max(col("sday"))).as("d_hi"))
+    val deltas = spans.select(explode(expr(
+      "array(named_struct('d', aday, 'net', 1L), " +
+        "named_struct('d', sday, 'net', -1L))")).as("e"))
+      .select(col("e.d").as("d"), col("e.net").as("net"))
+    val sentinels = bounds
+      .select(explode(expr("sequence(d_lo, d_hi)")).as("d"))
+      .select(col("d"), lit(0L).as("net"))
+    val cells = deltas.unionByName(sentinels)
+      .groupBy(col("d")).agg(sum(col("net")).as("net"))
+      .withColumn("yr", expr(
+        "year(date_add(date'1970-01-01', cast(d as int)))"))
+    val wd = Window.partitionBy(col("yr")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val yearNet = cells.groupBy(col("yr")).agg(sum(col("net")).as("ynet"))
+    val prior = yearNet.select(col("yr").as("y2"), col("ynet").as("n2"))
+    val offsets = yearNet
+      .join(broadcast(prior), col("y2") < col("yr"), "left")
+      .groupBy(col("yr"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("entering"))
+    val series = cells.withColumn("wcum", sum(col("net")).over(wd))
+      .join(broadcast(offsets), Seq("yr"))
+      .select(col("yr"), col("d"), (col("wcum") + col("entering"))
+        .as("backlog"))
+    val perYear = series.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_days"), sum(col("backlog")).as("sum_backlog"),
+        max(struct(col("backlog").as("b"), (lit(0L) - col("d")).as("negd")))
+          .as("pk"),
+        min(col("backlog")).as("min_backlog"))
+    val arr = spans.groupBy(expr(
+      "year(date_add(date'1970-01-01', cast(aday as int)))").as("yr"))
+      .agg(count(lit(1)).as("arrivals"))
+    val dep = spans.groupBy(expr(
+      "year(date_add(date'1970-01-01', cast(sday as int)))").as("yr"))
+      .agg(count(lit(1)).as("departures"))
+    perYear
+      .join(arr, Seq("yr"), "left")
+      .join(dep, Seq("yr"), "left")
+      .select(col("yr").cast("long").as("year"), col("n_days"),
+        coalesce(col("arrivals"), lit(0L)).as("arrivals"),
+        coalesce(col("departures"), lit(0L)).as("departures"),
+        expr("CASE WHEN sum_backlog >= 0 THEN sum_backlog * 1000 div " +
+          "n_days ELSE 0L - ((0L - sum_backlog) * 1000 div n_days) END")
+          .as("avg_backlog_milli"),
+        col("pk.b").as("peak_backlog"),
+        expr("date_add(date'1970-01-01', cast(0 - pk.negd as int))")
+          .as("peak_day"),
+        col("min_backlog"),
+        expr("CASE WHEN coalesce(arrivals, 0L) > 0 THEN " +
+          "CASE WHEN sum_backlog >= 0 THEN sum_backlog * 1000 div arrivals " +
+          "ELSE 0L - ((0L - sum_backlog) * 1000 div arrivals) END " +
+          "ELSE 0L END").as("implied_wait_days_milli"))
+      .orderBy(col("year"))
+  }
+
+  def orderBacklogSql: String =
+    """WITH spans AS (
+      |  SELECT (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS aday,
+      |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS sday
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), bounds AS (
+      |  SELECT least(min(aday), min(sday)) AS d_lo,
+      |    greatest(max(aday), max(sday)) AS d_hi
+      |  FROM spans
+      |), deltas AS (
+      |  SELECT aday AS d, 1::BIGINT AS net FROM spans
+      |  UNION ALL
+      |  SELECT sday, -1::BIGINT FROM spans
+      |  UNION ALL
+      |  SELECT unnest(range(d_lo, d_hi + 1))::BIGINT, 0::BIGINT FROM bounds
+      |), cells AS (
+      |  SELECT d, sum(net)::BIGINT AS net,
+      |    year(DATE '1970-01-01' + d::INTEGER)::BIGINT AS yr
+      |  FROM deltas GROUP BY 1
+      |), series AS (
+      |  SELECT yr, d,
+      |    sum(net) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS backlog
+      |  FROM cells
+      |), peryear AS (
+      |  SELECT yr, count(*)::BIGINT AS n_days,
+      |    sum(backlog)::BIGINT AS sum_backlog,
+      |    max(backlog)::BIGINT AS peak_backlog,
+      |    min(backlog)::BIGINT AS min_backlog
+      |  FROM series GROUP BY 1
+      |), pkday AS (
+      |  SELECT s.yr, min(s.d) AS peak_d
+      |  FROM series s JOIN peryear p
+      |    ON p.yr = s.yr AND s.backlog = p.peak_backlog
+      |  GROUP BY 1
+      |), arr AS (
+      |  SELECT year(DATE '1970-01-01' + aday::INTEGER)::BIGINT AS yr,
+      |    count(*)::BIGINT AS arrivals
+      |  FROM spans GROUP BY 1
+      |), dep AS (
+      |  SELECT year(DATE '1970-01-01' + sday::INTEGER)::BIGINT AS yr,
+      |    count(*)::BIGINT AS departures
+      |  FROM spans GROUP BY 1
+      |)
+      |SELECT p.yr AS year, p.n_days,
+      |  coalesce(a.arrivals, 0)::BIGINT AS arrivals,
+      |  coalesce(de.departures, 0)::BIGINT AS departures,
+      |  (CASE WHEN p.sum_backlog >= 0
+      |    THEN p.sum_backlog * 1000 // p.n_days
+      |    ELSE -((-p.sum_backlog) * 1000 // p.n_days)
+      |    END)::BIGINT AS avg_backlog_milli,
+      |  p.peak_backlog,
+      |  DATE '1970-01-01' + k.peak_d::INTEGER AS peak_day,
+      |  p.min_backlog,
+      |  (CASE WHEN coalesce(a.arrivals, 0) > 0 THEN
+      |    CASE WHEN p.sum_backlog >= 0
+      |      THEN p.sum_backlog * 1000 // a.arrivals
+      |      ELSE -((-p.sum_backlog) * 1000 // a.arrivals) END
+      |    ELSE 0 END)::BIGINT
+      |    AS implied_wait_days_milli
+      |FROM peryear p
+      |JOIN pkday k ON k.yr = p.yr
+      |LEFT JOIN arr a ON a.yr = p.yr
+      |LEFT JOIN dep de ON de.yr = p.yr
+      |ORDER BY year""".stripMargin
+
   /** The (relationship, table, determinant, dependent) legs
     * [[fdAudit]] profiles — two that must HOLD on a sane star schema
     * (key-determined attributes) and two that genuinely DON'T (an

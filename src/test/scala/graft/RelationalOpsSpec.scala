@@ -354,6 +354,34 @@ class RelationalOpsSpec extends SparkSpec {
       !r.getAs[Boolean]("significant_99"))
   }
 
+  test("orderBacklog (q263): hand-walked end-of-day series and Little's-law wait") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blog").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("1970-01-01 00:00:00")), (2L, ts("1970-01-03 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // o1 ships day 3, o2 ships same-day (day 2): deltas +1@0 +1@2 -1@2
+    // -1@3 -> end-of-day backlog 1,1,1,0 -> sum 3, avg 750 milli,
+    // peak 1 first at day 0, wait = 3*1000 div 2 = 1500 milli-days
+    Seq((1L, ts("1970-01-04 00:00:00")), (2L, ts("1970-01-03 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = Relational.orderBacklog(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("year") == 1970L)
+    assert(row.getAs[Long]("n_days") == 4L)
+    assert(row.getAs[Long]("arrivals") == 2L &&
+      row.getAs[Long]("departures") == 2L)
+    assert(row.getAs[Long]("avg_backlog_milli") == 750L,
+      s"avg ${row.getAs[Long]("avg_backlog_milli")}")
+    assert(row.getAs[Long]("peak_backlog") == 1L)
+    assert(row.getAs[java.sql.Date]("peak_day").toString == "1970-01-01")
+    assert(row.getAs[Long]("min_backlog") == 0L)
+    assert(row.getAs[Long]("implied_wait_days_milli") == 1500L,
+      s"wait ${row.getAs[Long]("implied_wait_days_milli")}")
+  }
+
   test("benfordGof (q262): hand-walked chi2 over the dense digit grid; Nigrini MAD bands") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bgof").toString
     // lineitem digits: one of each 1..9 plus an extra 1 (N=10);
