@@ -2255,6 +2255,119 @@ object EventAnalytics {
       |  ON a.day = b.day AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
 
+  /** X190 Pearson co-movement matrix (q264): the PARAMETRIC twin of
+    * q206 on the same dense daily grid (Pearson 1896) — Spearman reads
+    * monotone association in ranks; Pearson prices the LINEAR
+    * relationship in the raw volumes, so the pair is the classic
+    * diagnostic: ρ high but r low = monotone-but-curved, r ≫ ρ = a
+    * few huge days doing all the work. Exactly integer: per pair,
+    * cov = n·Σxy − ΣxΣy, var = n·Σx² − (Σx)², and r_milli =
+    * sign(cov)·(1000·|cov| div (√vx·√vy)) — the roots are the q245
+    * restoring isqrt rounded to NEAREST (quantization ≲ 1/√v
+    * relative, negligible on any real daily series) and the result
+    * clamped to ±1000 so Cauchy–Schwarz survives the rounding;
+    * degenerate (zero-variance) series read 0.
+    *
+    * Domain bound: the isqrt operand n·Σx² − (Σx)² must fit 2⁶², so
+    * per type (days × peak daily volume) ≲ 2.1e9 — a year at ~5.9M
+    * events/day/type; past that, correlate a weekly grid.
+    *
+    * Scale posture: rides the PlanCache'd q203/q206 dense grid
+    * (audit-sized at any corpus scale); the pair space is the q206
+    * day-keyed self-join; the rest is per-pair arithmetic on
+    * ≤|types|² rows. */
+  def pearsonMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val grid = denseDayGrid(spark, dir)
+    val a = grid.select(col("event_type").as("type_a"), col("day"),
+      col("c").as("x"))
+    val b = grid.select(col("event_type").as("type_b"), col("day"),
+      col("c").as("y"))
+    a.join(b, Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("cov", expr("n * sxy - sx * sy"))
+      .withColumn("vx", expr("n * sxx - sx * sx"))
+      .withColumn("vy", expr("n * syy - sy * sy"))
+      .withColumn("rx0", expr(graft.operators.Curation.isqrtSpark("vx")))
+      .withColumn("ry0", expr(graft.operators.Curation.isqrtSpark("vy")))
+      .withColumn("rx", expr(
+        "rx0 + IF(2 * (vx - rx0 * rx0) > 2 * rx0 + 1, 1L, 0L)"))
+      .withColumn("ry", expr(
+        "ry0 + IF(2 * (vy - ry0 * ry0) > 2 * ry0 + 1, 1L, 0L)"))
+      .select(col("type_a"), col("type_b"), col("n").as("n_days"),
+        expr("least(greatest(CASE WHEN vx <= 0 OR vy <= 0 THEN 0L " +
+          "WHEN cov >= 0 THEN " +
+          "cast(cast(1000 as decimal(38,0)) * cov div (rx * ry) as bigint) " +
+          "ELSE 0L - cast(cast(1000 as decimal(38,0)) * (0L - cov) div " +
+          "(rx * ry) as bigint) END, -1000L), 1000L)")
+          .as("pearson_r_milli"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  def pearsonMatrixSql: String =
+    """WITH RECURSIVE cells AS (
+      |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+      |), grid AS (
+      |  SELECT t.event_type, g.day::DATE AS day, coalesce(cells.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM cells) t
+      |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY))::DATE AS day FROM span) g
+      |  LEFT JOIN cells USING (event_type, day)
+      |), sums AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*)::BIGINT AS n,
+      |    sum(a.c)::BIGINT AS sx, sum(b.c)::BIGINT AS sy,
+      |    sum(a.c * a.c)::BIGINT AS sxx, sum(b.c * b.c)::BIGINT AS syy,
+      |    sum(a.c * b.c)::BIGINT AS sxy
+      |  FROM grid a JOIN grid b
+      |    ON a.day = b.day AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |), m AS (
+      |  SELECT type_a, type_b, n,
+      |    (n * sxy - sx * sy)::BIGINT AS cov,
+      |    (n * sxx - sx * sx)::BIGINT AS vx,
+      |    (n * syy - sy * sy)::BIGINT AS vy
+      |  FROM sums
+      |), f AS (
+      |  SELECT type_a, type_b, n, cov, vx, vy,
+      |    vx AS numx, 0::BIGINT AS resx,
+      |    vy AS numy, 0::BIGINT AS resy, 0 AS i
+      |  FROM m
+      |  UNION ALL
+      |  SELECT type_a, type_b, n, cov, vx, vy,
+      |    CASE WHEN numx >= resx + (1::BIGINT << (62 - 2 * i))
+      |      THEN numx - resx - (1::BIGINT << (62 - 2 * i)) ELSE numx END,
+      |    CASE WHEN numx >= resx + (1::BIGINT << (62 - 2 * i))
+      |      THEN resx // 2 + (1::BIGINT << (62 - 2 * i)) ELSE resx // 2 END,
+      |    CASE WHEN numy >= resy + (1::BIGINT << (62 - 2 * i))
+      |      THEN numy - resy - (1::BIGINT << (62 - 2 * i)) ELSE numy END,
+      |    CASE WHEN numy >= resy + (1::BIGINT << (62 - 2 * i))
+      |      THEN resy // 2 + (1::BIGINT << (62 - 2 * i)) ELSE resy // 2 END,
+      |    i + 1
+      |  FROM f WHERE i < 32
+      |), roots AS (
+      |  SELECT type_a, type_b, n, cov, vx, vy,
+      |    resx + (CASE WHEN 2 * (vx - resx * resx) > 2 * resx + 1
+      |      THEN 1 ELSE 0 END) AS rx,
+      |    resy + (CASE WHEN 2 * (vy - resy * resy) > 2 * resy + 1
+      |      THEN 1 ELSE 0 END) AS ry
+      |  FROM f WHERE i = 32
+      |)
+      |SELECT type_a, type_b, n AS n_days,
+      |  least(greatest((CASE WHEN vx <= 0 OR vy <= 0 THEN 0
+      |    WHEN cov >= 0 THEN (1000::HUGEINT * cov // (rx * ry))::BIGINT
+      |    ELSE -((1000::HUGEINT * (-cov) // (rx * ry))::BIGINT)
+      |    END)::BIGINT, -1000), 1000)::BIGINT AS pearson_r_milli
+      |FROM roots ORDER BY type_a, type_b""".stripMargin
+
   def decayedBurstPanelSql: String = {
     val terms = BurstWeights.zipWithIndex
       .map { case (wt, k) => s"lag(c, ${k + 1}, 0) OVER w * $wt" }

@@ -661,6 +661,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("dwell_share_bp") == 1538L)
   }
 
+  test("pearsonMatrix (q264): perfect line, anti-line, nearest-rounded roots, clamp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pear").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { j =>
+      eid += 1; (eid, nanos(d * day + j), eid % 5, t, 1.0, "{}")
+    }
+    // aa: 10,20,30,40; bb = 2*aa; cc = reversed aa
+    val counts = Map("aa" -> Seq(10, 20, 30, 40), "bb" -> Seq(20, 40, 60, 80),
+      "cc" -> Seq(40, 30, 20, 10))
+    counts.toSeq.flatMap { case (t, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) => evs(t, d.toLong, c) }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.pearsonMatrix(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("pearson_r_milli")))).toMap
+    // hand walk: vx(aa)=2000 -> root 45 (44^2=1936, nearest up),
+    // vy(bb)=8000 -> root 89 (89^2=7921, nearest down); cov(aa,bb)=4000
+    // -> 1000*4000 div 4005 = 998; (aa,cc): cov -2000, roots 45*45 ->
+    // -987; (bb,cc): cov -4000, 89*45 -> -998
+    assert(out == Map(
+      ("aa", "bb") -> ((4L, 998L)),
+      ("aa", "cc") -> ((4L, -987L)),
+      ("bb", "cc") -> ((4L, -998L))), s"got $out")
+  }
+
   test("markovStationary (q261): biased 2-state chain converges to 1/3-2/3; exact replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mkst").toString
