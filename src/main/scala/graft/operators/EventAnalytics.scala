@@ -2368,6 +2368,120 @@ object EventAnalytics {
       |    END)::BIGINT, -1000), 1000)::BIGINT AS pearson_r_milli
       |FROM roots ORDER BY type_a, type_b""".stripMargin
 
+  /** X191 weekly-seasonality strength (q265): per event type, Fisher's
+    * correlation ratio η² between day-of-week and daily volume over
+    * the dense grid — ONE number for "how weekly is this metric"
+    * (Fisher 1925; η² = SS_between/SS_total, the variance share the
+    * weekday explains). q185 maps WHERE the weekly mass sits; this
+    * says HOW MUCH structure there is — the number that decides
+    * whether q241/q251's seasonal forecaster rungs are worth their
+    * state, and the parametric cousin of electing b_seasonal in q251.
+    * Exactly integer: per dow cell, ⌊S_g²/n_g⌋ via the q255
+    * quotient-remainder identity (no decimal division trusted);
+    * η²_bp = 10⁴·max(0, N·Σ⌊S_g²/n_g⌋ − S²) div (N·Σc² − S²), clamped
+    * at 0 because per-cell floors can dip an exactly-null numerator
+    * a hair negative; an all-constant series (zero total variance)
+    * reads 0. Peak/trough weekday by exact milli mean with
+    * deterministic low-dow tie-breaks.
+    *
+    * Domain bound: 10⁴·N·Σc² rides decimal(38,0)/HUGEINT — exact
+    * while days·(peak daily volume) stays below ~10¹⁶.
+    *
+    * Scale posture: rides the PlanCache'd q203/q206/q264 dense grid;
+    * everything after is arithmetic on ≤|types|×7 dow cells;
+    * ≤|types| output rows. */
+  def weeklyEtaSquared(spark: SparkSession, dir: String): DataFrame = {
+    val grid = denseDayGrid(spark, dir)
+      .withColumn("dow", (expr("weekday(day)") + 1).cast("long"))
+    val perDow = grid.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"))
+      .withColumn("qg", expr(
+        "cast(sg div ng as decimal(38,0)) * (sg div ng) * ng " +
+          "+ cast(2 as decimal(38,0)) * (sg div ng) * (sg % ng) " +
+          "+ ((sg % ng) * (sg % ng) div ng)"))
+      .withColumn("mean_milli", expr(
+        "cast(cast(sg as decimal(38,0)) * 1000 div ng as bigint)"))
+    val sq = grid.groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c")).as("qq"))
+    perDow
+      .groupBy(col("event_type"))
+      .agg(sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+        sum(col("qg")).as("qsum"),
+        max(struct(col("mean_milli").as("m"), (lit(0L) - col("dow"))
+          .as("negd"))).as("pk"),
+        min(struct(col("mean_milli").as("m"), col("dow").as("d")))
+          .as("tr"))
+      .join(sq, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"),
+        expr("CASE WHEN cast(n as decimal(38,0)) * qq " +
+          "- cast(s as decimal(38,0)) * s > 0 THEN " +
+          "cast(greatest(cast(0 as decimal(38,0)), " +
+          "cast(10000 as decimal(38,0)) * " +
+          "(n * qsum - cast(s as decimal(38,0)) * s)) div " +
+          "(cast(n as decimal(38,0)) * qq " +
+          "- cast(s as decimal(38,0)) * s) as bigint) " +
+          "ELSE 0L END").as("eta2_bp"),
+        col("pk.m").as("peak_mean_milli"),
+        (lit(0L) - col("pk.negd")).as("peak_dow"),
+        col("tr.m").as("trough_mean_milli"),
+        col("tr.d").as("trough_dow"))
+      .orderBy(col("event_type"))
+  }
+
+  def weeklyEtaSquaredSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+      |), grid AS (
+      |  SELECT t.event_type, g.day::DATE AS day, coalesce(cells.c, 0) AS c,
+      |    isodow(g.day::DATE)::BIGINT AS dow
+      |  FROM (SELECT DISTINCT event_type FROM cells) t
+      |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY))::DATE AS day FROM span) g
+      |  LEFT JOIN cells USING (event_type, day)
+      |), perdow AS (
+      |  SELECT event_type, dow, count(*)::BIGINT AS ng,
+      |    sum(c)::BIGINT AS sg
+      |  FROM grid GROUP BY 1, 2
+      |), qcol AS (
+      |  SELECT event_type, dow, ng, sg,
+      |    (sg::HUGEINT * sg // ng) AS qg,
+      |    (sg::HUGEINT * 1000 // ng)::BIGINT AS mean_milli
+      |  FROM perdow
+      |), sq AS (
+      |  SELECT event_type, sum(c::HUGEINT * c) AS qq FROM grid GROUP BY 1
+      |), agg AS (
+      |  SELECT q.event_type, sum(q.ng)::BIGINT AS n, sum(q.sg)::BIGINT AS s,
+      |    sum(q.qg) AS qsum
+      |  FROM qcol q GROUP BY 1
+      |), pk AS (
+      |  SELECT event_type, mean_milli AS peak_mean_milli, dow AS peak_dow,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY mean_milli DESC, dow) AS rn
+      |  FROM qcol
+      |), tr AS (
+      |  SELECT event_type, mean_milli AS trough_mean_milli,
+      |    dow AS trough_dow,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY mean_milli, dow) AS rn
+      |  FROM qcol
+      |)
+      |SELECT a.event_type, a.n AS n_days,
+      |  (CASE WHEN a.n::HUGEINT * sq.qq - a.s::HUGEINT * a.s > 0
+      |    THEN greatest(0::HUGEINT, 10000::HUGEINT *
+      |      (a.n * a.qsum - a.s::HUGEINT * a.s))
+      |      // (a.n::HUGEINT * sq.qq - a.s::HUGEINT * a.s)
+      |    ELSE 0 END)::BIGINT AS eta2_bp,
+      |  p.peak_mean_milli, p.peak_dow,
+      |  t.trough_mean_milli, t.trough_dow
+      |FROM agg a
+      |JOIN sq USING (event_type)
+      |JOIN pk p ON p.event_type = a.event_type AND p.rn = 1
+      |JOIN tr t ON t.event_type = a.event_type AND t.rn = 1
+      |ORDER BY a.event_type""".stripMargin
+
   def decayedBurstPanelSql: String = {
     val terms = BurstWeights.zipWithIndex
       .map { case (wt, k) => s"lag(c, ${k + 1}, 0) OVER w * $wt" }

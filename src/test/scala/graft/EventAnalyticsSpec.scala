@@ -661,6 +661,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("dwell_share_bp") == 1538L)
   }
 
+  test("weeklyEtaSquared (q265): pure weekly shape reads 10000; flat series reads 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_eta").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { j =>
+      eid += 1; (eid, nanos(d * day + j), eid % 5, t, 1.0, "{}")
+    }
+    // 14 days from 1970-01-01 (a Thursday; d=4 and d=11 are Mondays).
+    // wk: Mondays 20, others 6 -> zero within-dow variance -> eta2
+    // exactly 10000; fl: constant 5 -> zero total variance -> 0
+    val rows = (0L to 13L).flatMap { d =>
+      evs("wk", d, if (d % 7L == 4L) 20 else 6) ++ evs("fl", d, 5)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.weeklyEtaSquared(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("eta2_bp"),
+          r.getAs[Long]("peak_dow"), r.getAs[Long]("peak_mean_milli"),
+          r.getAs[Long]("trough_dow"),
+          r.getAs[Long]("trough_mean_milli")))).toMap
+    assert(out("wk") == ((14L, 10000L, 1L, 20000L, 2L, 6000L)),
+      s"got ${out("wk")}")
+    assert(out("fl") == ((14L, 0L, 1L, 5000L, 1L, 5000L)),
+      s"got ${out("fl")}")
+  }
+
   test("pearsonMatrix (q264): perfect line, anti-line, nearest-rounded roots, clamp") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pear").toString
