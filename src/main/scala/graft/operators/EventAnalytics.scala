@@ -2540,6 +2540,113 @@ object EventAnalytics {
     * (audit-sized at any corpus scale); both cumulative folds are
     * broadcast triangle joins (histogram², then ≤10²); every divisor
     * is guarded or structurally positive. */
+  /** X192 exact AUC audit (q266): the area under the ROC curve of
+    * q213's engagement score against its purchase label, computed
+    * EXACTLY as the rank statistic AUC = (U + ties/2)/(n₊·n₋)
+    * (Hanley & McNeil 1982; Mann–Whitney U is the identity) — q213
+    * prices the score at ten operating points; this is the single
+    * threshold-free number model reviews compare across versions,
+    * plus its Gini twin (2·AUC − 1). Exactly integer: the q253
+    * doubled-midrank fold over the per-SCORE histogram (never a
+    * user-grain sort) — u_doubled = r1d − n₊(n₊+1) with ascending
+    * score ranks, auc_bp = u_doubled·10⁴ div 2n₊n₋ on a
+    * decimal(38,0) guard, ties split evenly by the midrank algebra
+    * itself. Degenerate corpora (no positives or no negatives) read
+    * the 5000 coin-flip sentinel.
+    *
+    * Domain bound: the q253 one — rank products fit BIGINT while the
+    * user count stays below ~2.1e9; the ·10⁴ product rides
+    * decimal(38,0).
+    *
+    * Scale posture: rides the PlanCache'd q213 per-user engagement
+    * collapse (ONE corpus shuffle, shared); the fold walks the
+    * bounded distinct-score histogram in one row; one output row. */
+  def aucAudit(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.PlanCache.cached(spark, s"events.userEngagement:$dir") {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type").isin("click", "view"), 1L)
+          .otherwise(0L)).as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+    }
+    val tot = per.agg(count(lit(1)).as("n_users_t"),
+      sum(col("n_purch")).as("tot_purch"))
+    val hist = per.crossJoin(broadcast(tot))
+      .select(col("score"),
+        when(col("n_purch") * col("n_users_t") > col("tot_purch"), 1L)
+          .otherwise(0L).as("pos"))
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("c1"),
+        (count(lit(1)) - sum(col("pos"))).as("c2"))
+    hist
+      .agg(map_from_entries(collect_list(struct(col("score"),
+        struct(col("c1"), col("c2"))))).as("m"),
+        sort_array(collect_list(col("score"))).as("ks"))
+      .select(expr(
+        """aggregate(
+          |  ks,
+          |  named_struct('n1', 0L, 'n2', 0L, 'r1d', 0L),
+          |  (acc, v) -> named_struct(
+          |    'n1', acc.n1 + element_at(m, v).c1,
+          |    'n2', acc.n2 + element_at(m, v).c2,
+          |    'r1d', acc.r1d + element_at(m, v).c1 *
+          |      (2 * (acc.n1 + acc.n2) +
+          |       element_at(m, v).c1 + element_at(m, v).c2 + 1)))"""
+          .stripMargin).as("st"))
+      .select(col("st.n1").as("n_positive"), col("st.n2").as("n_negative"),
+        expr("st.r1d - st.n1 * (st.n1 + 1)").as("u_doubled"))
+      .select(col("n_positive"), col("n_negative"),
+        expr("CASE WHEN n_positive > 0 AND n_negative > 0 THEN " +
+          "cast(cast(u_doubled as decimal(38,0)) * 10000 div " +
+          "(2 * n_positive * n_negative) as bigint) ELSE 5000L END")
+          .as("auc_bp"))
+      .withColumn("gini_bp", col("auc_bp") * 2 - 10000L)
+      .withColumn("better_than_coin", col("auc_bp") > 5000L)
+  }
+
+  def aucAuditSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1
+      |      ELSE 0 END)::BIGINT AS score,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1
+      |      ELSE 0 END)::BIGINT AS n_purch
+      |  FROM events GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS n_users_t,
+      |    sum(n_purch)::BIGINT AS tot_purch
+      |  FROM per
+      |), hist AS (
+      |  SELECT score,
+      |    sum(CASE WHEN n_purch * t.n_users_t > t.tot_purch THEN 1
+      |      ELSE 0 END)::BIGINT AS c1,
+      |    sum(CASE WHEN n_purch * t.n_users_t > t.tot_purch THEN 0
+      |      ELSE 1 END)::BIGINT AS c2
+      |  FROM per CROSS JOIN tot t GROUP BY 1
+      |), ranked AS (
+      |  SELECT c1, c2,
+      |    coalesce(sum(c1 + c2) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cbefore
+      |  FROM hist
+      |), s AS (
+      |  SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+      |    sum(c1 * (2 * cbefore + c1 + c2 + 1))::BIGINT AS r1d
+      |  FROM ranked
+      |)
+      |SELECT n1 AS n_positive, n2 AS n_negative,
+      |  (CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    ((r1d - n1 * (n1 + 1))::HUGEINT * 10000 // (2 * n1 * n2))::BIGINT
+      |    ELSE 5000 END)::BIGINT AS auc_bp,
+      |  (CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    ((r1d - n1 * (n1 + 1))::HUGEINT * 10000 // (2 * n1 * n2))::BIGINT
+      |    ELSE 5000 END) * 2 - 10000 AS gini_bp,
+      |  (CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    ((r1d - n1 * (n1 + 1))::HUGEINT * 10000 // (2 * n1 * n2))::BIGINT
+      |    ELSE 5000 END) > 5000 AS better_than_coin
+      |FROM s""".stripMargin
+
   def decileGains(spark: SparkSession, dir: String): DataFrame = {
     val per = graft.PlanCache.cached(spark, s"events.userEngagement:$dir") {
       Tables.events(spark, dir)

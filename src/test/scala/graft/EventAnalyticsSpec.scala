@@ -661,6 +661,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("dwell_share_bp") == 1538L)
   }
 
+  test("aucAudit (q266): hand-walked rank AUC with a score tie across classes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_auc").toString
+    var eid = 0L
+    def user(u: Long, clicks: Int, purch: Int) =
+      (1 to clicks).map { j =>
+        eid += 1; (eid, nanos(eid), u, "click", 1.0, "{}")
+      } ++ (1 to purch).map { j =>
+        eid += 1; (eid, nanos(eid), u, "purchase", 1.0, "{}")
+      }
+    // positives (>=2 purchases vs mean 6/5): u1 score 10, u2 score 8;
+    // negatives: u5 score 8 (TIE with u2), u3 score 2, u4 score 1.
+    // U = 3 + 0.5 + 2 = 5.5 -> auc = 5.5/6 -> 9166 bp
+    val rows = user(1L, 10, 3) ++ user(2L, 8, 3) ++ user(3L, 2, 0) ++
+      user(4L, 1, 0) ++ user(5L, 8, 0)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = EventAnalytics.aucAudit(spark, dir).collect().head
+    assert(r.getAs[Long]("n_positive") == 2L &&
+      r.getAs[Long]("n_negative") == 3L)
+    assert(r.getAs[Long]("auc_bp") == 9166L,
+      s"auc ${r.getAs[Long]("auc_bp")}")
+    assert(r.getAs[Long]("gini_bp") == 8332L)
+    assert(r.getAs[Boolean]("better_than_coin"))
+  }
+
   test("weeklyEtaSquared (q265): pure weekly shape reads 10000; flat series reads 0") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_eta").toString
