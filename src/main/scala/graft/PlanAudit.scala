@@ -111,7 +111,9 @@ object PlanAudit {
     "q247_markov_backtest",
     "q256_components",
     "q258_chi2_independence",
-    "q261_markov_stationary")
+    "q261_markov_stationary",
+    "q263_order_backlog",
+    "q266_auc_audit")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -192,6 +194,12 @@ object PlanAudit {
     // q261 crossJoins the broadcast SINGLE-ROW totals scalar onto the
     // ≤|types|-row stationary table — bounded-ENFORCED
     "q261_markov_stationary",
+    // q263's per-year entering offsets are the q233 broadcast triangle
+    // over the ≤|years|-row dimension — bounded-ENFORCED
+    "q263_order_backlog",
+    // q266 crossJoins the broadcast SINGLE-ROW user/purchase totals
+    // onto the per-user collapse — the q213 scalar, bounded-ENFORCED
+    "q266_auc_audit",
     // q213's cumulative folds are broadcast triangle theta-joins over
     // the distinct-score histogram and the ≤10-row decile table, plus
     // two single-row scalar crosses — the q167/q108 audited shapes

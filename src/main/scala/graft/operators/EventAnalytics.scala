@@ -2572,7 +2572,8 @@ object EventAnalytics {
     }
     val tot = per.agg(count(lit(1)).as("n_users_t"),
       sum(col("n_purch")).as("tot_purch"))
-    val hist = per.crossJoin(broadcast(tot))
+    val hist = per.crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q266_auc_audit.total", tot, 1L))
       .select(col("score"),
         when(col("n_purch") * col("n_users_t") > col("tot_purch"), 1L)
           .otherwise(0L).as("pos"))

@@ -1003,7 +1003,9 @@ object Relational {
     val yearNet = cells.groupBy(col("yr")).agg(sum(col("net")).as("ynet"))
     val prior = yearNet.select(col("yr").as("y2"), col("ynet").as("n2"))
     val offsets = yearNet
-      .join(broadcast(prior), col("y2") < col("yr"), "left")
+      .join(graft.PlanAudit.Bounded
+        .broadcastBounded("q263_order_backlog.prior_years", prior, 4096L),
+        col("y2") < col("yr"), "left")
       .groupBy(col("yr"))
       .agg(coalesce(sum(col("n2")), lit(0L)).as("entering"))
     val series = cells.withColumn("wcum", sum(col("net")).over(wd))
