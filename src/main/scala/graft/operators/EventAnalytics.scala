@@ -2482,6 +2482,144 @@ object EventAnalytics {
       |JOIN tr t ON t.event_type = a.event_type AND t.rn = 1
       |ORDER BY a.event_type""".stripMargin
 
+  /** X193 Wald–Wolfowitz runs test (q267): is each type's daily
+    * up/down move sequence RANDOM, or does it cluster into regimes?
+    * (Wald & Wolfowitz 1940). The inference shelf's autocorrelation
+    * member: q189/q252 read monotone trend, q228 level shifts, q265
+    * weekly structure — this reads SERIAL DEPENDENCE itself: too few
+    * sign runs = momentum/regimes (yesterday's direction predicts
+    * today's), too many = oscillation (daily over-correction). Signs
+    * come from day-over-day deltas on the dense grid with zero
+    * deltas dropped (the standard treatment). Exactly integer: with
+    * A = R·N − 2n₊n₋ − N and B = 2n₊n₋(2n₊n₋ − N), z² =
+    * A²(N−1)/B, so z_milli = sign(A)·isqrt(10⁶·A²·(N−1) div B) —
+    * ONE root via the q245 isqrt, no σ ever materializes.
+    *
+    * Domain bound: N here counts nonzero daily deltas — calendar-
+    * bounded, so 10⁶·A²·(N−1) ≤ 10⁶·N⁵ stays decimal(38,0)-safe for
+    * any series under ~3.9e6 days (ten thousand years).
+    *
+    * Scale posture: rides the PlanCache'd dense grid; one
+    * calendar-bounded fold per type (state: previous sign + three
+    * counters); the z arithmetic is per-row on ≤|types| rows. */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val grid = denseDayGrid(spark, dir)
+    val series = grid.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        count(lit(1)).as("n_days"),
+        map_from_entries(collect_list(struct(
+          expr("cast(datediff(day, date'1970-01-01') as bigint)"),
+          col("c")))).as("m"))
+      .withColumn("lo", expr("cast(datediff(d0, date'1970-01-01') as bigint)"))
+      .withColumn("hi", expr("cast(datediff(d1, date'1970-01-01') as bigint)"))
+    def cAt(j: String) = s"element_at(m, $j)"
+    val sgn = s"sign(${cAt("v")} - ${cAt("v - 1")})"
+    series
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  sequence(lo + 1, hi),
+           |  named_struct('prev', 0L, 'n1', 0L, 'n2', 0L, 'runs', 0L),
+           |  (acc, v) -> IF($sgn = 0, acc, named_struct(
+           |    'prev', cast($sgn as bigint),
+           |    'n1', acc.n1 + IF($sgn > 0, 1L, 0L),
+           |    'n2', acc.n2 + IF($sgn < 0, 1L, 0L),
+           |    'runs', acc.runs +
+           |      IF(cast($sgn as bigint) = acc.prev, 0L, 1L))))"""
+          .stripMargin))
+      .select(col("event_type"), col("n_days"),
+        col("st.n1").as("n_up"), col("st.n2").as("n_down"),
+        col("st.runs").as("n_runs"))
+      .withColumn("nn", expr("n_up + n_down"))
+      .withColumn("aa", expr("n_runs * nn - 2 * n_up * n_down - nn"))
+      .withColumn("bb", expr(
+        "cast(2 as decimal(38,0)) * n_up * n_down " +
+          "* (2 * n_up * n_down - nn)"))
+      .withColumn("zarg", expr(
+        "CASE WHEN bb > 0 THEN cast(cast(1000000 as decimal(38,0)) " +
+          "* aa * aa * (nn - 1) div bb as bigint) ELSE 0L END"))
+      .withColumn("z_milli", expr(
+        "IF(aa >= 0, 1L, -1L) * " +
+          graft.operators.Curation.isqrtSpark("zarg")))
+      .select(col("event_type"), col("n_days"), col("n_up"),
+        col("n_down"), col("n_runs"), col("z_milli"),
+        expr("abs(z_milli) >= 1960").as("significant_95"),
+        expr("CASE WHEN z_milli <= -1960 THEN 'a_trending' " +
+          "WHEN z_milli >= 1960 THEN 'c_oscillating' " +
+          "ELSE 'b_random' END").as("regime"))
+      .orderBy(col("event_type"))
+  }
+
+  def runsTestSql: String =
+    """WITH RECURSIVE cells AS (
+      |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+      |), grid AS (
+      |  SELECT t.event_type, g.day::DATE AS day, coalesce(cells.c, 0) AS c
+      |  FROM (SELECT DISTINCT event_type FROM cells) t
+      |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY))::DATE AS day FROM span) g
+      |  LEFT JOIN cells USING (event_type, day)
+      |), nd AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_days FROM grid GROUP BY 1
+      |), sg AS (
+      |  SELECT event_type, day,
+      |    sign(c - lag(c) OVER (PARTITION BY event_type ORDER BY day))
+      |      ::BIGINT AS s
+      |  FROM grid
+      |), nz AS (
+      |  SELECT event_type, day, s,
+      |    lag(s) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      |  FROM sg WHERE s IS NOT NULL AND s <> 0
+      |), st AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+      |    sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+      |    sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+      |      ::BIGINT AS n_runs
+      |  FROM nz GROUP BY 1
+      |), m AS (
+      |  SELECT nd.event_type, nd.n_days,
+      |    coalesce(st.n_up, 0)::BIGINT AS n_up,
+      |    coalesce(st.n_down, 0)::BIGINT AS n_down,
+      |    coalesce(st.n_runs, 0)::BIGINT AS n_runs,
+      |    (coalesce(st.n_up, 0) + coalesce(st.n_down, 0))::BIGINT AS nn
+      |  FROM nd LEFT JOIN st USING (event_type)
+      |), d AS (
+      |  SELECT *,
+      |    (n_runs * nn - 2 * n_up * n_down - nn)::BIGINT AS aa,
+      |    (2::HUGEINT * n_up * n_down * (2 * n_up * n_down - nn)) AS bb
+      |  FROM m
+      |), e AS (
+      |  SELECT *,
+      |    CASE WHEN bb > 0 THEN
+      |      (1000000::HUGEINT * aa * aa * (nn - 1) // bb)::BIGINT
+      |      ELSE 0 END AS zarg
+      |  FROM d
+      |), f AS (
+      |  SELECT event_type, n_days, n_up, n_down, n_runs, aa,
+      |    zarg, zarg AS num, 0::BIGINT AS res, 0 AS i FROM e
+      |  UNION ALL
+      |  SELECT event_type, n_days, n_up, n_down, n_runs, aa, zarg,
+      |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+      |      THEN num - res - (1::BIGINT << (62 - 2 * i)) ELSE num END,
+      |    CASE WHEN num >= res + (1::BIGINT << (62 - 2 * i))
+      |      THEN res // 2 + (1::BIGINT << (62 - 2 * i)) ELSE res // 2 END,
+      |    i + 1
+      |  FROM f WHERE i < 32
+      |)
+      |SELECT event_type, n_days, n_up, n_down, n_runs,
+      |  ((CASE WHEN aa >= 0 THEN 1 ELSE -1 END) * res)::BIGINT AS z_milli,
+      |  abs((CASE WHEN aa >= 0 THEN 1 ELSE -1 END) * res) >= 1960
+      |    AS significant_95,
+      |  CASE WHEN (CASE WHEN aa >= 0 THEN 1 ELSE -1 END) * res <= -1960
+      |    THEN 'a_trending'
+      |    WHEN (CASE WHEN aa >= 0 THEN 1 ELSE -1 END) * res >= 1960
+      |    THEN 'c_oscillating'
+      |    ELSE 'b_random' END AS regime
+      |FROM f WHERE i = 32 ORDER BY event_type""".stripMargin
+
   def decayedBurstPanelSql: String = {
     val terms = BurstWeights.zipWithIndex
       .map { case (wt, k) => s"lag(c, ${k + 1}, 0) OVER w * $wt" }

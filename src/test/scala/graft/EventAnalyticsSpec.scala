@@ -661,6 +661,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(c.getAs[Long]("dwell_share_bp") == 1538L)
   }
 
+  test("runsTest (q267): regime blocks vs alternation vs flat; zero deltas dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_runs").toString
+    var eid = 0L
+    def evs(t: String, d: Long, n: Int) = (1 to n).map { j =>
+      eid += 1; (eid, nanos(d * day + j), eid % 5, t, 1.0, "{}")
+    }
+    val shapes = Map(
+      // tent: 5 ups then 5 downs -> 2 runs of 10 -> z = -2683 (trending)
+      "tr" -> Seq(1, 2, 3, 4, 5, 6, 5, 4, 3, 2, 1),
+      // sawtooth: 10 alternating deltas -> 10 runs -> z = +2683
+      // (the tent's mirror image: same counts, opposite sign)
+      "os" -> Seq(5, 6, 5, 6, 5, 6, 5, 6, 5, 6, 5),
+      // two zero deltas dropped; all-up remainder is degenerate (B=0)
+      "zz" -> Seq(5, 5, 6, 6, 7, 7, 7, 7, 7, 7, 7))
+    val rows = shapes.toSeq.flatMap { case (t, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) => evs(t, d.toLong, c) }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.runsTest(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_up"), r.getAs[Long]("n_down"),
+          r.getAs[Long]("n_runs"), r.getAs[Long]("z_milli"),
+          r.getAs[String]("regime")))).toMap
+    assert(out("tr") == ((5L, 5L, 2L, -2683L, "a_trending")),
+      s"got ${out("tr")}")
+    assert(out("os") == ((5L, 5L, 10L, 2683L, "c_oscillating")),
+      s"got ${out("os")}")
+    assert(out("zz") == ((2L, 0L, 1L, 0L, "b_random")), s"got ${out("zz")}")
+  }
+
   test("aucAudit (q266): hand-walked rank AUC with a score tie across classes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_auc").toString
