@@ -775,23 +775,39 @@ object EventAnalytics {
     val types = cells.select(col("from_type").as("event_type"))
       .unionByName(cells.select(col("to_type").as("event_type")))
       .distinct()
-    var pi = types.select(col("event_type"), lit(1000L).as("mass"))
-    for (_ <- 1 to MarkovSteps) {
-      val flow = pi
-        .join(pcell, col("event_type") === col("from_type"))
-        .groupBy(col("to_type").as("event_type"))
-        .agg(sum(expr("mass * p_micro div 1000000")).as("mass"))
-      val stuck = pi
-        .join(outdeg, col("event_type") === col("from_type"), "left")
-        .filter(col("n_out").isNull)
-        .select(col("event_type"), col("mass"))
-      // per-step lineage truncation (the q64 propagation rule): pi is
-      // referenced twice per step (flow + dangling leg), so without a
-      // cut the logical plan doubles every iteration
-      pi = flow.unionByName(stuck)
-        .groupBy(col("event_type")).agg(sum(col("mass")).as("mass"))
-        .localCheckpoint(eager = false)
-    }
+    // the whole 16-step walk folds IN-ROW over the collected
+    // ≤|types|²-cell matrix (the q253 bounded-collapse rule): the
+    // join-per-step formulation paid 16 rounds of job overhead
+    // (measured 7.6 s at sf0.1 for ~2000 integer ops); indexes come
+    // from array_position against the sorted type list, so no row
+    // ever reaches the driver
+    val bb = graft.PlanAudit.Bounded
+    val tyList = types.agg(sort_array(collect_list(col("event_type")))
+      .as("ty"))
+    val cellArr = pcell
+      .crossJoin(bb.broadcastBounded("q261_markov_stationary.tylist",
+        tyList.select(col("ty").as("ty2")), 1L))
+      .select(struct(
+        expr("cast(array_position(ty2, from_type) as int)").as("f"),
+        expr("cast(array_position(ty2, to_type) as int)").as("t"),
+        col("p_micro").as("p")).as("c"))
+      .agg(collect_list(col("c")).as("cells"))
+    val one = tyList.crossJoin(
+      bb.broadcastBounded("q261_markov_stationary.cells", cellArr, 1L))
+    val piArr = one.select(col("ty"), expr(
+      s"""aggregate(
+         |  sequence(1, $MarkovSteps),
+         |  array_repeat(1000L, size(ty)),
+         |  (acc, step) -> transform(ty, (x, j0) ->
+         |    aggregate(cells, 0L, (s, c) ->
+         |      s + IF(c.t = j0 + 1,
+         |        element_at(acc, c.f) * c.p div 1000000, 0L))
+         |    + IF(exists(cells, c -> c.f = j0 + 1),
+         |        0L, element_at(acc, j0 + 1))))""".stripMargin)
+      .as("mass"))
+    val pi = piArr
+      .select(explode(arrays_zip(col("ty"), col("mass"))).as("z"))
+      .select(col("z.ty").as("event_type"), col("z.mass").as("mass"))
     val obs = outdeg.select(col("from_type").as("event_type"), col("n_out"))
     val tots = pi.agg(sum(col("mass")).as("pi_tot"))
       .crossJoin(obs.agg(sum(col("n_out")).as("out_tot")))

@@ -1962,26 +1962,31 @@ object Relational {
     }
     val byLag = cells.groupBy(col("lag_days")).agg(gCols.head, gCols.tail: _*)
     val ks = 1 to Priorities.size
-    def gAt(i: Int) = s"coalesce(element_at(m, v).g$i, 0L)"
-    val tSum = ks.map(gAt).mkString(" + ")
+    // the fold walks a pre-sorted ARRAY of per-lag structs (counts and
+    // their tie total t computed ONCE, codegen'd, in the array build) —
+    // a map-keyed walk re-evaluates ~45 element_at lookups per step and
+    // measured 14 s over the ~4.9k-lag range; struct-field access off
+    // the sorted array is ~10x cheaper. Absent lags carry t = 0 and are
+    // rank-neutral, so skipping them is identical to the dense walk.
     val cbSum = ks.map(i => s"acc.n$i").mkString(" + ")
     val initFields = (ks.map(i => s"'n$i', 0L") ++
       ks.map(i => s"'r$i', 0L") :+
       "'st', cast(0 as decimal(38,0))").mkString(", ")
-    val stepFields = (ks.map(i => s"'n$i', acc.n$i + ${gAt(i)}") ++
+    val stepFields = (ks.map(i => s"'n$i', acc.n$i + e.s.g$i") ++
       ks.map(i =>
-        s"'r$i', acc.r$i + ${gAt(i)} * (2 * ($cbSum) + ($tSum) + 1)") :+
-      (s"'st', cast(acc.st + (cast(($tSum) as decimal(38,0)) * ($tSum) " +
-        s"* ($tSum) - ($tSum)) as decimal(38,0))")).mkString(",\n    ")
+        s"'r$i', acc.r$i + e.s.g$i * (2 * ($cbSum) + e.s.t + 1)") :+
+      ("'st', cast(acc.st + (cast(e.s.t as decimal(38,0)) * e.s.t " +
+        "* e.s.t - e.s.t) as decimal(38,0))")).mkString(",\n    ")
     val walk = byLag
-      .agg(min(col("lag_days")).as("lo"), max(col("lag_days")).as("hi"),
-        map_from_entries(collect_list(struct(col("lag_days"),
-          struct(ks.map(i => col(s"g$i")): _*)))).as("m"))
+      .withColumn("t", ks.map(i => col(s"g$i")).reduce(_ + _))
+      .agg(sort_array(collect_list(struct(col("lag_days"),
+        struct(ks.map(i => col(s"g$i")) :+ col("t"): _*).as("s"))))
+        .as("arr"))
       .select(expr(
         s"""aggregate(
-           |  sequence(lo, hi),
+           |  arr,
            |  named_struct($initFields),
-           |  (acc, v) -> named_struct(
+           |  (acc, e) -> named_struct(
            |    $stepFields))""".stripMargin).as("w"))
       .select(ks.map(i => col(s"w.n$i").as(s"n$i")) ++
         ks.map(i => col(s"w.r$i").as(s"r$i")) :+ col("w.st").as("st"): _*)
