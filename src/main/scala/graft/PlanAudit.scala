@@ -113,7 +113,9 @@ object PlanAudit {
     "q258_chi2_independence",
     "q261_markov_stationary",
     "q263_order_backlog",
-    "q266_auc_audit")
+    "q266_auc_audit",
+    "q269_calibration",
+    "q270_brier")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -365,7 +367,12 @@ object PlanAudit {
     "q245_neyman_allocation",
     // q247 crosses the |types|-row state table with the bounded-enforced
     // 1-row marginal-election scalar
-    "q247_markov_backtest")
+    "q247_markov_backtest",
+    // q269/q270 cross the q213 per-user collapse with the bounded-
+    // enforced 1-row totals scalar (the q266 shape), then their ≤10-row
+    // bin tables with bounded-enforced 1-row ECE / base-rate scalars
+    "q269_calibration",
+    "q270_brier")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

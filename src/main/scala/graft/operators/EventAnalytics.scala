@@ -2892,6 +2892,202 @@ object EventAnalytics {
       |    ELSE (cum_pos * 10000 // dt.tot_pos)::BIGINT END AS capture_bp
       |FROM c CROSS JOIN dt ORDER BY decile""".stripMargin
 
+  // ---- X195: score-calibration audit (q269) ---------------------------------
+
+  /** Shared q269/q270 seam: the per-user engagement score read as a
+    * max-normalized probability, bucketed into 10 equal-width bp bins.
+    * Per bin: user count, positive count (q213's above-average-purchaser
+    * rule), and the exact sum of predicted bp. Rides the PlanCache'd
+    * q213 per-user collapse — no new corpus scan. */
+  private def calibrationBins(spark: SparkSession,
+                              dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"events.calibBins:$dir") {
+      val bb = graft.PlanAudit.Bounded
+      val per = graft.PlanCache.cached(spark, s"events.userEngagement:$dir") {
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type").isin("click", "view"), 1L)
+            .otherwise(0L)).as("score"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purch"))
+      }
+      val tot = per.agg(count(lit(1)).as("n_users_t"),
+        sum(col("n_purch")).as("tot_purch"),
+        max(col("score")).as("max_score"))
+      val hist = per
+        .crossJoin(bb.broadcastBounded("q269_calibration.totals", tot, 1L))
+        .select(col("score"), col("max_score"),
+          when(col("n_purch") * col("n_users_t") > col("tot_purch"), 1L)
+            .otherwise(0L).as("pos"))
+        .groupBy(col("score"), col("max_score"))
+        .agg(count(lit(1)).as("nu"), sum(col("pos")).as("np"))
+        .select(col("nu"), col("np"),
+          expr("CASE WHEN max_score = 0 THEN 0L " +
+            "ELSE score * 10000 div max_score END").as("pred_bp"))
+      hist
+        .select(col("nu"), col("np"), col("pred_bp"),
+          least(expr("pred_bp div 1000"), lit(9L)).as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(col("nu")).as("n_users"), sum(col("np")).as("n_pos"),
+          sum(col("nu") * col("pred_bp")).as("sum_pred"))
+    }
+
+  /** Shared q269/q270 oracle prefix: the same bins in DuckDB SQL. */
+  private def calibrationBinsSqlWith: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0
+      |      END)::BIGINT AS score,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |      END)::BIGINT AS n_purch
+      |  FROM events GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS n_users_t,
+      |    sum(n_purch)::BIGINT AS tot_purch,
+      |    max(score)::BIGINT AS max_score
+      |  FROM per
+      |), hist AS (
+      |  SELECT score, max_score, count(*)::BIGINT AS nu,
+      |    sum(CASE WHEN n_purch * tot.n_users_t > tot.tot_purch
+      |      THEN 1 ELSE 0 END)::BIGINT AS np
+      |  FROM per CROSS JOIN tot GROUP BY 1, 2
+      |), cells AS (
+      |  SELECT nu, np,
+      |    CASE WHEN max_score = 0 THEN 0
+      |      ELSE score * 10000 // max_score END AS pred_bp
+      |  FROM hist
+      |), bins AS (
+      |  SELECT least(pred_bp // 1000, 9) AS bin,
+      |    sum(nu)::BIGINT AS n_users, sum(np)::BIGINT AS n_pos,
+      |    sum(nu * pred_bp)::BIGINT AS sum_pred
+      |  FROM cells GROUP BY 1
+      |)""".stripMargin
+
+  /** X195 score-calibration audit (q269): the reliability diagram +
+    * expected calibration error of the q213 engagement score read as a
+    * probability (max-normalized to the bp grid). Per predicted-bp bin
+    * (10 equal-width bins): users, positives (q213's above-average-
+    * purchaser label), exact mean predicted bp, observed positive rate
+    * bp, the signed gap, and the corpus ECE (user-weighted mean absolute
+    * gap — Naeini et al. 2015's ECE on the integer bp grid). q266/q213
+    * measure DISCRIMINATION (ranking); this measures CALIBRATION — a
+    * score can order users perfectly and still be wrong as a
+    * probability, which is what a downstream bidder/triage consumer
+    * actually spends against.
+    *
+    * All integer: predicted bp floors once per score cell, bin means
+    * floor once per bin, ECE floors once — identical in both engines.
+    *
+    * Scale posture: rides the PlanCache'd q213 per-user collapse (the
+    * only corpus-scale work, map-side combinable); the score histogram
+    * is distinct-score-sized, bins are ≤10 rows, and the ECE scalar is
+    * a bounded-enforced single-row cross back onto them. */
+  def calibrationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bb = graft.PlanAudit.Bounded
+    val bins = calibrationBins(spark, dir)
+      .select(col("bin"), col("n_users"), col("n_pos"),
+        expr("sum_pred div n_users").as("mean_pred_bp"),
+        expr("n_pos * 10000 div n_users").as("obs_bp"))
+    val ece = bins.agg(sum(col("n_users")).as("n_t"),
+      sum(col("n_users") *
+        abs(col("obs_bp") - col("mean_pred_bp"))).as("w_gap"))
+      .select(expr("w_gap div n_t").as("ece_bp"))
+    bins
+      .crossJoin(bb.broadcastBounded("q269_calibration.ece", ece, 1L))
+      .select(col("bin"), col("n_users"), col("n_pos"),
+        col("mean_pred_bp"), col("obs_bp"),
+        (col("obs_bp") - col("mean_pred_bp")).as("gap_bp"),
+        col("ece_bp"))
+      .orderBy(col("bin"))
+  }
+
+  def calibrationAuditSql: String =
+    s"""$calibrationBinsSqlWith, rel AS (
+       |  SELECT bin, n_users, n_pos,
+       |    (sum_pred // n_users)::BIGINT AS mean_pred_bp,
+       |    (n_pos * 10000 // n_users)::BIGINT AS obs_bp
+       |  FROM bins
+       |), ece AS (
+       |  SELECT (sum(n_users * abs(obs_bp - mean_pred_bp)) //
+       |    sum(n_users))::BIGINT AS ece_bp
+       |  FROM rel
+       |)
+       |SELECT bin::BIGINT AS bin, n_users, n_pos, mean_pred_bp, obs_bp,
+       |  (obs_bp - mean_pred_bp)::BIGINT AS gap_bp, ece_bp
+       |FROM rel CROSS JOIN ece ORDER BY bin""".stripMargin
+
+  // ---- X196: Brier decomposition (q270) --------------------------------------
+
+  /** X196 Brier-score decomposition (q270): Murphy (1973)'s exact
+    * three-way split of the q269 probability forecast's Brier score —
+    * RELIABILITY (calibration loss, what q269's ECE weighs linearly,
+    * here quadratically), RESOLUTION (how much the bins separate the
+    * base rate; subtracts from loss), and UNCERTAINTY (the base rate's
+    * own variance, the no-skill floor) — all on the bp² integer grid,
+    * binned exactly as q269 bins. brier_bp2 = rel − res + unc, so a
+    * forecaster reads WHERE the loss comes from: a miscalibrated but
+    * sharp score fixes itself with recalibration (rel high, res high);
+    * a flat score cannot (res ≈ 0).
+    *
+    * All integer: bin means/rates are the q269 floored bp values;
+    * squares and user-weighted folds are exact BIGINTs (≤10 bins ×
+    * bp² ≤ 10^8 × corpus users — far inside the long range).
+    *
+    * Scale posture: rides the PlanCache'd q269 bin table (≤10 rows);
+    * the base-rate scalar is a bounded-enforced single-row cross onto
+    * those rows; output is ONE row. */
+  def brierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val bb = graft.PlanAudit.Bounded
+    val bins = calibrationBins(spark, dir)
+      .select(col("n_users"), col("n_pos"),
+        expr("sum_pred div n_users").as("mean_pred_bp"),
+        expr("n_pos * 10000 div n_users").as("obs_bp"))
+    val base = bins.agg(sum(col("n_users")).as("n_t"),
+      sum(col("n_pos")).as("pos_t"))
+      .select(col("n_t"),
+        expr("pos_t * 10000 div n_t").as("obar_bp"))
+    bins
+      .crossJoin(bb.broadcastBounded("q270_brier.base", base, 1L))
+      .agg(max(col("n_t")).as("n_users"), max(col("obar_bp")).as("obar_bp"),
+        sum(col("n_users") * (col("mean_pred_bp") - col("obs_bp")) *
+          (col("mean_pred_bp") - col("obs_bp"))).as("rel_num"),
+        sum(col("n_users") * (col("obs_bp") - col("obar_bp")) *
+          (col("obs_bp") - col("obar_bp"))).as("res_num"))
+      .select(col("n_users"), col("obar_bp"),
+        expr("rel_num div n_users").as("rel_bp2"),
+        expr("res_num div n_users").as("res_bp2"),
+        expr("obar_bp * (10000 - obar_bp)").as("unc_bp2"))
+      .withColumn("brier_bp2",
+        col("rel_bp2") - col("res_bp2") + col("unc_bp2"))
+  }
+
+  def brierDecompositionSql: String =
+    s"""$calibrationBinsSqlWith, rel AS (
+       |  SELECT n_users, n_pos,
+       |    (sum_pred // n_users)::BIGINT AS mean_pred_bp,
+       |    (n_pos * 10000 // n_users)::BIGINT AS obs_bp
+       |  FROM bins
+       |), base AS (
+       |  SELECT sum(n_users)::BIGINT AS n_t,
+       |    (sum(n_pos) * 10000 // sum(n_users))::BIGINT AS obar_bp
+       |  FROM rel
+       |), folded AS (
+       |  SELECT max(b.n_t)::BIGINT AS n_users,
+       |    max(b.obar_bp)::BIGINT AS obar_bp,
+       |    sum(r.n_users * (r.mean_pred_bp - r.obs_bp) *
+       |      (r.mean_pred_bp - r.obs_bp))::BIGINT AS rel_num,
+       |    sum(r.n_users * (r.obs_bp - b.obar_bp) *
+       |      (r.obs_bp - b.obar_bp))::BIGINT AS res_num
+       |  FROM rel r CROSS JOIN base b
+       |)
+       |SELECT n_users, obar_bp,
+       |  (rel_num // n_users)::BIGINT AS rel_bp2,
+       |  (res_num // n_users)::BIGINT AS res_bp2,
+       |  (obar_bp * (10000 - obar_bp))::BIGINT AS unc_bp2,
+       |  (rel_num // n_users - res_num // n_users +
+       |   obar_bp * (10000 - obar_bp))::BIGINT AS brier_bp2
+       |FROM folded""".stripMargin
+
   // ---- X147: funnel stage-dwell diagnosis (q221) -----------------------------
 
   /** X147 funnel stage-dwell diagnosis (q221): per consecutive funnel

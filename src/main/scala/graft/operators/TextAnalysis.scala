@@ -4055,6 +4055,143 @@ object TextAnalysis {
        |SELECT lang, rank::BIGINT AS rank, pair, cnt
        |FROM r WHERE rank <= $k ORDER BY lang, rank""".stripMargin
 
+  // ---- X194: BPE merge ladder (q268) ----------------------------------------
+
+  /** Number of synchronized BPE merge steps the ladder runs (q268). Six
+    * steps cover the vocabulary's whole bottom layer on the synthetic
+    * corpus while keeping the unrolled DuckDB oracle chain readable. */
+  val BpeLadderSteps = 6
+
+  /** X194 BPE merge ladder (q268): per language, the first `k`
+    * SYNCHRONIZED byte-pair-encoding merges — the actual greedy training
+    * loop (Sennrich et al. 2016, arXiv:1508.07909), not just the first
+    * election q202 reports. Step t counts adjacent SYMBOL pairs over the
+    * current segmentation (weighted by word-type frequency), elects the
+    * most frequent pair (ties break on the pair), merges it
+    * left-to-right non-overlapping in every word, and repeats. The
+    * output is each language's merge table prefix — the exact artifact
+    * a tokenizer trainer ships.
+    *
+    * Cross-engine exactness: a word's segmentation rides as ONE string
+    * with every symbol wrapped in `chr(31)` sentinels
+    * (`␟a␟␟b␟␟c␟`), so a merge is a plain `replace()` of
+    * `␟a␟␟b␟` with `␟ab␟` — both engines' replace() scans
+    * left-to-right and resumes AFTER the replacement, which IS BPE's
+    * greedy non-overlap rule (aaaa → aa,aa; aaa → aa,a), and the
+    * double-sentinel boundary means a pattern can never match across a
+    * symbol boundary or re-use a consumed sentinel. Tokens containing
+    * the sentinel byte are excluded identically in both engines.
+    *
+    * Scale posture: step 0 collapses the corpus to WORD TYPES per
+    * language (one pass, map-side combine — BPE's classic type-table
+    * trick), and the whole ladder iterates over that vocabulary-sized
+    * table: per step one pair-count shuffle over (lang, a, b) cells, a
+    * per-lang top-1 window over audit-sized cells, and a broadcast
+    * (≤|langs| rows) merge join. Each iterate is referenced twice
+    * (pair count + merge), so every step is lineage-truncated with
+    * `localCheckpoint(eager = false)` (the q64/q261 materialization
+    * rule; the oracle marks each step's CTE `AS MATERIALIZED`). */
+  def bpeMergeLadder(spark: SparkSession, dir: String,
+                     k: Int = BpeLadderSteps): DataFrame = {
+    require(k > 0, s"bpeMergeLadder: k must be positive ($k)")
+    import org.apache.spark.sql.expressions.Window
+    val sep = "\u001f"
+    var types = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextHash.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1 && !col("w").contains(sep))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("cnt"),
+        concat(lit(sep),
+          array_join(expr("transform(sequence(1, length(w)), " +
+            "i -> substr(w, i, 1))"), sep + sep),
+          lit(sep)).as("ws"))
+      .localCheckpoint(eager = false)
+    val rankW = Window.partitionBy(col("lang"))
+      .orderBy(col("pcnt").desc, col("a"), col("b"))
+    var winners = Vector.empty[DataFrame]
+    for (step <- 1 to k) {
+      val pairs = types
+        .select(col("lang"), col("cnt"),
+          split(expr("substr(ws, 2, length(ws) - 2)"),
+            java.util.regex.Pattern.quote(sep + sep)).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("lang"), col("cnt"),
+          explode(expr("transform(sequence(1, size(sy) - 1), " +
+            "i -> named_struct('a', element_at(sy, i), " +
+            "'b', element_at(sy, i + 1)))")).as("p"))
+        .select(col("lang"), col("cnt"),
+          col("p.a").as("a"), col("p.b").as("b"))
+      val win = pairs
+        .groupBy(col("lang"), col("a"), col("b"))
+        .agg(sum(col("cnt")).as("pcnt"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("a"), col("b"), col("pcnt"))
+        .localCheckpoint(eager = false)
+      winners = winners :+ win.withColumn("step", lit(step.toLong))
+      types = types
+        .join(broadcast(win.select(col("lang"), col("a"), col("b"))),
+          Seq("lang"), "left")
+        .select(col("lang"), col("cnt"),
+          when(col("a").isNull, col("ws")).otherwise(
+            expr("replace(ws, concat(char(31), a, char(31), char(31), " +
+              "b, char(31)), concat(char(31), a, b, char(31)))")).as("ws"))
+        .localCheckpoint(eager = false)
+    }
+    winners.reduce(_ unionByName _)
+      .select(col("lang"), col("step"), col("a").as("left_sym"),
+        col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
+        col("pcnt").as("cnt"))
+      .orderBy(col("lang"), col("step"))
+  }
+
+  def bpeMergeLadderSql(k: Int = BpeLadderSteps): String = {
+    def step(i: Int): String = {
+      val prev = s"ty${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT lang, u.a AS a, u.b AS b, sum(cnt)::BIGINT AS pcnt FROM (
+         |    SELECT lang, cnt, unnest(list_transform(range(1, len(sy)),
+         |      i -> {'a': sy[i], 'b': sy[i + 1]})) AS u FROM (
+         |      SELECT lang, cnt, string_split(substr(ws, 2, length(ws) - 2),
+         |        chr(31) || chr(31)) AS sy
+         |      FROM $prev)
+         |  ) GROUP BY 1, 2, 3
+         |), w$i AS MATERIALIZED (
+         |  SELECT lang, a, b, pcnt FROM (
+         |    SELECT lang, a, b, pcnt, row_number() OVER (PARTITION BY lang
+         |      ORDER BY pcnt DESC, a, b) AS rn FROM p$i) WHERE rn = 1
+         |), ty$i AS MATERIALIZED (
+         |  SELECT t.lang, t.cnt,
+         |    CASE WHEN w.lang IS NULL THEN t.ws ELSE replace(t.ws,
+         |      chr(31) || w.a || chr(31) || chr(31) || w.b || chr(31),
+         |      chr(31) || w.a || w.b || chr(31)) END AS ws
+         |  FROM $prev t LEFT JOIN w$i w USING (lang)
+         |)""".stripMargin
+    }
+    val steps = (1 to k).map(step).mkString(", ")
+    val sel = (1 to k)
+      .map(i => s"SELECT lang, ${i}::BIGINT AS step, a, b, pcnt FROM w$i")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH t0 AS (
+       |  SELECT lang, w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents
+       |  ) WHERE length(w) >= 1 AND NOT contains(w, chr(31))
+       |  GROUP BY 1, 2
+       |), ty0 AS MATERIALIZED (
+       |  SELECT lang, cnt,
+       |    chr(31) || array_to_string(list_transform(
+       |      range(1, length(w) + 1), i -> substr(w, i, 1)),
+       |      chr(31) || chr(31)) || chr(31) AS ws
+       |  FROM t0
+       |), $steps
+       |SELECT lang, step, a AS left_sym, b AS right_sym,
+       |  a || b AS merged, pcnt AS cnt
+       |FROM (
+       |    $sel
+       |) ORDER BY lang, step""".stripMargin
+  }
+
   // ---- X146: term position-bias audit (q220) --------------------------------
 
   /** X146 term position-bias audit (q220): for the corpus's top-k

@@ -34,6 +34,52 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(steps == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"got $steps")
   }
 
+  test("calibrationAudit + brierDecomposition (q269/q270): hand-walked miscalibrated score") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_calib").toString
+    Seq(
+      // u1: score 4 (max) + purchase → bin 9, predicted 10000, observed pos
+      (1L, nanos(1), 1L, "click", 0.0, "{}"),
+      (2L, nanos(2), 1L, "click", 0.0, "{}"),
+      (3L, nanos(3), 1L, "click", 0.0, "{}"),
+      (4L, nanos(4), 1L, "click", 0.0, "{}"),
+      (5L, nanos(5), 1L, "purchase", 0.0, "{}"),
+      // u2: score 2, no purchase → bin 5, not pos
+      (6L, nanos(6), 2L, "click", 0.0, "{}"),
+      (7L, nanos(7), 2L, "click", 0.0, "{}"),
+      // u3: score 2 + purchase → bin 5, pos
+      (8L, nanos(8), 3L, "click", 0.0, "{}"),
+      (9L, nanos(9), 3L, "click", 0.0, "{}"),
+      (10L, nanos(10), 3L, "purchase", 0.0, "{}"),
+      // u4: purchase only → score 0, bin 0, pos — maximal miscalibration
+      (11L, nanos(11), 4L, "purchase", 0.0, "{}"),
+      // u5: score 2 via views, no purchase → bin 5, not pos
+      (12L, nanos(12), 5L, "view", 0.0, "{}"),
+      (13L, nanos(13), 5L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // every purchaser is "above average" (1·5 > 3): u1, u3, u4 positive
+    val cal = EventAnalytics.calibrationAudit(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("mean_pred_bp"), r.getAs[Long]("obs_bp"),
+          r.getAs[Long]("gap_bp"), r.getAs[Long]("ece_bp")))).toMap
+    assert(cal(9L) == ((1L, 1L, 10000L, 10000L, 0L, 3000L)))
+    assert(cal(5L) == ((3L, 1L, 5000L, 3333L, -1667L, 3000L)))
+    assert(cal(0L) == ((1L, 1L, 0L, 10000L, 10000L, 3000L)),
+      "score-0 purchaser is the maximal calibration gap")
+    assert(cal.size == 3, s"empty bins produce no rows: $cal")
+    // ECE = (1·0 + 3·1667 + 1·10000) div 5 = 3000 (checked above)
+    val b = EventAnalytics.brierDecomposition(spark, dir).head()
+    assert(b.getAs[Long]("n_users") == 5L)
+    assert(b.getAs[Long]("obar_bp") == 6000L)
+    // rel = (1·0² + 3·1667² + 1·10000²) div 5 = 108336667 div 5
+    assert(b.getAs[Long]("rel_bp2") == 21667333L)
+    // res = (1·4000² + 3·2667² + 1·4000²) div 5 = 53338667 div 5
+    assert(b.getAs[Long]("res_bp2") == 10667733L)
+    assert(b.getAs[Long]("unc_bp2") == 24000000L, "6000·4000")
+    assert(b.getAs[Long]("brier_bp2") == 34999600L)
+  }
+
   test("transition matrix (q122): cells equal a driver-side sequence walk, shares exact") {
     val rows = EventAnalytics.transitionMatrix(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -1446,6 +1446,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size == 4, s"single-char tokens contribute nothing: $out")
   }
 
+  test("bpeMergeLadder (q268): hand-walked greedy merges, non-overlap, ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpeladder").toString
+    // en corpus (word types × freq): "aaaa"×1, "abab"×2, "ab"×1.
+    // step 1 pairs: aa×3 (aaaa), ab×5 (abab×2 ×2, ab×1), ba×2 → merge (a,b).
+    //   aaaa → a a a a (untouched); abab → ab ab; ab → ab
+    // step 2 pairs: aa×3, (ab,ab)×2 → merge (a,a) GREEDY NON-OVERLAP:
+    //   aaaa → aa aa (two merges, not three)
+    // step 3 pairs: (aa,aa)×1, (ab,ab)×2 → merge (ab,ab) → abab
+    // step 4 pairs: (aa,aa)×1 → merge → aaaa
+    // step 5: no pairs anywhere → no en row
+    Seq((1L, "aaaa abab ab", "en", "t", 12L),
+        (2L, "abab", "en", "t", 4L),
+        (3L, "zz", "de", "t", 2L)) // de: step 1 merges (z,z), then dry
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = operators.TextAnalysis.bpeMergeLadder(spark, dir, k = 5)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("step")) ->
+        ((r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+          r.getAs[String]("merged"), r.getAs[Long]("cnt")))).toMap
+    assert(out(("en", 1L)) == (("a", "b", "ab", 5L)))
+    assert(out(("en", 2L)) == (("a", "a", "aa", 3L)),
+      "aa counted 3x in a-a-a-a before any merge")
+    assert(out(("en", 3L)) == (("ab", "ab", "abab", 2L)),
+      "greedy non-overlap left exactly one aa,aa pair, losing the tie to abab x2")
+    assert(out(("en", 4L)) == (("aa", "aa", "aaaa", 1L)))
+    assert(out(("de", 1L)) == (("z", "z", "zz", 1L)))
+    assert(!out.contains(("en", 5L)) && !out.contains(("de", 2L)),
+      s"fully merged languages stop producing rows: $out")
+  }
+
   test("termPositionBias (q220): exact relative positions and front shares") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_posbias").toString
