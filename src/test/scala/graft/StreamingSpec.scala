@@ -2187,4 +2187,88 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got.map(o => (o.day_idx, o.su, o.sd)).toSeq == ref)
   }
+
+  // ---- S1 DataSource V2 replay source (VERDICT r16 ask #3) -----------------
+
+  /** Write the fixture tweets as 4 single-purpose payload files whose
+    * lexicographic order is the replay order: f0 carries two lines,
+    * f1-f3 one each — so file-granular offsets have a mid-stream cut. */
+  private def writeReplayFiles(dir: String): Seq[String] = {
+    val lines = tweets.toDF().toJSON.collect().toSeq
+    val groups = Seq(lines.take(2), Seq(lines(2)), Seq(lines(3)), Seq(lines(4)))
+    groups.zipWithIndex.foreach { case (g, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"f$i%02d.json"),
+        g.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    lines
+  }
+
+  test("V2 replay source: file-replay parity through the full pipeline (S1)") {
+    val src = Files.createTempDirectory("graft_v2_parity").toString
+    writeReplayFiles(src)
+
+    def runThrough(spec: Pipeline.SourceSpec, name: String): Seq[String] = {
+      val scored = Pipeline.scoreTweets(Pipeline.readTweets(spark, spec), "en", "#spark")
+      val q = scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).orderBy("created_at")
+        .collect().map(_.getAs[String]("text")).toSeq
+    }
+    // the existing seam suite's transports, now THROUGH the V2 source:
+    // the registered short name resolves via DataSourceRegister, and the
+    // payload contract (value: string) rides tweetsFromPayload unchanged
+    val viaFile = runThrough(Pipeline.SourceSpec("json", path = Some(src)), "v2p_file")
+    val viaV2 = runThrough(Pipeline.SourceSpec("tweet-replay", path = Some(src)), "v2p_replay")
+    assert(viaFile.nonEmpty && viaFile == viaV2,
+      s"V2 replay must match the schema'd file source ($viaFile vs $viaV2)")
+  }
+
+  test("V2 replay source: maxFilesPerTrigger paces admission one file per batch (S1/T1)") {
+    val src = Files.createTempDirectory("graft_v2_pace").toString
+    writeReplayFiles(src)
+    val spec = Pipeline.SourceSpec("tweet-replay", path = Some(src),
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val q = Pipeline.readTweets(spark, spec)
+      .writeStream.format("memory").queryName("v2_pace")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("v2_pace").count() == 5L)
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length == 4,
+      s"4 files at 1 file/trigger must take 4 data batches " +
+        s"(got ${dataBatches.length})")
+    // f0 carries 2 lines, f1-f3 one each — per-batch row counts prove
+    // the batches were file-aligned, not arbitrarily re-split
+    assert(dataBatches.map(_.numInputRows).toSeq == Seq(2L, 1L, 1L, 1L))
+  }
+
+  test("V2 replay source: restart resumes from the checkpointed offset (S1/T5)") {
+    val src = Files.createTempDirectory("graft_v2_restart").toString
+    val out = Files.createTempDirectory("graft_v2_restart_out").toString
+    val chk = Files.createTempDirectory("graft_v2_restart_chk").toString
+    writeReplayFiles(src)
+
+    def runOnce(extra: Map[String, String]): Long = {
+      val spec = Pipeline.SourceSpec("tweet-replay", path = Some(src),
+        options = Map("maxFilesPerTrigger" -> "1") ++ extra)
+      val q = Pipeline.readTweets(spark, spec)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", chk).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    // run 1 stops MID-STREAM: the offset freezes at file 2 of 4
+    val rows1 = runOnce(Map("stopAtFile" -> "2"))
+    assert(rows1 == 3L, s"files f00+f01 carry 3 lines (got $rows1)")
+    assert(spark.read.parquet(out).count() == 3L)
+    // run 2 on the SAME checkpoint: resumes at file 2 — delivers ONLY
+    // f02/f03, never re-reads f00/f01 (the reconnect-resume contract)
+    val rows2 = runOnce(Map.empty)
+    assert(rows2 == 2L, s"restart must deliver only the 2 remaining lines (got $rows2)")
+    val all = spark.read.parquet(out)
+    assert(all.count() == 5L && all.select("text").distinct().count() == 5L,
+      "every payload exactly once across the restart")
+  }
 }
