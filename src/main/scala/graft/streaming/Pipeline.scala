@@ -922,6 +922,34 @@ object Pipeline {
       .filter(col("quality") >= element_at(co, col("lang")))
   }
 
+  /** X186 streaming twin (VERDICT r16 ask #6): per-SOURCE provenance
+    * gate on the batch-minted Wilson lower bound — admit incoming
+    * documents whose source's 95% lower-bound quality
+    * ([[graft.operators.Curation.wilsonQualityRank]]'s
+    * `wilson_lb_milli`) clears the floor. The gate family's provenance
+    * member: [[calibrationGate]] judges each DOCUMENT's own score,
+    * this judges the EVIDENCE about where it came from — a 3/3 source
+    * does not clear a 600-milli floor (its lower bound is ~439) while
+    * a 95/100 source does, which is exactly the small-sample optimism the
+    * raw pass rate would wave through. Stateless: the snapshot is a
+    * ≤|sources|-entry literal map minted from the batch q260 table
+    * (the bounded-snapshot pattern of every gate here); sources absent
+    * from the snapshot are DROPPED (null comparison — a source with no
+    * track record has a lower bound of nothing, the conservative
+    * read, mirroring [[mixtureGate]]'s unknown-domain rule). Appends
+    * the source's `wilson_lb_milli` so downstream sinks can audit the
+    * admission. Batch/stream admission parity is row-exact and
+    * spec-gated (the burstMonitor standard). */
+  def sourceQualityGate(stream: DataFrame,
+                        wilsonLbMilli: Map[String, Long],
+                        floorMilli: Long = 600L): DataFrame = {
+    require(wilsonLbMilli.nonEmpty, "sourceQualityGate: empty Wilson snapshot")
+    val lb = typedLit(wilsonLbMilli)
+    stream
+      .withColumn("wilson_lb_milli", element_at(lb, col("source")))
+      .filter(col("wilson_lb_milli") >= lit(floorMilli))
+  }
+
   /** X30 streaming twin: per-event-time-window corpus datasheet — the
     * rolling intake health panel of the batch q103 report: per (window,
     * lang) docs, tokens, quality micro-mass, and an HLL distinct-text

@@ -985,6 +985,47 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty && expected.size < batch.length)
   }
 
+  test("Wilson source-quality gate admits exactly the batch lower-bound set; unknown sources drop (X186 twin)") {
+    val docs = Tables.documents(spark, sf0001)
+    // snapshot: the batch q260 Wilson table, one source withheld to pin
+    // the unknown-source rule; floor elected BETWEEN two sources' bounds
+    // so the gate provably discriminates on the fixture
+    val wilson0 = graft.operators.Curation.wilsonQualityRank(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("wilson_lb_milli"))
+    assert(wilson0.length >= 2, "fixture needs >=2 sources")
+    val withheld = wilson0.map(_._1).min
+    val snapshot = wilson0.toMap - withheld
+    val bounds = wilson0.toMap.values.toSeq.distinct.sorted
+    val floor =
+      if (bounds.size >= 2) bounds(bounds.size / 2) else bounds.head
+    val expected = docs.select("doc_id", "source").collect()
+      .collect {
+        case r if snapshot.get(r.getString(1)).exists(_ >= floor) =>
+          r.getLong(0)
+      }.toSet
+    val streamDir = Files.createTempDirectory("graft_wilson_stream")
+    Files.createSymbolicLink(streamDir.resolve("docs.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet").toAbsolutePath)
+    val stream = spark.readStream.schema(docs.schema).parquet(streamDir.toString)
+    val q = Pipeline.sourceQualityGate(stream, snapshot, floor)
+      .writeStream.format("memory").queryName("wilson_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wilson_gate")
+      .select("doc_id", "source", "wilson_lb_milli").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == expected,
+      s"gate admitted ${got.length} docs, batch Wilson set has ${expected.size}")
+    // the withheld source never passes; appended bounds match the snapshot
+    assert(got.forall(_._2 != withheld))
+    got.foreach { case (_, s, lb) => assert(snapshot(s) == lb, s"source $s") }
+    // the floor actually discriminates: admitted is a proper nonempty subset
+    val total = docs.count()
+    assert(expected.nonEmpty && expected.size < total,
+      s"floor $floor must split the corpus (admitted ${expected.size} of $total)")
+  }
+
   test("span-scrub gate: snapshot coverage matches the batch q105 accounting row-exactly") {
     import spark.implicits._
     // batch corpus: docs 1-2 share the 5-gram "a b c d e"; doc 3 is clean
