@@ -2384,6 +2384,157 @@ object EventAnalytics {
       |    END)::BIGINT, -1000), 1000)::BIGINT AS pearson_r_milli
       |FROM roots ORDER BY type_a, type_b""".stripMargin
 
+  // ---- X197: autocorrelation panel + Ljung-Box portmanteau (q271) -----------
+
+  /** χ² 95% critical value at df = 7 in milli units (Ljung–Box over
+    * the 7 daily lags). */
+  val LjungBoxCritMilli = 14067L
+
+  /** X197 autocorrelation panel (q271): per event type, the sample
+    * autocorrelation of the daily-volume series at lags 1–7 over the
+    * dense calendar grid, plus the Ljung–Box portmanteau Q over those
+    * seven lags (Ljung & Box 1978) with its χ²₇ significance verdict.
+    * The shelf's MAGNITUDE read on serial structure: q267 (runs test)
+    * asks whether yesterday's DIRECTION predicts today's at all; this
+    * measures how much of today's level each of the last seven days
+    * explains — lag-7 dominating is the weekly signature q265 prices,
+    * lag-1 dominating is momentum the q243 trend rung captures, and an
+    * insignificant Q says the series is white and every forecaster
+    * rung past the mean is state wasted.
+    *
+    * Exactly integer: with S = Σc, SS = Σc², and per-lag pair sums
+    * (sxy, head, tail), the centered products ride the N²-scaled
+    * identity num_k = N²·sxy − N·S·(head+tail) + (N−k)·S² over
+    * den = N²·SS − N·S² (no mean ever divides); acf_milli floors once
+    * with the q264 sign-split rule and clamps to ±1000. Q folds
+    * per-term: ⌊N(N+2)·acf_k² / ((N−k)·1000)⌋ summed — per-term
+    * floors, engine-order-proof. A zero-variance series reads acf 0
+    * everywhere (no serial structure in a constant).
+    *
+    * Domain bound: N²·SS rides decimal(38,0)/HUGEINT — exact while
+    * days²·(peak daily volume)² stays inside 38 digits (centuries at
+    * 10⁹ events/day); the Q fold is BIGINT-safe to ~10⁵ days.
+    *
+    * Scale posture: rides the PlanCache'd q203/q206/q264 dense grid
+    * (audit-sized at ANY corpus scale); the 7 lags ride ONE type-keyed
+    * window over grid rows; everything after is arithmetic on
+    * |types|×7 rows. */
+  def acfPanel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = denseDayGrid(spark, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = grid.select(
+      (Seq(col("event_type"), col("c")) ++
+        (1 to 7).map(k => lag(col("c"), k).over(w).as(s"l$k"))): _*)
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss")) ++
+        (1 to 7).flatMap(k => Seq(
+          sum(col("c") * col(s"l$k")).as(s"sxy$k"),
+          sum(when(col(s"l$k").isNotNull, col("c"))).as(s"sh$k"),
+          sum(col(s"l$k")).as(s"st$k")))
+    val sums = lagged.groupBy(col("event_type"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = sums.selectExpr(
+      "event_type", "n", "s", "ss",
+      "stack(7, " + (1 to 7).map(k =>
+        s"${k}L, coalesce(sxy$k, 0L), coalesce(sh$k, 0L), " +
+          s"coalesce(st$k, 0L)").mkString(", ") +
+        ") AS (lag_k, sxy, sh, st)")
+      .select(col("event_type"), col("n").as("n_days"), col("lag_k"),
+        expr("CASE WHEN n <= lag_k THEN 0L ELSE " +
+          "least(greatest(CASE " +
+          "WHEN cast(n as decimal(38,0)) * n * ss - " +
+          "cast(n as decimal(38,0)) * s * s <= 0 THEN 0L " +
+          "WHEN cast(n as decimal(38,0)) * n * sxy - " +
+          "cast(n as decimal(38,0)) * s * (sh + st) + " +
+          "cast(n - lag_k as decimal(38,0)) * s * s >= 0 THEN " +
+          "cast(1000 * (cast(n as decimal(38,0)) * n * sxy - " +
+          "cast(n as decimal(38,0)) * s * (sh + st) + " +
+          "cast(n - lag_k as decimal(38,0)) * s * s) div " +
+          "(cast(n as decimal(38,0)) * n * ss - " +
+          "cast(n as decimal(38,0)) * s * s) as bigint) " +
+          "ELSE 0L - cast(1000 * (0 - (cast(n as decimal(38,0)) * n * sxy - " +
+          "cast(n as decimal(38,0)) * s * (sh + st) + " +
+          "cast(n - lag_k as decimal(38,0)) * s * s)) div " +
+          "(cast(n as decimal(38,0)) * n * ss - " +
+          "cast(n as decimal(38,0)) * s * s) as bigint) END, " +
+          "-1000L), 1000L) END").as("acf_milli"))
+    val wq = Window.partitionBy(col("event_type"))
+    rows
+      .withColumn("lb_q_milli", sum(expr(
+        "IF(n_days <= lag_k, 0L, " +
+          "n_days * (n_days + 2) * acf_milli * acf_milli div " +
+          "((n_days - lag_k) * 1000))")).over(wq))
+      .withColumn("serial_dependent",
+        when(col("lb_q_milli") > lit(LjungBoxCritMilli), 1L).otherwise(0L))
+      .select(col("event_type"), col("lag_k"), col("n_days"),
+        col("acf_milli"), col("lb_q_milli"), col("serial_dependent"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
+  def acfPanelSql: String = {
+    val lagCols = (1 to 7).map(k =>
+      s"lag(c, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+      .mkString(", ")
+    val sumCols = (1 to 7).map(k =>
+      s"sum(c * l$k)::BIGINT AS sxy$k, " +
+        s"sum(CASE WHEN l$k IS NOT NULL THEN c END)::BIGINT AS sh$k, " +
+        s"sum(l$k)::BIGINT AS st$k").mkString(", ")
+    val kRows = (1 to 7).map(k =>
+      s"SELECT event_type, n, s, ss, ${k}::BIGINT AS lag_k, " +
+        s"coalesce(sxy$k, 0) AS sxy, coalesce(sh$k, 0) AS sh, " +
+        s"coalesce(st$k, 0) AS st FROM sums").mkString("\n    UNION ALL\n    ")
+    s"""WITH cells AS (
+       |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events
+       |), grid AS (
+       |  SELECT t.event_type, g.day::DATE AS day, coalesce(cells.c, 0) AS c
+       |  FROM (SELECT DISTINCT event_type FROM cells) t
+       |  CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+       |    INTERVAL 1 DAY))::DATE AS day FROM span) g
+       |  LEFT JOIN cells USING (event_type, day)
+       |), lagged AS (
+       |  SELECT event_type, c, $lagCols FROM grid
+       |), sums AS (
+       |  SELECT event_type, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+       |    sum(c * c)::BIGINT AS ss, $sumCols
+       |  FROM lagged GROUP BY 1
+       |), krows AS (
+       |    $kRows
+       |), acf AS (
+       |  SELECT event_type, lag_k, n AS n_days,
+       |    CASE WHEN n <= lag_k THEN 0
+       |      ELSE least(greatest(CASE
+       |        WHEN n::HUGEINT * n * ss - n::HUGEINT * s * s <= 0 THEN 0
+       |        WHEN n::HUGEINT * n * sxy - n::HUGEINT * s * (sh + st) +
+       |          (n - lag_k)::HUGEINT * s * s >= 0 THEN
+       |          (1000 * (n::HUGEINT * n * sxy -
+       |            n::HUGEINT * s * (sh + st) +
+       |            (n - lag_k)::HUGEINT * s * s) //
+       |           (n::HUGEINT * n * ss - n::HUGEINT * s * s))::BIGINT
+       |        ELSE -((1000 * (-(n::HUGEINT * n * sxy -
+       |            n::HUGEINT * s * (sh + st) +
+       |            (n - lag_k)::HUGEINT * s * s)) //
+       |           (n::HUGEINT * n * ss - n::HUGEINT * s * s))::BIGINT)
+       |      END, -1000), 1000) END::BIGINT AS acf_milli
+       |  FROM krows
+       |), q AS (
+       |  SELECT event_type, lag_k, n_days, acf_milli,
+       |    sum(CASE WHEN n_days <= lag_k THEN 0
+       |      ELSE n_days * (n_days + 2) * acf_milli * acf_milli //
+       |        ((n_days - lag_k) * 1000) END)
+       |      OVER (PARTITION BY event_type)::BIGINT AS lb_q_milli
+       |  FROM acf
+       |)
+       |SELECT event_type, lag_k, n_days, acf_milli, lb_q_milli,
+       |  (CASE WHEN lb_q_milli > ${LjungBoxCritMilli} THEN 1 ELSE 0
+       |    END)::BIGINT AS serial_dependent
+       |FROM q ORDER BY event_type, lag_k""".stripMargin
+  }
+
   /** X191 weekly-seasonality strength (q265): per event type, Fisher's
     * correlation ratio η² between day-of-week and daily volume over
     * the dense grid — ONE number for "how weekly is this metric"

@@ -34,6 +34,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(steps == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"got $steps")
   }
 
+  test("acfPanel (q271): hand-walked alternating series, exact ACF and Ljung-Box Q") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_acf").toString
+    // one type, odd days of 1..11 active (the span anchors at the last
+    // EVENT day, so N = 11), counts 4,0,4,...,4 — a period-2 series
+    // whose exact sample ACF alternates sign and whose Q is far past χ²₇
+    val rows = for {
+      d <- 1 to 11 if d % 2 == 1
+      i <- 1 to 4
+    } yield ((d * 10 + i).toLong, nanos((d - 1) * day + 3600), i.toLong,
+      "t", 0.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.acfPanel(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag_k") ->
+        ((r.getAs[Long]("acf_milli"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("lb_q_milli"), r.getAs[Long]("serial_dependent"))))
+      .toMap
+    // hand algebra: N=11, S=24, SS=96, den = N²·SS − N·S² = 5280; per
+    // lag k, num = N²·sxy − N·S·(head+tail) + (N−k)·S², milli-floored
+    // sign-split (e.g. lag 1: −4800/5280 → −909; lag 2: 4304/5280 → 815)
+    val expected = Map(1L -> -909L, 2L -> 815L, 3L -> -727L, 4L -> 630L,
+      5L -> -545L, 6L -> 445L, 7L -> -363L)
+    expected.foreach { case (k, acf) =>
+      assert(out(k)._1 == acf, s"lag $k: got ${out(k)._1}, want $acf")
+      assert(out(k)._2 == 11L)
+    }
+    // Q = Σ ⌊143·acf²/((11−k)·1000)⌋
+    //   = 11815+10553+9447+8108+7079+5663+4710 = 57375
+    assert(out(1L)._3 == 57375L, s"Q got ${out(1L)._3}")
+    assert(out.values.forall(_._4 == 1L), "period-2 series is serially dependent")
+  }
+
   test("calibrationAudit + brierDecomposition (q269/q270): hand-walked miscalibrated score") {
     val dir = java.nio.file.Files.createTempDirectory("graft_calib").toString
     Seq(
