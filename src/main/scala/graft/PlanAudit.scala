@@ -115,7 +115,8 @@ object PlanAudit {
     "q263_order_backlog",
     "q266_auc_audit",
     "q269_calibration",
-    "q270_brier")
+    "q270_brier",
+    "q272_kaplan_meier")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -372,7 +373,10 @@ object PlanAudit {
     // enforced 1-row totals scalar (the q266 shape), then their ≤10-row
     // bin tables with bounded-enforced 1-row ECE / base-rate scalars
     "q269_calibration",
-    "q270_brier")
+    "q270_brier",
+    // q272 crosses the bounded-enforced 1-row end-of-observation scalar
+    // onto the per-user signup collapse (the q154 audited scalar shape)
+    "q272_kaplan_meier")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

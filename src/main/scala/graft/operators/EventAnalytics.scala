@@ -1429,6 +1429,122 @@ object EventAnalytics {
        |FROM c CROSS JOIN tot ORDER BY interval""".stripMargin
   }
 
+  // ---- X198: Kaplan-Meier conversion estimator (q272) -----------------------
+
+  /** X198 Kaplan–Meier product-limit estimator (q272): the
+    * right-censored upgrade of q188's conversion survival table
+    * (Kaplan & Meier 1958). q188's interval table treats
+    * never-converted signups as an undifferentiated remainder; KM
+    * censors each of them at the END of observation (corpus max event
+    * time) so the risk set shrinks honestly as follow-up runs out —
+    * the difference between "users who didn't convert" and "users we
+    * stopped being able to watch", which is exactly the bias a
+    * growth team reads wrong when late cohorts look like
+    * non-converters. Per conversion-day event time t: the risk set
+    * n(t), conversions d(t), same-day censorings c(t), and the
+    * product-limit survival Ŝ(t) = Π_{u ≤ t} (n(u) − d(u))/n(u) in
+    * micro units.
+    *
+    * Exactly integer: cells walk in ascending-t order and the product
+    * floors ONCE per step on the micro grid (censor-only cells
+    * multiply by n/n = 1 exactly, so they only shrink the risk set) —
+    * the q225 engine-order-proof rule; the Spark side folds the
+    * sorted cell array in one row (the q255 device), the oracle walks
+    * the same ranked cells with a recursive CTE. Exact while
+    * micro·|risk set| fits BIGINT (≲9·10¹² users at risk).
+    *
+    * Scale posture: ONE user-keyed conditional-min collapse (the
+    * q58/q130/q188 shape, map-side combinable) → a (lag-day) cell
+    * table bounded by the calendar span; the fold is ONE row holding
+    * that audit-sized array; output is ≤|event-time| rows. */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.PlanCache.cached(spark, s"events.kmCells:$dir") {
+      val per = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_micros(col("ts"))))
+            .as("s_us"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("p_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .filter(col("s_us").isNotNull)
+      val endUs = per.agg(max(col("last_us")).as("end_us"))
+      per
+        .crossJoin(graft.PlanAudit.Bounded
+          .broadcastBounded("q272_kaplan_meier.end", endUs, 1L))
+        .select(
+          when(col("p_us").isNotNull && col("p_us") >= col("s_us"),
+            expr("(p_us - s_us) div 86400000000"))
+            .otherwise(expr("(end_us - s_us) div 86400000000")).as("t"),
+          when(col("p_us").isNotNull && col("p_us") >= col("s_us"), 1L)
+            .otherwise(0L).as("ev"))
+        .groupBy(col("t"))
+        .agg(sum(col("ev")).as("d"),
+          sum(lit(1L) - col("ev")).as("c"))
+    }
+    cells
+      .agg(expr("sort_array(collect_list(named_struct(" +
+        "'t', t, 'd', d, 'c', c)))").as("arr"))
+      .select(explode(expr(
+        "aggregate(arr, named_struct(" +
+          "'rem', aggregate(arr, 0L, (a, x) -> a + x.d + x.c), " +
+          "'s', 1000000L, " +
+          "'out', cast(array() as array<struct<t:bigint,n:bigint," +
+          "d:bigint,c:bigint,s:bigint>>)), " +
+          "(st, x) -> named_struct(" +
+          "'rem', st.rem - x.d - x.c, " +
+          "'s', st.s * (st.rem - x.d) div st.rem, " +
+          "'out', IF(x.d > 0, array_append(st.out, named_struct(" +
+          "'t', x.t, 'n', st.rem, 'd', x.d, 'c', x.c, " +
+          "'s', st.s * (st.rem - x.d) div st.rem)), st.out)), " +
+          "st -> st.out)")).as("r"))
+      .select(col("r.t").as("lag_day"), col("r.n").as("n_risk"),
+        col("r.d").as("n_conv"), col("r.c").as("n_cens_at"),
+        col("r.s").as("km_survival_micro"))
+      .orderBy(col("lag_day"))
+  }
+
+  def kaplanMeierSql: String =
+    """WITH RECURSIVE per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup'
+      |        THEN epoch_us(ts::TIMESTAMP) END) AS s_us,
+      |    min(CASE WHEN event_type = 'purchase'
+      |        THEN epoch_us(ts::TIMESTAMP) END) AS p_us,
+      |    max(epoch_us(ts::TIMESTAMP)) AS last_us
+      |  FROM events GROUP BY user_id
+      |), signed AS (
+      |  SELECT * FROM per_user WHERE s_us IS NOT NULL
+      |), fin AS (SELECT max(last_us) AS end_us FROM signed
+      |), u AS (
+      |  SELECT CASE WHEN p_us IS NOT NULL AND p_us >= s_us
+      |      THEN (p_us - s_us) // 86400000000
+      |      ELSE (fin.end_us - s_us) // 86400000000 END AS t,
+      |    CASE WHEN p_us IS NOT NULL AND p_us >= s_us THEN 1 ELSE 0
+      |      END AS ev
+      |  FROM signed CROSS JOIN fin
+      |), cells AS (
+      |  SELECT t, sum(ev)::BIGINT AS d, sum(1 - ev)::BIGINT AS c
+      |  FROM u GROUP BY 1
+      |), ranked AS (
+      |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS i FROM cells
+      |), tot AS (
+      |  SELECT coalesce(sum(d + c), 0)::BIGINT AS n FROM cells
+      |), walk AS (
+      |  SELECT 0::BIGINT AS i, n AS rem, 1000000::BIGINT AS s,
+      |    0::BIGINT AS t, 0::BIGINT AS n_risk, 0::BIGINT AS d,
+      |    0::BIGINT AS c
+      |  FROM tot
+      |  UNION ALL
+      |  SELECT r.i, w.rem - r.d - r.c,
+      |    (w.s * (w.rem - r.d) // w.rem)::BIGINT,
+      |    r.t, w.rem, r.d, r.c
+      |  FROM walk w JOIN ranked r ON r.i = w.i + 1
+      |)
+      |SELECT t AS lag_day, n_risk, d AS n_conv, c AS n_cens_at,
+      |  s AS km_survival_micro
+      |FROM walk WHERE i >= 1 AND d > 0 ORDER BY lag_day""".stripMargin
+
   /** Mann–Kendall trend test (q189): per event type, the exact
     * nonparametric trend statistic over the daily volume series —
     * S = Σ_{i<j} sign(c_j − c_i), Kendall's tau against time in bp

@@ -66,6 +66,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.values.forall(_._4 == 1L), "period-2 series is serially dependent")
   }
 
+  test("kaplanMeier (q272): hand-walked censoring ladder, exact product-limit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
+    Seq(
+      // u1, u2: signup day 0 → purchase day 2 (event t=2 ×2)
+      (1L, nanos(3600), 1L, "signup", 0.0, "{}"),
+      (2L, nanos(2 * day + 3600), 1L, "purchase", 0.0, "{}"),
+      (3L, nanos(3600), 2L, "signup", 0.0, "{}"),
+      (4L, nanos(2 * day + 3600), 2L, "purchase", 0.0, "{}"),
+      // u3: signup day 0, never purchases → censored at corpus end (t=10)
+      (5L, nanos(3600), 3L, "signup", 0.0, "{}"),
+      // u4: signup day 4 → purchase day 9 (event t=5)
+      (6L, nanos(4 * day + 3600), 4L, "signup", 0.0, "{}"),
+      (7L, nanos(9 * day + 3600), 4L, "purchase", 0.0, "{}"),
+      // u5: signup day 6, never purchases → censored at t=4
+      (8L, nanos(6 * day + 3600), 5L, "signup", 0.0, "{}"),
+      // corpus end anchor: a view on day 10
+      (9L, nanos(10 * day + 3600), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.kaplanMeier(spark, dir).collect()
+      .map(r => (r.getAs[Long]("lag_day"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("n_conv"), r.getAs[Long]("n_cens_at"),
+        r.getAs[Long]("km_survival_micro"))).toSeq
+    // walk: t=2 (n=5,d=2) → S=600000; t=4 censor-only shrinks the risk
+    // set to 2 WITHOUT moving S; t=5 (n=2,d=1) → S=300000 — the KM read
+    // (naive 2/5 = 400000 would ignore that u5's follow-up ran out)
+    assert(out == Seq((2L, 5L, 2L, 0L, 600000L), (5L, 2L, 1L, 0L, 300000L)),
+      s"got $out")
+  }
+
   test("calibrationAudit + brierDecomposition (q269/q270): hand-walked miscalibrated score") {
     val dir = java.nio.file.Files.createTempDirectory("graft_calib").toString
     Seq(
