@@ -3775,6 +3775,158 @@ object EventAnalytics {
        |FROM f WHERE i = n ORDER BY event_type""".stripMargin
   }
 
+  // ---- X199: EWMA control chart (q273) --------------------------------------
+
+  /** X199 EWMA control chart (q273, Roberts 1959): per event type, the
+    * exponentially-weighted moving average of the zero-filled daily
+    * count series — z_i = λ·c_i + (1−λ)·z_{i−1} with the dyadic
+    * λ = 1/4 (the q243 dyadic-smoothing rule) — scored against the
+    * asymptotic 3σ_z control limits, σ_z² = σ²·λ/(2−λ) = σ²/7, in the
+    * textbook two-phase discipline: PHASE I (the first ⌈n/2⌉ days)
+    * estimates μ and σ, PHASE II (the rest) is monitored against
+    * them. Estimating σ from the whole series would let a level shift
+    * inflate its own limits and mask itself — the Phase I/II split is
+    * why control-chart practice separates estimation from monitoring.
+    * The third member of the drift shelf: q164's z-panel is memoryless
+    * (one bad day), q228's CUSUM accumulates indefinitely (sustained
+    * shifts), EWMA's geometric memory catches drifts too slow for the
+    * z-panel and too short for CUSUM to dominate — the NIST canon
+    * ships all three. Per type: days, Phase-I μ/σ², final EWMA,
+    * Phase-II alarm-day counts both sides, first alarm day, and the
+    * peak Phase-II deviation.
+    *
+    * Exactly integer: the walk rides the milli grid with ONE floor per
+    * step (z' = (1000·c + 3·z) div 4 — the q225 engine-order-proof
+    * rule); the limit test is the q257 SQUARED-threshold device,
+    * 7·dev² > 9·σ²_milli² on decimal(38,0)/HUGEINT (no root is ever
+    * taken), with σ²_milli² = ⌊10⁶(h·Σ₁c² − S₁²)/h²⌋ floored once
+    * over the h Phase-I days. A zero-noise Phase I alarms on ANY
+    * Phase-II deviation — the conservative read of a perfectly flat
+    * baseline.
+    *
+    * Scale posture: the corpus collapses once to (type, day) cells
+    * (map-side combine, the q228 seam shape); Phase-I sums and the
+    * walk are calendar-bounded in-row folds against the day→count map
+    * (the q228 device — bounded array folds, never a driver loop);
+    * the DuckDB twin walks the identical recursion as a recursive
+    * CTE; |types| output rows. */
+  def ewmaChart(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val cAt = "coalesce(element_at(m, date_add(d0, cast(i as int))), " +
+      "cast(0 as bigint))"
+    val series = cnt.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+        map_from_entries(collect_list(struct(col("day"), col("c"))))
+          .as("m"))
+      .select(col("event_type"), col("d0"), col("m"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("n"))
+      .withColumn("h", expr("(n + 1) div 2"))
+      .withColumn("s1", expr("aggregate(sequence(0L, h - 1), 0L, " +
+        s"(a, i) -> a + $cAt)"))
+      .withColumn("ssq1", expr("aggregate(sequence(0L, h - 1), 0L, " +
+        s"(a, i) -> a + $cAt * $cAt)"))
+      .withColumn("mu_milli", expr("1000 * s1 div h"))
+      .withColumn("var_milli2", expr(
+        "cast(cast(1000000 as decimal(38,0)) * " +
+          "(cast(h as decimal(38,0)) * ssq1 - " +
+          "cast(s1 as decimal(38,0)) * s1) div " +
+          "(cast(h as decimal(38,0)) * h) as bigint)"))
+    val zNext = s"(1000 * $cAt + 3 * acc.z) div 4"
+    val alarmUp = s"(i >= h AND $zNext > mu_milli AND " +
+      s"cast(7 as decimal(38,0)) * ($zNext - mu_milli) * " +
+      s"($zNext - mu_milli) > cast(9 as decimal(38,0)) * var_milli2)"
+    val alarmDn = s"(i >= h AND $zNext < mu_milli AND " +
+      s"cast(7 as decimal(38,0)) * (mu_milli - $zNext) * " +
+      s"(mu_milli - $zNext) > cast(9 as decimal(38,0)) * var_milli2)"
+    series
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  sequence(cast(0 as bigint), n - 1),
+           |  named_struct(
+           |    'z', mu_milli, 'nup', cast(0 as bigint),
+           |    'ndn', cast(0 as bigint), 'fa', cast(-1 as bigint),
+           |    'mx', cast(0 as bigint)),
+           |  (acc, i) -> named_struct(
+           |    'z', $zNext,
+           |    'nup', acc.nup + IF($alarmUp, 1L, 0L),
+           |    'ndn', acc.ndn + IF($alarmDn, 1L, 0L),
+           |    'fa', CASE WHEN acc.fa >= 0 THEN acc.fa
+           |      WHEN $alarmUp OR $alarmDn THEN i ELSE acc.fa END,
+           |    'mx', CASE WHEN i >= h
+           |      THEN greatest(acc.mx, abs($zNext - mu_milli))
+           |      ELSE acc.mx END))""".stripMargin))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("h").as("n_phase1"), col("mu_milli"), col("var_milli2"),
+        col("st.z").as("ewma_last_milli"),
+        col("st.nup").as("n_alarm_up"), col("st.ndn").as("n_alarm_dn"),
+        expr("CASE WHEN st.fa >= 0 THEN date_add(d0, cast(st.fa as int)) " +
+          "END").as("first_alarm_day"),
+        col("st.mx").as("max_abs_dev_milli"))
+      .orderBy(col("event_type"))
+  }
+
+  def ewmaChartSql: String = {
+    val cAt = "coalesce(c.c, 0)"
+    val zNext = s"(1000 * $cAt + 3 * f.z) // 4"
+    val alarmUp = s"(f.i >= f.h AND $zNext > f.mu_milli AND " +
+      s"7::HUGEINT * ($zNext - f.mu_milli) * ($zNext - f.mu_milli) > " +
+      s"9::HUGEINT * f.var_milli2)"
+    val alarmDn = s"(f.i >= f.h AND $zNext < f.mu_milli AND " +
+      s"7::HUGEINT * (f.mu_milli - $zNext) * (f.mu_milli - $zNext) > " +
+      s"9::HUGEINT * f.var_milli2)"
+    s"""WITH RECURSIVE cnt AS (
+       |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (
+       |  SELECT event_type, min(day) AS d0,
+       |    (max(day) - min(day) + 1)::BIGINT AS n
+       |  FROM cnt GROUP BY 1
+       |), base AS (
+       |  SELECT s.event_type, s.d0, s.n, ((s.n + 1) // 2)::BIGINT AS h,
+       |    coalesce(sum(CASE WHEN c.day < s.d0 +
+       |      (((s.n + 1) // 2))::INTEGER THEN c.c END), 0)::BIGINT AS s1,
+       |    coalesce(sum(CASE WHEN c.day < s.d0 +
+       |      (((s.n + 1) // 2))::INTEGER THEN c.c * c.c END), 0)::BIGINT
+       |      AS ssq1
+       |  FROM span s LEFT JOIN cnt c ON c.event_type = s.event_type
+       |  GROUP BY 1, 2, 3
+       |), prepped AS (
+       |  SELECT event_type, d0, n, h,
+       |    (1000 * s1 // h)::BIGINT AS mu_milli,
+       |    (1000000::HUGEINT * (h::HUGEINT * ssq1 - s1::HUGEINT * s1)
+       |      // (h::HUGEINT * h))::BIGINT AS var_milli2
+       |  FROM base
+       |), f AS (
+       |  SELECT event_type, d0, n, h, mu_milli, var_milli2,
+       |    0::BIGINT AS i, mu_milli AS z, 0::BIGINT AS nup,
+       |    0::BIGINT AS ndn, (-1)::BIGINT AS fa, 0::BIGINT AS mx
+       |  FROM prepped
+       |  UNION ALL
+       |  SELECT f.event_type, f.d0, f.n, f.h, f.mu_milli, f.var_milli2,
+       |    f.i + 1,
+       |    ($zNext)::BIGINT,
+       |    f.nup + CASE WHEN $alarmUp THEN 1 ELSE 0 END,
+       |    f.ndn + CASE WHEN $alarmDn THEN 1 ELSE 0 END,
+       |    CASE WHEN f.fa >= 0 THEN f.fa
+       |      WHEN $alarmUp OR $alarmDn THEN f.i ELSE f.fa END,
+       |    CASE WHEN f.i >= f.h
+       |      THEN greatest(f.mx, abs(($zNext) - f.mu_milli))
+       |      ELSE f.mx END
+       |  FROM f LEFT JOIN cnt c
+       |    ON c.event_type = f.event_type AND c.day = f.d0 + (f.i)::INTEGER
+       |  WHERE f.i < f.n
+       |)
+       |SELECT event_type, n AS n_days, h AS n_phase1, mu_milli,
+       |  var_milli2, z AS ewma_last_milli, nup AS n_alarm_up,
+       |  ndn AS n_alarm_dn,
+       |  CASE WHEN fa >= 0 THEN d0 + fa::INTEGER END AS first_alarm_day,
+       |  mx AS max_abs_dev_milli
+       |FROM f WHERE i = n ORDER BY event_type""".stripMargin
+  }
+
   /** X156 ingestion-coverage gap audit (q230): per event type, hourly
     * presence against the corpus-wide hour grid — expected hours,
     * present hours, coverage bp, the number of contiguous MISSING runs

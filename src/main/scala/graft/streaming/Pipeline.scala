@@ -30,6 +30,14 @@ case class CusumState(su: Long, sd: Long)
 case class CusumOut(event_type: String, day_idx: Long, su: Long, sd: Long,
                     alarm_up: Boolean, alarm_dn: Boolean)
 
+/** Typed rows for [[Pipeline.ewmaMonitor]] (streaming twin of q273):
+  * input closed-day counts (the [[DayCount]] grain shared with
+  * [[Pipeline.cusumMonitor]]), the per-type smoothed state, and one
+  * scored emission per closed day. */
+case class EwmaState(z: Long)
+case class EwmaOut(event_type: String, day_idx: Long, c: Long,
+                   z_milli: Long, alarm_up: Boolean, alarm_dn: Boolean)
+
 /** Typed rows for [[Pipeline.burnMonitor]] (streaming twin of q248):
   * input closed-day (events, errors) cells, the walk state (last
   * closed day, cumulative counts, the trailing 6-day ring), and one
@@ -1454,6 +1462,57 @@ object Pipeline {
           }
           state.update(CusumState(su, sd))
           out.iterator
+      }
+  }
+
+  /** X199 streaming twin (q273): the EWMA control chart as a live
+    * monitor — keyed state holds each type's smoothed level z; every
+    * closed-day count moves it by the dyadic λ = 1/4 step
+    * (z' = (1000·c + 3·z) div 4, the batch walk verbatim) and emits
+    * the updated level with the squared-threshold 3σ_z alarm flags
+    * against the batch-minted Phase-I snapshot (μ_milli, σ²_milli²
+    * per type — [[graft.operators.EventAnalytics.ewmaChart]]'s
+    * `mu_milli`/`var_milli2` columns, the bounded-snapshot pattern of
+    * every gate here). The monitor applies the limits from its first
+    * day — in production the deployed snapshot IS Phase I, so its
+    * whole stream is Phase II; fed the batch fixture's full span it
+    * reproduces the batch walk's z sequence EXACTLY and flags exactly
+    * the batch's Phase-II alarm days (spec-gated across a batch
+    * split). Types absent from the snapshot are DROPPED — a type
+    * Phase I never saw has no limits to score against (the
+    * [[calibrationGate]] unknown-key rule). Per-type day order is the
+    * [[transitionMonitor]] ordering contract.
+    *
+    * Scale: one event_type shuffle per batch; state is ONE long per
+    * type regardless of history; emissions are one row per closed
+    * day-cell, never per event. */
+  def ewmaMonitor(cells: org.apache.spark.sql.Dataset[DayCount],
+                  muMilli: Map[String, Long],
+                  varMilli2: Map[String, Long])
+      : org.apache.spark.sql.Dataset[EwmaOut] = {
+    require(muMilli.nonEmpty, "ewmaMonitor: empty Phase-I mean snapshot")
+    require(muMilli.keySet == varMilli2.keySet,
+      "ewmaMonitor: mean and variance snapshots must cover the same types")
+    import cells.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    cells.groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (t, it, state) =>
+          (muMilli.get(t), varMilli2.get(t)) match {
+            case (Some(mu), Some(v2)) =>
+              var z = state.getOption.map(_.z).getOrElse(mu)
+              val out = it.toSeq.sortBy(_.day_idx).map { cell =>
+                z = (1000L * cell.c + 3L * z) / 4L
+                val dev = BigInt(z - mu)
+                val breach = 7 * dev * dev > 9 * BigInt(v2)
+                EwmaOut(t, cell.day_idx, cell.c, z,
+                  z > mu && breach, z < mu && breach)
+              }
+              state.update(EwmaState(z))
+              out.iterator
+            case _ => Iterator.empty
+          }
       }
   }
 

@@ -66,6 +66,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.values.forall(_._4 == 1L), "period-2 series is serially dependent")
   }
 
+  test("ewmaChart (q273): hand-walked phase I/II level shift, exact walk and alarms") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ewma").toString
+    // type "t": 16 days — Phase I (days 1-8) alternates 6,8 (μ=7000,
+    // σ²_milli²=10⁶ → alarm beyond |dev| 1133), Phase II (days 9-16)
+    // holds 14 — a sustained level shift EWMA must flag every day
+    val rows = (for {
+      d <- 1 to 16
+      c = if (d <= 8) { if (d % 2 == 1) 6 else 8 } else 14
+      j <- 1 to c
+    } yield ((d * 100 + j).toLong, nanos((d - 1) * day + 3600), j.toLong,
+      "t", 0.0, "{}")) ++
+      // degenerate single-day type: empty Phase II, zero variance
+      Seq((9901L, nanos(3600), 1L, "solo", 0.0, "{}"),
+        (9902L, nanos(3700), 2L, "solo", 0.0, "{}"),
+        (9903L, nanos(3800), 3L, "solo", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.ewmaChart(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_phase1"),
+          r.getAs[Long]("mu_milli"), r.getAs[Long]("var_milli2"),
+          r.getAs[Long]("ewma_last_milli"), r.getAs[Long]("n_alarm_up"),
+          r.getAs[Long]("n_alarm_dn"),
+          Option(r.getAs[java.sql.Date]("first_alarm_day")).map(_.toString),
+          r.getAs[Long]("max_abs_dev_milli")))).toMap
+    // hand walk: z = (1000c + 3z) div 4 from z=7000 →
+    // 6750,7062,6796,7097,6822,7116,6837,7127 | 8845,10133,11099,11824,
+    // 12368,12776,13082,13311 — every Phase-II day alarms (dev ≥ 1845)
+    assert(out("t") == ((16L, 8L, 7000L, 1000000L, 13311L, 8L, 0L,
+      Some("1970-01-09"), 6311L)), s"got ${out("t")}")
+    // single-day type: Phase II empty, constant series holds z = μ
+    assert(out("solo") == ((1L, 1L, 3000L, 0L, 3000L, 0L, 0L, None, 0L)),
+      s"got ${out("solo")}")
+  }
+
   test("kaplanMeier (q272): hand-walked censoring ladder, exact product-limit") {
     val dir = java.nio.file.Files.createTempDirectory("graft_km").toString
     Seq(

@@ -2229,6 +2229,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(o => (o.day_idx, o.su, o.sd)).toSeq == ref)
   }
 
+  test("ewmaMonitor walks the batch EWMA exactly across a batch split (X199 twin)") {
+    import graft.streaming.DayCount
+    // the q273 fixture series: Phase I alternates 6,8 (μ=7000, σ²=10⁶),
+    // Phase II holds 14 — the monitor, deployed with the Phase-I
+    // snapshot, must reproduce the batch walk verbatim and flag every
+    // Phase-II day; "ghost" is absent from the snapshot and must drop
+    val counts = (1 to 16).map(d => if (d <= 8) { if (d % 2 == 1) 6L else 8L } else 14L)
+    val mem = MemoryStream[DayCount]
+    val q = Pipeline.ewmaMonitor(mem.toDS(),
+        muMilli = Map("t" -> 7000L), varMilli2 = Map("t" -> 1000000L))
+      .writeStream.format("memory").queryName("ewma_mon")
+      .outputMode("append").start()
+    try {
+      // split mid-phase-II: state must carry z across the batch boundary
+      mem.addData((0 until 10).map(i => DayCount("t", i.toLong, counts(i))) ++
+        Seq(DayCount("ghost", 0L, 99L)): _*)
+      q.processAllAvailable()
+      mem.addData((10 until 16).map(i => DayCount("t", i.toLong, counts(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ewma_mon").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_idx"),
+        r.getAs[Long]("z_milli"), r.getAs[Boolean]("alarm_up"),
+        r.getAs[Boolean]("alarm_dn")))
+      .sortBy(x => (x._1, x._2))
+    // the hand walk from the q273 batch fixture
+    val expectZ = Seq(6750L, 7062L, 6796L, 7097L, 6822L, 7116L, 6837L,
+      7127L, 8845L, 10133L, 11099L, 11824L, 12368L, 12776L, 13082L, 13311L)
+    assert(got.forall(_._1 == "t"), "unknown-snapshot type must drop")
+    assert(got.map(_._3).toSeq == expectZ, s"got ${got.map(_._3).toSeq}")
+    assert(got.map(_._4).toSeq == (0 until 16).map(_ >= 8),
+      "exactly the Phase-II days alarm up")
+    assert(got.forall(!_._5), "no down alarms on an upward shift")
+  }
+
   // ---- S1 DataSource V2 replay source (VERDICT r16 ask #3) -----------------
 
   /** Write the fixture tweets as 4 single-purpose payload files whose
