@@ -116,7 +116,8 @@ object PlanAudit {
     "q266_auc_audit",
     "q269_calibration",
     "q270_brier",
-    "q272_kaplan_meier")
+    "q272_kaplan_meier",
+    "q274_isotonic")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -376,7 +377,11 @@ object PlanAudit {
     "q270_brier",
     // q272 crosses the bounded-enforced 1-row end-of-observation scalar
     // onto the per-user signup collapse (the q154 audited scalar shape)
-    "q272_kaplan_meier")
+    "q272_kaplan_meier",
+    // q274's minimax triangle crosses three bounded-enforced sides
+    // (≤10-row bins ×2, ≤55-row interval-rate table) — the q167
+    // triangle family, every side claimed
+    "q274_isotonic")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -3355,6 +3355,86 @@ object EventAnalytics {
        |   obar_bp * (10000 - obar_bp))::BIGINT AS brier_bp2
        |FROM folded""".stripMargin
 
+  // ---- X200: isotonic (PAV) score recalibration (q274) ----------------------
+
+  /** X200 isotonic recalibration (q274): the pool-adjacent-violators
+    * fit of the q269 reliability diagram — the monotone recalibration
+    * TABLE (bin → isotonic rate) a consumer applies to FIX the
+    * miscalibration q269 diagnoses (Ayer et al. 1955; Zadrozny &
+    * Elkan 2002). Computed NOT by the sequential pooling loop but by
+    * the exact minimax identity iso_i = max_{j≤i} min_{l≥i}
+    * rate(j..l) over pooled bin intervals — with ≤10 bins that is a
+    * ≤10³-cell triangle algebra, which both engines evaluate as plain
+    * joins (no iteration, no stack). The result is the unique
+    * monotone non-decreasing fit minimizing squared error, so
+    * downstream bidders can use the score as a probability with the
+    * q269 gap provably non-increasing per block.
+    *
+    * Exactness device: interval rates compare through the floor of
+    * rate·10¹⁸ — two rates compare wrongly only if they differ by
+    * < 10⁻¹⁸ (impossible below ~10⁹ users per bin, and the SAME key
+    * is computed in both engines, so cross-engine parity holds
+    * regardless); the published bp value floors that key once more
+    * (exact: 10¹⁸/10⁴ is a power split).
+    *
+    * Scale posture: rides the PlanCache'd q269/q270 bin seam (no new
+    * corpus scan); every join side is a ≤10-row (intervals ≤55-row)
+    * bounded-enforced broadcast; output ≤10 rows. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val bb = graft.PlanAudit.Bounded
+    val bins = calibrationBins(spark, dir)
+      .select(col("bin"), col("n_users"), col("n_pos"),
+        expr("sum_pred div n_users").as("mean_pred_bp"),
+        expr("n_pos * 10000 div n_users").as("obs_bp"))
+    val ivals = bins.select(col("bin").as("j"))
+      .crossJoin(bb.broadcastBounded("q274_isotonic.l",
+        bins.select(col("bin").as("l")), 10L))
+      .filter(col("j") <= col("l"))
+      .crossJoin(bb.broadcastBounded("q274_isotonic.m",
+        bins.select(col("bin").as("m"), col("n_users").as("nu"),
+          col("n_pos").as("np")), 10L))
+      .filter(col("m").between(col("j"), col("l")))
+      .groupBy(col("j"), col("l"))
+      .agg(sum(col("nu")).as("n_iv"), sum(col("np")).as("p_iv"))
+      .select(col("j"), col("l"), expr(
+        "cast(p_iv as decimal(38,0)) * 1000000000000000000 div n_iv")
+        .as("rk"))
+    val iso = bins.select(col("bin"))
+      .crossJoin(bb.broadcastBounded("q274_isotonic.iv", ivals, 55L))
+      .filter(col("j") <= col("bin") && col("l") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("rk")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("iso_rk"))
+    bins.join(iso, Seq("bin"))
+      .select(col("bin"), col("n_users"), col("n_pos"),
+        col("mean_pred_bp"), col("obs_bp"),
+        expr("cast(iso_rk div 100000000000000 as bigint)").as("iso_bp"))
+      .orderBy(col("bin"))
+  }
+
+  def isotonicCalibrationSql: String =
+    s"""$calibrationBinsSqlWith, b AS (
+       |  SELECT bin, n_users, n_pos,
+       |    (sum_pred // n_users)::BIGINT AS mean_pred_bp,
+       |    (n_pos * 10000 // n_users)::BIGINT AS obs_bp
+       |  FROM bins
+       |), rk AS (
+       |  SELECT j.bin AS j, l.bin AS l,
+       |    (sum(m.n_pos)::HUGEINT * 1000000000000000000 //
+       |     sum(m.n_users)::HUGEINT) AS rk
+       |  FROM b j JOIN b l ON j.bin <= l.bin
+       |  JOIN b m ON m.bin BETWEEN j.bin AND l.bin
+       |  GROUP BY 1, 2
+       |), mm AS (
+       |  SELECT i.bin, r.j, min(r.rk) AS mn
+       |  FROM b i JOIN rk r ON r.j <= i.bin AND r.l >= i.bin
+       |  GROUP BY 1, 2
+       |), iso AS (
+       |  SELECT bin, max(mn) AS iso_rk FROM mm GROUP BY 1
+       |)
+       |SELECT b.bin, b.n_users, b.n_pos, b.mean_pred_bp, b.obs_bp,
+       |  (iso.iso_rk // 100000000000000)::BIGINT AS iso_bp
+       |FROM b JOIN iso USING (bin) ORDER BY bin""".stripMargin
+
   // ---- X147: funnel stage-dwell diagnosis (q221) -----------------------------
 
   /** X147 funnel stage-dwell diagnosis (q221): per consecutive funnel

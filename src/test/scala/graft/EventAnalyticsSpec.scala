@@ -177,6 +177,36 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(b.getAs[Long]("brier_bp2") == 34999600L)
   }
 
+  test("isotonicCalibration (q274): PAV pools the violating bins, fit is monotone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iso").toString
+    // the q269 fixture: bins 0/5/9 read observed 10000/3333/10000 —
+    // bin 0 (score-0 purchaser) violates monotonicity against bin 5
+    Seq(
+      (1L, nanos(1), 1L, "click", 0.0, "{}"),
+      (2L, nanos(2), 1L, "click", 0.0, "{}"),
+      (3L, nanos(3), 1L, "click", 0.0, "{}"),
+      (4L, nanos(4), 1L, "click", 0.0, "{}"),
+      (5L, nanos(5), 1L, "purchase", 0.0, "{}"),
+      (6L, nanos(6), 2L, "click", 0.0, "{}"),
+      (7L, nanos(7), 2L, "click", 0.0, "{}"),
+      (8L, nanos(8), 3L, "click", 0.0, "{}"),
+      (9L, nanos(9), 3L, "click", 0.0, "{}"),
+      (10L, nanos(10), 3L, "purchase", 0.0, "{}"),
+      (11L, nanos(11), 4L, "purchase", 0.0, "{}"),
+      (12L, nanos(12), 5L, "view", 0.0, "{}"),
+      (13L, nanos(13), 5L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.isotonicCalibration(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("obs_bp"),
+        r.getAs[Long]("iso_bp"))).sortBy(_._1)
+    // PAV pools bins 0+5 ((1+1) of (1+3) → 5000), leaves bin 9 at 10000
+    assert(out.toSeq == Seq((0L, 10000L, 5000L), (5L, 3333L, 5000L),
+      (9L, 10000L, 10000L)), s"got ${out.toSeq}")
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq,
+      "the isotonic fit must be monotone non-decreasing in the bin order")
+  }
+
   test("transition matrix (q122): cells equal a driver-side sequence walk, shares exact") {
     val rows = EventAnalytics.transitionMatrix(spark, sf0001).collect()
     assert(rows.nonEmpty)
