@@ -117,7 +117,8 @@ object PlanAudit {
     "q269_calibration",
     "q270_brier",
     "q272_kaplan_meier",
-    "q274_isotonic")
+    "q274_isotonic",
+    "q275_cmh_ab")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -381,7 +382,10 @@ object PlanAudit {
     // q274's minimax triangle crosses three bounded-enforced sides
     // (≤10-row bins ×2, ≤55-row interval-rate table) — the q167
     // triangle family, every side claimed
-    "q274_isotonic")
+    "q274_isotonic",
+    // q275 crosses the bounded-enforced 1-row CMH summary onto the
+    // ≤7-row stratum table (the q247 scalar shape)
+    "q275_cmh_ab")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -3355,6 +3355,143 @@ object EventAnalytics {
        |   obar_bp * (10000 - obar_bp))::BIGINT AS brier_bp2
        |FROM folded""".stripMargin
 
+  // ---- X201: Cochran-Mantel-Haenszel stratified A/B (q275) ------------------
+
+  /** χ² 95% critical value at df = 1, milli units (the CMH verdict). */
+  val CmhCritMilli = 3841L
+
+  /** X201 Cochran–Mantel–Haenszel stratified experiment readout
+    * (q275): the q191 hash-coin A/B conversion table, stratified by
+    * each user's first-touch ISO weekday, with the CMH pooled χ² and
+    * the Mantel–Haenszel common odds ratio (Cochran 1954; Mantel &
+    * Haenszel 1959). The Simpson's-paradox guard q191 lacks: a
+    * marginal 2×2 can reverse sign when arrival day confounds both
+    * assignment mix and conversion; CMH tests the treatment effect
+    * WITHIN each stratum and pools the evidence — the stratified
+    * readout every experimentation platform publishes next to the
+    * marginal one.
+    *
+    * Exactly integer, per-term floors (the q225 engine-order-proof
+    * rule): E_k in milli = ⌊10³·n1·m1/N⌋, V_k in micro =
+    * ⌊10⁶·n1·n2·m1·m0/(N²(N−1))⌋, OR terms in milli = ⌊10³·a·d/N⌋ /
+    * ⌊10³·b·c/N⌋ — each floored once per stratum, then summed;
+    * cmh_milli = ⌊10³·(Σ10³a − ΣE)²/ΣV⌋ (the milli²/micro scales
+    * cancel exactly). Degenerate strata contribute V = 0 honestly
+    * (single-user strata add no information); ΣV = 0 reads cmh 0.
+    *
+    * Scale posture: ONE user-keyed collapse (map-side combinable —
+    * arm coin, converted flag, first-touch µs min); strata fold to
+    * ≤7 (dow) × 2 (arm) cells; the summary is a bounded-enforced
+    * 1-row cross back onto the ≤7-row stratum table. */
+  def cmhStratifiedAb(spark: SparkSession, dir: String): DataFrame = {
+    val bb = graft.PlanAudit.Bounded
+    val users = graft.PlanCache.cached(spark, s"events.cmhUsers:$dir") {
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"),
+          min(col("ts")).as("first_ts"))
+        .select(
+          when(pmod(graft.functions.TextHash.h1(col("user_id").cast("string")),
+            lit(2L)) === 0L, 0L).otherwise(1L).as("treat"),
+          col("converted"),
+          (expr("weekday(first_ts)") + 1).cast("long").as("dow"))
+    }
+    val strata = users.groupBy(col("dow"))
+      .agg(sum(when(col("treat") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("treat") === 0L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("treat") === 1L, col("converted")).otherwise(0L))
+          .as("a"),
+        sum(when(col("treat") === 0L, col("converted")).otherwise(0L))
+          .as("c"))
+      .withColumn("b", expr("n1 - a"))
+      .withColumn("d", expr("n2 - c"))
+      .withColumn("nk", expr("n1 + n2"))
+      .withColumn("m1", expr("a + c"))
+      .withColumn("m0", expr("b + d"))
+    val summary = strata.agg(
+      sum(expr("1000 * a")).as("sa_milli"),
+      sum(expr("cast(cast(1000 as decimal(38,0)) * n1 * m1 div nk " +
+        "as bigint)")).as("se_milli"),
+      sum(expr("CASE WHEN nk <= 1 THEN 0L ELSE " +
+        "cast(cast(1000000 as decimal(38,0)) * n1 * n2 * m1 * m0 div " +
+        "(cast(nk as decimal(38,0)) * nk * (nk - 1)) as bigint) END"))
+        .as("sv_micro"),
+      sum(expr("cast(cast(1000 as decimal(38,0)) * a * d div nk " +
+        "as bigint)")).as("rnum_milli"),
+      sum(expr("cast(cast(1000 as decimal(38,0)) * b * c div nk " +
+        "as bigint)")).as("rden_milli"))
+      .select(
+        expr("CASE WHEN sv_micro = 0 THEN 0L ELSE " +
+          "cast(cast(1000 as decimal(38,0)) * " +
+          "(sa_milli - se_milli) * (sa_milli - se_milli) div " +
+          "sv_micro as bigint) END").as("cmh_milli"),
+        expr("CASE WHEN rden_milli = 0 THEN -1L ELSE " +
+          "1000 * rnum_milli div rden_milli END").as("or_mh_milli"))
+      .withColumn("significant",
+        when(col("cmh_milli") > lit(CmhCritMilli), 1L).otherwise(0L))
+    strata
+      .select(col("dow"), col("n1").as("n_treat"), col("n2").as("n_ctrl"),
+        col("a").as("conv_treat"), col("c").as("conv_ctrl"))
+      .crossJoin(bb.broadcastBounded("q275_cmh.summary", summary, 1L))
+      .orderBy(col("dow"))
+  }
+
+  def cmhStratifiedAbSql: String = {
+    val arm = graft.functions.TextHash.h1Sql("user_id::VARCHAR")
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END)::BIGINT AS converted,
+       |    min(ts) AS first_ts
+       |  FROM events GROUP BY 1
+       |), tagged AS (
+       |  SELECT CASE WHEN ($arm) % 2 = 0 THEN 0 ELSE 1 END AS treat,
+       |    converted, isodow(first_ts::TIMESTAMP)::BIGINT AS dow
+       |  FROM u
+       |), strata AS (
+       |  SELECT dow,
+       |    sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)::BIGINT AS n2,
+       |    sum(CASE WHEN treat = 1 THEN converted ELSE 0 END)::BIGINT AS a,
+       |    sum(CASE WHEN treat = 0 THEN converted ELSE 0 END)::BIGINT AS c
+       |  FROM tagged GROUP BY 1
+       |), cells AS (
+       |  SELECT dow, n1, n2, a, c, n1 - a AS b, n2 - c AS d,
+       |    n1 + n2 AS nk, a + c AS m1, (n1 - a) + (n2 - c) AS m0
+       |  FROM strata
+       |), s AS (
+       |  SELECT sum(1000 * a)::BIGINT AS sa_milli,
+       |    sum((1000::HUGEINT * n1 * m1 // nk)::BIGINT)::BIGINT
+       |      AS se_milli,
+       |    sum(CASE WHEN nk <= 1 THEN 0 ELSE
+       |      (1000000::HUGEINT * n1 * n2 * m1 * m0 //
+       |       (nk::HUGEINT * nk * (nk - 1)))::BIGINT END)::BIGINT
+       |      AS sv_micro,
+       |    sum((1000::HUGEINT * a * d // nk)::BIGINT)::BIGINT
+       |      AS rnum_milli,
+       |    sum((1000::HUGEINT * b * c // nk)::BIGINT)::BIGINT
+       |      AS rden_milli
+       |  FROM cells
+       |), summary AS (
+       |  SELECT
+       |    (CASE WHEN sv_micro = 0 THEN 0 ELSE
+       |      (1000::HUGEINT * (sa_milli - se_milli) *
+       |       (sa_milli - se_milli) // sv_micro)::BIGINT END)::BIGINT
+       |      AS cmh_milli,
+       |    (CASE WHEN rden_milli = 0 THEN -1
+       |      ELSE 1000 * rnum_milli // rden_milli END)::BIGINT
+       |      AS or_mh_milli
+       |  FROM s
+       |)
+       |SELECT c.dow, c.n1 AS n_treat, c.n2 AS n_ctrl,
+       |  c.a AS conv_treat, c.c AS conv_ctrl, summary.cmh_milli,
+       |  summary.or_mh_milli,
+       |  (CASE WHEN summary.cmh_milli > ${CmhCritMilli} THEN 1 ELSE 0
+       |    END)::BIGINT AS significant
+       |FROM cells c CROSS JOIN summary ORDER BY c.dow""".stripMargin
+  }
+
   // ---- X200: isotonic (PAV) score recalibration (q274) ----------------------
 
   /** X200 isotonic recalibration (q274): the pool-adjacent-violators

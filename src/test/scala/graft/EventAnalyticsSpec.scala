@@ -207,6 +207,56 @@ class EventAnalyticsSpec extends SparkSpec {
       "the isotonic fit must be monotone non-decreasing in the bin order")
   }
 
+  test("cmhStratifiedAb (q275): hand-built Simpson reversal, exact pooled statistics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmh").toString
+    def h1(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val control = Iterator.from(1).map(_.toLong)
+      .filter(u => h1(u.toString) % 2 == 0).take(50).toSeq
+    val treatment = Iterator.from(1).map(_.toLong)
+      .filter(u => h1(u.toString) % 2 == 1).take(50).toSeq
+    // stratum day 0 (1970-01-01, isodow 4): 10 treat (9 convert) vs
+    // 40 control (30 convert) — treatment 90% vs control 75%
+    // stratum day 1 (isodow 5): 40 treat (20) vs 10 control (3) —
+    // treatment 50% vs control 30%
+    // marginal: treat 29/50 = 58% < control 33/50 = 66% — the reversal
+    val aT = treatment.take(10); val aC = control.take(40)
+    val bT = treatment.slice(10, 50); val bC = control.slice(40, 50)
+    var eid = 0L
+    def ev(u: Long, d: Long, t: String) = {
+      eid += 1; (eid, nanos(d * day + eid), u, t, 0.0, "{}")
+    }
+    val rows =
+      (aT ++ aC).map(ev(_, 0L, "view")) ++ (bT ++ bC).map(ev(_, 1L, "view")) ++
+        (aT.take(9) ++ aC.take(30) ++ bT.take(20) ++ bC.take(3))
+          .map(ev(_, 20L, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = EventAnalytics.cmhStratifiedAb(spark, dir).collect()
+      .map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("n_treat"), r.getAs[Long]("n_ctrl"),
+          r.getAs[Long]("conv_treat"), r.getAs[Long]("conv_ctrl"),
+          r.getAs[Long]("cmh_milli"), r.getAs[Long]("or_mh_milli"),
+          r.getAs[Long]("significant")))).toMap
+    assert(out.keySet == Set(4L, 5L), s"two strata expected: $out")
+    assert(out(4L)._1 == 10L && out(4L)._2 == 40L &&
+      out(4L)._3 == 9L && out(4L)._4 == 30L, s"got ${out(4L)}")
+    assert(out(5L)._1 == 40L && out(5L)._2 == 10L &&
+      out(5L)._3 == 20L && out(5L)._4 == 3L, s"got ${out(5L)}")
+    // hand CMH: E = 7800+18400, V = 1400816+2027755, num = 2800 →
+    // cmh = ⌊1000·2800²/3428571⌋ = 2286; OR_MH = ⌊1000·4600/1800⌋ = 2555
+    assert(out(4L)._5 == 2286L, s"cmh got ${out(4L)._5}")
+    assert(out(4L)._6 == 2555L, s"or got ${out(4L)._6}")
+    assert(out(4L)._7 == 0L, "2.29 < 3.841 — not significant")
+    // the stratified OR says treatment HELPS (>1000) while the marginal
+    // conversion says it hurts — exactly the Simpson read CMH exists for
+    assert(out(4L)._6 > 1000L)
+  }
+
   test("transition matrix (q122): cells equal a driver-side sequence walk, shares exact") {
     val rows = EventAnalytics.transitionMatrix(spark, sf0001).collect()
     assert(rows.nonEmpty)
