@@ -3694,6 +3694,141 @@ object TextAnalysis {
        |FROM g GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- X202: gate-agreement audit, Cohen's kappa (q276) ---------------------
+
+  /** X202 Cohen's-κ gate agreement (q276): per language, the
+    * chance-corrected agreement between the corpus's two independent
+    * quality raters — the q142 rule filter (clean = zero violations)
+    * and the q99/q260 quality-score floor (round(q, 6) ≥ 0.75) —
+    * with the 2×2 agreement cells, raw agreement bp, κ in milli, and
+    * the Landis–Koch verdict band. q121 prices what the two GATES do
+    * to capacity; this asks whether the two RATERS measure the same
+    * thing: κ near 1 says one gate is redundant, κ near 0 says they
+    * disagree exactly as often as chance (complementary signals —
+    * keep both), κ < 0 says they systematically contradict (a rule
+    * is miscalibrated against the score).
+    *
+    * Exactly integer: κ = (N·(a+d) − r₁c₁ − r₂c₂)/(N² − r₁c₁ − r₂c₂)
+    * rides decimal(38,0)/HUGEINT products with ONE sign-split milli
+    * floor; a degenerate margin (pe = 1: both raters constant) reads
+    * κ = 0 with its agreement bp still exact.
+    *
+    * Scale posture: ONE documents pass (both raters are the same
+    * fused projection the q99/q142 audits already run — map-side
+    * combinable to ≤|langs| 2×2 cells); everything after is per-row
+    * arithmetic on the language dimension. */
+  def kappaAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(ruleViolations(col("text")) === 0L, 1L).otherwise(0L)
+          .as("clean"),
+        when(round(qualityScore(col("text")), 6) >= 0.75, 1L)
+          .otherwise(0L).as("qpass"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("clean * qpass")).as("a"),
+        sum(expr("clean * (1 - qpass)")).as("b"),
+        sum(expr("(1 - clean) * qpass")).as("c"),
+        sum(expr("(1 - clean) * (1 - qpass)")).as("d"))
+      .withColumn("pe_n2", expr(
+        "cast(a + b as decimal(38,0)) * (a + c) + " +
+          "cast(c + d as decimal(38,0)) * (b + d)"))
+      .withColumn("num", expr(
+        "cast(n_docs as decimal(38,0)) * (a + d) - pe_n2"))
+      .withColumn("den", expr(
+        "cast(n_docs as decimal(38,0)) * n_docs - pe_n2"))
+      .select(col("lang"), col("n_docs"),
+        col("a").as("both_pass"), col("b").as("clean_only"),
+        col("c").as("quality_only"), col("d").as("both_fail"),
+        expr("(a + d) * 10000 div n_docs").as("agree_bp"),
+        expr("CASE WHEN den = 0 THEN 0L " +
+          "WHEN num >= 0 THEN cast(1000 * num div den as bigint) " +
+          "ELSE 0L - cast(1000 * (0 - num) div den as bigint) END")
+          .as("kappa_milli"))
+      .withColumn("band", expr(
+        "CASE WHEN kappa_milli < 0 THEN 'a_poor' " +
+          "WHEN kappa_milli <= 200 THEN 'b_slight' " +
+          "WHEN kappa_milli <= 400 THEN 'c_fair' " +
+          "WHEN kappa_milli <= 600 THEN 'd_moderate' " +
+          "WHEN kappa_milli <= 800 THEN 'e_substantial' " +
+          "ELSE 'f_almost_perfect' END"))
+      .orderBy(col("lang"))
+  }
+
+  def kappaAgreementSql: String = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT lang, text,
+       |    CASE WHEN round(0.25 * least(ntok / 50.0, 1.0) +
+       |      0.25 * (uniq / ntok) +
+       |      0.25 * (1.0 - (stops / ntok)) +
+       |      0.25 * least(((chars - (ntok - 1)) / ntok) / 6.0, 1.0), 6)
+       |      >= 0.75 THEN 1 ELSE 0 END AS qpass
+       |  FROM (
+       |    SELECT lang, text,
+       |      len(t)::DOUBLE AS ntok,
+       |      len(list_distinct(t))::DOUBLE AS uniq,
+       |      len(list_filter(t, x -> x IN ($stop)))::DOUBLE AS stops,
+       |      length(text)::DOUBLE AS chars
+       |    FROM (SELECT lang, text,
+       |          string_split(lower(text), ' ') AS t FROM documents))
+       |), f AS (
+       |  ${ruleFlagsSqlFrom("q", "lang, qpass")}
+       |), flagged AS (
+       |  SELECT lang, qpass,
+       |    CASE WHEN f_short + f_long + f_word_short + f_word_long +
+       |      f_punct + f_boiler + f_stopword = 0 THEN 1 ELSE 0 END
+       |      AS clean
+       |  FROM f
+       |), cells AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(clean * qpass)::BIGINT AS a,
+       |    sum(clean * (1 - qpass))::BIGINT AS b,
+       |    sum((1 - clean) * qpass)::BIGINT AS c,
+       |    sum((1 - clean) * (1 - qpass))::BIGINT AS d
+       |  FROM flagged GROUP BY 1
+       |), k AS (
+       |  SELECT lang, n_docs, a, b, c, d,
+       |    ((a + b)::HUGEINT * (a + c) + (c + d)::HUGEINT * (b + d))
+       |      AS pe_n2,
+       |    (n_docs::HUGEINT * (a + d) -
+       |     ((a + b)::HUGEINT * (a + c) + (c + d)::HUGEINT * (b + d)))
+       |      AS num,
+       |    (n_docs::HUGEINT * n_docs -
+       |     ((a + b)::HUGEINT * (a + c) + (c + d)::HUGEINT * (b + d)))
+       |      AS den
+       |  FROM cells
+       |)
+       |SELECT lang, n_docs, a AS both_pass, b AS clean_only,
+       |  c AS quality_only, d AS both_fail,
+       |  ((a + d) * 10000 // n_docs)::BIGINT AS agree_bp,
+       |  (CASE WHEN den = 0 THEN 0
+       |    WHEN num >= 0 THEN (1000 * num // den)::BIGINT
+       |    ELSE -((1000 * (-num) // den)::BIGINT) END)::BIGINT
+       |    AS kappa_milli,
+       |  CASE WHEN (CASE WHEN den = 0 THEN 0
+       |      WHEN num >= 0 THEN (1000 * num // den)::BIGINT
+       |      ELSE -((1000 * (-num) // den)::BIGINT) END) < 0 THEN 'a_poor'
+       |    WHEN (CASE WHEN den = 0 THEN 0
+       |      WHEN num >= 0 THEN (1000 * num // den)::BIGINT
+       |      ELSE -((1000 * (-num) // den)::BIGINT) END) <= 200
+       |      THEN 'b_slight'
+       |    WHEN (CASE WHEN den = 0 THEN 0
+       |      WHEN num >= 0 THEN (1000 * num // den)::BIGINT
+       |      ELSE -((1000 * (-num) // den)::BIGINT) END) <= 400
+       |      THEN 'c_fair'
+       |    WHEN (CASE WHEN den = 0 THEN 0
+       |      WHEN num >= 0 THEN (1000 * num // den)::BIGINT
+       |      ELSE -((1000 * (-num) // den)::BIGINT) END) <= 600
+       |      THEN 'd_moderate'
+       |    WHEN (CASE WHEN den = 0 THEN 0
+       |      WHEN num >= 0 THEN (1000 * num // den)::BIGINT
+       |      ELSE -((1000 * (-num) // den)::BIGINT) END) <= 800
+       |      THEN 'e_substantial'
+       |    ELSE 'f_almost_perfect' END AS band
+       |FROM k ORDER BY lang""".stripMargin
+  }
+
   def perplexityCalibrationSql(targetSource: String = "src0"): String = {
     val stop = Stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH ${perplexityChainSql(targetSource)},

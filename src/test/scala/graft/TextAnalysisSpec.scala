@@ -1478,6 +1478,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"fully merged languages stop producing rows: $out")
   }
 
+  test("kappaAgreement (q276): hand-built 2x2, negative kappa, exact cells") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kappa").toString
+    // four rater archetypes, far from every verdict boundary:
+    val w50 = (1 to 50).map(i => f"w$i%02daaa").mkString(" ")
+    val tA = s"$w50 the and good."       // clean + quality ≥ .75 → a
+    val tB = ("the " * 9).trim + " the." // clean, low-quality       → b
+    val tC = s"$w50 good."               // stopword rule fires, hi-q → c
+    val tD = "short"                     // short rule fires, low-q   → d
+    val rows = Seq.fill(4)(tA) ++ Seq.fill(2)(tB) ++
+      Seq.fill(3)(tC) ++ Seq.fill(1)(tD)
+    rows.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = operators.TextAnalysis.kappaAgreement(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getAs[Long]("both_pass"), row.getAs[Long]("clean_only"),
+      row.getAs[Long]("quality_only"), row.getAs[Long]("both_fail")) ==
+      ((4L, 2L, 3L, 1L)), s"got $row")
+    assert(row.getAs[Long]("agree_bp") == 5000L)
+    // κ = (10·5 − 6·7 − 4·3)/(100 − 42 − 12) = −4/46 → −86 milli
+    assert(row.getAs[Long]("kappa_milli") == -86L, s"got $row")
+    assert(row.getAs[String]("band") == "a_poor",
+      "below-chance agreement must read poor")
+  }
+
   test("termPositionBias (q220): exact relative positions and front shares") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_posbias").toString
