@@ -118,7 +118,8 @@ object PlanAudit {
     "q270_brier",
     "q272_kaplan_meier",
     "q274_isotonic",
-    "q275_cmh_ab")
+    "q275_cmh_ab",
+    "q277_kcore")
 
   /** Declared queries whose plans legitimately carry a
     * BroadcastNestedLoopJoin: every one broadcasts a provably tiny side
@@ -385,7 +386,10 @@ object PlanAudit {
     "q274_isotonic",
     // q275 crosses the bounded-enforced 1-row CMH summary onto the
     // ≤7-row stratum table (the q247 scalar shape)
-    "q275_cmh_ab")
+    "q275_cmh_ab",
+    // q277 crosses the bounded-enforced 1-row node-total scalar onto
+    // the |KCoreKs|-row core table (the q256 shape)
+    "q277_kcore")
 
   /** Coarse, diffable shape counts for `df`'s executed plan — the judge's
     * round-over-round "did a shuffle appear / did a broadcast degrade to

@@ -432,4 +432,110 @@ object Graph {
        |  (n_nodes * 10000 // tot.n_tot)::BIGINT AS node_share_bp, n_edges
        |FROM bands CROSS JOIN tot ORDER BY size_band""".stripMargin
   }
+
+  // ---- X203: k-core decomposition (q277) ------------------------------------
+
+  /** Synchronized peel rounds [[kCore]] runs per k — fixed so both
+    * engines walk the identical computation; the `converged` column
+    * certifies the fixpoint was reached (spec-pinned on the test
+    * corpora, reported honestly when a deeper graph would need more). */
+  val KCoreRounds: Int = 6
+
+  /** The core levels [[kCore]] peels. */
+  val KCoreKs: Seq[Int] = Seq(2, 3)
+
+  /** X203 k-core decomposition (q277): for k ∈ [[KCoreKs]], the
+    * maximal subgraph in which every node keeps ≥ k co-purchase
+    * partners, by [[KCoreRounds]] synchronized peel rounds (remove
+    * all nodes with current degree < k, repeat — Seidman 1983;
+    * Matula & Beck 1983). The graph shelf's COHESION read: q224
+    * profiles raw degree (how many partners a part has), q246 counts
+    * local triangles, q256 finds who is REACHABLE — the k-core says
+    * which parts sit in a mutually-supporting cluster that survives
+    * after the long tail peels away, which is the sub-graph a
+    * recommender can actually random-walk without falling off, and
+    * the classic first cut for "dense region" extraction. Per k:
+    * core nodes, undirected core edges, peeled-node count, and the
+    * convergence certificate.
+    *
+    * Scale posture: rides the PlanCache'd directed edge seam (the
+    * q184 rule — never corpus²); each round is ONE map-side degree
+    * collapse + two semi-joins against the shrinking survivor set,
+    * with per-round lazy `localCheckpoint` lineage truncation (the
+    * q64/q225 rule — the iterate is referenced twice); the fixed
+    * round count makes it [[KCoreRounds]] bounded shuffle rounds at
+    * any scale (no driver-side convergence loop), and the oracle
+    * unrolls the identical rounds as materialized CTEs; output is
+    * |KCoreKs| rows + a bounded-enforced 1-row node-total cross. */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val bb = graft.PlanAudit.Bounded
+    val tot = nodes(spark, dir).agg(count(lit(1)).as("n_total"))
+    val perK = KCoreKs.map { k =>
+      var e = edges(spark, dir)
+      for (_ <- 1 to KCoreRounds) {
+        val surv = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("u").as("node"))
+        e = e
+          .join(surv.withColumnRenamed("node", "u"), Seq("u"), "leftsemi")
+          .join(surv.withColumnRenamed("node", "v"), Seq("v"), "leftsemi")
+          .select(col("u"), col("v"))
+          .localCheckpoint(false)
+      }
+      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_core_nodes"),
+          coalesce(sum(col("d")), lit(0L)).as("dir_edges"),
+          coalesce(sum(when(col("d") < k, 1L).otherwise(0L)), lit(0L))
+            .as("n_below"))
+        .select(lit(k.toLong).as("k"), col("n_core_nodes"),
+          expr("dir_edges div 2").as("n_core_edges"),
+          when(col("n_below") === 0L, 1L).otherwise(0L).as("converged"))
+    }
+    perK.reduce(_ unionByName _)
+      .crossJoin(bb.broadcastBounded("q277_kcore.total", tot, 1L))
+      .select(col("k"), col("n_core_nodes"), col("n_core_edges"),
+        (col("n_total") - col("n_core_nodes")).as("n_peeled"),
+        col("converged"))
+      .orderBy(col("k"))
+  }
+
+  def kCoreSql: String = {
+    def peel(k: Int): String = {
+      val rounds = (1 to KCoreRounds).map { r =>
+        val prev = s"e${k}_${r - 1}"
+        s"""s${k}_$r AS MATERIALIZED (
+           |  SELECT u FROM $prev GROUP BY u HAVING count(*) >= $k
+           |), e${k}_$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM $prev e
+           |  JOIN s${k}_$r a ON e.u = a.u
+           |  JOIN s${k}_$r b ON e.v = b.u
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""e${k}_0 AS MATERIALIZED (SELECT u, v FROM e), $rounds,
+         |r$k AS (
+         |  SELECT $k::BIGINT AS k,
+         |    count(*)::BIGINT AS n_core_nodes,
+         |    (coalesce(sum(d), 0) // 2)::BIGINT AS n_core_edges,
+         |    (CASE WHEN coalesce(sum(CASE WHEN d < $k THEN 1 ELSE 0
+         |      END), 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS converged
+         |  FROM (SELECT u, count(*)::BIGINT AS d
+         |        FROM e${k}_$KCoreRounds GROUP BY u)
+         |)""".stripMargin
+    }
+    val peels = KCoreKs.map(peel).mkString(", ")
+    val union = KCoreKs.map(k => s"SELECT * FROM r$k")
+      .mkString("\n    UNION ALL\n    ")
+    s"""WITH items AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT DISTINCT a.part AS u, b.part AS v
+       |  FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part
+       |), tot AS (
+       |  SELECT count(DISTINCT part)::BIGINT AS n_total FROM items
+       |), $peels
+       |SELECT r.k, r.n_core_nodes, r.n_core_edges,
+       |  (tot.n_total - r.n_core_nodes)::BIGINT AS n_peeled, r.converged
+       |FROM (
+       |    $union
+       |) r CROSS JOIN tot ORDER BY r.k""".stripMargin
+  }
 }

@@ -104,4 +104,25 @@ class GraphSpec extends SparkSpec {
     // a 2-cycle holds the initial mass exactly: 500 + 1000 div 2
     assert(out(1L) == 1000L && out(2L) == 1000L)
   }
+
+  test("kCore (q277): triangle+pendant peels in two rounds, clique survives k=3") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kcore").toString
+    // o1 triangle {1,2,3}; o2 {1,4} and o3 {4,5} hang a 2-node tail off
+    // node 1; o4 is a 4-clique {6,7,8,9}
+    Seq((1L, 1L), (1L, 2L), (1L, 3L),
+        (2L, 1L), (2L, 4L),
+        (3L, 4L), (3L, 5L),
+        (4L, 6L), (4L, 7L), (4L, 8L), (4L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = graft.operators.Graph.kCore(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_core_nodes"), r.getAs[Long]("n_core_edges"),
+          r.getAs[Long]("n_peeled"), r.getAs[Long]("converged")))).toMap
+    // k=2: round 1 peels 5 (degree 1), round 2 peels 4 (tail gone) —
+    // the triangle and the clique remain: 7 nodes, 9 edges
+    assert(out(2L) == ((7L, 9L, 2L, 1L)), s"got ${out(2L)}")
+    // k=3: the triangle (degree 2) peels too; only the clique survives
+    assert(out(3L) == ((4L, 6L, 5L, 1L)), s"got ${out(3L)}")
+  }
 }
