@@ -1458,8 +1458,12 @@ object EventAnalytics {
     * table bounded by the calendar span; the fold is ONE row holding
     * that audit-sized array; output is ≤|event-time| rows. */
   def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
-    val cells = graft.PlanCache.cached(spark, s"events.kmCells:$dir") {
-      val per = Tables.events(spark, dir)
+    // the per-user collapse is the cached seam; the bounded-broadcast
+    // claim must register OUTSIDE it (a warm PlanCache would otherwise
+    // skip registration and the PlanAuditSpec sweep — rightly — flags
+    // the site as a bare broadcast)
+    val per = graft.PlanCache.cached(spark, s"events.kmUsers:$dir") {
+      Tables.events(spark, dir)
         .groupBy(col("user_id"))
         .agg(
           min(when(col("event_type") === "signup", unix_micros(col("ts"))))
@@ -1468,20 +1472,20 @@ object EventAnalytics {
             .as("p_us"),
           max(unix_micros(col("ts"))).as("last_us"))
         .filter(col("s_us").isNotNull)
-      val endUs = per.agg(max(col("last_us")).as("end_us"))
-      per
-        .crossJoin(graft.PlanAudit.Bounded
-          .broadcastBounded("q272_kaplan_meier.end", endUs, 1L))
-        .select(
-          when(col("p_us").isNotNull && col("p_us") >= col("s_us"),
-            expr("(p_us - s_us) div 86400000000"))
-            .otherwise(expr("(end_us - s_us) div 86400000000")).as("t"),
-          when(col("p_us").isNotNull && col("p_us") >= col("s_us"), 1L)
-            .otherwise(0L).as("ev"))
-        .groupBy(col("t"))
-        .agg(sum(col("ev")).as("d"),
-          sum(lit(1L) - col("ev")).as("c"))
     }
+    val endUs = per.agg(max(col("last_us")).as("end_us"))
+    val cells = per
+      .crossJoin(graft.PlanAudit.Bounded
+        .broadcastBounded("q272_kaplan_meier.end", endUs, 1L))
+      .select(
+        when(col("p_us").isNotNull && col("p_us") >= col("s_us"),
+          expr("(p_us - s_us) div 86400000000"))
+          .otherwise(expr("(end_us - s_us) div 86400000000")).as("t"),
+        when(col("p_us").isNotNull && col("p_us") >= col("s_us"), 1L)
+          .otherwise(0L).as("ev"))
+      .groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"),
+        sum(lit(1L) - col("ev")).as("c"))
     cells
       .agg(expr("sort_array(collect_list(named_struct(" +
         "'t', t, 'd', d, 'c', c)))").as("arr"))
@@ -3433,7 +3437,7 @@ object EventAnalytics {
     strata
       .select(col("dow"), col("n1").as("n_treat"), col("n2").as("n_ctrl"),
         col("a").as("conv_treat"), col("c").as("conv_ctrl"))
-      .crossJoin(bb.broadcastBounded("q275_cmh.summary", summary, 1L))
+      .crossJoin(bb.broadcastBounded("q275_cmh_ab.summary", summary, 1L))
       .orderBy(col("dow"))
   }
 
