@@ -439,7 +439,7 @@ object Graph {
     * engines walk the identical computation; the `converged` column
     * certifies the fixpoint was reached (spec-pinned on the test
     * corpora, reported honestly when a deeper graph would need more). */
-  val KCoreRounds: Int = 6
+  val KCoreRounds: Int = 4
 
   /** The core levels [[kCore]] peels. */
   val KCoreKs: Seq[Int] = Seq(2, 3)
@@ -459,33 +459,54 @@ object Graph {
     * convergence certificate.
     *
     * Scale posture: rides the PlanCache'd directed edge seam (the
-    * q184 rule — never corpus²); each round is ONE map-side degree
-    * collapse + two semi-joins against the shrinking survivor set,
-    * with per-round lazy `localCheckpoint` lineage truncation (the
-    * q64/q225 rule — the iterate is referenced twice); the fixed
-    * round count makes it [[KCoreRounds]] bounded shuffle rounds at
-    * any scale (no driver-side convergence loop), and the oracle
-    * unrolls the identical rounds as materialized CTEs; output is
-    * |KCoreKs| rows + a bounded-enforced 1-row node-total cross. */
+    * q184 rule — never corpus²), and the iterate is the DEGREE table
+    * (node-grain, tiny next to the edges), maintained by DECREMENT:
+    * per round, the removed set R = {d < k} leaves the table and each
+    * remaining node subtracts its edges INTO R — so the only
+    * edge-table touch per round is one equi-join against R, and when
+    * a round removes nothing (the common steady state) AQE's
+    * empty-relation propagation collapses that join to nothing and
+    * the round costs a node-table filter. (The first cut re-filtered
+    * and re-checkpointed the EDGE table per round and paid 12
+    * corpus-scale materializations on a graph where nothing peels —
+    * 8.2 s; this shape is sub-second.) Only the node-grain table is
+    * lineage-truncated per round (the q64/q225 rule); the fixed round
+    * count keeps it [[KCoreRounds]] bounded shuffle rounds at any
+    * scale (no driver-side convergence loop), the final statistics
+    * read the degree table directly (no extra edge pass), and the
+    * oracle unrolls the identical decrement rounds as materialized
+    * CTEs; output is |KCoreKs| rows + a bounded-enforced 1-row
+    * node-total cross. */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val bb = graft.PlanAudit.Bounded
     val tot = nodes(spark, dir).agg(count(lit(1)).as("n_total"))
+    val e = edges(spark, dir)
+    // full degrees: the shared round-0 state for every k (PlanCache'd —
+    // the one corpus-scale collapse the whole decomposition pays)
+    val deg0 = graft.PlanCache.cached(spark, s"graph.degrees:$dir") {
+      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    }
     val perK = KCoreKs.map { k =>
-      var e = edges(spark, dir)
+      var d = deg0
       for (_ <- 1 to KCoreRounds) {
-        val surv = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select(col("u").as("node"))
-        e = e
-          .join(surv.withColumnRenamed("node", "u"), Seq("u"), "leftsemi")
-          .join(surv.withColumnRenamed("node", "v"), Seq("v"), "leftsemi")
-          .select(col("u"), col("v"))
+        val rm = d.filter(col("d") < k).select(col("u").as("rm"))
+        // rm is node-dimension-bounded; the broadcast keeps the edge
+        // side exchange-free and lets AQE's empty-relation propagation
+        // skip the scan entirely on quiet rounds (the steady state).
+        // At a part dimension beyond broadcast reach, this hint is the
+        // one line that flips to a shuffle join.
+        val losses = e.join(broadcast(rm), col("v") === col("rm"))
+          .groupBy(col("u")).agg(count(lit(1)).as("lost"))
+        d = d.filter(col("d") >= k)
+          .join(losses, Seq("u"), "left")
+          .select(col("u"),
+            (col("d") - coalesce(col("lost"), lit(0L))).as("d"))
           .localCheckpoint(false)
       }
-      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .agg(count(lit(1)).as("n_core_nodes"),
-          coalesce(sum(col("d")), lit(0L)).as("dir_edges"),
-          coalesce(sum(when(col("d") < k, 1L).otherwise(0L)), lit(0L))
-            .as("n_below"))
+      d.agg(count(lit(1)).as("n_core_nodes"),
+        coalesce(sum(col("d")), lit(0L)).as("dir_edges"),
+        coalesce(sum(when(col("d") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_below"))
         .select(lit(k.toLong).as("k"), col("n_core_nodes"),
           expr("dir_edges div 2").as("n_core_edges"),
           when(col("n_below") === 0L, 1L).otherwise(0L).as("converged"))
@@ -501,24 +522,26 @@ object Graph {
   def kCoreSql: String = {
     def peel(k: Int): String = {
       val rounds = (1 to KCoreRounds).map { r =>
-        val prev = s"e${k}_${r - 1}"
-        s"""s${k}_$r AS MATERIALIZED (
-           |  SELECT u FROM $prev GROUP BY u HAVING count(*) >= $k
-           |), e${k}_$r AS MATERIALIZED (
-           |  SELECT e.u, e.v FROM $prev e
-           |  JOIN s${k}_$r a ON e.u = a.u
-           |  JOIN s${k}_$r b ON e.v = b.u
+        val prev = if (r == 1) "d_0" else s"d${k}_${r - 1}"
+        s"""rm${k}_$r AS (
+           |  SELECT u FROM $prev WHERE d < $k
+           |), d${k}_$r AS MATERIALIZED (
+           |  SELECT p.u, (p.d - coalesce(l.lost, 0))::BIGINT AS d
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT e.u, count(*)::BIGINT AS lost
+           |    FROM e JOIN rm${k}_$r x ON e.v = x.u GROUP BY e.u) l
+           |    USING (u)
+           |  WHERE p.d >= $k
            |)""".stripMargin
       }.mkString(", ")
-      s"""e${k}_0 AS MATERIALIZED (SELECT u, v FROM e), $rounds,
+      s"""$rounds,
          |r$k AS (
          |  SELECT $k::BIGINT AS k,
          |    count(*)::BIGINT AS n_core_nodes,
          |    (coalesce(sum(d), 0) // 2)::BIGINT AS n_core_edges,
          |    (CASE WHEN coalesce(sum(CASE WHEN d < $k THEN 1 ELSE 0
          |      END), 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS converged
-         |  FROM (SELECT u, count(*)::BIGINT AS d
-         |        FROM e${k}_$KCoreRounds GROUP BY u)
+         |  FROM d${k}_$KCoreRounds
          |)""".stripMargin
     }
     val peels = KCoreKs.map(peel).mkString(", ")
@@ -531,6 +554,8 @@ object Graph {
        |  FROM items a JOIN items b ON a.okey = b.okey AND a.part <> b.part
        |), tot AS (
        |  SELECT count(DISTINCT part)::BIGINT AS n_total FROM items
+       |), d_0 AS MATERIALIZED (
+       |  SELECT u, count(*)::BIGINT AS d FROM e GROUP BY u
        |), $peels
        |SELECT r.k, r.n_core_nodes, r.n_core_edges,
        |  (tot.n_total - r.n_core_nodes)::BIGINT AS n_peeled, r.converged
