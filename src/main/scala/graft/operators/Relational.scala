@@ -1538,21 +1538,27 @@ object Relational {
           col("cnt")).otherwise(0L)).as("c1"),
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
           .otherwise(col("cnt"))).as("c2"))
+    // fold over the SORTED (lag, c1, c2) struct array, not over
+    // sequence(lo, hi) with per-step element_at(m, ·): Catalyst map
+    // element_at is a LINEAR scan, so the map walk was O(range × cells)
+    // — ~24M interpreted comparisons on the sf0.1 lag grid (~0.9 s of
+    // the measured 1.2 s; guide §1.1 empirical loop). Absent lags were
+    // no-ops in the walk (c1 = c2 = 0 adds nothing to n1/n2/r1d), so
+    // folding only the present lags in lag order is value-identical;
+    // the size guard keeps the empty-input NULL the sequence walk
+    // produced. Same device as the q255 fold fix (PLANS.md:313).
     val walk = byLag
-      .agg(min(col("lag_days")).as("lo"), max(col("lag_days")).as("hi"),
-        map_from_entries(collect_list(struct(col("lag_days"),
-          struct(col("c1"), col("c2"))))).as("m"))
+      .agg(sort_array(collect_list(struct(col("lag_days"),
+        col("c1"), col("c2")))).as("arr"))
       .select(expr(
-        """aggregate(
-          |  sequence(lo, hi),
+        """IF(size(arr) = 0, null, aggregate(
+          |  arr,
           |  named_struct('n1', 0L, 'n2', 0L, 'r1d', 0L),
-          |  (acc, v) -> named_struct(
-          |    'n1', acc.n1 + coalesce(element_at(m, v).c1, 0L),
-          |    'n2', acc.n2 + coalesce(element_at(m, v).c2, 0L),
-          |    'r1d', acc.r1d + coalesce(element_at(m, v).c1, 0L) *
-          |      (2 * (acc.n1 + acc.n2) +
-          |       coalesce(element_at(m, v).c1, 0L) +
-          |       coalesce(element_at(m, v).c2, 0L) + 1)))""".stripMargin)
+          |  (acc, e) -> named_struct(
+          |    'n1', acc.n1 + e.c1,
+          |    'n2', acc.n2 + e.c2,
+          |    'r1d', acc.r1d + e.c1 *
+          |      (2 * (acc.n1 + acc.n2) + e.c1 + e.c2 + 1))))""".stripMargin)
         .as("st"))
       .select(col("st.n1").as("n1"), col("st.n2").as("n2"),
         col("st.r1d").as("r1d"))
@@ -1675,25 +1681,33 @@ object Relational {
           col("cnt")).otherwise(0L)).as("c1"),
         sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
           .otherwise(col("cnt"))).as("c2"))
+    // sorted-struct-array fold, not a sequence(lo, hi) walk with
+    // per-step element_at(m, ·) — the map lookup is a linear scan, so
+    // the walk was O(range × cells) ≈ 24M interpreted comparisons on
+    // the sf0.1 lag grid (the q253 finding; same fix). Absent lags
+    // repeat the previous cumulative deviation exactly, so they can
+    // never strictly raise mx nor capture mlag (strict > against an
+    // acc.mx that already covers the repeat): folding present lags in
+    // order is value-identical, with the first array element standing
+    // in for the old `lo` init and the size guard keeping the
+    // empty-input NULL.
     byLag
-      .agg(min(col("lag_days")).as("lo"), max(col("lag_days")).as("hi"),
-        sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-        map_from_entries(collect_list(struct(col("lag_days"),
-          struct(col("c1"), col("c2"))))).as("m"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sort_array(collect_list(struct(col("lag_days"),
+          col("c1"), col("c2")))).as("arr"))
       .select(col("n1"), col("n2"), expr(
-        """aggregate(
-          |  sequence(lo, hi),
-          |  named_struct('cum1', 0L, 'cum2', 0L, 'mx', 0L, 'mlag', lo),
-          |  (acc, v) -> named_struct(
-          |    'cum1', acc.cum1 + coalesce(element_at(m, v).c1, 0L),
-          |    'cum2', acc.cum2 + coalesce(element_at(m, v).c2, 0L),
+        """IF(size(arr) = 0, null, aggregate(
+          |  arr,
+          |  named_struct('cum1', 0L, 'cum2', 0L, 'mx', 0L,
+          |    'mlag', element_at(arr, 1).lag_days),
+          |  (acc, e) -> named_struct(
+          |    'cum1', acc.cum1 + e.c1,
+          |    'cum2', acc.cum2 + e.c2,
           |    'mx', greatest(acc.mx, abs(
-          |      (acc.cum1 + coalesce(element_at(m, v).c1, 0L)) * n2 -
-          |      (acc.cum2 + coalesce(element_at(m, v).c2, 0L)) * n1)),
+          |      (acc.cum1 + e.c1) * n2 - (acc.cum2 + e.c2) * n1)),
           |    'mlag', IF(abs(
-          |      (acc.cum1 + coalesce(element_at(m, v).c1, 0L)) * n2 -
-          |      (acc.cum2 + coalesce(element_at(m, v).c2, 0L)) * n1)
-          |      > acc.mx, v, acc.mlag)))""".stripMargin).as("w"))
+          |      (acc.cum1 + e.c1) * n2 - (acc.cum2 + e.c2) * n1)
+          |      > acc.mx, e.lag_days, acc.mlag))))""".stripMargin).as("w"))
       .select(col("n1").as("n_urgent"), col("n2").as("n_routine"),
         col("w.mx").as("mx"), col("w.mlag").as("d_lag"))
       .withColumn("rhs95", expr(
