@@ -1225,8 +1225,15 @@ object Relational {
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(k)
-    val partOrders = sets.select(explode(col("ps")).as("part"))
-      .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
+    // PlanCache'd: referenced twice here (part_a and part_b legs) and
+    // three more times by q212 — each bare reference recomputed the
+    // full explode+collapse (~0.3 s each at sf0.1; §2.4 share-one-
+    // exchange). Part-dimension-bounded (|parts| rows).
+    val partOrders = graft.PlanCache.cached(spark,
+      s"relational.partOrders:$dir") {
+      sets.select(explode(col("ps")).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
+    }
     val n = sets.agg(count(lit(1)).as("n_baskets"))
     top
       .join(partOrders.select(col("part").as("part_a"),
@@ -1305,8 +1312,13 @@ object Relational {
       .orderBy(col("support").desc, col("part_a"), col("part_b"),
         col("part_c"))
       .limit(k)
-    val partOrders = sets.select(explode(col("ps")).as("part"))
-      .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
+    // shared with q184 (see basketPairs): one explode+collapse for all
+    // five winner-leg joins across the two queries
+    val partOrders = graft.PlanCache.cached(spark,
+      s"relational.partOrders:$dir") {
+      sets.select(explode(col("ps")).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
+    }
     val n = sets.agg(count(lit(1)).as("n_baskets"))
     top
       .join(partOrders.select(col("part").as("part_a"),
