@@ -2245,13 +2245,20 @@ object EventAnalytics {
     val mid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
         .as("cut"))
+    // perUser is read six times (two quartiled legs × {hist, n, final
+    // join}) — without a materialization point each reference re-ran
+    // the purchase scan + collapse (28 exchanges in the executed
+    // plan). User-grain, so lineage truncation is the q64/q225 rule
+    // (§2.4 share one exchange).
     val perUser = ev.crossJoin(broadcast(mid))
       .withColumn("period", when(col("day") <= col("cut"), 1L).otherwise(2L))
       .groupBy(col("user_id"), col("period"))
       .agg(sum(col("cents")).as("spend"))
+      .localCheckpoint(false)
     def quartiled(p: Long): DataFrame = {
       val u = perUser.filter(col("period") === p)
       val hist = u.groupBy(col("spend")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
       val n = u.agg(count(lit(1)).as("n"))
       // boundary q (1..3) = smallest spend with cum >= (q·n+3) div 4;
       // cum via the q167-style triangle fold (audit-sized histogram)
@@ -3084,12 +3091,19 @@ object EventAnalytics {
     }
     val tot = per.agg(count(lit(1)).as("n_users_t"),
       sum(col("n_purch")).as("tot_purch"))
+    // hist is referenced twice (both triangle sides) and dec three
+    // times (dec, decTot, decB): without a materialization point every
+    // reference re-ran the whole upstream collapse (~6 recomputations,
+    // 20 exchanges in the executed plan). Both tables are audit-sized
+    // (|distinct scores| / ≤10 rows), so lineage truncation is the
+    // q64/q261 rule, not a corpus-scale persist (§2.4).
     val hist = per.crossJoin(broadcast(tot))
       .select(col("score"),
         when(col("n_purch") * col("n_users_t") > col("tot_purch"), 1L)
           .otherwise(0L).as("pos"))
       .groupBy(col("score"))
       .agg(count(lit(1)).as("nu"), sum(col("pos")).as("np"))
+      .localCheckpoint(false)
     val histB = hist.select(col("score").as("s2"), col("nu").as("nu2"))
     val dec = hist
       .join(broadcast(histB), col("s2") >= col("score"))
@@ -3100,6 +3114,7 @@ object EventAnalytics {
         col("nu"), col("np"))
       .groupBy(col("decile"))
       .agg(sum(col("nu")).as("n_users"), sum(col("np")).as("n_pos"))
+      .localCheckpoint(false)
     val decTot = dec.agg(sum(col("n_users")).as("tot_u"),
       sum(col("n_pos")).as("tot_pos"))
     val decB = dec.select(col("decile").as("d2"),
