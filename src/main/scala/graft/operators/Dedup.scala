@@ -316,6 +316,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(graft.functions.HashExpressions.ngramJaccard(col("ta"), col("tb")), 6)
           .as("jaccard"))
+      // materialize before the threshold filter and sort: CollapseProject
+      // otherwise inlines the shingle-set kernel into the Filter predicate
+      // and the post-sort projection, paying it 2-3× per pair (the q56
+      // finding). Pair-grain.
+      .localCheckpoint(false)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -539,6 +544,10 @@ object Dedup {
           greatest(col("pa"), col("doc_id")).as("doc_b"),
           round(graft.functions.HashExpressions.ngramJaccard(col("pt"), col("text")), 6)
             .as("j"))
+        // materialize before the threshold filter: the filter otherwise
+        // re-inlines the |probes|×corpus Jaccard kernel (the q56
+        // finding) — this halves the seam's one-time build cost
+        .localCheckpoint(false)
         .filter(col("j") >= threshold)
         // two probes can generate the same pair (both ends probed)
         .groupBy(col("doc_a"), col("doc_b")).agg(max(col("j")).as("j"))
@@ -730,9 +739,15 @@ object Dedup {
       // thresholded levenshtein runs the banded O(len·maxDist) algorithm
       // and early-exits past the bound (returns -1), instead of the full
       // O(len²) table — same kept pairs, same distances, since every pair
-      // beyond maxDist is filtered out either way
+      // beyond maxDist is filtered out either way.
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("edit_dist"))
+      // materialization point BEFORE the threshold filter and the sort:
+      // CollapseProject otherwise inlines the levenshtein into the
+      // Filter predicate AND the post-sort projection, paying the DP
+      // 2-3× per pair (measured 1.03 → 0.41 s; the §4.4 duplicate-
+      // evaluation trap, expression flavor). Pair-grain, ≤|candidates|.
+      .localCheckpoint(false)
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .orderBy(col("doc_a"), col("doc_b"))
   }

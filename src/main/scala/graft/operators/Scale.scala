@@ -348,15 +348,20 @@ object Scale {
     * table AFTER aggregation. */
   def bloomSizing(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
+    // the key-column NAME rides the hot distinct shuffle as a 0..2
+    // integer code, not a ~19-byte string (the q137 device; §2.3
+    // narrower shuffle keys) — the 3-row tail maps codes back
     val li = graft.Tables.lineitem(spark, dir).selectExpr(
-      "stack(2, 'lineitem.l_orderkey', cast(l_orderkey as bigint), " +
-        "'lineitem.l_partkey', cast(l_partkey as bigint)) AS (key_col, k)")
+      "stack(2, 0, cast(l_orderkey as bigint), " +
+        "1, cast(l_partkey as bigint)) AS (kc, k)")
     val ord = graft.Tables.orders(spark, dir)
-      .select(lit("orders.o_custkey").as("key_col"),
-        col("o_custkey").cast("long").as("k"))
+      .select(lit(2).as("kc"), col("o_custkey").cast("long").as("k"))
     val counts = li.unionByName(ord)
-      .groupBy(col("key_col"), col("k")).agg(count(lit(1)).as("_c"))
-      .groupBy(col("key_col")).agg(count(lit(1)).as("n_keys"))
+      .groupBy(col("kc"), col("k")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("kc")).agg(count(lit(1)).as("n_keys"))
+      .select(expr("CASE kc WHEN 0 THEN 'lineitem.l_orderkey' " +
+        "WHEN 1 THEN 'lineitem.l_partkey' " +
+        "ELSE 'orders.o_custkey' END").as("key_col"), col("n_keys"))
     val targets = BloomTargets.map { case (fpp, mbk, kh) =>
       struct(lit(fpp).as("fpp_bp"), lit(mbk).as("mbk"), lit(kh).as("kh"))
     }
