@@ -1568,13 +1568,25 @@ object EventAnalytics {
     * calendar-sized cell table (days², audit-sized at any corpus
     * scale — 10 years is ~6.7M pairs per type); the fold is a
     * |types|-row rollup. */
-  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
-    val cells = graft.PlanCache.cached(spark, s"events.dayTypeCells:$dir") {
+  /** The (event_type, day) cell collapse — event count `c` plus
+    * purchase cents mass `cents` — the ONE corpus pass behind the
+    * calendar-grain family (q189 trend, q203 burst, q206 co-movement
+    * via [[denseDayGrid]], q204 refresh audit). Carrying cents costs
+    * the seam one BIGINT per audit-sized cell and saves q204 its own
+    * three corpus passes (guide §2.4: share one exchange). */
+  private[graft] def dayTypeCells(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"events.dayTypeCells:$dir") {
       Tables.events(spark, dir)
-        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          when(col("event_type") === "purchase",
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L)
+            .as("cents"))
         .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c"), sum(col("cents")).as("cents"))
     }
+
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame = {
+    val cells = dayTypeCells(spark, dir)
     val a = cells.select(col("event_type"), col("day").as("d1"),
       col("c").as("c1"))
     val b = cells.select(col("event_type").as("et_b"), col("day").as("d2"),
@@ -2171,12 +2183,7 @@ object EventAnalytics {
     * burst panel and the q206 co-movement matrix. */
   private def denseDayGrid(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached(spark, s"events.denseDayGrid:$dir") {
-      val cells = graft.PlanCache.cached(spark, s"events.dayTypeCells:$dir") {
-        Tables.events(spark, dir)
-          .select(col("event_type"), to_date(col("ts")).as("day"))
-          .groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("c"))
-      }
+      val cells = dayTypeCells(spark, dir)
       val span = Tables.events(spark, dir)
         .agg(min(to_date(col("ts"))).as("d0"),
           max(to_date(col("ts"))).as("d1"))

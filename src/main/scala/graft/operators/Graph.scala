@@ -481,9 +481,10 @@ object Graph {
     val bb = graft.PlanAudit.Bounded
     val tot = nodes(spark, dir).agg(count(lit(1)).as("n_total"))
     val e = edges(spark, dir)
-    // full degrees: the shared round-0 state for every k (PlanCache'd —
-    // the one corpus-scale collapse the whole decomposition pays)
-    val deg0 = graft.PlanCache.cached(spark, s"graph.degrees:$dir") {
+    // full degrees: the shared round-0 state for every k — the SAME
+    // seam q225/q246 cache (one collapse for the whole graph shelf;
+    // this previously built an identical table under a second key)
+    val deg0 = graft.PlanCache.cached(spark, s"graph.copurchaseDeg:$dir") {
       e.groupBy(col("u")).agg(count(lit(1)).as("d"))
     }
     val perK = KCoreKs.map { k =>

@@ -2478,23 +2478,26 @@ object Relational {
   def incrementalRefreshAudit(spark: SparkSession, dir: String,
                               deltaDays: Int = 7): DataFrame = {
     require(deltaDays > 0, s"incrementalRefreshAudit: bad window $deltaDays")
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type"), to_date(col("ts")).as("day"),
-        when(col("event_type") === "purchase",
-          expr("cast(round(value * 100) as bigint)")).otherwise(0L)
-          .as("cents"))
-    val cut = ev.agg(date_sub(max(col("day")), deltaDays - 1).as("cut"))
-    val tagged = ev.crossJoin(broadcast(cut))
-    def cellAgg(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-    val base = cellAgg(tagged.filter(col("day") < col("cut")))
-    val delta = cellAgg(tagged.filter(col("day") >= col("cut")))
+    // ROUND-17 SHAPE (§2.4 share one exchange): base, delta and full
+    // are all derived from the ONE PlanCache'd (event_type, day) cell
+    // collapse the calendar family (q189/q203/q206) already pays —
+    // the grouping key contains `day`, so filtering the CELLS at the
+    // cutoff is exactly filtering the ROWS before aggregating (the
+    // old shape paid three separate corpus passes for provably the
+    // same cells). The cutoff scalar likewise folds over cells.
+    val cells = EventAnalytics.dayTypeCells(spark, dir)
+      .select(col("event_type"), col("day"), col("c").as("n"), col("cents"))
+    val cut = cells.agg(date_sub(max(col("day")), deltaDays - 1).as("cut"))
+    val tagged = cells.crossJoin(broadcast(cut))
+    val base = tagged.filter(col("day") < col("cut"))
+      .select(col("event_type"), col("day"), col("n"), col("cents"))
+    val delta = tagged.filter(col("day") >= col("cut"))
+      .select(col("event_type"), col("day"), col("n"), col("cents"))
     // the refresh: merge partial states (sum of sums, sum of counts)
     val merged = base.unionByName(delta)
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
-    val full = cellAgg(ev)
+    val full = cells
     val cmp = full
       .join(merged.select(col("event_type"), col("day"),
         col("n").as("n_m"), col("cents").as("cents_m")),

@@ -3943,7 +3943,11 @@ object TextAnalysis {
     * is a non-negative 60-bit value, so the mod-2⁴⁰ reduction and the
     * decode are exact; positions are bounded by 2²⁰ grams/doc (disclosed
     * — a longer doc would need a wider position field). Returns
-    * (doc_id, spos). */
+    * (doc_id, spos, gk) — the winning gram's full 60-bit hash rides
+    * along via min_by (e is injective within a doc: distinct pos ⇒
+    * distinct e, so the argmin row is unique and min_by deterministic),
+    * which saves [[winnowing]] a gram-grain join back into the stream
+    * just to recover the hash (§2.4 remove shuffles outright). */
   private[graft] def winnowedPositions(spark: SparkSession, dir: String,
                                        n: Int, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -3952,10 +3956,9 @@ object TextAnalysis {
     val fr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     enc.select(col("doc_id"), count(lit(1)).over(fr).as("c"),
-        min(col("e")).over(fr).as("me"))
+        min_by(struct(col("pos"), col("gk")), col("e")).over(fr).as("mb"))
       .filter(col("c") === w)
-      .select(col("doc_id"),
-        expr(s"${(1L << 20) - 1} - (me % ${1L << 20})").as("spos"))
+      .select(col("doc_id"), col("mb.pos").as("spos"), col("mb.gk").as("gk"))
       .distinct()
   }
 
@@ -3991,9 +3994,10 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("n_grams"),
         sum(col("s")).as("n_selected"))
-    val hashes = sel.join(
-        pg.select(col("doc_id"), col("pos").as("spos"), col("gk")),
-        Seq("doc_id", "spos"))
+    // gk rides out of the selection window (min_by), so the hash leg
+    // reads the selected rows directly — the old shape re-joined the
+    // full gram stream on (doc_id, spos) to recover it
+    val hashes = sel
       .join(ds, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(countDistinct(col("gk")).as("n_hashes"))
