@@ -15,8 +15,26 @@ import org.apache.spark.sql.functions._
   * no collect: the loaders stay lazy plan fragments.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolved-relation cache, keyed (sessionUUID, path): `read.parquet`
+    * re-reads the parquet FOOTER (schema inference + file listing) on
+    * EVERY call — measured ~45-55 ms per resolve, and a query that
+    * touches many tables pays it per table per invocation (q137's 12
+    * resolves were 0.6 s of its 1.35 s bench time — §7.3 driver-side
+    * planning, the §6 listing-cache point applied to the footer). The
+    * cache holds the LAZY plan fragment only — no data, no persist:
+    * every action still scans parquet, so this is plan reuse, not
+    * result caching. Session-keyed like PlanCache (sessionUUID is
+    * unique per live session); the test dirs are immutable for a
+    * session's lifetime, which is what makes the resolved listing
+    * reusable. */
+  private val resolved =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val sid = org.apache.spark.sql.graft.bridge.sessionUUID(spark)
+    resolved.getOrElseUpdate((sid, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

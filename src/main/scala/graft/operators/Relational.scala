@@ -582,10 +582,21 @@ object Relational {
       pairs("orders->customer", Tables.orders(spark, dir), "o_custkey"),
       pairs("supplier->nation", Tables.supplier(spark, dir), "s_nationkey"))
       .reduce(_ unionByName _)
-    // distinct guards against a corrupted parent carrying duplicate PKs
-    // (exactly what an integrity audit must survive): a dup parent key
-    // would otherwise fan out child rows and inflate every count —
-    // mirrored by SELECT DISTINCT in the SQL twin
+    // ROUND-18 SHAVE (§2.4 remove shuffles outright): child keys and
+    // parent keys used to flow through SEPARATE aggregations (children:
+    // partial+Exchange+final on (rel,k); parents: their own
+    // distinct Exchange + BroadcastExchange) and met in a left join.
+    // All of it is one clustering problem on (rel,k), so both streams
+    // now ride ONE union tagged by `w` (1 = child row, 0 = parent row)
+    // through ONE map-side-combinable aggregation: cnt = sum(w) counts
+    // child rows, hit = max(1 - w) marks keys with at least one parent
+    // row (dup parent PKs — exactly what the audit must survive —
+    // collapse into the same max, mirroring the SQL twin's DISTINCT),
+    // and parent-only keys (cnt = 0) drop before the per-rel fold.
+    // Plan diff: 4 Exchanges + BroadcastHashJoin -> 3 Exchanges, no
+    // join; the 7 parent scans shuffle once instead of aggregating
+    // twice. Orphan semantics unchanged: orphan iff no parent row
+    // shares (rel,k).
     val parents = Seq(
       parentKeys("customer->nation", Tables.nation(spark, dir), "n_nationkey"),
       parentKeys("lineitem->orders", Tables.orders(spark, dir), "o_orderkey"),
@@ -595,19 +606,19 @@ object Relational {
       parentKeys("orders->customer", Tables.customer(spark, dir), "c_custkey"),
       parentKeys("supplier->nation", Tables.nation(spark, dir), "n_nationkey"))
       .reduce(_ unionByName _)
-      .distinct()
-      .withColumn("hit", lit(1))
     val nameOf = FkRelationships.zipWithIndex
       .map { case (n, i) => s"WHEN $i THEN '$n'" }.mkString(" ")
-    children.groupBy(col("rel"), col("k"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(parents, Seq("rel", "k"), "left")
+    children.withColumn("w", lit(1L))
+      .unionByName(parents.withColumn("w", lit(0L)))
+      .groupBy(col("rel"), col("k"))
+      .agg(sum(col("w")).as("cnt"), max(lit(1L) - col("w")).as("hit"))
+      .filter(col("cnt") > 0)
       .groupBy(col("rel"))
       .agg(sum(col("cnt")).as("n_child_rows"),
         count(lit(1)).as("n_child_keys"),
-        sum(when(col("hit").isNull, col("cnt")).otherwise(0L))
+        sum(when(col("hit") === 0L, col("cnt")).otherwise(0L))
           .as("n_orphan_rows"),
-        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan_keys"))
+        sum(when(col("hit") === 0L, 1L).otherwise(0L)).as("n_orphan_keys"))
       .select(expr(s"CASE rel $nameOf END").as("relationship"),
         col("n_child_rows"), col("n_child_keys"),
         col("n_orphan_rows"), col("n_orphan_keys"))

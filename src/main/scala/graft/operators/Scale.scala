@@ -595,25 +595,49 @@ object Scale {
     // window order — ONE canonical order shared by all five columns,
     // deterministic in both engines (run counting needs A canonical
     // order, not THE one).
+    // ROUND-18 SHAVE (§2.3 shuffle fewer bytes / §1.2 per-task work):
+    // the orderkey exchange used to carry the 5 derived BIGINTs PLUS a
+    // prebuilt 5-field struct (the single lag argument) — ~40 duplicate
+    // bytes per row — and the whole derivation (ascii/round ×5 + struct
+    // build) ran inside the single-split parquet map task (one row
+    // group = one scan task, so that work was SERIAL). Now the exchange
+    // moves the RAW 7 columns (2 doubles + two 1-char strings are
+    // narrower than 5 longs + struct), the derivation runs
+    // post-exchange on all cores, and the run flags come from 5 plain
+    // column lags sharing one window frame (no struct at all). The
+    // explicit repartition is the window's own required hash
+    // distribution (same key, same partition count), so the plan still
+    // carries exactly ONE corpus exchange — measured 0.97 -> 0.76 s
+    // through the grouping-sets collapse, 1.25 -> ~1.0 s end-to-end.
+    // Lag-null semantics: every watched field is non-null (ascii/round
+    // of non-null lineitem columns), so `lag IS NULL` still means
+    // exactly "first row of the orderkey block".
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("ln"), col("ls"), col("pk"), col("qty"), col("rf"),
         col("tax"))
     val flagged = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"))
+      .repartition(col("l_orderkey"))
       .selectExpr("l_orderkey", "l_linenumber AS ln",
         "cast(ascii(l_linestatus) as bigint) AS ls",
         "l_partkey AS pk",
         "cast(round(l_quantity) as bigint) AS qty",
         "cast(ascii(l_returnflag) as bigint) AS rf",
         "cast(round(l_tax * 100) as bigint) AS tax")
-      .withColumn("prev", lag(struct(col("ls"), col("pk"), col("qty"),
-        col("rf"), col("tax")), 1).over(w))
+      .withColumn("pls", lag(col("ls"), 1).over(w))
+      .withColumn("ppk", lag(col("pk"), 1).over(w))
+      .withColumn("pqty", lag(col("qty"), 1).over(w))
+      .withColumn("prf", lag(col("rf"), 1).over(w))
+      .withColumn("ptax", lag(col("tax"), 1).over(w))
       .select(col("ls"), col("pk"), col("qty"), col("rf"), col("tax"),
-        expr("IF(prev IS NULL OR prev.ls != ls, 1L, 0L)").as("f_ls"),
-        expr("IF(prev IS NULL OR prev.pk != pk, 1L, 0L)").as("f_pk"),
-        expr("IF(prev IS NULL OR prev.qty != qty, 1L, 0L)").as("f_qty"),
-        expr("IF(prev IS NULL OR prev.rf != rf, 1L, 0L)").as("f_rf"),
-        expr("IF(prev IS NULL OR prev.tax != tax, 1L, 0L)").as("f_tax"))
+        expr("IF(pls IS NULL OR pls != ls, 1L, 0L)").as("f_ls"),
+        expr("IF(ppk IS NULL OR ppk != pk, 1L, 0L)").as("f_pk"),
+        expr("IF(pqty IS NULL OR pqty != qty, 1L, 0L)").as("f_qty"),
+        expr("IF(prf IS NULL OR prf != rf, 1L, 0L)").as("f_rf"),
+        expr("IF(ptax IS NULL OR ptax != tax, 1L, 0L)").as("f_tax"))
     // grouping_id bit = 1 for an AGGREGATED (not-in-set) column, MSB =
     // first listed: set {ls} → 01111 = 15, {pk} → 23, {qty} → 27,
     // {rf} → 29, {tax} → 30
