@@ -794,7 +794,23 @@ object EventAnalytics {
       .agg(collect_list(col("c")).as("cells"))
     val one = tyList.crossJoin(
       bb.broadcastBounded("q261_markov_stationary.cells", cellArr, 1L))
-    val piArr = one.select(col("ty"), expr(
+    // ROUND-18 SHAVE (§2.4): the final assembly used to leave the
+    // one-row world — explode π, re-join it with the type universe and
+    // the out-degree table, and cross in a separately-aggregated totals
+    // row (3 joins + 2 extra aggregations over ≤|types| rows, each with
+    // its own exchange/broadcast build). The out-degrees now ride in as
+    // ONE broadcast ≤|types|-entry map, both totals fold IN-ROW over
+    // the already-collected arrays, and the output is a single
+    // explode+projection — the walk's one-row discipline carried to the
+    // end. `ty` is already the sorted distinct type universe, so the
+    // per-type output set is unchanged; element_at on the map is the
+    // old LEFT join (null -> 0 for sink-only types).
+    val odMap = outdeg.agg(map_from_entries(
+      collect_list(struct(col("from_type"), col("n_out")))).as("od"))
+    val piArr = one
+      .crossJoin(bb.broadcastBounded("q261_markov_stationary.odmap",
+        odMap, 1L))
+      .select(col("ty"), col("od"), expr(
       s"""aggregate(
          |  sequence(1, $MarkovSteps),
          |  array_repeat(1000L, size(ty)),
@@ -805,22 +821,17 @@ object EventAnalytics {
          |    + IF(exists(cells, c -> c.f = j0 + 1),
          |        0L, element_at(acc, j0 + 1))))""".stripMargin)
       .as("mass"))
-    val pi = piArr
-      .select(explode(arrays_zip(col("ty"), col("mass"))).as("z"))
-      .select(col("z.ty").as("event_type"), col("z.mass").as("mass"))
-    val obs = outdeg.select(col("from_type").as("event_type"), col("n_out"))
-    val tots = pi.agg(sum(col("mass")).as("pi_tot"))
-      .crossJoin(obs.agg(sum(col("n_out")).as("out_tot")))
-    types
-      .join(obs, Seq("event_type"), "left")
-      .join(pi, Seq("event_type"), "left")
-      .crossJoin(graft.PlanAudit.Bounded
-        .broadcastBounded("q261_markov_stationary.totals", tots, 1L))
-      .select(col("event_type"),
-        coalesce(col("n_out"), lit(0L)).as("n_out"),
-        expr("coalesce(n_out, 0L) * 10000 div out_tot").as("obs_share_bp"),
-        expr("coalesce(mass, 0L) * 10000 div pi_tot")
-          .as("stationary_share_bp"))
+    piArr
+      .withColumn("pi_tot", expr("aggregate(mass, 0L, (s, x) -> s + x)"))
+      .withColumn("out_tot",
+        expr("aggregate(map_values(od), 0L, (s, x) -> s + x)"))
+      .select(explode(arrays_zip(col("ty"), col("mass"))).as("z"),
+        col("od"), col("pi_tot"), col("out_tot"))
+      .select(col("z.ty").as("event_type"),
+        expr("coalesce(element_at(od, z.ty), 0L)").as("n_out"),
+        expr("coalesce(element_at(od, z.ty), 0L) * 10000 div out_tot")
+          .as("obs_share_bp"),
+        expr("z.mass * 10000 div pi_tot").as("stationary_share_bp"))
       .withColumn("delta_bp",
         col("stationary_share_bp") - col("obs_share_bp"))
       .orderBy(col("event_type"))
@@ -3753,22 +3764,39 @@ object EventAnalytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ROUND-18 SHAVE (§2.3 aggregate fewer bytes, §2.4): (a) the
+    // per-session collect used to gather EVERY event's (us, event_id,
+    // event_type) struct and sort the whole array just to slice its
+    // first 3 — the in-session position is already available in the
+    // window pass (rn − session-start rn, one row_number + one running
+    // max over the SAME two window specs the lag/cumsum already pay),
+    // so the collect now keeps ≤PathDepth structs per session and the
+    // array sort is over ≤3 elements; (b) `tot` re-ran the whole
+    // corpus pipeline (the before-plan carries the scan→window→collect
+    // subtree TWICE — AQE exchange reuse does not cover the diverging
+    // agg/top-k legs), so the |types|³-bounded path table is
+    // lineage-truncated once and both the top-k and the total read it
+    // (the q64/q213 audit-grain materialization rule).
     val paths = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
       .withColumn("opens", when(col("prev_us").isNull ||
         col("us") - col("prev_us") > SessionTimeoutUs, 1L).otherwise(0L))
       .withColumn("sid", sum(col("opens")).over(cum))
+      .withColumn("srn", max(when(col("opens") === 1L, col("rn"))).over(cum))
       .groupBy(col("user_id"), col("sid"))
       .agg(
-        array_join(expr(s"transform(slice(sort_array(collect_list(" +
-          s"struct(us, event_id, event_type))), 1, $PathDepth), " +
+        array_join(expr(s"transform(sort_array(collect_list(" +
+          s"IF(rn - srn < $PathDepth, " +
+          "struct(us, event_id, event_type), NULL))), " +
           "e -> e.event_type)"), ">").as("path"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("converts"))
     val byPath = paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("converts")).as("n_convert"))
+      .localCheckpoint(eager = false)
     val tot = byPath.agg(sum(col("n_sessions")).as("n_tot"))
     byPath
       .orderBy(col("n_sessions").desc, col("path"))

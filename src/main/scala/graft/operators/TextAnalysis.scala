@@ -2963,11 +2963,19 @@ object TextAnalysis {
     // rank = 1 + |{sources that beat this one}| over the broadcast
     // |sources|-row table
     val other = sizes.select(col("source").as("s2"), col("n_tok").as("t2"))
+    // ROUND-18 SHAVE (§2.4): `ranked` feeds the novel-credit join AND
+    // the cells assembly AND (via cells) the cumulative prior self-join
+    // — uncheckpointed, the before-plan inlined this |sources|-row
+    // subtree (and the seam scan + sizes aggregation under it) four
+    // times (741-line explain). Both it and `cells` below are
+    // source-grain (audit-bounded at any corpus size), so they take the
+    // q64/q213 lineage truncation.
     val ranked = sizes.join(broadcast(other),
         col("t2") > col("n_tok") ||
           (col("t2") === col("n_tok") && col("s2") < col("source")), "left")
       .groupBy(col("source"), col("n_tok"), col("vocab"))
       .agg((count(col("s2")) + 1).as("rank"))
+      .localCheckpoint(eager = false)
     // each hash credits the best-ranked source containing it
     val novel = hist.select(col("source"), col("h"))
       .join(broadcast(ranked.select(col("source"), col("rank"))),
@@ -2978,6 +2986,7 @@ object TextAnalysis {
     // still report its row
     val cells = ranked.join(novel, Seq("rank"), "left")
       .withColumn("novel", coalesce(col("novel"), lit(0L)))
+      .localCheckpoint(eager = false)
     val prior = cells.select(col("rank").as("r2"), col("novel").as("v2"))
     cells.join(broadcast(prior), col("r2") <= col("rank"))
       .groupBy(col("rank"), col("source"), col("n_tok"), col("vocab"),
@@ -4245,8 +4254,6 @@ object TextAnalysis {
             "i -> substr(w, i, 1))"), sep + sep),
           lit(sep)).as("ws"))
       .localCheckpoint(eager = false)
-    val rankW = Window.partitionBy(col("lang"))
-      .orderBy(col("pcnt").desc, col("a"), col("b"))
     var winners = Vector.empty[DataFrame]
     for (step <- 1 to k) {
       val pairs = types
@@ -4260,15 +4267,28 @@ object TextAnalysis {
             "'b', element_at(sy, i + 1)))")).as("p"))
         .select(col("lang"), col("cnt"),
           col("p.a").as("a"), col("p.b").as("b"))
+      // ROUND-18 SHAVE (§2.4): the per-lang top-1 used to be a window
+      // (lang exchange + sort + row_number + filter); it is now the
+      // lexicographic struct-min fold the argmax elections elsewhere
+      // use (min_by on (-pcnt, a, b) — count desc, pair asc; (a, b) is
+      // unique per lang so the election is deterministic), riding a
+      // plain map-side-combinable aggregation with no sort.
       val win = pairs
         .groupBy(col("lang"), col("a"), col("b"))
         .agg(sum(col("cnt")).as("pcnt"))
-        .withColumn("rn", row_number().over(rankW))
-        .filter(col("rn") === 1)
-        .select(col("lang"), col("a"), col("b"), col("pcnt"))
+        .groupBy(col("lang"))
+        .agg(min_by(struct(col("a"), col("b"), col("pcnt")),
+          struct((lit(0L) - col("pcnt")).as("np"), col("a"), col("b")))
+          .as("m"))
+        .select(col("lang"), col("m.a").as("a"), col("m.b").as("b"),
+          col("m.pcnt").as("pcnt"))
         .localCheckpoint(eager = false)
       winners = winners :+ win.withColumn("step", lit(step.toLong))
-      types = types
+      // ROUND-18 SHAVE: the merged segmentation after the LAST rung is
+      // never read (only the winners are) — skip its join + checkpoint
+      // entirely (was one dead corpus-vocab replace pass + one dead
+      // plan compilation per run).
+      if (step < k) types = types
         .join(broadcast(win.select(col("lang"), col("a"), col("b"))),
           Seq("lang"), "left")
         .select(col("lang"), col("cnt"),
