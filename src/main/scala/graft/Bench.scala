@@ -192,6 +192,13 @@ object Bench {
     val qsRaw = results.map { case (k, t) => s"\"" + k + "\":" + t._1 }
       .mkString("{", ",", "}")
     val total = results.map { case (_, t) => robust(t) }.filter(_ >= 0).sum
+    // COLD total: sum of raw FIRST-pass times. The robust min-of-passes
+    // protocol lets a PlanCache seam pay its build in pass 1 and vanish
+    // from every query's robust time — this scalar keeps that one-time
+    // cost mechanically visible round-over-round (VERDICT r17 ask #6)
+    // without changing the robust methodology. It still includes any
+    // pass-1 host stalls, so compare it as a trend, not a per-run truth.
+    val coldTotal = results.map { case (_, t) => t._1 }.filter(_ >= 0).sum
     // Streaming throughput: the reference's per-record pipeline (score
     // sentiment on each doc) run as a Structured Streaming micro-batch,
     // docs replicated 20× in-stream for a stable number. The reference
@@ -237,7 +244,7 @@ object Bench {
     // average is.
     val nq = results.count { case (_, t) => robust(t) >= 0 }
     val common =
-      s""""n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"bench_protocol":$Protocol,"errors":$errJson,"partial_pass_queries":$partialJson,"requeued_queries":$requeueJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir""""
+      s""""n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"cold_total_sec":$coldTotal,"stream_docs_per_sec":$streamRps,"bench_protocol":$Protocol,"errors":$errJson,"partial_pass_queries":$partialJson,"requeued_queries":$requeueJson,"load_avg_before":$loadBefore,"load_avg_after":${loadAvg()},"sf":"$sfDir""""
     // STDOUT carries ROBUST numbers ONLY: the driver snapshots a truncated
     // stdout tail into BENCH_rN.json, and when the robust and raw maps
     // interleaved there, a regex reader picked up RAW first-pass times
@@ -305,7 +312,7 @@ object Bench {
     // (r10: ~80 requeued names pushed the "compact" line past the window).
     // Everything list-valued lives in the full line above + BENCH_LOCAL.json.
     val summaryLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"stream_docs_per_sec":$streamRps,"n_errors":${errors.distinct.size},"bench_protocol":$Protocol}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nq,"sec_per_query":${if (nq > 0) total / nq else -1.0},"cold_total_sec":$coldTotal,"stream_docs_per_sec":$streamRps,"n_errors":${errors.distinct.size},"bench_protocol":$Protocol}"""
     println(summaryLine)
     // Builder-side per-run scalar ledger (append-only): round-over-round
     // perf stays diffable even when a driver-side tail parse fails, and
@@ -316,6 +323,7 @@ object Bench {
       val line = s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir",""" +
         s""""total_sec":$total,"n_queries":$nq,""" +
         s""""sec_per_query":${if (nq > 0) total / nq else -1.0},""" +
+        s""""cold_total_sec":$coldTotal,""" +
         s""""stream_docs_per_sec":$streamRps,""" +
         s""""n_errors":${errors.distinct.size},"protocol":$Protocol}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(ledger),

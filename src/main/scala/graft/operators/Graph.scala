@@ -44,6 +44,18 @@ object Graph {
         .select(col("l_partkey").as("node")).distinct()
     }
 
+
+  /** The co-purchase out-degree table (u, d) — the shared round-0 /
+    * normalization state of pagerank, the triangle census and k-core.
+    * ONE private builder under ONE PlanCache key (ADVICE r17: three
+    * call sites used to inline textually identical builders under the
+    * shared first-wins key; a drift in one would have silently defined
+    * the cached contents for the others). */
+  private[graft] def degrees(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached(spark, s"graph.copurchaseDeg:$dir") {
+      edges(spark, dir).groupBy(col("u")).agg(count(lit(1)).as("d"))
+    }
+
   /** X150 co-purchase degree profile (q224): the degree distribution of
     * the co-purchase graph in bands (0 = isolated, then doubling), with
     * part counts and shares — the connectivity read on basket data that
@@ -129,9 +141,7 @@ object Graph {
     * addition order). */
   def pagerank(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
     val e = edges(spark, dir)
-    val deg = graft.PlanCache.cached(spark, s"graph.copurchaseDeg:$dir") {
-      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    }
+    val deg = degrees(spark, dir)
     // degree folded INTO the persisted edge table, pre-partitioned on
     // the join key: the three iterations then reuse ONE clustering of
     // the (content-bounded) edge seam instead of re-exchanging it per
@@ -185,9 +195,7 @@ object Graph {
     * seam (content-bounded — the graph harness pin). */
   def triangleProfile(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
-    val deg = graft.PlanCache.cached(spark, s"graph.copurchaseDeg:$dir") {
-      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    }
+    val deg = degrees(spark, dir)
     val ori = graft.PlanCache.cached(spark, s"graph.orientedEdges:$dir") {
       e.join(deg.select(col("u").as("ux"), col("d").as("du")),
           col("u") === col("ux"))
@@ -484,9 +492,7 @@ object Graph {
     // full degrees: the shared round-0 state for every k — the SAME
     // seam q225/q246 cache (one collapse for the whole graph shelf;
     // this previously built an identical table under a second key)
-    val deg0 = graft.PlanCache.cached(spark, s"graph.copurchaseDeg:$dir") {
-      e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    }
+    val deg0 = degrees(spark, dir)
     val perK = KCoreKs.map { k =>
       var d = deg0
       for (_ <- 1 to KCoreRounds) {

@@ -2478,14 +2478,22 @@ object Relational {
     * touched, touch share bp, full rows, delta rows, delta row share
     * bp, and n_mismatch — the count of (type, day) cells where the
     * merged refresh disagrees with the full recompute (0 by
-    * construction; the column is the audit's verdict, and the DuckDB
-    * twin recomputes it independently).
+    * construction).
     *
-    * Scale posture: the delta predicate is a pure day filter (pushable
-    * to the scan); base/delta/full aggregates are ONE map-side-
-    * combinable shape each; the merge is a |cells|-row groupBy over
-    * two aggregate outputs; the comparison is a full-outer join on the
-    * audit-sized cell table, never on rows. */
+    * NOTE on the audit column (ADVICE r17): since the round-17 shape
+    * below, the "full recompute" side reads the SAME PlanCache'd cell
+    * collapse the base/delta sides derive from, so the in-engine
+    * n_mismatch no longer exercises an independent aggregation path —
+    * merge-equals-recompute is validated by the DuckDB oracle twin,
+    * which recomputes both sides from the raw event rows; the Spark
+    * column remains as the merge-algebra check (partial-state sums
+    * re-aggregated vs the cells themselves).
+    *
+    * Scale posture (round-17 shape): base/delta/full all derive from
+    * the ONE cell collapse (filtering the cells at the cutoff IS
+    * filtering the rows, because `day` is a grouping key); the merge
+    * is a |cells|-row groupBy over cell slices; the comparison is a
+    * full-outer join on the audit-sized cell table, never on rows. */
   def incrementalRefreshAudit(spark: SparkSession, dir: String,
                               deltaDays: Int = 7): DataFrame = {
     require(deltaDays > 0, s"incrementalRefreshAudit: bad window $deltaDays")
