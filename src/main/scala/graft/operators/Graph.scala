@@ -154,15 +154,29 @@ object Graph {
         .repartition(col("u"))
     }
     val nd = nodes(spark, dir)
-    var pr = nd.select(col("node"), lit(1000L).as("pr"))
-    for (_ <- 1 to PrIterations) {
-      val recv = e2.join(pr, e2("u") === col("node"))
-        .select(col("v"), expr("pr div d").as("contrib"))
+    // ROUND-18 SHAVE (§2.4): the walk used to materialize the FULL
+    // node-grain pr table every step (nd LEFT JOIN recv — one extra
+    // node-keyed exchange + join per iteration) even though the next
+    // step only reads pr along edges. A node absent from recv has
+    // pr = 500 + 0 div 2 by definition, so the edge join now carries
+    // that default inline: step 1 sends the uniform 1000 div d with NO
+    // join at all, steps 2..k LEFT-join the edge seam to the previous
+    // recv and apply (500 + recv div 2) div d on the spot. The node
+    // universe is joined ONCE, on the final read. 3 node-grain
+    // exchanges + joins removed; identical integer walk (recv missing
+    // ⟺ old pr(u) = 500).
+    var recv = e2.select(col("v"), expr("1000 div d").as("contrib"))
+      .groupBy(col("v")).agg(sum(col("contrib")).as("recv"))
+    for (_ <- 2 to PrIterations) {
+      recv = e2.join(recv.select(col("v").as("pu"), col("recv").as("prin")),
+          e2("u") === col("pu"), "left")
+        .select(col("v"),
+          expr("(500L + coalesce(prin, 0L) div 2) div d").as("contrib"))
         .groupBy(col("v")).agg(sum(col("contrib")).as("recv"))
-      pr = nd.join(recv, col("node") === col("v"), "left")
-        .select(col("node"),
-          expr("500L + coalesce(recv, 0L) div 2").as("pr"))
     }
+    val pr = nd.join(recv, col("node") === col("v"), "left")
+      .select(col("node"),
+        expr("500L + coalesce(recv, 0L) div 2").as("pr"))
     pr.join(deg, col("node") === col("u"), "left")
       .select(col("node").as("part"), col("pr").as("pr_milli"),
         coalesce(col("d"), lit(0L)).as("degree"))
