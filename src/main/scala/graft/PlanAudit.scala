@@ -132,11 +132,8 @@ object PlanAudit {
     "q36_label_centroids", "q37_ivf_topk", "q48_ivf_multiprobe",
     "q45_contamination", "q50_contamination_bloom", "q53_tfidf_topterms",
     "q66_quantization_audit", "q70_pq_adc",
-    // q76 range-joins the calendar-bounded distinct-days dimension
-    "q76_rolling_active",
-    // q145's WAU leg is the same q76 range join against the
-    // calendar-bounded distinct-days dimension
-    "q145_stickiness",
+    // (q76/q145 left this list in round 18: their WAU range join is now
+    // a bounded explode + broadcast equi-join, no nested loop)
     // q147's prefix sums are the q108 triangle theta-join over the
     // broadcast 4-row quarters table
     "q147_vocab_growth",

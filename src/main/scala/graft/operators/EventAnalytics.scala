@@ -90,23 +90,32 @@ object EventAnalytics {
     * activity, the count of DISTINCT users active in the trailing 7-day
     * window — the WAU curve. Exact, not sketched: activity first
     * collapses to distinct (user_id, day) pairs (the only corpus-sized
-    * shuffle, keyed on user_id), then each pair joins the small day
-    * dimension on the 7-day range — a |days|-bounded fan-out (≤ 7 rows
-    * per pair), and the final distinct-count shuffles (day, user_id)
-    * pairs. At 100 TB the same plan holds because `days` is calendar-
-    * bounded; the sketched alternative (per-day HLL merged over windows)
-    * trades exactness for one less shuffle and is what q34's HLL family
-    * would supply.
+    * shuffle, keyed on user_id), then each pair EXPLODES into its ≤7
+    * window-end days and a broadcast equi-join with the calendar-bounded
+    * day dimension keeps only observed days; the final distinct-count
+    * shuffles (day, user_id) pairs. At 100 TB the same plan holds
+    * because the fan-out is windowDays-bounded per pair (round 18: this
+    * replaced a |pairs|×|days| nested-loop range join); the sketched
+    * alternative (per-day HLL merged over windows) trades exactness for
+    * one less shuffle and is what q34's HLL family would supply.
     *
     * Day arithmetic is integer (datediff), so the window membership test
     * is exact cross-engine. */
   def rollingActiveUsers(spark: SparkSession, dir: String,
                          windowDays: Int = 7): DataFrame = {
-    val pairs = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // ROUND-18 SHAVE (§3): same bounded-explode replacement of the
+    // day-dimension nested-loop range join as q145 (see stickiness);
+    // the distinct (user, day) collapse now rides the shared
+    // events.userDayPairs seam both queries read.
+    val pairs = graft.PlanCache.cached(spark, s"events.userDayPairs:$dir") {
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    }
     val days = pairs.select(col("day").as("t")).distinct()
-    pairs.join(days,
-        datediff(col("t"), col("day")).between(0, windowDays - 1))
+    pairs
+      .select(col("user_id"), explode(expr(
+        s"sequence(day, date_add(day, ${windowDays - 1}))")).as("t"))
+      .join(broadcast(days), Seq("t"))
       .groupBy(col("t"))
       .agg(countDistinct(col("user_id")).as("active_users"))
       .select(col("t").as("day"), col("active_users"))
@@ -124,8 +133,9 @@ object EventAnalytics {
     * Scale posture: activity collapses once to distinct (user, day)
     * pairs (the only corpus-sized shuffle, shared by both legs via
     * PlanCache); DAU is a per-day count over the pairs; WAU re-uses the
-    * q76 calendar-bounded range fan-out (≤ 7 rows per pair); the final
-    * join is |days|-row against |days|-row. */
+    * q76 bounded explode + broadcast equi-join (≤ windowDays rows per
+    * pair, no nested loop); the final join is |days|-row against
+    * |days|-row. */
   def stickiness(spark: SparkSession, dir: String,
                  windowDays: Int = 7): DataFrame = {
     val pairs = graft.PlanCache.cached(spark, s"events.userDayPairs:$dir") {
@@ -135,8 +145,17 @@ object EventAnalytics {
     val dau = pairs.groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("dau"))
     val days = pairs.select(col("day").as("t")).distinct()
-    val wau = pairs.join(days,
-        datediff(col("t"), col("day")).between(0, windowDays - 1))
+    // ROUND-18 SHAVE (§3 avoid exploding joins): the trailing-window
+    // membership used to be a BroadcastNestedLoopJoin against the day
+    // dimension — |pairs| × |days| comparisons, quadratic as the
+    // calendar grows. Each pair covers EXACTLY the windowDays window
+    // ends [day, day+6], so a bounded explode emits those directly and
+    // a broadcast EQUI-join restricts to observed days: ≤7 rows per
+    // pair at any scale, no nested loop. Same device in q76.
+    val wau = pairs
+      .select(col("user_id"), explode(expr(
+        s"sequence(day, date_add(day, ${windowDays - 1}))")).as("t"))
+      .join(broadcast(days), Seq("t"))
       .groupBy(col("t"))
       .agg(countDistinct(col("user_id")).as("wau"))
       .select(col("t").as("day"), col("wau"))
