@@ -1826,7 +1826,13 @@ object TextAnalysis {
       .select(posexplode(col("hits")).as(Seq("pos", "h")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("h.term").as("phrase"), col("h.cnt").as("score_milli"))
-    scored.select(col("phrase"), col("cnt").as("n_occurrences"),
+    // ROUND-18 SHAVE (§2.4): the metadata join-back used to read
+    // `scored` again — re-running the word explode + wscore join +
+    // phrase rollup a second time just to fetch cnt/len. Those columns
+    // live in the persisted phrase seam `pt` (unique per phrase), so
+    // the k-row head joins THAT instead; `scored` is now evaluated
+    // exactly once (inside the top-k fold).
+    pt.select(col("phrase"), col("cnt").as("n_occurrences"),
         col("len").as("n_words"))
       .join(broadcast(heads), Seq("phrase"))
       .select(col("rank"), col("phrase"), col("n_words"),
